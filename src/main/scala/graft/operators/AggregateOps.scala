@@ -1,0 +1,178 @@
+package graft.operators
+
+import graft.{Det, OpModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregation surface (SURVEY.md §2B q14–q21): hash agg, grand agg,
+  * distinct, rollup/cube/grouping-sets, collect_list, approx distinct.
+  *
+  * Scale notes: every groupBy here compiles to a two-phase HashAggregate
+  * (partial map-side combine + final after one shuffle on the grouping
+  * key) — the same plan shape that holds at 1000 executors. Distinct
+  * aggregation uses Catalyst's Expand + two-phase rewrite;
+  * `approx_count_distinct` (HLL++) is the constant-memory scale path for
+  * distinct counting and is kept ◐ (sketches never hash-match across
+  * engines).
+  */
+object AggregateOps extends OpModule {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style pricing summary — the engine flagship.
+    "q14_agg_hash" -> { (s, d) =>
+      Tables(s, d, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Det.decSum(col("l_quantity")).as("sum_qty"),
+          Det.decSum(col("l_extendedprice")).as("sum_base_price"),
+          Det.decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc_price"),
+          // scale 6: the charge term has ≤6 true decimal digits; casting
+          // to DECIMAL(…,4) would hit exact-half ties that Spark/DuckDB
+          // round differently per row.
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")) *
+               (lit(1) + col("l_tax"))).cast("decimal(18,6)"))
+            .cast("decimal(18,6)").as("sum_charge"),
+          Det.decAvg(col("l_quantity")).as("avg_qty"),
+          Det.decAvg(col("l_extendedprice")).as("avg_price"),
+          Det.decAvg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    "q15_agg_global" -> { (s, d) =>
+      Tables(s, d, "lineitem").agg(
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"),
+        Det.decSum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("cnt"),
+        round(stddev_samp(col("l_quantity")), 6).as("std_qty"),
+        round(var_samp(col("l_quantity")), 6).as("var_qty"),
+        round(stddev_samp(col("l_discount")), 6).as("std_disc"))
+    },
+
+    "q16_agg_distinct" -> { (s, d) =>
+      Tables(s, d, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_suppkey"), col("l_partkey")).as("nd_supp_part"))
+    },
+
+    "q17_agg_rollup" -> { (s, d) =>
+      Tables(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(Det.decSum(col("l_quantity")).as("sum_qty"),
+             count(lit(1)).as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+                coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+                col("sum_qty"), col("cnt"))
+        .orderBy("returnflag", "linestatus")
+    },
+
+    "q18_agg_cube" -> { (s, d) =>
+      Tables(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(Det.decSum(col("l_quantity")).as("sum_qty"),
+             count(lit(1)).as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+                coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+                col("sum_qty"), col("cnt"))
+        .orderBy("returnflag", "linestatus")
+    },
+
+    "q19_agg_gsets" -> { (s, d) =>
+      val cn = Tables(s, d, "customer")
+        .join(broadcast(Tables(s, d, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+      cn.createOrReplaceTempView("graft_q19_cn")
+      s.sql(
+        """SELECT COALESCE(c_mktsegment, 'ALL') AS seg,
+          |       COALESCE(n_name, 'ALL') AS nat,
+          |       count(1) AS cnt,
+          |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_bal
+          |FROM graft_q19_cn
+          |GROUP BY GROUPING SETS ((c_mktsegment), (n_name))
+          |ORDER BY seg, nat""".stripMargin)
+    },
+
+    "q20_agg_collect" -> { (s, d) =>
+      Tables(s, d, "supplier")
+        .join(broadcast(Tables(s, d, "nation")),
+              col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sort_array(collect_list(col("s_name"))).as("suppliers"))
+        .orderBy("n_name")
+    },
+
+    // ◐ HLL sketch — engine-specific, unit-tested with ±5% tolerance.
+    "q21_agg_approx" -> { (s, d) =>
+      Tables(s, d, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_nd"),
+        countDistinct(col("l_partkey")).as("exact_nd"))
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q14_agg_hash" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_charge,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_price,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q15_agg_global" ->
+      """SELECT min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price,
+        |  count(*) AS cnt,
+        |  round(stddev_samp(l_quantity), 6) AS std_qty,
+        |  round(var_samp(l_quantity), 6) AS var_qty,
+        |  round(stddev_samp(l_discount), 6) AS std_disc
+        |FROM lineitem""".stripMargin,
+
+    "q16_agg_distinct" ->
+      """SELECT
+        |  (SELECT count(DISTINCT l_partkey) FROM lineitem) AS nd_part,
+        |  (SELECT count(*) FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)) AS nd_supp_part""".stripMargin,
+
+    "q17_agg_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q18_agg_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q19_agg_gsets" ->
+      """SELECT COALESCE(c_mktsegment, 'ALL') AS seg,
+        |  COALESCE(n_name, 'ALL') AS nat,
+        |  count(1) AS cnt,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((c_mktsegment), (n_name))
+        |ORDER BY seg, nat""".stripMargin,
+
+    "q20_agg_collect" ->
+      """SELECT n_name, list_sort(list(s_name)) AS suppliers
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin
+  )
+}

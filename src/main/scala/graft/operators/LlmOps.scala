@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.{OpModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core LLM-data-pipeline operators (SURVEY.md §2B q41–q45): exact and
+  * near deduplication, all-pairs cosine top-k, per-corpus text stats,
+  * document⋈embedding join.
+  *
+  * Scale design:
+  *  - q41 exact dedup hashes text once (sha2) and groups on the digest —
+  *    one shuffle on a 64-char key, never on the full text.
+  *  - q42 near-dup uses blocking (40-char prefix) to restrict Jaccard to
+  *    candidate pairs: cost O(Σ blockᵢ²), not O(n²). The 100 TB path is
+  *    MinHash-LSH banding — implemented as q46 in [[DedupExtOps]].
+  *  - q43 brute-force cosine broadcasts the (small) vector side and
+  *    block-scans it per partition with primitive-array arithmetic,
+  *    keeping a per-partition top-k so only k·partitions candidate rows
+  *    shuffle to the final merge. The 100 TB path is LSH bucketing
+  *    (q52 in [[SimilarityExtOps]]).
+  */
+object LlmOps extends OpModule {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_dedup_exact" -> { (s, d) =>
+      Tables(s, d, "documents")
+        .groupBy(sha2(col("text"), 256).as("h"))
+        .agg(count(lit(1)).as("copies"))
+        .agg(count(lit(1)).as("distinct_docs"),
+             sum(when(col("copies") > 1, 1L).otherwise(0L)).as("dup_groups"),
+             sum(col("copies") - 1).as("dropped"))
+    },
+
+    "q42_dedup_near" -> { (s, d) =>
+      val docs = Tables(s, d, "documents").select(
+        col("doc_id"),
+        substring(col("text"), 1, 40).as("pfx"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+      val a = docs.select(col("doc_id").as("id_a"), col("pfx"),
+                          col("toks").as("toks_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("pfx"),
+                          col("toks").as("toks_b"))
+      a.join(b, "pfx")
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+                round(size(array_intersect(col("toks_a"), col("toks_b")))
+                        .cast("double") /
+                      size(array_union(col("toks_a"), col("toks_b"))), 3)
+                  .as("jac"))
+        .where(col("jac") >= 0.9)
+        .orderBy("id_a", "id_b")
+    },
+
+    "q43_sim_topk" -> { (s, d) =>
+      import s.implicits._
+      val k = 20
+      val em = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .as[(Long, Array[Double])]
+      // Broadcast the full vector table (2 000 × 64 doubles ≈ 1 MB) and
+      // block-scan per partition — classic broadcast-side brute force.
+      val bc = s.sparkContext.broadcast(em.collect().sortBy(_._1))
+      val partTop = em.mapPartitions { it =>
+        val bs = bc.value
+        val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+        it.foreach { case (ida, va) =>
+          var i = 0
+          while (i < bs.length) {
+            val (idb, vb) = bs(i)
+            if (idb > ida) {
+              var dot = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+              while (j < va.length) {
+                dot += va(j) * vb(j); na += va(j) * va(j); nb += vb(j) * vb(j)
+                j += 1
+              }
+              buf += ((ida, idb, dot / (math.sqrt(na) * math.sqrt(nb))))
+            }
+            i += 1
+          }
+        }
+        // Local prune must use the FINAL ordering key (rounded sim +
+        // tie-break) or the global merge could drop an oracle-chosen tie.
+        buf.map { case (a2, b2, sim) =>
+            (a2, b2, BigDecimal(sim).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble)
+          }
+          .sortBy { case (a2, b2, sim) => (-sim, a2, b2) }
+          .take(k).iterator
+      }.toDF("a", "b", "sim")
+      partTop.orderBy(col("sim").desc, col("a"), col("b")).limit(k)
+    },
+
+    "q44_text_stats" -> { (s, d) =>
+      Tables(s, d, "documents")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("docs"),
+             round(sum(col("n_chars")).cast("double") / count(lit(1)), 6)
+               .as("avg_chars"),
+             round(sum(size(split(col("text"), " ")).cast("long"))
+                     .cast("double") / count(lit(1)), 6).as("avg_tokens"),
+             max(array_max(transform(split(col("text"), " "),
+                                     t => length(t)))).cast("long")
+               .as("max_token_len"))
+        .orderBy("lang", "source")
+    },
+
+    "q45_multimodal_join" -> { (s, d) =>
+      Tables(s, d, "documents")
+        .join(Tables(s, d, "embeddings"),
+              col("doc_id") === col("vec_id"))
+        .groupBy("label", "lang")
+        .agg(count(lit(1)).as("cnt"),
+             round(sum(col("n_chars")).cast("double") / count(lit(1)), 6)
+               .as("avg_chars"))
+        .orderBy("label", "lang")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q41_dedup_exact" ->
+      """SELECT count(*) AS distinct_docs,
+        |  CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups,
+        |  CAST(sum(copies - 1) AS BIGINT) AS dropped
+        |FROM (SELECT sha256(text) AS h, count(*) AS copies
+        |      FROM documents GROUP BY h)""".stripMargin,
+
+    "q42_dedup_near" ->
+      """SELECT * FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.toks, b.toks))), 3) AS jac
+        |  FROM (SELECT doc_id, substr(text,1,40) AS pfx,
+        |               list_distinct(string_split(text,' ')) AS toks
+        |        FROM documents) a
+        |  JOIN (SELECT doc_id, substr(text,1,40) AS pfx,
+        |               list_distinct(string_split(text,' ')) AS toks
+        |        FROM documents) b
+        |    ON a.pfx = b.pfx AND a.doc_id < b.doc_id)
+        |WHERE jac >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+
+    "q43_sim_topk" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 4) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |ORDER BY sim DESC, a, b LIMIT 20""".stripMargin,
+
+    "q44_text_stats" ->
+      """SELECT lang, source, count(*) AS docs,
+        |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
+        |  round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 6) AS avg_tokens,
+        |  CAST(max(list_max(list_transform(string_split(text, ' '),
+        |                                   t -> len(t)))) AS BIGINT) AS max_token_len
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q45_multimodal_join" ->
+      """SELECT label, lang, count(*) AS cnt,
+        |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |GROUP BY label, lang ORDER BY label, lang""".stripMargin
+  )
+}

@@ -1,0 +1,238 @@
+package graft.operators
+
+import graft.{OpModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scans, filters, projections and the full join surface (SURVEY.md §2B
+  * q01–q13).
+  *
+  * Scale notes (100 TB design intent):
+  *  - q01/q02 rely on Parquet footer stats + pushdown: the planner never
+  *    materializes pruned columns (`ReadSchema` in explain) and skips row
+  *    groups via `PushedFilters`.
+  *  - dimension joins (nation/region/part) are explicitly `broadcast()`;
+  *    fact-fact joins (orders⋈lineitem) shuffle on the join key and are
+  *    AQE-managed (skew split + partition coalescing on by default).
+  *  - the as-of join (q13) is expressed as a key-equi join plus max()
+  *    aggregation instead of a windowed union, so it shuffles once on
+  *    user_id and stays fully parallel.
+  */
+object RelationalOps extends OpModule {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_count" -> { (s, d) =>
+      Seq("lineitem", "orders", "customer")
+        .map(t => Tables(s, d, t).agg(count(lit(1)).as("cnt"))
+          .select(lit(t).as("tbl"), col("cnt")))
+        .reduce(_.unionAll(_))
+        .orderBy("tbl")
+    },
+
+    "q02_scan_pruned" -> { (s, d) =>
+      Tables(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .where(col("l_shipdate") >= lit("1996-01-01") &&
+               col("l_shipdate") < lit("1997-01-01"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    "q03_filter_compound" -> { (s, d) =>
+      Tables(s, d, "orders")
+        .where((col("o_orderpriority").isin("1-URGENT", "2-HIGH") ||
+                col("o_orderstatus") === "F") &&
+               col("o_totalprice").between(1000, 200000) &&
+               !col("o_orderpriority").like("%LOW%"))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderpriority")
+        .orderBy("o_orderkey")
+    },
+
+    "q04_project_exprs" -> { (s, d) =>
+      Tables(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        // 6 dp: price(2dp)·(1-disc)(2dp)·(1+tax)(2dp) has ≤6 true decimal
+        // digits, so rounding at 6 is tie-free across engines (4 is not).
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+              (lit(1) + col("l_tax")), 6).as("charge"),
+        when(col("l_discount") > 0.05, "HIGH").otherwise("LOW").as("disc_band"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    "q05_join_inner4" -> { (s, d) =>
+      val c = Tables(s, d, "customer")
+      val o = Tables(s, d, "orders")
+      val l = Tables(s, d, "lineitem")
+      val n = Tables(s, d, "nation")
+      val r = Tables(s, d, "region")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(graft.Det.decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy("n_name")
+    },
+
+    "q06_join_broadcast" -> { (s, d) =>
+      val l = Tables(s, d, "lineitem")
+      val p = Tables(s, d, "part").where(col("p_brand") === "Brand#23")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("cnt"),
+             graft.Det.decSum(col("l_quantity")).as("sum_qty"))
+        .orderBy("p_brand")
+    },
+
+    "q07_join_left" -> { (s, d) =>
+      val c = Tables(s, d, "customer")
+      val o = Tables(s, d, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("order_cnt"))
+        .orderBy("c_custkey")
+    },
+
+    "q08_join_full" -> { (s, d) =>
+      val o = Tables(s, d, "orders")
+      val e = Tables(s, d, "events")
+      o.join(e, col("o_custkey") === col("user_id"), "full")
+        .groupBy(coalesce(col("o_custkey"), col("user_id")).as("k"))
+        .agg(count(col("o_orderkey")).as("order_cnt"),
+             count(col("event_id")).as("event_cnt"))
+        .orderBy("k")
+    },
+
+    "q09_join_semi" -> { (s, d) =>
+      val c = Tables(s, d, "customer")
+      val o = Tables(s, d, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    "q10_join_anti" -> { (s, d) =>
+      val c = Tables(s, d, "customer")
+      val o = Tables(s, d, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    "q11_join_cross" -> { (s, d) =>
+      Tables(s, d, "region").crossJoin(Tables(s, d, "nation"))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")
+    },
+
+    "q12_join_theta" -> { (s, d) =>
+      val su = Tables(s, d, "supplier")
+      val c = Tables(s, d, "customer")
+      su.join(c, col("s_nationkey") === col("c_nationkey") &&
+                 abs(col("s_acctbal") - col("c_acctbal")) < 100)
+        .select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
+        .orderBy("s_suppkey", "c_custkey")
+    },
+
+    "q13_join_asof" -> { (s, d) =>
+      val e = Tables(s, d, "events")
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = e.where(col("event_type") === "signup")
+        .select(col("user_id").as("su_user"), col("ts").as("signup_ts"))
+      purchases
+        .join(signups, col("user_id") === col("su_user") &&
+                       col("signup_ts") <= col("ts"), "left")
+        .groupBy("event_id", "user_id", "ts")
+        .agg(max("signup_ts").as("last_signup_ts"))
+        .orderBy("event_id")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q01_scan_count" ->
+      """SELECT 'customer' AS tbl, count(*) AS cnt FROM customer
+        |UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+        |UNION ALL SELECT 'orders', count(*) FROM orders
+        |ORDER BY tbl""".stripMargin,
+
+    "q02_scan_pruned" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_filter_compound" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE (o_orderpriority IN ('1-URGENT','2-HIGH') OR o_orderstatus = 'F')
+        |  AND o_totalprice BETWEEN 1000 AND 200000
+        |  AND o_orderpriority NOT LIKE '%LOW%'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q04_project_exprs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge,
+        |  CASE WHEN l_discount > 0.05 THEN 'HIGH' ELSE 'LOW' END AS disc_band
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q05_join_inner4" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q06_join_broadcast" ->
+      """SELECT p_brand, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#23'
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q07_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS order_cnt
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q08_join_full" ->
+      """SELECT COALESCE(o_custkey, user_id) AS k,
+        |  count(o_orderkey) AS order_cnt, count(event_id) AS event_cnt
+        |FROM orders FULL JOIN events ON o_custkey = user_id
+        |GROUP BY k ORDER BY k""".stripMargin,
+
+    "q09_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q10_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q11_join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q12_join_theta" ->
+      """SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
+        |FROM supplier JOIN customer
+        |  ON s_nationkey = c_nationkey AND abs(s_acctbal - c_acctbal) < 100
+        |ORDER BY s_suppkey, c_custkey""".stripMargin,
+
+    "q13_join_asof" ->
+      """SELECT p.event_id, p.user_id, p.ts,
+        |  (SELECT max(su.ts) FROM events su
+        |   WHERE su.event_type = 'signup' AND su.user_id = p.user_id
+        |     AND su.ts <= p.ts) AS last_signup_ts
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin
+  )
+}
