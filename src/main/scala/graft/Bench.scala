@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up the JVM/codegen/IO paths once so the first timed query
+    // doesn't absorb session startup (~3-4 s of JIT + codegen compile).
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .groupBy("n_regionkey").count().count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -58,35 +58,51 @@ object LlmOps extends OpModule {
       val em = Tables(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .as[(Long, Array[Double])]
-      // Broadcast the full vector table (2 000 × 64 doubles ≈ 1 MB) and
-      // block-scan per partition — classic broadcast-side brute force.
-      val bc = s.sparkContext.broadcast(em.collect().sortBy(_._1))
+      // Broadcast the full vector table (2 000 × 64 doubles ≈ 1 MB) with
+      // precomputed norms and block-scan per partition — broadcast-side
+      // brute force with a bounded per-partition top-k, so only
+      // k·partitions candidate rows reach the final merge.
+      val all = em.collect().sortBy(_._1)
+      val ids = all.map(_._1)
+      val vecs = all.map(_._2)
+      val norms = vecs.map { v =>
+        var nn = 0.0; var j = 0
+        while (j < v.length) { nn += v(j) * v(j); j += 1 }
+        math.sqrt(nn)
+      }
+      val bc = s.sparkContext.broadcast((ids, vecs, norms))
+      // Round half-away-from-zero at 4 dp — the shared Spark/DuckDB
+      // semantics — BEFORE pruning: the local top-k must use the final
+      // ordering key (rounded sim, a, b) or the merge could drop an
+      // oracle-chosen tie.
+      def r4(x: Double): Double = {
+        val y = x * 10000.0
+        (if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)) / 10000.0
+      }
       val partTop = em.mapPartitions { it =>
-        val bs = bc.value
-        val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+        val (bids, bvecs, bnorms) = bc.value
+        // max-heap on "badness" (-sim, a, b); head = worst kept element
+        val ord = Ordering.Tuple3(Ordering.Double.TotalOrdering.reverse,
+                                  Ordering.Long, Ordering.Long)
+          .on[(Double, Long, Long)] { case (sim, a2, b2) => (sim, a2, b2) }
+        val pq = scala.collection.mutable.PriorityQueue.empty[(Double, Long, Long)](ord)
         it.foreach { case (ida, va) =>
+          val ai = java.util.Arrays.binarySearch(bids, ida)
+          val na = bnorms(ai)
           var i = 0
-          while (i < bs.length) {
-            val (idb, vb) = bs(i)
-            if (idb > ida) {
-              var dot = 0.0; var na = 0.0; var nb = 0.0; var j = 0
-              while (j < va.length) {
-                dot += va(j) * vb(j); na += va(j) * va(j); nb += vb(j) * vb(j)
-                j += 1
-              }
-              buf += ((ida, idb, dot / (math.sqrt(na) * math.sqrt(nb))))
+          while (i < bids.length) {
+            if (bids(i) > ida) {
+              val vb = bvecs(i)
+              var dot = 0.0; var j = 0
+              while (j < va.length) { dot += va(j) * vb(j); j += 1 }
+              val cand = (r4(dot / (na * bnorms(i))), ida, bids(i))
+              if (pq.size < k) pq.enqueue(cand)
+              else if (ord.lt(cand, pq.head)) { pq.dequeue(); pq.enqueue(cand) }
             }
             i += 1
           }
         }
-        // Local prune must use the FINAL ordering key (rounded sim +
-        // tie-break) or the global merge could drop an oracle-chosen tie.
-        buf.map { case (a2, b2, sim) =>
-            (a2, b2, BigDecimal(sim).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-              .toDouble)
-          }
-          .sortBy { case (a2, b2, sim) => (-sim, a2, b2) }
-          .take(k).iterator
+        pq.iterator.map { case (sim, a2, b2) => (a2, b2, sim) }
       }.toDF("a", "b", "sim")
       partTop.orderBy(col("sim").desc, col("a"), col("b")).limit(k)
     },
