@@ -16,7 +16,14 @@ object SparkEntry {
     operators.TimeWindowOps,
     functions.ScalarFnOps,
     functions.UdfOps,
-    operators.LlmOps
+    operators.LlmOps,
+    operators.DedupExtOps,
+    operators.TextExtOps,
+    operators.SimilarityExtOps,
+    operators.MultimodalExtOps,
+    sources.SourceOps,
+    streaming.StreamOps,
+    mr.MisterOps
   )
 
   /** Flagship query (TPC-H Q1-style pricing summary) on sf0.001;

@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.{OpModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalable near-duplicate detection (SURVEY.md §2B q46–q47):
+  * MinHash-LSH banding and SimHash fingerprinting.
+  *
+  * These are the 100 TB paths that replace q42's all-pairs-per-block
+  * Jaccard: cost is O(docs · bands) for signature building plus
+  * O(Σ bucket²) for candidate pairing — never O(n²) over the corpus.
+  * Hashing uses md5 hex strings (identical lowercase output in Spark and
+  * DuckDB), so the whole pipeline is portable SQL and oracle-checkable:
+  * min() over hex strings is a valid uniform min-hash because the hex
+  * encoding preserves byte order.
+  */
+object DedupExtOps extends OpModule {
+
+  private val NumHashes = 8
+  private val Bands = 4 // rows-per-band = 2
+
+  /** minhash_i(doc) = min over tokens of a nibble-rotation of the
+    * token's md5 — one digest per token instead of NumHashes digests
+    * (rotations of a uniform hash stay uniform, and hex order = byte
+    * order, so min() is a valid min-hash for each rotation). */
+  private def sigCols: Seq[Column] =
+    (0 until NumHashes).map(i =>
+      min(substring(concat(col("m"), col("m")), 1 + 4 * i, 32)).as(s"h$i"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_dedup_minhash" -> { (s, d) =>
+      // Shingle (3-token), not unigram: the corpus vocabulary is small,
+      // so unigram token sets barely discriminate documents; the
+      // shingle space is |vocab|³ and recovers real near-dup structure.
+      val toks = Tables(s, d, "documents")
+        .withColumn("t", split(col("text"), " "))
+        .withColumn("sh", explode(expr(
+          """CASE WHEN size(t) >= 3
+            |  THEN array_distinct(transform(sequence(1, size(t) - 2),
+            |                      i -> concat_ws(' ', slice(t, i, 3))))
+            |  ELSE array(text) END""".stripMargin)))
+        .select(col("doc_id"), md5(col("sh")).as("m"))
+      val sigs = toks.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      // LSH banding: docs sharing any band signature become candidates.
+      val bands = sigs.select(col("doc_id"), explode(array(
+        (0 until Bands).map(j => struct(lit(j).as("band"),
+          concat(col(s"h${2 * j}"), col(s"h${2 * j + 1}")).as("sig"))): _*)).as("b"))
+        .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
+      bands.as("x").join(bands.as("y"), Seq("band", "sig"))
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("n_bands"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // 16-bit SimHash from the first 4 md5 nibbles of each token; output
+    // one row per doc with its fingerprint and fingerprint-bucket size.
+    "q47_dedup_simhash" -> { (s, d) =>
+      val t = Tables(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .withColumn("h", md5(col("tok")))
+      val bitSums = (0 until 16).map { p =>
+        val j = p / 4 + 1 // hex char index (1-based)
+        val pw = 1 << (p % 4)
+        sum(expr(s"((instr('0123456789abcdef', substr(h, $j, 1)) - 1) DIV $pw) % 2 * 2 - 1"))
+          .as(s"s$p")
+      }
+      val fps = t.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          concat((0 until 16).map(p =>
+            when(col(s"s$p") > 0, "1").otherwise("0")): _*).as("fp"))
+      val buckets = fps.groupBy("fp").agg(count(lit(1)).as("bucket_size"))
+      fps.join(buckets, "fp")
+        .select("doc_id", "fp", "bucket_size")
+        .orderBy("doc_id")
+    }
+  )
+
+  private def minhashCte: String = {
+    val hs = (0 until NumHashes)
+      .map(i => s"min(substr(m || m, ${1 + 4 * i}, 32)) AS h$i").mkString(", ")
+    val bandRows = (0 until Bands)
+      .map(j => s"SELECT doc_id, $j AS band, h${2 * j} || h${2 * j + 1} AS sig FROM sigs")
+      .mkString(" UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, md5(unnest(
+       |    CASE WHEN len(t) >= 3
+       |      THEN list_distinct(list_transform(range(1, len(t) - 1),
+       |                         i -> array_to_string(t[i:i+2], ' ')))
+       |      ELSE [text] END)) AS m
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)),
+       |sigs AS (SELECT doc_id, $hs FROM toks GROUP BY doc_id),
+       |bands AS ($bandRows)""".stripMargin
+  }
+
+  private def simhashBits: String =
+    (0 until 16).map { p =>
+      val j = p / 4 + 1
+      val pw = 1 << (p % 4)
+      s"sum(((strpos('0123456789abcdef', substr(h, $j, 1)) - 1) // $pw) % 2 * 2 - 1) AS s$p"
+    }.mkString(", ")
+
+  def oracles: Map[String, String] = Map(
+    "q46_dedup_minhash" ->
+      s"""$minhashCte
+         |SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_bands
+         |FROM bands x JOIN bands y
+         |  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+         |GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin,
+
+    "q47_dedup_simhash" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
+         |fps AS (
+         |  SELECT doc_id, ${(0 until 16).map(p => s"CASE WHEN s$p > 0 THEN '1' ELSE '0' END").mkString(" || ")} AS fp
+         |  FROM (SELECT doc_id, $simhashBits FROM t GROUP BY doc_id)),
+         |buckets AS (SELECT fp, count(*) AS bucket_size FROM fps GROUP BY fp)
+         |SELECT doc_id, fps.fp, bucket_size FROM fps JOIN buckets ON fps.fp = buckets.fp
+         |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.{OpModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM data pipelines (SURVEY.md §2B
+  * q48–q51): trigram language-ID heuristic, quality scoring, token
+  * counting, shingle fingerprinting.
+  *
+  * All four are pure per-row projections + one keyed aggregation — they
+  * scan the corpus once, stay inside whole-stage codegen, and shuffle
+  * only the (small) aggregated key space, so they scale linearly with
+  * corpus size.
+  */
+object TextExtOps extends OpModule {
+
+  /** Occurrences of a trigram in text via the length-difference trick —
+    * portable to any SQL engine. */
+  private def occ(tg: String): Column =
+    (length(col("text")) - length(regexp_replace(col("text"), tg, ""))) / lit(3)
+
+  private val langTrigrams: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "ein", "sch"),
+    "en" -> Seq("the", "and", "ing"),
+    "es" -> Seq("que", "los", "nte"),
+    "fr" -> Seq("les", "ent", "our"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Trigram-vote language ID; argmax with fixed priority order, then
+    // confusion matrix against the labeled lang column.
+    "q48_lang_id" -> { (s, d) =>
+      val scored = langTrigrams.foldLeft(Tables(s, d, "documents")) {
+        case (df, (lg, tgs)) =>
+          df.withColumn(s"s_$lg", tgs.map(occ).reduce(_ + _))
+      }
+      val langs = langTrigrams.map(_._1)
+      val pred = langs.init.foldRight(lit(langs.last): Column) { (lg, els) =>
+        val ge = langs.filter(_ != lg)
+          .map(o => col(s"s_$lg") >= col(s"s_$o")).reduce(_ && _)
+        when(ge, lit(lg)).otherwise(els)
+      }
+      scored.withColumn("pred", pred)
+        .groupBy("lang", "pred").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang", "pred")
+    },
+
+    // Composite quality score: length saturation + stopword ratio +
+    // alphabetic-character ratio (identical arithmetic both engines).
+    "q49_quality_score" -> { (s, d) =>
+      val toks = split(col("text"), " ")
+      val stop = size(filter(toks, t => t.isin("a", "the", "of", "and", "in")))
+        .cast("double") / size(toks)
+      val alpha = length(regexp_replace(col("text"), "[^a-z]", ""))
+        .cast("double") / length(col("text"))
+      val lenScore = least(lit(1.0), col("n_chars").cast("double") / 400)
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+                round(lenScore * 0.4 + stop * 0.3 + alpha * 0.3, 6).as("score"))
+        .orderBy("doc_id")
+    },
+
+    // Whitespace vs regex ("BPE-ish" alpha-run) token counts by lang.
+    "q50_token_count" -> { (s, d) =>
+      Tables(s, d, "documents")
+        .select(col("lang"), col("n_chars"),
+                size(split(col("text"), " ")).cast("long").as("ws"),
+                expr("size(regexp_extract_all(text, '[a-z]+', 0))")
+                  .cast("long").as("re"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("docs"),
+             sum(col("ws")).as("ws_tokens"),
+             sum(col("re")).as("re_tokens"),
+             round(sum(col("n_chars")).cast("double") / sum(col("ws")), 6)
+               .as("chars_per_token"))
+        .orderBy("lang")
+    },
+
+    // Document fingerprint: min-hash over 3-token shingles (rolling
+    // content signature) + shingle cardinality.
+    "q51_fingerprint" -> { (s, d) =>
+      val sh = Tables(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("sh", explode(expr(
+          """CASE WHEN size(toks) >= 3
+            |  THEN transform(sequence(1, size(toks) - 2),
+            |                 i -> concat_ws(' ', slice(toks, i, 3)))
+            |  ELSE array(text) END""".stripMargin)))
+      sh.groupBy("doc_id")
+        .agg(min(md5(col("sh"))).as("fp"),
+             count(lit(1)).as("n_shingles"),
+             countDistinct(col("sh")).as("n_distinct"))
+        .orderBy("doc_id")
+    }
+  )
+
+  def oracles: Map[String, String] = {
+    val occSql = (tg: String) => s"(len(text) - len(regexp_replace(text, '$tg', '', 'g'))) / 3"
+    val scores = langTrigrams.map { case (lg, tgs) =>
+      s"${tgs.map(occSql).mkString(" + ")} AS s_$lg"
+    }.mkString(", ")
+    val langs = langTrigrams.map(_._1)
+    val predSql = langs.init.foldRight(s"'${langs.last}'") { (lg, els) =>
+      val ge = langs.filter(_ != lg).map(o => s"s_$lg >= s_$o").mkString(" AND ")
+      s"CASE WHEN $ge THEN '$lg' ELSE $els END"
+    }
+    Map(
+      "q48_lang_id" ->
+        s"""SELECT lang, $predSql AS pred, count(*) AS cnt
+           |FROM (SELECT lang, $scores FROM documents)
+           |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin,
+
+      "q49_quality_score" ->
+        """SELECT doc_id,
+          |  round(least(1.0, CAST(n_chars AS DOUBLE) / 400) * 0.4 +
+          |        CAST(len(list_filter(string_split(text, ' '),
+          |                             t -> t IN ('a','the','of','and','in'))) AS DOUBLE) /
+          |          len(string_split(text, ' ')) * 0.3 +
+          |        CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) /
+          |          len(text) * 0.3, 6) AS score
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q50_token_count" ->
+        """SELECT lang, count(*) AS docs,
+          |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+          |  CAST(sum(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS re_tokens,
+          |  round(CAST(sum(n_chars) AS DOUBLE) / sum(len(string_split(text, ' '))), 6)
+          |    AS chars_per_token
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "q51_fingerprint" ->
+        """WITH sh AS (
+          |  SELECT doc_id, unnest(
+          |    CASE WHEN len(toks) >= 3
+          |      THEN list_transform(range(1, len(toks) - 1),
+          |                          i -> array_to_string(toks[i:i+2], ' '))
+          |      ELSE [text] END) AS sh
+          |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents))
+          |SELECT doc_id, min(md5(sh)) AS fp, count(*) AS n_shingles,
+          |  count(DISTINCT sh) AS n_distinct
+          |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    )
+  }
+}
