@@ -49,4 +49,12 @@ object Det {
   /** Order-insensitive average: exact decimal sum / count, rounded. */
   def decAvg(c: Column, scale: Int = 6): Column =
     round(sum(dec(c)).cast("double") / count(lit(1)), scale)
+
+  /** Scalar round-half-away-from-zero at 4 dp — the semantics shared by
+    * Spark's `round` (HALF_UP) and DuckDB's `round` on doubles; used in
+    * JVM-side hot loops where BigDecimal would dominate the cost. */
+  def round4(x: Double): Double = {
+    val y = x * 10000.0
+    (if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)) / 10000.0
+  }
 }

@@ -45,7 +45,8 @@ abstract class MisterJob[T, M, O] extends Serializable {
 class WordCountJob extends MisterJob[String, Map[String, Long], Map[String, Long]] {
   def map(rows: Iterator[String]): Map[String, Long] = {
     val m = scala.collection.mutable.HashMap.empty[String, Long]
-    rows.foreach(_.split(" ").foreach(t => m.update(t, m.getOrElse(t, 0L) + 1L)))
+    // limit -1 keeps trailing empty tokens — Spark SQL split() semantics
+    rows.foreach(_.split(" ", -1).foreach(t => m.update(t, m.getOrElse(t, 0L) + 1L)))
     m.toMap
   }
   def reduce(output: Map[String, Long], value: Map[String, Long]): Map[String, Long] =

@@ -71,14 +71,9 @@ object LlmOps extends OpModule {
         math.sqrt(nn)
       }
       val bc = s.sparkContext.broadcast((ids, vecs, norms))
-      // Round half-away-from-zero at 4 dp — the shared Spark/DuckDB
-      // semantics — BEFORE pruning: the local top-k must use the final
-      // ordering key (rounded sim, a, b) or the merge could drop an
-      // oracle-chosen tie.
-      def r4(x: Double): Double = {
-        val y = x * 10000.0
-        (if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)) / 10000.0
-      }
+      // Round (Det.round4) BEFORE pruning: the local top-k must use the
+      // final ordering key (rounded sim, a, b) or the merge could drop
+      // an oracle-chosen tie.
       val partTop = em.mapPartitions { it =>
         val (bids, bvecs, bnorms) = bc.value
         // max-heap on "badness" (-sim, a, b); head = worst kept element
@@ -95,7 +90,7 @@ object LlmOps extends OpModule {
               val vb = bvecs(i)
               var dot = 0.0; var j = 0
               while (j < va.length) { dot += va(j) * vb(j); j += 1 }
-              val cand = (r4(dot / (na * bnorms(i))), ida, bids(i))
+              val cand = (graft.Det.round4(dot / (na * bnorms(i))), ida, bids(i))
               if (pq.size < k) pq.enqueue(cand)
               else if (ord.lt(cand, pq.head)) { pq.dequeue(); pq.enqueue(cand) }
             }

@@ -66,13 +66,14 @@ object TimeWindowOps extends OpModule {
         |  FROM events)
         |GROUP BY win_start ORDER BY win_start""".stripMargin,
 
-    // Gap-islands sessionization; a gap of exactly 30 min starts a NEW
-    // session (Spark session windows are half-open [start, last+gap)).
+    // Gap-islands sessionization; Spark merges an event into the session
+    // when its gap to the previous event is <= 30 min INCLUSIVE (verified
+    // in CorrectnessSpec), so only a strictly greater gap opens a session.
     "q38_win_session" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
         |         THEN 1 ELSE 0 END AS new_sess
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

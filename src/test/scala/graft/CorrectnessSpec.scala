@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Hand-computed expectations at sf0.001 (SURVEY.md §5.2 item 2) —
+  * independent Scala-collections recomputation, not the SQL oracle. */
+class CorrectnessSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q31 wordcount matches in-memory recomputation") {
+    val texts = Tables(spark, sf, "documents").select("text").as[String].collect()
+    val counts = texts.flatMap(_.split(" "))
+      .groupBy(identity).map { case (t, a) => (t, a.length.toLong) }
+    val expected = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(20)
+    val got = q("q31_wordcount").as[(String, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("q55 MR-API wordcount agrees with the declarative q31") {
+    assert(q("q55_mr_wordcount").as[(String, Long)].collect().toSeq ==
+           q("q31_wordcount").as[(String, Long)].collect().toSeq)
+  }
+
+  test("q11 cross join is exactly |region| x |nation|") {
+    assert(q("q11_join_cross").count() == 5L * 25L)
+  }
+
+  test("q09 semi + q10 anti partition the customer table") {
+    assert(q("q09_join_semi").count() + q("q10_join_anti").count() ==
+           Tables(spark, sf, "customer").count())
+  }
+
+  test("q17 rollup grand-total row equals whole-table aggregate") {
+    val all = q("q17_agg_rollup")
+      .where(col("returnflag") === "ALL" && col("linestatus") === "ALL")
+      .collect()
+    assert(all.length == 1)
+    val qty = Tables(spark, sf, "lineitem").select("l_quantity").as[Double]
+      .collect().map(BigDecimal(_)).sum
+    assert(BigDecimal(all.head.getDecimal(2)) == qty.setScale(4))
+    assert(all.head.getLong(3) == 6000L)
+  }
+
+  test("q41 exact dedup: corpus has no duplicate texts") {
+    val r = q("q41_dedup_exact").collect().head
+    assert(r.getLong(0) == 500L)   // distinct_docs
+    assert(r.getLong(1) == 0L)     // dup_groups
+    assert(r.getLong(2) == 0L)     // dropped
+  }
+
+  test("q22 per-customer top-3 invariants") {
+    val rows = q("q22_win_rank")
+      .select("o_custkey", "rn", "rk", "drk").as[(Long, Long, Long, Long)]
+      .collect()
+    assert(rows.groupBy(_._1).values.forall(_.length <= 3))
+    assert(rows.forall { case (_, rn, rk, drk) =>
+      rn >= 1 && rn <= 3 && rk <= rn && drk <= rk })
+  }
+
+  test("q28 global top-k is descending and tie-broken") {
+    val prices = q("q28_topk").select("l_extendedprice").as[Double].collect()
+    assert(prices.length == 10)
+    assert(prices.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("q43 pairwise sims are valid cosines, sorted desc") {
+    val sims = q("q43_sim_topk").select("sim").as[Double].collect()
+    assert(sims.length == 20)
+    assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
+    assert(sims.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("session_window: 30-min gap merges (inclusive); >30 min splits") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val df = Seq((1L, at(0)), (1L, at(10)), (1L, at(40)), (1L, at(71)))
+      .toDF("user_id", "ts")
+    val sessions = df
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select("cnt").as[Long].collect().sorted.toSeq
+    // 0,10,40 merge (gaps of exactly 30 are inclusive); 71 splits (31 > 30)
+    assert(sessions == Seq(1L, 3L))
+  }
+
+  test("GeoMeanAgg computes the geometric mean") {
+    val geo = udaf(functions.GeoMeanAgg)
+    val got = Seq(2.0, 8.0).toDF("x")
+      .agg(geo(col("x"))).as[Double].collect().head
+    assert(math.abs(got - 4.0) < 1e-12)
+  }
+
+  test("q21 approx distinct within 5% of exact (SURVEY §2B tolerance)") {
+    val r = q("q21_agg_approx").collect().head
+    val (approx, exact) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact) <= 0.05 * exact)
+  }
+
+  test("MediaStub decode is deterministic and tracks payload bytes") {
+    val (n, thumb, roll) = operators.MultimodalExtOps.MediaStub.decode("ab".getBytes("UTF-8"))
+    assert(n == 2)
+    assert(thumb == 'a'.toInt + 'b'.toInt)
+    assert(roll == 'a'.toInt * 31 + 'b'.toInt)
+  }
+
+  test("MisterJob word count over a typed Dataset") {
+    val out = new mr.WordCountJob().run(Seq("a b", "b c").toDS(), 2)
+    assert(out == Map("a" -> 1L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("q46 minhash candidates are supported by real prefix near-dups") {
+    // Every q42 high-Jaccard pair should be recovered by LSH banding.
+    val lsh = q("q46_dedup_minhash").select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    val jac = q("q42_dedup_near").select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    val recall = if (jac.isEmpty) 1.0
+                 else jac.count(lsh.contains).toDouble / jac.size
+    assert(recall >= 0.9, s"LSH recall $recall of ${jac.size} true pairs")
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+/** Plan-shape guards for the SURVEY.md §4 claims: pushdown fires, hints
+  * are honored, top-k avoids a full sort, aggregation is two-phase. */
+class PlanShapeSpec extends SparkSpecBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02: filter and projection reach the parquet scan") {
+    val p = plan("q02_scan_pruned")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("l_shipdate"), p)
+    // column pruning: quantity/price columns never read
+    assert(!p.contains("l_quantity"), "scan reads pruned column l_quantity")
+  }
+
+  test("q06: broadcast hint yields a BroadcastHashJoin") {
+    assert(plan("q06_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q05: dimension joins broadcast, no cartesian anywhere") {
+    val p = plan("q05_join_inner4")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q28: global top-k uses TakeOrderedAndProject, not a full sort") {
+    assert(plan("q28_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q14: aggregation is two-phase (partial + final HashAggregate)") {
+    val p = plan("q14_agg_hash")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q09/q10: semi and anti joins plan as joins, not subquery loops") {
+    assert(plan("q09_join_semi").contains("LeftSemi"))
+    assert(plan("q10_join_anti").contains("LeftAnti"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based invariants (SURVEY.md §5.2 item 3), via plain
+  * ScalaCheck (no scalatest bridge in the dependency set). JVM-side
+  * properties run at full volume; Spark-backed ones use a reduced case
+  * count (each case is a full job). */
+class PropertySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def check(p: Prop, n: Int = 100): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("Det.round4 matches BigDecimal HALF_UP") {
+    check(Prop.forAll(Gen.choose(-1.0, 1.0)) { x =>
+      Det.round4(x) ==
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    })
+  }
+
+  test("GeoMeanAgg merge is associative and commutative on buffers") {
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.choose(0.1, 1000.0))) { xs =>
+      val a = xs.foldLeft(functions.GeoMeanAgg.zero)(functions.GeoMeanAgg.reduce)
+      val (l, r) = xs.splitAt(xs.length / 2)
+      val lb = l.foldLeft(functions.GeoMeanAgg.zero)(functions.GeoMeanAgg.reduce)
+      val rb = r.foldLeft(functions.GeoMeanAgg.zero)(functions.GeoMeanAgg.reduce)
+      val merged = functions.GeoMeanAgg.merge(rb, lb)
+      merged._2 == a._2 &&
+        math.abs(merged._1 - a._1) <= 1e-9 * math.max(1.0, math.abs(a._1))
+    })
+  }
+
+  test("WordCountJob reduce: any partitioning yields the same totals") {
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.alphaLowerStr.map(_.take(3))),
+                      Gen.choose(1, 5)) { (words, nChunks) =>
+      val job = new mr.WordCountJob()
+      val whole = job.map(Iterator(words.mkString(" ")))
+      val chunks = words.grouped(math.max(1, words.length / nChunks + 1))
+        .map(c => job.map(Iterator(c.mkString(" ")))).toList
+      chunks.foldLeft(job.zero)(job.reduce) == whole
+    })
+  }
+
+  test("groupBy sums partition the grand total (5 Spark cases)") {
+    check(Prop.forAll(
+      Gen.listOfN(30, Gen.zip(Gen.choose(0, 4), Gen.choose(-100L, 100L)))) {
+      pairs =>
+        pairs.isEmpty || {
+          val df = pairs.toDF("k", "v")
+          val total = df.agg(org.apache.spark.sql.functions.sum("v"))
+            .as[Long].collect().head
+          val parts = df.groupBy("k")
+            .agg(org.apache.spark.sql.functions.sum("v").as("s"))
+            .select("s").as[Long].collect().sum
+          parts == total
+        }
+    }, n = 5)
+  }
+
+  test("sha2-dedup is idempotent (5 Spark cases)") {
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.alphaNumStr.map(_.take(8)))) {
+      texts =>
+        import org.apache.spark.sql.functions._
+        val df = texts.toDF("text")
+        val once = df.groupBy(sha2(col("text"), 256))
+          .agg(count(lit(1)))
+        once.count() == texts.distinct.length.toLong
+    }, n = 5)
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Structured Streaming semantics (SURVEY.md §2B stream_demo ◐ part):
+  * watermark drops late rows in append mode across micro-batches. */
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("stream_demo query matches the equivalent batch aggregation") {
+    val streamed = SparkEntry.queries("stream_demo")(spark, sf)
+    val batch = Tables(spark, sf, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("cnt"))
+      .orderBy("hour_start", "event_type")
+    assert(streamed.collect().toSeq == batch.collect().toSeq)
+  }
+
+  test("watermark drops late rows across micro-batches (append mode)") {
+    val dir = Files.createTempDirectory("graft_stream_late")
+    val in = dir.resolve("in"); Files.createDirectory(in)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def writeBatch(file: String, rows: Seq[(java.sql.Timestamp, Long)]): Unit =
+      rows.toDF("ts", "user_id").coalesce(1).write.mode("append")
+        .parquet(in.toString)
+
+    // Batch 1: three rows in the 10:00 window, one at 12:00 that pushes
+    // the watermark to 11:50 and finalizes the 10:00 window.
+    writeBatch("b1", Seq(
+      (ts("2024-01-01 10:00:10"), 1L),
+      (ts("2024-01-01 10:03:00"), 1L),
+      (ts("2024-01-01 10:07:00"), 2L),
+      (ts("2024-01-01 12:00:00"), 3L)))
+
+    val schema = spark.read.parquet(in.toString).schema
+    val q = spark.readStream.schema(schema).parquet(in.toString)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("w"), col("cnt"))
+      .writeStream.format("memory").queryName("graft_late_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val after1 = spark.table("graft_late_test")
+        .as[(java.sql.Timestamp, Long)].collect().toMap
+      assert(after1(ts("2024-01-01 10:00:00")) == 3L,
+             s"10:00 window should have been finalized with 3 rows: $after1")
+
+      // Batch 2: a LATE row for the closed 10:00 window (dropped) and a
+      // 12:30 row that later finalizes the 12:00 window.
+      writeBatch("b2", Seq(
+        (ts("2024-01-01 10:04:00"), 9L),   // late: watermark is 11:50
+        (ts("2024-01-01 12:30:00"), 3L)))
+      q.processAllAvailable()
+      val after2 = spark.table("graft_late_test")
+        .as[(java.sql.Timestamp, Long)].collect()
+      val tenOClock = after2.filter(_._1 == ts("2024-01-01 10:00:00"))
+      assert(tenOClock.map(_._2).toSeq == Seq(3L),
+             s"late row must not reopen or re-emit the 10:00 window: ${after2.toSeq}")
+    } finally q.stop()
+  }
+}
