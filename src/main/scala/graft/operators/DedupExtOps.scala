@@ -34,13 +34,12 @@ object DedupExtOps extends OpModule {
       // so unigram token sets barely discriminate documents; the
       // shingle space is |vocab|³ and recovers real near-dup structure.
       val toks = Tables(s, d, "documents")
-        .withColumn("t", split(col("text"), " "))
-        .withColumn("sh", explode(expr(
-          """CASE WHEN size(t) >= 3
-            |  THEN array_distinct(transform(sequence(1, size(t) - 2),
-            |                      i -> concat_ws(' ', slice(t, i, 3))))
-            |  ELSE array(text) END""".stripMargin)))
+        .select(col("doc_id"),
+                org.apache.spark.sql.graft.GraftFunctions
+                  .ngrams(split(col("text"), " "), 3).as("sh"))
         .select(col("doc_id"), md5(col("sh")).as("m"))
+      // no per-doc distinct: min() over a multiset equals min() over its
+      // set, so deduplicating shingles first would only add a shuffle
       val sigs = toks.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
       // LSH banding: docs sharing any band signature become candidates.
       val bands = sigs.select(col("doc_id"), explode(array(
@@ -85,10 +84,8 @@ object DedupExtOps extends OpModule {
       .mkString(" UNION ALL ")
     s"""WITH toks AS (
        |  SELECT doc_id, md5(unnest(
-       |    CASE WHEN len(t) >= 3
-       |      THEN list_distinct(list_transform(range(1, len(t) - 1),
-       |                         i -> array_to_string(t[i:i+2], ' ')))
-       |      ELSE [text] END)) AS m
+       |    list_transform(range(1, len(t) - 1),
+       |                   i -> array_to_string(t[i:i+2], ' ')))) AS m
        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)),
        |sigs AS (SELECT doc_id, $hs FROM toks GROUP BY doc_id),
        |bands AS ($bandRows)""".stripMargin

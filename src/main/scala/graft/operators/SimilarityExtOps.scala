@@ -49,14 +49,13 @@ object SimilarityExtOps extends OpModule {
       val q = em.where(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>").as("qv"))
       val v = col("embedding").cast("array<double>")
-      def dot(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+      // native codegen'd expression (same arithmetic as the HOF and
+      // block-scan formulations — see VectorExpressions)
       em.where(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .select(col("vec_id"),
-                round(dot(v, col("qv")) /
-                      (sqrt(dot(v, v)) * sqrt(dot(col("qv"), col("qv")))), 4)
-                  .as("sim"))
+                round(org.apache.spark.sql.graft.GraftFunctions
+                        .cosineSimilarity(v, col("qv")), 4).as("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(10)
     }

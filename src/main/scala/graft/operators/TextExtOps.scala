@@ -80,12 +80,9 @@ object TextExtOps extends OpModule {
     // content signature) + shingle cardinality.
     "q51_fingerprint" -> { (s, d) =>
       val sh = Tables(s, d, "documents")
-        .withColumn("toks", split(col("text"), " "))
-        .withColumn("sh", explode(expr(
-          """CASE WHEN size(toks) >= 3
-            |  THEN transform(sequence(1, size(toks) - 2),
-            |                 i -> concat_ws(' ', slice(toks, i, 3)))
-            |  ELSE array(text) END""".stripMargin)))
+        .select(col("doc_id"),
+                org.apache.spark.sql.graft.GraftFunctions
+                  .ngrams(split(col("text"), " "), 3).as("sh"))
       sh.groupBy("doc_id")
         .agg(min(md5(col("sh"))).as("fp"),
              count(lit(1)).as("n_shingles"),
@@ -131,10 +128,8 @@ object TextExtOps extends OpModule {
       "q51_fingerprint" ->
         """WITH sh AS (
           |  SELECT doc_id, unnest(
-          |    CASE WHEN len(toks) >= 3
-          |      THEN list_transform(range(1, len(toks) - 1),
-          |                          i -> array_to_string(toks[i:i+2], ' '))
-          |      ELSE [text] END) AS sh
+          |    list_transform(range(1, len(toks) - 1),
+          |                   i -> array_to_string(toks[i:i+2], ' '))) AS sh
           |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents))
           |SELECT doc_id, min(md5(sh)) AS fp, count(*) AS n_shingles,
           |  count(DISTINCT sh) AS n_distinct

@@ -111,6 +111,57 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(out == Map("a" -> 1L, "b" -> 2L, "c" -> 1L))
   }
 
+  test("CosineSimilarity expression agrees with the HOF formulation") {
+    val em = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(50)
+    val pairs = em.as("a").crossJoin(em.as("b"))
+      .where(col("a.vec_id") < col("b.vec_id"))
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
+    val hof = pairs.select(
+      (dot(col("a.v"), col("b.v")) /
+        (sqrt(dot(col("a.v"), col("a.v"))) * sqrt(dot(col("b.v"), col("b.v")))))
+        .as("sim")).as[Double].collect()
+    val native = pairs.select(
+      org.apache.spark.sql.graft.GraftFunctions
+        .cosineSimilarity(col("a.v"), col("b.v")).as("sim"))
+      .as[Double].collect()
+    assert(hof.length == native.length)
+    hof.zip(native).foreach { case (h, n) => assert(h == n) } // bit-equal
+  }
+
+  test("CosineSimilarity of a vector with itself is 1") {
+    val em = Tables(spark, sf, "embeddings")
+      .select(col("embedding").cast("array<double>").as("v")).limit(20)
+    em.select(org.apache.spark.sql.graft.GraftFunctions
+        .cosineSimilarity(col("v"), col("v")).as("s"))
+      .as[Double].collect()
+      .foreach(s => assert(math.abs(s - 1.0) < 1e-12))
+  }
+
+  test("NGrams generator matches the transform/sequence formulation") {
+    val docs = Tables(spark, sf, "documents").limit(100)
+    val viaGen = docs.select(col("doc_id"),
+        org.apache.spark.sql.graft.GraftFunctions
+          .ngrams(split(col("text"), " "), 3).as("sh"))
+      .as[(Long, String)].collect().toSeq.sorted
+    val viaSql = docs.withColumn("t", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', slice(t, i, 3)))"))
+        .as("sh"))
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(viaGen == viaSql)
+  }
+
+  test("NGrams emits nothing for too-short token arrays") {
+    val df = Seq("a b", "x", "p q r").toDF("text")
+    val out = df.select(org.apache.spark.sql.graft.GraftFunctions
+        .ngrams(split(col("text"), " "), 3).as("sh"))
+      .as[String].collect().toSeq
+    assert(out == Seq("p q r"))
+  }
+
   test("q46 minhash candidates are supported by real prefix near-dups") {
     // Every q42 high-Jaccard pair should be recovered by LSH banding.
     val lsh = q("q46_dedup_minhash").select("id_a", "id_b")

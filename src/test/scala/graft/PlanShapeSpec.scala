@@ -34,6 +34,19 @@ class PlanShapeSpec extends SparkSpecBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q53: native cosine expression runs inside whole-stage codegen") {
+    val df = SparkEntry.queries("q53_ann_query")(spark, sf)
+    df.collect() // finalize the AQE plan so codegen wrapping is visible
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n) Project [...cosine_similarity...]" = the project evaluating the
+    // expression is inside a WholeStageCodegen stage
+    assert("""\*\(\d+\) Project \[[^\n]*cosine_similarity""".r
+             .findFirstIn(p).isDefined, p)
+    // the expression itself must not be a CodegenFallback
+    assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
+      .isAssignableFrom(classOf[org.apache.spark.sql.graft.CosineSimilarity]))
+  }
+
   test("q09/q10: semi and anti joins plan as joins, not subquery loops") {
     assert(plan("q09_join_semi").contains("LeftSemi"))
     assert(plan("q10_join_anti").contains("LeftAnti"))
