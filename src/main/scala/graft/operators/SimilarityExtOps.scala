@@ -28,17 +28,21 @@ object SimilarityExtOps extends OpModule {
   private def planeVal(p: Int): Column => Column = d =>
     ((d + lit(p * 64)) * lit(2654435761L) % 1000).cast("double") / 1000 - 0.5
 
+  /** 8-bit sign signature of the embedding column vs the LCG planes. */
+  private def sigColumn: Column = {
+    val v = col("embedding").cast("array<double>")
+    concat((0 until Planes).map { p =>
+      val dot = aggregate(
+        zip_with(v, transform(sequence(lit(0), lit(63)), planeVal(p)), _ * _),
+        lit(0.0), _ + _)
+      when(dot > 0, "1").otherwise("0")
+    }: _*)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_lsh_buckets" -> { (s, d) =>
-      val v = col("embedding").cast("array<double>")
-      val sig = concat((0 until Planes).map { p =>
-        val dot = aggregate(
-          zip_with(v, transform(sequence(lit(0), lit(63)), planeVal(p)), _ * _),
-          lit(0.0), _ + _)
-        when(dot > 0, "1").otherwise("0")
-      }: _*)
       Tables(s, d, "embeddings")
-        .select(col("vec_id"), sig.as("sig"))
+        .select(col("vec_id"), sigColumn.as("sig"))
         .groupBy("sig")
         .agg(count(lit(1)).as("cnt"), min("vec_id").as("min_vec"))
         .orderBy("sig")
@@ -58,6 +62,25 @@ object SimilarityExtOps extends OpModule {
                         .cosineSimilarity(v, col("qv")), 4).as("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(10)
+    },
+
+    // Embedding-based near-dup detection, composed from the scale-path
+    // pieces: LSH bucket candidates (q52's signature) -> exact cosine
+    // verification (q43's native kernel) -> threshold. Cost is
+    // O(Σ bucket²), never all-pairs.
+    "q56_dedup_embedding" -> { (s, d) =>
+      val base = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+                sigColumn.as("sig"))
+      val x = base.select(col("sig"), col("vec_id").as("a"), col("v").as("va"))
+      val y = base.select(col("sig"), col("vec_id").as("b"), col("v").as("vb"))
+      x.join(y, Seq("sig"))
+        .where(col("a") < col("b"))
+        .select(col("a"), col("b"),
+                round(org.apache.spark.sql.graft.GraftFunctions
+                        .cosineSimilarity(col("va"), col("vb")), 4).as("sim"))
+        .where(col("sim") >= 0.4)
+        .orderBy("a", "b")
     }
   )
 
@@ -81,7 +104,17 @@ object SimilarityExtOps extends OpModule {
           |                               CAST(a.embedding AS DOUBLE[])), 4) AS sim
           |FROM embeddings b, embeddings a
           |WHERE a.vec_id = 0 AND b.vec_id <> 0
-          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+      "q56_dedup_embedding" ->
+        s"""SELECT * FROM (
+           |  SELECT x.vec_id AS a, y.vec_id AS b,
+           |    round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+           |                                 CAST(y.embedding AS DOUBLE[])), 4) AS sim
+           |  FROM (SELECT vec_id, embedding, $sigSql AS sig FROM embeddings) x
+           |  JOIN (SELECT vec_id, embedding, $sigSql AS sig FROM embeddings) y
+           |    ON x.sig = y.sig AND x.vec_id < y.vec_id)
+           |WHERE sim >= 0.4 ORDER BY a, b""".stripMargin
     )
   }
 }

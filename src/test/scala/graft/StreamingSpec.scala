@@ -18,6 +18,43 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.collect().toSeq == batch.collect().toSeq)
   }
 
+  test("mapGroupsWithState keeps per-key state across micro-batches") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val dir = Files.createTempDirectory("graft_state")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:01:00"), 1L),
+        (ts("2024-01-01 10:02:00"), 2L))
+      .toDF("ts", "user_id").coalesce(1).write.mode("append").parquet(dir.toString)
+
+    val schema = spark.read.parquet(dir.toString).schema
+    val counts = spark.readStream.schema(schema).parquet(dir.toString)
+      .as[(java.sql.Timestamp, Long)]
+      .groupByKey(_._2)
+      .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(java.sql.Timestamp, Long)],
+         state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          (user, total)
+      }.toDF("user_id", "total")
+    val q = counts.writeStream.format("memory").queryName("graft_state_test")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val after1 = spark.table("graft_state_test")
+        .as[(Long, Long)].collect().toSet
+      assert(after1 == Set((1L, 2L), (2L, 1L)), s"batch1 state: $after1")
+
+      Seq((ts("2024-01-01 10:05:00"), 1L))
+        .toDF("ts", "user_id").coalesce(1).write.mode("append").parquet(dir.toString)
+      q.processAllAvailable()
+      val after2 = spark.table("graft_state_test")
+        .as[(Long, Long)].collect().toSet
+      assert(after2.contains((1L, 3L)),
+             s"user 1 state must accumulate across batches: $after2")
+    } finally q.stop()
+  }
+
   test("watermark drops late rows across micro-batches (append mode)") {
     val dir = Files.createTempDirectory("graft_stream_late")
     val in = dir.resolve("in"); Files.createDirectory(in)
