@@ -69,8 +69,10 @@ object DedupExtOps extends OpModule {
         .select(col("doc_id"),
           concat((0 until 16).map(p =>
             when(col(s"s$p") > 0, "1").otherwise("0")): _*).as("fp"))
-      val buckets = fps.groupBy("fp").agg(count(lit(1)).as("bucket_size"))
-      fps.join(buckets, "fp")
+      // bucket size via a window on fp — one shuffle, instead of
+      // recomputing the whole fingerprint pipeline for a groupBy + join
+      fps.withColumn("bucket_size",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
         .select("doc_id", "fp", "bucket_size")
         .orderBy("doc_id")
     }
