@@ -17,6 +17,7 @@ object SparkEntry {
     functions.ScalarFnOps,
     functions.UdfOps,
     operators.LlmOps,
+    operators.AdvancedOps,
     operators.DedupExtOps,
     operators.TextExtOps,
     operators.SimilarityExtOps,

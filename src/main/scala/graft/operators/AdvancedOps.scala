@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.{Det, OpModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pivot/unpivot and the two hand-rolled scale techniques from
+  * SURVEY.md §4's 100 TB notes, demonstrated as verifiable queries:
+  *
+  *  - q59 bucketed join: both fact tables written `bucketBy(8, key)` +
+  *    `sortBy` and joined with a merge hint — co-located, co-sorted
+  *    buckets mean the SortMergeJoin needs NO shuffle exchange on
+  *    either side (asserted in PlanShapeSpec). This is the pattern that
+  *    turns a 100 TB fact-fact join from 2 full shuffles into 0.
+  *  - q60 salted join: the probe side's hot keys are split across
+  *    `SALT` deterministic sub-keys and the build side replicated per
+  *    sub-key, so one executor never owns a whole hot key. (AQE skew
+  *    join does this adaptively; explicit salting is the portable
+  *    fallback and composes with pre-aggregation.)
+  */
+object AdvancedOps extends OpModule {
+
+  private val Salt = 8
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_pivot" -> { (s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .orderBy("l_returnflag")
+    },
+
+    "q58_unpivot" -> { (s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .unpivot(Array(col("l_returnflag")), Array(col("F"), col("O")),
+                 "linestatus", "cnt")
+        .orderBy("l_returnflag", "linestatus")
+    },
+
+    "q59_bucketed_join" -> { (s, d) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+      Tables(s, d, "lineitem").select("l_orderkey", "l_quantity")
+        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$tmp/li").saveAsTable("graft_li_bucketed")
+      Tables(s, d, "orders").select("o_orderkey", "o_custkey")
+        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$tmp/or").saveAsTable("graft_or_bucketed")
+      s.table("graft_li_bucketed")
+        .join(s.table("graft_or_bucketed").hint("merge"),
+              col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("cnt"),
+             Det.decSum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_custkey")
+    },
+
+    "q60_skew_salted" -> { (s, d) =>
+      val e = Tables(s, d, "events")
+        .select(col("user_id"), pmod(col("event_id"), lit(Salt)).as("sl"))
+      val o = Tables(s, d, "orders")
+        .select(col("o_custkey"),
+                explode(array((0 until Salt).map(lit(_)): _*)).as("sr"))
+      e.join(o, col("user_id") === col("o_custkey") && col("sl") === col("sr"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("user_id")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q57_pivot" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE l_linestatus = 'F') AS F,
+        |  count(*) FILTER (WHERE l_linestatus = 'O') AS O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q58_unpivot" ->
+      """SELECT l_returnflag, l_linestatus AS linestatus, count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, linestatus""".stripMargin,
+
+    "q59_bucketed_join" ->
+      """SELECT o_custkey, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q60_skew_salted" ->
+      """SELECT user_id, count(*) AS cnt
+        |FROM events JOIN orders ON user_id = o_custkey
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

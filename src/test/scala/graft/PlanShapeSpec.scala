@@ -47,6 +47,24 @@ class PlanShapeSpec extends SparkSpecBase {
       .isAssignableFrom(classOf[org.apache.spark.sql.graft.CosineSimilarity]))
   }
 
+  test("bucketed co-located join: SortMergeJoin with zero exchanges") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bucket_test").toString
+    Tables(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$tmp/li").saveAsTable("graft_li_ptest")
+    Tables(spark, sf, "orders").select("o_orderkey", "o_custkey")
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$tmp/or").saveAsTable("graft_or_ptest")
+    val j = spark.table("graft_li_ptest")
+      .join(spark.table("graft_or_ptest").hint("merge"),
+            col("l_orderkey") === col("o_orderkey"))
+    j.collect()
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
+  }
+
   test("q09/q10: semi and anti joins plan as joins, not subquery loops") {
     assert(plan("q09_join_semi").contains("LeftSemi"))
     assert(plan("q10_join_anti").contains("LeftAnti"))
