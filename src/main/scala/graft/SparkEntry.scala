@@ -18,6 +18,7 @@ object SparkEntry {
     functions.UdfOps,
     operators.LlmOps,
     operators.AdvancedOps,
+    operators.TypedOps,
     operators.DedupExtOps,
     operators.TextExtOps,
     operators.SimilarityExtOps,
