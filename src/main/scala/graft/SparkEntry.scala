@@ -24,6 +24,7 @@ object SparkEntry {
     operators.SimilarityExtOps,
     operators.MultimodalExtOps,
     sources.SourceOps,
+    sources.PartitionedOps,
     streaming.StreamOps,
     mr.MisterOps
   )

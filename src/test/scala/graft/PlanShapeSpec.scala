@@ -65,6 +65,17 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
   }
 
+  test("q62: literal partition predicate prunes at the scan") {
+    val p = plan("q62_partition_pruning")
+    assert(p.contains("PartitionFilters"), p)
+    assert("""PartitionFilters: \[[^\]]*event_type""".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("q63: join-derived partition predicate uses dynamic pruning") {
+    val p = plan("q63_dynamic_pruning").toLowerCase
+    assert(p.contains("dynamicpruning"), p)
+  }
+
   test("q09/q10: semi and anti joins plan as joins, not subquery loops") {
     assert(plan("q09_join_semi").contains("LeftSemi"))
     assert(plan("q10_join_anti").contains("LeftAnti"))
