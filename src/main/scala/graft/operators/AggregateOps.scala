@@ -109,6 +109,22 @@ object AggregateOps extends OpModule {
       Tables(s, d, "lineitem").agg(
         approx_count_distinct(col("l_partkey")).as("approx_nd"),
         countDistinct(col("l_partkey")).as("exact_nd"))
+    },
+
+    // Ordered/conditional aggregates: exact interpolated percentiles,
+    // arg-max/arg-min, conditional count. max_by/min_by are
+    // deterministic here because o_totalprice values are continuous
+    // doubles (no ties in the generated data).
+    "q64_agg_ordered" -> { (s, d) =>
+      Tables(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"),
+          expr("count_if(o_totalprice > 300000)").as("big_orders"),
+          expr("max_by(o_orderkey, o_totalprice)").as("top_order"),
+          expr("min_by(o_orderkey, o_totalprice)").as("bottom_order"))
+        .orderBy("o_orderpriority")
     }
   )
 
@@ -173,6 +189,15 @@ object AggregateOps extends OpModule {
     "q20_agg_collect" ->
       """SELECT n_name, list_sort(list(s_name)) AS suppliers
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        |GROUP BY n_name ORDER BY n_name""".stripMargin
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q64_agg_ordered" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+        |  count(*) FILTER (WHERE o_totalprice > 300000) AS big_orders,
+        |  arg_max(o_orderkey, o_totalprice) AS top_order,
+        |  arg_min(o_orderkey, o_totalprice) AS bottom_order
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }
