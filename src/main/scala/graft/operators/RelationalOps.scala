@@ -136,6 +136,23 @@ object RelationalOps extends OpModule {
         .orderBy("s_suppkey", "c_custkey")
     },
 
+    "q65_join_right" -> { (s, d) =>
+      val o = Tables(s, d, "orders")
+      val c = Tables(s, d, "customer")
+      o.join(c, col("o_custkey") === col("c_custkey"), "right")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("order_cnt"))
+        .orderBy("c_custkey")
+    },
+
+    "q66_limit_offset" -> { (s, d) =>
+      Tables(s, d, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .offset(10)
+        .limit(20)
+    },
+
     "q13_join_asof" -> { (s, d) =>
       val e = Tables(s, d, "events")
       val purchases = e.where(col("event_type") === "purchase")
@@ -226,6 +243,16 @@ object RelationalOps extends OpModule {
         |FROM supplier JOIN customer
         |  ON s_nationkey = c_nationkey AND abs(s_acctbal - c_acctbal) < 100
         |ORDER BY s_suppkey, c_custkey""".stripMargin,
+
+    "q65_join_right" ->
+      """SELECT c_custkey, count(o_orderkey) AS order_cnt
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q66_limit_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 20 OFFSET 10""".stripMargin,
 
     "q13_join_asof" ->
       """SELECT p.event_id, p.user_id, p.ts,
