@@ -22,12 +22,24 @@ object PartitionedOps extends OpModule {
     * (once per JVM) and returns its location. */
   def partitionedEventsDir(s: SparkSession, d: String): String = synchronized {
     val key = d.replaceAll("[^a-zA-Z0-9]", "_")
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_part_events_$key"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir))) {
+    val dir = java.nio.file.Paths.get(
+      s"${sys.props("java.io.tmpdir")}/graft_part_events_$key")
+    if (!java.nio.file.Files.exists(dir)) {
+      // write to a scratch dir, then atomic-rename into place: a crashed
+      // partial write must never be mistaken for the cached copy
+      val scratch = java.nio.file.Files.createTempDirectory("graft_part_scratch")
+        .resolve("events")
       Tables(s, d, "events")
-        .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+        .write.mode("overwrite").partitionBy("event_type")
+        .parquet(scratch.toString)
+      try java.nio.file.Files.move(scratch, dir,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { // lost a cross-process race: someone else completed it
+        case _: java.nio.file.FileAlreadyExistsException =>
+        case _: java.nio.file.AccessDeniedException =>
+      }
     }
-    dir
+    dir.toString
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
