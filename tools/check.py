@@ -55,6 +55,10 @@ def main():
             n_fail += 1
             continue
         try:
+            stypes = dict(r[:2] for r in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{files[0]}')").fetchall())
+            otypes = dict(r[:2] for r in con.execute(
+                f"DESCRIBE {sql}").fetchall())
             scols, srows = rows_of(con.execute(
                 f"SELECT * FROM read_parquet('{files[0]}')"))
             ocols, orows = rows_of(con.execute(sql))
@@ -66,6 +70,10 @@ def main():
             print(f"FAIL {name}: columns {scols} vs oracle {ocols}")
             n_fail += 1
             continue
+        badtypes = {c: (stypes[c], otypes[c]) for c in scols
+                    if stypes.get(c) != otypes.get(c)}
+        if badtypes:
+            print(f"WARN {name}: type mismatches {badtypes}")
         if len(srows) != len(orows):
             print(f"FAIL {name}: rowcount {len(srows)} vs oracle {len(orows)}")
             print(f"  spark[:3]={srows[:3]}\n  oracle[:3]={orows[:3]}")
