@@ -76,6 +76,29 @@ object TextExtOps extends OpModule {
         .orderBy("lang")
     },
 
+    // Deterministic hash-based train/eval split (the production way to
+    // split a corpus: stable under reshuffles, joins, and re-runs —
+    // membership depends only on the key). ~75/25 via first md5 nibble.
+    "q67_train_split" -> { (s, d) =>
+      val split = when(
+        substring(md5(col("doc_id").cast("string")), 1, 1) <= "b", "train")
+        .otherwise("eval")
+      Tables(s, d, "documents")
+        .groupBy(split.as("split"), col("lang"))
+        .agg(count(lit(1)).as("docs"),
+             round(sum(col("n_chars")).cast("double") / count(lit(1)), 6)
+               .as("avg_chars"))
+        .orderBy("split", "lang")
+    },
+
+    // ◐ seeded Bernoulli sampling — deterministic within a Spark config
+    // but partition-layout dependent, so no cross-engine oracle.
+    "q68_sample" -> { (s, d) =>
+      Tables(s, d, "documents").sample(withReplacement = false, 0.2, seed = 42)
+        .groupBy("lang").agg(count(lit(1)).as("docs"))
+        .orderBy("lang")
+    },
+
     // Document fingerprint: min-hash over 3-token shingles (rolling
     // content signature) + shingle cardinality.
     "q51_fingerprint" -> { (s, d) =>
@@ -116,6 +139,13 @@ object TextExtOps extends OpModule {
           |        CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) /
           |          len(text) * 0.3, 6) AS score
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q67_train_split" ->
+        """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+          |            THEN 'train' ELSE 'eval' END AS split,
+          |  lang, count(*) AS docs,
+          |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+          |FROM documents GROUP BY split, lang ORDER BY split, lang""".stripMargin,
 
       "q50_token_count" ->
         """SELECT lang, count(*) AS docs,
