@@ -87,6 +87,16 @@ object ScalarFnOps extends OpModule {
         .orderBy("vec_id")
     },
 
+    // Positional generator: posexplode over tokenized part names.
+    // Oracle relies on DuckDB zipping parallel unnests positionally.
+    "q69_fn_posexplode" -> { (s, d) =>
+      Tables(s, d, "part")
+        .select(col("p_partkey"),
+                posexplode(split(col("p_name"), " ")).as(Seq("pos", "tok")))
+        .select(col("p_partkey"), col("pos").cast("long").as("pos"), col("tok"))
+        .orderBy("p_partkey", "pos")
+    },
+
     "q35_fn_json_map" -> { (s, d) =>
       Tables(s, d, "events")
         .select(
@@ -155,6 +165,12 @@ object ScalarFnOps extends OpModule {
         |  list_transform(embedding[1:4], x -> round(CAST(x AS DOUBLE), 6)) AS s4,
         |  list_contains([1, 2, 3], label) AS in123
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q69_fn_posexplode" ->
+      """SELECT p_partkey,
+        |  unnest(range(0, len(string_split(p_name, ' ')))) AS pos,
+        |  unnest(string_split(p_name, ' ')) AS tok
+        |FROM part ORDER BY p_partkey, pos""".stripMargin,
 
     "q35_fn_json_map" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,

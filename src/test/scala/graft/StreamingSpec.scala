@@ -55,6 +55,55 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState: custom sessionizer closes on event-time timeout") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val dir = Files.createTempDirectory("graft_fmgws")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: user 1 has a 2-event session at 10:00; user 2's 13:00
+    // event pushes the watermark (10-min delay) far past the session's
+    // 30-min timeout
+    Seq((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:05:00"), 1L),
+        (ts("2024-01-01 13:00:00"), 2L))
+      .toDF("ts", "user_id").coalesce(1).write.mode("append").parquet(dir.toString)
+
+    val schema = spark.read.parquet(dir.toString).schema
+    def sessionize(user: Long, rows: Iterator[(java.sql.Timestamp, Long)],
+                   state: GroupState[(Long, Long, Int)]): Iterator[(Long, Long, Int)] = {
+      if (state.hasTimedOut) {
+        val (st, la, n) = state.get
+        state.remove()
+        Iterator.single((user, la - st, n)) // closed session: duration + size
+      } else {
+        val times = rows.map(_._1.getTime).toList
+        val (st, la, n) = state.getOption.getOrElse((times.min, times.max, 0))
+        val upd = (math.min(st, times.min), math.max(la, times.max), n + times.size)
+        state.update(upd)
+        state.setTimeoutTimestamp(upd._2 + 30 * 60000L)
+        Iterator.empty
+      }
+    }
+    val out = spark.readStream.schema(schema).parquet(dir.toString)
+      .withWatermark("ts", "10 minutes")
+      .as[(java.sql.Timestamp, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(sessionize)
+      .toDF("user_id", "dur_ms", "n")
+    val q = out.writeStream.format("memory").queryName("graft_fmgws_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2 advances the clock again so the timeout fires
+      Seq((ts("2024-01-01 13:05:00"), 2L))
+        .toDF("ts", "user_id").coalesce(1).write.mode("append").parquet(dir.toString)
+      q.processAllAvailable()
+      val rows = spark.table("graft_fmgws_test")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(rows.contains((1L, 300000L, 2)),
+             s"user 1's 5-minute 2-event session should have closed: $rows")
+    } finally q.stop()
+  }
+
   test("watermark drops late rows across micro-batches (append mode)") {
     val dir = Files.createTempDirectory("graft_stream_late")
     val in = dir.resolve("in"); Files.createDirectory(in)
