@@ -153,6 +153,20 @@ object RelationalOps extends OpModule {
         .limit(20)
     },
 
+    // Null semantics, exercised deliberately (the corpus itself has no
+    // nulls): nullif-generated nulls, count(*) vs count(col), coalesce,
+    // null-safe equality, explicit NULLS FIRST ordering.
+    "q70_null_semantics" -> { (s, d) =>
+      val st = expr("nullif(o_orderstatus, 'P')")
+      Tables(s, d, "orders")
+        .groupBy(st.as("st"))
+        .agg(count(lit(1)).as("cnt"), count(st).as("cnt_nonnull"))
+        .select(col("st"), coalesce(col("st"), lit("<null>")).as("label"),
+                col("cnt"), col("cnt_nonnull"),
+                (col("st") <=> lit("F")).as("is_f"))
+        .orderBy(asc_nulls_first("st"))
+    },
+
     "q13_join_asof" -> { (s, d) =>
       val e = Tables(s, d, "events")
       val purchases = e.where(col("event_type") === "purchase")
@@ -253,6 +267,12 @@ object RelationalOps extends OpModule {
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC
         |LIMIT 20 OFFSET 10""".stripMargin,
+
+    "q70_null_semantics" ->
+      """SELECT st, COALESCE(st, '<null>') AS label, count(*) AS cnt,
+        |  count(st) AS cnt_nonnull, st IS NOT DISTINCT FROM 'F' AS is_f
+        |FROM (SELECT nullif(o_orderstatus, 'P') AS st FROM orders)
+        |GROUP BY st ORDER BY st NULLS FIRST""".stripMargin,
 
     "q13_join_asof" ->
       """SELECT p.event_id, p.user_id, p.ts,
