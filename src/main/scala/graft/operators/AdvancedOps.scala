@@ -22,6 +22,32 @@ object AdvancedOps extends OpModule {
 
   private val Salt = 8
 
+  /** Writes the two bucketed tables once per (JVM, sfDir) — same caching
+    * discipline as PartitionedOps.partitionedEventsDir — under a stable
+    * per-sfDir path and sf-suffixed catalog names, so repeated
+    * Verify/Bench invocations neither rewrite ~all of lineitem nor leak
+    * a fresh /tmp dir per call. Returns (lineitemTable, ordersTable). */
+  private val bucketedCache = scala.collection.mutable.Map.empty[String, (String, String)]
+  private def bucketedTables(s: SparkSession, d: String): (String, String) =
+    synchronized {
+      bucketedCache.getOrElseUpdate(d, {
+        val key = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val base = s"${sys.props("java.io.tmpdir")}/graft_bucket_$key"
+        val (liT, orT) = (s"graft_li_bucketed_$key", s"graft_or_bucketed_$key")
+        if (!s.catalog.tableExists(liT)) {
+          Tables(s, d, "lineitem").select("l_orderkey", "l_quantity")
+            .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .option("path", s"$base/li").saveAsTable(liT)
+        }
+        if (!s.catalog.tableExists(orT)) {
+          Tables(s, d, "orders").select("o_orderkey", "o_custkey")
+            .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .option("path", s"$base/or").saveAsTable(orT)
+        }
+        (liT, orT)
+      })
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_pivot" -> { (s, d) =>
       Tables(s, d, "lineitem")
@@ -42,15 +68,9 @@ object AdvancedOps extends OpModule {
     },
 
     "q59_bucketed_join" -> { (s, d) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_bucket").toString
-      Tables(s, d, "lineitem").select("l_orderkey", "l_quantity")
-        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$tmp/li").saveAsTable("graft_li_bucketed")
-      Tables(s, d, "orders").select("o_orderkey", "o_custkey")
-        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"$tmp/or").saveAsTable("graft_or_bucketed")
-      s.table("graft_li_bucketed")
-        .join(s.table("graft_or_bucketed").hint("merge"),
+      val (liT, orT) = bucketedTables(s, d)
+      s.table(liT)
+        .join(s.table(orT).hint("merge"),
               col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_custkey")
         .agg(count(lit(1)).as("cnt"),
@@ -85,7 +105,7 @@ object AdvancedOps extends OpModule {
 
     "q59_bucketed_join" ->
       """SELECT o_custkey, count(*) AS cnt,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 

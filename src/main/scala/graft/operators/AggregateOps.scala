@@ -31,9 +31,8 @@ object AggregateOps extends OpModule {
           // scale 6: the charge term has ≤6 true decimal digits; casting
           // to DECIMAL(…,4) would hit exact-half ties that Spark/DuckDB
           // round differently per row.
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount")) *
-               (lit(1) + col("l_tax"))).cast("decimal(18,6)"))
-            .cast("decimal(18,6)").as("sum_charge"),
+          Det.decSumS(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+                      (lit(1) + col("l_tax")), 6).as("sum_charge"),
           Det.decAvg(col("l_quantity")).as("avg_qty"),
           Det.decAvg(col("l_extendedprice")).as("avg_price"),
           Det.decAvg(col("l_discount")).as("avg_disc"),
@@ -89,7 +88,7 @@ object AggregateOps extends OpModule {
         """SELECT COALESCE(c_mktsegment, 'ALL') AS seg,
           |       COALESCE(n_name, 'ALL') AS nat,
           |       count(1) AS cnt,
-          |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_bal
+          |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
           |FROM graft_q19_cn
           |GROUP BY GROUPING SETS ((c_mktsegment), (n_name))
           |ORDER BY seg, nat""".stripMargin)
@@ -100,7 +99,10 @@ object AggregateOps extends OpModule {
         .join(broadcast(Tables(s, d, "nation")),
               col("s_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
-        .agg(sort_array(collect_list(col("s_name"))).as("suppliers"))
+        // serialized to a string: downstream comparators (pandas) can't
+        // sort/hash array cells, and the join is lossless for these names
+        .agg(array_join(sort_array(collect_list(col("s_name"))), ",")
+          .as("suppliers"))
         .orderBy("n_name")
     },
 
@@ -131,10 +133,10 @@ object AggregateOps extends OpModule {
   def oracles: Map[String, String] = Map(
     "q14_agg_hash" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_qty,
         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_price,
         |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
@@ -147,7 +149,7 @@ object AggregateOps extends OpModule {
     "q15_agg_global" ->
       """SELECT min(l_extendedprice) AS min_price,
         |  max(l_extendedprice) AS max_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
         |  count(*) AS cnt,
         |  round(stddev_samp(l_quantity), 6) AS std_qty,
         |  round(var_samp(l_quantity), 6) AS var_qty,
@@ -162,7 +164,7 @@ object AggregateOps extends OpModule {
     "q17_agg_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
         |  COALESCE(l_linestatus, 'ALL') AS linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |  count(*) AS cnt
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -171,7 +173,7 @@ object AggregateOps extends OpModule {
     "q18_agg_cube" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
         |  COALESCE(l_linestatus, 'ALL') AS linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |  count(*) AS cnt
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -181,13 +183,13 @@ object AggregateOps extends OpModule {
       """SELECT COALESCE(c_mktsegment, 'ALL') AS seg,
         |  COALESCE(n_name, 'ALL') AS nat,
         |  count(1) AS cnt,
-        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_bal
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY GROUPING SETS ((c_mktsegment), (n_name))
         |ORDER BY seg, nat""".stripMargin,
 
     "q20_agg_collect" ->
-      """SELECT n_name, list_sort(list(s_name)) AS suppliers
+      """SELECT n_name, array_to_string(list_sort(list(s_name)), ',') AS suppliers
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
 

@@ -14,11 +14,12 @@ import org.apache.spark.sql.functions._
   *  - q42 near-dup uses blocking (40-char prefix) to restrict Jaccard to
   *    candidate pairs: cost O(Σ blockᵢ²), not O(n²). The 100 TB path is
   *    MinHash-LSH banding — implemented as q46 in [[DedupExtOps]].
-  *  - q43 brute-force cosine broadcasts the (small) vector side and
-  *    block-scans it per partition with primitive-array arithmetic,
-  *    keeping a per-partition top-k so only k·partitions candidate rows
-  *    shuffle to the final merge. The 100 TB path is LSH bucketing
-  *    (q52 in [[SimilarityExtOps]]).
+  *  - q43 brute-force cosine is a BroadcastNestedLoopJoin over the
+  *    (small) vector side — shipped as a Spark broadcast, never
+  *    collected to the driver — scored by the codegen'd
+  *    [[org.apache.spark.sql.graft.CosineSimilarity]] kernel, with
+  *    TakeOrderedAndProject keeping a bounded top-k per partition. The
+  *    100 TB path is LSH bucketing (q52 in [[SimilarityExtOps]]).
   */
 object LlmOps extends OpModule {
 
@@ -53,53 +54,24 @@ object LlmOps extends OpModule {
     },
 
     "q43_sim_topk" -> { (s, d) =>
-      import s.implicits._
       val k = 20
       val em = Tables(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .as[(Long, Array[Double])]
-      // Broadcast the full vector table (2 000 × 64 doubles ≈ 1 MB) with
-      // precomputed norms and block-scan per partition — broadcast-side
-      // brute force with a bounded per-partition top-k, so only
-      // k·partitions candidate rows reach the final merge.
-      val all = em.collect().sortBy(_._1)
-      val ids = all.map(_._1)
-      val vecs = all.map(_._2)
-      val norms = vecs.map { v =>
-        var nn = 0.0; var j = 0
-        while (j < v.length) { nn += v(j) * v(j); j += 1 }
-        math.sqrt(nn)
-      }
-      val bc = s.sparkContext.broadcast((ids, vecs, norms))
-      // Round (Det.round4) BEFORE pruning: the local top-k must use the
-      // final ordering key (rounded sim, a, b) or the merge could drop
-      // an oracle-chosen tie.
-      val partTop = em.mapPartitions { it =>
-        val (bids, bvecs, bnorms) = bc.value
-        // max-heap on "badness" (-sim, a, b); head = worst kept element
-        val ord = Ordering.Tuple3(Ordering.Double.TotalOrdering.reverse,
-                                  Ordering.Long, Ordering.Long)
-          .on[(Double, Long, Long)] { case (sim, a2, b2) => (sim, a2, b2) }
-        val pq = scala.collection.mutable.PriorityQueue.empty[(Double, Long, Long)](ord)
-        it.foreach { case (ida, va) =>
-          val ai = java.util.Arrays.binarySearch(bids, ida)
-          val na = bnorms(ai)
-          var i = 0
-          while (i < bids.length) {
-            if (bids(i) > ida) {
-              val vb = bvecs(i)
-              var dot = 0.0; var j = 0
-              while (j < va.length) { dot += va(j) * vb(j); j += 1 }
-              val cand = (graft.Det.round4(dot / (na * bnorms(i))), ida, bids(i))
-              if (pq.size < k) pq.enqueue(cand)
-              else if (ord.lt(cand, pq.head)) { pq.dequeue(); pq.enqueue(cand) }
-            }
-            i += 1
-          }
-        }
-        pq.iterator.map { case (sim, a2, b2) => (a2, b2, sim) }
-      }.toDF("a", "b", "sim")
-      partTop.orderBy(col("sim").desc, col("a"), col("b")).limit(k)
+      // Declarative broadcast brute force: the small side ships as a
+      // Spark broadcast (BroadcastNestedLoopJoin) — the driver never
+      // materializes the table — and the codegen'd CosineSimilarity
+      // kernel scores each pair inside whole-stage codegen. The final
+      // orderBy+limit compiles to TakeOrderedAndProject: a bounded top-k
+      // per partition, then a k·partitions-row merge on the driver. The
+      // 100 TB path (big×big) is LSH bucketing — q52/q56.
+      val probe = em.select(col("vec_id").as("a"), col("v").as("va"))
+      val build = em.select(col("vec_id").as("b"), col("v").as("vb"))
+      probe.join(broadcast(build), col("a") < col("b"))
+        .select(col("a"), col("b"),
+                round(org.apache.spark.sql.graft.GraftFunctions
+                        .cosineSimilarity(col("va"), col("vb")), 4).as("sim"))
+        .orderBy(col("sim").desc, col("a"), col("b"))
+        .limit(k)
     },
 
     "q44_text_stats" -> { (s, d) =>

@@ -52,7 +52,7 @@ object WindowOps extends OpModule {
       Tables(s, d, "orders")
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
                 sum(Det.dec(col("o_totalprice"))).over(wRun)
-                  .cast("decimal(18,4)").as("running_total"),
+                  .cast("double").as("running_total"),
                 round(sum(Det.dec(col("o_totalprice"))).over(wMov).cast("double") /
                       count(lit(1)).over(wMov), 6).as("mov_avg"))
         .orderBy("o_custkey", "o_orderkey")
@@ -65,7 +65,7 @@ object WindowOps extends OpModule {
         .withColumn("us", unix_micros(col("ts")))
         .select(col("event_id"), col("user_id"), col("ts"),
                 sum(col("value").cast("decimal(18,6)")).over(w)
-                  .cast("decimal(18,6)").as("trailing_sum"))
+                  .cast("double").as("trailing_sum"))
         .orderBy("event_id")
     },
 
@@ -103,7 +103,7 @@ object WindowOps extends OpModule {
 
     "q24_win_frame_rows" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w1 AS DECIMAL(18,4)) AS running_total,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w1 AS DOUBLE) AS running_total,
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w2 AS DOUBLE) /
         |        count(*) OVER w2, 6) AS mov_avg
         |FROM orders
@@ -119,7 +119,7 @@ object WindowOps extends OpModule {
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER
         |    (PARTITION BY user_id ORDER BY epoch_us(ts)
         |     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-        |    AS DECIMAL(18,6)) AS trailing_sum
+        |    AS DOUBLE) AS trailing_sum
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q26_win_percent" ->

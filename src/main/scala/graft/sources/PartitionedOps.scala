@@ -27,16 +27,30 @@ object PartitionedOps extends OpModule {
     if (!java.nio.file.Files.exists(dir)) {
       // write to a scratch dir, then atomic-rename into place: a crashed
       // partial write must never be mistaken for the cached copy
-      val scratch = java.nio.file.Files.createTempDirectory("graft_part_scratch")
-        .resolve("events")
-      Tables(s, d, "events")
-        .write.mode("overwrite").partitionBy("event_type")
-        .parquet(scratch.toString)
-      try java.nio.file.Files.move(scratch, dir,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { // lost a cross-process race: someone else completed it
-        case _: java.nio.file.FileAlreadyExistsException =>
-        case _: java.nio.file.AccessDeniedException =>
+      val scratchRoot = java.nio.file.Files.createTempDirectory("graft_part_scratch")
+      val scratch = scratchRoot.resolve("events")
+      try {
+        Tables(s, d, "events")
+          .write.mode("overwrite").partitionBy("event_type")
+          .parquet(scratch.toString)
+        try java.nio.file.Files.move(scratch, dir,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          // lost a cross-process race: someone else completed it. On
+          // Linux a rename onto an existing non-empty dir surfaces as
+          // DirectoryNotEmptyException (ENOTEMPTY), not
+          // FileAlreadyExistsException — accept any FileSystemException
+          // as long as the winner's copy is in place.
+          case e: java.nio.file.FileSystemException
+            if java.nio.file.Files.exists(dir) =>
+        }
+      } finally { // the scratch tree is garbage on every path post-move
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(scratchRoot)) {
+          java.nio.file.Files.walk(scratchRoot).iterator.asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
       }
     }
     dir.toString
@@ -48,7 +62,7 @@ object PartitionedOps extends OpModule {
         .where(col("event_type") === "purchase")
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("cnt"),
-             sum(col("value").cast("decimal(18,6)")).cast("decimal(18,6)")
+             sum(col("value").cast("decimal(18,6)")).cast("double")
                .as("sum_value"))
         .orderBy("user_id")
     },
@@ -80,7 +94,7 @@ object PartitionedOps extends OpModule {
   def oracles: Map[String, String] = Map(
     "q62_partition_pruning" ->
       """SELECT user_id, count(*) AS cnt,
-        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 

@@ -15,7 +15,10 @@ object SourceOps extends OpModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_csv_json" -> { (s, d) =>
       val n = Tables(s, d, "nation")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_src").toString
+      // stable per-sfDir path + overwrite: repeated runs reuse one dir
+      // instead of leaking a fresh temp dir per invocation
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_src_" +
+        d.replaceAll("[^a-zA-Z0-9]", "_")
       n.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
       n.write.mode("overwrite").json(s"$tmp/json")
       val schema = n.schema

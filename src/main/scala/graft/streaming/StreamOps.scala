@@ -24,10 +24,15 @@ object StreamOps extends OpModule {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val rawSchema = s.read.parquet(s"$d/events.parquet").schema
       // The file stream source wants a directory; stage the input file
-      // into a fresh one (what a streaming ingest dir looks like).
-      val dir = java.nio.file.Files.createTempDirectory("graft_stream")
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
-                               dir.resolve("events.parquet"))
+      // into one. Stable per-sfDir path: repeated runs reuse it instead
+      // of leaking a fresh temp dir per invocation.
+      val dir = java.nio.file.Paths.get(
+        s"${sys.props("java.io.tmpdir")}/graft_stream_" +
+          d.replaceAll("[^a-zA-Z0-9]", "_"))
+      java.nio.file.Files.createDirectories(dir)
+      if (!java.nio.file.Files.exists(dir.resolve("events.parquet")))
+        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
+                                 dir.resolve("events.parquet"))
       val qname = "graft_stream_demo"
       val query = s.readStream
         .schema(rawSchema)

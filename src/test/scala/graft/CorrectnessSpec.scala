@@ -40,7 +40,9 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(all.length == 1)
     val qty = Tables(spark, sf, "lineitem").select("l_quantity").as[Double]
       .collect().map(BigDecimal(_)).sum
-    assert(BigDecimal(all.head.getDecimal(2)) == qty.setScale(4))
+    // sum_qty is emitted as DOUBLE (driver-compat), derived from the
+    // exact decimal sum — compare through the same final cast
+    assert(all.head.getDouble(2) == qty.setScale(4).toDouble)
     assert(all.head.getLong(3) == 6000L)
   }
 
