@@ -20,6 +20,47 @@ object VectorKernels {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** ArrayData-direct variant used by codegen: reading `getDouble(i)`
+    * off the (Unsafe)ArrayData avoids materializing two fresh
+    * Array[Double] per evaluated pair — in an O(n²) broadcast scan the
+    * per-pair allocation dominates the arithmetic. Same sequential
+    * fold, bit-identical result. */
+  def cosine(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val a = x.getDouble(i); val b = y.getDouble(i)
+      dot += a * b; na += a * a; nb += b * b; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Random-hyperplane LSH sign signature: one '0'/'1' byte per plane.
+    * Plane p's components come from an integer LCG —
+    * `((i + p·64)·2654435761 mod 1000)/1000 − 0.5` for element i — so any
+    * engine reproduces the identical doubles with zero stored state, and
+    * the dot product is the same sequential fold the SQL formulation
+    * (`list_sum(list_transform(...))`) performs. One pass over the
+    * vector per plane, no per-row allocation beyond the output bytes. */
+  def lshSign(v: ArrayData, planes: Int): UTF8String = {
+    val n = v.numElements()
+    val out = new Array[Byte](planes)
+    var p = 0
+    while (p < planes) {
+      val base = p * 64
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        dot += v.getDouble(i) *
+          (((i + base) * 2654435761L % 1000).toDouble / 1000.0 - 0.5)
+        i += 1
+      }
+      out(p) = if (dot > 0) '1' else '0'
+      p += 1
+    }
+    UTF8String.fromBytes(out)
+  }
 }
 
 /** Native Catalyst cosine similarity over two `array<double>` columns,
@@ -41,17 +82,42 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "cosine_similarity"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorKernels.cosine(a.asInstanceOf[ArrayData].toDoubleArray(),
-                         b.asInstanceOf[ArrayData].toDoubleArray())
+    VectorKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = org.apache.spark.sql.graft.VectorKernels.cosine(" +
-        s"$a.toDoubleArray(), $b.toDoubleArray());")
+      s"${ev.value} = org.apache.spark.sql.graft.VectorKernels.cosine($a, $b);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd random-hyperplane LSH signature over an `array<double>`
+  * column (SURVEY.md §2B q52/q56): emits a `planes`-character '0'/'1'
+  * string in one pass over the vector. Replaces the round-1 nested-HOF
+  * formulation (`aggregate`×`zip_with`×`transform` per plane — an
+  * interpreted CodegenFallback evaluated per row per join side) with a
+  * whole-stage-codegen expression; widening the signature is now a
+  * parameter, not a cost multiplier.
+  */
+case class LshSignature(child: Expression, planes: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+  require(planes >= 1 && planes <= 64, s"planes must be in [1,64], got $planes")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lsh_signature"
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorKernels.lshSign(a.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"org.apache.spark.sql.graft.VectorKernels.lshSign($a, $planes)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Custom Catalyst Generator (the udtf_gen stretch goal, SURVEY.md §2B):
@@ -95,4 +161,7 @@ object GraftFunctions {
 
   def ngrams(tokens: Column, n: Int): Column =
     ExpressionUtils.column(NGrams(ExpressionUtils.expression(tokens), n))
+
+  def lshSignature(vec: Column, planes: Int): Column =
+    ExpressionUtils.column(LshSignature(ExpressionUtils.expression(vec), planes))
 }

@@ -4,36 +4,145 @@ import graft.{OpModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal (opaque-binary) column pipeline (SURVEY.md §2B q54, ◐).
+/** Multimodal (opaque-binary) column pipeline (SURVEY.md §2B q54).
   *
-  * Models the image/audio/video pattern for LLM training pipelines:
-  * media payloads are carried as `binary` columns with typed metadata;
-  * decode / feature-extraction runs per partition over the raw bytes.
-  * No media codecs exist in this container, so the decoder is a STUB —
-  * [[MediaStub.decode]] — a deterministic fake standing in for a real
-  * JPEG/PCM decoder; the Spark-side plumbing (binary schema, partition
-  * batching, feature struct output) is real and what the operator
-  * verifies.
+  * Models the image/audio pattern for LLM training pipelines: media
+  * payloads are carried as `binary` columns with typed metadata, and
+  * decode / feature-extraction runs map-side over the raw bytes. No
+  * media codecs ship in this container, so the payloads are
+  * *synthesized* — real BMP (24 bpp) and WAV (PCM16 mono) files built
+  * from the document text bytes — and [[MediaCodec.decode]] is a real
+  * pure-JVM binary parser: it dispatches on the magic bytes, walks the
+  * actual header fields (little-endian BMP header / RIFF chunk list),
+  * and checksums the payload section. Nothing downstream sees the
+  * synthesis: every output feature is recomputed from the container
+  * bytes alone.
   *
-  * Scale notes: the binary payload never shuffles — features are
-  * extracted map-side and only the (narrow) feature rows move. With a
-  * real decoder the same shape holds: decode cost dominates, so AQE
-  * partition sizing on input bytes (`files.maxPartitionBytes`) is the
-  * tuning knob, not the shuffle.
+  * Because the container formats are deterministic functions of the
+  * payload length, the decoded structure has a closed form the oracle
+  * can state in SQL (file size, row/sample counts, byte-sum checksum
+  * over ASCII text) — so unlike round 1's stub this operator is fully
+  * oracle-checked, while the unit tests additionally verify the binary
+  * round-trip on raw byte arrays.
+  *
+  * Scale notes: the binary payload never shuffles — decode runs in
+  * `mapPartitions` (a JVM codec kernel is the point here) and only the
+  * narrow feature rows move. With a real JPEG/FLAC codec the same shape
+  * holds: decode cost dominates, so AQE partition sizing on input bytes
+  * (`files.maxPartitionBytes`) is the tuning knob, not the shuffle.
   */
 object MultimodalExtOps extends OpModule {
 
-  /** STUB media decoder: stands in for an image/audio codec. Emits
-    * (byte count, 64-byte "thumbnail" checksum, rolling content hash). */
-  object MediaStub extends Serializable {
-    def decode(payload: Array[Byte]): (Int, Long, Long) = {
-      var roll = 0L
-      var i = 0
-      while (i < payload.length) { roll = roll * 31 + (payload(i) & 0xff); i += 1 }
-      var thumb = 0L
-      var j = 0
-      while (j < math.min(64, payload.length)) { thumb += (payload(j) & 0xff); j += 1 }
-      (payload.length, thumb, roll)
+  /** Pure-JVM media container codec: BMP (24 bpp, fixed 32-px-wide) and
+    * WAV (PCM16 mono 8 kHz). Encode packs arbitrary bytes into a valid
+    * file; decode parses the real header structure back. */
+  object MediaCodec extends Serializable {
+    private val BmpWidth = 32
+    private val BmpRowBytes = BmpWidth * 3 // 96, already 4-byte aligned
+    private val WavHeaderBytes = 44
+    private val BmpHeaderBytes = 54
+
+    private def putLe32(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte
+      b(off + 1) = ((v >> 8) & 0xff).toByte
+      b(off + 2) = ((v >> 16) & 0xff).toByte
+      b(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    private def putLe16(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte
+      b(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    private def le32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    private def le16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+    /** 24 bpp bottom-up BMP; payload bytes become pixel data, zero-padded
+      * to whole 96-byte rows. */
+    def encodeBmp(data: Array[Byte]): Array[Byte] = {
+      val height = (data.length + BmpRowBytes - 1) / BmpRowBytes
+      val imageSize = height * BmpRowBytes
+      val out = new Array[Byte](BmpHeaderBytes + imageSize)
+      out(0) = 'B'; out(1) = 'M'
+      putLe32(out, 2, out.length)          // file size
+      putLe32(out, 10, BmpHeaderBytes)     // pixel data offset
+      putLe32(out, 14, 40)                 // BITMAPINFOHEADER size
+      putLe32(out, 18, BmpWidth)
+      putLe32(out, 22, height)
+      putLe16(out, 26, 1)                  // planes
+      putLe16(out, 28, 24)                 // bpp
+      putLe32(out, 34, imageSize)
+      System.arraycopy(data, 0, out, BmpHeaderBytes, data.length)
+      out
+    }
+
+    /** PCM16 mono 8 kHz WAV; payload bytes become sample data,
+      * zero-padded to a whole sample. */
+    def encodeWav(data: Array[Byte]): Array[Byte] = {
+      val samples = (data.length + 1) / 2
+      val dataSize = samples * 2
+      val out = new Array[Byte](WavHeaderBytes + dataSize)
+      out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+      putLe32(out, 4, 36 + dataSize)
+      out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+      out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+      putLe32(out, 16, 16)                 // fmt chunk size
+      putLe16(out, 20, 1)                  // PCM
+      putLe16(out, 22, 1)                  // mono
+      putLe32(out, 24, 8000)               // sample rate
+      putLe32(out, 28, 16000)              // byte rate
+      putLe16(out, 32, 2)                  // block align
+      putLe16(out, 34, 16)                 // bits/sample
+      out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+      putLe32(out, 40, dataSize)
+      System.arraycopy(data, 0, out, WavHeaderBytes, data.length)
+      out
+    }
+
+    /** kind, total file bytes, structural units (BMP rows / WAV
+      * samples), unsigned byte-sum checksum of the payload section. */
+    final case class Media(kind: String, fileBytes: Long, units: Long,
+                           checksum: Long)
+
+    /** Real container parse: dispatch on magic, read the header fields,
+      * checksum the payload the header points at. Zero-padding added by
+      * encode is checksum-neutral by construction. */
+    def decode(bytes: Array[Byte]): Media = {
+      def sum(from: Int, until: Int): Long = {
+        var s = 0L; var i = from
+        while (i < until) { s += bytes(i) & 0xff; i += 1 }
+        s
+      }
+      if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') {
+        val fileSize = le32(bytes, 2)
+        val offset = le32(bytes, 10)
+        val height = le32(bytes, 22)
+        require(le16(bytes, 28) == 24, "expected 24 bpp")
+        val imageSize = le32(bytes, 34)
+        Media("bmp", fileSize.toLong, height.toLong,
+              sum(offset, offset + imageSize))
+      } else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+                 bytes(2) == 'F' && bytes(3) == 'F' &&
+                 bytes(8) == 'W' && bytes(9) == 'A' &&
+                 bytes(10) == 'V' && bytes(11) == 'E') {
+        val fileSize = 8 + le32(bytes, 4)
+        // walk the RIFF chunk list to the data chunk (a real parser —
+        // does not assume a fixed 44-byte layout)
+        var off = 12
+        var media: Media = null
+        while (media == null && off + 8 <= bytes.length) {
+          val id = new String(bytes.slice(off, off + 4), "US-ASCII")
+          val size = le32(bytes, off + 4)
+          if (id == "data") {
+            val blockAlign = 2 // parsed fmt would say the same; PCM16 mono
+            media = Media("wav", fileSize.toLong, (size / blockAlign).toLong,
+                          sum(off + 8, off + 8 + size))
+          } else off += 8 + size + (size & 1)
+        }
+        require(media != null, "no RIFF data chunk")
+        media
+      } else throw new IllegalArgumentException("unknown container magic")
     }
   }
 
@@ -41,20 +150,41 @@ object MultimodalExtOps extends OpModule {
     "q54_multimodal_decode" -> { (s, d) =>
       import s.implicits._
       val bin = Tables(s, d, "documents")
-        .select(col("doc_id"), col("lang"),
-                encode(col("text"), "UTF-8").as("payload"))
-        .as[(Long, String, Array[Byte])]
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
       bin.mapPartitions { it =>
-        it.map { case (id, lang, payload) =>
-          val (nBytes, thumb, roll) = MediaStub.decode(payload)
-          (id, lang, nBytes, thumb, roll)
+        it.map { case (id, payload) =>
+          // even ids carry images, odd ids audio — the container bytes
+          // are real; decode recomputes everything from them alone
+          val file = if (id % 2 == 0) MediaCodec.encodeBmp(payload)
+                     else MediaCodec.encodeWav(payload)
+          val m = MediaCodec.decode(file)
+          (id, m.kind, m.fileBytes, m.units, m.checksum)
         }
-      }.toDF("doc_id", "lang", "n_bytes", "thumb_sum", "content_hash")
+      }.toDF("doc_id", "kind", "file_bytes", "units", "checksum")
         .orderBy("doc_id")
     }
   )
 
-  // ◐ — the rolling hash is not expressible in portable SQL; covered by
-  // unit tests instead (MultimodalSpec).
-  def oracles: Map[String, String] = Map.empty
+  // Fully oracled (round 1 was ◐): the container formats are
+  // deterministic in payload length, and the corpus text is pure ASCII
+  // (verified at all SFs), so file size / units / byte-sum checksum
+  // have closed forms over strlen(text) and code-point sums.
+  def oracles: Map[String, String] = Map(
+    "q54_multimodal_decode" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS kind,
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN 54 + 96 * CAST(ceil(strlen(text) / 96.0) AS BIGINT)
+        |       ELSE 44 + 2 * CAST(ceil(strlen(text) / 2.0) AS BIGINT)
+        |  END AS file_bytes,
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN CAST(ceil(strlen(text) / 96.0) AS BIGINT)
+        |       ELSE CAST(ceil(strlen(text) / 2.0) AS BIGINT)
+        |  END AS units,
+        |  CAST(list_sum(list_transform(range(1, length(text) + 1),
+        |                               i -> unicode(substr(text, i, 1))))
+        |       AS BIGINT) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

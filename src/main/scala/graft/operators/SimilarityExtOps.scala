@@ -2,42 +2,65 @@ package graft.operators
 
 import graft.{OpModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftFunctions
 
 /** Approximate-nearest-neighbor building blocks (SURVEY.md §2B
-  * q52–q53) complementing q43's brute-force top-k.
+  * q52–q53, q56, q71) complementing q43's brute-force top-k.
   *
-  * q52 is the 100 TB path: random-hyperplane LSH reduces each vector to
-  * a b-bit sign signature; similar vectors collide, so candidate
-  * generation becomes a bucket join of cost O(Σ bucket²) instead of an
-  * all-pairs scan. The hyperplanes are generated from an integer LCG
-  * formula evaluated identically in Spark and DuckDB, which keeps the
-  * whole pipeline oracle-checkable with zero stored state.
+  * Signature scheme: random-hyperplane LSH, `Planes` sign bits computed
+  * in one pass by the codegen'd [[org.apache.spark.sql.graft.LshSignature]]
+  * kernel (round 1 computed 8 bits via interpreted nested HOFs — the
+  * slowest query in the bench; the kernel makes signature width a free
+  * parameter). The hyperplanes come from an integer LCG formula
+  * evaluated identically in Spark and DuckDB, which keeps the whole
+  * pipeline oracle-checkable with zero stored state.
+  *
+  * Banding: the signature splits into `Bands` bands of `BandBits` bits;
+  * a candidate pair is any pair agreeing on at least one full band
+  * (union of `Bands` bucket-equijoins, the q46 MinHash shape). Sizing
+  * rule at scale: candidate-join cost per band is Σ bucket² ≈ n²/2^BandBits,
+  * so pick `BandBits ≈ log2(n / targetBucketSize)` — for 1 B vectors and
+  * ~4 k-row buckets that is 18 bits/band; `Bands` then buys recall
+  * (P[candidate] = 1−(1−p^BandBits)^Bands for per-bit agreement p).
+  * Here 2×8 over the small test corpus: 256 buckets per band, two
+  * independent chances to collide — strictly better recall than round
+  * 1's single 8-bit band at the same bucket granularity, and every
+  * parameter grows without touching query code.
   *
   * q53 is single-query search: broadcast one query vector against the
-  * collection (a Catalyst BroadcastNestedLoopJoin), cosine via
-  * codegen-free higher-order functions — fine for one query; batched
-  * query workloads should use the q43 block-scan shape.
+  * collection (a Catalyst BroadcastNestedLoopJoin) scored by the
+  * codegen'd CosineSimilarity kernel. q71 is the batched bridge between
+  * q53 (one query) and q56 (self-dedup): N query vectors retrieve their
+  * top-k via banded LSH candidates + exact re-rank — the operator a
+  * retrieval pipeline actually calls.
   */
 object SimilarityExtOps extends OpModule {
 
-  private val Planes = 8
+  private val Planes = 16
+  private val Bands = 2
+  private val BandBits = Planes / Bands
+  private val BatchQueries = 8
+  private val BatchK = 5
 
-  /** Pseudo-random hyperplane component: integer LCG scaled to
-    * [-0.5, 0.5) — exact same doubles in any engine. */
-  private def planeVal(p: Int): Column => Column = d =>
-    ((d + lit(p * 64)) * lit(2654435761L) % 1000).cast("double") / 1000 - 0.5
+  private def vec: Column = col("embedding").cast("array<double>")
 
-  /** 8-bit sign signature of the embedding column vs the LCG planes. */
-  private def sigColumn: Column = {
-    val v = col("embedding").cast("array<double>")
-    concat((0 until Planes).map { p =>
-      val dot = aggregate(
-        zip_with(v, transform(sequence(lit(0), lit(63)), planeVal(p)), _ * _),
-        lit(0.0), _ + _)
-      when(dot > 0, "1").otherwise("0")
-    }: _*)
-  }
+  /** Full sign signature via the codegen'd kernel. */
+  private def sigColumn: Column = GraftFunctions.lshSignature(vec, Planes)
+
+  /** 1-based substring band `b` of a signature column. */
+  private def band(sig: Column, b: Int): Column =
+    substring(sig, 1 + b * BandBits, BandBits)
+
+  /** Distinct (a, b) pairs (a < b) sharing at least one signature band —
+    * union of per-band bucket-equijoins, never an all-pairs scan. */
+  private def bandedPairs(base: DataFrame): DataFrame =
+    (0 until Bands).map { b =>
+      val x = base.select(band(col("sig"), b).as("bk"), col("vec_id").as("a"))
+      val y = base.select(band(col("sig"), b).as("bk"), col("vec_id").as("b"))
+      x.join(y, Seq("bk")).where(col("a") < col("b")).select("a", "b")
+    }.reduce(_.unionAll(_)).distinct()
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_lsh_buckets" -> { (s, d) =>
@@ -50,37 +73,59 @@ object SimilarityExtOps extends OpModule {
 
     "q53_ann_query" -> { (s, d) =>
       val em = Tables(s, d, "embeddings")
-      val q = em.where(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>").as("qv"))
-      val v = col("embedding").cast("array<double>")
-      // native codegen'd expression (same arithmetic as the HOF and
-      // block-scan formulations — see VectorExpressions)
+      val q = em.where(col("vec_id") === 0).select(vec.as("qv"))
       em.where(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .select(col("vec_id"),
-                round(org.apache.spark.sql.graft.GraftFunctions
-                        .cosineSimilarity(v, col("qv")), 4).as("sim"))
+                round(GraftFunctions.cosineSimilarity(vec, col("qv")), 4)
+                  .as("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(10)
     },
 
     // Embedding-based near-dup detection, composed from the scale-path
-    // pieces: LSH bucket candidates (q52's signature) -> exact cosine
-    // verification (q43's native kernel) -> threshold. Cost is
-    // O(Σ bucket²), never all-pairs.
+    // pieces: banded LSH candidates -> exact cosine verification (the
+    // codegen'd kernel) -> threshold. Cost is O(Bands · Σ bucket²),
+    // never all-pairs; the vectors are re-joined by id so only (a, b)
+    // id pairs pass through the distinct.
     "q56_dedup_embedding" -> { (s, d) =>
       val base = Tables(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
-                sigColumn.as("sig"))
-      val x = base.select(col("sig"), col("vec_id").as("a"), col("v").as("va"))
-      val y = base.select(col("sig"), col("vec_id").as("b"), col("v").as("vb"))
-      x.join(y, Seq("sig"))
-        .where(col("a") < col("b"))
+        .select(col("vec_id"), vec.as("v"), sigColumn.as("sig"))
+      bandedPairs(base)
+        .join(base.select(col("vec_id").as("a"), col("v").as("va")), Seq("a"))
+        .join(base.select(col("vec_id").as("b"), col("v").as("vb")), Seq("b"))
         .select(col("a"), col("b"),
-                round(org.apache.spark.sql.graft.GraftFunctions
-                        .cosineSimilarity(col("va"), col("vb")), 4).as("sim"))
+                round(GraftFunctions.cosineSimilarity(col("va"), col("vb")), 4)
+                  .as("sim"))
         .where(col("sim") >= 0.4)
         .orderBy("a", "b")
+    },
+
+    // Batched ANN: N query vectors × banded LSH buckets -> exact
+    // re-rank -> per-query top-k. The query side is broadcast (N rows);
+    // the collection side shuffles once per band on the 8-bit band key.
+    "q71_ann_batch" -> { (s, d) =>
+      val base = Tables(s, d, "embeddings")
+        .select(col("vec_id"), vec.as("v"), sigColumn.as("sig"))
+      val qs = base.where(col("vec_id") < BatchQueries)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("sig").as("qsig"))
+      val cands = (0 until Bands).map { b =>
+        broadcast(qs.select(col("qid"), band(col("qsig"), b).as("bk")))
+          .join(base.select(col("vec_id").as("cid"), band(col("sig"), b).as("bk")),
+                Seq("bk"))
+          .select("qid", "cid")
+      }.reduce(_.unionAll(_)).where(col("qid") =!= col("cid")).distinct()
+      val scored = cands
+        .join(broadcast(qs.select(col("qid"), col("qv"))), Seq("qid"))
+        .join(base.select(col("vec_id").as("cid"), col("v").as("cv")), Seq("cid"))
+        .select(col("qid"), col("cid"),
+                round(GraftFunctions.cosineSimilarity(col("qv"), col("cv")), 4)
+                  .as("sim"))
+      val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+      scored.select(col("qid"), col("cid"), col("sim"),
+                    row_number().over(w).cast("long").as("rk"))
+        .where(col("rk") <= BatchK)
+        .orderBy("qid", "rk")
     }
   )
 
@@ -92,6 +137,9 @@ object SimilarityExtOps extends OpModule {
         .stripMargin.replaceAll("\n", " ")
       s"CASE WHEN $dot > 0 THEN '1' ELSE '0' END"
     }.mkString(" || ")
+    def bandEq(l: String, r: String) = (0 until Bands).map { b =>
+      s"substr($l, ${1 + b * BandBits}, $BandBits) = substr($r, ${1 + b * BandBits}, $BandBits)"
+    }.mkString("(", " OR ", ")")
     Map(
       "q52_lsh_buckets" ->
         s"""SELECT sig, count(*) AS cnt, min(vec_id) AS min_vec
@@ -107,14 +155,35 @@ object SimilarityExtOps extends OpModule {
           |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
 
       "q56_dedup_embedding" ->
-        s"""SELECT * FROM (
-           |  SELECT x.vec_id AS a, y.vec_id AS b,
-           |    round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
-           |                                 CAST(y.embedding AS DOUBLE[])), 4) AS sim
-           |  FROM (SELECT vec_id, embedding, $sigSql AS sig FROM embeddings) x
-           |  JOIN (SELECT vec_id, embedding, $sigSql AS sig FROM embeddings) y
-           |    ON x.sig = y.sig AND x.vec_id < y.vec_id)
-           |WHERE sim >= 0.4 ORDER BY a, b""".stripMargin
+        s"""WITH s AS (SELECT vec_id, embedding, $sigSql AS sig FROM embeddings),
+           |c AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+           |      FROM s x JOIN s y
+           |        ON x.vec_id < y.vec_id AND ${bandEq("x.sig", "y.sig")})
+           |SELECT * FROM (
+           |  SELECT c.a, c.b,
+           |    round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+           |                                 CAST(eb.embedding AS DOUBLE[])), 4) AS sim
+           |  FROM c JOIN embeddings ea ON ea.vec_id = c.a
+           |         JOIN embeddings eb ON eb.vec_id = c.b)
+           |WHERE sim >= 0.4 ORDER BY a, b""".stripMargin,
+
+      "q71_ann_batch" ->
+        s"""WITH s AS (SELECT vec_id, embedding, $sigSql AS sig FROM embeddings),
+           |q AS (SELECT vec_id AS qid, embedding AS qe, sig AS qsig
+           |      FROM s WHERE vec_id < $BatchQueries),
+           |c AS (SELECT DISTINCT q.qid, s.vec_id AS cid
+           |      FROM q JOIN s
+           |        ON q.qid <> s.vec_id AND ${bandEq("q.qsig", "s.sig")}),
+           |sc AS (SELECT c.qid, c.cid,
+           |         round(list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+           |                                      CAST(e.embedding AS DOUBLE[])), 4) AS sim
+           |       FROM c JOIN q ON q.qid = c.qid
+           |              JOIN embeddings e ON e.vec_id = c.cid)
+           |SELECT * FROM (
+           |  SELECT qid, cid, sim,
+           |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+           |  FROM sc)
+           |WHERE rk <= $BatchK ORDER BY qid, rk""".stripMargin
     )
   }
 }

@@ -101,11 +101,36 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(math.abs(approx - exact) <= 0.05 * exact)
   }
 
-  test("MediaStub decode is deterministic and tracks payload bytes") {
-    val (n, thumb, roll) = operators.MultimodalExtOps.MediaStub.decode("ab".getBytes("UTF-8"))
-    assert(n == 2)
-    assert(thumb == 'a'.toInt + 'b'.toInt)
-    assert(roll == 'a'.toInt * 31 + 'b'.toInt)
+  test("MediaCodec BMP round-trip: header fields and payload checksum") {
+    import operators.MultimodalExtOps.MediaCodec
+    val data = Array.tabulate(200)(i => (i % 251).toByte)
+    val file = MediaCodec.encodeBmp(data)
+    assert(file(0) == 'B' && file(1) == 'M')
+    val m = MediaCodec.decode(file)
+    assert(m.kind == "bmp")
+    assert(m.units == 3)                        // ceil(200/96) rows
+    assert(m.fileBytes == 54 + 3 * 96)
+    assert(m.fileBytes == file.length)
+    assert(m.checksum == data.map(_ & 0xff).map(_.toLong).sum)
+  }
+
+  test("MediaCodec WAV round-trip: RIFF chunk walk finds the data chunk") {
+    import operators.MultimodalExtOps.MediaCodec
+    val data = "hello wav".getBytes("UTF-8")    // odd length -> zero pad
+    val file = MediaCodec.encodeWav(data)
+    val m = MediaCodec.decode(file)
+    assert(m.kind == "wav")
+    assert(m.units == 5)                        // ceil(9/2) samples
+    assert(m.fileBytes == 44 + 10)
+    assert(m.fileBytes == file.length)
+    assert(m.checksum == data.map(_ & 0xff).map(_.toLong).sum)
+  }
+
+  test("MediaCodec rejects unknown container magic") {
+    import operators.MultimodalExtOps.MediaCodec
+    intercept[IllegalArgumentException] {
+      MediaCodec.decode(Array[Byte](1, 2, 3, 4))
+    }
   }
 
   test("MisterJob word count over a typed Dataset") {
@@ -162,6 +187,38 @@ class CorrectnessSpec extends SparkSpecBase {
         .ngrams(split(col("text"), " "), 3).as("sh"))
       .as[String].collect().toSeq
     assert(out == Seq("p q r"))
+  }
+
+  test("LshSignature kernel agrees with the HOF formulation") {
+    val em = Tables(spark, sf, "embeddings")
+      .select(col("embedding").cast("array<double>").as("v")).limit(100)
+    // the round-1 interpreted formulation, as the independent reference
+    def planeVal(p: Int): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      d => ((d + lit(p * 64)) * lit(2654435761L) % 1000).cast("double") / 1000 - 0.5
+    val hofSig = concat((0 until 16).map { p =>
+      val dot = aggregate(
+        zip_with(col("v"), transform(sequence(lit(0), lit(63)), planeVal(p)), _ * _),
+        lit(0.0), _ + _)
+      when(dot > 0, "1").otherwise("0")
+    }: _*)
+    val rows = em.select(
+      org.apache.spark.sql.graft.GraftFunctions.lshSignature(col("v"), 16).as("k"),
+      hofSig.as("h")).as[(String, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, h) => assert(k == h) }
+  }
+
+  test("q71 batched ANN: exact top-k candidates come from banded buckets") {
+    val rows = q("q71_ann_batch")
+      .select("qid", "cid", "sim", "rk").as[(Long, Long, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    // per query: ranks are 1..n with descending sims, no self-matches
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sortBy(-_).toSeq)
+    }
+    rows.foreach { case (qid, cid, _, _) => assert(qid != cid) }
   }
 
   test("q46 minhash candidates are supported by real prefix near-dups") {

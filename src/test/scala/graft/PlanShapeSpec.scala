@@ -47,6 +47,15 @@ class PlanShapeSpec extends SparkSpecBase {
       .isAssignableFrom(classOf[org.apache.spark.sql.graft.CosineSimilarity]))
   }
 
+  test("q52: LSH signature expression runs inside whole-stage codegen") {
+    val df = SparkEntry.queries("q52_lsh_buckets")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) [^\n]*lsh_signature""".r.findFirstIn(p).isDefined, p)
+    assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
+      .isAssignableFrom(classOf[org.apache.spark.sql.graft.LshSignature]))
+  }
+
   test("bucketed co-located join: SortMergeJoin with zero exchanges") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft_bucket_test").toString
