@@ -17,8 +17,10 @@ object TextExtOps extends OpModule {
 
   /** Occurrences of a trigram in text via the length-difference trick —
     * portable to any SQL engine. */
+  // literal (non-regex) replace on both engines: the trigrams are plain
+  // strings, and a regex scan per (doc × trigram) is pure overhead
   private def occ(tg: String): Column =
-    (length(col("text")) - length(regexp_replace(col("text"), tg, ""))) / lit(3)
+    (length(col("text")) - length(expr(s"replace(text, '$tg', '')"))) / lit(3)
 
   private val langTrigrams: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "ein", "sch"),
@@ -115,7 +117,7 @@ object TextExtOps extends OpModule {
   )
 
   def oracles: Map[String, String] = {
-    val occSql = (tg: String) => s"(len(text) - len(regexp_replace(text, '$tg', '', 'g'))) / 3"
+    val occSql = (tg: String) => s"(len(text) - len(replace(text, '$tg', ''))) / 3"
     val scores = langTrigrams.map { case (lg, tgs) =>
       s"${tgs.map(occSql).mkString(" + ")} AS s_$lg"
     }.mkString(", ")
