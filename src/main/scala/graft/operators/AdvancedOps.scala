@@ -34,13 +34,19 @@ object AdvancedOps extends OpModule {
         val key = d.replaceAll("[^a-zA-Z0-9]", "_")
         val base = s"${sys.props("java.io.tmpdir")}/graft_bucket_$key"
         val (liT, orT) = (s"graft_li_bucketed_$key", s"graft_or_bucketed_$key")
+        // repartition on the bucket key first: HashPartitioning(key, 8)
+        // uses the same murmur3-mod-8 as the bucket assignment, so each
+        // task owns exactly one bucket → 8 files per table instead of
+        // (input partitions × 8) bucket fragments
         if (!s.catalog.tableExists(liT)) {
           Tables(s, d, "lineitem").select("l_orderkey", "l_quantity")
+            .repartition(8, col("l_orderkey"))
             .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
             .option("path", s"$base/li").saveAsTable(liT)
         }
         if (!s.catalog.tableExists(orT)) {
           Tables(s, d, "orders").select("o_orderkey", "o_custkey")
+            .repartition(8, col("o_orderkey"))
             .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
             .option("path", s"$base/or").saveAsTable(orT)
         }

@@ -47,6 +47,22 @@ class PlanShapeSpec extends SparkSpecBase {
       .isAssignableFrom(classOf[org.apache.spark.sql.graft.CosineSimilarity]))
   }
 
+  test("q43: broadcast brute force — no driver collect, bounded top-k") {
+    val df = SparkEntry.queries("q43_sim_topk")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q71: batched ANN probes buckets via broadcast hash joins") {
+    val df = SparkEntry.queries("q71_ann_batch")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q52: LSH signature expression runs inside whole-stage codegen") {
     val df = SparkEntry.queries("q52_lsh_buckets")(spark, sf)
     df.collect()
