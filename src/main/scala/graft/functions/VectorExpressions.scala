@@ -153,6 +153,108 @@ case class NGrams(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Per-probe top-k cosine block scan as a Catalyst Generator (SURVEY.md
+  * §2B q43): the collection arrives packed as ONE aggregated row of
+  * (ids, vecs) arrays — built by executor-side collect_list and shipped
+  * by a Spark broadcast, never a driver collect — and each probe row
+  * emits its k best (b, sim) pairs with b > a. A nested-loop join would
+  * materialize a ~1 KB two-vector row per candidate pair (and cannot
+  * enter whole-stage codegen); this generator keeps the O(n²) scan in a
+  * primitive-array loop and emits only k narrow rows per probe, so the
+  * downstream global top-k (TakeOrderedAndProject) sees k·n rows.
+  *
+  * `sim` is rounded (4 dp, half-away-from-zero — matching `round()` on
+  * doubles in Spark and DuckDB) BEFORE the per-probe pruning, so local
+  * top-k uses the exact global ordering key (sim desc, a, b) and ties
+  * are never dropped. The decoded collection (ids, vectors, norms) is
+  * cached per task keyed on the backing buffer of the packed array —
+  * every probe row references the same broadcast row, so the decode
+  * happens once per partition, not once per probe.
+  */
+case class CosineTopK(vec: Expression, id: Expression, coll: Expression, k: Int)
+  extends Expression with Generator with CodegenFallback {
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def children: Seq[Expression] = Seq(vec, id, coll)
+  override def elementSchema: StructType = new StructType()
+    .add("b", LongType, nullable = false)
+    .add("sim", DoubleType, nullable = false)
+  override def prettyName: String = "cosine_topk"
+
+  @transient private var cachedBase: AnyRef = _
+  @transient private var cachedOffset: Long = -1L
+  @transient private var ids: Array[Long] = _
+  @transient private var vecs: Array[Array[Double]] = _
+  @transient private var norms: Array[Double] = _
+
+  private def decode(arr: ArrayData): Unit = {
+    val n = arr.numElements()
+    ids = new Array[Long](n)
+    vecs = new Array[Array[Double]](n)
+    norms = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val st = arr.getStruct(i, 2)
+      ids(i) = st.getLong(0)
+      val v = st.getArray(1).toDoubleArray()
+      vecs(i) = v
+      var nn = 0.0; var j = 0
+      while (j < v.length) { nn += v(j) * v(j); j += 1 }
+      norms(i) = math.sqrt(nn)
+      i += 1
+    }
+  }
+
+  /** Half-away-from-zero rounding at 4 dp on the scaled double — the
+    * arithmetic both Spark's and DuckDB's round(double, 4) perform. */
+  private def round4(x: Double): Double = {
+    val y = x * 10000.0
+    (if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)) / 10000.0
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val vEval = vec.eval(input)
+    val cEval = coll.eval(input)
+    if (vEval == null || cEval == null) return Nil
+    val arr = cEval.asInstanceOf[ArrayData]
+    arr match {
+      case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        if (u.getBaseObject eq cachedBase) && u.getBaseOffset == cachedOffset =>
+        // same broadcast buffer as the previous probe row: reuse decode
+      case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
+        decode(u); cachedBase = u.getBaseObject; cachedOffset = u.getBaseOffset
+      case other =>
+        decode(other); cachedBase = null; cachedOffset = -1L
+    }
+    val va = vEval.asInstanceOf[ArrayData].toDoubleArray()
+    val a = id.eval(input).asInstanceOf[Long]
+    var na = 0.0; var j = 0
+    while (j < va.length) { na += va(j) * va(j); j += 1 }
+    na = math.sqrt(na)
+    // max-heap on "badness": head = worst kept (lowest sim, then largest b)
+    val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long)
+      .on[(Double, Long)] { case (sim, b) => (sim, b) }
+    val pq = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
+    var i = 0
+    while (i < ids.length) {
+      if (ids(i) > a) {
+        val vb = vecs(i)
+        var dot = 0.0; var m = 0
+        while (m < va.length) { dot += va(m) * vb(m); m += 1 }
+        val cand = (round4(dot / (na * norms(i))), ids(i))
+        if (pq.size < k) pq.enqueue(cand)
+        else if (ord.lt(cand, pq.head)) { pq.dequeue(); pq.enqueue(cand) }
+      }
+      i += 1
+    }
+    pq.iterator.map { case (sim, b) => InternalRow(b, sim) }.toSeq
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(vec = newChildren(0), id = newChildren(1), coll = newChildren(2))
+}
+
 /** Column-API bridge for the graft-native expressions. */
 object GraftFunctions {
   def cosineSimilarity(a: Column, b: Column): Column =
@@ -164,4 +266,8 @@ object GraftFunctions {
 
   def lshSignature(vec: Column, planes: Int): Column =
     ExpressionUtils.column(LshSignature(ExpressionUtils.expression(vec), planes))
+
+  def cosineTopK(vec: Column, id: Column, coll: Column, k: Int): Column =
+    ExpressionUtils.column(CosineTopK(ExpressionUtils.expression(vec),
+      ExpressionUtils.expression(id), ExpressionUtils.expression(coll), k))
 }

@@ -14,12 +14,13 @@ import org.apache.spark.sql.functions._
   *  - q42 near-dup uses blocking (40-char prefix) to restrict Jaccard to
   *    candidate pairs: cost O(Σ blockᵢ²), not O(n²). The 100 TB path is
   *    MinHash-LSH banding — implemented as q46 in [[DedupExtOps]].
-  *  - q43 brute-force cosine is a BroadcastNestedLoopJoin over the
-  *    (small) vector side — shipped as a Spark broadcast, never
-  *    collected to the driver — scored by the codegen'd
-  *    [[org.apache.spark.sql.graft.CosineSimilarity]] kernel, with
-  *    TakeOrderedAndProject keeping a bounded top-k per partition. The
-  *    100 TB path is LSH bucketing (q52 in [[SimilarityExtOps]]).
+  *  - q43 brute-force cosine packs the collection into one aggregated
+  *    row (executor-side collect_list + Spark broadcast — never a
+  *    driver collect) and block-scans it with the
+  *    [[org.apache.spark.sql.graft.CosineTopK]] generator: primitive
+  *    arrays, per-probe bounded heap, k narrow rows per probe into a
+  *    global TakeOrderedAndProject. The 100 TB path is LSH bucketing
+  *    (q52 in [[SimilarityExtOps]]).
   */
 object LlmOps extends OpModule {
 
@@ -57,19 +58,22 @@ object LlmOps extends OpModule {
       val k = 20
       val em = Tables(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      // Declarative broadcast brute force: the small side ships as a
-      // Spark broadcast (BroadcastNestedLoopJoin) — the driver never
-      // materializes the table — and the codegen'd CosineSimilarity
-      // kernel scores each pair inside whole-stage codegen. The final
-      // orderBy+limit compiles to TakeOrderedAndProject: a bounded top-k
-      // per partition, then a k·partitions-row merge on the driver. The
-      // 100 TB path (big×big) is LSH bucketing — q52/q56.
-      val probe = em.select(col("vec_id").as("a"), col("v").as("va"))
-      val build = em.select(col("vec_id").as("b"), col("v").as("vb"))
-      probe.join(broadcast(build), col("a") < col("b"))
-        .select(col("a"), col("b"),
-                round(org.apache.spark.sql.graft.GraftFunctions
-                        .cosineSimilarity(col("va"), col("vb")), 4).as("sim"))
+      // Brute-force exact top-k without a driver collect: the collection
+      // is packed into ONE row by an executor-side collect_list, shipped
+      // by a Spark broadcast, and block-scanned by the CosineTopK
+      // generator (primitive-array loop, per-probe bounded heap, decode
+      // cached per partition). Only k narrow rows per probe reach the
+      // global TakeOrderedAndProject — a BroadcastNestedLoopJoin doing
+      // the same work materializes a two-vector row per candidate pair
+      // and runs ~4× slower. The 100 TB path (big×big) is LSH
+      // bucketing — q52/q56/q71.
+      val packed = em.agg(collect_list(struct(col("vec_id"), col("v"))).as("coll"))
+      em.select(col("vec_id").as("a"), col("v").as("va"))
+        .crossJoin(broadcast(packed))
+        .select(col("a"),
+                org.apache.spark.sql.graft.GraftFunctions
+                  .cosineTopK(col("va"), col("a"), col("coll"), k)
+                  .as(Seq("b", "sim")))
         .orderBy(col("sim").desc, col("a"), col("b"))
         .limit(k)
     },
