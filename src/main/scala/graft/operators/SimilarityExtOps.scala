@@ -101,6 +101,44 @@ object SimilarityExtOps extends OpModule {
         .orderBy("a", "b")
     },
 
+    // IVF-flat ANN (the other classic ANN scale path next to LSH):
+    // coarse-quantize every vector to its nearest of C sampled
+    // centroids (deterministic: vec_id < C — no trained state, so the
+    // whole index is oracle-expressible), then answer a query by
+    // probing only the nprobe nearest cells and exact-re-ranking their
+    // members. At 100 TB the cell id becomes the partition key of the
+    // stored layout: assignment is one broadcast map pass, a query
+    // touches nprobe partitions instead of the corpus.
+    "q73_ann_ivf" -> { (s, d) =>
+      val C = 16       // coarse centroids (sampled)
+      val nprobe = 4   // cells probed per query
+      val em = Tables(s, d, "embeddings").select(col("vec_id"), vec.as("v"))
+      val cents = em.where(col("vec_id") < C)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      // squared-L2 to each centroid as the same sequential fold the
+      // oracle's list_sum performs (bit-identical doubles)
+      val l2 = aggregate(zip_with(col("v"), col("cv"),
+                                  (a, b) => (a - b) * (a - b)),
+                         lit(0.0), _ + _)
+      val dists = em.crossJoin(broadcast(cents)).select(
+        col("vec_id"), col("v"), col("cid"), l2.as("dist"))
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+      val assigned = dists
+        .withColumn("rn", row_number().over(wAssign)).where(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("cid"))
+      val qv = em.where(col("vec_id") === 0).select(col("v").as("qv"))
+      val probeCells = dists.where(col("vec_id") === 0)
+        .orderBy(col("dist"), col("cid")).limit(nprobe).select("cid")
+      assigned.join(broadcast(probeCells), Seq("cid"))
+        .where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+                round(GraftFunctions.cosineSimilarity(col("v"), col("qv")), 4)
+                  .as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    },
+
     // Batched ANN: N query vectors × banded LSH buckets -> exact
     // re-rank -> per-query top-k. The query side is broadcast (N rows);
     // the collection side shuffles once per band on the 8-bit band key.
@@ -166,6 +204,25 @@ object SimilarityExtOps extends OpModule {
            |  FROM c JOIN embeddings ea ON ea.vec_id = c.a
            |         JOIN embeddings eb ON eb.vec_id = c.b)
            |WHERE sim >= 0.4 ORDER BY a, b""".stripMargin,
+
+      "q73_ann_ivf" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+          |d AS (SELECT e.vec_id, e.v, c.cid,
+          |        list_sum(list_transform(range(1, 65),
+          |          i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS dist
+          |      FROM e, c),
+          |a AS (SELECT vec_id, v, cid FROM (
+          |        SELECT *, row_number() OVER (PARTITION BY vec_id
+          |                                     ORDER BY dist, cid) AS rn
+          |        FROM d) WHERE rn = 1),
+          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+          |pc AS (SELECT cid FROM d WHERE vec_id = 0 ORDER BY dist, cid LIMIT 4),
+          |cand AS (SELECT a.vec_id, a.v FROM a JOIN pc USING (cid)
+          |         WHERE a.vec_id <> 0)
+          |SELECT cand.vec_id, round(list_cosine_similarity(cand.v, q.qv), 4) AS sim
+          |FROM cand, q
+          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
 
       "q71_ann_batch" ->
         s"""WITH s AS (SELECT vec_id, embedding, $sigSql AS sig FROM embeddings),

@@ -221,6 +221,14 @@ class CorrectnessSpec extends SparkSpecBase {
     rows.foreach { case (qid, cid, _, _) => assert(qid != cid) }
   }
 
+  test("q73 IVF ANN recalls most of the exact top-10 for the probe query") {
+    val exact = q("q53_ann_query").select("vec_id").as[Long].collect().toSet
+    val ivf = q("q73_ann_ivf").select("vec_id").as[Long].collect().toSet
+    assert(ivf.size == 10)
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"IVF nprobe=4/16 recall $recall vs exact top-10")
+  }
+
   test("q46 minhash candidates are supported by real prefix near-dups") {
     // Every q42 high-Jaccard pair should be recovered by LSH banding.
     val lsh = q("q46_dedup_minhash").select("id_a", "id_b")
