@@ -229,6 +229,33 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(recall >= 0.5, s"IVF nprobe=4/16 recall $recall vs exact top-10")
   }
 
+  test("GraftExtensions registers the native kernels as SQL functions") {
+    import org.apache.spark.sql.SparkSession
+    // build a second session (same SparkContext) so withExtensions
+    // actually applies — getOrCreate() would return the shared session
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
+        .getOrCreate()
+      val r = ext.sql(
+        """SELECT cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
+          |       lsh_signature(array(1.0d, 0.0d), 4) AS s""".stripMargin)
+        .collect().head
+      assert(r.getDouble(0) == 1.0)
+      assert(r.getString(1).length == 4 && r.getString(1).forall("01".contains(_)))
+      val ng = ext.sql(
+        "SELECT ngrams(array('a','b','c'), 2) AS g")
+        .collect().map(_.getString(0)).toSeq
+      assert(ng == Seq("a b", "b c"))
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("q46 minhash candidates are supported by real prefix near-dups") {
     // Every q42 high-Jaccard pair should be recovered by LSH banding.
     val lsh = q("q46_dedup_minhash").select("id_a", "id_b")
