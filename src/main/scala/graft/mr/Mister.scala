@@ -38,6 +38,25 @@ abstract class MisterJob[T, M, O] extends Serializable {
       .collect()
       .foldLeft(zero)(reduce)
   }
+
+  /** Scale variant of [[run]] for jobs whose `reduce` is associative
+    * and commutative with `M = O` (true of the reference's canonical
+    * Counter-merge word count): the fold happens as a tree on the
+    * executors (`treeReduce`) instead of serializing every worker
+    * output through the driver — at 1000 executors the driver handles
+    * O(log n) merged values, not n. Identical result to [[run]] for
+    * any lawful monoid reduce (asserted in spec). */
+  def runDistributed(ds: Dataset[T], parallelism: Int)(
+      implicit enc: Encoder[M], ev: M =:= O): O = {
+    val parts = if (parallelism > 0) ds.repartition(parallelism) else ds
+    val mapped = parts.mapPartitions(it => Iterator.single(map(it)))
+    if (mapped.isEmpty) zero
+    else {
+      val merged = mapped.rdd.treeReduce(
+        (a, b) => ev.flip(reduce(ev(a), b)), depth = 2)
+      reduce(zero, merged)
+    }
+  }
 }
 
 /** The reference README's flagship word-count job expressed in the

@@ -138,6 +138,14 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(out == Map("a" -> 1L, "b" -> 2L, "c" -> 1L))
   }
 
+  test("MisterJob.runDistributed (treeReduce) equals the driver-fold run") {
+    val texts = Tables(spark, sf, "documents")
+      .select(col("text")).as[String]
+    val job = new mr.WordCountJob()
+    assert(job.runDistributed(texts, 8) == job.run(texts, 8))
+    assert(job.runDistributed(spark.emptyDataset[String], 2) == Map.empty)
+  }
+
   test("CosineSimilarity expression agrees with the HOF formulation") {
     val em = Tables(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
