@@ -33,6 +33,36 @@ class PropertySpec extends SparkSpecBase {
     })
   }
 
+  test("lshSign is invariant under positive scaling and flips under negation") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def sig(v: Array[Double]): String =
+      org.apache.spark.sql.graft.VectorKernels
+        .lshSign(ArrayData.toArrayData(v), 16).toString
+    val vecGen = Gen.listOfN(64, Gen.choose(-1.0, 1.0)).map(_.toArray)
+    check(Prop.forAll(vecGen, Gen.choose(0.1, 100.0)) { (v, c) =>
+      // sign(dot(c·v, p)) == sign(dot(v, p)) for c > 0: bucket
+      // assignment depends only on direction, the property that makes
+      // the signature a valid cosine-LSH family
+      sig(v.map(_ * c)) == sig(v)
+    }, n = 50)
+    check(Prop.forAll(vecGen) { v =>
+      val s = sig(v); val f = sig(v.map(-_))
+      // negation flips every strictly-signed bit (dot -> -dot; only an
+      // exactly-zero dot maps '0'->'0', measure-zero for random v)
+      s.zip(f).forall { case (a, b) => a != b } || v.forall(_ == 0.0)
+    }, n = 50)
+  }
+
+  test("cosine kernel: ArrayData path is bit-equal to the primitive path") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val vecGen = Gen.listOfN(64, Gen.choose(-1.0, 1.0)).map(_.toArray)
+    check(Prop.forAll(vecGen, vecGen) { (x, y) =>
+      val k = org.apache.spark.sql.graft.VectorKernels
+      k.cosine(ArrayData.toArrayData(x), ArrayData.toArrayData(y)) ==
+        k.cosine(x, y)
+    }, n = 100)
+  }
+
   test("WordCountJob reduce: any partitioning yields the same totals") {
     check(Prop.forAll(Gen.nonEmptyListOf(Gen.alphaLowerStr.map(_.take(3))),
                       Gen.choose(1, 5)) { (words, nChunks) =>
