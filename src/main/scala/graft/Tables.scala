@@ -14,7 +14,10 @@ object Tables {
       // Spark 4 refuses to map to TimestampType (PARQUET_TYPE_ILLEGAL).
       // Read nanos as long and truncate to microseconds — the same
       // truncation DuckDB applies on read, so oracle parity holds.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // (guarded: don't re-mutate session conf on every read)
+      if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+            .contains("true"))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
     } else {
