@@ -270,4 +270,26 @@ object GraftFunctions {
   def cosineTopK(vec: Column, id: Column, coll: Column, k: Int): Column =
     ExpressionUtils.column(CosineTopK(ExpressionUtils.expression(vec),
       ExpressionUtils.expression(id), ExpressionUtils.expression(coll), k))
+
+  /** Spark's BloomFilterAggregate/BloomFilterMightContain live in the
+    * internal registry (the optimizer's runtime row-level filtering uses
+    * them); bridge them to the Column API for the explicit bloom-semi
+    * pattern (q74). */
+  def bloomFilterAgg(key: Column, items: Long, bits: Long): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        ExpressionUtils.expression(key),
+        org.apache.spark.sql.catalyst.expressions.Literal(items),
+        org.apache.spark.sql.catalyst.expressions.Literal(bits), 0, 0)
+        .toAggregateExpression())
+
+  /** might_contain requires its bloom input as a constant or scalar
+    * subquery (same wiring the optimizer's InjectRuntimeFilter builds):
+    * the one-row bloom aggregate becomes a ScalarSubquery expression. */
+  def mightContain(bloomDF: org.apache.spark.sql.DataFrame, value: Column): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+          bloomDF.queryExecution.analyzed),
+        ExpressionUtils.expression(value)))
 }

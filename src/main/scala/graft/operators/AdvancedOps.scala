@@ -97,6 +97,29 @@ object AdvancedOps extends OpModule {
         .orderBy("o_custkey")
     },
 
+    // Bloom-prefiltered semi join — the shuffle-reduction pattern for a
+    // 100 TB probe side: build a bloom filter over the (small, filtered)
+    // key set, broadcast the BITS (not the rows), drop definite
+    // non-members map-side BEFORE any shuffle, then run the exact semi
+    // join on the survivors. No false negatives means the result equals
+    // the plain semi join — which is exactly what the oracle asserts —
+    // while false positives only cost a little extra shuffle. (Spark's
+    // runtime row-level filtering injects this same shape automatically;
+    // declared here as the explicit, tunable operator.)
+    "q74_bloom_semi" -> { (s, d) =>
+      val hot = Tables(s, d, "orders")
+        .where(col("o_totalprice") > 300000)
+        .select(col("o_custkey"))
+      val G = org.apache.spark.sql.graft.GraftFunctions
+      val bf = hot.agg(G.bloomFilterAgg(col("o_custkey"), 10000L, 100000L)
+        .as("bf"))
+      Tables(s, d, "customer")
+        .where(G.mightContain(bf, col("c_custkey")))
+        .join(hot, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
     "q60_skew_salted" -> { (s, d) =>
       val e = Tables(s, d, "events")
         .select(col("user_id"), pmod(col("event_id"), lit(Salt)).as("sl"))
@@ -127,6 +150,12 @@ object AdvancedOps extends OpModule {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q74_bloom_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q60_skew_salted" ->
       """SELECT user_id, count(*) AS cnt
