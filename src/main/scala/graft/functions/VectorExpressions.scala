@@ -205,13 +205,6 @@ case class CosineTopK(vec: Expression, id: Expression, coll: Expression, k: Int)
     }
   }
 
-  /** Half-away-from-zero rounding at 4 dp on the scaled double — the
-    * arithmetic both Spark's and DuckDB's round(double, 4) perform. */
-  private def round4(x: Double): Double = {
-    val y = x * 10000.0
-    (if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)) / 10000.0
-  }
-
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val vEval = vec.eval(input)
     val cEval = coll.eval(input)
@@ -239,9 +232,12 @@ case class CosineTopK(vec: Expression, id: Expression, coll: Expression, k: Int)
     while (i < ids.length) {
       if (ids(i) > a) {
         val vb = vecs(i)
+        // min-length guard for ragged inputs, same as VectorKernels.cosine;
+        // rounding delegates to the shared cross-engine contract in Det
+        val n = math.min(va.length, vb.length)
         var dot = 0.0; var m = 0
-        while (m < va.length) { dot += va(m) * vb(m); m += 1 }
-        val cand = (round4(dot / (na * norms(i))), ids(i))
+        while (m < n) { dot += va(m) * vb(m); m += 1 }
+        val cand = (graft.Det.round4(dot / (na * norms(i))), ids(i))
         if (pq.size < k) pq.enqueue(cand)
         else if (ord.lt(cand, pq.head)) { pq.dequeue(); pq.enqueue(cand) }
       }

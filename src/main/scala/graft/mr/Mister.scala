@@ -50,7 +50,10 @@ abstract class MisterJob[T, M, O] extends Serializable {
       implicit enc: Encoder[M], ev: M =:= O): O = {
     val parts = if (parallelism > 0) ds.repartition(parallelism) else ds
     val mapped = parts.mapPartitions(it => Iterator.single(map(it)))
-    if (mapped.isEmpty) zero
+    // mapPartitions emits one row per partition (even empty ones), so
+    // treeReduce only lacks input on a zero-partition RDD — check the
+    // partition count (free) rather than isEmpty (an extra Spark job)
+    if (mapped.rdd.getNumPartitions == 0) zero
     else {
       val merged = mapped.rdd.treeReduce(
         (a, b) => ev.flip(reduce(ev(a), b)), depth = 2)

@@ -22,16 +22,16 @@ object AdvancedOps extends OpModule {
 
   private val Salt = 8
 
-  /** Writes the two bucketed tables once per (JVM, sfDir) — same caching
-    * discipline as PartitionedOps.partitionedEventsDir — under a stable
-    * per-sfDir path and sf-suffixed catalog names, so repeated
-    * Verify/Bench invocations neither rewrite ~all of lineitem nor leak
-    * a fresh /tmp dir per call. Returns (lineitemTable, ordersTable). */
-  private val bucketedCache = scala.collection.mutable.Map.empty[String, (String, String)]
+  /** Ensures the two bucketed tables exist for this (session, sfDir) —
+    * files are written at most once per sfDir (stable path, reused
+    * across JVMs via external-table registration), and registration is
+    * re-checked per call because catalog state is per-SparkSession (a
+    * second session in the same JVM has its own catalog, so a JVM-wide
+    * cache would hand it unregistered names). The tableExists probe is
+    * a cheap catalog lookup. Returns (lineitemTable, ordersTable). */
   private def bucketedTables(s: SparkSession, d: String): (String, String) =
     synchronized {
-      bucketedCache.getOrElseUpdate(d, {
-        val key = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val key = d.replaceAll("[^a-zA-Z0-9]", "_")
         val base = s"${sys.props("java.io.tmpdir")}/graft_bucket_$key"
         val (liT, orT) = (s"graft_li_bucketed_$key", s"graft_or_bucketed_$key")
         // Bucketed data written by a previous JVM survives at the stable
@@ -63,8 +63,7 @@ object AdvancedOps extends OpModule {
             .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
             .option("path", s"$base/or").saveAsTable(orT)
         }
-        (liT, orT)
-      })
+      (liT, orT)
     }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -182,9 +182,9 @@ object MultimodalExtOps extends OpModule {
         |       THEN CAST(ceil(strlen(text) / 96.0) AS BIGINT)
         |       ELSE CAST(ceil(strlen(text) / 2.0) AS BIGINT)
         |  END AS units,
-        |  CAST(list_sum(list_transform(range(1, length(text) + 1),
-        |                               i -> unicode(substr(text, i, 1))))
-        |       AS BIGINT) AS checksum
+        |  CAST(COALESCE(list_sum(list_transform(range(1, length(text) + 1),
+        |                                        i -> unicode(substr(text, i, 1)))),
+        |                0) AS BIGINT) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

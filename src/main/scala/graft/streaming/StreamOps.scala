@@ -30,9 +30,23 @@ object StreamOps extends OpModule {
         s"${sys.props("java.io.tmpdir")}/graft_stream_" +
           d.replaceAll("[^a-zA-Z0-9]", "_"))
       java.nio.file.Files.createDirectories(dir)
-      if (!java.nio.file.Files.exists(dir.resolve("events.parquet")))
+      val target = dir.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(target)) {
+        // copy to a scratch name then atomic-rename: an interrupted copy
+        // must never be mistaken for the staged file (same invariant as
+        // PartitionedOps' cache), and a concurrent second JVM either
+        // wins the rename or observes the winner's complete file
+        val scratch = java.nio.file.Files.createTempFile(dir, ".staging", ".tmp")
         java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
-                                 dir.resolve("events.parquet"))
+          scratch, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        try java.nio.file.Files.move(scratch, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileSystemException
+            if java.nio.file.Files.exists(target) => // lost the race
+            java.nio.file.Files.deleteIfExists(scratch)
+        }
+      }
       val qname = "graft_stream_demo"
       val query = s.readStream
         .schema(rawSchema)
