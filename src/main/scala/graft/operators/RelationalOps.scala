@@ -167,6 +167,34 @@ object RelationalOps extends OpModule {
         .orderBy(asc_nulls_first("st"))
     },
 
+    // Interval (range) join, bucketized — the scalable shape for
+    // point-in-interval matching: each 1-hour attribution interval
+    // explodes into its covered 15-minute buckets (≤5 rows), the point
+    // side computes its single bucket, and the join is an EQUI join on
+    // (user, bucket) + exact refine — a shuffle on a composite key
+    // instead of the inequality-only join that degenerates to a
+    // per-key cross product. Each point has one bucket, so a (click,
+    // signup) pair can match at most once — no dedup needed.
+    "q75_join_range" -> { (s, d) =>
+      val bucketUs = 900000000L          // 15 min
+      val windowUs = 3600000000L         // 1 h attribution window
+      val e = Tables(s, d, "events")
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id").as("cu"), unix_micros(col("ts")).as("cus"))
+        .withColumn("bk", expr(s"cus DIV $bucketUs"))
+      val signups = e.where(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id").as("su"),
+                unix_micros(col("ts")).as("sus"))
+        .withColumn("bk", explode(sequence(
+          expr(s"sus DIV $bucketUs"),
+          expr(s"(sus + ${windowUs - 1}) DIV $bucketUs"))))
+      clicks.join(signups, col("cu") === col("su") && clicks("bk") === signups("bk"))
+        .where(col("cus") >= col("sus") && col("cus") < col("sus") + windowUs)
+        .groupBy("signup_id")
+        .agg(count(lit(1)).as("clicks"))
+        .orderBy("signup_id")
+    },
+
     "q13_join_asof" -> { (s, d) =>
       val e = Tables(s, d, "events")
       val purchases = e.where(col("event_type") === "purchase")
@@ -273,6 +301,15 @@ object RelationalOps extends OpModule {
         |  count(st) AS cnt_nonnull, st IS NOT DISTINCT FROM 'F' AS is_f
         |FROM (SELECT nullif(o_orderstatus, 'P') AS st FROM orders)
         |GROUP BY st ORDER BY st NULLS FIRST""".stripMargin,
+
+    "q75_join_range" ->
+      """SELECT s.event_id AS signup_id, count(*) AS clicks
+        |FROM events s JOIN events c
+        |  ON s.event_type = 'signup' AND c.event_type = 'click'
+        | AND c.user_id = s.user_id
+        | AND epoch_us(c.ts) >= epoch_us(s.ts)
+        | AND epoch_us(c.ts) < epoch_us(s.ts) + 3600000000
+        |GROUP BY signup_id ORDER BY signup_id""".stripMargin,
 
     "q13_join_asof" ->
       """SELECT p.event_id, p.user_id, p.ts,
