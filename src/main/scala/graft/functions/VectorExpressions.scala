@@ -36,6 +36,26 @@ object VectorKernels {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Plain dot product — same sequential fold as [[cosine]]'s `dot`
+    * accumulator (independent accumulators, so splitting them off is
+    * bit-neutral). With per-vector stored norms this gives
+    * `dot(a,b)/(norm_a*norm_b)` == `cosine(a,b)` bit-for-bit while
+    * skipping the two norm loops per candidate pair. */
+  def dot(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var d = 0.0; var i = 0
+    while (i < n) { d += x.getDouble(i) * y.getDouble(i); i += 1 }
+    d
+  }
+
+  /** L2 norm — the same sum-of-squares fold as [[cosine]]'s `na`. */
+  def norm(x: ArrayData): Double = {
+    val n = x.numElements()
+    var nn = 0.0; var i = 0
+    while (i < n) { val a = x.getDouble(i); nn += a * a; i += 1 }
+    math.sqrt(nn)
+  }
+
   /** Random-hyperplane LSH sign signature: one '0'/'1' byte per plane.
     * Plane p's components come from an integer LCG —
     * `((i + p·64)·2654435761 mod 1000)/1000 − 0.5` for element i — so any
@@ -44,7 +64,11 @@ object VectorKernels {
     * (`list_sum(list_transform(...))`) performs. One pass over the
     * vector per plane, no per-row allocation beyond the output bytes. */
   def lshSign(v: ArrayData, planes: Int): UTF8String = {
-    val n = v.numElements()
+    // The plane stride (base = p*64) yields independent planes only for
+    // the declared 64-component contract (the oracle pins range(1,65));
+    // bound the fold there so longer vectors can't correlate plane p
+    // with plane p+1's LCG inputs or diverge from the SQL formulation.
+    val n = math.min(v.numElements(), 64)
     val out = new Array[Byte](planes)
     var p = 0
     while (p < planes) {
