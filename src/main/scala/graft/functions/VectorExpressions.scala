@@ -56,6 +56,39 @@ object VectorKernels {
     math.sqrt(nn)
   }
 
+  /** Nearest-centroid assignment by squared L2 (IVF coarse quantizer,
+    * q73): `cents` is an `array<struct<cid: long, cv: array<double>>>` —
+    * the whole (small) centroid table packed into ONE broadcast row —
+    * and the result is the cid minimizing sequential-fold
+    * `Σ (v_i − cv_i)²`, ties to the smaller cid. The fold order matches
+    * the SQL formulation (`list_sum(list_transform(...))`) element for
+    * element, so the chosen cell is bit-identical to the oracle's
+    * `row_number() OVER (ORDER BY dist, cid)` pick. Reads both
+    * ArrayData in place — no per-row allocation — so the assignment of
+    * n vectors to C centroids is one codegen'd map pass: zero shuffle,
+    * versus the crossJoin(n×C)+window-sort formulation it replaced. */
+  def argminCentroid(v: ArrayData, cents: ArrayData): Long = {
+    val c = cents.numElements()
+    var best = Double.PositiveInfinity
+    var bestCid = Long.MaxValue
+    var k = 0
+    while (k < c) {
+      val st = cents.getStruct(k, 2)
+      val cid = st.getLong(0)
+      val cv = st.getArray(1)
+      val n = math.min(v.numElements(), cv.numElements())
+      var dist = 0.0; var i = 0
+      while (i < n) {
+        val d = v.getDouble(i) - cv.getDouble(i); dist += d * d; i += 1
+      }
+      if (dist < best || (dist == best && cid < bestCid)) {
+        best = dist; bestCid = cid
+      }
+      k += 1
+    }
+    bestCid
+  }
+
   /** Random-hyperplane LSH sign signature: one '0'/'1' byte per plane.
     * Plane p's components come from an integer LCG —
     * `((i + p·64)·2654435761 mod 1000)/1000 − 0.5` for element i — so any
@@ -111,6 +144,36 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = org.apache.spark.sql.graft.VectorKernels.cosine($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd nearest-centroid assignment (the IVF coarse quantizer,
+  * SURVEY.md §2B q73): `left` is the vector column, `right` the packed
+  * centroid array — `array<struct<cid: long, cv: array<double>>>`,
+  * built by an executor-side `collect_list` over the (small) centroid
+  * set and shipped to every row via `crossJoin(broadcast(...))`, the
+  * q43/CosineTopK broadcast-packing mold. Whole-stage codegen'd, so
+  * assigning a 100 TB corpus to its cells is a pure map stage with no
+  * exchange; input types are enforced structurally by the builder in
+  * [[GraftFunctions.argminCentroid]] rather than ExpectsInputTypes
+  * (nested struct coercion would add nothing here).
+  */
+case class ArgminCentroid(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "argmin_centroid"
+
+  override protected def nullSafeEval(v: Any, cents: Any): Any =
+    VectorKernels.argminCentroid(
+      v.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, c) =>
+      s"${ev.value} = org.apache.spark.sql.graft.VectorKernels.argminCentroid($v, $c);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -286,6 +349,11 @@ object GraftFunctions {
 
   def lshSignature(vec: Column, planes: Int): Column =
     ExpressionUtils.column(LshSignature(ExpressionUtils.expression(vec), planes))
+
+  /** `vec`: array<double>; `cents`: array<struct<cid: long, cv: array<double>>>. */
+  def argminCentroid(vec: Column, cents: Column): Column =
+    ExpressionUtils.column(ArgminCentroid(
+      ExpressionUtils.expression(vec), ExpressionUtils.expression(cents)))
 
   def cosineTopK(vec: Column, id: Column, coll: Column, k: Int): Column =
     ExpressionUtils.column(CosineTopK(ExpressionUtils.expression(vec),

@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   *  - dimension joins (nation/region/part) are explicitly `broadcast()`;
   *    fact-fact joins (orders⋈lineitem) shuffle on the join key and are
   *    AQE-managed (skew split + partition coalescing on by default).
-  *  - the as-of join (q13) is expressed as a key-equi join plus max()
-  *    aggregation instead of a windowed union, so it shuffles once on
-  *    user_id and stays fully parallel.
+  *  - the as-of join (q13) is a union of the two event streams plus one
+  *    running `last()` window per user: one shuffle on user_id and
+  *    rows stay linear in the input. (The join-then-max formulation it
+  *    replaced materialized every purchase × earlier-signup pair per
+  *    user before aggregating — s·p rows for a hot user, quadratic on
+  *    skew.)
   */
 object RelationalOps extends OpModule {
 
@@ -195,17 +198,29 @@ object RelationalOps extends OpModule {
         .orderBy("signup_id")
     },
 
+    // As-of join as union + running last(): tag each event stream,
+    // interleave by (ts, kind) with signups(0) before purchases(1) so a
+    // same-instant signup is visible (signup_ts <= ts is inclusive),
+    // and carry the latest non-null signup_ts forward per user with a
+    // ROWS unbounded-preceding frame. Equal-ts signup ties are benign:
+    // every candidate carries the identical signup_ts value.
     "q13_join_asof" -> { (s, d) =>
       val e = Tables(s, d, "events")
       val purchases = e.where(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"))
+        .select(col("event_id"), col("user_id"), col("ts"), lit(1).as("kind"),
+                lit(null).cast("timestamp").as("signup_ts"))
       val signups = e.where(col("event_type") === "signup")
-        .select(col("user_id").as("su_user"), col("ts").as("signup_ts"))
-      purchases
-        .join(signups, col("user_id") === col("su_user") &&
-                       col("signup_ts") <= col("ts"), "left")
-        .groupBy("event_id", "user_id", "ts")
-        .agg(max("signup_ts").as("last_signup_ts"))
+        .select(lit(null).cast("long").as("event_id"), col("user_id"),
+                col("ts"), lit(0).as("kind"), col("ts").as("signup_ts"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "kind")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                     org.apache.spark.sql.expressions.Window.currentRow)
+      purchases.unionAll(signups)
+        .withColumn("last_signup_ts",
+                    last("signup_ts", ignoreNulls = true).over(w))
+        .where(col("kind") === 1)
+        .select("event_id", "user_id", "ts", "last_signup_ts")
         .orderBy("event_id")
     }
   )

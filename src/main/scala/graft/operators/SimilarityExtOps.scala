@@ -107,27 +107,34 @@ object SimilarityExtOps extends OpModule {
     // whole index is oracle-expressible), then answer a query by
     // probing only the nprobe nearest cells and exact-re-ranking their
     // members. At 100 TB the cell id becomes the partition key of the
-    // stored layout: assignment is one broadcast map pass, a query
-    // touches nprobe partitions instead of the corpus.
+    // stored layout: the centroid table packs into ONE broadcast row
+    // (collect_list, the q43 mold) and assignment is a zero-shuffle
+    // codegen'd map — the ArgminCentroid kernel — so the corpus never
+    // shuffles to be assigned; a query then touches nprobe partitions
+    // instead of the corpus. (Round ≤3 shape — crossJoin n×C then a
+    // row_number window over vec_id — shuffled and sorted C× the
+    // corpus to compute this embarrassingly-parallel argmin.)
     "q73_ann_ivf" -> { (s, d) =>
       val C = 16       // coarse centroids (sampled)
       val nprobe = 4   // cells probed per query
       val em = Tables(s, d, "embeddings").select(col("vec_id"), vec.as("v"))
       val cents = em.where(col("vec_id") < C)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
-      // squared-L2 to each centroid as the same sequential fold the
-      // oracle's list_sum performs (bit-identical doubles)
+      val packed = cents
+        .agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+      val assigned = em.crossJoin(broadcast(packed))
+        .select(col("vec_id"), col("v"),
+                GraftFunctions.argminCentroid(col("v"), col("cents")).as("cid"))
+      // probe selection is ONE query row × C centroids — negligible;
+      // squared-L2 as the same sequential fold the oracle's list_sum
+      // performs (bit-identical doubles, same as the assignment kernel)
       val l2 = aggregate(zip_with(col("v"), col("cv"),
                                   (a, b) => (a - b) * (a - b)),
                          lit(0.0), _ + _)
-      val dists = em.crossJoin(broadcast(cents)).select(
-        col("vec_id"), col("v"), col("cid"), l2.as("dist"))
-      val wAssign = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
-      val assigned = dists
-        .withColumn("rn", row_number().over(wAssign)).where(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("cid"))
-      val qv = em.where(col("vec_id") === 0).select(col("v").as("qv"))
-      val probeCells = dists.where(col("vec_id") === 0)
+      val qrow = em.where(col("vec_id") === 0)
+      val qv = qrow.select(col("v").as("qv"))
+      val probeCells = qrow.crossJoin(broadcast(cents))
+        .select(col("cid"), l2.as("dist"))
         .orderBy(col("dist"), col("cid")).limit(nprobe).select("cid")
       assigned.join(broadcast(probeCells), Seq("cid"))
         .where(col("vec_id") =!= 0)

@@ -67,6 +67,19 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q73: IVF assignment is a map-local codegen'd argmin, no window sort") {
+    val df = SparkEntry.queries("q73_ann_ivf")(spark, sf)
+    df.collect() // finalize the AQE plan
+    val p = df.queryExecution.executedPlan.toString
+    // the round-3 shape shuffled+sorted the n×C crossJoin through a
+    // row_number window; the assignment stage must now be shuffle-free
+    assert(!p.contains("Window"), s"window sort back in the assignment stage:\n$p")
+    // codegen'd map pass over the broadcast packed centroids
+    assert("""\*\(\d+\) Project \[[^\n]*argmin_centroid""".r.findFirstIn(p).isDefined, p)
+    assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
+      .isAssignableFrom(classOf[org.apache.spark.sql.graft.ArgminCentroid]))
+  }
+
   test("q52: LSH signature expression runs inside whole-stage codegen") {
     val df = SparkEntry.queries("q52_lsh_buckets")(spark, sf)
     df.collect()
@@ -103,6 +116,19 @@ class PlanShapeSpec extends SparkSpecBase {
   test("q63: join-derived partition predicate uses dynamic pruning") {
     val p = plan("q63_dynamic_pruning").toLowerCase
     assert(p.contains("dynamicpruning"), p)
+  }
+
+  test("q13: as-of is union + one window — no join, single user_id shuffle") {
+    val df = SparkEntry.queries("q13_join_asof")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the replaced shape joined purchases×signups per user (pair
+    // amplification); the union+last() shape must contain no join at all
+    assert(!p.contains("Join"), s"as-of regressed to a join:\n$p")
+    assert(p.contains("Window"), p)
+    // count shuffles in the final plan only (AQE echoes the initial plan)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert("""Exchange hashpartitioning\(user_id""".r.findAllIn(fin).size == 1, p)
   }
 
   test("q09/q10: semi and anti joins plan as joins, not subquery loops") {
