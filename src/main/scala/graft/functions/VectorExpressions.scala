@@ -39,8 +39,11 @@ object VectorKernels {
   /** Plain dot product — same sequential fold as [[cosine]]'s `dot`
     * accumulator (independent accumulators, so splitting them off is
     * bit-neutral). With per-vector stored norms this gives
-    * `dot(a,b)/(norm_a*norm_b)` == `cosine(a,b)` bit-for-bit while
-    * skipping the two norm loops per candidate pair. */
+    * `dot(a,b)/(norm_a*norm_b)` == `cosine(a,b)` bit-for-bit — FOR
+    * EQUAL-LENGTH vectors (the engine's dim=64 embedding contract):
+    * [[norm]] folds its whole vector while [[cosine]] folds only
+    * min(|x|,|y|) elements, so the decomposition diverges on ragged
+    * pairs. */
   def dot(x: ArrayData, y: ArrayData): Double = {
     val n = math.min(x.numElements(), y.numElements())
     var d = 0.0; var i = 0
@@ -48,7 +51,8 @@ object VectorKernels {
     d
   }
 
-  /** L2 norm — the same sum-of-squares fold as [[cosine]]'s `na`. */
+  /** L2 norm — the same sum-of-squares fold as [[cosine]]'s `na`
+    * (over the FULL vector; see the equal-length caveat on [[dot]]). */
   def norm(x: ArrayData): Double = {
     val n = x.numElements()
     var nn = 0.0; var i = 0
@@ -148,6 +152,56 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd dot product over two `array<double>` columns — the
+  * per-candidate-pair half of the stored-norm cosine decomposition
+  * `dot(a,b)/(norm_a*norm_b)` used by the re-rank stages of q56/q71/
+  * q73. The norms are computed ONCE per vector (one [[VectorNorm]] in
+  * the signature/assignment projection, n folds total) instead of once
+  * per candidate pair (up to n² folds inside [[CosineSimilarity]]), so
+  * a re-rank over P pairs does P+n vector folds instead of 3P. Equal
+  * vector lengths (the dim=64 embedding contract) make the split
+  * bit-identical to the fused kernel — see [[VectorKernels.dot]].
+  */
+case class DotProduct(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = org.apache.spark.sql.graft.VectorKernels.dot($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd L2 norm of an `array<double>` column — the once-per-vector
+  * half of the stored-norm decomposition (see [[DotProduct]]). */
+case class VectorNorm(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vector_norm"
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorKernels.norm(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.VectorKernels.norm($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Codegen'd nearest-centroid assignment (the IVF coarse quantizer,
@@ -349,6 +403,13 @@ object GraftFunctions {
 
   def lshSignature(vec: Column, planes: Int): Column =
     ExpressionUtils.column(LshSignature(ExpressionUtils.expression(vec), planes))
+
+  def dotProduct(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProduct(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def vectorNorm(vec: Column): Column =
+    ExpressionUtils.column(VectorNorm(ExpressionUtils.expression(vec)))
 
   /** `vec`: array<double>; `cents`: array<struct<cid: long, cv: array<double>>>. */
   def argminCentroid(vec: Column, cents: Column): Column =

@@ -84,19 +84,26 @@ object SimilarityExtOps extends OpModule {
     },
 
     // Embedding-based near-dup detection, composed from the scale-path
-    // pieces: banded LSH candidates -> exact cosine verification (the
-    // codegen'd kernel) -> threshold. Cost is O(Bands · Σ bucket²),
-    // never all-pairs; the vectors are re-joined by id so only (a, b)
-    // id pairs pass through the distinct.
+    // pieces: banded LSH candidates -> exact cosine verification ->
+    // threshold. Cost is O(Bands · Σ bucket²), never all-pairs; the
+    // vectors are re-joined by id so only (a, b) id pairs pass through
+    // the distinct. Verification uses the stored-norm decomposition:
+    // each side's L2 norm is computed ONCE in the base projection
+    // (n folds) and the per-pair work is a single dot fold —
+    // bit-identical to the fused cosine kernel at the engine's fixed
+    // dim=64 (see VectorKernels.dot).
     "q56_dedup_embedding" -> { (s, d) =>
       val base = Tables(s, d, "embeddings")
-        .select(col("vec_id"), vec.as("v"), sigColumn.as("sig"))
+        .select(col("vec_id"), vec.as("v"), sigColumn.as("sig"),
+                GraftFunctions.vectorNorm(vec).as("nv"))
       bandedPairs(base)
-        .join(base.select(col("vec_id").as("a"), col("v").as("va")), Seq("a"))
-        .join(base.select(col("vec_id").as("b"), col("v").as("vb")), Seq("b"))
+        .join(base.select(col("vec_id").as("a"), col("v").as("va"),
+                          col("nv").as("na")), Seq("a"))
+        .join(base.select(col("vec_id").as("b"), col("v").as("vb"),
+                          col("nv").as("nb")), Seq("b"))
         .select(col("a"), col("b"),
-                round(GraftFunctions.cosineSimilarity(col("va"), col("vb")), 4)
-                  .as("sim"))
+                round(GraftFunctions.dotProduct(col("va"), col("vb")) /
+                      (col("na") * col("nb")), 4).as("sim"))
         .where(col("sim") >= 0.4)
         .orderBy("a", "b")
     },
@@ -122,8 +129,11 @@ object SimilarityExtOps extends OpModule {
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       val packed = cents
         .agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+      // norm rides along in the same zero-shuffle map pass as the cell
+      // assignment, so the probe-time re-rank is one dot fold per member
       val assigned = em.crossJoin(broadcast(packed))
         .select(col("vec_id"), col("v"),
+                GraftFunctions.vectorNorm(col("v")).as("nv"),
                 GraftFunctions.argminCentroid(col("v"), col("cents")).as("cid"))
       // probe selection is ONE query row × C centroids — negligible;
       // squared-L2 as the same sequential fold the oracle's list_sum
@@ -132,7 +142,8 @@ object SimilarityExtOps extends OpModule {
                                   (a, b) => (a - b) * (a - b)),
                          lit(0.0), _ + _)
       val qrow = em.where(col("vec_id") === 0)
-      val qv = qrow.select(col("v").as("qv"))
+      val qv = qrow.select(col("v").as("qv"),
+                           GraftFunctions.vectorNorm(col("v")).as("qn"))
       val probeCells = qrow.crossJoin(broadcast(cents))
         .select(col("cid"), l2.as("dist"))
         .orderBy(col("dist"), col("cid")).limit(nprobe).select("cid")
@@ -140,8 +151,8 @@ object SimilarityExtOps extends OpModule {
         .where(col("vec_id") =!= 0)
         .crossJoin(broadcast(qv))
         .select(col("vec_id"),
-                round(GraftFunctions.cosineSimilarity(col("v"), col("qv")), 4)
-                  .as("sim"))
+                round(GraftFunctions.dotProduct(col("v"), col("qv")) /
+                      (col("nv") * col("qn")), 4).as("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(10)
     },
@@ -149,11 +160,15 @@ object SimilarityExtOps extends OpModule {
     // Batched ANN: N query vectors × banded LSH buckets -> exact
     // re-rank -> per-query top-k. The query side is broadcast (N rows);
     // the collection side shuffles once per band on the 8-bit band key.
+    // Re-rank is the stored-norm decomposition (one norm fold per
+    // vector in the base projection, one dot fold per candidate pair).
     "q71_ann_batch" -> { (s, d) =>
       val base = Tables(s, d, "embeddings")
-        .select(col("vec_id"), vec.as("v"), sigColumn.as("sig"))
+        .select(col("vec_id"), vec.as("v"), sigColumn.as("sig"),
+                GraftFunctions.vectorNorm(vec).as("nv"))
       val qs = base.where(col("vec_id") < BatchQueries)
-        .select(col("vec_id").as("qid"), col("v").as("qv"), col("sig").as("qsig"))
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+                col("sig").as("qsig"), col("nv").as("qn"))
       val cands = (0 until Bands).map { b =>
         broadcast(qs.select(col("qid"), band(col("qsig"), b).as("bk")))
           .join(base.select(col("vec_id").as("cid"), band(col("sig"), b).as("bk")),
@@ -161,11 +176,12 @@ object SimilarityExtOps extends OpModule {
           .select("qid", "cid")
       }.reduce(_.unionAll(_)).where(col("qid") =!= col("cid")).distinct()
       val scored = cands
-        .join(broadcast(qs.select(col("qid"), col("qv"))), Seq("qid"))
-        .join(base.select(col("vec_id").as("cid"), col("v").as("cv")), Seq("cid"))
+        .join(broadcast(qs.select(col("qid"), col("qv"), col("qn"))), Seq("qid"))
+        .join(base.select(col("vec_id").as("cid"), col("v").as("cv"),
+                          col("nv").as("cn")), Seq("cid"))
         .select(col("qid"), col("cid"),
-                round(GraftFunctions.cosineSimilarity(col("qv"), col("cv")), 4)
-                  .as("sim"))
+                round(GraftFunctions.dotProduct(col("qv"), col("cv")) /
+                      (col("qn") * col("cn")), 4).as("sim"))
       val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
       scored.select(col("qid"), col("cid"), col("sim"),
                     row_number().over(w).cast("long").as("rk"))

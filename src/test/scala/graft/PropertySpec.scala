@@ -63,6 +63,19 @@ class PropertySpec extends SparkSpecBase {
     }, n = 100)
   }
 
+  test("stored-norm decomposition dot/(na*nb) is bit-equal to fused cosine") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    // the re-rank contract of q56/q71/q73: for equal-length vectors
+    // (dim=64 embedding contract) splitting the fused kernel into a
+    // stored norm per vector + a dot per pair changes no bits
+    val vecGen = Gen.listOfN(64, Gen.choose(-1.0, 1.0)).map(_.toArray)
+    check(Prop.forAll(vecGen, vecGen) { (x, y) =>
+      val k = org.apache.spark.sql.graft.VectorKernels
+      val (ax, ay) = (ArrayData.toArrayData(x), ArrayData.toArrayData(y))
+      k.dot(ax, ay) / (k.norm(ax) * k.norm(ay)) == k.cosine(ax, ay)
+    }, n = 100)
+  }
+
   test("WordCountJob reduce: any partitioning yields the same totals") {
     check(Prop.forAll(Gen.nonEmptyListOf(Gen.alphaLowerStr.map(_.take(3))),
                       Gen.choose(1, 5)) { (words, nChunks) =>
