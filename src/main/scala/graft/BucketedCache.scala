@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Write-once cache for bucketed parquet tables (SURVEY.md §4's
+  * co-located-join layout): the production discipline of "bucket the
+  * fact table once, register it, query it many times" for q59's
+  * zero-exchange join and q76's persisted dedup signature index.
+  *
+  * Concurrency invariant: the bucketed files are written to a scratch
+  * directory and atomic-renamed into the stable per-(name, sfDir) path,
+  * so a reader can NEVER observe a half-written layout — it either sees
+  * nothing (and becomes a writer) or the complete winner (`_SUCCESS`
+  * inside the renamed dir). Two JVMs racing both write scratch copies;
+  * exactly one rename wins, the loser discards its scratch. This closes
+  * the clobber window the previous in-place `saveAsTable` had, where two
+  * processes could interleave writes into the SAME final directory and
+  * then register a corrupt mix. In-JVM, `synchronized` serializes
+  * writers; catalog registration is re-checked per call because catalog
+  * state is per-SparkSession.
+  */
+object BucketedCache {
+
+  /** Ensures a `buckets`-bucketed, key-sorted parquet table built from
+    * `build` exists for (name, sfDir) and is registered in `s`'s
+    * catalog. `columnsDdl` is the table's column list for external
+    * registration (e.g. "l_orderkey BIGINT, l_quantity DOUBLE").
+    * Returns the table name. */
+  def ensure(s: SparkSession, sfDir: String, name: String, columnsDdl: String,
+             key: String, buckets: Int)(build: => DataFrame): String =
+    synchronized {
+      val sfKey = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+      val tbl = s"graft_${name}_$sfKey"
+      val path = java.nio.file.Paths.get(
+        s"${sys.props("java.io.tmpdir")}/graft_bucket_${name}_$sfKey")
+      def ready: Boolean =
+        java.nio.file.Files.exists(path.resolve("_SUCCESS"))
+      if (!ready) {
+        // A final dir without _SUCCESS is a crashed writer's leftover
+        // (concurrent writers only ever rename COMPLETE dirs into
+        // place): clear it so the rename below can land.
+        deleteTree(path)
+        val scratchRoot =
+          java.nio.file.Files.createTempDirectory("graft_bucket_scratch")
+        val scratch = scratchRoot.resolve("data")
+        // bucketBy requires saveAsTable: write under a throwaway
+        // catalog name pointing at the scratch path, then detach it
+        val scratchTbl =
+          tbl + "_scratch_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        try {
+          // repartition on the bucket key first: HashPartitioning(key, n)
+          // matches the bucket assignment, so each task owns exactly one
+          // bucket → n files instead of (input partitions × n) fragments
+          build.repartition(buckets, col(key))
+            .write.mode("overwrite").bucketBy(buckets, key).sortBy(key)
+            .option("path", scratch.toString).saveAsTable(scratchTbl)
+          s.sql(s"DROP TABLE IF EXISTS $scratchTbl") // external: files stay
+          try java.nio.file.Files.move(scratch, path,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            // lost a cross-process race (ENOTEMPTY/EEXIST): accept the
+            // winner's complete copy
+            case _: java.nio.file.FileSystemException if ready =>
+          }
+        } finally deleteTree(scratchRoot) // no-op for the moved dir
+      }
+      if (!s.catalog.tableExists(tbl)) {
+        s.sql(s"""CREATE TABLE $tbl ($columnsDdl)
+                 |USING parquet
+                 |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+                 |LOCATION '$path'""".stripMargin)
+      }
+      tbl
+    }
+
+  private def deleteTree(root: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator.asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+}

@@ -357,8 +357,10 @@ case class CosineTopK(vec: Expression, id: Expression, coll: Expression, k: Int)
         // same broadcast buffer as the previous probe row: reuse decode
       case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
         decode(u); cachedBase = u.getBaseObject; cachedOffset = u.getBaseOffset
+      case other if other eq cachedBase =>
+        // same materialized (non-Unsafe) collection object: reuse decode
       case other =>
-        decode(other); cachedBase = null; cachedOffset = -1L
+        decode(other); cachedBase = other; cachedOffset = -1L
     }
     val va = vEval.asInstanceOf[ArrayData].toDoubleArray()
     val a = id.eval(input).asInstanceOf[Long]

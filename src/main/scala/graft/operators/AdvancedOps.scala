@@ -22,49 +22,16 @@ object AdvancedOps extends OpModule {
 
   private val Salt = 8
 
-  /** Ensures the two bucketed tables exist for this (session, sfDir) —
-    * files are written at most once per sfDir (stable path, reused
-    * across JVMs via external-table registration), and registration is
-    * re-checked per call because catalog state is per-SparkSession (a
-    * second session in the same JVM has its own catalog, so a JVM-wide
-    * cache would hand it unregistered names). The tableExists probe is
-    * a cheap catalog lookup. Returns (lineitemTable, ordersTable). */
-  private def bucketedTables(s: SparkSession, d: String): (String, String) =
-    synchronized {
-      val key = d.replaceAll("[^a-zA-Z0-9]", "_")
-        val base = s"${sys.props("java.io.tmpdir")}/graft_bucket_$key"
-        val (liT, orT) = (s"graft_li_bucketed_$key", s"graft_or_bucketed_$key")
-        // Bucketed data written by a previous JVM survives at the stable
-        // path (complete iff Spark's _SUCCESS marker exists) — register
-        // it as an external bucketed table instead of rewriting: the
-        // production discipline (write once, register, query many).
-        def ready(sub: String): Boolean =
-          java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/$sub/_SUCCESS"))
-        def register(t: String, sub: String, k: String, v: String): Unit =
-          s.sql(s"""CREATE TABLE $t ($k BIGINT, $v)
-                   |USING parquet
-                   |CLUSTERED BY ($k) SORTED BY ($k) INTO 8 BUCKETS
-                   |LOCATION '$base/$sub'""".stripMargin)
-        // repartition on the bucket key first: HashPartitioning(key, 8)
-        // uses the same murmur3-mod-8 as the bucket assignment, so each
-        // task owns exactly one bucket → 8 files per table instead of
-        // (input partitions × 8) bucket fragments
-        if (!s.catalog.tableExists(liT)) {
-          if (ready("li")) register(liT, "li", "l_orderkey", "l_quantity DOUBLE")
-          else Tables(s, d, "lineitem").select("l_orderkey", "l_quantity")
-            .repartition(8, col("l_orderkey"))
-            .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-            .option("path", s"$base/li").saveAsTable(liT)
-        }
-        if (!s.catalog.tableExists(orT)) {
-          if (ready("or")) register(orT, "or", "o_orderkey", "o_custkey BIGINT")
-          else Tables(s, d, "orders").select("o_orderkey", "o_custkey")
-            .repartition(8, col("o_orderkey"))
-            .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-            .option("path", s"$base/or").saveAsTable(orT)
-        }
-      (liT, orT)
-    }
+  /** Ensures the two bucketed tables exist for this (session, sfDir).
+    * All the write-once / atomic-rename / external-registration
+    * machinery lives in [[graft.BucketedCache]]. */
+  private def bucketedTables(s: SparkSession, d: String): (String, String) = (
+    graft.BucketedCache.ensure(s, d, "li_bucketed",
+        "l_orderkey BIGINT, l_quantity DOUBLE", "l_orderkey", 8)(
+      Tables(s, d, "lineitem").select("l_orderkey", "l_quantity")),
+    graft.BucketedCache.ensure(s, d, "or_bucketed",
+        "o_orderkey BIGINT, o_custkey BIGINT", "o_orderkey", 8)(
+      Tables(s, d, "orders").select("o_orderkey", "o_custkey")))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_pivot" -> { (s, d) =>

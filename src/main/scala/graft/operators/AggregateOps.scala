@@ -127,6 +127,25 @@ object AggregateOps extends OpModule {
           expr("max_by(o_orderkey, o_totalprice)").as("top_order"),
           expr("min_by(o_orderkey, o_totalprice)").as("bottom_order"))
         .orderBy("o_orderpriority")
+    },
+
+    // ◐ approx_percentile companion to q64 — the 100 TB form: exact
+    // `percentile` buffers every value per group (O(group) memory, a
+    // non-starter at scale), while the Greenwald-Khanna sketch behind
+    // approx_percentile is constant-memory per group and merges across
+    // partials. Sketch outputs never hash-match across engines, so this
+    // stays no-oracle by contract; AggregateSpec bounds the relative
+    // error against the exact percentiles instead (both emitted here,
+    // side by side, to make the comparison a plain column check).
+    "q77_agg_approx_pct" -> { (s, d) =>
+      Tables(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          expr("approx_percentile(o_totalprice, 0.5, 1000)").as("ap50"),
+          expr("approx_percentile(o_totalprice, 0.9, 1000)").as("ap90"),
+          round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"))
+        .orderBy("o_orderpriority")
     }
   )
 

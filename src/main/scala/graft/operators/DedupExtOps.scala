@@ -28,6 +28,21 @@ object DedupExtOps extends OpModule {
     (0 until NumHashes).map(i =>
       min(substring(concat(col("m"), col("m")), 1 + 4 * i, 32)).as(s"h$i"))
 
+  /** One row per (doc, band) with a single composite band key
+    * `bk = "<band>:<sig>"` — q46's banding flattened to the one-column
+    * form a persisted signature index buckets on. */
+  private def bandKeys(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+              org.apache.spark.sql.graft.GraftFunctions
+                .ngrams(split(col("text"), " "), 3).as("sh"))
+      .select(col("doc_id"), md5(col("sh")).as("m"))
+    toks.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"), explode(array((0 until Bands).map(j =>
+        concat(lit(s"$j:"), col(s"h${2 * j}"), col(s"h${2 * j + 1}"))): _*))
+        .as("bk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_dedup_minhash" -> { (s, d) =>
       // Shingle (3-token), not unigram: the corpus vocabulary is small,
@@ -75,6 +90,39 @@ object DedupExtOps extends OpModule {
           count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
         .select("doc_id", "fp", "bucket_size")
         .orderBy("doc_id")
+    },
+
+    // Incremental dedup — the operation a training-data pipeline runs
+    // daily: a NEW batch of documents (odd doc_ids here) is deduped
+    // against a PERSISTED band-signature index built once from the
+    // existing corpus (even doc_ids), never by re-banding the whole
+    // corpus. The index is a bucketed table on the band key, so the
+    // index side of the probe join reads its buckets with NO shuffle —
+    // at 100 TB the daily cost is O(batch) banding + one batch-side
+    // shuffle, while the corpus index is written once and only ever
+    // read. New×new candidates come from a batch self-join (the batch
+    // is small relative to the corpus). Both joins emit one row per
+    // shared band; the pair count is the LSH candidate strength.
+    "q76_dedup_incremental" -> { (s, d) =>
+      val idxT = graft.BucketedCache.ensure(s, d, "bandidx",
+          "bk STRING, doc_id BIGINT", "bk", 8)(
+        bandKeys(Tables(s, d, "documents").where(col("doc_id") % 2 === 0))
+          .select("bk", "doc_id"))
+      val batch = bandKeys(
+        Tables(s, d, "documents").where(col("doc_id") % 2 === 1))
+        .select(col("bk"), col("doc_id").as("new_id"))
+      val index = s.table(idxT).select(col("bk"), col("doc_id").as("old_id"))
+      val newVsOld = batch.join(index.hint("merge"), Seq("bk"))
+        .select(least(col("new_id"), col("old_id")).as("id_a"),
+                greatest(col("new_id"), col("old_id")).as("id_b"))
+      val newVsNew = batch
+        .join(batch.select(col("bk"), col("new_id").as("other_id")), Seq("bk"))
+        .where(col("new_id") < col("other_id"))
+        .select(col("new_id").as("id_a"), col("other_id").as("id_b"))
+      newVsOld.unionAll(newVsNew)
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("n_bands"))
+        .orderBy("id_a", "id_b")
     }
   )
 
@@ -106,6 +154,17 @@ object DedupExtOps extends OpModule {
          |SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_bands
          |FROM bands x JOIN bands y
          |  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+         |GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin,
+
+    // the incremental split (new = odd doc_ids vs index = the rest) must
+    // produce exactly the full self-join's pairs restricted to those
+    // touching at least one new doc — that restriction IS the oracle
+    "q76_dedup_incremental" ->
+      s"""$minhashCte
+         |SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_bands
+         |FROM bands x JOIN bands y
+         |  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+         |WHERE x.doc_id % 2 = 1 OR y.doc_id % 2 = 1
          |GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin,
 
     "q47_dedup_simhash" ->

@@ -5,38 +5,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-/** Structured Streaming demo (SURVEY.md §2B stream_demo): the q36
-  * tumbling-window aggregation re-run as a real `readStream` →
-  * watermark → windowed agg → memory-sink pipeline with
-  * `Trigger.AvailableNow`. Batch/stream parity means it shares q36's
-  * oracle.
+/** Structured Streaming demos (SURVEY.md §2B):
   *
-  * Scale notes: in production this runs micro-batch with a RocksDB
-  * state store; the 10-minute watermark bounds window state and drops
-  * late rows (exercised with a two-batch file source in
-  * StreamingSpec — with AvailableNow over a static file nothing is
-  * late, so parity with the batch oracle holds exactly).
+  *  - stream_demo: the q36 tumbling-window aggregation re-run as a real
+  *    `readStream` → watermark → windowed agg → memory-sink pipeline
+  *    with `Trigger.AvailableNow`. Batch/stream parity means it shares
+  *    q36's oracle.
+  *  - q78_stream_stream_join: q75's click-attribution interval join as
+  *    a watermarked STREAM⋈STREAM inner join — each side bounds the
+  *    other's state via the event-time range condition, so the join
+  *    runs with finite state on an unbounded stream. Shares q75's
+  *    oracle (with AvailableNow over a static file nothing is late, so
+  *    the streaming result equals the batch interval join exactly).
+  *
+  * Scale notes: in production these run micro-batch with a RocksDB
+  * state store; watermarks bound window/join state and drop late rows
+  * (exercised with two-batch file sources in StreamingSpec).
   */
 object StreamOps extends OpModule {
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_demo" -> { (s, d) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
-      // The file stream source wants a directory; stage the input file
-      // into one. Stable per-sfDir path: repeated runs reuse it instead
-      // of leaking a fresh temp dir per invocation.
-      val dir = java.nio.file.Paths.get(
-        s"${sys.props("java.io.tmpdir")}/graft_stream_" +
-          d.replaceAll("[^a-zA-Z0-9]", "_"))
-      java.nio.file.Files.createDirectories(dir)
-      val target = dir.resolve("events.parquet")
-      if (!java.nio.file.Files.exists(target)) {
-        // copy to a scratch name then atomic-rename: an interrupted copy
-        // must never be mistaken for the staged file (same invariant as
-        // PartitionedOps' cache), and a concurrent second JVM either
-        // wins the rename or observes the winner's complete file
-        val scratch = java.nio.file.Files.createTempFile(dir, ".staging", ".tmp")
+  /** Stages the sfDir's events file into a per-sfDir directory (the
+    * file stream source wants a directory). Stable path: repeated runs
+    * reuse it; scratch + atomic rename means a concurrent second JVM
+    * either wins the rename or observes the winner's complete file, and
+    * the scratch copy is cleaned up on every path. */
+  private def stagedEventsDir(d: String): String = {
+    val dir = java.nio.file.Paths.get(
+      s"${sys.props("java.io.tmpdir")}/graft_stream_" +
+        d.replaceAll("[^a-zA-Z0-9]", "_"))
+    java.nio.file.Files.createDirectories(dir)
+    val target = dir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(target)) {
+      val scratch = java.nio.file.Files.createTempFile(dir, ".staging", ".tmp")
+      try {
         java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
           scratch, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         try java.nio.file.Files.move(scratch, target,
@@ -44,27 +45,69 @@ object StreamOps extends OpModule {
         catch {
           case _: java.nio.file.FileSystemException
             if java.nio.file.Files.exists(target) => // lost the race
-            java.nio.file.Files.deleteIfExists(scratch)
         }
-      }
-      val qname = "graft_stream_demo"
-      val query = s.readStream
-        .schema(rawSchema)
-        .parquet(dir.toString)
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      } finally java.nio.file.Files.deleteIfExists(scratch)
+    }
+    dir.toString
+  }
+
+  /** File-source event stream with µs event time (ns parquet → µs). */
+  private def eventStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    s.readStream.schema(rawSchema).parquet(stagedEventsDir(d))
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** Runs `df` to completion into a memory sink and returns the sink
+    * table. AvailableNow processes the staged file then stops. */
+  private def runToMemory(s: SparkSession, df: DataFrame, qname: String,
+                          mode: String): DataFrame = {
+    val query = df.writeStream
+      .format("memory").queryName(qname)
+      .outputMode(mode).trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.table(qname)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_demo" -> { (s, d) =>
+      val agg = eventStream(s, d)
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"))
         .select(col("window.start").as("hour_start"), col("event_type"),
                 col("cnt"))
-        .writeStream
-        .format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
-      s.table(qname).orderBy("hour_start", "event_type")
+      runToMemory(s, agg, "graft_stream_demo", "complete")
+        .orderBy("hour_start", "event_type")
+    },
+
+    "q78_stream_stream_join" -> { (s, d) =>
+      val clicks = eventStream(s, d)
+        .where(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("cts"))
+        .withWatermark("cts", "1 hour")
+      val signups = eventStream(s, d)
+        .where(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id").as("su"),
+                col("ts").as("sts"))
+        .withWatermark("sts", "1 hour")
+      // Inner join with an event-time range condition: Spark derives a
+      // state watermark from it — a buffered click is dropped once no
+      // future signup can reach back to it (cts < sts is impossible
+      // after watermark passes cts) and vice versa, so state stays
+      // bounded. Matches emit as they occur (append mode).
+      val joined = clicks.join(signups,
+        col("cu") === col("su") &&
+          col("cts") >= col("sts") &&
+          col("cts") < col("sts") + expr("INTERVAL 1 HOUR"))
+      // the per-signup count is a plain batch aggregate over the sink:
+      // the stateful stream-stream part is the join itself
+      runToMemory(s, joined, "graft_stream_join", "append")
+        .groupBy("signup_id")
+        .agg(count(lit(1)).as("clicks"))
+        .orderBy("signup_id")
     }
   )
 
@@ -72,6 +115,17 @@ object StreamOps extends OpModule {
     "stream_demo" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS cnt
         |FROM events GROUP BY hour_start, event_type
-        |ORDER BY hour_start, event_type""".stripMargin
+        |ORDER BY hour_start, event_type""".stripMargin,
+
+    // identical to q75's oracle: the streaming join must reproduce the
+    // batch interval join bit-for-bit
+    "q78_stream_stream_join" ->
+      """SELECT s.event_id AS signup_id, count(*) AS clicks
+        |FROM events s JOIN events c
+        |  ON s.event_type = 'signup' AND c.event_type = 'click'
+        | AND c.user_id = s.user_id
+        | AND epoch_us(c.ts) >= epoch_us(s.ts)
+        | AND epoch_us(c.ts) < epoch_us(s.ts) + 3600000000
+        |GROUP BY signup_id ORDER BY signup_id""".stripMargin
   )
 }

@@ -101,6 +101,25 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(math.abs(approx - exact) <= 0.05 * exact)
   }
 
+  test("q77 approx percentiles within 1% of exact (SURVEY §2B tolerance)") {
+    val rows = q("q77_agg_approx_pct").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(3)) <= 0.01 * r.getDouble(3), r)
+      assert(math.abs(r.getDouble(2) - r.getDouble(4)) <= 0.01 * r.getDouble(4), r)
+    }
+  }
+
+  test("q76 incremental dedup equals the full self-join restricted to new pairs") {
+    // the batch-vs-index split must lose nothing and invent nothing:
+    // its output is exactly q46's corpus self-join filtered to pairs
+    // touching at least one new (odd doc_id) document
+    val expected = q("q46_dedup_minhash").as[(Long, Long, Long)].collect()
+      .filter { case (a, b, _) => a % 2 == 1 || b % 2 == 1 }.toSeq
+    val got = q("q76_dedup_incremental").as[(Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
   test("MediaCodec BMP round-trip: header fields and payload checksum") {
     import operators.MultimodalExtOps.MediaCodec
     val data = Array.tabulate(200)(i => (i % 251).toByte)

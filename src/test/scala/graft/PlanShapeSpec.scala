@@ -131,6 +131,33 @@ class PlanShapeSpec extends SparkSpecBase {
     assert("""Exchange hashpartitioning\(user_id""".r.findAllIn(fin).size == 1, p)
   }
 
+  test("q76: persisted band index joins without shuffling the index side") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // plan without AQE so the tree is traversable without query-stage
+    // wrappers; the invariant under test is static (EnsureRequirements
+    // accepts the bucketed scan's HashPartitioning(bk, 8) as-is)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q76_dedup_incremental")(spark, sf)
+      val plan = df.queryExecution.executedPlan
+      assert(plan.toString.contains("SelectedBucketsCount"), plan)
+      // walk from the root to the index scan: no shuffle may sit on the
+      // path — the whole point of the persisted bucketed layout is that
+      // the (100 TB) index side is never re-shuffled per batch
+      def exchangeOnPathToIndexScan(p: SparkPlan): Option[Boolean] = p match {
+        case s: FileSourceScanExec
+          if s.tableIdentifier.exists(_.table.startsWith("graft_bandidx")) =>
+          Some(false)
+        case _ =>
+          p.children.flatMap(exchangeOnPathToIndexScan).headOption
+            .map(_ || p.isInstanceOf[ShuffleExchangeLike])
+      }
+      assert(exchangeOnPathToIndexScan(plan).contains(false),
+             s"index side shuffled (or scan not found):\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q09/q10: semi and anti joins plan as joins, not subquery loops") {
     assert(plan("q09_join_semi").contains("LeftSemi"))
     assert(plan("q10_join_anti").contains("LeftAnti"))

@@ -148,4 +148,56 @@ class StreamingSpec extends SparkSpecBase {
              s"late row must not reopen or re-emit the 10:00 window: ${after2.toSeq}")
     } finally q.stop()
   }
+
+  test("stream-stream join drops late rows once the watermark passes them") {
+    val dir = Files.createTempDirectory("graft_ssjoin_late")
+    val in = dir.resolve("in"); Files.createDirectory(in)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def writeBatch(rows: Seq[(Long, Long, java.sql.Timestamp, String)]): Unit =
+      rows.toDF("event_id", "user_id", "ts", "event_type")
+        .coalesce(1).write.mode("append").parquet(in.toString)
+
+    // Batch 1: signup+click pair for user 1 (a match), plus rows at
+    // 20:00 on BOTH streams pushing both watermarks to 19:00.
+    writeBatch(Seq(
+      (100L, 1L, ts("2024-01-01 10:00:00"), "signup"),
+      (101L, 1L, ts("2024-01-01 10:30:00"), "click"),
+      (102L, 6L, ts("2024-01-01 20:00:00"), "signup"),
+      (103L, 5L, ts("2024-01-01 20:00:00"), "click")))
+
+    val schema = spark.read.parquet(in.toString).schema
+    def src = spark.readStream.schema(schema).parquet(in.toString)
+    val clicks = src.where(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+      .withWatermark("cts", "1 hour")
+    val signups = src.where(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("su"),
+              col("ts").as("sts"))
+      .withWatermark("sts", "1 hour")
+    val q = clicks.join(signups,
+        col("cu") === col("su") &&
+          col("cts") >= col("sts") &&
+          col("cts") < col("sts") + expr("INTERVAL 1 HOUR"))
+      .writeStream.format("memory").queryName("graft_ssjoin_late_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val after1 = spark.table("graft_ssjoin_late_test")
+        .select("signup_id").as[Long].collect().toSeq
+      assert(after1 == Seq(100L), s"batch1 matches: $after1")
+
+      // Batch 2: a LATE click at 10:15 for user 1 — its event time is far
+      // below the 19:00 watermark, so it must be dropped, never joined to
+      // the (already evicted) 10:00 signup — and an on-time click at
+      // 20:30 for user 6 that matches the 20:00 signup.
+      writeBatch(Seq(
+        (104L, 1L, ts("2024-01-01 10:15:00"), "click"),
+        (105L, 6L, ts("2024-01-01 20:30:00"), "click")))
+      q.processAllAvailable()
+      val after2 = spark.table("graft_ssjoin_late_test")
+        .select("signup_id").as[Long].collect().sorted.toSeq
+      assert(after2 == Seq(100L, 102L),
+             s"late click must be dropped, on-time click must join: $after2")
+    } finally q.stop()
+  }
 }
