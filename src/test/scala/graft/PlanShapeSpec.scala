@@ -142,19 +142,25 @@ class PlanShapeSpec extends SparkSpecBase {
       val df = SparkEntry.queries("q76_dedup_incremental")(spark, sf)
       val plan = df.queryExecution.executedPlan
       assert(plan.toString.contains("SelectedBucketsCount"), plan)
-      // walk from the root to the index scan: no shuffle may sit on the
-      // path — the whole point of the persisted bucketed layout is that
-      // the (100 TB) index side is never re-shuffled per batch
-      def exchangeOnPathToIndexScan(p: SparkPlan): Option[Boolean] = p match {
+      // The invariant is about the JOIN's input, not the whole query:
+      // downstream of the probe join the groupBy/orderBy of its OUTPUT
+      // shuffle legitimately. So walk root->index-scan, then check that
+      // the path segment BELOW the last join (the join's index-side
+      // input) contains no shuffle — the persisted bucketed layout means
+      // the (100 TB) index side is never re-shuffled per batch.
+      def pathToIndexScan(p: SparkPlan): Option[List[SparkPlan]] = p match {
         case s: FileSourceScanExec
           if s.tableIdentifier.exists(_.table.startsWith("graft_bandidx")) =>
-          Some(false)
+          Some(List(s))
         case _ =>
-          p.children.flatMap(exchangeOnPathToIndexScan).headOption
-            .map(_ || p.isInstanceOf[ShuffleExchangeLike])
+          p.children.flatMap(pathToIndexScan).headOption.map(p :: _)
       }
-      assert(exchangeOnPathToIndexScan(plan).contains(false),
-             s"index side shuffled (or scan not found):\n$plan")
+      val path = pathToIndexScan(plan)
+      assert(path.isDefined, s"index scan not found:\n$plan")
+      val belowJoin = path.get.reverse.takeWhile(
+        !_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+      assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeLike]),
+             s"index side shuffled below the probe join:\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
