@@ -157,6 +157,57 @@ object SimilarityExtOps extends OpModule {
         .limit(10)
     },
 
+    // Batch-vs-INDEX ANN — the incremental operation a retrieval
+    // pipeline actually runs: the IVF index (cell assignment + vector +
+    // stored norm, exactly q73's zero-shuffle assignment pass) is built
+    // ONCE and persisted as a cid-bucketed table; each query batch then
+    // probes it without re-reading or re-assigning the corpus. At
+    // 100 TB the index is the stored layout of the corpus itself — the
+    // daily cost is O(batch) probe selection plus a broadcast join that
+    // streams only the probed cells' buckets, with the index side never
+    // shuffling (PlanShapeSpec asserts this). Complements q76, which is
+    // the same batch-vs-index discipline for dedup.
+    "q79_ann_index" -> { (s, d) =>
+      val C = 16; val nprobe = 4
+      val em = Tables(s, d, "embeddings").select(col("vec_id"), vec.as("v"))
+      val cents = em.where(col("vec_id") < C)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val packed = cents
+        .agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+      val idxT = graft.BucketedCache.ensure(s, d, "ivfidx",
+          "cid BIGINT, vec_id BIGINT, v ARRAY<DOUBLE>, nv DOUBLE", "cid", 8)(
+        em.crossJoin(broadcast(packed))
+          .select(GraftFunctions.argminCentroid(col("v"), col("cents"))
+                    .as("cid"),
+                  col("vec_id"), col("v"),
+                  GraftFunctions.vectorNorm(col("v")).as("nv")))
+      val index = s.table(idxT)
+      val qs = em.where(col("vec_id") < BatchQueries)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+                GraftFunctions.vectorNorm(col("v")).as("qn"))
+      // probe selection: B queries × C centroids — negligible; same
+      // sequential squared-L2 fold as the assignment kernel/oracle
+      val l2 = aggregate(zip_with(col("qv"), col("cv"),
+                                  (a, b) => (a - b) * (a - b)),
+                         lit(0.0), _ + _)
+      val pw = Window.partitionBy("qid").orderBy(col("dist"), col("cid"))
+      val probeCells = qs.crossJoin(broadcast(cents))
+        .select(col("qid"), col("cid"), l2.as("dist"))
+        .select(col("qid"), col("cid"), row_number().over(pw).as("pr"))
+        .where(col("pr") <= nprobe).select("qid", "cid")
+      val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+      index.join(broadcast(probeCells), Seq("cid"))
+        .where(col("vec_id") =!= col("qid"))
+        .join(broadcast(qs), Seq("qid"))
+        .select(col("qid"), col("vec_id"),
+                round(GraftFunctions.dotProduct(col("v"), col("qv")) /
+                      (col("nv") * col("qn")), 4).as("sim"))
+        .select(col("qid"), col("vec_id"), col("sim"),
+                row_number().over(w).cast("long").as("rk"))
+        .where(col("rk") <= BatchK)
+        .orderBy("qid", "rk")
+    },
+
     // Batched ANN: N query vectors × banded LSH buckets -> exact
     // re-rank -> per-query top-k. The query side is broadcast (N rows);
     // the collection side shuffles once per band on the 8-bit band key.
@@ -246,6 +297,38 @@ object SimilarityExtOps extends OpModule {
           |SELECT cand.vec_id, round(list_cosine_similarity(cand.v, q.qv), 4) AS sim
           |FROM cand, q
           |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+      // the persisted index must be invisible to semantics: the oracle
+      // is the full IVF computation inlined (q73's shape, batched)
+      "q79_ann_index" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+           |d AS (SELECT e.vec_id, e.v, c.cid,
+           |        list_sum(list_transform(range(1, 65),
+           |          i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS dist
+           |      FROM e, c),
+           |a AS (SELECT vec_id, v, cid FROM (
+           |        SELECT *, row_number() OVER (PARTITION BY vec_id
+           |                                     ORDER BY dist, cid) AS rn
+           |        FROM d) WHERE rn = 1),
+           |q AS (SELECT vec_id AS qid, v AS qv FROM e
+           |      WHERE vec_id < $BatchQueries),
+           |pc AS (SELECT qid, cid FROM (
+           |         SELECT q.qid, d.cid,
+           |           row_number() OVER (PARTITION BY q.qid
+           |                              ORDER BY d.dist, d.cid) AS pr
+           |         FROM d JOIN q ON d.vec_id = q.qid) WHERE pr <= 4),
+           |sc AS (SELECT pc.qid, a.vec_id,
+           |         round(list_cosine_similarity(a.v, q.qv), 4) AS sim
+           |       FROM a JOIN pc USING (cid)
+           |              JOIN q ON q.qid = pc.qid
+           |       WHERE a.vec_id <> pc.qid)
+           |SELECT * FROM (
+           |  SELECT qid, vec_id, sim,
+           |    row_number() OVER (PARTITION BY qid
+           |                       ORDER BY sim DESC, vec_id) AS rk
+           |  FROM sc)
+           |WHERE rk <= $BatchK ORDER BY qid, rk""".stripMargin,
 
       "q71_ann_batch" ->
         s"""WITH s AS (SELECT vec_id, embedding, $sigSql AS sig FROM embeddings),

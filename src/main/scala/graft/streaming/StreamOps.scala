@@ -83,6 +83,30 @@ object StreamOps extends OpModule {
         .orderBy("hour_start", "event_type")
     },
 
+    // q38's gap-based sessionization as a STREAMING stateful aggregation:
+    // session_window merges/extends per-user session state as events
+    // arrive. Complete output mode keeps every session in the store, so
+    // when AvailableNow drains the staged file the sink holds exactly
+    // the batch result — bit-parity with q38's oracle. (In production
+    // this runs in append mode with a watermark: closed sessions emit
+    // and their state is dropped once the watermark passes session end;
+    // complete mode here is what makes the one-shot result exact, since
+    // sessions containing the stream's final events are never past any
+    // watermark. StreamingSpec exercises the watermarked append path.)
+    "q80_stream_sessionize" -> { (s, d) =>
+      val sess = eventStream(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"),
+                col("session_window.start").as("sess_start"),
+                col("cnt"),
+                (unix_micros(col("session_window.end")) -
+                 unix_micros(col("session_window.start")) -
+                 lit(1800000000L)).as("dur_us"))
+      runToMemory(s, sess, "graft_stream_sess", "complete")
+        .orderBy("user_id", "sess_start")
+    },
+
     "q78_stream_stream_join" -> { (s, d) =>
       val clicks = eventStream(s, d)
         .where(col("event_type") === "click")
@@ -116,6 +140,26 @@ object StreamOps extends OpModule {
       """SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS cnt
         |FROM events GROUP BY hour_start, event_type
         |ORDER BY hour_start, event_type""".stripMargin,
+
+    // identical to q38's oracle: the streaming sessionization must
+    // reproduce the batch session windows bit-for-bit
+    "q80_stream_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), se AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id, min(ts) AS sess_start, count(*) AS cnt,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+        |FROM se GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start""".stripMargin,
 
     // identical to q75's oracle: the streaming join must reproduce the
     // batch interval join bit-for-bit

@@ -131,26 +131,23 @@ class PlanShapeSpec extends SparkSpecBase {
     assert("""Exchange hashpartitioning\(user_id""".r.findAllIn(fin).size == 1, p)
   }
 
-  test("q76: persisted band index joins without shuffling the index side") {
+  /** Asserts the persisted-index invariant shared by q76/q79: between
+    * the probe join and the index table's scan there is NO shuffle —
+    * downstream of the join the query may shuffle its (small) OUTPUT
+    * freely, but the (100 TB) index side is never re-shuffled per batch.
+    * Plans without AQE so the tree is traversable without query-stage
+    * wrappers; the invariant under test is static. Returns the executed
+    * plan string for extra per-query assertions. */
+  private def assertIndexSideUnshuffled(qname: String, tablePrefix: String): String = {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    // plan without AQE so the tree is traversable without query-stage
-    // wrappers; the invariant under test is static (EnsureRequirements
-    // accepts the bucketed scan's HashPartitioning(bk, 8) as-is)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val df = SparkEntry.queries("q76_dedup_incremental")(spark, sf)
+      val df = SparkEntry.queries(qname)(spark, sf)
       val plan = df.queryExecution.executedPlan
-      assert(plan.toString.contains("SelectedBucketsCount"), plan)
-      // The invariant is about the JOIN's input, not the whole query:
-      // downstream of the probe join the groupBy/orderBy of its OUTPUT
-      // shuffle legitimately. So walk root->index-scan, then check that
-      // the path segment BELOW the last join (the join's index-side
-      // input) contains no shuffle — the persisted bucketed layout means
-      // the (100 TB) index side is never re-shuffled per batch.
       def pathToIndexScan(p: SparkPlan): Option[List[SparkPlan]] = p match {
         case s: FileSourceScanExec
-          if s.tableIdentifier.exists(_.table.startsWith("graft_bandidx")) =>
+          if s.tableIdentifier.exists(_.table.startsWith(tablePrefix)) =>
           Some(List(s))
         case _ =>
           p.children.flatMap(pathToIndexScan).headOption.map(p :: _)
@@ -161,7 +158,21 @@ class PlanShapeSpec extends SparkSpecBase {
         !_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
       assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeLike]),
              s"index side shuffled below the probe join:\n$plan")
+      plan.toString
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q76: persisted band index joins without shuffling the index side") {
+    // EnsureRequirements accepts the bucketed scan's
+    // HashPartitioning(bk, 8) as-is for the merge join
+    val p = assertIndexSideUnshuffled("q76_dedup_incremental", "graft_bandidx")
+    assert(p.contains("SelectedBucketsCount"), p)
+  }
+
+  test("q79: persisted IVF index probes without shuffling the index side") {
+    // probe cells arrive broadcast; the index is only ever streamed
+    val p = assertIndexSideUnshuffled("q79_ann_index", "graft_ivfidx")
+    assert(p.contains("BroadcastHashJoin"), p)
   }
 
   test("q09/q10: semi and anti joins plan as joins, not subquery loops") {

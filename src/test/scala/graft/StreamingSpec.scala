@@ -18,6 +18,14 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.collect().toSeq == batch.collect().toSeq)
   }
 
+  test("q80 streaming sessionize matches the batch q38 session windows") {
+    // complete-mode session_window over the drained stream must hold
+    // exactly the batch result — bit-parity, not just row counts
+    val streamed = SparkEntry.queries("q80_stream_sessionize")(spark, sf)
+    val batch = SparkEntry.queries("q38_win_session")(spark, sf)
+    assert(streamed.collect().toSeq == batch.collect().toSeq)
+  }
+
   test("mapGroupsWithState keeps per-key state across micro-batches") {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     val dir = Files.createTempDirectory("graft_state")
