@@ -101,6 +101,45 @@ object TextExtOps extends OpModule {
         .orderBy("lang")
     },
 
+    // End-to-end corpus preparation (added r5) — the full training-data
+    // job the surrounding operators are stages of: quality-score every
+    // document (q49's formula), drop the low-quality tail, exact-dedup
+    // the survivors on content hash keeping the lowest doc_id (q41's
+    // discipline), split train/eval by stable key hash (q67's rule),
+    // and emit per-(split, lang) corpus stats. Cost at scale: one
+    // corpus scan, one narrow shuffle on the content hash (the dedup
+    // window), one aggregation shuffle on the tiny (split, lang) key
+    // space — each stage keeps the scale shape its standalone operator
+    // established. avg_score sums DECIMAL(18,6) (the rounded score's
+    // exact width) so partial-aggregation order cannot perturb it.
+    "q81_corpus_prep" -> { (s, d) =>
+      val toks = split(col("text"), " ")
+      val stop = size(filter(toks, t => t.isin("a", "the", "of", "and", "in")))
+        .cast("double") / size(toks)
+      val alpha = length(regexp_replace(col("text"), "[^a-z]", ""))
+        .cast("double") / length(col("text"))
+      val lenScore = least(lit(1.0), col("n_chars").cast("double") / 400)
+      val scored = Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+                round(lenScore * 0.4 + stop * 0.3 + alpha * 0.3, 6).as("score"))
+        .where(col("score") >= 0.5)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(sha2(col("text"), 256))
+      val deduped = scored
+        .withColumn("keeper", min(col("doc_id")).over(w))
+        .where(col("doc_id") === col("keeper"))
+      val splitCol = when(
+        substring(md5(col("doc_id").cast("string")), 1, 1) <= "b", "train")
+        .otherwise("eval")
+      deduped
+        .groupBy(splitCol.as("split"), col("lang"))
+        .agg(count(lit(1)).as("docs"),
+             sum(size(split(col("text"), " ")).cast("long")).as("ws_tokens"),
+             round(sum(col("score").cast("decimal(18,6)")).cast("double") /
+                   count(lit(1)), 6).as("avg_score"))
+        .orderBy("split", "lang")
+    },
+
     // Document fingerprint: min-hash over 3-token shingles (rolling
     // content signature) + shingle cardinality.
     "q51_fingerprint" -> { (s, d) =>
@@ -156,6 +195,30 @@ object TextExtOps extends OpModule {
           |  round(CAST(sum(n_chars) AS DOUBLE) / sum(len(string_split(text, ' '))), 6)
           |    AS chars_per_token
           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "q81_corpus_prep" ->
+        """WITH scored AS (
+          |  SELECT doc_id, lang, text,
+          |    round(least(1.0, CAST(n_chars AS DOUBLE) / 400) * 0.4 +
+          |          CAST(len(list_filter(string_split(text, ' '),
+          |                               t -> t IN ('a','the','of','and','in'))) AS DOUBLE) /
+          |            len(string_split(text, ' ')) * 0.3 +
+          |          CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) /
+          |            len(text) * 0.3, 6) AS score
+          |  FROM documents),
+          |filtered AS (SELECT * FROM scored WHERE score >= 0.5),
+          |dedup AS (
+          |  SELECT * FROM (
+          |    SELECT *, min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper
+          |    FROM filtered)
+          |  WHERE doc_id = keeper)
+          |SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+          |            THEN 'train' ELSE 'eval' END AS split,
+          |  lang, count(*) AS docs,
+          |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+          |  round(CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+          |    AS avg_score
+          |FROM dedup GROUP BY split, lang ORDER BY split, lang""".stripMargin,
 
       "q51_fingerprint" ->
         """WITH sh AS (
