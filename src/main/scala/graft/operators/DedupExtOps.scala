@@ -123,6 +123,47 @@ object DedupExtOps extends OpModule {
         .groupBy("id_a", "id_b")
         .agg(count(lit(1)).as("n_bands"))
         .orderBy("id_a", "id_b")
+    },
+
+    // Dedup CLUSTERING (added r5) — the step that turns q46's candidate
+    // PAIRS into duplicate GROUPS: connected components over the
+    // candidate graph, cluster id = min doc_id in the component (the
+    // representative a pipeline keeps). Iterative min-label
+    // propagation: each round is one shuffle join (edges ⋈ labels) +
+    // one min-aggregation, repeated until a fixpoint — O(diameter)
+    // rounds, and LSH candidate components are near-cliques so the
+    // diameter is tiny. `localCheckpoint` truncates the growing lineage
+    // per round (at cluster scale: reliable checkpoint dir instead, or
+    // the alternating large-star/small-star variant — same join+agg
+    // primitives, O(log n) rounds). The driver touches only the
+    // convergence COUNT, never the data. Oracle: DuckDB recursive-CTE
+    // reachability with the same min-per-component reduction.
+    "q82_dedup_clusters" -> { (s, d) =>
+      val bk = bandKeys(Tables(s, d, "documents"))
+      val pairs = bk.select(col("bk"), col("doc_id").as("id_a"))
+        .join(bk.select(col("bk"), col("doc_id").as("id_b")), Seq("bk"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+        .localCheckpoint()
+      var labels = edges.select(col("u").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl"))
+        .localCheckpoint()
+      var changed = 1L
+      while (changed > 0) {
+        val prop = edges.join(labels.withColumnRenamed("id", "u"), Seq("u"))
+          .select(col("v").as("id"), col("lbl"))
+        val next = labels.unionAll(prop)
+          .groupBy("id").agg(min("lbl").as("lbl"))
+          .localCheckpoint()
+        changed = next
+          .join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
+          .where(col("lbl") =!= col("old")).count()
+        labels = next
+      }
+      labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+        .orderBy("doc_id")
     }
   )
 
@@ -166,6 +207,24 @@ object DedupExtOps extends OpModule {
          |  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
          |WHERE x.doc_id % 2 = 1 OR y.doc_id % 2 = 1
          |GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin,
+
+    // recursive-CTE reachability over the symmetric candidate-edge set;
+    // a node's cluster = least(self, min reachable) — identical to the
+    // label-propagation fixpoint (symmetric edges put self in reach)
+    "q82_dedup_clusters" ->
+      s"""${minhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.sig = y.sig
+         |          AND x.doc_id < y.doc_id),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM cand
+         |          UNION SELECT id_b, id_a FROM cand),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
 
     "q47_dedup_simhash" ->
       s"""WITH t AS (

@@ -124,6 +124,18 @@ class CorrectnessSpec extends SparkSpecBase {
     }
   }
 
+  test("q82 clusters: candidate pairs co-cluster and cluster id is the min member") {
+    val pairs = q("q46_dedup_minhash")
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val lbl = q("q82_dedup_clusters").as[(Long, Long)].collect().toMap
+    pairs.foreach { case (a, b) =>
+      assert(lbl(a) == lbl(b), s"pair ($a,$b) landed in different clusters")
+    }
+    lbl.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keys.min == c, s"cluster $c is not its min member id")
+    }
+  }
+
   test("q76 incremental dedup equals the full self-join restricted to new pairs") {
     // the batch-vs-index split must lose nothing and invent nothing:
     // its output is exactly q46's corpus self-join filtered to pairs
