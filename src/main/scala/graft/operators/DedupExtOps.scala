@@ -144,28 +144,38 @@ object DedupExtOps extends OpModule {
         .join(bk.select(col("bk"), col("doc_id").as("id_b")), Seq("bk"))
         .where(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
-      val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-        .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-        .localCheckpoint()
-      var labels = edges.select(col("u").as("id")).distinct()
-        .select(col("id"), col("id").as("lbl"))
-        .localCheckpoint()
-      var changed = 1L
-      while (changed > 0) {
-        val prop = edges.join(labels.withColumnRenamed("id", "u"), Seq("u"))
-          .select(col("v").as("id"), col("lbl"))
-        val next = labels.unionAll(prop)
-          .groupBy("id").agg(min("lbl").as("lbl"))
-          .localCheckpoint()
-        changed = next
-          .join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
-          .where(col("lbl") =!= col("old")).count()
-        labels = next
-      }
-      labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
         .orderBy("doc_id")
     }
   )
+
+  /** Connected components over an undirected pair set `(id_a, id_b)`:
+    * returns `(id, lbl)` with `lbl` = min node id in the component.
+    * Min-label propagation to a fixpoint — see q82's scaladoc for the
+    * per-round cost and the 100 TB variant. Property-tested against an
+    * in-memory union-find on random graphs (PropertySpec). */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels.withColumnRenamed("id", "u"), Seq("u"))
+        .select(col("v").as("id"), col("lbl"))
+      val next = labels.unionAll(prop)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
+        .where(col("lbl") =!= col("old")).count()
+      labels = next
+    }
+    labels
+  }
 
   private def minhashCte: String = {
     val hs = (0 until NumHashes)

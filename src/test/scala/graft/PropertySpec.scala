@@ -103,6 +103,34 @@ class PropertySpec extends SparkSpecBase {
     }, n = 5)
   }
 
+  test("connectedComponents equals union-find on random graphs (5 Spark cases)") {
+    // the q82 fixpoint loop vs an in-memory union-find reference on
+    // arbitrary undirected pair sets (not just LSH near-cliques)
+    val pairGen = Gen.listOfN(25,
+      Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)))
+      .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }
+        .distinct)
+    check(Prop.forAll(pairGen) { pairs =>
+      pairs.isEmpty || {
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+          .map(n => n -> find(n)).toMap
+        val got = operators.DedupExtOps
+          .connectedComponents(pairs.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+        got == expected
+      }
+    }, n = 5)
+  }
+
   test("sha2-dedup is idempotent (5 Spark cases)") {
     check(Prop.forAll(Gen.nonEmptyListOf(Gen.alphaNumStr.map(_.take(8)))) {
       texts =>
