@@ -60,14 +60,29 @@ object StreamOps extends OpModule {
   }
 
   /** Runs `df` to completion into a memory sink and returns the sink
-    * table. AvailableNow processes the staged file then stops. */
+    * table. AvailableNow processes the staged file then stops.
+    *
+    * State partitioning: a streaming query pins its state-store layout
+    * to `spark.sql.shuffle.partitions` AT START, and every micro-batch
+    * pays a per-partition state checkpoint cost regardless of volume.
+    * These demos hold thousands of keys, not billions, so 8 partitions
+    * is plenty; the conf is restored right after start so batch queries
+    * keep the harness-wide setting. (A production job sizes this to
+    * keys/executors once — it cannot change across restarts.) */
   private def runToMemory(s: SparkSession, df: DataFrame, qname: String,
                           mode: String): DataFrame = {
-    val query = df.writeStream
-      .format("memory").queryName(qname)
-      .outputMode(mode).trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      // keep the reduced value until termination: micro-batches are
+      // planned asynchronously after start()
+      s.conf.set("spark.sql.shuffle.partitions",
+                 math.min(8, prev.toInt).toString)
+      val query = df.writeStream
+        .format("memory").queryName(qname)
+        .outputMode(mode).trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(qname)
   }
 
@@ -108,11 +123,14 @@ object StreamOps extends OpModule {
     },
 
     "q78_stream_stream_join" -> { (s, d) =>
-      val clicks = eventStream(s, d)
+      // both sides derive from ONE source stream (a stream self-join):
+      // one file listing + one scan per micro-batch instead of two
+      val ev = eventStream(s, d)
+      val clicks = ev
         .where(col("event_type") === "click")
         .select(col("user_id").as("cu"), col("ts").as("cts"))
         .withWatermark("cts", "1 hour")
-      val signups = eventStream(s, d)
+      val signups = ev
         .where(col("event_type") === "signup")
         .select(col("event_id").as("signup_id"), col("user_id").as("su"),
                 col("ts").as("sts"))
