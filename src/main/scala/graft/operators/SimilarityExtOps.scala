@@ -43,8 +43,41 @@ object SimilarityExtOps extends OpModule {
   private val BandBits = Planes / Bands
   private val BatchQueries = 8
   private val BatchK = 5
+  private val Cents = 16  // IVF coarse centroids (sampled: vec_id < Cents)
+  private val NProbe = 4  // IVF cells probed per query
 
   private def vec: Column = col("embedding").cast("array<double>")
+
+  /** The embeddings table as (vec_id, v: array<double>). */
+  private def embBase(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "embeddings").select(col("vec_id"), vec.as("v"))
+
+  /** Deterministic sampled IVF centroids (cid, cv). */
+  private def centroids(em: DataFrame): DataFrame =
+    em.where(col("vec_id") < Cents)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+
+  /** The IVF assignment pass shared by q73 (inline) and q79 (persisted
+    * index build): centroids pack into ONE broadcast row (collect_list,
+    * the q43 mold) and each vector gets (nv, cid) in a zero-shuffle
+    * codegen'd map over it — the ArgminCentroid kernel; the corpus
+    * never shuffles to be assigned. One definition keeps the two
+    * queries' "exactly the same assignment" contract structural. */
+  private def ivfAssign(em: DataFrame): DataFrame = {
+    val packed = centroids(em)
+      .agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+    em.crossJoin(broadcast(packed))
+      .select(col("vec_id"), col("v"),
+              GraftFunctions.vectorNorm(col("v")).as("nv"),
+              GraftFunctions.argminCentroid(col("v"), col("cents")).as("cid"))
+  }
+
+  /** Squared L2 between two array columns — the same sequential fold
+    * the oracle's `list_sum(list_transform(...))` performs, so probe
+    * selection is bit-identical to the assignment kernel's metric. */
+  private def sqL2(a: String, b: String): Column =
+    aggregate(zip_with(col(a), col(b), (x, y) => (x - y) * (x - y)),
+              lit(0.0), _ + _)
 
   /** Full sign signature via the codegen'd kernel. */
   private def sigColumn: Column = GraftFunctions.lshSignature(vec, Planes)
@@ -122,31 +155,17 @@ object SimilarityExtOps extends OpModule {
     // row_number window over vec_id — shuffled and sorted C× the
     // corpus to compute this embarrassingly-parallel argmin.)
     "q73_ann_ivf" -> { (s, d) =>
-      val C = 16       // coarse centroids (sampled)
-      val nprobe = 4   // cells probed per query
-      val em = Tables(s, d, "embeddings").select(col("vec_id"), vec.as("v"))
-      val cents = em.where(col("vec_id") < C)
-        .select(col("vec_id").as("cid"), col("v").as("cv"))
-      val packed = cents
-        .agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+      val em = embBase(s, d)
       // norm rides along in the same zero-shuffle map pass as the cell
       // assignment, so the probe-time re-rank is one dot fold per member
-      val assigned = em.crossJoin(broadcast(packed))
-        .select(col("vec_id"), col("v"),
-                GraftFunctions.vectorNorm(col("v")).as("nv"),
-                GraftFunctions.argminCentroid(col("v"), col("cents")).as("cid"))
-      // probe selection is ONE query row × C centroids — negligible;
-      // squared-L2 as the same sequential fold the oracle's list_sum
-      // performs (bit-identical doubles, same as the assignment kernel)
-      val l2 = aggregate(zip_with(col("v"), col("cv"),
-                                  (a, b) => (a - b) * (a - b)),
-                         lit(0.0), _ + _)
+      val assigned = ivfAssign(em)
+      // probe selection is ONE query row × C centroids — negligible
       val qrow = em.where(col("vec_id") === 0)
       val qv = qrow.select(col("v").as("qv"),
                            GraftFunctions.vectorNorm(col("v")).as("qn"))
-      val probeCells = qrow.crossJoin(broadcast(cents))
-        .select(col("cid"), l2.as("dist"))
-        .orderBy(col("dist"), col("cid")).limit(nprobe).select("cid")
+      val probeCells = qrow.crossJoin(broadcast(centroids(em)))
+        .select(col("cid"), sqL2("v", "cv").as("dist"))
+        .orderBy(col("dist"), col("cid")).limit(NProbe).select("cid")
       assigned.join(broadcast(probeCells), Seq("cid"))
         .where(col("vec_id") =!= 0)
         .crossJoin(broadcast(qv))
@@ -168,33 +187,20 @@ object SimilarityExtOps extends OpModule {
     // shuffling (PlanShapeSpec asserts this). Complements q76, which is
     // the same batch-vs-index discipline for dedup.
     "q79_ann_index" -> { (s, d) =>
-      val C = 16; val nprobe = 4
-      val em = Tables(s, d, "embeddings").select(col("vec_id"), vec.as("v"))
-      val cents = em.where(col("vec_id") < C)
-        .select(col("vec_id").as("cid"), col("v").as("cv"))
-      val packed = cents
-        .agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+      val em = embBase(s, d)
       val idxT = graft.BucketedCache.ensure(s, d, "ivfidx",
           "cid BIGINT, vec_id BIGINT, v ARRAY<DOUBLE>, nv DOUBLE", "cid", 8)(
-        em.crossJoin(broadcast(packed))
-          .select(GraftFunctions.argminCentroid(col("v"), col("cents"))
-                    .as("cid"),
-                  col("vec_id"), col("v"),
-                  GraftFunctions.vectorNorm(col("v")).as("nv")))
+        ivfAssign(em).select("cid", "vec_id", "v", "nv"))
       val index = s.table(idxT)
       val qs = em.where(col("vec_id") < BatchQueries)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
                 GraftFunctions.vectorNorm(col("v")).as("qn"))
-      // probe selection: B queries × C centroids — negligible; same
-      // sequential squared-L2 fold as the assignment kernel/oracle
-      val l2 = aggregate(zip_with(col("qv"), col("cv"),
-                                  (a, b) => (a - b) * (a - b)),
-                         lit(0.0), _ + _)
+      // probe selection: B queries × C centroids — negligible
       val pw = Window.partitionBy("qid").orderBy(col("dist"), col("cid"))
-      val probeCells = qs.crossJoin(broadcast(cents))
-        .select(col("qid"), col("cid"), l2.as("dist"))
+      val probeCells = qs.crossJoin(broadcast(centroids(em)))
+        .select(col("qid"), col("cid"), sqL2("qv", "cv").as("dist"))
         .select(col("qid"), col("cid"), row_number().over(pw).as("pr"))
-        .where(col("pr") <= nprobe).select("qid", "cid")
+        .where(col("pr") <= NProbe).select("qid", "cid")
       val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
       index.join(broadcast(probeCells), Seq("cid"))
         .where(col("vec_id") =!= col("qid"))
@@ -241,6 +247,21 @@ object SimilarityExtOps extends OpModule {
     }
   )
 
+  /** Shared IVF oracle CTEs (q73/q79): e = embeddings as double lists,
+    * c = sampled centroids, d = all (vector, centroid) distances,
+    * a = the argmin assignment — the SQL twin of [[ivfAssign]]. */
+  private def ivfCte: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $Cents),
+       |d AS (SELECT e.vec_id, e.v, c.cid,
+       |        list_sum(list_transform(range(1, 65),
+       |          i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS dist
+       |      FROM e, c),
+       |a AS (SELECT vec_id, v, cid FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                     ORDER BY dist, cid) AS rn
+       |        FROM d) WHERE rn = 1)""".stripMargin
+
   def oracles: Map[String, String] = {
     val sigSql = (0 until Planes).map { p =>
       val dot = s"""list_sum(list_transform(range(1, 65),
@@ -280,44 +301,27 @@ object SimilarityExtOps extends OpModule {
            |WHERE sim >= 0.4 ORDER BY a, b""".stripMargin,
 
       "q73_ann_ivf" ->
-        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-          |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
-          |d AS (SELECT e.vec_id, e.v, c.cid,
-          |        list_sum(list_transform(range(1, 65),
-          |          i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS dist
-          |      FROM e, c),
-          |a AS (SELECT vec_id, v, cid FROM (
-          |        SELECT *, row_number() OVER (PARTITION BY vec_id
-          |                                     ORDER BY dist, cid) AS rn
-          |        FROM d) WHERE rn = 1),
-          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-          |pc AS (SELECT cid FROM d WHERE vec_id = 0 ORDER BY dist, cid LIMIT 4),
-          |cand AS (SELECT a.vec_id, a.v FROM a JOIN pc USING (cid)
-          |         WHERE a.vec_id <> 0)
-          |SELECT cand.vec_id, round(list_cosine_similarity(cand.v, q.qv), 4) AS sim
-          |FROM cand, q
-          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+        s"""WITH $ivfCte,
+           |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+           |pc AS (SELECT cid FROM d WHERE vec_id = 0
+           |       ORDER BY dist, cid LIMIT $NProbe),
+           |cand AS (SELECT a.vec_id, a.v FROM a JOIN pc USING (cid)
+           |         WHERE a.vec_id <> 0)
+           |SELECT cand.vec_id, round(list_cosine_similarity(cand.v, q.qv), 4) AS sim
+           |FROM cand, q
+           |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
 
       // the persisted index must be invisible to semantics: the oracle
-      // is the full IVF computation inlined (q73's shape, batched)
+      // is the full IVF computation inlined (the shared CTEs, batched)
       "q79_ann_index" ->
-        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
-           |d AS (SELECT e.vec_id, e.v, c.cid,
-           |        list_sum(list_transform(range(1, 65),
-           |          i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS dist
-           |      FROM e, c),
-           |a AS (SELECT vec_id, v, cid FROM (
-           |        SELECT *, row_number() OVER (PARTITION BY vec_id
-           |                                     ORDER BY dist, cid) AS rn
-           |        FROM d) WHERE rn = 1),
+        s"""WITH $ivfCte,
            |q AS (SELECT vec_id AS qid, v AS qv FROM e
            |      WHERE vec_id < $BatchQueries),
            |pc AS (SELECT qid, cid FROM (
            |         SELECT q.qid, d.cid,
            |           row_number() OVER (PARTITION BY q.qid
            |                              ORDER BY d.dist, d.cid) AS pr
-           |         FROM d JOIN q ON d.vec_id = q.qid) WHERE pr <= 4),
+           |         FROM d JOIN q ON d.vec_id = q.qid) WHERE pr <= $NProbe),
            |sc AS (SELECT pc.qid, a.vec_id,
            |         round(list_cosine_similarity(a.v, q.qv), 4) AS sim
            |       FROM a JOIN pc USING (cid)

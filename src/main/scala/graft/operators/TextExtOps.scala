@@ -28,6 +28,38 @@ object TextExtOps extends OpModule {
     "es" -> Seq("que", "los", "nte"),
     "fr" -> Seq("les", "ent", "our"))
 
+  /** The composite quality score shared by q49 and q81 (one definition
+    * on each side keeps "q81 uses q49's formula" structural): length
+    * saturation + stopword ratio + alphabetic-character ratio, round 6,
+    * identical operand order in both engines. */
+  private def qualityScore: Column = {
+    val toks = split(col("text"), " ")
+    val stop = size(filter(toks, t => t.isin("a", "the", "of", "and", "in")))
+      .cast("double") / size(toks)
+    val alpha = length(regexp_replace(col("text"), "[^a-z]", ""))
+      .cast("double") / length(col("text"))
+    val lenScore = least(lit(1.0), col("n_chars").cast("double") / 400)
+    round(lenScore * 0.4 + stop * 0.3 + alpha * 0.3, 6)
+  }
+
+  private val qualityScoreSql: String =
+    """round(least(1.0, CAST(n_chars AS DOUBLE) / 400) * 0.4 +
+      |      CAST(len(list_filter(string_split(text, ' '),
+      |                           t -> t IN ('a','the','of','and','in'))) AS DOUBLE) /
+      |        len(string_split(text, ' ')) * 0.3 +
+      |      CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) /
+      |        len(text) * 0.3, 6)""".stripMargin
+
+  /** The stable hash train/eval split rule shared by q67 and q81:
+    * membership depends only on doc_id (~75/25 via first md5 nibble). */
+  private def trainSplit: Column =
+    when(substring(md5(col("doc_id").cast("string")), 1, 1) <= "b", "train")
+      .otherwise("eval")
+
+  private val trainSplitSql: String =
+    """CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+      |     THEN 'train' ELSE 'eval' END""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Trigram-vote language ID; argmax with fixed priority order, then
     // confusion matrix against the labeled lang column.
@@ -47,18 +79,10 @@ object TextExtOps extends OpModule {
         .orderBy("lang", "pred")
     },
 
-    // Composite quality score: length saturation + stopword ratio +
-    // alphabetic-character ratio (identical arithmetic both engines).
+    // Composite quality score (see qualityScore above).
     "q49_quality_score" -> { (s, d) =>
-      val toks = split(col("text"), " ")
-      val stop = size(filter(toks, t => t.isin("a", "the", "of", "and", "in")))
-        .cast("double") / size(toks)
-      val alpha = length(regexp_replace(col("text"), "[^a-z]", ""))
-        .cast("double") / length(col("text"))
-      val lenScore = least(lit(1.0), col("n_chars").cast("double") / 400)
       Tables(s, d, "documents")
-        .select(col("doc_id"),
-                round(lenScore * 0.4 + stop * 0.3 + alpha * 0.3, 6).as("score"))
+        .select(col("doc_id"), qualityScore.as("score"))
         .orderBy("doc_id")
     },
 
@@ -80,13 +104,10 @@ object TextExtOps extends OpModule {
 
     // Deterministic hash-based train/eval split (the production way to
     // split a corpus: stable under reshuffles, joins, and re-runs —
-    // membership depends only on the key). ~75/25 via first md5 nibble.
+    // membership depends only on the key; see trainSplit above).
     "q67_train_split" -> { (s, d) =>
-      val split = when(
-        substring(md5(col("doc_id").cast("string")), 1, 1) <= "b", "train")
-        .otherwise("eval")
       Tables(s, d, "documents")
-        .groupBy(split.as("split"), col("lang"))
+        .groupBy(trainSplit.as("split"), col("lang"))
         .agg(count(lit(1)).as("docs"),
              round(sum(col("n_chars")).cast("double") / count(lit(1)), 6)
                .as("avg_chars"))
@@ -113,26 +134,17 @@ object TextExtOps extends OpModule {
     // established. avg_score sums DECIMAL(18,6) (the rounded score's
     // exact width) so partial-aggregation order cannot perturb it.
     "q81_corpus_prep" -> { (s, d) =>
-      val toks = split(col("text"), " ")
-      val stop = size(filter(toks, t => t.isin("a", "the", "of", "and", "in")))
-        .cast("double") / size(toks)
-      val alpha = length(regexp_replace(col("text"), "[^a-z]", ""))
-        .cast("double") / length(col("text"))
-      val lenScore = least(lit(1.0), col("n_chars").cast("double") / 400)
       val scored = Tables(s, d, "documents")
         .select(col("doc_id"), col("lang"), col("text"),
-                round(lenScore * 0.4 + stop * 0.3 + alpha * 0.3, 6).as("score"))
+                qualityScore.as("score"))
         .where(col("score") >= 0.5)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(sha2(col("text"), 256))
       val deduped = scored
         .withColumn("keeper", min(col("doc_id")).over(w))
         .where(col("doc_id") === col("keeper"))
-      val splitCol = when(
-        substring(md5(col("doc_id").cast("string")), 1, 1) <= "b", "train")
-        .otherwise("eval")
       deduped
-        .groupBy(splitCol.as("split"), col("lang"))
+        .groupBy(trainSplit.as("split"), col("lang"))
         .agg(count(lit(1)).as("docs"),
              sum(size(split(col("text"), " ")).cast("long")).as("ws_tokens"),
              round(sum(col("score").cast("decimal(18,6)")).cast("double") /
@@ -172,21 +184,14 @@ object TextExtOps extends OpModule {
            |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin,
 
       "q49_quality_score" ->
-        """SELECT doc_id,
-          |  round(least(1.0, CAST(n_chars AS DOUBLE) / 400) * 0.4 +
-          |        CAST(len(list_filter(string_split(text, ' '),
-          |                             t -> t IN ('a','the','of','and','in'))) AS DOUBLE) /
-          |          len(string_split(text, ' ')) * 0.3 +
-          |        CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) /
-          |          len(text) * 0.3, 6) AS score
-          |FROM documents ORDER BY doc_id""".stripMargin,
+        s"""SELECT doc_id, $qualityScoreSql AS score
+           |FROM documents ORDER BY doc_id""".stripMargin,
 
       "q67_train_split" ->
-        """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
-          |            THEN 'train' ELSE 'eval' END AS split,
-          |  lang, count(*) AS docs,
-          |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
-          |FROM documents GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+        s"""SELECT $trainSplitSql AS split,
+           |  lang, count(*) AS docs,
+           |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+           |FROM documents GROUP BY split, lang ORDER BY split, lang""".stripMargin,
 
       "q50_token_count" ->
         """SELECT lang, count(*) AS docs,
@@ -197,28 +202,21 @@ object TextExtOps extends OpModule {
           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
       "q81_corpus_prep" ->
-        """WITH scored AS (
-          |  SELECT doc_id, lang, text,
-          |    round(least(1.0, CAST(n_chars AS DOUBLE) / 400) * 0.4 +
-          |          CAST(len(list_filter(string_split(text, ' '),
-          |                               t -> t IN ('a','the','of','and','in'))) AS DOUBLE) /
-          |            len(string_split(text, ' ')) * 0.3 +
-          |          CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) /
-          |            len(text) * 0.3, 6) AS score
-          |  FROM documents),
-          |filtered AS (SELECT * FROM scored WHERE score >= 0.5),
-          |dedup AS (
-          |  SELECT * FROM (
-          |    SELECT *, min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper
-          |    FROM filtered)
-          |  WHERE doc_id = keeper)
-          |SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
-          |            THEN 'train' ELSE 'eval' END AS split,
-          |  lang, count(*) AS docs,
-          |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
-          |  round(CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
-          |    AS avg_score
-          |FROM dedup GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+        s"""WITH scored AS (
+           |  SELECT doc_id, lang, text, $qualityScoreSql AS score
+           |  FROM documents),
+           |filtered AS (SELECT * FROM scored WHERE score >= 0.5),
+           |dedup AS (
+           |  SELECT * FROM (
+           |    SELECT *, min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper
+           |    FROM filtered)
+           |  WHERE doc_id = keeper)
+           |SELECT $trainSplitSql AS split,
+           |  lang, count(*) AS docs,
+           |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           |  round(CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+           |    AS avg_score
+           |FROM dedup GROUP BY split, lang ORDER BY split, lang""".stripMargin,
 
       "q51_fingerprint" ->
         """WITH sh AS (

@@ -36,18 +36,24 @@ object TimeWindowOps extends OpModule {
     },
 
     "q38_win_session" -> { (s, d) =>
-      Tables(s, d, "events")
-        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-        .agg(count(lit(1)).as("cnt"))
-        .select(col("user_id"),
-                col("session_window.start").as("sess_start"),
-                col("cnt"),
-                (unix_micros(col("session_window.end")) -
-                 unix_micros(col("session_window.start")) -
-                 lit(1800000000L)).as("dur_us"))
-        .orderBy("user_id", "sess_start")
+      sessionize(Tables(s, d, "events")).orderBy("user_id", "sess_start")
     }
   )
+
+  /** The 30-min-gap sessionization shared by q38 (batch) and
+    * q80_stream_sessionize (streaming): ONE definition is what makes
+    * their bit-parity structural rather than copy-discipline. Works on
+    * any frame with (user_id, ts) — batch DataFrame or stream. */
+  private[graft] def sessionize(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"),
+              col("session_window.start").as("sess_start"),
+              col("cnt"),
+              (unix_micros(col("session_window.end")) -
+               unix_micros(col("session_window.start")) -
+               lit(1800000000L)).as("dur_us"))
 
   def oracles: Map[String, String] = Map(
     "q36_win_tumbling" ->

@@ -66,7 +66,8 @@ object StreamOps extends OpModule {
     * to `spark.sql.shuffle.partitions` AT START, and every micro-batch
     * pays a per-partition state checkpoint cost regardless of volume.
     * These demos hold thousands of keys, not billions, so 8 partitions
-    * is plenty; the conf is restored right after start so batch queries
+    * is plenty; the conf is restored only AFTER termination (micro-batches
+    * are planned asynchronously after start), so following batch queries
     * keep the harness-wide setting. (A production job sizes this to
     * keys/executors once — it cannot change across restarts.) */
   private def runToMemory(s: SparkSession, df: DataFrame, qname: String,
@@ -109,15 +110,9 @@ object StreamOps extends OpModule {
     // sessions containing the stream's final events are never past any
     // watermark. StreamingSpec exercises the watermarked append path.)
     "q80_stream_sessionize" -> { (s, d) =>
-      val sess = eventStream(s, d)
-        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-        .agg(count(lit(1)).as("cnt"))
-        .select(col("user_id"),
-                col("session_window.start").as("sess_start"),
-                col("cnt"),
-                (unix_micros(col("session_window.end")) -
-                 unix_micros(col("session_window.start")) -
-                 lit(1800000000L)).as("dur_us"))
+      // the aggregation IS q38's (one shared definition — bit-parity by
+      // construction), run over the stream instead of the batch table
+      val sess = graft.operators.TimeWindowOps.sessionize(eventStream(s, d))
       runToMemory(s, sess, "graft_stream_sess", "complete")
         .orderBy("user_id", "sess_start")
     },
@@ -159,25 +154,10 @@ object StreamOps extends OpModule {
         |FROM events GROUP BY hour_start, event_type
         |ORDER BY hour_start, event_type""".stripMargin,
 
-    // identical to q38's oracle: the streaming sessionization must
-    // reproduce the batch session windows bit-for-bit
+    // q38's oracle, shared by reference: the streaming sessionization
+    // must reproduce the batch session windows bit-for-bit
     "q80_stream_sessionize" ->
-      """WITH g AS (
-        |  SELECT user_id, ts, event_id,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-        |         THEN 1 ELSE 0 END AS new_sess
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |), se AS (
-        |  SELECT user_id, ts,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                        ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM g)
-        |SELECT user_id, min(ts) AS sess_start, count(*) AS cnt,
-        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
-        |FROM se GROUP BY user_id, sid
-        |ORDER BY user_id, sess_start""".stripMargin,
+      graft.operators.TimeWindowOps.oracles("q38_win_session"),
 
     // identical to q75's oracle: the streaming join must reproduce the
     // batch interval join bit-for-bit
