@@ -16,10 +16,20 @@ object Bench {
     // doesn't absorb session startup (~3-4 s of JIT + codegen compile).
     spark.read.parquet(s"$sfDir/nation.parquet")
       .groupBy("n_regionkey").count().count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional extra args (after the output path): restrict to these
+    // query names — local scale experiments; the driver passes none
+    val only = args.drop(1).toSet
+    val qs0 = if (only.isEmpty) SparkEntry.queries
+              else SparkEntry.queries.view.filterKeys(only).toMap
+    val results = qs0.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a failed query records -1 (not a bogus elapsed time), so a
+      // regression is visible in the JSON instead of silently timed
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case e: Throwable =>
+                 System.err.println(s"[bench] $name failed: ${e.getMessage}")
+                 false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
