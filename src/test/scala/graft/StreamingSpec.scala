@@ -157,6 +157,86 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("windowed agg is identical under the RocksDB state store (production backend)") {
+    // the demos run on the default HDFS-backed store; at cluster scale the
+    // state store is RocksDB — same results, disk-backed state
+    val dir = Files.createTempDirectory("graft_rocksdb")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq((ts("2024-01-01 10:00:10"), 1L), (ts("2024-01-01 10:03:00"), 2L),
+        (ts("2024-01-01 11:00:00"), 1L), (ts("2024-01-01 11:05:00"), 3L))
+      .toDF("ts", "user_id").coalesce(1).write.parquet(s"$dir/in")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = spark.read.parquet(s"$dir/in").schema
+      val q = spark.readStream.schema(schema).parquet(s"$dir/in")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("w"), col("cnt"))
+        .writeStream.format("memory").queryName("graft_rocksdb_test")
+        .outputMode("complete").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("graft_rocksdb_test")
+          .as[(java.sql.Timestamp, Long)].collect().toMap
+        assert(got == Map(ts("2024-01-01 10:00:00") -> 2L,
+                          ts("2024-01-01 11:00:00") -> 2L), got.toString)
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("restart from checkpoint recovers state and does not reprocess") {
+    // memory sinks cannot recover from a checkpoint; the FILE sink is
+    // the real exactly-once path (checkpoint + output commit log)
+    val dir = Files.createTempDirectory("graft_ckpt")
+    val in = dir.resolve("in"); Files.createDirectory(in)
+    val cp = dir.resolve("cp").toString
+    val out = dir.resolve("out").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def writeBatch(rows: Seq[(java.sql.Timestamp, Long)]): Unit =
+      rows.toDF("ts", "user_id").coalesce(1).write.mode("append")
+        .parquet(in.toString)
+    val schema = { writeBatch(Seq((ts("2024-01-01 00:00:00"), 0L)))
+                   spark.read.parquet(in.toString).schema }
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(in.toString)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("w"), col("cnt"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def emitted(): Seq[(java.sql.Timestamp, Long)] =
+      spark.read.parquet(out).as[(java.sql.Timestamp, Long)].collect().toSeq
+
+    // Run 1: window 10:00 gets finalized (the 12:00 row pushes the
+    // watermark); window 14:00 stays PENDING in the state store.
+    writeBatch(Seq(
+      (ts("2024-01-01 10:00:10"), 1L), (ts("2024-01-01 10:03:00"), 1L),
+      (ts("2024-01-01 12:00:00"), 2L), (ts("2024-01-01 14:00:00"), 3L)))
+    run()
+    val run1 = emitted()
+    assert(run1.contains((ts("2024-01-01 10:00:00"), 2L)), run1.toString)
+    assert(!run1.exists(_._1 == ts("2024-01-01 14:00:00")), run1.toString)
+
+    // Run 2, same checkpoint + output: a second 14:00-window row plus a
+    // 16:00 row that finalizes it. The emitted count must include the
+    // run-1 row (state recovered across the restart) and the 10:00
+    // window must appear exactly ONCE (batch-1 files not reprocessed).
+    writeBatch(Seq(
+      (ts("2024-01-01 14:05:00"), 3L), (ts("2024-01-01 16:00:00"), 4L)))
+    run()
+    val run2 = emitted()
+    assert(run2.contains((ts("2024-01-01 14:00:00"), 2L)),
+           s"state must survive the restart: $run2")
+    assert(run2.count(_._1 == ts("2024-01-01 10:00:00")) == 1,
+           s"closed windows must not re-emit after restart: $run2")
+  }
+
   test("stream-stream join drops late rows once the watermark passes them") {
     val dir = Files.createTempDirectory("graft_ssjoin_late")
     val in = dir.resolve("in"); Files.createDirectory(in)
