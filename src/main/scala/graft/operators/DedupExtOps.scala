@@ -21,25 +21,39 @@ object DedupExtOps extends OpModule {
   private val Bands = 4 // rows-per-band = 2
 
   /** minhash_i(doc) = min over tokens of a nibble-rotation of the
-    * token's md5 — one digest per token instead of NumHashes digests
+    * token's md5 — one digest per token instead of nHashes digests
     * (rotations of a uniform hash stay uniform, and hex order = byte
-    * order, so min() is a valid min-hash for each rotation). */
-  private def sigCols: Seq[Column] =
-    (0 until NumHashes).map(i =>
+    * order, so min() is a valid min-hash for each rotation). The
+    * 4-nibble rotation step bounds nHashes at 8 within one doubled
+    * 32-hex digest. */
+  private def sigCols(nHashes: Int): Seq[Column] = {
+    require(nHashes >= 1 && nHashes <= 8, s"nHashes in [1,8], got $nHashes")
+    (0 until nHashes).map(i =>
       min(substring(concat(col("m"), col("m")), 1 + 4 * i, 32)).as(s"h$i"))
+  }
 
   /** One row per (doc, band) with a single composite band key
-    * `bk = "<band>:<sig>"` — q46's banding flattened to the one-column
-    * form a persisted signature index buckets on. */
-  private def bandKeys(docs: DataFrame): DataFrame = {
+    * `bk = "<band>:<sig>"` — MinHash-LSH banding flattened to the
+    * one-column form a persisted signature index buckets on. Docs
+    * sharing any `bk` are near-dup candidates; rows-per-band =
+    * nHashes/bands trades recall (more bands) against precision
+    * (wider bands). Parameterized library surface — q46/q76/q82 run
+    * the (8, 4) default; non-default widths are spec-tested. */
+  private[graft] def bandKeys(docs: DataFrame, nHashes: Int = NumHashes,
+                              bands: Int = Bands): DataFrame = {
+    require(bands >= 1 && nHashes % bands == 0,
+            s"bands must divide nHashes, got ($nHashes, $bands)")
+    val rpb = nHashes / bands
     val toks = docs
       .select(col("doc_id"),
               org.apache.spark.sql.graft.GraftFunctions
                 .ngrams(split(col("text"), " "), 3).as("sh"))
       .select(col("doc_id"), md5(col("sh")).as("m"))
-    toks.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-      .select(col("doc_id"), explode(array((0 until Bands).map(j =>
-        concat(lit(s"$j:"), col(s"h${2 * j}"), col(s"h${2 * j + 1}"))): _*))
+    val sig = sigCols(nHashes)
+    toks.groupBy("doc_id").agg(sig.head, sig.tail: _*)
+      .select(col("doc_id"), explode(array((0 until bands).map(j =>
+        concat(lit(s"$j:") +:
+               (0 until rpb).map(r => col(s"h${j * rpb + r}")): _*)): _*))
         .as("bk"))
   }
 
@@ -55,7 +69,8 @@ object DedupExtOps extends OpModule {
         .select(col("doc_id"), md5(col("sh")).as("m"))
       // no per-doc distinct: min() over a multiset equals min() over its
       // set, so deduplicating shingles first would only add a shuffle
-      val sigs = toks.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val sig = sigCols(NumHashes)
+      val sigs = toks.groupBy("doc_id").agg(sig.head, sig.tail: _*)
       // LSH banding: docs sharing any band signature become candidates.
       val bands = sigs.select(col("doc_id"), explode(array(
         (0 until Bands).map(j => struct(lit(j).as("band"),

@@ -40,20 +40,25 @@ object TimeWindowOps extends OpModule {
     }
   )
 
-  /** The 30-min-gap sessionization shared by q38 (batch) and
+  /** Gap-based sessionization shared by q38 (batch, 30-min default) and
     * q80_stream_sessionize (streaming): ONE definition is what makes
     * their bit-parity structural rather than copy-discipline. Works on
-    * any frame with (user_id, ts) — batch DataFrame or stream. */
-  private[graft] def sessionize(events: DataFrame): DataFrame =
+    * any frame with (user_id, ts) — batch DataFrame or stream — and any
+    * gap width (`dur_us` = last-event − first-event, i.e. window span
+    * minus the trailing gap session_window appends). Non-default gaps
+    * are spec-tested against an independent gaps-and-islands fold. */
+  private[graft] def sessionize(events: DataFrame,
+                                gapMinutes: Int = 30): DataFrame =
     events
-      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .groupBy(col("user_id"),
+               session_window(col("ts"), s"$gapMinutes minutes"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("user_id"),
               col("session_window.start").as("sess_start"),
               col("cnt"),
               (unix_micros(col("session_window.end")) -
                unix_micros(col("session_window.start")) -
-               lit(1800000000L)).as("dur_us"))
+               lit(gapMinutes * 60000000L)).as("dur_us"))
 
   def oracles: Map[String, String] = Map(
     "q36_win_tumbling" ->

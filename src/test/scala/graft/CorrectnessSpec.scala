@@ -124,6 +124,47 @@ class CorrectnessSpec extends SparkSpecBase {
     }
   }
 
+  test("bandKeys generalizes: (4 hashes, 2 bands) emits 2 keys/doc, clones collide") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact clone of 1
+      (3L, "completely different token stream here now")).toDF("doc_id", "text")
+    val bk = operators.DedupExtOps.bandKeys(docs, nHashes = 4, bands = 2)
+      .as[(Long, String)].collect()
+    assert(bk.count(_._1 == 1L) == 2, bk.toSeq)     // one row per band
+    val k1 = bk.filter(_._1 == 1L).map(_._2).toSet
+    val k2 = bk.filter(_._1 == 2L).map(_._2).toSet
+    val k3 = bk.filter(_._1 == 3L).map(_._2).toSet
+    assert(k1 == k2, "clones must collide on every band")
+    assert((k1 & k3).isEmpty, "disjoint texts should not share band keys")
+    // each key = "<band>:" + rows-per-band (=2) 32-hex minhashes
+    assert(bk.forall(_._2.length == 2 + 64), bk.toSeq)
+  }
+
+  test("sessionize generalizes: 60-min gap matches a gaps-and-islands fold") {
+    val ev = Tables(spark, sf, "events").select(col("user_id"), col("ts"))
+    val got = operators.TimeWindowOps.sessionize(ev, gapMinutes = 60)
+      .select(col("user_id"), unix_micros(col("sess_start")),
+              col("cnt"), col("dur_us"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val gapUs = 60L * 60 * 1000000
+    val expected = ev.select(col("user_id"), unix_micros(col("ts")))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+        val ts = rows.map(_._2).sorted
+        val sessions = scala.collection.mutable.ArrayBuffer((ts.head, ts.head))
+        ts.tail.foreach { t =>
+          val (s, e) = sessions.last
+          // inclusive-gap merge (q38 semantics): only > gap opens a session
+          if (t - e > gapUs) sessions += ((t, t)) else sessions(sessions.size - 1) = (s, t)
+        }
+        sessions.map { case (s, e) =>
+          (u, s, ts.count(t => t >= s && t <= e).toLong, e - s)
+        }
+      }.toSet
+    assert(got == expected)
+  }
+
   test("q82 clusters: candidate pairs co-cluster and cluster id is the min member") {
     val pairs = q("q46_dedup_minhash")
       .select("id_a", "id_b").as[(Long, Long)].collect()
