@@ -33,9 +33,13 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // total sums only SUCCESSFUL timings; failures carry their own count
+    // so a broken query inflates `failures` instead of silently
+    // deflating the headline number the driver scrapes
+    val total = results.values.filter(_ >= 0).sum
+    val failures = results.values.count(_ < 0)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"queries":$qs,"sf":"$sfDir"}"""
     // stdout line for the driver's scraper AND a file copy so the result
     // survives a truncated tail capture (round-1 BENCH came back
     // parsed:null because the tail cut the stdout line mid-stream).

@@ -169,26 +169,44 @@ object DedupExtOps extends OpModule {
     * returns `(id, lbl)` with `lbl` = min node id in the component.
     * Min-label propagation to a fixpoint — see q82's scaladoc for the
     * per-round cost and the 100 TB variant. Property-tested against an
-    * in-memory union-find on random graphs (PropertySpec). */
+    * in-memory union-find on random graphs (PropertySpec).
+    *
+    * Each round is pinned on an explicit RDD handle (not
+    * `localCheckpoint`, whose blocks bypass the cache manager and can't
+    * be released through `Dataset.unpersist`): the logical plan is
+    * truncated per round, and the PREVIOUS round's blocks are freed as
+    * soon as the convergence count no longer needs them, so executor
+    * storage stays O(1) in the iteration count. Only the returned
+    * labels table remains cached — it's the result the caller consumes. */
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-      .localCheckpoint()
-    var labels = edges.select(col("u").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl"))
-      .localCheckpoint()
+    val s = pairs.sparkSession
+    // materialize df on a persisted RDD and restart the logical plan
+    // from it; the handle lets us drop exactly this round's blocks
+    def pin(df: DataFrame) = {
+      val r = df.rdd.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (s.createDataFrame(r, df.schema), r)
+    }
+    val (edges, edgesRdd) =
+      pin(pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v"))))
+    var (labels, labelsRdd) =
+      pin(edges.select(col("u").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl")))
     var changed = 1L
     while (changed > 0) {
       val prop = edges.join(labels.withColumnRenamed("id", "u"), Seq("u"))
         .select(col("v").as("id"), col("lbl"))
-      val next = labels.unionAll(prop)
-        .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint()
+      val (next, nextRdd) = pin(labels.unionAll(prop)
+        .groupBy("id").agg(min("lbl").as("lbl")))
       changed = next
         .join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
         .where(col("lbl") =!= col("old")).count()
+      labelsRdd.unpersist(blocking = false)
       labels = next
+      labelsRdd = nextRdd
     }
+    edgesRdd.unpersist(blocking = false)
     labels
   }
 

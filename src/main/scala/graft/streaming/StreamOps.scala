@@ -59,43 +59,43 @@ object StreamOps extends OpModule {
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
   }
 
-  /** Runs `df` to completion into a memory sink and returns the sink
-    * table. AvailableNow processes the staged file then stops.
+  /** Builds the stream with `build` and runs it to completion into a
+    * memory sink, returning the sink table. AvailableNow processes the
+    * staged file then stops.
     *
     * State partitioning: a streaming query pins its state-store layout
     * to `spark.sql.shuffle.partitions` AT START, and every micro-batch
     * pays a per-partition state checkpoint cost regardless of volume.
     * These demos hold thousands of keys, not billions, so 8 partitions
-    * is plenty; the conf is restored only AFTER termination (micro-batches
-    * are planned asynchronously after start), so following batch queries
-    * keep the harness-wide setting. (A production job sizes this to
-    * keys/executors once — it cannot change across restarts.) */
-  private def runToMemory(s: SparkSession, df: DataFrame, qname: String,
-                          mode: String): DataFrame = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    try {
-      // keep the reduced value until termination: micro-batches are
-      // planned asynchronously after start()
-      s.conf.set("spark.sql.shuffle.partitions",
-                 math.min(8, prev.toInt).toString)
-      val query = df.writeStream
-        .format("memory").queryName(qname)
-        .outputMode(mode).trigger(Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    s.table(qname)
+    * is plenty. The override lives in an isolated child session
+    * (`newSession` — shared SparkContext and cache, own SQL conf), so a
+    * batch or stream query planning concurrently in the caller's
+    * session can never observe the reduced value. (A production job
+    * sizes this to keys/executors once — it cannot change across
+    * restarts.) */
+  private def runToMemory(s: SparkSession, build: SparkSession => DataFrame,
+                          qname: String, mode: String): DataFrame = {
+    val iso = s.newSession()
+    val prev = scala.util.Try(
+      s.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(32)
+    iso.conf.set("spark.sql.shuffle.partitions", math.min(8, prev).toString)
+    val query = build(iso).writeStream
+      .format("memory").queryName(qname)
+      .outputMode(mode).trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    iso.table(qname)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_demo" -> { (s, d) =>
-      val agg = eventStream(s, d)
+      runToMemory(s, iso => eventStream(iso, d)
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"))
         .select(col("window.start").as("hour_start"), col("event_type"),
-                col("cnt"))
-      runToMemory(s, agg, "graft_stream_demo", "complete")
+                col("cnt")),
+        "graft_stream_demo", "complete")
         .orderBy("hour_start", "event_type")
     },
 
@@ -112,36 +112,38 @@ object StreamOps extends OpModule {
     "q80_stream_sessionize" -> { (s, d) =>
       // the aggregation IS q38's (one shared definition — bit-parity by
       // construction), run over the stream instead of the batch table
-      val sess = graft.operators.TimeWindowOps.sessionize(eventStream(s, d))
-      runToMemory(s, sess, "graft_stream_sess", "complete")
+      runToMemory(s,
+        iso => graft.operators.TimeWindowOps.sessionize(eventStream(iso, d)),
+        "graft_stream_sess", "complete")
         .orderBy("user_id", "sess_start")
     },
 
     "q78_stream_stream_join" -> { (s, d) =>
-      // both sides derive from ONE source stream (a stream self-join):
-      // one file listing + one scan per micro-batch instead of two
-      val ev = eventStream(s, d)
-      val clicks = ev
-        .where(col("event_type") === "click")
-        .select(col("user_id").as("cu"), col("ts").as("cts"))
-        .withWatermark("cts", "1 hour")
-      val signups = ev
-        .where(col("event_type") === "signup")
-        .select(col("event_id").as("signup_id"), col("user_id").as("su"),
-                col("ts").as("sts"))
-        .withWatermark("sts", "1 hour")
-      // Inner join with an event-time range condition: Spark derives a
-      // state watermark from it — a buffered click is dropped once no
-      // future signup can reach back to it (cts < sts is impossible
-      // after watermark passes cts) and vice versa, so state stays
-      // bounded. Matches emit as they occur (append mode).
-      val joined = clicks.join(signups,
-        col("cu") === col("su") &&
-          col("cts") >= col("sts") &&
-          col("cts") < col("sts") + expr("INTERVAL 1 HOUR"))
       // the per-signup count is a plain batch aggregate over the sink:
       // the stateful stream-stream part is the join itself
-      runToMemory(s, joined, "graft_stream_join", "append")
+      runToMemory(s, iso => {
+        // both sides derive from ONE source stream (a stream self-join):
+        // one file listing + one scan per micro-batch instead of two
+        val ev = eventStream(iso, d)
+        val clicks = ev
+          .where(col("event_type") === "click")
+          .select(col("user_id").as("cu"), col("ts").as("cts"))
+          .withWatermark("cts", "1 hour")
+        val signups = ev
+          .where(col("event_type") === "signup")
+          .select(col("event_id").as("signup_id"), col("user_id").as("su"),
+                  col("ts").as("sts"))
+          .withWatermark("sts", "1 hour")
+        // Inner join with an event-time range condition: Spark derives a
+        // state watermark from it — a buffered click is dropped once no
+        // future signup can reach back to it (cts < sts is impossible
+        // after watermark passes cts) and vice versa, so state stays
+        // bounded. Matches emit as they occur (append mode).
+        clicks.join(signups,
+          col("cu") === col("su") &&
+            col("cts") >= col("sts") &&
+            col("cts") < col("sts") + expr("INTERVAL 1 HOUR"))
+      }, "graft_stream_join", "append")
         .groupBy("signup_id")
         .agg(count(lit(1)).as("clicks"))
         .orderBy("signup_id")
