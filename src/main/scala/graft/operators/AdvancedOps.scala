@@ -96,6 +96,33 @@ object AdvancedOps extends OpModule {
         .groupBy("user_id")
         .agg(count(lit(1)).as("cnt"))
         .orderBy("user_id")
+    },
+
+    // Column profiler (added r6) — per-column nulls / distincts / value
+    // range in ONE pass over the table: a single multi-distinct
+    // aggregate (Catalyst plans it as one scan + an Expand that
+    // replicates each row once per distinct column — still one read of
+    // the data), then `stack` unpivots the 1×20 stat row into one row
+    // per column. min/max aggregate in the column's NATIVE type and
+    // cast afterwards, so numeric columns range numerically, not
+    // lexically. At 100 TB the same shape runs with
+    // approx_count_distinct instead (no Expand, pure map-side sketch
+    // merge) — exact distincts here because the oracle demands
+    // bit-equality.
+    "q86_profile_stats" -> { (s, d) =>
+      val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+      val aggs = cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max")))
+      val stackArgs = cols.map(c =>
+        s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max").mkString(", ")
+      Tables(s, d, "documents")
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+          "(col_name, n_nulls, n_distinct, min_val, max_val)")
+        .orderBy("col_name")
     }
   )
 
@@ -126,6 +153,16 @@ object AdvancedOps extends OpModule {
     "q60_skew_salted" ->
       """SELECT user_id, count(*) AS cnt
         |FROM events JOIN orders ON user_id = o_custkey
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q86_profile_stats" -> Seq("doc_id", "lang", "n_chars", "source", "text")
+      .map(c =>
+        s"""SELECT '$c' AS col_name,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_val,
+           |  CAST(max($c) AS VARCHAR) AS max_val
+           |FROM documents""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   )
 }

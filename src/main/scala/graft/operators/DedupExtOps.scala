@@ -154,16 +154,52 @@ object DedupExtOps extends OpModule {
     // convergence COUNT, never the data. Oracle: DuckDB recursive-CTE
     // reachability with the same min-per-component reduction.
     "q82_dedup_clusters" -> { (s, d) =>
-      val bk = bandKeys(Tables(s, d, "documents"))
-      val pairs = bk.select(col("bk"), col("doc_id").as("id_a"))
-        .join(bk.select(col("bk"), col("doc_id").as("id_b")), Seq("bk"))
-        .where(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
-      connectedComponents(pairs)
+      connectedComponents(candidatePairs(Tables(s, d, "documents")))
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
         .orderBy("doc_id")
+    },
+
+    // Keep-best dedup (added r6) — the step that turns q82's duplicate
+    // CLUSTERS into a cleaned CORPUS: every document gets a cluster id
+    // (its component's min doc_id; singletons are their own cluster)
+    // and a keep bit — the highest-quality member of each cluster
+    // (q49's score, doc_id tie-break) survives, the rest are dropped.
+    //
+    // Scale shape: the cluster table covers only docs that appeared in
+    // a candidate pair — a sliver of the corpus — so it BROADCASTS to
+    // both the inner join (clustered docs) and the anti join
+    // (singletons, keep=1 by definition, no window needed). The
+    // row_number window shuffles only the clustered sliver, never the
+    // corpus: two broadcast-joined scans beat one full-corpus shuffle
+    // at 100 TB by orders of magnitude.
+    "q83_dedup_keep_best" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val clusters = connectedComponents(candidatePairs(docs))
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      val scored = docs.select(col("doc_id"),
+                               TextExtOps.qualityScore.as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_id").orderBy(col("score").desc, col("doc_id"))
+      val clustered = scored.join(broadcast(clusters), Seq("doc_id"))
+        .withColumn("keep", when(row_number().over(w) === 1, 1).otherwise(0))
+        .select("doc_id", "cluster_id", "score", "keep")
+      val singletons = scored.join(broadcast(clusters), Seq("doc_id"),
+                                   "left_anti")
+        .select(col("doc_id"), col("doc_id").as("cluster_id"), col("score"),
+                lit(1).as("keep"))
+      clustered.unionByName(singletons).orderBy("doc_id")
     }
   )
+
+  /** Distinct near-dup candidate pairs `(id_a < id_b)` from MinHash-LSH
+    * band collisions — the edge set q82 clusters and q83 prunes. */
+  private def candidatePairs(docs: DataFrame): DataFrame = {
+    val bk = bandKeys(docs)
+    bk.select(col("bk"), col("doc_id").as("id_a"))
+      .join(bk.select(col("bk"), col("doc_id").as("id_b")), Seq("bk"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
 
   /** Connected components over an undirected pair set `(id_a, id_b)`:
     * returns `(id, lbl)` with `lbl` = min node id in the component.
@@ -225,6 +261,24 @@ object DedupExtOps extends OpModule {
        |bands AS ($bandRows)""".stripMargin
   }
 
+  /** The recursive-reachability cluster CTE shared by the q82/q83
+    * oracles: `clusters(doc_id, cluster_id)` over the LSH candidate
+    * graph, cluster_id = min node id in the component. */
+  private def clustersCte: String =
+    s"""${minhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.sig = y.sig
+       |          AND x.doc_id < y.doc_id),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM cand
+       |          UNION SELECT id_b, id_a FROM cand),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |clusters AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+       |             FROM reach GROUP BY u)""".stripMargin
+
   private def simhashBits: String =
     (0 until 16).map { p =>
       val j = p / 4 + 1
@@ -255,19 +309,24 @@ object DedupExtOps extends OpModule {
     // a node's cluster = least(self, min reachable) — identical to the
     // label-propagation fixpoint (symmetric edges put self in reach)
     "q82_dedup_clusters" ->
-      s"""${minhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |         FROM bands x JOIN bands y
-         |           ON x.band = y.band AND x.sig = y.sig
-         |          AND x.doc_id < y.doc_id),
-         |edges AS (SELECT id_a AS u, id_b AS v FROM cand
-         |          UNION SELECT id_b, id_a FROM cand),
-         |reach(u, v) AS (
-         |  SELECT u, v FROM edges
-         |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
-         |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
-         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+      s"""$clustersCte
+         |SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin,
+
+    // same reachability clusters + q49's score formula; keep bit = first
+    // by (score DESC, doc_id) within each cluster, singletons keep
+    "q83_dedup_keep_best" ->
+      s"""$clustersCte,
+         |scored AS (
+         |  SELECT doc_id, ${TextExtOps.qualityScoreSql} AS score
+         |  FROM documents),
+         |j AS (
+         |  SELECT s.doc_id, coalesce(c.cluster_id, s.doc_id) AS cluster_id,
+         |         s.score
+         |  FROM scored s LEFT JOIN clusters c ON s.doc_id = c.doc_id)
+         |SELECT doc_id, cluster_id, score,
+         |  CAST((row_number() OVER (PARTITION BY cluster_id
+         |         ORDER BY score DESC, doc_id) = 1) AS INT) AS keep
+         |FROM j ORDER BY doc_id""".stripMargin,
 
     "q47_dedup_simhash" ->
       s"""WITH t AS (

@@ -32,7 +32,7 @@ object TextExtOps extends OpModule {
     * on each side keeps "q81 uses q49's formula" structural): length
     * saturation + stopword ratio + alphabetic-character ratio, round 6,
     * identical operand order in both engines. */
-  private def qualityScore: Column = {
+  private[operators] def qualityScore: Column = {
     val toks = split(col("text"), " ")
     val stop = size(filter(toks, t => t.isin("a", "the", "of", "and", "in")))
       .cast("double") / size(toks)
@@ -42,7 +42,7 @@ object TextExtOps extends OpModule {
     round(lenScore * 0.4 + stop * 0.3 + alpha * 0.3, 6)
   }
 
-  private val qualityScoreSql: String =
+  private[operators] val qualityScoreSql: String =
     """round(least(1.0, CAST(n_chars AS DOUBLE) / 400) * 0.4 +
       |      CAST(len(list_filter(string_split(text, ' '),
       |                           t -> t IN ('a','the','of','and','in'))) AS DOUBLE) /
@@ -152,6 +152,52 @@ object TextExtOps extends OpModule {
         .orderBy("split", "lang")
     },
 
+    // Within-document repetition ratio (added r6) — the Gopher/C4-style
+    // quality signal the length/stopword score (q49) can't see: a doc
+    // stuffed with the same phrase has few DISTINCT 2-grams relative to
+    // its total. One generator + one per-doc aggregation: at 100 TB
+    // this is a narrow shuffle on (doc_id, gram) for the distinct count
+    // (partial aggregation dedups grams map-side first) — linear in
+    // corpus size, never cross-document.
+    "q84_repetition_ratio" -> { (s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+                org.apache.spark.sql.graft.GraftFunctions
+                  .ngrams(split(col("text"), " "), 2).as("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+             countDistinct(col("g")).as("n_distinct"))
+        .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+                round(lit(1.0) - col("n_distinct").cast("double") /
+                      col("n_grams"), 6).as("dup_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic weighted corpus mixture (added r6) — training-data
+    // mixing: each source tier keeps a different fraction of its docs,
+    // membership decided by a stable key hash (same discipline as q67's
+    // split — survives reshuffles and re-runs, needs no sort or state).
+    // Tiers: curated sources 0-4 keep all, mid 5-11 keep ~1/2, tail
+    // keeps ~1/4 (first md5 byte vs a hex threshold = rate·256). Uses
+    // md5 chars 3-4 so mixture membership is INDEPENDENT of q67's
+    // train/eval bit (chars 1-2). Pure map + tiny agg: one scan, one
+    // 20-key shuffle at any corpus size.
+    "q85_mixture_sample" -> { (s, d) =>
+      val idx = expr("CAST(substring(source, 4) AS INT)")
+      val u = substring(md5(col("doc_id").cast("string")), 3, 2)
+      val weight = when(idx < 5, 1.0).when(idx < 12, 0.5).otherwise(0.25)
+      val keep = when(idx < 5, lit(true))
+        .when(idx < 12, u <= "7f").otherwise(u <= "3f")
+      Tables(s, d, "documents")
+        .groupBy("source")
+        .agg(max(weight).as("weight"),
+             count(lit(1)).as("total_docs"),
+             sum(keep.cast("long")).as("kept_docs"),
+             sum(when(keep, size(split(col("text"), " ")).cast("long"))
+               .otherwise(0L)).as("kept_tokens"))
+        .orderBy("source")
+    },
+
     // Document fingerprint: min-hash over 3-token shingles (rolling
     // content signature) + shingle cardinality.
     "q51_fingerprint" -> { (s, d) =>
@@ -217,6 +263,37 @@ object TextExtOps extends OpModule {
            |  round(CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
            |    AS avg_score
            |FROM dedup GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+
+      "q84_repetition_ratio" ->
+        """WITH g AS (
+          |  SELECT doc_id, unnest(
+          |    list_transform(range(1, len(t)),
+          |                   i -> array_to_string(t[i:i+1], ' '))) AS g
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+          |SELECT doc_id, count(*) AS n_grams, count(DISTINCT g) AS n_distinct,
+          |  round(1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6)
+          |    AS dup_ratio
+          |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q85_mixture_sample" ->
+        """WITH t AS (
+          |  SELECT source, text,
+          |    CAST(substr(source, 4) AS INT) AS idx,
+          |    substr(md5(CAST(doc_id AS VARCHAR)), 3, 2) AS u
+          |  FROM documents),
+          |k AS (
+          |  SELECT source, text,
+          |    CASE WHEN idx < 5 THEN 1.0
+          |         WHEN idx < 12 THEN 0.5 ELSE 0.25 END AS weight,
+          |    CASE WHEN idx < 5 THEN TRUE
+          |         WHEN idx < 12 THEN u <= '7f' ELSE u <= '3f' END AS keep
+          |  FROM t)
+          |SELECT source, CAST(max(weight) AS DOUBLE) AS weight,
+          |  count(*) AS total_docs,
+          |  CAST(sum(CAST(keep AS BIGINT)) AS BIGINT) AS kept_docs,
+          |  CAST(sum(CASE WHEN keep THEN len(string_split(text, ' '))
+          |                ELSE 0 END) AS BIGINT) AS kept_tokens
+          |FROM k GROUP BY source ORDER BY source""".stripMargin,
 
       "q51_fingerprint" ->
         """WITH sh AS (

@@ -350,6 +350,87 @@ class CorrectnessSpec extends SparkSpecBase {
     }
   }
 
+  test("q83 keep-best: one survivor per cluster, and it's the best member") {
+    val rows = q("q83_dedup_keep_best")
+      .select("doc_id", "cluster_id", "score", "keep")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(rows.length == Tables(spark, sf, "documents").count())
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      // exactly one keeper, and it is max by (score, then smaller doc_id)
+      val keepers = members.filter(_._4 == 1)
+      assert(keepers.length == 1, s"cluster $cid has ${keepers.length} keepers")
+      val best = members.minBy { case (id, _, sc, _) => (-sc, id) }
+      assert(keepers.head == best)
+      // singleton clusters are their own id and always keep
+      if (members.length == 1) assert(members.head._1 == cid)
+    }
+    // clustered docs agree with q82's component labels
+    val q82 = q("q82_dedup_clusters").as[(Long, Long)].collect().toMap
+    q82.foreach { case (id, cid) =>
+      assert(rows.find(_._1 == id).get._2 == cid)
+    }
+  }
+
+  test("q84 repetition ratio matches in-memory recomputation") {
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val expected = docs.map { case (id, t) =>
+      val grams = t.split(" ").sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toSeq
+      (id, grams.size.toLong, grams.distinct.size.toLong,
+       BigDecimal(1.0 - grams.distinct.size.toDouble / grams.size)
+         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1).toSeq
+    val got = q("q84_repetition_ratio")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("q85 mixture matches an in-memory replay of the hash rule") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "source", "text").as[(Long, String, String)].collect()
+    val expected = docs.groupBy(_._2).map { case (src, ds) =>
+      val idx = src.drop(3).toInt
+      val weight = if (idx < 5) 1.0 else if (idx < 12) 0.5 else 0.25
+      val kept = ds.filter { case (id, _, _) =>
+        val u = md5hex(id.toString).substring(2, 4)
+        idx < 5 || (idx < 12 && u <= "7f") || (idx >= 12 && u <= "3f")
+      }
+      (src, weight, ds.length.toLong, kept.length.toLong,
+       kept.map(_._3.split(" ").length.toLong).sum)
+    }.toSeq.sortBy(_._1)
+    val got = q("q85_mixture_sample")
+      .as[(String, Double, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("q86 profile stats match in-memory recomputation") {
+    val docs = Tables(spark, sf, "documents").collect()
+    val byName = q("q86_profile_stats")
+      .as[(String, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(byName.keySet ==
+           Set("doc_id", "lang", "n_chars", "source", "text"))
+    for ((name, i) <- Seq("doc_id" -> 0, "text" -> 1, "lang" -> 2,
+                          "source" -> 3, "n_chars" -> 4)) {
+      val vals = docs.map(_.get(i)).filter(_ != null)
+      val (_, nulls, distinct, minV, maxV) = byName(name)
+      assert(nulls == docs.length - vals.length)
+      assert(distinct == vals.distinct.length)
+      (name, i) match {
+        case (_, 0) | (_, 4) => // BIGINT columns range numerically
+          assert(minV == vals.map(_.asInstanceOf[Long]).min.toString)
+          assert(maxV == vals.map(_.asInstanceOf[Long]).max.toString)
+        case _ =>
+          assert(minV == vals.map(_.asInstanceOf[String]).min)
+          assert(maxV == vals.map(_.asInstanceOf[String]).max)
+      }
+    }
+  }
+
   test("q46 minhash candidates are supported by real prefix near-dups") {
     // Every q42 high-Jaccard pair should be recovered by LSH banding.
     val lsh = q("q46_dedup_minhash").select("id_a", "id_b")

@@ -179,4 +179,32 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(plan("q09_join_semi").contains("LeftSemi"))
     assert(plan("q10_join_anti").contains("LeftAnti"))
   }
+
+  test("q83: cluster table broadcasts to both corpus joins, no merge join") {
+    val df = SparkEntry.queries("q83_dedup_keep_best")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the tiny cluster table must reach the corpus via broadcast on the
+    // inner (clustered) AND anti (singleton) branches; the corpus is
+    // never shuffled for a join, and the window sorts only the
+    // clustered sliver (inside the broadcast-join branch)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q86: profile is one scan of documents (multi-distinct via Expand)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // static shape under test — plan without AQE so the tree has no
+    // query-stage wrappers hiding the scan from collect()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("q86_profile_stats")(spark, sf)
+        .queryExecution.executedPlan
+      val scans = plan.collectWithSubqueries {
+        case s: FileSourceScanExec => s }
+      assert(scans.length == 1,
+             s"profiler must read the table once, saw ${scans.length} scans")
+      assert(plan.toString.contains("Expand"), plan.toString)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
