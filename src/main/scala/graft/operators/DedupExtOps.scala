@@ -147,10 +147,12 @@ object DedupExtOps extends OpModule {
     // propagation: each round is one shuffle join (edges ⋈ labels) +
     // one min-aggregation, repeated until a fixpoint — O(diameter)
     // rounds, and LSH candidate components are near-cliques so the
-    // diameter is tiny. `localCheckpoint` truncates the growing lineage
-    // per round (at cluster scale: reliable checkpoint dir instead, or
-    // the alternating large-star/small-star variant — same join+agg
-    // primitives, O(log n) rounds). The driver touches only the
+    // diameter is tiny. Each round is pinned on an explicit persisted
+    // RDD that truncates the growing plan; the previous round's blocks
+    // are freed once the convergence count is done (at cluster scale:
+    // reliable checkpoint dir instead, or the alternating
+    // large-star/small-star variant — same join+agg primitives,
+    // O(log n) rounds). The driver touches only the
     // convergence COUNT, never the data. Oracle: DuckDB recursive-CTE
     // reachability with the same min-per-component reduction.
     "q82_dedup_clusters" -> { (s, d) =>

@@ -198,6 +198,39 @@ object TextExtOps extends OpModule {
         .orderBy("source")
     },
 
+    // Eval-set decontamination (added r6) — the pre-training hygiene
+    // step: find (eval doc, train doc) pairs sharing suspiciously many
+    // 3-token shingles, i.e. eval examples leaked into the training
+    // split. Shape: per-doc DISTINCT shingle hashes → drop shingles
+    // present in > 10 docs (boilerplate/stop-shingles — the standard
+    // df-cap that also kills the hot keys that would otherwise blow up
+    // the inverted-index join) → eval⋈train on the shingle hash →
+    // per-pair shared-shingle count ≥ 3. All three shuffles are on the
+    // SAME key (the shingle hash), so the df-filter, the split, and the
+    // join reuse one partitioning; output pairs are a sliver. At 100 TB
+    // this is the inverted-index contamination scan Dolma/RedPajama
+    // style pipelines run before every release.
+    "q87_decontaminate" -> { (s, d) =>
+      val sh = Tables(s, d, "documents")
+        .select(col("doc_id"), trainSplit.as("split"),
+                org.apache.spark.sql.graft.GraftFunctions
+                  .ngrams(split(col("text"), " "), 3).as("g"))
+        .select(col("doc_id"), col("split"), md5(col("g")).as("m"))
+        .distinct()
+      val rare = sh.groupBy("m")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .where(col("df") <= 10).select("m")
+      val pruned = sh.join(rare, Seq("m"))
+      pruned.where(col("split") === "eval")
+        .select(col("doc_id").as("eval_id"), col("m"))
+        .join(pruned.where(col("split") === "train")
+                .select(col("doc_id").as("train_id"), col("m")), Seq("m"))
+        .groupBy("eval_id", "train_id")
+        .agg(count(lit(1)).as("shared_shingles"))
+        .where(col("shared_shingles") >= 3)
+        .orderBy("eval_id", "train_id")
+    },
+
     // Document fingerprint: min-hash over 3-token shingles (rolling
     // content signature) + shingle cardinality.
     "q51_fingerprint" -> { (s, d) =>
@@ -294,6 +327,23 @@ object TextExtOps extends OpModule {
           |  CAST(sum(CASE WHEN keep THEN len(string_split(text, ' '))
           |                ELSE 0 END) AS BIGINT) AS kept_tokens
           |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+      "q87_decontaminate" ->
+        s"""WITH sh AS (
+           |  SELECT DISTINCT doc_id, $trainSplitSql AS split,
+           |    md5(unnest(list_transform(range(1, len(t) - 1),
+           |        i -> array_to_string(t[i:i+2], ' ')))) AS m
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+           |        FROM documents)),
+           |rare AS (SELECT m FROM sh GROUP BY m
+           |         HAVING count(DISTINCT doc_id) <= 10),
+           |p AS (SELECT sh.* FROM sh JOIN rare USING (m))
+           |SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
+           |  count(*) AS shared_shingles
+           |FROM p e JOIN p t ON e.m = t.m
+           | AND e.split = 'eval' AND t.split = 'train'
+           |GROUP BY eval_id, train_id HAVING count(*) >= 3
+           |ORDER BY eval_id, train_id""".stripMargin,
 
       "q51_fingerprint" ->
         """WITH sh AS (

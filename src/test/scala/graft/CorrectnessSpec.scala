@@ -431,6 +431,32 @@ class CorrectnessSpec extends SparkSpecBase {
     }
   }
 
+  test("q87 decontamination matches an in-memory replay") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val shingles = docs.map { case (id, t) =>
+      val sh = t.split(" ").sliding(3).filter(_.length == 3)
+        .map(w => md5hex(w.mkString(" "))).toSet
+      (id, md5hex(id.toString).head <= 'b', sh)
+    }
+    val df = shingles.flatMap(d => d._3).groupBy(identity)
+      .map { case (m, _) => m ->
+        shingles.count(_._3.contains(m)) }
+    val rare = df.filter(_._2 <= 10).keySet
+    val expected = (for {
+      (eid, eTrain, esh) <- shingles if !eTrain
+      (tid, tTrain, tsh) <- shingles if tTrain
+      shared = (esh intersect tsh).count(rare.contains)
+      if shared >= 3
+    } yield (eid, tid, shared.toLong)).sortBy(p => (p._1, p._2)).toSeq
+    val got = q("q87_decontaminate")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
   test("q46 minhash candidates are supported by real prefix near-dups") {
     // Every q42 high-Jaccard pair should be recovered by LSH banding.
     val lsh = q("q46_dedup_minhash").select("id_a", "id_b")
