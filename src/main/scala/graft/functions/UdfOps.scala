@@ -21,6 +21,58 @@ object GeoMeanAgg extends Aggregator[Double, (Double, Long), Double] {
   def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
 
+/** Space-Saving heavy-hitters sketch (Metwally et al.) as a typed
+  * [[Aggregator]] — CONSTANT-memory top-k counting: the buffer holds at
+  * most `k` counters regardless of how many distinct values stream
+  * through, which is the 100 TB form of "top tokens/domains/urls"
+  * (an exact groupBy needs state linear in the key space; this needs
+  * O(k) per partition and one O(k) merge).
+  *
+  * Guarantees (property-tested in PropertySpec): every tracked count
+  * OVERESTIMATES its true count by at most its recorded error, i.e.
+  * `true ≤ est ≤ true + err`, and any value with true frequency
+  * > n/k is guaranteed to be tracked. When `k` ≥ the number of
+  * distinct values nothing is ever evicted and every count is EXACT —
+  * the declared q88 runs in that regime (k=64 vs a 31-token vocab), so
+  * its DuckDB oracle is the plain exact top-10.
+  *
+  * merge combines counters and keeps the top-k by count (mergeable-
+  * summaries discipline): associative+commutative, so Spark runs it
+  * partial+final like any built-in — per-partition sketches map-side,
+  * one tiny merge, no token ever shuffles.
+  */
+class SpaceSavingAgg(k: Int)
+    extends Aggregator[String, Map[String, (Long, Long)], Map[String, Long]] {
+  def zero: Map[String, (Long, Long)] = Map.empty
+  def reduce(b: Map[String, (Long, Long)], tok: String): Map[String, (Long, Long)] =
+    b.get(tok) match {
+      case Some((c, e)) => b.updated(tok, (c + 1, e))
+      case None if b.size < k => b.updated(tok, (1L, 0L))
+      case None =>
+        // evict the min-count counter (token tie-break: deterministic);
+        // the newcomer inherits its count as an upper-bound error
+        val (mt, (mc, _)) = b.minBy { case (t, (c, _)) => (c, t) }
+        (b - mt).updated(tok, (mc + 1, mc))
+    }
+  def merge(b1: Map[String, (Long, Long)],
+            b2: Map[String, (Long, Long)]): Map[String, (Long, Long)] = {
+    val comb = b2.foldLeft(b1) { case (acc, (t, (c, e))) =>
+      acc.get(t) match {
+        case Some((c1, e1)) => acc.updated(t, (c1 + c, e1 + e))
+        case None => acc.updated(t, (c, e))
+      }
+    }
+    if (comb.size <= k) comb
+    else comb.toSeq.sortBy { case (t, (c, _)) => (-c, t) }.take(k).toMap
+  }
+  def finish(b: Map[String, (Long, Long)]): Map[String, Long] =
+    b.map { case (t, (c, _)) => t -> c }
+  def bufferEncoder: Encoder[Map[String, (Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  def outputEncoder: Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}
+
 /** UDF / UDAF surface (SURVEY.md §2B q39–q40).
   *
   * q39 deliberately uses a Scala UDF (an opaque black box to Catalyst —
@@ -48,6 +100,21 @@ object UdfOps extends OpModule {
         .agg(round(geo(col("l_extendedprice")), 4).as("geo_price"),
              count(lit(1)).as("cnt"))
         .orderBy("l_returnflag")
+    },
+
+    // Constant-memory heavy hitters (added r6) — see [[SpaceSavingAgg]].
+    // k=64 ≥ the 31-token vocab, so the sketch is provably exact here
+    // and the oracle is the plain top-10; sub-capacity error bounds are
+    // property-tested separately.
+    "q88_heavy_hitters" -> { (s, d) =>
+      val hh = udaf(new SpaceSavingAgg(64))
+      Tables(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .agg(hh(col("tok")).as("m"))
+        .select(explode(col("m")))
+        .toDF("token", "cnt")
+        .orderBy(desc("cnt"), col("token"))
+        .limit(10)
     }
   )
 
@@ -64,6 +131,12 @@ object UdfOps extends OpModule {
       """SELECT l_returnflag,
         |  round(exp(avg(ln(l_extendedprice))), 4) AS geo_price,
         |  count(*) AS cnt
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // exact because k=64 exceeds the vocabulary — see SpaceSavingAgg
+    "q88_heavy_hitters" ->
+      """SELECT tok AS token, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY cnt DESC, token LIMIT 10""".stripMargin
   )
 }

@@ -131,6 +131,38 @@ class PropertySpec extends SparkSpecBase {
     }, n = 5)
   }
 
+  test("SpaceSaving: over-capacity error bounds and heavy-hitter recall") {
+    val agg = new functions.SpaceSavingAgg(4)
+    val streamGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e",
+                                                 "f", "g", "h"))
+    check(Prop.forAll(streamGen) { xs =>
+      val b = xs.foldLeft(agg.zero)(agg.reduce)
+      val truth = xs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      // tracked counts bracket the truth: true <= est <= true + err
+      val bounds = b.forall { case (t, (est, err)) =>
+        val tr = truth.getOrElse(t, 0L)
+        tr <= est && est - err <= tr
+      }
+      // any value with frequency > n/k must be tracked
+      val recall = truth.forall { case (t, c) =>
+        c <= xs.length / 4 || b.contains(t)
+      }
+      bounds && recall
+    })
+  }
+
+  test("SpaceSaving at capacity >= distinct is exact under any merge split") {
+    val agg = new functions.SpaceSavingAgg(64)
+    val streamGen = Gen.nonEmptyListOf(Gen.oneOf((1 to 31).map(_.toString)))
+    check(Prop.forAll(streamGen, Gen.choose(0, 100)) { (xs, cut) =>
+      val (l, r) = xs.splitAt(cut % (xs.length + 1))
+      val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+                             r.foldLeft(agg.zero)(agg.reduce))
+      agg.finish(merged) ==
+        xs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    })
+  }
+
   test("sha2-dedup is idempotent (5 Spark cases)") {
     check(Prop.forAll(Gen.nonEmptyListOf(Gen.alphaNumStr.map(_.take(8)))) {
       texts =>
