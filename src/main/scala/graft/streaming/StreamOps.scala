@@ -51,6 +51,35 @@ object StreamOps extends OpModule {
     dir.toString
   }
 
+  /** Stages TWO copies of the events file into a per-sfDir directory —
+    * a simulated at-least-once upstream (every event delivered twice)
+    * for the q89 exactly-once dedup demo. Same write-once discipline as
+    * [[stagedEventsDir]]. */
+  private[graft] def stagedDupEventsDir(d: String): String = {
+    val dir = java.nio.file.Paths.get(
+      s"${sys.props("java.io.tmpdir")}/graft_stream_dup_" +
+        d.replaceAll("[^a-zA-Z0-9]", "_"))
+    java.nio.file.Files.createDirectories(dir)
+    for (copy <- Seq("events_a.parquet", "events_b.parquet")) {
+      val target = dir.resolve(copy)
+      if (!java.nio.file.Files.exists(target)) {
+        val scratch = java.nio.file.Files.createTempFile(dir, ".staging", ".tmp")
+        try {
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$d/events.parquet"), scratch,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          try java.nio.file.Files.move(scratch, target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.FileSystemException
+              if java.nio.file.Files.exists(target) => // lost the race
+          }
+        } finally java.nio.file.Files.deleteIfExists(scratch)
+      }
+    }
+    dir.toString
+  }
+
   /** File-source event stream with µs event time (ns parquet → µs). */
   private def eventStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -118,6 +147,30 @@ object StreamOps extends OpModule {
         .orderBy("user_id", "sess_start")
     },
 
+    // Streaming exactly-once dedup (added r6): the staged input holds
+    // EVERY event twice (an at-least-once upstream — retried producer,
+    // replayed log segment), and stateful dropDuplicates on the event
+    // key restores exactly-once downstream: the first arrival emits
+    // (append mode), every replay hits the state store and is dropped,
+    // ACROSS micro-batches. The per-type counts over the sink must
+    // therefore equal the batch aggregate over the ORIGINAL events —
+    // which is exactly what the oracle asserts. In production the state
+    // is bounded with dropDuplicatesWithinWatermark (a key older than
+    // the watermark can no longer be replayed); unbounded here because
+    // the drained file is finite.
+    "q89_stream_dedup" -> { (s, d) =>
+      runToMemory(s, iso => {
+        iso.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val rawSchema = iso.read.parquet(s"$d/events.parquet").schema
+        iso.readStream.schema(rawSchema).parquet(stagedDupEventsDir(d))
+          .dropDuplicates("event_id")
+      }, "graft_stream_dedup", "append")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+             countDistinct(col("user_id")).as("users"))
+        .orderBy("event_type")
+    },
+
     "q78_stream_stream_join" -> { (s, d) =>
       // the per-signup count is a plain batch aggregate over the sink:
       // the stateful stream-stream part is the join itself
@@ -160,6 +213,13 @@ object StreamOps extends OpModule {
     // must reproduce the batch session windows bit-for-bit
     "q80_stream_sessionize" ->
       graft.operators.TimeWindowOps.oracles("q38_win_session"),
+
+    // the doubled at-least-once input must collapse back to the plain
+    // batch aggregate over the ORIGINAL events table
+    "q89_stream_dedup" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  count(DISTINCT user_id) AS users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // identical to q75's oracle: the streaming join must reproduce the
     // batch interval join bit-for-bit

@@ -288,4 +288,17 @@ class StreamingSpec extends SparkSpecBase {
              s"late click must be dropped, on-time click must join: $after2")
     } finally q.stop()
   }
+
+  test("q89: doubled at-least-once input collapses to exactly-once counts") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val n = spark.read.parquet(s"$sf/events.parquet").count()
+    // the staged stream input really is at-least-once: every event twice
+    val staged = spark.read.parquet(
+      streaming.StreamOps.stagedDupEventsDir(sf))
+    assert(staged.count() == 2 * n, "staging must double the input")
+    // ...and the deduped streaming output is exactly-once
+    val total = SparkEntry.queries("q89_stream_dedup")(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("cnt")).as[Long].collect().head
+    assert(total == n, s"exactly-once total $total != $n")
+  }
 }
