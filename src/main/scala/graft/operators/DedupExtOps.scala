@@ -217,29 +217,36 @@ object DedupExtOps extends OpModule {
     * storage stays O(1) in the iteration count. Only the returned
     * labels table remains cached — it's the result the caller consumes. */
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
-    val s = pairs.sparkSession
-    // materialize df on a persisted RDD and restart the logical plan
-    // from it; the handle lets us drop exactly this round's blocks
-    def pin(df: DataFrame) = {
-      val r = df.rdd.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (s.createDataFrame(r, df.schema), r)
-    }
+    // materialize each round on a persisted internal-row RDD (the
+    // localCheckpoint mechanics, no Row round-trip) and restart the
+    // logical plan from it; the handle lets us drop exactly this
+    // round's blocks
+    def pin(df: DataFrame) = org.apache.spark.sql.graft.InternalPin.pin(df)
     val (edges, edgesRdd) =
       pin(pairs.select(col("id_a").as("u"), col("id_b").as("v"))
         .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v"))))
     var (labels, labelsRdd) =
       pin(edges.select(col("u").as("id")).distinct()
         .select(col("id"), col("id").as("lbl")))
-    var changed = 1L
-    while (changed > 0) {
+    // Convergence test: labels only ever DECREASE under min-propagation
+    // (new = min(old, propagated)), so any change strictly lowers the
+    // label sum — sum-unchanged ⟺ fixpoint. One cheap aggregate action
+    // per round instead of a self-join diff count. DECIMAL(38) sum so
+    // the test cannot wrap even with billions of 64-bit node ids;
+    // coalesce covers the empty-graph case.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
+                      lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")))
+        .head.getDecimal(0)
+    var prevSum: java.math.BigDecimal = null
+    var curSum = labelSum(labels)
+    while (prevSum == null || curSum.compareTo(prevSum) != 0) {
       val prop = edges.join(labels.withColumnRenamed("id", "u"), Seq("u"))
         .select(col("v").as("id"), col("lbl"))
       val (next, nextRdd) = pin(labels.unionAll(prop)
         .groupBy("id").agg(min("lbl").as("lbl")))
-      changed = next
-        .join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
-        .where(col("lbl") =!= col("old")).count()
+      prevSum = curSum
+      curSum = labelSum(next)
       labelsRdd.unpersist(blocking = false)
       labels = next
       labelsRdd = nextRdd
