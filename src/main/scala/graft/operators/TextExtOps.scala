@@ -201,30 +201,42 @@ object TextExtOps extends OpModule {
     // Eval-set decontamination (added r6) — the pre-training hygiene
     // step: find (eval doc, train doc) pairs sharing suspiciously many
     // 3-token shingles, i.e. eval examples leaked into the training
-    // split. Shape: per-doc DISTINCT shingle hashes → drop shingles
-    // present in > 10 docs (boilerplate/stop-shingles — the standard
-    // df-cap that also kills the hot keys that would otherwise blow up
-    // the inverted-index join) → eval⋈train on the shingle hash →
-    // per-pair shared-shingle count ≥ 3. All three shuffles are on the
-    // SAME key (the shingle hash), so the df-filter, the split, and the
-    // join reuse one partitioning; output pairs are a sliver. At 100 TB
-    // this is the inverted-index contamination scan Dolma/RedPajama
-    // style pipelines run before every release.
+    // split. Inverted-index shape, one shingle posting list at a time:
+    // (1) document frequency per shingle hash, dropping shingles in
+    // > 10 docs (boilerplate/stop-shingles — the standard df-cap that
+    // also bounds every posting list the next stage collects); (2) the
+    // survivors' eval and train id-sets per shingle (collect_set ≤ 10
+    // elements by construction — reuses the df-agg's partitioning on
+    // the shingle hash, so no extra shuffle); (3) explode the ≤ 25
+    // (eval, train) pairs per shingle and count distinct shared
+    // shingles per pair, keep ≥ 3. Two corpus scans, two shuffles on
+    // the same shingle-hash key, one tiny pair shuffle — never a
+    // corpus×corpus join. (The first formulation self-joined a pruned
+    // shingle table: Catalyst cannot share the subtree across a
+    // self-join's sides, so the whole scan→distinct→filter pipeline
+    // ran twice more, plus a distinct shuffled on the wrong key.) At
+    // 100 TB this is the contamination scan Dolma/RedPajama-style
+    // pipelines run before every release.
     "q87_decontaminate" -> { (s, d) =>
       val sh = Tables(s, d, "documents")
         .select(col("doc_id"), trainSplit.as("split"),
                 org.apache.spark.sql.graft.GraftFunctions
                   .ngrams(split(col("text"), " "), 3).as("g"))
         .select(col("doc_id"), col("split"), md5(col("g")).as("m"))
-        .distinct()
       val rare = sh.groupBy("m")
         .agg(countDistinct(col("doc_id")).as("df"))
         .where(col("df") <= 10).select("m")
-      val pruned = sh.join(rare, Seq("m"))
-      pruned.where(col("split") === "eval")
-        .select(col("doc_id").as("eval_id"), col("m"))
-        .join(pruned.where(col("split") === "train")
-                .select(col("doc_id").as("train_id"), col("m")), Seq("m"))
+      // collect_set dedups repeated (doc, shingle) occurrences, so each
+      // surviving shingle contributes exactly once per (eval, train)
+      // pair — "shared" counts DISTINCT shingles
+      sh.join(rare, Seq("m"))
+        .groupBy("m")
+        .agg(collect_set(when(col("split") === "eval", col("doc_id")))
+               .as("evals"),
+             collect_set(when(col("split") === "train", col("doc_id")))
+               .as("trains"))
+        .select(explode(col("evals")).as("eval_id"), col("trains"))
+        .select(col("eval_id"), explode(col("trains")).as("train_id"))
         .groupBy("eval_id", "train_id")
         .agg(count(lit(1)).as("shared_shingles"))
         .where(col("shared_shingles") >= 3)
