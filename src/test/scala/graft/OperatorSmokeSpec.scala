@@ -14,6 +14,16 @@ class OperatorSmokeSpec extends SparkSpecBase {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("only the three documented ◐ queries lack an oracle") {
+    // the correctness contract (SURVEY.md §2): every declared query is
+    // DuckDB-oracled except the approx sketches (never hash-match by
+    // nature) and the layout-dependent seeded sample
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled ==
+             Set("q21_agg_approx", "q68_sample", "q77_agg_approx_pct"),
+           s"undeclared oracle gap: $unoracled")
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
       val df = fn(spark, sf)
