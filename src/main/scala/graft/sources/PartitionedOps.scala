@@ -15,24 +15,26 @@ import org.apache.spark.sql.functions._
   *  - q63: the partition predicate arrives only through a join with a
   *    filtered dimension; Spark inserts a dynamic pruning subquery so
   *    the fact scan still skips partitions at runtime.
+  *  - q90: sort-key clustering — lineitem rewritten range-partitioned +
+  *    sorted by l_shipdate so parquet row-group min/max stats make a
+  *    date-range scan skip ~97% of the data (measured in PlanShapeSpec).
   */
 object PartitionedOps extends OpModule {
 
-  /** Writes events partitioned by event_type under a per-sfDir temp path
-    * (once per JVM) and returns its location. */
-  def partitionedEventsDir(s: SparkSession, d: String): String = synchronized {
+  /** Builds a derived on-disk layout once per (layout, sfDir) per JVM
+    * under java.io.tmpdir and returns its location. Writes to a scratch
+    * dir, then atomic-renames into place: a crashed partial write must
+    * never be mistaken for the cached copy. */
+  private def cachedLayout(layout: String, d: String)
+                          (write: String => Unit): String = synchronized {
     val key = d.replaceAll("[^a-zA-Z0-9]", "_")
     val dir = java.nio.file.Paths.get(
-      s"${sys.props("java.io.tmpdir")}/graft_part_events_$key")
+      s"${sys.props("java.io.tmpdir")}/graft_${layout}_$key")
     if (!java.nio.file.Files.exists(dir)) {
-      // write to a scratch dir, then atomic-rename into place: a crashed
-      // partial write must never be mistaken for the cached copy
       val scratchRoot = java.nio.file.Files.createTempDirectory("graft_part_scratch")
-      val scratch = scratchRoot.resolve("events")
+      val scratch = scratchRoot.resolve(layout)
       try {
-        Tables(s, d, "events")
-          .write.mode("overwrite").partitionBy("event_type")
-          .parquet(scratch.toString)
+        write(scratch.toString)
         try java.nio.file.Files.move(scratch, dir,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         catch {
@@ -56,6 +58,37 @@ object PartitionedOps extends OpModule {
     dir.toString
   }
 
+  /** Writes events partitioned by event_type under a per-sfDir temp path
+    * (once per JVM) and returns its location. */
+  def partitionedEventsDir(s: SparkSession, d: String): String =
+    cachedLayout("part_events", d) { scratch =>
+      Tables(s, d, "events")
+        .write.mode("overwrite").partitionBy("event_type")
+        .parquet(scratch)
+    }
+
+  /** Writes lineitem range-partitioned AND sorted by l_shipdate with
+    * deliberately small parquet row groups (so even the test SFs produce
+    * many row groups). This is the sort-key clustering a 100 TB fact
+    * table would use: every row group's l_shipdate min/max stats cover a
+    * narrow slice, so a date predicate pushed to the parquet reader
+    * skips the vast majority of row groups without decoding them. */
+  def sortedLineitemDir(s: SparkSession, d: String): String =
+    cachedLayout("sorted_lineitem", d) { scratch =>
+      // the sort key is stored as DATE, not the source's NTZ timestamp:
+      // shipdate is a calendar date (all values midnight-aligned, checked
+      // at every SF), DATE stats are INT32 days with exact ordering, and
+      // — measured here — parquet row-group skipping does not fire for
+      // TIMESTAMP_NTZ predicates while DATE predicates prune perfectly
+      Tables(s, d, "lineitem")
+        .withColumn("l_shipdate", col("l_shipdate").cast("date"))
+        .repartitionByRange(8, col("l_shipdate"))
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 64 * 1024)
+        .parquet(scratch)
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_partition_pruning" -> { (s, d) =>
       s.read.parquet(partitionedEventsDir(s, d))
@@ -65,6 +98,28 @@ object PartitionedOps extends OpModule {
              sum(col("value").cast("decimal(18,6)")).cast("double")
                .as("sum_value"))
         .orderBy("user_id")
+    },
+
+    // q90: sort-key clustered layout (added r6). The query itself is a
+    // plain range-scan aggregate — the operator under test is the LAYOUT:
+    // because the data is range-partitioned and sorted by l_shipdate,
+    // the pushed-down date predicate lets the parquet reader skip every
+    // row group whose min/max stats miss the window (~97% of them here).
+    // At 100 TB this is the difference between reading 3 TB and 100 TB
+    // for a one-quarter query; PlanShapeSpec measures the skip on the
+    // scan's numOutputRows. Oracle runs on the ORIGINAL lineitem — the
+    // layout must be a pure re-organization, never a semantic change.
+    "q90_sorted_layout" -> { (s, d) =>
+      s.read.parquet(sortedLineitemDir(s, d))
+        .where(col("l_shipdate") >= lit("1996-06-01").cast("date") &&
+               col("l_shipdate") < lit("1996-09-01").cast("date"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+             sum(col("l_quantity").cast("decimal(18,6)")).cast("double")
+               .as("sum_qty"),
+             sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+               .as("sum_price"))
+        .orderBy("l_returnflag")
     },
 
     "q63_dynamic_pruning" -> { (s, d) =>
@@ -101,6 +156,15 @@ object PartitionedOps extends OpModule {
     "q63_dynamic_pruning" ->
       """SELECT event_type, count(*) AS cnt FROM events
         |WHERE event_type IN ('click', 'view')
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q90_sorted_layout" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-06-01'
+        |  AND l_shipdate < TIMESTAMP '1996-09-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

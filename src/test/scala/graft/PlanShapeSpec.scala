@@ -192,6 +192,28 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q90: sorted layout skips row groups — scan reads a fraction of the table") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // plan without AQE so the scan is reachable without stage wrappers
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q90_sorted_layout")(spark, sf)
+      df.collect() // materialize so the scan metric is populated
+      val plan = df.queryExecution.executedPlan
+      val scans = plan.collectWithSubqueries { case s: FileSourceScanExec => s }
+      assert(scans.length == 1, s"expected one scan:\n$plan")
+      assert(scans.head.metadata("PushedFilters").contains("l_shipdate"),
+             s"date predicate not pushed to parquet:\n$plan")
+      val total = Tables(spark, sf, "lineitem").count()
+      val read = scans.head.metrics("numOutputRows").value
+      // the 3-month window is ~3% of rows; row-group granularity means
+      // the reader decodes somewhat more, but stat-based skipping must
+      // eliminate the bulk of the table
+      assert(read < total * 0.3,
+             s"row-group pruning ineffective: read $read of $total rows")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q86: profile is one scan of documents (multi-distinct via Expand)") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // static shape under test — plan without AQE so the tree has no
