@@ -23,6 +23,7 @@ object SparkEntry {
     operators.TextExtOps,
     operators.SimilarityExtOps,
     operators.MultimodalExtOps,
+    operators.CorpusExtOps,
     sources.SourceOps,
     sources.PartitionedOps,
     streaming.StreamOps,

@@ -1,0 +1,272 @@
+package graft.operators
+
+import graft.{OpModule, Tables}
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+/** Exact bounded "k smallest rows by sort key" as a typed [[Aggregator]]
+  * — the scale-correct form of per-stratum sampling (q92). The buffer
+  * holds at most k rows sorted by (key, id); reduce rejects a row in
+  * O(1) once the buffer is full and the row sorts after the current
+  * max. Associative + commutative, so Spark runs it partial+final:
+  * every input partition boils down to ≤ k rows map-side and only
+  * strata × k rows ever shuffle — unlike a rank window, which funnels
+  * the ENTIRE corpus through one reducer per stratum.
+  *
+  * Exactness (property-tested in PropertySpec): any reduce/merge tree
+  * yields exactly sortBy(key, id).take(k) of the inputs, because min-k
+  * is a mergeable summary: min-k(A ∪ B) = min-k(min-k(A) ∪ min-k(B)).
+  */
+class MinKByKeyAgg(k: Int) extends Aggregator[
+    (String, Long, Long),           // (sort key, id, payload)
+    Seq[(String, Long, Long)],      // sorted ascending, ≤ k rows
+    Seq[(String, Long, Long)]] {
+  private def ord(x: (String, Long, Long)): (String, Long) = (x._1, x._2)
+  def zero: Seq[(String, Long, Long)] = Seq.empty
+  def reduce(b: Seq[(String, Long, Long)], a: (String, Long, Long)): Seq[(String, Long, Long)] =
+    if (b.length >= k && Ordering[(String, Long)].lteq(ord(b.last), ord(a))) b
+    else ((b :+ a).sortBy(ord) take k)
+  def merge(b1: Seq[(String, Long, Long)], b2: Seq[(String, Long, Long)]): Seq[(String, Long, Long)] =
+    ((b1 ++ b2).sortBy(ord) take k)
+  def finish(b: Seq[(String, Long, Long)]): Seq[(String, Long, Long)] = b
+  def bufferEncoder: Encoder[Seq[(String, Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  def outputEncoder: Encoder[Seq[(String, Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}
+
+/** Corpus-preparation operators beyond the dedup/quality families
+  * (SURVEY.md §2B, added r6): sequence packing, exact stratified
+  * sampling, PII redaction, TF-IDF term ranking, and overlapping
+  * token-window chunking — the remaining stages a training-data
+  * pipeline runs between "filtered corpus" and "tokenizer input".
+  *
+  * Shared determinism discipline: every sampling/sharding decision
+  * derives from md5(doc_id) hex substrings — stable under reshuffles
+  * and re-runs, reproducible in any engine. Distinct substring ranges
+  * keep the decisions independent: chars 1-2 = q67 train/eval split,
+  * 3-4 = q85 mixture, 5 = q91 pack shard, full string = q92 sample
+  * rank.
+  */
+object CorpusExtOps extends OpModule {
+
+  /** Greedy stream packing: within a shard, documents are laid out in
+    * stable (doc_id) order and cut into packs of ≤ `budget` tokens by
+    * the exclusive prefix sum. This is how training shards are packed
+    * into fixed-length sequences: deterministic, restartable, and
+    * parallel across shards (16 here; a parameter — at 100 TB use
+    * O(cluster) shards, since packing within a shard is inherently
+    * sequential). */
+  private val packBudget = 2048
+
+  /** PII redaction patterns — portable between java.util.regex and
+    * RE2 (no backrefs, no lookaround). Scrub order matters: emails
+    * first (they contain digit runs), then phones (structured digit
+    * groups), then bare long digit runs. */
+  private val emailPat = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+  private val phonePat = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  private val idPat = "[0-9]{9}"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Sequence packing for training shards (see packBudget above).
+    // One scan; the prefix-sum window shuffles each shard's (doc_id,
+    // token count) pairs — never the text — and the per-pack rollup
+    // reuses that partitioning.
+    "q91_pack_sequences" -> { (s, d) =>
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+                substring(md5(col("doc_id").cast("string")), 5, 1).as("shard"),
+                size(split(col("text"), " ")).cast("long").as("toks"))
+        .withColumn("pack_id",
+          floor(coalesce(sum(col("toks")).over(w), lit(0L)) / packBudget))
+        .groupBy("shard", "pack_id")
+        .agg(count(lit(1)).as("docs"), sum(col("toks")).as("tokens"))
+        .orderBy("shard", "pack_id")
+    },
+
+    // Exact stratified sample: the k=50 hash-smallest docs per lang —
+    // deterministic (no seed, no partition dependence) and bounded.
+    // Implemented with [[MinKByKeyAgg]], not a rank window: map-side
+    // partial aggregation reduces every partition to ≤ 50 rows per
+    // stratum before the shuffle, so the full corpus never funnels
+    // through one reducer per stratum.
+    "q92_stratified_sample" -> { (s, d) =>
+      val mink = udaf(new MinKByKeyAgg(50))
+      Tables(s, d, "documents")
+        .groupBy("lang")
+        .agg(mink(md5(col("doc_id").cast("string")), col("doc_id"),
+                  col("n_chars")).as("sample"))
+        .select(col("lang"), posexplode(col("sample")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
+                col("col._2").as("doc_id"), col("col._3").as("n_chars"))
+        .orderBy("lang", "rk")
+    },
+
+    // PII scrubbing with an audit trail. The corpus has no raw contact
+    // fields, so a contact blob is synthesized per customer from its
+    // keys (deterministically — both engines build the identical
+    // string); the operator under test is the scrub path: ordered
+    // regex redaction + per-segment hit accounting, verified
+    // byte-exact via the redacted length. Pure per-row projection +
+    // tiny agg: one scan, 5-key shuffle at any scale.
+    "q93_pii_scrub" -> { (s, d) =>
+      val key = col("c_custkey")
+      val blob = concat(
+        col("c_name"),
+        lit(" email:user"), key.cast("string"), lit("@example.com"),
+        when(key % 3 === 0,
+          concat(lit(" tel:+1-"), (key % 900 + 100).cast("string"),
+                 lit("-"), lpad(((key * 7) % 1000).cast("string"), 3, "0"),
+                 lit("-"), lpad(((key * 7919) % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(key % 5 === 0,
+          concat(lit(" ref:"),
+                 lpad(((key * 104729) % 1000000000).cast("string"), 9, "0")))
+          .otherwise(lit("")))
+      val clean = regexp_replace(regexp_replace(regexp_replace(blob,
+        lit(emailPat), lit("<EMAIL>")),
+        lit(phonePat), lit("<PHONE>")),
+        lit(idPat), lit("<ID>"))
+      Tables(s, d, "customer")
+        .select(col("c_mktsegment"), blob.as("blob"), clean.as("clean"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("customers"),
+             sum(size(regexp_extract_all(col("blob"), lit(emailPat), lit(0))))
+               .as("email_hits"),
+             sum(size(regexp_extract_all(col("blob"), lit(phonePat), lit(0))))
+               .as("phone_hits"),
+             sum(size(regexp_extract_all(col("clean"), lit("<ID>"), lit(0))))
+               .as("id_hits"),
+             sum(length(col("clean"))).as("clean_chars"))
+        .orderBy("c_mktsegment")
+    },
+
+    // TF-IDF top term per document. The document-frequency table is
+    // vocabulary-sized, so it (and the corpus-size scalar) arrive at
+    // the tf rows via broadcast — the only real shuffles are the two
+    // linear aggregations on (doc_id, word) and doc_id. Scores are
+    // rounded to 6 dp BEFORE ranking so the ordering is identical in
+    // both engines (ties broken by word).
+    "q94_tfidf" -> { (s, d) =>
+      val words = Tables(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dfreq = words.groupBy("word")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = words.agg(countDistinct(col("doc_id")).as("n"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("word"))
+      tf.join(broadcast(dfreq), "word").crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf") * log(col("n").cast("double") / col("df")), 6))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("doc_id"), col("word").as("top_term"),
+                col("tf"), col("df"), col("score"))
+        .orderBy("doc_id")
+    },
+
+    // Overlapping token-window chunking (size 50, stride 40) — the
+    // retrieval/context-window prep step. One generator (chunk starts
+    // per doc) + one per-doc rollup; chunk counts and coverage are
+    // computed from lengths alone, so the text never re-shuffles.
+    "q95_chunk_windows" -> { (s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+        .select(col("doc_id"), col("n"),
+                explode(sequence(lit(0), col("n") - 1, lit(40))).as("start"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+             sum(least(lit(50), col("n") - col("start"))).cast("long")
+               .as("chunk_tokens"),
+             max(col("n")).as("n"))
+        .select(col("doc_id"), col("n_chunks"), col("chunk_tokens"),
+                round(col("chunk_tokens").cast("double") / col("n"), 6)
+                  .as("coverage"))
+        .orderBy("doc_id")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q91_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 5, 1) AS shard,
+         |         len(string_split(text, ' ')) AS toks
+         |  FROM documents),
+         |p AS (
+         |  SELECT shard, toks,
+         |    CAST(floor(COALESCE(sum(toks) OVER (PARTITION BY shard
+         |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) / $packBudget.0) AS BIGINT) AS pack_id
+         |  FROM t)
+         |SELECT shard, pack_id, count(*) AS docs,
+         |  CAST(sum(toks) AS BIGINT) AS tokens
+         |FROM p GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin,
+
+    "q92_stratified_sample" ->
+      """SELECT lang, rk, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 50 ORDER BY lang, rk""".stripMargin,
+
+    "q93_pii_scrub" ->
+      """WITH b AS (
+        |  SELECT c_mktsegment,
+        |    c_name || ' email:user' || CAST(c_custkey AS VARCHAR) || '@example.com'
+        |    || CASE WHEN c_custkey % 3 = 0
+        |       THEN ' tel:+1-' || CAST(c_custkey % 900 + 100 AS VARCHAR)
+        |         || '-' || lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0')
+        |         || '-' || lpad(CAST((c_custkey * 7919) % 10000 AS VARCHAR), 4, '0')
+        |       ELSE '' END
+        |    || CASE WHEN c_custkey % 5 = 0
+        |       THEN ' ref:' || lpad(CAST((c_custkey * 104729) % 1000000000 AS VARCHAR), 9, '0')
+        |       ELSE '' END AS blob
+        |  FROM customer),
+        |c AS (
+        |  SELECT c_mktsegment, blob,
+        |    regexp_replace(regexp_replace(regexp_replace(blob,
+        |      '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+        |      '\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |      '[0-9]{9}', '<ID>', 'g') AS clean
+        |  FROM b)
+        |SELECT c_mktsegment, count(*) AS customers,
+        |  CAST(sum(len(regexp_extract_all(blob, '[a-z0-9]+@[a-z]+\.[a-z]+'))) AS BIGINT)
+        |    AS email_hits,
+        |  CAST(sum(len(regexp_extract_all(blob, '\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}'))) AS BIGINT)
+        |    AS phone_hits,
+        |  CAST(sum(len(regexp_extract_all(clean, '<ID>'))) AS BIGINT) AS id_hits,
+        |  CAST(sum(len(clean)) AS BIGINT) AS clean_chars
+        |FROM c GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q94_tfidf" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+        |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM w),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+        |    round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score
+        |  FROM tf JOIN df USING (word) CROSS JOIN n),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, word) AS rk FROM sc)
+        |SELECT doc_id, word AS top_term, CAST(tf AS BIGINT) AS tf,
+        |  CAST(df AS BIGINT) AS df, score
+        |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    "q95_chunk_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, n, unnest(range(0, n, 40)) AS start FROM t)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(least(50, n - start)) AS BIGINT) AS chunk_tokens,
+        |  round(CAST(sum(least(50, n - start)) AS DOUBLE) / max(n), 6) AS coverage
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}
