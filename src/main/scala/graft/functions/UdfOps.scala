@@ -36,10 +36,17 @@ object GeoMeanAgg extends Aggregator[Double, (Double, Long), Double] {
   * the declared q88 runs in that regime (k=64 vs a 31-token vocab), so
   * its DuckDB oracle is the plain exact top-10.
   *
-  * merge combines counters and keeps the top-k by count (mergeable-
-  * summaries discipline): associative+commutative, so Spark runs it
-  * partial+final like any built-in — per-partition sketches map-side,
-  * one tiny merge, no token ever shuffles.
+  * merge follows the standard Space-Saving (Misra-Gries-equivalent)
+  * mergeable-summaries discipline: a key absent from one sketch may
+  * have been EVICTED there after accumulating up to that sketch's
+  * minimum count, so the merge adds the other side's min count to both
+  * the count and the error of every one-sided key (min = 0 while a
+  * sketch is below capacity — nothing was ever evicted), then keeps
+  * the top-k counters by count. That preserves `true ≤ est ≤ true +
+  * err` and the > n/k recall guarantee across any merge tree
+  * (Agarwal et al., "Mergeable Summaries"). Associative+commutative,
+  * so Spark runs it partial+final like any built-in — per-partition
+  * sketches map-side, one tiny merge, no token ever shuffles.
   */
 class SpaceSavingAgg(k: Int)
     extends Aggregator[String, Map[String, (Long, Long)], Map[String, Long]] {
@@ -54,14 +61,18 @@ class SpaceSavingAgg(k: Int)
         val (mt, (mc, _)) = b.minBy { case (t, (c, _)) => (c, t) }
         (b - mt).updated(tok, (mc + 1, mc))
     }
+  /** A sketch's eviction floor: a key it does NOT track can have true
+    * count at most this (0 below capacity — nothing evicted yet). */
+  private def floor(b: Map[String, (Long, Long)]): Long =
+    if (b.size < k) 0L else b.valuesIterator.map(_._1).min
   def merge(b1: Map[String, (Long, Long)],
             b2: Map[String, (Long, Long)]): Map[String, (Long, Long)] = {
-    val comb = b2.foldLeft(b1) { case (acc, (t, (c, e))) =>
-      acc.get(t) match {
-        case Some((c1, e1)) => acc.updated(t, (c1 + c, e1 + e))
-        case None => acc.updated(t, (c, e))
-      }
-    }
+    val (f1, f2) = (floor(b1), floor(b2))
+    val comb = (b1.keySet ++ b2.keySet).iterator.map { t =>
+      val (c1, e1) = b1.getOrElse(t, (f1, f1))
+      val (c2, e2) = b2.getOrElse(t, (f2, f2))
+      t -> (c1 + c2, e1 + e2)
+    }.toMap
     if (comb.size <= k) comb
     else comb.toSeq.sortBy { case (t, (c, _)) => (-c, t) }.take(k).toMap
   }

@@ -144,12 +144,16 @@ object CorpusExtOps extends OpModule {
         .orderBy("c_mktsegment")
     },
 
-    // TF-IDF top term per document. The document-frequency table is
-    // vocabulary-sized, so it (and the corpus-size scalar) arrive at
-    // the tf rows via broadcast — the only real shuffles are the two
-    // linear aggregations on (doc_id, word) and doc_id. Scores are
-    // rounded to 6 dp BEFORE ranking so the ordering is identical in
-    // both engines (ties broken by word).
+    // TF-IDF top term per document. The document-frequency table joins
+    // the tf rows on `word` WITHOUT a broadcast hint: at web scale the
+    // distinct-token space is billions of rows (typos, URLs, numbers) —
+    // not a broadcastable dimension — and tf is already keyed by
+    // (doc_id, word), so the shuffle join on `word` is the scale-safe
+    // plan; at test scale AQE still turns it into a broadcast join on
+    // its own (threshold-driven, asserted in PlanShapeSpec). Only the
+    // one-row corpus-size scalar keeps an explicit broadcast. Scores
+    // are rounded to 6 dp BEFORE ranking so the ordering is identical
+    // in both engines (ties broken by word).
     "q94_tfidf" -> { (s, d) =>
       val words = Tables(s, d, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
@@ -159,7 +163,7 @@ object CorpusExtOps extends OpModule {
       val n = words.agg(countDistinct(col("doc_id")).as("n"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("word"))
-      tf.join(broadcast(dfreq), "word").crossJoin(broadcast(n))
+      tf.join(dfreq, "word").crossJoin(broadcast(n))
         .withColumn("score",
           round(col("tf") * log(col("n").cast("double") / col("df")), 6))
         .withColumn("rk", row_number().over(w))

@@ -168,24 +168,33 @@ object DedupExtOps extends OpModule {
     // (q49's score, doc_id tie-break) survives, the rest are dropped.
     //
     // Scale shape: the cluster table covers only docs that appeared in
-    // a candidate pair — a sliver of the corpus — so it BROADCASTS to
+    // a candidate pair — usually a sliver of the corpus — so it reaches
     // both the inner join (clustered docs) and the anti join
-    // (singletons, keep=1 by definition, no window needed). The
-    // row_number window shuffles only the clustered sliver, never the
-    // corpus: two broadcast-joined scans beat one full-corpus shuffle
-    // at 100 TB by orders of magnitude.
+    // (singletons, keep=1 by definition, no window needed) via
+    // broadcast. The hint is GATED on the actual cluster-table size
+    // (already materialized by the fixpoint, so the count is a cheap
+    // action over the pinned RDD): high-duplication corpora — web
+    // crawls routinely put 30-50% of docs in a candidate pair — blow
+    // past any broadcast threshold, and there the plain join lets
+    // AQE pick a shuffle join instead of OOMing the driver on a forced
+    // broadcast. The row_number window shuffles only the clustered
+    // sliver, never the corpus.
     "q83_dedup_keep_best" -> { (s, d) =>
       val docs = Tables(s, d, "documents")
       val clusters = connectedComponents(candidatePairs(docs))
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      // pinned-RDD count, not a recompute; 1M rows ≈ 16 MB — past that,
+      // fall back to AQE's own join selection
+      val bcast = if (clusters.count() <= 1000000L) broadcast(clusters)
+                  else clusters
       val scored = docs.select(col("doc_id"),
                                TextExtOps.qualityScore.as("score"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("cluster_id").orderBy(col("score").desc, col("doc_id"))
-      val clustered = scored.join(broadcast(clusters), Seq("doc_id"))
+      val clustered = scored.join(bcast, Seq("doc_id"))
         .withColumn("keep", when(row_number().over(w) === 1, 1).otherwise(0))
         .select("doc_id", "cluster_id", "score", "keep")
-      val singletons = scored.join(broadcast(clusters), Seq("doc_id"),
+      val singletons = scored.join(bcast, Seq("doc_id"),
                                    "left_anti")
         .select(col("doc_id"), col("doc_id").as("cluster_id"), col("score"),
                 lit(1).as("keep"))
@@ -214,8 +223,15 @@ object DedupExtOps extends OpModule {
     * be released through `Dataset.unpersist`): the logical plan is
     * truncated per round, and the PREVIOUS round's blocks are freed as
     * soon as the convergence count no longer needs them, so executor
-    * storage stays O(1) in the iteration count. Only the returned
-    * labels table remains cached — it's the result the caller consumes. */
+    * storage stays O(1) in the iteration count. The returned labels
+    * table stays cached — it's the result the caller consumes — but
+    * only until the NEXT invocation: each call frees its predecessor's
+    * final labels, so a long-lived session accumulates at most one
+    * resident label set instead of one per invocation (an unpersisted
+    * result that is re-executed later just recomputes from lineage —
+    * slower, never wrong). */
+  @volatile private var lastLabels: Option[org.apache.spark.rdd.RDD[_]] = None
+
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     // materialize each round on a persisted internal-row RDD (the
     // localCheckpoint mechanics, no Row round-trip) and restart the
@@ -252,6 +268,10 @@ object DedupExtOps extends OpModule {
       labelsRdd = nextRdd
     }
     edgesRdd.unpersist(blocking = false)
+    synchronized {
+      lastLabels.foreach(_.unpersist(blocking = false))
+      lastLabels = Some(labelsRdd)
+    }
     labels
   }
 

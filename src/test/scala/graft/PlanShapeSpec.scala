@@ -192,6 +192,17 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q94: df join is threshold-driven — AQE broadcasts it, no hint forced") {
+    val df = SparkEntry.queries("q94_tfidf")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the tf ⋈ dfreq join carries NO broadcast hint (a web-scale
+    // vocabulary is not a broadcastable dimension); at test scale the
+    // runtime statistics still turn it into a broadcast join — the
+    // plan is chosen by threshold, not forced by the query
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q90: sorted layout skips row groups — scan reads a fraction of the table") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // plan without AQE so the scan is reachable without stage wrappers

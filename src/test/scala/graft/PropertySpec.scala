@@ -151,6 +151,36 @@ class PropertySpec extends SparkSpecBase {
     })
   }
 
+  test("SpaceSaving merge of over-capacity sketches keeps the bracket guarantee") {
+    // the regime r6's merge got wrong: both sides are PAST capacity, so
+    // a key tracked in one sketch may have been evicted from the other
+    // after real occurrences — the merge must compensate with the other
+    // side's eviction floor or it under-estimates (ADVICE r6: with k=1,
+    // merge({a:(5,0)}, {b:(4,3)}) where 'a' saw 3 occurrences on the
+    // right must yield est(a) >= 8, not 5)
+    val agg = new functions.SpaceSavingAgg(4)
+    val streamGen = Gen.nonEmptyListOf(Gen.oneOf(
+      (1 to 12).map(i => ('a' + i - 1).toChar.toString)))
+    check(Prop.forAll(streamGen, streamGen) { (l, r) =>
+      val xs = l ++ r
+      val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+                             r.foldLeft(agg.zero)(agg.reduce))
+      val truth = xs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      // every tracked counter still brackets the truth after the merge
+      val bounds = merged.forall { case (t, (est, err)) =>
+        val tr = truth.getOrElse(t, 0L)
+        tr <= est && est - err <= tr
+      }
+      // any value with frequency > 2n/k survives the post-merge top-k
+      // truncation (the merged summary's guarantee degrades to the SUM
+      // of the two sketches' error floors, i.e. 2n/k for equal halves)
+      val recall = truth.forall { case (t, c) =>
+        c <= 2 * xs.length / 4 || merged.contains(t)
+      }
+      bounds && recall
+    })
+  }
+
   test("SpaceSaving at capacity >= distinct is exact under any merge split") {
     val agg = new functions.SpaceSavingAgg(64)
     val streamGen = Gen.nonEmptyListOf(Gen.oneOf((1 to 31).map(_.toString)))
