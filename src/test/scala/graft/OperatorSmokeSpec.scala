@@ -24,6 +24,24 @@ class OperatorSmokeSpec extends SparkSpecBase {
            s"undeclared oracle gap: $unoracled")
   }
 
+  test("every declared query appears in SURVEY §2 (the correctness contract)") {
+    // SURVEY §2 "IS the correctness contract": a query landing in the
+    // registry without a §2 row is contract drift (it happened in r6 —
+    // q90-q95 shipped green but undeclared). Parse the §2 section and
+    // require every registry key to appear in it.
+    val f = Seq("SURVEY.md", "../SURVEY.md", "/root/repo/SURVEY.md")
+      .map(new java.io.File(_)).find(_.exists())
+    assert(f.isDefined, "SURVEY.md not found from test working directory")
+    val src = scala.io.Source.fromFile(f.get, "UTF-8")
+    val text = try src.mkString finally src.close()
+    val (s2start, s2end) = (text.indexOf("## §2"), text.indexOf("## §3"))
+    assert(s2start >= 0 && s2end > s2start, "SURVEY §2/§3 headings missing")
+    val s2 = text.substring(s2start, s2end)
+    val undeclared = SparkEntry.queries.keySet.filterNot(s2.contains)
+    assert(undeclared.isEmpty,
+           s"queries missing from SURVEY §2 (contract drift): $undeclared")
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
       val df = fn(spark, sf)
