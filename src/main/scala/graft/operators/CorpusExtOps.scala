@@ -68,6 +68,17 @@ object CorpusExtOps extends OpModule {
   private val phonePat = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
   private val idPat = "[0-9]{9}"
 
+  /** The ordered redaction chain (email → phone → 9-digit run). The
+    * replacement tags contain no lowercase/digit runs the patterns can
+    * re-match, so the scrub is idempotent — spec-asserted
+    * (`scrub(scrub(x)) = scrub(x)`), the property that makes re-running
+    * a pipeline over already-cleaned text safe. */
+  private[graft] def scrub(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      lit(emailPat), lit("<EMAIL>")),
+      lit(phonePat), lit("<PHONE>")),
+      lit(idPat), lit("<ID>"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Sequence packing for training shards (see packBudget above).
     // One scan; the prefix-sum window shuffles each shard's (doc_id,
@@ -126,10 +137,7 @@ object CorpusExtOps extends OpModule {
           concat(lit(" ref:"),
                  lpad(((key * 104729) % 1000000000).cast("string"), 9, "0")))
           .otherwise(lit("")))
-      val clean = regexp_replace(regexp_replace(regexp_replace(blob,
-        lit(emailPat), lit("<EMAIL>")),
-        lit(phonePat), lit("<PHONE>")),
-        lit(idPat), lit("<ID>"))
+      val clean = scrub(blob)
       Tables(s, d, "customer")
         .select(col("c_mktsegment"), blob.as("blob"), clean.as("clean"))
         .groupBy("c_mktsegment")

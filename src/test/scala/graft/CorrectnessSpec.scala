@@ -457,6 +457,117 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  // ---- dedicated specs for the r6 corpus-prep family (added r7) ----
+
+  /** Spark `round(x, 6)` semantics: HALF_UP on the exact double expansion. */
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("q91 packing matches in-memory prefix-sum recomputation") {
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    // split(" ", -1): Spark SQL split keeps trailing empty tokens (§7.4)
+    val expected = docs
+      .map { case (id, t) =>
+        (md5hex(id.toString).substring(4, 5), id, t.split(" ", -1).length.toLong) }
+      .groupBy(_._1).toSeq
+      .flatMap { case (shard, rows) =>
+        val sorted = rows.sortBy(_._2)
+        val exclusivePrefix = sorted.map(_._3).scanLeft(0L)(_ + _)
+        sorted.zip(exclusivePrefix).map { case ((_, _, toks), pre) =>
+          (shard, pre / 2048, toks) }
+      }
+      .groupBy { case (shard, pack, _) => (shard, pack) }.toSeq
+      .map { case ((shard, pack), rows) =>
+        (shard, pack, rows.size.toLong, rows.map(_._3).sum) }
+      .sortBy(r => (r._1, r._2))
+    val got = q("q91_pack_sequences")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("q92 equals per-stratum take-50 by (md5(doc_id), doc_id)") {
+    val docs = Tables(spark, sf, "documents")
+      .select("lang", "doc_id", "n_chars").as[(String, Long, Long)].collect()
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+      rows.sortBy { case (_, id, _) => (md5hex(id.toString), id) }.take(50)
+        .zipWithIndex.map { case ((_, id, nc), i) => (lang, i + 1L, id, nc) }
+    }.sortBy(r => (r._1, r._2))
+    val got = q("q92_stratified_sample")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("q93 scrub is idempotent and redacts each segment kind") {
+    val samples = Seq(
+      "alice bob01@mail.com +1-555-123-4567 ref:123456789 tail",
+      "no pii here",
+      "a@b.cd 999999999999 x", // 12-digit run: one <ID> + a 3-digit rest
+      "user7@example.com user8@example.com +1-900-000-0000")
+    val df = samples.toDF("s")
+    val once = df.select(operators.CorpusExtOps.scrub(col("s")))
+      .as[String].collect().toSeq
+    val twice = df.select(operators.CorpusExtOps.scrub(
+      operators.CorpusExtOps.scrub(col("s")))).as[String].collect().toSeq
+    assert(once == twice, "scrub(scrub(x)) != scrub(x)")
+    assert(once.head == "alice <EMAIL> <PHONE> ref:<ID> tail")
+    assert(once(1) == "no pii here")
+    assert(once(2) == "<EMAIL> <ID>999 x")
+    assert(once(3) == "<EMAIL> <EMAIL> <PHONE>")
+  }
+
+  test("q94 tf-idf top term matches in-memory recomputation") {
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val words = docs.flatMap { case (id, t) =>
+      t.split(" ", -1).map(w => (id, w)) }
+    val tf = words.groupBy(identity).map { case ((id, w), a) =>
+      (id, w, a.length.toLong) }
+    val dfreq = words.distinct.groupBy(_._2)
+      .map { case (w, a) => (w, a.length.toLong) }
+    val n = docs.length.toDouble
+    val expected = tf.groupBy(_._1).toSeq.map { case (id, rows) =>
+      val best = rows
+        .map { case (_, w, c) => (w, c, dfreq(w), r6(c * math.log(n / dfreq(w)))) }
+        .minBy { case (w, _, _, sc) => (-sc, w) }
+      (id, best._1, best._2, best._3, best._4)
+    }.sortBy(_._1)
+    val got = q("q94_tfidf")
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("q95 chunking matches in-memory recomputation") {
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val expected = docs.map { case (id, t) =>
+      val n = t.split(" ", -1).length
+      val starts = 0 until n by 40
+      val toks = starts.map(st => math.min(50, n - st)).sum.toLong
+      (id, starts.length.toLong, toks, r6(toks.toDouble / n))
+    }.sortBy(_._1).toSeq
+    val got = q("q95_chunk_windows")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("q88 precondition: vocabulary fits the k=64 exact regime") {
+    // q88's DuckDB oracle is the plain exact top-10, valid ONLY because
+    // nothing is ever evicted (k=64 >= distinct tokens, 31 at current
+    // corpus generations). If a corpus-generator change ever widens the
+    // vocabulary past 64, the sketch silently enters its approximate
+    // regime and the oracle hash mismatch would masquerade as an agg
+    // bug — this assertion names the real precondition instead.
+    val vocab = Tables(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .agg(countDistinct(col("t"))).as[Long].head()
+    assert(vocab <= 64, s"vocab $vocab exceeds SpaceSaving k=64 exact regime")
+  }
+
   test("q46 minhash candidates are supported by real prefix near-dups") {
     // Every q42 high-Jaccard pair should be recovered by LSH banding.
     val lsh = q("q46_dedup_minhash").select("id_a", "id_b")
