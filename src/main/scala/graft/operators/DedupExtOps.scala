@@ -38,11 +38,28 @@ object DedupExtOps extends OpModule {
     * sharing any `bk` are near-dup candidates; rows-per-band =
     * nHashes/bands trades recall (more bands) against precision
     * (wider bands). Parameterized library surface — q46/q76/q82 run
-    * the (8, 4) default; non-default widths are spec-tested. */
+    * the (8, 4) default; non-default widths are spec-tested.
+    *
+    * `maxBucket` is the hot-bucket frequency guard (standard LSH
+    * practice, the q87 df-cap discipline): a band bucket holding B
+    * near-identical boilerplate docs — empty pages, templated text —
+    * would emit B² candidate pairs, and at web scale one such bucket
+    * is millions of rows ⇒ a 10¹²-pair self-join. Buckets larger than
+    * the cap are dropped wholesale: past the size where near-dup
+    * evidence is meaningful, a bucket is boilerplate, not signal (its
+    * members are still caught by their OTHER, discriminative bands).
+    * The guard's count-over-bucket window shuffles on the same `bk`
+    * key every downstream self-join/probe uses, so it adds no extra
+    * exchange of the corpus rows. The declared test-SF queries run
+    * uncapped (oracle-equal by construction); the capped path is
+    * spec-tested on a constructed hot-bucket corpus (bounded candidate
+    * count, unchanged recall on non-boilerplate pairs). */
   private[graft] def bandKeys(docs: DataFrame, nHashes: Int = NumHashes,
-                              bands: Int = Bands): DataFrame = {
+                              bands: Int = Bands,
+                              maxBucket: Int = Int.MaxValue): DataFrame = {
     require(bands >= 1 && nHashes % bands == 0,
             s"bands must divide nHashes, got ($nHashes, $bands)")
+    require(maxBucket >= 2, s"maxBucket must allow pairs, got $maxBucket")
     val rpb = nHashes / bands
     val toks = docs
       .select(col("doc_id"),
@@ -50,11 +67,17 @@ object DedupExtOps extends OpModule {
                 .ngrams(split(col("text"), " "), 3).as("sh"))
       .select(col("doc_id"), md5(col("sh")).as("m"))
     val sig = sigCols(nHashes)
-    toks.groupBy("doc_id").agg(sig.head, sig.tail: _*)
+    val keyed = toks.groupBy("doc_id").agg(sig.head, sig.tail: _*)
       .select(col("doc_id"), explode(array((0 until bands).map(j =>
         concat(lit(s"$j:") +:
                (0 until rpb).map(r => col(s"h${j * rpb + r}")): _*)): _*))
         .as("bk"))
+    if (maxBucket == Int.MaxValue) keyed
+    else keyed
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("bk")))
+      .where(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -203,9 +226,13 @@ object DedupExtOps extends OpModule {
   )
 
   /** Distinct near-dup candidate pairs `(id_a < id_b)` from MinHash-LSH
-    * band collisions — the edge set q82 clusters and q83 prunes. */
-  private def candidatePairs(docs: DataFrame): DataFrame = {
-    val bk = bandKeys(docs)
+    * band collisions — the edge set q82 clusters and q83 prunes.
+    * `maxBucket` passes through to [[bandKeys]]' hot-bucket guard
+    * (declared queries run uncapped at test SF; a production corpus
+    * sets the cap so no single boilerplate bucket can go quadratic). */
+  private[graft] def candidatePairs(docs: DataFrame,
+                                    maxBucket: Int = Int.MaxValue): DataFrame = {
+    val bk = bandKeys(docs, maxBucket = maxBucket)
     bk.select(col("bk"), col("doc_id").as("id_a"))
       .join(bk.select(col("bk"), col("doc_id").as("id_b")), Seq("bk"))
       .where(col("id_a") < col("id_b"))

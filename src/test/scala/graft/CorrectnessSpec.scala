@@ -568,6 +568,33 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(vocab <= 64, s"vocab $vocab exceeds SpaceSaving k=64 exact regime")
   }
 
+  test("bandKeys hot-bucket cap bounds boilerplate without losing real pairs") {
+    // 60 identical boilerplate docs (ids >= 10000) stacked on the real
+    // corpus: uncapped LSH lands them all in the same band buckets and
+    // goes quadratic — C(60,2) candidate pairs from one hot bucket, the
+    // Σ bucket² blowup a web corpus hits on empty/templated pages. The
+    // maxBucket guard must drop exactly those buckets: bounded output,
+    // recall on every real-corpus pair unchanged.
+    val boiler = (0 until 60).map(i =>
+      (10000L + i, ("lorem ipsum dolor sit amet " * 8).trim))
+      .toDF("doc_id", "text")
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+      .unionByName(boiler)
+    val uncapped = operators.DedupExtOps.candidatePairs(docs)
+      .as[(Long, Long)].collect().toSet
+    val capped = operators.DedupExtOps.candidatePairs(docs, maxBucket = 10)
+      .as[(Long, Long)].collect().toSet
+    val realPairs = uncapped.filter { case (a, b) => a < 10000 && b < 10000 }
+    // the quadratic blowup is present without the cap...
+    assert(uncapped.count { case (a, b) => a >= 10000 && b >= 10000 } ==
+             60 * 59 / 2)
+    // ...fully suppressed with it...
+    assert(capped.forall { case (a, b) => a < 10000 && b < 10000 },
+           "boilerplate pairs survived the cap")
+    // ...and no real pair is lost (real buckets are all under the cap)
+    assert(capped == realPairs)
+  }
+
   test("q46 minhash candidates are supported by real prefix near-dups") {
     // Every q42 high-Jaccard pair should be recovered by LSH banding.
     val lsh = q("q46_dedup_minhash").select("id_a", "id_b")
