@@ -259,7 +259,21 @@ object DedupExtOps extends OpModule {
     * slower, never wrong). */
   @volatile private var lastLabels: Option[org.apache.spark.rdd.RDD[_]] = None
 
-  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+  /** Dispatch: `"minlabel"` (default — O(diameter) rounds, right for
+    * LSH near-cliques) or `"star"` (large-star/small-star, O(log n)
+    * rounds — the cluster-scale path for long-chain graphs). Both
+    * return the identical `(id, lbl = component min)` table;
+    * equivalence property-tested on random long-path graphs. */
+  private[graft] def connectedComponents(pairs: DataFrame,
+                                         variant: String = "minlabel"): DataFrame =
+    variant match {
+      case "star" => connectedComponentsStar(pairs)
+      case "minlabel" => connectedComponentsMinLabel(pairs)
+      case other => throw new IllegalArgumentException(
+        s"unknown components variant '$other' (minlabel|star)")
+    }
+
+  private def connectedComponentsMinLabel(pairs: DataFrame): DataFrame = {
     // materialize each round on a persisted internal-row RDD (the
     // localCheckpoint mechanics, no Row round-trip) and restart the
     // logical plan from it; the handle lets us drop exactly this
@@ -300,6 +314,84 @@ object DedupExtOps extends OpModule {
       lastLabels = Some(labelsRdd)
     }
     labels
+  }
+
+  /** The alternating large-star/small-star connected-components variant
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * O(log n) rounds on ANY graph, vs the min-label fixpoint's
+    * O(diameter). LSH candidate components are near-cliques (diameter
+    * 2-3), so q82/q83 declare the simpler fixpoint; this is the
+    * documented cluster-scale path for graphs with long chains
+    * (incremental crawls, cross-snapshot link graphs), now coded and
+    * property-tested against the fixpoint on exactly such graphs.
+    *
+    * Edges are kept canonical (u > v, "u points at v"). Per round:
+    *  - large-star: every node u connects its LARGER neighbors to the
+    *    minimum of its neighborhood ∪ itself — long chains contract
+    *    onto local minima in parallel (this is what buys O(log n));
+    *  - small-star: every node u re-points itself and its smaller
+    *    non-min neighbors at the minimum of its smaller neighborhood.
+    * Each transform is one shuffle (groupBy u for the neighborhood min
+    * + a join back), the same join+agg primitives as the fixpoint, and
+    * each round is pinned/freed with the identical O(1)-storage
+    * discipline. Terminal state: a star per component, every node
+    * pointing at its component min. Convergence = the exact
+    * (count, Σu, Σv) triple of the distinct edge set repeating —
+    * decimal(38) sums, so no wraparound at any node-id scale. */
+  private[graft] def connectedComponentsStar(pairs: DataFrame): DataFrame = {
+    def pin(df: DataFrame) = org.apache.spark.sql.graft.InternalPin.pin(df)
+    val nodes = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    var (edges, edgesRdd) = pin(pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+              least(col("id_a"), col("id_b")).as("v"))
+      .where(col("u") =!= col("v")).distinct())
+    def sym(e: DataFrame) =
+      e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val mins = s.groupBy("u")
+        .agg(least(min(col("v")), col("u")).as("m"))
+      s.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val small = sym(e).where(col("v") < col("u"))
+      val mins = small.groupBy("u").agg(min(col("v")).as("m"))
+      mins.select(col("u"), col("m").as("v"))
+        .unionAll(small.join(mins, "u").where(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v")))
+        .where(col("u") =!= col("v")).distinct()
+    }
+    def checksum(e: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal) = {
+      val r = e.agg(
+        count(lit(1)),
+        coalesce(sum(col("u").cast("decimal(38,0)")),
+                 lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")),
+        coalesce(sum(col("v").cast("decimal(38,0)")),
+                 lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"))).head
+      (r.getLong(0), r.getDecimal(1), r.getDecimal(2))
+    }
+    var prev: (Long, java.math.BigDecimal, java.math.BigDecimal) = null
+    var cur = checksum(edges)
+    while (prev == null || cur != prev) {
+      val (next, nextRdd) = pin(smallStar(largeStar(edges)))
+      prev = cur
+      cur = checksum(next)
+      edgesRdd.unpersist(blocking = false)
+      edges = next
+      edgesRdd = nextRdd
+    }
+    val out = nodes
+      .join(edges.groupBy("u").agg(min("v").as("m"))
+              .withColumnRenamed("u", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("m"), col("id")).as("lbl"))
+    synchronized {
+      lastLabels.foreach(_.unpersist(blocking = false))
+      lastLabels = Some(edgesRdd)
+    }
+    out
   }
 
   private def minhashCte: String = {

@@ -131,6 +131,53 @@ class PropertySpec extends SparkSpecBase {
     }, n = 5)
   }
 
+  test("large-star/small-star components equal union-find on long-path graphs") {
+    // the O(log n) variant's weak spot coverage is the fixpoint's
+    // strength and vice versa: long CHAINS are where O(diameter)
+    // min-label propagation degrades, so the star variant is exercised
+    // on a long shuffled path (diameter ~ n) plus random chords — and
+    // must still produce exactly the union-find components
+    val caseGen = for {
+      n <- Gen.choose(8, 40)
+      perm <- Gen.const(scala.util.Random.shuffle((0L until 100L).toList).take(n))
+      extra <- Gen.listOfN(4, Gen.zip(Gen.choose(0L, 99L), Gen.choose(0L, 99L)))
+    } yield (perm.sliding(2).map(p => (p.head, p.last)).toList ++ extra)
+      .collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    check(Prop.forAll(caseGen) { pairs =>
+      pairs.isEmpty || {
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+          .map(n => n -> find(n)).toMap
+        val got = operators.DedupExtOps
+          .connectedComponents(pairs.toDF("id_a", "id_b"), variant = "star")
+          .as[(Long, Long)].collect().toMap
+        got == expected
+      }
+    }, n = 4)
+  }
+
+  test("star and minlabel variants agree on a long path") {
+    // direct cross-check of the two declared variants on the shape that
+    // separates them (diameter = node count)
+    val path = (0 until 12).map(i => (i * 7L % 97L, (i + 1) * 7L % 97L))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toList
+    val df = path.toDF("id_a", "id_b")
+    val a = operators.DedupExtOps.connectedComponents(df, variant = "minlabel")
+      .as[(Long, Long)].collect().toMap
+    val b = operators.DedupExtOps.connectedComponents(df, variant = "star")
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
   test("SpaceSaving: over-capacity error bounds and heavy-hitter recall") {
     val agg = new functions.SpaceSavingAgg(4)
     val streamGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e",
