@@ -218,29 +218,25 @@ object TextExtOps extends OpModule {
     // 100 TB this is the contamination scan Dolma/RedPajama-style
     // pipelines run before every release.
     "q87_decontaminate" -> { (s, d) =>
-      val sh = Tables(s, d, "documents")
-        .select(col("doc_id"), trainSplit.as("split"),
-                org.apache.spark.sql.graft.GraftFunctions
-                  .ngrams(split(col("text"), " "), 3).as("g"))
-        .select(col("doc_id"), col("split"), md5(col("g")).as("m"))
-      val rare = sh.groupBy("m")
-        .agg(countDistinct(col("doc_id")).as("df"))
-        .where(col("df") <= 10).select("m")
-      // collect_set dedups repeated (doc, shingle) occurrences, so each
-      // surviving shingle contributes exactly once per (eval, train)
-      // pair — "shared" counts DISTINCT shingles
-      sh.join(rare, Seq("m"))
-        .groupBy("m")
-        .agg(collect_set(when(col("split") === "eval", col("doc_id")))
-               .as("evals"),
-             collect_set(when(col("split") === "train", col("doc_id")))
-               .as("trains"))
-        .select(explode(col("evals")).as("eval_id"), col("trains"))
-        .select(col("eval_id"), explode(col("trains")).as("train_id"))
-        .groupBy("eval_id", "train_id")
-        .agg(count(lit(1)).as("shared_shingles"))
-        .where(col("shared_shingles") >= 3)
-        .orderBy("eval_id", "train_id")
+      contaminationPairs(Tables(s, d, "documents"),
+                         n = 3, minShared = 3, outCol = "shared_shingles")
+    },
+
+    // Exact-substring decontamination tier (added r7) — the second pass
+    // a production contamination scan runs next to q87's shingle tier:
+    // q87's df ≤ 10 cap MISSES a contaminated pair whose every shared
+    // 3-shingle is boilerplate-frequent (df > 10 drops the evidence).
+    // This tier hashes LONG verbatim token runs (8 here — the corpus
+    // runs 10-100 tokens/doc; production uses ~50-gram windows over
+    // web-scale docs): a single shared verbatim run IS the signal
+    // (minShared = 1), and long runs are specific enough that the df
+    // cap prunes only true boilerplate (license headers, templates)
+    // while bounding every posting list exactly as in q87. Same
+    // inverted-index shape and cost: two corpus scans, two same-key
+    // shuffles, one tiny pair shuffle — never a corpus×corpus join.
+    "q96_decontaminate_exact" -> { (s, d) =>
+      contaminationPairs(Tables(s, d, "documents"),
+                         n = 8, minShared = 1, outCol = "shared_grams")
     },
 
     // Document fingerprint: min-hash over 3-token shingles (rolling
@@ -257,6 +253,42 @@ object TextExtOps extends OpModule {
         .orderBy("doc_id")
     }
   )
+
+  /** The shared inverted-index contamination scan behind q87 (3-token
+    * shingles, ≥ 3 shared) and q96 (8-token verbatim grams, ≥ 1
+    * shared): (eval doc, train doc) pairs sharing `minShared` DISTINCT
+    * df-capped n-token gram hashes. One gram posting list at a time:
+    * df per gram hash with a > 10-doc cap (boilerplate AND the hot
+    * keys that would otherwise blow up pair generation — the cap also
+    * bounds every posting list at ≤ 10), then the survivors' eval and
+    * train id-sets per gram (collect_set reuses the df-agg's
+    * partitioning on the gram hash — no extra shuffle; it also dedups
+    * repeated (doc, gram) occurrences, so `shared` counts DISTINCT
+    * grams), then the ≤ 25 exploded pairs per gram counted per
+    * (eval, train). Never a corpus×corpus join. */
+  private def contaminationPairs(docs: DataFrame, n: Int, minShared: Int,
+                                 outCol: String): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), trainSplit.as("split"),
+              org.apache.spark.sql.graft.GraftFunctions
+                .ngrams(split(col("text"), " "), n).as("g"))
+      .select(col("doc_id"), col("split"), md5(col("g")).as("m"))
+    val rare = sh.groupBy("m")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") <= 10).select("m")
+    sh.join(rare, Seq("m"))
+      .groupBy("m")
+      .agg(collect_set(when(col("split") === "eval", col("doc_id")))
+             .as("evals"),
+           collect_set(when(col("split") === "train", col("doc_id")))
+             .as("trains"))
+      .select(explode(col("evals")).as("eval_id"), col("trains"))
+      .select(col("eval_id"), explode(col("trains")).as("train_id"))
+      .groupBy("eval_id", "train_id")
+      .agg(count(lit(1)).as(outCol))
+      .where(col(outCol) >= minShared)
+      .orderBy("eval_id", "train_id")
+  }
 
   def oracles: Map[String, String] = {
     val occSql = (tg: String) => s"(len(text) - len(replace(text, '$tg', ''))) / 3"
@@ -355,6 +387,26 @@ object TextExtOps extends OpModule {
            |FROM p e JOIN p t ON e.m = t.m
            | AND e.split = 'eval' AND t.split = 'train'
            |GROUP BY eval_id, train_id HAVING count(*) >= 3
+           |ORDER BY eval_id, train_id""".stripMargin,
+
+      // q87's shape at gram length 8 (t[i:i+7] is DuckDB's inclusive
+      // 8-element slice) and threshold 1 — one shared verbatim run is
+      // the exact-substring signal
+      "q96_decontaminate_exact" ->
+        s"""WITH sh AS (
+           |  SELECT DISTINCT doc_id, $trainSplitSql AS split,
+           |    md5(unnest(list_transform(range(1, len(t) - 6),
+           |        i -> array_to_string(t[i:i+7], ' ')))) AS m
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+           |        FROM documents)),
+           |rare AS (SELECT m FROM sh GROUP BY m
+           |         HAVING count(DISTINCT doc_id) <= 10),
+           |p AS (SELECT sh.* FROM sh JOIN rare USING (m))
+           |SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
+           |  count(*) AS shared_grams
+           |FROM p e JOIN p t ON e.m = t.m
+           | AND e.split = 'eval' AND t.split = 'train'
+           |GROUP BY eval_id, train_id
            |ORDER BY eval_id, train_id""".stripMargin,
 
       "q51_fingerprint" ->

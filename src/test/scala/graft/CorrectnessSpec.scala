@@ -595,6 +595,29 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(capped == realPairs)
   }
 
+  test("q96 exact-substring decontamination matches an in-memory replay") {
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val grams = docs.map { case (id, t) =>
+      val g = t.split(" ").sliding(8).filter(_.length == 8)
+        .map(w => md5hex(w.mkString(" "))).toSet
+      (id, md5hex(id.toString).head <= 'b', g)
+    }
+    val rare = grams.flatMap(_._3).groupBy(identity)
+      .map { case (m, _) => m -> grams.count(_._3.contains(m)) }
+      .filter(_._2 <= 10).keySet
+    val expected = (for {
+      (eid, eTrain, eg) <- grams if !eTrain
+      (tid, tTrain, tg) <- grams if tTrain
+      shared = (eg intersect tg).count(rare.contains)
+      if shared >= 1
+    } yield (eid, tid, shared.toLong)).sortBy(p => (p._1, p._2)).toSeq
+    val got = q("q96_decontaminate_exact")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "exact tier found no pairs at test SF")
+  }
+
   test("q46 minhash candidates are supported by real prefix near-dups") {
     // Every q42 high-Jaccard pair should be recovered by LSH banding.
     val lsh = q("q46_dedup_minhash").select("id_a", "id_b")
