@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.{OpModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Partitioned-layout scan paths (SURVEY.md §4): static partition
@@ -89,6 +89,52 @@ object PartitionedOps extends OpModule {
         .parquet(scratch)
     }
 
+  /** Writes lineitem clustered on a BIT-INTERLEAVED (l_shipdate,
+    * l_partkey) key — z-order-lite: each dimension quantized to 8 cells
+    * (3 bits) against its measured min/max, bits interleaved
+    * d2 p2 d1 p1 d0 p0 into a 6-bit z value, rows range-partitioned
+    * (16) and sorted by it with small row groups. Because neighboring
+    * z values agree on their high bits, every row group covers a NARROW
+    * slice of BOTH raw columns, so parquet min/max stats prune
+    * row groups for a date-range predicate AND a partkey-range
+    * predicate from the one layout — the property a single-key sort
+    * (q90) fundamentally cannot give: q90 serves date scans perfectly
+    * and partkey scans not at all. The granularity trade is inherent:
+    * 3 bits/dimension bounds best-case pruning at ~1/8 per family
+    * (PlanShapeSpec measures both). The z key is layout metadata only —
+    * it is dropped before the write, and the quantization bounds come
+    * from the data, so the layout stays a pure re-organization. */
+  def zorderLineitemDir(s: SparkSession, d: String): String =
+    cachedLayout("zorder_lineitem", d) { scratch =>
+      val li = Tables(s, d, "lineitem")
+        .withColumn("l_shipdate", col("l_shipdate").cast("date"))
+      val b = li.agg(min(col("l_shipdate")).as("dlo"),
+                     max(col("l_shipdate")).as("dhi"),
+                     min(col("l_partkey")).as("plo"),
+                     max(col("l_partkey")).as("phi")).head
+      val (dlo, dhi) = (b.getDate(0), b.getDate(1))
+      val (plo, phi) = (b.getLong(2), b.getLong(3))
+      val dspan = math.max(1L,
+        dhi.toLocalDate.toEpochDay - dlo.toLocalDate.toEpochDay + 1)
+      val pspan = math.max(1L, phi - plo + 1)
+      def cell(c: Column, span: Long): Column =
+        least(lit(7), floor(c * 8 / lit(span))).cast("int")
+      val dcell = cell(datediff(col("l_shipdate"), lit(dlo)).cast("long"), dspan)
+      val pcell = cell(col("l_partkey") - lit(plo), pspan)
+      val z = (0 until 3).map(i =>
+        shiftleft(shiftright(col("dc"), i).bitwiseAND(lit(1)), 2 * i + 1) +
+        shiftleft(shiftright(col("pc"), i).bitwiseAND(lit(1)), 2 * i))
+        .reduce(_ + _)
+      li.withColumn("dc", dcell).withColumn("pc", pcell)
+        .withColumn("zk", z)
+        .repartitionByRange(16, col("zk"))
+        .sortWithinPartitions("zk")
+        .drop("dc", "pc", "zk")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 64 * 1024)
+        .parquet(scratch)
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_partition_pruning" -> { (s, d) =>
       s.read.parquet(partitionedEventsDir(s, d))
@@ -120,6 +166,29 @@ object PartitionedOps extends OpModule {
              sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double")
                .as("sum_price"))
         .orderBy("l_returnflag")
+    },
+
+    // q97: the two-key clustered layout under the predicate family q90
+    // CANNOT serve — a partkey range scan. The layout (not the query)
+    // is the operator under test: the oracle runs the same filter +
+    // aggregate on the ORIGINAL lineitem, and PlanShapeSpec measures
+    // row-group skipping on the z layout for BOTH predicate families.
+    // The partkey cut is derived from the data (lowest eighth of the
+    // key domain) with the identical integer arithmetic in both
+    // engines, so the query is SF-independent.
+    "q97_zorder_layout" -> { (s, d) =>
+      val b = Tables(s, d, "lineitem")
+        .agg(min("l_partkey"), max("l_partkey")).head
+      val cut = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 8
+      s.read.parquet(zorderLineitemDir(s, d))
+        .where(col("l_partkey") <= cut)
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+             sum(col("l_quantity").cast("decimal(18,6)")).cast("double")
+               .as("sum_qty"),
+             sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+               .as("sum_price"))
+        .orderBy("l_linestatus")
     },
 
     "q63_dynamic_pruning" -> { (s, d) =>
@@ -157,6 +226,15 @@ object PartitionedOps extends OpModule {
       """SELECT event_type, count(*) AS cnt FROM events
         |WHERE event_type IN ('click', 'view')
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q97_zorder_layout" ->
+      """SELECT l_linestatus, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_partkey <= (SELECT min(l_partkey) +
+        |  (max(l_partkey) - min(l_partkey)) // 8 FROM lineitem)
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
     "q90_sorted_layout" ->
       """SELECT l_returnflag, count(*) AS cnt,

@@ -203,6 +203,40 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q97: z-order layout prunes row groups for BOTH predicate families") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val total = Tables(spark, sf, "lineitem").count()
+      val dir = sources.PartitionedOps.zorderLineitemDir(spark, sf)
+      def readRows(pred: org.apache.spark.sql.Column): Long = {
+        val df = spark.read.parquet(dir).where(pred)
+          .agg(count(lit(1)))
+        df.collect()
+        val scans = df.queryExecution.executedPlan
+          .collectWithSubqueries { case s: FileSourceScanExec => s }
+        assert(scans.length == 1)
+        scans.head.metrics("numOutputRows").value
+      }
+      val b = Tables(spark, sf, "lineitem")
+        .agg(min("l_partkey"), max("l_partkey")).head
+      val cut = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 8
+      val dateRead = readRows(
+        col("l_shipdate") >= lit("1996-06-01").cast("date") &&
+          col("l_shipdate") < lit("1996-09-01").cast("date"))
+      val pkRead = readRows(col("l_partkey") <= cut)
+      // 3 bits per dimension: a range partition pins 2 of each family's
+      // cell bits, so either predicate family should touch ~1/4 of the
+      // layout (vs 100% for the off-key family on q90's single-key
+      // sort); 0.5 leaves headroom for range-boundary fuzz
+      assert(dateRead > 0 && dateRead < total * 0.5,
+             s"date family read $dateRead of $total")
+      assert(pkRead > 0 && pkRead < total * 0.5,
+             s"partkey family read $pkRead of $total")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q90: sorted layout skips row groups — scan reads a fraction of the table") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // plan without AQE so the scan is reachable without stage wrappers
