@@ -171,6 +171,36 @@ object StreamOps extends OpModule {
         .orderBy("event_type")
     },
 
+    // Watermark-BOUNDED exactly-once dedup (added r7) — the production
+    // form of q89, which q89's scaladoc names but r6 left undeclared:
+    // dropDuplicatesWithinWatermark keeps a key's dedup state only
+    // until the watermark passes its event time + delay, so state is
+    // O(keys inside the watermark horizon) instead of O(all keys ever
+    // seen) — the difference between a dedup that runs forever on an
+    // unbounded stream and one that OOMs. The correctness contract is
+    // explicit: the configured delay must cover the upstream REPLAY
+    // HORIZON (how stale a retry/replayed segment can be). Here the
+    // at-least-once staged input replays within the drained file and
+    // the 35-day delay covers the events table's 30-day span, so no
+    // replay ever outlives its state and the result equals q89's
+    // exactly-once aggregate — the same oracle. StreamingSpec
+    // separately demonstrates the bounded-state semantics with a short
+    // delay: an in-horizon replay dedups, an expired key re-emits.
+    "q98_stream_dedup_watermark" -> { (s, d) =>
+      runToMemory(s, iso => {
+        iso.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val rawSchema = iso.read.parquet(s"$d/events.parquet").schema
+        iso.readStream.schema(rawSchema).parquet(stagedDupEventsDir(d))
+          .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+          .withWatermark("ts", "35 days")
+          .dropDuplicatesWithinWatermark("event_id")
+      }, "graft_stream_dedup_wm", "append")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+             countDistinct(col("user_id")).as("users"))
+        .orderBy("event_type")
+    },
+
     "q78_stream_stream_join" -> { (s, d) =>
       // the per-signup count is a plain batch aggregate over the sink:
       // the stateful stream-stream part is the join itself
@@ -217,6 +247,13 @@ object StreamOps extends OpModule {
     // the doubled at-least-once input must collapse back to the plain
     // batch aggregate over the ORIGINAL events table
     "q89_stream_dedup" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  count(DISTINCT user_id) AS users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the bounded-state variant shares q89's oracle: the watermark delay
+    // covers the replay horizon, so the result is identical
+    "q98_stream_dedup_watermark" ->
       """SELECT event_type, count(*) AS cnt,
         |  count(DISTINCT user_id) AS users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -112,6 +112,53 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark bounds state: in-horizon replays dedup, expired keys re-emit") {
+    val dir = Files.createTempDirectory("graft_ddww")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def writeBatch(rows: Seq[(java.sql.Timestamp, Long)]): Unit =
+      rows.toDF("ts", "event_id").coalesce(1)
+        .write.mode("append").parquet(dir.toString)
+    writeBatch(Seq((ts("2024-01-01 10:00:00"), 1L),
+                   (ts("2024-01-01 10:00:00"), 2L)))
+    val schema = spark.read.parquet(dir.toString).schema
+    val out = spark.readStream.schema(schema).parquet(dir.toString)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = out.writeStream.format("memory").queryName("graft_ddww_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: key 1 replayed while its state is alive (watermark is
+      // still 09:50 from batch 1) — must dedup; key 3 at 12:00 advances
+      // the watermark to 11:50, expiring keys 1 and 2 (10:00 + 10 min
+      // horizon < 11:50)
+      writeBatch(Seq((ts("2024-01-01 10:00:00"), 1L),
+                     (ts("2024-01-01 12:00:00"), 3L)))
+      q.processAllAvailable()
+      // batch 3: key 2 arrives again at a fresh event time — its dedup
+      // state was dropped with the watermark, so it RE-EMITS: that drop
+      // is exactly what keeps state O(horizon) instead of O(all keys
+      // ever seen), and why the declared q98 sizes the delay to the
+      // replay horizon
+      writeBatch(Seq((ts("2024-01-01 12:30:00"), 2L)))
+      q.processAllAvailable()
+      val got = spark.table("graft_ddww_test")
+        .as[(java.sql.Timestamp, Long)].collect().toSeq
+      assert(got.count(_._2 == 1L) == 1, s"in-horizon replay must dedup: $got")
+      assert(got.count(_._2 == 2L) == 2, s"expired key must re-emit: $got")
+      assert(got.length == 4, s"expected 4 sink rows: $got")
+    } finally q.stop()
+  }
+
+  test("q98 watermarked dedup equals q89's unbounded dedup on in-horizon input") {
+    // delay covers the staged replay horizon, so the bounded and
+    // unbounded forms must agree bit-for-bit
+    val a = SparkEntry.queries("q98_stream_dedup_watermark")(spark, sf)
+      .collect().toSeq
+    val b = SparkEntry.queries("q89_stream_dedup")(spark, sf).collect().toSeq
+    assert(a == b)
+  }
+
   test("watermark drops late rows across micro-batches (append mode)") {
     val dir = Files.createTempDirectory("graft_stream_late")
     val in = dir.resolve("in"); Files.createDirectory(in)
