@@ -375,7 +375,8 @@ class CorrectnessSpec extends SparkSpecBase {
     val docs = Tables(spark, sf, "documents").select("doc_id", "text")
       .as[(Long, String)].collect()
     val expected = docs.map { case (id, t) =>
-      val grams = t.split(" ").sliding(2).filter(_.length == 2)
+      // split(" ", -1): Spark SQL split keeps trailing empty tokens (§7.4)
+      val grams = t.split(" ", -1).sliding(2).filter(_.length == 2)
         .map(_.mkString(" ")).toSeq
       (id, grams.size.toLong, grams.distinct.size.toLong,
        BigDecimal(1.0 - grams.distinct.size.toDouble / grams.size)
@@ -438,7 +439,8 @@ class CorrectnessSpec extends SparkSpecBase {
     val docs = Tables(spark, sf, "documents").select("doc_id", "text")
       .as[(Long, String)].collect()
     val shingles = docs.map { case (id, t) =>
-      val sh = t.split(" ").sliding(3).filter(_.length == 3)
+      // split(" ", -1): Spark SQL split keeps trailing empty tokens (§7.4)
+      val sh = t.split(" ", -1).sliding(3).filter(_.length == 3)
         .map(w => md5hex(w.mkString(" "))).toSet
       (id, md5hex(id.toString).head <= 'b', sh)
     }
@@ -599,7 +601,8 @@ class CorrectnessSpec extends SparkSpecBase {
     val docs = Tables(spark, sf, "documents").select("doc_id", "text")
       .as[(Long, String)].collect()
     val grams = docs.map { case (id, t) =>
-      val g = t.split(" ").sliding(8).filter(_.length == 8)
+      // split(" ", -1): Spark SQL split keeps trailing empty tokens (§7.4)
+      val g = t.split(" ", -1).sliding(8).filter(_.length == 8)
         .map(w => md5hex(w.mkString(" "))).toSet
       (id, md5hex(id.toString).head <= 'b', g)
     }

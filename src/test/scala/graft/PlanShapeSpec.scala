@@ -192,6 +192,21 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q82/q83: clusters come from the persisted table, not a fixpoint re-run") {
+    // the r7 verdict's one scale flaw: keep-best re-ran the whole
+    // connected-components fixpoint q82 had just computed. Both queries
+    // must now read the bucketed graft_clusters artifact — their plans
+    // scan it and contain NO pinned-RDD scan (the fixpoint's signature
+    // node); the fixpoint runs only inside the one-time table build
+    for (q <- Seq("q82_dedup_clusters", "q83_dedup_keep_best")) {
+      val p = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("graft_clusters"), s"$q does not scan graft_clusters:\n$p")
+      assert(!p.contains("ExistingRDD"),
+             s"$q still embeds the fixpoint's pinned RDD:\n$p")
+    }
+  }
+
   test("q94: df join is threshold-driven — AQE broadcasts it, no hint forced") {
     val df = SparkEntry.queries("q94_tfidf")(spark, sf)
     df.collect()
