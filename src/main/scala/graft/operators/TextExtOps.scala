@@ -239,6 +239,46 @@ object TextExtOps extends OpModule {
                          n = 8, minShared = 1, outCol = "shared_grams")
     },
 
+    // Incremental decontamination (added r8) — the form a pipeline
+    // actually runs PER EVAL RELEASE: q87 rescans the full train corpus
+    // every time, but the train side only changes between training
+    // runs, so its df-capped 3-shingle posting lists are a PERSISTED
+    // INDEX (the q76/q79 batch-vs-index discipline applied to
+    // contamination): built once, bucketed on the gram hash, and a new
+    // eval batch (here: the eval split's odd doc_ids, standing in for
+    // "the next benchmark release") probes it with NO train-side rescan
+    // or re-shuffle (plan-asserted). The df cap is computed TRAIN-SIDE
+    // — the semantic an ahead-of-time index forces (at q87's
+    // whole-corpus cap the index would depend on the eval batch it
+    // hasn't seen) — and bounds every posting list at ≤ 10, so probe
+    // cost is O(batch grams), never O(corpus). At 100 TB: the index is
+    // grams-with-df≤10 only (the q87 scan showed caps prune hard), and
+    // each eval release costs one batch-side shuffle.
+    "q99_decontaminate_incr" -> { (s, d) =>
+      def grams(df: DataFrame): DataFrame = df
+        .select(col("doc_id"),
+                org.apache.spark.sql.graft.GraftFunctions
+                  .ngrams(split(col("text"), " "), 3).as("g"))
+        .select(col("doc_id"), md5(col("g")).as("m"))
+      val docs = Tables(s, d, "documents")
+      val idxT = graft.BucketedCache.ensure(s, d, "gramidx",
+          "m STRING, train_id BIGINT", "m", 8)(
+        // collect_set dedups repeated (doc, gram) occurrences AND
+        // yields the df cap in the same single shuffle on m
+        grams(docs.where(trainSplit === "train"))
+          .groupBy("m").agg(collect_set(col("doc_id")).as("ids"))
+          .where(size(col("ids")) <= 10)
+          .select(col("m"), explode(col("ids")).as("train_id")))
+      val evalBatch = grams(
+        docs.where(trainSplit === "eval" && col("doc_id") % 2 === 1))
+        .withColumnRenamed("doc_id", "eval_id").distinct()
+      evalBatch.join(s.table(idxT).hint("merge"), Seq("m"))
+        .groupBy("eval_id", "train_id")
+        .agg(count(lit(1)).as("shared_shingles"))
+        .where(col("shared_shingles") >= 3)
+        .orderBy("eval_id", "train_id")
+    },
+
     // Document fingerprint: min-hash over 3-token shingles (rolling
     // content signature) + shingle cardinality.
     "q51_fingerprint" -> { (s, d) =>
@@ -386,6 +426,29 @@ object TextExtOps extends OpModule {
            |  count(*) AS shared_shingles
            |FROM p e JOIN p t ON e.m = t.m
            | AND e.split = 'eval' AND t.split = 'train'
+           |GROUP BY eval_id, train_id HAVING count(*) >= 3
+           |ORDER BY eval_id, train_id""".stripMargin,
+
+      // the persisted index must be invisible to semantics: the oracle
+      // inlines the full computation — train-side df cap (the
+      // ahead-of-time index semantic), eval side restricted to the
+      // probed batch (odd doc_ids), same ≥ 3 threshold as q87
+      "q99_decontaminate_incr" ->
+        s"""WITH sh AS (
+           |  SELECT DISTINCT doc_id, $trainSplitSql AS split,
+           |    md5(unnest(list_transform(range(1, len(t) - 1),
+           |        i -> array_to_string(t[i:i+2], ' ')))) AS m
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+           |        FROM documents)),
+           |tr AS (SELECT doc_id, m FROM sh WHERE split = 'train'),
+           |rare AS (SELECT m FROM tr GROUP BY m
+           |         HAVING count(DISTINCT doc_id) <= 10),
+           |idx AS (SELECT tr.* FROM tr JOIN rare USING (m)),
+           |ev AS (SELECT doc_id, m FROM sh
+           |       WHERE split = 'eval' AND doc_id % 2 = 1)
+           |SELECT ev.doc_id AS eval_id, idx.doc_id AS train_id,
+           |  count(*) AS shared_shingles
+           |FROM ev JOIN idx ON ev.m = idx.m
            |GROUP BY eval_id, train_id HAVING count(*) >= 3
            |ORDER BY eval_id, train_id""".stripMargin,
 

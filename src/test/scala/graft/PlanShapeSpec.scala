@@ -175,6 +175,13 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q99: persisted gram index probes without shuffling the index side") {
+    // the eval batch shuffles onto the index's bucketed m-partitioning;
+    // the train-side posting lists are never rescanned or re-shuffled
+    val p = assertIndexSideUnshuffled("q99_decontaminate_incr", "graft_gramidx")
+    assert(p.contains("SelectedBucketsCount"), p)
+  }
+
   test("q09/q10: semi and anti joins plan as joins, not subquery loops") {
     assert(plan("q09_join_semi").contains("LeftSemi"))
     assert(plan("q10_join_anti").contains("LeftAnti"))
