@@ -60,6 +60,21 @@ object VectorKernels {
     math.sqrt(nn)
   }
 
+  /** Squared L2 distance — the same sequential `Σ (x_i − y_i)²` fold
+    * [[argminCentroid]] scores candidates with (and the SQL
+    * `list_sum(list_transform(...))` formulation performs), exposed as
+    * its own kernel for the PQ asymmetric-distance lookup (q100): the
+    * distance between a query SUBvector and an assigned codeword is one
+    * in-place fold, no per-row allocation. */
+  def sqL2(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var d = 0.0; var i = 0
+    while (i < n) {
+      val t = x.getDouble(i) - y.getDouble(i); d += t * t; i += 1
+    }
+    d
+  }
+
   /** Nearest-centroid assignment by squared L2 (IVF coarse quantizer,
     * q73): `cents` is an `array<struct<cid: long, cv: array<double>>>` —
     * the whole (small) centroid table packed into ONE broadcast row —
@@ -178,6 +193,31 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = org.apache.spark.sql.graft.VectorKernels.dot($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd squared L2 distance over two `array<double>` columns —
+  * the metric [[ArgminCentroid]] assigns with, exposed standalone for
+  * the PQ asymmetric-distance computation (q100), where the distance
+  * argument is a query subvector vs a LOOKED-UP codeword rather than an
+  * argmin over a packed set. */
+case class SquaredL2(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "squared_l2"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.sqL2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = org.apache.spark.sql.graft.VectorKernels.sqL2($a, $b);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -412,6 +452,10 @@ object GraftFunctions {
 
   def vectorNorm(vec: Column): Column =
     ExpressionUtils.column(VectorNorm(ExpressionUtils.expression(vec)))
+
+  def squaredL2(a: Column, b: Column): Column =
+    ExpressionUtils.column(SquaredL2(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** `vec`: array<double>; `cents`: array<struct<cid: long, cv: array<double>>>. */
   def argminCentroid(vec: Column, cents: Column): Column =

@@ -45,6 +45,10 @@ object SimilarityExtOps extends OpModule {
   private val BatchK = 5
   private val Cents = 16  // IVF coarse centroids (sampled: vec_id < Cents)
   private val NProbe = 4  // IVF cells probed per query
+  private val PqSub = 8     // PQ subspaces (64-dim vectors → 8 dims each)
+  private val PqDim = 8     // dims per subspace
+  private val PqCents = 8   // codewords per subspace (vec_id < PqCents)
+  private val PqRerank = 64 // ADC candidates exact-re-ranked
 
   private def vec: Column = col("embedding").cast("array<double>")
 
@@ -176,6 +180,58 @@ object SimilarityExtOps extends OpModule {
         .limit(10)
     },
 
+    // Product-quantization ANN (added r8) — the vector-STORAGE half of
+    // the ANN family: IVF (q73/q79) bounds compute, but a 100 TB
+    // float64 corpus still dominates the index on disk; PQ stores each
+    // 64-dim vector as 8 one-byte codes (64× smaller) and answers
+    // queries from the codes alone. Deterministic codebooks via the
+    // q73 sampling trick (subspace s's codewords = vectors
+    // vec_id < 8, sliced to dims [s·8, s·8+8)) — zero trained state,
+    // so the whole pipeline is oracle-expressible. Per subspace the
+    // codebook packs into one broadcast row of PRE-SLICED codewords
+    // and assignment is the same zero-shuffle codegen'd ArgminCentroid
+    // map pass as IVF; the asymmetric distance (exact query subvector
+    // vs assigned codeword, the Jégou et al. ADC form) is a looked-up
+    // SquaredL2 kernel fold per subspace, summed in fixed order. The
+    // PqRerank best ADC candidates (bounded: TakeOrdered, never a
+    // sort) are re-ranked exactly; recall vs the exact q53 top-10 is
+    // spec-asserted. At scale the stored layout is (vec_id, 8 codes):
+    // the scan that answers a query reads codes, not vectors — the
+    // full vectors are touched only for the PqRerank re-rank rows.
+    "q100_ann_pq" -> { (s, d) =>
+      val em = embBase(s, d)
+      val cb = em.where(col("vec_id") < PqCents)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      // one packed row: per subspace, the 8 codewords pre-sliced to
+      // that subspace's dims (sort_array → position k holds cid k)
+      val centCols = (0 until PqSub).map { ss =>
+        sort_array(collect_list(struct(col("cid"),
+          slice(col("cv"), ss * PqDim + 1, PqDim).as("cv"))))
+          .as(s"cents$ss")
+      }
+      val packed = cb.agg(centCols.head, centCols.tail: _*)
+      val q = em.where(col("vec_id") === 0).select(col("v").as("qv"))
+      // codes + ADC in ONE codegen'd map pass over (corpus × packed ×
+      // query); adc terms are summed left-to-right so the fold order
+      // is reproducible in the oracle
+      val adc = (0 until PqSub).map { ss =>
+        val code = GraftFunctions.argminCentroid(
+          slice(col("v"), ss * PqDim + 1, PqDim), col(s"cents$ss"))
+        GraftFunctions.squaredL2(
+          slice(col("qv"), ss * PqDim + 1, PqDim),
+          element_at(col(s"cents$ss"), (code + 1).cast("int"))("cv"))
+      }.reduce(_ + _)
+      val cands = em.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(packed)).crossJoin(broadcast(q))
+        .select(col("vec_id"), col("v"), col("qv"), adc.as("adc"))
+        .orderBy(col("adc"), col("vec_id")).limit(PqRerank)
+      cands.select(col("vec_id"),
+          round(GraftFunctions.cosineSimilarity(col("v"), col("qv")), 4)
+            .as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    },
+
     // Batch-vs-INDEX ANN — the incremental operation a retrieval
     // pipeline actually runs: the IVF index (cell assignment + vector +
     // stored norm, exactly q73's zero-shuffle assignment pass) is built
@@ -299,6 +355,47 @@ object SimilarityExtOps extends OpModule {
            |  FROM c JOIN embeddings ea ON ea.vec_id = c.a
            |         JOIN embeddings eb ON eb.vec_id = c.b)
            |WHERE sim >= 0.4 ORDER BY a, b""".stripMargin,
+
+      // the PQ pipeline inlined: per-(vector, subspace, codeword)
+      // distances → per-subspace argmin codes → the query's codeword
+      // lut → ADC summed in the SAME left-to-right subspace order as
+      // the engine (pivoted max-per-subspace, never an unordered
+      // SUM()) → top-PqRerank by (adc, vec_id) → exact re-rank
+      "q100_ann_pq" -> {
+        val adcTerms = (0 until PqSub)
+          .map(ss => s"max(CASE WHEN c.s = $ss THEN l.ld END)")
+          .mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |           FROM embeddings),
+           |cb AS (SELECT vec_id AS j, v AS cv FROM e WHERE vec_id < $PqCents),
+           |sub AS (SELECT unnest(range(0, $PqSub)) AS s),
+           |d AS (SELECT e.vec_id, sub.s, cb.j,
+           |        list_sum(list_transform(range(1, ${PqDim + 1}),
+           |          i -> (e.v[sub.s * $PqDim + i] - cb.cv[sub.s * $PqDim + i])
+           |             * (e.v[sub.s * $PqDim + i] - cb.cv[sub.s * $PqDim + i])))
+           |          AS dist
+           |      FROM e, cb, sub),
+           |codes AS (SELECT vec_id, s, j AS code FROM (
+           |            SELECT *, row_number() OVER (PARTITION BY vec_id, s
+           |                                         ORDER BY dist, j) AS rn
+           |            FROM d) WHERE rn = 1),
+           |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+           |lut AS (SELECT sub.s, cb.j,
+           |          list_sum(list_transform(range(1, ${PqDim + 1}),
+           |            i -> (q.qv[sub.s * $PqDim + i] - cb.cv[sub.s * $PqDim + i])
+           |               * (q.qv[sub.s * $PqDim + i] - cb.cv[sub.s * $PqDim + i])))
+           |            AS ld
+           |        FROM q, cb, sub),
+           |adc AS (SELECT c.vec_id, $adcTerms AS adc
+           |        FROM codes c JOIN lut l ON l.s = c.s AND l.j = c.code
+           |        GROUP BY c.vec_id),
+           |cand AS (SELECT vec_id FROM adc WHERE vec_id <> 0
+           |         ORDER BY adc, vec_id LIMIT $PqRerank)
+           |SELECT e.vec_id,
+           |  round(list_cosine_similarity(e.v, q.qv), 4) AS sim
+           |FROM cand JOIN e USING (vec_id), q
+           |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+      },
 
       "q73_ann_ivf" ->
         s"""WITH $ivfCte,

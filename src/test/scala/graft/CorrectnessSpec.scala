@@ -315,6 +315,33 @@ class CorrectnessSpec extends SparkSpecBase {
     rows.foreach { case (qid, cid, _, _) => assert(qid != cid) }
   }
 
+  test("q100 PQ ANN recalls the bulk of the exact top-10 after ADC re-rank") {
+    // 8×8 sampled codebooks are crude by design (zero trained state =
+    // oracle-expressible); the contract is that ADC candidate
+    // generation + exact re-rank of the top-64 recovers most of the
+    // true neighbors (measured 0.8 at sf0.001, 0.6 at sf0.1)
+    val exact = q("q53_ann_query").select("vec_id").as[Long].collect().toSet
+    val pq = q("q100_ann_pq").select("vec_id").as[Long].collect().toSet
+    assert(pq.size == 10)
+    assert(!pq.contains(0L), "query vector leaked into its own results")
+    val recall = exact.count(pq.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"PQ m=8×8 rerank=64 recall $recall vs exact top-10")
+  }
+
+  test("SquaredL2 kernel agrees bit-for-bit with the HOF formulation") {
+    val em = Tables(spark, sf, "embeddings")
+      .select(col("embedding").cast("array<double>").as("v")).limit(40)
+    val pairs = em.as("a").crossJoin(em.as("b"))
+    val hof = pairs.select(
+      aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => (x - y) * (x - y)),
+                lit(0.0), _ + _).as("d")).as[Double].collect()
+    val native = pairs.select(
+      org.apache.spark.sql.graft.GraftFunctions
+        .squaredL2(col("a.v"), col("b.v")).as("d")).as[Double].collect()
+    assert(hof.length == native.length && hof.nonEmpty)
+    hof.zip(native).foreach { case (h, n) => assert(h == n) }
+  }
+
   test("q73 IVF ANN recalls most of the exact top-10 for the probe query") {
     val exact = q("q53_ann_query").select("vec_id").as[Long].collect().toSet
     val ivf = q("q73_ann_ivf").select("vec_id").as[Long].collect().toSet

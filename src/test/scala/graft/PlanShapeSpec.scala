@@ -80,6 +80,21 @@ class PlanShapeSpec extends SparkSpecBase {
       .isAssignableFrom(classOf[org.apache.spark.sql.graft.ArgminCentroid]))
   }
 
+  test("q100: PQ coding+ADC is one codegen'd map pass, bounded candidate cut") {
+    val df = SparkEntry.queries("q100_ann_pq")(spark, sf)
+    df.collect() // finalize the AQE plan
+    val p = df.queryExecution.executedPlan.toString
+    // codes and asymmetric distances evaluate in a codegen'd Project
+    // over the broadcast packed codebooks — no shuffle, no window sort
+    assert("""\*\(\d+\) Project \[[^\n]*argmin_centroid""".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("squared_l2"), p)
+    assert(!p.contains("Window"), s"window sort in the PQ pipeline:\n$p")
+    // the ADC candidate cut is a bounded top-k, never a full sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
+      .isAssignableFrom(classOf[org.apache.spark.sql.graft.SquaredL2]))
+  }
+
   test("q52: LSH signature expression runs inside whole-stage codegen") {
     val df = SparkEntry.queries("q52_lsh_buckets")(spark, sf)
     df.collect()
