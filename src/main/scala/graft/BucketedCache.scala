@@ -16,11 +16,20 @@ import org.apache.spark.sql.functions.col
   * exactly one rename wins, the loser discards its scratch. This closes
   * the clobber window the previous in-place `saveAsTable` had, where two
   * processes could interleave writes into the SAME final directory and
-  * then register a corrupt mix. In-JVM, `synchronized` serializes
-  * writers; catalog registration is re-checked per call because catalog
+  * then register a corrupt mix. In-JVM, writers serialize on a
+  * per-(name, sfDir) monitor — NOT a global lock: the cluster artifact's
+  * build runs a multi-round fixpoint inside its critical section, and a
+  * global lock would block every unrelated index build (band index, gram
+  * index, IVF index) for the duration of the most expensive job in the
+  * suite. Catalog registration is re-checked per call because catalog
   * state is per-SparkSession.
   */
 object BucketedCache {
+
+  /** One monitor per (name, sfDir): independent artifacts build
+    * concurrently; two callers of the SAME artifact serialize. */
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Ensures a `buckets`-bucketed, key-sorted parquet table built from
     * `build` exists for (name, sfDir) and is registered in `s`'s
@@ -28,9 +37,9 @@ object BucketedCache {
     * registration (e.g. "l_orderkey BIGINT, l_quantity DOUBLE").
     * Returns the table name. */
   def ensure(s: SparkSession, sfDir: String, name: String, columnsDdl: String,
-             key: String, buckets: Int)(build: => DataFrame): String =
-    synchronized {
-      val sfKey = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+             key: String, buckets: Int)(build: => DataFrame): String = {
+    val sfKey = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    locks.computeIfAbsent(s"${name}_$sfKey", _ => new Object).synchronized {
       val tbl = s"graft_${name}_$sfKey"
       val path = java.nio.file.Paths.get(
         s"${sys.props("java.io.tmpdir")}/graft_bucket_${name}_$sfKey")
@@ -73,6 +82,7 @@ object BucketedCache {
       }
       tbl
     }
+  }
 
   private def deleteTree(root: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(root)) {

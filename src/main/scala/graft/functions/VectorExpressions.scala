@@ -65,9 +65,15 @@ object VectorKernels {
     * `list_sum(list_transform(...))` formulation performs), exposed as
     * its own kernel for the PQ asymmetric-distance lookup (q100): the
     * distance between a query SUBvector and an assigned codeword is one
-    * in-place fold, no per-row allocation. */
+    * in-place fold, no per-row allocation. Lengths must MATCH: the PQ
+    * path always passes equal-length subvectors, so a mismatch means a
+    * bad slice bound or codebook packing bug — failing loudly beats the
+    * plausible-but-wrong distances a silent min-length truncation would
+    * produce. */
   def sqL2(x: ArrayData, y: ArrayData): Double = {
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    require(y.numElements() == n,
+            s"sqL2 dimension mismatch: $n vs ${y.numElements()}")
     var d = 0.0; var i = 0
     while (i < n) {
       val t = x.getDouble(i) - y.getDouble(i); d += t * t; i += 1

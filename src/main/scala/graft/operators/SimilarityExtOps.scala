@@ -83,6 +83,35 @@ object SimilarityExtOps extends OpModule {
     aggregate(zip_with(col(a), col(b), (x, y) => (x - y) * (x - y)),
               lit(0.0), _ + _)
 
+  /** One packed PQ codebook row (q100/q105): per subspace, the
+    * PqCents codewords pre-sliced to that subspace's dims
+    * (sort_array → position k holds cid k). Codebooks are
+    * deterministic via the q73 sampling trick (vec_id < PqCents) —
+    * zero trained state. */
+  private def pqPacked(em: DataFrame): DataFrame = {
+    val cb = em.where(col("vec_id") < PqCents)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val centCols = (0 until PqSub).map { ss =>
+      sort_array(collect_list(struct(col("cid"),
+        slice(col("cv"), ss * PqDim + 1, PqDim).as("cv"))))
+        .as(s"cents$ss")
+    }
+    cb.agg(centCols.head, centCols.tail: _*)
+  }
+
+  /** Per-row PQ code assignment + asymmetric distance (the Jégou et
+    * al. ADC form) over `v`, `qv` and the packed codebook columns —
+    * one codegen'd expression per subspace (ArgminCentroid to code,
+    * SquaredL2 to the looked-up codeword), summed left-to-right so
+    * the fold order is reproducible in the oracle. */
+  private def pqAdc: Column = (0 until PqSub).map { ss =>
+    val code = GraftFunctions.argminCentroid(
+      slice(col("v"), ss * PqDim + 1, PqDim), col(s"cents$ss"))
+    GraftFunctions.squaredL2(
+      slice(col("qv"), ss * PqDim + 1, PqDim),
+      element_at(col(s"cents$ss"), (code + 1).cast("int"))("cv"))
+  }.reduce(_ + _)
+
   /** Full sign signature via the codegen'd kernel. */
   private def sigColumn: Column = GraftFunctions.lshSignature(vec, Planes)
 
@@ -200,30 +229,47 @@ object SimilarityExtOps extends OpModule {
     // full vectors are touched only for the PqRerank re-rank rows.
     "q100_ann_pq" -> { (s, d) =>
       val em = embBase(s, d)
-      val cb = em.where(col("vec_id") < PqCents)
-        .select(col("vec_id").as("cid"), col("v").as("cv"))
-      // one packed row: per subspace, the 8 codewords pre-sliced to
-      // that subspace's dims (sort_array → position k holds cid k)
-      val centCols = (0 until PqSub).map { ss =>
-        sort_array(collect_list(struct(col("cid"),
-          slice(col("cv"), ss * PqDim + 1, PqDim).as("cv"))))
-          .as(s"cents$ss")
-      }
-      val packed = cb.agg(centCols.head, centCols.tail: _*)
       val q = em.where(col("vec_id") === 0).select(col("v").as("qv"))
       // codes + ADC in ONE codegen'd map pass over (corpus × packed ×
       // query); adc terms are summed left-to-right so the fold order
       // is reproducible in the oracle
-      val adc = (0 until PqSub).map { ss =>
-        val code = GraftFunctions.argminCentroid(
-          slice(col("v"), ss * PqDim + 1, PqDim), col(s"cents$ss"))
-        GraftFunctions.squaredL2(
-          slice(col("qv"), ss * PqDim + 1, PqDim),
-          element_at(col(s"cents$ss"), (code + 1).cast("int"))("cv"))
-      }.reduce(_ + _)
       val cands = em.where(col("vec_id") =!= 0)
-        .crossJoin(broadcast(packed)).crossJoin(broadcast(q))
-        .select(col("vec_id"), col("v"), col("qv"), adc.as("adc"))
+        .crossJoin(broadcast(pqPacked(em))).crossJoin(broadcast(q))
+        .select(col("vec_id"), col("v"), col("qv"), pqAdc.as("adc"))
+        .orderBy(col("adc"), col("vec_id")).limit(PqRerank)
+      cands.select(col("vec_id"),
+          round(GraftFunctions.cosineSimilarity(col("v"), col("qv")), 4)
+            .as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    },
+
+    // IVF-PQ composition (added r9 — the r8 verdict's item #6): the
+    // production ANN index shape, with BOTH bounds at once — IVF
+    // bounds COMPUTE (only nprobe cells are touched per query, q73)
+    // and PQ bounds STORAGE (members are scored from 8 one-byte codes,
+    // q100). The probed cells' members get their PQ codes and ADC
+    // distance in the same single codegen'd map pass as q100 —
+    // coding-on-scan; at 100 TB the codes are precomputed per cell in
+    // the stored layout (q79's cid-bucketed index with 8 code bytes
+    // replacing the vector, which is where the 64× storage cut pays) —
+    // then the bounded TakeOrdered cut (never a sort) picks PqRerank
+    // ADC candidates and only THOSE touch full vectors for the exact
+    // re-rank. Recall vs exact q53 spec-asserted; everything
+    // deterministic (sampled centroids AND codebooks), so the whole
+    // two-level index is oracle-expressible.
+    "q105_ann_ivfpq" -> { (s, d) =>
+      val em = embBase(s, d)
+      val assigned = ivfAssign(em)
+      val qrow = em.where(col("vec_id") === 0)
+      val q = qrow.select(col("v").as("qv"))
+      val probeCells = qrow.crossJoin(broadcast(centroids(em)))
+        .select(col("cid"), sqL2("v", "cv").as("dist"))
+        .orderBy(col("dist"), col("cid")).limit(NProbe).select("cid")
+      val cands = assigned.join(broadcast(probeCells), Seq("cid"))
+        .where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(pqPacked(em))).crossJoin(broadcast(q))
+        .select(col("vec_id"), col("v"), col("qv"), pqAdc.as("adc"))
         .orderBy(col("adc"), col("vec_id")).limit(PqRerank)
       cands.select(col("vec_id"),
           round(GraftFunctions.cosineSimilarity(col("v"), col("qv")), 4)
@@ -390,6 +436,49 @@ object SimilarityExtOps extends OpModule {
            |        FROM codes c JOIN lut l ON l.s = c.s AND l.j = c.code
            |        GROUP BY c.vec_id),
            |cand AS (SELECT vec_id FROM adc WHERE vec_id <> 0
+           |         ORDER BY adc, vec_id LIMIT $PqRerank)
+           |SELECT e.vec_id,
+           |  round(list_cosine_similarity(e.v, q.qv), 4) AS sim
+           |FROM cand JOIN e USING (vec_id), q
+           |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+      },
+
+      // the two-level index inlined: IVF probe-cell selection (q73's
+      // CTEs) restricts the candidate set FIRST, then the PQ
+      // code/lut/ADC pipeline (q100's CTEs) runs over only those
+      // members, same ordered ADC sum and bounded re-rank
+      "q105_ann_ivfpq" -> {
+        val adcTerms = (0 until PqSub)
+          .map(ss => s"max(CASE WHEN c.s = $ss THEN l.ld END)")
+          .mkString(" + ")
+        s"""WITH $ivfCte,
+           |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+           |pc AS (SELECT cid FROM d WHERE vec_id = 0
+           |       ORDER BY dist, cid LIMIT $NProbe),
+           |cell AS (SELECT a.vec_id, a.v FROM a JOIN pc USING (cid)
+           |         WHERE a.vec_id <> 0),
+           |cb AS (SELECT vec_id AS j, v AS cv FROM e WHERE vec_id < $PqCents),
+           |sub AS (SELECT unnest(range(0, $PqSub)) AS s),
+           |dd AS (SELECT cell.vec_id, sub.s, cb.j,
+           |        list_sum(list_transform(range(1, ${PqDim + 1}),
+           |          i -> (cell.v[sub.s * $PqDim + i] - cb.cv[sub.s * $PqDim + i])
+           |             * (cell.v[sub.s * $PqDim + i] - cb.cv[sub.s * $PqDim + i])))
+           |          AS dist
+           |      FROM cell, cb, sub),
+           |codes AS (SELECT vec_id, s, j AS code FROM (
+           |            SELECT *, row_number() OVER (PARTITION BY vec_id, s
+           |                                         ORDER BY dist, j) AS rn
+           |            FROM dd) WHERE rn = 1),
+           |lut AS (SELECT sub.s, cb.j,
+           |          list_sum(list_transform(range(1, ${PqDim + 1}),
+           |            i -> (q.qv[sub.s * $PqDim + i] - cb.cv[sub.s * $PqDim + i])
+           |               * (q.qv[sub.s * $PqDim + i] - cb.cv[sub.s * $PqDim + i])))
+           |            AS ld
+           |        FROM q, cb, sub),
+           |adc AS (SELECT c.vec_id, $adcTerms AS adc
+           |        FROM codes c JOIN lut l ON l.s = c.s AND l.j = c.code
+           |        GROUP BY c.vec_id),
+           |cand AS (SELECT vec_id FROM adc
            |         ORDER BY adc, vec_id LIMIT $PqRerank)
            |SELECT e.vec_id,
            |  round(list_cosine_similarity(e.v, q.qv), 4) AS sim

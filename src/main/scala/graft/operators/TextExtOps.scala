@@ -60,6 +60,76 @@ object TextExtOps extends OpModule {
     """CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
       |     THEN 'train' ELSE 'eval' END""".stripMargin
 
+  /** The q85 mixture-keep rule, shared with the composed pipeline
+    * (q104): curated sources 0-4 keep all, mid 5-11 keep ~1/2, tail
+    * ~1/4, membership by md5 chars 3-4 (independent of q67's split
+    * bit, chars 1-2). */
+  private[operators] def mixtureKeep: Column = {
+    val idx = expr("CAST(substring(source, 4) AS INT)")
+    val u = substring(md5(col("doc_id").cast("string")), 3, 2)
+    when(idx < 5, lit(true)).when(idx < 12, u <= "7f").otherwise(u <= "3f")
+  }
+
+  private[operators] val mixtureKeepSql: String =
+    """CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN TRUE
+      |     WHEN CAST(substr(source, 4) AS INT) < 12
+      |       THEN substr(md5(CAST(doc_id AS VARCHAR)), 3, 2) <= '7f'
+      |     ELSE substr(md5(CAST(doc_id AS VARCHAR)), 3, 2) <= '3f'
+      |END""".stripMargin
+
+  /** Deterministic BPE merge table (q101) — the first 24 merges of a
+    * standard byte-pair-encoding training run over this corpus's
+    * unigram frequencies (computed offline once; the table is a FIXED
+    * public constant, the way a production tokenizer ships a frozen
+    * merges.txt). Tokenizer INFERENCE applies merges in rank order,
+    * each as a left-to-right pass over the word — which both engines
+    * replay exactly via the marker formulation below. No merge has
+    * identical left/right tokens (spec-guarded): that is the condition
+    * under which the doubled literal-replace application is exact. */
+  private[graft] val BpeMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r", "s" -> "t",
+    "m" -> "er", "a" -> "t", "l" -> "u", "a" -> "r", "p" -> "ar",
+    "j" -> "o", "jo" -> "in", "a" -> "s", "as" -> "h", "h" -> "ash",
+    "r" -> "ow", "at" -> "c", "atc" -> "h", "b" -> "atch", "a" -> "n",
+    "c" -> "an", "s" -> "can", "c" -> "o", "co" -> "lu")
+
+  /** BPE-tokenize the whole `text` column in ONE codegen'd string
+    * expression — no UDF, no explode, no per-word lambda. Marker
+    * representation: every character is prefixed with `|` (a char
+    * absent from the corpus alphabet) plus a trailing sentinel, so
+    * token boundaries are explicit (`the` → `|t|h|e|`); merge (a,b)
+    * is then the literal replace `|a|b|` → `|ab|`, applied twice —
+    * one replace pass consumes the trailing marker of a match, which
+    * is the LEADING marker of an immediately-adjacent occurrence, and
+    * the second pass picks up those skipped matches (exact for
+    * left≠right merges, which the table guarantees; validated against
+    * a reference BPE implementation in CorrectnessSpec's replay).
+    * Word boundaries need no special casing: the space character
+    * becomes its own `| |` token and no merge contains a space.
+    * Per-doc BPE token count = (#markers − 1) − (#words − 1) — total
+    * tokens minus the spurious space tokens. */
+  private def bpeMarked: Column =
+    BpeMerges.foldLeft(
+      concat(regexp_replace(col("text"), "(.)", "|$1"), lit("|"))) {
+      case (c, (a, b)) =>
+        val p = lit(s"|$a|$b|"); val r = lit(s"|$a$b|")
+        replace(replace(c, p, r), p, r)
+    }
+
+  private[operators] def bpeTokenCount: Column =
+    (length(bpeMarked) - length(replace(bpeMarked, lit("|"), lit(""))) -
+     size(split(col("text"), " "))).cast("long")
+
+  private def bpeMarkedSql: String =
+    BpeMerges.foldLeft("""regexp_replace(text, '(.)', '|\1', 'g') || '|'""") {
+      case (e, (a, b)) =>
+        s"replace(replace($e, '|$a|$b|', '|$a$b|'), '|$a|$b|', '|$a$b|')"
+    }
+
+  private[operators] def bpeTokenCountSql: String =
+    s"""(len($bpeMarkedSql) - len(replace($bpeMarkedSql, '|', ''))
+       | - len(string_split(text, ' ')))""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Trigram-vote language ID; argmax with fixed priority order, then
     // confusion matrix against the labeled lang column.
@@ -184,10 +254,8 @@ object TextExtOps extends OpModule {
     // 20-key shuffle at any corpus size.
     "q85_mixture_sample" -> { (s, d) =>
       val idx = expr("CAST(substring(source, 4) AS INT)")
-      val u = substring(md5(col("doc_id").cast("string")), 3, 2)
       val weight = when(idx < 5, 1.0).when(idx < 12, 0.5).otherwise(0.25)
-      val keep = when(idx < 5, lit(true))
-        .when(idx < 12, u <= "7f").otherwise(u <= "3f")
+      val keep = mixtureKeep
       Tables(s, d, "documents")
         .groupBy("source")
         .agg(max(weight).as("weight"),
@@ -255,28 +323,94 @@ object TextExtOps extends OpModule {
     // grams-with-df≤10 only (the q87 scan showed caps prune hard), and
     // each eval release costs one batch-side shuffle.
     "q99_decontaminate_incr" -> { (s, d) =>
-      def grams(df: DataFrame): DataFrame = df
-        .select(col("doc_id"),
-                org.apache.spark.sql.graft.GraftFunctions
-                  .ngrams(split(col("text"), " "), 3).as("g"))
-        .select(col("doc_id"), md5(col("g")).as("m"))
+      incrContamination(s, d, "gramidx", n = 3, minShared = 3,
+                        outCol = "shared_shingles")
+    },
+
+    // Incremental EXACT-SUBSTRING decontamination (added r9) — q96's
+    // 8-gram verbatim tier gets the same per-release persisted-index
+    // form q99 gave q87's shingle tier (the r8 verdict's item #3):
+    // the train side's df-capped 8-gram posting lists persist as an
+    // m-bucketed index built once, and each eval release probes it
+    // with zero train rescan (same SelectedBucketsCount plan
+    // assertion). One shared verbatim run is the signal (minShared =
+    // 1), exactly q96's semantics; the production two-tier scan now
+    // runs BOTH tiers incrementally against two persisted indexes.
+    "q103_decontaminate_exact_incr" -> { (s, d) =>
+      incrContamination(s, d, "gramidx8", n = 8, minShared = 1,
+                        outCol = "shared_grams")
+    },
+
+    // BPE token accounting (added r9 — the r7/r8 verdicts' "training
+    // budgets are BPE tokens, not whitespace tokens" gap): per-lang
+    // corpus accounting in REAL subword tokens next to q50's
+    // whitespace counts. The tokenizer is [[bpeMarked]] — a frozen
+    // 24-merge BPE applied as one codegen'd chain of literal string
+    // replaces, no UDF and no explode, so at 100 TB this is a pure
+    // map-side projection + 5-key agg: the cheapest possible shape
+    // for "how many tokens does my corpus hold", and the same
+    // expression drops into any rollup (q104 budgets in it). The
+    // merge application is SQL-replayable, so the whole query is
+    // DuckDB-oracled; the merge-order semantics are additionally
+    // replay-tested against a reference BPE in CorrectnessSpec.
+    "q101_bpe_tokens" -> { (s, d) =>
+      Tables(s, d, "documents")
+        .select(col("lang"),
+                size(split(col("text"), " ")).cast("long").as("ws"),
+                bpeTokenCount.as("bpe"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("docs"),
+             sum(col("ws")).as("ws_tokens"),
+             sum(col("bpe")).as("bpe_tokens"),
+             round(sum(col("bpe")).cast("double") / sum(col("ws")), 6)
+               .as("bpe_per_word"))
+        .orderBy("lang")
+    },
+
+    // Composed corpus-prep pipeline v2 (added r9 — the r8 verdict's
+    // item #4): one declared query chaining the r5–r8 ARTIFACTS,
+    // proving they compose in a single session: quality + keep-best
+    // dedup via the persisted `graft_clusters` table (q83's stage,
+    // one shared definition), eval-set decontamination via the
+    // persisted `graft_gramidx` (q99's train-side df-capped index
+    // probed by the FULL eval split), the q85 mixture rule, and a
+    // per-(split, source) rollup whose token budget is quoted in BOTH
+    // whitespace AND q101's BPE tokens. Plan-asserted: both persisted
+    // artifacts are scanned, neither the cluster fixpoint nor the
+    // gram index is recomputed. Scale shape: every stage keeps its
+    // standalone operator's cost — the corpus is scanned once for
+    // scoring, once for eval grams; the only corpus-wide shuffles are
+    // the keep-best window on the clustered sliver and the final
+    // 20-key rollup.
+    "q104_pipeline_prep" -> { (s, d) =>
       val docs = Tables(s, d, "documents")
-      val idxT = graft.BucketedCache.ensure(s, d, "gramidx",
-          "m STRING, train_id BIGINT", "m", 8)(
-        // collect_set dedups repeated (doc, gram) occurrences AND
-        // yields the df cap in the same single shuffle on m
-        grams(docs.where(trainSplit === "train"))
-          .groupBy("m").agg(collect_set(col("doc_id")).as("ids"))
-          .where(size(col("ids")) <= 10)
-          .select(col("m"), explode(col("ids")).as("train_id")))
-      val evalBatch = grams(
-        docs.where(trainSplit === "eval" && col("doc_id") % 2 === 1))
+      // stage 1-2: quality + keep-best over the persisted clusters
+      val kept = DedupExtOps.keepBest(s, d)
+        .where(col("keep") === 1 && col("score") >= 0.5)
+        .select("doc_id", "score")
+      // stage 3: train docs contaminated by ANY eval doc (≥ 3 shared
+      // df-capped 3-shingles), via the persisted gram index — the
+      // index is train-side only, so eval docs can never be dropped
+      val idxT = gramIndexTable(s, d, "gramidx", 3)
+      val evalGrams = gramHashes(docs.where(trainSplit === "eval"), 3)
         .withColumnRenamed("doc_id", "eval_id").distinct()
-      evalBatch.join(s.table(idxT).hint("merge"), Seq("m"))
+      val contaminated = evalGrams
+        .join(s.table(idxT).hint("merge"), Seq("m"))
         .groupBy("eval_id", "train_id")
-        .agg(count(lit(1)).as("shared_shingles"))
-        .where(col("shared_shingles") >= 3)
-        .orderBy("eval_id", "train_id")
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") >= 3)
+        .select(col("train_id").as("doc_id")).distinct()
+      // stages 4-5: drop contaminated, apply the mixture rule, roll up
+      docs.join(kept, Seq("doc_id"))
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .where(mixtureKeep)
+        .groupBy(trainSplit.as("split"), col("source"))
+        .agg(count(lit(1)).as("docs"),
+             sum(size(split(col("text"), " ")).cast("long")).as("ws_tokens"),
+             sum(bpeTokenCount).as("bpe_tokens"),
+             round(sum(col("score").cast("decimal(18,6)")).cast("double") /
+                   count(lit(1)), 6).as("avg_score"))
+        .orderBy("split", "source")
     },
 
     // Document fingerprint: min-hash over 3-token shingles (rolling
@@ -293,6 +427,52 @@ object TextExtOps extends OpModule {
         .orderBy("doc_id")
     }
   )
+
+  /** (doc_id, md5(n-token gram)) rows — the gram-hash projection every
+    * contamination tier starts from. */
+  private def gramHashes(df: DataFrame, n: Int): DataFrame = df
+    .select(col("doc_id"),
+            org.apache.spark.sql.graft.GraftFunctions
+              .ngrams(split(col("text"), " "), n).as("g"))
+    .select(col("doc_id"), md5(col("g")).as("m"))
+
+  /** The persisted train-side contamination index (q99/q103/q104): the
+    * train split's df-capped n-gram posting lists as an m-bucketed
+    * table, built once per (tmpdir, corpus). The df cap is computed
+    * TRAIN-SIDE — the semantic an ahead-of-time index forces — and
+    * bounds every posting list at ≤ 10. collect_set dedups repeated
+    * (doc, gram) occurrences AND yields the df cap in the same single
+    * shuffle on m. */
+  private[operators] def gramIndexTable(s: SparkSession, d: String,
+                                        name: String, n: Int): String =
+    graft.BucketedCache.ensure(s, d, name, "m STRING, train_id BIGINT",
+                               "m", 8)(
+      gramHashes(Tables(s, d, "documents").where(trainSplit === "train"), n)
+        .groupBy("m").agg(collect_set(col("doc_id")).as("ids"))
+        .where(size(col("ids")) <= 10)
+        .select(col("m"), explode(col("ids")).as("train_id")))
+
+  /** The incremental (per-eval-release) contamination probe shared by
+    * q99 (3-shingle tier, ≥ 3 shared) and q103 (8-gram verbatim tier,
+    * ≥ 1 shared): a new eval batch — the eval split's odd doc_ids,
+    * standing in for "the next benchmark release" — probes the
+    * persisted index via a merge join with NO train-side rescan or
+    * re-shuffle (SelectedBucketsCount plan-asserted). Probe cost is
+    * O(batch grams), never O(corpus). */
+  private def incrContamination(s: SparkSession, d: String, idxName: String,
+                                n: Int, minShared: Int,
+                                outCol: String): DataFrame = {
+    val idxT = gramIndexTable(s, d, idxName, n)
+    val evalBatch = gramHashes(
+      Tables(s, d, "documents")
+        .where(trainSplit === "eval" && col("doc_id") % 2 === 1), n)
+      .withColumnRenamed("doc_id", "eval_id").distinct()
+    evalBatch.join(s.table(idxT).hint("merge"), Seq("m"))
+      .groupBy("eval_id", "train_id")
+      .agg(count(lit(1)).as(outCol))
+      .where(col(outCol) >= minShared)
+      .orderBy("eval_id", "train_id")
+  }
 
   /** The shared inverted-index contamination scan behind q87 (3-token
     * shingles, ≥ 3 shared) and q96 (8-token verbatim grams, ≥ 1
@@ -451,6 +631,84 @@ object TextExtOps extends OpModule {
            |FROM ev JOIN idx ON ev.m = idx.m
            |GROUP BY eval_id, train_id HAVING count(*) >= 3
            |ORDER BY eval_id, train_id""".stripMargin,
+
+      // q99's incremental shape at gram length 8 and threshold 1 —
+      // train-side df cap (the ahead-of-time index semantic), eval
+      // side restricted to the probed batch (odd doc_ids)
+      "q103_decontaminate_exact_incr" ->
+        s"""WITH sh AS (
+           |  SELECT DISTINCT doc_id, $trainSplitSql AS split,
+           |    md5(unnest(list_transform(range(1, len(t) - 6),
+           |        i -> array_to_string(t[i:i+7], ' ')))) AS m
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+           |        FROM documents)),
+           |tr AS (SELECT doc_id, m FROM sh WHERE split = 'train'),
+           |rare AS (SELECT m FROM tr GROUP BY m
+           |         HAVING count(DISTINCT doc_id) <= 10),
+           |idx AS (SELECT tr.* FROM tr JOIN rare USING (m)),
+           |ev AS (SELECT doc_id, m FROM sh
+           |       WHERE split = 'eval' AND doc_id % 2 = 1)
+           |SELECT ev.doc_id AS eval_id, idx.doc_id AS train_id,
+           |  count(*) AS shared_grams
+           |FROM ev JOIN idx ON ev.m = idx.m
+           |GROUP BY eval_id, train_id
+           |ORDER BY eval_id, train_id""".stripMargin,
+
+      "q101_bpe_tokens" ->
+        s"""SELECT lang, count(*) AS docs,
+           |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           |  CAST(sum($bpeTokenCountSql) AS BIGINT) AS bpe_tokens,
+           |  round(CAST(sum($bpeTokenCountSql) AS DOUBLE) /
+           |        sum(len(string_split(text, ' '))), 6) AS bpe_per_word
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+      // the two persisted artifacts must be invisible to semantics:
+      // the oracle inlines the ENTIRE pipeline — reachability clusters
+      // (q82's recursive CTE), q49's score, q83's keep-best window,
+      // the train-side df-capped contamination index probed by the
+      // full eval split (q99's semantic), the q85 mixture rule, and
+      // the BPE-token rollup
+      "q104_pipeline_prep" ->
+        s"""${DedupExtOps.clustersCte},
+           |scored AS (
+           |  SELECT doc_id, source, text, $qualityScoreSql AS score
+           |  FROM documents),
+           |jn AS (
+           |  SELECT s.*, coalesce(c.cluster_id, s.doc_id) AS cluster_id
+           |  FROM scored s LEFT JOIN clusters c USING (doc_id)),
+           |kept AS (
+           |  SELECT * FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY cluster_id
+           |             ORDER BY score DESC, doc_id) AS rn
+           |    FROM jn)
+           |  WHERE rn = 1 AND score >= 0.5),
+           |sh AS (
+           |  SELECT DISTINCT doc_id, $trainSplitSql AS split,
+           |    md5(unnest(list_transform(range(1, len(t) - 1),
+           |        i -> array_to_string(t[i:i+2], ' ')))) AS m
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+           |        FROM documents)),
+           |tr AS (SELECT doc_id, m FROM sh WHERE split = 'train'),
+           |rare AS (SELECT m FROM tr GROUP BY m
+           |         HAVING count(DISTINCT doc_id) <= 10),
+           |idx AS (SELECT tr.* FROM tr JOIN rare USING (m)),
+           |ev AS (SELECT doc_id, m FROM sh WHERE split = 'eval'),
+           |contam AS (
+           |  SELECT DISTINCT train_id AS doc_id FROM (
+           |    SELECT ev.doc_id AS eval_id, idx.doc_id AS train_id,
+           |           count(*) AS n
+           |    FROM ev JOIN idx ON ev.m = idx.m
+           |    GROUP BY 1, 2)
+           |  WHERE n >= 3)
+           |SELECT $trainSplitSql AS split, source, count(*) AS docs,
+           |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           |  CAST(sum($bpeTokenCountSql) AS BIGINT) AS bpe_tokens,
+           |  round(CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) /
+           |        count(*), 6) AS avg_score
+           |FROM kept
+           |WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+           |  AND $mixtureKeepSql
+           |GROUP BY split, source ORDER BY split, source""".stripMargin,
 
       // q87's shape at gram length 8 (t[i:i+7] is DuckDB's inclusive
       // 8-element slice) and threshold 1 — one shared verbatim run is

@@ -624,6 +624,65 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(capped == realPairs)
   }
 
+  test("q101 BPE token counts match a reference BPE implementation") {
+    // reference BPE inference: merges applied in rank order, each as a
+    // left-to-right pass over the word's token sequence — the engine's
+    // marker/doubled-replace formulation must reproduce it exactly
+    def applyMerges(word: String): Seq[String] = {
+      var toks: Vector[String] = word.map(_.toString).toVector
+      for ((a, b) <- operators.TextExtOps.BpeMerges) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i < toks.length - 1 && toks(i) == a && toks(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        toks = out.result()
+      }
+      toks
+    }
+    val docs = Tables(spark, sf, "documents").select("lang", "text")
+      .as[(String, String)].collect()
+    val expected = docs.groupBy(_._1).map { case (lang, rows) =>
+      // split(" ", -1): Spark SQL split keeps trailing empty tokens (§7.4)
+      lang -> rows.map { case (_, t) =>
+        t.split(" ", -1).map(w => applyMerges(w).length.toLong).sum }.sum
+    }
+    val got = q("q101_bpe_tokens").select("lang", "bpe_tokens")
+      .as[(String, Long)].collect().toMap
+    assert(got == expected)
+    // the doubled literal-replace application is exact ONLY for merges
+    // whose left and right tokens differ (an (x,x) merge over a run of
+    // 3+ x's would group differently) — guard the table's precondition
+    assert(operators.TextExtOps.BpeMerges.forall { case (a, b) => a != b },
+           "BPE merge table contains an (x,x) merge — replace-chain unsound")
+  }
+
+  test("q46/clusters hot-bucket cap is a no-op at the correctness-gate SFs") {
+    // ADVICE r8: the declared q46 and the cluster artifact run capped
+    // at HotBucketCap while their DuckDB oracles are uncapped —
+    // exactness rests on no test-SF band bucket exceeding the cap.
+    // Assert the invariant instead of assuming it: a corpus change
+    // that produces a hot bucket now fails HERE, not as an opaque
+    // oracle diff.
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val maxBucket = operators.DedupExtOps
+        .bandKeys(Tables(spark, dir, "documents"))
+        .groupBy("bk").count().agg(max("count")).as[Long].head()
+      assert(maxBucket <= operators.DedupExtOps.HotBucketCap,
+             s"$dir max band bucket $maxBucket exceeds the cap — " +
+               "capped queries no longer oracle-exact")
+    }
+  }
+
+  test("q105 IVF-PQ ANN recalls most of the exact top-10") {
+    val exact = q("q53_ann_query").select("vec_id").as[Long].collect().toSeq
+    val got = q("q105_ann_ivfpq").select("vec_id").as[Long].collect().toSet
+    val recall = exact.count(got.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"IVF-PQ nprobe=4 m=8 recall $recall vs exact top-10")
+  }
+
   test("q96 exact-substring decontamination matches an in-memory replay") {
     val docs = Tables(spark, sf, "documents").select("doc_id", "text")
       .as[(Long, String)].collect()

@@ -40,6 +40,15 @@ class OperatorSmokeSpec extends SparkSpecBase {
     val undeclared = SparkEntry.queries.keySet.filterNot(s2.contains)
     assert(undeclared.isEmpty,
            s"queries missing from SURVEY §2 (contract drift): $undeclared")
+    // the footnote's declared total must track the registry too — the
+    // r8 verdict caught "103 rows → 101 queries" two rounds stale:
+    // membership was guarded but the prose count was not
+    val total = """(\d+) `SparkEntry.queries` entries""".r
+      .findFirstMatchIn(s2)
+    assert(total.isDefined, "SURVEY §2 footnote query total not found")
+    assert(total.get.group(1).toInt == SparkEntry.queries.size,
+           s"SURVEY §2 footnote says ${total.get.group(1)} queries, " +
+             s"registry has ${SparkEntry.queries.size} — footnote stale")
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

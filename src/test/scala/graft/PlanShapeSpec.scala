@@ -95,6 +95,18 @@ class PlanShapeSpec extends SparkSpecBase {
       .isAssignableFrom(classOf[org.apache.spark.sql.graft.SquaredL2]))
   }
 
+  test("q105: IVF-PQ keeps the codegen'd coding+ADC pass and bounded cut") {
+    val df = SparkEntry.queries("q105_ann_ivfpq")(spark, sf)
+    df.collect() // finalize the AQE plan
+    val p = df.queryExecution.executedPlan.toString
+    // cell restriction arrives broadcast; codes + ADC still evaluate in
+    // a codegen'd Project, the candidate cut is still a bounded top-k
+    assert("""\*\(\d+\) Project \[[^\n]*argmin_centroid""".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("squared_l2"), p)
+    assert(!p.contains("Window"), s"window sort in the IVF-PQ pipeline:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q52: LSH signature expression runs inside whole-stage codegen") {
     val df = SparkEntry.queries("q52_lsh_buckets")(spark, sf)
     df.collect()
@@ -195,6 +207,29 @@ class PlanShapeSpec extends SparkSpecBase {
     // the train-side posting lists are never rescanned or re-shuffled
     val p = assertIndexSideUnshuffled("q99_decontaminate_incr", "graft_gramidx")
     assert(p.contains("SelectedBucketsCount"), p)
+  }
+
+  test("q103: persisted 8-gram index probes without shuffling the index side") {
+    // the exact-substring tier under the same batch-vs-index discipline
+    val p = assertIndexSideUnshuffled("q103_decontaminate_exact_incr",
+                                      "graft_gramidx8")
+    assert(p.contains("SelectedBucketsCount"), p)
+  }
+
+  test("q104: composed pipeline probes BOTH persisted artifacts, recomputes neither") {
+    // the point of q104: the cluster table AND the gram index are
+    // session artifacts with a lifecycle — the pipeline's plan must
+    // scan both bucketed tables and re-run neither the fixpoint (no
+    // pinned-RDD scan) nor the train-side index build
+    val df = SparkEntry.queries("q104_pipeline_prep")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_clusters"),
+           s"pipeline does not scan graft_clusters:\n$p")
+    assert(p.contains("graft_gramidx"),
+           s"pipeline does not scan graft_gramidx:\n$p")
+    assert(!p.contains("ExistingRDD"),
+           s"pipeline re-embeds the fixpoint's pinned RDD:\n$p")
   }
 
   test("q09/q10: semi and anti joins plan as joins, not subquery loops") {
