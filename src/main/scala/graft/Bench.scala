@@ -14,8 +14,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the JVM/codegen/IO paths once so the first timed query
     // doesn't absorb session startup (~3-4 s of JIT + codegen compile).
-    spark.read.parquet(s"$sfDir/nation.parquet")
+    // Best-effort: a broken sfDir must NOT abort the run here — the
+    // per-query loop records each failure as -1 and the headline goes
+    // null, which the scraper can parse; an uncaught crash emits no
+    // JSON line at all (verified against a missing-table scratch dir).
+    try spark.read.parquet(s"$sfDir/nation.parquet")
       .groupBy("n_regionkey").count().count()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warm-up failed: ${e.getMessage}")
+    }
     // optional extra args (after the output path): restrict to these
     // query names — local scale experiments; the driver passes none
     val only = args.drop(1).toSet
