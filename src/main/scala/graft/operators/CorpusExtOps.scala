@@ -85,17 +85,19 @@ object CorpusExtOps extends OpModule {
     // token count) pairs — never the text — and the per-pack rollup
     // reuses that partitioning.
     "q91_pack_sequences" -> { (s, d) =>
-      val w = Window.partitionBy("shard").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables(s, d, "documents")
-        .select(col("doc_id"),
-                substring(md5(col("doc_id").cast("string")), 5, 1).as("shard"),
-                size(split(col("text"), " ")).cast("long").as("toks"))
-        .withColumn("pack_id",
-          floor(coalesce(sum(col("toks")).over(w), lit(0L)) / packBudget))
-        .groupBy("shard", "pack_id")
-        .agg(count(lit(1)).as("docs"), sum(col("toks")).as("tokens"))
-        .orderBy("shard", "pack_id")
+      packRollup(s, d, size(split(col("text"), " ")).cast("long"))
+    },
+
+    // Sequence packing denominated in BPE tokens (added r9) — the
+    // budget a training shard actually has is model-tokenizer tokens,
+    // not whitespace words (the r7/r8 verdicts' accounting gap, closed
+    // by q101): the SAME 2048-token budget and prefix-sum layout as
+    // q91, with each document's length measured by the frozen-merge
+    // BPE tokenizer. The tokenizer is a codegen'd projection (q101),
+    // so the scale shape is unchanged: the prefix-sum window still
+    // shuffles only (doc_id, count) pairs — the text never moves.
+    "q106_pack_bpe" -> { (s, d) =>
+      packRollup(s, d, TextExtOps.bpeTokenCount)
     },
 
     // Exact stratified sample: the k=50 hash-smallest docs per lang —
@@ -202,21 +204,46 @@ object CorpusExtOps extends OpModule {
     }
   )
 
+  /** The greedy prefix-sum pack rollup shared by q91 (whitespace
+    * tokens) and q106 (BPE tokens): stable doc_id order within 16
+    * md5 shards, packs cut at `packBudget` by the EXCLUSIVE prefix
+    * sum, per-(shard, pack) doc/token rollup. Only (doc_id, count)
+    * pairs ever shuffle. */
+  private def packRollup(s: SparkSession, d: String,
+                         toks: org.apache.spark.sql.Column): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(s, d, "documents")
+      .select(col("doc_id"),
+              substring(md5(col("doc_id").cast("string")), 5, 1).as("shard"),
+              toks.as("toks"))
+      .withColumn("pack_id",
+        floor(coalesce(sum(col("toks")).over(w), lit(0L)) / packBudget))
+      .groupBy("shard", "pack_id")
+      .agg(count(lit(1)).as("docs"), sum(col("toks")).as("tokens"))
+      .orderBy("shard", "pack_id")
+  }
+
+  /** q91/q106's oracle at a given token-count SQL expression. */
+  private def packRollupSql(toksSql: String): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 5, 1) AS shard,
+       |         $toksSql AS toks
+       |  FROM documents),
+       |p AS (
+       |  SELECT shard, toks,
+       |    CAST(floor(COALESCE(sum(toks) OVER (PARTITION BY shard
+       |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0) / $packBudget.0) AS BIGINT) AS pack_id
+       |  FROM t)
+       |SELECT shard, pack_id, count(*) AS docs,
+       |  CAST(sum(toks) AS BIGINT) AS tokens
+       |FROM p GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
-    "q91_pack_sequences" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 5, 1) AS shard,
-         |         len(string_split(text, ' ')) AS toks
-         |  FROM documents),
-         |p AS (
-         |  SELECT shard, toks,
-         |    CAST(floor(COALESCE(sum(toks) OVER (PARTITION BY shard
-         |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-         |      0) / $packBudget.0) AS BIGINT) AS pack_id
-         |  FROM t)
-         |SELECT shard, pack_id, count(*) AS docs,
-         |  CAST(sum(toks) AS BIGINT) AS tokens
-         |FROM p GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin,
+    "q106_pack_bpe" -> packRollupSql(TextExtOps.bpeTokenCountSql),
+
+    "q91_pack_sequences" -> packRollupSql("len(string_split(text, ' '))"),
 
     "q92_stratified_sample" ->
       """SELECT lang, rk, doc_id, n_chars FROM (

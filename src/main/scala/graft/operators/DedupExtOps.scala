@@ -151,10 +151,7 @@ object DedupExtOps extends OpModule {
     // is small relative to the corpus). Both joins emit one row per
     // shared band; the pair count is the LSH candidate strength.
     "q76_dedup_incremental" -> { (s, d) =>
-      val idxT = graft.BucketedCache.ensure(s, d, "bandidx",
-          "bk STRING, doc_id BIGINT", "bk", 8)(
-        bandKeys(Tables(s, d, "documents").where(col("doc_id") % 2 === 0))
-          .select("bk", "doc_id"))
+      val idxT = bandIndexTable(s, d)
       val batch = bandKeys(
         Tables(s, d, "documents").where(col("doc_id") % 2 === 1))
         .select(col("bk"), col("doc_id").as("new_id"))
@@ -233,6 +230,45 @@ object DedupExtOps extends OpModule {
     // shuffles only the clustered sliver, never the corpus.
     "q83_dedup_keep_best" -> { (s, d) =>
       keepBest(s, d).orderBy("doc_id")
+    },
+
+    // Incremental cluster MAINTENANCE (added r9) — the operation a
+    // pipeline runs when a new crawl batch lands: merge the batch into
+    // the existing duplicate-cluster structure WITHOUT re-banding or
+    // re-clustering the base corpus. Inputs are two persisted
+    // artifacts over the even-doc_id base: q76's band index (probed
+    // for batch×base candidate edges, no base rescan) and the base
+    // cluster table (its rows collapse all base-internal connectivity
+    // to star edges doc→cluster, so the fixpoint never revisits base
+    // structure). New edges = batch⋈index + batch self-join; the
+    // min-label fixpoint then runs on (stars ∪ new edges) — a graph
+    // whose size is O(batch + affected clusters), NOT O(corpus). The
+    // result is provably the full-corpus clustering (components of
+    // stars∪new = components of the full candidate graph, the
+    // union-find merge property), so the oracle is EXACTLY q82's —
+    // one oracle text, two independent computation paths, and the
+    // third consumer of the batch-vs-index discipline's artifacts.
+    "q108_clusters_incremental" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val baseT = clusterTable(s, d, baseOnly = true)
+      val idxT = bandIndexTable(s, d)
+      val batch = bandKeys(docs.where(col("doc_id") % 2 === 1))
+        .select(col("bk"), col("doc_id").as("new_id"))
+      val index = s.table(idxT).select(col("bk"), col("doc_id").as("old_id"))
+      val newVsOld = batch.join(index.hint("merge"), Seq("bk"))
+        .select(least(col("new_id"), col("old_id")).as("id_a"),
+                greatest(col("new_id"), col("old_id")).as("id_b"))
+      val newVsNew = batch
+        .join(batch.select(col("bk"), col("new_id").as("other_id")), Seq("bk"))
+        .where(col("new_id") < col("other_id"))
+        .select(col("new_id").as("id_a"), col("other_id").as("id_b"))
+      val starEdges = s.table(baseT)
+        .where(col("doc_id") =!= col("cluster_id"))
+        .select(col("cluster_id").as("id_a"), col("doc_id").as("id_b"))
+      connectedComponents(
+          newVsOld.unionAll(newVsNew).unionAll(starEdges).distinct())
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+        .orderBy("doc_id")
     }
   )
 
@@ -263,6 +299,15 @@ object DedupExtOps extends OpModule {
     clustered.unionByName(singletons)
   }
 
+  /** The persisted band-signature index over the even-doc_id base
+    * corpus — q76's probe target, shared by q108's incremental cluster
+    * maintenance (one build, two consumers). */
+  private def bandIndexTable(s: SparkSession, d: String): String =
+    graft.BucketedCache.ensure(s, d, "bandidx",
+        "bk STRING, doc_id BIGINT", "bk", 8)(
+      bandKeys(Tables(s, d, "documents").where(col("doc_id") % 2 === 0))
+        .select("bk", "doc_id"))
+
   /** Distinct near-dup candidate pairs `(id_a < id_b)` from MinHash-LSH
     * band collisions — the edge set q82 clusters and q83 prunes.
     * `maxBucket` passes through to [[bandKeys]]' hot-bucket guard
@@ -289,14 +334,22 @@ object DedupExtOps extends OpModule {
     * labels RDD is freed as soon as the write has consumed it —
     * nothing stays resident after the table exists. */
   private[graft] def clusterTable(s: SparkSession, d: String,
-                                  variant: String = "minlabel"): String = {
-    val name = if (variant == "minlabel") "clusters" else s"clusters_$variant"
+                                  variant: String = "minlabel",
+                                  baseOnly: Boolean = false): String = {
+    val base = if (baseOnly) "clustersbase" else "clusters"
+    val name = if (variant == "minlabel") base else s"${base}_$variant"
     var handle: Option[org.apache.spark.rdd.RDD[_]] = None
     try {
       graft.BucketedCache.ensure(s, d, name,
           "doc_id BIGINT, cluster_id BIGINT", "doc_id", 8) {
+        // the candidate graph shares q46's declared cap (one constant,
+        // one edge-set definition); `baseOnly` restricts to the
+        // even-doc_id base corpus — q108's incremental starting point
+        val docs = Tables(s, d, "documents")
         val (lbls, h) = connectedComponentsPinned(
-          candidatePairs(Tables(s, d, "documents")), variant)
+          candidatePairs(if (baseOnly) docs.where(col("doc_id") % 2 === 0)
+                         else docs,
+                         maxBucket = HotBucketCap), variant)
         handle = Some(h)
         lbls.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
       }
@@ -534,6 +587,13 @@ object DedupExtOps extends OpModule {
     // the star variant must produce EXACTLY the min-label fixpoint's
     // table — one oracle text, two independent distributed algorithms
     "q102_clusters_star" ->
+      s"""$clustersCte
+         |SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin,
+
+    // the incremental merge must produce EXACTLY the full-corpus
+    // clustering — q82's oracle verbatim: base stars ∪ new edges has
+    // the same components as the full candidate graph
+    "q108_clusters_incremental" ->
       s"""$clustersCte
          |SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin,
 

@@ -112,6 +112,17 @@ object SimilarityExtOps extends OpModule {
       element_at(col(s"cents$ss"), (code + 1).cast("int"))("cv"))
   }.reduce(_ + _)
 
+  /** ADC from STORED codes (q107): the index row carries its 8
+    * one-byte codes as columns c0..c7; the asymmetric distance is the
+    * codeword lookup against the broadcast packed codebooks — no
+    * coding at query time, which is the whole point of a coded index:
+    * the stored layout IS the quantization. */
+  private def pqAdcStored: Column = (0 until PqSub).map { ss =>
+    GraftFunctions.squaredL2(
+      slice(col("qv"), ss * PqDim + 1, PqDim),
+      element_at(col(s"cents$ss"), (col(s"c$ss") + 1).cast("int"))("cv"))
+  }.reduce(_ + _)
+
   /** Full sign signature via the codegen'd kernel. */
   private def sigColumn: Column = GraftFunctions.lshSignature(vec, Planes)
 
@@ -316,6 +327,62 @@ object SimilarityExtOps extends OpModule {
         .orderBy("qid", "rk")
     },
 
+    // Persisted IVF-PQ coded index (added r9) — makes q105's storage
+    // claim REAL: the index table a production ANN system stores is
+    // (cell id, vec_id, 8 one-byte codes) bucketed by cell, built ONCE
+    // (assignment + coding in the same zero-shuffle map pass) and
+    // probed per query batch with the codes read FROM the table — no
+    // re-assignment, no re-coding, no index-side shuffle. The full
+    // vectors ride along here only because the final exact re-rank
+    // needs them under one roof at test scale; at 100 TB they live in
+    // a separate colocated bucket layout and only PqRerank rows per
+    // query ever touch them. Query cost per batch: B×C probe
+    // selection, a broadcast join streaming the probed cells' buckets,
+    // ADC from stored codes via codeword lookup (one codegen'd
+    // projection), per-query bounded cut, exact re-rank of the
+    // survivors. Complements q79 (flat index) the way q105 complements
+    // q73: PQ changes WHAT the scan reads (codes, 64× smaller), not
+    // how it probes.
+    "q107_ann_pq_index" -> { (s, d) =>
+      val em = embBase(s, d)
+      val codeCols = (0 until PqSub).map { ss =>
+        GraftFunctions.argminCentroid(
+          slice(col("v"), ss * PqDim + 1, PqDim), col(s"cents$ss"))
+          .as(s"c$ss")
+      }
+      val idxT = graft.BucketedCache.ensure(s, d, "pqidx",
+          "cid BIGINT, vec_id BIGINT, " +
+            (0 until PqSub).map(ss => s"c$ss BIGINT").mkString(", ") +
+            ", v ARRAY<DOUBLE>, nv DOUBLE", "cid", 8)(
+        ivfAssign(em).crossJoin(broadcast(pqPacked(em)))
+          .select(col("cid") +: col("vec_id") +: codeCols :+
+                  col("v") :+ col("nv"): _*))
+      val qs = em.where(col("vec_id") < BatchQueries)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+                GraftFunctions.vectorNorm(col("v")).as("qn"))
+      val pw = Window.partitionBy("qid").orderBy(col("dist"), col("cid"))
+      val probeCells = qs.crossJoin(broadcast(centroids(em)))
+        .select(col("qid"), col("cid"), sqL2("qv", "cv").as("dist"))
+        .select(col("qid"), col("cid"), row_number().over(pw).as("pr"))
+        .where(col("pr") <= NProbe).select("qid", "cid")
+      val aw = Window.partitionBy("qid").orderBy(col("adc"), col("vec_id"))
+      val rw = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+      s.table(idxT).join(broadcast(probeCells), Seq("cid"))
+        .where(col("vec_id") =!= col("qid"))
+        .join(broadcast(qs), Seq("qid"))
+        .crossJoin(broadcast(pqPacked(em)))
+        .withColumn("adc", pqAdcStored)
+        .withColumn("ar", row_number().over(aw))
+        .where(col("ar") <= PqRerank)
+        .select(col("qid"), col("vec_id"),
+                round(GraftFunctions.dotProduct(col("v"), col("qv")) /
+                      (col("nv") * col("qn")), 4).as("sim"))
+        .select(col("qid"), col("vec_id"), col("sim"),
+                row_number().over(rw).cast("long").as("rk"))
+        .where(col("rk") <= BatchK)
+        .orderBy("qid", "rk")
+    },
+
     // Batched ANN: N query vectors × banded LSH buckets -> exact
     // re-rank -> per-query top-k. The query side is broadcast (N rows);
     // the collection side shuffles once per band on the 8-bit band key.
@@ -484,6 +551,63 @@ object SimilarityExtOps extends OpModule {
            |  round(list_cosine_similarity(e.v, q.qv), 4) AS sim
            |FROM cand JOIN e USING (vec_id), q
            |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+      },
+
+      // the coded index inlined, batched: codes for every vector (the
+      // index build), per-query probe cells and codeword luts, ADC
+      // over probed cells' members from the stored codes, bounded cut,
+      // exact re-rank — the persisted table is invisible to semantics
+      "q107_ann_pq_index" -> {
+        val adcTerms = (0 until PqSub)
+          .map(ss => s"max(CASE WHEN c.s = $ss THEN l.ld END)")
+          .mkString(" + ")
+        s"""WITH $ivfCte,
+           |cb AS (SELECT vec_id AS j, v AS cv FROM e WHERE vec_id < $PqCents),
+           |sub AS (SELECT unnest(range(0, $PqSub)) AS s),
+           |dd AS (SELECT e.vec_id, sub.s, cb.j,
+           |        list_sum(list_transform(range(1, ${PqDim + 1}),
+           |          i -> (e.v[sub.s * $PqDim + i] - cb.cv[sub.s * $PqDim + i])
+           |             * (e.v[sub.s * $PqDim + i] - cb.cv[sub.s * $PqDim + i])))
+           |          AS dist
+           |      FROM e, cb, sub),
+           |codes AS (SELECT vec_id, s, j AS code FROM (
+           |            SELECT *, row_number() OVER (PARTITION BY vec_id, s
+           |                                         ORDER BY dist, j) AS rn
+           |            FROM dd) WHERE rn = 1),
+           |q AS (SELECT vec_id AS qid, v AS qv FROM e
+           |      WHERE vec_id < $BatchQueries),
+           |pc AS (SELECT qid, cid FROM (
+           |         SELECT q.qid, d.cid,
+           |           row_number() OVER (PARTITION BY q.qid
+           |                              ORDER BY d.dist, d.cid) AS pr
+           |         FROM d JOIN q ON d.vec_id = q.qid) WHERE pr <= $NProbe),
+           |lut AS (SELECT q.qid, sub.s, cb.j,
+           |          list_sum(list_transform(range(1, ${PqDim + 1}),
+           |            i -> (q.qv[sub.s * $PqDim + i] - cb.cv[sub.s * $PqDim + i])
+           |               * (q.qv[sub.s * $PqDim + i] - cb.cv[sub.s * $PqDim + i])))
+           |            AS ld
+           |        FROM q, cb, sub),
+           |mem AS (SELECT pc.qid, a.vec_id FROM a JOIN pc USING (cid)
+           |        WHERE a.vec_id <> pc.qid),
+           |adc AS (SELECT m.qid, m.vec_id, $adcTerms AS adc
+           |        FROM mem m JOIN codes c ON c.vec_id = m.vec_id
+           |                   JOIN lut l ON l.qid = m.qid AND l.s = c.s
+           |                            AND l.j = c.code
+           |        GROUP BY m.qid, m.vec_id),
+           |cand AS (SELECT qid, vec_id FROM (
+           |           SELECT *, row_number() OVER (PARTITION BY qid
+           |                      ORDER BY adc, vec_id) AS ar
+           |           FROM adc) WHERE ar <= $PqRerank),
+           |sc AS (SELECT cand.qid, cand.vec_id,
+           |         round(list_cosine_similarity(e.v, q.qv), 4) AS sim
+           |       FROM cand JOIN e ON e.vec_id = cand.vec_id
+           |                 JOIN q ON q.qid = cand.qid)
+           |SELECT * FROM (
+           |  SELECT qid, vec_id, sim,
+           |    row_number() OVER (PARTITION BY qid
+           |                       ORDER BY sim DESC, vec_id) AS rk
+           |  FROM sc)
+           |WHERE rk <= $BatchK ORDER BY qid, rk""".stripMargin
       },
 
       "q73_ann_ivf" ->

@@ -676,6 +676,37 @@ class CorrectnessSpec extends SparkSpecBase {
     }
   }
 
+  test("q108 incremental merge equals the full-corpus clustering (q82)") {
+    // the union-find merge property made executable: components of
+    // (base stars ∪ batch edges) == components of the full candidate
+    // graph. q108 computes the left side from the persisted base
+    // artifacts; q82 reads the persisted full-corpus table. (A plan
+    // assertion can't see q108's artifact probes — the fixpoint pins
+    // each round eagerly, truncating the final plan to an ExistingRDD
+    // — so the equivalence is asserted on VALUES here, and both
+    // queries share the same DuckDB oracle text in the gate.)
+    val full = q("q82_dedup_clusters").as[(Long, Long)].collect().toSeq
+    val incr = q("q108_clusters_incremental").as[(Long, Long)].collect().toSeq
+    assert(incr == full)
+    assert(full.nonEmpty)
+  }
+
+  test("q107 coded-index ANN agrees with the exact IVF batch (q79) per query") {
+    // same probe cells, ADC-bounded candidates, exact re-rank: the
+    // stored-code path must recover most of each query's exact top-k
+    val exact = q("q79_ann_index").select("qid", "vec_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val coded = q("q107_ann_pq_index").select("qid", "vec_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    assert(coded.keySet == exact.keySet)
+    val overlaps = exact.map { case (qid, ex) =>
+      ex.intersect(coded(qid)).size.toDouble / ex.size }
+    val mean = overlaps.sum / overlaps.size
+    assert(mean >= 0.5, s"mean per-query overlap $mean vs exact IVF top-k")
+  }
+
   test("q105 IVF-PQ ANN recalls most of the exact top-10") {
     val exact = q("q53_ann_query").select("vec_id").as[Long].collect().toSeq
     val got = q("q105_ann_ivfpq").select("vec_id").as[Long].collect().toSet

@@ -202,6 +202,18 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q107: persisted coded index probes without shuffling the index side") {
+    // probe cells and queries arrive broadcast; the coded index is
+    // only ever streamed, and the ADC scores from the STORED codes —
+    // the squared_l2 codeword lookup runs over index columns, with no
+    // argmin (re-coding) anywhere in the probe plan
+    val p = assertIndexSideUnshuffled("q107_ann_pq_index", "graft_pqidx")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("squared_l2"), p)
+    assert(!p.contains("argmin_centroid"),
+           s"probe plan re-codes vectors instead of reading stored codes:\n$p")
+  }
+
   test("q99: persisted gram index probes without shuffling the index side") {
     // the eval batch shuffles onto the index's bucketed m-partitioning;
     // the train-side posting lists are never rescanned or re-shuffled
