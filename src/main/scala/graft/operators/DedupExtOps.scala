@@ -299,10 +299,42 @@ object DedupExtOps extends OpModule {
     clustered.unionByName(singletons)
   }
 
+  /** ROW-WISE MinHash-LSH band keys: the same (nHashes=8, bands=4)
+    * signature scheme as [[bandKeys]], computed per document as one
+    * array column via HOFs — shingles, per-rotation md5 minima and the
+    * band keys never leave the row, so there is NO shuffle (bandKeys
+    * shuffles every (doc_id, shingle-md5) pair through its groupBy).
+    * This is what makes banding possible on a STREAM (q109): a
+    * streaming groupBy("doc_id") would be a stateful aggregation, but
+    * a per-row projection is stateless. Equality with [[bandKeys]] is
+    * spec-asserted (the HOFs are CodegenFallback in Spark 4, so the
+    * batch queries keep the codegen'd explode+groupBy shape; the
+    * row-wise form trades per-row interpretation for shuffle-freedom —
+    * the right trade exactly when the input is a stream or the corpus
+    * scan dominates). */
+  private[graft] def bandKeyArray(nHashes: Int = NumHashes,
+                                  bands: Int = Bands): Column = {
+    require(bands >= 1 && nHashes % bands == 0 && nHashes <= 8)
+    val rpb = nHashes / bands
+    val toks = split(col("text"), " ")
+    // sequence(1, 0) would count DOWN; docs under 3 tokens get an empty
+    // start list (and no band keys — same as bandKeys' empty groupBy)
+    val starts = when(size(toks) >= 3, sequence(lit(1), size(toks) - 2))
+      .otherwise(array().cast("array<int>"))
+    val shingles = transform(starts,
+      i => array_join(slice(toks, i, lit(3)), " "))
+    val ms = transform(shingles, sh => md5(sh))
+    val hs = (0 until nHashes).map { i =>
+      array_min(transform(ms, m => substring(concat(m, m), 1 + 4 * i, 32)))
+    }
+    array((0 until bands).map(j =>
+      concat(lit(s"$j:") +: (0 until rpb).map(r => hs(j * rpb + r)): _*)): _*)
+  }
+
   /** The persisted band-signature index over the even-doc_id base
     * corpus — q76's probe target, shared by q108's incremental cluster
     * maintenance (one build, two consumers). */
-  private def bandIndexTable(s: SparkSession, d: String): String =
+  private[graft] def bandIndexTable(s: SparkSession, d: String): String =
     graft.BucketedCache.ensure(s, d, "bandidx",
         "bk STRING, doc_id BIGINT", "bk", 8)(
       bandKeys(Tables(s, d, "documents").where(col("doc_id") % 2 === 0))
@@ -517,7 +549,7 @@ object DedupExtOps extends OpModule {
     (out, edgesRdd)
   }
 
-  private def minhashCte: String = {
+  private[graft] def minhashCte: String = {
     val hs = (0 until NumHashes)
       .map(i => s"min(substr(m || m, ${1 + 4 * i}, 32)) AS h$i").mkString(", ")
     val bandRows = (0 until Bands)

@@ -80,6 +80,32 @@ object StreamOps extends OpModule {
     dir.toString
   }
 
+  /** Stages the sfDir's documents file into a per-sfDir directory for
+    * the q109 document stream — same write-once discipline as
+    * [[stagedEventsDir]]. */
+  private def stagedDocsDir(d: String): String = {
+    val dir = java.nio.file.Paths.get(
+      s"${sys.props("java.io.tmpdir")}/graft_stream_docs_" +
+        d.replaceAll("[^a-zA-Z0-9]", "_"))
+    java.nio.file.Files.createDirectories(dir)
+    val target = dir.resolve("documents.parquet")
+    if (!java.nio.file.Files.exists(target)) {
+      val scratch = java.nio.file.Files.createTempFile(dir, ".staging", ".tmp")
+      try {
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/documents.parquet"), scratch,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        try java.nio.file.Files.move(scratch, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileSystemException
+            if java.nio.file.Files.exists(target) => // lost the race
+        }
+      } finally java.nio.file.Files.deleteIfExists(scratch)
+    }
+    dir.toString
+  }
+
   /** File-source event stream with µs event time (ns parquet → µs). */
   private def eventStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -201,6 +227,41 @@ object StreamOps extends OpModule {
         .orderBy("event_type")
     },
 
+    // Streaming dedup against the PERSISTED band index (added r9) —
+    // the online form of q76, i.e. the dedup SERVICE a pipeline runs
+    // as new documents arrive: each micro-batch of new docs (odd
+    // doc_ids, the q76 batch convention) is banded ROW-WISE
+    // (bandKeyArray — a per-row projection, because a streaming
+    // groupBy-per-doc would be a stateful aggregation; zero shuffle)
+    // and probed against the bucketed graft_bandidx via a
+    // STREAM-STATIC inner join, which is STATELESS: no watermark, no
+    // state store — the index is the state, persisted once and only
+    // ever read. Emitted matches are (new doc, indexed doc) shared-band
+    // rows; the sink rollup counts bands per pair. At 100 TB this runs
+    // continuously against the corpus index with per-batch cost
+    // O(batch × matched buckets). Oracle: the full minhash self-join
+    // restricted to (even, odd) pairs — exactly the pairs a new-doc
+    // stream against the even-corpus index can produce.
+    "q109_stream_dedup_index" -> { (s, d) =>
+      val idxT = graft.operators.DedupExtOps.bandIndexTable(s, d)
+      runToMemory(s, iso => {
+        val rawSchema = iso.read.parquet(s"$d/documents.parquet").schema
+        val newDocs = iso.readStream.schema(rawSchema)
+          .parquet(stagedDocsDir(d))
+          .where(col("doc_id") % 2 === 1 &&
+                 size(split(col("text"), " ")) >= 3)
+          .select(col("doc_id").as("new_id"),
+                  explode(graft.operators.DedupExtOps.bandKeyArray())
+                    .as("bk"))
+        newDocs.join(iso.table(idxT), Seq("bk"))
+          .select(least(col("new_id"), col("doc_id")).as("id_a"),
+                  greatest(col("new_id"), col("doc_id")).as("id_b"))
+      }, "graft_stream_dedup_idx", "append")
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("n_bands"))
+        .orderBy("id_a", "id_b")
+    },
+
     "q78_stream_stream_join" -> { (s, d) =>
       // the per-signup count is a plain batch aggregate over the sink:
       // the stateful stream-stream part is the join itself
@@ -257,6 +318,18 @@ object StreamOps extends OpModule {
       """SELECT event_type, count(*) AS cnt,
         |  count(DISTINCT user_id) AS users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the full minhash self-join restricted to opposite-parity pairs —
+    // exactly what a new-doc (odd) stream probing the even-corpus index
+    // can produce; the persisted index and the stream machinery must
+    // both be invisible to semantics
+    "q109_stream_dedup_index" ->
+      s"""${graft.operators.DedupExtOps.minhashCte}
+         |SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_bands
+         |FROM bands x JOIN bands y
+         |  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+         |WHERE (x.doc_id % 2) <> (y.doc_id % 2)
+         |GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin,
 
     // identical to q75's oracle: the streaming join must reproduce the
     // batch interval join bit-for-bit

@@ -676,6 +676,19 @@ class CorrectnessSpec extends SparkSpecBase {
     }
   }
 
+  test("row-wise bandKeyArray equals the batch bandKeys signature scheme") {
+    // q109's stateless stream banding and the batch explode+groupBy
+    // banding must be the same function of the text — per (doc, band)
+    val docs = Tables(spark, sf, "documents")
+    val batch = operators.DedupExtOps.bandKeys(docs)
+      .select("doc_id", "bk").as[(Long, String)].collect().toSet
+    val rowwise = docs.select(col("doc_id"),
+        explode(operators.DedupExtOps.bandKeyArray()).as("bk"))
+      .as[(Long, String)].collect().toSet
+    assert(rowwise == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("q108 incremental merge equals the full-corpus clustering (q82)") {
     // the union-find merge property made executable: components of
     // (base stars ∪ batch edges) == components of the full candidate

@@ -244,6 +244,28 @@ class PlanShapeSpec extends SparkSpecBase {
            s"pipeline re-embeds the fixpoint's pinned RDD:\n$p")
   }
 
+  test("per-key top-k family gets map-side WindowGroupLimit pruning from Catalyst") {
+    // the brief's extension ladder, applied honestly: prefer the
+    // optimizer's own operator over a custom one. Spark 3.5+
+    // InferWindowGroupLimit rewrites Filter(row_number <= k over
+    // (part, order)) into a PARTIAL WindowGroupLimit before the
+    // shuffle plus a final one after — per-key bounded-heap pruning,
+    // i.e. the map-side combine of rank windows, which is exactly
+    // what a hand-built TopKPerKey operator would provide. Assert it
+    // fires on every declared per-key top-k query so a query-shape
+    // change that breaks the pattern (non-literal k, a rank hidden
+    // where the rule can't see it) surfaces here, not as a silent
+    // full-sort regression at scale.
+    for (q <- Seq("q71_ann_batch", "q79_ann_index",
+                  "q107_ann_pq_index", "q94_tfidf")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("WindowGroupLimit"),
+             s"$q lost WindowGroupLimit pruning:\n$p")
+    }
+  }
+
   test("q09/q10: semi and anti joins plan as joins, not subquery loops") {
     assert(plan("q09_join_semi").contains("LeftSemi"))
     assert(plan("q10_join_anti").contains("LeftAnti"))
