@@ -452,6 +452,12 @@ object GraftFunctions {
   def lshSignature(vec: Column, planes: Int): Column =
     ExpressionUtils.column(LshSignature(ExpressionUtils.expression(vec), planes))
 
+  /** `tokens`: array<string> → array of MinHash-LSH band keys (see
+    * [[MinHashBandKeys]]). */
+  def minhashBandKeys(tokens: Column, nHashes: Int, bands: Int): Column =
+    ExpressionUtils.column(
+      MinHashBandKeys(ExpressionUtils.expression(tokens), nHashes, bands))
+
   def dotProduct(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))

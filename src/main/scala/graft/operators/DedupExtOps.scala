@@ -31,18 +31,6 @@ object DedupExtOps extends OpModule {
     * regime itself is exercised on a constructed hot-bucket corpus. */
   private[graft] val HotBucketCap = 64
 
-  /** minhash_i(doc) = min over tokens of a nibble-rotation of the
-    * token's md5 — one digest per token instead of nHashes digests
-    * (rotations of a uniform hash stay uniform, and hex order = byte
-    * order, so min() is a valid min-hash for each rotation). The
-    * 4-nibble rotation step bounds nHashes at 8 within one doubled
-    * 32-hex digest. */
-  private def sigCols(nHashes: Int): Seq[Column] = {
-    require(nHashes >= 1 && nHashes <= 8, s"nHashes in [1,8], got $nHashes")
-    (0 until nHashes).map(i =>
-      min(substring(concat(col("m"), col("m")), 1 + 4 * i, 32)).as(s"h$i"))
-  }
-
   /** One row per (doc, band) with a single composite band key
     * `bk = "<band>:<sig>"` — MinHash-LSH banding flattened to the
     * one-column form a persisted signature index buckets on. Docs
@@ -50,6 +38,21 @@ object DedupExtOps extends OpModule {
     * nHashes/bands trades recall (more bands) against precision
     * (wider bands). Parameterized library surface — q46/q76/q82 run
     * the (8, 4) default; non-default widths are spec-tested.
+    *
+    * Banding is ONE codegen'd map expression per document (r9,
+    * [[org.apache.spark.sql.graft.MinHashKernels]]): minhash_i(doc) =
+    * min over 3-token shingles of the 4·i-nibble rotation of the
+    * shingle's md5 hex (rotations of a uniform hash stay uniform; hex
+    * order = byte order, so min is a valid min-hash per rotation — one
+    * digest per shingle instead of nHashes). The pre-r9 formulation —
+    * NGrams generate → md5 → groupBy(doc_id) with min-aggs → band
+    * explode — computed the same thing through a per-shingle
+    * aggregation and one (doc_id, minima) exchange; the kernel removes
+    * both, keeps whole-stage codegen (the pure-HOF per-row alternative
+    * measured ~14× slower: interpreted CodegenFallback), and is what
+    * lets q109 band a stream statelessly. Equality with an independent
+    * HOF reference is spec-asserted, and every consumer stays
+    * DuckDB-oracled against the aggregate SQL formulation.
     *
     * `maxBucket` is the hot-bucket frequency guard (standard LSH
     * practice, the q87 df-cap discipline): a band bucket holding B
@@ -68,21 +71,10 @@ object DedupExtOps extends OpModule {
   private[graft] def bandKeys(docs: DataFrame, nHashes: Int = NumHashes,
                               bands: Int = Bands,
                               maxBucket: Int = Int.MaxValue): DataFrame = {
-    require(bands >= 1 && nHashes % bands == 0,
-            s"bands must divide nHashes, got ($nHashes, $bands)")
     require(maxBucket >= 2, s"maxBucket must allow pairs, got $maxBucket")
-    val rpb = nHashes / bands
-    val toks = docs
-      .select(col("doc_id"),
-              org.apache.spark.sql.graft.GraftFunctions
-                .ngrams(split(col("text"), " "), 3).as("sh"))
-      .select(col("doc_id"), md5(col("sh")).as("m"))
-    val sig = sigCols(nHashes)
-    val keyed = toks.groupBy("doc_id").agg(sig.head, sig.tail: _*)
-      .select(col("doc_id"), explode(array((0 until bands).map(j =>
-        concat(lit(s"$j:") +:
-               (0 until rpb).map(r => col(s"h${j * rpb + r}")): _*)): _*))
-        .as("bk"))
+    val keyed = docs.select(col("doc_id"),
+      explode(org.apache.spark.sql.graft.GraftFunctions
+        .minhashBandKeys(split(col("text"), " "), nHashes, bands)).as("bk"))
     if (maxBucket == Int.MaxValue) keyed
     else keyed
       .withColumn("bucket_n", count(lit(1)).over(
@@ -297,38 +289,6 @@ object DedupExtOps extends OpModule {
       .select(col("doc_id"), col("doc_id").as("cluster_id"), col("score"),
               lit(1).as("keep"))
     clustered.unionByName(singletons)
-  }
-
-  /** ROW-WISE MinHash-LSH band keys: the same (nHashes=8, bands=4)
-    * signature scheme as [[bandKeys]], computed per document as one
-    * array column via HOFs — shingles, per-rotation md5 minima and the
-    * band keys never leave the row, so there is NO shuffle (bandKeys
-    * shuffles every (doc_id, shingle-md5) pair through its groupBy).
-    * This is what makes banding possible on a STREAM (q109): a
-    * streaming groupBy("doc_id") would be a stateful aggregation, but
-    * a per-row projection is stateless. Equality with [[bandKeys]] is
-    * spec-asserted (the HOFs are CodegenFallback in Spark 4, so the
-    * batch queries keep the codegen'd explode+groupBy shape; the
-    * row-wise form trades per-row interpretation for shuffle-freedom —
-    * the right trade exactly when the input is a stream or the corpus
-    * scan dominates). */
-  private[graft] def bandKeyArray(nHashes: Int = NumHashes,
-                                  bands: Int = Bands): Column = {
-    require(bands >= 1 && nHashes % bands == 0 && nHashes <= 8)
-    val rpb = nHashes / bands
-    val toks = split(col("text"), " ")
-    // sequence(1, 0) would count DOWN; docs under 3 tokens get an empty
-    // start list (and no band keys — same as bandKeys' empty groupBy)
-    val starts = when(size(toks) >= 3, sequence(lit(1), size(toks) - 2))
-      .otherwise(array().cast("array<int>"))
-    val shingles = transform(starts,
-      i => array_join(slice(toks, i, lit(3)), " "))
-    val ms = transform(shingles, sh => md5(sh))
-    val hs = (0 until nHashes).map { i =>
-      array_min(transform(ms, m => substring(concat(m, m), 1 + 4 * i, 32)))
-    }
-    array((0 until bands).map(j =>
-      concat(lit(s"$j:") +: (0 until rpb).map(r => hs(j * rpb + r)): _*)): _*)
   }
 
   /** The persisted band-signature index over the even-doc_id base

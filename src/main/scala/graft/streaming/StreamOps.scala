@@ -230,10 +230,10 @@ object StreamOps extends OpModule {
     // Streaming dedup against the PERSISTED band index (added r9) —
     // the online form of q76, i.e. the dedup SERVICE a pipeline runs
     // as new documents arrive: each micro-batch of new docs (odd
-    // doc_ids, the q76 batch convention) is banded ROW-WISE
-    // (bandKeyArray — a per-row projection, because a streaming
-    // groupBy-per-doc would be a stateful aggregation; zero shuffle)
-    // and probed against the bucketed graft_bandidx via a
+    // doc_ids, the q76 batch convention) is banded by the codegen'd
+    // per-row MinHashBandKeys kernel (a projection, because a
+    // streaming groupBy-per-doc would be a stateful aggregation; zero
+    // shuffle) and probed against the bucketed graft_bandidx via a
     // STREAM-STATIC inner join, which is STATELESS: no watermark, no
     // state store — the index is the state, persisted once and only
     // ever read. Emitted matches are (new doc, indexed doc) shared-band
@@ -248,10 +248,10 @@ object StreamOps extends OpModule {
         val rawSchema = iso.read.parquet(s"$d/documents.parquet").schema
         val newDocs = iso.readStream.schema(rawSchema)
           .parquet(stagedDocsDir(d))
-          .where(col("doc_id") % 2 === 1 &&
-                 size(split(col("text"), " ")) >= 3)
+          .where(col("doc_id") % 2 === 1)
           .select(col("doc_id").as("new_id"),
-                  explode(graft.operators.DedupExtOps.bandKeyArray())
+                  explode(org.apache.spark.sql.graft.GraftFunctions
+                    .minhashBandKeys(split(col("text"), " "), 8, 4))
                     .as("bk"))
         newDocs.join(iso.table(idxT), Seq("bk"))
           .select(least(col("new_id"), col("doc_id")).as("id_a"),

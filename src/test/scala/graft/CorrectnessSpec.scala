@@ -676,17 +676,32 @@ class CorrectnessSpec extends SparkSpecBase {
     }
   }
 
-  test("row-wise bandKeyArray equals the batch bandKeys signature scheme") {
-    // q109's stateless stream banding and the batch explode+groupBy
-    // banding must be the same function of the text — per (doc, band)
+  test("MinHashBandKeys kernel equals an independent HOF banding reference") {
+    // the codegen'd kernel (r9, used by every banding consumer) vs a
+    // from-scratch interpreted formulation of the same scheme —
+    // shingle → md5 → per-rotation minima → band keys — built here
+    // from Spark HOFs only. Two independent implementations, one
+    // (doc, band-key) set. (DuckDB provides the third implementation
+    // via every consumer query's oracle.)
+    val toks = split(col("text"), " ")
+    val starts = when(size(toks) >= 3, sequence(lit(1), size(toks) - 2))
+      .otherwise(array().cast("array<int>"))
+    val ms = transform(
+      transform(starts, i => array_join(slice(toks, i, lit(3)), " ")),
+      sh => md5(sh))
+    val hs = (0 until 8).map { i =>
+      array_min(transform(ms, m => substring(concat(m, m), 1 + 4 * i, 32)))
+    }
+    val hofBands = array((0 until 4).map(j =>
+      concat(lit(s"$j:"), hs(2 * j), hs(2 * j + 1))): _*)
     val docs = Tables(spark, sf, "documents")
-    val batch = operators.DedupExtOps.bandKeys(docs)
+    val kernel = operators.DedupExtOps.bandKeys(docs)
       .select("doc_id", "bk").as[(Long, String)].collect().toSet
-    val rowwise = docs.select(col("doc_id"),
-        explode(operators.DedupExtOps.bandKeyArray()).as("bk"))
+    val hof = docs.where(size(toks) >= 3)
+      .select(col("doc_id"), explode(hofBands).as("bk"))
       .as[(Long, String)].collect().toSet
-    assert(rowwise == batch)
-    assert(batch.nonEmpty)
+    assert(kernel == hof)
+    assert(kernel.nonEmpty)
   }
 
   test("q108 incremental merge equals the full-corpus clustering (q82)") {

@@ -107,6 +107,18 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q46: banding is one codegen'd kernel pass — no signature aggregation") {
+    val df = SparkEntry.queries("q46_dedup_minhash")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the whole shingle→md5→minima→band computation is a single
+    // per-document expression; the pre-r9 groupBy(doc_id) signature
+    // aggregation (and its exchange) must be gone from the plan
+    assert(p.contains("minhash_band_keys"), p)
+    assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
+      .isAssignableFrom(classOf[org.apache.spark.sql.graft.MinHashBandKeys]))
+  }
+
   test("q52: LSH signature expression runs inside whole-stage codegen") {
     val df = SparkEntry.queries("q52_lsh_buckets")(spark, sf)
     df.collect()
