@@ -80,28 +80,42 @@ object StreamOps extends OpModule {
     dir.toString
   }
 
-  /** Stages the sfDir's documents file into a per-sfDir directory for
+  /** Stages the sfDir's documents table into a per-sfDir directory for
     * the q109 document stream — same write-once discipline as
-    * [[stagedEventsDir]]. */
+    * [[stagedEventsDir]]. The source may be a single parquet FILE (the
+    * driver testdata shape) or a DIRECTORY of part files (the shape
+    * any real multi-file table has — caught by the r9 10× sweep, where
+    * a file-only copy staged an empty dir and the stream read 0 rows);
+    * each part is staged under its own name with the atomic-rename
+    * race discipline per file. */
   private def stagedDocsDir(d: String): String = {
     val dir = java.nio.file.Paths.get(
       s"${sys.props("java.io.tmpdir")}/graft_stream_docs_" +
         d.replaceAll("[^a-zA-Z0-9]", "_"))
     java.nio.file.Files.createDirectories(dir)
-    val target = dir.resolve("documents.parquet")
-    if (!java.nio.file.Files.exists(target)) {
-      val scratch = java.nio.file.Files.createTempFile(dir, ".staging", ".tmp")
-      try {
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$d/documents.parquet"), scratch,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        try java.nio.file.Files.move(scratch, target,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch {
-          case _: java.nio.file.FileSystemException
-            if java.nio.file.Files.exists(target) => // lost the race
-        }
-      } finally java.nio.file.Files.deleteIfExists(scratch)
+    val src = java.nio.file.Paths.get(s"$d/documents.parquet")
+    val parts: Seq[(java.nio.file.Path, String)] =
+      if (java.nio.file.Files.isDirectory(src)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(src).iterator.asScala
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .map(p => p -> p.getFileName.toString).toSeq
+      } else Seq(src -> "documents.parquet")
+    for ((part, name) <- parts) {
+      val target = dir.resolve(name)
+      if (!java.nio.file.Files.exists(target)) {
+        val scratch = java.nio.file.Files.createTempFile(dir, ".staging", ".tmp")
+        try {
+          java.nio.file.Files.copy(part, scratch,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          try java.nio.file.Files.move(scratch, target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.FileSystemException
+              if java.nio.file.Files.exists(target) => // lost the race
+          }
+        } finally java.nio.file.Files.deleteIfExists(scratch)
+      }
     }
     dir.toString
   }

@@ -704,6 +704,23 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(kernel.nonEmpty)
   }
 
+  test("MinHashBandKeys edge cases: short docs empty, empty tokens hash") {
+    // corpus docs are 10-100 tokens; the kernel's contract beyond that:
+    // <3 tokens → empty array (the aggregate formulation emitted no
+    // rows), and empty-string tokens participate like any token
+    val df = Seq((1L, ""), (2L, "a"), (3L, "a b"), (4L, "a b c"),
+                 (5L, "a  b"), (6L, "x y z w"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+              org.apache.spark.sql.graft.GraftFunctions
+                .minhashBandKeys(split(col("text"), " "), 8, 4).as("bks"))
+      .select(col("doc_id"), size(col("bks")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    // "" splits to [""] (1 token); "a b" = 2 tokens; "a  b" = 3 tokens
+    // (the empty middle token counts — split(" ") semantics)
+    assert(df == Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 4, 5L -> 4, 6L -> 4))
+  }
+
   test("q108 incremental merge equals the full-corpus clustering (q82)") {
     // the union-find merge property made executable: components of
     // (base stars ∪ batch edges) == components of the full candidate
