@@ -53,6 +53,46 @@ class PropertySpec extends SparkSpecBase {
     }, n = 50)
   }
 
+  test("MinHashBandKeys kernel equals a from-scratch Scala reference") {
+    // independent reference: MessageDigest md5 hex → doubled-string
+    // rotations → String minima → "j:" band concat, on plain Scala
+    // collections. The kernel (lazy rotation compare, UTF8String path)
+    // must agree on arbitrary token lists — including empty tokens,
+    // unicode, and <3-token lists (both → empty).
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def reference(toks: List[String], nHashes: Int, bands: Int): Seq[String] = {
+      val shingles = toks.sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toList
+      if (shingles.isEmpty) return Seq.empty
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hexes = shingles.map { sh =>
+        md.reset()
+        md.digest(sh.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+      val minima = (0 until nHashes).map { r =>
+        hexes.map(h => h.substring(4 * r) + h.substring(0, 4 * r)).min
+      }
+      val rpb = nHashes / bands
+      (0 until bands).map(j =>
+        s"$j:" + (0 until rpb).map(r => minima(j * rpb + r)).mkString)
+    }
+    def kernel(toks: List[String], nHashes: Int, bands: Int): Seq[String] = {
+      val arr = ArrayData.toArrayData(
+        toks.map(UTF8String.fromString).toArray[Any])
+      val out = org.apache.spark.sql.graft.MinHashKernels
+        .bandKeys(arr, nHashes, bands)
+      (0 until out.numElements()).map(i => out.getUTF8String(i).toString)
+    }
+    val tokGen = Gen.oneOf(Gen.alphaLowerStr.map(_.take(6)),
+                           Gen.const(""), Gen.const("déjà"))
+    val docGen = Gen.listOf(tokGen)
+    check(Prop.forAll(docGen) { toks =>
+      kernel(toks, 8, 4) == reference(toks, 8, 4) &&
+        kernel(toks, 4, 2) == reference(toks, 4, 2)
+    }, n = 200)
+  }
+
   test("cosine kernel: ArrayData path is bit-equal to the primitive path") {
     import org.apache.spark.sql.catalyst.util.ArrayData
     val vecGen = Gen.listOfN(64, Gen.choose(-1.0, 1.0)).map(_.toArray)
