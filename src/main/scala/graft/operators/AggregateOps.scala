@@ -113,6 +113,36 @@ object AggregateOps extends OpModule {
         countDistinct(col("l_partkey")).as("exact_nd"))
     },
 
+    // ◐ MERGEABLE sketch artifact (added r9) — the production
+    // cardinality-accounting pattern the one-shot q21 can't show:
+    // per-(day, event_type) DataSketches HLL sketches are built ONCE
+    // over the fact table and persisted (BucketedCache — at 100 TB
+    // "yesterday's sketch" is a pipeline artifact written by the daily
+    // job), and every rollup — per-type distinct users over ANY day
+    // range — is a pure sketch MERGE over the tiny artifact with ZERO
+    // fact-table rescan (plan-asserted: the query scans graft_hllidx
+    // and never events). This is why sketches beat exact distinct at
+    // scale: countDistinct cannot pre-aggregate across days (distinct
+    // isn't mergeable), so the exact form rescans the facts for every
+    // window, while sketch union is associative — one artifact, any
+    // rollup. Estimate within ±5% of exact per type, spec-asserted;
+    // ◐ because a DataSketches binary image is not DuckDB-replayable.
+    "q110_hll_daily_union" -> { (s, d) =>
+      val idxT = graft.BucketedCache.ensure(s, d, "hllidx",
+          "day DATE, event_type STRING, sk BINARY", "event_type", 4)(
+        Tables(s, d, "events")
+          .select(to_date(col("ts")).as("day"),
+                  col("event_type"), col("user_id"))
+          .groupBy("day", "event_type")
+          .agg(hll_sketch_agg(col("user_id")).as("sk")))
+      s.table(idxT)
+        .groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+               .as("est_users"),
+             count(lit(1)).as("days"))
+        .orderBy("event_type")
+    },
+
     // Ordered/conditional aggregates: exact interpolated percentiles,
     // arg-max/arg-min, conditional count. max_by/min_by are
     // deterministic here because o_totalprice values are continuous

@@ -752,6 +752,24 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(mean >= 0.5, s"mean per-query overlap $mean vs exact IVF top-k")
   }
 
+  test("q110 merged daily sketches estimate within 5% of exact distincts") {
+    // the union of per-day HLL sketches must estimate each type's
+    // all-days distinct users within sketch tolerance — the property
+    // that makes the persisted sketch artifact a valid substitute for
+    // a fact-table rescan
+    val est = q("q110_hll_daily_union").select("event_type", "est_users")
+      .as[(String, Long)].collect().toMap
+    val exact = Tables(spark, sf, "events")
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("nd"))
+      .as[(String, Long)].collect().toMap
+    assert(est.keySet == exact.keySet)
+    for ((t, e) <- exact) {
+      val a = est(t)
+      assert(math.abs(a - e).toDouble / e <= 0.05,
+             s"$t: sketch $a vs exact $e")
+    }
+  }
+
   test("q105 IVF-PQ ANN recalls most of the exact top-10") {
     val exact = q("q53_ann_query").select("vec_id").as[Long].collect().toSeq
     val got = q("q105_ann_ivfpq").select("vec_id").as[Long].collect().toSet

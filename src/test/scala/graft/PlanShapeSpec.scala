@@ -214,6 +214,17 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q110: rollup is a pure sketch merge — the fact table is never rescanned") {
+    // the point of a MERGEABLE sketch artifact: any-day-range rollups
+    // read the tiny persisted sketch table, never the events facts
+    val df = SparkEntry.queries("q110_hll_daily_union")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_hllidx"), s"rollup does not scan the artifact:\n$p")
+    assert(!p.contains("events.parquet"),
+           s"rollup rescans the fact table:\n$p")
+  }
+
   test("q107: persisted coded index probes without shuffling the index side") {
     // probe cells and queries arrive broadcast; the coded index is
     // only ever streamed, and the ADC scores from the STORED codes —
