@@ -105,6 +105,89 @@ object MultimodalExtOps extends OpModule {
     final case class Media(kind: String, fileBytes: Long, units: Long,
                            checksum: Long)
 
+    /** 24 bpp BMP with caller-chosen width (the public
+      * [[encodeBmp]] is the corpus's fixed 32-px form). */
+    private[MediaCodec] def encodeBmpDims(data: Array[Byte],
+                                          width: Int): Array[Byte] = {
+      val rowBytes = width * 3
+      require(rowBytes % 4 == 0, s"row stride must be 4-aligned: $width px")
+      val height = if (data.length == 0) 0
+                   else (data.length + rowBytes - 1) / rowBytes
+      val imageSize = height * rowBytes
+      val out = new Array[Byte](BmpHeaderBytes + imageSize)
+      out(0) = 'B'; out(1) = 'M'
+      putLe32(out, 2, out.length)
+      putLe32(out, 10, BmpHeaderBytes)
+      putLe32(out, 14, 40)
+      putLe32(out, 18, width)
+      putLe32(out, 22, height)
+      putLe16(out, 26, 1)
+      putLe16(out, 28, 24)
+      putLe32(out, 34, imageSize)
+      System.arraycopy(data, 0, out, BmpHeaderBytes, data.length)
+      out
+    }
+
+    /** 2× spatial downsample of a 24 bpp BMP CONTAINER (q111): parse
+      * the real header, keep every other stored row and every other
+      * pixel (whole BGR triplets), re-encode at half width — a valid
+      * smaller BMP. "Stored row" order (bottom-up) is the sampling
+      * grid; the phase is a constant, so the semantics are closed-form
+      * in the payload length. */
+    def downsampleBmp(file: Array[Byte]): Array[Byte] = {
+      val offset = le32(file, 10)
+      val width = le32(file, 18)
+      val height = le32(file, 22)
+      require(le16(file, 28) == 24, "expected 24 bpp")
+      val rowBytes = width * 3
+      val outW = width / 2
+      val outRowBytes = outW * 3
+      val outH = (height + 1) / 2
+      val out = new Array[Byte](outH * outRowBytes)
+      var r = 0
+      while (r < outH) {
+        var c = 0
+        while (c < outW) {
+          var b = 0
+          while (b < 3) {
+            out(r * outRowBytes + c * 3 + b) =
+              file(offset + (2 * r) * rowBytes + (2 * c) * 3 + b)
+            b += 1
+          }
+          c += 1
+        }
+        r += 1
+      }
+      encodeBmpDims(out, outW)
+    }
+
+    /** k× temporal decimation of a PCM16 WAV CONTAINER (q111): walk the
+      * RIFF chunks to the data section, keep every k-th 16-bit sample,
+      * re-encode — frame-sampling for audio/video-style media. */
+    def decimateWav(file: Array[Byte], k: Int): Array[Byte] = {
+      require(k >= 1)
+      var off = 12
+      var doff = -1
+      var size = 0
+      while (doff < 0 && off + 8 <= file.length) {
+        val id = new String(file.slice(off, off + 4), "US-ASCII")
+        val sz = le32(file, off + 4)
+        if (id == "data") { doff = off + 8; size = sz }
+        else off += 8 + sz + (sz & 1)
+      }
+      require(doff >= 0, "no RIFF data chunk")
+      val samples = size / 2
+      val outSamples = (samples + k - 1) / k
+      val out = new Array[Byte](outSamples * 2)
+      var s = 0; var o = 0
+      while (s < samples) {
+        out(2 * o) = file(doff + 2 * s)
+        out(2 * o + 1) = file(doff + 2 * s + 1)
+        s += k; o += 1
+      }
+      encodeWav(out)
+    }
+
     /** Real container parse: dispatch on magic, read the header fields,
       * checksum the payload the header points at. Zero-padding added by
       * encode is checksum-neutral by construction. */
@@ -163,6 +246,39 @@ object MultimodalExtOps extends OpModule {
         }
       }.toDF("doc_id", "kind", "file_bytes", "units", "checksum")
         .orderBy("doc_id")
+    },
+
+    // Multimodal TRANSFORM pipeline (added r9) — the resize /
+    // frame-sample stage between decode and feature extraction:
+    // parse the real container, transform the media (images: 2×
+    // spatial downsample keeping every other row and pixel; audio: 4×
+    // temporal decimation keeping every 4th sample), re-encode a
+    // valid smaller container, then decode THAT and emit its stats —
+    // everything recomputed from bytes, map-side, in one typed
+    // mapPartitions pass; neither the original nor the transformed
+    // payload ever shuffles. With a real JPEG resize or video
+    // frame-sampler the shape is identical: transform cost dominates,
+    // partition sizing on input bytes is the knob. Both transforms
+    // are deterministic functions of payload length, so the
+    // transformed container's size/units/checksum stay closed-form —
+    // fully oracled.
+    "q111_multimodal_transform" -> { (s, d) =>
+      import s.implicits._
+      val bin = Tables(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      bin.mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val file = if (id % 2 == 0) MediaCodec.encodeBmp(payload)
+                     else MediaCodec.encodeWav(payload)
+          val transformed =
+            if (id % 2 == 0) MediaCodec.downsampleBmp(file)
+            else MediaCodec.decimateWav(file, 4)
+          val m = MediaCodec.decode(transformed)
+          (id, m.kind, m.fileBytes, m.units, m.checksum)
+        }
+      }.toDF("doc_id", "kind", "out_bytes", "out_units", "out_checksum")
+        .orderBy("doc_id")
     }
   )
 
@@ -185,6 +301,34 @@ object MultimodalExtOps extends OpModule {
         |  CAST(COALESCE(list_sum(list_transform(range(1, length(text) + 1),
         |                                        i -> unicode(substr(text, i, 1)))),
         |                0) AS BIGINT) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the transform is a deterministic function of payload length:
+    // kept BMP bytes are (even stored row, even pixel) positions —
+    // (i-1)//96 is the row, ((i-1)%96)//3 the pixel; kept WAV bytes
+    // are every 4th 16-bit sample — (i-1)//2 is the sample index.
+    // Positions past strlen are encode padding (zero, checksum-neutral)
+    "q111_multimodal_transform" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS kind,
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN 54 + 48 * CAST(ceil(ceil(strlen(text) / 96.0) / 2.0) AS BIGINT)
+        |       ELSE 44 + 2 * CAST(ceil(ceil(strlen(text) / 2.0) / 4.0) AS BIGINT)
+        |  END AS out_bytes,
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN CAST(ceil(ceil(strlen(text) / 96.0) / 2.0) AS BIGINT)
+        |       ELSE CAST(ceil(ceil(strlen(text) / 2.0) / 4.0) AS BIGINT)
+        |  END AS out_units,
+        |  CAST(COALESCE(list_sum(list_transform(range(1, length(text) + 1),
+        |    i -> CASE
+        |           WHEN doc_id % 2 = 0
+        |                AND ((i - 1) // 96) % 2 = 0
+        |                AND (((i - 1) % 96) // 3) % 2 = 0
+        |             THEN unicode(substr(text, i, 1))
+        |           WHEN doc_id % 2 = 1 AND ((i - 1) // 2) % 4 = 0
+        |             THEN unicode(substr(text, i, 1))
+        |           ELSE 0
+        |         END)), 0) AS BIGINT) AS out_checksum
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

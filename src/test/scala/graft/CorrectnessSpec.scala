@@ -752,6 +752,35 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(mean >= 0.5, s"mean per-query overlap $mean vs exact IVF top-k")
   }
 
+  test("media transforms: byte-level reference on ragged payload sizes") {
+    // decode(transform(encode(payload))) vs a brute-force reference on
+    // the raw payload, at sizes that exercise every boundary: empty,
+    // sub-row/sub-sample, exact row/sample multiples, one over
+    import operators.MultimodalExtOps.MediaCodec
+    for (len <- Seq(0, 1, 2, 3, 95, 96, 97, 191, 192, 193, 500)) {
+      val payload = Array.tabulate(len)(i => ((i * 37 + 11) % 251).toByte)
+      // BMP: kept bytes are (even stored row, even pixel) positions
+      val b = MediaCodec.decode(
+        MediaCodec.downsampleBmp(MediaCodec.encodeBmp(payload)))
+      val inH = (len + 95) / 96
+      val outH = (inH + 1) / 2
+      val bSum = (0 until len).filter(p =>
+        (p / 96) % 2 == 0 && ((p % 96) / 3) % 2 == 0)
+        .map(p => payload(p) & 0xff).map(_.toLong).sum
+      assert((b.kind, b.fileBytes, b.units, b.checksum) ==
+               ("bmp", 54L + 48L * outH, outH.toLong, bSum), s"bmp len=$len")
+      // WAV: kept bytes are every 4th 16-bit sample
+      val w = MediaCodec.decode(
+        MediaCodec.decimateWav(MediaCodec.encodeWav(payload), 4))
+      val inS = (len + 1) / 2
+      val outS = (inS + 3) / 4
+      val wSum = (0 until len).filter(p => (p / 2) % 4 == 0)
+        .map(p => payload(p) & 0xff).map(_.toLong).sum
+      assert((w.kind, w.fileBytes, w.units, w.checksum) ==
+               ("wav", 44L + 2L * outS, outS.toLong, wSum), s"wav len=$len")
+    }
+  }
+
   test("q110 merged daily sketches estimate within 5% of exact distincts") {
     // the union of per-day HLL sketches must estimate each type's
     // all-days distinct users within sketch tolerance — the property
