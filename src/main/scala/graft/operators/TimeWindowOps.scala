@@ -37,6 +37,98 @@ object TimeWindowOps extends OpModule {
 
     "q38_win_session" -> { (s, d) =>
       sessionize(Tables(s, d, "events")).orderBy("user_id", "sess_start")
+    },
+
+    // Gap-filled resample (added r9) — the time-series operation every
+    // metrics/sensor pipeline runs between raw events and a model or
+    // dashboard: hourly avg(value) per event_type on a DENSE hour grid
+    // (one row per hour per type even when no events landed), gaps
+    // forward-filled from the last observed hour. The grid is
+    // generated from the global [min, max] hour span (a 2-value
+    // broadcast) crossed with the distinct types — grid size is
+    // O(span × types), independent of event volume; the fill is
+    // last(ignoreNulls) over an hour-ordered window per type, which at
+    // scale partitions by the series key and never sees raw events
+    // (only the pre-aggregated hourly rows). avg uses the Det decimal
+    // discipline so partial-agg order can't perturb it.
+    "q112_gap_fill" -> { (s, d) =>
+      val ev = Tables(s, d, "events")
+      val hourly = ev
+        .groupBy(col("event_type"),
+                 date_trunc("hour", col("ts")).as("hour"))
+        .agg(round(sum(col("value").cast("decimal(18,4)")).cast("double") /
+                   count(lit(1)), 6).as("avg_value"))
+      val span = ev.agg(
+        date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      val grid = ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(span))
+        .select(col("event_type"),
+                explode(sequence(col("h0"), col("h1"),
+                                 expr("INTERVAL 1 HOUR"))).as("hour"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("hour")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+                       .unboundedPreceding, 0)
+      grid.join(hourly, Seq("event_type", "hour"), "left")
+        .select(col("event_type"), col("hour"),
+                last(col("avg_value"), ignoreNulls = true).over(w)
+                  .as("filled_value"),
+                col("avg_value").isNull.cast("int").as("was_gap"))
+        .orderBy("event_type", "hour")
+    },
+
+    // Ordered funnel (added r9) — product-analytics staple: of the
+    // users who viewed, how many then clicked AFTER their first view,
+    // and then purchased AFTER that first qualifying click. Strict
+    // event-time ordering (not mere co-occurrence), computed as three
+    // per-user min-aggregations, each conditioned on the previous
+    // stage's timestamp — every stage is one groupBy(user_id) over
+    // events plus a broadcast-sized join of per-user stage times; the
+    // events table shuffles on user_id once per stage and nothing else
+    // moves. Stage-gap averages are exact integer micros under the
+    // decimal sum, divided and rounded once.
+    "q113_funnel" -> { (s, d) =>
+      val ev = Tables(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+      val c = ev.where(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .where(col("ts") > col("t_view"))
+        .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .where(col("ts") > col("t_click"))
+        .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .agg(count(col("t_view")).as("viewed"),
+             count(col("t_click")).as("clicked"),
+             count(col("t_purchase")).as("purchased"),
+             round(sum((unix_micros(col("t_click")) -
+                        unix_micros(col("t_view")))
+                     .cast("decimal(18,0)")).cast("double") /
+                   count(col("t_click")) / 3.6e9, 6)
+               .as("avg_hours_view_to_click"))
+    },
+
+    // Cohort retention (added r9) — the growth-analytics matrix: users
+    // cohorted by first-seen week, counted distinct in each later week
+    // offset. Two aggregations shuffling on user_id (first-seen) and
+    // (cohort, offset); the first-seen table joins back broadcast-or-
+    // shuffle by size. Deterministic, exact, and the canonical example
+    // of an operator whose 100 TB cost is two narrow shuffles.
+    "q114_cohort_retention" -> { (s, d) =>
+      val ev = Tables(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val first = ev.groupBy("user_id").agg(min(col("day")).as("first_day"))
+      ev.join(first, Seq("user_id"))
+        .groupBy(col("first_day"),
+                 floor(datediff(col("day"), col("first_day")) / 7)
+                   .cast("long").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("users"))
+        .withColumnRenamed("first_day", "cohort_day")
+        .orderBy("cohort_day", "week_offset")
     }
   )
 
@@ -61,6 +153,55 @@ object TimeWindowOps extends OpModule {
                lit(gapMinutes * 60000000L)).as("dur_us"))
 
   def oracles: Map[String, String] = Map(
+    "q112_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |          / count(*), 6) AS avg_value
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT date_trunc('hour', min(ts)) AS h0,
+        |                date_trunc('hour', max(ts)) AS h1 FROM events),
+        |grid AS (
+        |  SELECT t.event_type, g.hour
+        |  FROM (SELECT DISTINCT event_type FROM events) t,
+        |       (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+        |          AS hour FROM span) g)
+        |SELECT g.event_type, g.hour,
+        |  last_value(h.avg_value IGNORE NULLS) OVER (
+        |    PARTITION BY g.event_type ORDER BY g.hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+        |  CAST(h.avg_value IS NULL AS INT) AS was_gap
+        |FROM grid g LEFT JOIN hourly h
+        |  ON g.event_type = h.event_type AND g.hour = h.hour
+        |ORDER BY g.event_type, g.hour""".stripMargin,
+
+    "q113_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+        |SELECT count(v.t_view) AS viewed, count(c.t_click) AS clicked,
+        |  count(p.t_purchase) AS purchased,
+        |  round(CAST(sum(CAST(epoch_us(c.t_click) - epoch_us(v.t_view)
+        |                      AS DECIMAL(18,0))) AS DOUBLE)
+        |        / count(c.t_click) / 3.6e9, 6) AS avg_hours_view_to_click
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON c.user_id = p.user_id""".stripMargin,
+
+    "q114_cohort_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM e GROUP BY 1)
+        |SELECT f.first_day AS cohort_day,
+        |  CAST(floor(datediff('day', f.first_day, e.day) / 7) AS BIGINT)
+        |    AS week_offset,
+        |  count(DISTINCT e.user_id) AS users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_day, week_offset""".stripMargin,
+
     "q36_win_tumbling" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS cnt
         |FROM events GROUP BY hour_start, event_type
