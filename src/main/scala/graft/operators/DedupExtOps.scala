@@ -224,6 +224,43 @@ object DedupExtOps extends OpModule {
       keepBest(s, d).orderBy("doc_id")
     },
 
+    // PageRank over the candidate graph (added r9) — graph centrality
+    // as a declared ITERATIVE query: 5 damped power-iteration rounds
+    // (d = 0.85) over the symmetric LSH candidate edges, identifying
+    // the most-connected documents of each near-dup neighborhood (the
+    // "hub" boilerplate a cleanup pipeline inspects first). All
+    // arithmetic is INTEGER FIXED-POINT (ranks scaled by 1e12;
+    // per-edge contribution r DIV deg; damping (85·Σ) DIV 100) — sums
+    // of integers are partition-order-free and both engines' integer
+    // division agrees on positives, so a floating-point iterative
+    // algorithm becomes exactly DuckDB-oracle-checkable (the oracle
+    // unrolls the 5 rounds as CTEs). Per round: one shuffle join
+    // (edges⋈ranks) + one sum-agg — the q82 fixpoint's primitives
+    // with a fixed round count, so no pinning is needed and the plan
+    // stays a 5-deep join tree.
+    "q115_pagerank" -> { (s, d) =>
+      val pairs = candidatePairs(Tables(s, d, "documents"),
+                                 maxBucket = HotBucketCap)
+      val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+      val withDeg = edges.join(deg, Seq("u"))
+      var r = deg.select(col("u").as("id"), lit(1000000000000L).as("r"))
+      for (_ <- 1 to 5) {
+        val contrib = withDeg
+          .join(r.withColumnRenamed("id", "u"), Seq("u"))
+          .select(col("v").as("id"), expr("r DIV deg").as("c"))
+          .groupBy("id").agg(sum(col("c")).as("sc"))
+        r = deg.select(col("u").as("id"))
+          .join(contrib, Seq("id"), "left")
+          .select(col("id"),
+                  (lit(150000000000L) +
+                   expr("(85 * coalesce(sc, 0L)) DIV 100")).as("r"))
+      }
+      r.select(col("id").as("doc_id"), col("r").as("rank_fp"))
+        .orderBy("doc_id")
+    },
+
     // Incremental cluster MAINTENANCE (added r9) — the operation a
     // pipeline runs when a new crawl batch lands: merge the batch into
     // the existing duplicate-cluster structure WITHOUT re-banding or
@@ -588,6 +625,32 @@ object DedupExtOps extends OpModule {
     "q108_clusters_incremental" ->
       s"""$clustersCte
          |SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin,
+
+    // the 5 fixed-point power-iteration rounds unrolled as CTEs —
+    // integer arithmetic only, so the iterative result hash-matches
+    "q115_pagerank" -> {
+      val rounds = (0 until 5).map { i =>
+        s"""c$i AS (SELECT e.v AS id, sum(r$i.r // d.deg) AS sc
+           |        FROM edges e JOIN deg d ON d.u = e.u
+           |                     JOIN r$i ON r$i.id = e.u
+           |        GROUP BY e.v),
+           |r${i + 1} AS (SELECT deg.u AS id,
+           |          CAST(150000000000 + (85 * COALESCE(sc, 0)) // 100
+           |               AS BIGINT) AS r
+           |        FROM deg LEFT JOIN c$i ON c$i.id = deg.u)""".stripMargin
+      }.mkString(",\n")
+      s"""$minhashCte,
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.sig = y.sig
+         |          AND x.doc_id < y.doc_id),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM cand
+         |          UNION ALL SELECT id_b, id_a FROM cand),
+         |deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+         |r0 AS (SELECT u AS id, CAST(1000000000000 AS BIGINT) AS r FROM deg),
+         |$rounds
+         |SELECT id AS doc_id, r AS rank_fp FROM r5 ORDER BY doc_id""".stripMargin
+    },
 
     // same reachability clusters + q49's score formula; keep bit = first
     // by (score DESC, doc_id) within each cluster, singletons keep
