@@ -123,10 +123,137 @@ object AdvancedOps extends OpModule {
         .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
           "(col_name, n_nulls, n_distinct, min_val, max_val)")
         .orderBy("col_name")
+    },
+
+    // Data-quality audit (added r9) — the dbt-test/Deequ-style quality
+    // GATE a pipeline runs before publishing a table: a fixed rule set
+    // (range, referential integrity, uniqueness, completeness,
+    // domain) evaluated as one aggregate per rule over its table, the
+    // violation counts unioned into one report. Each rule is a single
+    // scan with a map-side conditional count — no rule ever shuffles
+    // more than its 1-row result (the anti-join rules shuffle the
+    // orphan keys only); at 100 TB the audit costs one pass per
+    // table, and rules over the same table share a scan when composed
+    // (here kept separate so each row is one rule — the report
+    // contract). Mixed outcome by design: some rules fire on this
+    // corpus, some hold at zero — a report of all-zeros would
+    // demonstrate nothing.
+    "q116_dq_audit" -> { (s, d) =>
+      import s.implicits._
+      def rule(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("violations"))
+          .select(lit(name).as("rule"), col("violations"))
+      val li = Tables(s, d, "lineitem")
+      val ev = Tables(s, d, "events")
+      rule("events_value_over_400",
+           ev.where(col("value") > 400))
+        .unionAll(rule("lineitem_quantity_out_of_range",
+           li.where(col("l_quantity") < 1 || col("l_quantity") > 50)))
+        .unionAll(rule("lineitem_orphan_orderkey",
+           li.join(Tables(s, d, "orders")
+                     .select(col("o_orderkey").as("l_orderkey")),
+                   Seq("l_orderkey"), "left_anti")))
+        .unionAll(rule("events_duplicate_event_id",
+           ev.groupBy("event_id").agg(count(lit(1)).as("n"))
+             .where(col("n") > 1)))
+        .unionAll(rule("documents_under_100_chars",
+           Tables(s, d, "documents").where(col("n_chars") < 100)))
+        .orderBy("rule")
+    },
+
+    // Snapshot diff / CDC (added r9) — the lakehouse MERGE primitive:
+    // given yesterday's snapshot and today's, classify every key as
+    // insert / update / delete / unchanged. Today's snapshot is
+    // synthesized deterministically from orders (drop keys %13=0;
+    // bump o_totalprice by 10 where %7=0; insert shifted copies of
+    // keys %11=0) so both engines diff the identical pair. The diff
+    // itself is ONE full outer join on the key comparing row hashes —
+    // at 100 TB both sides are bucketed on the key (q59's layout) and
+    // the join is zero-exchange; change-table output is then the
+    // input to a MERGE write. Values are compared via md5 of a
+    // canonical string so any column participates without per-column
+    // plumbing.
+    "q117_snapshot_diff" -> { (s, d) =>
+      val orders = Tables(s, d, "orders")
+      def rowHash(df: DataFrame): DataFrame =
+        df.select(col("o_orderkey").as("key"),
+                  md5(concat_ws("|", col("o_custkey"), col("o_orderstatus"),
+                                col("o_totalprice").cast("decimal(18,2)")
+                                  .cast("string"),
+                                col("o_orderdate").cast("string"),
+                                col("o_orderpriority"))).as("h"))
+      val old = rowHash(orders)
+      val today = rowHash(
+        orders.where(col("o_orderkey") % 13 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10)
+              .otherwise(col("o_totalprice")))
+          .unionByName(orders.where(col("o_orderkey") % 11 === 0)
+            .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)))
+      old.select(col("key"), col("h").as("h_old"))
+        .join(today.select(col("key"), col("h").as("h_new")),
+              Seq("key"), "full_outer")
+        .select(when(col("h_old").isNull, "insert")
+                  .when(col("h_new").isNull, "delete")
+                  .when(col("h_old") =!= col("h_new"), "update")
+                  .otherwise("unchanged").as("op"))
+        .groupBy("op").agg(count(lit(1)).as("keys"))
+        .orderBy("op")
     }
   )
 
   def oracles: Map[String, String] = Map(
+    "q116_dq_audit" ->
+      """SELECT 'events_value_over_400' AS rule,
+        |  (SELECT count(*) FROM events WHERE value > 400) AS violations
+        |UNION ALL SELECT 'lineitem_quantity_out_of_range',
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_quantity < 1 OR l_quantity > 50)
+        |UNION ALL SELECT 'lineitem_orphan_orderkey',
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |UNION ALL SELECT 'events_duplicate_event_id',
+        |  (SELECT count(*) FROM (
+        |     SELECT event_id FROM events GROUP BY event_id
+        |     HAVING count(*) > 1))
+        |UNION ALL SELECT 'documents_under_100_chars',
+        |  (SELECT count(*) FROM documents WHERE n_chars < 100)
+        |ORDER BY rule""".stripMargin,
+
+    // both engines synthesize the identical "today" snapshot, hash the
+    // identical canonical row string, and classify via one full outer
+    // join on the key
+    "q117_snapshot_diff" ->
+      """WITH h AS (
+        |  SELECT o_orderkey AS key,
+        |    md5(concat_ws('|', o_custkey, o_orderstatus,
+        |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+        |        CAST(o_orderdate AS VARCHAR), o_orderpriority)) AS h
+        |  FROM orders),
+        |today_rows AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 11 = 0),
+        |t AS (
+        |  SELECT o_orderkey AS key,
+        |    md5(concat_ws('|', o_custkey, o_orderstatus,
+        |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+        |        CAST(o_orderdate AS VARCHAR), o_orderpriority)) AS h
+        |  FROM today_rows)
+        |SELECT CASE WHEN h.h IS NULL THEN 'insert'
+        |            WHEN t.h IS NULL THEN 'delete'
+        |            WHEN h.h <> t.h THEN 'update'
+        |            ELSE 'unchanged' END AS op,
+        |  count(*) AS keys
+        |FROM h FULL OUTER JOIN t USING (key)
+        |GROUP BY op ORDER BY op""".stripMargin,
+
     "q57_pivot" ->
       """SELECT l_returnflag,
         |  count(*) FILTER (WHERE l_linestatus = 'F') AS F,
