@@ -666,7 +666,11 @@ class CorrectnessSpec extends SparkSpecBase {
     // Assert the invariant instead of assuming it: a corpus change
     // that produces a hot bucket now fails HERE, not as an opaque
     // oracle diff.
-    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+    // all THREE SFs: sf0.01 is the oracle gate, sf0.1 the bench —
+    // a hot bucket at bench scale would silently change q46's bench
+    // output vs its uncapped oracle semantics (cheap to guard now
+    // that banding is one kernel pass: ~1 s for the sf0.1 corpus)
+    for (dir <- Seq(sf, "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
       val maxBucket = operators.DedupExtOps
         .bandKeys(Tables(spark, dir, "documents"))
         .groupBy("bk").count().agg(max("count")).as[Long].head()
