@@ -28,7 +28,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    // the modern 9-arg constructor (the 5-arg form is deprecated since
+    // Spark 3.0); empty strings for the optional doc fields
+    new ExpressionInfo(classOf[GraftExtensions].getName, "", name, usage,
+                       "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{OpModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.language.existentials // the (DataFrame, RDD[_]) pin-handle pairs
 
 /** Scalable near-duplicate detection (SURVEY.md §2B q46–q47):
   * MinHash-LSH banding and SimHash fingerprinting.
@@ -452,7 +453,7 @@ object DedupExtOps extends OpModule {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
                       lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")))
-        .head.getDecimal(0)
+        .head().getDecimal(0)
     var prevSum: java.math.BigDecimal = null
     var curSum = labelSum(labels)
     while (prevSum == null || curSum.compareTo(prevSum) != 0) {

@@ -111,7 +111,7 @@ object PartitionedOps extends OpModule {
       val b = li.agg(min(col("l_shipdate")).as("dlo"),
                      max(col("l_shipdate")).as("dhi"),
                      min(col("l_partkey")).as("plo"),
-                     max(col("l_partkey")).as("phi")).head
+                     max(col("l_partkey")).as("phi")).head()
       val (dlo, dhi) = (b.getDate(0), b.getDate(1))
       val (plo, phi) = (b.getLong(2), b.getLong(3))
       val dspan = math.max(1L,
@@ -178,7 +178,7 @@ object PartitionedOps extends OpModule {
     // engines, so the query is SF-independent.
     "q97_zorder_layout" -> { (s, d) =>
       val b = Tables(s, d, "lineitem")
-        .agg(min("l_partkey"), max("l_partkey")).head
+        .agg(min("l_partkey"), max("l_partkey")).head()
       val cut = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 8
       s.read.parquet(zorderLineitemDir(s, d))
         .where(col("l_partkey") <= cut)
