@@ -112,6 +112,38 @@ object TimeWindowOps extends OpModule {
                .as("avg_hours_view_to_click"))
     },
 
+    // Anomaly flags (added r9) — per-series outlier detection, the
+    // monitoring sibling of q112's resample: flag events whose value
+    // sits more than 2 population standard deviations from their
+    // (event_type, day) group mean. The z-test is made EXACT by
+    // clearing denominators and comparing INTEGER squares — value has
+    // two decimals, so v = round(100·value) is an exact BIGINT and
+    // |v−μ| > 2σ  ⟺  (n·v − S)² > 4·(n·Q − S²) with S = Σv, Q = Σv²
+    // (μ = S/n, σ² = (n·Q − S²)/n²; multiply through by n²) — no
+    // floating point anywhere, so a statistical filter becomes
+    // hash-checkable cross-engine. Day granularity, not hour: the
+    // max attainable |z| in a group of n is (n−1)/√n, so tiny hourly
+    // groups can never exceed 2σ — a filter that cannot fire tests
+    // nothing (45/523/5050 events flag at the three SFs). Group stats
+    // ride on a window over (type, day): ONE scan, one shuffle on the
+    // series key (a groupBy+join-back would scan events twice).
+    "q118_anomaly_flags" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type", "day")
+      val ev = Tables(s, d, "events")
+        .select(col("event_id"), col("event_type"),
+                date_trunc("day", col("ts")).as("day"),
+                expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      ev.withColumn("n", count(lit(1)).over(w))
+        .withColumn("s", sum(col("v")).over(w))
+        .withColumn("q", sum(col("v") * col("v")).over(w))
+        .where((col("n") * col("v") - col("s")) *
+               (col("n") * col("v") - col("s")) >
+               lit(4L) * (col("n") * col("q") - col("s") * col("s")))
+        .select("event_id", "event_type", "day", "v", "n")
+        .orderBy("event_id")
+    },
+
     // Cohort retention (added r9) — the growth-analytics matrix: users
     // cohorted by first-seen week, counted distinct in each later week
     // offset. Two aggregations shuffling on user_id (first-seen) and
@@ -191,6 +223,25 @@ object TimeWindowOps extends OpModule {
         |        / count(c.t_click) / 3.6e9, 6) AS avg_hours_view_to_click
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |       LEFT JOIN p ON c.user_id = p.user_id""".stripMargin,
+
+    // same integer-squares inequality; group stats via window so both
+    // engines evaluate the identical exact arithmetic
+    "q118_anomaly_flags" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, date_trunc('day', ts) AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |g AS (
+        |  SELECT *,
+        |    count(*) OVER w AS n,
+        |    sum(v) OVER w AS s,
+        |    sum(v * v) OVER w AS q
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY event_type, day))
+        |SELECT event_id, event_type, day, v, n
+        |FROM g
+        |WHERE (n * v - s) * (n * v - s) > 4 * (n * q - s * s)
+        |ORDER BY event_id""".stripMargin,
 
     "q114_cohort_retention" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
