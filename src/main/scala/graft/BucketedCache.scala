@@ -27,9 +27,12 @@ import org.apache.spark.sql.functions.col
 object BucketedCache {
 
   /** One monitor per (name, sfDir): independent artifacts build
-    * concurrently; two callers of the SAME artifact serialize. */
+    * concurrently; two callers of the SAME artifact serialize. Keyed on
+    * the TUPLE, not a joined string — a "_"-joined key could collide
+    * for distinct pairs because "_" is also what sanitization emits
+    * (name "a_b" + dir "c" vs "a" + dir "b/c"). */
   private val locks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Object]()
 
   /** Ensures a `buckets`-bucketed, key-sorted parquet table built from
     * `build` exists for (name, sfDir) and is registered in `s`'s
@@ -39,7 +42,7 @@ object BucketedCache {
   def ensure(s: SparkSession, sfDir: String, name: String, columnsDdl: String,
              key: String, buckets: Int)(build: => DataFrame): String = {
     val sfKey = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
-    locks.computeIfAbsent(s"${name}_$sfKey", _ => new Object).synchronized {
+    locks.computeIfAbsent((name, sfDir), _ => new Object).synchronized {
       val tbl = s"graft_${name}_$sfKey"
       val path = java.nio.file.Paths.get(
         s"${sys.props("java.io.tmpdir")}/graft_bucket_${name}_$sfKey")

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Det, OpModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Pivot/unpivot and the two hand-rolled scale techniques from
@@ -164,43 +164,131 @@ object AdvancedOps extends OpModule {
     // Snapshot diff / CDC (added r9) — the lakehouse MERGE primitive:
     // given yesterday's snapshot and today's, classify every key as
     // insert / update / delete / unchanged. Today's snapshot is
-    // synthesized deterministically from orders (drop keys %13=0;
-    // bump o_totalprice by 10 where %7=0; insert shifted copies of
-    // keys %11=0) so both engines diff the identical pair. The diff
-    // itself is ONE full outer join on the key comparing row hashes —
-    // at 100 TB both sides are bucketed on the key (q59's layout) and
-    // the join is zero-exchange; change-table output is then the
-    // input to a MERGE write. Values are compared via md5 of a
-    // canonical string so any column participates without per-column
-    // plumbing.
+    // synthesized deterministically from orders ([[todayRows]] — drop
+    // keys %13=0; bump o_totalprice by 10 where %7=0; insert shifted
+    // copies of keys %11=0) so both engines diff the identical pair.
+    // The diff itself is ONE full outer join on the key comparing row
+    // hashes — at 100 TB both sides are bucketed on the key (q59's
+    // layout) and the join is zero-exchange; change-table output is
+    // then the input to the q119 MERGE apply. Values are compared via
+    // md5 of a canonical string so any column participates without
+    // per-column plumbing.
     "q117_snapshot_diff" -> { (s, d) =>
       val orders = Tables(s, d, "orders")
-      def rowHash(df: DataFrame): DataFrame =
-        df.select(col("o_orderkey").as("key"),
-                  md5(concat_ws("|", col("o_custkey"), col("o_orderstatus"),
-                                col("o_totalprice").cast("decimal(18,2)")
-                                  .cast("string"),
-                                col("o_orderdate").cast("string"),
-                                col("o_orderpriority"))).as("h"))
-      val old = rowHash(orders)
-      val today = rowHash(
-        orders.where(col("o_orderkey") % 13 =!= 0)
-          .withColumn("o_totalprice",
-            when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10)
-              .otherwise(col("o_totalprice")))
-          .unionByName(orders.where(col("o_orderkey") % 11 === 0)
-            .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)))
-      old.select(col("key"), col("h").as("h_old"))
-        .join(today.select(col("key"), col("h").as("h_new")),
-              Seq("key"), "full_outer")
-        .select(when(col("h_old").isNull, "insert")
-                  .when(col("h_new").isNull, "delete")
-                  .when(col("h_old") =!= col("h_new"), "update")
-                  .otherwise("unchanged").as("op"))
+      diffClassify(keyed(orders), todayRows(orders))
         .groupBy("op").agg(count(lit(1)).as("keys"))
         .orderBy("op")
+    },
+
+    // MERGE apply (added r10 — the r9 verdict's #1): EXECUTE the change
+    // table q117 only computes, producing tomorrow's snapshot from
+    // (snapshot + changes) — the write half of the lakehouse upsert
+    // primitive every ingest pipeline runs. Both inputs are PERSISTED
+    // artifacts in the q59 bucketed layout — the snapshot table
+    // ([[snapshotTable]]) and the change table ([[changeTable]], q117's
+    // diff persisted with the new-image columns) are both bucketed and
+    // bucket-SORTED on the key — so the apply is ONE full-outer
+    // SortMergeJoin with ZERO exchanges and zero sorts (plan-asserted:
+    // the only exchange in the plan is the final presentation orderBy).
+    // Row semantics per key: op = delete → drop; insert/update → emit
+    // the change row's new image; no change row → carry the snapshot
+    // row. The oracle synthesizes today's snapshot directly in SQL —
+    // the merge machinery (two artifacts, the join, the op dispatch)
+    // must be semantically invisible; CorrectnessSpec additionally
+    // asserts the built-in self-check a production MERGE job runs:
+    // re-diffing the applied snapshot against the target is
+    // all-`unchanged`.
+    "q119_merge_apply" -> { (s, d) =>
+      mergedSnapshot(s, d).orderBy("key")
     }
   )
+
+  private val OrderVals =
+    Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+        "o_orderpriority")
+
+  /** orders in canonical (key, value-columns) shape. */
+  private def keyed(orders: DataFrame): DataFrame =
+    orders.select(col("o_orderkey").as("key") +: OrderVals.map(col): _*)
+
+  /** The deterministic "today" snapshot synthesized from orders —
+    * shared by q117 (diff), [[changeTable]] (the persisted change set)
+    * and the q119 re-diff spec, so every consumer diffs/applies the
+    * identical pair. */
+  private[graft] def todayRows(orders: DataFrame): DataFrame =
+    keyed(orders.where(col("o_orderkey") % 13 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10)
+          .otherwise(col("o_totalprice")))
+      .unionByName(orders.where(col("o_orderkey") % 11 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)))
+
+  /** md5 row hash of the canonical value string (q117's comparison). */
+  private def rowHash: Column =
+    md5(concat_ws("|", col("o_custkey"), col("o_orderstatus"),
+                  col("o_totalprice").cast("decimal(18,2)").cast("string"),
+                  col("o_orderdate").cast("string"),
+                  col("o_orderpriority")))
+
+  /** Full-outer row-hash diff of two canonical (key, values) frames →
+    * one row per key with its CDC op. Shared by q117 and the q119
+    * re-diff invariant spec. */
+  private[graft] def diffClassify(old: DataFrame,
+                                      today: DataFrame): DataFrame =
+    old.select(col("key"), rowHash.as("h_old"))
+      .join(today.select(col("key"), rowHash.as("h_new")),
+            Seq("key"), "full_outer")
+      .select(col("key"),
+              when(col("h_old").isNull, "insert")
+                .when(col("h_new").isNull, "delete")
+                .when(col("h_old") =!= col("h_new"), "update")
+                .otherwise("unchanged").as("op"))
+
+  private val SnapDdl =
+    "key BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+      "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING"
+
+  /** Yesterday's snapshot persisted in the q59 bucketed layout — the
+    * MERGE target. */
+  private[operators] def snapshotTable(s: SparkSession, d: String): String =
+    graft.BucketedCache.ensure(s, d, "ordsnap", SnapDdl, "key", 8)(
+      keyed(Tables(s, d, "orders")))
+
+  /** The persisted CHANGE table: q117's classification carrying the
+    * new row image (null for deletes), bucketed on the same key layout
+    * as the snapshot so the apply join never shuffles. In production
+    * this is what the CDC job emits each day. */
+  private[operators] def changeTable(s: SparkSession, d: String): String =
+    graft.BucketedCache.ensure(s, d, "ordchg",
+        "key BIGINT, op STRING, " +
+          OrderVals.map(c => "n_" + c.stripPrefix("o_") + " " +
+            Map("o_custkey" -> "BIGINT", "o_orderstatus" -> "STRING",
+                "o_totalprice" -> "DOUBLE", "o_orderdate" -> "TIMESTAMP",
+                "o_orderpriority" -> "STRING")(c)).mkString(", "),
+        "key", 8) {
+      val orders = Tables(s, d, "orders")
+      val today = todayRows(orders)
+      diffClassify(keyed(orders), today)
+        .where(col("op") =!= "unchanged")
+        .join(today.select(col("key") +:
+                OrderVals.map(c => col(c).as("n_" + c.stripPrefix("o_"))): _*),
+              Seq("key"), "left")
+        .select(col("key") +: col("op") +:
+                OrderVals.map(c => col("n_" + c.stripPrefix("o_"))): _*)
+    }
+
+  /** Tomorrow's snapshot = snapshot MERGE changes (the q119 body,
+    * un-ordered so the re-diff spec can reuse it). */
+  private[graft] def mergedSnapshot(s: SparkSession, d: String): DataFrame = {
+    val snap = s.table(snapshotTable(s, d))
+    val chg = s.table(changeTable(s, d))
+    snap.join(chg.hint("merge"), Seq("key"), "full_outer")
+      .where(col("op").isNull || col("op") =!= "delete")
+      .select(col("key") +: OrderVals.map { c =>
+        val n = col("n_" + c.stripPrefix("o_"))
+        when(col("op").isin("insert", "update"), n).otherwise(col(c)).as(c)
+      }: _*)
+  }
 
   def oracles: Map[String, String] = Map(
     "q116_dq_audit" ->
@@ -253,6 +341,20 @@ object AdvancedOps extends OpModule {
         |  count(*) AS keys
         |FROM h FULL OUTER JOIN t USING (key)
         |GROUP BY op ORDER BY op""".stripMargin,
+
+    // the merge machinery must be invisible: applied snapshot ≡ the
+    // synthesized today_rows (same synthesis as q117's oracle)
+    "q119_merge_apply" ->
+      """SELECT o_orderkey AS key, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 13 <> 0
+        |UNION ALL
+        |SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus,
+        |  o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 11 = 0
+        |ORDER BY key""".stripMargin,
 
     "q57_pivot" ->
       """SELECT l_returnflag,

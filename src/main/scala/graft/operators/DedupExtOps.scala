@@ -278,6 +278,16 @@ object DedupExtOps extends OpModule {
     // union-find merge property), so the oracle is EXACTLY q82's —
     // one oracle text, two independent computation paths, and the
     // third consumer of the batch-vs-index discipline's artifacts.
+    // Cap-regime caveat: the equivalence proof assumes ONE edge set.
+    // The base cluster table caps hot buckets on bucket counts over
+    // the even-only subset, while the index/batch edges here are
+    // uncapped — in a regime where HotBucketCap actually fires, the
+    // merged edge set is neither the capped nor the uncapped
+    // full-corpus graph. At every test SF the cap is a spec-asserted
+    // no-op (max bucket 9 ≪ 64), so the equality holds exactly; a
+    // production deployment must compute the cap on FULL-corpus
+    // bucket counts and apply it identically to base, index and
+    // batch banding before relying on the merge property.
     "q108_clusters_incremental" -> { (s, d) =>
       val docs = Tables(s, d, "documents")
       val baseT = clusterTable(s, d, baseOnly = true)
@@ -331,7 +341,10 @@ object DedupExtOps extends OpModule {
 
   /** The persisted band-signature index over the even-doc_id base
     * corpus — q76's probe target, shared by q108's incremental cluster
-    * maintenance (one build, two consumers). */
+    * maintenance (one build, two consumers). Built UNCAPPED: at test
+    * SFs the hot-bucket cap is a no-op anyway (spec-asserted), and
+    * q108's base-vs-batch equivalence argument needs one consistent
+    * edge set — see the cap-regime caveat on q108. */
   private[graft] def bandIndexTable(s: SparkSession, d: String): String =
     graft.BucketedCache.ensure(s, d, "bandidx",
         "bk STRING, doc_id BIGINT", "bk", 8)(

@@ -49,6 +49,12 @@ object SimilarityExtOps extends OpModule {
   private val PqDim = 8     // dims per subspace
   private val PqCents = 8   // codewords per subspace (vec_id < PqCents)
   private val PqRerank = 64 // ADC candidates exact-re-ranked
+  // q120's flag threshold: exact cosine at/above this after re-rank
+  // marks a train doc as semantically contaminated by the eval doc.
+  // 0.35 sits above this corpus's unrelated-pair band (the q43 exact
+  // top-20 floor is ~0.5; random 64-dim pairs center near 0) but low
+  // enough to flag real neighbors at every test SF.
+  private val SemThreshold = 0.35
 
   private def vec: Column = col("embedding").cast("array<double>")
 
@@ -345,18 +351,7 @@ object SimilarityExtOps extends OpModule {
     // how it probes.
     "q107_ann_pq_index" -> { (s, d) =>
       val em = embBase(s, d)
-      val codeCols = (0 until PqSub).map { ss =>
-        GraftFunctions.argminCentroid(
-          slice(col("v"), ss * PqDim + 1, PqDim), col(s"cents$ss"))
-          .as(s"c$ss")
-      }
-      val idxT = graft.BucketedCache.ensure(s, d, "pqidx",
-          "cid BIGINT, vec_id BIGINT, " +
-            (0 until PqSub).map(ss => s"c$ss BIGINT").mkString(", ") +
-            ", v ARRAY<DOUBLE>, nv DOUBLE", "cid", 8)(
-        ivfAssign(em).crossJoin(broadcast(pqPacked(em)))
-          .select(col("cid") +: col("vec_id") +: codeCols :+
-                  col("v") :+ col("nv"): _*))
+      val idxT = pqIndexTable(s, d)
       val qs = em.where(col("vec_id") < BatchQueries)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
                 GraftFunctions.vectorNorm(col("v")).as("qn"))
@@ -381,6 +376,52 @@ object SimilarityExtOps extends OpModule {
                 row_number().over(rw).cast("long").as("rk"))
         .where(col("rk") <= BatchK)
         .orderBy("qid", "rk")
+    },
+
+    // SEMANTIC decontamination (added r10 — the r9 verdict's #3): the
+    // contamination tier the lexical q87/q96 n-gram pair cannot see —
+    // an eval item PARAPHRASED into the training split shares no
+    // verbatim grams but sits next to its source in embedding space.
+    // Composition of existing artifacts, nothing new trained: the
+    // eval split's embeddings (doc_id ≡ vec_id per q45; split
+    // membership is q67's md5 rule, so eval/train is deterministic
+    // and engine-portable) probe the PERSISTED IVF-PQ coded index
+    // (q107's table, one build, two consumers) — per eval doc: NProbe
+    // cells by exact centroid distance, ADC over the probed cells'
+    // TRAIN members from their stored codes (no re-coding, no index
+    // shuffle — q107's plan assertions rerun verbatim on this query),
+    // bounded PqRerank cut, exact cosine re-rank, and every train doc
+    // within the threshold is flagged with its eval source. At 100 TB
+    // this is the per-release semantic sweep next to q99/q103's
+    // lexical ones: cost O(eval batch × probed cells), never
+    // eval×corpus — the same batch-vs-index discipline, in embedding
+    // space.
+    "q120_decontaminate_semantic" -> { (s, d) =>
+      val em = embBase(s, d)
+      val idxT = pqIndexTable(s, d)
+      val evalSide = TextExtOps.splitOf(col("vec_id")) === "eval"
+      val trainSide = TextExtOps.splitOf(col("vec_id")) === "train"
+      val qs = em.where(evalSide)
+        .select(col("vec_id").as("eval_id"), col("v").as("qv"),
+                GraftFunctions.vectorNorm(col("v")).as("qn"))
+      val pw = Window.partitionBy("eval_id").orderBy(col("dist"), col("cid"))
+      val probeCells = qs.crossJoin(broadcast(centroids(em)))
+        .select(col("eval_id"), col("cid"), sqL2("qv", "cv").as("dist"))
+        .select(col("eval_id"), col("cid"), row_number().over(pw).as("pr"))
+        .where(col("pr") <= NProbe).select("eval_id", "cid")
+      val aw = Window.partitionBy("eval_id").orderBy(col("adc"), col("vec_id"))
+      s.table(idxT).where(trainSide)
+        .join(broadcast(probeCells), Seq("cid"))
+        .join(broadcast(qs), Seq("eval_id"))
+        .crossJoin(broadcast(pqPacked(em)))
+        .withColumn("adc", pqAdcStored)
+        .withColumn("ar", row_number().over(aw))
+        .where(col("ar") <= PqRerank)
+        .select(col("eval_id"), col("vec_id").as("train_id"),
+                round(GraftFunctions.dotProduct(col("v"), col("qv")) /
+                      (col("nv") * col("qn")), 4).as("sim"))
+        .where(col("sim") >= SemThreshold)
+        .orderBy("eval_id", "train_id")
     },
 
     // Batched ANN: N query vectors × banded LSH buckets -> exact
@@ -415,6 +456,26 @@ object SimilarityExtOps extends OpModule {
         .orderBy("qid", "rk")
     }
   )
+
+  /** The persisted IVF-PQ coded index (q107/q120): cell id + 8 stored
+    * one-byte codes + vector + norm, bucketed on cid — assignment and
+    * coding happen in ONE zero-shuffle map pass at build time and
+    * never again (both probes' plans are asserted argmin-free). */
+  private def pqIndexTable(s: SparkSession, d: String): String = {
+    val em = embBase(s, d)
+    val codeCols = (0 until PqSub).map { ss =>
+      GraftFunctions.argminCentroid(
+        slice(col("v"), ss * PqDim + 1, PqDim), col(s"cents$ss"))
+        .as(s"c$ss")
+    }
+    graft.BucketedCache.ensure(s, d, "pqidx",
+        "cid BIGINT, vec_id BIGINT, " +
+          (0 until PqSub).map(ss => s"c$ss BIGINT").mkString(", ") +
+          ", v ARRAY<DOUBLE>, nv DOUBLE", "cid", 8)(
+      ivfAssign(em).crossJoin(broadcast(pqPacked(em)))
+        .select(col("cid") +: col("vec_id") +: codeCols :+
+                col("v") :+ col("nv"): _*))
+  }
 
   /** Shared IVF oracle CTEs (q73/q79): e = embeddings as double lists,
     * c = sampled centroids, d = all (vector, centroid) distances,
@@ -608,6 +669,62 @@ object SimilarityExtOps extends OpModule {
            |                       ORDER BY sim DESC, vec_id) AS rk
            |  FROM sc)
            |WHERE rk <= $BatchK ORDER BY qid, rk""".stripMargin
+      },
+
+      // q107's inlined-index oracle with the q67 md5 split rule on the
+      // ids: eval vecs are the queries, probed-cell members restrict to
+      // the train side, and the flag is the threshold on the exact
+      // re-ranked cosine
+      "q120_decontaminate_semantic" -> {
+        val adcTerms = (0 until PqSub)
+          .map(ss => s"max(CASE WHEN c.s = $ss THEN l.ld END)")
+          .mkString(" + ")
+        val isTrain =
+          "substr(md5(CAST(%s AS VARCHAR)), 1, 1) <= 'b'"
+        s"""WITH $ivfCte,
+           |cb AS (SELECT vec_id AS j, v AS cv FROM e WHERE vec_id < $PqCents),
+           |sub AS (SELECT unnest(range(0, $PqSub)) AS s),
+           |dd AS (SELECT e.vec_id, sub.s, cb.j,
+           |        list_sum(list_transform(range(1, ${PqDim + 1}),
+           |          i -> (e.v[sub.s * $PqDim + i] - cb.cv[sub.s * $PqDim + i])
+           |             * (e.v[sub.s * $PqDim + i] - cb.cv[sub.s * $PqDim + i])))
+           |          AS dist
+           |      FROM e, cb, sub),
+           |codes AS (SELECT vec_id, s, j AS code FROM (
+           |            SELECT *, row_number() OVER (PARTITION BY vec_id, s
+           |                                         ORDER BY dist, j) AS rn
+           |            FROM dd) WHERE rn = 1),
+           |q AS (SELECT vec_id AS eval_id, v AS qv FROM e
+           |      WHERE NOT ${isTrain.format("vec_id")}),
+           |pc AS (SELECT eval_id, cid FROM (
+           |         SELECT q.eval_id, d.cid,
+           |           row_number() OVER (PARTITION BY q.eval_id
+           |                              ORDER BY d.dist, d.cid) AS pr
+           |         FROM d JOIN q ON d.vec_id = q.eval_id) WHERE pr <= $NProbe),
+           |lut AS (SELECT q.eval_id, sub.s, cb.j,
+           |          list_sum(list_transform(range(1, ${PqDim + 1}),
+           |            i -> (q.qv[sub.s * $PqDim + i] - cb.cv[sub.s * $PqDim + i])
+           |               * (q.qv[sub.s * $PqDim + i] - cb.cv[sub.s * $PqDim + i])))
+           |            AS ld
+           |        FROM q, cb, sub),
+           |mem AS (SELECT pc.eval_id, a.vec_id FROM a JOIN pc USING (cid)
+           |        WHERE ${isTrain.format("a.vec_id")}),
+           |adc AS (SELECT m.eval_id, m.vec_id, $adcTerms AS adc
+           |        FROM mem m JOIN codes c ON c.vec_id = m.vec_id
+           |                   JOIN lut l ON l.eval_id = m.eval_id AND l.s = c.s
+           |                            AND l.j = c.code
+           |        GROUP BY m.eval_id, m.vec_id),
+           |cand AS (SELECT eval_id, vec_id FROM (
+           |           SELECT *, row_number() OVER (PARTITION BY eval_id
+           |                      ORDER BY adc, vec_id) AS ar
+           |           FROM adc) WHERE ar <= $PqRerank)
+           |SELECT * FROM (
+           |  SELECT cand.eval_id, cand.vec_id AS train_id,
+           |    round(list_cosine_similarity(e.v, q.qv), 4) AS sim
+           |  FROM cand JOIN e ON e.vec_id = cand.vec_id
+           |            JOIN q ON q.eval_id = cand.eval_id)
+           |WHERE sim >= $SemThreshold
+           |ORDER BY eval_id, train_id""".stripMargin
       },
 
       "q73_ann_ivf" ->

@@ -50,11 +50,14 @@ object TextExtOps extends OpModule {
       |      CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) /
       |        len(text) * 0.3, 6)""".stripMargin
 
-  /** The stable hash train/eval split rule shared by q67 and q81:
-    * membership depends only on doc_id (~75/25 via first md5 nibble). */
-  private def trainSplit: Column =
-    when(substring(md5(col("doc_id").cast("string")), 1, 1) <= "b", "train")
+  /** The stable hash train/eval split rule shared by q67, q81 and —
+    * through doc_id ≡ vec_id (q45) — q120's semantic sweep: membership
+    * depends only on the key (~75/25 via first md5 nibble). */
+  private[operators] def splitOf(key: Column): Column =
+    when(substring(md5(key.cast("string")), 1, 1) <= "b", "train")
       .otherwise("eval")
+
+  private def trainSplit: Column = splitOf(col("doc_id"))
 
   private val trainSplitSql: String =
     """CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'

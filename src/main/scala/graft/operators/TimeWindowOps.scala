@@ -126,7 +126,12 @@ object TimeWindowOps extends OpModule {
     // groups can never exceed 2σ — a filter that cannot fire tests
     // nothing (45/523/5050 events flag at the three SFs). Group stats
     // ride on a window over (type, day): ONE scan, one shuffle on the
-    // series key (a groupBy+join-back would scan events twice).
+    // series key (a groupBy+join-back would scan events twice). The
+    // inequality operands are widened to decimal(38,0) (HUGEINT in the
+    // oracle): with v ≤ 1e7 (two-decimal values ≤ 1e5) every term is
+    // bounded by (n·v)² ≤ 1e38 up to n ~ 1e12 rows per (type, day)
+    // group — BIGINT would overflow the squares at n·v > ~3e9, i.e.
+    // well inside a 100 TB day.
     "q118_anomaly_flags" -> { (s, d) =>
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("event_type", "day")
@@ -134,12 +139,16 @@ object TimeWindowOps extends OpModule {
         .select(col("event_id"), col("event_type"),
                 date_trunc("day", col("ts")).as("day"),
                 expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      val dec = "decimal(38,0)"
+      val (nD, vD, sD, qD) = (col("n").cast(dec), col("v").cast(dec),
+                              col("s").cast(dec), col("q").cast(dec))
       ev.withColumn("n", count(lit(1)).over(w))
-        .withColumn("s", sum(col("v")).over(w))
-        .withColumn("q", sum(col("v") * col("v")).over(w))
-        .where((col("n") * col("v") - col("s")) *
-               (col("n") * col("v") - col("s")) >
-               lit(4L) * (col("n") * col("q") - col("s") * col("s")))
+        // the sums are ALREADY decimal: a BIGINT Σv² overflows at
+        // ~9e4 rows per group (v² ≤ 1e14), long before the squares
+        .withColumn("s", sum(col("v").cast(dec)).over(w))
+        .withColumn("q", sum(vD * vD).over(w))
+        .where((nD * vD - sD) * (nD * vD - sD) >
+               lit(4).cast(dec) * (nD * qD - sD * sD))
         .select("event_id", "event_type", "day", "v", "n")
         .orderBy("event_id")
     },
@@ -225,7 +234,9 @@ object TimeWindowOps extends OpModule {
         |       LEFT JOIN p ON c.user_id = p.user_id""".stripMargin,
 
     // same integer-squares inequality; group stats via window so both
-    // engines evaluate the identical exact arithmetic
+    // engines evaluate the identical exact arithmetic. HUGEINT operands
+    // mirror the engine's decimal(38,0) widening: BIGINT squares
+    // overflow at n·v > ~3e9.
     "q118_anomaly_flags" ->
       """WITH e AS (
         |  SELECT event_id, event_type, date_trunc('day', ts) AS day,
@@ -233,14 +244,16 @@ object TimeWindowOps extends OpModule {
         |  FROM events),
         |g AS (
         |  SELECT *,
-        |    count(*) OVER w AS n,
-        |    sum(v) OVER w AS s,
-        |    sum(v * v) OVER w AS q
+        |    CAST(count(*) OVER w AS HUGEINT) AS n,
+        |    CAST(sum(CAST(v AS HUGEINT)) OVER w AS HUGEINT) AS s,
+        |    CAST(sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) OVER w
+        |         AS HUGEINT) AS q
         |  FROM e
         |  WINDOW w AS (PARTITION BY event_type, day))
-        |SELECT event_id, event_type, day, v, n
+        |SELECT event_id, event_type, day, v, CAST(n AS BIGINT) AS n
         |FROM g
-        |WHERE (n * v - s) * (n * v - s) > 4 * (n * q - s * s)
+        |WHERE (n * CAST(v AS HUGEINT) - s) * (n * CAST(v AS HUGEINT) - s)
+        |      > 4 * (n * q - s * s)
         |ORDER BY event_id""".stripMargin,
 
     "q114_cohort_retention" ->

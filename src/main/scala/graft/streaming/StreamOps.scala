@@ -97,9 +97,13 @@ object StreamOps extends OpModule {
     val parts: Seq[(java.nio.file.Path, String)] =
       if (java.nio.file.Files.isDirectory(src)) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.list(src).iterator.asScala
-          .filter(p => p.getFileName.toString.endsWith(".parquet"))
-          .map(p => p -> p.getFileName.toString).toSeq
+        // Files.list holds a directory handle until closed — materialize
+        // the part list inside Using so repeated staging can't leak fds
+        scala.util.Using.resource(java.nio.file.Files.list(src)) { st =>
+          st.iterator.asScala
+            .filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .map(p => p -> p.getFileName.toString).toSeq
+        }
       } else Seq(src -> "documents.parquet")
     for ((part, name) <- parts) {
       val target = dir.resolve(name)

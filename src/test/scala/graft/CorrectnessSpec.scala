@@ -834,6 +834,20 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(got.nonEmpty, "exact tier found no pairs at test SF")
   }
 
+  test("q119 re-diff self-check: applied snapshot diffs to all-unchanged") {
+    // the built-in invariant a production MERGE job asserts after the
+    // write: re-running q117's classification with the APPLIED snapshot
+    // as the old side and the synthesized target as the new side must
+    // classify every key as unchanged (no lost deletes, no stale
+    // updates, no dropped inserts)
+    val applied = operators.AdvancedOps.mergedSnapshot(spark, sf)
+    val target = operators.AdvancedOps.todayRows(Tables(spark, sf, "orders"))
+    val ops = operators.AdvancedOps.diffClassify(applied, target)
+      .groupBy("op").count().as[(String, Long)].collect().toMap
+    assert(ops.keySet == Set("unchanged"), s"re-diff found changes: $ops")
+    assert(ops("unchanged") == target.count())
+  }
+
   test("q46 minhash candidates are supported by real prefix near-dups") {
     // Every q42 high-Jaccard pair should be recovered by LSH banding.
     val lsh = q("q46_dedup_minhash").select("id_a", "id_b")

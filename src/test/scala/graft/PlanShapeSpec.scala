@@ -146,6 +146,20 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
   }
 
+  test("q119: merge apply is a zero-exchange full-outer SortMergeJoin") {
+    val df = SparkEntry.queries("q119_merge_apply")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("SortMergeJoin") && fin.contains("FullOuter"), p)
+    // both sides are bucket-sorted on the key: the apply itself needs
+    // no exchange AND no sort; the only exchange in the whole plan is
+    // the final presentation orderBy (rangepartitioning)
+    assert(!fin.contains("Exchange hashpartitioning"),
+           s"merge apply shuffled a bucketed side:\n$p")
+    assert("""Exchange rangepartitioning""".r.findAllIn(fin).size == 1, p)
+  }
+
   test("q62: literal partition predicate prunes at the scan") {
     val p = plan("q62_partition_pruning")
     assert(p.contains("PartitionFilters"), p)
@@ -231,6 +245,19 @@ class PlanShapeSpec extends SparkSpecBase {
     // the squared_l2 codeword lookup runs over index columns, with no
     // argmin (re-coding) anywhere in the probe plan
     val p = assertIndexSideUnshuffled("q107_ann_pq_index", "graft_pqidx")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("squared_l2"), p)
+    assert(!p.contains("argmin_centroid"),
+           s"probe plan re-codes vectors instead of reading stored codes:\n$p")
+  }
+
+  test("q120: semantic sweep probes the coded index — no re-coding, no index shuffle") {
+    // q107's invariants rerun verbatim on the second consumer of the
+    // coded index: the eval batch arrives broadcast, the train side is
+    // only ever streamed from the bucketed table, ADC reads STORED
+    // codes (squared_l2 lookup, no argmin anywhere in the probe plan)
+    val p = assertIndexSideUnshuffled("q120_decontaminate_semantic",
+                                      "graft_pqidx")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("squared_l2"), p)
     assert(!p.contains("argmin_centroid"),
