@@ -659,6 +659,64 @@ class CorrectnessSpec extends SparkSpecBase {
            "BPE merge table contains an (x,x) merge — replace-chain unsound")
   }
 
+  test("q121 dictionary tokenizer equals q101's replace chain on the frozen 24-merge table") {
+    // two implementations of the same reference semantics — the
+    // codegen'd marker/doubled-replace expression (q101) and the
+    // broadcast-dictionary mapPartitions form (q121) — must agree
+    // word-for-word over the full corpus when given the SAME table
+    val merges = operators.TextExtOps.BpeMerges.toArray
+    val viaDict = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, t) =>
+        id -> functions.BpeDict.countTokens(merges, t) }.toMap
+    val viaChain = Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+              operators.TextExtOps.bpeTokenCount.as("bpe"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaDict == viaChain)
+    assert(viaDict.nonEmpty)
+  }
+
+  test("q121 tokenizer handles a 1k-merge vocab (vs independent reference)") {
+    // the machinery claim behind q121: vocab size is data, not plan
+    // size. A 1024-merge synthetic vocab (chain merges that build long
+    // runs, plus pair merges over a 4-char alphabet — many fire, many
+    // don't) applied by BpeDict must equal the naive reference fold
+    // (q101's replay semantics) on deterministic pseudo-random text.
+    val chars = "abcd"
+    val syn: Array[(String, String)] =
+      ((0 until 24).map(i => ("ab" * (1 << (i % 4)), "ab" * (1 << (i % 4)))) ++
+        (for (x <- chars; y <- chars; z <- chars; w <- chars)
+          yield (s"$x$y", s"$z$w")) ++
+        (0 until 744).map { i =>
+          val a = chars((i / 64) % 4); val b = chars((i / 16) % 4)
+          val c = chars((i / 4) % 4); val d = chars(i % 4)
+          (s"$a$b$c", s"$d")
+        }).toArray
+    assert(syn.length >= 1024)
+    def reference(word: String): Seq[String] = {
+      var toks: Vector[String] = word.map(_.toString).toVector
+      for ((a, b) <- syn) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i < toks.length - 1 && toks(i) == a && toks(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        toks = out.result()
+      }
+      toks
+    }
+    val rnd = new scala.util.Random(42)
+    val words = (0 until 200).map(_ =>
+      (0 until rnd.nextInt(40)).map(_ => chars(rnd.nextInt(4))).mkString) ++
+      Seq("", "a", "ab" * 64, "abab" + "cd" * 30)
+    for (w <- words)
+      assert(functions.BpeDict.tokenize(syn, w).toSeq == reference(w),
+             s"mismatch on '$w'")
+  }
+
   test("q46/clusters hot-bucket cap is a no-op at the correctness-gate SFs") {
     // ADVICE r8: the declared q46 and the cluster artifact run capped
     // at HotBucketCap while their DuckDB oracles are uncapped —
