@@ -160,6 +160,34 @@ object StreamOps extends OpModule {
     iso.table(qname)
   }
 
+  /** Runs the stream into a CHECKPOINTED PARQUET sink (fresh per-call
+    * sink+checkpoint dirs) and returns the sink read back as a batch
+    * frame. This is the production exactly-once path the memory-sink
+    * harness ([[runToMemory]]) only simulates: the file source's offset
+    * log, the state store, and the file sink's transaction log all live
+    * under the checkpoint, so a restarted query resumes from committed
+    * offsets, recovers its state, and can never double-commit a batch
+    * (StreamingSpec restarts THIS query shape from its checkpoint
+    * mid-input and asserts the sink stays exactly-once). Same isolated
+    * child-session discipline as runToMemory. */
+  private def runToParquet(s: SparkSession,
+                           build: SparkSession => DataFrame,
+                           sinkName: String): DataFrame = {
+    val iso = s.newSession()
+    val prev = scala.util.Try(
+      s.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(32)
+    iso.conf.set("spark.sql.shuffle.partitions", math.min(8, prev).toString)
+    val root = java.nio.file.Files.createTempDirectory(s"graft_fsink_$sinkName")
+    val query = build(iso).writeStream
+      .format("parquet")
+      .option("path", root.resolve("out").toString)
+      .option("checkpointLocation", root.resolve("cp").toString)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    iso.read.parquet(root.resolve("out").toString)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_demo" -> { (s, d) =>
       runToMemory(s, iso => eventStream(iso, d)
@@ -280,6 +308,34 @@ object StreamOps extends OpModule {
         .orderBy("id_a", "id_b")
     },
 
+    // Exactly-once FILE sink (added r10 — the r9 verdict's #4): q89's
+    // at-least-once dedup drained into a CHECKPOINTED PARQUET sink
+    // instead of the memory harness — the production form of the
+    // "exactly-once" claim, since only the file sink has a transaction
+    // log that survives restarts (a memory sink cannot recover from a
+    // checkpoint at all). The staged input still delivers every event
+    // twice; stateful dropDuplicates emits first arrivals into the
+    // sink, the sink's commit log records each micro-batch exactly
+    // once, and the declared result is the per-type rollup over the
+    // sink READ BACK AS A BATCH TABLE — which must equal the batch
+    // aggregate over the original events (q89's oracle, shared).
+    // StreamingSpec additionally restarts this exact shape from its
+    // checkpoint mid-input (replay files arriving AFTER a stop) and
+    // asserts the sink stays exactly-once and a no-new-input restart
+    // emits nothing.
+    "q122_stream_file_sink" -> { (s, d) =>
+      runToParquet(s, iso => {
+        iso.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val rawSchema = iso.read.parquet(s"$d/events.parquet").schema
+        iso.readStream.schema(rawSchema).parquet(stagedDupEventsDir(d))
+          .dropDuplicates("event_id")
+      }, "dedup")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+             countDistinct(col("user_id")).as("users"))
+        .orderBy("event_type")
+    },
+
     "q78_stream_stream_join" -> { (s, d) =>
       // the per-signup count is a plain batch aggregate over the sink:
       // the stateful stream-stream part is the join itself
@@ -348,6 +404,13 @@ object StreamOps extends OpModule {
          |  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
          |WHERE (x.doc_id % 2) <> (y.doc_id % 2)
          |GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin,
+
+    // shares q89's oracle: the checkpointed file sink must hold the
+    // same exactly-once rows the memory sink did
+    "q122_stream_file_sink" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  count(DISTINCT user_id) AS users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // identical to q75's oracle: the streaming join must reproduce the
     // batch interval join bit-for-bit

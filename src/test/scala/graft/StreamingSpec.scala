@@ -284,6 +284,53 @@ class StreamingSpec extends SparkSpecBase {
            s"closed windows must not re-emit after restart: $run2")
   }
 
+  test("q122: file-sink dedup stays exactly-once across restart; replays and empty restarts emit nothing") {
+    // the q122 shape under the failure scenario it exists for: the
+    // query stops with the upstream mid-replay, the REPLAY copy lands
+    // while it is down, and the restarted query must recover its dedup
+    // state from the checkpoint and commit nothing new to the sink
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft_q122_restart")
+    val in = dir.resolve("in"); Files.createDirectory(in)
+    val cp = dir.resolve("cp").toString
+    val out = dir.resolve("out").toString
+    val srcFile = java.nio.file.Paths.get(s"$sf/events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(srcFile.toString).schema
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(in.toString)
+        .dropDuplicates("event_id")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    def sinkTypeCounts(): Map[String, Long] =
+      spark.read.parquet(out).groupBy("event_type").count()
+        .as[(String, Long)].collect().toMap
+    val batchCounts = Tables(spark, sf, "events")
+      .groupBy("event_type").count().as[(String, Long)].collect().toMap
+
+    // run 1: first delivery arrives, query drains it and stops
+    Files.copy(srcFile, in.resolve("a.parquet"))
+    run()
+    assert(sinkTypeCounts() == batchCounts)
+    // while the query is DOWN, the at-least-once upstream replays the
+    // whole delivery; the restarted query recovers state from the
+    // checkpoint and drops every replayed row — sink unchanged
+    Files.copy(srcFile, in.resolve("b.parquet"))
+    run()
+    assert(sinkTypeCounts() == batchCounts,
+           "replay after restart leaked duplicate rows into the sink")
+    // a restart with NO new input must commit nothing (offset log):
+    // same counts AND same sink file set
+    val filesBefore = spark.read.parquet(out).inputFiles.toSet
+    run()
+    assert(sinkTypeCounts() == batchCounts)
+    assert(spark.read.parquet(out).inputFiles.toSet == filesBefore,
+           "empty restart re-committed a batch to the sink")
+  }
+
   test("stream-stream join drops late rows once the watermark passes them") {
     val dir = Files.createTempDirectory("graft_ssjoin_late")
     val in = dir.resolve("in"); Files.createDirectory(in)
