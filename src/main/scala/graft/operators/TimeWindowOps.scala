@@ -78,30 +78,38 @@ object TimeWindowOps extends OpModule {
         .orderBy("event_type", "hour")
     },
 
-    // Ordered funnel (added r9) — product-analytics staple: of the
-    // users who viewed, how many then clicked AFTER their first view,
-    // and then purchased AFTER that first qualifying click. Strict
-    // event-time ordering (not mere co-occurrence), computed as three
-    // per-user min-aggregations, each conditioned on the previous
-    // stage's timestamp — every stage is one groupBy(user_id) over
-    // events plus a broadcast-sized join of per-user stage times; the
-    // events table shuffles on user_id once per stage and nothing else
-    // moves. Stage-gap averages are exact integer micros under the
-    // decimal sum, divided and rounded once.
+    // Ordered funnel (added r9; single-scan r10) — product-analytics
+    // staple: of the users who viewed, how many then clicked AFTER
+    // their first view, and then purchased AFTER that first qualifying
+    // click. Strict event-time ordering (not mere co-occurrence). The
+    // r9 shape read the events table three times (one filtered scan +
+    // shuffle per stage); at 100 TB that is 3× the scan I/O for work
+    // one pass can do. Now: ONE scan, ONE shuffle on user_id — three
+    // staged conditional-min windows over the same whole-partition
+    // frame (stage k's condition references stage k−1's window result,
+    // so the three Window operators stack on one Exchange+Sort), then
+    // a per-user groupBy that REUSES the window's hash partitioning
+    // (no second exchange; plan-asserted) and the global rollup.
+    // Stage-gap averages are exact integer micros under the decimal
+    // sum, divided and rounded once — bit-identical to the r9 result
+    // by the shared oracle.
     "q113_funnel" -> { (s, d) =>
-      val ev = Tables(s, d, "events")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      val staged = Tables(s, d, "events")
         .select(col("user_id"), col("event_type"), col("ts"))
-      val v = ev.where(col("event_type") === "view")
-        .groupBy("user_id").agg(min(col("ts")).as("t_view"))
-      val c = ev.where(col("event_type") === "click")
-        .join(v, Seq("user_id"))
-        .where(col("ts") > col("t_view"))
-        .groupBy("user_id").agg(min(col("ts")).as("t_click"))
-      val p = ev.where(col("event_type") === "purchase")
-        .join(c, Seq("user_id"))
-        .where(col("ts") > col("t_click"))
-        .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
-      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .withColumn("t_view",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t_click",
+          min(when(col("event_type") === "click" &&
+                   col("ts") > col("t_view"), col("ts"))).over(w))
+        .withColumn("t_purchase",
+          min(when(col("event_type") === "purchase" &&
+                   col("ts") > col("t_click"), col("ts"))).over(w))
+      staged
+        .groupBy("user_id")
+        .agg(first(col("t_view")).as("t_view"),
+             first(col("t_click")).as("t_click"),
+             first(col("t_purchase")).as("t_purchase"))
         .agg(count(col("t_view")).as("viewed"),
              count(col("t_click")).as("clicked"),
              count(col("t_purchase")).as("purchased"),

@@ -146,6 +146,24 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
   }
 
+  test("q113: funnel is one scan and one user_id shuffle (r9 shape was three of each)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q113_funnel")(spark, sf)
+      val plan = df.queryExecution.executedPlan
+      val scans = plan.collectWithSubqueries { case s: FileSourceScanExec => s }
+      assert(scans.length == 1,
+             s"funnel must read events once, saw ${scans.length} scans")
+      val p = plan.toString
+      // the three staged windows share one Exchange+Sort on user_id and
+      // the per-user groupBy reuses that partitioning; the only other
+      // exchange is the global rollup's SinglePartition
+      assert("""Exchange hashpartitioning\(user_id""".r.findAllIn(p).size == 1, p)
+      assert(!p.contains("Join"), s"funnel regressed to stage joins:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q119: merge apply is a zero-exchange full-outer SortMergeJoin") {
     val df = SparkEntry.queries("q119_merge_apply")(spark, sf)
     df.collect()
