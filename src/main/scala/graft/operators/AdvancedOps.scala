@@ -200,6 +200,47 @@ object AdvancedOps extends OpModule {
     // all-`unchanged`.
     "q119_merge_apply" -> { (s, d) =>
       mergedSnapshot(s, d).orderBy("key")
+    },
+
+    // SCD2 dimension history (added r10) — the third leg of the
+    // lakehouse change family: q117 CLASSIFIES the change, q119
+    // APPLIES it, and this builds the slowly-changing-dimension
+    // type-2 HISTORY a warehouse keeps instead of overwriting: one
+    // row per (key, version) with [valid_from, valid_to) day bounds
+    // and a current flag. Version semantics per CDC op: unchanged →
+    // one open row from day 0; update → the day-0 image closed at
+    // day 1 plus the day-1 image open; delete → the day-0 image
+    // closed at day 1 (no successor); insert → the day-1 image open.
+    // Computed from the SAME full-outer row-hash diff as q117 (one
+    // shared synthesis, three consumers), emitting the old-image row
+    // set and the new-image row set as a union — at 100 TB this is
+    // the q119 merge plus one extra projection per side; history
+    // grows by the change volume, never the snapshot volume.
+    "q123_scd2_history" -> { (s, d) =>
+      val orders = Tables(s, d, "orders")
+      def sides(df: DataFrame, h: String, pfx: String): DataFrame =
+        df.select(col("key") +: rowHash.as(h) +:
+          OrderVals.map(c => col(c).as(pfx + c.stripPrefix("o_"))): _*)
+      val f = sides(keyed(orders), "h_old", "old_")
+        .join(sides(todayRows(orders), "h_new", "new_"),
+              Seq("key"), "full_outer")
+      val changed = col("h_new").isNull || col("h_old") =!= col("h_new")
+      val oldRows = f.where(col("h_old").isNotNull)
+        .select(col("key") +:
+          OrderVals.map(c => col("old_" + c.stripPrefix("o_")).as(c)) :+
+          lit(0).as("valid_from") :+
+          when(changed, lit(1)).otherwise(lit(null).cast("int"))
+            .as("valid_to") :+
+          when(changed, lit(0)).otherwise(lit(1)).as("is_current"): _*)
+      val newRows = f.where(col("h_old").isNull ||
+                            (col("h_new").isNotNull &&
+                             col("h_old") =!= col("h_new")))
+        .select(col("key") +:
+          OrderVals.map(c => col("new_" + c.stripPrefix("o_")).as(c)) :+
+          lit(1).as("valid_from") :+
+          lit(null).cast("int").as("valid_to") :+
+          lit(1).as("is_current"): _*)
+      oldRows.unionByName(newRows).orderBy("key", "valid_from")
     }
   )
 
@@ -355,6 +396,60 @@ object AdvancedOps extends OpModule {
         |  o_totalprice, o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 11 = 0
         |ORDER BY key""".stripMargin,
+
+    // the same synthesis + row-hash diff, emitting both version row
+    // sets; the history must be identical row-for-row
+    "q123_scd2_history" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS key, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderdate, o_orderpriority,
+        |    md5(concat_ws('|', o_custkey, o_orderstatus,
+        |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+        |        CAST(o_orderdate AS VARCHAR), o_orderpriority)) AS h
+        |  FROM orders),
+        |t_rows AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 11 = 0),
+        |t AS (
+        |  SELECT o_orderkey AS key, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderdate, o_orderpriority,
+        |    md5(concat_ws('|', o_custkey, o_orderstatus,
+        |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+        |        CAST(o_orderdate AS VARCHAR), o_orderpriority)) AS h
+        |  FROM t_rows),
+        |f AS (
+        |  SELECT coalesce(o.key, t.key) AS key, o.h AS h_old, t.h AS h_new,
+        |    o.o_custkey AS old_custkey, o.o_orderstatus AS old_orderstatus,
+        |    o.o_totalprice AS old_totalprice, o.o_orderdate AS old_orderdate,
+        |    o.o_orderpriority AS old_orderpriority,
+        |    t.o_custkey AS new_custkey, t.o_orderstatus AS new_orderstatus,
+        |    t.o_totalprice AS new_totalprice, t.o_orderdate AS new_orderdate,
+        |    t.o_orderpriority AS new_orderpriority
+        |  FROM o FULL OUTER JOIN t ON o.key = t.key)
+        |SELECT * FROM (
+        |  SELECT key, old_custkey AS o_custkey,
+        |    old_orderstatus AS o_orderstatus, old_totalprice AS o_totalprice,
+        |    old_orderdate AS o_orderdate, old_orderpriority AS o_orderpriority,
+        |    0 AS valid_from,
+        |    CASE WHEN h_new IS NULL OR h_old <> h_new THEN 1
+        |         ELSE CAST(NULL AS INTEGER) END AS valid_to,
+        |    CASE WHEN h_new IS NOT NULL AND h_old = h_new THEN 1
+        |         ELSE 0 END AS is_current
+        |  FROM f WHERE h_old IS NOT NULL
+        |  UNION ALL
+        |  SELECT key, new_custkey, new_orderstatus, new_totalprice,
+        |    new_orderdate, new_orderpriority,
+        |    1, CAST(NULL AS INTEGER), 1
+        |  FROM f WHERE h_old IS NULL
+        |     OR (h_new IS NOT NULL AND h_old <> h_new))
+        |ORDER BY key, valid_from""".stripMargin,
 
     "q57_pivot" ->
       """SELECT l_returnflag,

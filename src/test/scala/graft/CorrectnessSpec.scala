@@ -906,6 +906,22 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(ops("unchanged") == target.count())
   }
 
+  test("q123 SCD2 invariants: exactly one current row per live key, none for deleted") {
+    // the structural contract of a type-2 history: the set of
+    // is_current rows IS today's snapshot key set — one open version
+    // per live key, no open version for a deleted key, never two
+    val hist = q("q123_scd2_history")
+    val cur = hist.where(col("is_current") === 1)
+    val dupCur = cur.groupBy("key").count().where(col("count") =!= 1)
+    assert(dupCur.count() == 0, "a key holds two current versions")
+    val live = operators.AdvancedOps
+      .todayRows(Tables(spark, sf, "orders")).select("key")
+    assert(cur.select("key").exceptAll(live).count() == 0,
+           "a current version exists for a key not in today's snapshot")
+    assert(live.exceptAll(cur.select("key")).count() == 0,
+           "a live key lacks a current version")
+  }
+
   test("q46 minhash candidates are supported by real prefix near-dups") {
     // Every q42 high-Jaccard pair should be recovered by LSH banding.
     val lsh = q("q46_dedup_minhash").select("id_a", "id_b")
