@@ -1,0 +1,33 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Round-10 10× scale sweep (BASELINE.md): the r10 query family over
+  * /tmp/sf10x10b — orders and events cloned 10× with SHIFTED keys
+  * (key-uniqueness is part of q119/q123's semantics; a raw clone would
+  * change the operator, not just the volume), documents/embeddings
+  * reusing the r9 exact-clone tables. Protocol as SweepR9: second run
+  * timed (artifact builds land in run 1, by declared artifact
+  * semantics). */
+object SweepR10 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val qs = Seq("q113_funnel", "q118_anomaly_flags", "q119_merge_apply",
+      "q120_decontaminate_semantic", "q121_bpe_dict",
+      "q122_stream_file_sink", "q123_scd2_history")
+    for (d <- Seq("/root/testdata/sf0.1", "/tmp/sf10x10b")) {
+      spark.read.parquet(s"$d/nation.parquet").count()
+      for (q <- qs) {
+        // run twice, report the second (artifact builds land in run 1)
+        SparkEntry.queries(q)(spark, d).count()
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(q)(spark, d).count()
+        println(f"SWEEP $d $q ${(System.nanoTime()-t0)/1e9}%.2f s ($n rows)")
+      }
+    }
+    spark.stop()
+  }
+}
