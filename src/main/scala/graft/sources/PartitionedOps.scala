@@ -135,7 +135,60 @@ object PartitionedOps extends OpModule {
         .parquet(scratch)
     }
 
+  /** The FRAGMENTED ingest layout: events scattered across 64 small
+    * files keyed by a salt — the shape a streaming micro-batch ingest
+    * (or q122's file sink) leaves behind after a day: every file covers
+    * the whole time span, so min/max stats prune nothing and every
+    * query pays 64 file opens. Ingest derives the `day` DATE column
+    * (the table's clustering key — q90's measured finding applies:
+    * parquet stats prune DATE, not timestamps). The q124 fixture. */
+  def fragmentedEventsDir(s: SparkSession, d: String): String =
+    cachedLayout("frag_events", d) { scratch =>
+      Tables(s, d, "events")
+        .withColumn("day", to_date(col("ts")))
+        .repartition(64, pmod(col("event_id"), lit(64)))
+        .write.mode("overwrite").parquet(scratch)
+    }
+
+  /** The nightly COMPACTION (OPTIMIZE) job: read the fragmented table,
+    * bin-pack into a few large files, and restore the day/event-time
+    * clustering so row-group stats prune again. Compaction is the
+    * maintenance op that keeps a streaming-ingested 100 TB table
+    * queryable — without it the file count grows with ingest batches
+    * forever (file-open cost) and time-range scans read everything
+    * (no clustering). Small row groups as in q90 so the test SFs
+    * produce enough groups to measure skipping. */
+  def compactedEventsDir(s: SparkSession, d: String): String =
+    cachedLayout("compact_events", d) { scratch =>
+      s.read.parquet(fragmentedEventsDir(s, d))
+        .repartitionByRange(4, col("day"), col("ts"))
+        .sortWithinPartitions("day", "ts")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 64 * 1024)
+        .parquet(scratch)
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Small-file compaction (added r10) — the query itself is a plain
+    // time-range aggregate; the operator under test is the COMPACTED
+    // LAYOUT: 64 span-covering ingest fragments rewritten as 4
+    // ts-clustered files whose row-group stats serve the pushed date
+    // predicate. The oracle runs on the ORIGINAL events — compaction,
+    // like q90/q97's layouts, must be a pure re-organization.
+    // PlanShapeSpec measures both halves of the claim: the file count
+    // collapses ≥ 8×, and the range scan on the compacted layout
+    // reads a fraction of the rows the fragmented one must.
+    "q124_compact_layout" -> { (s, d) =>
+      s.read.parquet(compactedEventsDir(s, d))
+        .where(col("day") >= lit("2024-01-10").cast("date") &&
+               col("day") < lit("2024-01-15").cast("date"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+             sum(col("value").cast("decimal(18,6)")).cast("double")
+               .as("sum_value"))
+        .orderBy("event_type")
+    },
+
     "q62_partition_pruning" -> { (s, d) =>
       s.read.parquet(partitionedEventsDir(s, d))
         .where(col("event_type") === "purchase")
@@ -216,6 +269,16 @@ object PartitionedOps extends OpModule {
   )
 
   def oracles: Map[String, String] = Map(
+    // the day column is to_date(ts) derived at ingest; the oracle
+    // derives it inline from the original table
+    "q124_compact_layout" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
+        |  AND CAST(ts AS DATE) < DATE '2024-01-15'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q62_partition_pruning" ->
       """SELECT user_id, count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

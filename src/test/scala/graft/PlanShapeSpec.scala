@@ -411,6 +411,50 @@ class PlanShapeSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q124: compaction collapses the file count AND restores range-scan pruning") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def parquetFiles(dir: String): Long = {
+        import scala.jdk.CollectionConverters._
+        scala.util.Using.resource(
+          java.nio.file.Files.list(java.nio.file.Paths.get(dir))) { st =>
+          st.iterator.asScala.count(_.getFileName.toString.endsWith(".parquet"))
+            .toLong
+        }
+      }
+      val fragDir = sources.PartitionedOps.fragmentedEventsDir(spark, sf)
+      val compDir = sources.PartitionedOps.compactedEventsDir(spark, sf)
+      val (nFrag, nComp) = (parquetFiles(fragDir), parquetFiles(compDir))
+      assert(nFrag >= 32, s"fragment fixture too coarse: $nFrag files")
+      assert(nComp * 8 <= nFrag,
+             s"compaction must collapse files >= 8x: $nFrag -> $nComp")
+      // the range scan must read a fraction of the compacted layout
+      // (ts-clustered row groups prune on the pushed predicate) while
+      // the SAME predicate on the fragmented layout reads everything
+      // (every fragment covers the whole span)
+      def readRows(dir: String): (Long, Long) = {
+        val pred = col("day") >= lit("2024-01-10").cast("date") &&
+          col("day") < lit("2024-01-15").cast("date")
+        val df = spark.read.parquet(dir).where(pred).agg(count(lit(1)))
+        df.collect()
+        val scans = df.queryExecution.executedPlan
+          .collectWithSubqueries { case s: FileSourceScanExec => s }
+        assert(scans.length == 1)
+        (scans.head.metrics("numOutputRows").value,
+         spark.read.parquet(dir).count())
+      }
+      val (compRead, total) = readRows(compDir)
+      val (fragRead, _) = readRows(fragDir)
+      assert(compRead > 0 && compRead < total / 2,
+             s"compacted scan read $compRead of $total — no pruning")
+      assert(fragRead > total * 9 / 10,
+             s"fragmented control read only $fragRead of $total — " +
+               "fixture unexpectedly prunes, the comparison proves nothing")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q90: sorted layout skips row groups — scan reads a fraction of the table") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // plan without AQE so the scan is reachable without stage wrappers
