@@ -424,6 +424,36 @@ object SimilarityExtOps extends OpModule {
         .orderBy("eval_id", "train_id")
     },
 
+    // One exact k-means (Lloyd) refinement step (added r10) — the
+    // TRAINING step the IVF/PQ family's codebooks have so far sampled
+    // away (vec_id < C is deterministic but untrained): assign every
+    // vector to its nearest current centroid (the same zero-shuffle
+    // codegen'd ArgminCentroid pass as q73/q79/q107 — the corpus never
+    // shuffles to be assigned), then recompute each cell's centroid as
+    // the per-dimension mean. Made EXACT cross-engine by the q118
+    // fixed-point discipline: coordinates scale to 1e-6-resolution
+    // BIGINTs (round(x·1e6) — both engines' IEEE double product and
+    // half-away-from-zero round agree bit-for-bit), sums are integer
+    // and partition-order-free, and the mean divides once as a double,
+    // rounded once. Production runs this step k× to train real
+    // codebooks; per step the cost is one map pass + one (cell, dim)
+    // aggregation with map-side partials — no pairwise anything. The
+    // Lloyd descent property (refined centroids do not increase total
+    // within-cell squared distance) is spec-asserted.
+    "q125_kmeans_step" -> { (s, d) =>
+      val em = embBase(s, d)
+      ivfAssign(em)
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .select(col("cid"), col("dim").cast("long").as("dim"),
+                expr("CAST(round(x * 1000000) AS BIGINT)").as("xi"))
+        .groupBy("cid", "dim")
+        .agg(count(lit(1)).as("n"), sum(col("xi")).as("sx"))
+        .select(col("cid"), col("dim"), col("n"),
+                round(col("sx").cast("double") / col("n") / 1000000.0, 6)
+                  .as("c_new"))
+        .orderBy("cid", "dim")
+    },
+
     // Batched ANN: N query vectors × banded LSH buckets -> exact
     // re-rank -> per-query top-k. The query side is broadcast (N rows);
     // the collection side shuffles once per band on the 8-bit band key.
@@ -726,6 +756,19 @@ object SimilarityExtOps extends OpModule {
            |WHERE sim >= $SemThreshold
            |ORDER BY eval_id, train_id""".stripMargin
       },
+
+      // the shared IVF assignment CTEs + the identical fixed-point
+      // mean: round(x·1e6) BIGINTs summed exactly, one double divide,
+      // one round
+      "q125_kmeans_step" ->
+        s"""WITH $ivfCte,
+           |x AS (SELECT a.cid, CAST(u.i - 1 AS BIGINT) AS dim,
+           |        CAST(round(a.v[u.i] * 1000000) AS BIGINT) AS xi
+           |      FROM a, (SELECT unnest(range(1, 65)) AS i) u)
+           |SELECT cid, dim, count(*) AS n,
+           |  round(CAST(sum(xi) AS DOUBLE) / count(*) / 1000000.0, 6)
+           |    AS c_new
+           |FROM x GROUP BY cid, dim ORDER BY cid, dim""".stripMargin,
 
       "q73_ann_ivf" ->
         s"""WITH $ivfCte,

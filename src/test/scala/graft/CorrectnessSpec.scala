@@ -922,6 +922,32 @@ class CorrectnessSpec extends SparkSpecBase {
            "a live key lacks a current version")
   }
 
+  test("q125 Lloyd descent: refined centroids do not increase within-cell cost") {
+    // the k-means guarantee made executable: with the assignment held
+    // fixed, replacing each cell's centroid by the cell MEAN minimizes
+    // the within-cell sum of squared distances, so the refined
+    // codebook's total cost can never exceed the sampled codebook's
+    // (up to the 1e-6 fixed-point rounding of the declared output)
+    val em = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])].collect()
+    val cents = em.filter(_._1 < 16).map { case (id, v) => id -> v }.toMap
+    def sq(a: Seq[Double], b: Seq[Double]): Double =
+      a.lazyZip(b).map((x, y) => (x - y) * (x - y)).sum
+    // same argmin + (dist, cid) tie-break as the ArgminCentroid kernel
+    val asg = em.map { case (_, v) =>
+      (cents.toSeq.minBy { case (cid, cv) => (sq(v, cv), cid) }._1, v) }
+    val oldCost = asg.map { case (cid, v) => sq(v, cents(cid)) }.sum
+    val refined = q("q125_kmeans_step").select("cid", "dim", "c_new")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (cid, rows) =>
+        cid -> rows.sortBy(_._2).map(_._3).toSeq }
+    val newCost = asg.map { case (cid, v) => sq(v, refined(cid)) }.sum
+    assert(newCost <= oldCost + 1e-3,
+           s"Lloyd step increased cost: $oldCost -> $newCost")
+    assert(newCost < oldCost, "refinement had no effect — fixture degenerate")
+  }
+
   test("q46 minhash candidates are supported by real prefix near-dups") {
     // Every q42 high-Jaccard pair should be recovered by LSH banding.
     val lsh = q("q46_dedup_minhash").select("id_a", "id_b")
