@@ -241,6 +241,52 @@ object AdvancedOps extends OpModule {
           lit(null).cast("int").as("valid_to") :+
           lit(1).as("is_current"): _*)
       oldRows.unionByName(newRows).orderBy("key", "valid_from")
+    },
+
+    // GDPR cascade delete audit (added r10) — the right-to-be-forgotten
+    // job every pipeline holding user data runs: a deterministic
+    // deletion list (customers with key % 37 = 0, standing in for the
+    // day's erasure requests) propagates through the foreign-key graph
+    // — the customers themselves, their orders, those orders'
+    // lineitems (a TRANSITIVE hop: lineitem references the order, not
+    // the customer), and their events — and the job emits the
+    // per-table audit a compliance log keeps. Scale shape: the
+    // deletion list is broadcast-sized (requests/day, not corpus-
+    // sized), so customer/orders/events prune via a broadcast semi
+    // join with no fact shuffle; the lineitem hop semi-joins on the
+    // DELETED ORDERS' keys — bigger than the request list but still
+    // the change set, never the fact table (and zero-exchange in the
+    // q59 bucketed layout). The apply itself is the same scan with
+    // anti instead of semi; the audit counts are what the job logs.
+    // CorrectnessSpec asserts the cascade invariant: after applying
+    // the deletes, re-running q116's orphan rule on the survivors
+    // finds zero lineitems referencing a deleted order.
+    "q126_gdpr_cascade" -> { (s, d) =>
+      val delCust = Tables(s, d, "customer")
+        .where(col("c_custkey") % 37 === 0).select("c_custkey")
+      val orders = Tables(s, d, "orders")
+      val delOrders = orders.join(
+        broadcast(delCust.withColumnRenamed("c_custkey", "o_custkey")),
+        Seq("o_custkey"), "left_semi")
+      def audit(name: String, total: DataFrame, deleted: DataFrame) =
+        total.agg(count(lit(1)).as("t")).crossJoin(
+            deleted.agg(count(lit(1)).as("x")))
+          .select(lit(name).as("table_name"), col("t").as("rows_before"),
+                  col("x").as("rows_deleted"),
+                  (col("t") - col("x")).as("rows_after"))
+      audit("customer", Tables(s, d, "customer"),
+            Tables(s, d, "customer").join(broadcast(delCust),
+              Seq("c_custkey"), "left_semi"))
+        .unionAll(audit("events", Tables(s, d, "events"),
+          Tables(s, d, "events").join(
+            broadcast(delCust.withColumnRenamed("c_custkey", "user_id")),
+            Seq("user_id"), "left_semi")))
+        .unionAll(audit("lineitem", Tables(s, d, "lineitem"),
+          Tables(s, d, "lineitem").join(
+            delOrders.select(col("o_orderkey").as("l_orderkey")),
+            Seq("l_orderkey"), "left_semi")))
+        .unionAll(audit("orders", orders, delOrders))
+        .orderBy("table_name")
     }
   )
 
@@ -450,6 +496,35 @@ object AdvancedOps extends OpModule {
         |  FROM f WHERE h_old IS NULL
         |     OR (h_new IS NOT NULL AND h_old <> h_new))
         |ORDER BY key, valid_from""".stripMargin,
+
+    "q126_gdpr_cascade" ->
+      """WITH dc AS (SELECT c_custkey FROM customer WHERE c_custkey % 37 = 0),
+        |dor AS (SELECT o_orderkey FROM orders
+        |        WHERE o_custkey IN (SELECT c_custkey FROM dc))
+        |SELECT 'customer' AS table_name,
+        |  (SELECT count(*) FROM customer) AS rows_before,
+        |  (SELECT count(*) FROM dc) AS rows_deleted,
+        |  (SELECT count(*) FROM customer) - (SELECT count(*) FROM dc)
+        |    AS rows_after
+        |UNION ALL SELECT 'events',
+        |  (SELECT count(*) FROM events),
+        |  (SELECT count(*) FROM events
+        |   WHERE user_id IN (SELECT c_custkey FROM dc)),
+        |  (SELECT count(*) FROM events) -
+        |  (SELECT count(*) FROM events
+        |   WHERE user_id IN (SELECT c_custkey FROM dc))
+        |UNION ALL SELECT 'lineitem',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_orderkey IN (SELECT o_orderkey FROM dor)),
+        |  (SELECT count(*) FROM lineitem) -
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_orderkey IN (SELECT o_orderkey FROM dor))
+        |UNION ALL SELECT 'orders',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM dor),
+        |  (SELECT count(*) FROM orders) - (SELECT count(*) FROM dor)
+        |ORDER BY table_name""".stripMargin,
 
     "q57_pivot" ->
       """SELECT l_returnflag,

@@ -948,6 +948,38 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(newCost < oldCost, "refinement had no effect — fixture degenerate")
   }
 
+  test("q126 cascade invariant: applying the deletes introduces no NEW orphans") {
+    // the point of the TRANSITIVE lineitem hop: after the erasure job
+    // applies (anti joins with the same keys the audit counted),
+    // q116's referential-integrity rule over the survivors must find
+    // exactly the orphans the RAW data already had (the corpus ships
+    // some by design — q116 fires on them) and not one more — a
+    // cascade that deleted orders but missed their lineitems fails
+    // exactly here
+    def orphanCount(li: org.apache.spark.sql.DataFrame,
+                    or: org.apache.spark.sql.DataFrame): Long =
+      li.join(or.select(col("o_orderkey").as("l_orderkey")),
+              Seq("l_orderkey"), "left_anti").count()
+    val delCust = Tables(spark, sf, "customer")
+      .where(col("c_custkey") % 37 === 0).select("c_custkey")
+    val survivingOrders = Tables(spark, sf, "orders")
+      .join(delCust.withColumnRenamed("c_custkey", "o_custkey"),
+            Seq("o_custkey"), "left_anti")
+    val delOrderKeys = Tables(spark, sf, "orders")
+      .join(delCust.withColumnRenamed("c_custkey", "o_custkey"),
+            Seq("o_custkey"), "left_semi")
+      .select(col("o_orderkey").as("l_orderkey"))
+    val survivingLineitem = Tables(spark, sf, "lineitem")
+      .join(delOrderKeys, Seq("l_orderkey"), "left_anti")
+    val before = orphanCount(Tables(spark, sf, "lineitem"),
+                             Tables(spark, sf, "orders"))
+    val after = orphanCount(survivingLineitem, survivingOrders)
+    assert(after == before,
+           s"cascade changed the orphan count: $before -> $after")
+    // the fixture must actually delete something, or the test is vacuous
+    assert(delOrderKeys.count() > 0)
+  }
+
   test("q46 minhash candidates are supported by real prefix near-dups") {
     // Every q42 high-Jaccard pair should be recovered by LSH banding.
     val lsh = q("q46_dedup_minhash").select("id_a", "id_b")
