@@ -17,7 +17,8 @@ object SweepR10 {
     spark.sparkContext.setLogLevel("ERROR")
     val qs = Seq("q113_funnel", "q118_anomaly_flags", "q119_merge_apply",
       "q120_decontaminate_semantic", "q121_bpe_dict",
-      "q122_stream_file_sink", "q123_scd2_history")
+      "q122_stream_file_sink", "q123_scd2_history",
+      "q124_compact_layout", "q125_kmeans_step", "q126_gdpr_cascade")
     for (d <- Seq("/root/testdata/sf0.1", "/tmp/sf10x10b")) {
       spark.read.parquet(s"$d/nation.parquet").count()
       for (q <- qs) {
