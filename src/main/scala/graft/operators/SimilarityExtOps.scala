@@ -55,6 +55,7 @@ object SimilarityExtOps extends OpModule {
   // top-20 floor is ~0.5; random 64-dim pairs center near 0) but low
   // enough to flag real neighbors at every test SF.
   private val SemThreshold = 0.35
+  private val RrfK = 60   // the standard RRF damping constant
 
   private def vec: Column = col("embedding").cast("array<double>")
 
@@ -454,6 +455,36 @@ object SimilarityExtOps extends OpModule {
         .orderBy("cid", "dim")
     },
 
+    // Reciprocal-rank fusion (added r10) — the retrieval ENSEMBLE a
+    // production stack runs over its heterogeneous indexes: the same
+    // query batch retrieves through two independent ANN paths — the
+    // banded-LSH top-k (q71) and the persisted-IVF-index top-k (q79) —
+    // and the lists fuse by RRF: score(doc) = Σ_paths 1/(K + rank),
+    // K = 60 (the Cormack et al. constant), re-ranked per query. RRF
+    // needs only RANKS, never comparable scores, which is exactly why
+    // it is the standard way to combine an embedding index with a
+    // second retriever. Deterministic end-to-end: both input rank
+    // lists are hash-verified queries, the two reciprocal terms add in
+    // fixed order as doubles, one round. Cost at scale: the two
+    // retrievals (each already bounded) plus a full-outer join of two
+    // k-row-per-query lists — the fusion itself is negligible.
+    "q127_rrf_fusion" -> { (s, d) =>
+      val lsh = queries("q71_ann_batch")(s, d)
+        .select(col("qid"), col("cid").as("doc_id"), col("rk").as("rk_l"))
+      val ivf = queries("q79_ann_index")(s, d)
+        .select(col("qid"), col("vec_id").as("doc_id"), col("rk").as("rk_i"))
+      val fused = lsh.join(ivf, Seq("qid", "doc_id"), "full_outer")
+        .select(col("qid"), col("doc_id"),
+                round(coalesce(lit(1.0) / (lit(RrfK) + col("rk_l")), lit(0.0)) +
+                      coalesce(lit(1.0) / (lit(RrfK) + col("rk_i")), lit(0.0)),
+                      6).as("rrf"))
+      val w = Window.partitionBy("qid").orderBy(col("rrf").desc, col("doc_id"))
+      fused.select(col("qid"), col("doc_id"), col("rrf"),
+                   row_number().over(w).cast("long").as("rk"))
+        .where(col("rk") <= BatchK)
+        .orderBy("qid", "rk")
+    },
+
     // Batched ANN: N query vectors × banded LSH buckets -> exact
     // re-rank -> per-query top-k. The query side is broadcast (N rows);
     // the collection side shuffles once per band on the 8-bit band key.
@@ -533,7 +564,7 @@ object SimilarityExtOps extends OpModule {
     def bandEq(l: String, r: String) = (0 until Bands).map { b =>
       s"substr($l, ${1 + b * BandBits}, $BandBits) = substr($r, ${1 + b * BandBits}, $BandBits)"
     }.mkString("(", " OR ", ")")
-    Map(
+    val base = Map(
       "q52_lsh_buckets" ->
         s"""SELECT sig, count(*) AS cnt, min(vec_id) AS min_vec
            |FROM (SELECT vec_id, $sigSql AS sig FROM embeddings)
@@ -822,5 +853,24 @@ object SimilarityExtOps extends OpModule {
            |  FROM sc)
            |WHERE rk <= $BatchK ORDER BY qid, rk""".stripMargin
     )
+    // q127's oracle embeds BOTH verified rank lists verbatim as CTE
+    // bodies and fuses them with the identical fixed-order double
+    // arithmetic (CAST(1 AS DOUBLE) — a bare 1.0 literal is DECIMAL in
+    // DuckDB and its division rounds differently)
+    base + ("q127_rrf_fusion" ->
+      s"""WITH lsh AS (${base("q71_ann_batch")}),
+         |ivf AS (${base("q79_ann_index")}),
+         |u AS (SELECT coalesce(l.qid, i.qid) AS qid,
+         |        coalesce(l.cid, i.vec_id) AS doc_id,
+         |        round(coalesce(CAST(1 AS DOUBLE) / ($RrfK + l.rk), 0) +
+         |              coalesce(CAST(1 AS DOUBLE) / ($RrfK + i.rk), 0), 6)
+         |          AS rrf
+         |      FROM lsh l FULL OUTER JOIN ivf i
+         |        ON l.qid = i.qid AND l.cid = i.vec_id)
+         |SELECT qid, doc_id, rrf, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |             ORDER BY rrf DESC, doc_id) AS rk
+         |  FROM u)
+         |WHERE rk <= $BatchK ORDER BY qid, rk""".stripMargin)
   }
 }

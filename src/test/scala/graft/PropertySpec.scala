@@ -116,6 +116,26 @@ class PropertySpec extends SparkSpecBase {
     }, n = 100)
   }
 
+  test("BpeDict tokenization is a partition of the word (lossless, order-preserving)") {
+    // ∀ words, ∀ merge tables: concatenating the tokens reconstructs
+    // the word exactly — BPE merges only ever JOIN adjacent tokens,
+    // never drop, reorder or rewrite content. Random words over a
+    // 3-char alphabet (seeded) × three vocab choices, plus edge cases.
+    val rnd = new scala.util.Random(7)
+    val vocabs = Seq(
+      operators.TextExtOps.BpeMerges.toArray,
+      operators.TextExtOps.BpeMergesFull.toArray,
+      Array("a" -> "a", "aa" -> "aa", "b" -> "a", "ba" -> "ba"))
+    val words = (0 until 300).map(_ =>
+      (0 until rnd.nextInt(30)).map(_ => "abe"(rnd.nextInt(3))).mkString) ++
+      Seq("", "a", "er", "erer", "aaaa", "the quick".replace(" ", ""))
+    for (m <- vocabs; w <- words) {
+      val toks = functions.BpeDict.tokenize(m, w)
+      assert(toks.mkString == w, s"lossy tokenization of '$w'")
+      assert(toks.forall(_.nonEmpty) || w.isEmpty)
+    }
+  }
+
   test("WordCountJob reduce: any partitioning yields the same totals") {
     check(Prop.forAll(Gen.nonEmptyListOf(Gen.alphaLowerStr.map(_.take(3))),
                       Gen.choose(1, 5)) { (words, nChunks) =>
