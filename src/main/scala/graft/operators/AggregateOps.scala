@@ -17,6 +17,32 @@ import org.apache.spark.sql.functions._
   */
 object AggregateOps extends OpModule {
 
+  /** Merge aggregator over serialized KLL quantile-sketch images
+    * (q128): associative+commutative union of DataSketches
+    * KllDoublesSketch byte images. Inputs arrive as ALREADY-BUILT
+    * per-partition sketches (one per (group, partition), built in one
+    * mapPartitions pass), so the deserialize-merge-serialize cost is
+    * paid per partition-sketch, never per row — the same partial/final
+    * shape as the built-in hll_union_agg q110 uses. */
+  private object KllMergeAgg
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Array[Byte], Array[Byte], Array[Byte]] {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    private def heap(b: Array[Byte]): KllDoublesSketch =
+      KllDoublesSketch.heapify(Memory.wrap(b))
+    def zero: Array[Byte] = Array.emptyByteArray
+    def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] = merge(b, a)
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      if (a.isEmpty) b else if (b.isEmpty) a
+      else { val m = heap(a); m.merge(heap(b)); m.toByteArray }
+    def finish(b: Array[Byte]): Array[Byte] = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-style pricing summary — the engine flagship.
     "q14_agg_hash" -> { (s, d) =>
@@ -140,6 +166,60 @@ object AggregateOps extends OpModule {
         .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
                .as("est_users"),
              count(lit(1)).as("days"))
+        .orderBy("event_type")
+    },
+
+    // ◐ Mergeable QUANTILE artifact (added r10) — q110's pattern for
+    // percentiles, the other sketch every ops pipeline persists:
+    // per-(day, event_type) KLL quantile sketches (DataSketches
+    // KllDoublesSketch, k=200 ⇒ ~1.65% rank error single-level) built
+    // once over the fact table and persisted; any-day-range latency/
+    // value percentiles are then a pure sketch MERGE over the tiny
+    // artifact with zero fact rescan (plan-asserted alongside q110).
+    // Exact `percentile` cannot pre-aggregate across days (it buffers
+    // every value; order statistics aren't mergeable), so the exact
+    // form rescans the facts per window — mergeable summaries are the
+    // 100 TB answer. Build shape: one mapPartitions pass produces a
+    // sketch per (group, partition) — rows never shuffle, only sketch
+    // images do — then the KllMergeAgg union runs partial/final like
+    // any built-in. ◐ because a KLL image is randomized (compaction
+    // coin flips) and never DuckDB-replayable; the estimates are
+    // rank-bracketed against exact percentiles in AggregateSpec's
+    // discipline (CorrectnessSpec), and at sf0.001 the per-type
+    // streams sit under k so the sketch answers are EXACT.
+    "q128_kll_daily_union" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.datasketches.kll.KllDoublesSketch
+      val mergeSk = udaf(KllMergeAgg)
+      val idxT = graft.BucketedCache.ensure(s, d, "kllidx",
+          "day DATE, event_type STRING, sk BINARY", "event_type", 4) {
+        Tables(s, d, "events")
+          .select(to_date(col("ts")).as("day"), col("event_type"),
+                  col("value").cast("double").as("v"))
+          .as[(java.sql.Date, String, Double)]
+          .mapPartitions { it =>
+            val m = scala.collection.mutable.HashMap
+              .empty[(java.sql.Date, String), KllDoublesSketch]
+            it.foreach { case (day, t, v) =>
+              m.getOrElseUpdate((day, t),
+                KllDoublesSketch.newHeapInstance(200)).update(v)
+            }
+            m.iterator.map { case ((day, t), sk) => (day, t, sk.toByteArray) }
+          }
+          .toDF("day", "event_type", "sk")
+          .groupBy("day", "event_type")
+          .agg(mergeSk(col("sk")).as("sk"))
+      }
+      val q = udf((b: Array[Byte], r: Double) =>
+        KllDoublesSketch.heapify(
+          org.apache.datasketches.memory.Memory.wrap(b)).getQuantile(r))
+      s.table(idxT)
+        .groupBy("event_type")
+        .agg(mergeSk(col("sk")).as("sk"), count(lit(1)).as("days"))
+        .select(col("event_type"),
+                round(q(col("sk"), lit(0.5)), 6).as("p50_est"),
+                round(q(col("sk"), lit(0.9)), 6).as("p90_est"),
+                col("days"))
         .orderBy("event_type")
     },
 

@@ -980,6 +980,29 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(delOrderKeys.count() > 0)
   }
 
+  test("q128 KLL estimates are rank-bracketed by the exact order statistics") {
+    // the q77 discipline for the persisted sketch: each estimated
+    // percentile must sit between the exact values at rank ± 4%
+    // (k=200 single-level KLL ⇒ ~1.65% rank error; at this SF the
+    // per-type streams sit under k, so estimates are typically exact)
+    val exact = Tables(spark, sf, "events")
+      .select(col("event_type"), col("value").cast("double"))
+      .as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val got = q("q128_kll_daily_union")
+      .select("event_type", "p50_est", "p90_est")
+      .as[(String, Double, Double)].collect()
+    assert(got.map(_._1).toSet == exact.keySet)
+    for ((t, p50, p90) <- got; (r, est) <- Seq(0.5 -> p50, 0.9 -> p90)) {
+      val v = exact(t)
+      def at(rank: Double): Double =
+        v(math.max(0, math.min(v.length - 1, (rank * v.length).toInt)))
+      assert(est >= at(r - 0.04) && est <= at(r + 0.04),
+             s"$t p$r estimate $est outside rank bracket " +
+               s"[${at(r - 0.04)}, ${at(r + 0.04)}]")
+    }
+  }
+
   test("q46 minhash candidates are supported by real prefix near-dups") {
     // Every q42 high-Jaccard pair should be recovered by LSH banding.
     val lsh = q("q46_dedup_minhash").select("id_a", "id_b")

@@ -257,6 +257,17 @@ class PlanShapeSpec extends SparkSpecBase {
            s"rollup rescans the fact table:\n$p")
   }
 
+  test("q128: quantile rollup is a pure sketch merge — the fact table is never rescanned") {
+    // q110's invariant for the quantile artifact: any-range percentile
+    // rollups read the tiny persisted sketch table, never the facts
+    val df = SparkEntry.queries("q128_kll_daily_union")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_kllidx"), s"rollup does not scan the artifact:\n$p")
+    assert(!p.contains("events.parquet"),
+           s"rollup rescans the fact table:\n$p")
+  }
+
   test("q107: persisted coded index probes without shuffling the index side") {
     // probe cells and queries arrive broadcast; the coded index is
     // only ever streamed, and the ADC scores from the STORED codes —
