@@ -80,6 +80,43 @@ object CorpusExtOps extends OpModule {
       lit(idPat), lit("<ID>"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token-pair association mining (added r10) — Apriori-style lift,
+    // the market-basket analytics family the suite lacked: which token
+    // pairs CO-OCCUR in documents far more than independence predicts
+    // (collocations, templated phrases, topic markers). Per doc the
+    // DISTINCT token set explodes into ordered pairs (x < y) via a
+    // doc-keyed self-join — cost Σ tokens(doc)², bounded by document
+    // length, never corpus-quadratic (the q42 blocking argument; a
+    // 100 TB run additionally df-caps the token list like q87, since a
+    // stopword's pair list is pure noise). Support = co-occurrence doc
+    // count; lift is made EXACT cross-engine by the q115/q118
+    // fixed-point discipline: lift = P(xy)/(P(x)P(y)) =
+    // n·c_xy/(c_x·c_y), scaled by 1e6 and integer-DIV'd — no floating
+    // point, so an association metric becomes hash-checkable. Output:
+    // the top 50 pairs by fixed-point lift at support ≥ 5. BIGINT
+    // headroom: 1e6·c_xy·n ≤ 1e6·n² needs n ≤ ~3e6 docs — a 100 TB
+    // run widens to decimal(38,0) exactly as q118 did.
+    "q129_token_lift" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val df = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val pairs = toks.select(col("doc_id"), col("tok").as("x"))
+        .join(toks.select(col("doc_id"), col("tok").as("y")), Seq("doc_id"))
+        .where(col("x") < col("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+        .where(col("c_xy") >= 5)
+      pairs
+        .join(df.select(col("tok").as("x"), col("c").as("c_x")), Seq("x"))
+        .join(df.select(col("tok").as("y"), col("c").as("c_y")), Seq("y"))
+        .crossJoin(broadcast(n))
+        .select(col("x"), col("y"), col("c_xy"),
+                expr("(1000000 * c_xy * n) DIV (c_x * c_y)").as("lift_fp"))
+        .orderBy(col("lift_fp").desc, col("x"), col("y"))
+        .limit(50)
+    },
+
     // Sequence packing for training shards (see packBudget above).
     // One scan; the prefix-sum window shuffles each shard's (doc_id,
     // token count) pairs — never the text — and the per-pack rollup
@@ -241,6 +278,23 @@ object CorpusExtOps extends OpModule {
        |FROM p GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // identical fixed-point lift: integer scale + integer division
+    "q129_token_lift" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+        |    AS tok
+        |  FROM documents),
+        |df AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |p AS (
+        |  SELECT a.tok AS x, b.tok AS y, count(*) AS c_xy
+        |  FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT p.x, p.y, p.c_xy,
+        |  (1000000 * p.c_xy * n.n) // (dx.c * dy.c) AS lift_fp
+        |FROM p JOIN df dx ON dx.tok = p.x
+        |       JOIN df dy ON dy.tok = p.y, n
+        |ORDER BY lift_fp DESC, x, y LIMIT 50""".stripMargin,
     "q106_pack_bpe" -> packRollupSql(TextExtOps.bpeTokenCountSql),
 
     "q91_pack_sequences" -> packRollupSql("len(string_split(text, ' '))"),

@@ -161,6 +161,35 @@ object TimeWindowOps extends OpModule {
         .orderBy("event_id")
     },
 
+    // Session path transitions (added r10) — the sequence-analytics
+    // family next to q113's funnel: the first-order Markov transition
+    // matrix of user behavior — for every ordered (previous event →
+    // next event) pair within a user's stream, the count and its share
+    // of all transitions leaving the previous state. The lag rides on
+    // ONE window shuffle on user_id (ts then event_id ordering makes
+    // ties deterministic); the per-prev normalizer is a second window
+    // over the 25-row transition matrix itself — nothing beyond the
+    // (prev, next) key space moves after the first shuffle. The share
+    // divides two exact counts once as doubles and rounds once (both
+    // engines agree bit-for-bit on integer-operand division). At
+    // 100 TB: one shuffle of (user, ts, type) triples, the rest is
+    // matrix-sized.
+    "q130_session_paths" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val nw = org.apache.spark.sql.expressions.Window.partitionBy("prev")
+      Tables(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("prev"), col("next"), col("cnt"),
+                round(col("cnt").cast("double") /
+                      sum(col("cnt")).over(nw), 6).as("share"))
+        .orderBy("prev", "next")
+    },
+
     // Cohort retention (added r9) — the growth-analytics matrix: users
     // cohorted by first-seen week, counted distinct in each later week
     // offset. Two aggregations shuffling on user_id (first-seen) and
@@ -263,6 +292,19 @@ object TimeWindowOps extends OpModule {
         |WHERE (n * CAST(v AS HUGEINT) - s) * (n * CAST(v AS HUGEINT) - s)
         |      > 4 * (n * q - s * s)
         |ORDER BY event_id""".stripMargin,
+
+    "q130_session_paths" ->
+      """WITH g AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |m AS (SELECT prev, event_type AS next, count(*) AS cnt
+        |      FROM g WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev, next, cnt,
+        |  round(CAST(cnt AS DOUBLE) /
+        |        sum(cnt) OVER (PARTITION BY prev), 6) AS share
+        |FROM m ORDER BY prev, next""".stripMargin,
 
     "q114_cohort_retention" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
