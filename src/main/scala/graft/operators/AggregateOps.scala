@@ -223,6 +223,57 @@ object AggregateOps extends OpModule {
         .orderBy("event_type")
     },
 
+    // Incremental materialized-view maintenance (added r10) — the
+    // EXACT-aggregate sibling of the q110/q128 sketch artifacts and
+    // the q76/q99 batch-vs-index discipline applied to ROLLUPS: a
+    // dashboard's per-(day, type) aggregate over a 100 TB fact table
+    // must not rescan history every morning. Additive aggregates
+    // (count, decimal sum) are mergeable, so yesterday's rollup is a
+    // PERSISTED ARTIFACT (all days strictly before the corpus's last
+    // day, bucketed by event_type) and the daily job aggregates ONLY
+    // the new day's slice, unions it with the artifact, and merges —
+    // exact to the last bit because decimal sums are associative
+    // (distinct counts are NOT mergeable; that is exactly the q110 HLL
+    // artifact's job). The oracle recomputes the whole rollup from the
+    // facts — the artifact must be semantically invisible.
+    // Plan-asserted: the artifact table is scanned and the events scan
+    // appears ONCE (the batch slice; at 100 TB the day predicate is a
+    // partition filter in the q62 layout, making the slice read-bound
+    // too). The last day is derived in-plan (broadcast 1-row max), so
+    // the split is deterministic at any SF.
+    "q131_rollup_incremental" -> { (s, d) =>
+      val histT = graft.BucketedCache.ensure(s, d, "rollupidx",
+          "day DATE, event_type STRING, cnt BIGINT, sv DECIMAL(28,4)",
+          "event_type", 4) {
+        val ev = Tables(s, d, "events")
+          .select(to_date(col("ts")).as("day"), col("event_type"),
+                  col("value"))
+        val last = ev.agg(max(col("day")).as("last_day"))
+        ev.crossJoin(broadcast(last))
+          .where(col("day") < col("last_day"))
+          .groupBy("day", "event_type")
+          .agg(count(lit(1)).as("cnt"),
+               sum(col("value").cast("decimal(18,4)"))
+                 .cast("decimal(28,4)").as("sv"))
+      }
+      val ev = Tables(s, d, "events")
+        .select(to_date(col("ts")).as("day"), col("event_type"),
+                col("value"))
+      val last = ev.agg(max(col("day")).as("last_day"))
+      val batch = ev.crossJoin(broadcast(last))
+        .where(col("day") === col("last_day"))
+        .groupBy("day", "event_type")
+        .agg(count(lit(1)).as("cnt"),
+             sum(col("value").cast("decimal(18,4)"))
+               .cast("decimal(28,4)").as("sv"))
+      s.table(histT).unionByName(batch)
+        .groupBy("event_type")
+        .agg(sum(col("cnt")).as("events"),
+             sum(col("sv")).cast("double").as("sum_value"),
+             count(lit(1)).as("days"))
+        .orderBy("event_type")
+    },
+
     // Ordered/conditional aggregates: exact interpolated percentiles,
     // arg-max/arg-min, conditional count. max_by/min_by are
     // deterministic here because o_totalprice values are continuous
@@ -321,6 +372,17 @@ object AggregateOps extends OpModule {
       """SELECT n_name, array_to_string(list_sort(list(s_name)), ',') AS suppliers
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // the artifact must be invisible: full recompute from the facts,
+    // same per-day exact decimal sums merged to per-type totals
+    "q131_rollup_incremental" ->
+      """WITH r AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS cnt,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sv
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(sum(cnt) AS BIGINT) AS events,
+        |  CAST(sum(sv) AS DOUBLE) AS sum_value, count(*) AS days
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q64_agg_ordered" ->
       """SELECT o_orderpriority,

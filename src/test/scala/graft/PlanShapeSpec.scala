@@ -268,6 +268,26 @@ class PlanShapeSpec extends SparkSpecBase {
            s"rollup rescans the fact table:\n$p")
   }
 
+  test("q131: incremental rollup scans the artifact plus ONE fact slice — history never recomputes") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q131_rollup_incremental")(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      val p = plan.toString
+      assert(p.contains("graft_rollupidx"),
+             s"rollup does not scan the artifact:\n$p")
+      // events appears exactly twice: the batch slice + the 1-row
+      // max-day subquery — NEVER a third scan recomputing history
+      val eventScans = plan.collectWithSubqueries {
+        case s: FileSourceScanExec
+          if s.toString.contains("events.parquet") => s }
+      assert(eventScans.length == 2,
+             s"expected batch-slice + max-day scans, got ${eventScans.length}:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q107: persisted coded index probes without shuffling the index side") {
     // probe cells and queries arrive broadcast; the coded index is
     // only ever streamed, and the ADC scores from the STORED codes —
