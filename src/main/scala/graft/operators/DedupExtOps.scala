@@ -262,6 +262,35 @@ object DedupExtOps extends OpModule {
         .orderBy("doc_id")
     },
 
+    // Triangle participation counts (added r10) — the third graph
+    // primitive over the LSH candidate graph, next to components
+    // (q82/q102/q108) and centrality (q115): how many triangles each
+    // document sits in. Triangle density separates true near-dup
+    // CLIQUES (boilerplate families, template fills — every pair
+    // collides, triangle-rich) from chains of borderline pairs
+    // (triangle-free), so it is the cluster-QUALITY signal a cleanup
+    // pipeline reads before trusting a component. Enumeration uses
+    // the oriented a<b<c form — each triangle counted exactly once:
+    // edges(a,b)⋈edges(b,c) gives the wedges, a semi join against
+    // edges(a,c) closes them; per-node counts then explode each
+    // triangle to its three corners. Cost O(Σ_wedges) with the
+    // hot-bucket cap bounding any bucket's clique size; at web scale
+    // the standard degree-ordered orientation (direct each edge
+    // low→high degree) bounds wedge fan-out at O(edges^1.5) — same
+    // join shape, different orientation key.
+    "q132_triangles" -> { (s, d) =>
+      val e = candidatePairs(Tables(s, d, "documents"),
+                             maxBucket = HotBucketCap)
+      val wedges = e.select(col("id_a").as("a"), col("id_b").as("b"))
+        .join(e.select(col("id_a").as("b"), col("id_b").as("c")), Seq("b"))
+      val tri = wedges.join(
+        e.select(col("id_a").as("a"), col("id_b").as("c")),
+        Seq("a", "c"), "left_semi")
+      tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+        .orderBy("doc_id")
+    },
+
     // Incremental cluster MAINTENANCE (added r9) — the operation a
     // pipeline runs when a new crawl batch lands: merge the batch into
     // the existing duplicate-cluster structure WITHOUT re-banding or
@@ -639,6 +668,25 @@ object DedupExtOps extends OpModule {
     "q108_clusters_incremental" ->
       s"""$clustersCte
          |SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin,
+
+    // oriented a<b<c enumeration: wedge join + closing-edge semi join,
+    // each triangle exploded to its three corners
+    "q132_triangles" ->
+      s"""$minhashCte,
+         |e AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |      FROM bands x JOIN bands y
+         |        ON x.band = y.band AND x.sig = y.sig
+         |       AND x.doc_id < y.doc_id),
+         |tri AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+         |        FROM e e1 JOIN e e2 ON e2.id_a = e1.id_b
+         |        WHERE EXISTS (SELECT 1 FROM e e3
+         |                      WHERE e3.id_a = e1.id_a
+         |                        AND e3.id_b = e2.id_b)),
+         |corners AS (SELECT a AS doc_id FROM tri
+         |            UNION ALL SELECT b FROM tri
+         |            UNION ALL SELECT c FROM tri)
+         |SELECT doc_id, count(*) AS n_triangles
+         |FROM corners GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the 5 fixed-point power-iteration rounds unrolled as CTEs —
     // integer arithmetic only, so the iterative result hash-matches
