@@ -489,6 +489,22 @@ object TextExtOps extends OpModule {
         .orderBy("split", "source")
     },
 
+    // N-gram frequency table (added r10) — the custom Catalyst
+    // GENERATOR surface as a DECLARED query: §2's udtf_gen row has
+    // been ◐-structural since r1 (the NGrams generator is exercised
+    // inside q46/q51/q84 but never stood alone); this is the corpus
+    // phrase-frequency table every tokenizer/boilerplate analysis
+    // starts from, produced by that generator directly. One scan, one
+    // generate, one agg on the gram key; bounded TakeOrdered output.
+    "q133_ngram_freq" -> { (s, d) =>
+      Tables(s, d, "documents")
+        .select(org.apache.spark.sql.graft.GraftFunctions
+          .ngrams(split(col("text"), " "), 3).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("gram"))
+        .limit(30)
+    },
+
     // Document fingerprint: min-hash over 3-token shingles (rolling
     // content signature) + shingle cardinality.
     "q51_fingerprint" -> { (s, d) =>
@@ -840,7 +856,18 @@ object TextExtOps extends OpModule {
           |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents))
           |SELECT doc_id, min(md5(sh)) AS fp, count(*) AS n_shingles,
           |  count(DISTINCT sh) AS n_distinct
-          |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+          |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // the generator's semantics replayed with the list_transform
+      // formulation (q51's CTE without the hashing)
+      "q133_ngram_freq" ->
+        """WITH g AS (
+          |  SELECT unnest(
+          |    list_transform(range(1, len(toks) - 1),
+          |                   i -> array_to_string(toks[i:i+2], ' '))) AS gram
+          |  FROM (SELECT string_split(text, ' ') AS toks FROM documents))
+          |SELECT gram, count(*) AS cnt FROM g
+          |GROUP BY gram ORDER BY cnt DESC, gram LIMIT 30""".stripMargin
     )
   }
 }
