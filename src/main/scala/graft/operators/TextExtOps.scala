@@ -489,6 +489,49 @@ object TextExtOps extends OpModule {
         .orderBy("split", "source")
     },
 
+    // Fuzzy-pair mining via deletion-neighborhood blocking (added r10)
+    // — the FUZZY STRING MATCHING family, done the way it scales
+    // (SymSpell's insight): an all-pairs levenshtein over a vocabulary
+    // is O(V²) and dies at web scale, but any two tokens within edit
+    // distance k share a common string reachable by ≤ k DELETIONS from
+    // each, so generating each token's delete-≤2 neighborhood (itself,
+    // one-deletes, two-deletes — ≤ 1 + L + L² variants for length L)
+    // and equi-joining on the variant key finds every distance-≤2
+    // candidate with a plain shuffle join — O(V·L²) keys, nothing
+    // quadratic in V — and the exact levenshtein ≤ 2 check prunes the
+    // false candidates blocking admits. Runs on the DISTINCT
+    // vocabulary (tiny relative to the corpus; the corpus is scanned
+    // once for frequencies), which is what makes the HOF variant
+    // generation harmless here — at a 50M-type web vocabulary the
+    // variant table is still only ~billions of short keys, a routine
+    // shuffle. Output carries both frequencies — the asymmetry (rare
+    // token beside a frequent neighbor) is the typo signal a
+    // normalization pipeline acts on (this corpus's curated vocab has
+    // six distance-2 neighbors and no true typos — the operator
+    // reports the neighborhood structure it finds).
+    "q134_typo_pairs" -> { (s, d) =>
+      val del =
+        "transform(sequence(1, length(%s)), i -> " +
+          "concat(substring(%s, 1, i - 1), substring(%s, i + 1)))"
+      val d1 = del.format("tok", "tok", "tok")
+      val d2 = s"flatten(transform($d1, t1 -> ${del.format("t1", "t1", "t1")}))"
+      val vocab = Tables(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .where(length(col("tok")) >= 3)
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+      val variants = vocab.select(col("tok"), col("freq"),
+        explode(expr(s"array_distinct(concat(array(tok), $d1, $d2))"))
+          .as("v"))
+      variants.select(col("v"), col("tok").as("a"), col("freq").as("freq_a"))
+        .join(variants.select(col("v"), col("tok").as("b"),
+                              col("freq").as("freq_b")), Seq("v"))
+        .where(col("a") < col("b"))
+        .select("a", "b", "freq_a", "freq_b").distinct()
+        .withColumn("lev", levenshtein(col("a"), col("b")).cast("long"))
+        .where(col("lev") <= 2)
+        .orderBy("a", "b")
+    },
+
     // N-gram frequency table (added r10) — the custom Catalyst
     // GENERATOR surface as a DECLARED query: §2's udtf_gen row has
     // been ◐-structural since r1 (the NGrams generator is exercised
@@ -857,6 +900,32 @@ object TextExtOps extends OpModule {
           |SELECT doc_id, min(md5(sh)) AS fp, count(*) AS n_shingles,
           |  count(DISTINCT sh) AS n_distinct
           |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // identical depth-2 deletion-neighborhood blocking + exact
+      // verify; DuckDB substr/levenshtein mirror Spark's 1-based
+      // semantics
+      "q134_typo_pairs" -> {
+        val d1 = "list_transform(range(1, len(tok) + 1), " +
+          "i -> substr(tok, 1, i - 1) || substr(tok, i + 1, len(tok)))"
+        val d2 = s"flatten(list_transform($d1, t1 -> " +
+          "list_transform(range(1, len(t1) + 1), " +
+          "j -> substr(t1, 1, j - 1) || substr(t1, j + 1, len(t1)))))"
+        s"""WITH vocab AS (
+           |  SELECT tok, count(*) AS freq FROM (
+           |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+           |  WHERE len(tok) >= 3 GROUP BY tok),
+           |vr AS (
+           |  SELECT tok, freq, unnest(list_distinct(
+           |    list_append(list_concat($d1, $d2), tok))) AS v
+           |  FROM vocab),
+           |cand AS (
+           |  SELECT DISTINCT a.tok AS a, b.tok AS b,
+           |    a.freq AS freq_a, b.freq AS freq_b
+           |  FROM vr a JOIN vr b ON a.v = b.v AND a.tok < b.tok)
+           |SELECT a, b, freq_a, freq_b, levenshtein(a, b) AS lev FROM cand
+           |WHERE levenshtein(a, b) <= 2
+           |ORDER BY a, b""".stripMargin
+      },
 
       // the generator's semantics replayed with the list_transform
       // formulation (q51's CTE without the hashing)

@@ -190,6 +190,34 @@ object TimeWindowOps extends OpModule {
         .orderBy("prev", "next")
     },
 
+    // Rolling engagement (added r10) — the DAU/WAU stickiness series
+    // every product dashboard tracks: per day, the distinct users that
+    // day (DAU), the distinct users over the trailing 7 days (WAU),
+    // and their ratio. Rolling DISTINCT does not decompose into a
+    // window aggregate (distinct isn't subtractable), so the exact
+    // form is a bounded RANGE JOIN (q75's family): the deduplicated
+    // (day, user) pairs — already tiny relative to events — fan out
+    // ≤ 7× against the day grid and re-aggregate. At 100 TB the exact
+    // fan-out is replaced by q110's discipline: one HLL sketch per
+    // day, any trailing window = a 7-sketch merge — this query is the
+    // exact twin the sketch path is validated against. Ratio divides
+    // two exact counts once, rounds once.
+    "q135_rolling_dau" -> { (s, d) =>
+      val ud = Tables(s, d, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val days = ud.select(col("day").as("d")).distinct()
+      val dau = ud.groupBy(col("day").as("d"))
+        .agg(countDistinct("user_id").as("dau"))
+      val wau = days
+        .join(ud, col("day").between(date_sub(col("d"), 6), col("d")))
+        .groupBy("d").agg(countDistinct("user_id").as("wau"))
+      dau.join(wau, Seq("d"))
+        .select(col("d").as("day"), col("dau"), col("wau"),
+                round(col("dau").cast("double") / col("wau"), 6)
+                  .as("stickiness"))
+        .orderBy("day")
+    },
+
     // Cohort retention (added r9) — the growth-analytics matrix: users
     // cohorted by first-seen week, counted distinct in each later week
     // offset. Two aggregations shuffling on user_id (first-seen) and
@@ -292,6 +320,20 @@ object TimeWindowOps extends OpModule {
         |WHERE (n * CAST(v AS HUGEINT) - s) * (n * CAST(v AS HUGEINT) - s)
         |      > 4 * (n * q - s * s)
         |ORDER BY event_id""".stripMargin,
+
+    "q135_rolling_dau" ->
+      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |            FROM events),
+        |days AS (SELECT DISTINCT day AS d FROM ud),
+        |dau AS (SELECT day AS d, count(DISTINCT user_id) AS dau
+        |        FROM ud GROUP BY 1),
+        |wau AS (SELECT days.d, count(DISTINCT ud.user_id) AS wau
+        |        FROM days JOIN ud
+        |          ON ud.day BETWEEN days.d - 6 AND days.d
+        |        GROUP BY 1)
+        |SELECT dau.d AS day, dau, wau,
+        |  round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+        |FROM dau JOIN wau ON dau.d = wau.d ORDER BY day""".stripMargin,
 
     "q130_session_paths" ->
       """WITH g AS (
