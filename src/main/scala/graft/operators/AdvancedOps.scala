@@ -217,30 +217,25 @@ object AdvancedOps extends OpModule {
     // the q119 merge plus one extra projection per side; history
     // grows by the change volume, never the snapshot volume.
     "q123_scd2_history" -> { (s, d) =>
-      val orders = Tables(s, d, "orders")
-      def sides(df: DataFrame, h: String, pfx: String): DataFrame =
-        df.select(col("key") +: rowHash.as(h) +:
-          OrderVals.map(c => col(c).as(pfx + c.stripPrefix("o_"))): _*)
-      val f = sides(keyed(orders), "h_old", "old_")
-        .join(sides(todayRows(orders), "h_new", "new_"),
-              Seq("key"), "full_outer")
-      val changed = col("h_new").isNull || col("h_old") =!= col("h_new")
-      val oldRows = f.where(col("h_old").isNotNull)
-        .select(col("key") +:
-          OrderVals.map(c => col("old_" + c.stripPrefix("o_")).as(c)) :+
-          lit(0).as("valid_from") :+
-          when(changed, lit(1)).otherwise(lit(null).cast("int"))
-            .as("valid_to") :+
-          when(changed, lit(0)).otherwise(lit(1)).as("is_current"): _*)
-      val newRows = f.where(col("h_old").isNull ||
-                            (col("h_new").isNotNull &&
-                             col("h_old") =!= col("h_new")))
-        .select(col("key") +:
-          OrderVals.map(c => col("new_" + c.stripPrefix("o_")).as(c)) :+
-          lit(1).as("valid_from") :+
-          lit(null).cast("int").as("valid_to") :+
-          lit(1).as("is_current"): _*)
-      oldRows.unionByName(newRows).orderBy("key", "valid_from")
+      scd2History(s, d).orderBy("key", "valid_from")
+    },
+
+    // Time travel over the SCD2 history (added r10) — the read half
+    // of q123: reconstruct the snapshot AS OF version 0 from the
+    // history alone by the interval predicate valid_from ≤ v <
+    // coalesce(valid_to, ∞). The oracle is simply the original orders
+    // table — proving the history is SUFFICIENT to recover any past
+    // version exactly (the lakehouse time-travel contract); the day-1
+    // reconstruction equals the applied q119 snapshot by the same
+    // predicate (spec-asserted). Cost: one scan of the history with a
+    // pushable interval filter — at 100 TB the history is bucketed on
+    // the key like its inputs and version reads stay zero-exchange.
+    "q136_time_travel" -> { (s, d) =>
+      scd2History(s, d)
+        .where(col("valid_from") <= 0 &&
+               (col("valid_to").isNull || col("valid_to") > 0))
+        .select(col("key") +: OrderVals.map(col): _*)
+        .orderBy("key")
     },
 
     // GDPR cascade delete audit (added r10) — the right-to-be-forgotten
@@ -363,6 +358,35 @@ object AdvancedOps extends OpModule {
         .select(col("key") +: col("op") +:
                 OrderVals.map(c => col("n_" + c.stripPrefix("o_"))): _*)
     }
+
+  /** The SCD2 version table (q123's body, un-ordered) — shared with
+    * q136's time-travel read and the version-reconstruction spec. */
+  private[graft] def scd2History(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables(s, d, "orders")
+    def sides(df: DataFrame, h: String, pfx: String): DataFrame =
+      df.select(col("key") +: rowHash.as(h) +:
+        OrderVals.map(c => col(c).as(pfx + c.stripPrefix("o_"))): _*)
+    val f = sides(keyed(orders), "h_old", "old_")
+      .join(sides(todayRows(orders), "h_new", "new_"),
+            Seq("key"), "full_outer")
+    val changed = col("h_new").isNull || col("h_old") =!= col("h_new")
+    val oldRows = f.where(col("h_old").isNotNull)
+      .select(col("key") +:
+        OrderVals.map(c => col("old_" + c.stripPrefix("o_")).as(c)) :+
+        lit(0).as("valid_from") :+
+        when(changed, lit(1)).otherwise(lit(null).cast("int"))
+          .as("valid_to") :+
+        when(changed, lit(0)).otherwise(lit(1)).as("is_current"): _*)
+    val newRows = f.where(col("h_old").isNull ||
+                          (col("h_new").isNotNull &&
+                           col("h_old") =!= col("h_new")))
+      .select(col("key") +:
+        OrderVals.map(c => col("new_" + c.stripPrefix("o_")).as(c)) :+
+        lit(1).as("valid_from") :+
+        lit(null).cast("int").as("valid_to") :+
+        lit(1).as("is_current"): _*)
+    oldRows.unionByName(newRows)
+  }
 
   /** Tomorrow's snapshot = snapshot MERGE changes (the q119 body,
     * un-ordered so the re-diff spec can reuse it). */
@@ -496,6 +520,13 @@ object AdvancedOps extends OpModule {
         |  FROM f WHERE h_old IS NULL
         |     OR (h_new IS NOT NULL AND h_old <> h_new))
         |ORDER BY key, valid_from""".stripMargin,
+
+    // the history must recover version 0 exactly: the oracle IS the
+    // original table
+    "q136_time_travel" ->
+      """SELECT o_orderkey AS key, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders ORDER BY key""".stripMargin,
 
     "q126_gdpr_cascade" ->
       """WITH dc AS (SELECT c_custkey FROM customer WHERE c_custkey % 37 = 0),

@@ -1003,6 +1003,28 @@ class CorrectnessSpec extends SparkSpecBase {
     }
   }
 
+  test("q136 time travel forward: the history reconstructs the day-1 snapshot too") {
+    // q136's declared read recovers version 0 (oracle = orders); the
+    // same interval predicate at v = 1 must recover the APPLIED
+    // snapshot q119 built — history, merge and diff all agree on what
+    // "today" is
+    // o_orderdate canonicalized to string: the merged snapshot reads
+    // the bucketed artifact (DDL TIMESTAMP) while the history reads
+    // the parquet directly (TIMESTAMP_NTZ) — same instant under the
+    // UTC session, different JVM types
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("key"), col("o_custkey"), col("o_orderstatus"),
+              col("o_totalprice"), col("o_orderdate").cast("string"),
+              col("o_orderpriority"))
+      .orderBy("key").collect().toSeq
+    val v1 = canon(operators.AdvancedOps.scd2History(spark, sf)
+      .where(col("valid_from") <= 1 &&
+             (col("valid_to").isNull || col("valid_to") > 1)))
+    val applied = canon(operators.AdvancedOps.mergedSnapshot(spark, sf))
+    assert(v1 == applied)
+    assert(v1.nonEmpty)
+  }
+
   test("q46 minhash candidates are supported by real prefix near-dups") {
     // Every q42 high-Jaccard pair should be recovered by LSH banding.
     val lsh = q("q46_dedup_minhash").select("id_a", "id_b")
