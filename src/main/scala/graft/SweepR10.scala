@@ -18,7 +18,11 @@ object SweepR10 {
     val qs = Seq("q113_funnel", "q118_anomaly_flags", "q119_merge_apply",
       "q120_decontaminate_semantic", "q121_bpe_dict",
       "q122_stream_file_sink", "q123_scd2_history",
-      "q124_compact_layout", "q125_kmeans_step", "q126_gdpr_cascade")
+      "q124_compact_layout", "q125_kmeans_step", "q126_gdpr_cascade",
+      "q127_rrf_fusion", "q128_kll_daily_union", "q129_token_lift",
+      "q130_session_paths", "q131_rollup_incremental", "q132_triangles",
+      "q133_ngram_freq", "q134_typo_pairs", "q135_rolling_dau",
+      "q136_time_travel")
     for (d <- Seq("/root/testdata/sf0.1", "/tmp/sf10x10b")) {
       spark.read.parquet(s"$d/nation.parquet").count()
       for (q <- qs) {
