@@ -238,6 +238,36 @@ object AdvancedOps extends OpModule {
         .orderBy("key")
     },
 
+    // Benford leading-digit audit (added r10) — the FORENSIC tier of
+    // the DQ family next to q116's rule gate: naturally-occurring
+    // multi-magnitude amounts follow Benford's law (P(d) =
+    // log10(1+1/d)), and a fabricated or truncated feed shows up as a
+    // digit distribution that drifts from it — the classic
+    // accounting-forensics screen, run here over order totals. The
+    // leading digit is extracted via integer string arithmetic
+    // (floor → BIGINT → first char: integer-to-string never goes
+    // scientific, and floor-then-cast avoids DuckDB's round-on-cast
+    // vs Spark's truncate-on-cast divergence). One scan, a 9-key agg;
+    // the expected share is a 9-value log10 table both engines
+    // evaluate identically at 6 dp. (This corpus's totals are
+    // uniform-ish over one magnitude, so they deliberately FAIL the
+    // screen — large |share − expected| gaps — which is what makes
+    // the audit non-vacuous here.)
+    "q137_benford" -> { (s, d) =>
+      val orders = Tables(s, d, "orders")
+      val n = orders.agg(count(lit(1)).as("n"))
+      orders
+        .select(substring(floor(col("o_totalprice")).cast("bigint")
+          .cast("string"), 1, 1).as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(n))
+        .select(col("digit"), col("cnt"),
+                round(col("cnt").cast("double") / col("n"), 6).as("share"),
+                round(log10(lit(1.0) + lit(1.0) /
+                            col("digit").cast("double")), 6).as("benford"))
+        .orderBy("digit")
+    },
+
     // GDPR cascade delete audit (added r10) — the right-to-be-forgotten
     // job every pipeline holding user data runs: a deterministic
     // deletion list (customers with key % 37 = 0, standing in for the
@@ -527,6 +557,18 @@ object AdvancedOps extends OpModule {
       """SELECT o_orderkey AS key, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate, o_orderpriority
         |FROM orders ORDER BY key""".stripMargin,
+
+    "q137_benford" ->
+      """WITH d AS (
+        |  SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |                     AS VARCHAR), 1, 1) AS digit,
+        |    count(*) AS cnt
+        |  FROM orders GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM orders)
+        |SELECT digit, cnt,
+        |  round(CAST(cnt AS DOUBLE) / n.n, 6) AS share,
+        |  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford
+        |FROM d, n ORDER BY digit""".stripMargin,
 
     "q126_gdpr_cascade" ->
       """WITH dc AS (SELECT c_custkey FROM customer WHERE c_custkey % 37 = 0),

@@ -291,6 +291,43 @@ object DedupExtOps extends OpModule {
         .orderBy("doc_id")
     },
 
+    // BFS distance layers (added r10) — the fourth graph primitive:
+    // hop distance from a deterministic source (the max-degree node,
+    // smallest id on ties — the hub of the densest near-dup
+    // neighborhood, so the walk explores real structure) out to 3
+    // hops, the
+    // neighborhood-radius query behind "how far does this boilerplate
+    // family spread". Unrolled frontier expansion: each round is one
+    // join (edges ⋈ frontier) + a distinct + an anti join against the
+    // visited set — the standard distributed BFS where a round's cost
+    // is O(frontier-adjacent edges), never O(graph); first discovery
+    // IS minimum distance because rounds run in order. Fixed 3 rounds
+    // keeps the plan static and the oracle expressible (a bounded
+    // recursive CTE with min-dist reduction); an unbounded BFS swaps
+    // in the q82 fixpoint discipline (pinned rounds + convergence
+    // count).
+    "q138_bfs_layers" -> { (s, d) =>
+      val pairs = candidatePairs(Tables(s, d, "documents"),
+                                 maxBucket = HotBucketCap)
+      val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      val src = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+        .orderBy(col("deg").desc, col("u")).limit(1)
+        .select(col("u").as("doc_id"))
+      var layers = broadcast(src).select(col("doc_id"), lit(0L).as("dist"))
+      var frontier = layers.select("doc_id")
+      for (k <- 1 to 3) {
+        val next = edges
+          .join(frontier.withColumnRenamed("doc_id", "u"), Seq("u"))
+          .select(col("v").as("doc_id")).distinct()
+          .join(layers.select("doc_id"), Seq("doc_id"), "left_anti")
+        layers = layers
+          .unionAll(next.select(col("doc_id"), lit(k.toLong).as("dist")))
+        frontier = next
+      }
+      layers.orderBy("doc_id")
+    },
+
     // Incremental cluster MAINTENANCE (added r9) — the operation a
     // pipeline runs when a new crawl batch lands: merge the batch into
     // the existing duplicate-cluster structure WITHOUT re-banding or
@@ -668,6 +705,27 @@ object DedupExtOps extends OpModule {
     "q108_clusters_incremental" ->
       s"""$clustersCte
          |SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin,
+
+    // bounded recursive walk + min-dist reduction — first discovery in
+    // the engine's ordered rounds ≡ the minimum over all ≤3-hop walks
+    "q138_bfs_layers" ->
+      s"""${minhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.sig = y.sig
+         |          AND x.doc_id < y.doc_id),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM cand
+         |          UNION ALL SELECT id_b, id_a FROM cand),
+         |src AS (SELECT u AS id FROM (
+         |          SELECT u, count(*) AS deg FROM edges GROUP BY u
+         |          ORDER BY deg DESC, u LIMIT 1)),
+         |walk(v, dist) AS (
+         |  SELECT id, 0 FROM src
+         |  UNION ALL
+         |  SELECT e.v, w.dist + 1 FROM walk w JOIN edges e ON e.u = w.v
+         |  WHERE w.dist < 3)
+         |SELECT v AS doc_id, CAST(min(dist) AS BIGINT) AS dist
+         |FROM walk GROUP BY v ORDER BY doc_id""".stripMargin,
 
     // oriented a<b<c enumeration: wedge join + closing-edge semi join,
     // each triangle exploded to its three corners
