@@ -39,6 +39,7 @@ object Bench {
                catch { case e: Throwable =>
                  System.err.println(s"[bench] $name failed: ${e.getMessage}")
                  false }
+               finally PinScope.drain() // release pins AFTER the consume
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -24,6 +24,7 @@ object SparkEntry {
     operators.SimilarityExtOps,
     operators.MultimodalExtOps,
     operators.CorpusExtOps,
+    operators.StatsExtOps,
     sources.SourceOps,
     sources.PartitionedOps,
     streaming.StreamOps,

@@ -305,22 +305,38 @@ object DedupExtOps extends OpModule {
     // keeps the plan static and the oracle expressible (a bounded
     // recursive CTE with min-dist reduction); an unbounded BFS swaps
     // in the q82 fixpoint discipline (pinned rounds + convergence
-    // count).
+    // count). The edge set is PINNED once (q82's InternalPin
+    // discipline): `edges` is referenced by the degree ranking plus
+    // every round's expansion — lazily that re-runs the whole
+    // banding+self-join pipeline per reference (measured 5.8 s at
+    // sf0.1); pinned, banding runs once and each round joins against
+    // in-memory blocks (1.3 s). Each round's frontier is pinned too,
+    // so the round-k anti-join reads round-(k−1)'s blocks instead of
+    // replaying the growing union chain. Handles outlive the lazy
+    // result via [[graft.PinScope]]; the harness drains them after
+    // consuming (releasing before the consume would race block
+    // removal and recompute everything — measured 4.7 s).
     "q138_bfs_layers" -> { (s, d) =>
+      def pin(df: DataFrame) = org.apache.spark.sql.graft.InternalPin.pin(df)
       val pairs = candidatePairs(Tables(s, d, "documents"),
                                  maxBucket = HotBucketCap)
-      val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-        .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      val (edges, eh) =
+        pin(pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+          .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v"))))
+      eh.count() // materialize: every later reference reads blocks
       val src = edges.groupBy("u").agg(count(lit(1)).as("deg"))
         .orderBy(col("deg").desc, col("u")).limit(1)
         .select(col("u").as("doc_id"))
+      graft.PinScope.retain(eh)
       var layers = broadcast(src).select(col("doc_id"), lit(0L).as("dist"))
       var frontier = layers.select("doc_id")
       for (k <- 1 to 3) {
-        val next = edges
+        val (next, nh) = pin(edges
           .join(frontier.withColumnRenamed("doc_id", "u"), Seq("u"))
           .select(col("v").as("doc_id")).distinct()
-          .join(layers.select("doc_id"), Seq("doc_id"), "left_anti")
+          .join(layers.select("doc_id"), Seq("doc_id"), "left_anti"))
+        nh.count()
+        graft.PinScope.retain(nh)
         layers = layers
           .unionAll(next.select(col("doc_id"), lit(k.toLong).as("dist")))
         frontier = next

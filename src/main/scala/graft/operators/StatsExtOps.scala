@@ -1,0 +1,416 @@
+package graft.operators
+
+import graft.{OpModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical / analytical screens over the fact tables (SURVEY.md §2,
+  * added r10): sweep-line concurrency, a single-pass correlation matrix,
+  * an exact two-sample Kolmogorov–Smirnov distance, per-slice token
+  * entropy, weighted reservoir sampling, and an exact chi-squared
+  * independence screen. The family's shared discipline is q118's: keep
+  * every aggregate EXACT (integer/decimal moments, denominators cleared)
+  * for as long as possible and drop to double only for the final,
+  * deterministically-ordered formula rounded to 6 dp — so statistical
+  * outputs stay hash-checkable cross-engine.
+  */
+object StatsExtOps extends OpModule {
+
+  /** Pearson r from exact moment sums, computed in double with a fixed
+    * operand order (the oracle spells the identical order): given exact
+    * inputs, each IEEE op is deterministic, so both engines produce the
+    * same double before the 6 dp round. */
+  private def corrOf(n: Column, sx: Column, sy: Column,
+                     sxx: Column, syy: Column, sxy: Column): Column = {
+    def d(c: Column) = c.cast("double")
+    round((d(n) * d(sxy) - d(sx) * d(sy)) /
+            sqrt((d(n) * d(sxx) - d(sx) * d(sx)) *
+                 (d(n) * d(syy) - d(sy) * d(sy))), 6)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Sweep-line max concurrency (added r10) — the capacity-planning
+    // staple: each event holds a resource for 30 minutes; per
+    // event_type, the peak number of simultaneously-open holds and
+    // when it is first reached. Classic interval stabbing made
+    // relational: every interval emits a +1 at its start and a −1 at
+    // its (half-open) end, boundaries collapse to per-instant NET
+    // deltas, and a running sum over time is the live count. With
+    // half-open intervals, ends at an instant retire before starts
+    // admit, so the running value only ever DIPS inside an instant
+    // and the per-row maximum equals the per-instant maximum — the
+    // oracle's per-instant netting and this per-row sweep provably
+    // agree. Scale shape: ONE scan (boundaries come from an exploded
+    // 2-struct array, not a self-union), ONE shuffle — the running
+    // sum and the peak are stacked windows on the same (event_type)
+    // partitioning and the final per-type agg reuses it (q113's
+    // trick; plan-asserted). No self-join, no range join: O(n log n)
+    // by sort, the optimal sweep. Within an instant all deltas of a
+    // kind are equal, so the multiset of running values is
+    // order-independent and the (max, first-peak-time) pair is
+    // deterministic.
+    "q139_max_concurrency" -> { (s, d) =>
+      val bounds = Tables(s, d, "events")
+        .select(col("event_type"), explode(array(
+          struct(col("ts").as("t"), lit(1L).as("delta")),
+          struct((col("ts") + expr("INTERVAL 30 MINUTES")).as("t"),
+                 lit(-1L).as("delta")))).as("x"))
+        .select(col("event_type"), col("x.t").as("t"),
+                col("x.delta").as("delta"))
+      val wRun = Window.partitionBy("event_type")
+        .orderBy(col("t"), col("delta"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy("event_type")
+      bounds
+        .withColumn("cur", sum(col("delta")).over(wRun))
+        .withColumn("mx", max(col("cur")).over(wAll))
+        .where(col("cur") === col("mx"))
+        .groupBy("event_type")
+        .agg(max(col("cur")).as("max_concurrent"),
+             min(col("t")).as("peak_start"))
+        .orderBy("event_type")
+    },
+
+    // Single-pass correlation matrix (added r10) — the feature-audit
+    // companion to q86's profiler: Pearson r for every pair of the
+    // four lineitem measures, from ONE scan. Each measure is made an
+    // exact integer (cents: round(x·100), the q118 trick), so the 15
+    // moment sums (4 sums, 4 sum-of-squares, 6 cross-products, count)
+    // are EXACT decimal(38,0) accumulations — commutative, partial-agg
+    // safe — and the whole matrix is one map-side-combined aggregate
+    // producing a single row; r itself is then a fixed-order double
+    // formula per pair ([[corrOf]]). At 100 TB this is the only shape
+    // that works: no per-pair rescans (a naive corr(x,y) loop reads
+    // the table 6×), no Welford state ordering issues — moments
+    // commute, the optimizer combines partials, and the result is a
+    // 6-row broadcast. Exact while a cross-product sum < 1e38
+    // (n·(1e7)² < 1e38 ⟺ n < 1e24 rows — never binding).
+    "q140_corr_matrix" -> { (s, d) =>
+      def cents(c: String) = round(col(c) * 100).cast("long")
+      def sq(a: Column, b: Column) =
+        sum((a * b).cast("decimal(38,0)"))
+      val v = Tables(s, d, "lineitem").select(
+        cents("l_quantity").as("q"), cents("l_extendedprice").as("e"),
+        cents("l_discount").as("dd"), cents("l_tax").as("t"))
+      val m = v.agg(
+        count(lit(1)).as("n"),
+        sum(col("q").cast("decimal(38,0)")).as("sq"),
+        sum(col("e").cast("decimal(38,0)")).as("se"),
+        sum(col("dd").cast("decimal(38,0)")).as("sd"),
+        sum(col("t").cast("decimal(38,0)")).as("st"),
+        sq(col("q"), col("q")).as("sqq"), sq(col("e"), col("e")).as("see"),
+        sq(col("dd"), col("dd")).as("sdd"), sq(col("t"), col("t")).as("stt"),
+        sq(col("q"), col("e")).as("sqe"), sq(col("q"), col("dd")).as("sqd"),
+        sq(col("q"), col("t")).as("sqt"), sq(col("e"), col("dd")).as("sed"),
+        sq(col("e"), col("t")).as("set"), sq(col("dd"), col("t")).as("sdt"))
+      def pair(nm: String, sx: String, sy: String, sxx: String,
+               syy: String, sxy: String) =
+        struct(lit(nm).as("pair"),
+               corrOf(col("n"), col(sx), col(sy), col(sxx), col(syy),
+                      col(sxy)).as("corr_r"))
+      m.select(explode(array(
+          pair("q_e", "sq", "se", "sqq", "see", "sqe"),
+          pair("q_d", "sq", "sd", "sqq", "sdd", "sqd"),
+          pair("q_t", "sq", "st", "sqq", "stt", "sqt"),
+          pair("e_d", "se", "sd", "see", "sdd", "sed"),
+          pair("e_t", "se", "st", "see", "stt", "set"),
+          pair("d_t", "sd", "st", "sdd", "stt", "sdt"))).as("p"))
+        .select(col("p.pair").as("pair"), col("p.corr_r").as("corr_r"))
+        .orderBy("pair")
+    },
+
+    // Exact two-sample Kolmogorov–Smirnov distance (added r10) — the
+    // drift detector: are URGENT and LOW order totals drawn from the
+    // same distribution? D = max over observed values of
+    // |F1(v) − F2(v)|, made EXACT by clearing denominators:
+    // D·n1·n2 = max |cum1·n2 − cum2·n1| over integer cumulative
+    // counts — a BIGINT, hash-checkable, no float CDFs (q118's
+    // discipline applied to a two-sample test). Scale shape: the
+    // cumulative counts are a DISTRIBUTED prefix sum — per-value
+    // counts bucket by a min/max-derived range key (64 buckets),
+    // per-bucket totals (64 rows) turn into exclusive prefix offsets
+    // with one tiny window, and each bucket's interior cumsum runs
+    // under partitionBy(bucket) in parallel; a global orderBy window
+    // would funnel every distinct value through ONE reducer. Exact
+    // while D·n1·n2 < 2^63 (n ≈ 3e9 per side) — beyond that the
+    // numerator column widens to decimal, same plan.
+    "q141_ks_test" -> { (s, d) =>
+      val o = Tables(s, d, "orders")
+        .where(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(round(col("o_totalprice") * 100).cast("long").as("v"),
+                when(col("o_orderpriority") === "1-URGENT", 1L)
+                  .otherwise(0L).as("in1"))
+      val pv = o.groupBy("v")
+        .agg(sum("in1").as("c1"), sum(lit(1L) - col("in1")).as("c2"))
+      val rng = pv.agg(min("v").as("vmin"), max("v").as("vmax"))
+      val bucketed = pv.crossJoin(broadcast(rng))
+        .withColumn("b", expr("((v - vmin) * 64) div (vmax - vmin + 1)"))
+      val bt = bucketed.groupBy("b")
+        .agg(sum("c1").as("t1"), sum("c2").as("t2"))
+      val wOff = Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1) // 64 rows: tiny
+      val off = bt.select(col("b"),
+        coalesce(sum("t1").over(wOff), lit(0L)).as("o1"),
+        coalesce(sum("t2").over(wOff), lit(0L)).as("o2"))
+      val wIn = Window.partitionBy("b").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = pv.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+      bucketed.join(broadcast(off), Seq("b"))
+        .withColumn("cum1", col("o1") + sum("c1").over(wIn))
+        .withColumn("cum2", col("o2") + sum("c2").over(wIn))
+        .crossJoin(broadcast(tot))
+        .select(col("n1"), col("n2"),
+                abs(col("cum1").cast("decimal(38,0)") * col("n2") -
+                    col("cum2").cast("decimal(38,0)") * col("n1")).as("dd"))
+        .groupBy("n1", "n2").agg(max("dd").as("dmax"))
+        .select(col("n1"), col("n2"),
+                col("dmax").cast("long").as("d_num"),
+                round(col("dmax").cast("double") /
+                      (col("n1").cast("double") * col("n2").cast("double")),
+                      6).as("ks_stat"))
+    },
+
+    // Per-language token entropy (added r10) — the corpus-diversity
+    // diagnostic behind training-data mixing: Shannon entropy of each
+    // language slice's token distribution (high = diverse text, low =
+    // boilerplate/repetition) plus vocabulary size. H = ln n −
+    // (Σ c·ln c)/n over per-(lang, token) counts c. The inner sum is
+    // a DOUBLE sum, whose value would depend on partial-agg order —
+    // so each term is rounded to 6 dp and accumulated as an exact
+    // decimal (order-independent, mergeable), and only the final
+    // formula divides and rounds: the q118 exactness discipline
+    // applied to a logarithmic statistic. Scale shape: explode to
+    // (lang, token) pairs, two-level hash agg (token counts, then
+    // per-lang rollup) — the q50/q94 token pipeline with one extra
+    // tiny agg; no windows, no joins.
+    "q142_token_entropy" -> { (s, d) =>
+      val tc = Tables(s, d, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .where(length(col("tok")) > 0)
+        .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      tc.groupBy("lang").agg(
+          sum("c").as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          sum(round(col("c").cast("double") * log(col("c").cast("double")),
+                    6).cast("decimal(28,6)")).as("s"))
+        .select(col("lang"), col("n_tokens"), col("vocab"),
+                round(log(col("n_tokens").cast("double")) -
+                      col("s").cast("double") /
+                      col("n_tokens").cast("double"), 6).as("entropy_nats"))
+        .orderBy("lang")
+    },
+
+    // Weighted reservoir sample (added r10) — Efraimidis–Spirtakis
+    // A-ES: a length-weighted top-k per language (docs sampled
+    // ∝ n_chars, the token-budget-proportional draw a mixing job
+    // wants), with q67's no-RNG discipline: u ∈ (0,1) derives from
+    // md5(doc_id) (stable under reshuffles/re-runs), and the A-ES key
+    // u^(1/w) is ranked via the monotone-equivalent ln(u)/w — one ln
+    // instead of a pow. The key is rounded to 6 dp BEFORE ranking
+    // with doc_id as tie-break (q94's discipline), so the order is
+    // engine-identical. Scale shape: pure map + per-lang top-20 —
+    // the rank-filter pattern InferWindowGroupLimit rewrites to a
+    // map-side WindowGroupLimit, so only ≤ 20 rows per lang per
+    // partition ever shuffle (plan-asserted); A-ES keys are also
+    // exactly the mergeable min-k summary q92's MinKByKeyAgg
+    // implements if an aggregator shape is preferred.
+    "q143_weighted_sample" -> { (s, d) =>
+      val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+                    16, 10).cast("double") + 1.0) / 4294967297.0
+      val keyed = Tables(s, d, "documents")
+        .select(col("lang"), col("doc_id"), col("source"), col("n_chars"),
+                round(log(u) / col("n_chars").cast("double"), 6)
+                  .as("es_key"))
+      keyed
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("lang")
+            .orderBy(col("es_key").desc, col("doc_id"))))
+        .where(col("rk") <= 20)
+        .select(col("lang"), col("rk").cast("long").as("rk"),
+                col("doc_id"), col("source"), col("n_chars"), col("es_key"))
+        .orderBy("lang", "rk")
+    },
+
+    // Exact chi-squared independence screen (added r10) — the DQ
+    // forensic between q137's Benford audit and q116's rule gate: is
+    // event_type independent of day-of-week? Per-cell deviation made
+    // EXACT by clearing denominators — (O·N − R·C)² over decimal
+    // integers (q118's squared-inequality trick as a reported
+    // statistic, not a filter); the reported χ² contribution divides
+    // once in double and rounds to 6 dp, and the total is an exact
+    // decimal sum of the rounded cells (order-independent). Weekday
+    // is days-since-a-known-Monday mod 7 — portable integer
+    // arithmetic, immune to the Spark-vs-DuckDB dow() convention
+    // split. Scale shape: one scan to a (type, dow) hash agg —
+    // AT MOST types×7 cells regardless of corpus size — then row,
+    // column and grand totals come from windows OVER THE CELL TABLE
+    // (35 rows; never a fact rescan). Exact while (O·N − R·C)² <
+    // 1e38, i.e. N ≲ 3e9 events; beyond that the cell counts
+    // pre-scale (the statistic is invariant under uniform count
+    // scaling) or the decimals widen.
+    "q144_chi2_independence" -> { (s, d) =>
+      val cells = Tables(s, d, "events")
+        .select(col("event_type"),
+                (datediff(to_date(col("ts")),
+                          to_date(lit("1970-01-05"))) % 7)
+                  .cast("long").as("dow"))
+        .groupBy("event_type", "dow").agg(count(lit(1)).as("obs"))
+      val dev = (col("obs").cast("decimal(38,0)") * col("n") -
+                 col("r").cast("decimal(38,0)") * col("cc"))
+      cells
+        .withColumn("r", sum("obs").over(Window.partitionBy("event_type")))
+        .withColumn("cc", sum("obs").over(Window.partitionBy("dow")))
+        .withColumn("n", sum("obs").over(Window.partitionBy(lit(0))))
+        .withColumn("cell_chi2",
+          round((dev * dev).cast("double") /
+                (col("r").cast("double") * col("cc").cast("double") *
+                 col("n").cast("double")), 6))
+        .withColumn("chi2_total",
+          sum(col("cell_chi2").cast("decimal(18,6)"))
+            .over(Window.partitionBy(lit(0))).cast("double"))
+        .select(col("event_type"), col("dow"), col("obs"),
+                col("cell_chi2"), col("chi2_total"))
+        .orderBy("event_type", "dow")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "q139_max_concurrency" ->
+      """WITH b AS (
+        |  SELECT event_type, ts AS t, 1 AS delta FROM events
+        |  UNION ALL
+        |  SELECT event_type, ts + INTERVAL 30 MINUTE, -1 FROM events),
+        |net AS (SELECT event_type, t, sum(delta) AS net
+        |        FROM b GROUP BY 1, 2),
+        |c AS (SELECT event_type, t,
+        |        sum(net) OVER (PARTITION BY event_type ORDER BY t
+        |                       ROWS UNBOUNDED PRECEDING) AS cur
+        |      FROM net),
+        |m AS (SELECT event_type, t, cur,
+        |        max(cur) OVER (PARTITION BY event_type) AS mx FROM c)
+        |SELECT event_type, CAST(max(cur) AS BIGINT) AS max_concurrent,
+        |  min(t) AS peak_start
+        |FROM m WHERE cur = mx GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q140_corr_matrix" ->
+      """WITH v AS (
+        |  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS q,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS e,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS dd,
+        |    CAST(round(l_tax * 100) AS BIGINT) AS t
+        |  FROM lineitem),
+        |s AS (SELECT count(*) AS n,
+        |    sum(CAST(q AS HUGEINT)) AS sq, sum(CAST(e AS HUGEINT)) AS se,
+        |    sum(CAST(dd AS HUGEINT)) AS sd, sum(CAST(t AS HUGEINT)) AS st,
+        |    sum(CAST(q AS HUGEINT) * q) AS sqq,
+        |    sum(CAST(e AS HUGEINT) * e) AS see,
+        |    sum(CAST(dd AS HUGEINT) * dd) AS sdd,
+        |    sum(CAST(t AS HUGEINT) * t) AS stt,
+        |    sum(CAST(q AS HUGEINT) * e) AS sqe,
+        |    sum(CAST(q AS HUGEINT) * dd) AS sqd,
+        |    sum(CAST(q AS HUGEINT) * t) AS sqt,
+        |    sum(CAST(e AS HUGEINT) * dd) AS sed,
+        |    sum(CAST(e AS HUGEINT) * t) AS set_,
+        |    sum(CAST(dd AS HUGEINT) * t) AS sdt
+        |  FROM v),
+        |p AS (
+        |  SELECT 'q_e' AS pair, sq AS sx, se AS sy, sqq AS sxx,
+        |    see AS syy, sqe AS sxy, n FROM s
+        |  UNION ALL SELECT 'q_d', sq, sd, sqq, sdd, sqd, n FROM s
+        |  UNION ALL SELECT 'q_t', sq, st, sqq, stt, sqt, n FROM s
+        |  UNION ALL SELECT 'e_d', se, sd, see, sdd, sed, n FROM s
+        |  UNION ALL SELECT 'e_t', se, st, see, stt, set_, n FROM s
+        |  UNION ALL SELECT 'd_t', sd, st, sdd, stt, sdt, n FROM s)
+        |SELECT pair,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |         CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |        sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |              CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |             (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |              CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |    AS corr_r
+        |FROM p ORDER BY pair""".stripMargin,
+
+    "q141_ks_test" ->
+      """WITH o AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS in1
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |pv AS (SELECT v, sum(in1) AS c1, sum(1 - in1) AS c2
+        |       FROM o GROUP BY 1),
+        |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |             CAST(sum(c2) AS BIGINT) AS n2 FROM pv),
+        |c AS (SELECT
+        |    sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum1,
+        |    sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum2
+        |  FROM pv),
+        |dm AS (SELECT max(abs(CAST(cum1 AS HUGEINT) * t.n2 -
+        |                      CAST(cum2 AS HUGEINT) * t.n1)) AS dmax
+        |       FROM c, t)
+        |SELECT t.n1, t.n2, CAST(dm.dmax AS BIGINT) AS d_num,
+        |  round(CAST(dm.dmax AS DOUBLE) /
+        |        (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)), 6)
+        |    AS ks_stat
+        |FROM t, dm""".stripMargin,
+
+    "q142_token_entropy" ->
+      """WITH tk AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tc AS (SELECT lang, tok, count(*) AS c FROM tk
+        |       WHERE len(tok) > 0 GROUP BY 1, 2),
+        |ag AS (SELECT lang, sum(c) AS n_tokens, count(*) AS vocab,
+        |    sum(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 6)
+        |             AS DECIMAL(28,6))) AS s
+        |  FROM tc GROUP BY 1)
+        |SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(vocab AS BIGINT) AS vocab,
+        |  round(ln(CAST(n_tokens AS DOUBLE)) -
+        |        CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+        |    AS entropy_nats
+        |FROM ag ORDER BY lang""".stripMargin,
+
+    "q143_weighted_sample" ->
+      """WITH k AS (
+        |  SELECT lang, doc_id, source, n_chars,
+        |    round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |                                   1, 8)) AS BIGINT) + 1.0) /
+        |             4294967297.0) / CAST(n_chars AS DOUBLE), 6) AS es_key
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id, source, n_chars, es_key,
+        |        row_number() OVER (PARTITION BY lang
+        |                           ORDER BY es_key DESC, doc_id) AS rk
+        |      FROM k)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, source, n_chars,
+        |  es_key
+        |FROM r WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+
+    "q144_chi2_independence" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST((CAST(ts AS DATE) - DATE '1970-01-05') % 7 AS BIGINT)
+        |      AS dow
+        |  FROM events),
+        |c AS (SELECT event_type, dow, count(*) AS obs FROM e GROUP BY 1, 2),
+        |x AS (SELECT event_type, dow, obs,
+        |    sum(obs) OVER (PARTITION BY event_type) AS r,
+        |    sum(obs) OVER (PARTITION BY dow) AS cc,
+        |    sum(obs) OVER () AS n
+        |  FROM c),
+        |y AS (SELECT event_type, dow, obs,
+        |    round(CAST((CAST(obs AS HUGEINT) * n - CAST(r AS HUGEINT) * cc) *
+        |               (CAST(obs AS HUGEINT) * n - CAST(r AS HUGEINT) * cc)
+        |               AS DOUBLE) /
+        |          (CAST(r AS DOUBLE) * CAST(cc AS DOUBLE) *
+        |           CAST(n AS DOUBLE)), 6) AS cell_chi2
+        |  FROM x)
+        |SELECT event_type, dow, obs, cell_chi2,
+        |  CAST(sum(CAST(cell_chi2 AS DECIMAL(18,6))) OVER () AS DOUBLE)
+        |    AS chi2_total
+        |FROM y ORDER BY event_type, dow""".stripMargin
+  )
+}

@@ -55,9 +55,11 @@ class OperatorSmokeSpec extends SparkSpecBase {
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
-      val df = fn(spark, sf)
-      assert(df.schema.fieldNames.nonEmpty)
-      assert(df.count() >= 0)
+      try {
+        val df = fn(spark, sf)
+        assert(df.schema.fieldNames.nonEmpty)
+        assert(df.count() >= 0)
+      } finally PinScope.drain() // release pins AFTER the consume
     }
   }
 }

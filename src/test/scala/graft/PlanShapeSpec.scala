@@ -178,6 +178,64 @@ class PlanShapeSpec extends SparkSpecBase {
     assert("""Exchange rangepartitioning""".r.findAllIn(fin).size == 1, p)
   }
 
+  test("q139: sweep-line is one scan and one event_type shuffle") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q139_max_concurrency")(spark, sf)
+      val plan = df.queryExecution.executedPlan
+      val scans = plan.collectWithSubqueries { case s: FileSourceScanExec => s }
+      assert(scans.length == 1,
+             s"sweep must read events once (exploded boundaries, not a " +
+             s"self-union), saw ${scans.length} scans")
+      val p = plan.toString
+      // running sum + peak stack on one event_type Exchange+Sort and
+      // the final per-type agg reuses the partitioning (q113's trick)
+      assert("""Exchange hashpartitioning\(event_type"""
+               .r.findAllIn(p).size == 1, p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q140: correlation matrix is ONE scan and a two-phase 15-moment agg") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q140_corr_matrix")(spark, sf)
+      val plan = df.queryExecution.executedPlan
+      val scans = plan.collectWithSubqueries { case s: FileSourceScanExec => s }
+      assert(scans.length == 1,
+             s"all 15 moments must come from one lineitem scan, saw " +
+             s"${scans.length} scans")
+      val p = plan.toString
+      assert(p.contains("partial_sum") || p.contains("Partial"),
+             s"moment agg lost its map-side combine:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q141: KS cumulative counts are a bucket-distributed prefix sum") {
+    val df = SparkEntry.queries("q141_ks_test")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the per-value interior cumsum must run partitioned by the range
+    // bucket — a global ORDER BY window here would be a one-reducer
+    // funnel at scale
+    assert(p.contains("Exchange hashpartitioning(b"),
+           s"KS prefix sum lost its bucket partitioning:\n$p")
+  }
+
+  test("q144: chi-squared totals come from the 35-row cell table, one fact scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q144_chi2_independence")(spark, sf)
+      val plan = df.queryExecution.executedPlan
+      val scans = plan.collectWithSubqueries { case s: FileSourceScanExec => s }
+      assert(scans.length == 1,
+             s"row/column/grand totals must window over the cell table, " +
+             s"not rescan events; saw ${scans.length} scans")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q62: literal partition predicate prunes at the scan") {
     val p = plan("q62_partition_pruning")
     assert(p.contains("PartitionFilters"), p)
@@ -356,7 +414,7 @@ class PlanShapeSpec extends SparkSpecBase {
     // where the rule can't see it) surfaces here, not as a silent
     // full-sort regression at scale.
     for (q <- Seq("q71_ann_batch", "q79_ann_index",
-                  "q107_ann_pq_index", "q94_tfidf")) {
+                  "q107_ann_pq_index", "q94_tfidf", "q143_weighted_sample")) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
