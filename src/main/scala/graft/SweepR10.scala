@@ -22,15 +22,19 @@ object SweepR10 {
       "q127_rrf_fusion", "q128_kll_daily_union", "q129_token_lift",
       "q130_session_paths", "q131_rollup_incremental", "q132_triangles",
       "q133_ngram_freq", "q134_typo_pairs", "q135_rolling_dau",
-      "q136_time_travel")
+      "q136_time_travel", "q137_benford", "q138_bfs_layers",
+      "q139_max_concurrency", "q140_corr_matrix", "q141_ks_test",
+      "q142_token_entropy", "q143_weighted_sample",
+      "q144_chi2_independence")
     for (d <- Seq("/root/testdata/sf0.1", "/tmp/sf10x10b")) {
       spark.read.parquet(s"$d/nation.parquet").count()
       for (q <- qs) {
         // run twice, report the second (artifact builds land in run 1)
-        SparkEntry.queries(q)(spark, d).count()
+        SparkEntry.queries(q)(spark, d).count(); PinScope.drain()
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(q)(spark, d).count()
         println(f"SWEEP $d $q ${(System.nanoTime()-t0)/1e9}%.2f s ($n rows)")
+        PinScope.drain()
       }
     }
     spark.stop()

@@ -233,6 +233,99 @@ object StatsExtOps extends OpModule {
         .orderBy("lang", "rk")
     },
 
+    // Population Stability Index (added r10) — the ML-monitoring
+    // drift metric (the production sibling of q141's KS): PSI =
+    // Σ_bins (p_i − q_i)·ln(p_i/q_i) between the weekday and weekend
+    // value distributions, over 10 equal-width bins from a broadcast
+    // min/max. Laplace-smoothed shares ((c+1)/(n+10)) keep ln finite
+    // on one-sided bins with pure integer+1 arithmetic — no epsilon
+    // constants to mismatch across engines; bins empty on BOTH sides
+    // produce no row (and under smoothing would contribute the same
+    // near-zero term to either engine identically — the declared
+    // semantic is over observed bins). Each bin term rounds to 6 dp
+    // and the PSI total is an exact decimal sum of the rounded terms
+    // (q142's order-safe discipline). Scale shape: ONE scan to a
+    // ≤ 10-row cell table; totals and the PSI sum are windows over
+    // the cells, never a fact rescan (q144's shape).
+    "q145_psi_drift" -> { (s, d) =>
+      val ev = Tables(s, d, "events")
+        .select(col("value"),
+                ((datediff(to_date(col("ts")),
+                           to_date(lit("1970-01-05"))) % 7) < 5)
+                  .cast("long").as("is_wk"))
+      val rng = ev.agg(min("value").as("vmin"), max("value").as("vmax"))
+      val wAll = Window.partitionBy(lit(0))
+      ev.crossJoin(broadcast(rng))
+        .select(least(lit(9L), floor((col("value") - col("vmin")) * 10.0 /
+                                     (col("vmax") - col("vmin"))))
+                  .as("bin"),
+                col("is_wk"))
+        .groupBy("bin")
+        .agg(sum(col("is_wk")).as("a"),
+             sum(lit(1L) - col("is_wk")).as("b"))
+        .withColumn("na", sum("a").over(wAll))
+        .withColumn("nb", sum("b").over(wAll))
+        .withColumn("pa", (col("a") + 1).cast("double") /
+                          (col("na") + 10).cast("double"))
+        .withColumn("pb", (col("b") + 1).cast("double") /
+                          (col("nb") + 10).cast("double"))
+        .withColumn("term",
+          round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 6))
+        .withColumn("psi", sum(col("term").cast("decimal(18,6)"))
+          .over(wAll).cast("double"))
+        .select(col("bin"), col("a"), col("b"), col("term"), col("psi"))
+        .orderBy("bin")
+    },
+
+    // Distributed Gini coefficient (added r10) — the concentration
+    // screen: how unequal are order totals within each priority tier?
+    // G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) needs every row's RANK —
+    // the one statistic here that looks like it demands a per-group
+    // global sort (one reducer per group). Instead, ranks come from
+    // q141's bucketed prefix sum, and a VALUE GROUP (v, count c,
+    // exclusive rank r) contributes v·(c·r + c·(c+1)/2) — consecutive
+    // ranks collapse in closed form, so Σ i·x is an exact decimal
+    // aggregation over per-value rows with no row-level rank ever
+    // materialized. Ties are rank-order independent (equal values,
+    // any permutation of their ranks gives the same Σ i·x), so the
+    // oracle's plain row_number formulation provably agrees.
+    // Interior cumsums run partitionBy(prio, bucket) in parallel
+    // (plan-asserted). Exact while v·n² < 1e38.
+    "q146_gini" -> { (s, d) =>
+      val pv = Tables(s, d, "orders")
+        .select(col("o_orderpriority").as("prio"),
+                round(col("o_totalprice") * 100).cast("long").as("v"))
+        .groupBy("prio", "v").agg(count(lit(1)).as("c"))
+      val rng = pv.groupBy("prio")
+        .agg(min("v").as("vmin"), max("v").as("vmax"))
+      val bucketed = pv.join(broadcast(rng), Seq("prio"))
+        .withColumn("b", expr("((v - vmin) * 64) div (vmax - vmin + 1)"))
+      val wOff = Window.partitionBy("prio").orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = bucketed.groupBy("prio", "b").agg(sum("c").as("t"))
+        .select(col("prio"), col("b"),
+                coalesce(sum("t").over(wOff), lit(0L)).as("boff"))
+      val wIn = Window.partitionBy("prio", "b").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      bucketed.join(broadcast(off), Seq("prio", "b"))
+        .withColumn("r", col("boff") +
+                         coalesce(sum("c").over(wIn), lit(0L)))
+        .select(col("prio"), col("c"),
+                (col("v").cast("decimal(38,0)") * col("c")).as("vc"),
+                (col("v").cast("decimal(38,0)") *
+                 (col("c").cast("decimal(38,0)") * col("r") +
+                  expr("c * (c + 1) div 2"))).as("ix"))
+        .groupBy("prio")
+        .agg(sum("c").as("n"), sum("vc").as("sx"), sum("ix").as("six"))
+        .select(col("prio"), col("n"),
+                round((lit(2.0) * col("six").cast("double") -
+                       (col("n").cast("double") + 1.0) *
+                       col("sx").cast("double")) /
+                      (col("n").cast("double") * col("sx").cast("double")),
+                      6).as("gini"))
+        .orderBy("prio")
+    },
+
     // Exact chi-squared independence screen (added r10) — the DQ
     // forensic between q137's Benford audit and q116's rule gate: is
     // event_type independent of day-of-week? Per-cell deviation made
@@ -388,6 +481,49 @@ object StatsExtOps extends OpModule {
         |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, source, n_chars,
         |  es_key
         |FROM r WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+
+    "q145_psi_drift" ->
+      """WITH ev AS (
+        |  SELECT value,
+        |    CASE WHEN (CAST(ts AS DATE) - DATE '1970-01-05') % 7 < 5
+        |         THEN 1 ELSE 0 END AS is_wk
+        |  FROM events),
+        |rng AS (SELECT min(value) AS vmin, max(value) AS vmax FROM ev),
+        |c AS (SELECT
+        |    CAST(least(9, floor((value - vmin) * 10.0 / (vmax - vmin)))
+        |         AS BIGINT) AS bin,
+        |    CAST(sum(is_wk) AS BIGINT) AS a,
+        |    CAST(sum(1 - is_wk) AS BIGINT) AS b
+        |  FROM ev, rng GROUP BY 1),
+        |x AS (SELECT bin, a, b,
+        |    sum(a) OVER () AS na, sum(b) OVER () AS nb FROM c),
+        |y AS (SELECT bin, a, b,
+        |    round((CAST(a + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE) -
+        |           CAST(b + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE)) *
+        |          ln((CAST(a + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE)) /
+        |             (CAST(b + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE))),
+        |          6) AS term
+        |  FROM x)
+        |SELECT bin, a, b, term,
+        |  CAST(sum(CAST(term AS DECIMAL(18,6))) OVER () AS DOUBLE) AS psi
+        |FROM y ORDER BY bin""".stripMargin,
+
+    "q146_gini" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS prio,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders),
+        |r AS (SELECT prio, v,
+        |        row_number() OVER (PARTITION BY prio ORDER BY v) AS i
+        |      FROM o),
+        |a AS (SELECT prio, count(*) AS n, sum(CAST(v AS HUGEINT)) AS sx,
+        |        sum(CAST(i AS HUGEINT) * v) AS six
+        |      FROM r GROUP BY 1)
+        |SELECT prio, CAST(n AS BIGINT) AS n,
+        |  round((2.0 * CAST(six AS DOUBLE) -
+        |         (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE)) /
+        |        (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS gini
+        |FROM a ORDER BY prio""".stripMargin,
 
     "q144_chi2_independence" ->
       """WITH e AS (

@@ -1025,6 +1025,209 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(v1.nonEmpty)
   }
 
+  // ---- q139–q144 exact-statistics family: in-memory replays ----
+  // Each test recomputes the statistic with plain Scala collections
+  // (BigInt/BigDecimal exact arithmetic, the same fixed double operand
+  // order) and demands EQUALITY with the declared query — the oracle
+  // checks cross-engine agreement; these check the math itself.
+  // (`r6` = the suite's existing HALF_UP 6 dp helper.)
+
+  test("q139 sweep equals an in-memory interval sweep") {
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_type"), unix_micros(col("ts")))
+      .as[(String, Long)].collect()
+    val expected = ev.groupBy(_._1).map { case (tpe, rows) =>
+      val bounds = rows.flatMap { case (_, t) =>
+        Seq((t, 1L), (t + 1800000000L, -1L)) }.sortBy(identity)
+      var cur = 0L
+      val running = bounds.map { case (t, dl) => cur += dl; (t, cur) }
+      val mx = running.map(_._2).max
+      val first = running.find(_._2 == mx).get._1
+      tpe -> (mx, first)
+    }
+    val got = q("q139_max_concurrency")
+      .select(col("event_type"), col("max_concurrent"),
+              unix_micros(col("peak_start")))
+      .as[(String, Long, Long)].collect()
+      .map { case (tpe, m, t) => tpe -> (m, t) }.toMap
+    assert(got == expected)
+  }
+
+  test("q140 correlations equal a BigInt-moment replay, and are valid") {
+    val rows = Tables(spark, sf, "lineitem").select(
+        round(col("l_quantity") * 100).cast("long"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        round(col("l_discount") * 100).cast("long"),
+        round(col("l_tax") * 100).cast("long"))
+      .as[(Long, Long, Long, Long)].collect()
+    val cols = Map("q" -> rows.map(_._1), "e" -> rows.map(_._2),
+                   "d" -> rows.map(_._3), "t" -> rows.map(_._4))
+    def corr(x: Array[Long], y: Array[Long]): Double = {
+      val n = BigInt(x.length)
+      def s(a: Array[Long]) = a.foldLeft(BigInt(0))(_ + _)
+      def sp(a: Array[Long], b: Array[Long]) =
+        a.zip(b).foldLeft(BigInt(0)) { case (acc, (u, v)) =>
+          acc + BigInt(u) * BigInt(v) }
+      val (sx, sy) = (s(x), s(y))
+      val (sxx, syy, sxy) = (sp(x, x), sp(y, y), sp(x, y))
+      r6((n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+         math.sqrt((n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) *
+                   (n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble)))
+    }
+    val got = q("q140_corr_matrix").as[(String, Double)].collect().toMap
+    assert(got.keySet ==
+           Set("q_e", "q_d", "q_t", "e_d", "e_t", "d_t"))
+    got.foreach { case (pair, v) =>
+      assert(v >= -1.0 && v <= 1.0, s"$pair out of range: $v")
+      val Array(a, b) = pair.split("_")
+      assert(v == corr(cols(a), cols(b)), s"$pair: $v")
+    }
+  }
+
+  test("q141 KS statistic equals a BigInt cumulative replay") {
+    val o = Tables(spark, sf, "orders")
+      .where(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(round(col("o_totalprice") * 100).cast("long"),
+              col("o_orderpriority"))
+      .as[(Long, String)].collect()
+    val g1 = o.filter(_._2 == "1-URGENT").map(_._1).sorted
+    val g2 = o.filter(_._2 == "5-LOW").map(_._1).sorted
+    val (n1, n2) = (BigInt(g1.length), BigInt(g2.length))
+    val dmax = (g1 ++ g2).distinct.map { v =>
+      val c1 = BigInt(g1.count(_ <= v))
+      val c2 = BigInt(g2.count(_ <= v))
+      (c1 * n2 - c2 * n1).abs
+    }.max
+    val Array(row) = q("q141_ks_test")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(row == ((n1.toLong, n2.toLong, dmax.toLong,
+                    r6(dmax.toDouble / (n1.toDouble * n2.toDouble)))))
+  }
+
+  test("q142 entropy equals a decimal-sum replay and respects ln(vocab)") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("lang"), col("text")).as[(String, String)].collect()
+    val expected = docs.groupBy(_._1).map { case (lang, rows) =>
+      val counts = rows.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).values.map(_.length.toLong)
+      val n = counts.sum
+      val s = counts.foldLeft(BigDecimal(0)) { (acc, c) =>
+        acc + BigDecimal(r6(c.toDouble * math.log(c.toDouble)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP) }
+      lang -> ((n, counts.size.toLong,
+                r6(math.log(n.toDouble) - s.toDouble / n.toDouble)))
+    }
+    val got = q("q142_token_entropy")
+      .as[(String, Long, Long, Double)].collect()
+      .map { case (l, n, v, h) => l -> ((n, v, h)) }.toMap
+    assert(got == expected)
+    got.foreach { case (lang, (_, vocab, h)) =>
+      assert(h >= 0 && h <= math.log(vocab.toDouble) + 1e-6,
+             s"$lang entropy $h outside [0, ln vocab]") }
+  }
+
+  test("q143 weighted sample equals an in-memory A-ES replay") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(docId: Long, w: Long): Double = {
+      val hex = md.digest(docId.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1.0) / 4294967297.0
+      r6(math.log(u) / w.toDouble)
+    }
+    val docs = Tables(spark, sf, "documents")
+      .select(col("lang"), col("doc_id"), col("n_chars").cast("long"))
+      .as[(String, Long, Long)].collect()
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+      rows.map { case (_, id, w) => (id, key(id, w)) }
+        .sortBy { case (id, k) => (-k, id) }.take(20).zipWithIndex
+        .map { case ((id, k), i) => (lang, i + 1L, id, k) }
+    }.toSet
+    val got = q("q143_weighted_sample")
+      .select(col("lang"), col("rk"), col("doc_id"), col("es_key"))
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("q144 chi-squared equals a cleared-denominator replay") {
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_type"), unix_micros(col("ts")))
+      .as[(String, Long)].collect()
+      .map { case (tpe, us) =>
+        (tpe, (Math.floorDiv(us, 86400000000L) - 4) % 7) }
+    val obs = ev.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val r = obs.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val c = obs.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = obs.values.sum
+    val cells = obs.map { case ((tpe, dow), o) =>
+      val dev = BigInt(o) * BigInt(n) - BigInt(r(tpe)) * BigInt(c(dow))
+      (tpe, dow) -> ((o, r6((dev * dev).toDouble /
+        (r(tpe).toDouble * c(dow).toDouble * n.toDouble))))
+    }
+    val total = cells.values.map { case (_, chi) =>
+      BigDecimal(chi).setScale(6, BigDecimal.RoundingMode.HALF_UP) }
+      .sum.toDouble
+    val got = q("q144_chi2_independence")
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(got.length == cells.size)
+    got.foreach { case (tpe, dow, o, chi, tot) =>
+      assert(cells((tpe, dow)) == ((o, chi)), s"cell ($tpe, $dow)")
+      assert(tot == total)
+    }
+  }
+
+  test("q145 PSI equals a smoothed-share replay and is nonnegative-ish") {
+    val ev = Tables(spark, sf, "events")
+      .select(col("value"), unix_micros(col("ts")))
+      .as[(Double, Long)].collect()
+      .map { case (v, us) =>
+        (v, if ((Math.floorDiv(us, 86400000000L) - 4) % 7 < 5) 1L else 0L) }
+    val vmin = ev.map(_._1).min
+    val vmax = ev.map(_._1).max
+    val cells = ev.groupBy { case (v, _) =>
+        math.min(9L, math.floor((v - vmin) * 10.0 / (vmax - vmin)).toLong) }
+      .view.mapValues { rows =>
+        (rows.map(_._2).sum, rows.map(1L - _._2).sum) }.toMap
+    val na = cells.values.map(_._1).sum
+    val nb = cells.values.map(_._2).sum
+    val terms = cells.map { case (bin, (a, b)) =>
+      val pa = (a + 1).toDouble / (na + 10).toDouble
+      val pb = (b + 1).toDouble / (nb + 10).toDouble
+      bin -> ((a, b, r6((pa - pb) * math.log(pa / pb))))
+    }
+    val psi = terms.values.map { case (_, _, t) =>
+      BigDecimal(t).setScale(6, BigDecimal.RoundingMode.HALF_UP) }
+      .sum.toDouble
+    val got = q("q145_psi_drift")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(got.length == terms.size)
+    got.foreach { case (bin, a, b, term, p) =>
+      assert(terms(bin) == ((a, b, term)), s"bin $bin")
+      assert(p == psi)
+    }
+  }
+
+  test("q146 Gini equals a sorted-rank replay and sits in [0, 1)") {
+    val o = Tables(spark, sf, "orders")
+      .select(col("o_orderpriority"),
+              round(col("o_totalprice") * 100).cast("long"))
+      .as[(String, Long)].collect()
+    val expected = o.groupBy(_._1).map { case (prio, rows) =>
+      val xs = rows.map(_._2).sorted
+      val n = BigInt(xs.length)
+      val sx = xs.foldLeft(BigInt(0))(_ + _)
+      val six = xs.zipWithIndex.foldLeft(BigInt(0)) {
+        case (acc, (x, i)) => acc + BigInt(i + 1) * BigInt(x) }
+      prio -> ((xs.length.toLong,
+                r6((2.0 * six.toDouble - (n.toDouble + 1.0) * sx.toDouble) /
+                   (n.toDouble * sx.toDouble))))
+    }
+    val got = q("q146_gini").as[(String, Long, Double)].collect()
+      .map { case (p, n, g) => p -> ((n, g)) }.toMap
+    assert(got == expected)
+    got.foreach { case (p, (_, g)) =>
+      assert(g >= 0.0 && g < 1.0, s"$p gini $g outside [0, 1)") }
+  }
+
   test("q46 minhash candidates are supported by real prefix near-dups") {
     // Every q42 high-Jaccard pair should be recovered by LSH banding.
     val lsh = q("q46_dedup_minhash").select("id_a", "id_b")

@@ -236,6 +236,33 @@ class PlanShapeSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q145: PSI cells come from one fact scan; min/max is a broadcast") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q145_psi_drift")(spark, sf)
+      val plan = df.queryExecution.executedPlan
+      val scans = plan.collectWithSubqueries { case s: FileSourceScanExec => s }
+      // one scan feeds the binning, one feeds the 2-value min/max
+      // broadcast — totals and the PSI sum window over the ≤10-row
+      // cell table, never the facts
+      assert(scans.length <= 2,
+             s"PSI must not rescan events for totals, saw " +
+             s"${scans.length} scans")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q146: Gini ranks are a bucket-distributed prefix sum") {
+    val df = SparkEntry.queries("q146_gini")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // interior cumsums must run partitioned by (prio, bucket) — a
+    // plain per-prio rank window is a one-reducer-per-group funnel
+    assert(p.contains("Exchange hashpartitioning(prio") &&
+           p.contains(", b"),
+           s"Gini rank lost its bucket partitioning:\n$p")
+  }
+
   test("q62: literal partition predicate prunes at the scan") {
     val p = plan("q62_partition_pruning")
     assert(p.contains("PartitionFilters"), p)
