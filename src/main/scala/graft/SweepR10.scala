@@ -25,7 +25,7 @@ object SweepR10 {
       "q136_time_travel", "q137_benford", "q138_bfs_layers",
       "q139_max_concurrency", "q140_corr_matrix", "q141_ks_test",
       "q142_token_entropy", "q143_weighted_sample",
-      "q144_chi2_independence")
+      "q144_chi2_independence", "q145_psi_drift", "q146_gini")
     for (d <- Seq("/root/testdata/sf0.1", "/tmp/sf10x10b")) {
       spark.read.parquet(s"$d/nation.parquet").count()
       for (q <- qs) {
