@@ -25,6 +25,7 @@ object SparkEntry {
     operators.MultimodalExtOps,
     operators.CorpusExtOps,
     operators.StatsExtOps,
+    operators.StatsModelOps,
     sources.SourceOps,
     sources.PartitionedOps,
     streaming.StreamOps,

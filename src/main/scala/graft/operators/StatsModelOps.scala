@@ -1,0 +1,435 @@
+package graft.operators
+
+import graft.{OpModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second exact-statistics wave (SURVEY.md §2, added r10): per-group OLS
+  * trend regression, robust median/MAD outlier screening, exact
+  * distributed percentile bands, a smoothed bigram language-model
+  * perplexity screen, and the event-audience overlap matrix. The family
+  * keeps [[StatsExtOps]]'s discipline — exact integer/decimal moments and
+  * order statistics for as long as possible, one deterministically-ordered
+  * double formula rounded to 6 dp at the very end — and adds two scale
+  * tools of its own:
+  *
+  *  - order statistics (median, MAD, arbitrary quantiles) come from
+  *    VALUE-GROUP tables plus the q146 bucketed two-level prefix sum, so
+  *    no per-group global sort (one-reducer-per-group) ever happens; the
+  *    value-group table is domain-bound (distinct cents), not corpus-bound;
+  *  - intermediates referenced by several downstream branches (the
+  *    value-group table, the doc bigram table, the distinct user×type
+  *    table) are pinned once via `InternalPin` (the q138 lesson), so the
+  *    fact table is scanned ONCE per query regardless of how many order
+  *    statistics derive from it. Handles are retained in [[graft.PinScope]]
+  *    and drained by the harness after the result is consumed.
+  */
+object StatsModelOps extends OpModule {
+
+  private def pin(df: DataFrame) = org.apache.spark.sql.graft.InternalPin.pin(df)
+
+  private def d(c: Column): Column = c.cast("double")
+
+  /** Inclusive cumulative counts over a per-value-group table
+    * `(key, v, c)` without a per-key global sort (q146's shape): 64 range
+    * buckets from the broadcast per-key min/max, exclusive bucket offsets
+    * from a tiny per-bucket table, interior cumsums running
+    * partitionBy(key, bucket) in parallel. Output: (key, v, c, cum, n).
+    * Callers pass a PINNED pv so the two references read blocks. */
+  private def cumCounts(pv: DataFrame, key: String): DataFrame = {
+    val rng = pv.groupBy(key).agg(min("v").as("vmin"), max("v").as("vmax"))
+    val bucketed = pv.join(broadcast(rng), Seq(key))
+      .withColumn("b", expr("((v - vmin) * 64) div (vmax - vmin + 1)"))
+    val wOff = Window.partitionBy(key).orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = bucketed.groupBy(key, "b").agg(sum("c").as("t"))
+      .select(col(key), col("b"),
+              coalesce(sum("t").over(wOff), lit(0L)).as("boff"))
+    val wIn = Window.partitionBy(key, "b").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bucketed.join(broadcast(off), Seq(key, "b"))
+      .withColumn("cum", col("boff") + sum("c").over(wIn))
+      .withColumn("n", sum("c").over(Window.partitionBy(key)))
+      .select(col(key), col("v"), col("c"), col("cum"), col("n"))
+  }
+
+  /** Exact median from a cumulative value-group table, as the INTEGER
+    * lower+upper middle sum (2·median): odd n → both middles coincide,
+    * even n → their mean is the textbook median. min-over-threshold picks
+    * the order statistics without materializing row ranks. */
+  private def medianM2(cum: DataFrame, key: String): DataFrame =
+    cum.groupBy(key).agg(
+      max("n").as("n"),
+      (min(when(col("cum") >= expr("(n + 1) div 2"), col("v"))) +
+       min(when(col("cum") >= expr("n div 2 + 1"), col("v")))).as("m2"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Per-group OLS trend regression (added r10) — the monitoring
+    // companion to q140's correlation matrix: per event_type, regress
+    // value (cents) on calendar day (epoch days) and report slope,
+    // intercept and R² from EXACT moments. Same shape as q140: the six
+    // moment sums (n, Σx, Σy, Σx², Σy², Σxy) are decimal(38,0)
+    // accumulations — commutative, map-side-combinable — collected in
+    // ONE scan, and the closed-form slope/intercept/R² are fixed-order
+    // double formulas over the exact sums, rounded to 6 dp. At 100 TB
+    // this is one hash agg to ≤|types| rows; nothing else moves.
+    "q147_trend_regression" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .select(col("event_type"),
+                datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+                  .cast("long").as("x"),
+                round(col("value") * 100).cast("long").as("y"))
+      val m = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
+      val det = d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+      val num = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+      m.select(col("event_type"), col("n"),
+          round(num / det, 6).as("slope_cents_per_day"),
+          round((d(col("sy")) * d(col("sxx")) -
+                 d(col("sx")) * d(col("sxy"))) / det, 6)
+            .as("intercept_cents"),
+          round(num * num /
+                (det * (d(col("n")) * d(col("syy")) -
+                        d(col("sy")) * d(col("sy")))), 6).as("r2"))
+        .orderBy("event_type")
+    },
+
+    // Robust outlier screen (added r10) — exact median + MAD (median
+    // absolute deviation) of event value per type, and the count of rows
+    // beyond the standard 3σ-equivalent fence (3·1.4826·MAD) — the
+    // robust alternative to q118's mean/σ flags (a heavy tail inflates
+    // σ and hides itself; the MAD fence doesn't move; here it flags
+    // ~5.5% of each type). The trap this operator exists to avoid:
+    // exact medians via a per-group sort put one group on one reducer,
+    // and Spark's exact `percentile` buffers every value. Instead ONE
+    // fact scan builds the (type, cents, count) value-group table —
+    // domain-bound, not corpus-bound — which is pinned and reread:
+    // median from the bucketed prefix sum, the DEVIATION value groups
+    // derived from the value groups themselves (|v−med| weighted by
+    // c — no second fact scan), MAD from a second prefix sum over
+    // those, and the fence count a weighted filter-sum. All arithmetic
+    // stays integral (2·median and 2·|v−med| clear the half-cent): the
+    // only doubles are the final /200, /400 unit conversions and the
+    // fence compare d > 2.2239·dm2 (= 3·1.4826/2 with both sides' ×2
+    // scaling), all fixed-order. Exact at any scale; no sort, no value
+    // buffering.
+    "q148_mad_outliers" -> { (s, dir) =>
+      val (pv, h) = pin(Tables(s, dir, "events")
+        .select(col("event_type").as("flag"),
+                round(col("value") * 100).cast("long").as("v"))
+        .groupBy("flag", "v").agg(count(lit(1)).as("c")))
+      h.count(); graft.PinScope.retain(h)
+      val med = medianM2(cumCounts(pv, "flag"), "flag")
+      val dv = pv.join(broadcast(med), Seq("flag"))
+        .select(col("flag"), abs(col("v") * 2 - col("m2")).as("v"),
+                col("c"))
+        .groupBy("flag", "v").agg(sum("c").as("c"))
+      val mad = medianM2(cumCounts(dv, "flag"), "flag")
+        .select(col("flag"), col("m2").as("dm2"))
+      val out = pv.join(broadcast(med.select("flag", "m2")), Seq("flag"))
+        .join(broadcast(mad), Seq("flag"))
+        .where(d(abs(col("v") * 2 - col("m2"))) >
+               lit(2.2239) * d(col("dm2")))
+        .groupBy("flag").agg(sum("c").as("n_out"))
+      med.join(broadcast(mad), Seq("flag"))
+        .join(broadcast(out), Seq("flag"), "left")
+        .select(col("flag").as("event_type"), col("n"),
+          round(d(col("m2")) / lit(200.0), 6).as("median_value"),
+          round(d(col("dm2")) / lit(400.0), 6).as("mad_value"),
+          coalesce(col("n_out"), lit(0L)).as("n_outliers"),
+          round(d(coalesce(col("n_out"), lit(0L))) / d(col("n")), 6)
+            .as("outlier_pct"))
+        .orderBy("event_type")
+    },
+
+    // Smoothed bigram LM perplexity screen (added r10) — the language-
+    // model-based quality gate a training-data pipeline runs beside the
+    // heuristic scores (q49): fit an add-one-smoothed per-language
+    // bigram model ON the corpus, score every document's perplexity
+    // under it, report per-language doc counts, mean and max perplexity
+    // (gibberish and boilerplate both surface as tails). Tokens are the
+    // q142 whitespace convention; docs with <2 tokens have no bigrams
+    // and are out of scope by declared semantics. The doc-level bigram
+    // table is pinned ONCE (q138's lesson — three downstream branches:
+    // conditional counts, vocabulary, per-doc scoring; lazily each
+    // would re-tokenize the corpus) so documents is scanned once. Model
+    // probability p(w2|w1) = (c12+1)/(c1+V) with c1 a window sum over
+    // the (lang,w1) partition of the model table and V the bigram-
+    // participant vocabulary — both VOCABULARY-bound, not corpus-bound,
+    // so the model join back to doc bigrams is a bounded-right-side
+    // shuffle join at any corpus size. Cross-engine float discipline:
+    // each bigram TYPE's log-prob rounds to 6 dp once, a doc's log-sum
+    // is an exact decimal sum of those rounded terms (order-free), and
+    // perplexity exp(−Σ/n) rounds to 6 dp; the per-lang mean decimal-
+    // sums the rounded perplexities (q142's order-safe mean).
+    "q149_bigram_lm" -> { (s, dir) =>
+      val tk = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+                posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
+        .where(length(col("tok")) > 0)
+      val wDoc = Window.partitionBy("doc_id").orderBy("p")
+      val (bg, h) = pin(tk
+        .withColumn("w2", lead("tok", 1).over(wDoc))
+        .where(col("w2").isNotNull)
+        .select(col("doc_id"), col("lang"), col("tok").as("w1"),
+                col("w2")))
+      h.count(); graft.PinScope.retain(h)
+      val model = bg.groupBy("lang", "w1", "w2")
+        .agg(count(lit(1)).as("c12"))
+        .withColumn("c1",
+          sum("c12").over(Window.partitionBy("lang", "w1")))
+      val vocab = bg.select(col("lang"), col("w1").as("w"))
+        .unionAll(bg.select(col("lang"), col("w2").as("w")))
+        .distinct().groupBy("lang").agg(count(lit(1)).as("vsz"))
+      val lp = model.join(broadcast(vocab), Seq("lang"))
+        .withColumn("lp",
+          round(log(d(col("c12") + 1) / d(col("c1") + col("vsz"))), 6))
+        .select("lang", "w1", "w2", "lp")
+      val perDoc = bg.join(lp, Seq("lang", "w1", "w2"))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("nbg"),
+             sum(col("lp").cast("decimal(28,6)")).as("lpsum"))
+        .withColumn("ppl",
+          round(exp(-d(col("lpsum")) / d(col("nbg"))), 6))
+      perDoc.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          round(d(sum(col("ppl").cast("decimal(28,6)"))) /
+                d(count(lit(1))), 6).as("avg_ppl"),
+          max(col("ppl")).as("max_ppl"))
+        .orderBy("lang")
+    },
+
+    // Audience overlap matrix (added r10) — which event types share
+    // users: per ordered type pair, the exact overlap count and Jaccard
+    // of the two user sets (the planning input for funnel design and
+    // for q85-style mixture weighting). ONE scan to the distinct
+    // (user, type) table — pinned, because both self-join sides and
+    // the per-type sizes read it; lazily the distinct shuffle would run
+    // three times — then a user_id-keyed self-join emits < |types|²/2
+    // pairs per user and collapses to a ≤ C(|types|,2)-row matrix. The
+    // per-type sizes broadcast back onto it. Pairs with zero overlap
+    // never co-occur on a user and are absent by declared semantics.
+    // Scale shape: distinct + one co-partitioned self-join, output
+    // bounded by |types|², never by users or events.
+    "q150_overlap_matrix" -> { (s, dir) =>
+      val (ut, h) = pin(Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type")).distinct())
+      h.count(); graft.PinScope.retain(h)
+      val sizes = ut.groupBy("event_type").agg(count(lit(1)).as("nu"))
+      val a = ut.select(col("user_id"), col("event_type").as("type_a"))
+      val b = ut.select(col("user_id"), col("event_type").as("type_b"))
+      a.join(b, Seq("user_id")).where(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b").agg(count(lit(1)).as("users_both"))
+        .join(broadcast(sizes.select(col("event_type").as("type_a"),
+                                     col("nu").as("users_a"))),
+              Seq("type_a"))
+        .join(broadcast(sizes.select(col("event_type").as("type_b"),
+                                     col("nu").as("users_b"))),
+              Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("users_a"),
+                col("users_b"), col("users_both"),
+                round(d(col("users_both")) /
+                      d(col("users_a") + col("users_b") -
+                        col("users_both")), 6).as("jaccard"))
+        .orderBy("type_a", "type_b")
+    },
+
+    // Exact percentile bands (added r10) — P50/P95/P99 of event value
+    // per type with textbook linear interpolation (h = (n−1)·q), the
+    // latency-SLO screen, EXACT at any scale: the same pinned value-
+    // group + bucketed-prefix-sum machinery as q148 (the generalization
+    // of its median to arbitrary q), so there is no per-group sort and
+    // no approx sketch — the value-group table is domain-bound and the
+    // order statistics v_⌊h⌋+1, v_⌈h⌉+1 are min-over-threshold picks
+    // from the cumulative table crossed with the 3-row quantile list.
+    // The interpolation (v_lo + frac·(v_hi−v_lo))/100 is the one
+    // fixed-order double formula, rounded to 6 dp. Contrast q77 (the
+    // declared-◐ approx sketch): this is the exact path production
+    // monitors need for SLO attestation.
+    "q151_percentile_bands" -> { (s, dir) =>
+      import s.implicits._
+      val (pv, h) = pin(Tables(s, dir, "events")
+        .select(col("event_type"),
+                round(col("value") * 100).cast("long").as("v"))
+        .groupBy("event_type", "v").agg(count(lit(1)).as("c")))
+      h.count(); graft.PinScope.retain(h)
+      val qdf = Seq(("p50", 0.5), ("p95", 0.95), ("p99", 0.99))
+        .toDF("q_label", "q")
+      cumCounts(pv, "event_type").crossJoin(broadcast(qdf))
+        .withColumn("h", (col("n") - 1).cast("double") * col("q"))
+        .withColumn("k", floor(col("h")).cast("long") + 1)
+        .groupBy("event_type", "q_label").agg(
+          max("n").as("n"), max("h").as("hh"),
+          min(when(col("cum") >= col("k"), col("v"))).as("vlo"),
+          min(when(col("cum") >= col("k") + 1, col("v"))).as("vhi"))
+        .select(col("event_type"), col("q_label"), col("n"),
+          round((d(col("vlo")) +
+                 (col("hh") - floor(col("hh"))) *
+                 (d(coalesce(col("vhi"), col("vlo"))) - d(col("vlo")))) /
+                lit(100.0), 6).as("value_at_q"))
+        .orderBy("event_type", "q_label")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "q147_trend_regression" ->
+      """WITH v AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+        |    CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events),
+        |m AS (SELECT event_type, count(*) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM v GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |         CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |        (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |         CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+        |    AS slope_cents_per_day,
+        |  round((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |         CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE)) /
+        |        (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |         CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+        |    AS intercept_cents,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |         CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) *
+        |        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |         CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |        ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |          CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |         (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |          CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    "q148_mad_outliers" ->
+      """WITH pv AS (
+        |  SELECT event_type AS flag,
+        |    CAST(round(value * 100) AS BIGINT) AS v,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (SELECT flag, v, c,
+        |    sum(c) OVER (PARTITION BY flag ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY flag) AS n
+        |  FROM pv),
+        |med AS (SELECT flag, max(n) AS n,
+        |    min(CASE WHEN cum >= (n + 1) // 2 THEN v END) +
+        |    min(CASE WHEN cum >= n // 2 + 1 THEN v END) AS m2
+        |  FROM cum GROUP BY flag),
+        |dv AS (SELECT pv.flag, abs(2 * pv.v - med.m2) AS v,
+        |    sum(c) AS c
+        |  FROM pv JOIN med ON pv.flag = med.flag GROUP BY 1, 2),
+        |cum2 AS (SELECT flag, v, c,
+        |    sum(c) OVER (PARTITION BY flag ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY flag) AS n
+        |  FROM dv),
+        |mad AS (SELECT flag,
+        |    min(CASE WHEN cum >= (n + 1) // 2 THEN v END) +
+        |    min(CASE WHEN cum >= n // 2 + 1 THEN v END) AS dm2
+        |  FROM cum2 GROUP BY flag),
+        |outl AS (SELECT pv.flag, sum(c) AS n_out
+        |  FROM pv JOIN med ON pv.flag = med.flag
+        |          JOIN mad ON pv.flag = mad.flag
+        |  WHERE CAST(abs(2 * pv.v - med.m2) AS DOUBLE) >
+        |        2.2239 * CAST(mad.dm2 AS DOUBLE)
+        |  GROUP BY 1)
+        |SELECT med.flag AS event_type, CAST(med.n AS BIGINT) AS n,
+        |  round(CAST(med.m2 AS DOUBLE) / 200.0, 6) AS median_value,
+        |  round(CAST(mad.dm2 AS DOUBLE) / 400.0, 6) AS mad_value,
+        |  CAST(coalesce(outl.n_out, 0) AS BIGINT) AS n_outliers,
+        |  round(CAST(coalesce(outl.n_out, 0) AS DOUBLE) /
+        |        CAST(med.n AS DOUBLE), 6) AS outlier_pct
+        |FROM med JOIN mad ON med.flag = mad.flag
+        |  LEFT JOIN outl ON med.flag = outl.flag
+        |ORDER BY event_type""".stripMargin,
+
+    "q149_bigram_lm" ->
+      """WITH tk0 AS (
+        |  SELECT doc_id, lang,
+        |    unnest(string_split(text, ' ')) AS tok,
+        |    generate_subscripts(string_split(text, ' '), 1) AS p
+        |  FROM documents),
+        |tk AS (SELECT * FROM tk0 WHERE len(tok) > 0),
+        |bg AS (SELECT doc_id, lang, tok AS w1,
+        |    lead(tok) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+        |  FROM tk QUALIFY w2 IS NOT NULL),
+        |mdl AS (SELECT lang, w1, w2, count(*) AS c12
+        |        FROM bg GROUP BY 1, 2, 3),
+        |mdl2 AS (SELECT *,
+        |    sum(c12) OVER (PARTITION BY lang, w1) AS c1 FROM mdl),
+        |voc AS (SELECT lang, count(*) AS vsz FROM (
+        |    SELECT lang, w1 AS w FROM bg
+        |    UNION SELECT lang, w2 FROM bg) GROUP BY 1),
+        |lp AS (SELECT m.lang, w1, w2,
+        |    round(ln(CAST(c12 + 1 AS DOUBLE) /
+        |             CAST(c1 + vsz AS DOUBLE)), 6) AS lp
+        |  FROM mdl2 m JOIN voc ON m.lang = voc.lang),
+        |pd AS (SELECT doc_id, bg.lang, count(*) AS nbg,
+        |    sum(CAST(lp.lp AS DECIMAL(28,6))) AS lpsum
+        |  FROM bg JOIN lp ON bg.lang = lp.lang AND bg.w1 = lp.w1
+        |                 AND bg.w2 = lp.w2
+        |  GROUP BY 1, 2),
+        |pd2 AS (SELECT *,
+        |    round(exp(-CAST(lpsum AS DOUBLE) / CAST(nbg AS DOUBLE)), 6)
+        |      AS ppl
+        |  FROM pd)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(CAST(sum(CAST(ppl AS DECIMAL(28,6))) AS DOUBLE) /
+        |        CAST(count(*) AS DOUBLE), 6) AS avg_ppl,
+        |  max(ppl) AS max_ppl
+        |FROM pd2 GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q150_overlap_matrix" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |s AS (SELECT event_type, count(*) AS nu FROM ut GROUP BY 1),
+        |b AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS users_both
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |                     AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, sa.nu AS users_a, sb.nu AS users_b,
+        |  users_both,
+        |  round(CAST(users_both AS DOUBLE) /
+        |        CAST(sa.nu + sb.nu - users_both AS DOUBLE), 6) AS jaccard
+        |FROM b JOIN s sa ON sa.event_type = type_a
+        |       JOIN s sb ON sb.event_type = type_b
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    "q151_percentile_bands" ->
+      """WITH pv AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (SELECT event_type, v, c,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM pv),
+        |qs(q_label, q) AS (VALUES ('p50', 0.5), ('p95', 0.95),
+        |                          ('p99', 0.99)),
+        |j AS (SELECT cum.*, q_label, q,
+        |    CAST(n - 1 AS DOUBLE) * q AS h,
+        |    CAST(floor(CAST(n - 1 AS DOUBLE) * q) AS BIGINT) + 1 AS k
+        |  FROM cum CROSS JOIN qs),
+        |sel AS (SELECT event_type, q_label, max(n) AS n, max(h) AS hh,
+        |    min(CASE WHEN cum >= k THEN v END) AS vlo,
+        |    min(CASE WHEN cum >= k + 1 THEN v END) AS vhi
+        |  FROM j GROUP BY 1, 2)
+        |SELECT event_type, q_label, CAST(n AS BIGINT) AS n,
+        |  round((CAST(vlo AS DOUBLE) +
+        |         (hh - floor(hh)) *
+        |         (CAST(coalesce(vhi, vlo) AS DOUBLE) -
+        |          CAST(vlo AS DOUBLE))) / 100.0, 6) AS value_at_q
+        |FROM sel ORDER BY event_type, q_label""".stripMargin
+  )
+}

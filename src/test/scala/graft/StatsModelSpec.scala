@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Independent recomputation of the r10 StatsModelOps family at sf0.001
+  * (SURVEY.md §5.2 item 2): Scala-collections brute force for the order
+  * statistics and the LM pipeline, Spark's own regression/percentile
+  * aggregates for q147/q151 — none of it shares code with the operators
+  * under test. Pinned queries drain [[PinScope]] after the consume. */
+class StatsModelSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Exact lower+upper-middle median doubled (2·median), brute force. */
+  private def m2Of(vs: Seq[Long]): Long = {
+    val s = vs.sorted; val n = s.length
+    s((n + 1) / 2 - 1) + s(n / 2 + 1 - 1)
+  }
+
+  test("q148 median/MAD/fence match a Scala brute force") {
+    val rows = Tables(spark, sf, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long"))
+      .as[(String, Long)].collect().toSeq
+    val expected = rows.groupBy(_._1).toSeq.map { case (t, g) =>
+      val vs = g.map(_._2)
+      val m2 = m2Of(vs)
+      val dm2 = m2Of(vs.map(v => math.abs(2 * v - m2)))
+      val nOut = vs.count(v => math.abs(2 * v - m2).toDouble > 2.2239 * dm2)
+      (t, vs.length.toLong, round6(m2 / 200.0), round6(dm2 / 400.0),
+       nOut.toLong, round6(nOut.toDouble / vs.length))
+    }.sortBy(_._1)
+    val got =
+      try q("q148_mad_outliers")
+        .as[(String, Long, Double, Double, Long, Double)].collect().toSeq
+      finally PinScope.drain()
+    assert(got == expected)
+    assert(got.exists(_._5 > 0L), "fence never fired — screen untested")
+  }
+
+  test("q151 percentile bands match Spark's exact percentile aggregate") {
+    val got = try q("q151_percentile_bands")
+        .as[(String, String, Long, Double)].collect().toSeq
+      finally PinScope.drain()
+    val ref = Tables(spark, sf, "events")
+      .select(col("event_type"),
+              round(col("value") * 100).cast("long").as("v"))
+      .groupBy("event_type")
+      .agg(expr("percentile(v, array(0.5, 0.95, 0.99))").as("ps"))
+      .as[(String, Seq[Double])].collect()
+      .flatMap { case (t, ps) =>
+        Seq("p50", "p95", "p99").zip(ps).map { case (l, p) =>
+          (t, l) -> p / 100.0 }
+      }.toMap
+    assert(got.nonEmpty)
+    got.foreach { case (t, l, _, v) =>
+      assert(math.abs(v - ref((t, l))) < 1e-6,
+             s"$t/$l: $v vs percentile ${ref((t, l))}")
+    }
+  }
+
+  test("q147 OLS agrees with Spark's regr_slope/regr_intercept/regr_r2") {
+    val ref = Tables(spark, sf, "events")
+      .select(col("event_type"),
+              datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+                .cast("double").as("x"),
+              round(col("value") * 100).cast("double").as("y"))
+      .groupBy("event_type")
+      .agg(expr("regr_slope(y, x)").as("sl"),
+           expr("regr_intercept(y, x)").as("ic"),
+           expr("regr_r2(y, x)").as("r2"))
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val got = q("q147_trend_regression")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (t, _, sl, ic, r2) =>
+      val (rsl, ric, rr2) = ref(t)
+      assert(math.abs(sl - rsl) < 1e-4, s"$t slope $sl vs $rsl")
+      assert(math.abs(ic - ric) < math.abs(ric) * 1e-4 + 1e-4,
+             s"$t intercept $ic vs $ric")
+      assert(math.abs(r2 - rr2) < 1e-4, s"$t r2 $r2 vs $rr2")
+    }
+  }
+
+  test("q149 perplexities match a Scala LM brute force") {
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect().toSeq
+    val bg = docs.flatMap { case (id, lang, text) =>
+      val tk = text.split(" ", -1).filter(_.nonEmpty)
+      tk.zip(tk.drop(1)).map { case (a, b) => (id, lang, a, b) }
+    }
+    val c12 = bg.groupBy(t => (t._2, t._3, t._4)).map { case (k, g) =>
+      k -> g.size.toLong }
+    val c1 = c12.groupBy { case ((l, w1, _), _) => (l, w1) }
+      .map { case (k, g) => k -> g.values.sum }
+    val vsz = bg.flatMap(t => Seq((t._2, t._3), (t._2, t._4)))
+      .distinct.groupBy(_._1).map { case (l, g) => l -> g.size.toLong }
+    val lp = c12.map { case (k @ (l, w1, _), c) =>
+      k -> round6(math.log((c + 1).toDouble / (c1((l, w1)) + vsz(l)))) }
+    val ppl = bg.groupBy(t => (t._1, t._2)).toSeq.collect {
+      case ((_, l), g) if g.nonEmpty =>
+        val sum = g.map(t => BigDecimal(lp((t._2, t._3, t._4)))
+                    .setScale(6)).sum
+        l -> round6(math.exp(-sum.toDouble / g.size))
+    }.toSeq
+    val expected = ppl.groupBy(_._1).toSeq.map { case (l, g) =>
+      val avg = round6(
+        g.map(p => BigDecimal(p._2).setScale(6)).sum.toDouble / g.size)
+      (l, g.size.toLong, avg, g.map(_._2).max)
+    }.sortBy(_._1)
+    val got = try q("q149_bigram_lm")
+        .as[(String, Long, Double, Double)].collect().toSeq
+      finally PinScope.drain()
+    assert(got == expected)
+  }
+
+  test("q150 overlap matrix matches a Scala brute force") {
+    val ut = Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+      .as[(Long, String)].collect().toSeq
+    val byType = ut.groupBy(_._2).map { case (t, g) =>
+      t -> g.map(_._1).toSet }
+    val types = byType.keys.toSeq.sorted
+    val expected = (for {
+      a <- types; b <- types if a < b
+      both = (byType(a) & byType(b)).size if both > 0
+    } yield (a, b, byType(a).size.toLong, byType(b).size.toLong,
+             both.toLong,
+             round6(both.toDouble /
+                    (byType(a).size + byType(b).size - both))))
+      .sortBy(t => (t._1, t._2))
+    val got = try q("q150_overlap_matrix")
+        .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+      finally PinScope.drain()
+    assert(got == expected)
+  }
+
+  test("q148/q151 returned plans read pinned blocks, not parquet") {
+    // the pin is the scale guarantee: ONE fact scan (materialized at pin
+    // time), every downstream order-statistic branch reads blocks — the
+    // returned plan must contain no parquet scan at all
+    for (name <- Seq("q148_mad_outliers", "q151_percentile_bands",
+                     "q150_overlap_matrix")) {
+      try {
+        val plan = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan.toString
+        assert(!plan.contains("FileScan") && !plan.contains("ParquetScan"),
+               s"$name replans the fact scan instead of reading the pin")
+      } finally PinScope.drain()
+    }
+  }
+}
