@@ -21,8 +21,8 @@ object StatsExtOps extends OpModule {
     * operand order (the oracle spells the identical order): given exact
     * inputs, each IEEE op is deterministic, so both engines produce the
     * same double before the 6 dp round. */
-  private def corrOf(n: Column, sx: Column, sy: Column,
-                     sxx: Column, syy: Column, sxy: Column): Column = {
+  private[operators] def corrOf(n: Column, sx: Column, sy: Column,
+                                sxx: Column, syy: Column, sxy: Column): Column = {
     def d(c: Column) = c.cast("double")
     round((d(n) * d(sxy) - d(sx) * d(sy)) /
             sqrt((d(n) * d(sxx) - d(sx) * d(sx)) *

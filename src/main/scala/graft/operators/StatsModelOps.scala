@@ -54,6 +54,27 @@ object StatsModelOps extends OpModule {
       .select(col(key), col("v"), col("c"), col("cum"), col("n"))
   }
 
+  /** Interpolated order statistics (h = (n−1)·q) from a cumulative
+    * value-group table crossed with a tiny (q_label, q) list: the
+    * positions v_⌊h⌋+1, v_⌈h⌉+1 are min-over-threshold picks, the
+    * interpolation is one fixed-order double formula rounded 6 dp after
+    * dividing by `unitDiv` (cents→dollars = 100, plain units = 1).
+    * Output: (key, q_label, n, value_at_q). */
+  private def bandsAt(cum: DataFrame, key: String, qdf: DataFrame,
+                      unitDiv: Double): DataFrame =
+    cum.crossJoin(broadcast(qdf))
+      .withColumn("h", (col("n") - 1).cast("double") * col("q"))
+      .withColumn("k", floor(col("h")).cast("long") + 1)
+      .groupBy(key, "q_label").agg(
+        max("n").as("n"), max("h").as("hh"),
+        min(when(col("cum") >= col("k"), col("v"))).as("vlo"),
+        min(when(col("cum") >= col("k") + 1, col("v"))).as("vhi"))
+      .select(col(key), col("q_label"), col("n"),
+        round((d(col("vlo")) +
+               (col("hh") - floor(col("hh"))) *
+               (d(coalesce(col("vhi"), col("vlo"))) - d(col("vlo")))) /
+              lit(unitDiv), 6).as("value_at_q"))
+
   /** Exact median from a cumulative value-group table, as the INTEGER
     * lower+upper middle sum (2·median): odd n → both middles coincide,
     * even n → their mean is the textbook median. min-over-threshold picks
@@ -262,19 +283,170 @@ object StatsModelOps extends OpModule {
       h.count(); graft.PinScope.retain(h)
       val qdf = Seq(("p50", 0.5), ("p95", 0.95), ("p99", 0.99))
         .toDF("q_label", "q")
-      cumCounts(pv, "event_type").crossJoin(broadcast(qdf))
-        .withColumn("h", (col("n") - 1).cast("double") * col("q"))
-        .withColumn("k", floor(col("h")).cast("long") + 1)
-        .groupBy("event_type", "q_label").agg(
-          max("n").as("n"), max("h").as("hh"),
-          min(when(col("cum") >= col("k"), col("v"))).as("vlo"),
-          min(when(col("cum") >= col("k") + 1, col("v"))).as("vhi"))
-        .select(col("event_type"), col("q_label"), col("n"),
-          round((d(col("vlo")) +
-                 (col("hh") - floor(col("hh"))) *
-                 (d(coalesce(col("vhi"), col("vlo"))) - d(col("vlo")))) /
-                lit(100.0), 6).as("value_at_q"))
+      bandsAt(cumCounts(pv, "event_type"), "event_type", qdf, 100.0)
         .orderBy("event_type", "q_label")
+    },
+
+    // Incremental exact-moments artifact (added r10) — q131's
+    // materialized-view discipline applied to STATISTICS: the q140
+    // correlation matrix maintained without rescanning history.
+    // Moment sums (n, Σx, Σx², Σxy …) are ADDITIVE, so per-shipdate
+    // 15-moment partials are a persisted artifact (all days strictly
+    // before the corpus's last ship day), the daily job aggregates
+    // only the last day's slice, and the merge is a plain decimal sum
+    // over ≤ |days| rows — exact to the last bit, unlike the q110/q128
+    // sketch artifacts which trade exactness for fixed size (moments
+    // need no such trade: 15 numbers per day). Output = q140's matrix
+    // verbatim; the oracle recomputes from the facts, so the artifact
+    // must be semantically invisible. Plan-asserted: artifact scanned,
+    // lineitem scanned ONCE (the last-day slice).
+    "q152_moments_daily_union" -> { (s, dir) =>
+      def cents(c: String) = round(col(c) * 100).cast("long")
+      def sq(a: Column, b: Column) = sum((a * b).cast("decimal(38,0)"))
+      def moments(df: DataFrame) = df.groupBy("day").agg(
+        count(lit(1)).as("n"),
+        sum(col("q").cast("decimal(38,0)")).as("sq"),
+        sum(col("e").cast("decimal(38,0)")).as("se"),
+        sum(col("dd").cast("decimal(38,0)")).as("sd"),
+        sum(col("t").cast("decimal(38,0)")).as("st"),
+        sq(col("q"), col("q")).as("sqq"), sq(col("e"), col("e")).as("see"),
+        sq(col("dd"), col("dd")).as("sdd"), sq(col("t"), col("t")).as("stt"),
+        sq(col("q"), col("e")).as("sqe"), sq(col("q"), col("dd")).as("sqd"),
+        sq(col("q"), col("t")).as("sqt"), sq(col("e"), col("dd")).as("sed"),
+        sq(col("e"), col("t")).as("sset"), sq(col("dd"), col("t")).as("sdt"))
+      def li = Tables(s, dir, "lineitem").select(
+        to_date(col("l_shipdate")).as("day"),
+        cents("l_quantity").as("q"), cents("l_extendedprice").as("e"),
+        cents("l_discount").as("dd"), cents("l_tax").as("t"))
+      val histT = graft.BucketedCache.ensure(s, dir, "momidx",
+          "day DATE, n BIGINT, sq DECIMAL(38,0), se DECIMAL(38,0), " +
+          "sd DECIMAL(38,0), st DECIMAL(38,0), sqq DECIMAL(38,0), " +
+          "see DECIMAL(38,0), sdd DECIMAL(38,0), stt DECIMAL(38,0), " +
+          "sqe DECIMAL(38,0), sqd DECIMAL(38,0), sqt DECIMAL(38,0), " +
+          "sed DECIMAL(38,0), sset DECIMAL(38,0), sdt DECIMAL(38,0)",
+          "day", 2) {
+        val last = li.agg(max("day").as("last_day"))
+        moments(li.crossJoin(broadcast(last))
+          .where(col("day") < col("last_day")))
+      }
+      val last = li.agg(max("day").as("last_day"))
+      val batch = moments(li.crossJoin(broadcast(last))
+        .where(col("day") === col("last_day")))
+      val m = s.table(histT).unionByName(batch).agg(
+        sum("n").as("n"), sum("sq").as("sq"), sum("se").as("se"),
+        sum("sd").as("sd"), sum("st").as("st"), sum("sqq").as("sqq"),
+        sum("see").as("see"), sum("sdd").as("sdd"), sum("stt").as("stt"),
+        sum("sqe").as("sqe"), sum("sqd").as("sqd"), sum("sqt").as("sqt"),
+        sum("sed").as("sed"), sum("sset").as("sset"), sum("sdt").as("sdt"))
+      def pair(nm: String, sx: String, sy: String, sxx: String,
+               syy: String, sxy: String) =
+        struct(lit(nm).as("pair"),
+               StatsExtOps.corrOf(col("n"), col(sx), col(sy), col(sxx),
+                                  col(syy), col(sxy)).as("corr_r"))
+      m.select(explode(array(
+          pair("q_e", "sq", "se", "sqq", "see", "sqe"),
+          pair("q_d", "sq", "sd", "sqq", "sdd", "sqd"),
+          pair("q_t", "sq", "st", "sqq", "stt", "sqt"),
+          pair("e_d", "se", "sd", "see", "sdd", "sed"),
+          pair("e_t", "se", "st", "see", "stt", "sset"),
+          pair("d_t", "sd", "st", "sdd", "stt", "sdt"))).as("p"))
+        .select(col("p.pair").as("pair"), col("p.corr_r").as("corr_r"))
+        .orderBy("pair")
+    },
+
+    // Burst detection (added r10) — the LOCAL-baseline anomaly screen
+    // beside q118's global one: an hour bursts when its event count
+    // exceeds 1.5× the mean of the previous 24 OBSERVED hourly buckets
+    // (a heavy day inflates a global σ and hides itself; a trailing
+    // frame adapts). Denominators cleared (q118's discipline):
+    // cnt > 1.5·(trail/24) ⟺ 16·cnt > trail — pure BIGINT compare, no
+    // doubles anywhere but the reported ratio. Scale shape: ONE scan
+    // to a (type, hour) cell table — bounded by types×hours, not
+    // events — then one window over the cells; rows-based frame =
+    // "previous 24 observed buckets" by declared semantics (identical
+    // frame in the oracle), warm-up rows (fewer than 24 priors)
+    // excluded exactly.
+    "q153_burst_flags" -> { (s, dir) =>
+      val cells = Tables(s, dir, "events")
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .groupBy("event_type", "hr").agg(count(lit(1)).as("cnt"))
+      val wTrail = Window.partitionBy("event_type").orderBy("hr")
+        .rowsBetween(-24, -1)
+      cells
+        .withColumn("trail", sum("cnt").over(wTrail))
+        .withColumn("k", count(lit(1)).over(wTrail))
+        .where(col("k") === 24 && col("cnt") * 16 > col("trail"))
+        .select(col("event_type"), col("hr"), col("cnt"), col("trail"),
+                round(d(col("cnt") * 24) / d(col("trail")), 6)
+                  .as("burst_ratio"))
+        .orderBy("event_type", "hr")
+    },
+
+    // Equal-width value histogram (added r10) — the generic
+    // distribution profile q145's PSI bins and q151's bands both lean
+    // on, as a first-class operator: per event_type, 20 equal-width
+    // bins over the type's own [min, max] (broadcast 2-row range),
+    // count, share and cumulative share per OBSERVED bin (empty bins
+    // absent by declared semantics). Bin index is pure integer
+    // arithmetic ((v−vmin)·20 div (range+1) — the q146 bucket map), so
+    // membership is engine-exact; shares divide the exact counts once
+    // in double and round 6 dp; the cumulative share divides the exact
+    // cumulative count (not a sum of rounded shares — order-free by
+    // construction). ONE scan to ≤ types×20 cells; windows run over
+    // the cells only.
+    "q154_value_histogram" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .select(col("event_type"),
+                round(col("value") * 100).cast("long").as("v"))
+      val rng = ev.groupBy("event_type")
+        .agg(min("v").as("vmin"), max("v").as("vmax"))
+      ev.join(broadcast(rng), Seq("event_type"))
+        .withColumn("bin", expr("((v - vmin) * 20) div (vmax - vmin + 1)"))
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("cnt"))
+        .withColumn("n",
+          sum("cnt").over(Window.partitionBy("event_type")))
+        .withColumn("cum",
+          sum("cnt").over(Window.partitionBy("event_type").orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("event_type"), col("bin"), col("cnt"),
+                round(d(col("cnt")) / d(col("n")), 6).as("share"),
+                round(d(col("cum")) / d(col("n")), 6).as("cum_share"))
+        .orderBy("event_type", "bin")
+    },
+
+    // Conversion-lag percentile bands (added r10) — product analytics'
+    // "how long from first view to first purchase", composed from the
+    // funnel family's conditional-min shape (q113) and q151's exact
+    // quantile machinery: per user, first view and first purchase
+    // timestamps from ONE scan + one user_id hash agg; converters
+    // (purchase strictly after view) yield an integer lag in whole
+    // seconds (µs difference div 1e6 — ts is µs-grained, so Spark's
+    // unix_micros and the oracle's epoch_us agree exactly); the lag
+    // value-group table (bounded by the time-range domain, not by
+    // users) is pinned and P50/P90/P99 come from the bucketed
+    // prefix-sum order statistics — no per-user-population sort.
+    "q155_conversion_lag" -> { (s, dir) =>
+      import s.implicits._
+      val lags = Tables(s, dir, "events")
+        .where(col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("v"),
+             min(when(col("event_type") === "purchase", col("ts")))
+               .as("p"))
+        .where(col("v").isNotNull && col("p").isNotNull &&
+               col("p") > col("v"))
+        .select(expr("(unix_micros(p) - unix_micros(v)) div 1000000")
+                  .as("lag_s"))
+      val (pv, h) = pin(lags.select(lit(0L).as("g"),
+                                    col("lag_s").as("v"))
+        .groupBy("g", "v").agg(count(lit(1)).as("c")))
+      h.count(); graft.PinScope.retain(h)
+      val qdf = Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+        .toDF("q_label", "q")
+      bandsAt(cumCounts(pv, "g"), "g", qdf, 1.0)
+        .select(col("q_label"), col("n").as("n_converters"),
+                col("value_at_q").as("lag_seconds"))
+        .orderBy("q_label")
     }
   )
 
@@ -430,6 +602,117 @@ object StatsModelOps extends OpModule {
         |         (hh - floor(hh)) *
         |         (CAST(coalesce(vhi, vlo) AS DOUBLE) -
         |          CAST(vlo AS DOUBLE))) / 100.0, 6) AS value_at_q
-        |FROM sel ORDER BY event_type, q_label""".stripMargin
+        |FROM sel ORDER BY event_type, q_label""".stripMargin,
+
+    // the artifact must be invisible: q140's full-recompute oracle
+    "q152_moments_daily_union" ->
+      """WITH v AS (
+        |  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS q,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS e,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS dd,
+        |    CAST(round(l_tax * 100) AS BIGINT) AS t
+        |  FROM lineitem),
+        |s AS (SELECT count(*) AS n,
+        |    sum(CAST(q AS HUGEINT)) AS sq, sum(CAST(e AS HUGEINT)) AS se,
+        |    sum(CAST(dd AS HUGEINT)) AS sd, sum(CAST(t AS HUGEINT)) AS st,
+        |    sum(CAST(q AS HUGEINT) * q) AS sqq,
+        |    sum(CAST(e AS HUGEINT) * e) AS see,
+        |    sum(CAST(dd AS HUGEINT) * dd) AS sdd,
+        |    sum(CAST(t AS HUGEINT) * t) AS stt,
+        |    sum(CAST(q AS HUGEINT) * e) AS sqe,
+        |    sum(CAST(q AS HUGEINT) * dd) AS sqd,
+        |    sum(CAST(q AS HUGEINT) * t) AS sqt,
+        |    sum(CAST(e AS HUGEINT) * dd) AS sed,
+        |    sum(CAST(e AS HUGEINT) * t) AS set_,
+        |    sum(CAST(dd AS HUGEINT) * t) AS sdt
+        |  FROM v),
+        |p AS (
+        |  SELECT 'q_e' AS pair, sq AS sx, se AS sy, sqq AS sxx,
+        |    see AS syy, sqe AS sxy, n FROM s
+        |  UNION ALL SELECT 'q_d', sq, sd, sqq, sdd, sqd, n FROM s
+        |  UNION ALL SELECT 'q_t', sq, st, sqq, stt, sqt, n FROM s
+        |  UNION ALL SELECT 'e_d', se, sd, see, sdd, sed, n FROM s
+        |  UNION ALL SELECT 'e_t', se, st, see, stt, set_, n FROM s
+        |  UNION ALL SELECT 'd_t', sd, st, sdd, stt, sdt, n FROM s)
+        |SELECT pair,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |         CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |        sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |              CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |             (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |              CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |    AS corr_r
+        |FROM p ORDER BY pair""".stripMargin,
+
+    "q153_burst_flags" ->
+      """WITH cells AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, hr, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY hr
+        |                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        |      AS trail,
+        |    count(*) OVER (PARTITION BY event_type ORDER BY hr
+        |                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        |      AS k
+        |  FROM cells)
+        |SELECT event_type, hr, cnt, CAST(trail AS BIGINT) AS trail,
+        |  round(CAST(cnt * 24 AS DOUBLE) / CAST(trail AS DOUBLE), 6)
+        |    AS burst_ratio
+        |FROM w WHERE k = 24 AND cnt * 16 > trail
+        |ORDER BY event_type, hr""".stripMargin,
+
+    "q154_value_histogram" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |rng AS (SELECT event_type, min(v) AS vmin, max(v) AS vmax
+        |        FROM ev GROUP BY 1),
+        |cells AS (SELECT ev.event_type,
+        |    ((v - vmin) * 20) // (vmax - vmin + 1) AS bin,
+        |    count(*) AS cnt
+        |  FROM ev JOIN rng ON ev.event_type = rng.event_type
+        |  GROUP BY 1, 2),
+        |w AS (SELECT event_type, bin, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+        |                   ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM cells)
+        |SELECT event_type, bin, cnt,
+        |  round(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share,
+        |  round(CAST(cum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS cum_share
+        |FROM w ORDER BY event_type, bin""".stripMargin,
+
+    "q155_conversion_lag" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    min(ts) FILTER (WHERE event_type = 'view') AS v,
+        |    min(ts) FILTER (WHERE event_type = 'purchase') AS p
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1),
+        |lag_t AS (SELECT (epoch_us(p) - epoch_us(v)) // 1000000 AS v
+        |  FROM u WHERE v IS NOT NULL AND p IS NOT NULL AND p > v),
+        |pv AS (SELECT v, count(*) AS c FROM lag_t GROUP BY 1),
+        |cum AS (SELECT v, c,
+        |    sum(c) OVER (ORDER BY v) AS cum,
+        |    sum(c) OVER () AS n
+        |  FROM pv),
+        |qs(q_label, q) AS (VALUES ('p50', 0.5), ('p90', 0.9),
+        |                          ('p99', 0.99)),
+        |j AS (SELECT cum.*, q_label, q,
+        |    CAST(n - 1 AS DOUBLE) * q AS h,
+        |    CAST(floor(CAST(n - 1 AS DOUBLE) * q) AS BIGINT) + 1 AS k
+        |  FROM cum CROSS JOIN qs),
+        |sel AS (SELECT q_label, max(n) AS n, max(h) AS hh,
+        |    min(CASE WHEN cum >= k THEN v END) AS vlo,
+        |    min(CASE WHEN cum >= k + 1 THEN v END) AS vhi
+        |  FROM j GROUP BY 1)
+        |SELECT q_label, CAST(n AS BIGINT) AS n_converters,
+        |  round((CAST(vlo AS DOUBLE) +
+        |         (hh - floor(hh)) *
+        |         (CAST(coalesce(vhi, vlo) AS DOUBLE) -
+        |          CAST(vlo AS DOUBLE))) / 1.0, 6) AS lag_seconds
+        |FROM sel ORDER BY q_label""".stripMargin
   )
 }

@@ -140,6 +140,100 @@ class StatsModelSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("q152 merged-artifact matrix equals q140's single-scan matrix") {
+    // artifact invisibility, asserted against the in-repo q140 as well
+    // as the SQL oracle: same pairs, same 6-dp correlations
+    val got = q("q152_moments_daily_union")
+      .as[(String, Double)].collect().toSeq.sortBy(_._1)
+    val full = q("q140_corr_matrix")
+      .as[(String, Double)].collect().toSeq.sortBy(_._1)
+    assert(got == full)
+  }
+
+  test("q152 plan scans the artifact plus ONE fact slice") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q152_moments_daily_union")(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      val p = plan.toString
+      assert(p.contains("graft_momidx"),
+             s"q152 does not scan the moment artifact:\n$p")
+      // lineitem appears exactly twice: the last-day slice + the 1-row
+      // max-day subquery — never a third scan recomputing history
+      val factScans = plan.collectWithSubqueries {
+        case sc: FileSourceScanExec
+          if sc.toString.contains("lineitem.parquet") => sc }
+      assert(factScans.length == 2,
+             s"expected batch-slice + max-day scans, got ${factScans.length}:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q153 burst flags match a Scala brute force") {
+    val cells = Tables(spark, sf, "events")
+      .select(col("event_type"), date_trunc("hour", col("ts")))
+      .as[(String, java.sql.Timestamp)].collect().toSeq
+      .groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val expected = cells.groupBy(_._1._1).toSeq.flatMap { case (t, g) =>
+      val hrs = g.toSeq.map { case ((_, hr), c) => (hr, c) }
+        .sortBy(_._1.getTime)
+      hrs.indices.collect {
+        case i if i >= 24 =>
+          val trail = hrs.slice(i - 24, i).map(_._2).sum
+          (t, hrs(i)._1, hrs(i)._2, trail)
+      }.collect { case (tt, hr, cnt, trail) if cnt * 16 > trail =>
+        (tt, hr, cnt, trail, round6(cnt * 24.0 / trail))
+      }
+    }.sortBy(r => (r._1, r._2.getTime))
+    val got = q("q153_burst_flags")
+      .as[(String, java.sql.Timestamp, Long, Long, Double)]
+      .collect().toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "no bursts at sf0.001 — screen untested")
+  }
+
+  test("q154 histogram shares are consistent and cover every row") {
+    val got = q("q154_value_histogram")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    val totals = Tables(spark, sf, "events")
+      .groupBy("event_type").agg(count(lit(1)))
+      .as[(String, Long)].collect().toMap
+    got.groupBy(_._1).foreach { case (t, bins) =>
+      assert(bins.map(_._3).sum == totals(t), s"$t: counts wrong")
+      assert(bins.maxBy(_._2)._5 == 1.0, s"$t: last cum_share != 1")
+      assert(bins.forall(b => b._2 >= 0 && b._2 <= 19))
+    }
+  }
+
+  test("q155 conversion lags match a Scala brute force") {
+    val ev = Tables(spark, sf, "events")
+      .where(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_type"),
+              expr("unix_micros(ts)"))
+      .as[(Long, String, Long)].collect().toSeq
+    val lags = ev.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      val vs = g.collect { case (_, "view", us) => us }
+      val ps = g.collect { case (_, "purchase", us) => us }
+      for (v <- vs.minOption; p <- ps.minOption if p > v)
+        yield (p - v) / 1000000L
+    }.sorted
+    val n = lags.length
+    def at(qq: Double): Double = {
+      val h = (n - 1).toDouble * qq
+      val lo = lags(math.floor(h).toInt)
+      val hi = lags(math.min(n - 1, math.floor(h).toInt + 1))
+      round6(lo + (h - math.floor(h)) * (hi - lo) / 1.0)
+    }
+    val expected = Seq(("p50", n.toLong, at(0.5)),
+                       ("p90", n.toLong, at(0.9)),
+                       ("p99", n.toLong, at(0.99)))
+    val got = try q("q155_conversion_lag")
+        .as[(String, Long, Double)].collect().toSeq
+      finally PinScope.drain()
+    assert(got == expected)
+  }
+
   test("q148/q151 returned plans read pinned blocks, not parquet") {
     // the pin is the scale guarantee: ONE fact scan (materialized at pin
     // time), every downstream order-statistic branch reads blocks — the
