@@ -25,7 +25,11 @@ object SweepR10 {
       "q136_time_travel", "q137_benford", "q138_bfs_layers",
       "q139_max_concurrency", "q140_corr_matrix", "q141_ks_test",
       "q142_token_entropy", "q143_weighted_sample",
-      "q144_chi2_independence", "q145_psi_drift", "q146_gini")
+      "q144_chi2_independence", "q145_psi_drift", "q146_gini",
+      "q147_trend_regression", "q148_mad_outliers", "q149_bigram_lm",
+      "q150_overlap_matrix", "q151_percentile_bands",
+      "q152_moments_daily_union", "q153_burst_flags",
+      "q154_value_histogram", "q155_conversion_lag")
     for (d <- Seq("/root/testdata/sf0.1", "/tmp/sf10x10b")) {
       spark.read.parquet(s"$d/nation.parquet").count()
       for (q <- qs) {
