@@ -447,6 +447,106 @@ object StatsModelOps extends OpModule {
         .select(col("q_label"), col("n").as("n_converters"),
                 col("value_at_q").as("lag_seconds"))
         .orderBy("q_label")
+    },
+
+    // Last-touch attribution (added r10) — for every purchase, the
+    // user's most recent PRIOR non-purchase event type (ignore-nulls
+    // last over a history frame), rolled up to purchases/users/share
+    // per attributed source; purchases with no prior event attribute
+    // to 'none'. The classic marketing-attribution operator, and the
+    // ignore-nulls window is the idiomatic Spark form — no self-join,
+    // no as-of join against a filtered copy (q13's machinery is for
+    // TWO tables; within one stream the window frame IS the as-of).
+    // Deterministic under ties by the (ts, event_id) order. Scale
+    // shape: ONE scan, ONE user_id shuffle for the window (the filter
+    // cannot precede it — history includes non-purchases), then a
+    // ≤|types|+1-row rollup; share divides exact counts over a window
+    // on that tiny result.
+    "q156_attribution" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+                col("event_type"))
+        .withColumn("src",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+               ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .groupBy(coalesce(col("src"), lit("none")).as("attributed_type"))
+        .agg(count(lit(1)).as("purchases"),
+             countDistinct(col("user_id")).as("users"))
+        .withColumn("share",
+          round(d(col("purchases")) /
+                d(sum("purchases").over(Window.partitionBy(lit(0)))), 6))
+        .orderBy("attributed_type")
+    },
+
+    // Per-type churn screen (added r10) — for each event type, how
+    // many of its ever-active users have gone QUIET on it (no event of
+    // that type in the final 7 days of the corpus). The retention
+    // complement to q114's cohort matrix, reduced to the operational
+    // number a growth dashboard tracks per feature — and unlike a
+    // whole-user churn cut (degenerate on an always-on population,
+    // which this corpus is), the per-type cut surfaces real attrition
+    // (~2–5%/type here). Churn is an integer datediff against the
+    // broadcast corpus-end day (q144's portable-calendar discipline).
+    // Scale shape: ONE scan, one (type, user) hash agg with map-side
+    // combine, a ≤|types|-row rollup.
+    "q157_churn_screen" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .select(col("event_type"), col("user_id"),
+                to_date(col("ts")).as("day"))
+      val end = ev.agg(max("day").as("end_day"))
+      ev.groupBy("event_type", "user_id")
+        .agg(max("day").as("last_day"))
+        .crossJoin(broadcast(end))
+        .withColumn("quiet",
+          (datediff(col("end_day"), col("last_day")) > 7).cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("users"), sum("quiet").as("quiet_users"))
+        .withColumn("quiet_rate",
+          round(d(col("quiet_users")) / d(col("users")), 6))
+        .orderBy("event_type")
+    },
+
+    // Top-share concentration (added r10) — what share of revenue the
+    // top 1% / top 10% of orders carry, per priority tier: the Pareto
+    // companion to q146's Gini, EXACT from the same pinned value-group
+    // + prefix-sum machinery. For threshold k = ⌈p·n⌉, a value group
+    // (v, c) with cumAbove = n − cum rows strictly above it
+    // contributes v·max(0, min(c, k − cumAbove)) — the boundary group
+    // enters PARTIALLY, in closed form, so no row-level rank and no
+    // per-group sort exist anywhere. Numerator and denominator are
+    // exact decimal sums; one fixed-order double division per output
+    // row, rounded 6 dp. Ties inside the boundary group are
+    // share-invariant (equal v), so the oracle's identical arithmetic
+    // provably agrees.
+    "q158_top_share" -> { (s, dir) =>
+      import s.implicits._
+      val (pv, h) = pin(Tables(s, dir, "orders")
+        .select(col("o_orderpriority").as("prio"),
+                round(col("o_totalprice") * 100).cast("long").as("v"))
+        .groupBy("prio", "v").agg(count(lit(1)).as("c")))
+      h.count(); graft.PinScope.retain(h)
+      val tot = pv.groupBy("prio")
+        .agg(sum(col("v").cast("decimal(38,0)") * col("c")).as("rev"))
+      val qdf = Seq(("top1", 1L, 100L), ("top10", 1L, 10L))
+        .toDF("p_label", "num", "den")
+      cumCounts(pv, "prio").crossJoin(broadcast(qdf))
+        .withColumn("k", expr("(n * num + den - 1) div den"))
+        .withColumn("taken",
+          greatest(lit(0L), least(col("c"),
+            col("k") - (col("n") - col("cum")))))
+        .groupBy("prio", "p_label").agg(
+          max("n").as("n"), max("k").as("k"),
+          sum(col("v").cast("decimal(38,0)") * col("taken")).as("top_rev"))
+        .join(broadcast(tot), Seq("prio"))
+        .select(col("prio").as("o_orderpriority"), col("p_label"),
+                col("n"), col("k"),
+                round(d(col("top_rev")) / d(col("rev")), 6)
+                  .as("top_share"))
+        .orderBy("o_orderpriority", "p_label")
     }
   )
 
@@ -713,6 +813,69 @@ object StatsModelOps extends OpModule {
         |         (hh - floor(hh)) *
         |         (CAST(coalesce(vhi, vlo) AS DOUBLE) -
         |          CAST(vlo AS DOUBLE))) / 1.0, 6) AS lag_seconds
-        |FROM sel ORDER BY q_label""".stripMargin
+        |FROM sel ORDER BY q_label""".stripMargin,
+
+    "q156_attribution" ->
+      """WITH a AS (
+        |  SELECT user_id, event_type,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |                    THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS src
+        |  FROM events),
+        |g AS (SELECT coalesce(src, 'none') AS attributed_type,
+        |    count(*) AS purchases,
+        |    count(DISTINCT user_id) AS users
+        |  FROM a WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT attributed_type, purchases, users,
+        |  round(CAST(purchases AS DOUBLE) /
+        |        CAST(sum(purchases) OVER () AS DOUBLE), 6) AS share
+        |FROM g ORDER BY attributed_type""".stripMargin,
+
+    "q157_churn_screen" ->
+      """WITH ev AS (
+        |  SELECT event_type, user_id, CAST(ts AS DATE) AS d
+        |  FROM events),
+        |e AS (SELECT max(d) AS end_day FROM ev),
+        |u AS (SELECT event_type, user_id, max(d) AS last_day
+        |      FROM ev GROUP BY 1, 2),
+        |c AS (SELECT event_type,
+        |    CASE WHEN datediff('day', last_day, e.end_day) > 7
+        |         THEN 1 ELSE 0 END AS quiet
+        |  FROM u, e)
+        |SELECT event_type, count(*) AS users,
+        |  CAST(sum(quiet) AS BIGINT) AS quiet_users,
+        |  round(CAST(sum(quiet) AS DOUBLE) /
+        |        CAST(count(*) AS DOUBLE), 6) AS quiet_rate
+        |FROM c GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q158_top_share" ->
+      """WITH pv AS (
+        |  SELECT o_orderpriority AS prio,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |    count(*) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |tot AS (SELECT prio, sum(CAST(v AS HUGEINT) * c) AS rev
+        |        FROM pv GROUP BY 1),
+        |cum AS (SELECT prio, v, c,
+        |    sum(c) OVER (PARTITION BY prio ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY prio) AS n
+        |  FROM pv),
+        |qs(p_label, num, den) AS (VALUES ('top1', 1, 100),
+        |                                 ('top10', 1, 10)),
+        |j AS (SELECT cum.*, p_label,
+        |    (n * num + den - 1) // den AS k
+        |  FROM cum CROSS JOIN qs),
+        |t AS (SELECT prio, p_label, max(n) AS n, max(k) AS k,
+        |    sum(CAST(v AS HUGEINT) *
+        |        greatest(0, least(c, k - (n - cum)))) AS top_rev
+        |  FROM j GROUP BY 1, 2)
+        |SELECT t.prio AS o_orderpriority, p_label,
+        |  CAST(t.n AS BIGINT) AS n, CAST(t.k AS BIGINT) AS k,
+        |  round(CAST(top_rev AS DOUBLE) / CAST(rev AS DOUBLE), 6)
+        |    AS top_share
+        |FROM t JOIN tot ON t.prio = tot.prio
+        |ORDER BY o_orderpriority, p_label""".stripMargin
   )
 }

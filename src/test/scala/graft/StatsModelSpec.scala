@@ -234,6 +234,70 @@ class StatsModelSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("q156 attribution matches a Scala brute force") {
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)"),
+              col("event_type"))
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val att = ev.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      var src: String = null
+      g.sortBy(e => (e._3, e._2)).flatMap { case (u, _, _, t) =>
+        val out = if (t == "purchase")
+          Some((Option(src).getOrElse("none"), u)) else None
+        if (t != "purchase") src = t
+        out
+      }
+    }
+    val byType = att.groupBy(_._1)
+    val total = att.size
+    val expected = byType.toSeq.map { case (t, g) =>
+      (t, g.size.toLong, g.map(_._2).distinct.size.toLong,
+       round6(g.size.toDouble / total))
+    }.sortBy(_._1)
+    val got = q("q156_attribution")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("q157 churn screen matches a Scala brute force") {
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_type"), col("user_id"),
+              datediff(to_date(col("ts")), lit("1970-01-01")))
+      .as[(String, Long, Int)].collect().toSeq
+    val end = ev.map(_._3).max
+    val expected = ev.groupBy(e => (e._1, e._2)).toSeq
+      .map { case ((t, _), g) => (t, end - g.map(_._3).max > 7) }
+      .groupBy(_._1).toSeq.map { case (t, g) =>
+        val quiet = g.count(_._2).toLong
+        (t, g.size.toLong, quiet, round6(quiet.toDouble / g.size))
+      }.sortBy(_._1)
+    val got = q("q157_churn_screen")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == expected)
+    assert(got.map(_._3).sum > 0, "no quiet users — screen untested")
+  }
+
+  test("q158 top shares match a Scala brute force") {
+    val rows = Tables(spark, sf, "orders")
+      .select(col("o_orderpriority"),
+              round(col("o_totalprice") * 100).cast("long"))
+      .as[(String, Long)].collect().toSeq
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (p, g) =>
+      val vs = g.map(_._2).sorted(Ordering[Long].reverse)
+      val total = vs.map(BigDecimal(_)).sum
+      Seq(("top1", 100L), ("top10", 10L)).map { case (l, den) =>
+        val k = (vs.length + den - 1) / den
+        val top = vs.take(k.toInt).map(BigDecimal(_)).sum
+        (p, l, vs.length.toLong, k,
+         round6(top.toDouble / total.toDouble))
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = try q("q158_top_share")
+        .as[(String, String, Long, Long, Double)].collect().toSeq
+      finally PinScope.drain()
+    assert(got == expected)
+  }
+
   test("q148/q151 returned plans read pinned blocks, not parquet") {
     // the pin is the scale guarantee: ONE fact scan (materialized at pin
     // time), every downstream order-statistic branch reads blocks — the
