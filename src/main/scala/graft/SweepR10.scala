@@ -29,10 +29,14 @@ object SweepR10 {
       "q147_trend_regression", "q148_mad_outliers", "q149_bigram_lm",
       "q150_overlap_matrix", "q151_percentile_bands",
       "q152_moments_daily_union", "q153_burst_flags",
-      "q154_value_histogram", "q155_conversion_lag")
+      "q154_value_histogram", "q155_conversion_lag",
+      "q156_attribution", "q157_churn_screen", "q158_top_share")
+    // optional args restrict the sweep to a subset (iteration speed);
+    // the recorded BASELINE runs always name which subset ran
+    val sel = if (args.isEmpty) qs else qs.filter(args.contains)
     for (d <- Seq("/root/testdata/sf0.1", "/tmp/sf10x10b")) {
       spark.read.parquet(s"$d/nation.parquet").count()
-      for (q <- qs) {
+      for (q <- sel) {
         // run twice, report the second (artifact builds land in run 1)
         SparkEntry.queries(q)(spark, d).count(); PinScope.drain()
         val t0 = System.nanoTime()
