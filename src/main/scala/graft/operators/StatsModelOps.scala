@@ -547,6 +547,126 @@ object StatsModelOps extends OpModule {
                 round(d(col("top_rev")) / d(col("rev")), 6)
                   .as("top_share"))
         .orderBy("o_orderpriority", "p_label")
+    },
+
+    // A/B experiment readout (added r10) — the statistical-inference
+    // operator an experimentation platform runs nightly: users hash-
+    // split 50/50 into arms by the q67 md5-nibble discipline (first
+    // nibble <= '7' — deterministic, key-only, independent of q67's
+    // train bit which reads the same nibble of doc_id, a different key
+    // space), conversion = user made a HIGH-VALUE purchase (value >
+    // 150 — raw purchase incidence is 100% on this always-buying
+    // corpus, which degenerates the z to 0/0; the thresholded event is
+    // ~45% and non-degenerate at every SF), revenue = the user's total
+    // purchase cents (exact BIGINT). Per arm: exact n / x /
+    // Σrev / Σrev² (decimal), then the two classical statistics as ONE
+    // fixed-order double formula each, rounded 6 dp: the pooled
+    // two-proportion z on conversion and Welch's t on revenue-per-user
+    // (variance from exact moments — the s₁² cross term is formed in
+    // double AFTER the exact decimal sums, so no decimal overflow).
+    // Scale shape: ONE scan, one user_id hash agg with map-side
+    // combine, a 2-row arm table, a 1-row result.
+    "q159_ab_test" -> { (s, dir) =>
+      val perUser = Tables(s, dir, "events")
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase" &&
+                        col("value") > 150, 1L)
+                   .otherwise(0L)).as("conv"),
+             sum(when(col("event_type") === "purchase",
+                   round(col("value") * 100).cast("long"))
+                   .otherwise(0L)).as("rev"))
+        .withColumn("arm",
+          when(substring(md5(col("user_id").cast("string")), 1, 1) <= "7",
+               "control").otherwise("treatment"))
+      val arms = perUser.groupBy("arm").agg(
+        count(lit(1)).as("n"), sum("conv").as("x"),
+        sum(col("rev").cast("decimal(38,0)")).as("s1"),
+        sum(col("rev").cast("decimal(38,0)") * col("rev")).as("s2"))
+      def side(a: String, c: String) =
+        max(when(col("arm") === a, col(c))).as(s"${c}_${a.head}")
+      arms.agg(side("control", "n"), side("treatment", "n"),
+               side("control", "x"), side("treatment", "x"),
+               side("control", "s1"), side("treatment", "s1"),
+               side("control", "s2"), side("treatment", "s2"))
+        .withColumn("p_c", d(col("x_c")) / d(col("n_c")))
+        .withColumn("p_t", d(col("x_t")) / d(col("n_t")))
+        .withColumn("pp",
+          d(col("x_c") + col("x_t")) / d(col("n_c") + col("n_t")))
+        .withColumn("m_c", d(col("s1_c")) / d(col("n_c")))
+        .withColumn("m_t", d(col("s1_t")) / d(col("n_t")))
+        .withColumn("v_c",
+          (d(col("s2_c")) - d(col("s1_c")) * d(col("s1_c")) / d(col("n_c"))) /
+            d(col("n_c") - 1))
+        .withColumn("v_t",
+          (d(col("s2_t")) - d(col("s1_t")) * d(col("s1_t")) / d(col("n_t"))) /
+            d(col("n_t") - 1))
+        .select(col("n_c"), col("n_t"), col("x_c"), col("x_t"),
+          round(col("p_c"), 6).as("rate_c"),
+          round(col("p_t"), 6).as("rate_t"),
+          round((col("p_t") - col("p_c")) /
+            sqrt(col("pp") * (lit(1.0) - col("pp")) *
+                 (lit(1.0) / d(col("n_c")) + lit(1.0) / d(col("n_t")))), 6)
+            .as("z_conv"),
+          round((col("m_t") - col("m_c")) /
+            sqrt(col("v_c") / d(col("n_c")) + col("v_t") / d(col("n_t"))), 6)
+            .as("t_rev"))
+    },
+
+    // RFM customer segmentation (added r10) — the classic marketing
+    // cut: per customer recency (days since last order vs the
+    // broadcast corpus-end day), frequency (orders), monetary (exact
+    // cents); each dimension quartile-scored 1–4 and customers rolled
+    // up per R-F-M segment. The scores are TIE-SAFE and FP-free:
+    // s = (4·cum + n − 1) div n over the dimension's VALUE-GROUP
+    // cumulative table (every customer sharing a value shares a score
+    // — ntile's row-position tie-break would make boundary scores
+    // layout-dependent and unoracleable), and the cumulative counts
+    // come from the q146 bucketed two-level prefix sum, so no
+    // one-reducer-per-dimension sort exists. Scale shape: ONE orders
+    // scan → pinned per-customer table; the unioned 3-dimension
+    // value-group table is domain-bound; three broadcast score-map
+    // joins; a ≤64-row rollup.
+    "q160_rfm_segments" -> { (s, dir) =>
+      val od = Tables(s, dir, "orders")
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"),
+                round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val end = od.agg(max("day").as("end_day"))
+      val (pc, h) = pin(od.crossJoin(broadcast(end))
+        .groupBy("o_custkey")
+        .agg(min(datediff(col("end_day"), col("day"))).cast("long")
+               .as("rec"),
+             count(lit(1)).as("freq"), sum("cents").as("mon")))
+      h.count(); graft.PinScope.retain(h)
+      val pv = pc.select(explode(array(
+          struct(lit("r").as("k"), col("rec").as("v")),
+          struct(lit("f").as("k"), col("freq").as("v")),
+          struct(lit("m").as("k"), col("mon").as("v")))).as("e"))
+        .select(col("e.k").as("k"), col("e.v").as("v"))
+        .groupBy("k", "v").agg(count(lit(1)).as("c"))
+      val (sm, h2) = pin(cumCounts(pv, "k")
+        .withColumn("s", expr("(4 * cum + n - 1) div n"))
+        .select(col("k"), col("v"), col("s")))
+      h2.count(); graft.PinScope.retain(h2)
+      def scoreMap(k: String, vName: String, sName: String) =
+        broadcast(sm.where(col("k") === k)
+          .select(col("v").as(vName), col("s").as(sName)))
+      pc.join(scoreMap("r", "rec", "rs"), Seq("rec"))
+        .join(scoreMap("f", "freq", "fs"), Seq("freq"))
+        .join(scoreMap("m", "mon", "ms"), Seq("mon"))
+        .withColumn("segment",
+          concat_ws("-", col("rs"), col("fs"), col("ms")))
+        .withColumn("label",
+          when(col("rs") <= 2 && col("fs") >= 3 && col("ms") >= 3,
+               "champion")
+            .when(col("rs") <= 2 && col("ms") >= 3, "big_spender")
+            .when(col("rs") >= 3 && col("fs") >= 3, "at_risk")
+            .when(col("rs") >= 3, "hibernating")
+            .otherwise("regular"))
+        .groupBy("segment", "label")
+        .agg(count(lit(1)).as("customers"),
+             round(d(sum(col("mon").cast("decimal(38,0)"))) /
+                   d(count(lit(1))) / lit(100.0), 6).as("avg_monetary"))
+        .orderBy("segment")
     }
   )
 
@@ -876,6 +996,95 @@ object StatsModelOps extends OpModule {
         |  round(CAST(top_rev AS DOUBLE) / CAST(rev AS DOUBLE), 6)
         |    AS top_share
         |FROM t JOIN tot ON t.prio = tot.prio
-        |ORDER BY o_orderpriority, p_label""".stripMargin
+        |ORDER BY o_orderpriority, p_label""".stripMargin,
+
+    "q159_ab_test" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 150
+        |             THEN 1 ELSE 0 END) AS conv,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |             THEN CAST(round(value * 100) AS BIGINT)
+        |             ELSE 0 END) AS rev
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |                       <= '7'
+        |                  THEN 'control' ELSE 'treatment' END AS arm,
+        |             conv, rev
+        |      FROM pu),
+        |g AS (SELECT arm, count(*) AS n, sum(conv) AS x,
+        |             sum(CAST(rev AS HUGEINT)) AS s1,
+        |             sum(CAST(rev AS HUGEINT) * rev) AS s2
+        |      FROM a GROUP BY 1),
+        |w AS (SELECT
+        |    max(CASE WHEN arm = 'control' THEN n END) AS n_c,
+        |    max(CASE WHEN arm = 'treatment' THEN n END) AS n_t,
+        |    max(CASE WHEN arm = 'control' THEN x END) AS x_c,
+        |    max(CASE WHEN arm = 'treatment' THEN x END) AS x_t,
+        |    max(CASE WHEN arm = 'control' THEN s1 END) AS s1_c,
+        |    max(CASE WHEN arm = 'treatment' THEN s1 END) AS s1_t,
+        |    max(CASE WHEN arm = 'control' THEN s2 END) AS s2_c,
+        |    max(CASE WHEN arm = 'treatment' THEN s2 END) AS s2_t
+        |  FROM g),
+        |f AS (SELECT *,
+        |    CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS p_c,
+        |    CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS p_t,
+        |    CAST(x_c + x_t AS DOUBLE) / CAST(n_c + n_t AS DOUBLE) AS pp,
+        |    CAST(s1_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS m_c,
+        |    CAST(s1_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS m_t,
+        |    (CAST(s2_c AS DOUBLE) -
+        |     CAST(s1_c AS DOUBLE) * CAST(s1_c AS DOUBLE) /
+        |       CAST(n_c AS DOUBLE)) / CAST(n_c - 1 AS DOUBLE) AS v_c,
+        |    (CAST(s2_t AS DOUBLE) -
+        |     CAST(s1_t AS DOUBLE) * CAST(s1_t AS DOUBLE) /
+        |       CAST(n_t AS DOUBLE)) / CAST(n_t - 1 AS DOUBLE) AS v_t
+        |  FROM w)
+        |SELECT CAST(n_c AS BIGINT) AS n_c, CAST(n_t AS BIGINT) AS n_t,
+        |  CAST(x_c AS BIGINT) AS x_c, CAST(x_t AS BIGINT) AS x_t,
+        |  round(p_c, 6) AS rate_c, round(p_t, 6) AS rate_t,
+        |  round((p_t - p_c) /
+        |        sqrt(pp * (1.0 - pp) *
+        |             (1.0 / CAST(n_c AS DOUBLE) +
+        |              1.0 / CAST(n_t AS DOUBLE))), 6) AS z_conv,
+        |  round((m_t - m_c) /
+        |        sqrt(v_c / CAST(n_c AS DOUBLE) +
+        |             v_t / CAST(n_t AS DOUBLE)), 6) AS t_rev
+        |FROM f""".stripMargin,
+
+    "q160_rfm_segments" ->
+      """WITH od AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |e AS (SELECT max(day) AS ed FROM od),
+        |pc AS (SELECT o_custkey,
+        |    CAST(min(datediff('day', day, ed)) AS BIGINT) AS rec,
+        |    count(*) AS freq, sum(cents) AS mon
+        |  FROM od, e GROUP BY 1),
+        |pv AS (SELECT 'r' AS k, rec AS v FROM pc
+        |  UNION ALL SELECT 'f', CAST(freq AS BIGINT) FROM pc
+        |  UNION ALL SELECT 'm', mon FROM pc),
+        |g AS (SELECT k, v, count(*) AS c FROM pv GROUP BY 1, 2),
+        |cum AS (SELECT k, v,
+        |    sum(c) OVER (PARTITION BY k ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY k) AS n
+        |  FROM g),
+        |sm AS (SELECT k, v, (4 * cum + n - 1) // n AS s FROM cum),
+        |sc AS (SELECT pc.mon, r.s AS rs, f.s AS fs, m.s AS ms FROM pc
+        |  JOIN sm r ON r.k = 'r' AND r.v = pc.rec
+        |  JOIN sm f ON f.k = 'f' AND f.v = pc.freq
+        |  JOIN sm m ON m.k = 'm' AND m.v = pc.mon),
+        |seg AS (SELECT
+        |    concat(rs, '-', fs, '-', ms) AS segment,
+        |    CASE WHEN rs <= 2 AND fs >= 3 AND ms >= 3 THEN 'champion'
+        |         WHEN rs <= 2 AND ms >= 3 THEN 'big_spender'
+        |         WHEN rs >= 3 AND fs >= 3 THEN 'at_risk'
+        |         WHEN rs >= 3 THEN 'hibernating'
+        |         ELSE 'regular' END AS label, mon
+        |  FROM sc)
+        |SELECT segment, label, count(*) AS customers,
+        |  round(CAST(sum(CAST(mon AS HUGEINT)) AS DOUBLE) /
+        |        count(*) / 100.0, 6) AS avg_monetary
+        |FROM seg GROUP BY 1, 2 ORDER BY segment""".stripMargin
   )
 }

@@ -298,6 +298,84 @@ class StatsModelSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("q159 A/B readout matches a Scala brute force") {
+    val rows = Tables(spark, sf, "events")
+      .select(col("user_id"),
+        substring(md5(col("user_id").cast("string")), 1, 1) <= "7",
+        col("event_type") === "purchase" && col("value") > 150,
+        when(col("event_type") === "purchase",
+             round(col("value") * 100).cast("long")).otherwise(0L))
+      .as[(Long, Boolean, Boolean, Long)].collect().toSeq
+    val perUser = rows.groupBy(_._1).toSeq.map { case (_, g) =>
+      (g.head._2, g.exists(_._3), g.map(_._4).sum)
+    }
+    def stats(ctrl: Boolean) = {
+      val a = perUser.filter(_._1 == ctrl)
+      (a.size.toLong, a.count(_._2).toLong,
+       a.map(r => BigInt(r._3)).sum,
+       a.map(r => BigInt(r._3) * BigInt(r._3)).sum)
+    }
+    val (nc, xc, s1c, s2c) = stats(true)
+    val (nt, xt, s1t, s2t) = stats(false)
+    val (pc, pt) = (xc.toDouble / nc, xt.toDouble / nt)
+    val pp = (xc + xt).toDouble / (nc + nt)
+    val (mc, mt) = (s1c.toDouble / nc, s1t.toDouble / nt)
+    val vc = (s2c.toDouble - s1c.toDouble * s1c.toDouble / nc) / (nc - 1)
+    val vt = (s2t.toDouble - s1t.toDouble * s1t.toDouble / nt) / (nt - 1)
+    val z = (pt - pc) /
+      math.sqrt(pp * (1.0 - pp) * (1.0 / nc + 1.0 / nt))
+    val t = (mt - mc) / math.sqrt(vc / nc + vt / nt)
+    val expected = (nc, nt, xc, xt, round6(pc), round6(pt),
+                    round6(z), round6(t))
+    val got = q("q159_ab_test")
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double)]
+      .collect().head
+    assert(got == expected)
+    assert(xc > 0 && xc < nc && xt > 0 && xt < nt,
+           "degenerate conversion — z untested")
+  }
+
+  test("q160 RFM segments match a Scala brute force") {
+    val rows = Tables(spark, sf, "orders")
+      .select(col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")),
+        round(col("o_totalprice") * 100).cast("long"))
+      .as[(Long, Int, Long)].collect().toSeq
+    val end = rows.map(_._2).max
+    val pc = rows.groupBy(_._1).toSeq.map { case (c, g) =>
+      (c, (end - g.map(_._2).max).toLong, g.size.toLong, g.map(_._3).sum)
+    }
+    def scores(vs: Seq[Long]): Map[Long, Long] = {
+      val n = vs.size.toLong
+      var cum = 0L
+      vs.groupBy(identity).toSeq.sortBy(_._1).map { case (v, g) =>
+        cum += g.size; v -> ((4 * cum + n - 1) / n)
+      }.toMap
+    }
+    val (rs, fs, ms) =
+      (scores(pc.map(_._2)), scores(pc.map(_._3)), scores(pc.map(_._4)))
+    val seg = pc.map { case (_, r, f, m) =>
+      val (a, b, c) = (rs(r), fs(f), ms(m))
+      val label =
+        if (a <= 2 && b >= 3 && c >= 3) "champion"
+        else if (a <= 2 && c >= 3) "big_spender"
+        else if (a >= 3 && b >= 3) "at_risk"
+        else if (a >= 3) "hibernating" else "regular"
+      (s"$a-$b-$c", label, m)
+    }
+    val expected = seg.groupBy(x => (x._1, x._2)).toSeq
+      .map { case ((sg, lb), g) =>
+        (sg, lb, g.size.toLong,
+         round6(g.map(x => BigDecimal(x._3)).sum.toDouble / g.size / 100.0))
+      }.sortBy(_._1)
+    val got = try q("q160_rfm_segments")
+        .as[(String, String, Long, Double)].collect().toSeq
+      finally PinScope.drain()
+    assert(got == expected)
+    assert(expected.map(_._2).distinct.size >= 3,
+           "label CASE under-exercised")
+  }
+
   test("q148/q151 returned plans read pinned blocks, not parquet") {
     // the pin is the scale guarantee: ONE fact scan (materialized at pin
     // time), every downstream order-statistic branch reads blocks — the
