@@ -667,6 +667,39 @@ object StatsModelOps extends OpModule {
              round(d(sum(col("mon").cast("decimal(38,0)"))) /
                    d(count(lit(1))) / lit(100.0), 6).as("avg_monetary"))
         .orderBy("segment")
+    },
+
+    // Seasonal-naive forecast screen (added r10) — the forecasting
+    // team's first sanity metric over any daily series: per event
+    // type, is the series better explained by weekly seasonality
+    // (forecast day d with day d−7) or by simple persistence
+    // (forecast with day d−1)? Both one-step error sums are EXACT
+    // integer Σ|Δcount| over the (type, day) cell table, restricted
+    // to days where BOTH lags exist so numerator and denominator
+    // cover the identical day set; the ratio (a MASE-style statistic
+    // — <1 ⇒ weekly structure beats persistence) is the only double,
+    // one fixed-order division rounded 6 dp, null-guarded when the
+    // naive error is zero (a constant series). Scale shape: ONE
+    // facts scan into a (type, day) map-side-combined agg; the cell
+    // table is types×days-bound, so the two shifted self-joins and
+    // the rollup never touch fact volume.
+    "q161_forecast_screen" -> { (s, dir) =>
+      val cells = Tables(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      def shifted(n: Int, as: String) =
+        cells.select(col("event_type"),
+                     date_add(col("day"), n).as("day"), col("c").as(as))
+      cells.join(shifted(1, "cp"), Seq("event_type", "day"))
+        .join(shifted(7, "cs"), Seq("event_type", "day"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+             sum(abs(col("c") - col("cs"))).as("err_seasonal"),
+             sum(abs(col("c") - col("cp"))).as("err_naive"))
+        .withColumn("mase",
+          when(col("err_naive") > 0,
+               round(d(col("err_seasonal")) / d(col("err_naive")), 6)))
+        .orderBy("event_type")
     }
   )
 
@@ -1085,6 +1118,25 @@ object StatsModelOps extends OpModule {
         |SELECT segment, label, count(*) AS customers,
         |  round(CAST(sum(CAST(mon AS HUGEINT)) AS DOUBLE) /
         |        count(*) / 100.0, 6) AS avg_monetary
-        |FROM seg GROUP BY 1, 2 ORDER BY segment""".stripMargin
+        |FROM seg GROUP BY 1, 2 ORDER BY segment""".stripMargin,
+
+    "q161_forecast_screen" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |j AS (
+        |  SELECT b.event_type, b.c, p.c AS cp, s.c AS cs
+        |  FROM cells b
+        |  JOIN cells p ON p.event_type = b.event_type
+        |              AND p.day + 1 = b.day
+        |  JOIN cells s ON s.event_type = b.event_type
+        |              AND s.day + 7 = b.day)
+        |SELECT event_type, count(*) AS n_days,
+        |  CAST(sum(abs(c - cs)) AS BIGINT) AS err_seasonal,
+        |  CAST(sum(abs(c - cp)) AS BIGINT) AS err_naive,
+        |  CASE WHEN sum(abs(c - cp)) > 0
+        |       THEN round(CAST(sum(abs(c - cs)) AS DOUBLE) /
+        |                  CAST(sum(abs(c - cp)) AS DOUBLE), 6) END AS mase
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

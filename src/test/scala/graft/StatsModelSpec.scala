@@ -376,6 +376,31 @@ class StatsModelSpec extends SparkSpecBase {
            "label CASE under-exercised")
   }
 
+  test("q161 forecast screen matches a Scala brute force") {
+    val rows = Tables(spark, sf, "events")
+      .select(col("event_type"),
+              datediff(to_date(col("ts")), lit("1970-01-01")))
+      .as[(String, Int)].collect().toSeq
+    val cells = rows.groupBy(identity).map { case ((t, dy), g) =>
+      (t, dy, g.size.toLong)
+    }.toSeq
+    val byTD = cells.map { case (t, dy, c) => (t, dy) -> c }.toMap
+    val expected = cells.groupBy(_._1).toSeq.map { case (t, g) =>
+      val triples = g.flatMap { case (_, dy, c) =>
+        for (cp <- byTD.get((t, dy - 1)); cs <- byTD.get((t, dy - 7)))
+          yield (c, cp, cs)
+      }
+      val es = triples.map(x => math.abs(x._1 - x._3)).sum
+      val en = triples.map(x => math.abs(x._1 - x._2)).sum
+      (t, triples.size.toLong, es, en,
+       if (en > 0) Some(round6(es.toDouble / en.toDouble)) else None)
+    }.sortBy(_._1)
+    val got = q("q161_forecast_screen")
+      .as[(String, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(got == expected)
+    assert(expected.exists(_._2 > 0), "no lag-complete days — untested")
+  }
+
   test("q148/q151 returned plans read pinned blocks, not parquet") {
     // the pin is the scale guarantee: ONE fact scan (materialized at pin
     // time), every downstream order-statistic branch reads blocks — the
