@@ -31,7 +31,7 @@ object SweepR10 {
       "q152_moments_daily_union", "q153_burst_flags",
       "q154_value_histogram", "q155_conversion_lag",
       "q156_attribution", "q157_churn_screen", "q158_top_share",
-      "q159_ab_test", "q160_rfm_segments")
+      "q159_ab_test", "q160_rfm_segments", "q161_forecast_screen")
     // optional args restrict the sweep to a subset (iteration speed);
     // the recorded BASELINE runs always name which subset ran
     val sel = if (args.isEmpty) qs else qs.filter(args.contains)
