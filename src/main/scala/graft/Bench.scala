@@ -31,16 +31,34 @@ object Bench {
     // deterministic name order: run-to-run timings are comparable, and
     // q82 (the cheaper fixpoint query) always precedes q83, so q83's
     // median reflects warm codegen, not first-fixpoint JIT warm-up
-    val results = qs0.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // a failed query records -1 (not a bogus elapsed time), so a
-      // regression is visible in the JSON instead of silently timed
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case e: Throwable =>
-                 System.err.println(s"[bench] $name failed: ${e.getMessage}")
-                 false }
-               finally PinScope.drain() // release pins AFTER the consume
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    def onePass(): Seq[(String, Double)] =
+      qs0.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // a failed query records -1 (not a bogus elapsed time), so a
+        // regression is visible in the JSON instead of silently timed
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case e: Throwable =>
+                   System.err.println(s"[bench] $name failed: ${e.getMessage}")
+                   false }
+                 finally PinScope.drain() // release pins AFTER the consume
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+    // Two passes, per-query MIN (r10 verdict #7): single-pass captures
+    // on a shared box carry ambient-load bursts (r9: a uniform 1.3x;
+    // r10: a contiguous q88–q95 segment at 3–14x) that every round
+    // needed a written reconciliation against the recorded medians.
+    // Pass 1 additionally absorbs the one-time artifact/JIT builds, so
+    // min(pass1, pass2) approximates the steady-state median the repo
+    // records, at the cost of ~2 min of extra driver wall-clock. A
+    // query that failed in EITHER pass stays -1 (min propagates the
+    // failure — a flaky query must read as broken, not fast).
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .flatMap(p => scala.util.Try(p.toInt).toOption).getOrElse(2).max(1)
+    val allPasses = (1 to passes).map(_ => onePass())
+    val results = allPasses.transpose.map { timings =>
+      val name = timings.head._1
+      val ts = timings.map(_._2)
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -52,7 +70,7 @@ object Bench {
     val failures = results.map(_._2).count(_ < 0)
     val value = if (failures > 0) "null" else total.toString
     val json =
-      s"""{"metric":"total","value":$value,"unit":"sec","failures":$failures,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$value,"unit":"sec","failures":$failures,"passes":$passes,"queries":$qs,"sf":"$sfDir"}"""
     // stdout line for the driver's scraper AND a file copy so the result
     // survives a truncated tail capture (round-1 BENCH came back
     // parsed:null because the tail cut the stdout line mid-stream).

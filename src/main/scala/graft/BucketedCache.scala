@@ -87,7 +87,7 @@ object BucketedCache {
     }
   }
 
-  private def deleteTree(root: java.nio.file.Path): Unit =
+  private[graft] def deleteTree(root: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(root)) {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(root).iterator.asScala.toSeq

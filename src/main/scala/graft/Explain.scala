@@ -31,7 +31,7 @@ object Explain {
         println(f"$name%-24s exchanges=$exchanges")
       } catch {
         case e: Throwable => println(s"$name EXPLAIN FAILED: ${e.getMessage}")
-      }
+      } finally PinScope.drain() // pinned queries eager-count at build time
     }
     spark.stop()
   }

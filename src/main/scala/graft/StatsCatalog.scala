@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Catalog registration + `ANALYZE TABLE` statistics for the CBO tier
+  * (q163): registers a testdata parquet file as an external catalog
+  * table and computes table stats (row count, size) plus column stats
+  * (min/max/NDV/null count) for the named columns — the inputs
+  * Catalyst's cost-based FilterEstimation and join planning read.
+  *
+  * The catalog is the Spark-session SHARED external catalog (all
+  * `newSession` children of one SparkContext see it), so the analyze
+  * cost is paid once per (table, sfDir) per JVM — the same write-once
+  * discipline as [[BucketedCache]], but for metadata: at 100 TB these
+  * statistics are produced by the ingest pipeline (ANALYZE as part of
+  * publishing a partition, or a lakehouse format's per-file column
+  * counts) and consumed by every reader's planner.
+  *
+  * In-JVM only: ANALYZE of the same (table, sfDir) serializes on a
+  * per-key monitor; the in-memory catalog dies with the JVM, which is
+  * fine because recomputing stats at test SF is milliseconds.
+  */
+object StatsCatalog {
+
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Object]()
+
+  /** Ensures `graft_stats_<table>_<sfKey>` exists with fresh table and
+    * column statistics; returns the catalog table name. */
+  def ensure(s: SparkSession, sfDir: String, table: String,
+             statCols: Seq[String]): String = {
+    val sfKey = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val tbl = s"graft_stats_${table}_$sfKey"
+    locks.computeIfAbsent((table, sfDir), _ => new Object).synchronized {
+      if (!s.catalog.tableExists(tbl)) {
+        s.sql(s"""CREATE TABLE $tbl USING parquet
+                 |LOCATION '$sfDir/$table.parquet'""".stripMargin)
+        s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS")
+        s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS " +
+          s"FOR COLUMNS ${statCols.mkString(", ")}")
+      }
+      tbl
+    }
+  }
+}

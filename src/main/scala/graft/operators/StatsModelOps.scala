@@ -392,17 +392,22 @@ object StatsModelOps extends OpModule {
     // membership is engine-exact; shares divide the exact counts once
     // in double and round 6 dp; the cumulative share divides the exact
     // cumulative count (not a sum of rounded shares — order-free by
-    // construction). ONE scan to ≤ types×20 cells; windows run over
-    // the cells only.
+    // construction). ONE fact scan builds the (type, cents, count)
+    // value-group table (pinned, q148's discipline — r10 scanned the
+    // facts twice: once for the range, once for the binning join);
+    // range, binning and windows all derive from the domain-bound
+    // value groups, never from fact volume.
     "q154_value_histogram" -> { (s, dir) =>
-      val ev = Tables(s, dir, "events")
+      val (pv, h) = pin(Tables(s, dir, "events")
         .select(col("event_type"),
                 round(col("value") * 100).cast("long").as("v"))
-      val rng = ev.groupBy("event_type")
+        .groupBy("event_type", "v").agg(count(lit(1)).as("c")))
+      h.count(); graft.PinScope.retain(h)
+      val rng = pv.groupBy("event_type")
         .agg(min("v").as("vmin"), max("v").as("vmax"))
-      ev.join(broadcast(rng), Seq("event_type"))
+      pv.join(broadcast(rng), Seq("event_type"))
         .withColumn("bin", expr("((v - vmin) * 20) div (vmax - vmin + 1)"))
-        .groupBy("event_type", "bin").agg(count(lit(1)).as("cnt"))
+        .groupBy("event_type", "bin").agg(sum("c").as("cnt"))
         .withColumn("n",
           sum("cnt").over(Window.partitionBy("event_type")))
         .withColumn("cum",
@@ -680,13 +685,16 @@ object StatsModelOps extends OpModule {
     // — <1 ⇒ weekly structure beats persistence) is the only double,
     // one fixed-order division rounded 6 dp, null-guarded when the
     // naive error is zero (a constant series). Scale shape: ONE
-    // facts scan into a (type, day) map-side-combined agg; the cell
+    // facts scan into a (type, day) map-side-combined agg, PINNED
+    // (q148's discipline — r10 left the cell table lazy, so its three
+    // plan references re-scanned the facts three times); the cell
     // table is types×days-bound, so the two shifted self-joins and
     // the rollup never touch fact volume.
     "q161_forecast_screen" -> { (s, dir) =>
-      val cells = Tables(s, dir, "events")
+      val (cells, h) = pin(Tables(s, dir, "events")
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("c")))
+      h.count(); graft.PinScope.retain(h)
       def shifted(n: Int, as: String) =
         cells.select(col("event_type"),
                      date_add(col("day"), n).as("day"), col("c").as(as))

@@ -14,15 +14,16 @@ class OperatorSmokeSpec extends SparkSpecBase {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
-  test("only the five documented ◐ queries lack an oracle") {
+  test("only the six documented ◐ queries lack an oracle") {
     // the correctness contract (SURVEY.md §2): every declared query is
     // DuckDB-oracled except the approx sketches (never hash-match by
-    // nature — q110's/q128's DataSketches binary images included) and
-    // the layout-dependent seeded sample
+    // nature — q110's/q128's/q164's DataSketches binary images
+    // included) and the layout-dependent seeded sample
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled ==
              Set("q21_agg_approx", "q68_sample", "q77_agg_approx_pct",
-                 "q110_hll_daily_union", "q128_kll_daily_union"),
+                 "q110_hll_daily_union", "q128_kll_daily_union",
+                 "q164_stream_sketch_union"),
            s"undeclared oracle gap: $unoracled")
   }
 

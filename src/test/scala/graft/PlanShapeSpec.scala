@@ -608,4 +608,90 @@ class PlanShapeSpec extends SparkSpecBase {
       assert(plan.toString.contains("Expand"), plan.toString)
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("q162: AQE splits the skewed lang partition; result equals the salted twin") {
+    import org.apache.spark.sql.functions._
+    // sf0.01: the en partition (~64 KB of text, ~6-12 KB compressed on
+    // the wire) exceeds the query's scaled 2 KB skew threshold
+    val d01 = "/root/testdata/sf0.01"
+    val df = SparkEntry.queries("q162_join_skew_aqe")(spark, d01)
+    val rows = df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("skew=true"),
+           s"AQE skew split did not fire on the en partition:\n$p")
+    // the manually-salted twin (q60's technique on the same cohort
+    // join) must produce the identical row set — the two mitigations
+    // are interchangeable on a batch join
+    val salt = 8
+    val docs = Tables(spark, d01, "documents")
+      .select(col("doc_id"), col("lang"),
+              length(col("text")).cast("long").as("doc_chars"))
+    val cohort = docs.groupBy("lang")
+      .agg(count(lit(1)).as("lang_docs"),
+           sum(col("doc_chars").cast("long")).as("lang_chars"))
+      .withColumn("sr", explode(array((0 until salt).map(lit(_)): _*)))
+    val salted = docs.withColumn("sl", pmod(col("doc_id"), lit(salt)))
+      .join(cohort, Seq("lang")).where(col("sl") === col("sr"))
+      .select(col("doc_id"), col("lang"), col("doc_chars"),
+              col("lang_docs"), col("lang_chars"),
+              round(col("doc_chars").cast("double") /
+                    col("lang_chars").cast("double"), 6).as("char_share"))
+      .orderBy("doc_id").collect()
+    assert(rows.toSeq == salted.toSeq,
+           "AQE-split join and manually-salted join disagree")
+  }
+
+  test("q163: ANALYZE stats flip the join to broadcast; without stats it shuffles") {
+    import org.apache.spark.sql.functions._
+    val d01 = "/root/testdata/sf0.01"
+    // WITH stats + CBO (the declared query): the filtered orders side
+    // is estimated from row count × selectivity(o_totalprice > 498k)
+    // and comes in under the threshold → BroadcastHashJoin, no hint
+    val df = SparkEntry.queries("q163_cbo_broadcast")(spark, d01)
+    df.collect()
+    val withStats = df.queryExecution.executedPlan.toString
+    assert(withStats.contains("BroadcastHashJoin"),
+           s"stats+CBO did not produce a broadcast join:\n$withStats")
+    // WITHOUT stats (plain file relation, same threshold, AQE off so
+    // runtime sizes can't rescue the estimate): the filter does not
+    // shrink a size-only estimate — only column pruning scales it
+    // (279 KB file × 2/9 columns ≈ 60 KB > the 32 KB threshold) → the
+    // STATIC plan must fall back to a shuffle join
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.adaptive.enabled", "false")
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", (32 * 1024).toString)
+    val noStats = Tables(iso, d01, "lineitem")
+      .join(Tables(iso, d01, "orders").where(col("o_totalprice") > 498000),
+            col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_items"))
+      .queryExecution.executedPlan.toString
+    assert(noStats.contains("SortMergeJoin") ||
+             noStats.contains("ShuffledHashJoin"),
+           s"no-stats contrast unexpectedly broadcast:\n$noStats")
+  }
+
+  test("q154/q161: derivations read the pinned cell table, never the facts") {
+    // r10 shipped these with docstrings claiming one fact scan while
+    // the lazy cell table was referenced 2x/3x (the r10 ADVICE item);
+    // both now pin the cell table at build time (the q148 discipline),
+    // so the DECLARED plan must contain ZERO events scans — every
+    // branch (range/binning for q154; base + two shifted self-joins
+    // for q161) reads the materialized pinned blocks.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    for (q <- Seq("q154_value_histogram", "q161_forecast_screen")) {
+      try {
+        val plan = SparkEntry.queries(q)(spark, sf)
+          .queryExecution.executedPlan
+        val factScans = plan.collectWithSubqueries {
+          case s: FileSourceScanExec
+            if s.toString.contains("events.parquet") => s }
+        assert(factScans.isEmpty,
+               s"$q must derive from the pinned cell table, saw " +
+               s"${factScans.length} fact scans")
+        assert(plan.toString.contains("Scan ExistingRDD"),
+               s"$q lost its pinned cell table:\n$plan")
+      } finally PinScope.drain()
+    }
+  }
 }

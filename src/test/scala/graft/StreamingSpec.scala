@@ -383,6 +383,74 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("q164: restart resumes from committed offsets; double-fired batch commits never double-land") {
+    // the q164 maintenance machinery under its two failure scenarios:
+    // (1) the maintainer dies between deliveries — the restart must
+    // resume from the checkpointed offset log and fold ONLY the new
+    // delivery into the artifact (no batch re-run for the old one);
+    // (2) foreachBatch re-invokes a batch that already committed
+    // (Spark's at-least-once contract) — the batchId-keyed rename
+    // commit must reject the second landing byte-for-byte.
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft_q164_restart")
+    val in = dir.resolve("in"); Files.createDirectory(in)
+    val root = dir.resolve("root")
+    val art = root.resolve("art")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    // two DISJOINT deliveries (even users, then odd users) so a broken
+    // offset log is visible in the artifact's batch inventory
+    def deliver(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = dir.resolve(s"stage_$name")
+      df.coalesce(1).write.parquet(stage.toString)
+      val part = Files.list(stage).iterator.asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(part, in.resolve(name))
+    }
+    def batches: Set[String] = Files.list(art).iterator.asScala
+      .map(_.getFileName.toString).filter(_.startsWith("batch=")).toSet
+    def estimates(): Map[String, Long] =
+      spark.read.parquet(art.toString).groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
+        .as[(String, Long)].collect().toMap
+    def exactDistinct(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.groupBy("event_type").agg(countDistinct(col("user_id")).as("nd"))
+        .as[(String, Long)].collect().toMap
+    def assertWithin(est: Map[String, Long], exact: Map[String, Long]): Unit = {
+      assert(est.keySet == exact.keySet)
+      for ((t, e) <- exact)
+        assert(math.abs(est(t) - e).toDouble / e <= 0.05,
+               s"$t: sketch ${est(t)} vs exact $e")
+    }
+    val evens = ev.where(pmod(col("user_id"), lit(2)) === 0)
+    val odds = ev.where(pmod(col("user_id"), lit(2)) === 1)
+
+    // delivery 1 drains, maintainer stops (the "kill")
+    deliver(evens, "a.parquet")
+    streaming.StreamOps.maintainSketchArtifact(spark, in.toString, root)
+    assert(batches == Set("batch=0"), s"unexpected inventory: $batches")
+    assertWithin(estimates(), exactDistinct(evens))
+    // delivery 2 lands while the maintainer is DOWN; the restart folds
+    // exactly the new delivery: one new batch dir, estimates now cover
+    // the full user population
+    deliver(odds, "b.parquet")
+    streaming.StreamOps.maintainSketchArtifact(spark, in.toString, root)
+    assert(batches == Set("batch=0", "batch=1"),
+           s"restart must resume from offsets, saw: $batches")
+    assertWithin(estimates(), exactDistinct(ev))
+    // double-fire batch 0 with DIFFERENT content: the committed dir
+    // must win (same file set afterwards — the retry landed nothing)
+    val b0 = art.resolve("batch=0")
+    val before = Files.list(b0).iterator.asScala.map(_.toString).toSet
+    streaming.StreamOps.commitSketchPartial(art, 0L, odds
+      .withColumn("day", to_date(expr("timestamp_micros(ts DIV 1000)")))
+      .groupBy("day", "event_type")
+      .agg(hll_sketch_agg(col("user_id")).as("sk")))
+    val after = Files.list(b0).iterator.asScala.map(_.toString).toSet
+    assert(after == before, "a double-fired commit replaced batch=0")
+    assertWithin(estimates(), exactDistinct(ev))
+  }
+
   test("q89: doubled at-least-once input collapses to exactly-once counts") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val n = spark.read.parquet(s"$sf/events.parquet").count()
