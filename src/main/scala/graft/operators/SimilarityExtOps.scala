@@ -63,9 +63,11 @@ object SimilarityExtOps extends OpModule {
   private def embBase(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "embeddings").select(col("vec_id"), vec.as("v"))
 
-  /** Deterministic sampled IVF centroids (cid, cv). */
-  private def centroids(em: DataFrame): DataFrame =
-    em.where(col("vec_id") < Cents)
+  /** Deterministic sampled IVF centroids (cid, cv). `n` defaults to the
+    * frozen [[Cents]] every declared query uses (oracle determinism);
+    * the q120 production variant passes cells ∝ √corpus. */
+  private def centroids(em: DataFrame, n: Int = Cents): DataFrame =
+    em.where(col("vec_id") < n)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
 
   /** The IVF assignment pass shared by q73 (inline) and q79 (persisted
@@ -74,8 +76,13 @@ object SimilarityExtOps extends OpModule {
     * codegen'd map over it — the ArgminCentroid kernel; the corpus
     * never shuffles to be assigned. One definition keeps the two
     * queries' "exactly the same assignment" contract structural. */
-  private def ivfAssign(em: DataFrame): DataFrame = {
-    val packed = centroids(em)
+  private def ivfAssign(em: DataFrame): DataFrame =
+    ivfAssignC(em, centroids(em))
+
+  /** [[ivfAssign]] against an explicit centroid table (the production
+    * variant's √n-cell codebook). */
+  private def ivfAssignC(em: DataFrame, cent: DataFrame): DataFrame = {
+    val packed = cent
       .agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
     em.crossJoin(broadcast(packed))
       .select(col("vec_id"), col("v"),
@@ -399,30 +406,10 @@ object SimilarityExtOps extends OpModule {
     // space.
     "q120_decontaminate_semantic" -> { (s, d) =>
       val em = embBase(s, d)
-      val idxT = pqIndexTable(s, d)
-      val evalSide = TextExtOps.splitOf(col("vec_id")) === "eval"
-      val trainSide = TextExtOps.splitOf(col("vec_id")) === "train"
-      val qs = em.where(evalSide)
+      val qs = em.where(TextExtOps.splitOf(col("vec_id")) === "eval")
         .select(col("vec_id").as("eval_id"), col("v").as("qv"),
                 GraftFunctions.vectorNorm(col("v")).as("qn"))
-      val pw = Window.partitionBy("eval_id").orderBy(col("dist"), col("cid"))
-      val probeCells = qs.crossJoin(broadcast(centroids(em)))
-        .select(col("eval_id"), col("cid"), sqL2("qv", "cv").as("dist"))
-        .select(col("eval_id"), col("cid"), row_number().over(pw).as("pr"))
-        .where(col("pr") <= NProbe).select("eval_id", "cid")
-      val aw = Window.partitionBy("eval_id").orderBy(col("adc"), col("vec_id"))
-      s.table(idxT).where(trainSide)
-        .join(broadcast(probeCells), Seq("cid"))
-        .join(broadcast(qs), Seq("eval_id"))
-        .crossJoin(broadcast(pqPacked(em)))
-        .withColumn("adc", pqAdcStored)
-        .withColumn("ar", row_number().over(aw))
-        .where(col("ar") <= PqRerank)
-        .select(col("eval_id"), col("vec_id").as("train_id"),
-                round(GraftFunctions.dotProduct(col("v"), col("qv")) /
-                      (col("nv") * col("qn")), 4).as("sim"))
-        .where(col("sim") >= SemThreshold)
-        .orderBy("eval_id", "train_id")
+      semProbe(s, pqIndexTable(s, d), centroids(em), qs, pqPacked(em))
     },
 
     // One exact k-means (Lloyd) refinement step (added r10) — the
@@ -518,22 +505,92 @@ object SimilarityExtOps extends OpModule {
     }
   )
 
+  /** The semantic-decontamination probe shared by the declared q120 and
+    * [[q120Production]]: per eval row in `qs`, NProbe cells by exact
+    * centroid distance against `cent`, ADC from the index's stored
+    * codes (no re-coding, no index shuffle), bounded PqRerank cut,
+    * exact cosine re-rank, threshold flag. */
+  private def semProbe(s: SparkSession, idxT: String, cent: DataFrame,
+                       qs: DataFrame, codebook: DataFrame): DataFrame = {
+    val trainSide = TextExtOps.splitOf(col("vec_id")) === "train"
+    val pw = Window.partitionBy("eval_id").orderBy(col("dist"), col("cid"))
+    val probeCells = qs.crossJoin(broadcast(cent))
+      .select(col("eval_id"), col("cid"), sqL2("qv", "cv").as("dist"))
+      .select(col("eval_id"), col("cid"), row_number().over(pw).as("pr"))
+      .where(col("pr") <= NProbe).select("eval_id", "cid")
+    val aw = Window.partitionBy("eval_id").orderBy(col("adc"), col("vec_id"))
+    s.table(idxT).where(trainSide)
+      .join(broadcast(probeCells), Seq("cid"))
+      .join(broadcast(qs), Seq("eval_id"))
+      .crossJoin(broadcast(codebook))
+      .withColumn("adc", pqAdcStored)
+      .withColumn("ar", row_number().over(aw))
+      .where(col("ar") <= PqRerank)
+      .select(col("eval_id"), col("vec_id").as("train_id"),
+              round(GraftFunctions.dotProduct(col("v"), col("qv")) /
+                    (col("nv") * col("qn")), 4).as("sim"))
+      .where(col("sim") >= SemThreshold)
+      .orderBy("eval_id", "train_id")
+  }
+
+  /** q120's PRODUCTION configuration (the r10 verdict's measured-linear
+    * mandate): the r10 10× sweep ran the declared query's WORKLOAD
+    * MODEL — an eval probe set that is a fixed FRACTION of the corpus
+    * (md5 split ≈ 25%) against a FROZEN 16-cell codebook — so probed
+    * work grew ∝ |eval|·(n/cells) = n²/16: super-linear by
+    * construction, not by plan. Production releases don't do that:
+    * the eval suite is a FIXED SIZE regardless of corpus (first
+    * `evalCap` eval docs here — deterministic), and the IVF codebook
+    * scales with the corpus (`cents` ∝ √n, the standard IVF sizing),
+    * making probe work ∝ evalCap·√n — sublinear per release. Same
+    * probe plan ([[semProbe]], plan assertions unchanged), same
+    * persisted-index discipline (a per-`cents` artifact: the index is
+    * rebuilt when the codebook generation changes, exactly like a real
+    * reindex). Clone-table hygiene: the 10× sweep tables repeat
+    * vec_ids, so codebook/centroid/eval SOURCES dedup on vec_id —
+    * duplicate centroid ids would break the sort_array position
+    * contract in [[pqPacked]] — while the INDEXED corpus keeps every
+    * clone (volume is the thing being measured).
+    * CorrectnessSpec pins equality with the declared q120 at the
+    * declared configuration (evalCap ≥ |eval|, cents = Cents). */
+  private[graft] def q120Production(s: SparkSession, d: String,
+                                    evalCap: Int, cents: Int): DataFrame = {
+    val em = embBase(s, d)
+    val dd = em.dropDuplicates("vec_id")
+    val idxT = pqIndexTableC(s, d, cents)
+    val qs = dd.where(TextExtOps.splitOf(col("vec_id")) === "eval")
+      .orderBy("vec_id").limit(evalCap)
+      .select(col("vec_id").as("eval_id"), col("v").as("qv"),
+              GraftFunctions.vectorNorm(col("v")).as("qn"))
+    semProbe(s, idxT, centroids(dd, cents), qs, pqPacked(dd))
+  }
+
   /** The persisted IVF-PQ coded index (q107/q120): cell id + 8 stored
     * one-byte codes + vector + norm, bucketed on cid — assignment and
     * coding happen in ONE zero-shuffle map pass at build time and
     * never again (both probes' plans are asserted argmin-free). */
-  private def pqIndexTable(s: SparkSession, d: String): String = {
+  private def pqIndexTable(s: SparkSession, d: String): String =
+    pqIndexTableC(s, d, Cents)
+
+  /** [[pqIndexTable]] parameterized on the coarse-codebook size: the
+    * frozen declared artifact is `pqidx_c16`-equivalent under its
+    * historical name `pqidx`; production codebook generations land as
+    * separate artifacts (a codebook change IS a reindex). */
+  private def pqIndexTableC(s: SparkSession, d: String, cents: Int): String = {
     val em = embBase(s, d)
+    val dd = if (cents == Cents) em else em.dropDuplicates("vec_id")
     val codeCols = (0 until PqSub).map { ss =>
       GraftFunctions.argminCentroid(
         slice(col("v"), ss * PqDim + 1, PqDim), col(s"cents$ss"))
         .as(s"c$ss")
     }
-    graft.BucketedCache.ensure(s, d, "pqidx",
+    val name = if (cents == Cents) "pqidx" else s"pqidx_c$cents"
+    graft.BucketedCache.ensure(s, d, name,
         "cid BIGINT, vec_id BIGINT, " +
           (0 until PqSub).map(ss => s"c$ss BIGINT").mkString(", ") +
           ", v ARRAY<DOUBLE>, nv DOUBLE", "cid", 8)(
-      ivfAssign(em).crossJoin(broadcast(pqPacked(em)))
+      ivfAssignC(em, centroids(dd, cents))
+        .crossJoin(broadcast(pqPacked(dd)))
         .select(col("cid") +: col("vec_id") +: codeCols :+
                 col("v") :+ col("nv"): _*))
   }

@@ -861,6 +861,21 @@ class CorrectnessSpec extends SparkSpecBase {
     }
   }
 
+  test("q120 production variant at the declared configuration equals the declared query") {
+    // the production-scaled path (fixed eval cap + parameterized
+    // codebook) must be the SAME operator when its knobs sit at the
+    // declared values: evalCap ≥ |eval split| and cents = 16. This
+    // pins the semProbe refactor and the parameterized index build —
+    // the sweep's production point differs from the declared query by
+    // configuration only, never by code path.
+    val declared = q("q120_decontaminate_semantic").collect().toSeq
+    val prod = operators.SimilarityExtOps
+      .q120Production(spark, sf, evalCap = 1000000, cents = 16)
+      .collect().toSeq
+    assert(prod == declared,
+           s"production variant diverged: ${prod.size} vs ${declared.size} rows")
+  }
+
   test("q105 IVF-PQ ANN recalls most of the exact top-10") {
     val exact = q("q53_ann_query").select("vec_id").as[Long].collect().toSeq
     val got = q("q105_ann_ivfpq").select("vec_id").as[Long].collect().toSet
