@@ -46,37 +46,7 @@ object BucketedCache {
       val tbl = s"graft_${name}_$sfKey"
       val path = java.nio.file.Paths.get(
         s"${sys.props("java.io.tmpdir")}/graft_bucket_${name}_$sfKey")
-      def ready: Boolean =
-        java.nio.file.Files.exists(path.resolve("_SUCCESS"))
-      if (!ready) {
-        // A final dir without _SUCCESS is a crashed writer's leftover
-        // (concurrent writers only ever rename COMPLETE dirs into
-        // place): clear it so the rename below can land.
-        deleteTree(path)
-        val scratchRoot =
-          java.nio.file.Files.createTempDirectory("graft_bucket_scratch")
-        val scratch = scratchRoot.resolve("data")
-        // bucketBy requires saveAsTable: write under a throwaway
-        // catalog name pointing at the scratch path, then detach it
-        val scratchTbl =
-          tbl + "_scratch_" + java.util.UUID.randomUUID.toString.replace("-", "")
-        try {
-          // repartition on the bucket key first: HashPartitioning(key, n)
-          // matches the bucket assignment, so each task owns exactly one
-          // bucket → n files instead of (input partitions × n) fragments
-          build.repartition(buckets, col(key))
-            .write.mode("overwrite").bucketBy(buckets, key).sortBy(key)
-            .option("path", scratch.toString).saveAsTable(scratchTbl)
-          s.sql(s"DROP TABLE IF EXISTS $scratchTbl") // external: files stay
-          try java.nio.file.Files.move(scratch, path,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          catch {
-            // lost a cross-process race (ENOTEMPTY/EEXIST): accept the
-            // winner's complete copy
-            case _: java.nio.file.FileSystemException if ready =>
-          }
-        } finally deleteTree(scratchRoot) // no-op for the moved dir
-      }
+      publish(s, path, tbl, key, buckets)(build)
       if (!s.catalog.tableExists(tbl)) {
         s.sql(s"""CREATE TABLE $tbl ($columnsDdl)
                  |USING parquet
@@ -85,6 +55,74 @@ object BucketedCache {
       }
       tbl
     }
+  }
+
+  /** The TWO-WRITER COMMIT PROTOCOL (the cross-process half of the
+    * concurrency invariant; the in-JVM monitor in [[ensure]] is the
+    * other half). Package-visible so ArtifactCommitSpec can race two
+    * writers directly, bypassing the monitor — exactly what two
+    * independent JVMs do.
+    *
+    * Contract (single-winner rename-commit):
+    *  1. `_SUCCESS` inside the FINAL path is the commit record; a
+    *     complete commit is never deleted or overwritten by this code.
+    *  2. Writers build into a private scratch dir and publish with ONE
+    *     atomic rename — readers observe nothing or everything, and
+    *     two racing writers cannot interleave files.
+    *  3. The loser of the rename race observes the winner's `_SUCCESS`
+    *     and ACCEPTS (returns success, discards its scratch): the
+    *     artifact's content contract is "a complete build of this
+    *     dataset", which any winner satisfies. This is last-completes-
+    *     wins-nothing — not last-WRITER-wins: once a commit exists, no
+    *     later writer replaces it.
+    *  4. A final dir WITHOUT `_SUCCESS` is a crashed writer's leftover.
+    *     It is cleared only on the rename FAILURE path (never
+    *     preemptively — a pre-build delete could clear a commit that
+    *     lands between check and delete), then the rename retries once;
+    *     losing the retry means a live competitor committed: accept.
+    *
+    * At 100 TB the same protocol is the object-store flavor: scratch =
+    * a job-scoped prefix, rename = the store's atomic manifest/marker
+    * write (or a lakehouse log commit), crashed-writer GC = lifecycle
+    * policy on unreferenced scratch prefixes. */
+  private[graft] def publish(s: SparkSession, path: java.nio.file.Path,
+                             tbl: String, key: String, buckets: Int)(
+                             build: => DataFrame): Unit = {
+    def ready: Boolean =
+      java.nio.file.Files.exists(path.resolve("_SUCCESS"))
+    if (ready) return
+    val scratchRoot =
+      java.nio.file.Files.createTempDirectory("graft_bucket_scratch")
+    val scratch = scratchRoot.resolve("data")
+    // bucketBy requires saveAsTable: write under a throwaway
+    // catalog name pointing at the scratch path, then detach it
+    val scratchTbl =
+      tbl + "_scratch_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    def tryMove(): Boolean =
+      try {
+        java.nio.file.Files.move(scratch, path,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        true
+      } catch { case _: java.nio.file.FileSystemException => false }
+    try {
+      // repartition on the bucket key first: HashPartitioning(key, n)
+      // matches the bucket assignment, so each task owns exactly one
+      // bucket → n files instead of (input partitions × n) fragments
+      build.repartition(buckets, col(key))
+        .write.mode("overwrite").bucketBy(buckets, key).sortBy(key)
+        .option("path", scratch.toString).saveAsTable(scratchTbl)
+      s.sql(s"DROP TABLE IF EXISTS $scratchTbl") // external: files stay
+      if (!tryMove() && !ready) {
+        // occupied by something that is NOT a complete commit: a
+        // crashed writer's leftover. Clear it, retry once; if the
+        // retry also fails, a live competitor landed in between —
+        // accept its commit (contract point 3), else surface.
+        deleteTree(path)
+        if (!tryMove() && !ready)
+          throw new IllegalStateException(
+            s"cannot commit bucketed artifact at $path")
+      }
+    } finally deleteTree(scratchRoot) // no-op for the moved dir
   }
 
   private[graft] def deleteTree(root: java.nio.file.Path): Unit =

@@ -25,8 +25,17 @@ object StatsCatalog {
   private val locks =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Object]()
 
+  /** Columns already ANALYZEd per catalog table name: a later caller
+    * asking for more columns (q163 wants o_totalprice, q165 wants
+    * o_custkey on the same orders table) triggers an incremental
+    * ANALYZE of just the missing ones — column stats accumulate, as
+    * they do in a real warehouse catalog. */
+  private val analyzed =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+
   /** Ensures `graft_stats_<table>_<sfKey>` exists with fresh table and
-    * column statistics; returns the catalog table name. */
+    * column statistics covering `statCols`; returns the catalog table
+    * name. */
   def ensure(s: SparkSession, sfDir: String, table: String,
              statCols: Seq[String]): String = {
     val sfKey = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
@@ -36,8 +45,13 @@ object StatsCatalog {
         s.sql(s"""CREATE TABLE $tbl USING parquet
                  |LOCATION '$sfDir/$table.parquet'""".stripMargin)
         s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS")
+      }
+      val have = analyzed.getOrDefault(tbl, Set.empty)
+      val missing = statCols.filterNot(have)
+      if (missing.nonEmpty) {
         s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS " +
-          s"FOR COLUMNS ${statCols.mkString(", ")}")
+          s"FOR COLUMNS ${missing.mkString(", ")}")
+        analyzed.put(tbl, have ++ missing)
       }
       tbl
     }

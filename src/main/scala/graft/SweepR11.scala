@@ -14,6 +14,15 @@ import org.apache.spark.sql.SparkSession
   * index artifact builds in run 1, by declared artifact semantics —
   * a codebook change is a reindex, amortized across every release
   * sweep that follows).
+  *
+  * Mode "x100": the r10 verdict's #2 — the 100× fact sweep over the
+  * scale-critical operators. Data at /tmp/sf100x via tools/make100x.py
+  * (facts 100×: 60 M lineitem / 15 M orders / 10 M events / 500 k
+  * UNIQUE documents via interleaved tag tokens / 200 k perturbed
+  * embeddings; dims unchanged). Unlike the r9 exact-clone 10× stress
+  * (duplication-factor workload), this measures the VOLUME slope —
+  * the "would it survive 100×" question asked directly. Same
+  * run-twice/report-second protocol; remaining args subset the list.
   */
 object SweepR11 {
   def main(args: Array[String]): Unit = {
@@ -23,7 +32,7 @@ object SweepR11 {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val evalCap = 200 // the fixed "release eval suite" size
-    for (d <- Seq("/root/testdata/sf0.1", "/tmp/sf01x10")) {
+    def q120prod(d: String): Unit = {
       val n = spark.read.parquet(s"$d/embeddings.parquet").count()
       val cents = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
       def run() = operators.SimilarityExtOps
@@ -33,6 +42,34 @@ object SweepR11 {
       val m = run()
       println(f"SWEEP $d q120prod n=$n cents=$cents cap=$evalCap " +
         f"${(System.nanoTime() - t0) / 1e9}%.2f s ($m rows)")
+    }
+    if (args.headOption.contains("x100")) {
+      val qs = Seq( // cheap relational floors first, artifact families last
+        "q14_agg_hash", "q05_join_inner4", "q38_win_session",
+        "q91_pack_sequences", "q131_rollup_incremental",
+        "q152_moments_daily_union", "q90_sorted_layout", "q94_tfidf",
+        "q46_dedup_minhash", "q56_dedup_embedding", "q87_decontaminate",
+        "q96_decontaminate_exact", "q82_dedup_clusters",
+        "q108_clusters_incremental", "q115_pagerank")
+      val sel = if (args.length > 1) qs.filter(args.tail.contains) else qs
+      for (d <- Seq("/root/testdata/sf0.1", "/tmp/sf100x")) {
+        spark.read.parquet(s"$d/nation.parquet").count()
+        for (q <- sel) {
+          try {
+            SparkEntry.queries(q)(spark, d).count(); PinScope.drain()
+            val t0 = System.nanoTime()
+            val n = SparkEntry.queries(q)(spark, d).count()
+            println(f"SWEEP $d $q ${(System.nanoTime() - t0) / 1e9}%.2f s" +
+              f" ($n rows)")
+          } catch {
+            case e: Throwable =>
+              println(s"SWEEP $d $q FAILED: ${e.getMessage}")
+          } finally PinScope.drain()
+        }
+        q120prod(d)
+      }
+    } else {
+      for (d <- Seq("/root/testdata/sf0.1", "/tmp/sf01x10")) q120prod(d)
     }
     spark.stop()
   }

@@ -259,6 +259,44 @@ object AdvancedOps extends OpModule {
         .orderBy("o_orderkey")
     },
 
+    // Stats-driven JOIN REORDER — the CBO tier's second half (added
+    // r11; q163 is the broadcast decision, this is join ORDER). The
+    // query is WRITTEN in the worst order a naive author produces:
+    // fact ⋈ fact first ((lineitem ⋈ orders), the two biggest
+    // tables), then the filtered customer dimension. With CBO +
+    // joinReorder on and ANALYZE statistics on all three tables,
+    // Catalyst's CostBasedJoinReorder searches the join lattice using
+    // row counts and the c_mktsegment histogram-free NDV estimate
+    // (~1/5 survive 'BUILDING') and rewrites to
+    // (orders ⋈ filtered customer) ⋈ lineitem — the small
+    // intermediate first. PlanShapeSpec asserts the reorder (the
+    // innermost optimized join no longer touches lineitem) AND the
+    // no-stats contrast (the written order survives verbatim). Result
+    // is order-independent, so the oracle is the plain 3-way join. At
+    // 100 TB this is the optimizer tier that saves a query author
+    // from a petabyte intermediate; the stats ship from the ingest
+    // pipeline exactly as in q163. Session-isolated conf as q162/q163.
+    "q165_cbo_reorder" -> { (s, d) =>
+      val iso = s.newSession()
+      iso.conf.set("spark.sql.cbo.enabled", "true")
+      iso.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val lt = graft.StatsCatalog.ensure(iso, d, "lineitem",
+        Seq("l_orderkey", "l_extendedprice", "l_discount"))
+      val ot = graft.StatsCatalog.ensure(iso, d, "orders",
+        Seq("o_orderkey", "o_custkey"))
+      val ct = graft.StatsCatalog.ensure(iso, d, "customer",
+        Seq("c_custkey", "c_mktsegment"))
+      iso.table(lt)
+        .join(iso.table(ot), col("l_orderkey") === col("o_orderkey"))
+        .join(iso.table(ct).where(col("c_mktsegment") === "BUILDING"),
+              col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey")
+        .agg(count(lit(1)).as("n_items"),
+             graft.Det.decSum(col("l_extendedprice") *
+               (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy("c_custkey")
+    },
+
     // Column profiler (added r6) — per-column nulls / distincts / value
     // range in ONE pass over the table: a single multi-distinct
     // aggregate (Catalyst plans it as one scan + an Expand that
@@ -606,6 +644,18 @@ object AdvancedOps extends OpModule {
         |        CAST(c.lang_chars AS DOUBLE), 6) AS char_share
         |FROM documents d JOIN c ON d.lang = c.lang
         |ORDER BY doc_id""".stripMargin,
+
+    // the plain 3-way join — q165's result must be independent of the
+    // join order CBO picks
+    "q165_cbo_reorder" ->
+      """SELECT c_custkey, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the plain filtered join — q163's result must be independent of
     // whether stats flipped the join to broadcast

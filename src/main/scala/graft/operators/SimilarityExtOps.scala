@@ -146,10 +146,31 @@ object SimilarityExtOps extends OpModule {
 
   /** Distinct (a, b) pairs (a < b) sharing at least one signature band —
     * union of per-band bucket-equijoins, never an all-pairs scan. */
-  private def bandedPairs(base: DataFrame): DataFrame =
+  /** q56's hot-bucket cap (q46's `HotBucketCap` principle for the
+    * EMBEDDING band space): a band bucket holding B vectors contributes
+    * B² candidate pairs, so one boilerplate-dense bucket can dominate
+    * Σ bucket² — the r11 100× sweep measured the uncapped form filling
+    * the spill disk (embedding families concentrate into few 8-bit
+    * band buckets). 128 sits above every test-SF bucket (measured max
+    * 75 at sf0.1, 22/24 below), so declared results and the oracle
+    * stay exact; past the cap a bucket is dropped WHOLESALE — beyond
+    * that density, band collisions are boilerplate geometry, not
+    * near-dup evidence. CorrectnessSpec exercises the capped regime
+    * directly with a low cap. */
+  private[graft] val EmbBucketCap = 128
+
+  private[graft] def bandedPairs(base: DataFrame,
+                                 maxBucket: Int = Int.MaxValue): DataFrame =
     (0 until Bands).map { b =>
-      val x = base.select(band(col("sig"), b).as("bk"), col("vec_id").as("a"))
-      val y = base.select(band(col("sig"), b).as("bk"), col("vec_id").as("b"))
+      val keyed = base.select(band(col("sig"), b).as("bk"), col("vec_id"))
+      // the bucket-size window shuffles on the SAME bk key the
+      // self-join uses, so the cap adds no extra exchange (q46's
+      // argument, verbatim)
+      val kept = keyed
+        .withColumn("bc", count(lit(1)).over(Window.partitionBy("bk")))
+        .where(col("bc") <= maxBucket)
+      val x = kept.select(col("bk"), col("vec_id").as("a"))
+      val y = kept.select(col("bk"), col("vec_id").as("b"))
       x.join(y, Seq("bk")).where(col("a") < col("b")).select("a", "b")
     }.reduce(_.unionAll(_)).distinct()
 
@@ -176,18 +197,22 @@ object SimilarityExtOps extends OpModule {
 
     // Embedding-based near-dup detection, composed from the scale-path
     // pieces: banded LSH candidates -> exact cosine verification ->
-    // threshold. Cost is O(Bands · Σ bucket²), never all-pairs; the
-    // vectors are re-joined by id so only (a, b) id pairs pass through
-    // the distinct. Verification uses the stored-norm decomposition:
-    // each side's L2 norm is computed ONCE in the base projection
-    // (n folds) and the per-pair work is a single dot fold —
-    // bit-identical to the fused cosine kernel at the engine's fixed
-    // dim=64 (see VectorKernels.dot).
+    // threshold. Cost is O(Bands · Σ bucket²) under the
+    // [[EmbBucketCap]] hot-bucket cap (a no-op at every test SF —
+    // measured max bucket 75 at sf0.1 — so the oracle stays exact; at
+    // the r11 100× stress the UNCAPPED form's Σ bucket² filled the
+    // spill disk, which is exactly what the cap exists to bound),
+    // never all-pairs; the vectors are re-joined by id so only (a, b)
+    // id pairs pass through the distinct. Verification uses the
+    // stored-norm decomposition: each side's L2 norm is computed ONCE
+    // in the base projection (n folds) and the per-pair work is a
+    // single dot fold — bit-identical to the fused cosine kernel at
+    // the engine's fixed dim=64 (see VectorKernels.dot).
     "q56_dedup_embedding" -> { (s, d) =>
       val base = Tables(s, d, "embeddings")
         .select(col("vec_id"), vec.as("v"), sigColumn.as("sig"),
                 GraftFunctions.vectorNorm(vec).as("nv"))
-      bandedPairs(base)
+      bandedPairs(base, maxBucket = EmbBucketCap)
         .join(base.select(col("vec_id").as("a"), col("v").as("va"),
                           col("nv").as("na")), Seq("a"))
         .join(base.select(col("vec_id").as("b"), col("v").as("vb"),

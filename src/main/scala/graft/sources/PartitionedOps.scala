@@ -168,7 +168,110 @@ object PartitionedOps extends OpModule {
         .parquet(scratch)
     }
 
+  /** Incremental OPTIMIZE (q166): rewrites ONLY the `day=` partition
+    * dirs of `root` holding more than `maxFiles` parquet files — each
+    * is compacted to one ts-sorted small-row-group file (q124's skip
+    * restoration, scoped to the partition) — and returns the rewritten
+    * partition names. Untouched partitions keep their files
+    * byte-identical: the partition dir is the maintenance TRANSACTION
+    * UNIT, which is what makes nightly OPTIMIZE affordable at 100 TB —
+    * cost ∝ new ingest, not table size (q124 rewrites everything it
+    * reads, the right shape only for a first backfill). Single-writer
+    * per partition by contract; concurrent-writer commits are
+    * [[graft.BucketedCache.publish]]'s department. Package-visible:
+    * IncCompactSpec drives generations directly on its own dir. */
+  private[graft] def optimizeDayPartitions(s: SparkSession, root: String,
+                                           maxFiles: Int = 1): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val rootP = java.nio.file.Paths.get(root)
+    def parquetFiles(p: java.nio.file.Path): Seq[java.nio.file.Path] =
+      java.nio.file.Files.list(p).iterator.asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    val fragmented = java.nio.file.Files.list(rootP).iterator.asScala
+      .filter(_.getFileName.toString.startsWith("day="))
+      .filter(p => parquetFiles(p).size > maxFiles).toSeq.sortBy(_.toString)
+    for (dd <- fragmented) {
+      val scratch = java.nio.file.Files.createTempDirectory(rootP, ".optimize")
+      try {
+        s.read.parquet(dd.toString)
+          .repartition(1).sortWithinPartitions("ts")
+          .write.mode("overwrite")
+          .option("parquet.block.size", 64 * 1024)
+          .parquet(scratch.resolve("out").toString)
+        val olds = parquetFiles(dd)
+        parquetFiles(scratch.resolve("out")).zipWithIndex.foreach {
+          case (f, i) => java.nio.file.Files.move(f,
+            dd.resolve(s"compacted-$i.parquet"))
+        }
+        olds.foreach(java.nio.file.Files.delete)
+      } finally {
+        java.nio.file.Files.walk(scratch).iterator.asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+    fragmented.map(_.getFileName.toString)
+  }
+
+  /** The q166 fixture: a day-partitioned events table taken through two
+    * ingest→OPTIMIZE generations. Gen 1: days before Jan 16 land as
+    * 4-file-per-day ingest fragments and are compacted. Gen 2: the
+    * remaining days land fragmented and the SECOND, incremental
+    * OPTIMIZE pass runs — the builder REQUIRES that it rewrote exactly
+    * the new days and left every gen-1 file untouched (name-for-name),
+    * so a layout regression fails the build loudly rather than
+    * silently re-paying full-table maintenance. */
+  def incCompactedEventsDir(s: SparkSession, d: String): String =
+    cachedLayout("inc_compact_events", d) { scratch =>
+      import scala.jdk.CollectionConverters._
+      val boundary = java.sql.Date.valueOf("2024-01-16")
+      val ev = Tables(s, d, "events").withColumn("day", to_date(col("ts")))
+      def ingest(part: DataFrame): Unit = part
+        .repartition(4, pmod(col("event_id"), lit(4)))
+        .write.mode("append").partitionBy("day").parquet(scratch)
+      ingest(ev.where(col("day") < boundary))
+      optimizeDayPartitions(s, scratch)
+      def snapshot(): Map[String, Set[String]] =
+        java.nio.file.Files.list(java.nio.file.Paths.get(scratch))
+          .iterator.asScala
+          .filter(_.getFileName.toString.startsWith("day=")).map { p =>
+            p.getFileName.toString ->
+              java.nio.file.Files.list(p).iterator.asScala
+                .map(_.getFileName.toString)
+                .filter(_.endsWith(".parquet")).toSet
+          }.toMap
+      val gen1 = snapshot()
+      ingest(ev.where(col("day") >= boundary))
+      val rewritten = optimizeDayPartitions(s, scratch)
+      val after = snapshot()
+      require(rewritten.forall(_ >= "day=2024-01-16"),
+        s"incremental OPTIMIZE rewrote a gen-1 partition: $rewritten")
+      require(gen1.forall { case (k, v) => after(k) == v },
+        "incremental OPTIMIZE disturbed compacted gen-1 files")
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Incremental compaction / partition-scoped OPTIMIZE (added r11) —
+    // q124's maintenance op made AFFORDABLE: compaction cost ∝ newly
+    // ingested partitions, never table size. The query is a plain
+    // time-range aggregate STRADDLING the generation boundary (reads
+    // gen-1-compacted and gen-2-compacted days in one scan); the
+    // operator under test is the layout lifecycle (see
+    // [[incCompactedEventsDir]] — the builder self-checks that gen-1
+    // files survive gen-2 maintenance byte-identically). Oracle runs
+    // on the ORIGINAL events: two generations of maintenance must stay
+    // a pure re-organization. PlanShapeSpec asserts every day dir ends
+    // single-file; IncCompactSpec drives the generations directly.
+    "q166_compact_incremental" -> { (s, d) =>
+      s.read.parquet(incCompactedEventsDir(s, d))
+        .where(col("day") >= lit("2024-01-12").cast("date") &&
+               col("day") < lit("2024-01-20").cast("date"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+             sum(col("value").cast("decimal(18,6)")).cast("double")
+               .as("sum_value"))
+        .orderBy("event_type")
+    },
     // Small-file compaction (added r10) — the query itself is a plain
     // time-range aggregate; the operator under test is the COMPACTED
     // LAYOUT: 64 span-covering ingest fragments rewritten as 4
@@ -277,6 +380,16 @@ object PartitionedOps extends OpModule {
         |FROM events
         |WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
         |  AND CAST(ts AS DATE) < DATE '2024-01-15'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // two generations of partition-scoped maintenance must stay a pure
+    // re-organization of the original events
+    "q166_compact_incremental" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) >= DATE '2024-01-12'
+        |  AND CAST(ts AS DATE) < DATE '2024-01-20'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q62_partition_pruning" ->

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+/** The two-writer commit contract for persisted artifacts
+  * ([[BucketedCache.publish]] — the r10 verdict's #4): the in-JVM
+  * monitor serializes same-process callers, so these specs race the
+  * publish protocol DIRECTLY, which is exactly the situation of two
+  * independent JVMs building the same artifact. The contract under
+  * test: single-winner atomic rename-commit, loser accepts the
+  * winner's complete copy, a commit is immutable once landed, and a
+  * crashed writer's leftover never blocks the next commit. */
+class ArtifactCommitSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def read(p: java.nio.file.Path) = spark.read.parquet(p.toString)
+
+  private def ordersBuild(wid: Int) = Tables(spark, sf, "orders")
+    .select(col("o_orderkey"), lit(wid).as("writer"))
+
+  test("two concurrent writers: one complete winner, loser accepts, no interleaving") {
+    val target = Files.createTempDirectory("graft_commit_race").resolve("art")
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = (1 to 2).map { wid =>
+      new Thread(() => {
+        try {
+          gate.await()
+          BucketedCache.publish(spark, target, s"graft_commitrace_w$wid",
+            "o_orderkey", 4)(ordersBuild(wid))
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"a racing writer failed: ${errs.peek()}")
+    assert(Files.exists(target.resolve("_SUCCESS")), "no commit landed")
+    // committed content is EXACTLY one writer's build — the atomic
+    // rename cannot interleave files from two scratch dirs
+    val winners = read(target).select("writer").distinct()
+      .as[Int].collect().toSet
+    assert(winners.size == 1, s"mixed-writer artifact: $winners")
+    assert(read(target).count() == Tables(spark, sf, "orders").count())
+    // a LATE writer is a no-op: a landed commit is immutable (the
+    // contract is first-commit-wins, not last-writer-wins)
+    val before = Files.list(target).iterator.asScala
+      .map(_.getFileName.toString).toSet
+    BucketedCache.publish(spark, target, "graft_commitrace_w3",
+      "o_orderkey", 4)(ordersBuild(3))
+    val after = Files.list(target).iterator.asScala
+      .map(_.getFileName.toString).toSet
+    assert(after == before, "a late writer replaced a committed artifact")
+    assert(read(target).select("writer").distinct().as[Int].collect().toSet
+             == winners)
+  }
+
+  test("a crashed writer's leftover (no _SUCCESS) does not block the next commit") {
+    val target = Files.createTempDirectory("graft_commit_crash").resolve("art")
+    Files.createDirectories(target)
+    Files.write(target.resolve("part-junk.parquet"), Array[Byte](1, 2, 3))
+    BucketedCache.publish(spark, target, "graft_commitcrash",
+      "o_orderkey", 4)(ordersBuild(9))
+    assert(Files.exists(target.resolve("_SUCCESS")), "commit did not land")
+    assert(!Files.exists(target.resolve("part-junk.parquet")),
+           "leftover junk survived into the committed artifact")
+    assert(read(target).where(col("writer") === 9).count() ==
+             Tables(spark, sf, "orders").count())
+  }
+}

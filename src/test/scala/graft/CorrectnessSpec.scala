@@ -861,6 +861,28 @@ class CorrectnessSpec extends SparkSpecBase {
     }
   }
 
+  test("q56's hot-bucket cap: declared cap is a no-op at test SF; a low cap drops hot buckets wholesale") {
+    // the r11 100× sweep measured the UNCAPPED banded self-join
+    // filling the spill disk (embedding families concentrate into few
+    // 8-bit band buckets, and Σ bucket² is quadratic in bucket size).
+    // Contract: EmbBucketCap = 128 sits above every test-SF bucket
+    // (max 24 here, 75 at sf0.1), so the declared pair set and the
+    // oracle stay exact — while the capped REGIME, forced with a low
+    // cap, must really suppress dense buckets.
+    val v = col("embedding").cast("array<double>")
+    val base = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), v.as("v"),
+              org.apache.spark.sql.graft.GraftFunctions
+                .lshSignature(v, 16).as("sig"))
+    val uncapped = operators.SimilarityExtOps.bandedPairs(base).count()
+    val declared = operators.SimilarityExtOps
+      .bandedPairs(base, operators.SimilarityExtOps.EmbBucketCap).count()
+    val low = operators.SimilarityExtOps.bandedPairs(base, 8).count()
+    assert(declared == uncapped,
+           s"declared cap changed test-SF semantics: $declared vs $uncapped")
+    assert(low < uncapped, s"low cap dropped nothing: $low vs $uncapped")
+  }
+
   test("q120 production variant at the declared configuration equals the declared query") {
     // the production-scaled path (fixed eval cap + parameterized
     // codebook) must be the SAME operator when its knobs sit at the

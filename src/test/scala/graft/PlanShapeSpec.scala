@@ -671,6 +671,60 @@ class PlanShapeSpec extends SparkSpecBase {
            s"no-stats contrast unexpectedly broadcast:\n$noStats")
   }
 
+  test("q165: CBO reorders the written fact-fact-first join; without stats the written order survives") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.functions._
+    val d01 = "/root/testdata/sf0.01"
+    def innermostJoins(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collect { case j: Join => j }
+        .filter(_.children.forall(_.collect { case j: Join => j }.isEmpty))
+    // WITH stats + CBO: the query is written (lineitem ⋈ orders) ⋈
+    // customer; the optimizer must rewrite so the innermost join is
+    // (orders ⋈ filtered customer) — lineitem joins LAST
+    // a join subtree "touches lineitem" iff lineitem attributes (the
+    // l_-prefixed columns) appear in its output — relation strings
+    // don't carry table names for either catalog or file relations
+    def touchesLineitem(j: Join): Boolean =
+      j.output.exists(_.name.startsWith("l_"))
+    val df = SparkEntry.queries("q165_cbo_reorder")(spark, d01)
+    df.collect()
+    val inner = innermostJoins(df.queryExecution.optimizedPlan)
+    assert(inner.nonEmpty, "no joins in the optimized plan")
+    assert(inner.forall(!touchesLineitem(_)),
+           s"CBO did not reorder lineitem out of the innermost join:\n" +
+             df.queryExecution.optimizedPlan)
+    // WITHOUT stats (plain file relations, CBO off): the written order
+    // survives — the innermost join is exactly lineitem ⋈ orders
+    val iso = spark.newSession()
+    val noStats = Tables(iso, d01, "lineitem")
+      .join(Tables(iso, d01, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(iso, d01, "customer")
+              .where(col("c_mktsegment") === "BUILDING"),
+            col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey").agg(count(lit(1)).as("n_items"))
+    val inner2 = innermostJoins(noStats.queryExecution.optimizedPlan)
+    assert(inner2.exists(touchesLineitem),
+           "no-stats contrast unexpectedly reordered the join")
+  }
+
+  test("q166: every day partition of the incremental layout ends single-file") {
+    SparkEntry.queries("q166_compact_incremental")(spark, sf).collect()
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(
+      s"${sys.props("java.io.tmpdir")}/graft_inc_compact_events_" +
+        sf.replaceAll("[^a-zA-Z0-9]", "_"))
+    val days = java.nio.file.Files.list(root).iterator.asScala
+      .filter(_.getFileName.toString.startsWith("day=")).toSeq
+    assert(days.size == 30, s"expected 30 day partitions, saw ${days.size}")
+    for (dd <- days) {
+      val files = java.nio.file.Files.list(dd).iterator.asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      assert(files.size == 1,
+             s"$dd not compacted: ${files.map(_.getFileName)}")
+    }
+  }
+
   test("q154/q161: derivations read the pinned cell table, never the facts") {
     // r10 shipped these with docstrings claiming one fact scan while
     // the lazy cell table was referenced 2x/3x (the r10 ADVICE item);
