@@ -50,7 +50,8 @@ object SweepR11 {
         "q152_moments_daily_union", "q90_sorted_layout", "q94_tfidf",
         "q46_dedup_minhash", "q56_dedup_embedding", "q87_decontaminate",
         "q96_decontaminate_exact", "q82_dedup_clusters",
-        "q108_clusters_incremental", "q115_pagerank")
+        "q108_clusters_incremental", "q115_pagerank",
+        "q166_compact_incremental", "q167_snapshot_vacuum")
       val sel = if (args.length > 1) qs.filter(args.tail.contains) else qs
       for (d <- Seq("/root/testdata/sf0.1", "/tmp/sf100x")) {
         spark.read.parquet(s"$d/nation.parquet").count()

@@ -259,6 +259,43 @@ object AdvancedOps extends OpModule {
         .orderBy("o_orderkey")
     },
 
+    // Engine-injected RUNTIME BLOOM FILTER join (added r11) — q74's
+    // mitigation the way modern Spark applies it by itself, completing
+    // the manual↔engine-native pairing the round built for the whole
+    // adaptivity ladder: q60 salt ↔ q162 AQE skew split, q06 hint ↔
+    // q163 CBO broadcast / q165 CBO reorder, and now q74 hand-built
+    // bloom semi-join ↔ InjectRuntimeFilter. The shape is the one
+    // broadcast can't serve and DPP doesn't cover: a selective filter
+    // on the creation side of a SHUFFLE join keyed on a NON-partition
+    // column. Catalyst plans a bloom-filter aggregate over the
+    // filtered orders side and wraps the lineitem scan in
+    // might_contain(l_orderkey), so ~99% of probe rows die AT THE SCAN
+    // before paying exchange + sort — at 100 TB that is the difference
+    // between shuffling the fact table and shuffling its matching 1%.
+    // Thresholds here are test-scaled (the 10 GB application-side
+    // floor is cluster-sized); the creation-side selectivity check is
+    // Catalyst's own. PlanShapeSpec asserts might_contain guards the
+    // fact scan AND that the filter-disabled twin plans the same join
+    // bare; the oracle is the plain filtered join — the bloom filter
+    // is pure pruning, never semantics.
+    "q169_runtime_bloom" -> { (s, d) =>
+      val iso = s.newSession()
+      iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      iso.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled",
+                   "true")
+      iso.conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+                     "applicationSideScanSizeThreshold", "0")
+      Tables(iso, d, "lineitem")
+        .join(Tables(iso, d, "orders")
+                .where(col("o_totalprice") > 400000)
+                .select("o_orderkey", "o_orderpriority"),
+              col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+             graft.Det.decSum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+
     // Stats-driven JOIN REORDER — the CBO tier's second half (added
     // r11; q163 is the broadcast decision, this is join ORDER). The
     // query is WRITTEN in the worst order a naive author produces:
@@ -644,6 +681,17 @@ object AdvancedOps extends OpModule {
         |        CAST(c.lang_chars AS DOUBLE), 6) AS char_share
         |FROM documents d JOIN c ON d.lang = c.lang
         |ORDER BY doc_id""".stripMargin,
+
+    // the plain filtered join — an injected runtime bloom filter is
+    // pure probe-side pruning and must never change the result
+    "q169_runtime_bloom" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the plain 3-way join — q165's result must be independent of the
     // join order CBO picks

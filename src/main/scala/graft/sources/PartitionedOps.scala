@@ -250,7 +250,215 @@ object PartitionedOps extends OpModule {
         "incremental OPTIMIZE disturbed compacted gen-1 files")
     }
 
+  /** Minimal MANIFEST-BASED SNAPSHOT LOG (q167) — the file-level half
+    * of the lakehouse lifecycle the row-level family (q117 diff → q119
+    * MERGE → q123 SCD2 → q136 time travel) doesn't cover, and the GC
+    * counterpart of [[graft.BucketedCache.publish]]'s commit contract:
+    *
+    *  - a SNAPSHOT is a text manifest (`_manifests/vNNNNN.manifest`)
+    *    listing the data files it references, committed with the same
+    *    scratch-write + single atomic-rename protocol as `publish`
+    *    (readers observe a whole manifest or none);
+    *  - data files are IMMUTABLE once referenced — a rewrite (q124
+    *    compaction, q119 MERGE) writes NEW files and commits a new
+    *    manifest; superseded files stay on disk so older snapshots
+    *    keep reading (file-level time travel), and manifests can SHARE
+    *    files (an append commits old files + new ones);
+    *  - VACUUM is the retention op: keep the last K manifests, delete
+    *    every data file no KEPT manifest references (the reference
+    *    union, never just-the-latest — shared files must survive) plus
+    *    orphans from crashed writers. Production retention is
+    *    age-based (e.g. 7 days) precisely so in-flight writers that
+    *    have written files but not yet committed a manifest are never
+    *    collected; keep-K models it at test scale under q166's
+    *    single-maintenance-writer contract.
+    *
+    * At 100 TB the same three pieces are the table format: manifests
+    * become the transaction log, the atomic rename becomes the store's
+    * conditional manifest write, and VACUUM is the nightly GC whose
+    * cost is one log read + one file listing — never a data scan. */
+  private[graft] object SnapshotLog {
+    import java.nio.file.{Files, Path, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    private def mdir(root: Path) = root.resolve("_manifests")
+    private def mfile(root: Path, v: Int) =
+      mdir(root).resolve(f"v$v%05d.manifest")
+
+    def commit(root: Path, names: Seq[String]): Int = {
+      Files.createDirectories(mdir(root))
+      val v = latest(root) + 1
+      val tmp = Files.createTempFile(mdir(root), ".commit", ".tmp")
+      Files.write(tmp, names.sorted.mkString("\n").getBytes("UTF-8"))
+      Files.move(tmp, mfile(root, v), StandardCopyOption.ATOMIC_MOVE)
+      v
+    }
+
+    def versions(root: Path): Seq[Int] =
+      if (!Files.exists(mdir(root))) Seq.empty
+      else Files.list(mdir(root)).iterator.asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".manifest"))
+        .map(_.stripPrefix("v").stripSuffix(".manifest").toInt).toSeq.sorted
+
+    def latest(root: Path): Int = versions(root).lastOption.getOrElse(0)
+
+    def files(root: Path, v: Int): Seq[String] =
+      new String(Files.readAllBytes(mfile(root, v)), "UTF-8")
+        .split("\n").filter(_.nonEmpty).toSeq
+
+    def read(s: SparkSession, root: Path, v: Int): DataFrame =
+      s.read.parquet(files(root, v).map(root.resolve(_).toString): _*)
+
+    /** Deletes manifests older than the last `keep` and every data file
+      * referenced by NO kept manifest; returns (deleted data files,
+      * dropped versions). Idempotent; never touches a kept manifest's
+      * files. */
+    def vacuum(root: Path, keep: Int): (Seq[String], Seq[Int]) = {
+      val vs = versions(root)
+      val (drop, kept) = vs.splitAt(math.max(0, vs.size - keep))
+      val live = kept.flatMap(files(root, _)).toSet
+      val dead = Files.list(root).iterator.asScala
+        .filter(Files.isRegularFile(_)).map(_.getFileName.toString)
+        .filter(n => n.endsWith(".parquet") && !live.contains(n))
+        .toSeq.sorted
+      dead.foreach(n => Files.delete(root.resolve(n)))
+      drop.foreach(v => Files.delete(mfile(root, v)))
+      (dead, drop)
+    }
+
+    /** Writes `df` as data files named `<prefix>-N.parquet` in `root`
+      * (via a scratch dir — files appear in the table dir complete) and
+      * returns the names WITHOUT committing them: commit order is
+      * files-then-manifest, so a crash before [[commit]] leaves only
+      * orphans for [[vacuum]]. */
+    def addFiles(s: SparkSession, root: Path, prefix: String,
+                 df: DataFrame): Seq[String] = {
+      val scratch = Files.createTempDirectory("graft_snap_add")
+      try {
+        df.write.mode("overwrite")
+          .option("parquet.block.size", 64 * 1024)
+          .parquet(scratch.resolve("out").toString)
+        Files.list(scratch.resolve("out")).iterator.asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .toSeq.sortBy(_.getFileName.toString).zipWithIndex.map {
+            case (f, i) =>
+              val name = s"$prefix-$i.parquet"
+              Files.move(f, root.resolve(name))
+              name
+          }
+      } finally {
+        Files.walk(scratch).iterator.asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(p => Files.deleteIfExists(p))
+      }
+    }
+  }
+
+  /** The q167 fixture: an events table taken through three snapshot
+    * generations and one retention VACUUM. v1 = fragmented ingest of
+    * the early days; v2 = v1's content COMPACTED (new files; v1's stay
+    * for time travel) + the middle days appended; v3 = the late days
+    * appended — sharing v2's files, the property that forces vacuum to
+    * union kept manifests. Then `vacuum(keep = 2)` drops v1 and
+    * collects exactly the fragments only v1 referenced. The builder
+    * REQUIRES the collected set is exactly v1's private files and that
+    * v2 and v3 still read complete — a GC bug fails the build loudly.
+    * SnapshotVacuumSpec drives the same lifecycle plus the orphan and
+    * idempotence contracts on its own dir. */
+  def snapshotEventsDir(s: SparkSession, d: String): String =
+    cachedLayout("snap_events", d) { scratch =>
+      val root = java.nio.file.Paths.get(scratch)
+      java.nio.file.Files.createDirectories(root)
+      val b1 = lit("2024-01-16").cast("date")
+      val b2 = lit("2024-01-24").cast("date")
+      val ev = Tables(s, d, "events").withColumn("day", to_date(col("ts")))
+      val g1 = SnapshotLog.addFiles(s, root, "g1",
+        ev.where(col("day") < b1).repartition(4, pmod(col("event_id"), lit(4))))
+      SnapshotLog.commit(root, g1)
+      val g2c = SnapshotLog.addFiles(s, root, "g2c",
+        SnapshotLog.read(s, root, 1)
+          .repartitionByRange(2, col("day"), col("ts"))
+          .sortWithinPartitions("day", "ts"))
+      val g2n = SnapshotLog.addFiles(s, root, "g2n",
+        ev.where(col("day") >= b1 && col("day") < b2).coalesce(1))
+      SnapshotLog.commit(root, g2c ++ g2n)
+      val g3 = SnapshotLog.addFiles(s, root, "g3",
+        ev.where(col("day") >= b2).coalesce(1))
+      SnapshotLog.commit(root, g2c ++ g2n ++ g3)
+      val (deleted, dropped) = SnapshotLog.vacuum(root, keep = 2)
+      require(deleted.toSet == g1.toSet && dropped == Seq(1),
+        s"vacuum collected the wrong set: $deleted / $dropped")
+      require(SnapshotLog.read(s, root, 2).count() ==
+                ev.where(col("day") < b2).count() &&
+              SnapshotLog.read(s, root, 3).count() == ev.count(),
+        "a kept snapshot lost rows after vacuum")
+    }
+
+  /** The q168 fixture: SCHEMA EVOLUTION across ingest batches — the
+    * other lifecycle fact of a 100 TB table besides fragmentation: the
+    * producer ADDS a column mid-stream and history is never rewritten.
+    * Batch 1 (days before Jan 16) lands with the original events
+    * schema; batch 2 lands with a new `channel` STRING column. Batches
+    * are `batch=N` directories, so each generation stays independently
+    * readable (the old files genuinely lack the column — evolution is
+    * a READER merge, not a backfill) and the batch id rides along as a
+    * partition column. At scale the merged schema comes from the table
+    * catalog, not a footer scan; the reader contract is the same:
+    * old-file rows surface the new column as NULL. */
+  def evolvedEventsDir(s: SparkSession, d: String): String =
+    cachedLayout("evolved_events", d) { scratch =>
+      val boundary = lit("2024-01-16").cast("date")
+      val ev = Tables(s, d, "events")
+      val channel = when(pmod(col("event_id"), lit(3)) === 0, "web")
+        .when(pmod(col("event_id"), lit(3)) === 1, "app")
+        .otherwise("api")
+      ev.where(to_date(col("ts")) < boundary)
+        .write.parquet(s"$scratch/batch=1")
+      ev.where(to_date(col("ts")) >= boundary)
+        .withColumn("channel", channel)
+        .write.parquet(s"$scratch/batch=2")
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Schema evolution / mergeSchema read (added r11) — the declared
+    // query reads the two-schema table (see [[evolvedEventsDir]])
+    // with a merged schema and aggregates by channel, COALESCEing the
+    // pre-evolution rows to 'legacy': the reader-merge contract (new
+    // column is NULL for old files) made visible in the result. The
+    // oracle recomputes the same split from the ORIGINAL events with
+    // the batch boundary inlined — evolution must add information for
+    // new rows and change nothing for old ones. CorrectnessSpec pins
+    // the schema contract itself (merged field set, per-batch field
+    // sets, NULL count = batch-1 rows).
+    "q168_schema_evolution" -> { (s, d) =>
+      s.read.option("mergeSchema", "true")
+        .parquet(evolvedEventsDir(s, d))
+        .groupBy(coalesce(col("channel"), lit("legacy")).as("channel"))
+        .agg(count(lit(1)).as("cnt"),
+             sum(col("value").cast("decimal(18,6)")).cast("double")
+               .as("sum_value"))
+        .orderBy("channel")
+    },
+
+    // Snapshot log + retention VACUUM (added r11) — the file-level
+    // table format under the lakehouse family: immutable data files,
+    // manifest commits (BucketedCache.publish's rename protocol),
+    // file-level time travel, and GC that unions the KEPT manifests'
+    // references (see [[SnapshotLog]] / [[snapshotEventsDir]] — the
+    // builder self-checks the collected set). The declared query reads
+    // the LATEST snapshot — whose manifest references the compacted v2
+    // files plus two appends, while the dir may hold superseded ones —
+    // and aggregates the full table; the oracle runs on the ORIGINAL
+    // events, because three commits and a vacuum must stay a pure
+    // re-organization. SnapshotVacuumSpec drives the contracts.
+    "q167_snapshot_vacuum" -> { (s, d) =>
+      val root = java.nio.file.Paths.get(snapshotEventsDir(s, d))
+      SnapshotLog.read(s, root, SnapshotLog.latest(root))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+             sum(col("value").cast("decimal(18,6)")).cast("double")
+               .as("sum_value"))
+        .orderBy("event_type")
+    },
+
     // Incremental compaction / partition-scoped OPTIMIZE (added r11) —
     // q124's maintenance op made AFFORDABLE: compaction cost ∝ newly
     // ingested partitions, never table size. The query is a plain
@@ -380,6 +588,27 @@ object PartitionedOps extends OpModule {
         |FROM events
         |WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
         |  AND CAST(ts AS DATE) < DATE '2024-01-15'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the reader-merge contract recomputed from the original table:
+    // post-boundary rows carry the derived channel, pre-boundary rows
+    // surface as 'legacy' (the NULL-for-old-files rule)
+    "q168_schema_evolution" ->
+      """SELECT CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+        |  THEN CASE event_id % 3 WHEN 0 THEN 'web'
+        |       WHEN 1 THEN 'app' ELSE 'api' END
+        |  ELSE 'legacy' END AS channel,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // three snapshot commits and a retention vacuum must stay a pure
+    // re-organization of the original events
+    "q167_snapshot_vacuum" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // two generations of partition-scoped maintenance must stay a pure

@@ -883,6 +883,25 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(low < uncapped, s"low cap dropped nothing: $low vs $uncapped")
   }
 
+  test("q168's evolution contract: merged field set, per-batch field sets, NULL = pre-evolution rows") {
+    // schema evolution is a READER merge, never a backfill: batch-1
+    // files must genuinely lack the evolved column, the merged read
+    // must surface it nullable, and its NULLs must be exactly the
+    // batch-1 rows.
+    val root = sources.PartitionedOps.evolvedEventsDir(spark, sf)
+    val b1 = spark.read.parquet(s"$root/batch=1")
+    val b2 = spark.read.parquet(s"$root/batch=2")
+    assert(!b1.schema.fieldNames.contains("channel"),
+           "batch-1 files were backfilled with the evolved column")
+    assert(b2.schema.fieldNames.contains("channel"))
+    val merged = spark.read.option("mergeSchema", "true").parquet(root)
+    val f = merged.schema("channel")
+    assert(f.dataType == org.apache.spark.sql.types.StringType && f.nullable)
+    assert(merged.where(col("channel").isNull).count() == b1.count(),
+           "NULL channel rows are not exactly the pre-evolution rows")
+    assert(merged.where(col("channel").isNotNull).count() == b2.count())
+  }
+
   test("q120 production variant at the declared configuration equals the declared query") {
     // the production-scaled path (fixed eval cap + parameterized
     // codebook) must be the SAME operator when its knobs sit at the

@@ -725,6 +725,37 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("q169: the runtime bloom filter guards the fact scan; disabled twin plans the same join bare") {
+    import org.apache.spark.sql.functions._
+    val d01 = "/root/testdata/sf0.01"
+    // declared query: InjectRuntimeFilter must wrap the lineitem probe
+    // side in might_contain(...) fed by a bloom aggregate over the
+    // filtered orders side — visible in the final adaptive plan
+    val df = SparkEntry.queries("q169_runtime_bloom")(spark, d01)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+           s"no runtime bloom filter in the executed plan:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+           s"q169's join must stay a shuffle join (broadcast pinned off):\n$plan")
+    // contrast: same query, injection disabled — same shuffle join,
+    // no bloom guard (the filter is pure pruning the engine ADDS)
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    val bare = Tables(iso, d01, "lineitem")
+      .join(Tables(iso, d01, "orders")
+              .where(col("o_totalprice") > 400000)
+              .select("o_orderkey", "o_orderpriority"),
+            col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"))
+    bare.collect()
+    val barePlan = bare.queryExecution.executedPlan.toString
+    assert(!barePlan.contains("might_contain"),
+           s"disabled twin still carries a bloom filter:\n$barePlan")
+  }
+
   test("q154/q161: derivations read the pinned cell table, never the facts") {
     // r10 shipped these with docstrings claiming one fact scan while
     // the lazy cell table was referenced 2x/3x (the r10 ADVICE item);
