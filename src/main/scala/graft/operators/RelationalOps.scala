@@ -222,6 +222,52 @@ object RelationalOps extends OpModule {
         .where(col("kind") === 1)
         .select("event_id", "user_id", "ts", "last_signup_ts")
         .orderBy("event_id")
+    },
+
+    // LATERAL correlated join (added r12): per nation, the top-2
+    // customers by account balance — the correlated ORDER BY + LIMIT
+    // subquery that Catalyst decorrelates (DecorrelateInnerQuery turns
+    // the per-row Limit into a rank window over one shuffled join; no
+    // per-outer-row re-execution ever happens). The declarative SQL
+    // surface for "top-k per group against another table" — the engine,
+    // not the user, picks the window rewrite. Scale shape: one shuffle
+    // of customer on the correlation key; nation never fans out.
+    "q170_join_lateral" -> { (s, d) =>
+      Tables(s, d, "nation").createOrReplaceTempView("graft_q170_n")
+      Tables(s, d, "customer").createOrReplaceTempView("graft_q170_c")
+      s.sql(
+        """SELECT n.n_name, t.c_custkey, t.c_name, t.c_acctbal
+          |FROM graft_q170_n n,
+          |LATERAL (SELECT c_custkey, c_name, c_acctbal
+          |         FROM graft_q170_c c
+          |         WHERE c.c_nationkey = n.n_nationkey
+          |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+          |ORDER BY n.n_name, t.c_custkey""".stripMargin)
+    },
+
+    // Correlated scalar + IN subqueries (added r12): orders priced above
+    // 1.5× their customer's average order, restricted to two market
+    // segments. The predicate is cleared-denominator EXACT integer
+    // arithmetic (2·cents·count > 3·sum_cents, the q118/q144 trick) so
+    // both engines compare the same BIGINTs — no cross-engine float
+    // average. Catalyst rewrites the two correlated scalar aggregates
+    // into ONE aggregated left join on o_custkey and the IN into a left
+    // semi join — per-row subquery re-execution never happens; the scale
+    // cost is one shuffle of orders on the correlation key.
+    "q171_subquery_scalar" -> { (s, d) =>
+      Tables(s, d, "orders").createOrReplaceTempView("graft_q171_o")
+      Tables(s, d, "customer").createOrReplaceTempView("graft_q171_c")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM graft_q171_o o
+          |WHERE 2 * CAST(round(o_totalprice * 100) AS BIGINT) *
+          |      (SELECT count(*) FROM graft_q171_o o2
+          |       WHERE o2.o_custkey = o.o_custkey)
+          |      > 3 * (SELECT sum(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+          |             FROM graft_q171_o o2 WHERE o2.o_custkey = o.o_custkey)
+          |  AND o_custkey IN (SELECT c_custkey FROM graft_q171_c
+          |                    WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE'))
+          |ORDER BY o_orderkey""".stripMargin)
     }
   )
 
@@ -332,6 +378,27 @@ object RelationalOps extends OpModule {
         |   WHERE su.event_type = 'signup' AND su.user_id = p.user_id
         |     AND su.ts <= p.ts) AS last_signup_ts
         |FROM events p WHERE p.event_type = 'purchase'
-        |ORDER BY p.event_id""".stripMargin
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q170_join_lateral" ->
+      """SELECT n.n_name, t.c_custkey, t.c_name, t.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_custkey, c_name, c_acctbal
+        |         FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n.n_name, t.c_custkey""".stripMargin,
+
+    "q171_subquery_scalar" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE 2 * CAST(round(o_totalprice * 100) AS BIGINT) *
+        |      (SELECT count(*) FROM orders o2
+        |       WHERE o2.o_custkey = o.o_custkey)
+        |      > 3 * (SELECT sum(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+        |             FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |  AND o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE'))
+        |ORDER BY o_orderkey""".stripMargin
   )
 }
