@@ -8,18 +8,33 @@ import org.apache.spark.sql.functions._
   * future catalog/bucketing layer can swap the physical source in one place.
   */
 object Tables {
+
+  /** events.ts has shipped in two physical forms across driver testdata
+    * generations: INT64 TIMESTAMP(NANOS) (pre-r12 — Spark 4 refuses to
+    * map it to TimestampType, so it is read as long via the
+    * nanosAsLong legacy conf and truncated to µs, the same truncation
+    * DuckDB applies on read) and plain µs TIMESTAMP_NTZ (r12 data —
+    * Spark reads it natively as TimestampNTZType). Normalize either to
+    * session-zone TimestampType instants; harness sessions run UTC, so
+    * the NTZ cast reproduces exactly the naive-µs instants DuckDB sees.
+    * Schema-adaptive so a future regeneration in either form keeps
+    * working. */
+  def tsNorm(dt: org.apache.spark.sql.types.DataType): Column = dt match {
+    case org.apache.spark.sql.types.LongType =>
+      expr("timestamp_micros(ts DIV 1000)")
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      col("ts").cast("timestamp")
+    case _ => col("ts")
+  }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is physically INT64 TIMESTAMP(NANOS) parquet, which
-      // Spark 4 refuses to map to TimestampType (PARQUET_TYPE_ILLEGAL).
-      // Read nanos as long and truncate to microseconds — the same
-      // truncation DuckDB applies on read, so oracle parity holds.
       // (guarded: don't re-mutate session conf on every read)
       if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
             .contains("true"))
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.withColumn("ts", tsNorm(raw.schema("ts").dataType))
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

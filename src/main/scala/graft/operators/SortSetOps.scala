@@ -42,6 +42,45 @@ object SortSetOps extends OpModule {
         .unionAll(tag(a.intersect(b), "intersect"))
         .unionAll(tag(a.except(b), "except"))
         .orderBy("op")
+    },
+
+    // 2D skyline / Pareto frontier (added r12) — the multi-criteria
+    // generalization of top-k: orders not dominated in (price, recency);
+    // o2 dominates o iff o2 is >= on both axes and > on at least one.
+    // Shape: sort one axis, then the frontier test is two window maxes
+    // over the OTHER axis — max(dt) over strictly-higher price (range
+    // frame to -1 on negated cents) and max(dt) within the same price.
+    // Scale path is the classic two-phase skyline: a dominated-in-any-
+    // subset row is dominated globally, so a 64-group local prune (same
+    // windows, partitioned by pmod(key)) runs parallel and shrinks the
+    // input to ~frontier×groups before the single-partition global pass
+    // — the global window never sees the corpus. Exact integer cents +
+    // timestamps; oracle is the independent NOT EXISTS dominance scan.
+    "q173_skyline" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables(s, d, "orders").select(
+        col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("pr"),
+        col("o_orderdate").as("dt"))
+      def frontier(df: DataFrame, grp: Seq[String]): DataFrame = {
+        val wStrict = Window.partitionBy(grp.map(col): _*)
+          .orderBy(col("npr"))
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val wTie = Window.partitionBy((grp.map(col) :+ col("pr")): _*)
+        df.withColumn("npr", -col("pr"))
+          .withColumn("m1", max(col("dt")).over(wStrict))
+          .withColumn("m2", max(col("dt")).over(wTie))
+          .where((col("m1").isNull || col("m1") < col("dt")) &&
+                 col("m2") === col("dt"))
+          .drop("npr", "m1", "m2")
+      }
+      val local = frontier(
+        o.withColumn("g", pmod(col("o_orderkey"), lit(64))), Seq("g"))
+        .drop("g")
+      frontier(local, Seq.empty)
+        .select(col("o_orderkey"), col("pr").as("price_cents"),
+                col("dt").as("o_orderdate"))
+        .orderBy("o_orderkey")
     }
   )
 
@@ -65,6 +104,17 @@ object SortSetOps extends OpModule {
         |  FROM (SELECT o_custkey AS k FROM orders INTERSECT SELECT user_id FROM events)
         |UNION ALL SELECT 'except', count(*)
         |  FROM (SELECT o_custkey AS k FROM orders EXCEPT SELECT user_id FROM events)
-        |ORDER BY op""".stripMargin
+        |ORDER BY op""".stripMargin,
+
+    "q173_skyline" ->
+      """WITH t AS (SELECT o_orderkey,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS pr,
+        |             o_orderdate AS dt FROM orders)
+        |SELECT o_orderkey, pr AS price_cents, dt AS o_orderdate FROM t o
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM t o2
+        |  WHERE o2.pr >= o.pr AND o2.dt >= o.dt
+        |    AND (o2.pr > o.pr OR o2.dt > o.dt))
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -366,6 +366,37 @@ object StatsExtOps extends OpModule {
         .select(col("event_type"), col("dow"), col("obs"),
                 col("cell_chi2"), col("chi2_total"))
         .orderBy("event_type", "dow")
+    },
+
+    // Interval UNION length (added r12) — q139's sweep line answers "how
+    // many holds at once"; this answers the dual billing/utilization
+    // question "how long was the user covered at all": per user, the
+    // length of the union of the 30-minute holds, plus the count of
+    // merged contiguous blocks. Exact integer microseconds, one window:
+    // sorted by start within user, each interval contributes
+    // max(0, end − max(start, max-prev-end)) — overlap is clipped by the
+    // running max of earlier ends, so overlapping holds never double
+    // count and a block starts exactly where the running max can't reach.
+    // One shuffle on user_id, windows parallel across users; skew bound
+    // is a single user's event count (same bound q80's sessionizer
+    // already accepts).
+    "q172_interval_union" -> { (s, d) =>
+      val iv = Tables(s, d, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("st"))
+        .withColumn("en", col("st") + lit(1800L * 1000000L))
+      val wPrev = Window.partitionBy("user_id").orderBy("st", "en")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      iv.withColumn("pmax", max(col("en")).over(wPrev))
+        .withColumn("cov",
+          greatest(lit(0L), col("en") -
+            greatest(col("st"), coalesce(col("pmax"), col("st")))))
+        .withColumn("blk",
+          when(col("pmax").isNull || col("pmax") < col("st"), 1L)
+            .otherwise(0L))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_holds"), sum("blk").as("blocks"),
+             sum("cov").as("covered_us"))
+        .orderBy("user_id")
     }
   )
 
@@ -547,6 +578,20 @@ object StatsExtOps extends OpModule {
         |SELECT event_type, dow, obs, cell_chi2,
         |  CAST(sum(CAST(cell_chi2 AS DECIMAL(18,6))) OVER () AS DOUBLE)
         |    AS chi2_total
-        |FROM y ORDER BY event_type, dow""".stripMargin
+        |FROM y ORDER BY event_type, dow""".stripMargin,
+
+    "q172_interval_union" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS st,
+        |                   epoch_us(ts) + 1800000000 AS en FROM events),
+        |w AS (SELECT *, max(en) OVER (
+        |        PARTITION BY user_id ORDER BY st, en
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |      FROM iv)
+        |SELECT user_id, count(*) AS n_holds,
+        |  CAST(sum(CASE WHEN pmax IS NULL OR pmax < st THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS blocks,
+        |  CAST(sum(greatest(0, en - greatest(st, coalesce(pmax, st))))
+        |       AS BIGINT) AS covered_us
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.OpModule
+import graft.{OpModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -129,7 +129,7 @@ object StreamOps extends OpModule {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = s.read.parquet(s"$d/events.parquet").schema
     s.readStream.schema(rawSchema).parquet(stagedEventsDir(d))
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts", Tables.tsNorm(rawSchema("ts").dataType))
   }
 
   /** Builds the stream with `build` and runs it to completion into a
@@ -262,8 +262,7 @@ object StreamOps extends OpModule {
         .writeStream
         .foreachBatch { (batch: DataFrame, id: Long) =>
           commitSketchPartial(art, id, batch
-            .withColumn("day",
-              to_date(expr("timestamp_micros(ts DIV 1000)")))
+            .withColumn("day", to_date(Tables.tsNorm(schema("ts").dataType)))
             .groupBy("day", "event_type")
             .agg(hll_sketch_agg(col("user_id")).as("sk")))
         }
@@ -348,7 +347,7 @@ object StreamOps extends OpModule {
         iso.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val rawSchema = iso.read.parquet(s"$d/events.parquet").schema
         iso.readStream.schema(rawSchema).parquet(stagedDupEventsDir(d))
-          .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+          .withColumn("ts", Tables.tsNorm(rawSchema("ts").dataType))
           .withWatermark("ts", "35 days")
           .dropDuplicatesWithinWatermark("event_id")
       }, "graft_stream_dedup_wm", "append")

@@ -443,7 +443,7 @@ class StreamingSpec extends SparkSpecBase {
     val b0 = art.resolve("batch=0")
     val before = Files.list(b0).iterator.asScala.map(_.toString).toSet
     streaming.StreamOps.commitSketchPartial(art, 0L, odds
-      .withColumn("day", to_date(expr("timestamp_micros(ts DIV 1000)")))
+      .withColumn("day", to_date(graft.Tables.tsNorm(odds.schema("ts").dataType)))
       .groupBy("day", "event_type")
       .agg(hll_sketch_agg(col("user_id")).as("sk")))
     val after = Files.list(b0).iterator.asScala.map(_.toString).toSet
