@@ -779,4 +779,63 @@ class PlanShapeSpec extends SparkSpecBase {
       } finally PinScope.drain()
     }
   }
+
+  test("q170: LATERAL decorrelates to one rank window with map-side WindowGroupLimit prune") {
+    val df = SparkEntry.queries("q170_join_lateral")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // DecorrelateInnerQuery turns the per-nation ORDER BY ... LIMIT 2
+    // into ONE rank window over a single shuffled customer scan — never
+    // a per-outer-row re-execution (which would plan as a nested loop)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    // Spark's rank-limit pushdown prunes each group to its top-2 BEFORE
+    // the shuffle (partial WindowGroupLimit below the Exchange) — the
+    // 100 TB guarantee that only ~2×|groups| rows ever cross the wire
+    val shuffleIdx = p.indexOf("Exchange hashpartitioning")
+    assert(shuffleIdx > 0, p)
+    assert(p.indexOf("WindowGroupLimit", shuffleIdx) > 0,
+           s"no map-side WindowGroupLimit below the customer shuffle:\n$p")
+  }
+
+  test("q171: correlated subqueries decorrelate to aggregate + semi joins, none per-row") {
+    val df = SparkEntry.queries("q171_subquery_scalar")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the IN becomes a left semi join; each correlated scalar aggregate
+    // becomes an aggregated (outer-join) branch — per-row subquery
+    // re-execution would appear as a nested loop or an InSubqueryExec
+    assert(p.contains("LeftSemi"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(!p.contains("InSubqueryExec"), p)
+  }
+
+  test("q172: window and union-length aggregate share ONE user_id exchange") {
+    val df = SparkEntry.queries("q172_interval_union")(spark, sf)
+    df.collect()
+    // AQE's toString repeats the tree under "== Initial Plan ==" —
+    // count exchanges in the final plan only
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the running-max window shuffles on user_id once; the per-user
+    // aggregate reuses that partitioning (grouping key = partition key)
+    // so no second hash exchange ever appears — only the final
+    // presentation sort's range exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q173: two-phase skyline — grouped local prune, then single-partition frontier") {
+    val df = SparkEntry.queries("q173_skyline")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // phase 1: windows partitioned by the pmod group run parallel;
+    // phase 2: the global frontier windows run on ONE partition that
+    // only ever receives the pruned ~frontier×groups rows
+    assert(p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("Exchange SinglePartition"), p)
+    assert("Window".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
