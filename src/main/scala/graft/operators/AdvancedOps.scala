@@ -548,8 +548,68 @@ object AdvancedOps extends OpModule {
             Seq("l_orderkey"), "left_semi")))
         .unionAll(audit("orders", orders, delOrders))
         .orderBy("table_name")
+    },
+
+    // Point-in-time join through a dated SCD2 dimension (added r12) —
+    // the read pattern q123's history exists FOR: facts must join the
+    // dimension version that was true AT EVENT TIME, not the current
+    // one (joining current attributes onto historical facts is the
+    // classic silent-corruption bug in ML feature pipelines — label
+    // leakage — and in revenue reporting). Dimension here: a dated
+    // two-version customer-segment table (per-customer deterministic
+    // change date; segment rotates at the cut), facts: orders, joined
+    // as-of o_orderdate by the half-open interval
+    // valid_from ≤ dt < valid_to. Scale shape: a pure EQUI join on the
+    // surrogate key with the interval as a residual join filter — the
+    // per-key version count (2 here, rarely >10s in practice) bounds
+    // the fan-out, so the join never degenerates toward the q75 range
+    // join's bucketing problem; broadcast at dim scale, SMJ on custkey
+    // when the dimension outgrows it, zero-exchange in a q59-style
+    // bucketed layout. Every fact matches EXACTLY one version (the
+    // intervals partition the timeline) — the oracle's row count pins
+    // that invariant.
+    "q174_pit_join" -> { (s, d) =>
+      val dim = segmentDim(s, d)
+      val o = Tables(s, d, "orders")
+      o.join(dim, o("o_custkey") === dim("sk") &&
+          (dim("valid_from").isNull ||
+           dim("valid_from") <= o("o_orderdate")) &&
+          (dim("valid_to").isNull ||
+           o("o_orderdate") < dim("valid_to")))
+        .select(o("o_orderkey"), o("o_custkey"), o("o_orderdate"),
+                dim("segment").as("seg_at_order"),
+                dim("version").as("dim_version"))
+        .orderBy("o_orderkey")
     }
   )
+
+  /** Dated two-version customer-segment SCD2 dimension for q174: the
+    * segment "changes" at a per-customer deterministic cut timestamp
+    * (1995-06-01 + custkey%700 days — spread across the order-date
+    * range so both versions are exercised); half-open validity
+    * intervals partition the timeline. */
+  private[graft] def segmentDim(s: SparkSession, d: String): DataFrame = {
+    val c = Tables(s, d, "customer")
+    val cut = expr(
+      "timestampadd(DAY, CAST(c_custkey % 700 AS INT), " +
+        "TIMESTAMP'1995-06-01')")
+    val rotated = expr(
+      """CASE c_mktsegment
+        |  WHEN 'AUTOMOBILE' THEN 'BUILDING'
+        |  WHEN 'BUILDING'   THEN 'FURNITURE'
+        |  WHEN 'FURNITURE'  THEN 'HOUSEHOLD'
+        |  WHEN 'HOUSEHOLD'  THEN 'MACHINERY'
+        |  ELSE 'AUTOMOBILE' END""".stripMargin)
+    c.select(col("c_custkey").as("sk"),
+             col("c_mktsegment").as("segment"),
+             lit(null).cast("timestamp").as("valid_from"),
+             cut.as("valid_to"), lit(0).as("version"))
+      .unionByName(
+        c.select(col("c_custkey").as("sk"), rotated.as("segment"),
+                 cut.as("valid_from"),
+                 lit(null).cast("timestamp").as("valid_to"),
+                 lit(1).as("version")))
+  }
 
   private val OrderVals =
     Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
@@ -880,6 +940,32 @@ object AdvancedOps extends OpModule {
         |  (SELECT count(*) FROM dor),
         |  (SELECT count(*) FROM orders) - (SELECT count(*) FROM dor)
         |ORDER BY table_name""".stripMargin,
+
+    "q174_pit_join" ->
+      """WITH dim AS (
+        |  SELECT c_custkey AS sk, c_mktsegment AS segment,
+        |    CAST(NULL AS TIMESTAMP) AS valid_from,
+        |    TIMESTAMP '1995-06-01' + (c_custkey % 700) * INTERVAL 1 DAY
+        |      AS valid_to,
+        |    0 AS version
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey,
+        |    CASE c_mktsegment
+        |      WHEN 'AUTOMOBILE' THEN 'BUILDING'
+        |      WHEN 'BUILDING'   THEN 'FURNITURE'
+        |      WHEN 'FURNITURE'  THEN 'HOUSEHOLD'
+        |      WHEN 'HOUSEHOLD'  THEN 'MACHINERY'
+        |      ELSE 'AUTOMOBILE' END,
+        |    TIMESTAMP '1995-06-01' + (c_custkey % 700) * INTERVAL 1 DAY,
+        |    CAST(NULL AS TIMESTAMP), 1
+        |  FROM customer)
+        |SELECT o_orderkey, o_custkey, o_orderdate,
+        |  d.segment AS seg_at_order, d.version AS dim_version
+        |FROM orders o JOIN dim d ON o.o_custkey = d.sk
+        |  AND (d.valid_from IS NULL OR d.valid_from <= o.o_orderdate)
+        |  AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q57_pivot" ->
       """SELECT l_returnflag,

@@ -826,6 +826,18 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("Window"), p)
   }
 
+  test("q174: PIT join is a keyed equi join with the interval as residual, never a nested loop") {
+    val df = SparkEntry.queries("q174_pit_join")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the as-of lookup must plan as an equi join on the surrogate key
+    // (interval predicate as residual filter) — a planner that only
+    // sees the range condition degenerates to BroadcastNestedLoopJoin,
+    // which is corpus×dim at 100 TB
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q173: two-phase skyline — grouped local prune, then single-partition frontier") {
     val df = SparkEntry.queries("q173_skyline")(spark, sf)
     df.collect()
