@@ -57,6 +57,11 @@ object SimilarityExtOps extends OpModule {
   private val SemThreshold = 0.35
   private val RrfK = 60   // the standard RRF damping constant
 
+  // q175 BM25: the fixed query-term set and the standard Robertson
+  // parameters (k1 term-frequency saturation, b length normalization)
+  private val Bm25Terms = Seq("hash", "join", "vector")
+  private val Bm25K = 20
+
   private def vec: Column = col("embedding").cast("array<double>")
 
   /** The embeddings table as (vec_id, v: array<double>). */
@@ -497,6 +502,57 @@ object SimilarityExtOps extends OpModule {
         .orderBy("qid", "rk")
     },
 
+    // BM25 lexical retrieval (added r12) — the OTHER half of the
+    // hybrid-retrieval stack q127 fuses: the exact sparse ranker every
+    // search system pairs with the embedding index. For a FIXED query
+    // term set no postings index is needed: the term filter pushes
+    // into the exploded token stream, so only matching (doc, term)
+    // rows ever aggregate — the corpus-sized token explosion never
+    // shuffles (filter-before-agg; a standing query workload would
+    // persist a postings-list artifact the way q79 persists the IVF
+    // index, and corpus stats N/avgdl come from a StatsCatalog-style
+    // profile rather than the second scan used here). Determinism:
+    // every count is an integer; idf is ln on identical doubles
+    // rounded 6 dp (the q137 log discipline); the per-term scores add
+    // in FIXED order via one conditional sum per term (each sum folds
+    // one value plus exact 0.0 terms), one final round 4. Top-k is a
+    // bounded TakeOrderedAndProject, never a global sort.
+    "q175_bm25" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+                size(col("toks")).cast("long").as("dl"))
+      val stats = docs.agg(count(lit(1)).as("n_docs"),
+                           sum(col("dl")).as("tot_len"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("t"))
+        .where(col("t").isin(Bm25Terms: _*))
+        .groupBy("doc_id", "dl", "t").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      val sc = tf.join(broadcast(dfT), Seq("t"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          round(log(((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+                    (col("df").cast("double") + lit(0.5)) + lit(1.0)), 6))
+        .withColumn("norm",
+          lit(0.25) + lit(0.75) *
+            ((col("dl") * col("n_docs")).cast("double") /
+             col("tot_len").cast("double")))
+        .withColumn("sc",
+          col("idf") * (col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) * col("norm")))
+      sc.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+             Bm25Terms.map(t =>
+               sum(when(col("t") === t, col("sc")).otherwise(lit(0.0)))
+                 .as("s_" + t)): _*)
+        .select(col("doc_id"), col("n_terms"),
+                round(Bm25Terms.map(t => col("s_" + t))
+                        .reduce(_ + _), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(Bm25K)
+    },
+
     // Batched ANN: N query vectors × banded LSH buckets -> exact
     // re-rank -> per-query top-k. The query side is broadcast (N rows);
     // the collection side shuffles once per band on the 8-bit band key.
@@ -647,6 +703,37 @@ object SimilarityExtOps extends OpModule {
       s"substr($l, ${1 + b * BandBits}, $BandBits) = substr($r, ${1 + b * BandBits}, $BandBits)"
     }.mkString("(", " OR ", ")")
     val base = Map(
+      // q175: every numeric literal is forced DOUBLE before arithmetic
+      // (a bare 0.5 is DECIMAL in DuckDB and its arithmetic diverges);
+      // the three per-term sums add in the same fixed order as the
+      // Spark conditional sums
+      "q175_bm25" -> {
+        val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+        val sumOrder = Bm25Terms.map(t =>
+          s"coalesce(sum(sc) FILTER (WHERE t = '$t'), CAST(0 AS DOUBLE))")
+          .mkString("\n           |  + ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+           |d AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks),
+           |st AS (SELECT count(*) AS n_docs, sum(dl) AS tot_len FROM d),
+           |f AS (SELECT doc_id, t, count(*) AS tf FROM (
+           |        SELECT doc_id, unnest(tk) AS t FROM toks)
+           |      WHERE t IN ($termList) GROUP BY 1, 2),
+           |dfr AS (SELECT t, count(*) AS df FROM f GROUP BY 1),
+           |scd AS (SELECT f.doc_id, f.t,
+           |    round(ln((CAST(st.n_docs - dfr.df AS DOUBLE) + 0.5) /
+           |             (CAST(dfr.df AS DOUBLE) + 0.5) + 1.0), 6)
+           |    * (CAST(f.tf AS DOUBLE) * 2.2)
+           |    / (CAST(f.tf AS DOUBLE) + 1.2 *
+           |       (0.25 + 0.75 * (CAST(d.dl * st.n_docs AS DOUBLE) /
+           |                       CAST(st.tot_len AS DOUBLE)))) AS sc
+           |  FROM f JOIN d USING (doc_id) JOIN dfr USING (t) CROSS JOIN st)
+           |SELECT doc_id, count(*) AS n_terms,
+           |  round($sumOrder, 4) AS score
+           |FROM scd GROUP BY doc_id
+           |ORDER BY score DESC, doc_id LIMIT $Bm25K""".stripMargin
+      },
+
       "q52_lsh_buckets" ->
         s"""SELECT sig, count(*) AS cnt, min(vec_id) AS min_vec
            |FROM (SELECT vec_id, $sigSql AS sig FROM embeddings)

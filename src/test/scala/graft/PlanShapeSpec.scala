@@ -838,6 +838,27 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q175: BM25 term filter runs below the aggregate; top-k is bounded") {
+    val df = SparkEntry.queries("q175_bm25")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the fixed-query filter must hit the exploded token stream BEFORE
+    // the (doc, term) aggregate — the corpus-sized explosion never
+    // shuffles; and the final top-k must be TakeOrderedAndProject, not
+    // a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // tree prints root-first: the term filter must print BEFORE the
+    // explode it consumes (filter directly on the generated stream)
+    // and AFTER an aggregate (i.e. below it in the plan)
+    val filt = """Filter [^\n]*hash""".r.findFirstMatchIn(p)
+      .map(_.start).getOrElse(-1)
+    val gen = p.indexOf("Generate explode")
+    assert(filt >= 0 && gen > filt,
+           s"no term filter directly above the explode:\n$p")
+    assert(p.lastIndexOf("HashAggregate", filt) >= 0,
+           s"term filter not below the (doc, term) aggregate:\n$p")
+  }
+
   test("q173: two-phase skyline — grouped local prune, then single-partition frontier") {
     val df = SparkEntry.queries("q173_skyline")(spark, sf)
     df.collect()
