@@ -218,6 +218,34 @@ object TimeWindowOps extends OpModule {
         .orderBy("day")
     },
 
+    // Cumulative distinct users / distinct-to-date (added r12) — the
+    // "total users ever" growth curve next to q135's rolling DAU. The
+    // naive form — count(DISTINCT user) OVER an expanding day window —
+    // is O(days × users) and rescans the corpus per day; the scale
+    // shape is the FIRST-SEEN reduction: a user contributes to exactly
+    // one day (their min day), so one user_id shuffle produces the
+    // per-day new-user counts and the cumulative curve is a prefix sum
+    // over the per-day aggregate. That final window is global-ordered
+    // but its input is CALENDAR-bounded (≤ 36 525 rows/century), never
+    // corpus-bound — the one case a single-partition window is the
+    // right plan (q141's bucketed prefix sum exists for value-row
+    // inputs). Days with no first-seens still appear (left join + 0).
+    "q176_cumulative_distinct" -> { (s, d) =>
+      val ev = Tables(s, d, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val newPerDay = ev.groupBy("user_id").agg(min(col("day")).as("fd"))
+        .groupBy(col("fd").as("day")).agg(count(lit(1)).as("new_users"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+                       .unboundedPreceding,
+                     org.apache.spark.sql.expressions.Window.currentRow)
+      ev.select("day").distinct()
+        .join(newPerDay, Seq("day"), "left")
+        .na.fill(0L, Seq("new_users"))
+        .withColumn("cum_users", sum(col("new_users")).over(w))
+        .orderBy("day")
+    },
+
     // Cohort retention (added r9) — the growth-analytics matrix: users
     // cohorted by first-seen week, counted distinct in each later week
     // offset. Two aggregations shuffling on user_id (first-seen) and
@@ -320,6 +348,18 @@ object TimeWindowOps extends OpModule {
         |WHERE (n * CAST(v AS HUGEINT) - s) * (n * CAST(v AS HUGEINT) - s)
         |      > 4 * (n * q - s * s)
         |ORDER BY event_id""".stripMargin,
+
+    "q176_cumulative_distinct" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+        |fs AS (SELECT user_id, min(day) AS fd FROM ev GROUP BY 1),
+        |np AS (SELECT fd AS day, count(*) AS new_users FROM fs GROUP BY 1),
+        |days AS (SELECT DISTINCT day FROM ev)
+        |SELECT days.day, coalesce(np.new_users, 0) AS new_users,
+        |  CAST(sum(coalesce(np.new_users, 0)) OVER (
+        |    ORDER BY days.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS cum_users
+        |FROM days LEFT JOIN np USING (day)
+        |ORDER BY day""".stripMargin,
 
     "q135_rolling_dau" ->
       """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
