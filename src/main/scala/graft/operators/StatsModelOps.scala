@@ -382,6 +382,46 @@ object StatsModelOps extends OpModule {
         .orderBy("event_type", "hr")
     },
 
+    // Offline CUSUM change-point screen (added r12) — q153 flags
+    // transient BURSTS against a trailing baseline; this locates the
+    // single largest LEVEL SHIFT in each series (the "when did this
+    // event's rate permanently change" question behind regression
+    // hunts and pipeline-drift forensics). Statistic: the classic
+    // cumulative-sum deviation S_k = Σ_{i≤k}(x_i − x̄) over the per-day
+    // counts, maximized over k — computed with CLEARED DENOMINATORS
+    // (D·prefix_k − k·total, the q118/q141 integer discipline) so both
+    // engines compare identical BIGINTs, no float mean. Shape: one
+    // (type, day) count shuffle, then prefix/total/argmax windows all
+    // on the SAME event_type partitioning over CALENDAR-bounded rows
+    // (days/type, never corpus rows) — the whole screen costs one
+    // narrow shuffle. BIGINT headroom: D·total < 9e18 ⇒ exact to
+    // ~2.5e14 daily events over a decade; widen the products to
+    // decimal(38,0) beyond (q140's rule).
+    "q177_cusum_change" -> { (s, dir) =>
+      val daily = Tables(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      val wType = Window.partitionBy("event_type")
+      val wOrd = Window.partitionBy("event_type").orderBy("day")
+      val wPre = wOrd.rowsBetween(Window.unboundedPreceding,
+                                  Window.currentRow)
+      daily
+        .withColumn("k", row_number().over(wOrd).cast("long"))
+        .withColumn("pre", sum(col("cnt")).over(wPre))
+        .withColumn("total", sum(col("cnt")).over(wType))
+        .withColumn("dd", count(lit(1)).over(wType))
+        .withColumn("st", abs(col("dd") * col("pre") -
+                              col("k") * col("total")))
+        .withColumn("mx", max(col("st")).over(wType))
+        .where(col("st") === col("mx"))
+        .groupBy("event_type")
+        .agg(min(col("day")).as("change_day"),
+             max(col("st")).as("cusum_stat"),
+             min(col("dd")).as("days"),
+             min(col("total")).as("total_events"))
+        .orderBy("event_type")
+    },
+
     // Equal-width value histogram (added r10) — the generic
     // distribution profile q145's PSI bins and q151's bands both lean
     // on, as a first-class operator: per event_type, 20 equal-width
@@ -923,6 +963,27 @@ object StatsModelOps extends OpModule {
         |    AS burst_ratio
         |FROM w WHERE k = 24 AND cnt * 16 > trail
         |ORDER BY event_type, hr""".stripMargin,
+
+    "q177_cusum_change" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, day, cnt,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+        |                   ROWS UNBOUNDED PRECEDING) AS pre,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS total,
+        |    count(*) OVER (PARTITION BY event_type) AS dd
+        |  FROM daily),
+        |s AS (SELECT *, abs(dd * pre - k * total) AS st FROM t),
+        |m AS (SELECT *, max(st) OVER (PARTITION BY event_type) AS mx
+        |      FROM s)
+        |SELECT event_type, min(day) AS change_day,
+        |  CAST(max(st) AS BIGINT) AS cusum_stat,
+        |  CAST(min(dd) AS BIGINT) AS days,
+        |  CAST(min(total) AS BIGINT) AS total_events
+        |FROM m WHERE st = mx GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q154_value_histogram" ->
       """WITH ev AS (
