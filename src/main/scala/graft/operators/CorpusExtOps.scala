@@ -220,6 +220,39 @@ object CorpusExtOps extends OpModule {
         .orderBy("doc_id")
     },
 
+    // Distributed sparse matrix multiply (added r12) — C = A·B where A
+    // is the corpus doc-term count matrix (sparse COO triples from the
+    // token stream) and B a deterministic term-topic factor (vocab × 4
+    // topics; weights derived arithmetically from the term string so
+    // both engines build the identical matrix — standing in for a
+    // trained topic/classifier head). This is the "apply a linear
+    // model to the corpus" kernel behind topic scoring, shallow
+    // classification and feature projection. Shapes: A materializes by
+    // ONE (doc, term) shuffle; B is vocabulary-bounded and BROADCAST
+    // (the trained-model case — a vocab×topics factor fits an
+    // executor); C aggregates on (doc, topic) — Spark's partial
+    // aggregation combines map-side, so the shuffle carries ≤
+    // |docs|×topics rows, never the token stream. When B outgrows
+    // broadcast (embedding-sized factors), the general SpMM shuffles A
+    // on term and re-aggregates — same plan minus the hint. All-integer
+    // arithmetic ⇒ hash-exact.
+    "q178_sparse_matmul" -> { (s, d) =>
+      val tf = Tables(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .where(length(col("t")) > 0)
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val factor = tf.select("t").distinct()
+        .select(col("t"), explode(sequence(lit(0L), lit(3L))).as("topic"))
+        .withColumn("w",
+          pmod(length(col("t")) * (col("topic") + 1) +
+               ascii(substring(col("t"), 1, 1)) * (col("topic") + 2),
+               lit(7)) - 3)
+      tf.join(broadcast(factor), Seq("t"))
+        .groupBy("doc_id", "topic")
+        .agg(sum(col("tf") * col("w")).as("score"))
+        .orderBy("doc_id", "topic")
+    },
+
     // Overlapping token-window chunking (size 50, stride 40) — the
     // retrieval/context-window prep step. One generator (chunk starts
     // per doc) + one per-doc rollup; chunk counts and coverage are
@@ -335,6 +368,22 @@ object CorpusExtOps extends OpModule {
         |  CAST(sum(len(regexp_extract_all(clean, '<ID>'))) AS BIGINT) AS id_hits,
         |  CAST(sum(len(clean)) AS BIGINT) AS clean_chars
         |FROM c GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q178_sparse_matmul" ->
+      """WITH tf AS (
+        |  SELECT doc_id, t, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |    FROM documents)
+        |  WHERE length(t) > 0 GROUP BY 1, 2),
+        |v AS (SELECT DISTINCT t FROM tf),
+        |b AS (SELECT t, r.topic,
+        |    (length(t) * (r.topic + 1) +
+        |     ord(substr(t, 1, 1)) * (r.topic + 2)) % 7 - 3 AS w
+        |  FROM v CROSS JOIN range(0, 4) r(topic))
+        |SELECT tf.doc_id, b.topic,
+        |  CAST(sum(tf.tf * b.w) AS BIGINT) AS score
+        |FROM tf JOIN b USING (t)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q94_tfidf" ->
       """WITH w AS (
