@@ -224,6 +224,55 @@ object RelationalOps extends OpModule {
         .orderBy("event_id")
     },
 
+    // NEAREST-time join (added r12) — q13 answers "latest signup AT OR
+    // BEFORE each purchase"; this answers the sensor-alignment dual:
+    // the click CLOSEST to each purchase in EITHER direction (min
+    // |Δt|, ties to the earlier side) — the join behind aligning two
+    // irregularly-sampled streams (telemetry↔metrics, impressions↔
+    // conversions). Same union + interleave shape as q13, ONE user_id
+    // shuffle: clicks sort before same-instant purchases (kind 0 < 1),
+    // the backward candidate is last(non-null) over the preceding
+    // frame, the forward candidate first(non-null) over the following
+    // frame, and one integer-µs CASE picks the closer — never a range
+    // self-join, never per-row search. Purchases from users with no
+    // clicks keep NULLs (left semantics).
+    "q180_join_nearest" -> { (s, d) =>
+      val e = Tables(s, d, "events")
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+                lit(1).as("kind"),
+                lit(null).cast("timestamp").as("cts"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(lit(null).cast("long").as("event_id"), col("user_id"),
+                col("ts"), lit(0).as("kind"), col("ts").as("cts"))
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "kind")
+      val wPrev = wb.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      val wNext = wb.rowsBetween(
+        org.apache.spark.sql.expressions.Window.currentRow,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      purchases.unionAll(clicks)
+        .withColumn("pts", last("cts", ignoreNulls = true).over(wPrev))
+        .withColumn("nts", first("cts", ignoreNulls = true).over(wNext))
+        .where(col("kind") === 1)
+        .withColumn("near_click_ts",
+          when(col("pts").isNull && col("nts").isNull,
+               lit(null).cast("timestamp"))
+            .when(col("nts").isNull, col("pts"))
+            .when(col("pts").isNull, col("nts"))
+            .when(unix_micros(col("ts")) - unix_micros(col("pts")) <=
+                  unix_micros(col("nts")) - unix_micros(col("ts")),
+                  col("pts"))
+            .otherwise(col("nts")))
+        .select(col("event_id"), col("user_id"), col("ts"),
+                col("near_click_ts"),
+                (unix_micros(col("near_click_ts")) -
+                 unix_micros(col("ts"))).as("delta_us"))
+        .orderBy("event_id")
+    },
+
     // LATERAL correlated join (added r12): per nation, the top-2
     // customers by account balance — the correlated ORDER BY + LIMIT
     // subquery that Catalyst decorrelates (DecorrelateInnerQuery turns
@@ -379,6 +428,29 @@ object RelationalOps extends OpModule {
         |     AND su.ts <= p.ts) AS last_signup_ts
         |FROM events p WHERE p.event_type = 'purchase'
         |ORDER BY p.event_id""".stripMargin,
+
+    // independent formulation: two correlated extrema + the same
+    // integer-µs tie-break CASE (ties to the earlier side)
+    "q180_join_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |pn AS (SELECT p.event_id, p.user_id, p.ts,
+        |  (SELECT max(c.ts) FROM events c WHERE c.event_type = 'click'
+        |     AND c.user_id = p.user_id AND c.ts <= p.ts) AS pts,
+        |  (SELECT min(c.ts) FROM events c WHERE c.event_type = 'click'
+        |     AND c.user_id = p.user_id AND c.ts > p.ts) AS nts
+        |  FROM p),
+        |sel AS (SELECT event_id, user_id, ts,
+        |  CASE WHEN pts IS NULL AND nts IS NULL THEN NULL
+        |       WHEN nts IS NULL THEN pts
+        |       WHEN pts IS NULL THEN nts
+        |       WHEN epoch_us(ts) - epoch_us(pts) <=
+        |            epoch_us(nts) - epoch_us(ts) THEN pts
+        |       ELSE nts END AS near_click_ts
+        |  FROM pn)
+        |SELECT event_id, user_id, ts, near_click_ts,
+        |  epoch_us(near_click_ts) - epoch_us(ts) AS delta_us
+        |FROM sel ORDER BY event_id""".stripMargin,
 
     "q170_join_lateral" ->
       """SELECT n.n_name, t.c_custkey, t.c_name, t.c_acctbal

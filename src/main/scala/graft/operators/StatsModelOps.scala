@@ -382,6 +382,35 @@ object StatsModelOps extends OpModule {
         .orderBy("event_type", "hr")
     },
 
+    // Equal-FREQUENCY binning spec (added r12) — the quantile-binned
+    // feature transform next to q154's equal-WIDTH histogram: per
+    // event_type, decile bins each holding ~n/10 values, emitted as
+    // the (bin → [lo, hi], count) spec a training pipeline ships with
+    // the model. NTILE is the naive surface but is RANK-based: ties
+    // split across bins by arbitrary row order, which is
+    // nondeterministic across engines AND across Spark runs — so the
+    // bin is assigned per VALUE GROUP by its exclusive cumulative
+    // count (bin = cum_before·10 div n, all ties land in one bin,
+    // pure integers). Shape: the q148/q154 value-group reduction — one
+    // fact scan into (type, cents, count), windows over domain-bounded
+    // value groups reusing the type partitioning, never corpus rows.
+    "q179_freq_bins" -> { (s, dir) =>
+      val vg = Tables(s, dir, "events")
+        .select(col("event_type"),
+                round(col("value") * 100).cast("long").as("v"))
+        .groupBy("event_type", "v").agg(count(lit(1)).as("cnt"))
+      val wT = Window.partitionBy("event_type")
+      val wC = Window.partitionBy("event_type").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      vg.withColumn("n", sum(col("cnt")).over(wT))
+        .withColumn("cumb", sum(col("cnt")).over(wC) - col("cnt"))
+        .withColumn("bin", expr("cumb * 10 div n"))
+        .groupBy("event_type", "bin")
+        .agg(sum(col("cnt")).as("cnt"),
+             min(col("v")).as("lo_cents"), max(col("v")).as("hi_cents"))
+        .orderBy("event_type", "bin")
+    },
+
     // Offline CUSUM change-point screen (added r12) — q153 flags
     // transient BURSTS against a trailing baseline; this locates the
     // single largest LEVEL SHIFT in each series (the "when did this
@@ -963,6 +992,21 @@ object StatsModelOps extends OpModule {
         |    AS burst_ratio
         |FROM w WHERE k = 24 AND cnt * 16 > trail
         |ORDER BY event_type, hr""".stripMargin,
+
+    "q179_freq_bins" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |vg AS (SELECT event_type, v, count(*) AS cnt FROM ev GROUP BY 1, 2),
+        |c AS (SELECT event_type, v, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+        |                   ROWS UNBOUNDED PRECEDING) - cnt AS cumb
+        |  FROM vg)
+        |SELECT event_type, CAST(cumb * 10 // n AS BIGINT) AS bin,
+        |  CAST(sum(cnt) AS BIGINT) AS cnt,
+        |  min(v) AS lo_cents, max(v) AS hi_cents
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q177_cusum_change" ->
       """WITH daily AS (
