@@ -290,6 +290,33 @@ object AggregateOps extends OpModule {
         .orderBy("o_orderpriority")
     },
 
+    // Exact distributed MODE (added r12) — the most-frequent-value
+    // aggregate SQL engines bolt on as mode()/any-order argmax, made
+    // deterministic and scale-safe: Spark's own `mode` buffers a
+    // per-group value map AND breaks frequency ties
+    // nondeterministically, so the operator is built from the two-agg
+    // shape instead — (group, value) counts (map-side combinable, one
+    // narrow shuffle on the pair), then an argmax window per group
+    // with the DECLARED tie-break (highest count, then smallest
+    // value). Per-group state is the value-group table (domain-bound),
+    // never a hash map of the corpus; ties are a spec'd contract, not
+    // an accident of partition order. Cents discipline keeps the
+    // grouping key exact.
+    "q181_agg_mode" -> { (s, d) =>
+      val vg = Tables(s, d, "events")
+        .select(col("event_type"),
+                round(col("value") * 100).cast("long").as("v"))
+        .groupBy("event_type", "v").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type")
+        .orderBy(col("cnt").desc, col("v").asc)
+      vg.withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("event_type"), col("v").as("mode_cents"),
+                col("cnt").as("mode_count"))
+        .orderBy("event_type")
+    },
+
     // ◐ approx_percentile companion to q64 — the 100 TB form: exact
     // `percentile` buffers every value per group (O(group) memory, a
     // non-starter at scale), while the Greenwald-Khanna sketch behind
@@ -383,6 +410,16 @@ object AggregateOps extends OpModule {
         |SELECT event_type, CAST(sum(cnt) AS BIGINT) AS events,
         |  CAST(sum(sv) AS DOUBLE) AS sum_value, count(*) AS days
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q181_agg_mode" ->
+      """WITH vg AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY cnt DESC, v ASC) AS rk FROM vg)
+        |SELECT event_type, v AS mode_cents, cnt AS mode_count
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
 
     "q64_agg_ordered" ->
       """SELECT o_orderpriority,
