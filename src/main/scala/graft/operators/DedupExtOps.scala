@@ -344,6 +344,55 @@ object DedupExtOps extends OpModule {
       layers.orderBy("doc_id")
     },
 
+    // Synchronous label propagation (added r12) — the fifth graph
+    // primitive: community labels over the LSH candidate graph, next
+    // to components (q82: ANY connectivity merges), centrality (q115),
+    // triangles (q132) and BFS (q138). LPA answers a finer question
+    // than components — within a connected blob, labels converge to
+    // DENSELY-linked cores (boilerplate families) while thin bridges
+    // between them keep separate labels, which is exactly the
+    // over-merged-component diagnosis a dedup pipeline runs when one
+    // giant component swallows distinct template families. Made
+    // deterministic (classic LPA is famously order-dependent): three
+    // SYNCHRONOUS rounds (every node updates from the previous round's
+    // labels, never a mix), argmax by neighbor-label count with the
+    // DECLARED tie-break (highest count, then smallest label); init =
+    // own id. Each round is one edges⋈labels join + a (node, label)
+    // count + a per-node argmax window — O(edges) per round, never
+    // O(n²); fixed rounds keep the plan static and the oracle
+    // expressible as unrolled CTEs. The edge set and each round's
+    // labels are PINNED (q138's InternalPin discipline) so banding
+    // runs once and round k reads round k−1's blocks instead of
+    // replaying the growing lineage.
+    "q182_label_prop" -> { (s, d) =>
+      def pin(df: DataFrame) = org.apache.spark.sql.graft.InternalPin.pin(df)
+      val pairs = candidatePairs(Tables(s, d, "documents"),
+                                 maxBucket = HotBucketCap)
+      val (edges, eh) =
+        pin(pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+          .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v"))))
+      eh.count()
+      graft.PinScope.retain(eh)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("u").orderBy(col("cnt").desc, col("lab").asc)
+      var labels = edges.select(col("u").as("id")).distinct()
+        .withColumn("lab", col("id"))
+      for (_ <- 1 to 3) {
+        val counts = edges
+          .join(labels.withColumnRenamed("id", "v"), Seq("v"))
+          .groupBy("u", "lab").agg(count(lit(1)).as("cnt"))
+        val (next, nh) = pin(counts
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") === 1)
+          .select(col("u").as("id"), col("lab")))
+        nh.count()
+        graft.PinScope.retain(nh)
+        labels = next
+      }
+      labels.select(col("id").as("doc_id"), col("lab").as("lpa_label"))
+        .orderBy("doc_id")
+    },
+
     // Incremental cluster MAINTENANCE (added r9) — the operation a
     // pipeline runs when a new crawl batch lands: merge the batch into
     // the existing duplicate-cluster structure WITHOUT re-banding or
@@ -701,6 +750,31 @@ object DedupExtOps extends OpModule {
          |  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
          |WHERE x.doc_id % 2 = 1 OR y.doc_id % 2 = 1
          |GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin,
+
+    // the three synchronous LPA rounds unrolled as CTEs — integer
+    // counts + the declared tie-break, so the iterative result
+    // hash-matches
+    "q182_label_prop" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""l$i AS (SELECT u AS id, lab FROM (
+           |  SELECT e.u, l.lab,
+           |    row_number() OVER (PARTITION BY e.u
+           |      ORDER BY count(*) DESC, l.lab) AS rk
+           |  FROM e JOIN l${i - 1} l ON e.v = l.id
+           |  GROUP BY e.u, l.lab) WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""$minhashCte,
+         |p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |      FROM bands x JOIN bands y
+         |        ON x.band = y.band AND x.sig = y.sig
+         |       AND x.doc_id < y.doc_id),
+         |e AS (SELECT a AS u, b AS v FROM p
+         |      UNION ALL SELECT b, a FROM p),
+         |l0 AS (SELECT DISTINCT u AS id, u AS lab FROM e),
+         |$rounds
+         |SELECT id AS doc_id, lab AS lpa_label FROM l3
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // recursive-CTE reachability over the symmetric candidate-edge set;
     // a node's cluster = least(self, min reachable) — identical to the
