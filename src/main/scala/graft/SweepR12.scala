@@ -1,0 +1,43 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Round-12 10× scale sweep (BASELINE.md): the r12 query family over
+  * /tmp/sf10x12 — built by `tools/make100x.py <sf0.1> /tmp/sf10x12 10`,
+  * i.e. the r11 VOLUME growth model at 10× (unique fact rows: shifted
+  * keys, tag-token documents, perturbed embeddings; dims unchanged)
+  * rather than the r9/r10 exact-clone duplication stress. Protocol as
+  * SweepR9–R11: local[32], each query run twice per dir with the
+  * second run timed (first run warms code + any artifacts). */
+object SweepR12 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val qs = Seq("q170_join_lateral", "q171_subquery_scalar",
+      "q172_interval_union", "q173_skyline", "q174_pit_join",
+      "q175_bm25", "q176_cumulative_distinct", "q177_cusum_change",
+      "q178_sparse_matmul", "q179_freq_bins", "q180_join_nearest",
+      "q181_agg_mode", "q182_label_prop")
+    // optional args restrict the sweep to a subset (iteration speed);
+    // the recorded BASELINE runs always name which subset ran
+    val sel = if (args.isEmpty) qs else qs.filter(args.contains)
+    for (d <- Seq("/root/testdata/sf0.1", "/tmp/sf10x12")) {
+      spark.read.parquet(s"$d/nation.parquet").count()
+      for (q <- sel) {
+        try {
+          SparkEntry.queries(q)(spark, d).count(); PinScope.drain()
+          val t0 = System.nanoTime()
+          val n = SparkEntry.queries(q)(spark, d).count()
+          println(f"SWEEP $d $q ${(System.nanoTime() - t0) / 1e9}%.2f s" +
+            f" ($n rows)")
+        } catch {
+          case e: Throwable =>
+            println(s"SWEEP $d $q FAILED: ${e.getMessage}")
+        } finally PinScope.drain()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -73,8 +73,16 @@ def main():
                  lambda t, k: shift_col(t, "o_orderkey", k, okstep))
 
     ev = pq.read_table(os.path.join(SRC, "events.parquet"))
-    ev = ev.set_column(ev.schema.get_field_index("ts"), "ts",
-                       ev.column("ts").cast(pa.int64()))
+    # normalize ts to epoch-NANOS int64 (the schema graft.Tables's
+    # LongType branch expects): driver testdata has shipped both as
+    # int64 nanos (pre-r12) and as µs TIMESTAMP_NTZ (r12) — scale the
+    # µs form up by 1000, pass an already-int64 ns column through
+    tsf = ev.schema.field("ts").type
+    tscol = ev.column("ts")
+    if pa.types.is_timestamp(tsf):
+        mult = {"us": 1000, "ns": 1}[tsf.unit]
+        tscol = pc.multiply(tscol.cast(pa.int64()), mult)
+    ev = ev.set_column(ev.schema.get_field_index("ts"), "ts", tscol)
     estep = pc.max(ev.column("event_id")).as_py() + 1
     ustep = pc.max(ev.column("user_id")).as_py() + 1
 
