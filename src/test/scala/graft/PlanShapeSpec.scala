@@ -859,6 +859,38 @@ class PlanShapeSpec extends SparkSpecBase {
            s"term filter not below the (doc, term) aggregate:\n$p")
   }
 
+  test("q177/q179: stat windows and aggregates share the narrow count shuffle") {
+    // both operators reduce the corpus to a narrow keyed count table,
+    // then run every window on partitionings derived from that ONE
+    // shuffle — the final presentation sort and (for q177) the argmax
+    // regroup are the only other exchanges; no window may force a
+    // second corpus-wide exchange
+    for (q <- Seq("q177_cusum_change", "q179_freq_bins")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashEx <= 2, s"$q: $hashEx hash exchanges — window lost " +
+        s"the count-table partitioning:\n$p")
+      assert(p.contains("Window"), p)
+    }
+  }
+
+  test("q181: mode is a two-phase pair count, then an argmax over value groups") {
+    val df = SparkEntry.queries("q181_agg_mode")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // partial+final HashAggregate on (type, cents): the corpus
+    // combines map-side; the window then ranks the DOMAIN-bound value
+    // groups, never corpus rows
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Window"), p)
+    assert(p.indexOf("Window") < p.indexOf("HashAggregate"),
+           s"argmax window must consume the value-group aggregate:\n$p")
+  }
+
   test("q173: two-phase skyline — grouped local prune, then single-partition frontier") {
     val df = SparkEntry.queries("q173_skyline")(spark, sf)
     df.collect()
