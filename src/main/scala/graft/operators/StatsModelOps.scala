@@ -556,6 +556,84 @@ object StatsModelOps extends OpModule {
         .orderBy("attributed_type")
     },
 
+    // Linear multi-touch attribution (added r12) — q156 gives the last
+    // touch ALL the credit; marketing reality splits it: each purchase
+    // distributes its credit EQUALLY across every non-purchase touch by
+    // the same user in the 7 days before it. Made exact and conserved
+    // with integer MICRO-CREDITS: each purchase carries exactly
+    // 1 000 000 µcredits, each touch gets 1e6 div n, and the division
+    // REMAINDER goes to the earliest touch (declared rule) — so
+    // Σ credit ≡ 1e6 × purchases, auditable to the unit, no float
+    // fractions whose sum order matters. Touchless purchases credit a
+    // 'none' bucket (left join), keeping the audit total conserved.
+    // Scale shape: a user_id equi join with the 7-day window as
+    // residual — fan-out is Σ_u purchases_u × touches_u(7d), bounded
+    // by per-user activity in the lookback (the q80/q172 skew bound;
+    // the lookback IS the cap), never corpus-quadratic; the per-
+    // purchase windows ride the same user_id shuffle.
+    "q183_attribution_linear" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+                col("event_type"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+                col("ts").as("p_ts"))
+      val touches = ev.where(col("event_type") =!= "purchase")
+        .select(col("user_id").as("t_uid"), col("event_id").as("t_id"),
+                col("ts").as("t_ts"), col("event_type").as("touch_type"))
+      // the lookback lives IN the join condition: a purchase whose
+      // touches all fall outside the window must keep its null row
+      // (crediting 'none'), not vanish through a post-filter
+      val joined = purchases.join(touches,
+        col("user_id") === col("t_uid") &&
+          col("t_ts") < col("p_ts") &&
+          col("t_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"),
+        "left")
+      val wP = Window.partitionBy("p_id")
+      val wOrd = Window.partitionBy("p_id").orderBy("t_ts", "t_id")
+      joined
+        .withColumn("n", count(col("t_id")).over(wP))
+        .withColumn("idx", row_number().over(wOrd))
+        .withColumn("credit",
+          when(col("n") === 0, lit(1000000L))
+            .otherwise(expr("1000000 div n") +
+                       when(col("idx") === 1, expr("1000000 % n"))
+                         .otherwise(lit(0L))))
+        .groupBy(coalesce(col("touch_type"), lit("none"))
+                   .as("attributed_type"))
+        .agg(sum(col("credit")).as("credit_micros"),
+             countDistinct(col("p_id")).as("purchases_touched"))
+        .orderBy("attributed_type")
+    },
+
+    // Exact weighted median (added r12) — q148's median treats every
+    // row equally; procurement and pricing questions weight by VOLUME:
+    // the quantity-weighted median unit price per return flag (half
+    // the shipped units cost less, half more). Lower weighted median,
+    // declared: smallest cents value v with 2·cumweight(≤v) ≥
+    // totalweight — pure integers end to end. Same scale shape as
+    // q148/q179: one fact scan into (flag, cents, weight-sum) value
+    // groups, cumulative/total windows on the flag partitioning over
+    // domain-bounded groups, min(v) over the qualifying suffix. No
+    // sort of fact rows, no value buffering.
+    "q184_weighted_median" -> { (s, dir) =>
+      val vg = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+                round(col("l_extendedprice") * 100).cast("long").as("v"),
+                round(col("l_quantity") * 100).cast("long").as("wq"))
+        .groupBy("l_returnflag", "v").agg(sum(col("wq")).as("wsum"))
+      val wT = Window.partitionBy("l_returnflag")
+      val wC = Window.partitionBy("l_returnflag").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      vg.withColumn("cum", sum(col("wsum")).over(wC))
+        .withColumn("tot", sum(col("wsum")).over(wT))
+        .where(col("cum") * 2 >= col("tot"))
+        .groupBy("l_returnflag")
+        .agg(min(col("v")).as("wmedian_cents"),
+             min(col("tot")).as("total_weight"))
+        .orderBy("l_returnflag")
+    },
+
     // Per-type churn screen (added r10) — for each event type, how
     // many of its ever-active users have gone QUIET on it (no event of
     // that type in the final 7 days of the corpus). The retention
@@ -1080,6 +1158,47 @@ object StatsModelOps extends OpModule {
         |         (CAST(coalesce(vhi, vlo) AS DOUBLE) -
         |          CAST(vlo AS DOUBLE))) / 1.0, 6) AS lag_seconds
         |FROM sel ORDER BY q_label""".stripMargin,
+
+    "q183_attribution_linear" ->
+      """WITH p AS (SELECT user_id, event_id AS p_id, ts AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id AS t_uid, event_id AS t_id, ts AS t_ts,
+        |        event_type AS touch_type
+        |      FROM events WHERE event_type <> 'purchase'),
+        |j AS (SELECT p.p_id, t.t_id, t.t_ts, t.touch_type
+        |      FROM p LEFT JOIN t ON p.user_id = t.t_uid
+        |        AND t.t_ts < p.p_ts
+        |        AND t.t_ts >= p.p_ts - INTERVAL 7 DAY),
+        |w AS (SELECT *,
+        |    count(t_id) OVER (PARTITION BY p_id) AS n,
+        |    row_number() OVER (PARTITION BY p_id
+        |                       ORDER BY t_ts, t_id) AS idx
+        |  FROM j),
+        |c AS (SELECT p_id, touch_type,
+        |    CASE WHEN n = 0 THEN 1000000
+        |         ELSE 1000000 // n +
+        |              CASE WHEN idx = 1 THEN 1000000 % n ELSE 0 END
+        |    END AS credit
+        |  FROM w)
+        |SELECT coalesce(touch_type, 'none') AS attributed_type,
+        |  CAST(sum(credit) AS BIGINT) AS credit_micros,
+        |  count(DISTINCT p_id) AS purchases_touched
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q184_weighted_median" ->
+      """WITH vg AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |    sum(CAST(round(l_quantity * 100) AS BIGINT)) AS wsum
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, v, wsum,
+        |    sum(wsum) OVER (PARTITION BY l_returnflag ORDER BY v
+        |                    ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(wsum) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM vg)
+        |SELECT l_returnflag, min(v) AS wmedian_cents,
+        |  CAST(min(tot) AS BIGINT) AS total_weight
+        |FROM c WHERE cum * 2 >= tot GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q156_attribution" ->
       """WITH a AS (

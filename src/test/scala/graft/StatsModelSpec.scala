@@ -401,6 +401,38 @@ class StatsModelSpec extends SparkSpecBase {
     assert(expected.exists(_._2 > 0), "no lag-complete days — untested")
   }
 
+  test("q183 conserves exactly 1e6 micro-credits per purchase") {
+    // the integer-remainder design's whole point: credit is auditable
+    // to the unit — Σ credit_micros ≡ 1 000 000 × purchases, with the
+    // 'none' bucket absorbing touchless purchases
+    val purchases = Tables(spark, sf, "events")
+      .where(col("event_type") === "purchase").count()
+    val credited = q("q183_attribution_linear")
+      .agg(sum("credit_micros")).as[Long].head()
+    assert(credited == 1000000L * purchases,
+           s"credited $credited != 1e6 x $purchases purchases")
+  }
+
+  test("q184 weighted median matches a Scala brute force") {
+    val rows = Tables(spark, sf, "lineitem")
+      .select(col("l_returnflag"),
+              round(col("l_extendedprice") * 100).cast("long"),
+              round(col("l_quantity") * 100).cast("long"))
+      .as[(String, Long, Long)].collect().toSeq
+    val expected = rows.groupBy(_._1).toSeq.map { case (f, g) =>
+      val tot = g.map(_._3).sum
+      val byV = g.groupBy(_._2).toSeq.map { case (v, r) =>
+        (v, r.map(_._3).sum) }.sortBy(_._1)
+      var cum = 0L
+      val med = byV.collectFirst {
+        case (v, w) if { cum += w; 2 * cum >= tot } => v }.get
+      (f, med, tot)
+    }.sortBy(_._1)
+    val got = q("q184_weighted_median")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
   test("q148/q151 returned plans read pinned blocks, not parquet") {
     // the pin is the scale guarantee: ONE fact scan (materialized at pin
     // time), every downstream order-statistic branch reads blocks — the
