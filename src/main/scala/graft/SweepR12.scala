@@ -19,11 +19,16 @@ object SweepR12 {
       "q172_interval_union", "q173_skyline", "q174_pit_join",
       "q175_bm25", "q176_cumulative_distinct", "q177_cusum_change",
       "q178_sparse_matmul", "q179_freq_bins", "q180_join_nearest",
-      "q181_agg_mode", "q182_label_prop")
-    // optional args restrict the sweep to a subset (iteration speed);
-    // the recorded BASELINE runs always name which subset ran
-    val sel = if (args.isEmpty) qs else qs.filter(args.contains)
-    for (d <- Seq("/root/testdata/sf0.1", "/tmp/sf10x12")) {
+      "q181_agg_mode", "q182_label_prop", "q183_attribution_linear",
+      "q184_weighted_median", "q185_funnel_windowed", "q186_wow_growth")
+    // mode "x100": sweep against the 100x volume build at /tmp/sf100x
+    // (tools/make100x.py defaults) instead of the 10x point — the r11
+    // protocol asked at two orders. Remaining args subset the list.
+    val x100 = args.headOption.contains("x100")
+    val rest = if (x100) args.tail else args
+    val sel = if (rest.isEmpty) qs else qs.filter(rest.contains)
+    val alt = if (x100) "/tmp/sf100x" else "/tmp/sf10x12"
+    for (d <- Seq("/root/testdata/sf0.1", alt)) {
       spark.read.parquet(s"$d/nation.parquet").count()
       for (q <- sel) {
         try {

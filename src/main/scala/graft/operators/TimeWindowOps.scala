@@ -120,6 +120,52 @@ object TimeWindowOps extends OpModule {
                .as("avg_hours_view_to_click"))
     },
 
+    // Time-CONSTRAINED funnel (added r12) — q113 counts view→click→
+    // purchase in any order gap; real product funnels expire: each
+    // stage must land within ONE HOUR of the previous or the journey
+    // is broken (the "conversion window" every analytics product
+    // exposes). Same single-scan stacked-window shape as q113 — three
+    // conditional min windows on ONE user_id shuffle, each referencing
+    // the previous stage's window result with the added integer-µs
+    // deadline — so the constraint costs zero extra exchanges. The
+    // deadline makes the stage minima genuinely order-dependent
+    // (earliest view might strand a click a later view would have
+    // caught — min-of-qualifying per stage is the DECLARED semantics,
+    // mirrored exactly by the oracle's staged joins).
+    "q185_funnel_windowed" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      val hourUs = 3600L * 1000000L
+      val staged = Tables(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("t_view",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t_click",
+          min(when(col("event_type") === "click" &&
+                   col("ts") > col("t_view") &&
+                   unix_micros(col("ts")) <=
+                     unix_micros(col("t_view")) + hourUs,
+                   col("ts"))).over(w))
+        .withColumn("t_purchase",
+          min(when(col("event_type") === "purchase" &&
+                   col("ts") > col("t_click") &&
+                   unix_micros(col("ts")) <=
+                     unix_micros(col("t_click")) + hourUs,
+                   col("ts"))).over(w))
+      staged
+        .groupBy("user_id")
+        .agg(first(col("t_view")).as("t_view"),
+             first(col("t_click")).as("t_click"),
+             first(col("t_purchase")).as("t_purchase"))
+        .agg(count(col("t_view")).as("viewed"),
+             count(col("t_click")).as("clicked_1h"),
+             count(col("t_purchase")).as("purchased_1h"))
+        .select(col("viewed"), col("clicked_1h"), col("purchased_1h"),
+                round(col("clicked_1h").cast("double") /
+                      col("viewed"), 6).as("click_rate"),
+                round(col("purchased_1h").cast("double") /
+                      col("clicked_1h"), 6).as("purchase_rate"))
+    },
+
     // Anomaly flags (added r9) — per-series outlier detection, the
     // monitoring sibling of q112's resample: flag events whose value
     // sits more than 2 population standard deviations from their
@@ -218,6 +264,28 @@ object TimeWindowOps extends OpModule {
         .orderBy("day")
     },
 
+    // Week-over-week growth report (added r12) — the period-over-period
+    // screen every metrics dashboard leads with: per event_type and
+    // ISO week (both engines' date_trunc('week') = Monday), the count,
+    // the prior week's count (lag over the type partitioning — a
+    // calendar-bounded window, q176's argument) and the percentage
+    // change, computed once in double from exact integer counts and
+    // rounded (first week NULL, not zero — absence of a baseline is
+    // not 0% growth). One (type, week) count shuffle; the lag reuses
+    // the type partitioning.
+    "q186_wow_growth" -> { (s, d) =>
+      val wk = Tables(s, d, "events")
+        .select(col("event_type"), date_trunc("week", col("ts")).as("wk"))
+        .groupBy("event_type", "wk").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("wk")
+      wk.withColumn("prev_cnt", lag(col("cnt"), 1).over(w))
+        .withColumn("wow_pct",
+          round((col("cnt") - col("prev_cnt")).cast("double") * 100 /
+                col("prev_cnt"), 6))
+        .orderBy("event_type", "wk")
+    },
+
     // Cumulative distinct users / distinct-to-date (added r12) — the
     // "total users ever" growth curve next to q135's rolling DAU. The
     // naive form — count(DISTINCT user) OVER an expanding day window —
@@ -309,6 +377,26 @@ object TimeWindowOps extends OpModule {
         |  ON g.event_type = h.event_type AND g.hour = h.hour
         |ORDER BY g.event_type, g.hour""".stripMargin,
 
+    "q185_funnel_windowed" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |        AND e.ts <= v.t_view + INTERVAL 1 HOUR GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |        AND e.ts <= c.t_click + INTERVAL 1 HOUR GROUP BY 1)
+        |SELECT
+        |  (SELECT count(*) FROM v) AS viewed,
+        |  (SELECT count(*) FROM c) AS clicked_1h,
+        |  (SELECT count(*) FROM p) AS purchased_1h,
+        |  round(CAST((SELECT count(*) FROM c) AS DOUBLE) /
+        |        (SELECT count(*) FROM v), 6) AS click_rate,
+        |  round(CAST((SELECT count(*) FROM p) AS DOUBLE) /
+        |        (SELECT count(*) FROM c), 6) AS purchase_rate""".stripMargin,
+
     "q113_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
         |           WHERE event_type = 'view' GROUP BY 1),
@@ -348,6 +436,20 @@ object TimeWindowOps extends OpModule {
         |WHERE (n * CAST(v AS HUGEINT) - s) * (n * CAST(v AS HUGEINT) - s)
         |      > 4 * (n * q - s * s)
         |ORDER BY event_id""".stripMargin,
+
+    "q186_wow_growth" ->
+      """WITH wk AS (
+        |  SELECT event_type, date_trunc('week', ts) AS wk,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, wk, cnt,
+        |  lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY wk)
+        |    AS prev_cnt,
+        |  round(CAST(cnt - lag(cnt, 1) OVER (PARTITION BY event_type
+        |                                     ORDER BY wk) AS DOUBLE)
+        |        * 100 / lag(cnt, 1) OVER (PARTITION BY event_type
+        |                                  ORDER BY wk), 6) AS wow_pct
+        |FROM wk ORDER BY event_type, wk""".stripMargin,
 
     "q176_cumulative_distinct" ->
       """WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
