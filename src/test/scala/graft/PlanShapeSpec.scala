@@ -891,6 +891,27 @@ class PlanShapeSpec extends SparkSpecBase {
            s"argmax window must consume the value-group aggregate:\n$p")
   }
 
+  test("q183: lookback join stays a keyed equi join with residual, never a nested loop") {
+    val df = SparkEntry.queries("q183_attribution_linear")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the 7-day window must ride the user_id equi key as a residual
+    // condition — a planner that only sees the time range degenerates
+    // to a per-purchase scan of all touches
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q185: three deadline windows stack on ONE user_id exchange (q113's shape)") {
+    val df = SparkEntry.queries("q185_funnel_windowed")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+           s"funnel stages split across extra exchanges:\n$p")
+    assert("Window".r.findAllIn(p).size >= 1, p)
+  }
+
   test("q173: two-phase skyline — grouped local prune, then single-partition frontier") {
     val df = SparkEntry.queries("q173_skyline")(spark, sf)
     df.collect()
