@@ -553,6 +553,67 @@ object SimilarityExtOps extends OpModule {
         .limit(Bm25K)
     },
 
+    // BM25 through the PERSISTED POSTINGS INDEX (added r12) — makes
+    // q175's "standing query workload persists a postings artifact"
+    // note real, the way q79 made q71's IVF index real: the inverted
+    // index every search system actually stores is (term, doc, tf,
+    // doclen) BUCKETED BY TERM, built once per corpus
+    // (BucketedCache's write-once atomic-rename contract), plus a
+    // one-row corpus-stats artifact (N, Σdl) — the catalog entry a
+    // warehouse keeps. The probe filters the index on the query's
+    // terms, and because `t` is the bucket key Spark prunes to the
+    // terms' buckets at PLANNING time (SelectedBucketsCount in the
+    // scan, plan-asserted) — a 3-term query against a web-scale index
+    // reads 3 buckets' worth of postings, never the corpus, never the
+    // full index. Scoring and output are byte-identical to q175 (one
+    // oracle, two computation paths — the q82/q108 discipline).
+    "q187_bm25_index" -> { (s, d) =>
+      val postT = graft.BucketedCache.ensure(s, d, "postings",
+          "t STRING, doc_id BIGINT, tf BIGINT, dl BIGINT", "t", 8) {
+        Tables(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), col("toks"),
+                  size(col("toks")).cast("long").as("dl"))
+          .select(col("doc_id"), col("dl"),
+                  explode(col("toks")).as("t"))
+          .where(length(col("t")) > 0)
+          .groupBy("t", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+          .select("t", "doc_id", "tf", "dl")
+      }
+      val statT = graft.BucketedCache.ensure(s, d, "bmstats",
+          "k BIGINT, n_docs BIGINT, tot_len BIGINT", "k", 1) {
+        Tables(s, d, "documents")
+          .select(size(split(col("text"), " ")).cast("long").as("dl"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_len"))
+          .select(lit(0L).as("k"), col("n_docs"), col("tot_len"))
+      }
+      val tf = s.table(postT).where(col("t").isin(Bm25Terms: _*))
+      val stats = s.table(statT).select("n_docs", "tot_len")
+      val dfT = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      val sc = tf.join(broadcast(dfT), Seq("t"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          round(log(((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+                    (col("df").cast("double") + lit(0.5)) + lit(1.0)), 6))
+        .withColumn("norm",
+          lit(0.25) + lit(0.75) *
+            ((col("dl") * col("n_docs")).cast("double") /
+             col("tot_len").cast("double")))
+        .withColumn("sc",
+          col("idf") * (col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) * col("norm")))
+      sc.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+             Bm25Terms.map(t =>
+               sum(when(col("t") === t, col("sc")).otherwise(lit(0.0)))
+                 .as("s_" + t)): _*)
+        .select(col("doc_id"), col("n_terms"),
+                round(Bm25Terms.map(t => col("s_" + t))
+                        .reduce(_ + _), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(Bm25K)
+    },
+
     // Batched ANN: N query vectors × banded LSH buckets -> exact
     // re-rank -> per-query top-k. The query side is broadcast (N rows);
     // the collection side shuffles once per band on the 8-bit band key.
@@ -702,12 +763,13 @@ object SimilarityExtOps extends OpModule {
     def bandEq(l: String, r: String) = (0 until Bands).map { b =>
       s"substr($l, ${1 + b * BandBits}, $BandBits) = substr($r, ${1 + b * BandBits}, $BandBits)"
     }.mkString("(", " OR ", ")")
-    val base = Map(
-      // q175: every numeric literal is forced DOUBLE before arithmetic
-      // (a bare 0.5 is DECIMAL in DuckDB and its arithmetic diverges);
-      // the three per-term sums add in the same fixed order as the
-      // Spark conditional sums
-      "q175_bm25" -> {
+    // q175/q187: every numeric literal is forced DOUBLE before
+    // arithmetic (a bare 0.5 is DECIMAL in DuckDB and its arithmetic
+    // diverges); the three per-term sums add in the same fixed order as
+    // the Spark conditional sums. ONE oracle text, TWO computation
+    // paths (from-scratch q175, index-probe q187) — the q82/q108
+    // discipline.
+    val bm25Sql = {
         val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
         val sumOrder = Bm25Terms.map(t =>
           s"coalesce(sum(sc) FILTER (WHERE t = '$t'), CAST(0 AS DOUBLE))")
@@ -732,7 +794,10 @@ object SimilarityExtOps extends OpModule {
            |  round($sumOrder, 4) AS score
            |FROM scd GROUP BY doc_id
            |ORDER BY score DESC, doc_id LIMIT $Bm25K""".stripMargin
-      },
+    }
+    val base = Map(
+      "q175_bm25" -> bm25Sql,
+      "q187_bm25_index" -> bm25Sql,
 
       "q52_lsh_buckets" ->
         s"""SELECT sig, count(*) AS cnt, min(vec_id) AS min_vec

@@ -912,6 +912,20 @@ class PlanShapeSpec extends SparkSpecBase {
     assert("Window".r.findAllIn(p).size >= 1, p)
   }
 
+  test("q187: postings probe prunes to the query terms' buckets, never rescans the corpus") {
+    val df = SparkEntry.queries("q187_bm25_index")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the term filter on the bucket key prunes the index scan at
+    // planning time: a 3-term query reads at most 3 of the 8 buckets
+    assert("""SelectedBucketsCount: [1-3] out of 8""".r
+             .findFirstIn(p).isDefined,
+           s"bucket pruning did not fire on the postings scan:\n$p")
+    // and the probe never touches the corpus — the index IS the data
+    assert(!p.contains("documents.parquet"),
+           s"q187 rescanned the corpus instead of probing the index:\n$p")
+  }
+
   test("q173: two-phase skyline — grouped local prune, then single-partition frontier") {
     val df = SparkEntry.queries("q173_skyline")(spark, sf)
     df.collect()
