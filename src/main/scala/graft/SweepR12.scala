@@ -20,7 +20,8 @@ object SweepR12 {
       "q175_bm25", "q176_cumulative_distinct", "q177_cusum_change",
       "q178_sparse_matmul", "q179_freq_bins", "q180_join_nearest",
       "q181_agg_mode", "q182_label_prop", "q183_attribution_linear",
-      "q184_weighted_median", "q185_funnel_windowed", "q186_wow_growth")
+      "q184_weighted_median", "q185_funnel_windowed", "q186_wow_growth",
+      "q187_bm25_index", "q188_bm25_incremental")
     // mode "x100": sweep against the 100x volume build at /tmp/sf100x
     // (tools/make100x.py defaults) instead of the 10x point — the r11
     // protocol asked at two orders. Remaining args subset the list.

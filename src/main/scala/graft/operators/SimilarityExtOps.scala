@@ -614,6 +614,74 @@ object SimilarityExtOps extends OpModule {
         .limit(Bm25K)
     },
 
+    // INCREMENTAL BM25 — batch vs persisted index (added r12) — the
+    // q76/q99/q103 batch-vs-index discipline applied to retrieval:
+    // when the day's crawl lands, a search system does NOT rebuild the
+    // inverted index — it tokenizes the BATCH, unions the delta
+    // postings with the standing index, and ADDS the mergeable corpus
+    // stats (N and Σdl are sums — the same merge property as q110's
+    // HLL and q152's moments). Base index = even doc_ids (q76's
+    // standing-corpus convention), batch = odds tokenized inline; the
+    // index side is probed bucket-pruned like q187, the batch side
+    // filters its token stream to the query terms before aggregating
+    // (q175's filter-before-agg), and df/idf re-derive from the MERGED
+    // postings, so scores reflect the full corpus exactly. The result
+    // is provably the full-corpus BM25 — the oracle is q175's verbatim
+    // (one oracle, THREE computation paths: scratch, index, merged).
+    "q188_bm25_incremental" -> { (s, d) =>
+      def postings(docs: org.apache.spark.sql.DataFrame) = docs
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+                size(col("toks")).cast("long").as("dl"))
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("t"))
+        .where(length(col("t")) > 0)
+        .groupBy("t", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+        .select("t", "doc_id", "tf", "dl")
+      def stats(docs: org.apache.spark.sql.DataFrame) = docs
+        .select(size(split(col("text"), " ")).cast("long").as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_len"))
+      val all = Tables(s, d, "documents")
+      val baseT = graft.BucketedCache.ensure(s, d, "postingsbase",
+          "t STRING, doc_id BIGINT, tf BIGINT, dl BIGINT", "t", 8)(
+        postings(all.where(col("doc_id") % 2 === 0)))
+      val baseStatT = graft.BucketedCache.ensure(s, d, "bmstatsbase",
+          "k BIGINT, n_docs BIGINT, tot_len BIGINT", "k", 1)(
+        stats(all.where(col("doc_id") % 2 === 0))
+          .select(lit(0L).as("k"), col("n_docs"), col("tot_len")))
+      val batch = all.where(col("doc_id") % 2 === 1)
+      val tf = s.table(baseT).where(col("t").isin(Bm25Terms: _*))
+        .unionByName(postings(batch).where(col("t").isin(Bm25Terms: _*)))
+      val merged = s.table(baseStatT)
+        .select(col("n_docs").as("nb"), col("tot_len").as("lb"))
+        .crossJoin(stats(batch)
+          .select(col("n_docs").as("nx"), col("tot_len").as("lx")))
+        .select((col("nb") + col("nx")).as("n_docs"),
+                (col("lb") + col("lx")).as("tot_len"))
+      val dfT = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      val sc = tf.join(broadcast(dfT), Seq("t"))
+        .crossJoin(broadcast(merged))
+        .withColumn("idf",
+          round(log(((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+                    (col("df").cast("double") + lit(0.5)) + lit(1.0)), 6))
+        .withColumn("norm",
+          lit(0.25) + lit(0.75) *
+            ((col("dl") * col("n_docs")).cast("double") /
+             col("tot_len").cast("double")))
+        .withColumn("sc",
+          col("idf") * (col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) * col("norm")))
+      sc.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+             Bm25Terms.map(t =>
+               sum(when(col("t") === t, col("sc")).otherwise(lit(0.0)))
+                 .as("s_" + t)): _*)
+        .select(col("doc_id"), col("n_terms"),
+                round(Bm25Terms.map(t => col("s_" + t))
+                        .reduce(_ + _), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(Bm25K)
+    },
+
     // Batched ANN: N query vectors × banded LSH buckets -> exact
     // re-rank -> per-query top-k. The query side is broadcast (N rows);
     // the collection side shuffles once per band on the 8-bit band key.
@@ -798,6 +866,7 @@ object SimilarityExtOps extends OpModule {
     val base = Map(
       "q175_bm25" -> bm25Sql,
       "q187_bm25_index" -> bm25Sql,
+      "q188_bm25_incremental" -> bm25Sql,
 
       "q52_lsh_buckets" ->
         s"""SELECT sig, count(*) AS cnt, min(vec_id) AS min_vec
