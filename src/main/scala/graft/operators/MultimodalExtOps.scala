@@ -248,6 +248,43 @@ object MultimodalExtOps extends OpModule {
         .orderBy("doc_id")
     },
 
+    // Media SHARD PACKING (added r12) — the step between q111's
+    // transform and training: group media files into ~64 KB shards
+    // (the webdataset/tar-shard layout every multimodal loader
+    // consumes), the binary-size sibling of q91's token-budget
+    // packing. Distributed the way real shard writers work: 8 WRITER
+    // lanes (pmod of the id), each lane packs its OWN arrival-order
+    // stream with an exclusive running-byte-total — shard =
+    // cum_before div 64 KB, so an item straddling the boundary starts
+    // the next shard (declared streaming-packer semantics, no
+    // rebalancing lookahead). The cumulative window parallelizes
+    // across lanes (never a global ordered window — the q141
+    // one-reducer objection); shard ids are (lane, local seq), which
+    // is exactly how concurrent writers name shards without
+    // coordination. File sizes come from the real decode path (q54's
+    // codec), closed-form mirrored by the oracle.
+    "q189_media_shards" -> { (s, d) =>
+      val sized = queries("q54_multimodal_decode")(s, d)
+        .select(col("doc_id"), col("kind"), col("file_bytes"))
+        .withColumn("lane", pmod(col("doc_id"), lit(8)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lane").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+                       .unboundedPreceding, -1)
+      sized
+        .withColumn("cum_before",
+          coalesce(sum(col("file_bytes")).over(w), lit(0L)))
+        .withColumn("shard", expr("cum_before div 65536"))
+        .groupBy("lane", "shard")
+        .agg(count(lit(1)).as("n_files"),
+             sum(col("file_bytes")).as("shard_bytes"),
+             sum(when(col("kind") === "bmp", 1L).otherwise(0L))
+               .as("n_images"),
+             sum(when(col("kind") === "wav", 1L).otherwise(0L))
+               .as("n_audio"))
+        .orderBy("lane", "shard")
+    },
+
     // Multimodal TRANSFORM pipeline (added r9) — the resize /
     // frame-sample stage between decode and feature extraction:
     // parse the real container, transform the media (images: 2×
@@ -302,6 +339,30 @@ object MultimodalExtOps extends OpModule {
         |                                        i -> unicode(substr(text, i, 1)))),
         |                0) AS BIGINT) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q189_media_shards" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS kind,
+        |    CASE WHEN doc_id % 2 = 0
+        |         THEN 54 + 96 * CAST(ceil(strlen(text) / 96.0) AS BIGINT)
+        |         ELSE 44 + 2 * CAST(ceil(strlen(text) / 2.0) AS BIGINT)
+        |    END AS file_bytes,
+        |    doc_id % 8 AS lane
+        |  FROM documents),
+        |c AS (SELECT *,
+        |    coalesce(sum(file_bytes) OVER (PARTITION BY lane
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS cum_before
+        |  FROM f)
+        |SELECT lane, CAST(cum_before // 65536 AS BIGINT) AS shard,
+        |  count(*) AS n_files,
+        |  CAST(sum(file_bytes) AS BIGINT) AS shard_bytes,
+        |  CAST(sum(CASE WHEN kind = 'bmp' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_images,
+        |  CAST(sum(CASE WHEN kind = 'wav' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_audio
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the transform is a deterministic function of payload length:
     // kept BMP bytes are (even stored row, even pixel) positions —
