@@ -236,6 +236,37 @@ object TimeWindowOps extends OpModule {
         .orderBy("prev", "next")
     },
 
+    // Frequent event TRIGRAMS (added r12) — q130's transition matrix
+    // is the order-1 Markov view; the order-2 extension is sequence
+    // mining's workhorse: the most common 3-step behavioral paths
+    // (view>click>purchase vs view>view>view separates browsers from
+    // converters; error>error>error is the rage signal). Two lag
+    // windows on the SAME user stream q130 orders (one shuffle, tie
+    // order pinned by event_id), a path-string reduction, global share
+    // from the exact trigram total, top 10 by count with the path as
+    // the declared tie-break — a bounded TakeOrderedAndProject, never
+    // a full sort. Paths are |types|³-bounded (125 here), so the
+    // aggregate is domain-bound regardless of corpus size.
+    "q191_path_trigrams" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val tri = Tables(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+                col("event_type"))
+        .withColumn("p1", lag(col("event_type"), 2).over(w))
+        .withColumn("p2", lag(col("event_type"), 1).over(w))
+        .where(col("p1").isNotNull)
+        .groupBy(concat_ws(">", col("p1"), col("p2"), col("event_type"))
+                   .as("path"))
+        .agg(count(lit(1)).as("cnt"))
+      val total = tri.agg(sum(col("cnt")).as("n"))
+      tri.crossJoin(broadcast(total))
+        .select(col("path"), col("cnt"),
+                round(col("cnt").cast("double") / col("n"), 6).as("share"))
+        .orderBy(col("cnt").desc, col("path"))
+        .limit(10)
+    },
+
     // Rolling engagement (added r10) — the DAU/WAU stickiness series
     // every product dashboard tracks: per day, the distinct users that
     // day (DAU), the distinct users over the trailing 7 days (WAU),
@@ -262,6 +293,48 @@ object TimeWindowOps extends OpModule {
                 round(col("dau").cast("double") / col("wau"), 6)
                   .as("stickiness"))
         .orderBy("day")
+    },
+
+    // Inter-arrival gap screen (added r12) — the bot/abuse and
+    // instrumentation-health metric: the distribution of microsecond
+    // gaps between each user's consecutive events, banded per the
+    // LATER event's type (sub-second p50 = scripted traffic;
+    // exploding p99 = dropped beacons). Exact lower percentiles from
+    // the q151/q179 value-group discipline: one user_id shuffle
+    // derives the gaps (lag over (ts, event_id) — the tie order is
+    // pinned so the type attribution of equal-ts events matches the
+    // oracle), one (type, gap) reduction, then conditional mins over
+    // cumulative counts give p50/p90/p99 with pure integers
+    // (cum·100 ≥ n·p — cleared denominators, no interpolation).
+    "q190_gap_screen" -> { (s, d) =>
+      val wU = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val gaps = Tables(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+                col("event_type"))
+        .withColumn("gap",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wU)))
+        .where(col("gap").isNotNull)
+      val vg = gaps.groupBy("event_type", "gap")
+        .agg(count(lit(1)).as("cnt"))
+      val wT = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type")
+      val wC = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("gap")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+                       .unboundedPreceding,
+                     org.apache.spark.sql.expressions.Window.currentRow)
+      vg.withColumn("cum", sum(col("cnt")).over(wC))
+        .withColumn("n", sum(col("cnt")).over(wT))
+        .groupBy("event_type")
+        .agg(min(col("n")).as("n_gaps"),
+             min(when(col("cum") * 100 >= col("n") * 50, col("gap")))
+               .as("p50_us"),
+             min(when(col("cum") * 100 >= col("n") * 90, col("gap")))
+               .as("p90_us"),
+             min(when(col("cum") * 100 >= col("n") * 99, col("gap")))
+               .as("p99_us"))
+        .orderBy("event_type")
     },
 
     // Week-over-week growth report (added r12) — the period-over-period
@@ -437,6 +510,25 @@ object TimeWindowOps extends OpModule {
         |      > 4 * (n * q - s * s)
         |ORDER BY event_id""".stripMargin,
 
+    "q190_gap_screen" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - epoch_us(lag(ts, 1) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+        |  FROM events),
+        |vg AS (SELECT event_type, gap, count(*) AS cnt FROM g
+        |       WHERE gap IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT event_type, gap, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY gap
+        |                   ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM vg)
+        |SELECT event_type, CAST(min(n) AS BIGINT) AS n_gaps,
+        |  min(CASE WHEN cum * 100 >= n * 50 THEN gap END) AS p50_us,
+        |  min(CASE WHEN cum * 100 >= n * 90 THEN gap END) AS p90_us,
+        |  min(CASE WHEN cum * 100 >= n * 99 THEN gap END) AS p99_us
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q186_wow_growth" ->
       """WITH wk AS (
         |  SELECT event_type, date_trunc('week', ts) AS wk,
@@ -476,6 +568,22 @@ object TimeWindowOps extends OpModule {
         |SELECT dau.d AS day, dau, wau,
         |  round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
         |FROM dau JOIN wau ON dau.d = wau.d ORDER BY day""".stripMargin,
+
+    "q191_path_trigrams" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    lag(event_type, 2) OVER (PARTITION BY user_id
+        |                             ORDER BY ts, event_id) AS p1,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |                             ORDER BY ts, event_id) AS p2
+        |  FROM events),
+        |tri AS (SELECT p1 || '>' || p2 || '>' || event_type AS path,
+        |          count(*) AS cnt
+        |        FROM g WHERE p1 IS NOT NULL GROUP BY 1),
+        |n AS (SELECT sum(cnt) AS n FROM tri)
+        |SELECT path, cnt,
+        |  round(CAST(cnt AS DOUBLE) / n.n, 6) AS share
+        |FROM tri, n ORDER BY cnt DESC, path LIMIT 10""".stripMargin,
 
     "q130_session_paths" ->
       """WITH g AS (
