@@ -21,7 +21,9 @@ object SweepR12 {
       "q178_sparse_matmul", "q179_freq_bins", "q180_join_nearest",
       "q181_agg_mode", "q182_label_prop", "q183_attribution_linear",
       "q184_weighted_median", "q185_funnel_windowed", "q186_wow_growth",
-      "q187_bm25_index", "q188_bm25_incremental", "q189_media_shards")
+      "q187_bm25_index", "q188_bm25_incremental", "q189_media_shards",
+      "q190_gap_screen", "q191_path_trigrams", "q192_winsorized_mean",
+      "q193_key_skew", "q194_behavior_signatures")
     // mode "x100": sweep against the 100x volume build at /tmp/sf100x
     // (tools/make100x.py defaults) instead of the 10x point — the r11
     // protocol asked at two orders. Remaining args subset the list.

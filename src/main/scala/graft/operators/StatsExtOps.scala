@@ -31,6 +31,90 @@ object StatsExtOps extends OpModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Winsorized mean (added r12) — the robust location estimate a
+    // metrics pipeline reports when q148's MAD screen says the tail is
+    // contaminated: clamp each type's values into its own exact
+    // [p5, p95] band, then average — outliers pull the band edge, not
+    // the mean. Percentiles are the q190/q151 value-group discipline
+    // (lower percentile via cum·100 ≥ n·p, cleared denominators); the
+    // clamped SUM stays integer (Σ cnt·clamp(v) over value groups,
+    // map-side combinable) and divides once into a rounded double.
+    // One fact scan → (type, cents, count); the band table is
+    // |types| rows and broadcasts back onto the value groups.
+    "q192_winsorized_mean" -> { (s, d) =>
+      val vg = Tables(s, d, "events")
+        .select(col("event_type"),
+                round(col("value") * 100).cast("long").as("v"))
+        .groupBy("event_type", "v").agg(count(lit(1)).as("cnt"))
+      val wT = Window.partitionBy("event_type")
+      val wC = Window.partitionBy("event_type").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bands = vg
+        .withColumn("cum", sum(col("cnt")).over(wC))
+        .withColumn("n", sum(col("cnt")).over(wT))
+        .groupBy("event_type")
+        .agg(min(when(col("cum") * 100 >= col("n") * 5, col("v")))
+               .as("p5"),
+             min(when(col("cum") * 100 >= col("n") * 95, col("v")))
+               .as("p95"),
+             min(col("n")).as("n"))
+      vg.join(broadcast(bands), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(min(col("p5")).as("p5_cents"),
+             min(col("p95")).as("p95_cents"),
+             min(col("n")).as("n"),
+             sum(col("cnt") *
+                 least(greatest(col("v"), col("p5")), col("p95")))
+               .as("clamped_sum"))
+        .select(col("event_type"), col("p5_cents"), col("p95_cents"),
+                col("n"),
+                round(col("clamped_sum").cast("double") / col("n") / 100,
+                      6).as("winsorized_mean"))
+        .orderBy("event_type")
+    },
+
+    // Key-skew report (added r12) — the diagnostic that DECIDES
+    // between the mitigation pair q60 (manual salt) and q162 (AQE
+    // split): for each join key a pipeline is about to shuffle on,
+    // the per-key row-count distribution — key count, max, mean,
+    // exact p99 and the skew factor max/mean (cleared to the integer
+    // comparison max·keys vs rows before the one rounded division).
+    // Two-level reduction keeps it domain-bound: (key → cnt) is one
+    // shuffle, then the COUNT-OF-COUNTS (cnt → freq) collapses to at
+    // most |distinct counts| rows, and the p99 comes from the q190
+    // cumulative discipline over that tiny table. Run here for the
+    // two fact keys the suite actually joins on, union-tagged.
+    "q193_key_skew" -> { (s, d) =>
+      def report(df: DataFrame, key: String, tag: String): DataFrame = {
+        val kc = df.groupBy(col(key).as("k"))
+          .agg(count(lit(1)).as("cnt"))
+        val cc = kc.groupBy("cnt").agg(count(lit(1)).as("freq"))
+        val wC = Window.orderBy("cnt")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy(lit(0))
+        cc.withColumn("cum", sum(col("freq")).over(wC))
+          .withColumn("keys", sum(col("freq")).over(wAll))
+          .withColumn("rows_", sum(col("cnt") * col("freq")).over(wAll))
+          .groupBy(lit(tag).as("join_key"))
+          .agg(min(col("keys")).as("n_keys"),
+               min(col("rows_")).as("n_rows"),
+               max(col("cnt")).as("max_per_key"),
+               min(when(col("cum") * 100 >= col("keys") * 99, col("cnt")))
+                 .as("p99_per_key"))
+          .select(col("join_key"), col("n_keys"), col("n_rows"),
+                  col("max_per_key"), col("p99_per_key"),
+                  round(col("max_per_key").cast("double") *
+                        col("n_keys") / col("n_rows"), 6)
+                    .as("skew_factor"))
+      }
+      report(Tables(s, d, "lineitem"), "l_orderkey", "lineitem.l_orderkey")
+        .unionByName(report(Tables(s, d, "orders"), "o_custkey",
+                            "orders.o_custkey"))
+        .unionByName(report(Tables(s, d, "events"), "user_id",
+                            "events.user_id"))
+        .orderBy("join_key")
+    },
+
     // Sweep-line max concurrency (added r10) — the capacity-planning
     // staple: each event holds a resource for 30 minutes; per
     // event_type, the peak number of simultaneously-open holds and
@@ -401,6 +485,55 @@ object StatsExtOps extends OpModule {
   )
 
   def oracles: Map[String, String] = Map(
+
+    "q192_winsorized_mean" ->
+      """WITH vg AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT *,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+        |                   ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM vg),
+        |b AS (SELECT event_type,
+        |    min(CASE WHEN cum * 100 >= n * 5 THEN v END) AS p5,
+        |    min(CASE WHEN cum * 100 >= n * 95 THEN v END) AS p95,
+        |    min(n) AS n
+        |  FROM c GROUP BY 1)
+        |SELECT vg.event_type, min(b.p5) AS p5_cents,
+        |  min(b.p95) AS p95_cents, CAST(min(b.n) AS BIGINT) AS n,
+        |  round(CAST(sum(vg.cnt * least(greatest(vg.v, b.p5), b.p95))
+        |             AS DOUBLE) / min(b.n) / 100, 6) AS winsorized_mean
+        |FROM vg JOIN b USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q193_key_skew" -> {
+      def rep(tbl: String, key: String, tag: String) =
+        s"""SELECT '$tag' AS join_key,
+           |  CAST(min(keys) AS BIGINT) AS n_keys,
+           |  CAST(min(rows_) AS BIGINT) AS n_rows,
+           |  CAST(max(cnt) AS BIGINT) AS max_per_key,
+           |  CAST(min(CASE WHEN cum * 100 >= keys * 99 THEN cnt END)
+           |       AS BIGINT) AS p99_per_key,
+           |  round(CAST(max(cnt) AS DOUBLE) * min(keys) / min(rows_), 6)
+           |    AS skew_factor
+           |FROM (
+           |  SELECT cnt, freq,
+           |    sum(freq) OVER (ORDER BY cnt ROWS UNBOUNDED PRECEDING)
+           |      AS cum,
+           |    sum(freq) OVER () AS keys,
+           |    sum(cnt * freq) OVER () AS rows_
+           |  FROM (SELECT cnt, count(*) AS freq FROM (
+           |          SELECT $key AS k, count(*) AS cnt
+           |          FROM $tbl GROUP BY 1) GROUP BY 1))""".stripMargin
+      s"""${rep("lineitem", "l_orderkey", "lineitem.l_orderkey")}
+         |UNION ALL
+         |${rep("orders", "o_custkey", "orders.o_custkey")}
+         |UNION ALL
+         |${rep("events", "user_id", "events.user_id")}
+         |ORDER BY join_key""".stripMargin
+    },
 
     "q139_max_concurrency" ->
       """WITH b AS (

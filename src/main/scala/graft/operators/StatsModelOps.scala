@@ -556,6 +556,41 @@ object StatsModelOps extends OpModule {
         .orderBy("attributed_type")
     },
 
+    // ONBOARDING behavioral signatures (added r12) — segmentation by
+    // WHICH features a user touches in their first 72 hours, next to
+    // q160's RFM (segmentation by how much): each user reduces to the
+    // sorted comma-joined set of event types fired within 72h of
+    // their FIRST event ("click,view" vs the full five-type signature
+    // separates lurkers from instant converters — over a long-enough
+    // horizon every signature saturates, which is why the product
+    // question is always windowed to onboarding). Set-valued
+    // aggregation made deterministic: collect_set has no order, so
+    // sort_array pins the signature string (DuckDB mirrors with
+    // list_sort); the signature space is 2^|types|−1-bounded (31
+    // here) — a domain-bound aggregate at any corpus size. Two
+    // user_id-keyed aggs (first event, then signature) share one
+    // shuffle key; the 72h cut is exact integer µs; shares divide
+    // exact counts once.
+    "q194_behavior_signatures" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val first = ev.groupBy("user_id").agg(min(col("ts")).as("t0"))
+      val sig = ev.join(first, Seq("user_id"))
+        .where(unix_micros(col("ts")) <=
+               unix_micros(col("t0")) + lit(259200000000L))
+        .select(col("user_id"), col("event_type")).distinct()
+        .groupBy("user_id")
+        .agg(concat_ws(",", sort_array(collect_set(col("event_type"))))
+               .as("signature"))
+      val tot = sig.agg(count(lit(1)).as("tot"))
+      sig.groupBy("signature").agg(count(lit(1)).as("users"))
+        .crossJoin(broadcast(tot))
+        .select(col("signature"), col("users"),
+                round(col("users").cast("double") / col("tot"), 6)
+                  .as("share"))
+        .orderBy("signature")
+    },
+
     // Linear multi-touch attribution (added r12) — q156 gives the last
     // touch ALL the credit; marketing reality splits it: each purchase
     // distributes its credit EQUALLY across every non-purchase touch by
@@ -1158,6 +1193,21 @@ object StatsModelOps extends OpModule {
         |         (CAST(coalesce(vhi, vlo) AS DOUBLE) -
         |          CAST(vlo AS DOUBLE))) / 1.0, 6) AS lag_seconds
         |FROM sel ORDER BY q_label""".stripMargin,
+
+    "q194_behavior_signatures" ->
+      """WITH f AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1),
+        |s AS (
+        |  SELECT e.user_id,
+        |    array_to_string(list_sort(list(DISTINCT e.event_type)), ',')
+        |      AS signature
+        |  FROM events e JOIN f ON e.user_id = f.user_id
+        |  WHERE epoch_us(e.ts) <= epoch_us(f.t0) + 259200000000
+        |  GROUP BY 1),
+        |t AS (SELECT count(*) AS tot FROM s)
+        |SELECT signature, count(*) AS users,
+        |  round(CAST(count(*) AS DOUBLE) / t.tot, 6) AS share
+        |FROM s, t GROUP BY signature, t.tot
+        |ORDER BY signature""".stripMargin,
 
     "q183_attribution_linear" ->
       """WITH p AS (SELECT user_id, event_id AS p_id, ts AS p_ts
