@@ -32,6 +32,28 @@ object SortSetOps extends OpModule {
         .limit(10)
     },
 
+    // Top-k WITH TIES (added r12) — q28 is row_number top-k (exactly k
+    // rows, ties broken); the OTHER top-k surface SQL exposes (FETCH
+    // FIRST ... WITH TIES / QUALIFY rank() ≤ k) keeps EVERY row tied
+    // at the qualifying ranks — run on quantity, where ties are real
+    // (~thousands of rows share the top 3 quantity levels), so the
+    // semantic difference is exercised, not vacuous. The window is
+    // globally ordered, but Spark's rank-limit pushdown inserts a
+    // map-side WindowGroupLimit below the singleton exchange
+    // (plan-asserted) — each input partition forwards only its own
+    // rank-≤3 candidates, so the single-partition window sees
+    // per-partition survivors, never the fact table.
+    "q195_topk_ties" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+                round(col("l_quantity") * 100).cast("long").as("qty_cents"))
+        .withColumn("rk",
+          rank().over(Window.orderBy(col("qty_cents").desc)).cast("long"))
+        .where(col("rk") <= 3)
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     "q29_setops" -> { (s, d) =>
       val a = Tables(s, d, "orders").select(col("o_custkey").as("k"))
       val b = Tables(s, d, "events").select(col("user_id").as("k"))
@@ -105,6 +127,15 @@ object SortSetOps extends OpModule {
         |UNION ALL SELECT 'except', count(*)
         |  FROM (SELECT o_custkey AS k FROM orders EXCEPT SELECT user_id FROM events)
         |ORDER BY op""".stripMargin,
+
+    "q195_topk_ties" ->
+      """SELECT l_orderkey, l_linenumber, qty_cents, rk FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_cents,
+        |    rank() OVER (ORDER BY CAST(round(l_quantity * 100) AS BIGINT)
+        |                 DESC) AS rk
+        |  FROM lineitem)
+        |WHERE rk <= 3 ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q173_skyline" ->
       """WITH t AS (SELECT o_orderkey,

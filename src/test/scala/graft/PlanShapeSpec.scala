@@ -926,6 +926,19 @@ class PlanShapeSpec extends SparkSpecBase {
            s"q187 rescanned the corpus instead of probing the index:\n$p")
   }
 
+  test("q195: rank-limit pushdown prunes map-side below the singleton window") {
+    val df = SparkEntry.queries("q195_topk_ties")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the global rank window must be fed by a partial WindowGroupLimit
+    // BELOW its SinglePartition exchange — each input partition ships
+    // only its own rank-≤3 candidates
+    val ex = p.indexOf("Exchange SinglePartition")
+    assert(ex > 0, p)
+    assert(p.indexOf("WindowGroupLimit", ex) > 0,
+           s"no map-side WindowGroupLimit below the singleton exchange:\n$p")
+  }
+
   test("q173: two-phase skyline — grouped local prune, then single-partition frontier") {
     val df = SparkEntry.queries("q173_skyline")(spark, sf)
     df.collect()
