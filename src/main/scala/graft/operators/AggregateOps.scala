@@ -132,6 +132,37 @@ object AggregateOps extends OpModule {
         .orderBy("n_name")
     },
 
+    // ORDER-BY-other-key aggregation (added r12) — q20's listagg sorts
+    // by the aggregated VALUE; SQL's other ordered-agg surface
+    // (string_agg(x, sep ORDER BY y)) orders by a DIFFERENT key. The
+    // canonical use: each user's chronological journey string over
+    // their first 10 events ("view>view>click>purchase"), then the
+    // top-10 most common journeys — the product-analytics artifact
+    // behind "what do converting paths look like". Deterministic:
+    // the per-user rank pins the order (ts, event_id tie-break), the
+    // collect carries (rn, type) structs and sort_array orders by rn
+    // before extraction (collect_list alone has NO order guarantee —
+    // the classic silent nondeterminism); journeys cap at 10 events
+    // so the string is bounded. One user_id shuffle (rank + journey
+    // agg share it), a |distinct journeys|-bounded rollup, bounded
+    // top-k.
+    "q196_journey_strings" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val journeys = Tables(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+                col("event_type"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 10)
+        .groupBy("user_id")
+        .agg(expr("array_join(transform(" +
+                  "sort_array(collect_list(struct(rn, event_type)))," +
+                  " s -> s.event_type), '>')").as("journey"))
+      journeys.groupBy("journey").agg(count(lit(1)).as("users"))
+        .orderBy(col("users").desc, col("journey"))
+        .limit(10)
+    },
+
     // ◐ HLL sketch — engine-specific, unit-tested with ±5% tolerance.
     "q21_agg_approx" -> { (s, d) =>
       Tables(s, d, "lineitem").agg(
@@ -410,6 +441,19 @@ object AggregateOps extends OpModule {
         |SELECT event_type, CAST(sum(cnt) AS BIGINT) AS events,
         |  CAST(sum(sv) AS DOUBLE) AS sum_value, count(*) AS days
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q196_journey_strings" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |j AS (SELECT user_id,
+        |        string_agg(event_type, '>' ORDER BY rn) AS journey
+        |      FROM r WHERE rn <= 10 GROUP BY 1)
+        |SELECT journey, count(*) AS users
+        |FROM j GROUP BY 1
+        |ORDER BY users DESC, journey LIMIT 10""".stripMargin,
 
     "q181_agg_mode" ->
       """WITH vg AS (
