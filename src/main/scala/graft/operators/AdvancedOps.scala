@@ -550,6 +550,33 @@ object AdvancedOps extends OpModule {
         .orderBy("table_name")
     },
 
+    // Open-order AGING report (added r12) — the receivables-aging
+    // staple next to q116's DQ gate: non-finalized orders bucketed by
+    // age at the corpus's end day (broadcast max date — the q144
+    // portable-calendar discipline), with count and exact open value
+    // per (status, bucket). Buckets are integer-datediff CASE bands
+    // sized to this corpus's multi-year span so every band populates
+    // (an aging report where one bucket holds everything audits
+    // nothing). One scan, a ≤|status×bands| rollup; value sums use
+    // the Det decimal discipline.
+    "q198_order_aging" -> { (s, d) =>
+      val o = Tables(s, d, "orders")
+      val end = o.agg(max(to_date(col("o_orderdate"))).as("end_day"))
+      o.where(col("o_orderstatus") =!= "F")
+        .crossJoin(broadcast(end))
+        .withColumn("age",
+          datediff(col("end_day"), to_date(col("o_orderdate"))))
+        .withColumn("bucket",
+          when(col("age") <= 180, "000-180")
+            .when(col("age") <= 365, "181-365")
+            .when(col("age") <= 730, "366-730")
+            .otherwise("731+"))
+        .groupBy("o_orderstatus", "bucket")
+        .agg(count(lit(1)).as("orders"),
+             Det.decSum(col("o_totalprice")).as("open_value"))
+        .orderBy("o_orderstatus", "bucket")
+    },
+
     // Point-in-time join through a dated SCD2 dimension (added r12) —
     // the read pattern q123's history exists FOR: facts must join the
     // dimension version that was true AT EVENT TIME, not the current
@@ -940,6 +967,23 @@ object AdvancedOps extends OpModule {
         |  (SELECT count(*) FROM dor),
         |  (SELECT count(*) FROM orders) - (SELECT count(*) FROM dor)
         |ORDER BY table_name""".stripMargin,
+
+    "q198_order_aging" ->
+      """WITH e AS (SELECT max(CAST(o_orderdate AS DATE)) AS end_day
+        |           FROM orders)
+        |SELECT o_orderstatus,
+        |  CASE WHEN end_day - CAST(o_orderdate AS DATE) <= 180
+        |         THEN '000-180'
+        |       WHEN end_day - CAST(o_orderdate AS DATE) <= 365
+        |         THEN '181-365'
+        |       WHEN end_day - CAST(o_orderdate AS DATE) <= 730
+        |         THEN '366-730'
+        |       ELSE '731+' END AS bucket,
+        |  count(*) AS orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS open_value
+        |FROM orders, e WHERE o_orderstatus <> 'F'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q174_pit_join" ->
       """WITH dim AS (

@@ -39,6 +39,29 @@ object TimeWindowOps extends OpModule {
       sessionize(Tables(s, d, "events")).orderBy("user_id", "sess_start")
     },
 
+    // Session BOUNCE RATE by day-of-week (added r12) — the first
+    // derived metric every session table feeds: the share of sessions
+    // with exactly ONE event ("bounces"), split by the portable
+    // day-of-week (days-since-Monday-epoch % 7 — the q144 calendar
+    // discipline, immune to the engines' dayofweek numbering
+    // disagreement). Reuses q38's session_window sessionization
+    // verbatim (one user_id shuffle, state bounded by the gap), then
+    // a 7-row rollup; the rate divides exact counts once. Weekend vs
+    // weekday bounce divergence is the actual product read-out.
+    "q197_bounce_rate" -> { (s, d) =>
+      sessionize(Tables(s, d, "events"))
+        .withColumn("dow",
+          (datediff(to_date(col("sess_start")),
+                    to_date(lit("1970-01-05"))) % 7).cast("long"))
+        .groupBy("dow")
+        .agg(count(lit(1)).as("sessions"),
+             sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("bounced"))
+        .select(col("dow"), col("sessions"), col("bounced"),
+                round(col("bounced").cast("double") / col("sessions"), 6)
+                  .as("bounce_rate"))
+        .orderBy("dow")
+    },
+
     // Gap-filled resample (added r9) — the time-series operation every
     // metrics/sensor pipeline runs between raw events and a model or
     // dashboard: hourly avg(value) per event_type on a DENSE hour grid
@@ -627,6 +650,30 @@ object TimeWindowOps extends OpModule {
     // Gap-islands sessionization; Spark merges an event into the session
     // when its gap to the previous event is <= 30 min INCLUSIVE (verified
     // in CorrectnessSpec), so only a strictly greater gap opens a session.
+    "q197_bounce_rate" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), se AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g),
+        |sess AS (SELECT min(ts) AS sess_start, count(*) AS cnt
+        |         FROM se GROUP BY user_id, sid)
+        |SELECT CAST((CAST(sess_start AS DATE) - DATE '1970-01-05') % 7
+        |            AS BIGINT) AS dow,
+        |  count(*) AS sessions,
+        |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS bounced,
+        |  round(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*), 6) AS bounce_rate
+        |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q38_win_session" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id,
