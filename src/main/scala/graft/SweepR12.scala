@@ -24,7 +24,8 @@ object SweepR12 {
       "q187_bm25_index", "q188_bm25_incremental", "q189_media_shards",
       "q190_gap_screen", "q191_path_trigrams", "q192_winsorized_mean",
       "q193_key_skew", "q194_behavior_signatures", "q195_topk_ties",
-      "q196_journey_strings", "q197_bounce_rate", "q198_order_aging")
+      "q196_journey_strings", "q197_bounce_rate", "q198_order_aging",
+      "q199_pareto_curve")
     // mode "x100": sweep against the 100x volume build at /tmp/sf100x
     // (tools/make100x.py defaults) instead of the 10x point — the r11
     // protocol asked at two orders. Remaining args subset the list.

@@ -697,6 +697,45 @@ object StatsModelOps extends OpModule {
         .orderBy("event_type")
     },
 
+    // Pareto / 80-20 concentration CURVE (added r12) — q158 reports
+    // one point (the top-p% share); the full curve is what the
+    // assortment review reads: parts ranked by revenue, split into
+    // population deciles, each decile's exact revenue share and the
+    // cumulative share ("decile 0 = X% of revenue, top half = Y%").
+    // Rank is row_number over (revenue desc, partkey) — the unique
+    // key makes tie order deterministic; revenue stays integer cents
+    // until the two share divisions (each from exact sums, round 6;
+    // the CUMULATIVE share divides the exact cumulative cents, never
+    // sums rounded shares). The ranking window's input is the PART
+    // aggregate (dimension-sized, not fact-sized); at a scale where
+    // even parts outgrow one partition the rank swaps to the q141/
+    // q146 bucketed prefix sum — same downstream arithmetic.
+    "q199_pareto_curve" -> { (s, dir) =>
+      val rev = Tables(s, dir, "lineitem")
+        .select(col("l_partkey"),
+                round(col("l_extendedprice") * 100).cast("long")
+                  .as("cents"))
+        .groupBy("l_partkey").agg(sum(col("cents")).as("cents"))
+      val wR = Window.orderBy(col("cents").desc, col("l_partkey"))
+      val wAll = Window.partitionBy(lit(0))
+      val wCum = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev
+        .withColumn("rk", row_number().over(wR))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("decile", expr("(rk - 1) * 10 div n"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("cents"))
+        .withColumn("total", sum(col("cents")).over(wAll))
+        .withColumn("cum_cents", sum(col("cents")).over(wCum))
+        .select(col("decile"), col("n_parts"),
+                round(col("cents").cast("double") / col("total"), 6)
+                  .as("rev_share"),
+                round(col("cum_cents").cast("double") / col("total"), 6)
+                  .as("cum_share"))
+        .orderBy("decile")
+    },
+
     // Top-share concentration (added r10) — what share of revenue the
     // top 1% / top 10% of orders carry, per priority tier: the Pareto
     // companion to q146's Gini, EXACT from the same pinned value-group
@@ -1193,6 +1232,27 @@ object StatsModelOps extends OpModule {
         |         (CAST(coalesce(vhi, vlo) AS DOUBLE) -
         |          CAST(vlo AS DOUBLE))) / 1.0, 6) AS lag_seconds
         |FROM sel ORDER BY q_label""".stripMargin,
+
+    "q199_pareto_curve" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |r AS (SELECT cents,
+        |    row_number() OVER (ORDER BY cents DESC, l_partkey) AS rk,
+        |    count(*) OVER () AS n
+        |  FROM rev),
+        |d AS (SELECT (rk - 1) * 10 // n AS decile, count(*) AS n_parts,
+        |        sum(cents) AS cents
+        |      FROM r GROUP BY 1),
+        |t AS (SELECT *, sum(cents) OVER () AS total,
+        |        sum(cents) OVER (ORDER BY decile
+        |                         ROWS UNBOUNDED PRECEDING) AS cum_cents
+        |      FROM d)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_parts,
+        |  round(CAST(cents AS DOUBLE) / total, 6) AS rev_share,
+        |  round(CAST(cum_cents AS DOUBLE) / total, 6) AS cum_share
+        |FROM t ORDER BY decile""".stripMargin,
 
     "q194_behavior_signatures" ->
       """WITH f AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1),
