@@ -397,6 +397,47 @@ object AdvancedOps extends OpModule {
         .orderBy("rule")
     },
 
+    // Functional-dependency audit (added r12) — the schema-forensics
+    // tier of the DQ family (q116 rules, q137 Benford, q144 chi²): for
+    // each DECLARED candidate dependency lhs → rhs, how many lhs keys
+    // exist, how many witness more than one distinct rhs (violations),
+    // and the worst fan-out. This is how a pipeline validates assumed
+    // uniqueness/denormalization invariants ("is o_orderkey really a
+    // key?", "does one part always ship from one supplier?") before a
+    // join planner or a MERGE relies on them. Shape per dependency: one
+    // two-phase distinct-style aggregate — groupBy(lhs) +
+    // count(DISTINCT rhs) (partial distinct map-side, one narrow
+    // shuffle on lhs) — collapsed to a ONE-ROW summary; five summaries
+    // union to the report. Nothing wider than |lhs keys| ever exists;
+    // the o_orderkey → o_custkey row HOLDS (PK sanity), the other four
+    // are genuinely violated on this corpus, so both gate outcomes are
+    // exercised.
+    "q203_fd_audit" -> { (s, d) =>
+      def fd(name: String, df: DataFrame, lhs: String, rhs: String)
+          : DataFrame =
+        df.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("nv"))
+          .agg(count(lit(1)).as("lhs_keys"),
+               sum(when(col("nv") > 1, 1L).otherwise(0L))
+                 .as("violating_keys"),
+               max(col("nv")).as("max_variants"))
+          .select(lit(name).as("fd"), col("lhs_keys"),
+                  col("violating_keys"), col("max_variants"),
+                  round(col("violating_keys").cast("double") /
+                        col("lhs_keys"), 6).as("violation_rate"),
+                  (col("violating_keys") === 0L).cast("long").as("holds"))
+      fd("customer_nation_to_segment", Tables(s, d, "customer"),
+         "c_nationkey", "c_mktsegment")
+        .unionAll(fd("events_user_to_type", Tables(s, d, "events"),
+           "user_id", "event_type"))
+        .unionAll(fd("lineitem_part_to_supplier", Tables(s, d, "lineitem"),
+           "l_partkey", "l_suppkey"))
+        .unionAll(fd("orders_custkey_to_priority", Tables(s, d, "orders"),
+           "o_custkey", "o_orderpriority"))
+        .unionAll(fd("orders_orderkey_to_custkey", Tables(s, d, "orders"),
+           "o_orderkey", "o_custkey"))
+        .orderBy("fd")
+    },
+
     // Snapshot diff / CDC (added r9) — the lakehouse MERGE primitive:
     // given yesterday's snapshot and today's, classify every key as
     // insert / update / delete / unchanged. Today's snapshot is
@@ -817,6 +858,36 @@ object AdvancedOps extends OpModule {
         |UNION ALL SELECT 'documents_under_100_chars',
         |  (SELECT count(*) FROM documents WHERE n_chars < 100)
         |ORDER BY rule""".stripMargin,
+
+    "q203_fd_audit" ->
+      """WITH
+        |f1 AS (SELECT c_nationkey AS lhs,
+        |         count(DISTINCT c_mktsegment) AS nv
+        |       FROM customer GROUP BY 1),
+        |f2 AS (SELECT user_id AS lhs, count(DISTINCT event_type) AS nv
+        |       FROM events GROUP BY 1),
+        |f3 AS (SELECT l_partkey AS lhs, count(DISTINCT l_suppkey) AS nv
+        |       FROM lineitem GROUP BY 1),
+        |f4 AS (SELECT o_custkey AS lhs,
+        |         count(DISTINCT o_orderpriority) AS nv
+        |       FROM orders GROUP BY 1),
+        |f5 AS (SELECT o_orderkey AS lhs, count(DISTINCT o_custkey) AS nv
+        |       FROM orders GROUP BY 1),
+        |s AS (
+        |  SELECT 'customer_nation_to_segment' AS fd, * FROM f1
+        |  UNION ALL SELECT 'events_user_to_type', * FROM f2
+        |  UNION ALL SELECT 'lineitem_part_to_supplier', * FROM f3
+        |  UNION ALL SELECT 'orders_custkey_to_priority', * FROM f4
+        |  UNION ALL SELECT 'orders_orderkey_to_custkey', * FROM f5)
+        |SELECT fd, count(*) AS lhs_keys,
+        |  CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS violating_keys,
+        |  max(nv) AS max_variants,
+        |  round(CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |        count(*), 6) AS violation_rate,
+        |  CAST(CASE WHEN sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) = 0
+        |            THEN 1 ELSE 0 END AS BIGINT) AS holds
+        |FROM s GROUP BY fd ORDER BY fd""".stripMargin,
 
     // both engines synthesize the identical "today" snapshot, hash the
     // identical canonical row string, and classify via one full outer

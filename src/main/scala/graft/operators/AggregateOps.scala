@@ -94,6 +94,39 @@ object AggregateOps extends OpModule {
         .orderBy("returnflag", "linestatus")
     },
 
+    // Hierarchical contribution report (added r12) — ratio-to-parent at
+    // two levels in ONE pass: revenue by (region, nation) with each
+    // nation's share OF ITS REGION and each region's share of the
+    // TOTAL — the drill-down table every revenue dashboard opens with.
+    // One fact scan (revenue kept integer cents inside the agg — exact,
+    // order-insensitive), supplier/nation/region broadcast (dimensions),
+    // then both parent denominators are WINDOWS OVER THE AGGREGATE
+    // (≤ |nations| rows — no second scan, no self-join): sum over the
+    // region partition and sum over all. Shares divide exact BIGINTs
+    // once, in double, rounded 6 dp.
+    "q205_share_hierarchy" -> { (s, d) =>
+      val wReg = org.apache.spark.sql.expressions.Window.partitionBy("region")
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+      Tables(s, d, "lineitem")
+        .join(broadcast(Tables(s, d, "supplier")),
+              col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables(s, d, "nation")),
+              col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables(s, d, "region")),
+              col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+               .as("cents"))
+        .withColumn("region_cents", sum(col("cents")).over(wReg))
+        .withColumn("total_cents", sum(col("cents")).over(wAll))
+        .select(col("region"), col("nation"), col("cents"),
+                round(col("cents").cast("double") /
+                      col("region_cents"), 6).as("share_of_region"),
+                round(col("region_cents").cast("double") /
+                      col("total_cents"), 6).as("region_share_of_total"))
+        .orderBy("region", "nation")
+    },
+
     "q18_agg_cube" -> { (s, d) =>
       Tables(s, d, "lineitem")
         .cube("l_returnflag", "l_linestatus")
@@ -407,6 +440,26 @@ object AggregateOps extends OpModule {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q205_share_hierarchy" ->
+      """WITH a AS (
+        |  SELECT r_name AS region, n_name AS nation,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |    sum(cents) OVER (PARTITION BY region) AS region_cents,
+        |    sum(cents) OVER () AS total_cents
+        |  FROM a)
+        |SELECT region, nation, CAST(cents AS BIGINT) AS cents,
+        |  round(CAST(cents AS DOUBLE) / region_cents, 6)
+        |    AS share_of_region,
+        |  round(CAST(region_cents AS DOUBLE) / total_cents, 6)
+        |    AS region_share_of_total
+        |FROM w ORDER BY region, nation""".stripMargin,
 
     "q18_agg_cube" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,

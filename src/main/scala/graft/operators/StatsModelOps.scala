@@ -262,6 +262,52 @@ object StatsModelOps extends OpModule {
         .orderBy("type_a", "type_b")
     },
 
+    // Audience-segment artifact (added r12) — q150 computes its overlap
+    // matrix by scanning the event FACTS; the production shape for
+    // "overlap of any audience over any date range, on demand" is a
+    // PERSISTED daily-distinct table: (user_id, event_type, day),
+    // exactly the segment/bitmap-index layer an audience platform
+    // maintains. Built ONCE per corpus via BucketedCache (scratch +
+    // atomic rename, two-writer safe), bucketed AND bucket-sorted on
+    // user_id — so the self-join that intersects audiences needs no
+    // exchange on either side, and a new day is an appended partition
+    // (the q110/q128/q131 incremental-artifact discipline, here for
+    // SETS). The declared probe answers a two-week window: re-distinct
+    // over the range rides the bucket layout (grouping on (user_id,
+    // type) is satisfied by the user_id distribution — no shuffle,
+    // plan-asserted), then q150's pair shape over rows that are
+    // per-day-distinct already — the fact table is never rescanned.
+    "q206_audience_artifact" -> { (s, dir) =>
+      val tbl = graft.BucketedCache.ensure(s, dir, "audience",
+        "user_id BIGINT, event_type STRING, day DATE", "user_id", 8) {
+        Tables(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+                  to_date(col("ts")).as("day"))
+          .distinct()
+      }
+      val (ut, h) = pin(s.table(tbl)
+        .where(col("day").between(lit("2024-01-08"), lit("2024-01-21")))
+        .select("user_id", "event_type").distinct())
+      h.count(); graft.PinScope.retain(h)
+      val sizes = ut.groupBy("event_type").agg(count(lit(1)).as("nu"))
+      val a = ut.select(col("user_id"), col("event_type").as("type_a"))
+      val b = ut.select(col("user_id"), col("event_type").as("type_b"))
+      a.join(b, Seq("user_id")).where(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b").agg(count(lit(1)).as("users_both"))
+        .join(broadcast(sizes.select(col("event_type").as("type_a"),
+                                     col("nu").as("users_a"))),
+              Seq("type_a"))
+        .join(broadcast(sizes.select(col("event_type").as("type_b"),
+                                     col("nu").as("users_b"))),
+              Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("users_a"),
+                col("users_b"), col("users_both"),
+                round(d(col("users_both")) /
+                      d(col("users_a") + col("users_b") -
+                        col("users_both")), 6).as("jaccard"))
+        .orderBy("type_a", "type_b")
+    },
+
     // Exact percentile bands (added r10) — P50/P95/P99 of event value
     // per type with textbook linear interpolation (h = (n−1)·q), the
     // latency-SLO screen, EXACT at any scale: the same pinned value-
@@ -736,6 +782,52 @@ object StatsModelOps extends OpModule {
         .orderBy("decile")
     },
 
+    // Item co-visitation (added r12) — the "users who touched X also
+    // touched Y" table that seeds every collaborative-filter /
+    // related-items surface. Items come from the event props JSON
+    // (`$.k`). The scale discipline is the per-user CAP: each user
+    // contributes only their 20 EARLIEST-first-seen distinct items
+    // (row_number over (first_us, item) — declared, deterministic), so
+    // the per-user pair fan-out is ≤ C(20,2) = 190 rows no matter how
+    // hyperactive the user — the standard co-visitation guard against
+    // the power-law user who would otherwise emit millions of pairs.
+    // Shape: one scan → (user, item) first-seen agg → capped set PINNED
+    // once (three downstream reads, one materialization) → self-join on
+    // user_id (both sides share the pinned partitioning) → pair counts
+    // (|items|²-bounded, map-side combinable) → two broadcast joins
+    // against the item-frequency table for the Jaccard denominator →
+    // bounded top-30 (TakeOrderedAndProject, fully-ordered tie-break).
+    "q201_covisitation" -> { (s, dir) =>
+      val wFirst = Window.partitionBy("user_id")
+        .orderBy(col("first_us"), col("item"))
+      val (items, h) = pin(Tables(s, dir, "events")
+        .select(col("user_id"),
+                get_json_object(col("props"), "$.k").cast("long").as("item"),
+                unix_micros(col("ts")).as("us"))
+        .where(col("item").isNotNull)
+        .groupBy("user_id", "item").agg(min(col("us")).as("first_us"))
+        .withColumn("rn", row_number().over(wFirst))
+        .where(col("rn") <= 20)
+        .select("user_id", "item"))
+      h.count(); graft.PinScope.retain(h)
+      val itemUsers = items.groupBy("item").agg(count(lit(1)).as("iu"))
+      val pairs = items.as("a").join(items.as("b"), "user_id")
+        .where(col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+        .agg(count(lit(1)).as("pair_users"))
+      pairs
+        .join(broadcast(itemUsers.select(col("item").as("item_a"),
+                                         col("iu").as("ua"))), Seq("item_a"))
+        .join(broadcast(itemUsers.select(col("item").as("item_b"),
+                                         col("iu").as("ub"))), Seq("item_b"))
+        .withColumn("jaccard",
+          round(col("pair_users").cast("double") /
+                (col("ua") + col("ub") - col("pair_users")), 6))
+        .select("item_a", "item_b", "pair_users", "ua", "ub", "jaccard")
+        .orderBy(col("pair_users").desc, col("item_a"), col("item_b"))
+        .limit(30)
+    },
+
     // Top-share concentration (added r10) — what share of revenue the
     // top 1% / top 10% of orders carry, per priority tier: the Pareto
     // companion to q146's Gini, EXACT from the same pinned value-group
@@ -1060,6 +1152,25 @@ object StatsModelOps extends OpModule {
         |       JOIN s sb ON sb.event_type = type_b
         |ORDER BY type_a, type_b""".stripMargin,
 
+    "q206_audience_artifact" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id, event_type FROM events
+        |  WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08'
+        |                             AND DATE '2024-01-21'),
+        |s AS (SELECT event_type, count(*) AS nu FROM ut GROUP BY 1),
+        |b AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS users_both
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |                     AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, sa.nu AS users_a, sb.nu AS users_b,
+        |  users_both,
+        |  round(CAST(users_both AS DOUBLE) /
+        |        CAST(sa.nu + sb.nu - users_both AS DOUBLE), 6) AS jaccard
+        |FROM b JOIN s sa ON sa.event_type = type_a
+        |       JOIN s sb ON sb.event_type = type_b
+        |ORDER BY type_a, type_b""".stripMargin,
+
     "q151_percentile_bands" ->
       """WITH pv AS (
         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
@@ -1253,6 +1364,34 @@ object StatsModelOps extends OpModule {
         |  round(CAST(cents AS DOUBLE) / total, 6) AS rev_share,
         |  round(CAST(cum_cents AS DOUBLE) / total, 6) AS cum_share
         |FROM t ORDER BY decile""".stripMargin,
+
+    "q201_covisitation" ->
+      """WITH fi AS (
+        |  SELECT user_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+        |    min(epoch_us(ts)) AS first_us
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |  GROUP BY 1, 2),
+        |capped AS (
+        |  SELECT user_id, item FROM (
+        |    SELECT user_id, item,
+        |      row_number() OVER (PARTITION BY user_id
+        |                         ORDER BY first_us, item) AS rn
+        |    FROM fi) WHERE rn <= 20),
+        |iu AS (SELECT item, count(*) AS iu FROM capped GROUP BY 1),
+        |pr AS (SELECT a.item AS item_a, b.item AS item_b,
+        |         count(*) AS pair_users
+        |       FROM capped a JOIN capped b
+        |         ON a.user_id = b.user_id AND a.item < b.item
+        |       GROUP BY 1, 2)
+        |SELECT item_a, item_b, pair_users, ua.iu AS ua, ub.iu AS ub,
+        |  round(CAST(pair_users AS DOUBLE) /
+        |        (ua.iu + ub.iu - pair_users), 6) AS jaccard
+        |FROM pr
+        |JOIN iu ua ON pr.item_a = ua.item
+        |JOIN iu ub ON pr.item_b = ub.item
+        |ORDER BY pair_users DESC, item_a, item_b LIMIT 30""".stripMargin,
 
     "q194_behavior_signatures" ->
       """WITH f AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1),

@@ -101,6 +101,121 @@ object TimeWindowOps extends OpModule {
         .orderBy("event_type", "hour")
     },
 
+    // Click-abandonment screen (added r12) — the NEGATIVE funnel: q113/
+    // q185 count users who DID convert; the revenue-leak report counts
+    // clicks that did NOT lead to a purchase within the conversion
+    // window (1 h), per day. Per click, the next purchase is a
+    // conditional min over the STRICTLY-FOLLOWING frame (rows 1
+    // following → unbounded, order (ts, event_id) — the declared tie
+    // pinning both engines share), so the whole screen is one window on
+    // one user_id shuffle; the click filter then drops to the per-day
+    // rollup. No self-join, no second scan; at 100 TB the only volume
+    // term is the event scan. Same-µs purchase ordering follows the
+    // declared event_id order — an explicit contract, not an accident.
+    "q200_abandonment" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(1, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      Tables(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        .withColumn("next_purchase_us",
+          min(when(col("event_type") === "purchase",
+                   unix_micros(col("ts")))).over(w))
+        .where(col("event_type") === "click")
+        .withColumn("abandoned",
+          (col("next_purchase_us").isNull ||
+           col("next_purchase_us") >
+             unix_micros(col("ts")) + lit(3600000000L)).cast("long"))
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("clicks"), sum(col("abandoned")).as("abandoned"))
+        .withColumn("abandon_rate",
+          round(col("abandoned").cast("double") / col("clicks"), 6))
+        .orderBy("day")
+    },
+
+    // Point-in-time feature extraction (added r12) — the feature-store
+    // primitive behind leakage-free training data: for every LABEL
+    // event (purchase), the user's behavioral features over the 7 days
+    // STRICTLY BEFORE it (views, clicks, errors, prior purchase spend).
+    // Using post-label rows would leak the future into the features —
+    // the exact bug PIT joins exist to prevent. Four conditional sums
+    // over ONE RANGE frame [−7d µs, −1 µs] on one user_id shuffle;
+    // range frames are VALUE-bounded, so same-µs ties are excluded
+    // symmetrically in both engines regardless of physical row order —
+    // stricter determinism than any rows-frame formulation. No
+    // self-join: labels and history interleave in the same partition,
+    // the window reads history as it passes. Output is one row per
+    // label event, the shape a trainer joins features from.
+    "q204_pit_features" -> { (s, d) =>
+      val weekUs = 604800000000L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("tus"))
+        .rangeBetween(-weekUs, -1L)
+      Tables(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+                col("ts"), unix_micros(col("ts")).as("tus"),
+                round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("views_7d",
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).over(w))
+        .withColumn("clicks_7d",
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).over(w))
+        .withColumn("errors_7d",
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).over(w))
+        .withColumn("spend_7d_cents",
+          coalesce(sum(when(col("event_type") === "purchase",
+                            col("cents"))).over(w), lit(0L)))
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+                col("views_7d"), col("clicks_7d"), col("errors_7d"),
+                col("spend_7d_cents"))
+        .orderBy("event_id")
+    },
+
+    // Semi-additive balance rollup (added r12) — the warehouse measure
+    // you must NOT sum over time: each user's outstanding loyalty
+    // balance (q202's clamped ledger) snapshotted at each WEEK's last
+    // event, carried forward through weeks with no activity, then
+    // summed ACROSS users per week — "total points outstanding, by
+    // week", the liability series finance reads. Additive across users,
+    // last-value over time: the classic semi-additive shape. One
+    // user_id shuffle computes per-event clamped balances (q202's
+    // closed form, running min over the SAME frame), a per-(user, week)
+    // row_number picks each week's last balance, and the forward fill
+    // rides a users × weeks grid (weeks = the handful of distinct
+    // calendar weeks — broadcast; the grid is |users|·|weeks|, never
+    // event-sized). date_trunc('week') is Monday in both engines.
+    "q207_semi_additive" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bal = Tables(s, d, "events")
+        .where(col("event_type") =!= "error")
+        .select(col("user_id"), col("ts"), col("event_id"),
+                when(col("event_type") === "purchase",
+                     -round(col("value") * 100).cast("long") * 5)
+                  .otherwise(round(col("value") * 100).cast("long"))
+                  .as("delta"))
+        .withColumn("prefix", sum(col("delta")).over(wRun))
+        .withColumn("bal",
+          col("prefix") - least(lit(0L), min(col("prefix")).over(wRun)))
+        .withColumn("wk", date_trunc("week", col("ts")))
+      val wSnap = Window.partitionBy("user_id", "wk")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val snap = bal.withColumn("rn", row_number().over(wSnap))
+        .where(col("rn") === 1).select("user_id", "wk", "bal")
+      val weeks = snap.select("wk").distinct()
+      val users = snap.select("user_id").distinct()
+      val wFill = Window.partitionBy("user_id").orderBy("wk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      users.crossJoin(broadcast(weeks))
+        .join(snap, Seq("user_id", "wk"), "left")
+        .withColumn("fbal", last(col("bal"), ignoreNulls = true).over(wFill))
+        .groupBy(to_date(col("wk")).as("week"))
+        .agg(count(col("fbal")).as("users_reporting"),
+             sum(coalesce(col("fbal"), lit(0L))).as("total_points"))
+        .orderBy("week")
+    },
+
     // Ordered funnel (added r9; single-scan r10) — product-analytics
     // staple: of the users who viewed, how many then clicked AFTER
     // their first view, and then purchased AFTER that first qualifying
@@ -492,6 +607,93 @@ object TimeWindowOps extends OpModule {
         |        (SELECT count(*) FROM v), 6) AS click_rate,
         |  round(CAST((SELECT count(*) FROM p) AS DOUBLE) /
         |        (SELECT count(*) FROM c), 6) AS purchase_rate""".stripMargin,
+
+    "q200_abandonment" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    min(CASE WHEN event_type = 'purchase'
+        |             THEN epoch_us(ts) END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |      AS np
+        |  FROM events)
+        |SELECT CAST(ts AS DATE) AS day, count(*) AS clicks,
+        |  CAST(sum(CASE WHEN np IS NULL
+        |                  OR np > epoch_us(ts) + 3600000000
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS abandoned,
+        |  round(CAST(sum(CASE WHEN np IS NULL
+        |                        OR np > epoch_us(ts) + 3600000000
+        |                      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+        |    AS abandon_rate
+        |FROM c WHERE event_type = 'click'
+        |GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q204_pit_features" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS tus,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      OVER w AS views_7d,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      OVER w AS clicks_7d,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      OVER w AS errors_7d,
+        |    coalesce(sum(CASE WHEN event_type = 'purchase'
+        |                      THEN cents END) OVER w, 0) AS spend_7d_cents
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus
+        |               RANGE BETWEEN 604800000000 PRECEDING
+        |               AND 1 PRECEDING))
+        |SELECT event_id, user_id, ts,
+        |  CAST(views_7d AS BIGINT) AS views_7d,
+        |  CAST(clicks_7d AS BIGINT) AS clicks_7d,
+        |  CAST(errors_7d AS BIGINT) AS errors_7d,
+        |  CAST(spend_7d_cents AS BIGINT) AS spend_7d_cents
+        |FROM f WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "q207_semi_additive" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'purchase'
+        |         THEN -CAST(round(value * 100) AS BIGINT) * 5
+        |         ELSE CAST(round(value * 100) AS BIGINT) END AS delta
+        |  FROM events WHERE event_type <> 'error'),
+        |pre AS (
+        |  SELECT user_id, ts, event_id, delta,
+        |    sum(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS prefix
+        |  FROM e),
+        |b AS (
+        |  SELECT user_id, ts, event_id,
+        |    prefix - least(0, min(prefix)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING)) AS bal,
+        |    date_trunc('week', ts) AS wk
+        |  FROM pre),
+        |snap AS (
+        |  SELECT user_id, wk, bal FROM (
+        |    SELECT user_id, wk, bal,
+        |      row_number() OVER (PARTITION BY user_id, wk
+        |                         ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM b) WHERE rn = 1),
+        |grid AS (
+        |  SELECT u.user_id, w.wk
+        |  FROM (SELECT DISTINCT user_id FROM snap) u
+        |  CROSS JOIN (SELECT DISTINCT wk FROM snap) w),
+        |filled AS (
+        |  SELECT g.user_id, g.wk,
+        |    last_value(s.bal IGNORE NULLS)
+        |      OVER (PARTITION BY g.user_id ORDER BY g.wk
+        |            ROWS UNBOUNDED PRECEDING) AS fbal
+        |  FROM grid g LEFT JOIN snap s
+        |    ON g.user_id = s.user_id AND g.wk = s.wk)
+        |SELECT CAST(wk AS DATE) AS week,
+        |  count(fbal) AS users_reporting,
+        |  CAST(sum(coalesce(fbal, 0)) AS BIGINT) AS total_points
+        |FROM filled GROUP BY 1 ORDER BY week""".stripMargin,
 
     "q113_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events

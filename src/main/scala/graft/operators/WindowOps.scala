@@ -76,6 +76,51 @@ object WindowOps extends OpModule {
                 round(percent_rank().over(w), 6).as("pr"),
                 round(cume_dist().over(w), 6).as("cd"))
         .orderBy("o_orderkey")
+    },
+
+    // Clamped running ledger (added r12) — the floor-at-zero wallet every
+    // loyalty/credits system runs: engagement (signup/view/click) earns
+    // `round(value·100)` points, a purchase REDEEMS 5× its cents, and the
+    // balance can never go below zero — points you don't hold are
+    // forfeited, not borrowed. The recurrence b_i = max(0, b_{i-1}+δ_i)
+    // is non-associative (naively a per-key sequential fold, the
+    // mapGroups escape hatch), but it has the classic closed form
+    // b_i = prefix_i − min(0, min_{j≤i} prefix_j), which turns the whole
+    // ledger into TWO stacked windows on ONE user_id shuffle — fully
+    // declarative, whole-stage-codegen'd, and parallel across users. A
+    // redemption hits the floor exactly when prefix_i dips below the
+    // previous running minimum's min(0,·), so the floored-event count is
+    // a window indicator too. The per-user groupBy reuses the window's
+    // hash partitioning (q113's no-second-exchange shape); every quantity
+    // is exact integer cents. Event order is declared (ts, event_id) —
+    // the same tie pinning the oracle mirrors.
+    "q202_clamped_ledger" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, d, "events")
+        .where(col("event_type") =!= "error")
+        .select(col("user_id"), col("ts"), col("event_id"),
+                when(col("event_type") === "purchase",
+                     -round(col("value") * 100).cast("long") * 5)
+                  .otherwise(round(col("value") * 100).cast("long"))
+                  .as("delta"))
+        .withColumn("prefix", sum(col("delta")).over(wRun))
+        .withColumn("floored",
+          (col("prefix") <
+             least(lit(0L), coalesce(min(col("prefix")).over(wPrev),
+                                     lit(0L)))).cast("long"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+             sum(col("delta")).as("net"),
+             min(col("prefix")).as("runmin"),
+             sum(col("floored")).as("floored_redemptions"))
+        .select(col("user_id"), col("n_events"),
+                (col("net") - least(lit(0L), col("runmin")))
+                  .as("final_points"),
+                (-least(lit(0L), col("runmin"))).as("forfeited_points"),
+                col("floored_redemptions"))
+        .orderBy("user_id")
     }
   )
 
@@ -128,6 +173,33 @@ object WindowOps extends OpModule {
         |  round(cume_dist() OVER w, 6) AS cd
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q202_clamped_ledger" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'purchase'
+        |         THEN -CAST(round(value * 100) AS BIGINT) * 5
+        |         ELSE CAST(round(value * 100) AS BIGINT) END AS delta
+        |  FROM events WHERE event_type <> 'error'),
+        |pre AS (
+        |  SELECT user_id, ts, event_id, delta,
+        |    sum(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS prefix
+        |  FROM e),
+        |p AS (
+        |  SELECT user_id, delta, prefix,
+        |    min(prefix) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING
+        |                      AND 1 PRECEDING) AS runmin_prev
+        |  FROM pre)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(delta) - least(0, min(prefix)) AS BIGINT)
+        |    AS final_points,
+        |  CAST(-least(0, min(prefix)) AS BIGINT) AS forfeited_points,
+        |  CAST(sum(CASE WHEN prefix < least(0, coalesce(runmin_prev, 0))
+        |                THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS floored_redemptions
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }
