@@ -25,7 +25,11 @@ object SweepR12 {
       "q190_gap_screen", "q191_path_trigrams", "q192_winsorized_mean",
       "q193_key_skew", "q194_behavior_signatures", "q195_topk_ties",
       "q196_journey_strings", "q197_bounce_rate", "q198_order_aging",
-      "q199_pareto_curve")
+      "q199_pareto_curve", "q200_abandonment", "q201_covisitation",
+      "q202_clamped_ledger", "q203_fd_audit", "q204_pit_features",
+      "q205_share_hierarchy", "q206_audience_artifact",
+      "q207_semi_additive", "q208_bootstrap_ci", "q209_decile_migration",
+      "q210_fulfillment_sla")
     // mode "x100": sweep against the 100x volume build at /tmp/sf100x
     // (tools/make100x.py defaults) instead of the 10x point — the r11
     // protocol asked at two orders. Remaining args subset the list.

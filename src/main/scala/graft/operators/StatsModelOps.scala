@@ -782,6 +782,136 @@ object StatsModelOps extends OpModule {
         .orderBy("decile")
     },
 
+    // Hash-Poisson bootstrap CI (added r12) — the "error bars without
+    // resampling" operator: a bootstrap resample draws each row
+    // Poisson(1)-many times, so instead of materializing 32 copies of
+    // the corpus, each row carries a DETERMINISTIC per-replicate weight
+    // w ∈ {0..5} read off one md5 byte against the Poisson(1) pmf
+    // quantized to /256ths (94/94/47/16/4/1 — exact cumulative 256;
+    // thresholds compared in HEX-STRING space, '5e'/'bc'/'eb'/'fb'/'ff',
+    // because lowercase-hex lexicographic order IS numeric order in
+    // both engines — no hex→int conversion exists portably). One scan
+    // explodes 32 replicate ids; the weighted sums map-combine to a
+    // 32-ROW table (never 32 corpus copies in flight); replicate-mean
+    // order statistics (min / median / max of 32) come from windows
+    // over those 32 rows. Exact integer weighted cents under the sums;
+    // each mean is one double division rounded 6 dp. The point estimate
+    // rides the same scan. This is the BLB-family pattern a 100 TB
+    // job uses for any CI — cost = one scan × 32 md5s per row.
+    "q208_bootstrap_ci" -> { (s, dir) =>
+      val w32 = Window.partitionBy(lit(0)).orderBy("mean_r")
+      val reps = Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+                round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("rep", explode(sequence(lit(0), lit(31))))
+        .withColumn("b",
+          substring(md5(concat(col("o_orderkey").cast("string"), lit("#"),
+                               col("rep").cast("string"))), 1, 2))
+        .withColumn("w",
+          when(col("b") < "5e", 0L).when(col("b") < "bc", 1L)
+            .when(col("b") < "eb", 2L).when(col("b") < "fb", 3L)
+            .when(col("b") < "ff", 4L).otherwise(5L))
+        .groupBy("rep")
+        .agg(sum(col("w")).as("n_r"),
+             sum(col("w") * col("cents")).as("sum_r"))
+        .withColumn("mean_r",
+          round(col("sum_r").cast("double") / col("n_r") / 100.0, 6))
+      val point = Tables(s, dir, "orders")
+        .agg(count(lit(1)).as("n"),
+             sum(round(col("o_totalprice") * 100).cast("long")).as("sc"))
+        .select(round(col("sc").cast("double") / col("n") / 100.0, 6)
+                  .as("point_mean"))
+      reps
+        .withColumn("rk", row_number().over(w32))
+        .agg(min(col("mean_r")).as("boot_lo"),
+             max(col("mean_r")).as("boot_hi"),
+             round((sum(when(col("rk") === 16, col("mean_r"))) +
+                    sum(when(col("rk") === 17, col("mean_r")))) / 2.0, 6)
+               .as("boot_median"))
+        .crossJoin(point)
+        .select("point_mean", "boot_lo", "boot_median", "boot_hi")
+    },
+
+    // Revenue-decile migration matrix (added r12) — the "movers and
+    // shakers" report: each customer's revenue decile in the first half
+    // of the order history (orders before 1998-07-01) vs the second,
+    // counted as a ≤12×12 transition matrix (decile −1 = absent from
+    // that half: new / churned customers as first-class buckets).
+    // Deciles use the EXPLICIT rank formula ((rank−1)·10) div n over
+    // (cents desc, custkey) — ntile's remainder placement is engine-
+    // convention; this formula is integer arithmetic both engines run
+    // identically. The ranking window's input is the per-customer
+    // AGGREGATE (dimension-sized — q199's discipline; at a scale where
+    // customers outgrow a partition the rank swaps to the q146
+    // bucketed prefix sum). One fact scan → pinned (cust, half, cents)
+    // → two dimension-sized windows → full-outer self-merge → matrix.
+    "q209_decile_migration" -> { (s, dir) =>
+      val (ch, h) = pin(Tables(s, dir, "orders")
+        .select(col("o_custkey"),
+                when(col("o_orderdate") < lit("1998-07-01"), 1L)
+                  .otherwise(2L).as("half"),
+                round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy("o_custkey", "half").agg(sum(col("cents")).as("cents")))
+      h.count(); graft.PinScope.retain(h)
+      def deciles(half: Long): DataFrame = {
+        val w = Window.partitionBy(lit(0))
+          .orderBy(col("cents").desc, col("o_custkey"))
+        ch.where(col("half") === half)
+          .withColumn("rk", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(0))))
+          .select(col("o_custkey"),
+                  expr("(rk - 1) * 10 div n").as(s"d$half"))
+      }
+      deciles(1L).join(deciles(2L), Seq("o_custkey"), "full_outer")
+        .select(coalesce(col("d1"), lit(-1L)).as("decile_h1"),
+                coalesce(col("d2"), lit(-1L)).as("decile_h2"))
+        .groupBy("decile_h1", "decile_h2")
+        .agg(count(lit(1)).as("customers"))
+        .orderBy("decile_h1", "decile_h2")
+    },
+
+    // Fulfillment-SLA report (added r12) — the order-to-ship latency
+    // attestation ops teams publish: per order priority, exact
+    // p50/p90/p99 of the ship lag in DAYS (l_shipdate − o_orderdate)
+    // plus the late rate (lag > 60 d). First operator to price the
+    // orders⋈lineitem latency pair: the join is an UN-HINTED shuffle
+    // join on l_orderkey (both sides fact-sized at 100 TB — q94's
+    // discipline; AQE may broadcast at test scale, threshold-driven),
+    // collapsing immediately to a (priority, lag-day) VALUE-GROUP
+    // table — domain-bound, ≈ priorities × distinct lag days — which
+    // the pinned q151 cumulative-prefix machinery turns into exact
+    // interpolated percentiles with no per-group sort. The synthetic
+    // feed's negative lags are reported as-is (a real DQ signal this
+    // report exists to surface, already caught by q116-style gates).
+    "q210_fulfillment_sla" -> { (s, dir) =>
+      import s.implicits._
+      val (pv, h) = pin(Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(Tables(s, dir, "orders")
+                .select(col("o_orderkey").as("l_orderkey"),
+                        col("o_orderdate"), col("o_orderpriority")),
+              Seq("l_orderkey"))
+        .select(col("o_orderpriority").as("prio"),
+                datediff(col("l_shipdate"), col("o_orderdate"))
+                  .cast("long").as("v"))
+        .groupBy("prio", "v").agg(count(lit(1)).as("c")))
+      h.count(); graft.PinScope.retain(h)
+      val qdf = Seq(("p50", 0.50), ("p90", 0.90), ("p99", 0.99))
+        .toDF("q_label", "q")
+      val late = pv.groupBy("prio")
+        .agg(sum(when(col("v") > 60, col("c")).otherwise(0L)).as("late"),
+             sum(col("c")).as("tot"))
+        .select(col("prio"),
+                round(col("late").cast("double") / col("tot"), 6)
+                  .as("late_rate"))
+      bandsAt(cumCounts(pv, "prio"), "prio", qdf, 1.0)
+        .withColumnRenamed("value_at_q", "lag_days_at_q")
+        .join(broadcast(late), Seq("prio"))
+        .select(col("prio").as("o_orderpriority"), col("q_label"),
+                col("n"), col("lag_days_at_q"), col("late_rate"))
+        .orderBy("o_orderpriority", "q_label")
+    },
+
     // Item co-visitation (added r12) — the "users who touched X also
     // touched Y" table that seeds every collaborative-filter /
     // related-items surface. Items come from the event props JSON
@@ -1364,6 +1494,94 @@ object StatsModelOps extends OpModule {
         |  round(CAST(cents AS DOUBLE) / total, 6) AS rev_share,
         |  round(CAST(cum_cents AS DOUBLE) / total, 6) AS cum_share
         |FROM t ORDER BY decile""".stripMargin,
+
+    "q208_bootstrap_ci" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (SELECT o.o_orderkey, o.cents, g.rep
+        |      FROM o CROSS JOIN generate_series(0, 31) AS g(rep)),
+        |wts AS (
+        |  SELECT rep, cents,
+        |    CASE WHEN b < '5e' THEN 0 WHEN b < 'bc' THEN 1
+        |         WHEN b < 'eb' THEN 2 WHEN b < 'fb' THEN 3
+        |         WHEN b < 'ff' THEN 4 ELSE 5 END AS w
+        |  FROM (SELECT rep, cents,
+        |          substr(md5(o_orderkey || '#' || rep), 1, 2) AS b
+        |        FROM r)),
+        |m AS (SELECT rep, sum(w) AS n_r, sum(w * cents) AS sum_r
+        |      FROM wts GROUP BY 1),
+        |mm AS (SELECT rep,
+        |    round(CAST(sum_r AS DOUBLE) / n_r / 100.0, 6) AS mean_r
+        |  FROM m),
+        |rkd AS (SELECT mean_r,
+        |    row_number() OVER (ORDER BY mean_r) AS rk FROM mm)
+        |SELECT
+        |  (SELECT round(CAST(sum(cents) AS DOUBLE) / count(*) / 100.0, 6)
+        |   FROM o) AS point_mean,
+        |  min(mean_r) AS boot_lo,
+        |  round((sum(CASE WHEN rk = 16 THEN mean_r END) +
+        |         sum(CASE WHEN rk = 17 THEN mean_r END)) / 2.0, 6)
+        |    AS boot_median,
+        |  max(mean_r) AS boot_hi
+        |FROM rkd""".stripMargin,
+
+    "q209_decile_migration" ->
+      """WITH ch AS (
+        |  SELECT o_custkey,
+        |    CASE WHEN o_orderdate < TIMESTAMP '1998-07-01'
+        |         THEN 1 ELSE 2 END AS half,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |d1 AS (SELECT o_custkey,
+        |    ((row_number() OVER (ORDER BY cents DESC, o_custkey)) - 1)
+        |      * 10 // (count(*) OVER ()) AS d
+        |  FROM ch WHERE half = 1),
+        |d2 AS (SELECT o_custkey,
+        |    ((row_number() OVER (ORDER BY cents DESC, o_custkey)) - 1)
+        |      * 10 // (count(*) OVER ()) AS d
+        |  FROM ch WHERE half = 2)
+        |SELECT CAST(coalesce(d1.d, -1) AS BIGINT) AS decile_h1,
+        |  CAST(coalesce(d2.d, -1) AS BIGINT) AS decile_h2,
+        |  count(*) AS customers
+        |FROM d1 FULL OUTER JOIN d2 ON d1.o_custkey = d2.o_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q210_fulfillment_sla" ->
+      """WITH pv AS (
+        |  SELECT o_orderpriority AS prio,
+        |    datediff('day', o_orderdate, l_shipdate) AS v,
+        |    count(*) AS c
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT prio, v, c,
+        |    sum(c) OVER (PARTITION BY prio ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY prio) AS n
+        |  FROM pv),
+        |late AS (SELECT prio,
+        |    round(CAST(sum(CASE WHEN v > 60 THEN c ELSE 0 END) AS DOUBLE)
+        |          / sum(c), 6) AS late_rate
+        |  FROM pv GROUP BY 1),
+        |qs(q_label, q) AS (VALUES ('p50', 0.5), ('p90', 0.90),
+        |                          ('p99', 0.99)),
+        |j AS (SELECT cum.*, q_label, q,
+        |    CAST(n - 1 AS DOUBLE) * q AS h,
+        |    CAST(floor(CAST(n - 1 AS DOUBLE) * q) AS BIGINT) + 1 AS k
+        |  FROM cum CROSS JOIN qs),
+        |sel AS (SELECT prio, q_label, max(n) AS n, max(h) AS hh,
+        |    min(CASE WHEN cum >= k THEN v END) AS vlo,
+        |    min(CASE WHEN cum >= k + 1 THEN v END) AS vhi
+        |  FROM j GROUP BY 1, 2)
+        |SELECT sel.prio AS o_orderpriority, q_label,
+        |  CAST(n AS BIGINT) AS n,
+        |  round((CAST(vlo AS DOUBLE) +
+        |         (hh - floor(hh)) *
+        |         (CAST(coalesce(vhi, vlo) AS DOUBLE) -
+        |          CAST(vlo AS DOUBLE))) / 1.0, 6) AS lag_days_at_q,
+        |  late.late_rate
+        |FROM sel JOIN late ON sel.prio = late.prio
+        |ORDER BY o_orderpriority, q_label""".stripMargin,
 
     "q201_covisitation" ->
       """WITH fi AS (
