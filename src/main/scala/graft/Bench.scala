@@ -35,8 +35,20 @@ object Bench {
       qs0.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         // a failed query records -1 (not a bogus elapsed time), so a
-        // regression is visible in the JSON instead of silently timed
-        val ok = try { fn(spark, sfDir).count(); true }
+        // regression is visible in the JSON instead of silently timed.
+        // Consume via the noop sink, NOT count(): count(1) lets the
+        // optimizer PRUNE aggregate expressions and final projections
+        // (a grouping-less aggregate counts 1 row while skipping its
+        // min/max/sum work entirely — caught r12 when q208's 480M-md5
+        // fan-out "ran" in 0.5 s), so count-based timings measure the
+        // plan's row-count skeleton. The noop DSv2 sink materializes
+        // EVERY output column on the executors with zero driver
+        // collection and zero I/O — the honest "run the whole query"
+        // protocol.
+        val ok = try {
+                   fn(spark, sfDir).write.format("noop")
+                     .mode("overwrite").save(); true
+                 }
                  catch { case e: Throwable =>
                    System.err.println(s"[bench] $name failed: ${e.getMessage}")
                    false }

@@ -29,7 +29,8 @@ object SweepR12 {
       "q202_clamped_ledger", "q203_fd_audit", "q204_pit_features",
       "q205_share_hierarchy", "q206_audience_artifact",
       "q207_semi_additive", "q208_bootstrap_ci", "q209_decile_migration",
-      "q210_fulfillment_sla")
+      "q210_fulfillment_sla", "q211_dup_rate_by_source",
+      "q212_token_budget")
     // mode "x100": sweep against the 100x volume build at /tmp/sf100x
     // (tools/make100x.py defaults) instead of the 10x point — the r11
     // protocol asked at two orders. Remaining args subset the list.
@@ -40,12 +41,19 @@ object SweepR12 {
     for (d <- Seq("/root/testdata/sf0.1", alt)) {
       spark.read.parquet(s"$d/nation.parquet").count()
       for (q <- sel) {
+        // consume via the noop sink (Bench's r12 protocol fix): count()
+        // lets the optimizer prune aggregate expressions / final
+        // projections, timing only the row-count skeleton
+        def consume(): Unit =
+          SparkEntry.queries(q)(spark, d).write.format("noop")
+            .mode("overwrite").save()
         try {
-          SparkEntry.queries(q)(spark, d).count(); PinScope.drain()
+          consume(); PinScope.drain()
           val t0 = System.nanoTime()
+          consume()
+          val dt = (System.nanoTime() - t0) / 1e9
           val n = SparkEntry.queries(q)(spark, d).count()
-          println(f"SWEEP $d $q ${(System.nanoTime() - t0) / 1e9}%.2f s" +
-            f" ($n rows)")
+          println(f"SWEEP $d $q $dt%.2f s ($n rows)")
         } catch {
           case e: Throwable =>
             println(s"SWEEP $d $q FAILED: ${e.getMessage}")

@@ -200,6 +200,32 @@ object DedupExtOps extends OpModule {
       s.table(clusterTable(s, d, variant = "star")).orderBy("doc_id")
     },
 
+    // Duplication rate by source (added r12) — the report a corpus
+    // curator reads BEFORE deciding crawl weights: per ingest source,
+    // how many docs sit in a duplicate cluster and how many are
+    // REDUNDANT (non-representative members, cluster_id ≠ doc_id —
+    // exactly the rows q83's keep-best pass would drop). Rides the
+    // PERSISTED cluster artifact (never re-runs the fixpoint, never
+    // re-bands): one shuffle join of the doc_id-bucketed cluster table
+    // against the documents metadata (text never moves — only doc_id/
+    // source), then a |sources|-row rollup. The per-source dup_rate is
+    // what turns the dedup family from a cleanup step into a FEEDBACK
+    // signal on acquisition.
+    "q211_dup_rate_by_source" -> { (s, d) =>
+      val cl = s.table(clusterTable(s, d))
+      Tables(s, d, "documents").select(col("doc_id"), col("source"))
+        .join(cl, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"),
+             count(col("cluster_id")).as("clustered_docs"),
+             sum(when(col("cluster_id").isNotNull &&
+                      col("cluster_id") =!= col("doc_id"), 1L)
+                   .otherwise(0L)).as("redundant_docs"))
+        .withColumn("dup_rate",
+          round(col("redundant_docs").cast("double") / col("docs"), 6))
+        .orderBy("source")
+    },
+
     // Keep-best dedup (added r6) — the step that turns q82's duplicate
     // CLUSTERS into a cleaned CORPUS: every document gets a cluster id
     // (its component's min doc_id; singletons are their own cluster)
@@ -788,6 +814,22 @@ object DedupExtOps extends OpModule {
     "q102_clusters_star" ->
       s"""$clustersCte
          |SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin,
+
+    // the artifact must be invisible: the report equals the same
+    // rollup over the recursive-CTE clustering of the full corpus
+    "q211_dup_rate_by_source" ->
+      s"""$clustersCte
+         |SELECT d.source, count(*) AS docs,
+         |  count(c.cluster_id) AS clustered_docs,
+         |  CAST(sum(CASE WHEN c.cluster_id IS NOT NULL
+         |                 AND c.cluster_id <> d.doc_id
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS redundant_docs,
+         |  round(CAST(sum(CASE WHEN c.cluster_id IS NOT NULL
+         |                       AND c.cluster_id <> d.doc_id
+         |                      THEN 1 ELSE 0 END) AS DOUBLE) /
+         |        count(*), 6) AS dup_rate
+         |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     // the incremental merge must produce EXACTLY the full-corpus
     // clustering — q82's oracle verbatim: base stars ∪ new edges has

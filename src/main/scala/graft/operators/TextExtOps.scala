@@ -387,6 +387,36 @@ object TextExtOps extends OpModule {
     // merge application is SQL-replayable, so the whole query is
     // DuckDB-oracled; the merge-order semantics are additionally
     // replay-tested against a reference BPE in CorrectnessSpec.
+    // Token-budget report (added r12) — "what is my training mix made
+    // of, in MODEL tokens": per (lang, source) cell, docs, BPE tokens
+    // (q101's codegen'd frozen-merge tokenizer as a map-side
+    // projection), each cell's share of the corpus token budget, and
+    // the cumulative share in declared (tokens desc, lang, source)
+    // order — the table a pretraining run's data card publishes and a
+    // q85-style mixture re-weights against. One scan, one
+    // |langs×sources|-key agg; both denominators are windows over the
+    // AGGREGATE (cells, not docs). Shares divide exact BIGINTs once,
+    // round 6.
+    "q212_token_budget" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val wAll = Window.partitionBy(lit(0))
+      val wCum = Window
+        .orderBy(col("bpe_tokens").desc, col("lang"), col("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d, "documents")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("docs"),
+             sum(bpeTokenCount.cast("long")).as("bpe_tokens"))
+        .withColumn("total", sum(col("bpe_tokens")).over(wAll))
+        .withColumn("cum", sum(col("bpe_tokens")).over(wCum))
+        .select(col("lang"), col("source"), col("docs"), col("bpe_tokens"),
+                round(col("bpe_tokens").cast("double") / col("total"), 6)
+                  .as("token_share"),
+                round(col("cum").cast("double") / col("total"), 6)
+                  .as("cum_share"))
+        .orderBy(col("bpe_tokens").desc, col("lang"), col("source"))
+    },
+
     "q101_bpe_tokens" -> { (s, d) =>
       Tables(s, d, "documents")
         .select(col("lang"),
@@ -788,6 +818,21 @@ object TextExtOps extends OpModule {
            |FROM ev JOIN idx ON ev.m = idx.m
            |GROUP BY eval_id, train_id
            |ORDER BY eval_id, train_id""".stripMargin,
+
+      "q212_token_budget" ->
+        s"""WITH a AS (
+           |  SELECT lang, source, count(*) AS docs,
+           |    CAST(sum($bpeTokenCountSql) AS BIGINT) AS bpe_tokens
+           |  FROM documents GROUP BY 1, 2),
+           |w AS (SELECT *, sum(bpe_tokens) OVER () AS total,
+           |    sum(bpe_tokens) OVER (ORDER BY bpe_tokens DESC, lang,
+           |                          source ROWS UNBOUNDED PRECEDING)
+           |      AS cum
+           |  FROM a)
+           |SELECT lang, source, docs, bpe_tokens,
+           |  round(CAST(bpe_tokens AS DOUBLE) / total, 6) AS token_share,
+           |  round(CAST(cum AS DOUBLE) / total, 6) AS cum_share
+           |FROM w ORDER BY bpe_tokens DESC, lang, source""".stripMargin,
 
       "q101_bpe_tokens" ->
         s"""SELECT lang, count(*) AS docs,

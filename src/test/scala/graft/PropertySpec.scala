@@ -310,4 +310,27 @@ class PropertySpec extends SparkSpecBase {
         once.count() == texts.distinct.length.toLong
     }, n = 5)
   }
+
+  test("q202 closed form equals the sequential clamped fold") {
+    // the window formulation's whole claim: b_i = prefix_i −
+    // min(0, min_{j≤i} prefix_j) reproduces the non-associative
+    // recurrence b_i = max(0, b_{i−1} + δ_i) — final balance,
+    // forfeited total, AND the per-step floored indicator
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.choose(-5000L, 5000L))) {
+      deltas =>
+        // sequential reference
+        var bal = 0L; var floored = 0
+        deltas.foreach { d =>
+          if (bal + d < 0) { floored += 1; bal = 0L } else bal += d
+        }
+        // closed form
+        val prefixes = deltas.scanLeft(0L)(_ + _).tail
+        val runmins = prefixes.scanLeft(Long.MaxValue)(math.min).tail
+        val finalBal = prefixes.last - math.min(0L, runmins.last)
+        val flooredCf = prefixes.zipWithIndex.count { case (p, i) =>
+          p < math.min(0L, if (i == 0) Long.MaxValue else runmins(i - 1))
+        }
+        finalBal == bal && flooredCf == floored
+    })
+  }
 }

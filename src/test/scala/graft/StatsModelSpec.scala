@@ -433,6 +433,59 @@ class StatsModelSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("q208 hash-Poisson weights average ~1 and the CI brackets the point") {
+    // the /256ths pmf quantization must keep E[w] ≈ 1 (exact pmf mean
+    // = (94·0+94·1+47·2+16·3+4·4+1·5)/256 = 257/256 ≈ 1.004) — check
+    // the md5-byte draw empirically over a fixed key grid
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val draws = for (k <- 1 to 2000; r <- 0 until 32) yield {
+      val b = md.digest(s"$k#$r".getBytes("UTF-8"))(0) & 0xff
+      if (b < 0x5e) 0 else if (b < 0xbc) 1 else if (b < 0xeb) 2
+      else if (b < 0xfb) 3 else if (b < 0xff) 4 else 5
+    }
+    val mean = draws.sum.toDouble / draws.size
+    assert(mean > 0.95 && mean < 1.06, s"weight mean $mean")
+    val row = q("q208_bootstrap_ci").collect().head
+    val (point, lo, med, hi) = (row.getDouble(0), row.getDouble(1),
+                                row.getDouble(2), row.getDouble(3))
+    assert(lo <= med && med <= hi, s"order: $lo $med $hi")
+    assert(lo <= point && point <= hi,
+           s"32-replicate envelope should bracket the point: $lo $point $hi")
+  }
+
+  test("q209 per-half decile sizes are balanced by the rank formula") {
+    // ((rank-1)*10) div n puts ⌊n/10⌋ or ⌈n/10⌉ customers in every
+    // decile — check both marginals of the migration matrix
+    val m = q("q209_decile_migration").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for ((col, name) <- Seq((m.groupBy(_._1), "h1"), (m.groupBy(_._2), "h2"))) {
+      val sizes = col.filter { case (k, _) => k >= 0 }
+        .map(_._2.map(_._3).sum).toSeq
+      assert(sizes.size == 10, s"$name deciles: ${sizes.size}")
+      assert(sizes.max - sizes.min <= 1, s"$name imbalance: $sizes")
+    }
+  }
+
+  test("q211 totals are consistent and the report is non-vacuous") {
+    val rows = q("q211_dup_rate_by_source").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables(spark, sf, "documents").count()
+    assert(rows.map(_._1).sum == docs)
+    rows.foreach { case (d, c, red) =>
+      assert(red <= c && c <= d, s"ordering violated: $d $c $red") }
+    assert(rows.map(_._3).sum > 0, "no redundant docs anywhere — vacuous")
+  }
+
+  test("q212 shares close at 1.0 and its token total equals q101's") {
+    val rows = q("q212_token_budget").collect()
+    val cum = rows.map(_.getDouble(5)).max
+    assert(math.abs(cum - 1.0) < 1e-6, s"cum_share tops at $cum")
+    val total212 = rows.map(_.getLong(3)).sum
+    val total101 = q("q101_bpe_tokens").collect().map(_.getLong(3)).sum
+    assert(total212 == total101,
+           s"token budgets disagree: $total212 vs $total101")
+  }
+
   test("q148/q151 returned plans read pinned blocks, not parquet") {
     // the pin is the scale guarantee: ONE fact scan (materialized at pin
     // time), every downstream order-statistic branch reads blocks — the
