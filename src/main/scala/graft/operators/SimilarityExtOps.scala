@@ -6,6 +6,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.GraftFunctions
 
+// (q214 pins its exact-baseline set once for the semi join)
+
 /** Approximate-nearest-neighbor building blocks (SURVEY.md §2B
   * q52–q53, q56, q71) complementing q43's brute-force top-k.
   *
@@ -37,6 +39,9 @@ import org.apache.spark.sql.graft.GraftFunctions
   * retrieval pipeline actually calls.
   */
 object SimilarityExtOps extends OpModule {
+
+  private def pin(df: DataFrame) =
+    org.apache.spark.sql.graft.InternalPin.pin(df)
 
   private val Planes = 16
   private val Bands = 2
@@ -369,6 +374,65 @@ object SimilarityExtOps extends OpModule {
                 row_number().over(w).cast("long").as("rk"))
         .where(col("rk") <= BatchK)
         .orderBy("qid", "rk")
+    },
+
+    // ANN recall attestation (added r12) — the report every ANN
+    // deployment publishes next to its index: measured recall@10 of
+    // the IVF probe against the exact brute force, per candidate
+    // n_probe setting (1/2/4) — the knob-tuning table that decides how
+    // many cells a production query pays for. Fully deterministic and
+    // oracled: similarities round to 4 dp with a vec_id tie-break
+    // (both rankings engine-identical), so recall is an exact integer
+    // ratio, not a statistical estimate. Shape: the brute-force
+    // baseline is |corpus| × B cosines (B = 8 sampled queries — the
+    // production form audits a sample, never the full query log);
+    // per-cell probe ranks are B × C rows; ONE scored candidate pass
+    // serves all three n_probe settings (pr ≤ 4 candidates crossed
+    // with the 3-row knob table, then per-(knob, query) bounded
+    // top-10). One semi join against the pinned exact set counts hits.
+    "q214_ann_recall" -> { (s, d) =>
+      import s.implicits._
+      val em = embBase(s, d)
+      val assigned = ivfAssign(em)
+      val qs = em.where(col("vec_id") < BatchQueries)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+                GraftFunctions.vectorNorm(col("v")).as("qn"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("sim").desc, col("vec_id"))
+      val (exact, h) = pin(assigned.crossJoin(broadcast(qs))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+                round(GraftFunctions.dotProduct(col("v"), col("qv")) /
+                      (col("nv") * col("qn")), 4).as("sim"))
+        .withColumn("rk", row_number().over(w)).where(col("rk") <= 10)
+        .select("qid", "vec_id"))
+      h.count(); graft.PinScope.retain(h)
+      val pw = Window.partitionBy("qid").orderBy(col("dist"), col("cid"))
+      val cellRank = qs.crossJoin(broadcast(centroids(em)))
+        .select(col("qid"), col("cid"), sqL2("qv", "cv").as("dist"))
+        .select(col("qid"), col("cid"), row_number().over(pw).as("pr"))
+        .where(col("pr") <= 4)
+      val nps = Seq(1L, 2L, 4L).toDF("n_probe")
+      val wq = Window.partitionBy("n_probe", "qid")
+        .orderBy(col("sim").desc, col("vec_id"))
+      val ivfTop = assigned.join(broadcast(cellRank), Seq("cid"))
+        .where(col("vec_id") =!= col("qid"))
+        .join(broadcast(qs), Seq("qid"))
+        .crossJoin(broadcast(nps))
+        .where(col("pr") <= col("n_probe"))
+        .select(col("n_probe"), col("qid"), col("vec_id"),
+                round(GraftFunctions.dotProduct(col("v"), col("qv")) /
+                      (col("nv") * col("qn")), 4).as("sim"))
+        .withColumn("rk", row_number().over(wq)).where(col("rk") <= 10)
+      val hits = ivfTop.join(exact, Seq("qid", "vec_id"), "left_semi")
+        .groupBy("n_probe").agg(count(lit(1)).as("hits"))
+      nps.join(hits, Seq("n_probe"), "left")
+        .select(col("n_probe"),
+                lit(BatchQueries.toLong).as("queries"),
+                coalesce(col("hits"), lit(0L)).as("hits"),
+                round(coalesce(col("hits"), lit(0L)).cast("double") /
+                      (BatchQueries * 10).toDouble, 6).as("recall"))
+        .orderBy("n_probe")
     },
 
     // Persisted IVF-PQ coded index (added r9) — makes q105's storage
@@ -1114,6 +1178,42 @@ object SimilarityExtOps extends OpModule {
            |SELECT cand.vec_id, round(list_cosine_similarity(cand.v, q.qv), 4) AS sim
            |FROM cand, q
            |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+      "q214_ann_recall" ->
+        s"""WITH $ivfCte,
+           |q AS (SELECT vec_id AS qid, v AS qv FROM e
+           |      WHERE vec_id < $BatchQueries),
+           |ex AS (SELECT qid, vec_id FROM (
+           |    SELECT q.qid, a.vec_id,
+           |      row_number() OVER (PARTITION BY q.qid
+           |        ORDER BY round(list_cosine_similarity(a.v, q.qv), 4)
+           |                 DESC, a.vec_id) AS rk
+           |    FROM a, q WHERE a.vec_id <> q.qid) WHERE rk <= 10),
+           |pr AS (SELECT qid, cid, pr FROM (
+           |    SELECT q.qid, d.cid,
+           |      row_number() OVER (PARTITION BY q.qid
+           |                         ORDER BY d.dist, d.cid) AS pr
+           |    FROM d JOIN q ON d.vec_id = q.qid) WHERE pr <= 4),
+           |np(n_probe) AS (VALUES (1), (2), (4)),
+           |cand AS (SELECT np.n_probe, pr.qid, a.vec_id,
+           |    round(list_cosine_similarity(a.v, q.qv), 4) AS sim
+           |  FROM a JOIN pr USING (cid) JOIN q ON q.qid = pr.qid
+           |       CROSS JOIN np
+           |  WHERE a.vec_id <> pr.qid AND pr.pr <= np.n_probe),
+           |top AS (SELECT n_probe, qid, vec_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY n_probe, qid
+           |                                 ORDER BY sim DESC, vec_id)
+           |      AS rk
+           |    FROM cand) WHERE rk <= 10),
+           |h AS (SELECT n_probe, count(*) AS hits
+           |      FROM top JOIN ex USING (qid, vec_id) GROUP BY 1)
+           |SELECT CAST(np.n_probe AS BIGINT) AS n_probe,
+           |  CAST($BatchQueries AS BIGINT) AS queries,
+           |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+           |  round(CAST(coalesce(h.hits, 0) AS DOUBLE) /
+           |        ($BatchQueries * 10), 6) AS recall
+           |FROM np LEFT JOIN h ON np.n_probe = h.n_probe
+           |ORDER BY n_probe""".stripMargin,
 
       // the persisted index must be invisible to semantics: the oracle
       // is the full IVF computation inlined (the shared CTEs, batched)

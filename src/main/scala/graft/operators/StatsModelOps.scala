@@ -308,6 +308,51 @@ object StatsModelOps extends OpModule {
         .orderBy("type_a", "type_b")
     },
 
+    // Incremental audience maintenance (added r12) — the DECLARED form
+    // of q206's "a new day is an appended partition" claim: the
+    // persisted audience artifact covers only the HISTORY (days ≤
+    // 01-21); the new days arrive as a batch whose daily-distinct
+    // triples are disjoint from the artifact BY CONSTRUCTION (the day
+    // column partitions the key space), so maintenance is a pure
+    // append — no merge, no re-dedup against history, no rescan of the
+    // historical facts. The probe then answers the FULL-RANGE overlap
+    // matrix from artifact ∪ batch and must equal q150's fact-scan
+    // matrix exactly — one oracle text, two data paths (q82/q102's
+    // two-algorithms-one-answer discipline, applied to artifact
+    // maintenance). The only fact-scan volume term is the batch.
+    "q213_incremental_audience" -> { (s, dir) =>
+      def daily(df: DataFrame): DataFrame = df
+        .select(col("user_id"), col("event_type"),
+                to_date(col("ts")).as("day"))
+        .distinct()
+      val baseT = graft.BucketedCache.ensure(s, dir, "audiencebase",
+        "user_id BIGINT, event_type STRING, day DATE", "user_id", 8)(
+        daily(Tables(s, dir, "events")
+                .where(to_date(col("ts")) <= lit("2024-01-21"))))
+      val batch = daily(Tables(s, dir, "events")
+        .where(to_date(col("ts")) > lit("2024-01-21")))
+      val (ut, h) = pin(s.table(baseT).unionByName(batch)
+        .select("user_id", "event_type").distinct())
+      h.count(); graft.PinScope.retain(h)
+      val sizes = ut.groupBy("event_type").agg(count(lit(1)).as("nu"))
+      val a = ut.select(col("user_id"), col("event_type").as("type_a"))
+      val b = ut.select(col("user_id"), col("event_type").as("type_b"))
+      a.join(b, Seq("user_id")).where(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b").agg(count(lit(1)).as("users_both"))
+        .join(broadcast(sizes.select(col("event_type").as("type_a"),
+                                     col("nu").as("users_a"))),
+              Seq("type_a"))
+        .join(broadcast(sizes.select(col("event_type").as("type_b"),
+                                     col("nu").as("users_b"))),
+              Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("users_a"),
+                col("users_b"), col("users_both"),
+                round(d(col("users_both")) /
+                      d(col("users_a") + col("users_b") -
+                        col("users_both")), 6).as("jaccard"))
+        .orderBy("type_a", "type_b")
+    },
+
     // Exact percentile bands (added r10) — P50/P95/P99 of event value
     // per type with textbook linear interpolation (h = (n−1)·q), the
     // latency-SLO screen, EXACT at any scale: the same pinned value-
@@ -1267,6 +1312,24 @@ object StatsModelOps extends OpModule {
         |FROM pd2 GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q150_overlap_matrix" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |s AS (SELECT event_type, count(*) AS nu FROM ut GROUP BY 1),
+        |b AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS users_both
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |                     AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, sa.nu AS users_a, sb.nu AS users_b,
+        |  users_both,
+        |  round(CAST(users_both AS DOUBLE) /
+        |        CAST(sa.nu + sb.nu - users_both AS DOUBLE), 6) AS jaccard
+        |FROM b JOIN s sa ON sa.event_type = type_a
+        |       JOIN s sb ON sb.event_type = type_b
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    // the maintained artifact must be invisible: q150's full-corpus
+    // fact-scan oracle verbatim — one oracle, two data paths
+    "q213_incremental_audience" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
         |s AS (SELECT event_type, count(*) AS nu FROM ut GROUP BY 1),
         |b AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
