@@ -115,6 +115,45 @@ object StatsExtOps extends OpModule {
         .orderBy("join_key")
     },
 
+    // Join-size prediction report (added r12) — q193 prices a single
+    // table's key skew; this prices the JOIN ITSELF before anyone runs
+    // it: for each candidate equi-join, the EXACT output cardinality
+    // Σ_k ca(k)·cb(k) plus its worst single-key term max ca·cb,
+    // computed from the two per-key count tables alone — |keys|-bound
+    // work, never the joined volume. This is the statistics tier a
+    // cost-based planner (q165) consults, made a first-class audited
+    // report: "this join emits 61× its probe side, and one key carries
+    // X rows of that" is knowable for the cost of two count aggs and a
+    // key-table join. The count-table join inherits both groupBys'
+    // partitioning on k (no extra exchange), and the rollup is 1 row
+    // per candidate.
+    "q215_join_size_report" -> { (s, d) =>
+      def report(name: String, lhs: DataFrame, rhs: DataFrame)
+          : DataFrame = {
+        val ca = lhs.groupBy("k").agg(count(lit(1)).as("ca"))
+        val cb = rhs.groupBy("k").agg(count(lit(1)).as("cb"))
+        ca.join(cb, Seq("k"))
+          .agg(count(lit(1)).as("shared_keys"),
+               sum(col("ca") * col("cb")).as("predicted_rows"),
+               max(col("ca") * col("cb")).as("max_key_rows"))
+          .crossJoin(lhs.agg(count(lit(1)).as("lhs_rows")))
+          .crossJoin(rhs.agg(count(lit(1)).as("rhs_rows")))
+          .select(lit(name).as("join_name"), col("lhs_rows"),
+                  col("rhs_rows"), col("shared_keys"),
+                  col("predicted_rows"), col("max_key_rows"))
+      }
+      report("customer_orders",
+             Tables(s, d, "customer").select(col("c_custkey").as("k")),
+             Tables(s, d, "orders").select(col("o_custkey").as("k")))
+        .unionByName(report("events_self_user",
+          Tables(s, d, "events").select(col("user_id").as("k")),
+          Tables(s, d, "events").select(col("user_id").as("k"))))
+        .unionByName(report("orders_lineitem",
+          Tables(s, d, "orders").select(col("o_orderkey").as("k")),
+          Tables(s, d, "lineitem").select(col("l_orderkey").as("k"))))
+        .orderBy("join_name")
+    },
+
     // Sweep-line max concurrency (added r10) — the capacity-planning
     // staple: each event holds a resource for 30 minutes; per
     // event_type, the peak number of simultaneously-open holds and
@@ -507,6 +546,27 @@ object StatsExtOps extends OpModule {
         |             AS DOUBLE) / min(b.n) / 100, 6) AS winsorized_mean
         |FROM vg JOIN b USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q215_join_size_report" -> {
+      def rep(name: String, lt: String, lk: String, rt: String,
+              rk: String) =
+        s"""SELECT '$name' AS join_name,
+           |  (SELECT count(*) FROM $lt) AS lhs_rows,
+           |  (SELECT count(*) FROM $rt) AS rhs_rows,
+           |  count(*) AS shared_keys,
+           |  CAST(sum(ca * cb) AS BIGINT) AS predicted_rows,
+           |  CAST(max(ca * cb) AS BIGINT) AS max_key_rows
+           |FROM (SELECT $lk AS k, count(*) AS ca FROM $lt GROUP BY 1) a
+           |JOIN (SELECT $rk AS k, count(*) AS cb FROM $rt GROUP BY 1) b
+           |  USING (k)""".stripMargin
+      Seq(rep("customer_orders", "customer", "c_custkey",
+              "orders", "o_custkey"),
+          rep("events_self_user", "events", "user_id",
+              "events", "user_id"),
+          rep("orders_lineitem", "orders", "o_orderkey",
+              "lineitem", "l_orderkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY join_name")
+    },
 
     "q193_key_skew" -> {
       def rep(tbl: String, key: String, tag: String) =

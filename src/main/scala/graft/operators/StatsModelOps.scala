@@ -915,6 +915,48 @@ object StatsModelOps extends OpModule {
         .orderBy("decile_h1", "decile_h2")
     },
 
+    // Cohort LTV curve (added r12) — the growth team's core economic
+    // series: average cumulative purchase revenue per signed-up user at
+    // 0/7/14/21/28 days after THEIR OWN signup (event-time aligned, not
+    // calendar-aligned — each user's clock starts at their first signup
+    // event). Distinct from q114's retention (presence) and q155's
+    // conversion lag (latency): this is cumulative VALUE per cohort
+    // member. One scan: a conditional-min window pins each user's
+    // signup instant on the same user_id shuffle the purchases ride;
+    // qualifying purchase cents cross the broadcast 5-row horizon
+    // table; the mean divides by the FULL signup-cohort size (users
+    // who never purchase drag the average down — that is the metric's
+    // meaning) — exact integers until one rounded division per row.
+    "q216_ltv_curve" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy("user_id")
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+                unix_micros(col("ts")).as("tus"),
+                round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("signup_us",
+          min(when(col("event_type") === "signup", col("tus"))).over(w))
+        .where(col("signup_us").isNotNull)
+      val cohort = ev.where(col("event_type") === "signup")
+        .agg(countDistinct(col("user_id")).as("cohort_users"))
+      val horizons = Seq(0L, 7L, 14L, 21L, 28L).toDF("horizon_days")
+      ev.where(col("event_type") === "purchase" &&
+               col("tus") >= col("signup_us"))
+        .crossJoin(broadcast(horizons))
+        .where(col("tus") <=
+               col("signup_us") + col("horizon_days") * lit(86400000000L))
+        .groupBy("horizon_days")
+        .agg(sum(col("cents")).as("rev_cents"),
+             countDistinct(col("user_id")).as("buyers"))
+        .join(broadcast(horizons), Seq("horizon_days"), "right")
+        .crossJoin(broadcast(cohort))
+        .select(col("horizon_days"), col("cohort_users"),
+                coalesce(col("buyers"), lit(0L)).as("buyers"),
+                round(coalesce(col("rev_cents"), lit(0L)).cast("double") /
+                      col("cohort_users") / 100.0, 6).as("avg_ltv"))
+        .orderBy("horizon_days")
+    },
+
     // Fulfillment-SLA report (added r12) — the order-to-ship latency
     // attestation ops teams publish: per order priority, exact
     // p50/p90/p99 of the ship lag in DAYS (l_shipdate − o_orderdate)
@@ -1610,6 +1652,36 @@ object StatsModelOps extends OpModule {
         |  count(*) AS customers
         |FROM d1 FULL OUTER JOIN d2 ON d1.o_custkey = d2.o_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q216_ltv_curve" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tus,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+        |      OVER (PARTITION BY user_id) AS signup_us
+        |  FROM events),
+        |cohort AS (
+        |  SELECT count(DISTINCT user_id) AS cohort_users FROM e
+        |  WHERE event_type = 'signup'),
+        |h(horizon_days) AS (VALUES (0), (7), (14), (21), (28)),
+        |p AS (
+        |  SELECT h.horizon_days, e.user_id, e.cents
+        |  FROM e CROSS JOIN h
+        |  WHERE e.event_type = 'purchase' AND e.signup_us IS NOT NULL
+        |    AND e.tus >= e.signup_us
+        |    AND e.tus <= e.signup_us + h.horizon_days * 86400000000),
+        |agg AS (
+        |  SELECT horizon_days, sum(cents) AS rev_cents,
+        |    count(DISTINCT user_id) AS buyers
+        |  FROM p GROUP BY 1)
+        |SELECT CAST(h.horizon_days AS BIGINT) AS horizon_days,
+        |  c.cohort_users,
+        |  CAST(coalesce(agg.buyers, 0) AS BIGINT) AS buyers,
+        |  round(CAST(coalesce(agg.rev_cents, 0) AS DOUBLE) /
+        |        c.cohort_users / 100.0, 6) AS avg_ltv
+        |FROM h LEFT JOIN agg ON h.horizon_days = agg.horizon_days
+        |CROSS JOIN cohort c
+        |ORDER BY horizon_days""".stripMargin,
 
     "q210_fulfillment_sla" ->
       """WITH pv AS (

@@ -952,6 +952,28 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("bench protocol: noop sink executes what count() prunes") {
+    // the r12 harness fix's regression guard: count(1) lets the
+    // optimizer drop aggregate expressions (a grouping-less aggregate
+    // knows its row count without computing its aggregates), so a
+    // count-based bench never times them. raise_error inside the
+    // aggregate proves it: count() succeeds BECAUSE the expression
+    // never ran; the noop write must throw BECAUSE it runs everything.
+    import org.apache.spark.sql.functions._
+    val df = spark.range(10).agg(
+      sum(expr("CASE WHEN id = 5 THEN " +
+               "CAST(raise_error('aggregate was executed') AS BIGINT) " +
+               "ELSE id END")).as("boom"))
+    assert(df.count() == 1L, "count() should skip the aggregate work")
+    val thrown = intercept[Exception] {
+      df.write.format("noop").mode("overwrite").save()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.toString +: chain(e.getCause))
+    assert(chain(thrown).exists(_.contains("aggregate was executed")),
+           s"unexpected failure: ${chain(thrown).mkString(" <- ")}")
+  }
+
   test("q202: closed-form clamp rides ONE user shuffle; groupBy reuses it") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     spark.conf.set("spark.sql.adaptive.enabled", "false")
