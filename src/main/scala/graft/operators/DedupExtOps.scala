@@ -370,6 +370,40 @@ object DedupExtOps extends OpModule {
       layers.orderBy("doc_id")
     },
 
+    // Recursive-CTE BFS (added r12) — the same ≤3-hop distance layers
+    // as q138, computed through Spark 4's NATIVE `WITH RECURSIVE`
+    // surface instead of hand-pinned iterative joins: the declarative
+    // SQL a warehouse user writes for reachability, now a first-class
+    // engine path. Three paths, one answer: q138's pinned frontier
+    // loop, this recursive CTE, and the DuckDB oracle (itself a
+    // recursive CTE) must all agree — q82/q102's discipline extended
+    // to the SQL surface. Scale note, stated honestly: UNION ALL
+    // recursion enumerates WALKS (the depth-3 bound terminates it, and
+    // min(dist) reduces to BFS layers), so on a dense component the
+    // intermediate grows with path count, not node count — q138's
+    // frontier loop (per-level distinct + anti join) IS the scale
+    // path; this query declares the surface and pins its equivalence.
+    "q217_bfs_recursive" -> { (s, d) =>
+      val pairs = candidatePairs(Tables(s, d, "documents"),
+                                 maxBucket = HotBucketCap)
+      pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+        .createOrReplaceTempView("graft_bfs_edges")
+      s.sql("""
+        WITH RECURSIVE
+        src AS (SELECT u AS id FROM (
+                  SELECT u, count(*) AS deg FROM graft_bfs_edges
+                  GROUP BY u ORDER BY deg DESC, u LIMIT 1)),
+        walk(v, dist) AS (
+          SELECT id, 0 FROM src
+          UNION ALL
+          SELECT e.v, w.dist + 1
+          FROM walk w JOIN graft_bfs_edges e ON e.u = w.v
+          WHERE w.dist < 3)
+        SELECT v AS doc_id, CAST(min(dist) AS BIGINT) AS dist
+        FROM walk GROUP BY v ORDER BY doc_id""")
+    },
+
     // Synchronous label propagation (added r12) — the fifth graph
     // primitive: community labels over the LSH candidate graph, next
     // to components (q82: ANY connectivity merges), centrality (q115),
@@ -841,6 +875,28 @@ object DedupExtOps extends OpModule {
     // bounded recursive walk + min-dist reduction — first discovery in
     // the engine's ordered rounds ≡ the minimum over all ≤3-hop walks
     "q138_bfs_layers" ->
+      s"""${minhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.sig = y.sig
+         |          AND x.doc_id < y.doc_id),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM cand
+         |          UNION ALL SELECT id_b, id_a FROM cand),
+         |src AS (SELECT u AS id FROM (
+         |          SELECT u, count(*) AS deg FROM edges GROUP BY u
+         |          ORDER BY deg DESC, u LIMIT 1)),
+         |walk(v, dist) AS (
+         |  SELECT id, 0 FROM src
+         |  UNION ALL
+         |  SELECT e.v, w.dist + 1 FROM walk w JOIN edges e ON e.u = w.v
+         |  WHERE w.dist < 3)
+         |SELECT v AS doc_id, CAST(min(dist) AS BIGINT) AS dist
+         |FROM walk GROUP BY v ORDER BY doc_id""".stripMargin,
+
+    // three computation paths, one answer: q138's iterative frontier
+    // loop, Spark's native recursive CTE (q217), and this DuckDB
+    // recursive oracle — the text is q138's verbatim
+    "q217_bfs_recursive" ->
       s"""${minhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
          |         FROM bands x JOIN bands y
