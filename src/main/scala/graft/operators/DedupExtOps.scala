@@ -200,6 +200,60 @@ object DedupExtOps extends OpModule {
       s.table(clusterTable(s, d, variant = "star")).orderBy("doc_id")
     },
 
+    // Dedup threshold attestation (added r12) — q214's knob-tuning
+    // discipline applied to the DEDUP family: before a pipeline picks
+    // its near-dup Jaccard cutoff, this reports, for each candidate
+    // threshold (0.01 / 0.5 / 0.95 — spanning the corpus's bimodal
+    // candidate-Jaccard distribution), how many LSH candidate pairs an
+    // exact shingle-Jaccard confirms, and the banding's precision at
+    // that cutoff — the measured table that justifies both the LSH
+    // parameters and the production threshold. ONE banding pass + ONE
+    // exact scoring pass serve all thresholds (the 3-row knob table
+    // crosses the scored pairs); scoring is pair-bounded (intersection
+    // via a (pair, shingle) join over per-doc DISTINCT shingle-md5
+    // sets — never corpus-quadratic, the pairs came from the capped
+    // banding). Jaccard is a single IEEE division of exact integer
+    // set sizes, engine-identical.
+    "q218_dedup_threshold_sweep" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables(s, d, "documents")
+      val bk = bandKeys(docs, maxBucket = HotBucketCap)
+      val cand = bk.select(col("bk"), col("doc_id").as("id_a"))
+        .join(bk.select(col("bk"), col("doc_id").as("id_b")), Seq("bk"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val sh = docs.select(col("doc_id"),
+          org.apache.spark.sql.graft.GraftFunctions
+            .ngrams(split(col("text"), " "), 3).as("g"))
+        .select(col("doc_id"), md5(col("g")).as("m")).distinct()
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(sh.select(col("doc_id").as("id_a"), col("m")), Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("m")),
+              Seq("id_b", "m"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("ni"))
+      val scored = cand.join(inter, Seq("id_a", "id_b"), "left")
+        .join(broadcast(cnt.select(col("doc_id").as("id_a"),
+                                   col("n").as("na"))), Seq("id_a"))
+        .join(broadcast(cnt.select(col("doc_id").as("id_b"),
+                                   col("n").as("nb"))), Seq("id_b"))
+        .select((coalesce(col("ni"), lit(0L)).cast("double") /
+                 (col("na") + col("nb") -
+                  coalesce(col("ni"), lit(0L))).cast("double"))
+                  .as("jac"))
+      val candN = cand.agg(count(lit(1)).as("candidate_pairs"))
+      scored.crossJoin(broadcast(Seq(0.01, 0.5, 0.95).toDF("threshold")))
+        .groupBy("threshold")
+        .agg(sum(when(col("jac") >= col("threshold"), 1L).otherwise(0L))
+               .as("confirmed_pairs"))
+        .crossJoin(broadcast(candN))
+        .select(col("threshold"), col("candidate_pairs"),
+                col("confirmed_pairs"),
+                round(col("confirmed_pairs").cast("double") /
+                      col("candidate_pairs"), 6).as("precision"))
+        .orderBy("threshold")
+    },
+
     // Duplication rate by source (added r12) — the report a corpus
     // curator reads BEFORE deciding crawl weights: per ingest source,
     // how many docs sit in a duplicate cluster and how many are
@@ -848,6 +902,33 @@ object DedupExtOps extends OpModule {
     "q102_clusters_star" ->
       s"""$clustersCte
          |SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin,
+
+    "q218_dedup_threshold_sweep" ->
+      s"""$minhashCte,
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.sig = y.sig
+         |          AND x.doc_id < y.doc_id),
+         |sh AS (SELECT doc_id, list(DISTINCT m) AS s FROM toks
+         |       GROUP BY doc_id),
+         |j AS (SELECT c.id_a, c.id_b,
+         |        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |        CAST(len(a.s) + len(b.s) -
+         |             len(list_intersect(a.s, b.s)) AS DOUBLE) AS jac
+         |      FROM cand c JOIN sh a ON c.id_a = a.doc_id
+         |                 JOIN sh b ON c.id_b = b.doc_id),
+         |t(threshold) AS (VALUES (CAST(0.01 AS DOUBLE)),
+         |                        (CAST(0.5 AS DOUBLE)),
+         |                        (CAST(0.95 AS DOUBLE)))
+         |SELECT t.threshold,
+         |  (SELECT count(*) FROM cand) AS candidate_pairs,
+         |  CAST(sum(CASE WHEN j.jac >= t.threshold THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS confirmed_pairs,
+         |  round(CAST(sum(CASE WHEN j.jac >= t.threshold
+         |                      THEN 1 ELSE 0 END) AS DOUBLE) /
+         |        (SELECT count(*) FROM cand), 6) AS precision
+         |FROM t CROSS JOIN j GROUP BY t.threshold
+         |ORDER BY threshold""".stripMargin,
 
     // the artifact must be invisible: the report equals the same
     // rollup over the recursive-CTE clustering of the full corpus
