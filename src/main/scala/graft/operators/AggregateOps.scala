@@ -43,6 +43,36 @@ object AggregateOps extends OpModule {
       org.apache.spark.sql.Encoders.BINARY
   }
 
+  /** OR-merge of serialized Roaring bitmap images (q221): the exact
+    * mergeable-audience analogue of [[KllMergeAgg]]. Empty bytes = the
+    * empty set, so partial/final merge needs no null handling. */
+  private[operators] object BitmapOrAgg
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Array[Byte], Array[Byte], Array[Byte]] {
+    import org.roaringbitmap.RoaringBitmap
+    def from(b: Array[Byte]): RoaringBitmap = {
+      val rb = new RoaringBitmap()
+      rb.deserialize(java.nio.ByteBuffer.wrap(b))
+      rb
+    }
+    def bytes(rb: RoaringBitmap): Array[Byte] = {
+      rb.runOptimize()
+      val bos = new java.io.ByteArrayOutputStream()
+      rb.serialize(new java.io.DataOutputStream(bos))
+      bos.toByteArray
+    }
+    def zero: Array[Byte] = Array.emptyByteArray
+    def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] = merge(b, a)
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      if (a.isEmpty) b else if (b.isEmpty) a
+      else bytes(RoaringBitmap.or(from(a), from(b)))
+    def finish(b: Array[Byte]): Array[Byte] = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-style pricing summary — the engine flagship.
     "q14_agg_hash" -> { (s, d) =>
@@ -287,6 +317,71 @@ object AggregateOps extends OpModule {
         .orderBy("event_type")
     },
 
+    // EXACT mergeable audience-bitmap artifact (added r12) — the
+    // set-ALGEBRA companion the q110/q128 sketch family can't give:
+    // per-(day, event_type) Roaring bitmaps of the user-id set,
+    // persisted once, and every audience question — who did A AND B,
+    // A only, either — is a bitmap AND/OR over the tiny artifact with
+    // ZERO fact rescan and zero user-id shuffle. HLL union estimates
+    // cardinality but cannot intersect with guarantees; bitmaps are
+    // exact AND fully mergeable (OR is associative), which is why
+    // warehouse audience stacks (Druid/ClickHouse groupBitmap,
+    // Kylin's bitmap measures) persist exactly this artifact. Cost at
+    // scale: the artifact is |days|×|types| rows of compressed
+    // bitmaps (Roaring run-length blocks — bounded by active users,
+    // not events); the pairwise report joins the ≤|types|-row
+    // per-type union table against itself. 32-bit ids cover this
+    // corpus (bounds required at build time, not wrapped); the
+    // 100 TB path swaps in Roaring64NavigableMap images unchanged.
+    // Fully ● — bitmaps are exact, so DuckDB recomputes the same
+    // counts from the raw facts and the artifact must be invisible.
+    "q221_bitmap_audience" -> { (s, d) =>
+      import s.implicits._
+      import org.roaringbitmap.RoaringBitmap
+      val orAgg = udaf(BitmapOrAgg)
+      val idxT = graft.BucketedCache.ensure(s, d, "bmidx",
+          "day DATE, event_type STRING, bm BINARY", "event_type", 4) {
+        Tables(s, d, "events")
+          .select(to_date(col("ts")).as("day"), col("event_type"),
+                  col("user_id"))
+          .as[(java.sql.Date, String, Long)]
+          .mapPartitions { it =>
+            val m = scala.collection.mutable.HashMap
+              .empty[(java.sql.Date, String), RoaringBitmap]
+            it.foreach { case (day, t, u) =>
+              require(u >= 0 && u <= Int.MaxValue,
+                      s"user_id $u outside 32-bit bitmap domain")
+              m.getOrElseUpdate((day, t), new RoaringBitmap).add(u.toInt)
+            }
+            m.iterator.map { case ((day, t), rb) =>
+              (day, t, BitmapOrAgg.bytes(rb)) }
+          }
+          .toDF("day", "event_type", "bm")
+          .groupBy("day", "event_type")
+          .agg(orAgg(col("bm")).as("bm"))
+      }
+      val cardU = udf((b: Array[Byte]) =>
+        BitmapOrAgg.from(b).getLongCardinality)
+      val andU = udf((a: Array[Byte], b: Array[Byte]) =>
+        RoaringBitmap.and(BitmapOrAgg.from(a), BitmapOrAgg.from(b))
+          .getLongCardinality)
+      val perType = s.table(idxT).groupBy("event_type")
+        .agg(orAgg(col("bm")).as("bm"))
+      val a = perType.select(col("event_type").as("type_a"),
+                             col("bm").as("bm_a"))
+      val b = perType.select(col("event_type").as("type_b"),
+                             col("bm").as("bm_b"))
+      a.join(b, col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+                cardU(col("bm_a")).as("users_a"),
+                cardU(col("bm_b")).as("users_b"),
+                andU(col("bm_a"), col("bm_b")).as("users_both"))
+        .withColumn("users_either",
+          col("users_a") + col("users_b") - col("users_both"))
+        .withColumn("users_a_only", col("users_a") - col("users_both"))
+        .orderBy("type_a", "type_b")
+    },
+
     // Incremental materialized-view maintenance (added r10) — the
     // EXACT-aggregate sibling of the q110/q128 sketch artifacts and
     // the q76/q99 batch-vs-index discipline applied to ROLLUPS: a
@@ -483,6 +578,27 @@ object AggregateOps extends OpModule {
       """SELECT n_name, array_to_string(list_sort(list(s_name)), ',') AS suppliers
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // the bitmap artifact must be invisible: exact set algebra over
+    // the distinct (user, type) pairs recomputed from the raw facts
+    "q221_bitmap_audience" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |s AS (SELECT event_type, count(*) AS nu FROM ut GROUP BY 1),
+        |b AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS users_both
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |                     AND a.event_type < b.event_type
+        |  GROUP BY 1, 2),
+        |p AS (SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+        |    sa.nu AS users_a, sb.nu AS users_b
+        |  FROM s sa JOIN s sb ON sa.event_type < sb.event_type)
+        |SELECT p.type_a, p.type_b, p.users_a, p.users_b,
+        |  coalesce(b.users_both, 0) AS users_both,
+        |  p.users_a + p.users_b - coalesce(b.users_both, 0)
+        |    AS users_either,
+        |  p.users_a - coalesce(b.users_both, 0) AS users_a_only
+        |FROM p LEFT JOIN b ON p.type_a = b.type_a AND p.type_b = b.type_b
+        |ORDER BY 1, 2""".stripMargin,
 
     // the artifact must be invisible: full recompute from the facts,
     // same per-day exact decimal sums merged to per-type totals

@@ -254,6 +254,61 @@ object DedupExtOps extends OpModule {
         .orderBy("threshold")
     },
 
+    // Cross-document repeated-substring report (added r12) — the
+    // EXACT-SUBSTRING dedup axis (Lee et al. 2021, "Deduplicating
+    // Training Data Makes Language Models Better"): document-level
+    // dedup (q41/q46) misses the license header / navigation chrome /
+    // quoted-reply text that repeats INSIDE otherwise-distinct
+    // documents, which is precisely the text an LM memorizes first.
+    // Per ingest source: how many 8-token windows are covered by a
+    // span that also occurs verbatim in ANOTHER document, and what
+    // fraction of the source that is — the measured signal that
+    // decides whether a substring-level pass (suffix-array style) is
+    // worth running. Distinct from q84 (repetition WITHIN one doc) and
+    // q96 (overlap vs an external benchmark): this is intra-corpus,
+    // cross-doc.
+    //
+    // Scale shape: the gram stream is ONE generator flatMap (NGrams →
+    // md5 — no tokenized-corpus shuffle, ~|tokens| narrow rows); the
+    // duplicated-hash set is a groupBy(h) with a distinct-doc count ≥2
+    // (one hash-keyed shuffle, map-side partial), and flagging is a
+    // LEFT SEMI join back on the SAME h key (co-partitioned, no
+    // re-shuffle of the probe side beyond its own h exchange). The
+    // gram stream is pinned once for its three consumers (dup-hash
+    // set, per-doc totals, per-doc dup counts) — lazily the corpus
+    // would re-tokenize 3×. Never pairwise: cost is O(grams), not
+    // O(docs²) — a 10¹⁰-gram corpus stays a counts problem. Docs
+    // shorter than 8 tokens have no window and are out of scope by
+    // declared semantics (filtered identically in both engines).
+    "q219_substring_dup" -> { (s, d) =>
+      def pin(df: DataFrame) = org.apache.spark.sql.graft.InternalPin.pin(df)
+      val k = 8
+      val docs = Tables(s, d, "documents")
+        .where(size(split(col("text"), " ")) >= k)
+      val (grams, gh) = pin(docs.select(col("doc_id"), col("source"),
+          org.apache.spark.sql.graft.GraftFunctions
+            .ngrams(split(col("text"), " "), k).as("g"))
+        .select(col("doc_id"), col("source"), md5(col("g")).as("h")))
+      gh.count(); graft.PinScope.retain(gh)
+      val dupH = grams.groupBy("h")
+        .agg(countDistinct("doc_id").as("nd"))
+        .where(col("nd") >= 2).select("h")
+      val perDoc = grams.groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("ng"))
+      val dupPerDoc = grams.join(dupH, Seq("h"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("dg"))
+      perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("dg"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("ng").as("n_grams"),
+          sum("dg").as("dup_grams"),
+          sum(when(col("dg") > 0, 1L).otherwise(0L)).as("docs_hit"),
+          round(sum("dg").cast("double") / sum("ng").cast("double"), 6)
+            .as("dup_ratio"))
+        .orderBy("source")
+    },
+
     // Duplication rate by source (added r12) — the report a corpus
     // curator reads BEFORE deciding crawl weights: per ingest source,
     // how many docs sit in a duplicate cluster and how many are
@@ -929,6 +984,32 @@ object DedupExtOps extends OpModule {
          |        (SELECT count(*) FROM cand), 6) AS precision
          |FROM t CROSS JOIN j GROUP BY t.threshold
          |ORDER BY threshold""".stripMargin,
+
+    // same 8-token windows, same md5 gram identity, same ≥2-distinct-
+    // docs rule — the SQL mirror of the generator flatMap
+    "q219_substring_dup" ->
+      """WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS t
+        |            FROM documents
+        |            WHERE len(string_split(text, ' ')) >= 8),
+        |idx AS (SELECT doc_id, source, t,
+        |          unnest(generate_series(1, len(t) - 7)) AS i FROM tk),
+        |grams AS (SELECT doc_id, source,
+        |            md5(array_to_string(t[i:i+7], ' ')) AS h FROM idx),
+        |duph AS (SELECT h FROM grams GROUP BY h
+        |         HAVING count(DISTINCT doc_id) >= 2),
+        |pd AS (SELECT doc_id, source, count(*) AS ng
+        |       FROM grams GROUP BY 1, 2),
+        |dd AS (SELECT doc_id, count(*) AS dg FROM grams
+        |       WHERE h IN (SELECT h FROM duph) GROUP BY 1)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(ng) AS BIGINT) AS n_grams,
+        |  CAST(sum(coalesce(dg, 0)) AS BIGINT) AS dup_grams,
+        |  CAST(sum(CASE WHEN coalesce(dg, 0) > 0 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS docs_hit,
+        |  round(CAST(sum(coalesce(dg, 0)) AS DOUBLE) /
+        |        CAST(sum(ng) AS DOUBLE), 6) AS dup_ratio
+        |FROM pd LEFT JOIN dd USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // the artifact must be invisible: the report equals the same
     // rollup over the recursive-CTE clustering of the full corpus

@@ -536,6 +536,83 @@ object SimilarityExtOps extends OpModule {
         .orderBy("cid", "dim")
     },
 
+    // k-means convergence LOOP (added r12) — q125 is one Lloyd step;
+    // this is the iterative algorithm as a declared query: 3 full
+    // assign→update rounds with a per-iteration convergence report
+    // (inertia, assignments moved, live clusters) — the training curve
+    // an embedding-clustering job actually monitors. Made exactly
+    // engine-portable by running Lloyd ON THE INTEGER LATTICE: vectors
+    // quantize once to xi = round(v·1e6) (BIGINT per dim), distances
+    // are integer squared-L2 (sums of integers — partition-order-free
+    // AND bit-identical across engines, where float distances are
+    // neither), argmin ties break (dist, cid); the centroid update is
+    // the nearest-lattice mean — (2|Σx|+n) DIV 2n re-signed, integer
+    // half-away-from-zero (the double round(Σx/n, 6dp) path diverged
+    // between engines in iteration 3's last bit). Assignment is the
+    // q73 mold on the lattice: centroids pack into ONE broadcast row
+    // and a codegen'd HOF computes per-vector argmin — the corpus
+    // NEVER shuffles to be assigned; only the (cid, dim) update
+    // aggregate shuffles, 3×. Clusters that lose all members drop out
+    // (declared; the report's n_clusters row tracks it). Inertia is
+    // exact lattice units (BIGINT; at web scale the sum widens to
+    // DECIMAL the q142 way).
+    "q222_kmeans_loop" -> { (s, d) =>
+      val (em, h) = pin(embBase(s, d).select(col("vec_id"),
+        expr("transform(v, x -> CAST(round(x * 1000000) AS BIGINT))")
+          .as("xi")))
+      h.count(); graft.PinScope.retain(h)
+      def assign(cent: DataFrame): DataFrame = {
+        val packed = cent
+          .agg(collect_list(struct(col("cid"), col("ci"))).as("cents"))
+        em.crossJoin(broadcast(packed))
+          .withColumn("m", expr(
+            """array_min(transform(cents, c -> named_struct(
+              |  'dist', aggregate(zip_with(xi, c.ci,
+              |            (x, y) -> (x - y) * (x - y)),
+              |          CAST(0 AS BIGINT), (a, e) -> a + e),
+              |  'cid', c.cid)))""".stripMargin))
+          .select(col("vec_id"), col("xi"),
+                  col("m.cid").as("cid"), col("m.dist").as("dist"))
+      }
+      var cent = em.where(col("vec_id") < Cents)
+        .select(col("vec_id").as("cid"), col("xi").as("ci"))
+      var prev: DataFrame = null
+      var report: DataFrame = null
+      for (t <- 1 to 3) {
+        val (a, ah) = pin(assign(cent)); ah.count(); graft.PinScope.retain(ah)
+        val moved =
+          if (prev == null) a.agg(count(lit(1)).as("moved"))
+          else a.select(col("vec_id"), col("cid"))
+            .join(prev.select(col("vec_id"), col("cid").as("pc")),
+                  Seq("vec_id"))
+            .agg(sum(when(col("cid") =!= col("pc"), 1L).otherwise(0L))
+                   .as("moved"))
+        val row = a.agg(sum("dist").as("inertia"),
+                        countDistinct("cid").as("n_clusters"))
+          .crossJoin(moved)
+          .select(lit(t.toLong).as("iter"), col("inertia"),
+                  col("moved"), col("n_clusters"))
+        report = if (report == null) row else report.unionAll(row)
+        prev = a
+        if (t < 3)
+          cent = a
+            .select(col("cid"), posexplode(col("xi")).as(Seq("dim", "x")))
+            .groupBy("cid", "dim")
+            .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+            // nearest-lattice mean, half away from zero — PURE integer
+            // arithmetic ((2|sx|+n) DIV 2n, re-signed), because the
+            // double round(sx/n/1e6, 6) path diverged between engines
+            // in the 3rd iteration's last bit (caught by the oracle)
+            .withColumn("cl", expr(
+              "CASE WHEN sx >= 0 THEN (2 * sx + n) DIV (2 * n) " +
+              "ELSE -((2 * -sx + n) DIV (2 * n)) END"))
+            .groupBy("cid")
+            .agg(expr("transform(array_sort(collect_list(" +
+                      "struct(dim, cl))), s -> s.cl)").as("ci"))
+      }
+      report.orderBy("iter")
+    },
+
     // Reciprocal-rank fusion (added r10) — the retrieval ENSEMBLE a
     // production stack runs over its heterogeneous indexes: the same
     // query batch retrieves through two independent ANN paths — the
@@ -1167,6 +1244,61 @@ object SimilarityExtOps extends OpModule {
            |  round(CAST(sum(xi) AS DOUBLE) / count(*) / 1000000.0, 6)
            |    AS c_new
            |FROM x GROUP BY cid, dim ORDER BY cid, dim""".stripMargin,
+
+      // the 3 Lloyd rounds unrolled as CTEs — all assignment math on
+      // the same integer lattice, so the iterative result hash-matches
+      "q222_kmeans_loop" -> {
+        def dstep(i: Int) =
+          s"""d$i AS (SELECT e.vec_id, c.cid,
+             |    CAST(list_sum(list_transform(range(1, 65),
+             |      j -> (e.xi[j] - c.ci[j]) * (e.xi[j] - c.ci[j])))
+             |      AS BIGINT) AS dist
+             |  FROM e CROSS JOIN c$i c),
+             |a$i AS (SELECT vec_id, cid, dist FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id
+             |                                 ORDER BY dist, cid) AS rn
+             |    FROM d$i) WHERE rn = 1)""".stripMargin
+        def ustep(i: Int) =
+          s"""u$i AS (SELECT cid, u.i - 1 AS dim, sum(e.xi[u.i]) AS sx,
+             |      count(*) AS n
+             |    FROM a$i JOIN e USING (vec_id),
+             |         (SELECT unnest(range(1, 65)) AS i) u
+             |    GROUP BY 1, 2),
+             |c${i + 1} AS (SELECT cid,
+             |      list(CAST(CASE WHEN sx >= 0
+             |             THEN (2 * sx + n) // (2 * n)
+             |             ELSE -((2 * -sx + n) // (2 * n)) END AS BIGINT)
+             |           ORDER BY dim) AS ci
+             |    FROM u$i GROUP BY cid)""".stripMargin
+        s"""WITH e AS (SELECT vec_id,
+           |    list_transform(embedding,
+           |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+           |      AS xi
+           |  FROM embeddings),
+           |c1 AS (SELECT vec_id AS cid, xi AS ci FROM e
+           |       WHERE vec_id < $Cents),
+           |${dstep(1)},
+           |${ustep(1)},
+           |${dstep(2)},
+           |${ustep(2)},
+           |${dstep(3)}
+           |SELECT * FROM (
+           |  SELECT CAST(1 AS BIGINT) AS iter,
+           |    (SELECT CAST(sum(dist) AS BIGINT) FROM a1) AS inertia,
+           |    (SELECT count(*) FROM a1) AS moved,
+           |    (SELECT count(DISTINCT cid) FROM a1) AS n_clusters
+           |  UNION ALL
+           |  SELECT 2, (SELECT CAST(sum(dist) AS BIGINT) FROM a2),
+           |    (SELECT count(*) FROM a2 JOIN a1 USING (vec_id)
+           |     WHERE a2.cid <> a1.cid),
+           |    (SELECT count(DISTINCT cid) FROM a2)
+           |  UNION ALL
+           |  SELECT 3, (SELECT CAST(sum(dist) AS BIGINT) FROM a3),
+           |    (SELECT count(*) FROM a3 JOIN a2 USING (vec_id)
+           |     WHERE a3.cid <> a2.cid),
+           |    (SELECT count(DISTINCT cid) FROM a3))
+           |ORDER BY iter""".stripMargin
+      },
 
       "q73_ann_ivf" ->
         s"""WITH $ivfCte,

@@ -957,6 +957,77 @@ object StatsModelOps extends OpModule {
         .orderBy("horizon_days")
     },
 
+    // Trained Naive Bayes language classifier (added r12) — the first
+    // LEARNED classifier in the model family: fit an add-one-smoothed
+    // multinomial NB on the corpus (class = lang, features = token
+    // counts) and score every document back, reporting the confusion
+    // matrix — the separability readout that tells a curator whether
+    // token distributions actually distinguish the declared languages
+    // (q48's heuristic lang-id has no training step; q149's bigram LM
+    // is generative scoring, not classification). Model size is
+    // VOCABULARY×|classes|-bound, never corpus-bound: token counts per
+    // (lang, tok) + per-class totals + one global vocab count. Scoring
+    // never materializes the dense vocab×class table — the sparse
+    // (doc, tok, cnt)⋈(class, tok) join covers seen tokens (one
+    // tok-keyed shuffle), and each class's unseen-token mass folds in
+    // CLOSED FORM: (ntok − matched) · lp0(class), with the ≤|classes|-
+    // row prior/lp0 table broadcast onto the per-doc fan-out.
+    // Cross-engine float discipline is q149's: each log-prob rounds to
+    // 6 dp ONCE, becomes an exact DECIMAL, and every sum/multiply/
+    // compare after that is exact decimal arithmetic — so the argmax
+    // (score desc, class asc declared tie-break) is partition-order-
+    // free AND engine-portable, which a raw double log-sum is not.
+    "q220_nb_classifier" -> { (s, dir) =>
+      val (tk, h) = pin(Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+                explode(split(col("text"), " ")).as("tok"))
+        .where(length(col("tok")) > 0))
+      h.count(); graft.PinScope.retain(h)
+      val dtc = tk.groupBy("doc_id", "lang", "tok")
+        .agg(count(lit(1)).as("cnt"))
+      val mdl = tk.groupBy(col("lang").as("mlang"), col("tok"))
+        .agg(count(lit(1)).as("clt"))
+      val ct = mdl.groupBy("mlang").agg(sum("clt").as("cl"))
+      val voc = tk.select("tok").distinct().agg(count(lit(1)).as("vsz"))
+      val docs = Tables(s, dir, "documents")
+      val pri = docs.groupBy(col("lang").as("mlang"))
+        .agg(count(lit(1)).as("ndocs"))
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+        .select(col("mlang"),
+                round(log(d(col("ndocs")) / d(col("n"))), 6)
+                  .cast("decimal(28,6)").as("plp"))
+      val lp = mdl.join(broadcast(ct), Seq("mlang"))
+        .crossJoin(broadcast(voc))
+        .select(col("mlang"), col("tok"),
+                round(log(d(col("clt") + 1) / d(col("cl") + col("vsz"))), 6)
+                  .cast("decimal(28,6)").as("lp"))
+      val classes = ct.crossJoin(broadcast(voc))
+        .select(col("mlang"),
+                round(log(lit(1.0) / d(col("cl") + col("vsz"))), 6)
+                  .cast("decimal(28,6)").as("lp0"))
+        .join(pri, Seq("mlang"))
+      val m = dtc.join(lp, Seq("tok"))
+        .groupBy("doc_id", "mlang")
+        .agg(sum(col("cnt").cast("decimal(9,0)") * col("lp")).as("sum_lp"),
+             sum("cnt").as("cnt_m"))
+      val nd = dtc.groupBy("doc_id", "lang")
+        .agg(sum("cnt").as("ntok"))
+      val zero = lit(BigDecimal(0)).cast("decimal(38,6)")
+      val sc = nd.crossJoin(broadcast(classes))
+        .join(m, Seq("doc_id", "mlang"), "left")
+        .withColumn("score",
+          col("plp") + coalesce(col("sum_lp"), zero) +
+            (col("ntok") - coalesce(col("cnt_m"), lit(0L)))
+              .cast("decimal(9,0)") * col("lp0"))
+      sc.withColumn("rn", row_number().over(
+            Window.partitionBy("doc_id")
+              .orderBy(col("score").desc, col("mlang"))))
+        .where(col("rn") === 1)
+        .groupBy(col("lang"), col("mlang").as("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "predicted")
+    },
+
     // Fulfillment-SLA report (added r12) — the order-to-ship latency
     // attestation ops teams publish: per order priority, exact
     // p50/p90/p99 of the ship lag in DAYS (l_shipdate − o_orderdate)
@@ -1682,6 +1753,54 @@ object StatsModelOps extends OpModule {
         |FROM h LEFT JOIN agg ON h.horizon_days = agg.horizon_days
         |CROSS JOIN cohort c
         |ORDER BY horizon_days""".stripMargin,
+
+    // identical model: add-one smoothing over the global vocab, the
+    // same 6-dp-rounded log-probs as exact decimals, the same closed-
+    // form unseen-token mass, the same (score DESC, class ASC) argmax
+    "q220_nb_classifier" ->
+      """WITH tk0 AS (SELECT doc_id, lang,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tk AS (SELECT * FROM tk0 WHERE len(tok) > 0),
+        |dtc AS (SELECT doc_id, lang, tok, count(*) AS cnt
+        |        FROM tk GROUP BY 1, 2, 3),
+        |mdl AS (SELECT lang AS mlang, tok, count(*) AS clt
+        |        FROM tk GROUP BY 1, 2),
+        |ct AS (SELECT mlang, CAST(sum(clt) AS BIGINT) AS cl
+        |       FROM mdl GROUP BY 1),
+        |voc AS (SELECT count(DISTINCT tok) AS vsz FROM tk),
+        |tot AS (SELECT count(*) AS n FROM documents),
+        |pri AS (SELECT lang AS mlang,
+        |    CAST(round(ln(CAST(count(*) AS DOUBLE) / CAST(n AS DOUBLE)),
+        |               6) AS DECIMAL(28,6)) AS plp
+        |  FROM documents, tot GROUP BY 1, n),
+        |lp AS (SELECT m.mlang, m.tok,
+        |    CAST(round(ln(CAST(clt + 1 AS DOUBLE) /
+        |                  CAST(cl + vsz AS DOUBLE)), 6)
+        |         AS DECIMAL(28,6)) AS lp
+        |  FROM mdl m JOIN ct ON m.mlang = ct.mlang, voc),
+        |cls AS (SELECT ct.mlang,
+        |    CAST(round(ln(1.0 / CAST(cl + vsz AS DOUBLE)), 6)
+        |         AS DECIMAL(28,6)) AS lp0, plp
+        |  FROM ct, voc JOIN pri ON pri.mlang = ct.mlang),
+        |m AS (SELECT dtc.doc_id, lp.mlang,
+        |    sum(CAST(dtc.cnt AS DECIMAL(9,0)) * lp.lp) AS sum_lp,
+        |    CAST(sum(dtc.cnt) AS BIGINT) AS cnt_m
+        |  FROM dtc JOIN lp ON dtc.tok = lp.tok GROUP BY 1, 2),
+        |nd AS (SELECT doc_id, lang, CAST(sum(cnt) AS BIGINT) AS ntok
+        |       FROM dtc GROUP BY 1, 2),
+        |sc AS (SELECT nd.doc_id, nd.lang, c.mlang,
+        |    c.plp + coalesce(m.sum_lp, CAST(0 AS DECIMAL(38,6))) +
+        |      CAST(nd.ntok - coalesce(m.cnt_m, 0) AS DECIMAL(9,0)) * c.lp0
+        |      AS score
+        |  FROM nd CROSS JOIN cls c
+        |  LEFT JOIN m ON m.doc_id = nd.doc_id AND m.mlang = c.mlang),
+        |pred AS (SELECT doc_id, lang, mlang AS predicted,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY score DESC, mlang) AS rn
+        |  FROM sc)
+        |SELECT lang, predicted, count(*) AS n_docs
+        |FROM pred WHERE rn = 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q210_fulfillment_sla" ->
       """WITH pv AS (

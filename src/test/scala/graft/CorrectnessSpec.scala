@@ -1294,4 +1294,50 @@ class CorrectnessSpec extends SparkSpecBase {
                  else jac.count(lsh.contains).toDouble / jac.size
     assert(recall >= 0.9, s"LSH recall $recall of ${jac.size} true pairs")
   }
+
+  test("q222 k-means loop converges: inertia non-increasing, iter-1 moved = corpus") {
+    val rows = try q("q222_kmeans_loop")
+        .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      finally PinScope.drain()
+    assert(rows.map(_._1) == Seq(1L, 2L, 3L))
+    val nVec = Tables(spark, sf, "embeddings").count()
+    assert(rows.head._3 == nVec, "iter-1 'moved' must be the full corpus")
+    // Lloyd monotonicity holds on the lattice too: each assignment is
+    // argmin under its centroids, each update is the (lattice) mean
+    assert(rows(1)._2 <= rows(0)._2 && rows(2)._2 <= rows(1)._2,
+           s"inertia not non-increasing: ${rows.map(_._2)}")
+    assert(rows.forall(r => r._4 >= 1L && r._4 <= 16L))
+  }
+
+  test("q219 substring-dup report matches a Scala brute force") {
+    // gram identity = the raw 8-token window joined on " " (md5 in the
+    // operator is only a fixed-width transport key); split keeps empty
+    // tokens, docs shorter than 8 tokens are out of scope
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect().toSeq
+      .map { case (id, src, t) => (id, src, t.split(" ", -1).toSeq) }
+      .filter(_._3.length >= 8)
+    val grams = docs.flatMap { case (id, src, t) =>
+      t.sliding(8).map(w => (id, src, w.mkString(" "))) }
+    val dupG = grams.groupBy(_._3)
+      .filter(_._2.map(_._1).distinct.length >= 2).keySet
+    val expected = docs.map(_._2).distinct.sorted.map { src =>
+      val g = grams.filter(_._2 == src)
+      val perDoc = g.groupBy(_._1).view
+        .mapValues(ws => (ws.length.toLong, ws.count(w => dupG(w._3)).toLong))
+      val ng = perDoc.values.map(_._1).sum
+      val dg = perDoc.values.map(_._2).sum
+      (src, perDoc.size.toLong, ng, dg,
+       perDoc.values.count(_._2 > 0).toLong,
+       BigDecimal(dg.toDouble / ng.toDouble)
+         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = try q("q219_substring_dup")
+        .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+      finally PinScope.drain()
+    assert(got == expected)
+    assert(got.exists(_._4 > 0L),
+           "no cross-doc duplicated gram at sf0.001 — report vacuous")
+  }
 }

@@ -342,6 +342,17 @@ class PlanShapeSpec extends SparkSpecBase {
            s"rollup rescans the fact table:\n$p")
   }
 
+  test("q221: audience report is pure bitmap algebra — the fact table is never rescanned") {
+    // the exact-bitmap twin of q110's invariant: AND/OR probes read
+    // the persisted bitmap table, never the events facts
+    val df = SparkEntry.queries("q221_bitmap_audience")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_bmidx"), s"report does not scan the artifact:\n$p")
+    assert(!p.contains("events.parquet"),
+           s"report rescans the fact table:\n$p")
+  }
+
   test("q128: quantile rollup is a pure sketch merge — the fact table is never rescanned") {
     // q110's invariant for the quantile artifact: any-range percentile
     // rollups read the tiny persisted sketch table, never the facts

@@ -486,6 +486,47 @@ class StatsModelSpec extends SparkSpecBase {
            s"token budgets disagree: $total212 vs $total101")
   }
 
+  test("q220 NB confusion matrix matches a Scala brute force") {
+    // independent NB: same declared model (add-one over the global
+    // vocab, 6-dp-rounded log-probs as exact decimals, closed-form
+    // unseen mass, score-desc/class-asc argmax), Scala collections
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)].collect().toSeq
+      .map { case (id, lang, t) =>
+        (id, lang, t.split(" ", -1).toSeq.filter(_.nonEmpty)) }
+    def lp6(x: Double): BigDecimal =
+      BigDecimal(math.log(x)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val langs = docs.map(_._2).distinct.sorted
+    val clt = docs.flatMap { case (_, l, ts) => ts.map((l, _)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cl = clt.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val vsz = docs.flatMap(_._3).distinct.size.toLong
+    val prior = docs.groupBy(_._2).view
+      .mapValues(g => lp6(g.size.toDouble / docs.size)).toMap
+    // scored set = docs with ≥1 token (the query's nd derives from the
+    // token stream); priors still count every document
+    val expected = docs.filter(_._3.nonEmpty).map { case (_, lang, ts) =>
+      val cnts = ts.groupBy(identity).view.mapValues(_.size.toLong)
+      val pred = langs.map { m =>
+        val score = prior(m) + cnts.map { case (tok, c) =>
+          BigDecimal(c) * lp6((clt.getOrElse((m, tok), 0L) + 1).toDouble /
+                              (cl(m) + vsz))
+        }.sum
+        (m, score)
+      }.maxBy { case (m, sc) => (sc, langs.indexOf(m) * -1) }(
+        Ordering.Tuple2(Ordering[BigDecimal], Ordering[Int]))._1
+      (lang, pred)
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.map { case ((l, p), n) => (l, p, n) }.sortBy(t => (t._1, t._2))
+    val got = try q("q220_nb_classifier")
+        .as[(String, String, Long)].collect().toSeq
+      finally PinScope.drain()
+    assert(got == expected)
+    val correct = got.filter(r => r._1 == r._2).map(_._3).sum
+    assert(correct > 0L, "classifier never right — matrix vacuous")
+  }
+
   test("q148/q151 returned plans read pinned blocks, not parquet") {
     // the pin is the scale guarantee: ONE fact scan (materialized at pin
     // time), every downstream order-statistic branch reads blocks — the
