@@ -33,7 +33,8 @@ object SweepR12 {
       "q212_token_budget", "q213_incremental_audience", "q214_ann_recall",
       "q215_join_size_report", "q216_ltv_curve", "q217_bfs_recursive",
       "q218_dedup_threshold_sweep", "q219_substring_dup",
-      "q220_nb_classifier", "q221_bitmap_audience", "q222_kmeans_loop")
+      "q220_nb_classifier", "q221_bitmap_audience", "q222_kmeans_loop",
+      "q223_asof_exec")
     // mode "x100": sweep against the 100x volume build at /tmp/sf100x
     // (tools/make100x.py defaults) instead of the 10x point — the r11
     // protocol asked at two orders. Remaining args subset the list.

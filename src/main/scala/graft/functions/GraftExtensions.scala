@@ -65,5 +65,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "ngrams n must be a literal")
         })
       }))
+    // the whole-operator tier: plans the AsOfJoin logical node
+    // (AsOfJoinPlan.asof) to its co-partitioned merge operator
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

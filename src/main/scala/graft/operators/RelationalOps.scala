@@ -224,6 +224,31 @@ object RelationalOps extends OpModule {
         .orderBy("event_id")
     },
 
+    // As-of join through the CUSTOM PHYSICAL OPERATOR (added r12) —
+    // q13's exact semantics through the (c)-tier machinery the
+    // compositional form doesn't exercise: a graft logical node
+    // (AsOfJoin), a planner strategy (AsOfJoinStrategy, injected
+    // per-session here and fleet-wide via GraftExtensions), and a
+    // co-partitioned sort-merge SparkPlan (AsOfJoinExec). Same two
+    // key-hash exchanges an equi-join pays — planned by
+    // EnsureRequirements from declared requirements, AQE-sized — then
+    // ONE O(left+right) merge pass per partition with O(1) state,
+    // where the window form buffers the interleaved union per key.
+    // Oracle: identical correlated-subquery SQL as q13; equality with
+    // q13 itself and the plan shape are spec-asserted.
+    "q223_asof_exec" -> { (s, d) =>
+      val e = Tables(s, d, "events")
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = e.where(col("event_type") === "signup")
+        .select(col("user_id").as("su_user"), col("ts").as("su_ts"))
+      org.apache.spark.sql.graft.AsOfJoinPlan
+        .asof(purchases, signups, "user_id", "su_user", "ts", "su_ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+                col("su_ts").as("last_signup_ts"))
+        .orderBy("event_id")
+    },
+
     // NEAREST-time join (added r12) — q13 answers "latest signup AT OR
     // BEFORE each purchase"; this answers the sensor-alignment dual:
     // the click CLOSEST to each purchase in EITHER direction (min
@@ -422,6 +447,16 @@ object RelationalOps extends OpModule {
         |GROUP BY signup_id ORDER BY signup_id""".stripMargin,
 
     "q13_join_asof" ->
+      """SELECT p.event_id, p.user_id, p.ts,
+        |  (SELECT max(su.ts) FROM events su
+        |   WHERE su.event_type = 'signup' AND su.user_id = p.user_id
+        |     AND su.ts <= p.ts) AS last_signup_ts
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
+
+    // the custom operator must be invisible to semantics: q13's
+    // correlated-subquery oracle verbatim
+    "q223_asof_exec" ->
       """SELECT p.event_id, p.user_id, p.ts,
         |  (SELECT max(su.ts) FROM events su
         |   WHERE su.event_type = 'signup' AND su.user_id = p.user_id

@@ -1,0 +1,164 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
+  Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder,
+  UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
+  Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+
+/** Whole-operator as-of join as a FIRST-CLASS Catalyst piece (SURVEY.md
+  * §2A q13 / §2 q223) — the (c)-tier of the custom-operator ladder: a
+  * logical node, a planner strategy, and a physical operator, next to
+  * the (a)-tier compositional form q13 keeps (union + running `last`
+  * window).
+  *
+  * Semantics (backward as-of, left outer): for every left row, the
+  * right row of the same key with the greatest rightTime ≤ leftTime;
+  * unmatched left rows keep null right columns. Null left keys match
+  * nothing. Null times sort first (Spark's default ascending order) and
+  * so behave as "before everything".
+  *
+  * Scale shape — and why a physical operator beats the window form at
+  * 100 TB: both sides hash-cluster on the key and sort by (key, time)
+  * — the SAME exchange an equi-join would pay, planned by
+  * EnsureRequirements from the declared requirements, so AQE still
+  * sizes the shuffles — and then ONE forward merge pass per co-
+  * partition matches every left row with O(left + right) work and
+  * O(1) state (a single lookahead row + the last match). The window
+  * form materializes the union of both streams per key in window
+  * buffers and carries the interleave columns through the plan; the
+  * merge never buffers more than two rows and keeps the left schema
+  * untouched. Output preserves the left side's partitioning and
+  * ordering, so a downstream key-aggregate pays no new exchange.
+  */
+case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
+                    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+                    leftTime: Expression, rightTime: Expression)
+    extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoin]] to [[AsOfJoinExec]]. Injected per-session via
+  * `spark.experimental.extraStrategies` (what the library entry point
+  * [[AsOfJoinPlan.asof]] does, idempotently) or fleet-wide through
+  * [[GraftExtensions]]'s `injectPlannerStrategy`. */
+object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Co-partitioned sort-merge backward as-of join. Requirements make
+  * EnsureRequirements hash-cluster both children on the join key and
+  * sort them by (key, time); the merge is then a single forward pass
+  * with one lookahead row and the last-match row as its only state. */
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+                        leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+                        leftTime: Expression, rightTime: Expression)
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+
+  // the merge emits left rows in their incoming order — downstream
+  // operators keep the left side's partitioning and sort for free
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def doExecute(): RDD[InternalRow] =
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
+      val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
+      val lTimeProj = UnsafeProjection.create(Seq(leftTime), left.output)
+      val rTimeProj = UnsafeProjection.create(Seq(rightTime), right.output)
+      val keyOrd =
+        RowOrdering.createNaturalAscendingOrdering(leftKeys.map(_.dataType))
+      val timeOrd =
+        RowOrdering.createNaturalAscendingOrdering(Seq(leftTime.dataType))
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(right.output.length)
+
+      new Iterator[InternalRow] {
+        // single lookahead right row (copied: iterators reuse buffers)
+        private var rRow: InternalRow = _
+        private var rKey: UnsafeRow = _
+        private var rTime: UnsafeRow = _
+        private def advanceRight(): Unit =
+          if (rIt.hasNext) {
+            rRow = rIt.next().copy()
+            rKey = rKeyProj(rRow).copy()
+            rTime = rTimeProj(rRow).copy()
+          } else { rRow = null; rKey = null; rTime = null }
+        advanceRight()
+        // the last right row with time <= the current left's, same key
+        private var matchRow: InternalRow = _
+        private var matchKey: UnsafeRow = _
+
+        override def hasNext: Boolean = lIt.hasNext
+        override def next(): InternalRow = {
+          val l = lIt.next()
+          val lKey = lKeyProj(l)
+          if (lKey.anyNull) return joined(l, nullRight)
+          val lTime = lTimeProj(l)
+          while (rRow != null && keyOrd.compare(rKey, lKey) < 0)
+            advanceRight() // right rows of keys already passed
+          while (rRow != null && keyOrd.compare(rKey, lKey) == 0 &&
+                 timeOrd.compare(rTime, lTime) <= 0) {
+            matchRow = rRow; matchKey = rKey
+            advanceRight()
+          }
+          val m = if (matchRow != null && keyOrd.compare(matchKey, lKey) == 0)
+                    matchRow
+                  else nullRight
+          joined(l, m)
+        }
+      }
+    }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinPlan {
+  /** Library entry point: backward as-of join of two DataFrames on
+    * (key, time) column names. Registers [[AsOfJoinStrategy]] on the
+    * session (idempotent) and wraps the analyzed children in the
+    * logical node, resolving the named columns against each side. */
+  def asof(left: DataFrame, right: DataFrame,
+           leftKey: String, rightKey: String,
+           leftTime: String, rightTime: String): DataFrame = {
+    val session = left.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!session.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      session.experimental.extraStrategies =
+        session.experimental.extraStrategies :+ AsOfJoinStrategy
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n not found in ${p.output.map(_.name)}"))
+    org.apache.spark.sql.classic.Dataset.ofRows(session,
+      AsOfJoin(lp, rp, Seq(attr(lp, leftKey)), Seq(attr(rp, rightKey)),
+               attr(lp, leftTime), attr(rp, rightTime)))
+  }
+}

@@ -1295,6 +1295,20 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(recall >= 0.9, s"LSH recall $recall of ${jac.size} true pairs")
   }
 
+  test("q223 custom as-of operator agrees with the compositional q13") {
+    // two independent engines for the same semantics: the AsOfJoinExec
+    // merge pass vs the union + running-last window — bit-equal output
+    val viaExec = q("q223_asof_exec")
+      .as[(Long, Long, java.sql.Timestamp, Option[java.sql.Timestamp])]
+      .collect().toSeq
+    val viaWindow = q("q13_join_asof")
+      .as[(Long, Long, java.sql.Timestamp, Option[java.sql.Timestamp])]
+      .collect().toSeq
+    assert(viaExec == viaWindow)
+    assert(viaExec.exists(_._4.isDefined) && viaExec.exists(_._4.isEmpty),
+           "both matched and unmatched purchases must occur")
+  }
+
   test("q222 k-means loop converges: inertia non-increasing, iter-1 moved = corpus") {
     val rows = try q("q222_kmeans_loop")
         .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)

@@ -342,6 +342,27 @@ class PlanShapeSpec extends SparkSpecBase {
            s"rollup rescans the fact table:\n$p")
   }
 
+  test("q223: as-of joins through AsOfJoinExec — two key exchanges, no window buffer") {
+    // the custom operator's contract: EnsureRequirements plans exactly
+    // the two key-hash exchanges an equi-join would pay, the merge
+    // replaces the window form's per-key union buffering
+    val df = SparkEntry.queries("q223_asof_exec")(spark, sf)
+    df.collect()
+    // AQE's toString repeats the initial plan — assert on the final
+    // section only (node simpleStrings drop the Exec suffix)
+    val full = df.queryExecution.executedPlan.toString
+    val p = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i  => full.substring(0, i)
+    }
+    assert(p.contains("AsOfJoin"), s"custom operator not planned:\n$p")
+    assert(!p.contains("Window"), s"window fallback leaked in:\n$p")
+    val exchanges =
+      "Exchange (hash|range)partitioning".r.findAllIn(p).length
+    // 2 key-hash exchanges + the final orderBy's range exchange
+    assert(exchanges <= 3, s"$exchanges exchanges:\n$p")
+  }
+
   test("q221: audience report is pure bitmap algebra — the fact table is never rescanned") {
     // the exact-bitmap twin of q110's invariant: AND/OR probes read
     // the persisted bitmap table, never the events facts
