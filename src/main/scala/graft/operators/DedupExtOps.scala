@@ -268,37 +268,37 @@ object DedupExtOps extends OpModule {
     // q96 (overlap vs an external benchmark): this is intra-corpus,
     // cross-doc.
     //
-    // Scale shape: the gram stream is ONE generator flatMap (NGrams →
-    // md5 — no tokenized-corpus shuffle, ~|tokens| narrow rows); the
-    // duplicated-hash set is a groupBy(h) with a distinct-doc count ≥2
-    // (one hash-keyed shuffle, map-side partial), and flagging is a
-    // LEFT SEMI join back on the SAME h key (co-partitioned, no
-    // re-shuffle of the probe side beyond its own h exchange). The
-    // gram stream is pinned once for its three consumers (dup-hash
-    // set, per-doc totals, per-doc dup counts) — lazily the corpus
-    // would re-tokenize 3×. Never pairwise: cost is O(grams), not
-    // O(docs²) — a 10¹⁰-gram corpus stays a counts problem. Docs
-    // shorter than 8 tokens have no window and are out of scope by
-    // declared semantics (filtered identically in both engines).
+    // Scale shape: the gram stream is a generator flatMap (NGrams →
+    // md5 — no tokenized-corpus shuffle, ~|tokens| narrow rows),
+    // derived TWICE and deliberately NEVER pinned: it is corpus-sized,
+    // and caching a corpus-sized intermediate is exactly what blows an
+    // executor heap at volume (the pinned first cut OOMed at the 100×
+    // sweep) — re-running a cheap projected flatMap beats materializing
+    // it, at any scale. Pass 1 builds the duplicated-hash set: a
+    // groupBy(h) with a distinct-doc count ≥2 (one hash-keyed shuffle,
+    // map-side partial). Pass 2 left-joins the dup flag on the SAME h
+    // key (co-partitioned with pass 1's output) and folds per-doc
+    // totals AND dup counts in ONE (doc, source) aggregate. Never
+    // pairwise: cost is O(grams), not O(docs²) — a 10¹⁰-gram corpus
+    // stays a counts problem. Docs shorter than 8 tokens have no
+    // window and are out of scope by declared semantics (filtered
+    // identically in both engines).
     "q219_substring_dup" -> { (s, d) =>
-      def pin(df: DataFrame) = org.apache.spark.sql.graft.InternalPin.pin(df)
       val k = 8
-      val docs = Tables(s, d, "documents")
+      def grams = Tables(s, d, "documents")
         .where(size(split(col("text"), " ")) >= k)
-      val (grams, gh) = pin(docs.select(col("doc_id"), col("source"),
+        .select(col("doc_id"), col("source"),
           org.apache.spark.sql.graft.GraftFunctions
             .ngrams(split(col("text"), " "), k).as("g"))
-        .select(col("doc_id"), col("source"), md5(col("g")).as("h")))
-      gh.count(); graft.PinScope.retain(gh)
+        .select(col("doc_id"), col("source"), md5(col("g")).as("h"))
       val dupH = grams.groupBy("h")
         .agg(countDistinct("doc_id").as("nd"))
-        .where(col("nd") >= 2).select("h")
-      val perDoc = grams.groupBy("doc_id", "source")
-        .agg(count(lit(1)).as("ng"))
-      val dupPerDoc = grams.join(dupH, Seq("h"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("dg"))
-      perDoc.join(dupPerDoc, Seq("doc_id"), "left")
-        .na.fill(0L, Seq("dg"))
+        .where(col("nd") >= 2)
+        .select(col("h"), lit(1L).as("isdup"))
+      grams.join(dupH, Seq("h"), "left")
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("ng"),
+             sum(coalesce(col("isdup"), lit(0L))).as("dg"))
         .groupBy("source").agg(
           count(lit(1)).as("n_docs"),
           sum("ng").as("n_grams"),
