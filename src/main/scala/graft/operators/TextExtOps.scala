@@ -590,6 +590,53 @@ object TextExtOps extends OpModule {
              count(lit(1)).as("n_shingles"),
              countDistinct(col("sh")).as("n_distinct"))
         .orderBy("doc_id")
+    },
+
+    // Vocabulary coverage curve (added r12) — the TOKENIZER-DESIGN
+    // table: how many vocabulary entries cover 90/95/99% of the token
+    // mass, and what share the top-k types already cover —
+    // the measured curve that sizes a vocab (or justifies BPE, q101/
+    // q121, when the tail is fat). Tokens are the q142 whitespace
+    // convention; types rank by (count DESC, token ASC) — declared,
+    // total order — and the cumulative mass is an exact integer
+    // prefix sum; the target test compares the UNROUNDED cum/total
+    // (two exact BIGINTs, one IEEE division — identical both engines),
+    // the reported share rounds 6 once. Scale shape: one token-keyed
+    // count shuffle to the VOCAB-bound type table; the ranking window
+    // runs on that table, not the corpus (q199's curve discipline —
+    // at a 10⁸-type web vocab the single-partition window becomes the
+    // q146 two-level bucketed prefix sum, same semantics). Targets
+    // cross a broadcast 3-row knob table; rows for ranks the vocab
+    // never reaches are absent by construction in both engines.
+    "q224_vocab_coverage" -> { (s, d) =>
+      import s.implicits._
+      val tf = Tables(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .where(length(col("tok")) > 0)
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("tok"))
+      val ranked = tf
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("cum", sum("c").over(w))
+        .crossJoin(broadcast(tf.agg(sum("c").as("n"))))
+        .select(col("rk"), col("cum"),
+                (col("cum").cast("double") / col("n")).as("shr"))
+      val targets = Seq(("cov90", 0.90), ("cov95", 0.95), ("cov99", 0.99))
+        .toDF("metric", "q")
+      val cov = ranked.crossJoin(broadcast(targets))
+        .where(col("shr") >= col("q"))
+        .groupBy("metric")
+        .agg(min(struct(col("rk"), col("shr"))).as("m"))
+        .select(col("metric"), col("m.rk").as("tokens"),
+                round(col("m.shr"), 6).as("share"))
+      // top-k knobs sized to this corpus's 31-type vocabulary (a web
+      // vocab would use 100/1000); ranks past the vocab end are absent
+      // identically in both engines
+      val topk = ranked.where(col("rk") === 10 || col("rk") === 25)
+        .select(concat(lit("top"), col("rk")).as("metric"),
+                col("rk").as("tokens"), round(col("shr"), 6).as("share"))
+      cov.unionAll(topk).orderBy("metric")
     }
   )
 
@@ -686,6 +733,31 @@ object TextExtOps extends OpModule {
       s"CASE WHEN $ge THEN '$lg' ELSE $els END"
     }
     Map(
+      // identical total order (count DESC, token ASC), identical
+      // unrounded cum/total target test, share rounded 6 once
+      "q224_vocab_coverage" ->
+        """WITH tk0 AS (SELECT unnest(string_split(text, ' ')) AS tok
+          |            FROM documents),
+          |t AS (SELECT tok, count(*) AS c FROM tk0
+          |      WHERE len(tok) > 0 GROUP BY 1),
+          |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM t),
+          |r AS (SELECT tok, c,
+          |    CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT)
+          |      AS rk,
+          |    sum(c) OVER (ORDER BY c DESC, tok
+          |                 ROWS UNBOUNDED PRECEDING) AS cum FROM t),
+          |s AS (SELECT rk, CAST(cum AS DOUBLE) / n AS shr FROM r, tot),
+          |tg(metric, q) AS (VALUES ('cov90', 0.90), ('cov95', 0.95),
+          |                         ('cov99', 0.99)),
+          |cov AS (SELECT tg.metric, min(s.rk) AS tokens,
+          |    round(arg_min(s.shr, s.rk), 6) AS share
+          |  FROM tg JOIN s ON s.shr >= tg.q GROUP BY 1),
+          |topk AS (SELECT 'top' || CAST(rk AS VARCHAR) AS metric,
+          |    rk AS tokens, round(shr, 6) AS share
+          |  FROM s WHERE rk = 10 OR rk = 25)
+          |SELECT * FROM (SELECT * FROM cov UNION ALL
+          |               SELECT * FROM topk) ORDER BY metric""".stripMargin,
+
       "q48_lang_id" ->
         s"""SELECT lang, $predSql AS pred, count(*) AS cnt
            |FROM (SELECT lang, $scores FROM documents)

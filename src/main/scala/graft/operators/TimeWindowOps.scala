@@ -542,6 +542,44 @@ object TimeWindowOps extends OpModule {
         .agg(countDistinct(col("user_id")).as("users"))
         .withColumnRenamed("first_day", "cohort_day")
         .orderBy("cohort_day", "week_offset")
+    },
+
+    // Time-weighted average (added r12) — TWAP, the time-series
+    // aggregate plain AVG gets wrong whenever samples are irregular: a
+    // value holds from its event until the next event of the SAME
+    // type, so each observation weighs by its HOLDING interval, not
+    // its row count (the finance/ops convention for price and gauge
+    // series — a gauge sampled 1000× during a spike must not dominate
+    // the day it spiked in). Exact to the last bit: integer cents ×
+    // integer µs holding intervals, both decimal-summed (order-free,
+    // overflow-safe at any volume), ONE division rounded 6 at the end;
+    // next-event lookup is a lead() on the (type)-keyed window — one
+    // shuffle, no self-join — with (ts, event_id) ordering so
+    // same-instant ties are deterministic. The open-ended last
+    // observation has no holding interval and is out of scope by
+    // declared semantics (standard TWAP over the observed span). AVG
+    // alongside shows the sampling bias the weighting removes.
+    "q225_twap" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("tus", "event_id")
+      Tables(s, d, "events")
+        .select(col("event_type"), col("event_id"),
+                unix_micros(col("ts")).as("tus"),
+                round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("next_us", lead("tus", 1).over(w))
+        .where(col("next_us").isNotNull)
+        .withColumn("dur", col("next_us") - col("tus"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_intervals"),
+             round(sum(col("dur").cast("decimal(28,0)")).cast("double") /
+                   1000000.0, 6).as("span_sec"),
+             round(sum(col("cents").cast("decimal(18,0)") * col("dur"))
+                     .cast("double") /
+                   sum(col("dur").cast("decimal(28,0)")).cast("double") /
+                   100.0, 6).as("twap"),
+             round(sum(col("cents").cast("decimal(28,0)")).cast("double") /
+                   count(lit(1)) / 100.0, 6).as("plain_avg"))
+        .orderBy("event_type")
     }
   )
 
@@ -566,6 +604,28 @@ object TimeWindowOps extends OpModule {
                lit(gapMinutes * 60000000L)).as("dur_us"))
 
   def oracles: Map[String, String] = Map(
+    // same holding-interval weights: integer cents x integer micro-
+    // second durations, decimal sums, one rounded division
+    "q225_twap" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS tus,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY event_type
+        |                             ORDER BY epoch_us(ts), event_id)
+        |      AS next_us
+        |  FROM events),
+        |iv AS (SELECT event_type, cents, next_us - tus AS dur
+        |       FROM e WHERE next_us IS NOT NULL)
+        |SELECT event_type, count(*) AS n_intervals,
+        |  round(CAST(sum(CAST(dur AS DECIMAL(28,0))) AS DOUBLE) /
+        |        1000000.0, 6) AS span_sec,
+        |  round(CAST(sum(CAST(cents AS DECIMAL(18,0)) * dur) AS DOUBLE) /
+        |        CAST(sum(CAST(dur AS DECIMAL(28,0))) AS DOUBLE) /
+        |        100.0, 6) AS twap,
+        |  round(CAST(sum(CAST(cents AS DECIMAL(28,0))) AS DOUBLE) /
+        |        count(*) / 100.0, 6) AS plain_avg
+        |FROM iv GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q112_gap_fill" ->
       """WITH hourly AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hour,

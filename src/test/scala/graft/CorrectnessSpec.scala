@@ -1295,6 +1295,45 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(recall >= 0.9, s"LSH recall $recall of ${jac.size} true pairs")
   }
 
+  test("q225 TWAP matches a Scala interval fold") {
+    val evs = Tables(spark, sf, "events")
+      .select(col("event_type"), col("event_id"),
+              unix_micros(col("ts")),
+              round(col("value") * 100).cast("long"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = evs.groupBy(_._1).toSeq.map { case (t, g) =>
+      val s = g.sortBy(e => (e._3, e._2))
+      val iv = s.zip(s.tail).map { case (a, b) => (a._4, b._3 - a._3) }
+      val durSum = iv.map(d => BigInt(d._2)).sum
+      val wSum = iv.map(d => BigInt(d._1) * BigInt(d._2)).sum
+      val cSum = iv.map(d => BigInt(d._1)).sum
+      (t, iv.length.toLong, r6(durSum.toDouble / 1e6),
+       r6(wSum.toDouble / durSum.toDouble / 100.0),
+       r6(cSum.toDouble / iv.length / 100.0))
+    }.sortBy(_._1)
+    val got = q("q225_twap")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(got == expected)
+    // the weighting must actually differ from the row average somewhere
+    assert(got.exists(r => r._4 != r._5), "TWAP == plain avg everywhere")
+  }
+
+  test("q224 coverage curve is monotone and consistent with the vocab") {
+    val rows = q("q224_vocab_coverage")
+      .as[(String, Long, Double)].collect()
+      .map { case (m, t, s) => m -> ((t, s)) }.toMap
+    val cov = Seq("cov90", "cov95", "cov99").map(rows)
+    assert(cov.map(_._1) == cov.map(_._1).sorted, "ranks not monotone")
+    assert(cov.zip(Seq(0.90, 0.95, 0.99)).forall { case ((_, s), q) =>
+             s >= q }, s"achieved share below target: $cov")
+    val vocab = Tables(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .where(length(col("t")) > 0).select("t").distinct().count()
+    assert(cov.forall(_._1 <= vocab))
+  }
+
   test("q223 custom as-of operator agrees with the compositional q13") {
     // two independent engines for the same semantics: the AsOfJoinExec
     // merge pass vs the union + running-last window — bit-equal output
