@@ -637,6 +637,33 @@ object TextExtOps extends OpModule {
         .select(concat(lit("top"), col("rk")).as("metric"),
                 col("rk").as("tokens"), round(col("shr"), 6).as("share"))
       cov.unionAll(topk).orderBy("metric")
+    },
+
+    // GROUP-aware train/eval split (added r12) — the LEAKAGE-SAFE form
+    // of q67: hashing documents independently puts near-duplicates on
+    // opposite sides of the split (the classic eval-contamination bug
+    // — the model "generalizes" to its own training text), so the
+    // split key must be the duplicate GROUP, not the doc: every doc
+    // splits by its cluster representative from the persisted q82
+    // artifact (singletons by their own id), q67's md5-prefix rule
+    // unchanged. The report prices the repair: per split, docs, the
+    // distinct groups, and how many docs FLIPPED sides vs the naive
+    // per-doc hash — the leakage volume the group key closed. Rides
+    // the doc_id-bucketed cluster table (never re-runs the fixpoint);
+    // one left join + a 2-row rollup. The no-straddle invariant is
+    // structural (one rep ⇒ one split) and spec-asserted end-to-end
+    // against the q46 candidate pairs.
+    "q226_group_split" -> { (s, d) =>
+      val cl = s.table(DedupExtOps.clusterTable(s, d))
+      Tables(s, d, "documents").select(col("doc_id"))
+        .join(cl, Seq("doc_id"), "left")
+        .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
+        .groupBy(splitOf(col("rep")).as("split"))
+        .agg(count(lit(1)).as("docs"),
+             countDistinct(col("rep")).as("n_groups"),
+             sum(when(splitOf(col("rep")) =!= splitOf(col("doc_id")), 1L)
+                   .otherwise(0L)).as("flipped"))
+        .orderBy("split")
     }
   )
 
@@ -757,6 +784,22 @@ object TextExtOps extends OpModule {
           |  FROM s WHERE rk = 10 OR rk = 25)
           |SELECT * FROM (SELECT * FROM cov UNION ALL
           |               SELECT * FROM topk) ORDER BY metric""".stripMargin,
+
+      // the artifact must be invisible: the same rollup over the
+      // recursive-CTE clustering, q67's md5-prefix rule on the rep
+      "q226_group_split" ->
+        s"""${DedupExtOps.clustersCte},
+           |rep AS (SELECT d.doc_id,
+           |          coalesce(c.cluster_id, d.doc_id) AS rep
+           |        FROM documents d LEFT JOIN clusters c USING (doc_id))
+           |SELECT CASE WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 1)
+           |              <= 'b' THEN 'train' ELSE 'eval' END AS split,
+           |  count(*) AS docs, count(DISTINCT rep) AS n_groups,
+           |  CAST(sum(CASE WHEN
+           |      (substr(md5(CAST(rep AS VARCHAR)), 1, 1) <= 'b') <>
+           |      (substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b')
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS flipped
+           |FROM rep GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q48_lang_id" ->
         s"""SELECT lang, $predSql AS pred, count(*) AS cnt

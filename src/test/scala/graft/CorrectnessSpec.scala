@@ -1295,6 +1295,25 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(recall >= 0.9, s"LSH recall $recall of ${jac.size} true pairs")
   }
 
+  test("q226 group split never separates q46 near-duplicates and covers the corpus") {
+    def split(k: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8"))
+      if (Integer.toHexString((h(0) >> 4) & 0xf).charAt(0) <= 'b') "train"
+      else "eval"
+    }
+    val cl = spark.table(operators.DedupExtOps.clusterTable(spark, sf))
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    val pairs = q("q46_dedup_minhash").select("id_a", "id_b")
+      .as[(Long, Long)].collect()
+    pairs.foreach { case (a, b) =>
+      assert(split(cl.getOrElse(a, a)) == split(cl.getOrElse(b, b)),
+             s"near-dup pair ($a, $b) straddles the split") }
+    val rows = q("q226_group_split").as[(String, Long, Long, Long)]
+      .collect().toSeq
+    assert(rows.map(_._2).sum == Tables(spark, sf, "documents").count())
+  }
+
   test("q225 TWAP matches a Scala interval fold") {
     val evs = Tables(spark, sf, "events")
       .select(col("event_type"), col("event_id"),
