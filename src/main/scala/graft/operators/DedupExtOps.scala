@@ -283,6 +283,54 @@ object DedupExtOps extends OpModule {
     // stays a counts problem. Docs shorter than 8 tokens have no
     // window and are out of scope by declared semantics (filtered
     // identically in both engines).
+    // Minimizer-signature candidate pairs (added r12) — the PAIR
+    // generator for substring-level dedup, q219's missing half: q219
+    // MEASURES cross-doc repeated spans; this finds WHICH doc pairs
+    // share them, at a fraction of the index cost. The minimizer
+    // scheme (Roberts et al. 2004 — the genomics workhorse behind
+    // minimap2, applied here to token 8-grams): a gram hash is kept
+    // only if it is the MINIMUM of some w=5 consecutive gram window,
+    // so any two documents sharing an ≥ (k+w−1)-token verbatim span
+    // share a minimizer BY CONSTRUCTION (same window ⇒ same minimum —
+    // deterministic recall for long spans, unlike MinHash's
+    // probabilistic recall), while the persisted signature carries
+    // ~2/(w+1) of the gram stream (spec-asserted < 1/2 here). Pairs
+    // sharing ≥2 distinct minimizers survive (single-minimizer pairs
+    // are mostly the hash floor). Scale shape: per-doc windowed min =
+    // one doc_id-keyed window (grams never shuffle globally), the
+    // signature join rides one minimizer-keyed shuffle with the q46
+    // HOT-BUCKET CAP (a boilerplate minimizer shared by B docs would
+    // emit B² pairs; past the cap it is template noise, and long-span
+    // evidence survives through the pair's OTHER minimizers), and the
+    // pair aggregate is candidate-bounded — never corpus-quadratic.
+    "q227_minimizer_pairs" -> { (s, d) =>
+      val k = 8; val win = 5
+      val wd = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+      val wm = wd.orderBy("p0").rowsBetween(0, win - 1)
+      val mz = Tables(s, d, "documents")
+        .where(size(split(col("text"), " ")) >= k)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(1, size(t) - ${k - 1}), " +
+            s"i -> md5(concat_ws(' ', slice(t, i, $k))))"))
+          .as(Seq("p0", "h")))
+        .withColumn("ng", count(lit(1)).over(wd))
+        .withColumn("m", min("h").over(wm))
+        .where(col("p0") + 1 <= col("ng") - (win - 1))
+        .select(col("doc_id"), col("m")).distinct()
+      val capped = mz
+        .withColumn("bn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("m")))
+        .where(col("bn") <= HotBucketCap).drop("bn")
+      capped.select(col("m"), col("doc_id").as("id_a"))
+        .join(capped.select(col("m"), col("doc_id").as("id_b")), Seq("m"))
+        .where(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 2)
+        .orderBy("id_a", "id_b")
+    },
+
     "q219_substring_dup" -> { (s, d) =>
       val k = 8
       def grams = Tables(s, d, "documents")
@@ -984,6 +1032,29 @@ object DedupExtOps extends OpModule {
          |        (SELECT count(*) FROM cand), 6) AS precision
          |FROM t CROSS JOIN j GROUP BY t.threshold
          |ORDER BY threshold""".stripMargin,
+
+    // same windowed-min minimizer set, same hot cap, same ≥2-shared
+    // pair rule — the SQL mirror of the per-doc window + signature join
+    "q227_minimizer_pairs" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+        |            FROM documents
+        |            WHERE len(string_split(text, ' ')) >= 8),
+        |idx AS (SELECT doc_id, t, len(t) - 7 AS ng,
+        |          unnest(generate_series(1, len(t) - 7)) AS i FROM tk),
+        |g AS (SELECT doc_id, ng, i,
+        |        md5(array_to_string(t[i:i+7], ' ')) AS h FROM idx),
+        |wm AS (SELECT doc_id, i, ng,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                 ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS m
+        |  FROM g),
+        |mz AS (SELECT DISTINCT doc_id, m FROM wm WHERE i <= ng - 4),
+        |cap AS (SELECT m FROM mz GROUP BY m HAVING count(*) <= 64),
+        |mzc AS (SELECT mz.doc_id, mz.m FROM mz JOIN cap USING (m))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  count(*) AS n_shared
+        |FROM mzc a JOIN mzc b ON a.m = b.m AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY 1, 2""".stripMargin,
 
     // same 8-token windows, same md5 gram identity, same ≥2-distinct-
     // docs rule — the SQL mirror of the generator flatMap

@@ -1295,6 +1295,37 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(recall >= 0.9, s"LSH recall $recall of ${jac.size} true pairs")
   }
 
+  test("q227 minimizers compress the gram index and pairs share real grams") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+      .map { case (id, t) => (id, t.split(" ", -1).toSeq) }
+      .filter(_._2.length >= 8)
+    val gramSets = docs.map { case (id, t) =>
+      id -> t.sliding(8).map(_.mkString(" ")).toSet }.toMap
+    val pairs = q("q227_minimizer_pairs")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.nonEmpty, "no candidate pairs at sf0.001")
+    pairs.foreach { case (a, b, n) =>
+      val shared = gramSets(a).intersect(gramSets(b)).size
+      assert(shared >= n,
+             s"pair ($a,$b) claims $n shared minimizers, only $shared grams")
+      assert(n >= 2)
+    }
+    // the index-size claim: the minimizer signature must be well under
+    // half the distinct-gram postings (expected density 2/(w+1) = 1/3)
+    val gramRows = gramSets.values.map(_.size.toLong).sum
+    val mzRows = docs.map { case (id, t) =>
+      val hs = t.sliding(8).map(w => {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(w.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      }).toIndexedSeq
+      hs.sliding(5).map(_.min).toSet.size.toLong
+    }.sum
+    assert(mzRows.toDouble / gramRows < 0.5,
+           s"minimizer rows $mzRows vs gram rows $gramRows — no compression")
+  }
+
   test("q226 group split never separates q46 near-duplicates and covers the corpus") {
     def split(k: Long): String = {
       val h = java.security.MessageDigest.getInstance("MD5")
