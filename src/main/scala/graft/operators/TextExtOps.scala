@@ -664,6 +664,63 @@ object TextExtOps extends OpModule {
              sum(when(splitOf(col("rep")) =!= splitOf(col("doc_id")), 1L)
                    .otherwise(0L)).as("flipped"))
         .orderBy("split")
+    },
+
+    // TextRank keyword extraction (added r12) — Mihalcea & Tarau 2004:
+    // corpus keywords as the highest-centrality nodes of the word
+    // CO-OCCURRENCE graph (tokens within distance ≤2 in a document,
+    // undirected, weighted by pair frequency), ranked by 3 damped
+    // weighted power-iteration rounds — the graph answer to "what is
+    // this corpus about" that pure frequency (q224) gets wrong when a
+    // frequent token co-occurs with nothing (boilerplate separators
+    // rank low here, connective vocabulary ranks high). All arithmetic
+    // is q115's INTEGER FIXED-POINT extended to weighted edges
+    // (contribution = (r·w) DIV Σw(u); damping (85·Σ) DIV 100; ranks
+    // scaled 1e12) — iterative float PageRank is neither partition-
+    // order-free nor engine-portable, integer mass is both. One
+    // doc-keyed window builds pairs via lead(1)/lead(2) (no self-join
+    // of the position table), the weight table is VOCAB²-bounded (in
+    // practice co-occurrence-sparse), and each round is one edges⋈rank
+    // join + one sum — the q115 shape on a vocabulary-sized graph, so
+    // the corpus is scanned exactly once regardless of rounds.
+    "q228_textrank" -> { (s, d) =>
+      val S = 1000000000000L
+      val wd = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("p")
+      val tk = Tables(s, d, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " "))
+                  .as(Seq("p", "tok")))
+      val prs = tk
+        .withColumn("n1", lead("tok", 1).over(wd))
+        .withColumn("n2", lead("tok", 2).over(wd))
+        .select(col("tok").as("x"),
+                explode(array(col("n1"), col("n2"))).as("y"))
+        .where(col("y").isNotNull && length(col("x")) > 0 &&
+               length(col("y")) > 0 && col("x") =!= col("y"))
+        .select(least(col("x"), col("y")).as("a"),
+                greatest(col("x"), col("y")).as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      val edges = prs.select(col("a").as("u"), col("b").as("v"), col("w"))
+        .unionAll(prs.select(col("b").as("u"), col("a").as("v"), col("w")))
+      val deg = edges.groupBy("u").agg(sum("w").as("ws"))
+      val n = deg.agg(count(lit(1)).as("nn"))
+      var r = deg.crossJoin(broadcast(n))
+        .select(col("u").as("id"),
+                expr(s"CAST($S AS BIGINT) DIV nn").as("r"))
+      for (_ <- 1 to 3) {
+        val contrib = edges.join(deg, Seq("u"))
+          .join(r.withColumnRenamed("id", "u"), Seq("u"))
+          .groupBy(col("v").as("id"))
+          .agg(sum(expr("(r * w) DIV ws")).as("sc"))
+        r = r.select(col("id")).join(contrib, Seq("id"), "left")
+          .crossJoin(broadcast(n))
+          .select(col("id"),
+                  (expr(s"(15 * ($S DIV nn)) DIV 100") +
+                   expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) DIV 100"))
+                    .as("r"))
+      }
+      r.select(col("id").as("token"), col("r").as("rank"))
+        .orderBy(col("rank").desc, col("token")).limit(10)
     }
   )
 
@@ -784,6 +841,47 @@ object TextExtOps extends OpModule {
           |  FROM s WHERE rk = 10 OR rk = 25)
           |SELECT * FROM (SELECT * FROM cov UNION ALL
           |               SELECT * FROM topk) ORDER BY metric""".stripMargin,
+
+      // the 3 weighted power-iteration rounds unrolled as CTEs —
+      // integer arithmetic only, q115's oracle discipline on the
+      // co-occurrence graph
+      "q228_textrank" -> {
+        val S = "1000000000000"
+        def round(i: Int) =
+          s"""c$i AS (SELECT e.v AS id,
+             |      CAST(sum((r${i - 1}.r * e.w) // d.ws) AS BIGINT) AS sc
+             |    FROM edges e JOIN deg d ON d.u = e.u
+             |                 JOIN r${i - 1} ON r${i - 1}.id = e.u
+             |    GROUP BY 1),
+             |r$i AS (SELECT r${i - 1}.id,
+             |      CAST((15 * ($S // nn)) // 100 +
+             |           (85 * coalesce(c$i.sc, 0)) // 100 AS BIGINT) AS r
+             |    FROM r${i - 1} LEFT JOIN c$i ON c$i.id = r${i - 1}.id,
+             |         n)""".stripMargin
+        s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+           |            FROM documents),
+           |pos AS (SELECT doc_id, t,
+           |          unnest(generate_series(1, len(t))) AS i FROM tk),
+           |off(k) AS (VALUES (1), (2)),
+           |pr0 AS (SELECT least(t[i], t[i + o.k]) AS a,
+           |          greatest(t[i], t[i + o.k]) AS b
+           |        FROM pos, off o
+           |        WHERE i + o.k <= len(t) AND len(t[i]) > 0
+           |          AND len(t[i + o.k]) > 0 AND t[i] <> t[i + o.k]),
+           |wt AS (SELECT a, b, count(*) AS w FROM pr0 GROUP BY 1, 2),
+           |edges AS (SELECT a AS u, b AS v, w FROM wt
+           |          UNION ALL SELECT b, a, w FROM wt),
+           |deg AS (SELECT u, CAST(sum(w) AS BIGINT) AS ws
+           |        FROM edges GROUP BY u),
+           |n AS (SELECT count(*) AS nn FROM deg),
+           |r0 AS (SELECT u AS id, CAST($S // nn AS BIGINT) AS r
+           |       FROM deg, n),
+           |${round(1)},
+           |${round(2)},
+           |${round(3)}
+           |SELECT id AS token, r AS rank FROM r3
+           |ORDER BY rank DESC, token LIMIT 10""".stripMargin
+      },
 
       // the artifact must be invisible: the same rollup over the
       // recursive-CTE clustering, q67's md5-prefix rule on the rep

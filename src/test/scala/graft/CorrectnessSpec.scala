@@ -1295,6 +1295,34 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(recall >= 0.9, s"LSH recall $recall of ${jac.size} true pairs")
   }
 
+  test("q228 TextRank matches a Scala integer power iteration") {
+    val S = 1000000000000L
+    val docs = Tables(spark, sf, "documents").select("text")
+      .as[String].collect().toSeq.map(_.split(" ", -1).toSeq)
+    val pairs = for {
+      t <- docs; i <- t.indices; k <- 1 to 2
+      if i + k < t.length
+      a = t(i); b = t(i + k)
+      if a.nonEmpty && b.nonEmpty && a != b
+    } yield (Seq(a, b).min, Seq(a, b).max)
+    val wt = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val edges = wt.toSeq.flatMap { case ((a, b), w) =>
+      Seq((a, b, w), (b, a, w)) }
+    val ws = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val nn = ws.size
+    var r = ws.keys.map(_ -> S / nn).toMap
+    for (_ <- 1 to 3) {
+      val contrib = edges.groupBy(_._2).view.mapValues(_.map { case (u, _, w) =>
+        r(u) * w / ws(u) }.sum).toMap
+      r = r.keys.map(id =>
+        id -> (15 * (S / nn) / 100 + 85 * contrib.getOrElse(id, 0L) / 100))
+        .toMap
+    }
+    val expected = r.toSeq.sortBy { case (t, rk) => (-rk, t) }.take(10)
+    val got = q("q228_textrank").as[(String, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
   test("q227 minimizers compress the gram index and pairs share real grams") {
     val docs = Tables(spark, sf, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
