@@ -35,7 +35,9 @@ object SweepR12 {
       "q218_dedup_threshold_sweep", "q219_substring_dup",
       "q220_nb_classifier", "q221_bitmap_audience", "q222_kmeans_loop",
       "q223_asof_exec", "q224_vocab_coverage", "q225_twap",
-      "q226_group_split", "q227_minimizer_pairs", "q228_textrank")
+      "q226_group_split", "q227_minimizer_pairs", "q228_textrank",
+      "q229_auc_rank", "q230_target_encoding", "q231_mutual_info",
+      "q232_kendall_tau")
     // mode "x100": sweep against the 100x volume build at /tmp/sf100x
     // (tools/make100x.py defaults) instead of the 10x point — the r11
     // protocol asked at two orders. Remaining args subset the list.

@@ -118,6 +118,35 @@ object ScalarFnOps extends OpModule {
         .groupBy("k", "k2")
         .agg(count(lit(1)).as("cnt"))
         .orderBy("k")
+    },
+
+    // VARIANT ingestion + shredding (added r12) — the Spark 4 semi-
+    // structured path next to q35's schema-ful from_json: parse_json
+    // keeps the payload as an open-schema binary VARIANT (the lakehouse
+    // answer to "the telemetry schema will drift"), variant_get
+    // extracts a typed field lazily, and the shredded integer then
+    // flows through ordinary codegen'd aggregation — the parse cost is
+    // one pass, the VARIANT never shuffles (only the extracted field
+    // and the grouping key do). try_variant_get's null-on-miss probes a
+    // key the payload doesn't have, pinning the drift contract (absent
+    // ⇒ null ⇒ excluded from its count, never an exception). Decile
+    // rollup with cents discipline.
+    "q235_variant_shred" -> { (s, d) =>
+      Tables(s, d, "events")
+        .select(col("event_type"),
+                round(col("value") * 100).cast("long").as("cents"),
+                parse_json(col("props")).as("v"))
+        .select(col("event_type"), col("cents"),
+                variant_get(col("v"), "$.k", "int").as("k"),
+                try_variant_get(col("v"), "$.missing", "int").as("mk"))
+        .withColumn("bucket", expr("k div 10").cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"),
+             countDistinct(col("event_type")).as("types"),
+             count(col("mk")).as("drift_hits"),
+             round(sum(col("cents").cast("decimal(28,0)")).cast("double") /
+                   count(lit(1)) / 100.0, 6).as("avg_value"))
+        .orderBy("bucket")
     }
   )
 
@@ -190,6 +219,20 @@ object ScalarFnOps extends OpModule {
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k2,
         |  count(*) AS cnt
-        |FROM events GROUP BY k, k2 ORDER BY k""".stripMargin
+        |FROM events GROUP BY k, k2 ORDER BY k""".stripMargin,
+
+    // DuckDB's JSON type is its open-schema equivalent; the missing-key
+    // probe returns NULL in both engines
+    "q235_variant_shred" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10
+        |    AS bucket,
+        |  count(*) AS cnt,
+        |  count(DISTINCT event_type) AS types,
+        |  count(CAST(json_extract_string(props, '$.missing') AS BIGINT))
+        |    AS drift_hits,
+        |  round(CAST(sum(CAST(CAST(round(value * 100) AS BIGINT)
+        |                      AS DECIMAL(28,0))) AS DOUBLE) /
+        |        count(*) / 100.0, 6) AS avg_value
+        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 }

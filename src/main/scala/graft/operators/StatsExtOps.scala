@@ -520,10 +520,180 @@ object StatsExtOps extends OpModule {
         .agg(count(lit(1)).as("n_holds"), sum("blk").as("blocks"),
              sum("cov").as("covered_us"))
         .orderBy("user_id")
+    },
+
+    // Mutual information screen (added r12) — the dependence measure a
+    // feature-selection / drift pipeline wants when chi² (q144) says
+    // "dependent" and the next question is "by how many bits": MI
+    // between event type and the props payload bucket, plus both
+    // marginal entropies and the normalized MI /= sqrt(Hx·Hy). The
+    // q142 log discipline makes it hash-checkable: every per-cell term
+    // c·ln(N·c/(cx·cy)) is rounded to 6 dp BEFORE the decimal sum
+    // (order-free), margins are window sums over the types×buckets
+    // cell table (≤ 50 rows — never a second fact scan), and each
+    // final statistic is one fixed-order double formula rounded 6 dp.
+    // Scale shape: ONE fact scan into a map-side-combined cell agg;
+    // everything downstream is cell-table algebra.
+    "q231_mutual_info" -> { (s, d) =>
+      def dd(c: Column) = c.cast("double")
+      val cells = Tables(s, d, "events")
+        .select(col("event_type").as("x"),
+                (get_json_object(col("props"), "$.k").cast("long") / 10)
+                  .cast("long").as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("c"))
+      // margin-entropy terms ride the cells: since Σ_y c_xy = cx,
+      // Σ_x cx·ln(cx) = Σ_cells c·ln(cx) — no margin row set to drop
+      cells
+        .withColumn("cx", sum("c").over(Window.partitionBy("x")))
+        .withColumn("cy", sum("c").over(Window.partitionBy("y")))
+        .withColumn("n", sum("c").over(Window.partitionBy(lit(1))))
+        .agg(max("n").as("n"), count(lit(1)).as("cells"),
+             sum(round(dd(col("c")) *
+                       log(dd(col("n")) * dd(col("c")) /
+                           (dd(col("cx")) * dd(col("cy")))), 6)
+                   .cast("decimal(28,6)")).as("smi"),
+             sum(round(dd(col("c")) * log(dd(col("cx"))), 6)
+                   .cast("decimal(28,6)")).as("sx"),
+             sum(round(dd(col("c")) * log(dd(col("cy"))), 6)
+                   .cast("decimal(28,6)")).as("sy"))
+        .select(col("n"), col("cells"),
+                round(dd(col("smi")) / dd(col("n")), 6).as("mi_nats"),
+                round(log(dd(col("n"))) - dd(col("sx")) / dd(col("n")), 6)
+                  .as("h_type"),
+                round(log(dd(col("n"))) - dd(col("sy")) / dd(col("n")), 6)
+                  .as("h_bucket"),
+                round((dd(col("smi")) / dd(col("n"))) /
+                      sqrt((log(dd(col("n"))) - dd(col("sx")) / dd(col("n"))) *
+                           (log(dd(col("n"))) - dd(col("sy")) / dd(col("n")))),
+                      6).as("nmi"))
+    },
+
+    // Kendall tau-b rank correlation (added r12) — the
+    // rank-stability question behind "did the supplier league table
+    // actually change between eras?": concordance over PAIRS is robust
+    // to any monotone transform of revenue, and tau-b's tie correction
+    // handles zero-revenue clusters exactly. The fact side is ONE
+    // lineitem scan into per-supplier conditional revenue sums (era A =
+    // ships before 1998, era B = after); the pairwise stage then runs
+    // on the SUPPLIER AGGREGATE — a dimension table, not the corpus —
+    // as a broadcast self-join over ordered key pairs with integer
+    // sign algebra (concordant/discordant/tie counts), so fact volume
+    // never squares. For corpus-sized rankings the documented scale
+    // path is C−D via merge-sort inversion counting (sort by a, count
+    // inversions in b — O(n log n), shuffle-friendly); the pairwise
+    // form is kept because it is exact, tie-complete, and
+    // dimension-bound here. One sqrt+division rounded 6 at the end.
+    "q232_kendall_tau" -> { (s, d) =>
+      def dd(c: Column) = c.cast("double")
+      val rev = Tables(s, d, "lineitem")
+        .select(col("l_suppkey").as("sk"), col("l_shipdate"),
+                round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .groupBy("sk")
+        .agg(sum(when(col("l_shipdate") < lit("1998-01-01").cast("timestamp"),
+                      col("cents")).otherwise(0L).cast("decimal(38,0)"))
+               .cast("long").as("va"),
+             sum(when(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"),
+                      col("cents")).otherwise(0L).cast("decimal(38,0)"))
+               .cast("long").as("vb"))
+      val (r, h) = org.apache.spark.sql.graft.InternalPin.pin(
+        rev.select(col("sk"), col("va"), col("vb")))
+      h.count(); graft.PinScope.retain(h)
+      val pairs = r.as("p")
+        .join(broadcast(r.as("q")), col("p.sk") < col("q.sk"))
+        .select(signum(dd(col("p.va")) - dd(col("q.va"))).cast("int").as("sa"),
+                signum(dd(col("p.vb")) - dd(col("q.vb"))).cast("int").as("sb"))
+      pairs.agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("sa") * col("sb") === 1, 1L).otherwise(0L)).as("conc"),
+          sum(when(col("sa") * col("sb") === -1, 1L).otherwise(0L)).as("disc"),
+          sum(when(col("sa") === 0 && col("sb") =!= 0, 1L).otherwise(0L))
+            .as("tie_a"),
+          sum(when(col("sa") =!= 0 && col("sb") === 0, 1L).otherwise(0L))
+            .as("tie_b"))
+        .select(col("n_pairs"), col("conc"), col("disc"),
+                col("tie_a"), col("tie_b"),
+                when(col("conc") + col("disc") + col("tie_a") > 0 &&
+                       col("conc") + col("disc") + col("tie_b") > 0,
+                     round((dd(col("conc")) - dd(col("disc"))) /
+                           sqrt(dd(col("conc") + col("disc") + col("tie_a")) *
+                                dd(col("conc") + col("disc") + col("tie_b"))),
+                           6)).as("tau_b"))
     }
   )
 
   def oracles: Map[String, String] = Map(
+
+    // same cell-table algebra: per-cell 6dp-rounded log terms, decimal
+    // sums, margins as window sums (sum_x cx ln cx = sum_cells c ln cx)
+    "q231_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT event_type AS x,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS y,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT c,
+        |    sum(c) OVER (PARTITION BY x) AS cx,
+        |    sum(c) OVER (PARTITION BY y) AS cy,
+        |    sum(c) OVER () AS n
+        |  FROM cells),
+        |a AS (SELECT CAST(max(n) AS BIGINT) AS n, count(*) AS cells,
+        |    sum(CAST(round(CAST(c AS DOUBLE) *
+        |          ln(CAST(n AS DOUBLE) * CAST(c AS DOUBLE) /
+        |             (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))), 6)
+        |        AS DECIMAL(28,6))) AS smi,
+        |    sum(CAST(round(CAST(c AS DOUBLE) * ln(CAST(cx AS DOUBLE)), 6)
+        |        AS DECIMAL(28,6))) AS sx,
+        |    sum(CAST(round(CAST(c AS DOUBLE) * ln(CAST(cy AS DOUBLE)), 6)
+        |        AS DECIMAL(28,6))) AS sy
+        |  FROM w)
+        |SELECT n, cells,
+        |  round(CAST(smi AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mi_nats,
+        |  round(ln(CAST(n AS DOUBLE)) -
+        |        CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS h_type,
+        |  round(ln(CAST(n AS DOUBLE)) -
+        |        CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS h_bucket,
+        |  round((CAST(smi AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |        sqrt((ln(CAST(n AS DOUBLE)) -
+        |              CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |             (ln(CAST(n AS DOUBLE)) -
+        |              CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS nmi
+        |FROM a""".stripMargin,
+
+    // same per-supplier era sums, ordered-pair sign algebra, tau-b with
+    // tie corrections; pairwise runs on the supplier aggregate only
+    "q232_kendall_tau" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey AS sk,
+        |    CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01'
+        |        THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+        |        ELSE 0 END) AS BIGINT) AS va,
+        |    CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01'
+        |        THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+        |        ELSE 0 END) AS BIGINT) AS vb
+        |  FROM lineitem GROUP BY 1),
+        |pr AS (SELECT
+        |    CAST(sign(CAST(p.va AS DOUBLE) - CAST(q.va AS DOUBLE)) AS INT)
+        |      AS sa,
+        |    CAST(sign(CAST(p.vb AS DOUBLE) - CAST(q.vb AS DOUBLE)) AS INT)
+        |      AS sb
+        |  FROM rev p JOIN rev q ON p.sk < q.sk),
+        |ag AS (SELECT count(*) AS n_pairs,
+        |    CAST(sum(CASE WHEN sa * sb = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS conc,
+        |    CAST(sum(CASE WHEN sa * sb = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS disc,
+        |    CAST(sum(CASE WHEN sa = 0 AND sb <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tie_a,
+        |    CAST(sum(CASE WHEN sa <> 0 AND sb = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tie_b
+        |  FROM pr)
+        |SELECT n_pairs, conc, disc, tie_a, tie_b,
+        |  CASE WHEN conc + disc + tie_a > 0 AND conc + disc + tie_b > 0
+        |    THEN round((CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE)) /
+        |          sqrt(CAST(conc + disc + tie_a AS DOUBLE) *
+        |               CAST(conc + disc + tie_b AS DOUBLE)), 6)
+        |  END AS tau_b
+        |FROM ag""".stripMargin,
 
     "q192_winsorized_mean" ->
       """WITH vg AS (

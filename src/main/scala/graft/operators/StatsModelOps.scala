@@ -1309,6 +1309,180 @@ object StatsModelOps extends OpModule {
           when(col("err_naive") > 0,
                round(d(col("err_seasonal")) / d(col("err_naive")), 6)))
         .orderBy("event_type")
+    },
+
+    // Exact ROC-AUC via rank statistics (added r12) — the model-eval
+    // primitive every offline scoring pipeline ends in: does a score
+    // (order total, in cents) rank positives (orders containing a
+    // returned lineitem) above negatives? AUC is the Mann–Whitney
+    // statistic with the textbook average-rank tie correction, and the
+    // whole computation is INTEGER until one final division: per
+    // (group, score) value-group counts (n, positives), exclusive
+    // cumulative counts from the q146 bucketed prefix sum (no per-group
+    // single-reducer sort — the value-group table is distinct-cents
+    // bound, not corpus bound), then 2·Σ rank_pos =
+    // Σ npos·(2·cum_less + cnt + 1) and
+    // AUC = (2R − n_pos(n_pos+1)) / (2 n_pos n_neg), decimal-summed
+    // (order-free), one rounded division. Degenerate single-class
+    // groups yield null by guard. Scale shape: ONE orders⋈lineitem
+    // fact join (key shuffle, AQE-sized) into a map-side-combined
+    // per-order label agg; everything after lives on the domain-bound
+    // value-group table.
+    "q229_auc_rank" -> { (s, dir) =>
+      val lab = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "lineitem"),
+              col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderpriority").as("prio"),
+                 round(col("o_totalprice") * 100).cast("long").as("v"))
+        .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0))
+               .as("pos"))
+      val (pv, h) = pin(lab.groupBy("prio", "v")
+        .agg(count(lit(1)).as("c"), sum("pos").as("npos")))
+      h.count(); graft.PinScope.retain(h)
+      cumCounts(pv.select(col("prio"), col("v"), col("c")), "prio")
+        .join(pv.select(col("prio"), col("v"), col("npos")),
+              Seq("prio", "v"))
+        .withColumn("cless", col("cum") - col("c"))
+        .groupBy("prio")
+        .agg(sum(col("npos").cast("decimal(38,0)")).as("np"),
+             sum((col("c") - col("npos")).cast("decimal(38,0)")).as("nn"),
+             sum((col("npos") * (lit(2) * col("cless") + col("c") + lit(1)))
+                   .cast("decimal(38,0)")).as("r2"))
+        .select(col("prio"),
+                col("np").cast("long").as("n_pos"),
+                col("nn").cast("long").as("n_neg"),
+                when(col("np") > 0 && col("nn") > 0,
+                     round((col("r2") - col("np") * (col("np") + lit(1)))
+                             .cast("double") /
+                           (col("np") * col("nn") * lit(2)).cast("double"),
+                           6)).as("auc"))
+        .orderBy("prio")
+    },
+
+    // Leakage-safe K-fold target encoding (added r12) — the
+    // feature-engineering step that silently overfits when done
+    // naively: encoding a categorical column (market segment) with the
+    // mean of the target (order total) must EXCLUDE each row's own
+    // fold, or the label leaks into the feature. The out-of-fold mean
+    // has a closed form over per-(segment, fold) aggregates —
+    // (sum_seg − sum_fold)/(cnt_seg − cnt_fold) — so the entire
+    // operator is ONE fact scan into a segments×folds cell table
+    // (map-side combined), segment totals as window sums over those
+    // ≤ 25 cells, zero self-joins. The m-estimate smoothed variant
+    // blends the leakage-safe GLOBAL per-fold prior with weight m=20
+    // (small categories shrink toward the prior — the standard
+    // high-cardinality guard). Integer cents, decimal sums, rounded
+    // divisions at the end. The fold is md5-derived from the order key
+    // (q67's no-RNG discipline: stable under reshuffles and re-runs).
+    "q230_target_encoding" -> { (s, dir) =>
+      val wSeg = Window.partitionBy("segment")
+      val wAll = Window.partitionBy(lit(1))
+      Tables(s, dir, "orders")
+        .join(broadcast(Tables(s, dir, "customer")
+                          .select(col("c_custkey"), col("c_mktsegment"))),
+              col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"),
+                (conv(substring(md5(col("o_orderkey").cast("string")), 1, 4),
+                      16, 10).cast("long") % 5).as("fold"),
+                round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy("segment", "fold")
+        .agg(count(lit(1)).as("cnt"),
+             sum(col("cents").cast("decimal(38,0)")).as("sm"))
+        .withColumn("cnt_seg", sum("cnt").over(wSeg))
+        .withColumn("sum_seg", sum("sm").over(wSeg))
+        .withColumn("cnt_all", sum("cnt").over(wAll))
+        .withColumn("sum_all", sum("sm").over(wAll))
+        .select(col("segment"), col("fold"), col("cnt"),
+                round((col("sum_seg") - col("sm")).cast("double") /
+                      (col("cnt_seg") - col("cnt")).cast("double") / 100.0,
+                      6).as("enc_oof"),
+                round(((col("sum_seg") - col("sm")).cast("double") +
+                       lit(20.0) *
+                       ((col("sum_all") - col("sum_seg")).cast("double") /
+                        (col("cnt_all") - col("cnt_seg")).cast("double"))) /
+                      (col("cnt_seg") - col("cnt") + lit(20)).cast("double") /
+                      100.0, 6).as("enc_smooth"))
+        .orderBy("segment", "fold")
+    },
+
+    // Association rules over order baskets (added r12) — the
+    // market-basket classic next to q201's per-user co-visitation:
+    // baskets are ORDERS, items are part brands, and the deliverable is
+    // the rule metrics (support, confidence both directions, lift) for
+    // every pair above min-support 5, ranked by lift with a declared
+    // total tie order. Pair generation is a basket self-join on the
+    // DISTINCT (order, brand) table — pairs per order are bounded by
+    // basket size squared (TPC-H ≤ 7 items ⇒ ≤ 21 pairs), so pair
+    // volume is order-linear, never brand² over the corpus; the pair
+    // table itself IS brand²-bounded (≤ 625 cells here), so supports
+    // broadcast onto it and the rank is a sort of a cell table. The
+    // (order,brand) table is pinned: three consumers (basket count,
+    // item supports, pair join ×2) read blocks, the lineitem⋈part join
+    // runs ONCE. Counts exact; confidence/lift are fixed-order double
+    // divisions rounded 6.
+    "q234_basket_rules" -> { (s, dir) =>
+      val (it, h) = pin(Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "part"),
+              col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+        .distinct())
+      h.count(); graft.PinScope.retain(h)
+      val sup = it.groupBy("b").agg(count(lit(1)).as("s"))
+      val nOrders = it.agg(countDistinct("ok").as("n_orders"))
+      it.as("x").join(it.as("y"),
+            col("x.ok") === col("y.ok") && col("x.b") < col("y.b"))
+        .groupBy(col("x.b").as("b1"), col("y.b").as("b2"))
+        .agg(count(lit(1)).as("sup_ab"))
+        .where(col("sup_ab") >= 5)
+        .join(broadcast(sup.select(col("b").as("b1"), col("s").as("sup_a"))),
+              Seq("b1"))
+        .join(broadcast(sup.select(col("b").as("b2"), col("s").as("sup_b"))),
+              Seq("b2"))
+        .crossJoin(broadcast(nOrders))
+        .select(col("b1"), col("b2"), col("sup_ab"), col("sup_a"),
+                col("sup_b"),
+                round(d(col("sup_ab")) / d(col("sup_a")), 6).as("conf_fwd"),
+                round(d(col("sup_ab")) / d(col("sup_b")), 6).as("conf_rev"),
+                round(d(col("sup_ab")) * d(col("n_orders")) /
+                      (d(col("sup_a")) * d(col("sup_b"))), 6).as("lift"))
+        .orderBy(col("lift").desc, col("b1"), col("b2"))
+        .limit(20)
+    },
+
+    // Feature hashing audit (added r12) — the hashing trick that keeps
+    // a model's input dimension FIXED while the categorical vocabulary
+    // grows without bound (the streaming/online-learning contract: no
+    // dictionary to build, ship, or version). Each (feature=value)
+    // string hashes to one of 64 buckets via md5 (q67's portable no-RNG
+    // hash — stable across engines, partitionings, and runs); the audit
+    // reports per-bucket load, how many DISTINCT feature-values share
+    // the bucket (the collision count that silently aliases model
+    // weights), and the target mass landing there. ONE fact scan with a
+    // broadcast dim join, a 3-way explode (rows ×3, still linear), one
+    // 64-cell map-side-combined agg — the whole audit is scan-bound at
+    // any corpus size because the output dimension is the CONSTANT the
+    // trick exists to enforce.
+    "q236_feature_hash" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .join(broadcast(Tables(s, dir, "customer")
+                .select(col("c_custkey"), col("c_mktsegment"),
+                        col("c_nationkey"))),
+              col("o_custkey") === col("c_custkey"))
+        .select(round(col("o_totalprice") * 100).cast("long").as("cents"),
+                explode(array(
+                  concat(lit("seg="), col("c_mktsegment")),
+                  concat(lit("nat="), col("c_nationkey").cast("string")),
+                  concat(lit("pri="), col("o_orderpriority")))).as("fv"))
+        .withColumn("bucket",
+          conv(substring(md5(col("fv")), 1, 4), 16, 10).cast("long") % 64)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("rows_in"),
+             countDistinct(col("fv")).as("distinct_fv"),
+             round(sum(col("cents").cast("decimal(38,0)")).cast("double") /
+                   100.0, 6).as("target_mass"))
+        .withColumn("collided",
+          when(col("distinct_fv") > 1, 1L).otherwise(0L))
+        .orderBy("bucket")
     }
   )
 
@@ -2090,6 +2264,111 @@ object StatsModelOps extends OpModule {
         |  CASE WHEN sum(abs(c - cp)) > 0
         |       THEN round(CAST(sum(abs(c - cs)) AS DOUBLE) /
         |                  CAST(sum(abs(c - cp)) AS DOUBLE), 6) END AS mase
-        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same integer rank algebra: per-(group, score-cents) value groups,
+    // exclusive cumulative counts, 2.R = sum npos*(2*cless + cnt + 1),
+    // AUC = (2R - npos(npos+1)) / (2 npos nneg), one rounded division
+    "q229_auc_rank" ->
+      """WITH lab AS (
+        |  SELECT o.o_orderpriority AS prio,
+        |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS v,
+        |    max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY o.o_orderkey, o.o_orderpriority, o.o_totalprice),
+        |vg AS (SELECT prio, v, count(*) AS cnt, sum(pos) AS npos
+        |       FROM lab GROUP BY prio, v),
+        |cw AS (SELECT prio, cnt, npos,
+        |    coalesce(sum(cnt) OVER (PARTITION BY prio ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cless
+        |  FROM vg)
+        |SELECT prio,
+        |  CAST(sum(npos) AS BIGINT) AS n_pos,
+        |  CAST(sum(cnt - npos) AS BIGINT) AS n_neg,
+        |  CASE WHEN sum(npos) > 0 AND sum(cnt - npos) > 0 THEN
+        |    round(CAST(sum(npos * (2 * cless + cnt + 1)) -
+        |               sum(npos) * (sum(npos) + 1) AS DOUBLE) /
+        |          CAST(sum(npos) * sum(cnt - npos) * 2 AS DOUBLE), 6)
+        |  END AS auc
+        |FROM cw GROUP BY prio ORDER BY prio""".stripMargin,
+
+    // same closed-form out-of-fold means over the segments x folds cell
+    // table; md5-derived fold; identical double-op order for the
+    // m-estimate blend
+    "q230_target_encoding" ->
+      """WITH cells AS (
+        |  SELECT c.c_mktsegment AS segment,
+        |    CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 4))
+        |         AS BIGINT) % 5 AS fold,
+        |    count(*) AS cnt,
+        |    sum(CAST(CAST(round(o.o_totalprice * 100) AS BIGINT)
+        |             AS HUGEINT)) AS sm
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |w AS (SELECT segment, fold, cnt, sm,
+        |    sum(cnt) OVER (PARTITION BY segment) AS cnt_seg,
+        |    sum(sm)  OVER (PARTITION BY segment) AS sum_seg,
+        |    sum(cnt) OVER () AS cnt_all,
+        |    sum(sm)  OVER () AS sum_all
+        |  FROM cells)
+        |SELECT segment, fold, cnt,
+        |  round(CAST(sum_seg - sm AS DOUBLE) /
+        |        CAST(cnt_seg - cnt AS DOUBLE) / 100.0, 6) AS enc_oof,
+        |  round((CAST(sum_seg - sm AS DOUBLE) +
+        |         20.0 * (CAST(sum_all - sum_seg AS DOUBLE) /
+        |                 CAST(cnt_all - cnt_seg AS DOUBLE))) /
+        |        CAST(cnt_seg - cnt + 20 AS DOUBLE) / 100.0, 6)
+        |    AS enc_smooth
+        |FROM w ORDER BY segment, fold""".stripMargin,
+
+    // same distinct-basket pair algebra, min-support 5, declared
+    // (lift desc, b1, b2) top-20
+    "q234_basket_rules" ->
+      """WITH it AS (
+        |  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |sup AS (SELECT b, count(*) AS s FROM it GROUP BY b),
+        |no AS (SELECT count(DISTINCT ok) AS n_orders FROM it),
+        |pr AS (
+        |  SELECT x.b AS b1, y.b AS b2, count(*) AS sup_ab
+        |  FROM it x JOIN it y ON x.ok = y.ok AND x.b < y.b
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT b1, b2, sup_ab, sa.s AS sup_a, sb.s AS sup_b,
+        |  round(CAST(sup_ab AS DOUBLE) / CAST(sa.s AS DOUBLE), 6)
+        |    AS conf_fwd,
+        |  round(CAST(sup_ab AS DOUBLE) / CAST(sb.s AS DOUBLE), 6)
+        |    AS conf_rev,
+        |  round(CAST(sup_ab AS DOUBLE) * CAST(no.n_orders AS DOUBLE) /
+        |        (CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE)), 6) AS lift
+        |FROM pr
+        |JOIN sup sa ON sa.b = pr.b1
+        |JOIN sup sb ON sb.b = pr.b2
+        |CROSS JOIN no
+        |ORDER BY lift DESC, b1, b2 LIMIT 20""".stripMargin,
+
+    // same md5 bucket hash, same 3-way feature explode via UNION ALL
+    "q236_feature_hash" ->
+      """WITH fv AS (
+        |  SELECT CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+        |    'seg=' || c.c_mktsegment AS fv
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  UNION ALL
+        |  SELECT CAST(round(o.o_totalprice * 100) AS BIGINT),
+        |    'nat=' || CAST(c.c_nationkey AS VARCHAR)
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  UNION ALL
+        |  SELECT CAST(round(o.o_totalprice * 100) AS BIGINT),
+        |    'pri=' || o.o_orderpriority
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+        |SELECT CAST(('0x' || substr(md5(fv), 1, 4)) AS BIGINT) % 64
+        |    AS bucket,
+        |  count(*) AS rows_in,
+        |  count(DISTINCT fv) AS distinct_fv,
+        |  round(CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) /
+        |        100.0, 6) AS target_mass,
+        |  CAST(CASE WHEN count(DISTINCT fv) > 1 THEN 1 ELSE 0 END
+        |       AS BIGINT) AS collided
+        |FROM fv GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 }

@@ -580,6 +580,60 @@ object TimeWindowOps extends OpModule {
              round(sum(col("cents").cast("decimal(28,0)")).cast("double") /
                    count(lit(1)) / 100.0, 6).as("plain_avg"))
         .orderBy("event_type")
+    },
+
+    // Exact finite-window EWMA spike screen (added r12) — the streaming
+    // smoother made hash-checkable: with α = 1/2 the weights 2^−k are
+    // exact powers of two, so a trailing-32 EWMA is a pure INTEGER pair
+    // (num = Σ c_{n−1−j}·2^(31−j), den = Σ 2^(31−j)) and the spike rule
+    // "current > 2× smoothed baseline" clears the denominator —
+    // c·den > 2·num compares integers, no float enters the decision at
+    // all (the q151/q179 cleared-denominator discipline applied to a
+    // recursive-looking statistic). The 32-lag unroll is what makes the
+    // recurrence declarative: one (type)-keyed window shuffle, no
+    // sequential fold, no UDAF state; at a longer horizon the unroll
+    // cost grows linearly and the documented alternative is a
+    // mapPartitions running fold per key. The reported last-row EWMA
+    // derives from the same pair via exact halving (every surviving
+    // term is even), one rounded division at the end.
+    "q233_ewma_spikes" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("tus", "event_id")
+      val base = Tables(s, d, "events")
+        .select(col("event_type"), col("event_id"),
+                unix_micros(col("ts")).as("tus"),
+                round(col("value") * 100).cast("long").as("c"))
+      val num = (0 until 32).map { j =>
+        coalesce(lag(col("c"), j + 1).over(w), lit(0L)) *
+          lit(1L << (31 - j)) }.reduce(_ + _)
+      val den = (0 until 32).map { j =>
+        when(lag(col("c"), j + 1).over(w).isNotNull, lit(1L << (31 - j)))
+          .otherwise(lit(0L)) }.reduce(_ + _)
+      base
+        .withColumn("num_prev", num)
+        .withColumn("den_prev", den)
+        .withColumn("t32", coalesce(lag(col("c"), 32).over(w), lit(0L)))
+        .withColumn("d32",
+          when(lag(col("c"), 32).over(w).isNotNull, 1L).otherwise(0L))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("spike",
+          when(col("den_prev") > 0 &&
+                 col("c") * col("den_prev") > col("num_prev") * 2, 1L)
+            .otherwise(0L))
+        // include-current pair by exact halving: num_incl =
+        // c·2^31 + (num_prev − t32)/2 (all remaining terms even)
+        .withColumn("num_incl",
+          col("c") * lit(1L << 31) + expr("(num_prev - t32) div 2"))
+        .withColumn("den_incl",
+          lit(1L << 31) + expr("(den_prev - d32) div 2"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("spike").as("spikes"),
+             round(max_by(col("num_incl").cast("double") /
+                            col("den_incl").cast("double"), col("rn")) /
+                     100.0, 6).as("ewma_last"),
+             round(sum(col("c").cast("decimal(28,0)")).cast("double") /
+                     count(lit(1)) / 100.0, 6).as("plain_avg"))
+        .orderBy("event_type")
     }
   )
 
@@ -604,6 +658,41 @@ object TimeWindowOps extends OpModule {
                lit(gapMinutes * 60000000L)).as("dur_us"))
 
   def oracles: Map[String, String] = Map(
+    // same 32-lag integer unroll; the spike rule compares integers
+    // (c*den > 2*num), the last-row EWMA is arg_max + one division
+    "q233_ewma_spikes" -> {
+      val num = (0 until 32).map { j =>
+        s"coalesce(lag(c, ${j + 1}) OVER w, 0) * ${1L << (31 - j)}"
+      }.mkString(" +\n        ")
+      val den = (0 until 32).map { j =>
+        s"CASE WHEN lag(c, ${j + 1}) OVER w IS NOT NULL THEN ${1L << (31 - j)} ELSE 0 END"
+      }.mkString(" +\n        ")
+      s"""WITH e AS (
+         |  SELECT event_type, event_id, epoch_us(ts) AS tus,
+         |    CAST(round(value * 100) AS BIGINT) AS c
+         |  FROM events),
+         |lagged AS (
+         |  SELECT event_type, c,
+         |    $num AS num_prev,
+         |    $den AS den_prev,
+         |    coalesce(lag(c, 32) OVER w, 0) AS t32,
+         |    CASE WHEN lag(c, 32) OVER w IS NOT NULL THEN 1 ELSE 0 END
+         |      AS d32,
+         |    row_number() OVER w AS rn
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY tus, event_id))
+         |SELECT event_type, count(*) AS n,
+         |  CAST(sum(CASE WHEN den_prev > 0 AND c * den_prev > num_prev * 2
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS spikes,
+         |  round(arg_max(
+         |      CAST(c * 2147483648 + (num_prev - t32) // 2 AS DOUBLE) /
+         |      CAST(2147483648 + (den_prev - d32) // 2 AS DOUBLE), rn) /
+         |    100.0, 6) AS ewma_last,
+         |  round(CAST(sum(CAST(c AS DECIMAL(28,0))) AS DOUBLE) /
+         |        count(*) / 100.0, 6) AS plain_avg
+         |FROM lagged GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
+
     // same holding-interval weights: integer cents x integer micro-
     // second durations, decimal sums, one rounded division
     "q225_twap" ->

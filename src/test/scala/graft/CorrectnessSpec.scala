@@ -1471,4 +1471,117 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(got.exists(_._4 > 0L),
            "no cross-doc duplicated gram at sf0.001 — report vacuous")
   }
+
+  test("q229 AUC matches a brute-force pairwise count") {
+    // independent semantics: AUC = P(score_pos > score_neg) + P(=)/2,
+    // counted directly over order pairs — no ranks at all
+    val orders = Tables(spark, sf, "orders")
+      .join(Tables(spark, sf, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"),
+               round(col("o_totalprice") * 100).cast("long").as("v"))
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("pos"))
+      .as[(Long, String, Long, Int)].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = orders.groupBy(_._2).toSeq.map { case (prio, g) =>
+      val ps = g.filter(_._4 == 1).map(_._3)
+      val ns = g.filter(_._4 == 0).map(_._3)
+      val wins = (for (p <- ps; n <- ns)
+        yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+      (prio, ps.size.toLong, ns.size.toLong,
+       r6(wins.toDouble / (2.0 * ps.size * ns.size)))
+    }.sortBy(_._1)
+    val got = q("q229_auc_rank")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == expected)
+    assert(got.forall(r => r._4 > 0.0 && r._4 < 1.0), s"degenerate AUC: $got")
+  }
+
+  test("q230 out-of-fold encoding never sees its own fold") {
+    val rows = Tables(spark, sf, "orders")
+      .join(Tables(spark, sf, "customer"),
+            col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+              conv(substring(md5(col("o_orderkey").cast("string")), 1, 4),
+                   16, 10).cast("long") % 5,
+              round(col("o_totalprice") * 100).cast("long"))
+      .as[(String, Long, Long)].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sumAll = rows.map(r => BigInt(r._3)).sum
+    val cntAll = rows.size.toLong
+    val expected = rows.groupBy(r => (r._1, r._2)).toSeq.map {
+      case ((seg, fold), g) =>
+        val segRows = rows.filter(_._1 == seg)
+        val (sSeg, cSeg) = (segRows.map(r => BigInt(r._3)).sum,
+                            segRows.size.toLong)
+        val (sF, cF) = (g.map(r => BigInt(r._3)).sum, g.size.toLong)
+        val oof = (sSeg - sF).toDouble / (cSeg - cF).toDouble / 100.0
+        val prior = (sumAll - sSeg).toDouble / (cntAll - cSeg).toDouble
+        val smooth = ((sSeg - sF).toDouble + 20.0 * prior) /
+          (cSeg - cF + 20).toDouble / 100.0
+        (seg, fold, g.size.toLong, r6(oof), r6(smooth))
+    }.sortBy(r => (r._1, r._2))
+    val got = q("q230_target_encoding")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got == expected)
+    // leakage check is structural: folds of one segment get DIFFERENT
+    // encodings exactly because each excludes different rows
+    assert(got.groupBy(_._1).forall(_._2.map(_._4).distinct.size > 1),
+           "fold-invariant encoding — own-fold exclusion not happening")
+  }
+
+  test("q231 mutual information matches a direct cell recomputation") {
+    val evs = Tables(spark, sf, "events")
+      .select(col("event_type"),
+              get_json_object(col("props"), "$.k").cast("long") / 10)
+      .as[(String, Double)].collect().toSeq.map(r => (r._1, r._2.toLong))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val n = evs.size.toDouble
+    val cells = evs.groupBy(identity).map { case (k, g) => (k, g.size) }
+    val cx = evs.groupBy(_._1).map { case (k, g) => (k, g.size) }
+    val cy = evs.groupBy(_._2).map { case (k, g) => (k, g.size) }
+    def decSum(ts: Iterable[Double]): Double =
+      ts.map(t => BigDecimal(r6(t))).sum.toDouble
+    val smi = decSum(cells.map { case ((x, y), c) =>
+      c * math.log(n * c / (cx(x).toDouble * cy(y).toDouble)) })
+    val sx = decSum(cells.map { case ((x, _), c) =>
+      c * math.log(cx(x).toDouble) })
+    val sy = decSum(cells.map { case ((_, y), c) =>
+      c * math.log(cy(y).toDouble) })
+    val (hx, hy) = (math.log(n) - sx / n, math.log(n) - sy / n)
+    val expected = (evs.size.toLong, cells.size.toLong, r6(smi / n),
+                    r6(hx), r6(hy), r6((smi / n) / math.sqrt(hx * hy)))
+    val got = q("q231_mutual_info")
+      .as[(Long, Long, Double, Double, Double, Double)].collect().head
+    assert(got == expected)
+    assert(got._3 >= 0.0 && got._6 <= 1.0, s"MI out of range: $got")
+  }
+
+  test("q232 Kendall tau-b matches a brute-force pair walk") {
+    val rev = Tables(spark, sf, "lineitem")
+      .select(col("l_suppkey"), col("l_shipdate").cast("string"),
+              round(col("l_extendedprice") * 100).cast("long"))
+      .as[(Long, String, Long)].collect().toSeq
+      .groupBy(_._1).toSeq.map { case (sk, g) =>
+        (sk, g.filter(_._2 < "1998-01-01").map(_._3).sum,
+         g.filter(_._2 >= "1998-01-01").map(_._3).sum)
+      }
+    val pairs = for (a <- rev; b <- rev if a._1 < b._1)
+      yield (math.signum((a._2 - b._2).toDouble).toInt,
+             math.signum((a._3 - b._3).toDouble).toInt)
+    val conc = pairs.count(p => p._1 * p._2 == 1).toLong
+    val disc = pairs.count(p => p._1 * p._2 == -1).toLong
+    val tieA = pairs.count(p => p._1 == 0 && p._2 != 0).toLong
+    val tieB = pairs.count(p => p._1 != 0 && p._2 == 0).toLong
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val tau = r6((conc - disc).toDouble /
+      math.sqrt((conc + disc + tieA).toDouble * (conc + disc + tieB).toDouble))
+    val got = q("q232_kendall_tau")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().head
+    assert(got == ((pairs.size.toLong, conc, disc, tieA, tieB, tau)))
+  }
 }
