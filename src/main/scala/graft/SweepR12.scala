@@ -37,7 +37,9 @@ object SweepR12 {
       "q223_asof_exec", "q224_vocab_coverage", "q225_twap",
       "q226_group_split", "q227_minimizer_pairs", "q228_textrank",
       "q229_auc_rank", "q230_target_encoding", "q231_mutual_info",
-      "q232_kendall_tau")
+      "q232_kendall_tau", "q233_ewma_spikes", "q234_basket_rules",
+      "q235_variant_shred", "q236_feature_hash", "q237_km_survival",
+      "q238_reciprocal_match", "q239_quantile_norm")
     // mode "x100": sweep against the 100x volume build at /tmp/sf100x
     // (tools/make100x.py defaults) instead of the 10x point — the r11
     // protocol asked at two orders. Remaining args subset the list.

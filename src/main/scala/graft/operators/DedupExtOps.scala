@@ -657,6 +657,58 @@ object DedupExtOps extends OpModule {
           newVsOld.unionAll(newVsNew).unionAll(starEdges).distinct())
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
         .orderBy("doc_id")
+    },
+
+    // Reciprocal-best match (added r12) — the entity-resolution
+    // refinement between q42's threshold pairs and q82's transitive
+    // clusters: a pair links only when each side is the OTHER's single
+    // best match, which kills the hub problem (one boilerplate doc
+    // matching fifty others chains them all; mutual-best keeps only
+    // genuine 1:1 duplicates — the record-linkage convention). Three
+    // canonical stages, each scale-shaped: BLOCKING on the 20-char
+    // text prefix with q227's hot-block cap (≤ 64 docs/block declared
+    // — a degenerate block would otherwise square), exact
+    // distinct-token Jaccard on candidates only (set algebra on
+    // per-doc token arrays; scores round 6 BEFORE ranking so the order
+    // is engine-identical), MUTUAL-ARGMAX as two row_number windows
+    // over the directed pair list joined back on itself (pair volume,
+    // never corpus volume). Docs table pinned: blocking self-join
+    // reads blocks twice, the corpus scans once.
+    "q238_reciprocal_match" -> { (s, d) =>
+      def pin(df: DataFrame) = org.apache.spark.sql.graft.InternalPin.pin(df)
+      val (docs, h) = pin(Tables(s, d, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 20).as("blk"),
+                array_distinct(filter(split(col("text"), " "),
+                                      t => length(t) > 0)).as("toks")))
+      h.count(); graft.PinScope.retain(h)
+      val capped = docs.join(
+        docs.groupBy("blk").agg(count(lit(1)).as("bn"))
+          .where(col("bn") <= HotBucketCap).select("blk"), Seq("blk"))
+      val cand = capped.as("a")
+        .join(capped.as("b"),
+              col("a.blk") === col("b.blk") &&
+                col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+                size(array_intersect(col("a.toks"), col("b.toks")))
+                  .as("inter"),
+                size(col("a.toks")).as("na"), size(col("b.toks")).as("nb"))
+        .withColumn("jac",
+          round(col("inter").cast("double") /
+                (col("na") + col("nb") - col("inter")).cast("double"), 6))
+      val dirs = cand.select(col("id_a").as("id"), col("id_b").as("p"),
+                             col("jac"))
+        .unionAll(cand.select(col("id_b").as("id"), col("id_a").as("p"),
+                              col("jac")))
+      val best = dirs.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("id")
+            .orderBy(col("jac").desc, col("p").asc)))
+        .where(col("rk") === 1)
+      best.as("x").join(best.as("y"),
+            col("x.id") === col("y.p") && col("x.p") === col("y.id") &&
+              col("x.id") < col("x.p"))
+        .select(col("x.id").as("id_a"), col("x.p").as("id_b"),
+                col("x.jac").as("jac"))
+        .orderBy("id_a")
     }
   )
 
@@ -950,6 +1002,38 @@ object DedupExtOps extends OpModule {
     }.mkString(", ")
 
   def oracles: Map[String, String] = Map(
+    // same prefix blocking + hot-block cap, same rounded-Jaccard
+    // mutual-argmax with (jac desc, partner asc) tie order
+    "q238_reciprocal_match" ->
+      """WITH dd AS (
+        |  SELECT doc_id, substr(text, 1, 20) AS blk,
+        |    list_distinct(list_filter(string_split(text, ' '),
+        |                              t -> len(t) > 0)) AS toks
+        |  FROM documents),
+        |ok AS (SELECT blk FROM dd GROUP BY blk HAVING count(*) <= 64),
+        |dc AS (SELECT dd.* FROM dd JOIN ok USING (blk)),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |          CAST(len(a.toks) + len(b.toks) -
+        |               len(list_intersect(a.toks, b.toks)) AS DOUBLE), 6)
+        |      AS jac
+        |  FROM dc a JOIN dc b
+        |    ON a.blk = b.blk AND a.doc_id < b.doc_id),
+        |dirs AS (
+        |  SELECT id_a AS id, id_b AS p, jac FROM cand
+        |  UNION ALL
+        |  SELECT id_b AS id, id_a AS p, jac FROM cand),
+        |best AS (
+        |  SELECT id, p, jac FROM (
+        |    SELECT id, p, jac, row_number() OVER (
+        |        PARTITION BY id ORDER BY jac DESC, p ASC) AS rk
+        |    FROM dirs) WHERE rk = 1)
+        |SELECT x.id AS id_a, x.p AS id_b, x.jac AS jac
+        |FROM best x JOIN best y
+        |  ON x.id = y.p AND x.p = y.id AND x.id < x.p
+        |ORDER BY id_a""".stripMargin,
+
     "q46_dedup_minhash" ->
       s"""$minhashCte
          |SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_bands

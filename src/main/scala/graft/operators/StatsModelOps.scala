@@ -1410,28 +1410,33 @@ object StatsModelOps extends OpModule {
     // baskets are ORDERS, items are part brands, and the deliverable is
     // the rule metrics (support, confidence both directions, lift) for
     // every pair above min-support 5, ranked by lift with a declared
-    // total tie order. Pair generation is a basket self-join on the
-    // DISTINCT (order, brand) table — pairs per order are bounded by
-    // basket size squared (TPC-H ≤ 7 items ⇒ ≤ 21 pairs), so pair
-    // volume is order-linear, never brand² over the corpus; the pair
-    // table itself IS brand²-bounded (≤ 625 cells here), so supports
-    // broadcast onto it and the rank is a sort of a cell table. The
-    // (order,brand) table is pinned: three consumers (basket count,
-    // item supports, pair join ×2) read blocks, the lineitem⋈part join
-    // runs ONCE. Counts exact; confidence/lift are fixed-order double
-    // divisions rounded 6.
+    // total tie order. Pair generation is per-basket ARRAY algebra, not
+    // a fact self-join: collect each order's sorted distinct brands
+    // (one key shuffle) and explode the in-array ordered pairs — pair
+    // volume is Σ basket² (order-linear, TPC-H ≤ 7 items ⇒ ≤ 21/order)
+    // and nothing corpus-sized is ever cached (the first cut PINNED the
+    // distinct (order,brand) table for its three consumers and OOMed
+    // the 100× sweep JVM — q219's pin-artifacts-never-corpora lesson,
+    // relearned; the shipped form re-derives three cheap single-purpose
+    // scans instead). The rule table is brand²-bounded, so supports
+    // broadcast onto it and the rank sorts a cell table. Counts exact;
+    // confidence/lift are fixed-order double divisions rounded 6.
     "q234_basket_rules" -> { (s, dir) =>
-      val (it, h) = pin(Tables(s, dir, "lineitem")
+      def items = Tables(s, dir, "lineitem")
         .join(Tables(s, dir, "part"),
               col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
-        .distinct())
-      h.count(); graft.PinScope.retain(h)
-      val sup = it.groupBy("b").agg(count(lit(1)).as("s"))
-      val nOrders = it.agg(countDistinct("ok").as("n_orders"))
-      it.as("x").join(it.as("y"),
-            col("x.ok") === col("y.ok") && col("x.b") < col("y.b"))
-        .groupBy(col("x.b").as("b1"), col("y.b").as("b2"))
+      val sup = items.distinct().groupBy("b").agg(count(lit(1)).as("s"))
+      val nOrders = items.agg(countDistinct("ok").as("n_orders"))
+      items.groupBy("ok")
+        .agg(sort_array(collect_set(col("b"))).as("bs"))
+        .select(explode(expr(
+          """flatten(transform(bs, (x, i) ->
+            |  transform(slice(bs, i + 2, size(bs) - i - 1),
+            |            y -> struct(x AS b1, y AS b2))))""".stripMargin))
+          .as("pr"))
+        .select(col("pr.b1").as("b1"), col("pr.b2").as("b2"))
+        .groupBy("b1", "b2")
         .agg(count(lit(1)).as("sup_ab"))
         .where(col("sup_ab") >= 5)
         .join(broadcast(sup.select(col("b").as("b1"), col("s").as("sup_a"))),
@@ -1483,6 +1488,53 @@ object StatsModelOps extends OpModule {
         .withColumn("collided",
           when(col("distinct_fv") > 1, 1L).otherwise(0L))
         .orderBy("bucket")
+    },
+
+    // Quantile normalization (added r12) — the distribution-alignment
+    // feature transform: map every supplier balance onto the CUSTOMER
+    // balance distribution at the same quantile (the cross-population
+    // calibration genomics normalizes arrays with and feature stores
+    // use to make one signal comparable across segments). Entirely
+    // INTEGER by cleared denominators: source rank cum_s maps to
+    // target order statistic k = ⌈cum_s·n_c/n_s⌉ = (cum_s·n_c+n_s−1)
+    // div n_s, and the lookup "min target value with cum_c ≥ k" is a
+    // MERGE STAIRCASE — union the k-positions with the target cum
+    // steps, one co-sort, forward-fill the next step value — so the
+    // mapping costs one sort of |vg_s|+|vg_c| VALUE-GROUP rows (domain-
+    // bound, both distributions collapse to distinct cents first), not
+    // a range join and never row volume. The two fact scans are
+    // dimension reads; divisions by 100 happen only at emission.
+    "q239_quantile_norm" -> { (s, dir) =>
+      def vg(t: String, c: String) = Tables(s, dir, t)
+        .select(round(col(c) * 100).cast("long").as("v"))
+        .groupBy("v").agg(count(lit(1)).as("c"))
+      val wCum = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy(lit(1))
+      def cum(df: DataFrame) = df
+        .withColumn("cum", sum("c").over(wCum))
+        .withColumn("n", sum("c").over(wAll))
+      val cs = cum(vg("supplier", "s_acctbal"))
+      val cc = cum(vg("customer", "c_acctbal"))
+      val kq = cs.crossJoin(broadcast(cc.agg(max("n").as("n_c"))))
+        .select(col("v").as("v_s"), col("c").as("cnt"),
+                expr("(cum * n_c + n - 1) div n").as("pos"))
+      val u = kq.select(col("pos"), lit(1L).as("isq"), col("v_s"),
+                        col("cnt"), lit(null).cast("long").as("cv"))
+        .unionAll(cc.select(col("cum").as("pos"), lit(0L).as("isq"),
+                            lit(null).cast("long").as("v_s"),
+                            lit(null).cast("long").as("cnt"),
+                            col("v").as("cv")))
+      // tie order: query rows (isq=1) BEFORE the target step (isq=0) at
+      // equal pos, so cum_c = k stays inside the current-row→following
+      // frame — the inclusive ≥ the rank map requires
+      val wNext = Window.orderBy(col("pos").asc, col("isq").desc)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      u.withColumn("mv", first(col("cv"), ignoreNulls = true).over(wNext))
+        .where(col("isq") === 1)
+        .select(round(d(col("v_s")) / 100.0, 6).as("src_bal"), col("cnt"),
+                round(d(col("mv")) / 100.0, 6).as("mapped_bal"))
+        .orderBy("src_bal")
     }
   )
 
@@ -2369,6 +2421,38 @@ object StatsModelOps extends OpModule {
         |        100.0, 6) AS target_mass,
         |  CAST(CASE WHEN count(DISTINCT fv) > 1 THEN 1 ELSE 0 END
         |       AS BIGINT) AS collided
-        |FROM fv GROUP BY bucket ORDER BY bucket""".stripMargin
+        |FROM fv GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // same cleared-denominator rank map + merge staircase; the
+    // forward-fill is first_value IGNORE NULLS over the co-sort
+    "q239_quantile_norm" ->
+      """WITH sb AS (SELECT CAST(round(s_acctbal * 100) AS BIGINT) AS v,
+        |              count(*) AS c FROM supplier GROUP BY 1),
+        |cb AS (SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS v,
+        |         count(*) AS c FROM customer GROUP BY 1),
+        |cs AS (SELECT v, c,
+        |    sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |                 AND CURRENT ROW) AS cum,
+        |    sum(c) OVER () AS n FROM sb),
+        |cc AS (SELECT v, c,
+        |    sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |                 AND CURRENT ROW) AS cum,
+        |    sum(c) OVER () AS n FROM cb),
+        |kq AS (SELECT v AS v_s, c AS cnt,
+        |    (cum * (SELECT max(n) FROM cc) + n - 1) // n AS pos
+        |  FROM cs),
+        |u AS (
+        |  SELECT pos, 1 AS isq, v_s, cnt, CAST(NULL AS BIGINT) AS cv
+        |  FROM kq
+        |  UNION ALL
+        |  SELECT cum, 0, NULL, NULL, v FROM cc),
+        |m AS (SELECT *,
+        |    first_value(cv IGNORE NULLS) OVER (
+        |      ORDER BY pos ASC, isq DESC
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS mv
+        |  FROM u)
+        |SELECT round(CAST(v_s AS DOUBLE) / 100.0, 6) AS src_bal, cnt,
+        |  round(CAST(mv AS DOUBLE) / 100.0, 6) AS mapped_bal
+        |FROM m WHERE isq = 1 ORDER BY src_bal""".stripMargin
   )
 }

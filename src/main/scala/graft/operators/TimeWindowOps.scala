@@ -634,6 +634,77 @@ object TimeWindowOps extends OpModule {
              round(sum(col("c").cast("decimal(28,0)")).cast("double") /
                      count(lit(1)) / 100.0, 6).as("plain_avg"))
         .orderBy("event_type")
+    },
+
+    // Kaplan–Meier time-to-first-qualifying-purchase (added r12) — the survival
+    // curve behind every activation/conversion dashboard, with the
+    // right-censoring plain conversion-rate cuts ignore: users who
+    // haven't converted YET (still under observation at the corpus
+    // edge) are censored at their observed age, not counted as
+    // failures. Conversion = first purchase in the premium payload
+    // bucket (props.k < 5) — rare enough that censoring genuinely
+    // occurs at every test SF, which is the estimator's whole point. The estimator's product Π(1 − d/n) is inherently
+    // sequential — the ONE place a float recurrence is unavoidable —
+    // so both engines run the IDENTICAL recursion: Spark 4's native
+    // recursive CTE over the step table, each step exactly
+    // s·((n−d)/n) in double (same two IEEE ops, same order ⇒
+    // bit-equal before the final 6 dp round). Everything feeding it is
+    // exact integer: per-user first-event / first-purchase ages in
+    // days, a duration value-group table, at-risk counts n_t = total −
+    // cum(dur < t) from ONE window over the ≤ 30-row step table. ONE
+    // fact scan (pinned user table feeds cutoff + lifetimes); the
+    // recursion runs on the step table, whose size is bounded by
+    // distinct event DAYS, not users or events.
+    "q237_km_survival" -> { (s, d) =>
+      val (u, h) = org.apache.spark.sql.graft.InternalPin.pin(
+        Tables(s, d, "events")
+          .groupBy("user_id")
+          .agg(min(unix_micros(col("ts"))).as("first_us"),
+               min(when(col("event_type") === "purchase" &&
+                          get_json_object(col("props"), "$.k")
+                            .cast("long") < 5,
+                        unix_micros(col("ts")))).as("p_us"),
+               max(unix_micros(col("ts"))).as("last_us")))
+      h.count(); graft.PinScope.retain(h)
+      val cut = u.agg(max("last_us").as("cut_us"))
+      val life = u.crossJoin(broadcast(cut))
+        .withColumn("death", when(col("p_us").isNotNull, 1L).otherwise(0L))
+        .withColumn("dur",
+          when(col("p_us").isNotNull,
+               expr("(p_us - first_us) div 86400000000"))
+            .otherwise(expr("(cut_us - first_us) div 86400000000")))
+      val wLess = org.apache.spark.sql.expressions.Window
+        .orderBy("dur")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+                       .unboundedPreceding, -1)
+      // pin the step table: the recursive CTE below rescans its view
+      // once per iteration — blocks, not the replayed fact lineage
+      val (steps, sh) = org.apache.spark.sql.graft.InternalPin.pin(
+        life.groupBy("dur")
+          .agg(count(lit(1)).as("ct"), sum("death").as("dth"))
+          .withColumn("total",
+            sum("ct").over(org.apache.spark.sql.expressions.Window
+              .partitionBy(lit(1))))
+          .withColumn("cless", coalesce(sum("ct").over(wLess), lit(0L)))
+          .withColumn("n_risk", col("total") - col("cless"))
+          .where(col("dth") > 0)
+          .withColumn("k", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy("dur")))
+          .select(col("k"), col("dur").as("t_day"), col("n_risk"),
+                  col("dth").as("deaths")))
+      sh.count(); graft.PinScope.retain(sh)
+      steps.createOrReplaceTempView("graft_km_steps")
+      s.sql("""
+        WITH RECURSIVE surv(k, sv) AS (
+          SELECT 0, CAST(1.0 AS DOUBLE)
+          UNION ALL
+          SELECT st.k,
+                 p.sv * (CAST(st.n_risk - st.deaths AS DOUBLE) /
+                         CAST(st.n_risk AS DOUBLE))
+          FROM surv p JOIN graft_km_steps st ON st.k = p.k + 1)
+        SELECT st.t_day, st.n_risk, st.deaths, round(s.sv, 6) AS surv
+        FROM surv s JOIN graft_km_steps st ON st.k = s.k
+        ORDER BY st.t_day""")
     }
   )
 
@@ -692,6 +763,49 @@ object TimeWindowOps extends OpModule {
          |        count(*) / 100.0, 6) AS plain_avg
          |FROM lagged GROUP BY event_type ORDER BY event_type""".stripMargin
     },
+
+    // identical integer step table, identical recursion: each step is
+    // exactly s*((n-d)/n) in double — same two IEEE ops, same order
+    "q237_km_survival" ->
+      """WITH RECURSIVE
+        |u AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS first_us,
+        |    min(CASE WHEN event_type = 'purchase'
+        |              AND CAST(json_extract_string(props, '$.k')
+        |                       AS BIGINT) < 5
+        |             THEN epoch_us(ts) END) AS p_us,
+        |    max(epoch_us(ts)) AS last_us
+        |  FROM events GROUP BY user_id),
+        |cut AS (SELECT max(last_us) AS cut_us FROM u),
+        |life AS (
+        |  SELECT CASE WHEN p_us IS NOT NULL THEN 1 ELSE 0 END AS death,
+        |    CASE WHEN p_us IS NOT NULL
+        |         THEN (p_us - first_us) // 86400000000
+        |         ELSE (cut_us - first_us) // 86400000000 END AS dur
+        |  FROM u CROSS JOIN cut),
+        |vg AS (SELECT dur, count(*) AS ct, sum(death) AS dth
+        |       FROM life GROUP BY dur),
+        |st0 AS (SELECT dur, ct, dth,
+        |    sum(ct) OVER () AS total,
+        |    coalesce(sum(ct) OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cless
+        |  FROM vg),
+        |steps AS (SELECT
+        |    row_number() OVER (ORDER BY dur) AS k,
+        |    dur AS t_day, total - cless AS n_risk, dth AS deaths
+        |  FROM st0 WHERE dth > 0),
+        |surv(k, sv) AS (
+        |  SELECT 0, CAST(1.0 AS DOUBLE)
+        |  UNION ALL
+        |  SELECT st.k,
+        |    p.sv * (CAST(st.n_risk - st.deaths AS DOUBLE) /
+        |            CAST(st.n_risk AS DOUBLE))
+        |  FROM surv p JOIN steps st ON st.k = p.k + 1)
+        |SELECT st.t_day, CAST(st.n_risk AS BIGINT) AS n_risk,
+        |  CAST(st.deaths AS BIGINT) AS deaths, round(s.sv, 6) AS surv
+        |FROM surv s JOIN steps st ON st.k = s.k
+        |ORDER BY st.t_day""".stripMargin,
 
     // same holding-interval weights: integer cents x integer micro-
     // second durations, decimal sums, one rounded division

@@ -1560,6 +1560,210 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(got._3 >= 0.0 && got._6 <= 1.0, s"MI out of range: $got")
   }
 
+  test("q233 EWMA spike screen matches a sequential BigInt fold") {
+    // independent semantics: walk each type's series in order keeping
+    // the last 32 values, recompute the weighted pair directly
+    val evs = Tables(spark, sf, "events")
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")),
+              round(col("value") * 100).cast("long"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = evs.groupBy(_._1).toSeq.map { case (t, g) =>
+      val cs = g.sortBy(e => (e._3, e._2)).map(_._4)
+      var spikes = 0L
+      var lastEwma = 0.0
+      for (i <- cs.indices) {
+        val prev = cs.slice(math.max(0, i - 32), i).reverse
+        val (numP, denP) = prev.zipWithIndex.map { case (c, j) =>
+          (BigInt(c) * BigInt(1L << (31 - j)), BigInt(1L << (31 - j)))
+        }.foldLeft((BigInt(0), BigInt(0))) { case ((a, b), (x, y)) =>
+          (a + x, b + y) }
+        if (denP > 0 && BigInt(cs(i)) * denP > numP * 2) spikes += 1
+        val incl = cs.slice(math.max(0, i - 31), i + 1).reverse
+        val (numI, denI) = incl.zipWithIndex.map { case (c, j) =>
+          (BigInt(c) * BigInt(1L << (31 - j)), BigInt(1L << (31 - j)))
+        }.foldLeft((BigInt(0), BigInt(0))) { case ((a, b), (x, y)) =>
+          (a + x, b + y) }
+        if (i == cs.indices.last)
+          lastEwma = r6(numI.toDouble / denI.toDouble / 100.0)
+      }
+      val avg = r6(cs.map(BigInt(_)).sum.toDouble / cs.size / 100.0)
+      (t, cs.size.toLong, spikes, lastEwma, avg)
+    }.sortBy(_._1)
+    val got = q("q233_ewma_spikes")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got == expected)
+    assert(got.exists(_._3 > 0L), "no spike anywhere — screen vacuous")
+  }
+
+  test("q234 association rules match a brute-force basket walk") {
+    val it = Tables(spark, sf, "lineitem")
+      .join(Tables(spark, sf, "part"), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+      .as[(Long, String)].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nOrders = it.map(_._1).distinct.size.toLong
+    val sup = it.groupBy(_._2).map { case (b, g) => b -> g.size.toLong }
+    val pairs = it.groupBy(_._1).values.toSeq.flatMap { basket =>
+      val bs = basket.map(_._2).sorted
+      for (i <- bs.indices; j <- (i + 1) until bs.size) yield (bs(i), bs(j))
+    }.groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+      .filter(_._2 >= 5L)
+    val expected = pairs.toSeq.map { case ((b1, b2), ab) =>
+      val (sa, sb) = (sup(b1), sup(b2))
+      (b1, b2, ab, sa, sb, r6(ab.toDouble / sa), r6(ab.toDouble / sb),
+       r6(ab.toDouble * nOrders / (sa.toDouble * sb.toDouble)))
+    }.sortBy(r => (-r._8, r._1, r._2)).take(20)
+    val got = q("q234_basket_rules")
+      .as[(String, String, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "no rule above min-support — vacuous")
+  }
+
+  test("q235 variant shred agrees with the schema-ful from_json path") {
+    // two parse stacks over the same payload: open-schema VARIANT vs
+    // q35's typed map — identical buckets, and the drift probe is all-null
+    val viaMap = Tables(spark, sf, "events")
+      .select((get_json_object(col("props"), "$.k").cast("long") / 10)
+                .cast("long").as("bucket"),
+              col("event_type"),
+              round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"),
+           countDistinct(col("event_type")).as("types"))
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val got = q("q235_variant_shred")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) == viaMap)
+    assert(got.forall(_._4 == 0L), "missing-key probe hit something")
+  }
+
+  test("q236 feature-hash buckets match a JVM md5 recomputation") {
+    val rows = Tables(spark, sf, "orders")
+      .join(Tables(spark, sf, "customer"),
+            col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("c_nationkey").cast("string"),
+              col("o_orderpriority"),
+              round(col("o_totalprice") * 100).cast("long"))
+      .as[(String, String, String, Long)].collect().toSeq
+    def bucket(fv: String): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(fv.getBytes("UTF-8"))
+      val hex = dig.take(2).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 64
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val fvs = rows.flatMap { case (seg, nat, pri, c) =>
+      Seq((s"seg=$seg", c), (s"nat=$nat", c), (s"pri=$pri", c)) }
+    val expected = fvs.groupBy(f => bucket(f._1)).toSeq.map {
+      case (b, g) =>
+        (b, g.size.toLong, g.map(_._1).distinct.size.toLong,
+         r6(g.map(r => BigInt(r._2)).sum.toDouble / 100.0),
+         if (g.map(_._1).distinct.size > 1) 1L else 0L)
+    }.sortBy(_._1)
+    val got = q("q236_feature_hash")
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq
+    assert(got == expected)
+    assert(got.map(_._2).sum == rows.size * 3L)
+  }
+
+  test("q237 Kaplan-Meier matches a sequential product fold") {
+    val evs = Tables(spark, sf, "events")
+      .select(col("user_id"),
+              col("event_type") === "purchase" &&
+                get_json_object(col("props"), "$.k").cast("long") < 5,
+              unix_micros(col("ts")))
+      .as[(Long, Boolean, Long)].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cut = evs.map(_._3).max
+    val life = evs.groupBy(_._1).values.toSeq.map { g =>
+      val first = g.map(_._3).min
+      val p = g.filter(_._2).map(_._3).minOption
+      p match {
+        case Some(pu) => ((pu - first) / 86400000000L, 1L)
+        case None     => ((cut - first) / 86400000000L, 0L)
+      }
+    }
+    val total = life.size.toLong
+    val steps = life.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, g) =>
+      (t, g.size.toLong, g.map(_._2).sum) }
+    var atRiskBefore = total
+    var sv = 1.0
+    val expected = steps.flatMap { case (t, ct, dth) =>
+      val n = atRiskBefore
+      atRiskBefore -= ct
+      if (dth > 0) {
+        sv = sv * ((n - dth).toDouble / n.toDouble)
+        Some((t, n, dth, r6(sv)))
+      } else None
+    }
+    val got = q("q237_km_survival")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == expected)
+    assert(got.nonEmpty && got.last._4 < 1.0)
+    // censoring must actually occur for the estimator to differ from
+    // a plain conversion curve
+    assert(life.exists(_._2 == 0L), "no censored user — KM vacuous")
+  }
+
+  test("q238 reciprocal-best pairs are mutual argmaxes of exact Jaccard") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+      .map { case (id, t) =>
+        (id, t.take(20), t.split(" ").filter(_.nonEmpty).toSet) }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byBlk = docs.groupBy(_._2).filter(_._2.size <= 64)
+    val cand = byBlk.values.toSeq.flatMap { g =>
+      for (a <- g; b <- g if a._1 < b._1) yield {
+        val inter = (a._3 & b._3).size
+        (a._1, b._1, r6(inter.toDouble / (a._3.size + b._3.size - inter)))
+      }
+    }
+    val dirs = cand.flatMap { case (a, b, j) => Seq((a, b, j), (b, a, j)) }
+    val best = dirs.groupBy(_._1).map { case (id, g) =>
+      id -> g.minBy(r => (-r._3, r._2))._2 }
+    val expected = cand.filter { case (a, b, _) =>
+      best(a) == b && best(b) == a }.sortBy(_._1)
+      .map { case (a, b, j) => (a, b, j) }
+    val got = q("q238_reciprocal_match")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "no mutual pair at sf0.001 — vacuous")
+    // anti-hub property: every doc appears at most once per side
+    assert(got.map(_._1).distinct.size == got.size)
+    assert(got.map(_._2).distinct.size == got.size)
+  }
+
+  test("q239 quantile map is monotone and hits exact target order stats") {
+    val sup = Tables(spark, sf, "supplier")
+      .select(round(col("s_acctbal") * 100).cast("long"))
+      .as[Long].collect().toSeq.sorted
+    val cus = Tables(spark, sf, "customer")
+      .select(round(col("c_acctbal") * 100).cast("long"))
+      .as[Long].collect().toSeq.sorted
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (ns, nc) = (sup.size.toLong, cus.size.toLong)
+    val expected = sup.groupBy(identity).toSeq.sortBy(_._1).map {
+      case (v, g) =>
+        val cum = sup.count(_ <= v).toLong
+        val k = ((cum * nc + ns - 1) / ns).toInt
+        (r6(v.toDouble / 100.0), g.size.toLong,
+         r6(cus(k - 1).toDouble / 100.0))
+    }
+    val got = q("q239_quantile_norm")
+      .as[(Double, Long, Double)].collect().toSeq
+    assert(got == expected)
+    // monotone: higher source balance never maps lower
+    assert(got.map(_._3) == got.map(_._3).sorted)
+  }
+
   test("q232 Kendall tau-b matches a brute-force pair walk") {
     val rev = Tables(spark, sf, "lineitem")
       .select(col("l_suppkey"), col("l_shipdate").cast("string"),
