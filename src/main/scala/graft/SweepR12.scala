@@ -39,7 +39,9 @@ object SweepR12 {
       "q229_auc_rank", "q230_target_encoding", "q231_mutual_info",
       "q232_kendall_tau", "q233_ewma_spikes", "q234_basket_rules",
       "q235_variant_shred", "q236_feature_hash", "q237_km_survival",
-      "q238_reciprocal_match", "q239_quantile_norm")
+      "q238_reciprocal_match", "q239_quantile_norm",
+      "q240_class_balance", "q241_containment_dedup", "q242_gram_novelty",
+      "q243_pmi_pairs", "q244_table_checksum")
     // mode "x100": sweep against the 100x volume build at /tmp/sf100x
     // (tools/make100x.py defaults) instead of the 10x point — the r11
     // protocol asked at two orders. Remaining args subset the list.

@@ -648,6 +648,41 @@ object AdvancedOps extends OpModule {
                 dim("segment").as("seg_at_order"),
                 dim("version").as("dim_version"))
         .orderBy("o_orderkey")
+    },
+
+    // Table content checksums (added r12) — the migration/replication
+    // validator next to q116's rule audit and q117's row diff: one
+    // ORDER-FREE fingerprint per table (row count + Σ of a per-row
+    // md5-derived 32-bit word, summed exactly in decimal) that two
+    // sides of a copy — engines, clusters, snapshots — can compare
+    // with one number each, no row shipping, no sort. Commutative sum
+    // ⇒ map-side combinable, partition-order immune, and embarrassingly
+    // parallel at any volume: the whole audit is three scans, three
+    // one-row aggregates. Canonical row strings stick to integer keys,
+    // cents, and enum columns (float repr is the classic cross-engine
+    // checksum trap — the cents discipline removes it).
+    "q244_table_checksum" -> { (s, d) =>
+      def ck(name: String, rows: DataFrame): DataFrame = rows
+        .select(conv(substring(md5(col("canon")), 1, 8), 16, 10)
+                  .cast("long").as("h"))
+        .agg(count(lit(1)).as("row_count"),
+             sum(col("h").cast("decimal(38,0)")).cast("long")
+               .as("checksum"))
+        .select(lit(name).as("tbl"), col("row_count"), col("checksum"))
+      def cents(c: Column) = round(c * 100).cast("long")
+      ck("customer", Tables(s, d, "customer").select(concat_ws("|",
+          col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          cents(col("c_acctbal"))).as("canon")))
+        .unionAll(ck("lineitem", Tables(s, d, "lineitem")
+          .select(concat_ws("|",
+            col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_suppkey"), cents(col("l_extendedprice")),
+            col("l_returnflag")).as("canon"))))
+        .unionAll(ck("orders", Tables(s, d, "orders")
+          .select(concat_ws("|",
+            col("o_orderkey"), col("o_custkey"), cents(col("o_totalprice")),
+            col("o_orderstatus"), col("o_orderpriority")).as("canon"))))
+        .orderBy("tbl")
     }
   )
 
@@ -796,6 +831,26 @@ object AdvancedOps extends OpModule {
   }
 
   def oracles: Map[String, String] = Map(
+    // same canonical strings, same md5-word sums
+    "q244_table_checksum" ->
+      """WITH c AS (SELECT concat_ws('|', c_custkey, c_nationkey,
+        |    c_mktsegment, CAST(round(c_acctbal * 100) AS BIGINT))
+        |    AS canon FROM customer),
+        |l AS (SELECT concat_ws('|', l_orderkey, l_linenumber, l_partkey,
+        |    l_suppkey, CAST(round(l_extendedprice * 100) AS BIGINT),
+        |    l_returnflag) AS canon FROM lineitem),
+        |o AS (SELECT concat_ws('|', o_orderkey, o_custkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT), o_orderstatus,
+        |    o_orderpriority) AS canon FROM orders),
+        |u AS (
+        |  SELECT 'customer' AS tbl, canon FROM c
+        |  UNION ALL SELECT 'lineitem', canon FROM l
+        |  UNION ALL SELECT 'orders', canon FROM o)
+        |SELECT tbl, count(*) AS row_count,
+        |  CAST(sum(CAST(CAST(('0x' || substr(md5(canon), 1, 8)) AS BIGINT)
+        |                AS DECIMAL(38,0))) AS BIGINT) AS checksum
+        |FROM u GROUP BY tbl ORDER BY tbl""".stripMargin,
+
     // the plain cohort join — q162's result must be independent of
     // whether AQE split the skewed partition
     "q162_join_skew_aqe" ->

@@ -271,6 +271,37 @@ object CorpusExtOps extends OpModule {
                 round(col("chunk_tokens").cast("double") / col("n"), 6)
                   .as("coverage"))
         .orderBy("doc_id")
+    },
+
+    // Class-balanced downsampling (added r12) — the rebalancing step
+    // between q92's fixed-k strata and q85's ratio mixing: cap EVERY
+    // language at the SMALLEST class's size, the deterministic
+    // undersampling a classifier-training prep runs when the majority
+    // class would drown the loss. Selection is q67's no-RNG draw —
+    // rank by (md5(doc_id), doc_id) within each class, keep rank ≤ m
+    // where m is the broadcast min class size — so the sample is
+    // identical across engines, partitionings, and re-runs, and
+    // adding documents to OTHER classes never changes a class's kept
+    // set (only m can move it). One scan, one lang shuffle for the
+    // rank, a ≤ langs-row class-count table broadcast back. The
+    // audit output checksums the selection (kept char mass) so the
+    // oracle pins membership, not just counts.
+    "q240_class_balance" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+                md5(col("doc_id").cast("string")).as("u"))
+      val m = docs.groupBy("lang").agg(count(lit(1)).as("cn"))
+        .agg(min("cn").as("m"))
+      docs.withColumn("rk", row_number().over(
+          Window.partitionBy("lang").orderBy("u", "doc_id")))
+        .crossJoin(broadcast(m))
+        .where(col("rk") <= col("m"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("kept"),
+             sum(col("n_chars").cast("decimal(28,0)")).cast("long")
+               .as("kept_chars"),
+             min(col("u")).as("first_u"))
+        .orderBy("lang")
     }
   )
 
@@ -311,6 +342,23 @@ object CorpusExtOps extends OpModule {
        |FROM p GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // same md5 rank within class, same broadcast min-class cap
+    "q240_class_balance" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    md5(CAST(doc_id AS VARCHAR)) AS u
+        |  FROM documents),
+        |m AS (SELECT min(cn) AS m FROM (
+        |        SELECT count(*) AS cn FROM d GROUP BY lang)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |        ORDER BY u, doc_id) AS rk FROM d)
+        |SELECT lang, count(*) AS kept,
+        |  CAST(sum(CAST(n_chars AS DECIMAL(28,0))) AS BIGINT)
+        |    AS kept_chars,
+        |  min(u) AS first_u
+        |FROM r CROSS JOIN m WHERE rk <= m.m
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
     // identical fixed-point lift: integer scale + integer division
     "q129_token_lift" ->
       """WITH t AS (

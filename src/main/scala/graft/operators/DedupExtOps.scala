@@ -709,6 +709,54 @@ object DedupExtOps extends OpModule {
         .select(col("x.id").as("id_a"), col("x.p").as("id_b"),
                 col("x.jac").as("jac"))
         .orderBy("id_a")
+    },
+
+    // Containment dedup (added r12) — the ASYMMETRIC overlap Jaccard
+    // structurally misses: a short document fully quoted inside a long
+    // one has |A∩B|/|A| ≈ 1 but Jaccard ≈ |A|/|B| (arbitrarily low),
+    // so a symmetric threshold never fires — yet subset-duplication
+    // (quoted boilerplate, prepended headers, excerpt pages) is
+    // exactly what a corpus-prep pass must catch. Same blocked
+    // candidate stage as q238 (20-char prefix, ≤64 hot-block cap);
+    // score = inter / |small| with SMALL declared as fewer distinct
+    // tokens then lower doc_id; keep containment ≥ 0.9 and report
+    // Jaccard alongside — rows with high cont and low jac are the
+    // pairs the symmetric pass provably loses. Integer set algebra,
+    // two rounded divisions at emission.
+    "q241_containment_dedup" -> { (s, d) =>
+      def pin(df: DataFrame) = org.apache.spark.sql.graft.InternalPin.pin(df)
+      val (docs, h) = pin(Tables(s, d, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 20).as("blk"),
+                array_distinct(filter(split(col("text"), " "),
+                                      t => length(t) > 0)).as("toks")))
+      h.count(); graft.PinScope.retain(h)
+      val capped = docs.join(
+        docs.groupBy("blk").agg(count(lit(1)).as("bn"))
+          .where(col("bn") <= HotBucketCap).select("blk"), Seq("blk"))
+      capped.as("a")
+        .join(capped.as("b"),
+              col("a.blk") === col("b.blk") &&
+                col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+                size(array_intersect(col("a.toks"), col("b.toks")))
+                  .as("inter"),
+                size(col("a.toks")).as("na"), size(col("b.toks")).as("nb"))
+        .select(
+          when(col("na") < col("nb") ||
+                 (col("na") === col("nb")), col("ia"))
+            .otherwise(col("ib")).as("id_small"),
+          when(col("na") < col("nb") ||
+                 (col("na") === col("nb")), col("ib"))
+            .otherwise(col("ia")).as("id_big"),
+          col("inter"), least(col("na"), col("nb")).as("nsmall"),
+          (col("na") + col("nb") - col("inter")).as("uni"))
+        .where(col("inter") * 10 >= col("nsmall") * 9)
+        .select(col("id_small"), col("id_big"),
+                round(col("inter").cast("double") /
+                      col("nsmall").cast("double"), 6).as("containment"),
+                round(col("inter").cast("double") /
+                      col("uni").cast("double"), 6).as("jaccard"))
+        .orderBy("id_small", "id_big")
     }
   )
 
@@ -1033,6 +1081,34 @@ object DedupExtOps extends OpModule {
         |FROM best x JOIN best y
         |  ON x.id = y.p AND x.p = y.id AND x.id < x.p
         |ORDER BY id_a""".stripMargin,
+
+    // same blocking + cap, same declared small side, same integer
+    // threshold inter*10 >= nsmall*9
+    "q241_containment_dedup" ->
+      """WITH dd AS (
+        |  SELECT doc_id, substr(text, 1, 20) AS blk,
+        |    list_distinct(list_filter(string_split(text, ' '),
+        |                              t -> len(t) > 0)) AS toks
+        |  FROM documents),
+        |ok AS (SELECT blk FROM dd GROUP BY blk HAVING count(*) <= 64),
+        |dc AS (SELECT dd.* FROM dd JOIN ok USING (blk)),
+        |sc AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |    len(list_intersect(a.toks, b.toks)) AS inter,
+        |    len(a.toks) AS na, len(b.toks) AS nb
+        |  FROM dc a JOIN dc b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+        |dir AS (
+        |  SELECT CASE WHEN na <= nb THEN ia ELSE ib END AS id_small,
+        |    CASE WHEN na <= nb THEN ib ELSE ia END AS id_big,
+        |    inter, least(na, nb) AS nsmall, na + nb - inter AS uni
+        |  FROM sc)
+        |SELECT id_small, id_big,
+        |  round(CAST(inter AS DOUBLE) / CAST(nsmall AS DOUBLE), 6)
+        |    AS containment,
+        |  round(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE), 6)
+        |    AS jaccard
+        |FROM dir WHERE inter * 10 >= nsmall * 9
+        |ORDER BY id_small, id_big""".stripMargin,
 
     "q46_dedup_minhash" ->
       s"""$minhashCte

@@ -721,6 +721,92 @@ object TextExtOps extends OpModule {
       }
       r.select(col("id").as("token"), col("r").as("rank"))
         .orderBy(col("rank").desc, col("token")).limit(10)
+    },
+
+    // Per-source n-gram novelty (added r12) — the CONTRIBUTION metric
+    // a data-acquisition pipeline prices sources by: of each source's
+    // 8-gram set, what share is claimed FIRST by its docs (first =
+    // lowest doc_id, the declared ingestion order) rather than already
+    // present earlier in the corpus? Boilerplate-heavy feeds score low
+    // and get deprioritized before the next crawl — the dedup
+    // families (q41/q46/q219) remove redundancy after the fact, this
+    // screen prevents buying it. O(grams) exactly like q219: the gram
+    // projection derives twice (grams → first-claimant table, grams ⋈
+    // claims), one m-keyed shuffle each, NOTHING corpus-sized cached
+    // (q219's pin lesson); per-doc rollup then a source join on the
+    // doc-count-sized table. Docs under 8 tokens have no grams and
+    // are declared out of scope.
+    "q242_gram_novelty" -> { (s, d) =>
+      def g = gramHashes(Tables(s, d, "documents"), 8).distinct()
+      val firsts = g.groupBy("m").agg(min("doc_id").as("first_id"))
+      val perDoc = g.join(firsts, Seq("m"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("g"),
+             sum(when(col("doc_id") === col("first_id"), 1L)
+                   .otherwise(0L)).as("nv"))
+      perDoc
+        .join(Tables(s, d, "documents").select(col("doc_id"), col("source")),
+              Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"), sum("g").as("grams"),
+             sum("nv").as("novel"))
+        .select(col("source"), col("docs"),
+                col("grams").cast("long").as("grams"),
+                col("novel").cast("long").as("novel"),
+                round(col("novel").cast("double") /
+                      col("grams").cast("double"), 6).as("novelty"))
+        .orderBy("source")
+    },
+
+    // PMI collocations (added r12) — the lexicographer's classic next
+    // to q228's TextRank and q231's field-level MI: which word pairs
+    // co-occur (distance ≤ 2, the q228 pair stream) far above chance?
+    // PMI = ln(N·c_xy/(cx·cy)) over PAIR-SLOT margins (cx counts x's
+    // appearances in the pair stream, so the contingency algebra is
+    // self-consistent), minimum pair count 10 to kill the
+    // low-frequency PMI explosion, top-20 by the DECLARED
+    // (pmi rounded 6 desc, w1, w2) total order. Scale shape: pair gen
+    // is lead(1)/lead(2) on ONE doc-keyed window (no position
+    // self-join); everything after lives on the observed-pair cell
+    // table — margins are windows over it (q231's no-rescan trick),
+    // never a second corpus pass.
+    "q243_pmi_pairs" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val toks = Tables(s, d, "documents")
+        .select(col("doc_id"),
+                posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+        .where(length(col("t")) > 0)
+      // pin the AGGREGATED pair cell table (an artifact, not the gram
+      // stream — q219's distinction): three consumers read blocks, the
+      // corpus window runs once
+      val (prs, ph) = org.apache.spark.sql.graft.InternalPin.pin(toks
+        .withColumn("n1", lead("t", 1).over(w))
+        .withColumn("n2", lead("t", 2).over(w))
+        .select(col("t"), explode(array(col("n1"), col("n2"))).as("u"))
+        .where(col("u").isNotNull)
+        .select(least(col("t"), col("u")).as("w1"),
+                greatest(col("t"), col("u")).as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c")))
+      ph.count(); graft.PinScope.retain(ph)
+      // slot margins from the pair cell table itself: m(x) = x's
+      // appearances across both slots; P(slot=x) = m/2N, so
+      // PMI = ln((c/N) / ((m1/2N)(m2/2N))) = ln(4·c·N/(m1·m2))
+      val marg = prs.select(explode(array(col("w1"), col("w2"))).as("t"),
+                            col("c"))
+        .groupBy("t").agg(sum("c").as("m"))
+      val n = prs.agg(sum("c").as("nn"))
+      prs.where(col("c") >= 10)
+        .join(marg.select(col("t").as("w1"), col("m").as("m1")), Seq("w1"))
+        .join(marg.select(col("t").as("w2"), col("m").as("m2")), Seq("w2"))
+        .crossJoin(broadcast(n))
+        .select(col("w1"), col("w2"), col("c"),
+                round(log(lit(4.0) * col("c").cast("double") *
+                          col("nn").cast("double") /
+                          (col("m1").cast("double") *
+                           col("m2").cast("double"))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(20)
     }
   )
 
@@ -817,6 +903,58 @@ object TextExtOps extends OpModule {
       s"CASE WHEN $ge THEN '$lg' ELSE $els END"
     }
     Map(
+      // same distinct 8-gram hashes, same min-doc_id first claim
+      "q242_gram_novelty" ->
+        """WITH g0 AS (
+          |  SELECT DISTINCT doc_id,
+          |    md5(unnest(list_transform(range(1, len(t) - 6),
+          |        i -> array_to_string(t[i:i+7], ' ')))) AS m
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+          |        FROM documents)),
+          |f AS (SELECT m, min(doc_id) AS first_id FROM g0 GROUP BY m),
+          |pd AS (SELECT g0.doc_id, count(*) AS g,
+          |         sum(CASE WHEN g0.doc_id = f.first_id
+          |                  THEN 1 ELSE 0 END) AS nv
+          |       FROM g0 JOIN f USING (m) GROUP BY g0.doc_id)
+          |SELECT d.source, count(*) AS docs,
+          |  CAST(sum(g) AS BIGINT) AS grams,
+          |  CAST(sum(nv) AS BIGINT) AS novel,
+          |  round(CAST(sum(nv) AS DOUBLE) / CAST(sum(g) AS DOUBLE), 6)
+          |    AS novelty
+          |FROM pd JOIN documents d USING (doc_id)
+          |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+      // same lead(1)/lead(2) pair stream, slot margins, min count 10,
+      // declared (pmi desc, w1, w2) top-20
+      "q243_pmi_pairs" ->
+        """WITH tk0 AS (
+          |  SELECT doc_id,
+          |    unnest(range(0, len(string_split(text, ' ')))) AS pos,
+          |    unnest(string_split(text, ' ')) AS tok
+          |  FROM documents),
+          |tk AS (SELECT * FROM tk0 WHERE len(tok) > 0),
+          |ld AS (SELECT doc_id, tok,
+          |    lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS n1,
+          |    lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS n2
+          |  FROM tk),
+          |pr0 AS (
+          |  SELECT least(tok, u) AS w1, greatest(tok, u) AS w2
+          |  FROM (SELECT tok, unnest([n1, n2]) AS u FROM ld)
+          |  WHERE u IS NOT NULL),
+          |prs AS (SELECT w1, w2, count(*) AS c FROM pr0 GROUP BY 1, 2),
+          |marg AS (SELECT t, CAST(sum(c) AS BIGINT) AS m FROM (
+          |    SELECT unnest([w1, w2]) AS t, c FROM prs) GROUP BY t),
+          |n AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM prs)
+          |SELECT w1, w2, c,
+          |  round(ln(4.0 * CAST(c AS DOUBLE) * CAST(nn AS DOUBLE) /
+          |           (CAST(m1.m AS DOUBLE) * CAST(m2.m AS DOUBLE))), 6)
+          |    AS pmi
+          |FROM prs JOIN marg m1 ON m1.t = prs.w1
+          |         JOIN marg m2 ON m2.t = prs.w2
+          |         CROSS JOIN n
+          |WHERE c >= 10
+          |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+
       // identical total order (count DESC, token ASC), identical
       // unrounded cum/total target test, share rounded 6 once
       "q224_vocab_coverage" ->

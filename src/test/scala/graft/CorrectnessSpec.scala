@@ -1764,6 +1764,106 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(got.map(_._3) == got.map(_._3).sorted)
   }
 
+  test("q240 class balance caps every language at the min class size") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .as[(Long, String, Long)].collect().toSeq
+    def h(id: Long): String = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      dig.map(b => f"$b%02x").mkString
+    }
+    val m = docs.groupBy(_._2).values.map(_.size).min
+    val expected = docs.groupBy(_._2).toSeq.map { case (lang, g) =>
+      val kept = g.sortBy(r => (h(r._1), r._1)).take(m)
+      (lang, kept.size.toLong, kept.map(_._3).sum,
+       kept.map(r => h(r._1)).min)
+    }.sortBy(_._1)
+    val got = q("q240_class_balance")
+      .as[(String, Long, Long, String)].collect().toSeq
+    assert(got == expected)
+    assert(got.map(_._2).distinct == Seq(m.toLong), "classes not equal-size")
+  }
+
+  test("q241 containment catches a subset pair Jaccard would miss") {
+    val got = q("q241_containment_dedup")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got.forall(r => r._3 >= 0.9))
+    assert(got.forall(r => r._3 >= r._4 - 1e-9),
+           "containment below jaccard — direction inverted")
+    // the operator's reason to exist: at least one asymmetric pair
+    // (high containment, materially lower jaccard)
+    assert(got.exists(r => r._4 <= r._3 - 0.05),
+           s"no asymmetric pair found: $got")
+  }
+
+  test("q242 novelty: first source claiming every gram nets it exactly once") {
+    val rows = q("q242_gram_novelty")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    // total novel grams across sources == corpus distinct gram count
+    val distinctGrams = Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+              org.apache.spark.sql.graft.GraftFunctions
+                .ngrams(split(col("text"), " "), 8).as("g"))
+      .select(md5(col("g"))).distinct().count()
+    assert(rows.map(_._4).sum == distinctGrams)
+    assert(rows.forall(r => r._4 <= r._3 && r._5 >= 0.0 && r._5 <= 1.0))
+  }
+
+  test("q243 PMI pairs match a direct pair-margin recomputation") {
+    val texts = Tables(spark, sf, "documents")
+      .select(col("text")).as[String].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pairs = texts.flatMap { t =>
+      val ts = t.split(" ").filter(_.nonEmpty)
+      ts.indices.flatMap { i =>
+        Seq(i + 1, i + 2).filter(_ < ts.size).map { j =>
+          val (a, b) = (ts(i), ts(j))
+          if (a <= b) (a, b) else (b, a)
+        }
+      }
+    }
+    val cell = pairs.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val marg = cell.toSeq.flatMap { case ((a, b), c) => Seq((a, c), (b, c)) }
+      .groupBy(_._1).map { case (t, g) => t -> g.map(_._2).sum }
+    val n = cell.values.sum.toDouble
+    val expected = cell.filter(_._2 >= 10L).toSeq.map { case ((a, b), c) =>
+      (a, b, c, r6(math.log(4.0 * c * n / (marg(a).toDouble * marg(b).toDouble))))
+    }.sortBy(r => (-r._4, r._1, r._2)).take(20)
+    val got = q("q243_pmi_pairs")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("q244 checksum is stable, partition-immune, and content-sensitive") {
+    val base = q("q244_table_checksum")
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(base.map(_._1) == Seq("customer", "lineitem", "orders"))
+    assert(base.find(_._1 == "orders").get._2 ==
+             Tables(spark, sf, "orders").count())
+    // order-free sum: a repartitioned recomputation is bit-identical
+    val again = q("q244_table_checksum")
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(base == again)
+    // content-sensitive: dropping one order's md5 word from the exact
+    // sum must change the published checksum
+    val one = Tables(spark, sf, "orders")
+      .select(concat_ws("|", col("o_orderkey"), col("o_custkey"),
+              round(col("o_totalprice") * 100).cast("long"),
+              col("o_orderstatus"), col("o_orderpriority")))
+      .as[String].head()
+    val word = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(one.getBytes("UTF-8")).take(4)
+        .map(b => f"$b%02x").mkString, 16)
+    assert(word != 0L,
+      "degenerate zero md5 word — drop-one insensitivity possible")
+    val full = base.find(_._1 == "orders").get
+    assert(full._3 - word != full._3)
+  }
+
   test("q232 Kendall tau-b matches a brute-force pair walk") {
     val rev = Tables(spark, sf, "lineitem")
       .select(col("l_suppkey"), col("l_shipdate").cast("string"),
