@@ -1064,4 +1064,77 @@ class PlanShapeSpec extends SparkSpecBase {
       PinScope.drain()
     }
   }
+
+  test("q229: rank algebra lives on the value-group table, facts join once") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q229_auc_rank")(spark, sf)
+      val p = df.queryExecution.executedPlan
+      // the orders-lineitem label join + per-order agg happen BELOW the
+      // pin, so the executed plan above it must carry no join on fact
+      // tables — only the domain-bound cum/npos join
+      val joins = p.toString
+      assert(!joins.contains("CartesianProduct"), joins)
+      // cumCounts' interior cumsums run partitioned (prio, bucket) —
+      // no single-partition global window over the value groups
+      assert(!joins.contains("SinglePartition) AS"), joins)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      PinScope.drain()
+    }
+  }
+
+  test("q230/q231: one fact scan; margins are windows over the cell table") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for ((q, fact) <- Seq("q230_target_encoding" -> "orders",
+                            "q231_mutual_info" -> "events")) {
+        val p = SparkEntry.queries(q)(spark, sf)
+          .queryExecution.executedPlan.toString
+        val factScans = s"$fact\\.parquet".r.findAllIn(p).size
+        assert(factScans == 1,
+               s"$q: fact table scans $factScans times:\n$p")
+        PinScope.drain()
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q233: the EWMA unroll rides ONE event_type exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q233_ewma_spikes")(spark, sf)
+      val plan = df.queryExecution.executedPlan
+      val ex = plan.collect { case e: ShuffleExchangeLike => e }
+      // one shuffle for the type-keyed window; the groupBy reuses its
+      // partitioning (q113's shape) — plus the final tiny sort
+      assert(ex.size <= 2, s"q233 shuffles ${ex.size}x:\n$plan")
+      // all 64 lags + the spike rule evaluate in ONE Window operator
+      val winOps = "\\bWindow\\b".r.findAllIn(plan.toString).size
+      assert(winOps <= 2, s"q233 stacked $winOps Window operators:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      PinScope.drain()
+    }
+  }
+
+  test("q234: pair generation is array algebra — no fact self-join") {
+    val df = SparkEntry.queries("q234_basket_rules")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the basket path must contain a generator over the collected
+    // arrays, not a lineitem-lineitem sort-merge self-join
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    PinScope.drain()
+  }
+
+  test("q244: checksums are partial-aggregated — map-side combine, no sort") {
+    val df = SparkEntry.queries("q244_table_checksum")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // commutative sum ⇒ two-phase HashAggregate per branch, never a
+    // SortAggregate or a global sort below the union
+    assert(!p.contains("SortAggregate"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 6, p)
+  }
 }
