@@ -154,6 +154,57 @@ object StatsExtOps extends OpModule {
         .orderBy("join_name")
     },
 
+    // PK-certified join-size shortcut (added r12) — closes q215's
+    // documented planner gap: when the build side's key is AUDITED
+    // unique (q203's FD check — count == distinct count, never an
+    // assumed constraint), every ca(k) ≡ 1 and the Σ ca·cb prediction
+    // degenerates to a SEMI-JOIN over the probe's count table — the
+    // 100× q215 capture showed exactly what that saves (the 15 M ⋈
+    // 15 M key-count join that spilled is skipped entirely; the
+    // shortcut touches |probe keys| rows once). The audit result is a
+    // 1-row scalar (bounded driver traffic, the PartitionedOps
+    // precedent) and the operator BRANCHES on it: certified → semi
+    // path, not certified → q215's general term join, so it never
+    // assumes key-ness it hasn't proven. Both paths provably emit the
+    // same numbers when PK holds — the oracle states the general
+    // formula once and the spec asserts the equivalence directly.
+    "q245_join_size_pk" -> { (s, d) =>
+      def report(name: String, lhs: DataFrame, rhs: DataFrame)
+          : DataFrame = {
+        val a = lhs.agg(count(lit(1)).as("n"),
+                        countDistinct("k").as("nk")).head()
+        val (lhsRows, pk) = (a.getLong(0), a.getLong(0) == a.getLong(1))
+        val cb = rhs.groupBy("k").agg(count(lit(1)).as("cb"))
+        val core =
+          if (pk)
+            cb.join(lhs.select("k"), Seq("k"), "left_semi")
+              .agg(count(lit(1)).as("shared_keys"),
+                   sum(col("cb")).cast("long").as("predicted_rows"),
+                   max(col("cb")).as("max_key_rows"))
+          else {
+            val ca = lhs.groupBy("k").agg(count(lit(1)).as("ca"))
+            ca.join(cb, Seq("k"))
+              .agg(count(lit(1)).as("shared_keys"),
+                   sum(col("ca") * col("cb")).cast("long")
+                     .as("predicted_rows"),
+                   max(col("ca") * col("cb")).as("max_key_rows"))
+          }
+        core.crossJoin(rhs.agg(count(lit(1)).as("rhs_rows")))
+          .select(lit(name).as("join_name"), lit(lhsRows).as("lhs_rows"),
+                  col("rhs_rows"), lit(if (pk) 1L else 0L)
+                    .as("pk_certified"),
+                  col("shared_keys"), col("predicted_rows"),
+                  col("max_key_rows"))
+      }
+      report("customer_orders",
+             Tables(s, d, "customer").select(col("c_custkey").as("k")),
+             Tables(s, d, "orders").select(col("o_custkey").as("k")))
+        .unionByName(report("events_self_user",
+          Tables(s, d, "events").select(col("user_id").as("k")),
+          Tables(s, d, "events").select(col("user_id").as("k"))))
+        .orderBy("join_name")
+    },
+
     // Sweep-line max concurrency (added r10) — the capacity-planning
     // staple: each event holds a resource for 30 minutes; per
     // event_type, the peak number of simultaneously-open holds and
@@ -622,6 +673,31 @@ object StatsExtOps extends OpModule {
   )
 
   def oracles: Map[String, String] = Map(
+
+    // the general formula states both paths at once: when the lhs key
+    // is unique every ca = 1 and sum(ca*cb) IS the semi-join count
+    "q245_join_size_pk" -> {
+      def one(name: String, lt: String, lk: String, rt: String,
+              rk: String) =
+        s"""SELECT '$name' AS join_name,
+           |  (SELECT count(*) FROM $lt) AS lhs_rows,
+           |  (SELECT count(*) FROM $rt) AS rhs_rows,
+           |  (SELECT CAST(CASE WHEN count(*) = count(DISTINCT $lk)
+           |          THEN 1 ELSE 0 END AS BIGINT)
+           |   FROM $lt) AS pk_certified,
+           |  count(*) AS shared_keys,
+           |  CAST(sum(ca * cb) AS BIGINT) AS predicted_rows,
+           |  CAST(max(ca * cb) AS BIGINT) AS max_key_rows
+           |FROM (SELECT $lk AS k, count(*) AS ca FROM $lt GROUP BY 1) a
+           |JOIN (SELECT $rk AS k, count(*) AS cb FROM $rt GROUP BY 1) b
+           |  USING (k)""".stripMargin
+      s"""${one("customer_orders", "customer", "c_custkey",
+                "orders", "o_custkey")}
+         |UNION ALL
+         |${one("events_self_user", "events", "user_id",
+                "events", "user_id")}
+         |ORDER BY join_name""".stripMargin
+    },
 
     // same cell-table algebra: per-cell 6dp-rounded log terms, decimal
     // sums, margins as window sums (sum_x cx ln cx = sum_cells c ln cx)

@@ -758,6 +758,46 @@ object TextExtOps extends OpModule {
         .orderBy("source")
     },
 
+    // Incremental per-source novelty (added r12) — q242's metric in
+    // the shape it actually runs in production: the base corpus's
+    // gram first-claims live in a PERSISTED m-bucketed index (built
+    // once, q99/q103's ahead-of-time-index semantic; base = even
+    // doc_ids, the house split convention), and each NEW batch (odd
+    // doc_ids — "the next crawl drop") probes it with a bucket-local
+    // anti join: a batch gram is novel iff it is ABSENT from the base
+    // index and this doc is its first claimant WITHIN the batch. Probe
+    // cost is O(batch grams) — the base corpus is never rescanned and
+    // the index never reshuffles (bucket-pruned merge, the q213
+    // discipline); the per-source bill then prices each feed's next
+    // drop before ingesting it.
+    "q246_novelty_incremental" -> { (s, d) =>
+      val idx = graft.BucketedCache.ensure(s, d, "gramfirst",
+          "m STRING", "m", 8)(
+        gramHashes(Tables(s, d, "documents")
+                     .where(col("doc_id") % 2 === 0), 8)
+          .select(col("m")).distinct())
+      val batch = gramHashes(Tables(s, d, "documents")
+                               .where(col("doc_id") % 2 === 1), 8)
+        .distinct()
+      val fresh = batch
+        .join(s.table(idx).hint("merge"), Seq("m"), "left_anti")
+      val perDoc = batch.groupBy("doc_id").agg(count(lit(1)).as("g"))
+        .join(fresh.groupBy("m").agg(min("doc_id").as("doc_id"))
+                .groupBy("doc_id").agg(count(lit(1)).as("nv")),
+              Seq("doc_id"), "left")
+      perDoc
+        .join(Tables(s, d, "documents").select(col("doc_id"), col("source")),
+              Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"),
+             sum("g").cast("long").as("batch_grams"),
+             sum(coalesce(col("nv"), lit(0L))).cast("long").as("novel"))
+        .withColumn("novelty",
+          round(col("novel").cast("double") /
+                col("batch_grams").cast("double"), 6))
+        .orderBy("source")
+    },
+
     // PMI collocations (added r12) — the lexicographer's classic next
     // to q228's TextRank and q231's field-level MI: which word pairs
     // co-occur (distance ≤ 2, the q228 pair stream) far above chance?
@@ -922,6 +962,31 @@ object TextExtOps extends OpModule {
           |  round(CAST(sum(nv) AS DOUBLE) / CAST(sum(g) AS DOUBLE), 6)
           |    AS novelty
           |FROM pd JOIN documents d USING (doc_id)
+          |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+      // same even/odd split, same absent-from-base + first-in-batch rule
+      "q246_novelty_incremental" ->
+        """WITH g0 AS (
+          |  SELECT DISTINCT doc_id,
+          |    md5(unnest(list_transform(range(1, len(t) - 6),
+          |        i -> array_to_string(t[i:i+7], ' ')))) AS m
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+          |        FROM documents)),
+          |base AS (SELECT DISTINCT m FROM g0 WHERE doc_id % 2 = 0),
+          |batch AS (SELECT doc_id, m FROM g0 WHERE doc_id % 2 = 1),
+          |fresh AS (SELECT b.doc_id, b.m FROM batch b
+          |          WHERE NOT EXISTS (SELECT 1 FROM base WHERE base.m = b.m)),
+          |claims AS (SELECT m, min(doc_id) AS doc_id FROM fresh GROUP BY m),
+          |nv AS (SELECT doc_id, count(*) AS nv FROM claims GROUP BY doc_id),
+          |pd AS (SELECT b.doc_id, count(*) AS g FROM batch b
+          |       GROUP BY b.doc_id)
+          |SELECT d.source, count(*) AS docs,
+          |  CAST(sum(pd.g) AS BIGINT) AS batch_grams,
+          |  CAST(sum(coalesce(nv.nv, 0)) AS BIGINT) AS novel,
+          |  round(CAST(sum(coalesce(nv.nv, 0)) AS DOUBLE) /
+          |        CAST(sum(pd.g) AS DOUBLE), 6) AS novelty
+          |FROM pd LEFT JOIN nv USING (doc_id)
+          |JOIN documents d USING (doc_id)
           |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
       // same lead(1)/lead(2) pair stream, slot margins, min count 10,

@@ -1864,6 +1864,67 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(full._3 - word != full._3)
   }
 
+  test("q245 PK shortcut emits exactly the general formula's numbers") {
+    val got = q("q245_join_size_pk")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // the certified branch must actually certify; the self-join must not
+    assert(got("customer_orders")._4 == 1L)
+    assert(got("events_self_user")._4 == 0L)
+    // recompute the general sum/max formula directly for both joins
+    def counts(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.select(col(c)).as[Long].collect().toSeq
+        .groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val cust = counts(Tables(spark, sf, "customer"), "c_custkey")
+    val ord = counts(Tables(spark, sf, "orders"), "o_custkey")
+    val ev = counts(Tables(spark, sf, "events"), "user_id")
+    def general(a: Map[Long, Long], b: Map[Long, Long]) = {
+      val shared = a.keySet & b.keySet
+      (shared.size.toLong, shared.toSeq.map(k => a(k) * b(k)).sum,
+       shared.toSeq.map(k => a(k) * b(k)).max)
+    }
+    val co = general(cust, ord)
+    assert((got("customer_orders")._5, got("customer_orders")._6,
+            got("customer_orders")._7) == co,
+           "shortcut numbers diverge from the general formula")
+    val ee = general(ev, ev)
+    assert((got("events_self_user")._5, got("events_self_user")._6,
+            got("events_self_user")._7) == ee)
+  }
+
+  test("q246 incremental novelty agrees with a set recomputation") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect().toSeq
+    def grams(t: String): Set[String] = {
+      val ts = t.split(" ")
+      if (ts.length < 8) Set.empty
+      else ts.sliding(8).map { w =>
+        val dig = java.security.MessageDigest.getInstance("MD5")
+          .digest(w.mkString(" ").getBytes("UTF-8"))
+        dig.map(b => f"$b%02x").mkString
+      }.toSet
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val base = docs.filter(_._1 % 2 == 0).flatMap(d => grams(d._3)).toSet
+    val batch = docs.filter(_._1 % 2 == 1)
+      .map(d => (d._1, d._2, grams(d._3))).filter(_._3.nonEmpty)
+    val claims = batch.flatMap { case (id, _, g) =>
+      g.filterNot(base).map(_ -> id) }
+      .groupBy(_._1).map { case (m, g) => m -> g.map(_._2).min }
+    val expected = batch.groupBy(_._2).toSeq.map { case (src, g) =>
+      val bg = g.map(_._3.size.toLong).sum
+      val nv = g.map { case (id, _, gs) =>
+        gs.count(m => claims.get(m).contains(id)).toLong }.sum
+      (src, g.size.toLong, bg, nv, r6(nv.toDouble / bg.toDouble))
+    }.sortBy(_._1)
+    val got = q("q246_novelty_incremental")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == expected)
+    assert(got.exists(_._4 > 0L), "no novel gram in any batch — vacuous")
+  }
+
   test("q232 Kendall tau-b matches a brute-force pair walk") {
     val rev = Tables(spark, sf, "lineitem")
       .select(col("l_suppkey"), col("l_shipdate").cast("string"),
