@@ -29,6 +29,29 @@ object StatsExtOps extends OpModule {
                  (d(n) * d(syy) - d(sy) * d(sy))), 6)
   }
 
+  /** Per-supplier era revenue pair (va = cents shipped before 1998,
+    * vb = after) shared by the rank-correlation pair q232 (Kendall) and
+    * q249 (Spearman): ONE definition of the ranked universe is what
+    * makes the two statistics comparable. One lineitem scan, pinned —
+    * both consumers run window/pairwise stages on the SUPPLIER
+    * aggregate, never the fact lineage. */
+  private def supplierEraRev(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables(s, d, "lineitem")
+      .select(col("l_suppkey").as("sk"), col("l_shipdate"),
+              round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .groupBy("sk")
+      .agg(sum(when(col("l_shipdate") < lit("1998-01-01").cast("timestamp"),
+                    col("cents")).otherwise(0L).cast("decimal(38,0)"))
+             .cast("long").as("va"),
+           sum(when(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"),
+                    col("cents")).otherwise(0L).cast("decimal(38,0)"))
+             .cast("long").as("vb"))
+    val (r, h) = org.apache.spark.sql.graft.InternalPin.pin(
+      rev.select(col("sk"), col("va"), col("vb")))
+    h.count(); graft.PinScope.retain(h)
+    r
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Winsorized mean (added r12) — the robust location estimate a
@@ -636,19 +659,7 @@ object StatsExtOps extends OpModule {
     // dimension-bound here. One sqrt+division rounded 6 at the end.
     "q232_kendall_tau" -> { (s, d) =>
       def dd(c: Column) = c.cast("double")
-      val rev = Tables(s, d, "lineitem")
-        .select(col("l_suppkey").as("sk"), col("l_shipdate"),
-                round(col("l_extendedprice") * 100).cast("long").as("cents"))
-        .groupBy("sk")
-        .agg(sum(when(col("l_shipdate") < lit("1998-01-01").cast("timestamp"),
-                      col("cents")).otherwise(0L).cast("decimal(38,0)"))
-               .cast("long").as("va"),
-             sum(when(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"),
-                      col("cents")).otherwise(0L).cast("decimal(38,0)"))
-               .cast("long").as("vb"))
-      val (r, h) = org.apache.spark.sql.graft.InternalPin.pin(
-        rev.select(col("sk"), col("va"), col("vb")))
-      h.count(); graft.PinScope.retain(h)
+      val r = supplierEraRev(s, d)
       val pairs = r.as("p")
         .join(broadcast(r.as("q")), col("p.sk") < col("q.sk"))
         .select(signum(dd(col("p.va")) - dd(col("q.va"))).cast("int").as("sa"),
@@ -669,6 +680,140 @@ object StatsExtOps extends OpModule {
                            sqrt(dd(col("conc") + col("disc") + col("tie_a")) *
                                 dd(col("conc") + col("disc") + col("tie_b"))),
                            6)).as("tau_b"))
+    },
+
+    // Mann–Whitney U rank-sum test (added r12) — the non-parametric
+    // companion to q159's Welch t: "do 'view' and 'purchase' draw
+    // their values from the same distribution?" asked without any
+    // normality assumption — the robust default when q148's MAD screen
+    // says the tails are heavy. The whole test lives on the VALUE-GROUP
+    // table (cents → per-arm counts, the q141/q151 discipline): tied
+    // ranks are handled exactly by average-rank algebra kept in
+    // INTEGERS via doubled ranks — 2·avgrank of a tied block is
+    // 2·cum_before + t + 1, so the rank-sum, U and the tie-correction
+    // term Σ(t³−t) are exact (decimal) sums over ≤|distinct cents|
+    // rows. One fact scan, one cents-keyed agg; the global ordered
+    // window runs on the value-group table, never the corpus. The
+    // normal approximation z (the standard report at these n) is ONE
+    // fixed-order double formula rounded 6 dp; the rank-biserial
+    // effect size 2U/(na·nb)−1 likewise.
+    "q247_mann_whitney" -> { (s, d) =>
+      def dd(c: Column) = c.cast("double")
+      val vg = Tables(s, d, "events")
+        .where(col("event_type").isin("view", "purchase"))
+        .select(round(col("value") * 100).cast("long").as("v"),
+                when(col("event_type") === "view", 1L).otherwise(0L)
+                  .as("a"))
+        .groupBy("v")
+        .agg(sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
+      val wPrev = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val agg = vg
+        .withColumn("t", col("ca") + col("cb"))
+        .withColumn("cum", coalesce(sum(col("t")).over(wPrev), lit(0L)))
+        .agg(sum("ca").as("na"), sum("cb").as("nb"),
+             sum((col("ca") * (lit(2L) * col("cum") + col("t") + 1L))
+                   .cast("decimal(38,0)")).as("ra2"),
+             sum(col("t").cast("decimal(38,0)") * col("t") * col("t")
+                   - col("t")).as("tt"))
+      agg
+        .withColumn("u2", (col("ra2") - col("na").cast("decimal(38,0)") *
+                             (col("na") + 1L)).cast("long"))
+        .withColumn("n", col("na") + col("nb"))
+        .select(col("na").as("n_a"), col("nb").as("n_b"), col("u2"),
+                col("tt").cast("double").as("ties_term"),
+                round(dd(col("u2")) / (dd(col("na")) * dd(col("nb"))) - 1.0,
+                      6).as("rank_biserial"),
+                round((dd(col("u2")) - dd(col("na")) * dd(col("nb"))) /
+                        sqrt(dd(col("na")) * dd(col("nb")) *
+                             (dd(col("n")) * dd(col("n")) * dd(col("n")) -
+                              dd(col("n")) - col("tt").cast("double")) /
+                             (dd(col("n")) * (dd(col("n")) - 1.0) * 3.0)),
+                      6).as("z"))
+    },
+
+    // Spearman rank correlation (added r12) — completes the
+    // rank-statistics triptych on q232's SHARED supplier era-revenue
+    // universe (Pearson q140 measures linearity, Kendall q232 pairwise
+    // concordance, Spearman monotonicity): Pearson over average ranks
+    // with exact tie handling. Doubled average ranks keep everything
+    // integer — 2·avgrank = 2·rank() + (ties−1), rank() and the tie
+    // count being windows over the SUPPLIER aggregate (dimension-bound;
+    // the fact side is the one pinned scan supplierEraRev already
+    // paid). Moment sums are decimals (ranks ≤ 2n, products ≤ 4n² —
+    // overflow-proof at any corpus), and the 2× scaling cancels in the
+    // correlation, so rho needs no un-doubling. The L1 rank
+    // displacement Σ|ra−rb| (Spearman's footrule, reported doubled to
+    // stay integer) names WHERE the league table moved.
+    "q249_spearman" -> { (s, d) =>
+      val r = supplierEraRev(s, d)
+      val ranked = r
+        .withColumn("ta", count(lit(1)).over(Window.partitionBy("va")))
+        .withColumn("tb", count(lit(1)).over(Window.partitionBy("vb")))
+        .withColumn("ra2",
+          lit(2L) * rank().over(Window.orderBy("va")) + col("ta") - 1L)
+        .withColumn("rb2",
+          lit(2L) * rank().over(Window.orderBy("vb")) + col("tb") - 1L)
+      ranked
+        .agg(count(lit(1)).as("n"),
+             sum(col("ra2").cast("decimal(38,0)")).as("sx"),
+             sum(col("rb2").cast("decimal(38,0)")).as("sy"),
+             sum(col("ra2").cast("decimal(38,0)") * col("ra2")).as("sxx"),
+             sum(col("rb2").cast("decimal(38,0)") * col("rb2")).as("syy"),
+             sum(col("ra2").cast("decimal(38,0)") * col("rb2")).as("sxy"),
+             sum(abs(col("ra2") - col("rb2"))).as("fr2"))
+        .select(col("n"),
+                corrOf(col("n"), col("sx"), col("sy"),
+                       col("sxx"), col("syy"), col("sxy")).as("rho"),
+                col("fr2").as("footrule2"))
+    },
+
+    // Lead-lag cross-correlation screen (added r12) — the "does
+    // engagement TODAY predict purchases in k days?" question behind
+    // every marketing-mix and capacity model: Pearson r between the
+    // daily 'view' series and the 'purchase' series shifted by each
+    // lag 0…6, plus the argmax flag. ONE fact scan collapses to the
+    // daily cell table (2 conditional counts per day — pinned, |days|
+    // rows); every lag is then a broadcast self-join of that tiny
+    // table against its date-shifted self, so adding lags costs cell
+    // algebra, not rescans. Counts are integers ⇒ per-lag moment sums
+    // are exact decimals into the shared corrOf formula; only aligned
+    // day pairs enter (inner join), so each lag's n is explicit in the
+    // row. Best-lag tie-break is declared: smallest lag among the max
+    // rounded r.
+    "q250_lead_lag" -> { (s, d) =>
+      val daily = Tables(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+               .as("x"),
+             sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+               .as("y"))
+      val (cell, h) = org.apache.spark.sql.graft.InternalPin.pin(daily)
+      h.count(); graft.PinScope.retain(h)
+      val lags = s.range(0, 7).select(col("id").cast("int").as("lag"))
+      val perLag = lags
+        .crossJoin(broadcast(cell.as("a")))
+        .join(broadcast(cell.select(col("day").as("bday"),
+                                    col("y").as("by"))),
+              col("bday") === date_add(col("a.day"), col("lag")))
+        .groupBy("lag")
+        .agg(count(lit(1)).as("n_days"),
+             sum(col("x").cast("decimal(38,0)")).as("sx"),
+             sum(col("by").cast("decimal(38,0)")).as("sy"),
+             sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+             sum(col("by").cast("decimal(38,0)") * col("by")).as("syy"),
+             sum(col("x").cast("decimal(38,0)") * col("by")).as("sxy"))
+        .select(col("lag"), col("n_days"),
+                corrOf(col("n_days"), col("sx"), col("sy"),
+                       col("sxx"), col("syy"), col("sxy")).as("r"))
+      val wAll = Window.partitionBy(lit(1))
+      perLag
+        .withColumn("rmax", max(col("r")).over(wAll))
+        .withColumn("bestlag",
+          min(when(col("r") === col("rmax"), col("lag"))).over(wAll))
+        .select(col("lag"), col("n_days"), col("r"),
+                (col("lag") === col("bestlag")).cast("int").as("is_best"))
+        .orderBy("lag")
     }
   )
 
@@ -698,6 +843,124 @@ object StatsExtOps extends OpModule {
                 "events", "user_id")}
          |ORDER BY join_name""".stripMargin
     },
+
+    // same value-group rank algebra: doubled average ranks keep ties
+    // exact in integers; one fixed-order double formula for z
+    "q247_mann_whitney" ->
+      """WITH vg AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1),
+        |w AS (
+        |  SELECT ca, cb, ca + cb AS t,
+        |    coalesce(sum(ca + cb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum
+        |  FROM vg),
+        |a AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb,
+        |    sum(CAST(ca AS HUGEINT) * (2 * cum + t + 1)) AS ra2,
+        |    sum(CAST(t AS HUGEINT) * t * t - t) AS tt
+        |  FROM w),
+        |b AS (
+        |  SELECT na, nb, na + nb AS n,
+        |    CAST(ra2 - CAST(na AS HUGEINT) * (na + 1) AS BIGINT) AS u2,
+        |    tt
+        |  FROM a)
+        |SELECT na AS n_a, nb AS n_b, u2,
+        |  CAST(tt AS DOUBLE) AS ties_term,
+        |  round(CAST(u2 AS DOUBLE) /
+        |        (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) - 1.0, 6)
+        |    AS rank_biserial,
+        |  round((CAST(u2 AS DOUBLE) -
+        |         CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) /
+        |        sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) *
+        |             (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) *
+        |              CAST(n AS DOUBLE) - CAST(n AS DOUBLE) -
+        |              CAST(tt AS DOUBLE)) /
+        |             (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) *
+        |              3.0)), 6) AS z
+        |FROM b""".stripMargin,
+
+    // same doubled-average-rank windows over the supplier aggregate;
+    // the corr formula is q140's operand order verbatim
+    "q249_spearman" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey AS sk,
+        |    CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01'
+        |        THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+        |        ELSE 0 END) AS BIGINT) AS va,
+        |    CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01'
+        |        THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+        |        ELSE 0 END) AS BIGINT) AS vb
+        |  FROM lineitem GROUP BY 1),
+        |rk AS (
+        |  SELECT
+        |    2 * rank() OVER (ORDER BY va) +
+        |      count(*) OVER (PARTITION BY va) - 1 AS ra2,
+        |    2 * rank() OVER (ORDER BY vb) +
+        |      count(*) OVER (PARTITION BY vb) - 1 AS rb2
+        |  FROM rev),
+        |a AS (
+        |  SELECT count(*) AS n,
+        |    sum(CAST(ra2 AS HUGEINT)) AS sx,
+        |    sum(CAST(rb2 AS HUGEINT)) AS sy,
+        |    sum(CAST(ra2 AS HUGEINT) * ra2) AS sxx,
+        |    sum(CAST(rb2 AS HUGEINT) * rb2) AS syy,
+        |    sum(CAST(ra2 AS HUGEINT) * rb2) AS sxy,
+        |    CAST(sum(abs(ra2 - rb2)) AS BIGINT) AS fr2
+        |  FROM rk)
+        |SELECT n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |         CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |        sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |              CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |             (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |              CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |    AS rho,
+        |  fr2 AS footrule2
+        |FROM a""".stripMargin,
+
+    // same daily cell table, per-lag date-shifted self-join, q140's
+    // corr operand order, declared smallest-max-lag tie-break
+    "q250_lead_lag" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS y
+        |  FROM events GROUP BY 1),
+        |lags AS (
+        |  SELECT CAST(unnest(generate_series(0, 6)) AS INTEGER) AS lag),
+        |m AS (
+        |  SELECT l.lag, count(*) AS n_days,
+        |    sum(CAST(a.x AS HUGEINT)) AS sx,
+        |    sum(CAST(b.y AS HUGEINT)) AS sy,
+        |    sum(CAST(a.x AS HUGEINT) * a.x) AS sxx,
+        |    sum(CAST(b.y AS HUGEINT) * b.y) AS syy,
+        |    sum(CAST(a.x AS HUGEINT) * b.y) AS sxy
+        |  FROM lags l CROSS JOIN daily a
+        |  JOIN daily b ON b.day = a.day + l.lag
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT lag, n_days,
+        |    round((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |           CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |          sqrt((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |                CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |               (CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |                CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |      AS r
+        |  FROM m),
+        |f AS (SELECT lag, n_days, r, max(r) OVER () AS rmax FROM r),
+        |g AS (SELECT lag, n_days, r,
+        |        min(CASE WHEN r = rmax THEN lag END) OVER () AS bestlag
+        |      FROM f)
+        |SELECT lag, n_days, r, CAST(lag = bestlag AS INT) AS is_best
+        |FROM g ORDER BY lag""".stripMargin,
 
     // same cell-table algebra: per-cell 6dp-rounded log terms, decimal
     // sums, margins as window sums (sum_x cx ln cx = sum_cells c ln cx)

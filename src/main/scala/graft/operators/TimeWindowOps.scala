@@ -656,23 +656,7 @@ object TimeWindowOps extends OpModule {
     // recursion runs on the step table, whose size is bounded by
     // distinct event DAYS, not users or events.
     "q237_km_survival" -> { (s, d) =>
-      val (u, h) = org.apache.spark.sql.graft.InternalPin.pin(
-        Tables(s, d, "events")
-          .groupBy("user_id")
-          .agg(min(unix_micros(col("ts"))).as("first_us"),
-               min(when(col("event_type") === "purchase" &&
-                          get_json_object(col("props"), "$.k")
-                            .cast("long") < 5,
-                        unix_micros(col("ts")))).as("p_us"),
-               max(unix_micros(col("ts"))).as("last_us")))
-      h.count(); graft.PinScope.retain(h)
-      val cut = u.agg(max("last_us").as("cut_us"))
-      val life = u.crossJoin(broadcast(cut))
-        .withColumn("death", when(col("p_us").isNotNull, 1L).otherwise(0L))
-        .withColumn("dur",
-          when(col("p_us").isNotNull,
-               expr("(p_us - first_us) div 86400000000"))
-            .otherwise(expr("(cut_us - first_us) div 86400000000")))
+      val life = kmLife(s, d)
       val wLess = org.apache.spark.sql.expressions.Window
         .orderBy("dur")
         .rowsBetween(org.apache.spark.sql.expressions.Window
@@ -705,8 +689,93 @@ object TimeWindowOps extends OpModule {
         SELECT st.t_day, st.n_risk, st.deaths, round(s.sv, 6) AS surv
         FROM surv s JOIN graft_km_steps st ON st.k = s.k
         ORDER BY st.t_day""")
+    },
+
+    // Log-rank test (added r12) — the hypothesis test that belongs next
+    // to q237's curve: "do the control and treatment arms (q159's md5
+    // house split) convert at the same RATE over time?", asked the
+    // censoring-correct way — a plain conversion-share cut is biased by
+    // whoever happens to have been observed longer. At each death time
+    // the observed arm-1 deaths are compared to the hypergeometric
+    // expectation d·n1/n with variance d·(n1/n)·(n−n1)/n·(n−d)/(n−1);
+    // O−E and V sum over steps and z = (O−E)/√V. Unlike the KM product
+    // this is a SUM — no recursion: per-step e/v terms are rounded 6 dp
+    // into order-free decimal sums (the q231 discipline) over the
+    // ≤|distinct event days| step table. Same ONE pinned fact scan as
+    // q237 (shared [[kmLife]] — one definition of the lifetimes is
+    // what makes curve and test consistent); arm at-risk counts are a
+    // second stacked window on the same global ordering, so the test
+    // costs window algebra on the step table, nothing corpus-sized.
+    "q248_logrank" -> { (s, d) =>
+      def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+      val W = org.apache.spark.sql.expressions.Window
+      val life = kmLife(s, d)
+        .withColumn("a1",
+          when(substring(md5(col("user_id").cast("string")), 1, 1) <= "7",
+               0L).otherwise(1L))
+      val wLess = W.orderBy("dur")
+        .rowsBetween(W.unboundedPreceding, -1)
+      val wAll = W.partitionBy(lit(1))
+      val steps = life.groupBy("dur")
+        .agg(count(lit(1)).as("ct"), sum("death").as("dth"),
+             sum("a1").as("ct1"),
+             sum(col("death") * col("a1")).as("dth1"))
+        .withColumn("total", sum("ct").over(wAll))
+        .withColumn("total1", sum("ct1").over(wAll))
+        .withColumn("cless", coalesce(sum("ct").over(wLess), lit(0L)))
+        .withColumn("cless1", coalesce(sum("ct1").over(wLess), lit(0L)))
+        .withColumn("n", col("total") - col("cless"))
+        .withColumn("n1", col("total1") - col("cless1"))
+        .where(col("dth") > 0)
+      steps
+        .agg(count(lit(1)).as("n_steps"),
+             max("total").as("users"), max("total1").as("users1"),
+             sum("dth1").as("o1"),
+             sum(round(dd(col("dth")) * dd(col("n1")) / dd(col("n")), 6)
+                   .cast("decimal(28,6)")).as("e1"),
+             sum(when(col("n") > 1,
+                   round(dd(col("dth")) * dd(col("n1")) / dd(col("n")) *
+                           (dd(col("n")) - dd(col("n1"))) / dd(col("n")) *
+                           (dd(col("n")) - dd(col("dth"))) /
+                           (dd(col("n")) - 1.0), 6))
+                   .otherwise(0.0).cast("decimal(28,6)")).as("v"))
+        .select(col("n_steps"), col("users"), col("users1"), col("o1"),
+                round(dd(col("e1")), 6).as("e1"),
+                round(dd(col("v")), 6).as("lr_var"),
+                round((dd(col("o1")) - dd(col("e1"))) / sqrt(dd(col("v"))),
+                      6).as("z"),
+                round((dd(col("o1")) - dd(col("e1"))) *
+                        (dd(col("o1")) - dd(col("e1"))) / dd(col("v")),
+                      6).as("chi2"))
     }
   )
+
+  /** Per-user censored lifetime table shared by q237 (Kaplan–Meier
+    * curve) and q248 (log-rank test): user_id, death ∈ {0,1} (converted
+    * = first premium purchase, props.k < 5), dur = integer days from
+    * first event to conversion, censored at the corpus edge otherwise.
+    * ONE pinned fact scan; the corpus-edge cutoff is a 1-row broadcast.
+    * One definition of the lifetimes is what makes the curve and the
+    * test consistent by construction. */
+  private def kmLife(s: SparkSession, d: String): DataFrame = {
+    val (u, h) = org.apache.spark.sql.graft.InternalPin.pin(
+      Tables(s, d, "events")
+        .groupBy("user_id")
+        .agg(min(unix_micros(col("ts"))).as("first_us"),
+             min(when(col("event_type") === "purchase" &&
+                        get_json_object(col("props"), "$.k")
+                          .cast("long") < 5,
+                      unix_micros(col("ts")))).as("p_us"),
+             max(unix_micros(col("ts"))).as("last_us")))
+    h.count(); graft.PinScope.retain(h)
+    val cut = u.agg(max("last_us").as("cut_us"))
+    u.crossJoin(broadcast(cut))
+      .withColumn("death", when(col("p_us").isNotNull, 1L).otherwise(0L))
+      .withColumn("dur",
+        when(col("p_us").isNotNull,
+             expr("(p_us - first_us) div 86400000000"))
+          .otherwise(expr("(cut_us - first_us) div 86400000000")))
+  }
 
   /** Gap-based sessionization shared by q38 (batch, 30-min default) and
     * q80_stream_sessionize (streaming): ONE definition is what makes
@@ -806,6 +875,68 @@ object TimeWindowOps extends OpModule {
         |  CAST(st.deaths AS BIGINT) AS deaths, round(s.sv, 6) AS surv
         |FROM surv s JOIN steps st ON st.k = s.k
         |ORDER BY st.t_day""".stripMargin,
+
+    // identical lifetimes + arm split; per-step hypergeometric e/v
+    // terms rounded 6 dp into order-free decimal sums, same operand
+    // chain for the variance product
+    "q248_logrank" ->
+      """WITH u AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS first_us,
+        |    min(CASE WHEN event_type = 'purchase'
+        |              AND CAST(json_extract_string(props, '$.k')
+        |                       AS BIGINT) < 5
+        |             THEN epoch_us(ts) END) AS p_us,
+        |    max(epoch_us(ts)) AS last_us
+        |  FROM events GROUP BY user_id),
+        |cut AS (SELECT max(last_us) AS cut_us FROM u),
+        |life AS (
+        |  SELECT CASE WHEN p_us IS NOT NULL THEN 1 ELSE 0 END AS death,
+        |    CASE WHEN p_us IS NOT NULL
+        |         THEN (p_us - first_us) // 86400000000
+        |         ELSE (cut_us - first_us) // 86400000000 END AS dur,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+        |         THEN 0 ELSE 1 END AS a1
+        |  FROM u CROSS JOIN cut),
+        |vg AS (SELECT dur, count(*) AS ct, sum(death) AS dth,
+        |         sum(a1) AS ct1, sum(death * a1) AS dth1
+        |       FROM life GROUP BY dur),
+        |st AS (SELECT dth, dth1,
+        |    sum(ct) OVER () AS total,
+        |    sum(ct1) OVER () AS total1,
+        |    coalesce(sum(ct) OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cless,
+        |    coalesce(sum(ct1) OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cless1
+        |  FROM vg),
+        |sp AS (SELECT dth, dth1, total, total1,
+        |    total - cless AS n, total1 - cless1 AS n1
+        |  FROM st WHERE dth > 0),
+        |a AS (SELECT count(*) AS n_steps,
+        |    CAST(max(total) AS BIGINT) AS users,
+        |    CAST(max(total1) AS BIGINT) AS users1,
+        |    CAST(sum(dth1) AS BIGINT) AS o1,
+        |    sum(CAST(round(CAST(dth AS DOUBLE) * CAST(n1 AS DOUBLE) /
+        |          CAST(n AS DOUBLE), 6) AS DECIMAL(28,6))) AS e1,
+        |    sum(CAST(CASE WHEN n > 1 THEN
+        |          round(CAST(dth AS DOUBLE) * CAST(n1 AS DOUBLE) /
+        |                CAST(n AS DOUBLE) *
+        |                (CAST(n AS DOUBLE) - CAST(n1 AS DOUBLE)) /
+        |                CAST(n AS DOUBLE) *
+        |                (CAST(n AS DOUBLE) - CAST(dth AS DOUBLE)) /
+        |                (CAST(n AS DOUBLE) - 1.0), 6)
+        |          ELSE 0.0 END AS DECIMAL(28,6))) AS v
+        |  FROM sp)
+        |SELECT n_steps, users, users1, o1,
+        |  round(CAST(e1 AS DOUBLE), 6) AS e1,
+        |  round(CAST(v AS DOUBLE), 6) AS lr_var,
+        |  round((CAST(o1 AS DOUBLE) - CAST(e1 AS DOUBLE)) /
+        |        sqrt(CAST(v AS DOUBLE)), 6) AS z,
+        |  round((CAST(o1 AS DOUBLE) - CAST(e1 AS DOUBLE)) *
+        |        (CAST(o1 AS DOUBLE) - CAST(e1 AS DOUBLE)) /
+        |        CAST(v AS DOUBLE), 6) AS chi2
+        |FROM a""".stripMargin,
 
     // same holding-interval weights: integer cents x integer micro-
     // second durations, decimal sums, one rounded division

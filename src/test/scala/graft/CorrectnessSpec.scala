@@ -1949,4 +1949,144 @@ class CorrectnessSpec extends SparkSpecBase {
       .as[(Long, Long, Long, Long, Long, Double)].collect().head
     assert(got == ((pairs.size.toLong, conc, disc, tieA, tieB, tau)))
   }
+
+  test("q247 Mann-Whitney matches a brute-force rank walk") {
+    val vals = Tables(spark, sf, "events")
+      .where(col("event_type").isin("view", "purchase"))
+      .select(col("event_type"), round(col("value") * 100).cast("long"))
+      .as[(String, Long)].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val na = vals.count(_._1 == "view").toLong
+    val nb = vals.count(_._1 == "purchase").toLong
+    val n = na + nb
+    var ra2 = BigInt(0); var tt = BigInt(0)
+    for ((v, g) <- vals.groupBy(_._2)) {
+      val t = g.size.toLong
+      val cum = vals.count(_._2 < v).toLong
+      ra2 += BigInt(g.count(_._1 == "view")) * (2L * cum + t + 1L)
+      tt += BigInt(t) * t * t - t
+    }
+    val u2 = (ra2 - BigInt(na) * (na + 1)).toLong
+    val ties = tt.toDouble
+    val rb = r6(u2.toDouble / (na.toDouble * nb.toDouble) - 1.0)
+    val nD = n.toDouble
+    val z = r6((u2.toDouble - na.toDouble * nb.toDouble) /
+      math.sqrt(na.toDouble * nb.toDouble * (nD * nD * nD - nD - ties) /
+                (nD * (nD - 1.0) * 3.0)))
+    val got = q("q247_mann_whitney")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().head
+    assert(got == ((na, nb, u2, ties, rb, z)))
+  }
+
+  test("q248 log-rank matches a sequential hypergeometric fold") {
+    val evs = Tables(spark, sf, "events")
+      .select(col("user_id"),
+              col("event_type") === "purchase" &&
+                get_json_object(col("props"), "$.k").cast("long") < 5,
+              unix_micros(col("ts")))
+      .as[(Long, Boolean, Long)].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val cut = evs.map(_._3).max
+    val life = evs.groupBy(_._1).toSeq.map { case (uid, g) =>
+      val first = g.map(_._3).min
+      val (dur, death) = g.filter(_._2).map(_._3).minOption match {
+        case Some(pu) => ((pu - first) / 86400000000L, 1L)
+        case None     => ((cut - first) / 86400000000L, 0L)
+      }
+      (dur, death, if (md5hex(uid.toString).head <= '7') 0L else 1L)
+    }
+    val total = life.size.toLong
+    val total1 = life.map(_._3).sum
+    var atRisk = total; var atRisk1 = total1
+    var o1 = 0L; var nSteps = 0L
+    var e1s = BigDecimal(0); var vs = BigDecimal(0)
+    for ((dur, g) <- life.groupBy(_._1).toSeq.sortBy(_._1)) {
+      val (ct, dth) = (g.size.toLong, g.map(_._2).sum)
+      val (ct1, dth1) = (g.map(_._3).sum,
+                         g.filter(_._2 == 1L).map(_._3).sum)
+      val (n, n1) = (atRisk, atRisk1)
+      if (dth > 0) {
+        nSteps += 1; o1 += dth1
+        e1s += BigDecimal(r6(dth.toDouble * n1.toDouble / n.toDouble))
+        if (n > 1)
+          vs += BigDecimal(r6(dth.toDouble * n1.toDouble / n.toDouble *
+            (n.toDouble - n1.toDouble) / n.toDouble *
+            (n.toDouble - dth.toDouble) / (n.toDouble - 1.0)))
+      }
+      atRisk -= ct; atRisk1 -= ct1
+    }
+    val (e1d, vd) = (e1s.toDouble, vs.toDouble)
+    val got = q("q248_logrank")
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double)]
+      .collect().head
+    assert(got == ((nSteps, total, total1, o1, r6(e1d), r6(vd),
+      r6((o1.toDouble - e1d) / math.sqrt(vd)),
+      r6((o1.toDouble - e1d) * (o1.toDouble - e1d) / vd))))
+  }
+
+  test("q249 Spearman matches a brute-force doubled-rank recomputation") {
+    val rev = Tables(spark, sf, "lineitem")
+      .select(col("l_suppkey"), col("l_shipdate").cast("string"),
+              round(col("l_extendedprice") * 100).cast("long"))
+      .as[(Long, String, Long)].collect().toSeq
+      .groupBy(_._1).toSeq.map { case (sk, g) =>
+        (g.filter(_._2 < "1998-01-01").map(_._3).sum,
+         g.filter(_._2 >= "1998-01-01").map(_._3).sum)
+      }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (va, vb) = (rev.map(_._1), rev.map(_._2))
+    def r2of(vs: Seq[Long], v: Long) =
+      2L * vs.count(_ < v) + vs.count(_ == v) + 1L
+    val pairs = rev.map(r => (r2of(va, r._1), r2of(vb, r._2)))
+    val n = pairs.size.toLong
+    val sx = pairs.map(p => BigInt(p._1)).sum
+    val sy = pairs.map(p => BigInt(p._2)).sum
+    val sxx = pairs.map(p => BigInt(p._1) * p._1).sum
+    val syy = pairs.map(p => BigInt(p._2) * p._2).sum
+    val sxy = pairs.map(p => BigInt(p._1) * p._2).sum
+    val fr2 = pairs.map(p => math.abs(p._1 - p._2)).sum
+    val rho = r6((n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+      math.sqrt((n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) *
+                (n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble)))
+    val got = q("q249_spearman").as[(Long, Double, Long)].collect().head
+    assert(got == ((n, rho, fr2)))
+  }
+
+  test("q250 lead-lag matches a brute-force shifted-series walk") {
+    val ev = Tables(spark, sf, "events")
+      .select(to_date(col("ts")).cast("string"), col("event_type"))
+      .as[(String, String)].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val daily = ev.groupBy(_._1).map { case (day, g) =>
+      (java.time.LocalDate.parse(day),
+       (g.count(_._2 == "view").toLong, g.count(_._2 == "purchase").toLong))
+    }
+    val expected = (0 to 6).map { lag =>
+      val pts = daily.toSeq.flatMap { case (day, (x, _)) =>
+        daily.get(day.plusDays(lag)).map { case (_, y) => (x, y) } }
+      val n = pts.size.toLong
+      val sx = pts.map(p => BigInt(p._1)).sum
+      val sy = pts.map(p => BigInt(p._2)).sum
+      val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+      val syy = pts.map(p => BigInt(p._2) * p._2).sum
+      val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+      val r = r6((n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+        math.sqrt((n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) *
+                  (n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble)))
+      (lag, n, r)
+    }
+    val rmax = expected.map(_._3).max
+    val best = expected.filter(_._3 == rmax).map(_._1).min
+    val want = expected.map { case (lag, n, r) =>
+      (lag, n, r, if (lag == best) 1 else 0) }
+    val got = q("q250_lead_lag").as[(Int, Long, Double, Int)]
+      .collect().toSeq
+    assert(got == want)
+  }
 }

@@ -1167,4 +1167,23 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("SortAggregate"), p)
     assert("HashAggregate".r.findAllIn(p).size >= 6, p)
   }
+
+  test("q247-q250: rank statistics run on pinned / value-group tables") {
+    // q247 collapses the corpus to value groups in ONE fact scan; the
+    // ordered rank window then runs on that domain-bound table
+    val p247 = SparkEntry.queries("q247_mann_whitney")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("FileScan|Scan parquet".r.findAllIn(p247).size == 1, p247)
+    // q248/q249/q250 pay their single fact scan at pin time (kmLife /
+    // supplierEraRev / the daily cell table); the returned statistic
+    // plan must read pinned blocks only — zero parquet rescans
+    for (name <- Seq("q248_logrank", "q249_spearman", "q250_lead_lag")) {
+      try {
+        val p = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan.toString
+        assert(!p.contains("FileScan") && !p.contains("ParquetScan"),
+               s"$name replans the fact scan instead of reading the pin")
+      } finally PinScope.drain()
+    }
+  }
 }
