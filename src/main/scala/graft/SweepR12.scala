@@ -43,7 +43,10 @@ object SweepR12 {
       "q240_class_balance", "q241_containment_dedup", "q242_gram_novelty",
       "q243_pmi_pairs", "q244_table_checksum", "q245_join_size_pk",
       "q246_novelty_incremental", "q247_mann_whitney", "q248_logrank",
-      "q249_spearman", "q250_lead_lag")
+      "q249_spearman", "q250_lead_lag", "q251_anova", "q252_cuped",
+      "q253_avg_precision", "q254_bh_fdr", "q255_elasticity",
+      "q256_seasonal_index", "q257_attribution_decay",
+      "q258_forecast_backtest")
     // mode "x100": sweep against the 100x volume build at /tmp/sf100x
     // (tools/make100x.py defaults) instead of the 10x point — the r11
     // protocol asked at two orders. Remaining args subset the list.

@@ -1535,6 +1535,298 @@ object StatsModelOps extends OpModule {
         .select(round(d(col("v_s")) / 100.0, 6).as("src_bal"), col("cnt"),
                 round(d(col("mv")) / 100.0, 6).as("mapped_bal"))
         .orderBy("src_bal")
+    },
+
+    // One-way ANOVA F test (added r12) — the k-group generalization of
+    // q159's two-arm comparison: do the five event types draw their
+    // values from populations with one mean? SSB/SSW decompose from the
+    // per-group moment sums alone — no residual pass: per-group
+    // (n, Σv, Σv²) in exact decimals (ONE map-side-combined scan to
+    // ≤|types| cells), A = Σ_g S_g²/n_g with each group's term rounded
+    // to 6 dp and accumulated as an exact decimal (order-free, the q142
+    // log-sum discipline applied to a division), then
+    // SSB = A − S²/N and SSW = T − A as fixed-order double formulas.
+    // F = (SSB/(k−1))/(SSW/(N−k)) and η² = SSB/(SSB+SSW) derive from
+    // the ROUNDED reported SS values, so every emitted figure is
+    // reproducible from the two before it. Values in cents² (declared
+    // unit — scale-invariance of F makes the unit a reporting choice).
+    "q251_anova" -> { (s, dir) =>
+      val g = Tables(s, dir, "events")
+        .select(col("event_type"),
+                round(col("value") * 100).cast("long").as("v"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+             sum(col("v").cast("decimal(38,0)")).as("sv"),
+             sum(col("v").cast("decimal(38,0)") * col("v")).as("svv"))
+      g.agg(count(lit(1)).as("k"), sum("n").as("n_total"),
+            sum("sv").as("sall"), sum("svv").as("tall"),
+            sum(round(d(col("sv")) * d(col("sv")) / d(col("n")), 6)
+                  .cast("decimal(38,6)")).as("a"))
+        .withColumn("ssb",
+          round(d(col("a")) -
+                d(col("sall")) * d(col("sall")) / d(col("n_total")), 6))
+        .withColumn("ssw", round(d(col("tall")) - d(col("a")), 6))
+        .select(col("k"), col("n_total"),
+                col("ssb").as("ss_between"), col("ssw").as("ss_within"),
+                round((col("ssb") / d(col("k") - 1)) /
+                      (col("ssw") / d(col("n_total") - col("k"))), 6)
+                  .as("f_stat"),
+                round(col("ssb") / (col("ssb") + col("ssw")), 6)
+                  .as("eta_sq"))
+    },
+
+    // CUPED variance-reduced A/B readout (added r12) — the experiment
+    // methodology standard: adjust each user's post-period revenue by
+    // their PRE-period revenue (θ·(x − x̄), θ = cov(x,y)/var(x) pooled
+    // across arms — pre-period data is assignment-independent, so the
+    // adjustment is unbiased) and the treatment-effect estimate keeps
+    // its mean while shedding the between-user variance the covariate
+    // explains (factor 1−ρ²). Closed form over per-arm moment cells:
+    // diff_cuped = (m_ty − m_cy) − θ·(m_tx − m_cx) — no per-row
+    // adjusted column materializes. ONE events scan → per-user
+    // (pre, post) purchase cents (user_id shuffle, the q159 universe
+    // with its md5 house split) → 2 arm cells of exact decimal moments
+    // (n, Σx, Σy, Σx², Σy², Σxy) → one row of fixed-order double
+    // formulas; θ and ρ² come from the POOLED (arm-summed) moments and
+    // the reported diff_cuped uses the ROUNDED θ, so the printed
+    // figures recompose exactly. Boundary 2024-01-16 splits the feed's
+    // observed month; at 100 TB the pre-period aggregate is an
+    // artifact the experiment platform already maintains.
+    "q252_cuped" -> { (s, dir) =>
+      val b = lit("2024-01-16").cast("timestamp")
+      val pu = Tables(s, dir, "events")
+        .groupBy("user_id")
+        .agg(sum(when(col("event_type") === "purchase" && col("ts") < b,
+                      round(col("value") * 100).cast("long")).otherwise(0L))
+               .as("x"),
+             sum(when(col("event_type") === "purchase" && col("ts") >= b,
+                      round(col("value") * 100).cast("long")).otherwise(0L))
+               .as("y"))
+        .withColumn("arm",
+          when(substring(md5(col("user_id").cast("string")), 1, 1) <= "7",
+               "c").otherwise("t"))
+      val arms = pu.groupBy("arm").agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
+      def side(a: String, c: String) =
+        max(when(col("arm") === a, col(c))).as(s"${c}_$a")
+      arms.agg(side("c", "n"), side("t", "n"), side("c", "sx"),
+               side("t", "sx"), side("c", "sy"), side("t", "sy"),
+               side("c", "sxx"), side("t", "sxx"), side("c", "syy"),
+               side("t", "syy"), side("c", "sxy"), side("t", "sxy"))
+        .withColumn("nn", d(col("n_c") + col("n_t")))
+        .withColumn("px", d(col("sx_c") + col("sx_t")))
+        .withColumn("py", d(col("sy_c") + col("sy_t")))
+        .withColumn("pxx", d(col("sxx_c") + col("sxx_t")))
+        .withColumn("pyy", d(col("syy_c") + col("syy_t")))
+        .withColumn("pxy", d(col("sxy_c") + col("sxy_t")))
+        .withColumn("cxy", col("nn") * col("pxy") - col("px") * col("py"))
+        .withColumn("vx", col("nn") * col("pxx") - col("px") * col("px"))
+        .withColumn("vy", col("nn") * col("pyy") - col("py") * col("py"))
+        .withColumn("theta", round(col("cxy") / col("vx"), 6))
+        .select(col("n_c"), col("n_t"),
+          round((d(col("sy_t")) / d(col("n_t")) -
+                 d(col("sy_c")) / d(col("n_c"))) / 100.0, 6).as("diff_raw"),
+          col("theta"),
+          round((d(col("sy_t")) / d(col("n_t")) -
+                 d(col("sy_c")) / d(col("n_c")) -
+                 col("theta") * (d(col("sx_t")) / d(col("n_t")) -
+                                 d(col("sx_c")) / d(col("n_c")))) / 100.0,
+                6).as("diff_cuped"),
+          round(col("cxy") * col("cxy") / (col("vx") * col("vy")), 6)
+            .as("var_reduction"))
+    },
+
+    // PR-AUC / average precision (added r12) — q229's ROC-AUC twin for
+    // the IMBALANCED regime, where ROC flatters a classifier (the
+    // false-positive rate divides by the huge negative class): AP
+    // weights each recall slice by the precision reached there, per
+    // priority tier on the same orders⋈lineitem label universe. Tied
+    // scores are handled by a DECLARED block convention — a tie block
+    // is atomic and contributes npos_blk · (cumPos/cumTot) at the
+    // block's END (the pessimistic step; no within-block ordering
+    // exists to exploit) — so the statistic is engine-identical: block
+    // terms round 6 dp into an order-free decimal sum (q142), one
+    // division by n_pos at the end. The cumulative window runs on the
+    // VALUE-GROUP table (distinct-cents bound, q247's discipline),
+    // never the corpus; the only fact term is the one AQE-sized label
+    // join q229 already prices.
+    "q253_avg_precision" -> { (s, dir) =>
+      val lab = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "lineitem"),
+              col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderpriority").as("prio"),
+                 round(col("o_totalprice") * 100).cast("long").as("v"))
+        .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0))
+               .as("pos"))
+      val pv = lab.groupBy("prio", "v")
+        .agg(count(lit(1)).as("c"), sum("pos").as("npos"))
+      val w = Window.partitionBy("prio").orderBy(col("v").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pv.withColumn("cp", sum("npos").over(w))
+        .withColumn("ct", sum("c").over(w))
+        .groupBy("prio")
+        .agg(sum(col("npos").cast("decimal(38,0)")).as("np"),
+             sum(col("c").cast("decimal(38,0)")).as("nt"),
+             sum(round(d(col("npos")) * d(col("cp")) / d(col("ct")), 6)
+                   .cast("decimal(38,6)")).as("apsum"))
+        .select(col("prio"), col("np").cast("long").as("n_pos"),
+                col("nt").cast("long").as("n_total"),
+                round(d(col("np")) / d(col("nt")), 6).as("prevalence"),
+                when(col("np") > 0,
+                     round(d(col("apsum")) / d(col("np")), 6))
+                  .as("avg_precision"))
+        .orderBy("prio")
+    },
+
+    // Benjamini–Hochberg FDR screen (added r12) — the multiple-testing
+    // control that makes segment scanning honest: testing 25 nations
+    // for an unusual high-value-order rate at α=0.05 EACH expects ~1
+    // false alarm by chance; BH bounds the expected FALSE-DISCOVERY
+    // fraction instead. Per nation: segment-vs-rest two-proportion z
+    // from exact counts (rest = broadcast-window complement, so no
+    // self-join), two-sided p via the Abramowitz–Stegun 26.2.17 normal
+    // tail (Horner form, identical literal constants both engines —
+    // the exp() ulp caveat is q142's accepted ln() one, and p rounds
+    // to 6 dp BEFORE any comparison), then the step-up: rank by
+    // (p, nation), crit_i = i·α/m exactly, discovery_i =
+    // max_{j≥i}(p_j ≤ crit_j) as a suffix-max window. Everything after
+    // the one orders-scan agg lives on the 25-row cell table. At
+    // 100 TB the m in play is thousands of metric×segment cells — the
+    // entire BH stage stays m-bound, which is the point.
+    "q254_bh_fdr" -> { (s, dir) =>
+      val cells = Tables(s, dir, "orders")
+        .join(broadcast(Tables(s, dir, "customer")
+                          .select(col("c_custkey"), col("c_nationkey"))),
+              col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables(s, dir, "nation")
+                          .select(col("n_nationkey"), col("n_name"))),
+              col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"),
+             sum(when(col("o_totalprice") > 450000, 1L).otherwise(0L))
+               .as("x"))
+      val wAll = Window.partitionBy(lit(1))
+      val p = cells
+        .withColumn("m", count(lit(1)).over(wAll))
+        .withColumn("nr", sum("n").over(wAll) - col("n"))
+        .withColumn("xr", sum("x").over(wAll) - col("x"))
+        .withColumn("pp", (d(col("x")) + d(col("xr"))) /
+                          (d(col("n")) + d(col("nr"))))
+        .withColumn("z",
+          (d(col("x")) / d(col("n")) - d(col("xr")) / d(col("nr"))) /
+            sqrt(col("pp") * (lit(1.0) - col("pp")) *
+                 (lit(1.0) / d(col("n")) + lit(1.0) / d(col("nr")))))
+        .withColumn("az", abs(col("z")))
+        .withColumn("tt", lit(1.0) / (lit(1.0) + lit(0.2316419) * col("az")))
+        .withColumn("pval", round(
+          lit(2.0) * exp(col("az") * col("az") * lit(-0.5)) *
+            lit(0.3989422804014327) *
+            ((((lit(1.330274429) * col("tt") + lit(-1.821255978)) *
+                 col("tt") + lit(1.781477937)) * col("tt") +
+                lit(-0.356563782)) * col("tt") + lit(0.319381530)) *
+            col("tt"), 6))
+      val wRank = Window.partitionBy(lit(1))
+        .orderBy(col("pval").asc, col("n_name").asc)
+      val wSuf = wRank.rowsBetween(Window.currentRow,
+                                   Window.unboundedFollowing)
+      p.withColumn("bh_rank", row_number().over(wRank))
+        .withColumn("flag",
+          when(col("pval") <= d(col("bh_rank")) * lit(0.05) / d(col("m")),
+               1).otherwise(0))
+        .withColumn("discovery", max("flag").over(wSuf))
+        .select(col("n_name"), col("n"), col("x"),
+                round(d(col("x")) / d(col("n")), 6).as("rate"),
+                round(col("z"), 6).as("z"), col("pval").as("p_value"),
+                col("bh_rank"), col("discovery"))
+        .orderBy("bh_rank")
+    },
+
+    // Price-elasticity regression (added r12) — q147's OLS machinery
+    // pointed at the pricing question: per brand, the log-log slope of
+    // quantity on unit price IS the elasticity (d ln q / d ln p), the
+    // number a demand model starts from. Log terms are the one
+    // unavoidable transcendental: each factor rounds to 6 dp and
+    // becomes an exact DECIMAL(18,6), so the moment products and sums
+    // are exact decimal algebra (order-free, map-side-combinable; the
+    // q142 ln discipline extended to second moments) and slope/R²
+    // close over them as fixed-order double formulas. Unit price =
+    // extendedprice/quantity in double BEFORE rounding to cents — one
+    // deterministic division per row. ONE lineitem⋈part join (the
+    // q234 un-hinted fact join; AQE sizes it) → ≤|brands| moment
+    // cells; nothing else moves.
+    "q255_elasticity" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "part"),
+              col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("brand"),
+                round(log(round(col("l_extendedprice") /
+                                col("l_quantity") * 100)), 6)
+                  .cast("decimal(18,6)").as("x"),
+                round(log(col("l_quantity")), 6)
+                  .cast("decimal(18,6)").as("y"))
+      li.groupBy("brand")
+        .agg(count(lit(1)).as("n"),
+             sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+             sum(col("x") * col("x")).as("sxx"),
+             sum(col("y") * col("y")).as("syy"),
+             sum(col("x") * col("y")).as("sxy"))
+        .withColumn("cxy", d(col("n")) * d(col("sxy")) -
+                           d(col("sx")) * d(col("sy")))
+        .withColumn("vx", d(col("n")) * d(col("sxx")) -
+                          d(col("sx")) * d(col("sx")))
+        .withColumn("vy", d(col("n")) * d(col("syy")) -
+                          d(col("sy")) * d(col("sy")))
+        .select(col("brand"), col("n"),
+                round(col("cxy") / col("vx"), 6).as("elasticity"),
+                round(col("cxy") * col("cxy") /
+                      (col("vx") * col("vy")), 6).as("r2"))
+        .orderBy("brand")
+    },
+
+    // Time-decay attribution (added r12) — completes the attribution
+    // triptych (q156 last-touch = the final click takes all, q183
+    // linear = every touch equal): each view/click in the 7 days
+    // before a purchase earns weight 2^(−Δdays/7) — credit halves per
+    // week of distance, the standard recency compromise. Weights round
+    // to 6 dp and become exact decimals, so the per-purchase
+    // normalization (a sum window keyed by the purchase id) and the
+    // channel rollup are order-free decimal algebra; shares round
+    // BEFORE summing (q142). The purchases⋈touches join is USER-keyed
+    // with the time band as a residual predicate — per-user activity²
+    // bounds the pair volume (q80's accepted skew bound), never
+    // corpus². Purchases with no in-window touch are unattributed by
+    // declared convention (they have no touchpoints to credit).
+    "q257_attribution_decay" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"),
+                col("ts").as("pts"))
+      val touches = ev.where(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("event_type").as("channel"),
+                col("ts").as("tts"))
+      val wP = Window.partitionBy("pid")
+      purchases.join(touches, Seq("user_id"))
+        .where(col("tts") < col("pts") &&
+               col("tts") >= col("pts") - expr("INTERVAL 7 DAYS"))
+        .withColumn("dday",
+          floor((unix_micros(col("pts")) - unix_micros(col("tts"))) /
+                lit(86400000000L)).cast("long"))
+        .withColumn("w",
+          round(pow(lit(0.5), d(col("dday")) / lit(7.0)), 6)
+            .cast("decimal(28,6)"))
+        .withColumn("wsum", sum("w").over(wP))
+        .withColumn("share",
+          round(d(col("w")) / d(col("wsum")), 6).cast("decimal(28,6)"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("touches"),
+             countDistinct("pid").as("purchases_touched"),
+             round(d(sum("share")), 6).as("credit"))
+        .orderBy("channel")
     }
   )
 
@@ -2453,6 +2745,223 @@ object StatsModelOps extends OpModule {
         |  FROM u)
         |SELECT round(CAST(v_s AS DOUBLE) / 100.0, 6) AS src_bal, cnt,
         |  round(CAST(mv AS DOUBLE) / 100.0, 6) AS mapped_bal
-        |FROM m WHERE isq = 1 ORDER BY src_bal""".stripMargin
+        |FROM m WHERE isq = 1 ORDER BY src_bal""".stripMargin,
+
+    "q251_anova" ->
+      """WITH g AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT))
+        |      AS sv,
+        |    sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) *
+        |        CAST(round(value * 100) AS BIGINT)) AS svv
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT count(*) AS k, sum(n) AS n_total,
+        |    sum(sv) AS sall, sum(svv) AS tall,
+        |    sum(CAST(round(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) /
+        |                   CAST(n AS DOUBLE), 6) AS DECIMAL(38,6))) AS a
+        |  FROM g),
+        |f AS (SELECT k, n_total,
+        |    round(CAST(a AS DOUBLE) -
+        |          CAST(sall AS DOUBLE) * CAST(sall AS DOUBLE) /
+        |          CAST(n_total AS DOUBLE), 6) AS ssb,
+        |    round(CAST(tall AS DOUBLE) - CAST(a AS DOUBLE), 6) AS ssw
+        |  FROM t)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(n_total AS BIGINT) AS n_total,
+        |  ssb AS ss_between, ssw AS ss_within,
+        |  round((ssb / CAST(k - 1 AS DOUBLE)) /
+        |        (ssw / CAST(n_total - k AS DOUBLE)), 6) AS f_stat,
+        |  round(ssb / (ssb + ssw), 6) AS eta_sq
+        |FROM f""".stripMargin,
+
+    "q252_cuped" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |              AND ts < TIMESTAMP '2024-01-16'
+        |             THEN CAST(round(value * 100) AS BIGINT)
+        |             ELSE 0 END) AS x,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |              AND ts >= TIMESTAMP '2024-01-16'
+        |             THEN CAST(round(value * 100) AS BIGINT)
+        |             ELSE 0 END) AS y
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |                       <= '7' THEN 'c' ELSE 't' END AS arm, x, y
+        |      FROM pu),
+        |g AS (SELECT arm, count(*) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM a GROUP BY 1),
+        |w AS (SELECT
+        |    max(CASE WHEN arm = 'c' THEN n END) AS n_c,
+        |    max(CASE WHEN arm = 't' THEN n END) AS n_t,
+        |    max(CASE WHEN arm = 'c' THEN sx END) AS sx_c,
+        |    max(CASE WHEN arm = 't' THEN sx END) AS sx_t,
+        |    max(CASE WHEN arm = 'c' THEN sy END) AS sy_c,
+        |    max(CASE WHEN arm = 't' THEN sy END) AS sy_t,
+        |    max(CASE WHEN arm = 'c' THEN sxx END) AS sxx_c,
+        |    max(CASE WHEN arm = 't' THEN sxx END) AS sxx_t,
+        |    max(CASE WHEN arm = 'c' THEN syy END) AS syy_c,
+        |    max(CASE WHEN arm = 't' THEN syy END) AS syy_t,
+        |    max(CASE WHEN arm = 'c' THEN sxy END) AS sxy_c,
+        |    max(CASE WHEN arm = 't' THEN sxy END) AS sxy_t
+        |  FROM g),
+        |f AS (SELECT *,
+        |    CAST(n_c + n_t AS DOUBLE) AS nn,
+        |    CAST(sx_c + sx_t AS DOUBLE) AS px,
+        |    CAST(sy_c + sy_t AS DOUBLE) AS py,
+        |    CAST(sxx_c + sxx_t AS DOUBLE) AS pxx,
+        |    CAST(syy_c + syy_t AS DOUBLE) AS pyy,
+        |    CAST(sxy_c + sxy_t AS DOUBLE) AS pxy
+        |  FROM w),
+        |f2 AS (SELECT *,
+        |    nn * pxy - px * py AS cxy,
+        |    nn * pxx - px * px AS vx,
+        |    nn * pyy - py * py AS vy
+        |  FROM f),
+        |f3 AS (SELECT *, round(cxy / vx, 6) AS theta FROM f2)
+        |SELECT CAST(n_c AS BIGINT) AS n_c, CAST(n_t AS BIGINT) AS n_t,
+        |  round((CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE) -
+        |         CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE)) / 100.0, 6)
+        |    AS diff_raw,
+        |  theta,
+        |  round((CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE) -
+        |         CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE) -
+        |         theta * (CAST(sx_t AS DOUBLE) / CAST(n_t AS DOUBLE) -
+        |                  CAST(sx_c AS DOUBLE) / CAST(n_c AS DOUBLE))) /
+        |        100.0, 6) AS diff_cuped,
+        |  round(cxy * cxy / (vx * vy), 6) AS var_reduction
+        |FROM f3""".stripMargin,
+
+    "q253_avg_precision" ->
+      """WITH lab AS (
+        |  SELECT o.o_orderkey, o.o_orderpriority AS prio,
+        |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS v,
+        |    max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY 1, 2, 3),
+        |pv AS (SELECT prio, v, count(*) AS c, sum(pos) AS npos
+        |  FROM lab GROUP BY 1, 2),
+        |cw AS (SELECT prio, v, c, npos,
+        |    sum(npos) OVER (PARTITION BY prio ORDER BY v DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+        |    sum(c) OVER (PARTITION BY prio ORDER BY v DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct
+        |  FROM pv),
+        |g AS (SELECT prio, sum(CAST(npos AS HUGEINT)) AS np,
+        |    sum(CAST(c AS HUGEINT)) AS nt,
+        |    sum(CAST(round(CAST(npos AS DOUBLE) * CAST(cp AS DOUBLE) /
+        |                   CAST(ct AS DOUBLE), 6) AS DECIMAL(38,6)))
+        |      AS apsum
+        |  FROM cw GROUP BY 1)
+        |SELECT prio, CAST(np AS BIGINT) AS n_pos,
+        |  CAST(nt AS BIGINT) AS n_total,
+        |  round(CAST(np AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS prevalence,
+        |  CASE WHEN np > 0
+        |       THEN round(CAST(apsum AS DOUBLE) / CAST(np AS DOUBLE), 6)
+        |  END AS avg_precision
+        |FROM g ORDER BY prio""".stripMargin,
+
+    "q254_bh_fdr" ->
+      """WITH cells AS (
+        |  SELECT n.n_name, count(*) AS n,
+        |    sum(CASE WHEN o.o_totalprice > 450000 THEN 1 ELSE 0 END) AS x
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1),
+        |w AS (SELECT *, count(*) OVER () AS m,
+        |    sum(n) OVER () - n AS nr, sum(x) OVER () - x AS xr
+        |  FROM cells),
+        |z AS (SELECT *,
+        |    (CAST(x AS DOUBLE) + CAST(xr AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) + CAST(nr AS DOUBLE)) AS pp,
+        |    (CAST(x AS DOUBLE) / CAST(n AS DOUBLE) -
+        |     CAST(xr AS DOUBLE) / CAST(nr AS DOUBLE)) /
+        |    sqrt(((CAST(x AS DOUBLE) + CAST(xr AS DOUBLE)) /
+        |          (CAST(n AS DOUBLE) + CAST(nr AS DOUBLE))) *
+        |         (1.0 - (CAST(x AS DOUBLE) + CAST(xr AS DOUBLE)) /
+        |                (CAST(n AS DOUBLE) + CAST(nr AS DOUBLE))) *
+        |         (1.0 / CAST(n AS DOUBLE) + 1.0 / CAST(nr AS DOUBLE)))
+        |      AS zz
+        |  FROM w),
+        |pv AS (SELECT *, abs(zz) AS az,
+        |    1.0 / (1.0 + 0.2316419 * abs(zz)) AS tt
+        |  FROM z),
+        |pp2 AS (SELECT *,
+        |    round(2.0 * exp(az * az * -0.5) * 0.3989422804014327 *
+        |          ((((1.330274429 * tt + -1.821255978) * tt +
+        |             1.781477937) * tt + -0.356563782) * tt +
+        |           0.319381530) * tt, 6) AS pval
+        |  FROM pv),
+        |r AS (SELECT *,
+        |    row_number() OVER (ORDER BY pval ASC, n_name ASC) AS bh_rank
+        |  FROM pp2),
+        |fl AS (SELECT *,
+        |    CASE WHEN pval <= CAST(bh_rank AS DOUBLE) * 0.05 /
+        |                      CAST(m AS DOUBLE)
+        |         THEN 1 ELSE 0 END AS flag
+        |  FROM r),
+        |dd AS (SELECT *,
+        |    max(flag) OVER (ORDER BY bh_rank
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS discovery
+        |  FROM fl)
+        |SELECT n_name, n, CAST(x AS BIGINT) AS x,
+        |  round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+        |  round(zz, 6) AS z, pval AS p_value, bh_rank, discovery
+        |FROM dd ORDER BY bh_rank""".stripMargin,
+
+    "q255_elasticity" ->
+      """WITH v AS (
+        |  SELECT p.p_brand AS brand,
+        |    CAST(round(ln(round(l.l_extendedprice / l.l_quantity
+        |                        * 100)), 6) AS DECIMAL(18,6)) AS x,
+        |    CAST(round(ln(l.l_quantity), 6) AS DECIMAL(18,6)) AS y
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |m AS (SELECT brand, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+        |    sum(y * y) AS syy, sum(x * y) AS sxy
+        |  FROM v GROUP BY 1),
+        |f AS (SELECT *,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cxy,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+        |  FROM m)
+        |SELECT brand, n, round(cxy / vx, 6) AS elasticity,
+        |  round(cxy * cxy / (vx * vy), 6) AS r2
+        |FROM f ORDER BY brand""".stripMargin,
+
+    "q257_attribution_decay" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS pid, ts AS pts FROM events
+        |  WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id, event_type AS channel, ts AS tts FROM events
+        |  WHERE event_type IN ('view', 'click')),
+        |j AS (
+        |  SELECT p.pid, t.channel,
+        |    CAST(floor((epoch_us(p.pts) - epoch_us(t.tts)) /
+        |               86400000000) AS BIGINT) AS dday
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |  WHERE t.tts < p.pts AND t.tts >= p.pts - INTERVAL 7 DAY),
+        |w AS (SELECT pid, channel,
+        |    CAST(round(pow(0.5, CAST(dday AS DOUBLE) / 7.0), 6)
+        |         AS DECIMAL(28,6)) AS w
+        |  FROM j),
+        |sh AS (SELECT channel, pid,
+        |    CAST(round(CAST(w AS DOUBLE) /
+        |               CAST(sum(w) OVER (PARTITION BY pid) AS DOUBLE), 6)
+        |         AS DECIMAL(28,6)) AS share
+        |  FROM w)
+        |SELECT channel, count(*) AS touches,
+        |  count(DISTINCT pid) AS purchases_touched,
+        |  round(CAST(sum(share) AS DOUBLE), 6) AS credit
+        |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

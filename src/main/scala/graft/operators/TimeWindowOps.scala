@@ -747,6 +747,87 @@ object TimeWindowOps extends OpModule {
                 round((dd(col("o1")) - dd(col("e1"))) *
                         (dd(col("o1")) - dd(col("e1"))) / dd(col("v")),
                       6).as("chi2"))
+    },
+
+    // Weekday seasonal index (added r12) — the decomposition step
+    // between q161's "is there weekly structure?" screen and any
+    // deseasonalized model: per weekday, the ratio of daily revenue to
+    // its CENTERED 7-day moving average (the classical ratio-to-moving-
+    // average method — each calendar weekday appears exactly once in
+    // every centered window, so the trend estimate is weekday-neutral
+    // by construction). Windows requiring both 7 observed rows AND a
+    // 6-day calendar span keep partial or gap-crossing windows out of
+    // the index (edge days drop — standard for centered MA). Per-day
+    // ratio = c·7/s7 fixed-order double rounded 6 into an order-free
+    // decimal sum; weekday = days-since-Monday-epoch % 7 (the q144
+    // portable calendar). ONE fact scan collapses to ~|days| cells;
+    // the MA window and the 7-row rollup ride that tiny table.
+    "q256_seasonal_index" -> { (s, d) =>
+      def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+      val W = org.apache.spark.sql.expressions.Window
+      val cells = Tables(s, d, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+      val w7 = W.orderBy("day").rowsBetween(-3, 3)
+      cells
+        .withColumn("k", count(lit(1)).over(w7))
+        .withColumn("span", datediff(max("day").over(w7),
+                                     min("day").over(w7)))
+        .withColumn("s7", sum("c").over(w7))
+        .where(col("k") === 7 && col("span") === 6)
+        .withColumn("ratio",
+          round(dd(col("c")) * lit(7.0) / dd(col("s7")), 6)
+            .cast("decimal(28,6)"))
+        .withColumn("dow",
+          (datediff(col("day"), to_date(lit("1970-01-05"))) % 7)
+            .cast("long"))
+        .groupBy("dow")
+        .agg(count(lit(1)).as("n_days"),
+             round(dd(sum("ratio")) / dd(count(lit(1))), 6)
+               .as("seasonal_index"))
+        .orderBy("dow")
+    },
+
+    // Rolling-origin forecast backtest (added r12) — q161 asks whether
+    // weekly structure EXISTS; this prices how well the seasonal-naive
+    // forecaster (tomorrow = same weekday last week) would actually
+    // have done, the honest evaluation a forecasting team runs before
+    // shipping any model: hold out the LAST 14 observed days per
+    // series and report MAE / MAPE / sMAPE of the day−7 forecast. All
+    // errors are exact integer |c − f| over the (type, day) cell
+    // table; the per-day relative terms round 6 dp into order-free
+    // decimal sums (q142) and divide once by the day count. The
+    // evaluation window comes from a broadcast 1-row max-day; the
+    // shifted self-join is q161's date-add cell algebra. ONE pinned
+    // fact scan; everything else is |types×days|-bound.
+    "q258_forecast_backtest" -> { (s, d) =>
+      def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+      val (cells, h) = org.apache.spark.sql.graft.InternalPin.pin(
+        Tables(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("c")))
+      h.count(); graft.PinScope.retain(h)
+      val mx = cells.agg(max("day").as("mxday"))
+      val sh = cells.select(col("event_type"),
+                            date_add(col("day"), 7).as("day"),
+                            col("c").as("f"))
+      cells.join(sh, Seq("event_type", "day"))
+        .crossJoin(broadcast(mx))
+        .where(col("day") > date_sub(col("mxday"), 14))
+        .withColumn("ae", abs(col("c") - col("f")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+             sum("ae").cast("long").as("abs_err_total"),
+             round(dd(sum("ae")) / dd(count(lit(1))), 6).as("mae"),
+             round(dd(sum(round(dd(col("ae")) / dd(col("c")), 6)
+                          .cast("decimal(28,6)"))) /
+                   dd(count(lit(1))), 6).as("mape"),
+             round(dd(sum(round(dd(col("ae")) * lit(2.0) /
+                                (dd(col("c")) + dd(col("f"))), 6)
+                          .cast("decimal(28,6)"))) /
+                   dd(count(lit(1))), 6).as("smape"))
+        .orderBy("event_type")
     }
   )
 
@@ -1286,6 +1367,55 @@ object TimeWindowOps extends OpModule {
         |SELECT user_id, min(ts) AS sess_start, count(*) AS cnt,
         |  epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
         |FROM se GROUP BY user_id, sid
-        |ORDER BY user_id, sess_start""".stripMargin
+        |ORDER BY user_id, sess_start""".stripMargin,
+
+    "q256_seasonal_index" ->
+      """WITH cells AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS c
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |w AS (SELECT day, c,
+        |    count(*) OVER w7 AS k,
+        |    max(day) OVER w7 - min(day) OVER w7 AS span,
+        |    sum(c) OVER w7 AS s7
+        |  FROM cells
+        |  WINDOW w7 AS (ORDER BY day
+        |                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |r AS (SELECT
+        |    CAST((day - DATE '1970-01-05') % 7 AS BIGINT) AS dow,
+        |    CAST(round(CAST(c AS DOUBLE) * 7.0 / CAST(s7 AS DOUBLE), 6)
+        |         AS DECIMAL(28,6)) AS ratio
+        |  FROM w WHERE k = 7 AND span = 6)
+        |SELECT dow, count(*) AS n_days,
+        |  round(CAST(sum(ratio) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS seasonal_index
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q258_forecast_backtest" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (SELECT max(day) AS mxday FROM cells),
+        |j AS (
+        |  SELECT a.event_type, a.c, b.c AS f, abs(a.c - b.c) AS ae
+        |  FROM cells a
+        |  JOIN cells b ON a.event_type = b.event_type
+        |               AND a.day = b.day + 7
+        |  CROSS JOIN mx
+        |  WHERE a.day > mx.mxday - 14)
+        |SELECT event_type, count(*) AS n_days,
+        |  CAST(sum(ae) AS BIGINT) AS abs_err_total,
+        |  round(CAST(sum(ae) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS mae,
+        |  round(CAST(sum(CAST(round(CAST(ae AS DOUBLE) /
+        |                            CAST(c AS DOUBLE), 6)
+        |                      AS DECIMAL(28,6))) AS DOUBLE) /
+        |        CAST(count(*) AS DOUBLE), 6) AS mape,
+        |  round(CAST(sum(CAST(round(CAST(ae AS DOUBLE) * 2.0 /
+        |                            (CAST(c AS DOUBLE) +
+        |                             CAST(f AS DOUBLE)), 6)
+        |                      AS DECIMAL(28,6))) AS DOUBLE) /
+        |        CAST(count(*) AS DOUBLE), 6) AS smape
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -2089,4 +2089,253 @@ class CorrectnessSpec extends SparkSpecBase {
       .collect().toSeq
     assert(got == want)
   }
+
+  test("q251 ANOVA matches a brute-force sums-of-squares decomposition") {
+    val vals = Tables(spark, sf, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long"))
+      .as[(String, Long)].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val groups = vals.groupBy(_._1).values.toSeq
+    val k = groups.size.toLong
+    val nTot = vals.size.toLong
+    val sAll = vals.map(v => BigInt(v._2)).sum
+    val tAll = vals.map(v => BigInt(v._2) * v._2).sum
+    val a = groups.map { g =>
+      val sv = g.map(v => BigInt(v._2)).sum
+      BigDecimal(r6(sv.toDouble * sv.toDouble / g.size.toDouble))
+    }.sum
+    val ssb = r6(a.toDouble - sAll.toDouble * sAll.toDouble / nTot.toDouble)
+    val ssw = r6(tAll.toDouble - a.toDouble)
+    val f = r6((ssb / (k - 1).toDouble) / (ssw / (nTot - k).toDouble))
+    val eta = r6(ssb / (ssb + ssw))
+    val got = q("q251_anova")
+      .as[(Long, Long, Double, Double, Double, Double)].collect().head
+    assert(got == ((k, nTot, ssb, ssw, f, eta)))
+  }
+
+  test("q252 CUPED matches a brute-force moment recomputation") {
+    val evs = Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_type"),
+              col("ts") < lit("2024-01-16").cast("timestamp"),
+              round(col("value") * 100).cast("long"))
+      .as[(Long, String, Boolean, Long)].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val users = evs.groupBy(_._1).toSeq.map { case (uid, g) =>
+      val x = g.filter(e => e._2 == "purchase" && e._3).map(_._4).sum
+      val y = g.filter(e => e._2 == "purchase" && !e._3).map(_._4).sum
+      (if (md5hex(uid.toString).head <= '7') "c" else "t", x, y)
+    }
+    def mom(arm: String) = {
+      val g = users.filter(_._1 == arm)
+      (g.size.toLong, g.map(u => BigInt(u._2)).sum,
+       g.map(u => BigInt(u._3)).sum, g.map(u => BigInt(u._2) * u._2).sum,
+       g.map(u => BigInt(u._3) * u._3).sum,
+       g.map(u => BigInt(u._2) * u._3).sum)
+    }
+    val (nc, sxc, syc, sxxc, syyc, sxyc) = mom("c")
+    val (nt, sxt, syt, sxxt, syyt, sxyt) = mom("t")
+    val nn = (nc + nt).toDouble
+    val px = (sxc + sxt).toDouble; val py = (syc + syt).toDouble
+    val pxx = (sxxc + sxxt).toDouble; val pyy = (syyc + syyt).toDouble
+    val pxy = (sxyc + sxyt).toDouble
+    val cxy = nn * pxy - px * py
+    val vx = nn * pxx - px * px; val vy = nn * pyy - py * py
+    val theta = r6(cxy / vx)
+    val diffRaw = r6((syt.toDouble / nt.toDouble -
+                      syc.toDouble / nc.toDouble) / 100.0)
+    val diffCuped = r6((syt.toDouble / nt.toDouble -
+                        syc.toDouble / nc.toDouble -
+                        theta * (sxt.toDouble / nt.toDouble -
+                                 sxc.toDouble / nc.toDouble)) / 100.0)
+    val vr = r6(cxy * cxy / (vx * vy))
+    val got = q("q252_cuped")
+      .as[(Long, Long, Double, Double, Double, Double)].collect().head
+    assert(got == ((nc, nt, diffRaw, theta, diffCuped, vr)))
+  }
+
+  test("q253 average precision matches a brute-force tie-block walk") {
+    val lab = Tables(spark, sf, "orders").as("o")
+      .join(Tables(spark, sf, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority").as("prio"),
+               round(col("o_totalprice") * 100).cast("long").as("v"))
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("p"))
+      .select(col("prio"), col("v"), col("p"))
+      .as[(String, Long, Int)].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = lab.groupBy(_._1).toSeq.map { case (prio, g) =>
+      val blocks = g.groupBy(_._2).toSeq.sortBy(-_._1)
+      var cp = 0L; var ct = 0L; var ap = BigDecimal(0)
+      for ((_, blk) <- blocks) {
+        val npos = blk.map(_._3).sum.toLong
+        cp += npos; ct += blk.size
+        ap += BigDecimal(r6(npos.toDouble * cp.toDouble / ct.toDouble))
+      }
+      val np = g.map(_._3).sum.toLong; val nt = g.size.toLong
+      (prio, np, nt, r6(np.toDouble / nt.toDouble),
+       if (np > 0) r6(ap.toDouble / np.toDouble) else Double.NaN)
+    }.sortBy(_._1)
+    val got = q("q253_avg_precision")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("q254 BH-FDR matches a brute-force step-up walk") {
+    val orders = Tables(spark, sf, "orders")
+      .join(Tables(spark, sf, "customer"),
+            col("o_custkey") === col("c_custkey"))
+      .join(Tables(spark, sf, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_totalprice") > 450000)
+      .as[(String, Boolean)].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cells = orders.groupBy(_._1).toSeq.map { case (nm, g) =>
+      (nm, g.size.toLong, g.count(_._2).toLong) }
+    val m = cells.size
+    val (nAll, xAll) = (cells.map(_._2).sum, cells.map(_._3).sum)
+    val scored = cells.map { case (nm, n, x) =>
+      val (nr, xr) = (nAll - n, xAll - x)
+      val pp = (x.toDouble + xr.toDouble) / (n.toDouble + nr.toDouble)
+      val z = (x.toDouble / n.toDouble - xr.toDouble / nr.toDouble) /
+        math.sqrt(pp * (1.0 - pp) * (1.0 / n.toDouble + 1.0 / nr.toDouble))
+      val az = math.abs(z)
+      val t = 1.0 / (1.0 + 0.2316419 * az)
+      val pval = r6(2.0 * math.exp(az * az * -0.5) * 0.3989422804014327 *
+        ((((1.330274429 * t + -1.821255978) * t + 1.781477937) * t +
+          -0.356563782) * t + 0.319381530) * t)
+      (nm, n, x, r6(x.toDouble / n.toDouble), r6(z), pval)
+    }.sortBy(s => (s._6, s._1))
+    val flags = scored.zipWithIndex.map { case (s, i) =>
+      if (s._6 <= (i + 1).toDouble * 0.05 / m.toDouble) 1 else 0 }
+    val want = scored.zipWithIndex.map { case (s, i) =>
+      (s._1, s._2, s._3, s._4, s._5, s._6, i + 1, flags.drop(i).max) }
+    val got = q("q254_bh_fdr")
+      .as[(String, Long, Long, Double, Double, Double, Int, Int)]
+      .collect().toSeq
+    assert(got == want)
+  }
+
+  test("q255 elasticity matches a brute-force log-log OLS") {
+    val rows = Tables(spark, sf, "lineitem")
+      .join(Tables(spark, sf, "part"),
+            col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("l_extendedprice"), col("l_quantity"))
+      .as[(String, Double, Double)].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = rows.groupBy(_._1).toSeq.map { case (brand, g) =>
+      val pts = g.map { case (_, ep, qty) =>
+        (BigDecimal(r6(math.log(math.round(ep / qty * 100).toDouble))),
+         BigDecimal(r6(math.log(qty)))) }
+      val n = pts.size.toLong
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val syy = pts.map(p => p._2 * p._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val cxy = n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble
+      val vx = n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+      val vy = n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble
+      (brand, n, r6(cxy / vx), r6(cxy * cxy / (vx * vy)))
+    }.sortBy(_._1)
+    val got = q("q255_elasticity")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("q256 seasonal index matches a brute-force centered-MA walk") {
+    val ev = Tables(spark, sf, "events")
+      .where(col("event_type") === "purchase")
+      .select(to_date(col("ts")).cast("string"),
+              round(col("value") * 100).cast("long"))
+      .as[(String, Long)].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cells = ev.groupBy(_._1).toSeq
+      .map { case (d, g) => (java.time.LocalDate.parse(d),
+                             g.map(_._2).sum) }
+      .sortBy(_._1.toEpochDay)
+    val ratios = (3 until cells.size - 3).flatMap { i =>
+      val win = cells.slice(i - 3, i + 4)
+      val span = win.last._1.toEpochDay - win.head._1.toEpochDay
+      if (span == 6) {
+        val s7 = win.map(_._2).sum
+        val (day, c) = cells(i)
+        Some(((day.toEpochDay - java.time.LocalDate
+                 .parse("1970-01-05").toEpochDay) % 7,
+              BigDecimal(r6(c.toDouble * 7.0 / s7.toDouble))))
+      } else None
+    }
+    val want = ratios.groupBy(_._1).toSeq.map { case (dow, g) =>
+      (dow, g.size.toLong,
+       r6(g.map(_._2).sum.toDouble / g.size.toDouble)) }.sortBy(_._1)
+    val got = q("q256_seasonal_index")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("q257 time-decay attribution matches a brute-force credit walk") {
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+              unix_micros(col("ts")))
+      .as[(Long, Long, String, Long)].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byUser = ev.groupBy(_._1)
+    val weights = byUser.values.toSeq.flatMap { g =>
+      val ps = g.filter(_._3 == "purchase")
+      val ts = g.filter(e => e._3 == "view" || e._3 == "click")
+      ps.flatMap { case (_, pid, _, pts) =>
+        ts.filter(t => t._4 < pts && t._4 >= pts - 7L * 86400000000L)
+          .map { case (_, _, ch, tts) =>
+            val dday = math.floor((pts - tts).toDouble / 86400000000L)
+            (pid, ch, BigDecimal(r6(math.pow(0.5, dday / 7.0)))) }
+      }
+    }
+    val wsum = weights.groupBy(_._1)
+      .map { case (pid, g) => (pid, g.map(_._3).sum) }
+    val shares = weights.map { case (pid, ch, w) =>
+      (pid, ch, BigDecimal(r6(w.toDouble / wsum(pid).toDouble))) }
+    val want = shares.groupBy(_._2).toSeq.map { case (ch, g) =>
+      (ch, g.size.toLong, g.map(_._1).distinct.size.toLong,
+       r6(g.map(_._3).sum.toDouble)) }.sortBy(_._1)
+    val got = q("q257_attribution_decay")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("q258 forecast backtest matches a brute-force error walk") {
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_type"), to_date(col("ts")).cast("string"))
+      .as[(String, String)].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cells = ev.groupBy(identity).map { case ((t, d), g) =>
+      ((t, java.time.LocalDate.parse(d)), g.size.toLong) }
+    val maxDay = cells.keys.map(_._2.toEpochDay).max
+    val pairs = cells.toSeq.flatMap { case ((t, d), c) =>
+      if (d.toEpochDay > maxDay - 14)
+        cells.get((t, d.minusDays(7))).map(f => (t, c, f))
+      else None
+    }
+    val want = pairs.groupBy(_._1).toSeq.map { case (t, g) =>
+      val n = g.size.toLong
+      val aes = g.map(p => math.abs(p._2 - p._3))
+      val mape = g.map(p => BigDecimal(
+        r6(math.abs(p._2 - p._3).toDouble / p._2.toDouble))).sum
+      val smape = g.map(p => BigDecimal(
+        r6(math.abs(p._2 - p._3).toDouble * 2.0 /
+           (p._2.toDouble + p._3.toDouble)))).sum
+      (t, n, aes.sum, r6(aes.sum.toDouble / n.toDouble),
+       r6(mape.toDouble / n.toDouble), r6(smape.toDouble / n.toDouble))
+    }.sortBy(_._1)
+    val got = q("q258_forecast_backtest")
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == want)
+  }
 }

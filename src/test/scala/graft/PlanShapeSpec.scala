@@ -1186,4 +1186,57 @@ class PlanShapeSpec extends SparkSpecBase {
       } finally PinScope.drain()
     }
   }
+
+  test("q251-q254: test statistics are cell-table algebra after one pass") {
+    // q251/q252: ONE events scan into a map-side-combined cell table
+    // (types / arms), nothing else touches parquet
+    for (name <- Seq("q251_anova", "q252_cuped")) {
+      val p = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert("FileScan|Scan parquet".r.findAllIn(p).size == 1,
+             s"$name should scan exactly one fact table\n" + p)
+      assert(!p.contains("SortAggregate"), p)
+    }
+    // q253: the orders⋈lineitem label join is the only fact term (two
+    // scans); the AP window rides the value-group table, and no
+    // corpus-sized sort exists below the window's tiny input
+    val p253 = SparkEntry.queries("q253_avg_precision")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("FileScan|Scan parquet".r.findAllIn(p253).size == 2, p253)
+    // q254: one orders scan + two BROADCAST dim joins; the BH stage is
+    // windows over the 25-row cell table — no extra exchange-heavy join
+    val p254 = SparkEntry.queries("q254_bh_fdr")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("FileScan|Scan parquet".r.findAllIn(p254).size == 3, p254)
+    assert("BroadcastHashJoin".r.findAllIn(p254).size == 2, p254)
+    assert(!p254.contains("SortMergeJoin"), p254)
+  }
+
+  test("q255-q258: time-series/attribution stay fact-scan bound") {
+    // q255: the lineitem⋈part join is the only fact term (two scans
+    // into brand-bound moment cells, no sort agg)
+    val p255 = SparkEntry.queries("q255_elasticity")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("FileScan|Scan parquet".r.findAllIn(p255).size == 2, p255)
+    assert(!p255.contains("SortAggregate"), p255)
+    // q256: ONE fact scan collapses to daily cells; the centered-MA
+    // window and the 7-row rollup ride that table
+    val p256 = SparkEntry.queries("q256_seasonal_index")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("FileScan|Scan parquet".r.findAllIn(p256).size == 1, p256)
+    // q257: purchases and touches are two filtered reads of the one
+    // events table, joined USER-keyed (the band is a residual
+    // predicate, not a join strategy change)
+    val p257 = SparkEntry.queries("q257_attribution_decay")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("FileScan|Scan parquet".r.findAllIn(p257).size == 2, p257)
+    // q258: the fact scan is paid once at pin time; the backtest plan
+    // reads pinned cell blocks only
+    try {
+      val p258 = SparkEntry.queries("q258_forecast_backtest")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p258.contains("FileScan") && !p258.contains("ParquetScan"),
+             "q258 replans the fact scan instead of reading the pin")
+    } finally PinScope.drain()
+  }
 }
