@@ -46,7 +46,8 @@ object SweepR12 {
       "q249_spearman", "q250_lead_lag", "q251_anova", "q252_cuped",
       "q253_avg_precision", "q254_bh_fdr", "q255_elasticity",
       "q256_seasonal_index", "q257_attribution_decay",
-      "q258_forecast_backtest")
+      "q258_forecast_backtest", "q259_readability", "q260_zipf_fit",
+      "q261_template_shingles", "q262_source_mirror")
     // mode "x100": sweep against the 100x volume build at /tmp/sf100x
     // (tools/make100x.py defaults) instead of the 10x point — the r11
     // protocol asked at two orders. Remaining args subset the list.

@@ -757,6 +757,48 @@ object DedupExtOps extends OpModule {
                 round(col("inter").cast("double") /
                       col("uni").cast("double"), 6).as("jaccard"))
         .orderBy("id_small", "id_big")
+    },
+
+    // Source-mirror detection (added r12) — dedup at the SOURCE grain:
+    // two feeds whose 8-gram SETS overlap heavily are mirrors (the
+    // same crawl behind two hostnames, a re-hosted dump, a partner
+    // syndication), and ingesting both double-weights that corpus in
+    // training. Per source the distinct-gram set is the q242 gram
+    // projection aggregated once; pair volume is Σ_gram |sources|² ≤
+    // |sources|² per gram — source-count bounded, never doc² — and
+    // set sizes broadcast onto the ≤|sources|² pair table. Jaccard
+    // says "same corpus"; containment (÷ the smaller set) also catches
+    // a feed that is a strict SUBSET mirror of a bigger one. All-pairs
+    // reported with a declared total order (the source space is the
+    // operator's cardinality, tiny by construction even at 100 TB).
+    "q262_source_mirror" -> { (s, d) =>
+      val g = Tables(s, d, "documents")
+        .select(col("source"),
+                org.apache.spark.sql.graft.GraftFunctions
+                  .ngrams(split(col("text"), " "), 8).as("gr"))
+        .select(col("source"), md5(col("gr")).as("m"))
+        .distinct()
+      val sizes = g.groupBy("source").agg(count(lit(1)).as("sz"))
+      val inter = g.as("a")
+        .join(g.as("b"),
+              col("a.m") === col("b.m") &&
+                col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.select(col("source").as("s1"),
+                                     col("sz").as("n1"))), Seq("s1"))
+        .join(broadcast(sizes.select(col("source").as("s2"),
+                                     col("sz").as("n2"))), Seq("s2"))
+        .select(col("s1"), col("s2"), col("inter"),
+                round(col("inter").cast("double") /
+                      (col("n1") + col("n2") - col("inter"))
+                        .cast("double"), 6).as("jaccard"),
+                round(col("inter").cast("double") /
+                      least(col("n1"), col("n2")).cast("double"), 6)
+                  .as("containment"))
+        .orderBy(col("jaccard").desc, col("s1"), col("s2"))
+        .limit(20)
     }
   )
 
@@ -1377,6 +1419,27 @@ object DedupExtOps extends OpModule {
          |  FROM (SELECT doc_id, $simhashBits FROM t GROUP BY doc_id)),
          |buckets AS (SELECT fp, count(*) AS bucket_size FROM fps GROUP BY fp)
          |SELECT doc_id, fps.fp, bucket_size FROM fps JOIN buckets ON fps.fp = buckets.fp
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    "q262_source_mirror" ->
+      """WITH g AS (
+        |  SELECT DISTINCT source,
+        |    md5(unnest(list_transform(range(1, len(t) - 6),
+        |        i -> array_to_string(t[i:i+7], ' ')))) AS m
+        |  FROM (SELECT source, string_split(text, ' ') AS t
+        |        FROM documents)),
+        |sz AS (SELECT source, count(*) AS sz FROM g GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS s1, b.source AS s2, count(*) AS inter
+        |  FROM g a JOIN g b ON a.m = b.m AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT s1, s2, inter,
+        |  round(CAST(inter AS DOUBLE) /
+        |        CAST(x.sz + y.sz - inter AS DOUBLE), 6) AS jaccard,
+        |  round(CAST(inter AS DOUBLE) /
+        |        CAST(least(x.sz, y.sz) AS DOUBLE), 6) AS containment
+        |FROM inter JOIN sz x ON inter.s1 = x.source
+        |           JOIN sz y ON inter.s2 = y.source
+        |ORDER BY jaccard DESC, s1, s2 LIMIT 20""".stripMargin
   )
 }

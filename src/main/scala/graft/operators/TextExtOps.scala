@@ -847,6 +847,133 @@ object TextExtOps extends OpModule {
                            col("m2").cast("double"))), 6).as("pmi"))
         .orderBy(col("pmi").desc, col("w1"), col("w2"))
         .limit(20)
+    },
+
+    // Flesch reading-ease screen (added r12) — the classic readability
+    // heuristic as a corpus-quality dimension next to q49's composite
+    // score: 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+    // with syllables ≈ vowel GROUPS (the standard cheap estimator —
+    // counted via the replace-groups-with-one-char length trick, no
+    // per-char UDF) and sentences = terminal-punctuation count floored
+    // at 1 (this corpus is unpunctuated token streams, so the guard is
+    // load-bearing and the declared convention). Per-doc score rounds
+    // 6 dp into exact decimals; the per-lang rollup (mean + share
+    // below the "very difficult" 30 cutoff) is order-free. Pure
+    // map-side string algebra + one ≤|langs| agg: scan-bound at any
+    // corpus size, whole-stage-codegen throughout.
+    "q259_readability" -> { (s, d) =>
+      def dd(c: Column) = c.cast("double")
+      val toks = filter(split(col("text"), " "),
+                        x => length(x) > 0)
+      val scored = Tables(s, d, "documents")
+        .select(col("lang"),
+                size(toks).cast("long").as("words"),
+                (length(regexp_replace(lower(col("text")),
+                                       "[aeiouy]+", "#")) -
+                 length(regexp_replace(lower(col("text")),
+                                       "[aeiouy]+", "")))
+                  .cast("long").as("syll"),
+                greatest(lit(1L),
+                  (length(col("text")) -
+                   length(translate(col("text"), ".!?", "")))
+                    .cast("long")).as("sents"))
+        .select(col("lang"),
+                round(lit(206.835) -
+                      lit(1.015) * dd(col("words")) / dd(col("sents")) -
+                      lit(84.6) * dd(col("syll")) / dd(col("words")),
+                      6).as("flesch"))
+      scored.groupBy("lang")
+        .agg(count(lit(1)).as("docs"),
+             round(dd(sum(col("flesch").cast("decimal(28,6)"))) /
+                   dd(count(lit(1))), 6).as("avg_flesch"),
+             round(dd(sum(when(col("flesch") < 30, 1L).otherwise(0L))) /
+                   dd(count(lit(1))), 6).as("pct_hard"))
+        .orderBy("lang")
+    },
+
+    // Zipf rank-frequency fit (added r12) — the corpus-statistics
+    // audit behind every vocabulary decision: natural text follows
+    // freq ∝ rank^(−s) with s ≈ 1, and a corpus that DOESN'T (too
+    // flat = synthetic/templated, too steep = boilerplate-dominated)
+    // fails the naturalness screen. Fit = OLS of ln(freq) on ln(rank)
+    // over the whole vocabulary (rank by count desc with token
+    // tie-break — deterministic), reusing q255's rounded-log decimal
+    // moment discipline so the slope is engine-exact. The rank window
+    // and moment agg run on the VOCABULARY table (one token-keyed
+    // shuffle collapses the corpus); the single-partition rank window
+    // is vocab-bound by declared contract — at web scale the rank
+    // comes from the q146 bucketed prefix sum instead (documented
+    // alternative, same statistic).
+    "q260_zipf_fit" -> { (s, d) =>
+      def dd(c: Column) = c.cast("double")
+      val tc = Tables(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("t"))
+        .where(length(col("t")) > 0)
+        .groupBy("t").agg(count(lit(1)).as("c"))
+      val wR = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("t"))
+      tc.withColumn("r", row_number().over(wR))
+        .select(round(log(dd(col("r"))), 6).cast("decimal(18,6)").as("x"),
+                round(log(dd(col("c"))), 6).cast("decimal(18,6)").as("y"),
+                col("c"))
+        .agg(count(lit(1)).as("vocab"), sum("c").as("n_tokens"),
+             sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+             sum(col("x") * col("x")).as("sxx"),
+             sum(col("y") * col("y")).as("syy"),
+             sum(col("x") * col("y")).as("sxy"))
+        .withColumn("cxy", dd(col("vocab")) * dd(col("sxy")) -
+                           dd(col("sx")) * dd(col("sy")))
+        .withColumn("vx", dd(col("vocab")) * dd(col("sxx")) -
+                          dd(col("sx")) * dd(col("sx")))
+        .withColumn("vy", dd(col("vocab")) * dd(col("syy")) -
+                          dd(col("sy")) * dd(col("sy")))
+        .select(col("vocab"), col("n_tokens").cast("long").as("n_tokens"),
+                round(col("cxy") / col("vx"), 6).as("zipf_slope"),
+                round(col("cxy") * col("cxy") /
+                      (col("vx") * col("vy")), 6).as("r2"))
+    },
+
+    // Template-shingle boilerplate detection (added r12) — the
+    // Common-Crawl cleaning primitive: a 5-gram that appears in MORE
+    // THAN HALF of a source's documents is template (nav bars, footers,
+    // licence blurbs), and a doc whose gram mass is mostly template
+    // carries little novel signal. Membership is per-source DISTINCT
+    // (source, gram, doc) — occurrence counts don't inflate a
+    // repeated-within-one-doc gram into boilerplate — and the >1/2
+    // threshold compares integers (2·doc_count > source_docs, no
+    // division). Per-doc template share then rolls up per source
+    // (rounded 6 into decimal sums). One scan + gram explode + two
+    // (source, gram)-keyed aggs; everything is gram-shuffle bound
+    // (q242's O(grams) shape), with the source-docs side a ≤|sources|
+    // broadcast.
+    "q261_template_shingles" -> { (s, d) =>
+      def dd(c: Column) = c.cast("double")
+      val g = Tables(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+                org.apache.spark.sql.graft.GraftFunctions
+                  .ngrams(split(col("text"), " "), 5).as("gr"))
+        .select(col("source"), col("doc_id"), md5(col("gr")).as("m"))
+        .distinct()
+      val nd = Tables(s, d, "documents")
+        .groupBy("source").agg(countDistinct("doc_id").as("ndocs"))
+      val tpl = g.groupBy("source", "m")
+        .agg(count(lit(1)).as("dc"))
+        .join(broadcast(nd), Seq("source"))
+        .where(col("dc") * 2 > col("ndocs"))
+        .select(col("source"), col("m"), lit(1).as("is_tpl"))
+      val perDoc = g.join(tpl, Seq("source", "m"), "left")
+        .groupBy("source", "doc_id")
+        .agg(count(lit(1)).as("grams"),
+             sum(coalesce(col("is_tpl"), lit(0))).as("tgrams"))
+        .withColumn("share",
+          round(dd(col("tgrams")) / dd(col("grams")), 6)
+            .cast("decimal(28,6)"))
+      perDoc.groupBy("source")
+        .agg(count(lit(1)).as("docs"),
+             sum("tgrams").cast("long").as("template_hits"),
+             round(dd(sum("share")) / dd(count(lit(1))), 6)
+               .as("avg_template_share"))
+        .orderBy("source")
     }
   )
 
@@ -1397,7 +1524,97 @@ object TextExtOps extends OpModule {
           |                   i -> array_to_string(toks[i:i+2], ' '))) AS gram
           |  FROM (SELECT string_split(text, ' ') AS toks FROM documents))
           |SELECT gram, count(*) AS cnt FROM g
-          |GROUP BY gram ORDER BY cnt DESC, gram LIMIT 30""".stripMargin
+          |GROUP BY gram ORDER BY cnt DESC, gram LIMIT 30""".stripMargin,
+
+      "q259_readability" ->
+        """WITH sc AS (
+          |  SELECT lang,
+          |    CAST(len(list_filter(string_split(text, ' '),
+          |                         x -> len(x) > 0)) AS BIGINT) AS words,
+          |    CAST(len(regexp_replace(lower(text), '[aeiouy]+', '#',
+          |                            'g')) -
+          |         len(regexp_replace(lower(text), '[aeiouy]+', '',
+          |                            'g')) AS BIGINT) AS syll,
+          |    greatest(1, CAST(len(text) -
+          |                     len(translate(text, '.!?', ''))
+          |                     AS BIGINT)) AS sents
+          |  FROM documents),
+          |f AS (SELECT lang,
+          |    round(206.835 -
+          |          1.015 * CAST(words AS DOUBLE) /
+          |                  CAST(sents AS DOUBLE) -
+          |          84.6 * CAST(syll AS DOUBLE) /
+          |                 CAST(words AS DOUBLE), 6) AS flesch
+          |  FROM sc)
+          |SELECT lang, count(*) AS docs,
+          |  round(CAST(sum(CAST(flesch AS DECIMAL(28,6))) AS DOUBLE) /
+          |        CAST(count(*) AS DOUBLE), 6) AS avg_flesch,
+          |  round(CAST(sum(CASE WHEN flesch < 30 THEN 1 ELSE 0 END)
+          |             AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+          |    AS pct_hard
+          |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q260_zipf_fit" ->
+        """WITH tc AS (
+          |  SELECT t, count(*) AS c FROM (
+          |    SELECT unnest(string_split(text, ' ')) AS t
+          |    FROM documents) WHERE len(t) > 0 GROUP BY 1),
+          |r AS (SELECT c,
+          |    row_number() OVER (ORDER BY c DESC, t) AS rk
+          |  FROM tc),
+          |v AS (SELECT c,
+          |    CAST(round(ln(CAST(rk AS DOUBLE)), 6)
+          |         AS DECIMAL(18,6)) AS x,
+          |    CAST(round(ln(CAST(c AS DOUBLE)), 6)
+          |         AS DECIMAL(18,6)) AS y
+          |  FROM r),
+          |m AS (SELECT count(*) AS vocab, sum(c) AS n_tokens,
+          |    sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+          |    sum(y * y) AS syy, sum(x * y) AS sxy
+          |  FROM v),
+          |f AS (SELECT *,
+          |    CAST(vocab AS DOUBLE) * CAST(sxy AS DOUBLE) -
+          |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cxy,
+          |    CAST(vocab AS DOUBLE) * CAST(sxx AS DOUBLE) -
+          |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+          |    CAST(vocab AS DOUBLE) * CAST(syy AS DOUBLE) -
+          |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+          |  FROM m)
+          |SELECT CAST(vocab AS BIGINT) AS vocab,
+          |  CAST(n_tokens AS BIGINT) AS n_tokens,
+          |  round(cxy / vx, 6) AS zipf_slope,
+          |  round(cxy * cxy / (vx * vy), 6) AS r2
+          |FROM f""".stripMargin,
+
+      "q261_template_shingles" ->
+        """WITH g AS (
+          |  SELECT DISTINCT source, doc_id,
+          |    md5(unnest(list_transform(range(1, len(t) - 3),
+          |        i -> array_to_string(t[i:i+4], ' ')))) AS m
+          |  FROM (SELECT source, doc_id, string_split(text, ' ') AS t
+          |        FROM documents)),
+          |nd AS (SELECT source, count(DISTINCT doc_id) AS ndocs
+          |  FROM documents GROUP BY 1),
+          |tpl AS (SELECT g.source, g.m
+          |  FROM g JOIN nd ON g.source = nd.source
+          |  GROUP BY g.source, g.m, nd.ndocs
+          |  HAVING count(*) * 2 > nd.ndocs),
+          |pd AS (SELECT g.source, g.doc_id, count(*) AS grams,
+          |    sum(CASE WHEN tpl.m IS NOT NULL THEN 1 ELSE 0 END)
+          |      AS tgrams
+          |  FROM g LEFT JOIN tpl ON g.source = tpl.source
+          |                       AND g.m = tpl.m
+          |  GROUP BY 1, 2),
+          |sh AS (SELECT source, grams, tgrams,
+          |    CAST(round(CAST(tgrams AS DOUBLE) /
+          |               CAST(grams AS DOUBLE), 6)
+          |         AS DECIMAL(28,6)) AS share
+          |  FROM pd)
+          |SELECT source, count(*) AS docs,
+          |  CAST(sum(tgrams) AS BIGINT) AS template_hits,
+          |  round(CAST(sum(share) AS DOUBLE) /
+          |        CAST(count(*) AS DOUBLE), 6) AS avg_template_share
+          |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin
     )
   }
 }

@@ -2338,4 +2338,110 @@ class CorrectnessSpec extends SparkSpecBase {
       .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
     assert(got == want)
   }
+
+  test("q259 readability matches a brute-force Flesch recomputation") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("lang"), col("text")).as[(String, String)]
+      .collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val scored = docs.map { case (lang, text) =>
+      val words = text.split(" ").count(_.nonEmpty).toLong
+      val lo = text.toLowerCase
+      val syll = (lo.replaceAll("[aeiouy]+", "#").length -
+                  lo.replaceAll("[aeiouy]+", "").length).toLong
+      val sents = math.max(1L, text.count(c => ".!?".contains(c)).toLong)
+      (lang, BigDecimal(r6(206.835 -
+        1.015 * words.toDouble / sents.toDouble -
+        84.6 * syll.toDouble / words.toDouble)))
+    }
+    val want = scored.groupBy(_._1).toSeq.map { case (lang, g) =>
+      (lang, g.size.toLong,
+       r6(g.map(_._2).sum.toDouble / g.size.toDouble),
+       r6(g.count(_._2 < 30).toDouble / g.size.toDouble))
+    }.sortBy(_._1)
+    val got = q("q259_readability")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("q260 Zipf fit matches a brute-force rank-frequency OLS") {
+    val toks = Tables(spark, sf, "documents")
+      .select(col("text")).as[String].collect()
+      .flatMap(_.split(" ")).filter(_.nonEmpty).toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val counts = toks.groupBy(identity).toSeq
+      .map { case (t, g) => (t, g.size.toLong) }
+      .sortBy { case (t, c) => (-c, t) }
+    val pts = counts.zipWithIndex.map { case ((_, c), i) =>
+      (BigDecimal(r6(math.log((i + 1).toDouble))),
+       BigDecimal(r6(math.log(c.toDouble))), c) }
+    val n = pts.size.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val cxy = n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble
+    val vx = n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+    val vy = n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble
+    val got = q("q260_zipf_fit")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(got == ((n, pts.map(_._3).sum, r6(cxy / vx),
+                    r6(cxy * cxy / (vx * vy)))))
+  }
+
+  test("q261 template shingles match a brute-force majority walk") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("source"), col("doc_id"), col("text"))
+      .as[(String, Long, String)].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val g = docs.flatMap { case (src, id, text) =>
+      text.split(" ").toSeq.sliding(5).filter(_.size == 5)
+        .map(w => (src, id, md5hex(w.mkString(" ")))).toSet
+    }.distinct
+    val ndocs = docs.groupBy(_._1).map { case (s, d) =>
+      (s, d.map(_._2).distinct.size.toLong) }
+    val tpl = g.groupBy(x => (x._1, x._3))
+      .filter { case ((src, _), occ) => occ.size * 2 > ndocs(src) }
+      .keySet
+    val perDoc = g.groupBy(x => (x._1, x._2)).toSeq
+      .map { case ((src, id), gs) =>
+        val t = gs.count(x => tpl.contains((x._1, x._3))).toLong
+        (src, t, BigDecimal(r6(t.toDouble / gs.size.toDouble))) }
+    val want = perDoc.groupBy(_._1).toSeq.map { case (src, g2) =>
+      (src, g2.size.toLong, g2.map(_._2).sum,
+       r6(g2.map(_._3).sum.toDouble / g2.size.toDouble)) }.sortBy(_._1)
+    val got = q("q261_template_shingles")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("q262 source-mirror matches a brute-force set comparison") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("source"), col("text")).as[(String, String)]
+      .collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sets = docs.groupBy(_._1).map { case (src, g) =>
+      (src, g.flatMap(_._2.split(" ").toSeq.sliding(8)
+                        .filter(_.size == 8).map(_.mkString(" "))).toSet)
+    }
+    val srcs = sets.keys.toSeq.sorted
+    val want = (for {
+      a <- srcs; b <- srcs if a < b
+      inter = (sets(a) & sets(b)).size.toLong
+    } yield (a, b, inter,
+             r6(inter.toDouble /
+                (sets(a).size + sets(b).size - inter).toDouble),
+             r6(inter.toDouble /
+                math.min(sets(a).size, sets(b).size).toDouble)))
+      .sortBy { case (a, b, _, j, _) => (-j, a, b) }.take(20)
+    val got = q("q262_source_mirror")
+      .as[(String, String, Long, Double, Double)].collect().toSeq
+    assert(got == want)
+  }
 }

@@ -1239,4 +1239,29 @@ class PlanShapeSpec extends SparkSpecBase {
              "q258 replans the fact scan instead of reading the pin")
     } finally PinScope.drain()
   }
+
+  test("q259-q262: text statistics stay gram-shuffle bound") {
+    // q259/q260: ONE corpus scan each — the readability score is pure
+    // map-side string algebra, the Zipf fit one token-keyed shuffle
+    for (name <- Seq("q259_readability", "q260_zipf_fit")) {
+      val p = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert("FileScan|Scan parquet".r.findAllIn(p).size == 1,
+             s"$name should scan the corpus exactly once\n" + p)
+    }
+    // q261: the gram projection + the ≤|sources| doc-count side — two
+    // reads, the doc-count join a broadcast
+    val p261 = SparkEntry.queries("q261_template_shingles")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("FileScan|Scan parquet".r.findAllIn(p261).size <= 3, p261)
+    assert("BroadcastHashJoin".r.findAllIn(p261).size >= 1, p261)
+    // q262: the gram projection is RE-DERIVED for each consumer (two
+    // self-join sides + two size branches = 4 cheap projected scans)
+    // rather than pinned — q219's pin-artifacts-never-corpora rule;
+    // the set-size sides broadcast onto the tiny pair table
+    val p262 = SparkEntry.queries("q262_source_mirror")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("FileScan|Scan parquet".r.findAllIn(p262).size <= 4, p262)
+    assert("BroadcastHashJoin".r.findAllIn(p262).size >= 2, p262)
+  }
 }
