@@ -47,7 +47,10 @@ object SweepR12 {
       "q253_avg_precision", "q254_bh_fdr", "q255_elasticity",
       "q256_seasonal_index", "q257_attribution_decay",
       "q258_forecast_backtest", "q259_readability", "q260_zipf_fit",
-      "q261_template_shingles", "q262_source_mirror")
+      "q261_template_shingles", "q262_source_mirror", "q263_cmh_test",
+      "q264_power_analysis", "q265_neg_sampling", "q266_crossval_nb",
+      "q267_stream_alert", "q268_stats_artifact", "q269_item_knn",
+      "q270_sorted_neighborhood")
     // mode "x100": sweep against the 100x volume build at /tmp/sf100x
     // (tools/make100x.py defaults) instead of the 10x point — the r11
     // protocol asked at two orders. Remaining args subset the list.

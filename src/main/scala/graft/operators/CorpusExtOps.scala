@@ -302,6 +302,56 @@ object CorpusExtOps extends OpModule {
                .as("kept_chars"),
              min(col("u")).as("first_u"))
         .orderBy("lang")
+    },
+
+    // Negative-sampling draw audit (added r12) — the weighted
+    // categorical sampler under word2vec-style training: draws follow
+    // the unigram^0.75 distribution (the exponent that keeps frequent
+    // tokens from swamping the negatives), with q67's no-RNG
+    // discipline — draw i's uniform comes from md5(i), so the sample
+    // is identical across engines, partitionings and re-runs. The
+    // alias-table-free formulation: token weights w = count^0.75
+    // rounded 6 dp become exact INTEGERS at ×10⁶, the cumulative
+    // [lo, hi) ladder is an integer prefix sum over the vocabulary
+    // (tok-ordered), and each draw lands by integer interval
+    // containment — a range join against the BROADCAST vocab ladder
+    // (web-scale path: bucketize the ladder, q75's machinery; the
+    // modulo fold of the 48-bit hash is the declared uniform, its
+    // ≤2⁻³² residue bias documented). Report: top-20 sampled tokens
+    // vs expectation k·w/T — the sanity audit that the sampler's
+    // empirical distribution tracks the designed one.
+    "q265_neg_sampling" -> { (s, d) =>
+      def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+      val wCum = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = Tables(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("t"))
+        .where(length(col("t")) > 0)
+        .groupBy("t").agg(count(lit(1)).as("c"))
+        .withColumn("wi",
+          (round(pow(dd(col("c")), 0.75), 6).cast("decimal(18,6)") *
+             1000000).cast("long"))
+        .withColumn("hi", sum("wi").over(wCum))
+        .withColumn("lo", col("hi") - col("wi"))
+      val tot = cum.agg(max("hi").as("tt"))
+      val draws = s.range(1, 1001).toDF("i")
+        .crossJoin(broadcast(tot))
+        .select((conv(substring(md5(col("i").cast("string")), 1, 12),
+                      16, 10).cast("long") % col("tt")).as("u"))
+      draws
+        .join(broadcast(cum.select(col("t"), col("lo"), col("hi"),
+                                   col("wi"))),
+              col("u") >= col("lo") && col("u") < col("hi"))
+        .groupBy("t", "wi")
+        .agg(count(lit(1)).as("sampled"))
+        .crossJoin(broadcast(tot))
+        .withColumn("expected",
+          round(lit(1000.0) * dd(col("wi")) / dd(col("tt")), 6))
+        .select(col("t").as("token"), col("sampled"), col("expected"),
+                round(dd(col("sampled")) / col("expected"), 6)
+                  .as("ratio"))
+        .orderBy(col("sampled").desc, col("token"))
+        .limit(20)
     }
   )
 
@@ -457,6 +507,36 @@ object CorpusExtOps extends OpModule {
         |SELECT doc_id, count(*) AS n_chunks,
         |  CAST(sum(least(50, n - start)) AS BIGINT) AS chunk_tokens,
         |  round(CAST(sum(least(50, n - start)) AS DOUBLE) / max(n), 6) AS coverage
-        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q265_neg_sampling" ->
+      """WITH tc AS (
+        |  SELECT t, count(*) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS t
+        |    FROM documents) WHERE len(t) > 0 GROUP BY 1),
+        |cum AS (SELECT t,
+        |    CAST(CAST(round(pow(CAST(c AS DOUBLE), 0.75), 6)
+        |              AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS wi
+        |  FROM tc),
+        |lad AS (SELECT t, wi,
+        |    sum(wi) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+        |  FROM cum),
+        |lad2 AS (SELECT t, wi, hi, hi - wi AS lo FROM lad),
+        |tot AS (SELECT max(hi) AS tt FROM lad2),
+        |draws AS (SELECT
+        |    CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 12))
+        |         AS BIGINT) % tt AS u
+        |  FROM range(1, 1001) r(i), tot),
+        |hits AS (SELECT l.t, l.wi, count(*) AS sampled
+        |  FROM draws d JOIN lad2 l ON d.u >= l.lo AND d.u < l.hi
+        |  GROUP BY 1, 2),
+        |f AS (SELECT t AS token, sampled,
+        |    round(1000.0 * CAST(wi AS DOUBLE) / CAST(tt AS DOUBLE), 6)
+        |      AS expected
+        |  FROM hits, tot)
+        |SELECT token, sampled, expected,
+        |  round(CAST(sampled AS DOUBLE) / expected, 6) AS ratio
+        |FROM f ORDER BY sampled DESC, token LIMIT 20""".stripMargin
   )
 }

@@ -799,6 +799,44 @@ object DedupExtOps extends OpModule {
                   .as("containment"))
         .orderBy(col("jaccard").desc, col("s1"), col("s2"))
         .limit(20)
+    },
+
+    // Sorted-neighborhood blocking (added r12) — the THIRD blocking
+    // family next to prefix blocks (q238/q241) and LSH bands (q46):
+    // sort the records by a blocking key and compare each only to its
+    // w nearest neighbors in sort order — O(n·w) candidates with no
+    // bucket-size skew by construction (a hot prefix block is
+    // impossible; the trade is recall at sort-order boundaries, the
+    // classical sliding-window ER compromise). Here: customers sorted
+    // by (balance cents, key), window w = 3 via stacked lead()s, match
+    // = balance within 10 cents — the near-duplicate-account screen.
+    // The sort runs on the customer DIMENSION (declared contract, like
+    // q260's vocab sort; at fact scale the window partitions by a
+    // coarse range bucket and overlaps w rows at boundaries —
+    // documented). Declared total order on the match list.
+    "q270_sorted_neighborhood" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.orderBy("bal", "k")
+      val c = Tables(s, d, "customer")
+        .select(col("c_custkey").as("k"),
+                round(col("c_acctbal") * 100).cast("long").as("bal"))
+      val led = c
+        .withColumn("n1", struct(lead("k", 1).over(w).as("k2"),
+                                 lead("bal", 1).over(w).as("bal2")))
+        .withColumn("n2", struct(lead("k", 2).over(w).as("k2"),
+                                 lead("bal", 2).over(w).as("bal2")))
+        .withColumn("n3", struct(lead("k", 3).over(w).as("k2"),
+                                 lead("bal", 3).over(w).as("bal2")))
+        .select(col("k"), col("bal"),
+                explode(array(col("n1"), col("n2"), col("n3"))).as("nb"))
+        .select(col("k"), col("bal"), col("nb.k2").as("k2"),
+                col("nb.bal2").as("bal2"))
+        .where(col("k2").isNotNull &&
+               col("bal2") - col("bal") <= 10)
+      led.select(col("k").as("cust_a"), col("k2").as("cust_b"),
+                 (col("bal2") - col("bal")).as("diff_cents"))
+        .orderBy(col("diff_cents"), col("cust_a"), col("cust_b"))
+        .limit(30)
     }
   )
 
@@ -1440,6 +1478,26 @@ object DedupExtOps extends OpModule {
         |        CAST(least(x.sz, y.sz) AS DOUBLE), 6) AS containment
         |FROM inter JOIN sz x ON inter.s1 = x.source
         |           JOIN sz y ON inter.s2 = y.source
-        |ORDER BY jaccard DESC, s1, s2 LIMIT 20""".stripMargin
+        |ORDER BY jaccard DESC, s1, s2 LIMIT 20""".stripMargin,
+
+    "q270_sorted_neighborhood" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS k,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+        |  FROM customer),
+        |led AS (
+        |  SELECT k, bal,
+        |    lead(k, 1) OVER w AS k1, lead(bal, 1) OVER w AS b1,
+        |    lead(k, 2) OVER w AS k2, lead(bal, 2) OVER w AS b2,
+        |    lead(k, 3) OVER w AS k3, lead(bal, 3) OVER w AS b3
+        |  FROM c WINDOW w AS (ORDER BY bal, k)),
+        |u AS (
+        |  SELECT k, bal, k1 AS kk, b1 AS bb FROM led
+        |  UNION ALL SELECT k, bal, k2, b2 FROM led
+        |  UNION ALL SELECT k, bal, k3, b3 FROM led)
+        |SELECT k AS cust_a, kk AS cust_b, bb - bal AS diff_cents
+        |FROM u
+        |WHERE kk IS NOT NULL AND bb - bal <= 10
+        |ORDER BY diff_cents, cust_a, cust_b LIMIT 30""".stripMargin
   )
 }

@@ -1827,6 +1827,283 @@ object StatsModelOps extends OpModule {
              countDistinct("pid").as("purchases_touched"),
              round(d(sum("share")), 6).as("credit"))
         .orderBy("channel")
+    },
+
+    // Cochran–Mantel–Haenszel stratified test (added r12) — the
+    // Simpson's-paradox guard the flat q254-style z test lacks: is the
+    // arm (q159's md5 split, keyed on the CUSTOMER) associated with
+    // high-value ordering once MARKET SEGMENT is controlled for? A
+    // pooled 2×2 can reverse sign when arms are unevenly distributed
+    // across segments; CMH sums the per-stratum evidence instead:
+    // Σ(a − r1·c1/n) against variance Σ r1·c1(n−r1)(n−c1)/(n²(n−1)),
+    // plus the Mantel–Haenszel common odds ratio ΣR/ΣS. Per-stratum
+    // terms are fixed-order double formulas over EXACT counts, rounded
+    // 6 dp into order-free decimal sums (q248's discipline). ONE
+    // orders scan + broadcast customer dim → |segments| 2×2 cells →
+    // one row; at 100 TB the strata table is still |segments|-bound.
+    "q263_cmh_test" -> { (s, dir) =>
+      val cells = Tables(s, dir, "orders")
+        .join(broadcast(Tables(s, dir, "customer")
+                          .select(col("c_custkey"), col("c_mktsegment"))),
+              col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+                when(substring(md5(col("c_custkey").cast("string")), 1, 1)
+                       <= "7", 1L).otherwise(0L).as("arm"),
+                when(col("o_totalprice") > 450000, 1L).otherwise(0L)
+                  .as("hi"))
+        .groupBy("seg")
+        .agg(sum(col("arm") * col("hi")).as("a"),
+             sum(col("arm") * (lit(1L) - col("hi"))).as("b"),
+             sum((lit(1L) - col("arm")) * col("hi")).as("c"),
+             sum((lit(1L) - col("arm")) * (lit(1L) - col("hi"))).as("e"))
+        .withColumn("n", col("a") + col("b") + col("c") + col("e"))
+        .withColumn("r1", col("a") + col("b"))
+        .withColumn("c1", col("a") + col("c"))
+      cells
+        .agg(count(lit(1)).as("n_strata"),
+             sum("a").cast("long").as("a_sum"),
+             sum(round(d(col("r1")) * d(col("c1")) / d(col("n")), 6)
+                   .cast("decimal(28,6)")).as("e_sum"),
+             sum(round(d(col("r1")) * d(col("c1")) / d(col("n")) *
+                       (d(col("n")) - d(col("r1"))) / d(col("n")) *
+                       (d(col("n")) - d(col("c1"))) /
+                       (d(col("n")) - 1.0), 6)
+                   .cast("decimal(28,6)")).as("v_sum"),
+             sum(round(d(col("a")) * d(col("e")) / d(col("n")), 6)
+                   .cast("decimal(28,6)")).as("r_sum"),
+             sum(round(d(col("b")) * d(col("c")) / d(col("n")), 6)
+                   .cast("decimal(28,6)")).as("s_sum"))
+        .select(col("n_strata"), col("a_sum"),
+                round(d(col("e_sum")), 6).as("e_sum"),
+                round(d(col("v_sum")), 6).as("v_sum"),
+                round((d(col("a_sum")) - d(col("e_sum"))) /
+                      sqrt(d(col("v_sum"))), 6).as("z"),
+                round((d(col("a_sum")) - d(col("e_sum"))) *
+                      (d(col("a_sum")) - d(col("e_sum"))) /
+                      d(col("v_sum")), 6).as("chi2"),
+                round(d(col("r_sum")) / d(col("s_sum")), 6).as("or_mh"))
+    },
+
+    // A/B power analysis (added r12) — the question every experiment
+    // REVIEW starts with, answered from the platform's own data
+    // instead of a webform: at the observed baseline conversion and
+    // traffic, how many users per arm (and how many days) does each
+    // minimum-detectable-effect need at α=0.05 two-sided / 80% power?
+    // n = (z_{α/2}+z_β)²·(p0(1−p0)+p1(1−p1))/Δ² over a broadcast MDE
+    // grid; z literals are spelled identically in both engines, the
+    // baseline p0 rounds 6 dp BEFORE entering the formula (recompose
+    // discipline), and ceil makes the report integers. ONE events scan
+    // for the q159 user universe (p0 + users + observed days); the
+    // grid algebra is 4 rows of arithmetic. At 100 TB the baseline
+    // cell comes from the experiment platform's maintained artifact.
+    "q264_power_analysis" -> { (s, dir) =>
+      import s.implicits._
+      val base = Tables(s, dir, "events")
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase" &&
+                        col("value") > 150, 1L).otherwise(0L)).as("conv"))
+        .agg(count(lit(1)).as("users"), sum("conv").as("convs"))
+      val days = Tables(s, dir, "events")
+        .agg(countDistinct(to_date(col("ts"))).as("n_days"))
+      val grid = Seq(0.01, 0.02, 0.05, 0.10).toDF("mde")
+      grid.crossJoin(broadcast(base)).crossJoin(broadcast(days))
+        .withColumn("p0", round(d(col("convs")) / d(col("users")), 6))
+        .withColumn("p1", col("p0") + col("mde"))
+        .withColumn("n_per_arm",
+          ceil((lit(1.959964) + lit(0.841621)) *
+               (lit(1.959964) + lit(0.841621)) *
+               (col("p0") * (lit(1.0) - col("p0")) +
+                col("p1") * (lit(1.0) - col("p1"))) /
+               (col("mde") * col("mde"))).cast("long"))
+        .withColumn("upd",
+          round(d(col("users")) / d(col("n_days")), 6))
+        .select(col("mde"), col("p0"), round(col("p1"), 6).as("p1"),
+                col("n_per_arm"),
+                ceil(d(col("n_per_arm")) * 2.0 / col("upd"))
+                  .cast("long").as("days_needed"))
+        .orderBy("mde")
+    },
+
+    // K-fold cross-validated Naive Bayes (added r12) — the evaluation
+    // q220's self-scored confusion matrix CANNOT give (scoring
+    // training data flatters every model): 5-fold CV where each doc is
+    // scored by a model trained WITHOUT its fold. The out-of-fold
+    // model needs no 5× retraining pass — every OOF count is a
+    // SUBTRACTION over the fold-dimensioned cell tables (q230's OOF
+    // closed form applied to a classifier): clt_oof = clt − clt_fold,
+    // class totals and priors likewise; missing (cell, fold) pairs
+    // materialize from a broadcast 5-row fold list, and zero-OOF
+    // token rows drop because their smoothed log-prob EQUALS the
+    // unseen-token lp0 the closed-form scoring already charges.
+    // Vocabulary is the GLOBAL token set by declared contract (the
+    // tokenizer's vocab ships fixed; only counts are fold-masked).
+    // Scoring is q220's sparse join + lp0 fold-in, per fold, with the
+    // same round-log-once-then-exact-decimal discipline; the argmax
+    // tie-break (score desc, class) is total. ONE pinned corpus scan
+    // feeds every cell table; model size is vocab×classes×folds.
+    "q266_crossval_nb" -> { (s, dir) =>
+      import s.implicits._
+      def fold5(k: Column) =
+        (conv(substring(md5(k.cast("string")), 1, 4), 16, 10)
+           .cast("long") % 5)
+      val (tk, h) = pin(Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+                fold5(col("doc_id")).as("fold"),
+                explode(split(col("text"), " ")).as("tok"))
+        .where(length(col("tok")) > 0))
+      h.count(); graft.PinScope.retain(h)
+      val folds = Seq(0L, 1L, 2L, 3L, 4L).toDF("fold")
+      val mdlTot = tk.groupBy(col("lang").as("mlang"), col("tok"))
+        .agg(count(lit(1)).as("ct"))
+      val mdlF = tk.groupBy(col("lang").as("mlang"), col("tok"),
+                            col("fold")).agg(count(lit(1)).as("cf"))
+      val ctOof = mdlTot.groupBy("mlang").agg(sum("ct").as("cl"))
+        .crossJoin(broadcast(folds))
+        .join(mdlF.groupBy("mlang", "fold").agg(sum("cf").as("clf")),
+              Seq("mlang", "fold"), "left")
+        .withColumn("cloof", col("cl") - coalesce(col("clf"), lit(0L)))
+      val voc = tk.select("tok").distinct().agg(count(lit(1)).as("vsz"))
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+                fold5(col("doc_id")).as("fold"))
+      val priOof = docs.groupBy(col("lang").as("mlang"))
+        .agg(count(lit(1)).as("nd"))
+        .crossJoin(broadcast(folds))
+        .join(docs.groupBy(col("lang").as("mlang"), col("fold"))
+                .agg(count(lit(1)).as("ndf")),
+              Seq("mlang", "fold"), "left")
+        .join(broadcast(docs.groupBy("fold")
+                          .agg(count(lit(1)).as("nf"))), Seq("fold"))
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+        .select(col("mlang"), col("fold"),
+                round(log(d(col("nd") - coalesce(col("ndf"), lit(0L))) /
+                          d(col("n") - col("nf"))), 6)
+                  .cast("decimal(28,6)").as("plp"))
+      val lp = mdlTot.crossJoin(broadcast(folds))
+        .join(mdlF, Seq("mlang", "tok", "fold"), "left")
+        .withColumn("coof", col("ct") - coalesce(col("cf"), lit(0L)))
+        .where(col("coof") > 0)
+        .join(ctOof.select("mlang", "fold", "cloof"),
+              Seq("mlang", "fold"))
+        .crossJoin(broadcast(voc))
+        .select(col("mlang"), col("tok"), col("fold"),
+                round(log(d(col("coof") + 1) /
+                          d(col("cloof") + col("vsz"))), 6)
+                  .cast("decimal(28,6)").as("lp"))
+      val classes = ctOof.crossJoin(broadcast(voc))
+        .select(col("mlang"), col("fold"),
+                round(log(lit(1.0) / d(col("cloof") + col("vsz"))), 6)
+                  .cast("decimal(28,6)").as("lp0"))
+        .join(priOof, Seq("mlang", "fold"))
+      val dtc = tk.groupBy("doc_id", "lang", "fold", "tok")
+        .agg(count(lit(1)).as("cnt"))
+      val m = dtc.join(lp, Seq("tok", "fold"))
+        .groupBy("doc_id", "fold", "mlang")
+        .agg(sum(col("cnt").cast("decimal(9,0)") * col("lp"))
+               .as("sum_lp"),
+             sum("cnt").as("cnt_m"))
+      val ndk = dtc.groupBy("doc_id", "lang", "fold")
+        .agg(sum("cnt").as("ntok"))
+      val zero = lit(BigDecimal(0)).cast("decimal(38,6)")
+      val sc = ndk.join(broadcast(classes), Seq("fold"))
+        .join(m, Seq("doc_id", "fold", "mlang"), "left")
+        .withColumn("score",
+          col("plp") + coalesce(col("sum_lp"), zero) +
+            (col("ntok") - coalesce(col("cnt_m"), lit(0L)))
+              .cast("decimal(9,0)") * col("lp0"))
+      sc.withColumn("rn", row_number().over(
+            Window.partitionBy("doc_id")
+              .orderBy(col("score").desc, col("mlang"))))
+        .where(col("rn") === 1)
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("mlang") === col("lang"), 1L).otherwise(0L))
+               .cast("long").as("correct"))
+        .select(col("fold"), col("n_docs"), col("correct"),
+                round(d(col("correct")) / d(col("n_docs")), 6)
+                  .as("accuracy"))
+        .orderBy("fold")
+    },
+
+    // Optimizer-statistics artifact (added r12) — the table the CBO
+    // tier (q163/q165) consumes, built as a first-class query instead
+    // of a side effect of ANALYZE: for a column, row count, NDV,
+    // min/max, and EXACT equi-depth decile boundaries — the histogram
+    // that prices range predicates and join selectivities. Boundaries
+    // come from the q151 machinery (value groups → q146 bucketed
+    // prefix sums → interpolated order statistics), so no global sort
+    // and no sampling error: the stats object a 100 TB planner reads
+    // is computed at fact scale for one scan + one cents agg. Summary
+    // stats ride the SAME pinned value-group table (plan-asserted no
+    // rescan); ship-from-ingest is the q163 docstring's contract.
+    "q268_stats_artifact" -> { (s, dir) =>
+      import s.implicits._
+      val (pv, h) = pin(Tables(s, dir, "orders")
+        .select(lit("o_totalprice").as("col_name"),
+                round(col("o_totalprice") * 100).cast("long").as("v"))
+        .groupBy("col_name", "v").agg(count(lit(1)).as("c")))
+      h.count(); graft.PinScope.retain(h)
+      val qdf = (1 to 9).map(i => (s"d$i", i / 10.0)).toDF("q_label", "q")
+      val bands = bandsAt(cumCounts(pv, "col_name"), "col_name",
+                          qdf, 100.0)
+      val summary = pv.groupBy("col_name")
+        .agg(count(lit(1)).as("ndv"), sum("c").cast("long").as("n_rows"),
+             round(d(min("v")) / 100.0, 6).as("min_val"),
+             round(d(max("v")) / 100.0, 6).as("max_val"))
+      bands.join(broadcast(summary), Seq("col_name"))
+        .select(col("col_name"), col("q_label"), col("n_rows"),
+                col("ndv"), col("min_val"), col("max_val"),
+                col("value_at_q").as("boundary"))
+        .orderBy("q_label")
+    },
+
+    // Item-kNN recommender (added r12) — the co-occurrence recommender
+    // one step past q234's rule metrics: each brand's top-3 neighbors
+    // by COSINE over basket membership, cos(i,j) = c_ij/√(c_i·c_j) —
+    // the normalization that stops ubiquitous items from being
+    // everyone's neighbor (q234's lift divides by both supports and
+    // over-rewards rare coincidences; cosine is the retrieval
+    // convention). Pair counts reuse q234's per-basket array pair-gen
+    // (pair volume Σ basket², order-linear, nothing corpus-sized
+    // cached); the symmetrized pair table is |brands|²-bounded, item
+    // counts broadcast onto it, and the per-item top-3 is the
+    // rank-filter InferWindowGroupLimit rewrites map-side. Declared
+    // tie order (cosine desc, neighbor) makes the shortlist total.
+    "q269_item_knn" -> { (s, dir) =>
+      def items = Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "part"),
+              col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+      val cnt = items.distinct().groupBy("b").agg(count(lit(1)).as("cb"))
+      val pairs = items.groupBy("ok")
+        .agg(sort_array(collect_set(col("b"))).as("bs"))
+        .select(explode(expr(
+          """flatten(transform(bs, (x, i) ->
+            |  transform(slice(bs, i + 2, size(bs) - i - 1),
+            |            y -> struct(x AS b1, y AS b2))))""".stripMargin))
+          .as("pr"))
+        .select(col("pr.b1").as("b1"), col("pr.b2").as("b2"))
+        .groupBy("b1", "b2")
+        .agg(count(lit(1)).as("cij"))
+      val sym = pairs.select(col("b1").as("b"), col("b2").as("nb"),
+                             col("cij"))
+        .unionAll(pairs.select(col("b2").as("b"), col("b1").as("nb"),
+                               col("cij")))
+      sym
+        .join(broadcast(cnt.select(col("b"), col("cb").as("ci"))),
+              Seq("b"))
+        .join(broadcast(cnt.select(col("b").as("nb"), col("cb").as("cj"))),
+              Seq("nb"))
+        .withColumn("cosine",
+          round(d(col("cij")) / sqrt(d(col("ci")) * d(col("cj"))), 6))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("b")
+            .orderBy(col("cosine").desc, col("nb"))))
+        .where(col("rn") <= 3)
+        .select(col("b").as("brand"), col("nb").as("neighbor"),
+                col("cij").as("support"), col("cosine"),
+                col("rn").as("rank"))
+        .orderBy("brand", "rank")
     }
   )
 
@@ -2962,6 +3239,229 @@ object StatsModelOps extends OpModule {
         |SELECT channel, count(*) AS touches,
         |  count(DISTINCT pid) AS purchases_touched,
         |  round(CAST(sum(share) AS DOUBLE), 6) AS credit
-        |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q263_cmh_test" ->
+      """WITH cells AS (
+        |  SELECT c.c_mktsegment AS seg,
+        |    sum(arm * hi) AS a, sum(arm * (1 - hi)) AS b,
+        |    sum((1 - arm) * hi) AS c, sum((1 - arm) * (1 - hi)) AS e
+        |  FROM (
+        |    SELECT o_custkey,
+        |      CASE WHEN substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1)
+        |                <= '7' THEN 1 ELSE 0 END AS arm,
+        |      CASE WHEN o_totalprice > 450000 THEN 1 ELSE 0 END AS hi
+        |    FROM orders) o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1),
+        |t AS (SELECT seg, a, b, c, e, a + b + c + e AS n,
+        |    a + b AS r1, a + c AS c1 FROM cells),
+        |g AS (SELECT count(*) AS n_strata,
+        |    CAST(sum(a) AS BIGINT) AS a_sum,
+        |    sum(CAST(round(CAST(r1 AS DOUBLE) * CAST(c1 AS DOUBLE) /
+        |                   CAST(n AS DOUBLE), 6) AS DECIMAL(28,6)))
+        |      AS e_sum,
+        |    sum(CAST(round(CAST(r1 AS DOUBLE) * CAST(c1 AS DOUBLE) /
+        |                   CAST(n AS DOUBLE) *
+        |                   (CAST(n AS DOUBLE) - CAST(r1 AS DOUBLE)) /
+        |                   CAST(n AS DOUBLE) *
+        |                   (CAST(n AS DOUBLE) - CAST(c1 AS DOUBLE)) /
+        |                   (CAST(n AS DOUBLE) - 1.0), 6)
+        |             AS DECIMAL(28,6))) AS v_sum,
+        |    sum(CAST(round(CAST(a AS DOUBLE) * CAST(e AS DOUBLE) /
+        |                   CAST(n AS DOUBLE), 6) AS DECIMAL(28,6)))
+        |      AS r_sum,
+        |    sum(CAST(round(CAST(b AS DOUBLE) * CAST(c AS DOUBLE) /
+        |                   CAST(n AS DOUBLE), 6) AS DECIMAL(28,6)))
+        |      AS s_sum
+        |  FROM t)
+        |SELECT n_strata, a_sum,
+        |  round(CAST(e_sum AS DOUBLE), 6) AS e_sum,
+        |  round(CAST(v_sum AS DOUBLE), 6) AS v_sum,
+        |  round((CAST(a_sum AS DOUBLE) - CAST(e_sum AS DOUBLE)) /
+        |        sqrt(CAST(v_sum AS DOUBLE)), 6) AS z,
+        |  round((CAST(a_sum AS DOUBLE) - CAST(e_sum AS DOUBLE)) *
+        |        (CAST(a_sum AS DOUBLE) - CAST(e_sum AS DOUBLE)) /
+        |        CAST(v_sum AS DOUBLE), 6) AS chi2,
+        |  round(CAST(r_sum AS DOUBLE) / CAST(s_sum AS DOUBLE), 6)
+        |    AS or_mh
+        |FROM g""".stripMargin,
+
+    "q264_power_analysis" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 150
+        |             THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1),
+        |base AS (SELECT count(*) AS users, sum(conv) AS convs FROM pu),
+        |dd AS (SELECT count(DISTINCT CAST(ts AS DATE)) AS n_days
+        |       FROM events),
+        |grid AS (SELECT unnest([0.01, 0.02, 0.05, 0.10]) AS mde),
+        |f AS (SELECT mde,
+        |    round(CAST(convs AS DOUBLE) / CAST(users AS DOUBLE), 6)
+        |      AS p0, users, n_days
+        |  FROM grid, base, dd),
+        |f2 AS (SELECT mde, p0, p0 + mde AS p1,
+        |    CAST(ceil((1.959964 + 0.841621) * (1.959964 + 0.841621) *
+        |              (p0 * (1.0 - p0) + (p0 + mde) *
+        |               (1.0 - (p0 + mde))) / (mde * mde)) AS BIGINT)
+        |      AS n_per_arm,
+        |    round(CAST(users AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+        |      AS upd
+        |  FROM f)
+        |SELECT mde, p0, round(p1, 6) AS p1, n_per_arm,
+        |  CAST(ceil(CAST(n_per_arm AS DOUBLE) * 2.0 / upd) AS BIGINT)
+        |    AS days_needed
+        |FROM f2 ORDER BY mde""".stripMargin,
+
+    "q266_crossval_nb" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |         AS BIGINT) % 5 AS fold,
+        |    tok
+        |  FROM (SELECT doc_id, lang,
+        |          unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  WHERE len(tok) > 0),
+        |folds AS (SELECT unnest([0, 1, 2, 3, 4]) AS fold),
+        |mdl_tot AS (SELECT lang AS mlang, tok, count(*) AS ct
+        |  FROM tk GROUP BY 1, 2),
+        |mdl_f AS (SELECT lang AS mlang, tok, fold, count(*) AS cf
+        |  FROM tk GROUP BY 1, 2, 3),
+        |ct_oof AS (
+        |  SELECT t.mlang, f.fold,
+        |    CAST(t.cl - coalesce(g.clf, 0) AS BIGINT) AS cloof
+        |  FROM (SELECT mlang, sum(ct) AS cl FROM mdl_tot GROUP BY 1) t
+        |  CROSS JOIN folds f
+        |  LEFT JOIN (SELECT mlang, fold, sum(cf) AS clf
+        |             FROM mdl_f GROUP BY 1, 2) g
+        |    ON t.mlang = g.mlang AND f.fold = g.fold),
+        |voc AS (SELECT count(DISTINCT tok) AS vsz FROM tk),
+        |dc AS (SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |         AS BIGINT) % 5 AS fold
+        |  FROM documents),
+        |nf AS (SELECT fold, count(*) AS nf FROM dc GROUP BY 1),
+        |ntot AS (SELECT count(*) AS n FROM dc),
+        |pri_oof AS (
+        |  SELECT p.mlang, f.fold,
+        |    CAST(round(ln(CAST(p.nd - coalesce(g.ndf, 0) AS DOUBLE) /
+        |                  CAST(ntot.n - nf.nf AS DOUBLE)), 6)
+        |         AS DECIMAL(28,6)) AS plp
+        |  FROM (SELECT lang AS mlang, count(*) AS nd
+        |        FROM dc GROUP BY 1) p
+        |  CROSS JOIN folds f
+        |  LEFT JOIN (SELECT lang AS mlang, fold, count(*) AS ndf
+        |             FROM dc GROUP BY 1, 2) g
+        |    ON p.mlang = g.mlang AND f.fold = g.fold
+        |  JOIN nf ON nf.fold = f.fold, ntot),
+        |lp AS (
+        |  SELECT t.mlang, t.tok, f.fold,
+        |    CAST(round(ln(CAST(t.ct - coalesce(g.cf, 0) + 1 AS DOUBLE) /
+        |                  CAST(c.cloof + voc.vsz AS DOUBLE)), 6)
+        |         AS DECIMAL(28,6)) AS lp
+        |  FROM mdl_tot t
+        |  CROSS JOIN folds f
+        |  LEFT JOIN mdl_f g ON t.mlang = g.mlang AND t.tok = g.tok
+        |                    AND f.fold = g.fold
+        |  JOIN ct_oof c ON c.mlang = t.mlang AND c.fold = f.fold, voc
+        |  WHERE t.ct - coalesce(g.cf, 0) > 0),
+        |cls AS (
+        |  SELECT c.mlang, c.fold,
+        |    CAST(round(ln(1.0 / CAST(c.cloof + voc.vsz AS DOUBLE)), 6)
+        |         AS DECIMAL(28,6)) AS lp0, p.plp
+        |  FROM ct_oof c JOIN pri_oof p
+        |    ON p.mlang = c.mlang AND p.fold = c.fold, voc),
+        |dtc AS (SELECT doc_id, lang, fold, tok, count(*) AS cnt
+        |  FROM tk GROUP BY 1, 2, 3, 4),
+        |m AS (SELECT dtc.doc_id, dtc.fold, lp.mlang,
+        |    sum(CAST(dtc.cnt AS DECIMAL(9,0)) * lp.lp) AS sum_lp,
+        |    CAST(sum(dtc.cnt) AS BIGINT) AS cnt_m
+        |  FROM dtc JOIN lp ON dtc.tok = lp.tok AND dtc.fold = lp.fold
+        |  GROUP BY 1, 2, 3),
+        |nd AS (SELECT doc_id, lang, fold,
+        |    CAST(sum(cnt) AS BIGINT) AS ntok
+        |  FROM dtc GROUP BY 1, 2, 3),
+        |sc AS (SELECT nd.doc_id, nd.lang, nd.fold, c.mlang,
+        |    c.plp + coalesce(m.sum_lp, CAST(0 AS DECIMAL(38,6))) +
+        |      CAST(nd.ntok - coalesce(m.cnt_m, 0) AS DECIMAL(9,0)) *
+        |        c.lp0 AS score
+        |  FROM nd JOIN cls c ON c.fold = nd.fold
+        |  LEFT JOIN m ON m.doc_id = nd.doc_id AND m.fold = nd.fold
+        |              AND m.mlang = c.mlang),
+        |pred AS (SELECT doc_id, lang, fold, mlang,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY score DESC, mlang) AS rn
+        |  FROM sc)
+        |SELECT fold, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN mlang = lang THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS correct,
+        |  round(CAST(sum(CASE WHEN mlang = lang THEN 1 ELSE 0 END)
+        |             AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS accuracy
+        |FROM pred WHERE rn = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q268_stats_artifact" ->
+      """WITH pv AS (
+        |  SELECT 'o_totalprice' AS col_name,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |    count(*) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |cum AS (SELECT col_name, v, c,
+        |    sum(c) OVER (PARTITION BY col_name ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY col_name) AS n
+        |  FROM pv),
+        |qs(q_label, q) AS (VALUES ('d1', 0.1), ('d2', 0.2), ('d3', 0.3),
+        |    ('d4', 0.4), ('d5', 0.5), ('d6', 0.6), ('d7', 0.7),
+        |    ('d8', 0.8), ('d9', 0.9)),
+        |j AS (SELECT cum.*, q_label, q,
+        |    CAST(n - 1 AS DOUBLE) * q AS h,
+        |    CAST(floor(CAST(n - 1 AS DOUBLE) * q) AS BIGINT) + 1 AS k
+        |  FROM cum CROSS JOIN qs),
+        |sel AS (SELECT col_name, q_label, max(n) AS n, max(h) AS hh,
+        |    min(CASE WHEN cum >= k THEN v END) AS vlo,
+        |    min(CASE WHEN cum >= k + 1 THEN v END) AS vhi
+        |  FROM j GROUP BY 1, 2),
+        |summ AS (SELECT col_name, count(*) AS ndv,
+        |    CAST(sum(c) AS BIGINT) AS n_rows,
+        |    round(CAST(min(v) AS DOUBLE) / 100.0, 6) AS min_val,
+        |    round(CAST(max(v) AS DOUBLE) / 100.0, 6) AS max_val
+        |  FROM pv GROUP BY 1)
+        |SELECT sel.col_name, q_label, n_rows, ndv, min_val, max_val,
+        |  round((CAST(vlo AS DOUBLE) +
+        |         (hh - floor(hh)) *
+        |         (CAST(coalesce(vhi, vlo) AS DOUBLE) -
+        |          CAST(vlo AS DOUBLE))) / 100.0, 6) AS boundary
+        |FROM sel JOIN summ ON sel.col_name = summ.col_name
+        |ORDER BY q_label""".stripMargin,
+
+    "q269_item_knn" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |cnt AS (SELECT b, count(*) AS cb FROM items GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.b AS b1, bb.b AS b2, count(*) AS cij
+        |  FROM items a JOIN items bb ON a.ok = bb.ok AND a.b < bb.b
+        |  GROUP BY 1, 2),
+        |sym AS (
+        |  SELECT b1 AS b, b2 AS nb, cij FROM pairs
+        |  UNION ALL
+        |  SELECT b2 AS b, b1 AS nb, cij FROM pairs),
+        |sc AS (SELECT sym.b, sym.nb, sym.cij,
+        |    round(CAST(sym.cij AS DOUBLE) /
+        |          sqrt(CAST(x.cb AS DOUBLE) * CAST(y.cb AS DOUBLE)), 6)
+        |      AS cosine
+        |  FROM sym JOIN cnt x ON sym.b = x.b
+        |           JOIN cnt y ON sym.nb = y.b),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY b
+        |                       ORDER BY cosine DESC, nb) AS rn
+        |  FROM sc)
+        |SELECT b AS brand, nb AS neighbor, cij AS support, cosine,
+        |  CAST(rn AS INTEGER) AS rank
+        |FROM r WHERE rn <= 3 ORDER BY brand, rank""".stripMargin
   )
 }

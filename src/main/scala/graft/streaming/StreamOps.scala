@@ -483,6 +483,58 @@ object StreamOps extends OpModule {
         .groupBy("signup_id")
         .agg(count(lit(1)).as("clicks"))
         .orderBy("signup_id")
+    },
+
+    // Stateful exactly-once alerting (added r12) — the first
+    // `flatMapGroupsWithState` operator in the suite (q72 is its batch
+    // analog; q80/q38 use the built-in session aggregation): per user,
+    // a value spike (> 180.00) raises AT MOST ONE alert per event-time
+    // hour, across micro-batches and replays — the suppression set
+    // lives in the state store, so a second spike in an already-alerted
+    // hour (same batch, later batch, or an upstream replay) emits
+    // nothing. The emitted episode index (this user's nth alerted hour)
+    // is custom state no built-in dedup provides. Within a batch the
+    // buffered group sorts by (event time, event_id) — deterministic
+    // fold; across batches the file source drains in ts order, and the
+    // StreamingSpec drives a two-batch split + duplicate replay to pin
+    // the exactly-once contract. State is O(alerted hours per user);
+    // production bounds it with a timeout evicting hours behind the
+    // watermark (documented; unbounded here over the finite drain).
+    "q267_stream_alert" -> { (s, d) =>
+      runToMemory(s, iso => {
+        import iso.implicits._
+        import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+        eventStream(iso, d)
+          .select(col("user_id"), col("event_id"),
+                  unix_micros(col("ts")).as("tus"),
+                  round(col("value") * 100).cast("long").as("cents"))
+          .where(col("cents") > 18000)
+          .as[(Long, Long, Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            (uid: Long, it: Iterator[(Long, Long, Long, Long)],
+             state: GroupState[Set[Long]]) =>
+              var seen = state.getOption.getOrElse(Set.empty[Long])
+              val out =
+                scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+              for (e <- it.toSeq.sortBy(e => (e._3, e._2))) {
+                val hour = e._3 / 3600000000L
+                if (!seen.contains(hour)) {
+                  seen += hour
+                  out += ((uid, hour, seen.size))
+                }
+              }
+              state.update(seen)
+              out.iterator
+          }
+          .toDF("user_id", "hour_idx", "episode_idx")
+      }, "graft_stream_alert", "append")
+        .select(col("user_id"),
+                timestamp_micros(col("hour_idx") * 3600000000L)
+                  .as("alert_hour"),
+                col("episode_idx"))
+        .orderBy("user_id", "alert_hour")
     }
   )
 
@@ -539,6 +591,22 @@ object StreamOps extends OpModule {
         | AND c.user_id = s.user_id
         | AND epoch_us(c.ts) >= epoch_us(s.ts)
         | AND epoch_us(c.ts) < epoch_us(s.ts) + 3600000000
-        |GROUP BY signup_id ORDER BY signup_id""".stripMargin
+        |GROUP BY signup_id ORDER BY signup_id""".stripMargin,
+
+    // the stateful suppression must reduce to: one alert per (user,
+    // spike hour), episode index = rank of that hour in the user's
+    // ascending alerted-hour sequence
+    "q267_stream_alert" ->
+      """WITH s AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_idx
+        |  FROM events
+        |  WHERE CAST(round(value * 100) AS BIGINT) > 18000)
+        |SELECT user_id,
+        |  make_timestamp(hour_idx * 3600000000) AS alert_hour,
+        |  CAST(row_number() OVER (PARTITION BY user_id
+        |                          ORDER BY hour_idx) AS INTEGER)
+        |    AS episode_idx
+        |FROM s ORDER BY user_id, alert_hour""".stripMargin
   )
 }

@@ -2444,4 +2444,243 @@ class CorrectnessSpec extends SparkSpecBase {
       .as[(String, String, Long, Double, Double)].collect().toSeq
     assert(got == want)
   }
+
+  test("q263 CMH matches a brute-force stratified 2x2 walk") {
+    val rows = Tables(spark, sf, "orders")
+      .join(Tables(spark, sf, "customer"),
+            col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("c_custkey"),
+              col("o_totalprice") > 450000)
+      .as[(String, Long, Boolean)].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val cells = rows.groupBy(_._1).toSeq.map { case (_, g) =>
+      val arm1 = g.filter(r => md5hex(r._2.toString).head <= '7')
+      val arm0 = g.filterNot(r => md5hex(r._2.toString).head <= '7')
+      (arm1.count(_._3).toLong, arm1.count(!_._3).toLong,
+       arm0.count(_._3).toLong, arm0.count(!_._3).toLong)
+    }
+    var aSum = 0L
+    var (eS, vS, rS, sS) = (BigDecimal(0), BigDecimal(0),
+                            BigDecimal(0), BigDecimal(0))
+    for ((a, b, c, e) <- cells) {
+      val n = (a + b + c + e).toDouble
+      val r1 = (a + b).toDouble; val c1 = (a + c).toDouble
+      aSum += a
+      eS += BigDecimal(r6(r1 * c1 / n))
+      vS += BigDecimal(r6(r1 * c1 / n * (n - r1) / n * (n - c1) /
+                          (n - 1.0)))
+      rS += BigDecimal(r6(a.toDouble * e.toDouble / n))
+      sS += BigDecimal(r6(b.toDouble * c.toDouble / n))
+    }
+    val (eD, vD) = (eS.toDouble, vS.toDouble)
+    val got = q("q263_cmh_test")
+      .as[(Long, Long, Double, Double, Double, Double, Double)]
+      .collect().head
+    assert(got == ((cells.size.toLong, aSum, r6(eD), r6(vD),
+      r6((aSum.toDouble - eD) / math.sqrt(vD)),
+      r6((aSum.toDouble - eD) * (aSum.toDouble - eD) / vD),
+      r6(rS.toDouble / sS.toDouble))))
+  }
+
+  test("q264 power analysis matches a brute-force formula walk") {
+    val pu = Tables(spark, sf, "events")
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" &&
+                      col("value") > 150, 1L).otherwise(0L)).as("conv"))
+      .as[(Long, Long)].collect().toSeq
+    val nDays = Tables(spark, sf, "events")
+      .select(to_date(col("ts"))).distinct().count()
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val users = pu.size.toLong
+    val p0 = r6(pu.map(_._2).sum.toDouble / users.toDouble)
+    val upd = r6(users.toDouble / nDays.toDouble)
+    val want = Seq(0.01, 0.02, 0.05, 0.10).map { mde =>
+      val p1 = p0 + mde
+      val n = math.ceil((1.959964 + 0.841621) * (1.959964 + 0.841621) *
+        (p0 * (1.0 - p0) + p1 * (1.0 - p1)) / (mde * mde)).toLong
+      (mde, p0, r6(p1), n,
+       math.ceil(n.toDouble * 2.0 / upd).toLong)
+    }
+    val got = q("q264_power_analysis")
+      .as[(Double, Double, Double, Long, Long)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("q265 negative sampling matches a brute-force ladder walk") {
+    val toks = Tables(spark, sf, "documents")
+      .select(col("text")).as[String].collect()
+      .flatMap(_.split(" ")).filter(_.nonEmpty).toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ladder = toks.groupBy(identity).toSeq
+      .map { case (t, g) =>
+        (t, (BigDecimal(r6(math.pow(g.size.toDouble, 0.75))) *
+             1000000).toLongExact) }
+      .sortBy(_._1)
+      .scanLeft(("", 0L, 0L)) { case ((_, _, hi0), (t, wi)) =>
+        (t, wi, hi0 + wi) }.drop(1)
+    val tt = ladder.last._3
+    val hits = (1 to 1000).map { i =>
+      val u = java.lang.Long.parseLong(md5hex(i.toString).take(12), 16) % tt
+      ladder.find(l => u >= l._3 - l._2 && u < l._3).get
+    }
+    val want = hits.groupBy(x => (x._1, x._2)).toSeq
+      .map { case ((t, wi), g) =>
+        val exp = r6(1000.0 * wi.toDouble / tt.toDouble)
+        (t, g.size.toLong, exp, r6(g.size.toDouble / exp)) }
+      .sortBy { case (t, n, _, _) => (-n, t) }.take(20)
+    val got = q("q265_neg_sampling")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("q266 cross-validated NB matches a brute-force OOF scorer") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def fold(id: Long) =
+      java.lang.Long.parseLong(md5hex(id.toString).take(4), 16) % 5
+    val toks = docs.map { case (id, lang, text) =>
+      (id, lang, fold(id), text.split(" ").filter(_.nonEmpty).toSeq) }
+    val vsz = toks.flatMap(_._4).distinct.size.toLong
+    val langs = docs.map(_._2).distinct.sorted
+    val mdlTot = toks.flatMap(t => t._4.map(tok => ((t._2, tok), 1L)))
+      .groupBy(_._1).map { case (k, g) => (k, g.size.toLong) }
+    val mdlF = toks.flatMap(t => t._4.map(tok => ((t._2, tok, t._3), 1L)))
+      .groupBy(_._1).map { case (k, g) => (k, g.size.toLong) }
+    val clTot = mdlTot.groupBy(_._1._1)
+      .map { case (l, g) => (l, g.values.sum) }
+    val clF = mdlF.groupBy(k => (k._1._1, k._1._3))
+      .map { case (k, g) => (k, g.values.sum) }
+    val ndTot = docs.groupBy(_._2).map { case (l, g) => (l, g.size.toLong) }
+    val ndF = toks.groupBy(t => (t._2, t._3))
+      .map { case (k, g) => (k, g.size.toLong) }
+    val nTot = docs.size.toLong
+    val nF = toks.groupBy(_._3).map { case (f, g) => (f, g.size.toLong) }
+    val correctByFold = toks.map { case (id, lang, f, ts) =>
+      val cnts = ts.groupBy(identity).map { case (t, g) =>
+        (t, g.size.toLong) }
+      val ntok = ts.size.toLong
+      val scored = langs.map { ml =>
+        val cloof = clTot(ml) - clF.getOrElse((ml, f), 0L)
+        val plp = BigDecimal(r6(math.log(
+          (ndTot(ml) - ndF.getOrElse((ml, f), 0L)).toDouble /
+            (nTot - nF(f)).toDouble)))
+        val lp0 = BigDecimal(r6(math.log(1.0 / (cloof + vsz).toDouble)))
+        var score = plp
+        var matched = 0L
+        for ((t, c) <- cnts) {
+          val coof = mdlTot.getOrElse((ml, t), 0L) -
+            mdlF.getOrElse((ml, t, f), 0L)
+          if (coof > 0) {
+            score += BigDecimal(c) * BigDecimal(r6(math.log(
+              (coof + 1).toDouble / (cloof + vsz).toDouble)))
+            matched += c
+          }
+        }
+        (ml, score + BigDecimal(ntok - matched) * lp0)
+      }
+      val pred = scored.sortBy { case (ml, sc) => (-sc, ml) }.head._1
+      (f, pred == lang)
+    }
+    val want = correctByFold.groupBy(_._1).toSeq.map { case (f, g) =>
+      (f, g.size.toLong, g.count(_._2).toLong,
+       r6(g.count(_._2).toDouble / g.size.toDouble)) }.sortBy(_._1)
+    val got = q("q266_crossval_nb")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("q267 stream alert matches a brute-force suppression walk") {
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")),
+              round(col("value") * 100).cast("long"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val want = ev.filter(_._3 > 18000)
+      .map(e => (e._1, e._2 / 3600000000L)).distinct
+      .groupBy(_._1).toSeq.flatMap { case (uid, g) =>
+        g.map(_._2).sorted.zipWithIndex.map { case (h, i) =>
+          (uid, new java.sql.Timestamp(h * 3600000L), i + 1) }
+      }.sortBy(x => (x._1, x._2.getTime))
+    val got = q("q267_stream_alert")
+      .as[(Long, java.sql.Timestamp, Int)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("q268 stats artifact matches a brute-force histogram walk") {
+    val vals = Tables(spark, sf, "orders")
+      .select(round(col("o_totalprice") * 100).cast("long"))
+      .as[Long].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sorted = vals.sorted
+    val n = sorted.size.toLong
+    val ndv = vals.distinct.size.toLong
+    val want = (1 to 9).map { i =>
+      val qv = i / 10.0
+      val h = (n - 1).toDouble * qv
+      val lo = sorted(math.floor(h).toInt).toDouble
+      val hi = sorted(math.ceil(h).toInt).toDouble
+      ("o_totalprice", s"d$i", n, ndv,
+       r6(sorted.head.toDouble / 100.0), r6(sorted.last.toDouble / 100.0),
+       r6((lo + (h - math.floor(h)) * (hi - lo)) / 100.0))
+    }
+    val got = q("q268_stats_artifact")
+      .as[(String, String, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(got == want)
+  }
+
+  test("q269 item-kNN matches a brute-force cosine walk") {
+    val items = Tables(spark, sf, "lineitem")
+      .join(Tables(spark, sf, "part"),
+            col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand"))
+      .as[(Long, String)].collect().toSeq.distinct
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cnt = items.groupBy(_._2).map { case (b, g) => (b, g.size.toLong) }
+    val byOrder = items.groupBy(_._1).values.map(_.map(_._2).toSet)
+    val pairCnt = byOrder.toSeq.flatMap { bs =>
+      bs.toSeq.sorted.combinations(2).map { case Seq(a, b) => (a, b) } }
+      .groupBy(identity).map { case (p, g) => (p, g.size.toLong) }
+    val sym = pairCnt.toSeq.flatMap { case ((a, b), c) =>
+      Seq((a, b, c), (b, a, c)) }
+    val want = sym.map { case (b, nb, cij) =>
+      (b, nb, cij, r6(cij.toDouble / math.sqrt(
+        cnt(b).toDouble * cnt(nb).toDouble))) }
+      .groupBy(_._1).toSeq.flatMap { case (_, g) =>
+        g.sortBy(x => (-x._4, x._2)).take(3).zipWithIndex
+          .map { case ((b, nb, c, cos), i) => (b, nb, c, cos, i + 1) } }
+      .sortBy(x => (x._1, x._5))
+    val got = q("q269_item_knn")
+      .as[(String, String, Long, Double, Int)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("q270 sorted neighborhood matches a brute-force window walk") {
+    val c = Tables(spark, sf, "customer")
+      .select(col("c_custkey"), round(col("c_acctbal") * 100).cast("long"))
+      .as[(Long, Long)].collect().toSeq
+    val sorted = c.sortBy(x => (x._2, x._1))
+    val want = sorted.zipWithIndex.flatMap { case ((k, bal), i) =>
+      (1 to 3).flatMap { w =>
+        sorted.lift(i + w).collect {
+          case (k2, bal2) if bal2 - bal <= 10 => (k, k2, bal2 - bal) }
+      }
+    }.sortBy(x => (x._3, x._1, x._2)).take(30)
+    val got = q("q270_sorted_neighborhood")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == want)
+  }
 }

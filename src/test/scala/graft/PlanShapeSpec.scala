@@ -1264,4 +1264,58 @@ class PlanShapeSpec extends SparkSpecBase {
     assert("FileScan|Scan parquet".r.findAllIn(p262).size <= 4, p262)
     assert("BroadcastHashJoin".r.findAllIn(p262).size >= 2, p262)
   }
+
+  test("q263-q266: experiment/model-eval plans stay cell-table bound") {
+    // q263: one orders scan + a broadcast customer dim into |segments|
+    // 2x2 cells — never a shuffle join
+    val p263 = SparkEntry.queries("q263_cmh_test")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("FileScan|Scan parquet".r.findAllIn(p263).size == 2, p263)
+    assert("BroadcastHashJoin".r.findAllIn(p263).size == 1, p263)
+    assert(!p263.contains("SortMergeJoin"), p263)
+    // q264: two events reads (user universe + observed days) feeding a
+    // broadcast grid — pure scalar algebra after
+    val p264 = SparkEntry.queries("q264_power_analysis")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("FileScan|Scan parquet".r.findAllIn(p264).size <= 2, p264)
+    // q265: the vocab ladder broadcasts to the draw side; the interval
+    // containment is a broadcast nested-loop over |draws| x |vocab|
+    // (the total and ladder sides re-derive the cheap token agg
+    // rather than pinning a corpus-sized stream — q219's rule)
+    val p265 = SparkEntry.queries("q265_neg_sampling")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("FileScan|Scan parquet".r.findAllIn(p265).size <= 3, p265)
+    assert(p265.contains("BroadcastNestedLoopJoin"), p265)
+    // q266: the corpus text is tokenized ONCE at pin time — the
+    // returned plan may rescan the cheap (doc_id, lang) projection for
+    // priors but must never re-read the text column
+    try {
+      val p266 = SparkEntry.queries("q266_crossval_nb")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p266.contains("text"), "q266 rescans the corpus text")
+    } finally PinScope.drain()
+  }
+
+  test("q268-q270: stats artifact / kNN / blocking plan shapes") {
+    // q268: summary + boundaries both ride the pinned value-group
+    // table — the returned plan never rescans orders
+    try {
+      val p268 = SparkEntry.queries("q268_stats_artifact")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p268.contains("FileScan") && !p268.contains("ParquetScan"),
+             "q268 replans the fact scan instead of reading the pin")
+    } finally PinScope.drain()
+    // q269: the pair stage is per-basket array algebra (one ok-keyed
+    // agg), item counts broadcast, top-3 via WindowGroupLimit
+    val p269 = SparkEntry.queries("q269_item_knn")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p269).size >= 2, p269)
+    assert(p269.contains("WindowGroupLimit"), p269)
+    // q270: one customer scan; the lead window is the only shuffle-
+    // order structure, no join anywhere
+    val p270 = SparkEntry.queries("q270_sorted_neighborhood")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("FileScan|Scan parquet".r.findAllIn(p270).size == 1, p270)
+    assert(!p270.contains("Join"), p270)
+  }
 }

@@ -463,4 +463,56 @@ class StreamingSpec extends SparkSpecBase {
       .agg(org.apache.spark.sql.functions.sum("cnt")).as[Long].collect().head
     assert(total == n, s"exactly-once total $total != $n")
   }
+
+  test("q267 shape: alert suppression holds across batches and replays") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val dir = Files.createTempDirectory("graft_alert")
+    // batch 1: user 1 spikes twice in hour 473400 (same batch) — the
+    // second spike must be suppressed within the batch
+    Seq((1L, 10L, 473400L * 3600000000L + 1L, 19000L),
+        (1L, 11L, 473400L * 3600000000L + 2L, 20000L))
+      .toDF("user_id", "event_id", "tus", "cents")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val alerts = spark.readStream.schema(schema).parquet(dir.toString)
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[Set[Long]]) =>
+          var seen = state.getOption.getOrElse(Set.empty[Long])
+          val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+          for (e <- it.toSeq.sortBy(e => (e._3, e._2))) {
+            val hour = e._3 / 3600000000L
+            if (!seen.contains(hour)) {
+              seen += hour
+              out += ((uid, hour, seen.size))
+            }
+          }
+          state.update(seen)
+          out.iterator
+      }.toDF("user_id", "hour_idx", "episode_idx")
+    val q = alerts.writeStream.format("memory").queryName("graft_alert_t")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val after1 = spark.table("graft_alert_t")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(after1 == Set((1L, 473400L, 1)),
+             s"within-batch suppression: $after1")
+      // batch 2: an upstream REPLAY of the hour-473400 spike (must stay
+      // suppressed — state store, not batch-local dedup) + a new spike
+      // in hour 473401 (episode 2)
+      Seq((1L, 10L, 473400L * 3600000000L + 1L, 19000L),
+          (1L, 12L, 473401L * 3600000000L + 5L, 21000L))
+        .toDF("user_id", "event_id", "tus", "cents")
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+      q.processAllAvailable()
+      val after2 = spark.table("graft_alert_t")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(after2 == Set((1L, 473400L, 1), (1L, 473401L, 2)),
+             s"cross-batch suppression + episode counter: $after2")
+    } finally q.stop()
+  }
 }
