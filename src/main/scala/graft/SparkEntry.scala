@@ -26,6 +26,7 @@ object SparkEntry {
     operators.CorpusExtOps,
     operators.StatsExtOps,
     operators.StatsModelOps,
+    operators.CausalOps,
     sources.SourceOps,
     sources.PartitionedOps,
     streaming.StreamOps,

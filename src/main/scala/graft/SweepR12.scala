@@ -50,7 +50,9 @@ object SweepR12 {
       "q261_template_shingles", "q262_source_mirror", "q263_cmh_test",
       "q264_power_analysis", "q265_neg_sampling", "q266_crossval_nb",
       "q267_stream_alert", "q268_stats_artifact", "q269_item_knn",
-      "q270_sorted_neighborhood")
+      "q270_sorted_neighborhood", "q271_diff_in_diff",
+      "q272_isotonic_calibration", "q273_propensity_match",
+      "q274_shapley_attribution")
     // mode "x100": sweep against the 100x volume build at /tmp/sf100x
     // (tools/make100x.py defaults) instead of the 10x point — the r11
     // protocol asked at two orders. Remaining args subset the list.

@@ -1,0 +1,523 @@
+package graft.operators
+
+import graft.{Det, OpModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Causal-inference / experiment-analysis family (added r12, wave 17):
+  * the measurement layer a product analytics platform runs when the
+  * treatment was NOT a clean randomized split — observational rollouts,
+  * post-hoc score calibration, matched comparisons, and counterfactual
+  * channel credit. Complements the randomized-experiment family
+  * (q158 A/B readout, q252 CUPED, q251 ANOVA, q264 power) and the
+  * heuristic attribution pair (q183 linear, q257 time-decay).
+  *
+  * Float discipline throughout is the house rule (graft.Det scaladoc):
+  * facts fold to exact integer/decimal cells (cents longs, decimal(38,0)
+  * squared sums), every IEEE division/sqrt happens once on identical
+  * exact operands in both engines, and cross-row double sums go through
+  * round-12dp-into-decimal (q142's trick) so partition order cannot leak.
+  */
+object CausalOps extends OpModule {
+
+  private def pin(df: DataFrame) =
+    org.apache.spark.sql.graft.InternalPin.pin(df)
+
+  private def d(c: Column): Column = c.cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Difference-in-differences (added r12) — the observational
+    // complement to q252's CUPED: the "treatment" is a REGIONAL rollout
+    // (customers of ASIA nations), not a randomized arm, so a plain
+    // post-period comparison confounds region with period; DiD cancels
+    // both main effects under parallel trends. Unit = customer; outcome
+    // = order spend cents pre/post the 1998-01-01 policy date; the
+    // estimator is the two-sample t on per-customer deltas (post−pre) —
+    // algebraically the DiD interaction coefficient, and it gives an
+    // honest customer-level SE without a regression solve. ONE orders
+    // scan aggregates (custkey, pre, post) cents; customer⋈nation⋈
+    // region resolves the treatment flag via two broadcast dims; the
+    // group roll-up is 2 cells pivoted to one row. Deltas/squares fold
+    // in decimal(38,0) (exact to ~1e19-cent group sums — beyond any
+    // corpus; q140's widening rule); the four cell means, SE, and t
+    // each divide once in double and round 6 dp. 100 TB: the only
+    // volume term is the orders groupBy(custkey) shuffle.
+    "q271_diff_in_diff" -> { (s, dir) =>
+      val b = lit("1998-01-01")
+      val spend = Tables(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(when(col("o_orderdate") < b,
+                      round(col("o_totalprice") * 100).cast("long"))
+               .otherwise(0L)).as("pre"),
+             sum(when(col("o_orderdate") >= b,
+                      round(col("o_totalprice") * 100).cast("long"))
+               .otherwise(0L)).as("post"))
+      val treatedNations = Tables(s, dir, "nation")
+        .join(broadcast(Tables(s, dir, "region")
+                .where(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))
+      val cust = Tables(s, dir, "customer")
+        .join(broadcast(treatedNations).withColumn("tr", lit(1L)),
+              col("c_nationkey") === col("n_nationkey"), "left")
+        .select(col("c_custkey"),
+                coalesce(col("tr"), lit(0L)).as("treated"))
+      val per = cust.join(spend, col("c_custkey") === col("o_custkey"),
+                          "left")
+        .select(col("treated"),
+                coalesce(col("pre"), lit(0L)).as("pre"),
+                coalesce(col("post"), lit(0L)).as("post"))
+        .withColumn("delta", col("post") - col("pre"))
+      val cells = per.groupBy("treated").agg(
+        count(lit(1)).as("n"),
+        sum(col("pre").cast("decimal(38,0)")).as("spre"),
+        sum(col("post").cast("decimal(38,0)")).as("spost"),
+        sum(col("delta").cast("decimal(38,0)")).as("sd"),
+        sum(col("delta").cast("decimal(38,0)") * col("delta")).as("sdd"))
+      def side(t: Int, c: String) =
+        max(when(col("treated") === t, col(c))).as(s"${c}_$t")
+      cells.agg(side(0, "n"), side(1, "n"), side(0, "spre"),
+                side(1, "spre"), side(0, "spost"), side(1, "spost"),
+                side(0, "sd"), side(1, "sd"), side(0, "sdd"),
+                side(1, "sdd"))
+        .withColumn("var0", d(col("n_0") * col("sdd_0") -
+                              col("sd_0") * col("sd_0")) /
+                            d(col("n_0") * (col("n_0") - 1)))
+        .withColumn("var1", d(col("n_1") * col("sdd_1") -
+                              col("sd_1") * col("sd_1")) /
+                            d(col("n_1") * (col("n_1") - 1)))
+        .select(
+          col("n_0").as("n_control"), col("n_1").as("n_treated"),
+          round(d(col("spre_0")) / d(col("n_0")) / 100.0, 6)
+            .as("pre_control"),
+          round(d(col("spost_0")) / d(col("n_0")) / 100.0, 6)
+            .as("post_control"),
+          round(d(col("spre_1")) / d(col("n_1")) / 100.0, 6)
+            .as("pre_treated"),
+          round(d(col("spost_1")) / d(col("n_1")) / 100.0, 6)
+            .as("post_treated"),
+          round((d(col("sd_1")) / d(col("n_1")) -
+                 d(col("sd_0")) / d(col("n_0"))) / 100.0, 6).as("did"),
+          round(sqrt(col("var1") / d(col("n_1")) +
+                     col("var0") / d(col("n_0"))) / 100.0, 6).as("se"),
+          round((d(col("sd_1")) / d(col("n_1")) -
+                 d(col("sd_0")) / d(col("n_0"))) /
+                sqrt(col("var1") / d(col("n_1")) +
+                     col("var0") / d(col("n_0"))), 6).as("t_stat"))
+    },
+
+    // Isotonic calibration / PAV (added r12) — monotone recalibration
+    // of a score against observed outcomes (the reliability step after
+    // q229's AUC says the RANKING is fine but the PROBABILITIES are
+    // not). Score = discount cents (11 distinct values), outcome =
+    // return flag. The pool-adjacent-violators fit is computed by its
+    // minimax identity iso(i) = max_{j≤i} min_{k≥j} rate(j..k) — which
+    // turns an inherently sequential pooling algorithm into windows
+    // and a self-join ON THE VALUE-GROUP TABLE: interval rates come
+    // from cumulative-count differences (|bins|² pairs, domain-bound
+    // at any corpus size — never fact rows), the inner min is a
+    // group-by over pair rows, the outer max is one running-max window
+    // over |bins| rows. All comparisons happen on exact-integer-
+    // derived doubles (counts < 2^53 ⇒ the division operands are
+    // exact, so both engines order identical doubles); the only
+    // rounding is the 6 dp on output. ONE lineitem scan.
+    "q272_isotonic_calibration" -> { (s, dir) =>
+      val (bins, h) = pin(Tables(s, dir, "lineitem")
+        .select(round(col("l_discount") * 100).cast("long").as("sc"),
+                when(col("l_returnflag") === "R", 1L).otherwise(0L)
+                  .as("y"))
+        .groupBy("sc")
+        .agg(count(lit(1)).as("w"), sum(col("y")).as("pos")))
+      h.count(); graft.PinScope.retain(h)
+      val wOrd = Window.orderBy("sc")
+      val cum = bins
+        .withColumn("cw", sum(col("w")).over(wOrd))
+        .withColumn("cp", sum(col("pos")).over(wOrd))
+        .withColumn("cw0", col("cw") - col("w"))
+        .withColumn("cp0", col("cp") - col("pos"))
+      val lo = cum.select(col("sc").as("j"), col("cw0"), col("cp0"))
+      val hi = cum.select(col("sc").as("k"), col("cw").as("cwk"),
+                          col("cp").as("cpk"))
+      val suffixMin = lo.join(hi, col("j") <= col("k"))
+        .withColumn("rate", d(col("cpk") - col("cp0")) /
+                            d(col("cwk") - col("cw0")))
+        .groupBy("j").agg(min(col("rate")).as("m"))
+      val iso = suffixMin
+        .withColumn("iso", max(col("m")).over(
+          Window.orderBy("j")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      broadcast(bins).join(iso, col("sc") === col("j"))
+        .select(col("sc").as("discount_cents"), col("w").as("n"),
+                round(d(col("pos")) / d(col("w")), 6).as("raw_rate"),
+                round(col("iso"), 6).as("iso_rate"))
+        .orderBy("discount_cents")
+    },
+
+    // Propensity-style caliper matching (added r12) — the matched-
+    // comparison estimator for a non-randomized exposure: each treated
+    // unit (BUILDING-segment customer) is matched WITH REPLACEMENT to
+    // its nearest control on a balance score within a ±$10 caliper,
+    // and the treated-vs-matched-control spend gap is the ATT. The
+    // nearest-neighbor search is the SORTED-MERGE pattern (q270's sort
+    // discipline pointed at matching): one global sort of customers by
+    // (score, key), then the nearest control on each side is a
+    // last/first_value-ignore-nulls window fill — O(n log n), no
+    // treated×control join ever materializes. Side choice and ties are
+    // DECLARED: the strictly closer side wins, an exact tie keeps the
+    // lower-score (preceding) side; within equal scores the fill
+    // yields the (score, key)-order nearest by construction. Outcome
+    // cents fold in decimal; ATT and match_rate divide once, 6 dp.
+    // 100 TB: one sort + one orders groupBy shuffle; at cluster scale
+    // the sort is a range partition and the fill needs only a
+    // boundary-row exchange (q270's documented fact-scale form).
+    "q273_propensity_match" -> { (s, dir) =>
+      val spend = Tables(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+               .as("sp"))
+      val u = Tables(s, dir, "customer")
+        .join(spend, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey").as("key"),
+                round(col("c_acctbal") * 100).cast("long").as("score"),
+                (col("c_mktsegment") === "BUILDING").as("tr"),
+                coalesce(col("sp"), lit(0L)).as("out"))
+      val wPrev = Window.orderBy("score", "key")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wNext = Window.orderBy("score", "key")
+        .rowsBetween(1, Window.unboundedFollowing)
+      def ctl(c: String) = when(!col("tr"), col(c))
+      val filled = u
+        .withColumn("ps", last(ctl("score"), ignoreNulls = true)
+          .over(wPrev))
+        .withColumn("po", last(ctl("out"), ignoreNulls = true)
+          .over(wPrev))
+        .withColumn("ns", first(ctl("score"), ignoreNulls = true)
+          .over(wNext))
+        .withColumn("no", first(ctl("out"), ignoreNulls = true)
+          .over(wNext))
+        .where(col("tr"))
+      val cal = lit(1000L)
+      val matched = filled
+        .withColumn("dp", when(col("ps").isNotNull,
+                               col("score") - col("ps")))
+        .withColumn("dn", when(col("ns").isNotNull,
+                               col("ns") - col("score")))
+        .withColumn("mo",
+          when(col("dp").isNotNull &&
+               (col("dn").isNull || col("dp") <= col("dn")), col("po"))
+            .otherwise(col("no")))
+        .withColumn("gap",
+          when(col("dp").isNotNull &&
+               (col("dn").isNull || col("dp") <= col("dn")), col("dp"))
+            .otherwise(col("dn")))
+        .withColumn("ok", col("gap").isNotNull && col("gap") <= cal)
+      matched.agg(
+        count(lit(1)).as("n_treated"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_matched"),
+        round(d(sum(when(col("ok"), 1L).otherwise(0L))) /
+              d(count(lit(1))), 6).as("match_rate"),
+        round(d(sum(when(col("ok"),
+                         (col("out") - col("mo")).cast("decimal(38,0)"))
+                  .otherwise(lit(0).cast("decimal(38,0)")))) /
+              d(sum(when(col("ok"), 1L).otherwise(0L))) / 100.0, 6)
+          .as("att"),
+        round(d(sum(when(col("ok"), col("gap").cast("decimal(38,0)"))
+                  .otherwise(lit(0).cast("decimal(38,0)")))) /
+              d(sum(when(col("ok"), 1L).otherwise(0L))), 6)
+          .as("avg_gap_cents"))
+    },
+
+    // Shapley channel attribution (added r12) — the COUNTERFACTUAL
+    // credit split the heuristic pair (q183 positional-linear, q257
+    // time-decay) cannot provide: each channel's credit is its average
+    // marginal lift of the observed conversion rate over all channel
+    // subsets, the unique split satisfying efficiency/symmetry/dummy.
+    // Unit = (user, day); channel set = the distinct non-purchase
+    // event types that day; v(S) = conversion rate of units whose set
+    // is EXACTLY S (empirical characteristic function; unobserved
+    // subsets carry v=0 by declared convention). The fact scan folds
+    // to ≤2^k signature cells (k = |channel domain| = 4), the subset
+    // lattice is generated from one collected channel-domain row via
+    // sequence+filter HOFs, and the Shapley sum runs over lattice×
+    // channel pairs — EVERYTHING past the one (user, day) shuffle is
+    // domain-bound (≤ 2^k·k rows) at any corpus size. Exact-count
+    // divisions give bit-identical v's; the k!-weighted marginal terms
+    // round 12 dp into decimal (q142) so the 8-term sum is order-free;
+    // one final /k! division rounds 6 dp. Efficiency (Σφ = v(full) −
+    // v(∅)) is spec-asserted.
+    "q274_shapley_attribution" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+                col("event_type"))
+      val units = ev.groupBy("user_id", "day")
+        .agg(array_join(array_sort(collect_set(
+               when(col("event_type") =!= "purchase",
+                    col("event_type")))), ",").as("sig"),
+             max(when(col("event_type") === "purchase", 1L)
+               .otherwise(0L)).as("conv"))
+      val (stats, h) = pin(units.groupBy("sig")
+        .agg(count(lit(1)).as("units"), sum(col("conv")).as("convs")))
+      h.count(); graft.PinScope.retain(h)
+      // channel domain = the union of signature tokens (every observed
+      // event type appears in at least one unit's signature), read off
+      // the ≤2^k-row pinned cell table — NOT a second fact scan
+      val chans = stats
+        .select(explode(split(col("sig"), ",")).as("ch"))
+        .where(col("ch") =!= "")
+        .agg(array_sort(collect_set(col("ch"))).as("arr"))
+        .withColumn("k", size(col("arr")))
+      val lattice = chans
+        .select(col("arr"), col("k"),
+                explode(sequence(lit(0),
+                  expr("cast(pow(2, size(arr)) as int) - 1"))).as("m"))
+        .withColumn("sig", array_join(
+          expr("filter(arr, (x, i) -> ((m div cast(pow(2, i) as int)) % 2) = 1)"),
+          ","))
+        .withColumn("sz", expr("bit_count(m)"))
+      val pairs = lattice
+        .select(col("arr"), col("k"), col("m"), col("sig"), col("sz"),
+                posexplode(col("arr")).as(Seq("i", "channel")))
+        .where(expr("(m div cast(pow(2, i) as int)) % 2 = 0"))
+        .withColumn("sig1", array_join(
+          expr("filter(arr, (x, j) -> ((m div cast(pow(2, j) as int)) % 2) = 1 or j = i)"),
+          ","))
+      def vOf(df: DataFrame, sigCol: String, as: String) =
+        df.join(broadcast(stats).withColumnRenamed("sig", sigCol + "_s"),
+                col(sigCol) === col(sigCol + "_s"), "left")
+          .withColumn(as, coalesce(d(col("convs")) / d(col("units")),
+                                   lit(0.0)))
+          .drop(sigCol + "_s", "units", "convs")
+      val terms = vOf(vOf(pairs, "sig", "v0"), "sig1", "v1")
+        .withColumn("w", factorial(col("sz")) *
+                         factorial(col("k") - col("sz") - 1))
+        .withColumn("term",
+          round(col("w") * (col("v1") - col("v0")), 12)
+            .cast("decimal(28,12)"))
+      terms.groupBy("channel")
+        .agg(round(d(sum(col("term"))) /
+                   d(max(factorial(col("k")))), 6).as("phi"))
+        .orderBy("channel")
+    })
+
+  def oracles: Map[String, String] = Map(
+
+    "q271_diff_in_diff" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+        |             THEN CAST(round(o_totalprice * 100) AS BIGINT)
+        |             ELSE 0 END) AS pre,
+        |    sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+        |             THEN CAST(round(o_totalprice * 100) AS BIGINT)
+        |             ELSE 0 END) AS post
+        |  FROM orders GROUP BY 1),
+        |per AS (
+        |  SELECT CASE WHEN r.r_name = 'ASIA' THEN 1 ELSE 0 END AS treated,
+        |         COALESCE(s.pre, 0) AS pre, COALESCE(s.post, 0) AS post,
+        |         COALESCE(s.post, 0) - COALESCE(s.pre, 0) AS delta
+        |  FROM customer c
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  LEFT JOIN spend s ON c.c_custkey = s.o_custkey),
+        |cells AS (
+        |  SELECT treated, count(*) AS n,
+        |    sum(CAST(pre AS DECIMAL(38,0))) AS spre,
+        |    sum(CAST(post AS DECIMAL(38,0))) AS spost,
+        |    sum(CAST(delta AS DECIMAL(38,0))) AS sd,
+        |    sum(CAST(delta AS DECIMAL(38,0)) * delta) AS sdd
+        |  FROM per GROUP BY 1),
+        |p AS (
+        |  SELECT
+        |    max(CASE WHEN treated = 0 THEN n END) AS n_0,
+        |    max(CASE WHEN treated = 1 THEN n END) AS n_1,
+        |    max(CASE WHEN treated = 0 THEN spre END) AS spre_0,
+        |    max(CASE WHEN treated = 1 THEN spre END) AS spre_1,
+        |    max(CASE WHEN treated = 0 THEN spost END) AS spost_0,
+        |    max(CASE WHEN treated = 1 THEN spost END) AS spost_1,
+        |    max(CASE WHEN treated = 0 THEN sd END) AS sd_0,
+        |    max(CASE WHEN treated = 1 THEN sd END) AS sd_1,
+        |    max(CASE WHEN treated = 0 THEN sdd END) AS sdd_0,
+        |    max(CASE WHEN treated = 1 THEN sdd END) AS sdd_1
+        |  FROM cells),
+        |v AS (
+        |  SELECT *,
+        |    CAST(n_0 * sdd_0 - sd_0 * sd_0 AS DOUBLE) /
+        |      CAST(n_0 * (n_0 - 1) AS DOUBLE) AS var0,
+        |    CAST(n_1 * sdd_1 - sd_1 * sd_1 AS DOUBLE) /
+        |      CAST(n_1 * (n_1 - 1) AS DOUBLE) AS var1
+        |  FROM p)
+        |SELECT n_0 AS n_control, n_1 AS n_treated,
+        |  round(CAST(spre_0 AS DOUBLE) / CAST(n_0 AS DOUBLE) / 100.0, 6)
+        |    AS pre_control,
+        |  round(CAST(spost_0 AS DOUBLE) / CAST(n_0 AS DOUBLE) / 100.0, 6)
+        |    AS post_control,
+        |  round(CAST(spre_1 AS DOUBLE) / CAST(n_1 AS DOUBLE) / 100.0, 6)
+        |    AS pre_treated,
+        |  round(CAST(spost_1 AS DOUBLE) / CAST(n_1 AS DOUBLE) / 100.0, 6)
+        |    AS post_treated,
+        |  round((CAST(sd_1 AS DOUBLE) / CAST(n_1 AS DOUBLE) -
+        |         CAST(sd_0 AS DOUBLE) / CAST(n_0 AS DOUBLE)) / 100.0, 6)
+        |    AS did,
+        |  round(sqrt(var1 / CAST(n_1 AS DOUBLE) +
+        |             var0 / CAST(n_0 AS DOUBLE)) / 100.0, 6) AS se,
+        |  round((CAST(sd_1 AS DOUBLE) / CAST(n_1 AS DOUBLE) -
+        |         CAST(sd_0 AS DOUBLE) / CAST(n_0 AS DOUBLE)) /
+        |        sqrt(var1 / CAST(n_1 AS DOUBLE) +
+        |             var0 / CAST(n_0 AS DOUBLE)), 6) AS t_stat
+        |FROM v""".stripMargin,
+
+    "q272_isotonic_calibration" ->
+      """WITH bins AS (
+        |  SELECT CAST(round(l_discount * 100) AS BIGINT) AS sc,
+        |         count(*) AS w,
+        |         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos
+        |  FROM lineitem GROUP BY 1),
+        |cum AS (
+        |  SELECT sc, w, pos,
+        |    sum(w) OVER (ORDER BY sc) AS cw,
+        |    sum(pos) OVER (ORDER BY sc) AS cp,
+        |    sum(w) OVER (ORDER BY sc) - w AS cw0,
+        |    sum(pos) OVER (ORDER BY sc) - pos AS cp0
+        |  FROM bins),
+        |sm AS (
+        |  SELECT lo.sc AS j,
+        |    min(CAST(hi.cp - lo.cp0 AS DOUBLE) /
+        |        CAST(hi.cw - lo.cw0 AS DOUBLE)) AS m
+        |  FROM cum lo JOIN cum hi ON lo.sc <= hi.sc
+        |  GROUP BY 1),
+        |iso AS (
+        |  SELECT j, max(m) OVER (ORDER BY j
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iso
+        |  FROM sm)
+        |SELECT b.sc AS discount_cents, b.w AS n,
+        |  round(CAST(b.pos AS DOUBLE) / CAST(b.w AS DOUBLE), 6)
+        |    AS raw_rate,
+        |  round(i.iso, 6) AS iso_rate
+        |FROM bins b JOIN iso i ON b.sc = i.j
+        |ORDER BY discount_cents""".stripMargin,
+
+    "q273_propensity_match" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sp
+        |  FROM orders GROUP BY 1),
+        |u AS (
+        |  SELECT c.c_custkey AS key,
+        |    CAST(round(c.c_acctbal * 100) AS BIGINT) AS score,
+        |    c.c_mktsegment = 'BUILDING' AS tr,
+        |    COALESCE(s.sp, 0) AS outv
+        |  FROM customer c LEFT JOIN spend s ON c.c_custkey = s.o_custkey),
+        |filled AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN NOT tr THEN score END IGNORE NULLS)
+        |      OVER (ORDER BY score, key
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS ps,
+        |    last_value(CASE WHEN NOT tr THEN outv END IGNORE NULLS)
+        |      OVER (ORDER BY score, key
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS po,
+        |    first_value(CASE WHEN NOT tr THEN score END IGNORE NULLS)
+        |      OVER (ORDER BY score, key
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |      AS ns,
+        |    first_value(CASE WHEN NOT tr THEN outv END IGNORE NULLS)
+        |      OVER (ORDER BY score, key
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |      AS no
+        |  FROM u),
+        |m AS (
+        |  SELECT *,
+        |    CASE WHEN ps IS NOT NULL THEN score - ps END AS dp,
+        |    CASE WHEN ns IS NOT NULL THEN ns - score END AS dn
+        |  FROM filled WHERE tr),
+        |sel AS (
+        |  SELECT *,
+        |    CASE WHEN dp IS NOT NULL AND (dn IS NULL OR dp <= dn)
+        |         THEN po ELSE no END AS mo,
+        |    CASE WHEN dp IS NOT NULL AND (dn IS NULL OR dp <= dn)
+        |         THEN dp ELSE dn END AS gap
+        |  FROM m),
+        |f AS (
+        |  SELECT *, gap IS NOT NULL AND gap <= 1000 AS ok FROM sel)
+        |SELECT count(*) AS n_treated,
+        |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_matched,
+        |  round(CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS DOUBLE) /
+        |        CAST(count(*) AS DOUBLE), 6) AS match_rate,
+        |  round(CAST(sum(CASE WHEN ok
+        |                      THEN CAST(outv - mo AS DECIMAL(38,0))
+        |                      ELSE CAST(0 AS DECIMAL(38,0)) END)
+        |             AS DOUBLE) /
+        |        CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS DOUBLE) /
+        |        100.0, 6) AS att,
+        |  round(CAST(sum(CASE WHEN ok THEN CAST(gap AS DECIMAL(38,0))
+        |                      ELSE CAST(0 AS DECIMAL(38,0)) END)
+        |             AS DOUBLE) /
+        |        CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS DOUBLE), 6)
+        |    AS avg_gap_cents
+        |FROM f""".stripMargin,
+
+    "q274_shapley_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, event_type
+        |  FROM events),
+        |units AS (
+        |  SELECT user_id, day,
+        |    COALESCE(string_agg(DISTINCT
+        |      CASE WHEN event_type <> 'purchase' THEN event_type END,
+        |      ',' ORDER BY
+        |      CASE WHEN event_type <> 'purchase' THEN event_type END),
+        |      '') AS sig,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM ev GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT sig, count(*) AS units, sum(conv) AS convs
+        |  FROM units GROUP BY 1),
+        |chans AS (
+        |  SELECT list_sort(list(DISTINCT event_type)) AS arr,
+        |         count(DISTINCT event_type) AS k
+        |  FROM ev WHERE event_type <> 'purchase'),
+        |masks AS (
+        |  SELECT arr, k,
+        |    unnest(range(0, CAST(pow(2, k) AS BIGINT))) AS m
+        |  FROM chans),
+        |lattice AS (
+        |  SELECT arr, k, m,
+        |    list_aggregate(list_filter(arr,
+        |      (x, i) -> ((m // CAST(pow(2, i - 1) AS BIGINT)) % 2) = 1),
+        |      'string_agg', ',') AS sig,
+        |    bit_count(CAST(m AS BIGINT)) AS sz
+        |  FROM masks),
+        |px AS (
+        |  SELECT arr, k, m, sig, sz,
+        |    unnest(list_transform(arr,
+        |      (x, i) -> {'channel': x, 'i': i - 1})) AS ci
+        |  FROM lattice),
+        |pairs AS (
+        |  SELECT arr, k, m, sig, sz, ci.i AS i, ci.channel AS channel,
+        |    list_aggregate(list_filter(arr,
+        |      (x, j) -> ((m // CAST(pow(2, j - 1) AS BIGINT)) % 2) = 1
+        |                OR j - 1 = ci.i),
+        |      'string_agg', ',') AS sig1
+        |  FROM px
+        |  WHERE ((m // CAST(pow(2, ci.i) AS BIGINT)) % 2) = 0),
+        |terms AS (
+        |  SELECT p.channel, p.k,
+        |    CAST(round(factorial(CAST(p.sz AS INT)) * factorial(CAST(p.k - p.sz - 1 AS INT)) *
+        |      (COALESCE(CAST(s1.convs AS DOUBLE) /
+        |                CAST(s1.units AS DOUBLE), 0.0) -
+        |       COALESCE(CAST(s0.convs AS DOUBLE) /
+        |                CAST(s0.units AS DOUBLE), 0.0)), 12)
+        |      AS DECIMAL(28,12)) AS term
+        |  FROM pairs p
+        |  LEFT JOIN stats s0 ON COALESCE(p.sig, '') = s0.sig
+        |  LEFT JOIN stats s1 ON p.sig1 = s1.sig)
+        |SELECT channel,
+        |  round(CAST(sum(term) AS DOUBLE) /
+        |        CAST(max(factorial(CAST(k AS INT))) AS DOUBLE), 6) AS phi
+        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin)
+}

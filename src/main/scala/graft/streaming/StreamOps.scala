@@ -24,29 +24,50 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamOps extends OpModule {
 
-  /** Stages the sfDir's events file into a per-sfDir directory (the
-    * file stream source wants a directory). Stable path: repeated runs
-    * reuse it; scratch + atomic rename means a concurrent second JVM
-    * either wins the rename or observes the winner's complete file, and
-    * the scratch copy is cleaned up on every path. */
+  /** Stages the sfDir's events table into a per-sfDir directory (the
+    * file stream source wants a directory). Handles BOTH physical
+    * layouts a parquet table ships in: a single `events.parquet` file
+    * (driver testdata) and an `events.parquet/` DIRECTORY of part
+    * files (anything Spark itself wrote, e.g. the 10×/100× sweep
+    * builds — r12: the old single-file assumption staged an EMPTY
+    * directory there and the stream silently read zero rows). Stable
+    * path: repeated runs reuse it; per-file scratch + atomic rename
+    * plus only counting fully-renamed parts means a concurrent second
+    * JVM either wins each rename or observes the winner's complete
+    * file, and scratch copies are cleaned up on every path. */
   private def stagedEventsDir(d: String): String = {
     val dir = java.nio.file.Paths.get(
       s"${sys.props("java.io.tmpdir")}/graft_stream_" +
         d.replaceAll("[^a-zA-Z0-9]", "_"))
     java.nio.file.Files.createDirectories(dir)
-    val target = dir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(target)) {
-      val scratch = java.nio.file.Files.createTempFile(dir, ".staging", ".tmp")
-      try {
-        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
-          scratch, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        try java.nio.file.Files.move(scratch, target,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch {
-          case _: java.nio.file.FileSystemException
-            if java.nio.file.Files.exists(target) => // lost the race
-        }
-      } finally java.nio.file.Files.deleteIfExists(scratch)
+    val src = java.nio.file.Paths.get(s"$d/events.parquet")
+    val parts: Seq[(java.nio.file.Path, String)] =
+      if (java.nio.file.Files.isDirectory(src)) {
+        val s = java.nio.file.Files.list(src)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.toSeq
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .sortBy(_.getFileName.toString)
+            .map(p => (p, p.getFileName.toString))
+        } finally s.close()
+      } else Seq((src, "events.parquet"))
+    for ((part, name) <- parts) {
+      val target = dir.resolve(name)
+      if (!java.nio.file.Files.exists(target)) {
+        val scratch =
+          java.nio.file.Files.createTempFile(dir, ".staging", ".tmp")
+        try {
+          java.nio.file.Files.copy(part, scratch,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          try java.nio.file.Files.move(scratch, target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.FileSystemException
+              if java.nio.file.Files.exists(target) => // lost the race
+          }
+        } finally java.nio.file.Files.deleteIfExists(scratch)
+      }
     }
     dir.toString
   }
@@ -60,13 +81,27 @@ object StreamOps extends OpModule {
       s"${sys.props("java.io.tmpdir")}/graft_stream_dup_" +
         d.replaceAll("[^a-zA-Z0-9]", "_"))
     java.nio.file.Files.createDirectories(dir)
-    for (copy <- Seq("events_a.parquet", "events_b.parquet")) {
+    val src = java.nio.file.Paths.get(s"$d/events.parquet")
+    val parts: Seq[(java.nio.file.Path, String)] =
+      if (java.nio.file.Files.isDirectory(src)) {
+        import scala.jdk.CollectionConverters._
+        scala.util.Using.resource(java.nio.file.Files.list(src)) { st =>
+          st.iterator.asScala
+            .filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .map(p => p -> p.getFileName.toString).toSeq
+        }
+      } else Seq(src -> "events.parquet")
+    // single-file sources keep the historical staged names so a dir
+    // staged by an older build is recognized as complete, not doubled
+    for ((part, name) <- parts;
+         copy <- if (name == "events.parquet")
+                   Seq("events_a.parquet", "events_b.parquet")
+                 else Seq(s"a_$name", s"b_$name")) {
       val target = dir.resolve(copy)
       if (!java.nio.file.Files.exists(target)) {
         val scratch = java.nio.file.Files.createTempFile(dir, ".staging", ".tmp")
         try {
-          java.nio.file.Files.copy(
-            java.nio.file.Paths.get(s"$d/events.parquet"), scratch,
+          java.nio.file.Files.copy(part, scratch,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           try java.nio.file.Files.move(scratch, target,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)

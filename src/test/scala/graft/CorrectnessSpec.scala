@@ -2683,4 +2683,169 @@ class CorrectnessSpec extends SparkSpecBase {
       .as[(Long, Long, Long)].collect().toSeq
     assert(got == want)
   }
+
+  test("q271 DiD matches a brute-force delta walk") {
+    val asia = Tables(spark, sf, "nation")
+      .join(Tables(spark, sf, "region"),
+            col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA")
+      .select(col("n_nationkey")).as[Long].collect().toSet
+    val cust = Tables(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+      .as[(Long, Long)].collect().toSeq
+    val ords = Tables(spark, sf, "orders")
+      .select(col("o_custkey"),
+              (col("o_orderdate") < lit("1998-01-01")),
+              round(col("o_totalprice") * 100).cast("long"))
+      .as[(Long, Boolean, Long)].collect().toSeq
+      .groupBy(_._1)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    case class G(n: Long, spre: BigInt, spost: BigInt, sd: BigInt,
+                 sdd: BigInt)
+    val groups = cust.map { case (k, nk) =>
+      val os = ords.getOrElse(k, Seq())
+      val pre = os.filter(_._2).map(_._3).sum
+      val post = os.filterNot(_._2).map(_._3).sum
+      (asia.contains(nk), pre, post, post - pre)
+    }.groupBy(_._1).map { case (t, g) =>
+      t -> G(g.size.toLong, g.map(x => BigInt(x._2)).sum,
+             g.map(x => BigInt(x._3)).sum, g.map(x => BigInt(x._4)).sum,
+             g.map(x => BigInt(x._4) * BigInt(x._4)).sum)
+    }
+    val (g0, g1) = (groups(false), groups(true))
+    def vr(g: G) = (BigInt(g.n) * g.sdd - g.sd * g.sd).toDouble /
+                   (g.n * (g.n - 1)).toDouble
+    val did = (g1.sd.toDouble / g1.n - g0.sd.toDouble / g0.n) / 100.0
+    val se = math.sqrt(vr(g1) / g1.n + vr(g0) / g0.n) / 100.0
+    val got = q("q271_diff_in_diff")
+      .as[(Long, Long, Double, Double, Double, Double, Double, Double,
+           Double)].collect().head
+    assert(got == ((g0.n, g1.n,
+      r6(g0.spre.toDouble / g0.n / 100.0),
+      r6(g0.spost.toDouble / g0.n / 100.0),
+      r6(g1.spre.toDouble / g1.n / 100.0),
+      r6(g1.spost.toDouble / g1.n / 100.0),
+      r6(did), r6(se), r6(did / se))))
+  }
+
+  test("q272 isotonic fit equals the sequential PAV algorithm") {
+    val rows = Tables(spark, sf, "lineitem")
+      .select(round(col("l_discount") * 100).cast("long"),
+              (col("l_returnflag") === "R"))
+      .as[(Long, Boolean)].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val bins = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (s, g) =>
+      (s, g.size.toLong, g.count(_._2).toLong) }
+    // the actual pool-adjacent-violators walk: merge blocks while a
+    // violator exists (exact rational comparison) — this certifies the
+    // query's minimax-identity formulation against the textbook
+    // sequential algorithm, not against a re-derivation of itself
+    val stack = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    for ((_, w, pos) <- bins) {
+      stack += ((w, pos))
+      while (stack.size >= 2 &&
+             stack(stack.size - 2)._2 * stack.last._1 >=
+             stack.last._2 * stack(stack.size - 2)._1) {
+        val b = stack.remove(stack.size - 1)
+        val a = stack.remove(stack.size - 1)
+        stack += ((a._1 + b._1, a._2 + b._2))
+      }
+    }
+    val iso = stack.toSeq
+    // expand blocks back over bins in order
+    val perBin = scala.collection.mutable.ArrayBuffer[Double]()
+    var bi = 0
+    var rem = 0L
+    var rate = 0.0
+    for ((_, w, _) <- bins) {
+      if (rem == 0) { rate = iso(bi)._2.toDouble / iso(bi)._1
+                      rem = iso(bi)._1; bi += 1 }
+      perBin += rate
+      rem -= w
+      assert(rem >= 0)
+    }
+    val want = bins.zip(perBin).map { case ((s, w, pos), ir) =>
+      (s, w, r6(pos.toDouble / w), r6(ir)) }
+    val got = q("q272_isotonic_calibration")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got == want)
+    // monotone non-decreasing by construction
+    assert(got.map(_._4).sliding(2).forall(p => p.head <= p.last))
+  }
+
+  test("q273 caliper matching matches a brute-force nearest walk") {
+    val spend = Tables(spark, sf, "orders")
+      .select(col("o_custkey"), round(col("o_totalprice") * 100)
+        .cast("long")).as[(Long, Long)].collect().toSeq
+      .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+    val u = Tables(spark, sf, "customer")
+      .select(col("c_custkey"), round(col("c_acctbal") * 100)
+        .cast("long"), col("c_mktsegment") === "BUILDING")
+      .as[(Long, Long, Boolean)].collect().toSeq
+      .map { case (k, sc, tr) => (k, sc, tr, spend.getOrElse(k, 0L)) }
+      .sortBy(x => (x._2, x._1))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val treated = u.zipWithIndex.filter(_._1._3)
+    val picks = treated.map { case ((_, sc, _, out), i) =>
+      val prev = u.take(i).reverse.find(!_._3)
+      val next = u.drop(i + 1).find(!_._3)
+      val dp = prev.map(p => sc - p._2)
+      val dn = next.map(n => n._2 - sc)
+      val (gap, mo) =
+        if (dp.isDefined && (dn.isEmpty || dp.get <= dn.get))
+          (dp, prev.map(_._4))
+        else (dn, next.map(_._4))
+      (out, gap, mo)
+    }
+    val ok = picks.filter(p => p._2.exists(_ <= 1000L))
+    val att = ok.map(p => BigInt(p._1 - p._3.get)).sum.toDouble /
+              ok.size / 100.0
+    val gap = ok.map(p => BigInt(p._2.get)).sum.toDouble / ok.size
+    val got = q("q273_propensity_match")
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(got == ((treated.size.toLong, ok.size.toLong,
+      r6(ok.size.toDouble / treated.size), r6(att), r6(gap))))
+  }
+
+  test("q274 Shapley credits match a direct subset enumeration " +
+       "and satisfy efficiency") {
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id"), to_date(col("ts")).cast("string"),
+              col("event_type"))
+      .as[(Long, String, String)].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val units = ev.groupBy(u => (u._1, u._2)).values.map { g =>
+      (g.map(_._3).filter(_ != "purchase").distinct.sorted,
+       g.exists(_._3 == "purchase"))
+    }.toSeq
+    val stats = units.groupBy(_._1.mkString(","))
+      .map { case (s, g) => s -> (g.size.toLong,
+                                  g.count(_._2).toLong) }
+    def v(sig: String) = stats.get(sig)
+      .map { case (n, c) => c.toDouble / n }.getOrElse(0.0)
+    val chans = ev.map(_._3).filter(_ != "purchase").distinct.sorted
+    val k = chans.size
+    def fact(n: Int): Long = (1 to n).map(_.toLong).product
+    val want = chans.map { c =>
+      val others = chans.filterNot(_ == c)
+      val terms = others.toSet.subsets().toSeq.map { sset =>
+        val s = sset.toSeq.sorted
+        val w = fact(s.size) * fact(k - s.size - 1)
+        r12(w * (v((s :+ c).sorted.mkString(",")) - v(s.mkString(","))))
+      }
+      (c, r6(terms.sum.toDouble / fact(k)))
+    }
+    val got = q("q274_shapley_attribution")
+      .as[(String, Double)].collect().toSeq
+    assert(got == want)
+    // efficiency: credits sum to v(full) − v(∅) up to output rounding
+    val eff = v(chans.mkString(",")) - v("")
+    assert(math.abs(got.map(_._2).sum - eff) < 5e-6 * k)
+  }
 }

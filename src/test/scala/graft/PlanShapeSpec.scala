@@ -1318,4 +1318,42 @@ class PlanShapeSpec extends SparkSpecBase {
     assert("FileScan|Scan parquet".r.findAllIn(p270).size == 1, p270)
     assert(!p270.contains("Join"), p270)
   }
+
+  test("q271-q274: causal family plan shapes") {
+    // q271: dims resolve via broadcasts (region→nation→customer and the
+    // orders spend agg), no sort-merge join anywhere; one orders shuffle
+    val p271 = SparkEntry.queries("q271_diff_in_diff")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p271).size >= 3, p271)
+    assert(!p271.contains("SortMergeJoin"), p271)
+    // q272: everything past the one lineitem fold rides the pinned
+    // 11-row bin table — the returned plan never rescans the facts
+    try {
+      val p272 = SparkEntry.queries("q272_isotonic_calibration")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p272.contains("FileScan") && !p272.contains("ParquetScan"),
+             "q272 replans the fact scan instead of reading the pin")
+      assert(p272.contains("BroadcastHashJoin"), p272)
+    } finally PinScope.drain()
+    // q273: ONE customer scan + the broadcast spend agg; the sorted-
+    // merge nearest-neighbor fill is windows over one global sort —
+    // no treated×control join ever appears
+    val p273 = SparkEntry.queries("q273_propensity_match")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p273).size == 1, p273)
+    assert(!p273.contains("SortMergeJoin") &&
+           !p273.contains("CartesianProduct"), p273)
+    assert("Window".r.findAllIn(p273).size >= 4, p273)
+    // q274: one (user, day) fold into the pinned cell table; the
+    // lattice and both v-lookups ride it via broadcasts — no fact
+    // rescans, no shuffle joins
+    try {
+      val p274 = SparkEntry.queries("q274_shapley_attribution")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p274.contains("FileScan") && !p274.contains("ParquetScan"),
+             "q274 replans the fact scan instead of reading the pin")
+      assert("BroadcastHashJoin".r.findAllIn(p274).size >= 2, p274)
+      assert(!p274.contains("SortMergeJoin"), p274)
+    } finally PinScope.drain()
+  }
 }
