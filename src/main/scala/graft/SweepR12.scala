@@ -52,7 +52,10 @@ object SweepR12 {
       "q267_stream_alert", "q268_stats_artifact", "q269_item_knn",
       "q270_sorted_neighborhood", "q271_diff_in_diff",
       "q272_isotonic_calibration", "q273_propensity_match",
-      "q274_shapley_attribution")
+      "q274_shapley_attribution", "q275_fellegi_sunter",
+      "q276_esd_outliers", "q277_seq_2patterns", "q278_dbscan_grid",
+      "q279_markov_attribution", "q280_zorder_skipping",
+      "q281_stratified_split", "q282_filter_funnel", "q283_embed_drift")
     // mode "x100": sweep against the 100x volume build at /tmp/sf100x
     // (tools/make100x.py defaults) instead of the 10x point — the r11
     // protocol asked at two orders. Remaining args subset the list.

@@ -185,18 +185,22 @@ object CausalOps extends OpModule {
                 coalesce(col("sp"), lit(0L)).as("out"))
       val wPrev = Window.orderBy("score", "key")
         .rowsBetween(Window.unboundedPreceding, -1)
-      val wNext = Window.orderBy("score", "key")
-        .rowsBetween(1, Window.unboundedFollowing)
+      // the "next control" fill is the same running last() over the
+      // REVERSED sort — Spark executes an UNBOUNDED FOLLOWING frame by
+      // rescanning the tail per row (O(n²): a flat ~10 s at every SF in
+      // the r12 sweep), while the running frame is one O(n) pass
+      val wNextRev = Window.orderBy(col("score").desc, col("key").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
       def ctl(c: String) = when(!col("tr"), col(c))
       val filled = u
         .withColumn("ps", last(ctl("score"), ignoreNulls = true)
           .over(wPrev))
         .withColumn("po", last(ctl("out"), ignoreNulls = true)
           .over(wPrev))
-        .withColumn("ns", first(ctl("score"), ignoreNulls = true)
-          .over(wNext))
-        .withColumn("no", first(ctl("out"), ignoreNulls = true)
-          .over(wNext))
+        .withColumn("ns", last(ctl("score"), ignoreNulls = true)
+          .over(wNextRev))
+        .withColumn("no", last(ctl("out"), ignoreNulls = true)
+          .over(wNextRev))
         .where(col("tr"))
       val cal = lit(1000L)
       val matched = filled
@@ -299,6 +303,40 @@ object CausalOps extends OpModule {
         .agg(round(d(sum(col("term"))) /
                    d(max(factorial(col("k")))), 6).as("phi"))
         .orderBy("channel")
+    },
+
+    // Exact stratified train/test split (added r12) — the experiment-
+    // prep step between q226's leakage-safe GROUP split and q240's
+    // class-balance report: per stratum (market segment), EXACTLY
+    // ⌈0.8·n⌉ units go to train (a Bernoulli hash split only hits the
+    // ratio in expectation — a small stratum can land 70/30), chosen
+    // by md5(key) rank so the assignment is deterministic, seedless,
+    // and stable under re-runs/backfills (q67's membership discipline
+    // applied to splitting). ⌈0.8n⌉ = (8n+9) div 10 in exact integers;
+    // the per-stratum train-key checksum makes MEMBERSHIP (not just
+    // counts) hash-checkable against the oracle. One dimension scan,
+    // one stratum-partitioned rank window — at fact scale the window
+    // partitions by stratum (parallel), never global.
+    "q281_stratified_split" -> { (s, dir) =>
+      val wr = Window.partitionBy("seg").orderBy("h", "k")
+      val wn = Window.partitionBy("seg")
+      Tables(s, dir, "customer")
+        .select(col("c_custkey").as("k"),
+                col("c_mktsegment").as("seg"),
+                md5(col("c_custkey").cast("string")).as("h"))
+        .withColumn("rn", row_number().over(wr).cast("long"))
+        .withColumn("ns", count(lit(1)).over(wn))
+        .withColumn("train", col("rn") <= expr("(ns * 8 + 9) div 10"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"),
+             sum(when(col("train"), 1L).otherwise(0L)).as("n_train"),
+             sum(when(!col("train"), 1L).otherwise(0L)).as("n_test"),
+             round(d(sum(when(col("train"), 1L).otherwise(0L))) /
+                   d(count(lit(1))), 6).as("train_frac"),
+             sum(when(col("train"), col("k").cast("decimal(38,0)"))
+               .otherwise(lit(0).cast("decimal(38,0)"))).cast("double")
+               .as("train_key_sum"))
+        .orderBy("seg")
     })
 
   def oracles: Map[String, String] = Map(
@@ -519,5 +557,28 @@ object CausalOps extends OpModule {
         |SELECT channel,
         |  round(CAST(sum(term) AS DOUBLE) /
         |        CAST(max(factorial(CAST(k AS INT))) AS DOUBLE), 6) AS phi
-        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q281_stratified_split" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS seg,
+        |    md5(CAST(c_custkey AS VARCHAR)) AS h
+        |  FROM customer),
+        |r AS (
+        |  SELECT k, seg,
+        |    row_number() OVER (PARTITION BY seg ORDER BY h, k) AS rn,
+        |    count(*) OVER (PARTITION BY seg) AS ns
+        |  FROM c),
+        |m AS (SELECT *, rn <= (ns * 8 + 9) // 10 AS train FROM r)
+        |SELECT seg, count(*) AS n,
+        |  CAST(sum(CASE WHEN train THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_train,
+        |  CAST(sum(CASE WHEN NOT train THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_test,
+        |  round(CAST(sum(CASE WHEN train THEN 1 ELSE 0 END) AS DOUBLE) /
+        |        CAST(count(*) AS DOUBLE), 6) AS train_frac,
+        |  CAST(sum(CASE WHEN train THEN CAST(k AS DECIMAL(38,0))
+        |           ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE)
+        |    AS train_key_sum
+        |FROM m GROUP BY 1 ORDER BY seg""".stripMargin)
 }

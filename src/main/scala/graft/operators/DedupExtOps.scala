@@ -837,6 +837,94 @@ object DedupExtOps extends OpModule {
                  (col("bal2") - col("bal")).as("diff_cents"))
         .orderBy(col("diff_cents"), col("cust_a"), col("cust_b"))
         .limit(30)
+    },
+
+    // Fellegi–Sunter record-linkage scoring (added r12) — the
+    // PROBABILISTIC tier of the matching family: q270's blocking gives
+    // candidate PAIRS, this turns field agreements into calibrated
+    // log-likelihood-ratio match weights (the 1969 model every
+    // production linker — Splink, dedupe.io — still runs). Per field
+    // (nation, segment, $10 balance band): u = P(agree | random pair)
+    // estimated from the field's OWN value distribution (Σ n_v(n_v−1) /
+    // N(N−1) — exact integer folds over an UNPIVOTED one-scan stack,
+    // 3·|values| cells), m = P(agree | match) declared (0.9/0.85/0.8 —
+    // the part a pipeline tunes from labeled pairs); agreement and
+    // disagreement weights log2(m/u), log2((1−m)/(1−u)) round ONCE at
+    // 6 dp (q220's round-log-once rule), so the per-pattern score is an
+    // exact 3-term decimal sum. Candidates = q270's w=3 sorted
+    // neighborhood (no caliper — the score itself separates); output =
+    // the 2^3-pattern histogram with its weight, the table a linkage
+    // analyst reads to set the match/review/reject thresholds. All
+    // post-blocking work is pattern-bound (≤8 rows) at any scale.
+    "q275_fellegi_sunter" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.orderBy("bal", "k")
+      val c = Tables(s, d, "customer")
+        .select(col("c_custkey").as("k"),
+                round(col("c_acctbal") * 100).cast("long").as("bal"),
+                col("c_nationkey").cast("long").as("nat"),
+                col("c_mktsegment").as("seg"))
+        .withColumn("band", expr("(bal + 100000) div 1000"))
+      // u per field from the value distribution (one unpivoted scan)
+      val uTab = c.select(explode(array(
+          struct(lit("nat").as("f"), col("nat").cast("string").as("v")),
+          struct(lit("seg").as("f"), col("seg").as("v")),
+          struct(lit("band").as("f"), col("band").cast("string").as("v"))))
+          .as("fv"))
+        .select(col("fv.f").as("f"), col("fv.v").as("v"))
+        .groupBy("f", "v").agg(count(lit(1)).as("nv"))
+        .groupBy("f")
+        .agg(sum(col("nv").cast("decimal(38,0)") * (col("nv") - 1))
+               .as("agree"),
+             sum(col("nv").cast("decimal(38,0)")).as("n"))
+        .withColumn("u", col("agree").cast("double") /
+                         (col("n") * (col("n") - 1)).cast("double"))
+        .withColumn("m", when(col("f") === "nat", 0.9)
+                           .when(col("f") === "seg", 0.85)
+                           .otherwise(0.8))
+        .withColumn("wa", round(log2(col("m") / col("u")), 6))
+        .withColumn("wd", round(log2((lit(1.0) - col("m")) /
+                                     (lit(1.0) - col("u"))), 6))
+      def wOf(f: String, c0: String) =
+        max(when(col("f") === f, col(c0))).as(s"${c0}_$f")
+      val weights = uTab.agg(wOf("nat", "wa"), wOf("nat", "wd"),
+                             wOf("seg", "wa"), wOf("seg", "wd"),
+                             wOf("band", "wa"), wOf("band", "wd"))
+      val led = c
+        .withColumn("n1", struct(lead("k", 1).over(w).as("k2"),
+          lead("nat", 1).over(w).as("nat2"),
+          lead("seg", 1).over(w).as("seg2"),
+          lead("band", 1).over(w).as("band2")))
+        .withColumn("n2", struct(lead("k", 2).over(w).as("k2"),
+          lead("nat", 2).over(w).as("nat2"),
+          lead("seg", 2).over(w).as("seg2"),
+          lead("band", 2).over(w).as("band2")))
+        .withColumn("n3", struct(lead("k", 3).over(w).as("k2"),
+          lead("nat", 3).over(w).as("nat2"),
+          lead("seg", 3).over(w).as("seg2"),
+          lead("band", 3).over(w).as("band2")))
+        .withColumn("nb",
+          explode(array(col("n1"), col("n2"), col("n3"))))
+        .where(col("nb.k2").isNotNull)
+        .select((col("nat") === col("nb.nat2")).cast("int").as("a_nat"),
+                (col("seg") === col("nb.seg2")).cast("int").as("a_seg"),
+                (col("band") === col("nb.band2")).cast("int").as("a_band"))
+      led.crossJoin(broadcast(weights))
+        .withColumn("score",
+          (when(col("a_nat") === 1, col("wa_nat"))
+             .otherwise(col("wd_nat")).cast("decimal(18,6)") +
+           when(col("a_seg") === 1, col("wa_seg"))
+             .otherwise(col("wd_seg")).cast("decimal(18,6)") +
+           when(col("a_band") === 1, col("wa_band"))
+             .otherwise(col("wd_band")).cast("decimal(18,6)"))
+            .cast("double"))
+        .withColumn("pattern",
+          concat(col("a_nat").cast("string"), col("a_seg").cast("string"),
+                 col("a_band").cast("string")))
+        .groupBy("pattern")
+        .agg(count(lit(1)).as("n_pairs"),
+             round(max(col("score")), 6).as("score"))
+        .orderBy("pattern")
     }
   )
 
@@ -1498,6 +1586,78 @@ object DedupExtOps extends OpModule {
         |SELECT k AS cust_a, kk AS cust_b, bb - bal AS diff_cents
         |FROM u
         |WHERE kk IS NOT NULL AND bb - bal <= 10
-        |ORDER BY diff_cents, cust_a, cust_b LIMIT 30""".stripMargin
+        |ORDER BY diff_cents, cust_a, cust_b LIMIT 30""".stripMargin,
+
+    "q275_fellegi_sunter" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS k,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+        |    CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+        |    (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 1000
+        |      AS band
+        |  FROM customer),
+        |fv AS (
+        |  SELECT 'nat' AS f, CAST(nat AS VARCHAR) AS v FROM c
+        |  UNION ALL SELECT 'seg', seg FROM c
+        |  UNION ALL SELECT 'band', CAST(band AS VARCHAR) FROM c),
+        |ut AS (
+        |  SELECT f,
+        |    sum(CAST(nv AS DECIMAL(38,0)) * (nv - 1)) AS agree,
+        |    sum(CAST(nv AS DECIMAL(38,0))) AS n
+        |  FROM (SELECT f, v, count(*) AS nv FROM fv GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |uw AS (
+        |  SELECT f,
+        |    CAST(agree AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS u,
+        |    CAST(CASE WHEN f = 'nat' THEN 0.9
+        |              WHEN f = 'seg' THEN 0.85
+        |              ELSE 0.8 END AS DOUBLE) AS m
+        |  FROM ut),
+        |wt AS (
+        |  SELECT f, round(log2(m / u), 6) AS wa,
+        |    round(log2((1 - m) / (1 - u)), 6) AS wd
+        |  FROM uw),
+        |wp AS (
+        |  SELECT
+        |    max(CASE WHEN f = 'nat' THEN wa END) AS wa_nat,
+        |    max(CASE WHEN f = 'nat' THEN wd END) AS wd_nat,
+        |    max(CASE WHEN f = 'seg' THEN wa END) AS wa_seg,
+        |    max(CASE WHEN f = 'seg' THEN wd END) AS wd_seg,
+        |    max(CASE WHEN f = 'band' THEN wa END) AS wa_band,
+        |    max(CASE WHEN f = 'band' THEN wd END) AS wd_band
+        |  FROM wt),
+        |led AS (
+        |  SELECT k, nat, seg, band,
+        |    lead(k, 1) OVER w AS k1, lead(nat, 1) OVER w AS nat1,
+        |    lead(seg, 1) OVER w AS seg1, lead(band, 1) OVER w AS band1,
+        |    lead(k, 2) OVER w AS k2, lead(nat, 2) OVER w AS nat2,
+        |    lead(seg, 2) OVER w AS seg2, lead(band, 2) OVER w AS band2,
+        |    lead(k, 3) OVER w AS k3, lead(nat, 3) OVER w AS nat3,
+        |    lead(seg, 3) OVER w AS seg3, lead(band, 3) OVER w AS band3
+        |  FROM c WINDOW w AS (ORDER BY bal, k)),
+        |pr AS (
+        |  SELECT k1 AS kk, nat1 AS nat2_, seg1 AS seg2_, band1 AS band2_,
+        |         nat, seg, band FROM led
+        |  UNION ALL SELECT k2, nat2, seg2, band2, nat, seg, band FROM led
+        |  UNION ALL SELECT k3, nat3, seg3, band3, nat, seg, band
+        |  FROM led),
+        |ag AS (
+        |  SELECT CASE WHEN nat = nat2_ THEN 1 ELSE 0 END AS a_nat,
+        |         CASE WHEN seg = seg2_ THEN 1 ELSE 0 END AS a_seg,
+        |         CASE WHEN band = band2_ THEN 1 ELSE 0 END AS a_band
+        |  FROM pr WHERE kk IS NOT NULL),
+        |sc AS (
+        |  SELECT a_nat, a_seg, a_band,
+        |    CAST(CAST(CASE WHEN a_nat = 1 THEN wa_nat ELSE wd_nat END
+        |              AS DECIMAL(18,6)) +
+        |         CAST(CASE WHEN a_seg = 1 THEN wa_seg ELSE wd_seg END
+        |              AS DECIMAL(18,6)) +
+        |         CAST(CASE WHEN a_band = 1 THEN wa_band ELSE wd_band END
+        |              AS DECIMAL(18,6)) AS DOUBLE) AS score
+        |  FROM ag, wp)
+        |SELECT CAST(a_nat AS VARCHAR) || CAST(a_seg AS VARCHAR) ||
+        |       CAST(a_band AS VARCHAR) AS pattern,
+        |  count(*) AS n_pairs, round(max(score), 6) AS score
+        |FROM sc GROUP BY 1 ORDER BY pattern""".stripMargin
   )
 }

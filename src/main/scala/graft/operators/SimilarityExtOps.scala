@@ -853,6 +853,111 @@ object SimilarityExtOps extends OpModule {
                     row_number().over(w).cast("long").as("rk"))
         .where(col("rk") <= BatchK)
         .orderBy("qid", "rk")
+    },
+
+    // Grid-density clustering / DBSCAN-lite (added r12) — the DENSITY
+    // member of the clustering family next to the centroid pair
+    // (q125/q222 k-means) and the similarity-graph components (q82):
+    // clusters of arbitrary shape, no preset k, noise set aside. The
+    // classic grid reduction makes it relational AND scale-free: quantize
+    // the first two embedding dims to a 0.05 grid (round(x·1e6) integer
+    // µ-units — float→double is exact, so cell membership is
+    // engine-identical), fold points to per-cell counts (the ONLY
+    // volume-bound step, one shuffle), core cells = count ≥ 3, connect
+    // 8-adjacent core cells with the q82 min-label fixpoint, report
+    // per-cluster cell/point totals plus the noise remainder (-1).
+    // Everything past the fold is GRID-bounded (≤ (4/0.05)² = 6400
+    // cells, pinned) no matter the corpus: adjacency via an exploded
+    // 8-offset broadcast join, never cell×cell; the oracle re-derives
+    // the components with a recursive-CTE reachability (q82's
+    // discipline — two independent algorithms, one table).
+    "q278_dbscan_grid" -> { (s, dir) =>
+      val minPts = 3
+      val pts = Tables(s, dir, "embeddings")
+        .select(expr("(cast(round(cast(element_at(embedding, 1) as double) * 1000000) as bigint) + 2000000) div 50000").as("cx"),
+                expr("(cast(round(cast(element_at(embedding, 2) as double) * 1000000) as bigint) + 2000000) div 50000").as("cy"))
+      val (cells, h) = pin(pts.groupBy("cx", "cy")
+        .agg(count(lit(1)).as("n")))
+      h.count(); graft.PinScope.retain(h)
+      val core = cells.where(col("n") >= minPts)
+        .withColumn("cid", col("cx") * 100000L + col("cy"))
+      val offs = for (dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0)
+        yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
+      val probes = core.select(col("cid"), col("cx"), col("cy"),
+          explode(array(offs: _*)).as("o"))
+        .select(col("cid").as("id_a"),
+                (col("cx") + col("o.dx")).as("nx"),
+                (col("cy") + col("o.dy")).as("ny"))
+      val edges = probes.join(
+          broadcast(core.select(col("cid").as("id_b"),
+                                col("cx").as("nx"), col("cy").as("ny"))),
+          Seq("nx", "ny"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      val comp = DedupExtOps.connectedComponents(edges) // (id, lbl)
+      val labeled = core.join(broadcast(comp),
+          col("cid") === col("id"), "left")
+        .withColumn("cluster_id", coalesce(col("lbl"), col("cid")))
+      val clustered = labeled.groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_cells"),
+             sum(col("n")).cast("long").as("n_points"))
+      val noise = cells.where(col("n") < minPts)
+        .agg(lit(-1L).as("cluster_id"), count(lit(1)).as("n_cells"),
+             coalesce(sum(col("n")), lit(0L)).cast("long").as("n_points"))
+      clustered.unionAll(noise)
+        .orderBy(col("n_points").desc, col("cluster_id"))
+    },
+
+    // Embedding-space source drift (added r12) — the SEMANTIC tier of
+    // the per-source DQ family: q211 measures each ingest source's
+    // duplicate rate and q262 its lexical mirroring; this measures
+    // whether a source's EMBEDDING DISTRIBUTION sits apart from the
+    // corpus (a crawl gone off-domain shows up here before any lexical
+    // signal). Per source: centroid cosine to the global centroid and
+    // within-source dispersion — both from ONE pass, because E‖x−c‖² =
+    // E‖x‖²−‖c‖² and cosine(c_s, c_g) cancels the 1/n factors, so
+    // everything derives from per-(source, dim) integer sums: vectors
+    // quantize to 1e-6 BIGINTs (q125's fixed-point discipline,
+    // float→double exact), posexplode folds to a |sources|×64 cell
+    // table (map-side combine; the ONLY volume-bound step), and all
+    // norms/dots are exact decimal folds over the PINNED cells with
+    // one double divide-sqrt chain per output, 6 dp. doc_id ≡ vec_id
+    // joins source in (q45's rule, broadcast dim projection).
+    "q283_embed_drift" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+      val cellsRaw = Tables(s, dir, "embeddings")
+        .join(docs, col("vec_id") === col("doc_id"))
+        .select(col("source"), expr(
+          "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))")
+          .as("q"))
+        .select(col("source"), posexplode(col("q")).as(Seq("dim", "v")))
+        .groupBy("source", "dim")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"),
+             sum(col("v").cast("decimal(38,0)") * col("v")).as("svv"))
+      val (cells, h) = pin(cellsRaw)
+      h.count(); graft.PinScope.retain(h)
+      val gl = cells.groupBy("dim")
+        .agg(sum(col("sv").cast("decimal(38,0)")).as("gv"))
+      val gn = gl.agg(sum(col("gv") * col("gv")).as("gn"))
+      val per = cells.join(broadcast(gl), Seq("dim"))
+        .groupBy("source")
+        .agg(max("n").as("n_docs"),
+             sum(col("sv").cast("decimal(38,0)") * col("sv")).as("ns"),
+             sum(col("sv").cast("decimal(38,0)") * col("gv")).as("dot"),
+             sum(col("svv")).as("ssq"))
+      per.crossJoin(broadcast(gn))
+        .select(col("source"), col("n_docs"),
+          round(col("dot").cast("double") /
+                (sqrt(col("ns").cast("double")) *
+                 sqrt(col("gn").cast("double"))), 6).as("cos_to_global"),
+          round((col("ssq").cast("double") /
+                   col("n_docs").cast("double") -
+                 col("ns").cast("double") /
+                   (col("n_docs").cast("double") *
+                    col("n_docs").cast("double"))) / 1.0e12, 6)
+            .as("dispersion"))
+        .orderBy("source")
     }
   )
 
@@ -1406,6 +1511,80 @@ object SimilarityExtOps extends OpModule {
          |  SELECT *, row_number() OVER (PARTITION BY qid
          |             ORDER BY rrf DESC, doc_id) AS rk
          |  FROM u)
-         |WHERE rk <= $BatchK ORDER BY qid, rk""".stripMargin)
+         |WHERE rk <= $BatchK ORDER BY qid, rk""".stripMargin,
+
+    // independent re-derivation: same grid quantization, components by
+    // recursive-CTE reachability over the 8-adjacency (q82's oracle
+    // discipline for iterative fixpoints)
+    "q278_dbscan_grid" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT (CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000)
+        |               AS BIGINT) + 2000000) // 50000 AS cx,
+        |         (CAST(round(CAST(embedding[2] AS DOUBLE) * 1000000)
+        |               AS BIGINT) + 2000000) // 50000 AS cy
+        |  FROM embeddings),
+        |cells AS (SELECT cx, cy, count(*) AS n FROM pts GROUP BY 1, 2),
+        |core AS (SELECT cx * 100000 + cy AS cid, cx, cy, n
+        |         FROM cells WHERE n >= 3),
+        |edges AS (
+        |  SELECT a.cid AS u, b.cid AS v FROM core a JOIN core b
+        |    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+        |   AND a.cid <> b.cid),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |lbl AS (SELECT u AS cid, least(u, min(v)) AS cluster_id
+        |        FROM reach GROUP BY u),
+        |labeled AS (
+        |  SELECT c.cid, c.n, COALESCE(l.cluster_id, c.cid) AS cluster_id
+        |  FROM core c LEFT JOIN lbl l ON c.cid = l.cid),
+        |cl AS (
+        |  SELECT cluster_id, count(*) AS n_cells,
+        |    CAST(sum(n) AS BIGINT) AS n_points
+        |  FROM labeled GROUP BY 1),
+        |noise AS (
+        |  SELECT CAST(-1 AS BIGINT) AS cluster_id, count(*) AS n_cells,
+        |    CAST(COALESCE(sum(n), 0) AS BIGINT) AS n_points
+        |  FROM cells WHERE n < 3)
+        |SELECT * FROM cl UNION ALL SELECT * FROM noise
+        |ORDER BY n_points DESC, cluster_id""".stripMargin,
+
+    // same fixed-point cell algebra, HUGEINT folds in place of decimal
+    "q283_embed_drift" ->
+      """WITH e AS (
+        |  SELECT d.source,
+        |    list_transform(v.embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+        |      AS q
+        |  FROM embeddings v JOIN documents d ON v.vec_id = d.doc_id),
+        |x AS (
+        |  SELECT source, unnest(q) AS v,
+        |    unnest(range(1, len(q) + 1)) AS dim
+        |  FROM e),
+        |cells AS (
+        |  SELECT source, dim, count(*) AS n, sum(v) AS sv,
+        |    sum(CAST(v AS HUGEINT) * v) AS svv
+        |  FROM x GROUP BY 1, 2),
+        |gl AS (
+        |  SELECT dim, sum(CAST(sv AS HUGEINT)) AS gv
+        |  FROM cells GROUP BY 1),
+        |gn AS (SELECT sum(gv * gv) AS gn FROM gl),
+        |per AS (
+        |  SELECT c.source, max(c.n) AS n_docs,
+        |    sum(CAST(c.sv AS HUGEINT) * c.sv) AS ns,
+        |    sum(CAST(c.sv AS HUGEINT) * g.gv) AS dot,
+        |    sum(svv) AS ssq
+        |  FROM cells c JOIN gl g ON c.dim = g.dim
+        |  GROUP BY 1)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  round(CAST(dot AS DOUBLE) /
+        |        (sqrt(CAST(ns AS DOUBLE)) * sqrt(CAST(gn AS DOUBLE))),
+        |        6) AS cos_to_global,
+        |  round((CAST(ssq AS DOUBLE) / CAST(n_docs AS DOUBLE) -
+        |         CAST(ns AS DOUBLE) /
+        |         (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))) /
+        |        1.0e12, 6) AS dispersion
+        |FROM per, gn ORDER BY source""".stripMargin)
   }
 }

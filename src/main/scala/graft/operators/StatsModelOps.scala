@@ -2104,6 +2104,145 @@ object StatsModelOps extends OpModule {
                 col("cij").as("support"), col("cosine"),
                 col("rn").as("rank"))
         .orderBy("brand", "rank")
+    },
+
+    // Generalized-ESD iterative outlier screen (added r12) — the
+    // MASKING-robust tier above q148's MAD flags: one extreme day can
+    // inflate the variance enough to hide a second (masking), so ESD
+    // removes the most extreme point and RE-ESTIMATES before testing
+    // the next. Three unrolled rounds over the pinned daily-revenue
+    // cell table (calendar-bounded, q139's discipline): each round's
+    // argmax |x−mean| is the EXACT integer comparison |x·n − Σx|
+    // (same ordering, no division — engine-identical; ties take the
+    // earlier day, declared), the removal is an anti-join against the
+    // 1-row pick, and mean/sd re-derive from exact decimal folds with
+    // the R statistic's divide-and-sqrt happening once per round.
+    // Flag = R > 3.0 (the fixed-z form; the t-quantile lambda needs an
+    // inverse-t a SQL oracle lacks — declared). Rounds are plan-
+    // unrolled (no driver loop state), everything after the one orders
+    // fold is ≤3 broadcast-sized subtrees at any corpus size.
+    "q276_esd_outliers" -> { (s, dir) =>
+      val (cells, h) = pin(Tables(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+               .as("x")))
+      h.count(); graft.PinScope.retain(h)
+      def esdRound(remaining: DataFrame, r: Int): (DataFrame, DataFrame) = {
+        val agg = remaining.agg(
+          count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+        val pick = remaining.crossJoin(broadcast(agg))
+          .withColumn("dev", abs(col("x").cast("decimal(38,0)") *
+                                 col("n") - col("sx")))
+          .orderBy(col("dev").desc, col("day").asc)
+          .limit(1)
+          .select(lit(r).as("esd_round"), col("day"), col("x"),
+            round((col("dev").cast("double") / d(col("n"))) /
+                  sqrt(d(col("n") * col("sxx") - col("sx") * col("sx")) /
+                       d(col("n") * (col("n") - 1))), 6).as("r_stat"))
+        val next = remaining.join(broadcast(pick.select(col("day")
+            .as("rm_day"))), col("day") === col("rm_day"), "left_anti")
+        (pick, next)
+      }
+      val (p1, c2) = esdRound(cells, 1)
+      val (p2, c3) = esdRound(c2, 2)
+      val (p3, _) = esdRound(c3, 3)
+      p1.unionAll(p2).unionAll(p3)
+        .select(col("esd_round"), col("day"),
+                round(d(col("x")) / 100.0, 6).as("revenue"),
+                col("r_stat"), (col("r_stat") > 3.0).as("flagged"))
+        .orderBy("esd_round")
+    },
+
+    // Markov removal-effect attribution (added r12) — the THIRD
+    // counterfactual pillar next to q274's Shapley and the heuristic
+    // pair (q183/q257): model the (user, day) journey as a first-order
+    // Markov chain (q130's matrix with START/CONV/NULL absorbing
+    // states), then credit each channel by how much the chain's
+    // conversion probability DROPS when that channel is removed
+    // (removed state's inbound transitions divert to NULL — the
+    // standard removal counterfactual). Absorption probabilities come
+    // from 12 value-iteration steps in ×1e9 integer FIXED-POINT
+    // (q115's arithmetic discipline: exact products, one integer
+    // division per state per step — bit-identical in both engines, so
+    // an iterative linear-system solve becomes hash-checkable;
+    // truncation after 12 steps is the declared contract, monotone
+    // from below). ONE (user, day) shuffle builds the ≤(|types|+2)²
+    // matrix (pinned); the solve itself runs on the driver (see the
+    // in-body note). The oracle re-derives everything with 12
+    // generated CTEs over variant-keyed removal matrices.
+    "q279_markov_attribution" -> { (s, dir) =>
+      import s.implicits._
+      val Scale = 1000000000L
+      val units = Tables(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+                col("ts"), col("event_id"), col("event_type"))
+        .groupBy("user_id", "day")
+        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+               col("event_type").as("et")))).as("es"),
+             max(when(col("event_type") === "purchase", 1).otherwise(0))
+               .as("conv"))
+        .withColumn("path",
+          expr("filter(transform(es, e -> e.et), t -> t != 'purchase')"))
+        .withColumn("endState",
+          when(col("conv") === 1, "CONV").otherwise("NULL"))
+      val (m, h) = pin(units.select(explode(expr(
+          """concat(
+            |  array(named_struct('f', 'START',
+            |    't', coalesce(try_element_at(path, 1), endState))),
+            |  zip_with(slice(path, 1, greatest(size(path) - 1, 0)),
+            |           slice(path, 2, greatest(size(path) - 1, 0)),
+            |           (a, b) -> named_struct('f', a, 't', b)),
+            |  filter(array(named_struct('f', try_element_at(path, -1),
+            |                            't', endState)),
+            |         x -> x.f IS NOT NULL))""".stripMargin)).as("tr"))
+        .groupBy(col("tr.f").as("f"), col("tr.t").as("t"))
+        .agg(count(lit(1)).as("cnt")))
+      h.count(); graft.PinScope.retain(h)
+      // The ≤(|types|+2)² matrix is an AGGREGATE smaller than the
+      // output — collect it once from the pin and run the 12-step
+      // value iteration as driver arithmetic (BigInt — the identical
+      // ×1e9 fixed-point the oracle's unrolled CTEs compute). The
+      // r12 sweep measured the fully-relational formulation at a flat
+      // ~10 s: 12 steps × 5 variants of broadcast-join-agg over ≤49
+      // rows is pure stage overhead, not distributed work. The one
+      // genuinely distributed term — the fact fold — is unchanged;
+      // this is the q55 driver-fold contract applied to a solved
+      // linear system, not a .collect() of data rows.
+      val rows = m.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2)))
+      val channels = rows.map(_._1).filter(_ != "START").distinct.sorted
+      val tot = rows.groupBy(_._1).map { case (f, g) =>
+        f -> g.map(_._3).sum }
+      def absorb(rm: String): BigInt = {
+        val mm = rows.filter(_._1 != rm)
+          .map { case (f, t, c) => ((f, if (t == rm) "NULL" else t), c) }
+          .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+        val byF = mm.toSeq.groupBy(_._1._1)
+        var v = Map("CONV" -> BigInt(Scale), "NULL" -> BigInt(0))
+        for (_ <- 1 to 12) {
+          val nv = byF.map { case (f, es) =>
+            f -> es.map { case ((_, t), c) =>
+              BigInt(c) * v.getOrElse(t, BigInt(0)) }.sum / tot(f)
+          }
+          v = nv ++ Map("CONV" -> BigInt(Scale), "NULL" -> BigInt(0))
+        }
+        v("START")
+      }
+      val p0 = absorb("none")
+      val drops = channels.map(c => (c, p0 - absorb(c)))
+      val dtot = drops.map(_._2).sum
+      drops.map { case (c, dr) =>
+        (c, p0.toLong, (p0 - dr).toLong, dr.toLong, dtot.toLong) }
+        .toSeq.toDF("channel", "p0", "pc", "drop", "dtot")
+        .select(col("channel"),
+                round(d(col("p0")) / Scale.toDouble, 6).as("p_full"),
+                round(d(col("pc")) / Scale.toDouble, 6).as("p_removed"),
+                round(d(col("drop")) / d(col("p0")), 6)
+                  .as("removal_effect"),
+                round(d(col("drop")) / d(col("dtot")), 6).as("share"))
+        .orderBy("channel")
     }
   )
 
@@ -3462,6 +3601,142 @@ object StatsModelOps extends OpModule {
         |  FROM sc)
         |SELECT b AS brand, nb AS neighbor, cij AS support, cosine,
         |  CAST(rn AS INTEGER) AS rank
-        |FROM r WHERE rn <= 3 ORDER BY brand, rank""".stripMargin
+        |FROM r WHERE rn <= 3 ORDER BY brand, rank""".stripMargin,
+
+    "q276_esd_outliers" ->
+      """WITH cells AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+        |  FROM orders GROUP BY 1),
+        |a1 AS (
+        |  SELECT count(*) AS n, sum(CAST(x AS DECIMAL(38,0))) AS sx,
+        |    sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx
+        |  FROM cells),
+        |p1 AS (
+        |  SELECT day, x, abs(CAST(x AS DECIMAL(38,0)) * n - sx) AS dev,
+        |    n, sx, sxx
+        |  FROM cells, a1 ORDER BY dev DESC, day LIMIT 1),
+        |o1 AS (
+        |  SELECT 1 AS esd_round, day, x,
+        |    round((CAST(dev AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |          sqrt(CAST(n * sxx - sx * sx AS DOUBLE) /
+        |               CAST(n * (n - 1) AS DOUBLE)), 6) AS r_stat
+        |  FROM p1),
+        |c2 AS (SELECT * FROM cells
+        |       WHERE day NOT IN (SELECT day FROM p1)),
+        |a2 AS (
+        |  SELECT count(*) AS n, sum(CAST(x AS DECIMAL(38,0))) AS sx,
+        |    sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx
+        |  FROM c2),
+        |p2 AS (
+        |  SELECT day, x, abs(CAST(x AS DECIMAL(38,0)) * n - sx) AS dev,
+        |    n, sx, sxx
+        |  FROM c2, a2 ORDER BY dev DESC, day LIMIT 1),
+        |o2 AS (
+        |  SELECT 2 AS esd_round, day, x,
+        |    round((CAST(dev AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |          sqrt(CAST(n * sxx - sx * sx AS DOUBLE) /
+        |               CAST(n * (n - 1) AS DOUBLE)), 6) AS r_stat
+        |  FROM p2),
+        |c3 AS (SELECT * FROM c2
+        |       WHERE day NOT IN (SELECT day FROM p2)),
+        |a3 AS (
+        |  SELECT count(*) AS n, sum(CAST(x AS DECIMAL(38,0))) AS sx,
+        |    sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx
+        |  FROM c3),
+        |p3 AS (
+        |  SELECT day, x, abs(CAST(x AS DECIMAL(38,0)) * n - sx) AS dev,
+        |    n, sx, sxx
+        |  FROM c3, a3 ORDER BY dev DESC, day LIMIT 1),
+        |o3 AS (
+        |  SELECT 3 AS esd_round, day, x,
+        |    round((CAST(dev AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |          sqrt(CAST(n * sxx - sx * sx AS DOUBLE) /
+        |               CAST(n * (n - 1) AS DOUBLE)), 6) AS r_stat
+        |  FROM p3),
+        |u AS (SELECT * FROM o1 UNION ALL SELECT * FROM o2
+        |      UNION ALL SELECT * FROM o3)
+        |SELECT esd_round, day,
+        |  round(CAST(x AS DOUBLE) / 100.0, 6) AS revenue,
+        |  r_stat, r_stat > 3.0 AS flagged
+        |FROM u ORDER BY esd_round""".stripMargin,
+
+    // 12 unrolled value-iteration CTEs over the variant-keyed removal
+    // matrices — the same ×1e9 fixed-point arithmetic, independently
+    // re-derived (q115's unrolled-rounds oracle discipline)
+    "q279_markov_attribution" -> {
+      val steps = (1 to 12).map { i =>
+        s"""v$i AS (
+           |  SELECT m.rm, m.f AS st,
+           |    CAST(CAST(sum(CAST(m.cnt AS DECIMAL(38,0)) *
+           |              COALESCE(p.value, 0)) AS HUGEINT) // m.tot
+           |         AS BIGINT) AS value
+           |  FROM mv m LEFT JOIN v${i - 1} p
+           |    ON m.rm = p.rm AND m.t2 = p.st
+           |  GROUP BY m.rm, m.f, m.tot
+           |  UNION ALL SELECT * FROM v0)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH sq AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+         |    event_type
+         |  FROM events),
+         |un AS (
+         |  SELECT user_id, day,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS conv
+         |  FROM sq GROUP BY 1, 2),
+         |np AS (
+         |  SELECT s.user_id, s.day, s.event_type,
+         |    CASE WHEN u.conv = 1 THEN 'CONV' ELSE 'NULL' END
+         |      AS endState,
+         |    row_number() OVER w AS rn,
+         |    lead(s.event_type) OVER w AS nxt
+         |  FROM sq s JOIN un u
+         |    ON s.user_id = u.user_id AND s.day = u.day
+         |  WHERE s.event_type <> 'purchase'
+         |  WINDOW w AS (PARTITION BY s.user_id, s.day
+         |               ORDER BY s.ts, s.event_id)),
+         |trans AS (
+         |  SELECT 'START' AS f, event_type AS t FROM np WHERE rn = 1
+         |  UNION ALL
+         |  SELECT event_type, COALESCE(nxt, endState) FROM np
+         |  UNION ALL
+         |  SELECT 'START', CASE WHEN u.conv = 1 THEN 'CONV'
+         |                       ELSE 'NULL' END
+         |  FROM un u WHERE NOT EXISTS (
+         |    SELECT 1 FROM np
+         |    WHERE np.user_id = u.user_id AND np.day = u.day)),
+         |m0 AS (SELECT f, t, count(*) AS cnt FROM trans GROUP BY 1, 2),
+         |chan AS (SELECT DISTINCT f FROM m0 WHERE f <> 'START'),
+         |var_ AS (SELECT f AS rm FROM chan UNION ALL SELECT 'none'),
+         |tot AS (SELECT f, sum(cnt) AS tot FROM m0 GROUP BY 1),
+         |mv AS (
+         |  SELECT x.rm, x.f, x.t2, x.cnt, t.tot
+         |  FROM (SELECT v.rm, m.f,
+         |          CASE WHEN m.t = v.rm THEN 'NULL' ELSE m.t END AS t2,
+         |          sum(m.cnt) AS cnt
+         |        FROM m0 m, var_ v WHERE m.f <> v.rm
+         |        GROUP BY 1, 2, 3) x
+         |  JOIN tot t ON x.f = t.f),
+         |v0 AS (
+         |  SELECT rm, 'CONV' AS st, CAST(1000000000 AS BIGINT) AS value
+         |  FROM var_
+         |  UNION ALL SELECT rm, 'NULL', 0 FROM var_),
+         |$steps,
+         |ps AS (SELECT rm, value FROM v12 WHERE st = 'START'),
+         |pf AS (SELECT value AS p0 FROM ps WHERE rm = 'none'),
+         |re AS (
+         |  SELECT rm, value, p0, p0 - value AS drop_
+         |  FROM ps, pf WHERE rm <> 'none'),
+         |rt AS (SELECT sum(drop_) AS dtot FROM re)
+         |SELECT rm AS channel,
+         |  round(CAST(p0 AS DOUBLE) / 1000000000.0, 6) AS p_full,
+         |  round(CAST(value AS DOUBLE) / 1000000000.0, 6) AS p_removed,
+         |  round(CAST(drop_ AS DOUBLE) / CAST(p0 AS DOUBLE), 6)
+         |    AS removal_effect,
+         |  round(CAST(drop_ AS DOUBLE) / CAST(dtot AS DOUBLE), 6)
+         |    AS share
+         |FROM re, rt ORDER BY channel""".stripMargin
+    }
   )
 }

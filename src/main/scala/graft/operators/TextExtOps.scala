@@ -974,6 +974,70 @@ object TextExtOps extends OpModule {
              round(dd(sum("share")) / dd(count(lit(1))), 6)
                .as("avg_template_share"))
         .orderBy("source")
+    },
+
+    // Cleaning-funnel yield report (added r12) — the data-cleaning
+    // analog of q113's event funnel, and the table every pretraining
+    // pipeline publishes next to its q212 data card: per filter stage
+    // (length bounds → quality score ≥ 0.5 → distinct-token diversity
+    // ≥ 0.3 → alpha ratio ≥ 0.55, applied in declared order), how many
+    // docs pass that filter ALONE (is the filter pulling its weight?),
+    // how many survive CUMULATIVELY, the docs dropped at exactly this
+    // stage (attribution of loss), and the surviving whitespace-token
+    // budget — the number the mixture plan (q85/q212) actually
+    // consumes. ONE documents scan computes all four boolean flags and
+    // token counts as map-side projections (shared qualityScore
+    // helper, SQL-twin oracled); the funnel itself is a 4-row unpivot
+    // of the single 1-row aggregate. Yields divide exact counts once,
+    // 6 dp.
+    "q282_filter_funnel" -> { (s, d) =>
+      def dd(c: Column) = c.cast("double")
+      val toks = split(col("text"), " ")
+      val flagged = Tables(s, d, "documents")
+        .select(col("n_chars"), col("text"),
+                size(toks).cast("long").as("wtoks"),
+                (col("n_chars") >= 50 && col("n_chars") <= 5000)
+                  .as("f1"),
+                (qualityScore >= 0.5).as("f2"),
+                (round(dd(size(array_distinct(toks))) / dd(size(toks)),
+                       6) >= 0.3).as("f3"),
+                (round(dd(length(regexp_replace(col("text"), "[^a-z]",
+                                                ""))) /
+                       dd(length(col("text"))), 6) >= 0.55).as("f4"))
+        .select(col("wtoks"), col("f1"), col("f2"), col("f3"), col("f4"),
+                col("f1").as("c1"),
+                (col("f1") && col("f2")).as("c2"),
+                (col("f1") && col("f2") && col("f3")).as("c3"),
+                (col("f1") && col("f2") && col("f3") && col("f4"))
+                  .as("c4"))
+      val agg = flagged.agg(
+        count(lit(1)).as("total"),
+        sum(col("wtoks")).as("total_toks"),
+        sum(when(col("f1"), 1L).otherwise(0L)).as("a1"),
+        sum(when(col("f2"), 1L).otherwise(0L)).as("a2"),
+        sum(when(col("f3"), 1L).otherwise(0L)).as("a3"),
+        sum(when(col("f4"), 1L).otherwise(0L)).as("a4"),
+        sum(when(col("c1"), 1L).otherwise(0L)).as("k1"),
+        sum(when(col("c2"), 1L).otherwise(0L)).as("k2"),
+        sum(when(col("c3"), 1L).otherwise(0L)).as("k3"),
+        sum(when(col("c4"), 1L).otherwise(0L)).as("k4"),
+        sum(when(col("c1"), col("wtoks")).otherwise(0L)).as("t1"),
+        sum(when(col("c2"), col("wtoks")).otherwise(0L)).as("t2"),
+        sum(when(col("c3"), col("wtoks")).otherwise(0L)).as("t3"),
+        sum(when(col("c4"), col("wtoks")).otherwise(0L)).as("t4"))
+      agg.select(expr(
+          """stack(4,
+            |  1, 'length_50_5000', a1, k1, total - k1, t1,
+            |  2, 'quality_ge_05',  a2, k2, k1 - k2, t2,
+            |  3, 'diversity_ge_03', a3, k3, k2 - k3, t3,
+            |  4, 'alpha_ge_055',   a4, k4, k3 - k4, t4)
+            |  AS (stage, filter_name, pass_alone, pass_cum, dropped_here,
+            |      tokens_cum)""".stripMargin),
+          col("total"))
+        .withColumn("yield_cum",
+          round(dd(col("pass_cum")) / dd(col("total")), 6))
+        .drop("total")
+        .orderBy("stage")
     }
   )
 
@@ -1614,7 +1678,61 @@ object TextExtOps extends OpModule {
           |  CAST(sum(tgrams) AS BIGINT) AS template_hits,
           |  round(CAST(sum(share) AS DOUBLE) /
           |        CAST(count(*) AS DOUBLE), 6) AS avg_template_share
-          |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin
+          |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q282_filter_funnel" ->
+        s"""WITH f AS (
+           |  SELECT
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS wtoks,
+           |    n_chars >= 50 AND n_chars <= 5000 AS f1,
+           |    ($qualityScoreSql) >= 0.5 AS f2,
+           |    round(CAST(len(list_distinct(string_split(text, ' ')))
+           |               AS DOUBLE) /
+           |          CAST(len(string_split(text, ' ')) AS DOUBLE), 6)
+           |      >= 0.3 AS f3,
+           |    round(CAST(len(regexp_replace(text, '[^a-z]', '', 'g'))
+           |               AS DOUBLE) /
+           |          CAST(len(text) AS DOUBLE), 6) >= 0.55 AS f4
+           |  FROM documents),
+           |c AS (
+           |  SELECT wtoks, f1, f2, f3, f4, f1 AS c1,
+           |    f1 AND f2 AS c2, f1 AND f2 AND f3 AS c3,
+           |    f1 AND f2 AND f3 AND f4 AS c4
+           |  FROM f),
+           |a AS (
+           |  SELECT count(*) AS total,
+           |    CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+           |    CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS a2,
+           |    CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS a3,
+           |    CAST(sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS a4,
+           |    CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+           |    CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+           |    CAST(sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS k3,
+           |    CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS k4,
+           |    CAST(sum(CASE WHEN c1 THEN wtoks ELSE 0 END) AS BIGINT)
+           |      AS t1,
+           |    CAST(sum(CASE WHEN c2 THEN wtoks ELSE 0 END) AS BIGINT)
+           |      AS t2,
+           |    CAST(sum(CASE WHEN c3 THEN wtoks ELSE 0 END) AS BIGINT)
+           |      AS t3,
+           |    CAST(sum(CASE WHEN c4 THEN wtoks ELSE 0 END) AS BIGINT)
+           |      AS t4
+           |  FROM c),
+           |u AS (
+           |  SELECT 1 AS stage, 'length_50_5000' AS filter_name, a1 AS
+           |    pass_alone, k1 AS pass_cum, total - k1 AS dropped_here,
+           |    t1 AS tokens_cum, total FROM a
+           |  UNION ALL SELECT 2, 'quality_ge_05', a2, k2, k1 - k2, t2,
+           |    total FROM a
+           |  UNION ALL SELECT 3, 'diversity_ge_03', a3, k3, k2 - k3, t3,
+           |    total FROM a
+           |  UNION ALL SELECT 4, 'alpha_ge_055', a4, k4, k3 - k4, t4,
+           |    total FROM a)
+           |SELECT stage, filter_name, pass_alone, pass_cum, dropped_here,
+           |  tokens_cum,
+           |  round(CAST(pass_cum AS DOUBLE) / CAST(total AS DOUBLE), 6)
+           |    AS yield_cum
+           |FROM u ORDER BY stage""".stripMargin
     )
   }
 }

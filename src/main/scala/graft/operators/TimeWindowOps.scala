@@ -828,6 +828,49 @@ object TimeWindowOps extends OpModule {
                           .cast("decimal(28,6)"))) /
                    dd(count(lit(1))), 6).as("smape"))
         .orderBy("event_type")
+    },
+
+    // Level-1 sequential-pattern support (added r12) — the SUBSEQUENCE
+    // semantics the adjacency pair (q130 transitions, q191 trigrams)
+    // cannot express: "a then b" counts a user if ANY a-occurrence
+    // strictly precedes ANY b-occurrence (the PrefixSpan/GSP support
+    // definition — gaps allowed, each user votes once), which needs
+    // only each user's per-type (min ts, max ts) envelope: a<b
+    // supported ⟺ min_ts(a) < max_ts(b) (for a=b this demands two
+    // occurrences at distinct instants — strict order declared). ONE
+    // (user, type) shuffle folds the stream to ≤|types| envelope rows
+    // per user; the pair expansion is a per-user HOF cross of that
+    // tiny array (|types|²-bounded), and the user-count denominator
+    // rides the SAME pass as a per-user marker pair — no second fact
+    // scan, no distinct-count job. The 26-row pattern table is pinned;
+    // support shares divide exact counts once, 6 dp.
+    "q277_seq_2patterns" -> { (s, dir) =>
+      def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+      def pin(df: DataFrame) = org.apache.spark.sql.graft.InternalPin.pin(df)
+      val ut = Tables(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min("ts").as("mn"), max("ts").as("mx"))
+      val perUser = ut.groupBy("user_id")
+        .agg(collect_list(struct(col("event_type").as("t"),
+                                 col("mn"), col("mx"))).as("arr"))
+      val (pairs, h) = pin(perUser.select(explode(concat(
+          expr("""flatten(transform(arr, x -> transform(arr,
+                 |  y -> struct(x.t AS a, y.t AS b,
+                 |              x.mn < y.mx AS ok))))""".stripMargin),
+          array(struct(lit("~").as("a"), lit("~").as("b"),
+                       lit(true).as("ok"))))).as("p"))
+        .where(col("p.ok"))
+        .groupBy(col("p.a").as("first_type"), col("p.b").as("then_type"))
+        .agg(count(lit(1)).as("support")))
+      h.count(); graft.PinScope.retain(h)
+      val total = pairs.where(col("first_type") === "~")
+        .select(col("support").as("tot"))
+      pairs.where(col("first_type") =!= "~")
+        .crossJoin(broadcast(total))
+        .select(col("first_type"), col("then_type"), col("support"),
+                round(dd(col("support")) / dd(col("tot")), 6)
+                  .as("user_share"))
+        .orderBy("first_type", "then_type")
     }
   )
 
@@ -1416,6 +1459,27 @@ object TimeWindowOps extends OpModule {
         |                             CAST(f AS DOUBLE)), 6)
         |                      AS DECIMAL(28,6))) AS DOUBLE) /
         |        CAST(count(*) AS DOUBLE), 6) AS smape
-        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // plain two-table formulation: per-user per-type envelopes, pair
+    // supported iff min(a) < max(b); denominator = distinct users
+    // (identical to the marker-pair count — every user with an event
+    // contributes exactly one marker)
+    "q277_seq_2patterns" ->
+      """WITH ut AS (
+        |  SELECT user_id, event_type, min(ts) AS mn, max(ts) AS mx
+        |  FROM events GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT a.event_type AS first_type, b.event_type AS then_type
+        |  FROM ut a JOIN ut b
+        |    ON a.user_id = b.user_id AND a.mn < b.mx),
+        |cnt AS (
+        |  SELECT first_type, then_type, count(*) AS support
+        |  FROM pr GROUP BY 1, 2),
+        |tot AS (SELECT count(DISTINCT user_id) AS tot FROM events)
+        |SELECT first_type, then_type, support,
+        |  round(CAST(support AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+        |    AS user_share
+        |FROM cnt, tot ORDER BY 1, 2""".stripMargin
   )
 }

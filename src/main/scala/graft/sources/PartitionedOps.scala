@@ -576,6 +576,112 @@ object PartitionedOps extends OpModule {
         .groupBy("event_type")
         .agg(count(lit(1)).as("cnt"))
         .orderBy("event_type")
+    },
+
+    // Z-order data-skipping attestation (added r12) — q90 measured
+    // that ONE-dimensional sort-key clustering makes row-group min/max
+    // stats skip a date range; this measures what q90's layout CANNOT
+    // do: serve a predicate box over TWO dimensions. The classic
+    // Z-order (Morton) curve interleaves the bits of 8-bit min/max-
+    // normalized ranks of (order day, custkey) — a pure closed-form
+    // integer expression, engine-identical — and the attestation
+    // SIMULATES row groups relationally (512-row groups by position in
+    // each layout, per-group min/max, overlap count against a declared
+    // box: 7 days × 10% of the key space), so the whole comparison is
+    // DuckDB-oracled rather than a parquet-footer side effect. One
+    // orders scan; both layouts' group labels come from two row_number
+    // windows in the SAME pass (two sorts, one scan); at cluster scale
+    // each sort is a range partition and groups are real row groups —
+    // the measured skip ratios transfer directly (linear-by-date scans
+    // every group for a key-selective box; Z-order skips on both dims)
+    "q280_zorder_skipping" -> { (s, d) =>
+      val o = Tables(s, d, "orders")
+        .select(col("o_orderkey").as("key"),
+                datediff(to_date(col("o_orderdate")),
+                         lit("1995-01-01").cast("date")).cast("long")
+                  .as("dd"),
+                col("o_custkey").cast("long").as("ck"))
+      val rng = o.agg(min("dd").as("dmin"), max("dd").as("dmax"),
+                      min("ck").as("cmin"), max("ck").as("cmax"))
+      val zExpr = (0 until 8).map(i =>
+        s"((bx div ${1L << i}) % 2) * ${1L << (2 * i + 1)} + " +
+        s"((by div ${1L << i}) % 2) * ${1L << (2 * i)}")
+        .mkString(" + ")
+      val W = org.apache.spark.sql.expressions.Window
+      def base = o.crossJoin(broadcast(rng))
+        .withColumn("bx", expr("((dd - dmin) * 256) div (dmax - dmin + 1)"))
+        .withColumn("by", expr("((ck - cmin) * 256) div (cmax - cmin + 1)"))
+        .withColumn("z", expr(zExpr))
+        // 256 value-range buckets per sort key: the global rank becomes
+        // bucket offset + within-bucket row_number (q148's no-global-
+        // sort discipline) — the naive `row_number() over (order by …)`
+        // is a SinglePartition sort of the whole fact table, measured
+        // 65 s at the 100× sweep; the bucketed form runs all ranks in
+        // parallel and is EXACTLY the same order (equal sort values
+        // can never straddle a value-range bucket boundary)
+        .withColumn("bdd", expr("((dd - dmin) * 256) div (dmax - dmin + 1)"))
+        .withColumn("bz", expr("(z * 256) div 65536"))
+      // both offset tables come from ONE ≤256²-cell count pass (pinned:
+      // each key's marginal rides the tiny cell table, not a fact scan)
+      val (cells, h) = org.apache.spark.sql.graft.InternalPin.pin(
+        base.groupBy("bdd", "bz").agg(count(lit(1)).as("c")))
+      h.count(); graft.PinScope.retain(h)
+      def offsets(bcol: String, oname: String) = {
+        val wOff = W.orderBy(bcol)
+          .rowsBetween(W.unboundedPreceding, -1)
+        cells.groupBy(bcol).agg(sum("c").as("c"))
+          .select(col(bcol).as(s"o_$bcol"),
+                  coalesce(sum("c").over(wOff), lit(0L)).as(oname))
+      }
+      val b = base
+        .join(broadcast(offsets("bdd", "offd")),
+              col("bdd") === col("o_bdd"))
+        .join(broadcast(offsets("bz", "offz")),
+              col("bz") === col("o_bz"))
+        .withColumn("rg_lin", expr("(offd + row_number() over " +
+          "(partition by bdd order by dd, key) - 1) div 512"))
+        .withColumn("rg_z", expr("(offz + row_number() over " +
+          "(partition by bz order by z, key) - 1) div 512"))
+      val groups = b.select(col("dd"), col("ck"), col("dmin"),
+          col("cmin"), col("cmax"),
+          explode(array(
+            struct(lit("linear_date").as("layout"), col("rg_lin").as("rg")),
+            struct(lit("zorder").as("layout"), col("rg_z").as("rg"))))
+            .as("lr"))
+        .groupBy(col("lr.layout").as("layout"), col("lr.rg").as("rg"))
+        .agg(count(lit(1)).as("rows_in"),
+             min("dd").as("g_dlo"), max("dd").as("g_dhi"),
+             min("ck").as("g_clo"), max("ck").as("g_chi"),
+             min("dmin").as("dmin"), min("cmin").as("cmin"),
+             min("cmax").as("cmax"))
+        // box A: 7 days × 10% of the key space (date-selective —
+        // linear-by-date's home turf); box B: all dates × 1% of the
+        // key space (key-selective — linear cannot skip AT ALL, the
+        // Z-curve still can). The pair is the attestation: a single
+        // sort key serves one box, the space-filling curve serves both.
+        .withColumn("hit_a", col("g_dlo") <= col("dmin") + 1006L &&
+                             col("g_dhi") >= col("dmin") + 1000L &&
+                             col("g_clo") <= col("cmin") +
+                               expr("(cmax - cmin + 1) div 10") &&
+                             col("g_chi") >= col("cmin"))
+        .withColumn("hit_b", col("g_clo") <= col("cmin") +
+                               expr("(cmax - cmin + 1) div 100") &&
+                             col("g_chi") >= col("cmin"))
+      groups.select(col("layout"), col("rg"), col("rows_in"),
+          explode(array(
+            struct(lit("7d_x_10pct_keys").as("box"), col("hit_a").as("hit")),
+            struct(lit("all_dates_x_1pct_keys").as("box"),
+                   col("hit_b").as("hit")))).as("bh"))
+        .groupBy(col("layout"), col("bh.box").as("box"))
+        .agg(count(lit(1)).as("n_groups"),
+             sum(when(col("bh.hit"), 1L).otherwise(0L))
+               .as("groups_scanned"),
+             sum(when(col("bh.hit"), col("rows_in")).otherwise(0L))
+               .as("rows_scanned"))
+        .withColumn("skip_ratio",
+          round(lit(1.0) - col("groups_scanned").cast("double") /
+                           col("n_groups").cast("double"), 6))
+        .orderBy("layout", "box")
     }
   )
 
@@ -648,6 +754,68 @@ object PartitionedOps extends OpModule {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-06-01'
         |  AND l_shipdate < TIMESTAMP '1996-09-01'
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q280_zorder_skipping" -> {
+      val zSql = (0 until 8).map(i =>
+        s"((bx // ${1L << i}) % 2) * ${1L << (2 * i + 1)} + " +
+        s"((by // ${1L << i}) % 2) * ${1L << (2 * i)}")
+        .mkString(" + ")
+      s"""WITH o AS (
+         |  SELECT o_orderkey AS key,
+         |    CAST(datediff('day', DATE '1995-01-01',
+         |                  CAST(o_orderdate AS DATE)) AS BIGINT) AS dd,
+         |    CAST(o_custkey AS BIGINT) AS ck
+         |  FROM orders),
+         |rng AS (
+         |  SELECT min(dd) AS dmin, max(dd) AS dmax,
+         |         min(ck) AS cmin, max(ck) AS cmax
+         |  FROM o),
+         |b AS (
+         |  SELECT key, dd, ck, dmin, cmin, cmax,
+         |    ((dd - dmin) * 256) // (dmax - dmin + 1) AS bx,
+         |    ((ck - cmin) * 256) // (cmax - cmin + 1) AS by
+         |  FROM o, rng),
+         |z AS (SELECT *, $zSql AS zv FROM b),
+         |rgs AS (
+         |  SELECT *,
+         |    (row_number() OVER (ORDER BY dd, key) - 1) // 512 AS rg_lin,
+         |    (row_number() OVER (ORDER BY zv, key) - 1) // 512 AS rg_z
+         |  FROM z),
+         |lr AS (
+         |  SELECT 'linear_date' AS layout, rg_lin AS rg, dd, ck,
+         |         dmin, cmin, cmax FROM rgs
+         |  UNION ALL
+         |  SELECT 'zorder', rg_z, dd, ck, dmin, cmin, cmax FROM rgs),
+         |groups AS (
+         |  SELECT layout, rg, count(*) AS rows_in,
+         |    min(dd) AS g_dlo, max(dd) AS g_dhi,
+         |    min(ck) AS g_clo, max(ck) AS g_chi,
+         |    min(dmin) AS dmin, min(cmin) AS cmin, min(cmax) AS cmax
+         |  FROM lr GROUP BY 1, 2),
+         |h AS (
+         |  SELECT *,
+         |    g_dlo <= dmin + 1006 AND g_dhi >= dmin + 1000 AND
+         |    g_clo <= cmin + (cmax - cmin + 1) // 10 AND g_chi >= cmin
+         |      AS hit_a,
+         |    g_clo <= cmin + (cmax - cmin + 1) // 100 AND g_chi >= cmin
+         |      AS hit_b
+         |  FROM groups),
+         |bh AS (
+         |  SELECT layout, '7d_x_10pct_keys' AS box, rows_in,
+         |         hit_a AS hit FROM h
+         |  UNION ALL
+         |  SELECT layout, 'all_dates_x_1pct_keys', rows_in, hit_b
+         |  FROM h)
+         |SELECT layout, box, count(*) AS n_groups,
+         |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS groups_scanned,
+         |  CAST(sum(CASE WHEN hit THEN rows_in ELSE 0 END) AS BIGINT)
+         |    AS rows_scanned,
+         |  round(1.0 - CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END)
+         |                   AS DOUBLE) /
+         |              CAST(count(*) AS DOUBLE), 6) AS skip_ratio
+         |FROM bh GROUP BY 1, 2 ORDER BY layout, box""".stripMargin
+    }
   )
 }

@@ -2848,4 +2848,333 @@ class CorrectnessSpec extends SparkSpecBase {
     val eff = v(chans.mkString(",")) - v("")
     assert(math.abs(got.map(_._2).sum - eff) < 5e-6 * k)
   }
+
+  test("q275 FS weights and patterns match a brute-force walk") {
+    val c = Tables(spark, sf, "customer")
+      .select(col("c_custkey"), round(col("c_acctbal") * 100)
+        .cast("long"), col("c_nationkey").cast("long"),
+        col("c_mktsegment"))
+      .as[(Long, Long, Long, String)].collect().toSeq
+      .map { case (k, bal, nat, seg) =>
+        (k, bal, nat, seg, (bal + 100000L) / 1000L) }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def uOf[T](vals: Seq[T]): Double = {
+      val n = vals.size.toDouble
+      vals.groupBy(identity).values
+        .map(g => BigInt(g.size) * (g.size - 1)).sum.toDouble /
+        (n * (n - 1))
+    }
+    val ms = Map("nat" -> 0.9, "seg" -> 0.85, "band" -> 0.8)
+    val us = Map("nat" -> uOf(c.map(_._3)), "seg" -> uOf(c.map(_._4)),
+                 "band" -> uOf(c.map(_._5)))
+    def wa(f: String) = r6(math.log(ms(f) / us(f)) / math.log(2.0))
+    def wd(f: String) =
+      r6(math.log((1 - ms(f)) / (1 - us(f))) / math.log(2.0))
+    val sorted = c.sortBy(x => (x._2, x._1))
+    val pats = sorted.zipWithIndex.flatMap { case ((_, _, nat, seg, bd),
+                                                   i) =>
+      (1 to 3).flatMap(w => sorted.lift(i + w).map { n =>
+        ((if (nat == n._3) 1 else 0, if (seg == n._4) 1 else 0,
+          if (bd == n._5) 1 else 0))
+      })
+    }
+    val want = pats.groupBy(identity).toSeq.map { case ((a, b, e), g) =>
+      val score = (BigDecimal(if (a == 1) wa("nat") else wd("nat")) +
+                   BigDecimal(if (b == 1) wa("seg") else wd("seg")) +
+                   BigDecimal(if (e == 1) wa("band") else wd("band")))
+      (s"$a$b$e", g.size.toLong, r6(score.toDouble))
+    }.sortBy(_._1)
+    val got = q("q275_fellegi_sunter")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("q276 ESD rounds match a sequential remove-and-refit walk") {
+    val cells0 = Tables(spark, sf, "orders")
+      .select(to_date(col("o_orderdate")).cast("string"),
+              round(col("o_totalprice") * 100).cast("long"))
+      .as[(String, Long)].collect().toSeq
+      .groupBy(_._1).toSeq.map { case (d, g) => (d, g.map(_._2).sum) }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var rem = cells0
+    val want = (1 to 3).map { r =>
+      val n = rem.size.toLong
+      val sx = rem.map(x => BigInt(x._2)).sum
+      val sxx = rem.map(x => BigInt(x._2) * BigInt(x._2)).sum
+      // argmax dev with earlier-day tie: sort by (-dev, day)
+      val best = rem.map { case (d, x) =>
+        (d, x, (BigInt(x) * BigInt(n) - sx).abs) }
+        .sortBy { case (d, _, dev) => (dev, d) }(
+          Ordering.Tuple2(Ordering[BigInt].reverse, Ordering[String]))
+        .head
+      rem = rem.filterNot(_._1 == best._1)
+      val rstat = (best._3.toDouble / n) /
+        math.sqrt((BigInt(n) * sxx - sx * sx).toDouble /
+                  (n * (n - 1)).toDouble)
+      (r, best._1, r6(best._2.toDouble / 100.0), r6(rstat),
+       r6(rstat) > 3.0)
+    }
+    val got = q("q276_esd_outliers")
+      .select(col("esd_round"), col("day").cast("string"),
+              col("revenue"), col("r_stat"), col("flagged"))
+      .as[(Int, String, Double, Double, Boolean)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("q277 sequential-pair support matches a brute-force walk") {
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_type"),
+              unix_micros(col("ts")))
+      .as[(Long, String, Long)].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byUser = ev.groupBy(_._1)
+    val tot = byUser.size.toDouble
+    val pairs = byUser.values.flatMap { g =>
+      val env = g.groupBy(_._2).map { case (t, rs) =>
+        (t, rs.map(_._3).min, rs.map(_._3).max) }.toSeq
+      for (a <- env; b <- env if a._2 < b._3) yield (a._1, b._1)
+    }.toSeq
+    val want = pairs.groupBy(identity).toSeq.map { case ((a, b), g) =>
+      (a, b, g.size.toLong, r6(g.size / tot)) }.sortBy(p => (p._1, p._2))
+    val got = q("q277_seq_2patterns")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("q278 grid DBSCAN matches a brute-force flood fill") {
+    val pts = Tables(spark, sf, "embeddings")
+      .select(expr("cast(round(cast(element_at(embedding, 1) as double)" +
+                   " * 1000000) as bigint)"),
+              expr("cast(round(cast(element_at(embedding, 2) as double)" +
+                   " * 1000000) as bigint)"))
+      .as[(Long, Long)].collect().toSeq
+      .map { case (x, y) => ((x + 2000000L) / 50000L,
+                             (y + 2000000L) / 50000L) }
+    val cells = pts.groupBy(identity).map { case (c, g) =>
+      c -> g.size.toLong }
+    val core = cells.filter(_._2 >= 3).keySet
+    // flood fill over 8-adjacency
+    val label = scala.collection.mutable.Map[(Long, Long), Long]()
+    for (c <- core.toSeq.sortBy(c => c._1 * 100000L + c._2)
+         if !label.contains(c)) {
+      val id = c._1 * 100000L + c._2
+      var frontier = List(c)
+      while (frontier.nonEmpty) {
+        val cur = frontier.head; frontier = frontier.tail
+        if (!label.contains(cur)) {
+          label(cur) = id
+          for (dx <- -1L to 1L; dy <- -1L to 1L
+               if (dx, dy) != ((0L, 0L))) {
+            val nb = (cur._1 + dx, cur._2 + dy)
+            if (core(nb) && !label.contains(nb)) frontier ::= nb
+          }
+        }
+      }
+    }
+    // flood order can visit a component from a non-minimal seed; remap
+    // each component to its min cell id (the declared cluster id)
+    val byComp = label.toSeq.groupBy(_._2).values.flatMap { g =>
+      val minId = g.map(c => c._1._1 * 100000L + c._1._2).min
+      g.map(c => c._1 -> minId)
+    }.toMap
+    val clusters = byComp.toSeq.groupBy(_._2).toSeq.map { case (id, g) =>
+      (id, g.size.toLong, g.map(c => cells(c._1)).sum) }
+    val noise = cells.filter(_._2 < 3)
+    val want = (clusters :+
+      ((-1L, noise.size.toLong, noise.values.sum)))
+      .sortBy { case (id, _, np) => (-np, id) }
+    val got = q("q278_dbscan_grid")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("q279 Markov attribution matches a brute-force chain walk") {
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id"), to_date(col("ts")).cast("string"),
+              unix_micros(col("ts")), col("event_id"), col("event_type"))
+      .as[(Long, String, Long, Long, String)].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val Scale = BigInt(1000000000L)
+    // transitions
+    val trans = ev.groupBy(e => (e._1, e._2)).values.flatMap { g =>
+      val conv = g.exists(_._5 == "purchase")
+      val end = if (conv) "CONV" else "NULL"
+      val path = g.sortBy(e => (e._3, e._4)).map(_._5)
+        .filter(_ != "purchase")
+      if (path.isEmpty) Seq(("START", end))
+      else ("START", path.head) +:
+           (path.zip(path.tail) :+ (path.last, end))
+    }.toSeq
+    val m = trans.groupBy(identity).map { case (ft, g) =>
+      ft -> g.size.toLong }
+    val channels = m.keys.map(_._1).filter(_ != "START").toSeq.distinct
+    val tot = m.groupBy(_._1._1).map { case (f, g) =>
+      f -> g.values.sum }
+    def absorb(rm: String): BigInt = {
+      // variant matrix: rows from rm dropped, targets rm -> NULL
+      val mm = m.toSeq.filter(_._1._1 != rm)
+        .map { case ((f, t), c) =>
+          ((f, if (t == rm) "NULL" else t), c) }
+        .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+      var v = Map("CONV" -> Scale, "NULL" -> BigInt(0))
+      for (_ <- 1 to 12) {
+        val states = mm.keys.map(_._1).toSeq.distinct
+        val nv = states.map { f =>
+          val num = mm.filter(_._1._1 == f).map { case ((_, t), c) =>
+            BigInt(c) * v.getOrElse(t, BigInt(0)) }.sum
+          f -> num / tot(f)
+        }.toMap
+        v = nv ++ Map("CONV" -> Scale, "NULL" -> BigInt(0))
+      }
+      v("START")
+    }
+    val p0 = absorb("none")
+    val drops = channels.sorted.map(c => (c, p0 - absorb(c)))
+    val dtot = drops.map(_._2).sum
+    val want = drops.map { case (c, dr) =>
+      (c, r6(p0.toDouble / 1e9), r6((p0 - dr).toDouble / 1e9),
+       r6(dr.toDouble / p0.toDouble), r6(dr.toDouble / dtot.toDouble)) }
+    val got = q("q279_markov_attribution")
+      .as[(String, Double, Double, Double, Double)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("q280 skipping attestation matches a brute-force layout walk") {
+    val o = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"),
+              datediff(to_date(col("o_orderdate")),
+                       lit("1995-01-01").cast("date")).cast("long"),
+              col("o_custkey").cast("long"))
+      .as[(Long, Long, Long)].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (dmin, dmax) = (o.map(_._2).min, o.map(_._2).max)
+    val (cmin, cmax) = (o.map(_._3).min, o.map(_._3).max)
+    def z(dd: Long, ck: Long): Long = {
+      val bx = (dd - dmin) * 256 / (dmax - dmin + 1)
+      val by = (ck - cmin) * 256 / (cmax - cmin + 1)
+      (0 until 8).map(i => ((bx >> i) & 1) * (1L << (2 * i + 1)) +
+                           ((by >> i) & 1) * (1L << (2 * i))).sum
+    }
+    val layouts = Seq(
+      "linear_date" -> o.sortBy(r => (r._2, r._1)),
+      "zorder" -> o.sortBy(r => (z(r._2, r._3), r._1)))
+    val boxes = Seq(
+      ("7d_x_10pct_keys", (dmin + 1000, dmin + 1006, cmin,
+        cmin + (cmax - cmin + 1) / 10)),
+      ("all_dates_x_1pct_keys", (Long.MinValue, Long.MaxValue, cmin,
+        cmin + (cmax - cmin + 1) / 100)))
+    val want = (for ((lname, rows) <- layouts; (bname, b) <- boxes)
+      yield {
+        val groups = rows.grouped(512).toSeq
+        val hits = groups.filter { g =>
+          val (dlo, dhi) = (g.map(_._2).min, g.map(_._2).max)
+          val (clo, chi) = (g.map(_._3).min, g.map(_._3).max)
+          dlo <= b._2 && dhi >= b._1 && clo <= b._4 && chi >= b._3
+        }
+        (lname, bname, groups.size.toLong, hits.size.toLong,
+         hits.map(_.size.toLong).sum,
+         r6(1.0 - hits.size.toDouble / groups.size))
+      }).sortBy(x => (x._1, x._2))
+    val got = q("q280_zorder_skipping")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("q281 stratified split matches a brute-force md5-rank walk") {
+    val c = Tables(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .as[(Long, String)].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = c.groupBy(_._2).toSeq.map { case (seg, g) =>
+      val n = g.size
+      val cut = (n * 8 + 9) / 10
+      val train = g.map(x => (md5hex(x._1.toString), x._1))
+        .sortBy(identity).take(cut).map(_._2)
+      (seg, n.toLong, cut.toLong, (n - cut).toLong,
+       r6(cut.toDouble / n), train.map(BigInt(_)).sum.toDouble)
+    }.sortBy(_._1)
+    val got = q("q281_stratified_split")
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("q282 filter funnel matches a brute-force flag walk") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val flags = docs.map { case (_, text, nc) =>
+      val toks = text.split(" ", -1)
+      val stop = toks.count(Set("a", "the", "of", "and", "in"))
+        .toDouble / toks.length
+      val alpha = text.count(c => c >= 'a' && c <= 'z').toDouble /
+        text.length
+      val qs = r6(math.min(1.0, nc.toDouble / 400) * 0.4 + stop * 0.3 +
+                  alpha * 0.3)
+      val f1 = nc >= 50 && nc <= 5000
+      val f2 = qs >= 0.5
+      val f3 = r6(toks.distinct.length.toDouble / toks.length) >= 0.3
+      val f4 = r6(alpha) >= 0.55
+      (toks.length.toLong, f1, f2, f3, f4)
+    }
+    val total = flags.size.toLong
+    def cum(i: Int)(f: (Long, Boolean, Boolean, Boolean, Boolean)) =
+      Seq(f._2, f._3, f._4, f._5).take(i).forall(identity)
+    val names = Seq("length_50_5000", "quality_ge_05", "diversity_ge_03",
+                    "alpha_ge_055")
+    val alone = Seq(flags.count(_._2), flags.count(_._3),
+                    flags.count(_._4), flags.count(_._5))
+    val kums = (1 to 4).map(i => flags.count(cum(i)))
+    val toksCum = (1 to 4).map(i =>
+      flags.filter(cum(i)).map(_._1).sum)
+    val want = (0 until 4).map { i =>
+      (i + 1, names(i), alone(i).toLong, kums(i).toLong,
+       (if (i == 0) total else kums(i - 1).toLong) - kums(i),
+       toksCum(i), r6(kums(i).toDouble / total))
+    }
+    val got = q("q282_filter_funnel")
+      .as[(Int, String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("q283 embedding drift matches a brute-force fixed-point walk") {
+    val src = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"))
+      .as[(Long, String)].collect().toMap
+    val vecs = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+      .filter(v => src.contains(v._1))
+      .map { case (id, e) =>
+        (src(id), e.map(x => math.round(x.toDouble * 1e6))) }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dims = vecs.head._2.length
+    val bySrc = vecs.groupBy(_._1)
+    val gsum = (0 until dims).map(d0 =>
+      vecs.map(v => BigInt(v._2(d0))).sum)
+    val gn = gsum.map(g => g * g).sum
+    val want = bySrc.toSeq.sortBy(_._1).map { case (s0, g) =>
+      val n = g.size.toLong
+      val sv = (0 until dims).map(d0 => g.map(v => BigInt(v._2(d0))).sum)
+      val ns = sv.map(v => v * v).sum
+      val dot = sv.zip(gsum).map { case (a, b) => a * b }.sum
+      val ssq = g.map(_._2.map(v => BigInt(v) * BigInt(v)).sum).sum
+      (s0, n,
+       r6(dot.toDouble / (math.sqrt(ns.toDouble) * math.sqrt(gn.toDouble))),
+       r6((ssq.toDouble / n - ns.toDouble / (n.toDouble * n)) / 1.0e12))
+    }
+    val got = q("q283_embed_drift")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(got == want)
+  }
 }

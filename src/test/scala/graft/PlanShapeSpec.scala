@@ -1356,4 +1356,87 @@ class PlanShapeSpec extends SparkSpecBase {
       assert(!p274.contains("SortMergeJoin"), p274)
     } finally PinScope.drain()
   }
+
+  test("q275-q278: linkage / ESD / sequence / density plan shapes") {
+    // q275: two dim scans (u-estimation stack + the blocking sort),
+    // the 1-row weight table crosses in via broadcast; nothing shuffles
+    // on pair volume
+    val p275 = SparkEntry.queries("q275_fellegi_sunter")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("FileScan|Scan parquet".r.findAllIn(p275).size == 2, p275)
+    assert(p275.contains("BroadcastNestedLoopJoin") &&
+           !p275.contains("SortMergeJoin"), p275)
+    // q276: the three unrolled rounds ride the pinned daily cells —
+    // no fact rescan; removals are broadcast anti-joins
+    try {
+      val p276 = SparkEntry.queries("q276_esd_outliers")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p276.contains("FileScan") && !p276.contains("ParquetScan"),
+             "q276 replans the fact scan instead of reading the pin")
+      assert("LeftAnti".r.findAllIn(p276).size >= 2, p276)
+    } finally PinScope.drain()
+    // q277: numerator and denominator both read the pinned 26-row
+    // pattern table — one fact scan total, at pin time
+    try {
+      val p277 = SparkEntry.queries("q277_seq_2patterns")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p277.contains("FileScan") && !p277.contains("ParquetScan"),
+             "q277 replans the fact scan instead of reading the pin")
+    } finally PinScope.drain()
+    // q278: clusters and noise both ride the pinned grid cells; labels
+    // attach via broadcast
+    try {
+      val p278 = SparkEntry.queries("q278_dbscan_grid")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p278.contains("FileScan") && !p278.contains("ParquetScan"),
+             "q278 replans the fact scan instead of reading the pin")
+      assert(p278.contains("BroadcastHashJoin"), p278)
+    } finally PinScope.drain()
+  }
+
+  test("q279-q281: attribution / layout / split plan shapes") {
+    // q279: all 12 value-iteration steps (5 variants together) ride the
+    // pinned transition matrix — the returned plan has no fact scan
+    // and every join is broadcast-sized
+    try {
+      val p279 = SparkEntry.queries("q279_markov_attribution")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p279.contains("FileScan") && !p279.contains("ParquetScan"),
+             "q279 replans the fact scan instead of reading the pin")
+      assert(!p279.contains("SortMergeJoin"), p279)
+    } finally PinScope.drain()
+    // q280: both layouts' group labels come from two row_number windows
+    // in ONE pass — two window sorts, and only the min/max range agg
+    // reads the table a second time (column-pruned)
+    val p280 = SparkEntry.queries("q280_zorder_skipping")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("FileScan|Scan parquet".r.findAllIn(p280).size == 2, p280)
+    assert("Window \\[row_number".r.findAllIn(p280).size == 2, p280)
+    // q281: one dimension scan; rank and count windows share the one
+    // stratum partitioning (parallel per stratum, never global)
+    val p281 = SparkEntry.queries("q281_stratified_split")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("FileScan|Scan parquet".r.findAllIn(p281).size == 1, p281)
+    assert(!p281.contains("Join"), p281)
+    assert("Exchange hashpartitioning\\(seg".r.findAllIn(p281).size == 1,
+           p281)
+  }
+
+  test("q282-q283: funnel / drift plan shapes") {
+    // q282: ONE documents scan; all four filters and both cumulative
+    // ladders are one map-side projection into one 1-row aggregate
+    val p282 = SparkEntry.queries("q282_filter_funnel")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("FileScan|Scan parquet".r.findAllIn(p282).size == 1, p282)
+    assert(!p282.contains("Join"), p282)
+    // q283: global sums, norms and the per-source roll-up all ride the
+    // pinned |sources|×64 cell table — no fact rescans
+    try {
+      val p283 = SparkEntry.queries("q283_embed_drift")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p283.contains("FileScan") && !p283.contains("ParquetScan"),
+             "q283 replans the fact scan instead of reading the pin")
+      assert(p283.contains("BroadcastHashJoin"), p283)
+    } finally PinScope.drain()
+  }
 }
