@@ -856,6 +856,42 @@ object DedupExtOps extends OpModule {
     // the 2^3-pattern histogram with its weight, the table a linkage
     // analyst reads to set the match/review/reject thresholds. All
     // post-blocking work is pattern-bound (≤8 rows) at any scale.
+    // Degree assortativity (added r12) — the graph-family summary
+    // statistic next to components (q82), centrality (q115), triangles
+    // (q132) and BFS (q138): do high-degree documents collide with
+    // other high-degree documents (r > 0: hub-on-hub boilerplate
+    // families) or with leaves (r < 0: star-shaped template spam)?
+    // Pearson correlation of (deg u, deg v) over the symmetric LSH
+    // candidate edges — the standard newman-r. All moments fold as
+    // exact decimals over the edge list (one deg agg + two broadcast
+    // joins of the tiny degree table), the correlation divides once in
+    // double and rounds 6 dp. Cost = the candidate banding + one
+    // edge-keyed agg; nothing quadratic, hot buckets capped as q46.
+    "q284_assortativity" -> { (s, d) =>
+      val pairs = candidatePairs(Tables(s, d, "documents"),
+                                 maxBucket = HotBucketCap)
+      val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+      val du = deg.select(col("u"), col("deg").as("du"))
+      val dv = deg.select(col("u").as("v"), col("deg").as("dv"))
+      def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+      edges.join(broadcast(du), Seq("u")).join(broadcast(dv), Seq("v"))
+        .agg(count(lit(1)).as("n_edges"),
+             sum(col("du").cast("decimal(38,0)")).as("sx"),
+             sum(col("dv").cast("decimal(38,0)")).as("sy"),
+             sum(col("du").cast("decimal(38,0)") * col("du")).as("sxx"),
+             sum(col("dv").cast("decimal(38,0)") * col("dv")).as("syy"),
+             sum(col("du").cast("decimal(38,0)") * col("dv")).as("sxy"))
+        .select(col("n_edges"),
+          round(dd(col("sx")) / dd(col("n_edges")), 6).as("avg_deg"),
+          round((dd(col("n_edges") * col("sxy") - col("sx") * col("sy"))) /
+                sqrt(dd(col("n_edges") * col("sxx") -
+                        col("sx") * col("sx")) *
+                     dd(col("n_edges") * col("syy") -
+                        col("sy") * col("sy"))), 6).as("assortativity"))
+    },
+
     "q275_fellegi_sunter" -> { (s, d) =>
       val W = org.apache.spark.sql.expressions.Window
       val w = W.orderBy("bal", "k")
@@ -1587,6 +1623,36 @@ object DedupExtOps extends OpModule {
         |FROM u
         |WHERE kk IS NOT NULL AND bb - bal <= 10
         |ORDER BY diff_cents, cust_a, cust_b LIMIT 30""".stripMargin,
+
+    "q284_assortativity" ->
+      s"""$minhashCte,
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.sig = y.sig
+         |          AND x.doc_id < y.doc_id),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM cand
+         |          UNION ALL SELECT id_b, id_a FROM cand),
+         |deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+         |j AS (
+         |  SELECT du.deg AS du, dv.deg AS dv
+         |  FROM edges e JOIN deg du ON e.u = du.u
+         |               JOIN deg dv ON e.v = dv.u),
+         |m AS (
+         |  SELECT count(*) AS n_edges,
+         |    sum(CAST(du AS DECIMAL(38,0))) AS sx,
+         |    sum(CAST(dv AS DECIMAL(38,0))) AS sy,
+         |    sum(CAST(du AS DECIMAL(38,0)) * du) AS sxx,
+         |    sum(CAST(dv AS DECIMAL(38,0)) * dv) AS syy,
+         |    sum(CAST(du AS DECIMAL(38,0)) * dv) AS sxy
+         |  FROM j)
+         |SELECT n_edges,
+         |  round(CAST(sx AS DOUBLE) / CAST(n_edges AS DOUBLE), 6)
+         |    AS avg_deg,
+         |  round(CAST(n_edges * sxy - sx * sy AS DOUBLE) /
+         |        sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE) *
+         |             CAST(n_edges * syy - sy * sy AS DOUBLE)), 6)
+         |    AS assortativity
+         |FROM m""".stripMargin,
 
     "q275_fellegi_sunter" ->
       """WITH c AS (

@@ -3177,4 +3177,29 @@ class CorrectnessSpec extends SparkSpecBase {
       .as[(String, Long, Double, Double)].collect().toSeq
     assert(got == want)
   }
+
+  test("q284 assortativity matches a brute-force moment walk") {
+    import graft.operators.DedupExtOps
+    val pairs = DedupExtOps.candidatePairs(
+        Tables(spark, sf, "documents"),
+        maxBucket = DedupExtOps.HotBucketCap)
+      .as[(Long, Long)].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).map { case (u, g) => u -> g.size }
+    val xy = edges.map { case (u, v) => (BigInt(deg(u)), BigInt(deg(v))) }
+    val n = BigInt(xy.size)
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val syy = xy.map(p => p._2 * p._2).sum
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val want = (n.toLong, r6(sx.toDouble / n.toDouble),
+      r6((n * sxy - sx * sy).toDouble /
+         math.sqrt((n * sxx - sx * sx).toDouble *
+                   (n * syy - sy * sy).toDouble)))
+    val got = q("q284_assortativity")
+      .as[(Long, Double, Double)].collect().head
+    assert(got == want)
+  }
 }
