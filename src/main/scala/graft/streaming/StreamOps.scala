@@ -535,6 +535,66 @@ object StreamOps extends OpModule {
     // the exactly-once contract. State is O(alerted hours per user);
     // production bounds it with a timeout evicting hours behind the
     // watermark (documented; unbounded here over the finite drain).
+    // Streaming CDC apply (added r12) — the STREAMING leg of the
+    // lakehouse change family (q117 classifies, q119 batch-applies,
+    // q123 builds history): a keyed upsert/delete stream folds into
+    // last-writer-wins table state as it arrives. CDC ops synthesize
+    // deterministically from events (error ⇒ DELETE, anything else ⇒
+    // UPSERT of the cents value), keyed by user; within a batch a
+    // group folds in (event time, event_id) order, across batches the
+    // state store carries (last ts/id, last op, value, op count). Each
+    // batch emits the key's CURRENT image stamped with its monotone op
+    // count, so the final table = argmax(op count) per key — correct
+    // under ANY batch split (StreamingSpec drives a two-batch split to
+    // equality with the one-batch drain). State is O(live keys) — it
+    // IS the table, the irreducible CDC floor; production compacts it
+    // to the lakehouse target per trigger (q122's checkpointed sink).
+    // Oracle = the batch reduction: per key the latest op wins, DELETE
+    // keys absent.
+    "q285_stream_cdc_apply" -> { (s, d) =>
+      val sunk = runToMemory(s, iso => {
+        import iso.implicits._
+        import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+        eventStream(iso, d)
+          .select(col("user_id"), col("event_id"),
+                  unix_micros(col("ts")).as("tus"),
+                  when(col("event_type") === "error", "D")
+                    .otherwise("U").as("op"),
+                  round(col("value") * 100).cast("long").as("cents"))
+          .as[(Long, Long, Long, String, Long)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(
+            OutputMode.Update, GroupStateTimeout.NoTimeout) {
+            (uid: Long, it: Iterator[(Long, Long, Long, String, Long)],
+             state: GroupState[(Long, Long, String, Long, Long)]) =>
+              // state = (lastTus, lastEid, lastOp, value, nOps).
+              // LWW is by EVENT TIME (ts, event_id), not arrival order:
+              // an op older than the stored image counts but never
+              // overwrites — late/replayed CDC records stay harmless
+              var st = state.getOption.getOrElse((Long.MinValue,
+                Long.MinValue, "", 0L, 0L))
+              for (e <- it.toSeq.sortBy(e => (e._3, e._2))) {
+                val newer = e._3 > st._1 ||
+                  (e._3 == st._1 && e._2 > st._2)
+                st = if (newer) (e._3, e._2, e._4, e._5, st._5 + 1)
+                     else (st._1, st._2, st._3, st._4, st._5 + 1)
+              }
+              state.update(st)
+              Iterator((uid, st._3, st._4, st._5))
+          }
+          .toDF("user_id", "op", "cents", "n_ops")
+      }, "graft_stream_cdc", "update")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n_ops").desc)
+      sunk.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1 && col("op") === "U")
+        .select(col("user_id"),
+                round(col("cents").cast("double") / 100.0, 6)
+                  .as("last_value"),
+                col("n_ops"))
+        .orderBy("user_id")
+    },
+
     "q267_stream_alert" -> { (s, d) =>
       runToMemory(s, iso => {
         import iso.implicits._
@@ -631,6 +691,25 @@ object StreamOps extends OpModule {
     // the stateful suppression must reduce to: one alert per (user,
     // spike hour), episode index = rank of that hour in the user's
     // ascending alerted-hour sequence
+    // the batch reduction of last-writer-wins CDC: latest op per key
+    // wins, DELETE keys absent from the final table
+    "q285_stream_cdc_apply" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_ops
+        |  FROM c)
+        |SELECT user_id,
+        |  round(CAST(cents AS DOUBLE) / 100.0, 6) AS last_value,
+        |  n_ops
+        |FROM r WHERE rn = 1 AND op = 'U' ORDER BY user_id""".stripMargin,
+
     "q267_stream_alert" ->
       """WITH s AS (
         |  SELECT DISTINCT user_id,

@@ -3202,4 +3202,21 @@ class CorrectnessSpec extends SparkSpecBase {
       .as[(Long, Double, Double)].collect().head
     assert(got == want)
   }
+
+  test("q285 CDC apply matches a brute-force last-writer walk") {
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")),
+              col("event_type"), round(col("value") * 100).cast("long"))
+      .as[(Long, Long, Long, String, Long)].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = ev.groupBy(_._1).toSeq.flatMap { case (u, g) =>
+      val last = g.maxBy(e => (e._3, e._2))
+      if (last._4 == "error") None
+      else Some((u, r6(last._5.toDouble / 100.0), g.size.toLong))
+    }.sortBy(_._1)
+    val got = q("q285_stream_cdc_apply")
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(got == want)
+  }
 }

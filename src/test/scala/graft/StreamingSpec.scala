@@ -515,4 +515,59 @@ class StreamingSpec extends SparkSpecBase {
              s"cross-batch suppression + episode counter: $after2")
     } finally q.stop()
   }
+
+  test("q285 shape: CDC last-writer-wins state carries across batches") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val dir = Files.createTempDirectory("graft_cdc")
+    def cdc = {
+      val schema = spark.read.parquet(dir.toString).schema
+      spark.readStream.schema(schema).parquet(dir.toString)
+        .as[(Long, Long, Long, String, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(
+          OutputMode.Update, GroupStateTimeout.NoTimeout) {
+          (uid: Long, it: Iterator[(Long, Long, Long, String, Long)],
+           state: GroupState[(Long, Long, String, Long, Long)]) =>
+            var st = state.getOption.getOrElse((Long.MinValue,
+              Long.MinValue, "", 0L, 0L))
+            for (e <- it.toSeq.sortBy(e => (e._3, e._2))) {
+              val newer = e._3 > st._1 ||
+                (e._3 == st._1 && e._2 > st._2)
+              st = if (newer) (e._3, e._2, e._4, e._5, st._5 + 1)
+                   else (st._1, st._2, st._3, st._4, st._5 + 1)
+            }
+            state.update(st)
+            Iterator((uid, st._3, st._4, st._5))
+        }.toDF("user_id", "op", "cents", "n_ops")
+    }
+    // batch 1: user 1 upserts twice (LWW keeps the later), user 2 upsert
+    Seq((1L, 10L, 100L, "U", 500L), (1L, 11L, 200L, "U", 700L),
+        (2L, 12L, 150L, "U", 900L))
+      .toDF("user_id", "event_id", "tus", "op", "cents")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    val q = cdc.writeStream.format("memory").queryName("graft_cdc_t")
+      .outputMode("update").start()
+    def table() = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n_ops").desc)
+      spark.table("graft_cdc_t")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1 && col("op") === "U")
+        .select("user_id", "cents", "n_ops")
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    try {
+      q.processAllAvailable()
+      assert(table() == Set((1L, 700L, 2L), (2L, 900L, 1L)), table())
+      // batch 2: user 1 deleted (drops from the table), and user 2
+      // receives a LATE op with an EARLIER event time — LWW is by
+      // (ts, event_id), not arrival order, so the stored image must
+      // win while the op count still advances
+      Seq((1L, 13L, 300L, "D", 0L), (2L, 14L, 120L, "U", 111L))
+        .toDF("user_id", "event_id", "tus", "op", "cents")
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+      q.processAllAvailable()
+      assert(table() == Set((2L, 900L, 2L)), table())
+    } finally q.stop()
+  }
 }
