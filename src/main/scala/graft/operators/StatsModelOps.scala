@@ -1526,11 +1526,17 @@ object StatsModelOps extends OpModule {
                             lit(null).cast("long").as("cnt"),
                             col("v").as("cv")))
       // tie order: query rows (isq=1) BEFORE the target step (isq=0) at
-      // equal pos, so cum_c = k stays inside the current-row→following
-      // frame — the inclusive ≥ the rank map requires
-      val wNext = Window.orderBy(col("pos").asc, col("isq").desc)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      u.withColumn("mv", first(col("cv"), ignoreNulls = true).over(wNext))
+      // equal pos, so cum_c = k stays inside the at-or-after frame —
+      // the inclusive ≥ the rank map requires. Computed as the running
+      // last() over the REVERSED sort: Spark executes an UNBOUNDED
+      // FOLLOWING frame by rescanning the tail per row (O(n²) — a flat
+      // ~10 s on the ~140k-row value-group union, r12's slowest bench
+      // line), while the reversed running frame is one O(n) pass; the
+      // frame includes the current row, matching the original
+      // currentRow→following bound exactly
+      val wNextRev = Window.orderBy(col("pos").desc, col("isq").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      u.withColumn("mv", last(col("cv"), ignoreNulls = true).over(wNextRev))
         .where(col("isq") === 1)
         .select(round(d(col("v_s")) / 100.0, 6).as("src_bal"), col("cnt"),
                 round(d(col("mv")) / 100.0, 6).as("mapped_bal"))
