@@ -56,7 +56,8 @@ object SweepR12 {
       "q276_esd_outliers", "q277_seq_2patterns", "q278_dbscan_grid",
       "q279_markov_attribution", "q280_zorder_skipping",
       "q281_stratified_split", "q282_filter_funnel", "q283_embed_drift",
-      "q284_assortativity", "q285_stream_cdc_apply")
+      "q284_assortativity", "q285_stream_cdc_apply", "q286_mcnemar",
+      "q287_cohens_kappa", "q288_ece")
     // mode "x100": sweep against the 100x volume build at /tmp/sf100x
     // (tools/make100x.py defaults) instead of the 10x point — the r11
     // protocol asked at two orders. Remaining args subset the list.

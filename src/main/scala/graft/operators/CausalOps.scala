@@ -305,6 +305,113 @@ object CausalOps extends OpModule {
         .orderBy("channel")
     },
 
+    // McNemar paired-classifier test (added r12) — the comparison the
+    // independent-sample family (q158/q251/q247) gets WRONG for two
+    // models scored on the SAME rows: only the disagreement cells
+    // carry information. Classifier A (discount ≥ 5%) vs classifier B
+    // (quantity ≥ 25) predicting the return flag on every lineitem;
+    // fold to the 2×2 paired-correctness cells in ONE map-side-combined
+    // scan; χ² = (|b−c|−1)²/(b+c) with continuity correction — exact
+    // integers until one division, 6 dp. The table is the standard
+    // pre-launch "is the new model actually better on the same
+    // traffic" readout.
+    "q286_mcnemar" -> { (s, dir) =>
+      val t = Tables(s, dir, "lineitem")
+        .select((col("l_returnflag") === "R").as("y"),
+                (col("l_discount") >= 0.05).as("pa"),
+                (col("l_quantity") >= 25).as("pb"))
+        .select((col("pa") === col("y")).as("ca"),
+                (col("pb") === col("y")).as("cb"))
+      t.agg(
+          sum(when(col("ca") && col("cb"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("ca") && !col("cb"), 1L).otherwise(0L)).as("b"),
+          sum(when(!col("ca") && col("cb"), 1L).otherwise(0L)).as("c"),
+          sum(when(!col("ca") && !col("cb"), 1L).otherwise(0L)).as("dd"))
+        .select(col("a"), col("b"), col("c"), col("dd").as("d"),
+          round(d(col("a") + col("b")) /
+                d(col("a") + col("b") + col("c") + col("dd")), 6)
+            .as("acc_a"),
+          round(d(col("a") + col("c")) /
+                d(col("a") + col("b") + col("c") + col("dd")), 6)
+            .as("acc_b"),
+          round(d((abs(col("b") - col("c")) - 1).cast("decimal(38,0)") *
+                  (abs(col("b") - col("c")) - 1)) /
+                d(col("b") + col("c")), 6).as("chi2"))
+    },
+
+    // Cohen's kappa (added r12) — chance-corrected agreement between
+    // two labelers over the SAME items: the QA statistic every
+    // annotation pipeline reports before trusting its labels (raw
+    // agreement flatters whenever the marginals are skewed). Two
+    // deterministic document labelers — a length-class rater and a
+    // quality-class rater, both into {0,1,2} — fold to the 3×3
+    // confusion cells in one scan; po (observed agreement) and pe
+    // (chance agreement from the marginal products) derive from exact
+    // integer cells, each divides once 6 dp, and κ = (po−pe)/(1−pe)
+    // recomputes from the two ROUNDED reported figures (q251's
+    // reproducible-from-the-row-itself discipline).
+    "q287_cohens_kappa" -> { (s, dir) =>
+      val q = graft.operators.TextExtOps.qualityScore
+      val t = Tables(s, dir, "documents")
+        .select(when(col("n_chars") < 200, 0)
+                  .when(col("n_chars") < 500, 1).otherwise(2).as("r1"),
+                when(q < 0.4, 0).when(q < 0.6, 1).otherwise(2).as("r2"))
+      val cells = t.groupBy("r1", "r2").agg(count(lit(1)).as("c"))
+      val m = cells.agg(
+        sum("c").as("n"),
+        sum(when(col("r1") === col("r2"), col("c")).otherwise(0L))
+          .as("agree"),
+        sum(when(col("r1") === 0, col("c")).otherwise(0L)).as("ra0"),
+        sum(when(col("r1") === 1, col("c")).otherwise(0L)).as("ra1"),
+        sum(when(col("r1") === 2, col("c")).otherwise(0L)).as("ra2"),
+        sum(when(col("r2") === 0, col("c")).otherwise(0L)).as("rb0"),
+        sum(when(col("r2") === 1, col("c")).otherwise(0L)).as("rb1"),
+        sum(when(col("r2") === 2, col("c")).otherwise(0L)).as("rb2"))
+      m.select(col("n"),
+          round(d(col("agree")) / d(col("n")), 6).as("po"),
+          round(d(col("ra0").cast("decimal(38,0)") * col("rb0") +
+                  col("ra1").cast("decimal(38,0)") * col("rb1") +
+                  col("ra2").cast("decimal(38,0)") * col("rb2")) /
+                d(col("n").cast("decimal(38,0)") * col("n")), 6)
+            .as("pe"))
+        .withColumn("kappa",
+          round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6))
+    },
+
+    // Expected calibration error / reliability table (added r12) —
+    // q272 RE-FITS a miscalibrated score; this MEASURES how far off it
+    // is first (the order a pipeline actually runs). Pseudo-confidence
+    // = discount×10 over its 11 exact value groups (the natural bins —
+    // no binning knob), outcome = return flag: per bin n, mean
+    // confidence, empirical accuracy, |gap|; ECE = Σ (n_b/N)·|gap_b|
+    // with per-bin terms rounded 12 dp into decimal (q142's order-free
+    // sum) and reported as a window over the 11-row bin table (the
+    // windows-over-cells pattern — no second scan, no separate total
+    // row). ONE lineitem scan.
+    "q288_ece" -> { (s, dir) =>
+      val bins = Tables(s, dir, "lineitem")
+        .select(round(col("l_discount") * 100).cast("long").as("sc"),
+                when(col("l_returnflag") === "R", 1L).otherwise(0L)
+                  .as("y"))
+        .groupBy("sc")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      val wAll = Window.partitionBy(lit(1))
+      bins
+        .withColumn("conf", round(d(col("sc")) / 100.0, 6))
+        .withColumn("acc", round(d(col("pos")) / d(col("n")), 6))
+        .withColumn("gap", abs(col("acc") - col("conf")))
+        .withColumn("nn", sum(col("n")).over(wAll))
+        .withColumn("term",
+          round(d(col("n")) / d(col("nn")) * col("gap"), 12)
+            .cast("decimal(28,12)"))
+        .withColumn("ece", round(sum(col("term")).over(wAll)
+          .cast("double"), 6))
+        .select(col("sc").as("conf_cents"), col("n"), col("conf"),
+                col("acc"), round(col("gap"), 6).as("abs_gap"),
+                col("ece"))
+        .orderBy("conf_cents")
+    },
+
     // Exact stratified train/test split (added r12) — the experiment-
     // prep step between q226's leakage-safe GROUP split and q240's
     // class-balance report: per stratum (market segment), EXACTLY
@@ -558,6 +665,93 @@ object CausalOps extends OpModule {
         |  round(CAST(sum(term) AS DOUBLE) /
         |        CAST(max(factorial(CAST(k AS INT))) AS DOUBLE), 6) AS phi
         |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q286_mcnemar" ->
+      """WITH t AS (
+        |  SELECT (l_discount >= 0.05) = (l_returnflag = 'R') AS ca,
+        |         (l_quantity >= 25) = (l_returnflag = 'R') AS cb
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN ca AND cb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a,
+        |    CAST(sum(CASE WHEN ca AND NOT cb THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN NOT ca AND cb THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN NOT ca AND NOT cb THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS d
+        |  FROM t)
+        |SELECT a, b, c, d,
+        |  round(CAST(a + b AS DOUBLE) / CAST(a + b + c + d AS DOUBLE), 6)
+        |    AS acc_a,
+        |  round(CAST(a + c AS DOUBLE) / CAST(a + b + c + d AS DOUBLE), 6)
+        |    AS acc_b,
+        |  round(CAST(CAST(abs(b - c) - 1 AS DECIMAL(38,0)) *
+        |             (abs(b - c) - 1) AS DOUBLE) /
+        |        CAST(b + c AS DOUBLE), 6) AS chi2
+        |FROM m""".stripMargin,
+
+    "q287_cohens_kappa" -> {
+      val qs = graft.operators.TextExtOps.qualityScoreSql
+      s"""WITH t AS (
+         |  SELECT CASE WHEN n_chars < 200 THEN 0
+         |              WHEN n_chars < 500 THEN 1 ELSE 2 END AS r1,
+         |    CASE WHEN ($qs) < 0.4 THEN 0
+         |         WHEN ($qs) < 0.6 THEN 1 ELSE 2 END AS r2
+         |  FROM documents),
+         |cells AS (SELECT r1, r2, count(*) AS c FROM t GROUP BY 1, 2),
+         |m AS (
+         |  SELECT CAST(sum(c) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN r1 = r2 THEN c ELSE 0 END) AS BIGINT)
+         |      AS agree,
+         |    CAST(sum(CASE WHEN r1 = 0 THEN c ELSE 0 END) AS BIGINT)
+         |      AS ra0,
+         |    CAST(sum(CASE WHEN r1 = 1 THEN c ELSE 0 END) AS BIGINT)
+         |      AS ra1,
+         |    CAST(sum(CASE WHEN r1 = 2 THEN c ELSE 0 END) AS BIGINT)
+         |      AS ra2,
+         |    CAST(sum(CASE WHEN r2 = 0 THEN c ELSE 0 END) AS BIGINT)
+         |      AS rb0,
+         |    CAST(sum(CASE WHEN r2 = 1 THEN c ELSE 0 END) AS BIGINT)
+         |      AS rb1,
+         |    CAST(sum(CASE WHEN r2 = 2 THEN c ELSE 0 END) AS BIGINT)
+         |      AS rb2
+         |  FROM cells),
+         |r AS (
+         |  SELECT n,
+         |    round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+         |    round(CAST(CAST(ra0 AS DECIMAL(38,0)) * rb0 +
+         |               CAST(ra1 AS DECIMAL(38,0)) * rb1 +
+         |               CAST(ra2 AS DECIMAL(38,0)) * rb2 AS DOUBLE) /
+         |          CAST(CAST(n AS DECIMAL(38,0)) * n AS DOUBLE), 6)
+         |      AS pe
+         |  FROM m)
+         |SELECT n, po, pe, round((po - pe) / (1.0 - pe), 6) AS kappa
+         |FROM r""".stripMargin
+    },
+
+    "q288_ece" ->
+      """WITH bins AS (
+        |  SELECT CAST(round(l_discount * 100) AS BIGINT) AS sc,
+        |    count(*) AS n,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos
+        |  FROM lineitem GROUP BY 1),
+        |x AS (
+        |  SELECT sc, n, pos,
+        |    round(CAST(sc AS DOUBLE) / 100.0, 6) AS conf,
+        |    round(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS acc,
+        |    sum(n) OVER () AS nn
+        |  FROM bins),
+        |y AS (
+        |  SELECT *, abs(acc - conf) AS gap,
+        |    CAST(round(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE) *
+        |               abs(acc - conf), 12) AS DECIMAL(28,12)) AS term
+        |  FROM x)
+        |SELECT sc AS conf_cents, CAST(n AS BIGINT) AS n, conf, acc,
+        |  round(gap, 6) AS abs_gap,
+        |  round(CAST(sum(term) OVER () AS DOUBLE), 6) AS ece
+        |FROM y ORDER BY conf_cents""".stripMargin,
 
     "q281_stratified_split" ->
       """WITH c AS (

@@ -3219,4 +3219,85 @@ class CorrectnessSpec extends SparkSpecBase {
       .as[(Long, Double, Long)].collect().toSeq
     assert(got == want)
   }
+
+  test("q286 McNemar matches a brute-force paired walk") {
+    val rows = Tables(spark, sf, "lineitem")
+      .select(col("l_returnflag") === "R", col("l_discount") >= 0.05,
+              col("l_quantity") >= 25)
+      .as[(Boolean, Boolean, Boolean)].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (a, b, c, dd) = rows.foldLeft((0L, 0L, 0L, 0L)) {
+      case ((a, b, c, d), (y, pa, pb)) =>
+        ((pa == y, pb == y) match {
+          case (true, true) => (a + 1, b, c, d)
+          case (true, false) => (a, b + 1, c, d)
+          case (false, true) => (a, b, c + 1, d)
+          case (false, false) => (a, b, c, d + 1)
+        })
+    }
+    val n = (a + b + c + dd).toDouble
+    val want = (a, b, c, dd, r6((a + b) / n), r6((a + c) / n),
+      r6((math.abs(b - c) - 1).toDouble * (math.abs(b - c) - 1) /
+         (b + c).toDouble))
+    val got = q("q286_mcnemar")
+      .as[(Long, Long, Long, Long, Double, Double, Double)]
+      .collect().head
+    assert(got == want)
+  }
+
+  test("q287 Cohen's kappa matches a brute-force agreement walk") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("n_chars"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pairs = docs.map { case (nc, text) =>
+      val toks = text.split(" ", -1)
+      val stop = toks.count(Set("a", "the", "of", "and", "in"))
+        .toDouble / toks.length
+      val alpha = text.count(ch => ch >= 'a' && ch <= 'z').toDouble /
+        text.length
+      val qs = r6(math.min(1.0, nc.toDouble / 400) * 0.4 + stop * 0.3 +
+                  alpha * 0.3)
+      (if (nc < 200) 0 else if (nc < 500) 1 else 2,
+       if (qs < 0.4) 0 else if (qs < 0.6) 1 else 2)
+    }
+    val n = pairs.size.toLong
+    val agree = pairs.count(p => p._1 == p._2).toLong
+    def marg(side: Int, v: Int) =
+      BigInt(pairs.count(p => (if (side == 1) p._1 else p._2) == v))
+    val po = r6(agree.toDouble / n)
+    val pe = r6((marg(1, 0) * marg(2, 0) + marg(1, 1) * marg(2, 1) +
+                 marg(1, 2) * marg(2, 2)).toDouble / (n.toDouble * n))
+    val want = (n, po, pe, r6((po - pe) / (1.0 - pe)))
+    val got = q("q287_cohens_kappa")
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(got == want)
+  }
+
+  test("q288 ECE matches a brute-force reliability walk") {
+    val rows = Tables(spark, sf, "lineitem")
+      .select(round(col("l_discount") * 100).cast("long"),
+              col("l_returnflag") === "R")
+      .as[(Long, Boolean)].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val nn = rows.size.toDouble
+    val bins = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (sc, g) =>
+      val n = g.size.toLong
+      val conf = r6(sc.toDouble / 100.0)
+      val acc = r6(g.count(_._2).toDouble / n)
+      (sc, n, conf, acc, math.abs(acc - conf))
+    }
+    val ece = r6(bins.map { case (_, n, _, _, gap) =>
+      r12(n / nn * gap) }.sum.toDouble)
+    val want = bins.map { case (sc, n, conf, acc, gap) =>
+      (sc, n, conf, acc, r6(gap), ece) }
+    val got = q("q288_ece")
+      .as[(Long, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(got == want)
+  }
 }
