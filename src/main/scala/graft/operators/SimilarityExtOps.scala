@@ -908,6 +908,50 @@ object SimilarityExtOps extends OpModule {
         .orderBy(col("n_points").desc, col("cluster_id"))
     },
 
+    // Spatial radius join (added r12) — the SPATIAL member of the join
+    // family: all point pairs within radius R, the self-join behind
+    // store-catchment overlap, sensor co-location, and 2-D embedding
+    // neighborhoods. The classic scale shape: bucket points to an
+    // R-sized grid, probe each point against its 9-cell neighborhood
+    // (any ≤R pair MUST share or neighbor a cell — no recall loss),
+    // verify with the EXACT integer metric dist² = Δx²+Δy² in 1e-6
+    // µ-units ≤ R² (a declared planar metric: no trig, engine-exact;
+    // the haversine refinement swaps in at the verify step only).
+    // Cost O(points × avg 9-cell occupancy), never points²; the oracle
+    // is the INDEPENDENT quadratic self-join — two algorithms, one
+    // pair set. Candidate dedup: a pair is emitted only from its
+    // lower-id side's probe (id_a < id_b), then distinct guards the
+    // both-sides-probe duplication.
+    "q289_spatial_join" -> { (s, dir) =>
+      val R = 20000L // 0.02 embedding units in 1e-6 µ-units
+      val pts = Tables(s, dir, "embeddings")
+        .select(col("vec_id").as("id"),
+          expr("cast(round(cast(element_at(embedding, 1) as double) * 1000000) as bigint)").as("x"),
+          expr("cast(round(cast(element_at(embedding, 2) as double) * 1000000) as bigint)").as("y"))
+        .withColumn("cx", expr(s"(x + 2000000) div $R"))
+        .withColumn("cy", expr(s"(y + 2000000) div $R"))
+      val offs = for (dx <- -1 to 1; dy <- -1 to 1)
+        yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
+      val probes = pts.select(col("id").as("id_a"), col("x").as("xa"),
+          col("y").as("ya"), col("cx"), col("cy"),
+          explode(array(offs: _*)).as("o"))
+        .select(col("id_a"), col("xa"), col("ya"),
+                (col("cx") + col("o.dx")).as("ncx"),
+                (col("cy") + col("o.dy")).as("ncy"))
+      val right = pts.select(col("id").as("id_b"), col("x").as("xb"),
+                             col("y").as("yb"),
+                             col("cx").as("ncx"), col("cy").as("ncy"))
+      probes.join(right, Seq("ncx", "ncy"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+                ((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+                 (col("ya") - col("yb")) * (col("ya") - col("yb")))
+                  .as("dist2"))
+        .where(col("dist2") <= R * R)
+        .distinct()
+        .orderBy("id_a", "id_b")
+    },
+
     // Embedding-space source drift (added r12) — the SEMANTIC tier of
     // the per-source DQ family: q211 measures each ingest source's
     // duplicate rate and q262 its lexical mirroring; this measures
@@ -1549,6 +1593,23 @@ object SimilarityExtOps extends OpModule {
         |  FROM cells WHERE n < 3)
         |SELECT * FROM cl UNION ALL SELECT * FROM noise
         |ORDER BY n_points DESC, cluster_id""".stripMargin,
+
+    // the INDEPENDENT quadratic self-join — the grid must be invisible
+    "q289_spatial_join" ->
+      """WITH pts AS (
+        |  SELECT vec_id AS id,
+        |    CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000)
+        |         AS BIGINT) AS x,
+        |    CAST(round(CAST(embedding[2] AS DOUBLE) * 1000000)
+        |         AS BIGINT) AS y
+        |  FROM embeddings)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |    AS dist2
+        |FROM pts a JOIN pts b ON a.id < b.id
+        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |      <= 400000000
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // same fixed-point cell algebra, HUGEINT folds in place of decimal
     "q283_embed_drift" ->

@@ -3300,4 +3300,23 @@ class CorrectnessSpec extends SparkSpecBase {
       .as[(Long, Long, Double, Double, Double, Double)].collect().toSeq
     assert(got == want)
   }
+
+  test("q289 spatial join matches a brute-force quadratic walk") {
+    val pts = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"),
+              expr("cast(round(cast(element_at(embedding, 1) as double)" +
+                   " * 1000000) as bigint)"),
+              expr("cast(round(cast(element_at(embedding, 2) as double)" +
+                   " * 1000000) as bigint)"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val want = (for (a <- pts; b <- pts if a._1 < b._1) yield {
+      val d2 = (a._2 - b._2) * (a._2 - b._2) +
+               (a._3 - b._3) * (a._3 - b._3)
+      (a._1, b._1, d2)
+    }).filter(_._3 <= 400000000L).sortBy(p => (p._1, p._2))
+    val got = q("q289_spatial_join")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    assert(want.nonEmpty) // non-vacuous at the test SF
+  }
 }
