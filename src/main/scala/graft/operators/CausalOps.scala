@@ -412,6 +412,43 @@ object CausalOps extends OpModule {
         .orderBy("conf_cents")
     },
 
+    // Offline policy evaluation via inverse propensity scoring (added
+    // r12) — the counterfactual EVALUATION member next to the
+    // counterfactual ATTRIBUTION pair (q274/q279): estimate what a NEW
+    // action policy would earn from logs collected under the OLD
+    // behavior, without an experiment. Logged rounds = events (context
+    // = hour of day, action = event type, reward = value cents);
+    // behavior propensities are estimated from the logs themselves
+    // (p̂(a|ctx) = exact cell counts via two windows on ONE
+    // ctx-partitioned shuffle); target policy = the deterministic
+    // hour rule (click before noon, view after). IPS = mean of
+    // matched-round reward/p̂ and SNIPS = its self-normalized form;
+    // per-row IEEE terms round 12 dp into decimal (q142's order-free
+    // sum at row grain — q233's precedent), each estimator divides
+    // once, 6 dp. ONE fact scan.
+    "q290_ips_offline_eval" -> { (s, dir) =>
+      val wCtx = Window.partitionBy("ctx")
+      val wCell = Window.partitionBy("ctx", "action")
+      val t = Tables(s, dir, "events")
+        .select(hour(col("ts")).as("ctx"),
+                col("event_type").as("action"),
+                round(col("value") * 100).cast("long").as("r"))
+        .withColumn("pi_a",
+          when(col("ctx") < 12, "click").otherwise("view"))
+        .withColumn("phat",
+          d(count(lit(1)).over(wCell)) / d(count(lit(1)).over(wCtx)))
+        .withColumn("m", (col("action") === col("pi_a")).cast("long"))
+        .withColumn("w", d(col("m")) / col("phat"))
+        .withColumn("wr",
+          round(col("w") * d(col("r")) / 100.0, 12)
+            .cast("decimal(28,12)"))
+        .withColumn("wt", round(col("w"), 12).cast("decimal(28,12)"))
+      t.agg(count(lit(1)).as("n"),
+            sum(col("m")).as("n_matched"),
+            round(d(sum(col("wr"))) / d(count(lit(1))), 6).as("ips"),
+            round(d(sum(col("wr"))) / d(sum(col("wt"))), 6).as("snips"))
+    },
+
     // Exact stratified train/test split (added r12) — the experiment-
     // prep step between q226's leakage-safe GROUP split and q240's
     // class-balance report: per stratum (market segment), EXACTLY
@@ -752,6 +789,37 @@ object CausalOps extends OpModule {
         |  round(gap, 6) AS abs_gap,
         |  round(CAST(sum(term) OVER () AS DOUBLE), 6) AS ece
         |FROM y ORDER BY conf_cents""".stripMargin,
+
+    "q290_ips_offline_eval" ->
+      """WITH t AS (
+        |  SELECT CAST(hour(ts) AS INT) AS ctx, event_type AS action,
+        |    CAST(round(value * 100) AS BIGINT) AS r
+        |  FROM events),
+        |w AS (
+        |  SELECT *,
+        |    CASE WHEN ctx < 12 THEN 'click' ELSE 'view' END AS pi_a,
+        |    CAST(count(*) OVER (PARTITION BY ctx, action) AS DOUBLE) /
+        |    CAST(count(*) OVER (PARTITION BY ctx) AS DOUBLE) AS phat
+        |  FROM t),
+        |x AS (
+        |  SELECT *,
+        |    CASE WHEN action = pi_a THEN 1 ELSE 0 END AS m,
+        |    CAST(CASE WHEN action = pi_a THEN 1 ELSE 0 END AS DOUBLE) /
+        |      phat AS wgt
+        |  FROM w),
+        |y AS (
+        |  SELECT *,
+        |    CAST(round(wgt * CAST(r AS DOUBLE) / 100.0, 12)
+        |         AS DECIMAL(28,12)) AS wr,
+        |    CAST(round(wgt, 12) AS DECIMAL(28,12)) AS wt
+        |  FROM x)
+        |SELECT count(*) AS n,
+        |  CAST(sum(m) AS BIGINT) AS n_matched,
+        |  round(CAST(sum(wr) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS ips,
+        |  round(CAST(sum(wr) AS DOUBLE) / CAST(sum(wt) AS DOUBLE), 6)
+        |    AS snips
+        |FROM y""".stripMargin,
 
     "q281_stratified_split" ->
       """WITH c AS (

@@ -3319,4 +3319,31 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(got == want)
     assert(want.nonEmpty) // non-vacuous at the test SF
   }
+
+  test("q290 IPS/SNIPS match a brute-force replay walk") {
+    val logs = Tables(spark, sf, "events")
+      .select(hour(col("ts")), col("event_type"),
+              round(col("value") * 100).cast("long"))
+      .as[(Int, String, Long)].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val ctxN = logs.groupBy(_._1).map { case (c, g) => c -> g.size }
+    val cellN = logs.groupBy(l => (l._1, l._2))
+      .map { case (k, g) => k -> g.size }
+    val terms = logs.map { case (ctx, a, r) =>
+      val pi = if (ctx < 12) "click" else "view"
+      val m = if (a == pi) 1L else 0L
+      val w = m.toDouble / (cellN((ctx, a)).toDouble / ctxN(ctx))
+      (m, r12(w * r / 100.0), r12(w))
+    }
+    val n = logs.size.toLong
+    val sumWr = terms.map(_._2).sum.toDouble
+    val want = (n, terms.map(_._1).sum,
+                r6(sumWr / n), r6(sumWr / terms.map(_._3).sum.toDouble))
+    val got = q("q290_ips_offline_eval")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(got == want)
+  }
 }
