@@ -830,6 +830,107 @@ object TimeWindowOps extends OpModule {
         .orderBy("event_type")
     },
 
+    // Autocorrelation function (added r12) — the standard time-series
+    // diagnostic the family still lacked: q250 cross-correlates TWO
+    // series; this is the daily-revenue series against ITSELF at lags
+    // 1–7 (weekly structure shows as a lag-7 spike; a near-1 lag-1
+    // says naive forecasts are hard to beat — the read that justifies
+    // q161/q258's seasonal-naive baseline). The textbook estimator
+    // r_k = Σ(y_t−ȳ)(y_{t+k}−ȳ)/Σ(y_t−ȳ)² clears its denominators to
+    // pure integers: n²·num_k = n²·Σy_t·y_{t+k} − n·S·(A_k+B_k) +
+    // (n−k)·S², n²·den = n·(nQ−S²) — all decimal(38,0) folds over the
+    // PINNED calendar-bounded cell table, one division per lag, 6 dp.
+    // All 7 lags come from ONE day-ordered window pass (7 stacked
+    // leads); lag = positions in day order (declared; gaps are a data
+    // property, not resampled away).
+    "q291_acf" -> { (s, dir) =>
+      def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+      def pin(df: DataFrame) = org.apache.spark.sql.graft.InternalPin.pin(df)
+      val (cells, h) = pin(Tables(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y")))
+      h.count(); graft.PinScope.retain(h)
+      val W = org.apache.spark.sql.expressions.Window
+      val wOrd = W.orderBy("day")
+      val led = cells.select(
+        Seq(col("y").cast("decimal(38,0)").as("y")) ++
+        (1 to 7).map(k => lead("y", k).over(wOrd)
+          .cast("decimal(38,0)").as(s"l$k")): _*)
+      val aggCols =
+        Seq(count(lit(1)).as("n"), sum(col("y")).as("s"),
+            sum(col("y") * col("y")).as("q")) ++
+        (1 to 7).flatMap(k => Seq(
+          sum(col("y") * col(s"l$k")).as(s"p$k"),
+          sum(when(col(s"l$k").isNotNull, col("y"))).as(s"a$k"),
+          sum(col(s"l$k")).as(s"b$k")))
+      val agg = led.agg(aggCols.head, aggCols.tail: _*)
+      val stackExpr = (1 to 7).map(k =>
+        s"$k, cast(n - $k as bigint), p$k, a$k, b$k").mkString(", ")
+      agg.select(col("n"), col("s"), col("q"),
+          expr(s"stack(7, $stackExpr) AS (lag, n_pairs, p, a, b)"))
+        .select(col("lag"), col("n_pairs"),
+          round(dd(col("n").cast("decimal(38,0)") * col("n") * col("p") -
+                   col("n").cast("decimal(38,0)") * col("s") *
+                     (col("a") + col("b")) +
+                   (col("n") - col("lag")) * col("s") * col("s")) /
+                dd(col("n").cast("decimal(38,0)") *
+                   (col("n").cast("decimal(38,0)") * col("q") -
+                    col("s") * col("s"))), 6).as("acf"))
+        .orderBy("lag")
+    },
+
+    // Theil–Sen robust trend (added r12) — the slope q147's OLS family
+    // reports gets dragged by the exact outlier days q276 flags; the
+    // median of all pairwise slopes has a 29% breakdown point and is
+    // the robust line a revenue dashboard should quote next to OLS.
+    // Pairs live on the CALENDAR-bounded daily cell table (pinned), so
+    // the O(days²) pair set is a fixed ~3M rows at ANY corpus size —
+    // the classic case where quadratic-in-cells beats linear-in-facts.
+    // Each pairwise slope is one IEEE division of exact ints (<2^53 ⇒
+    // bit-identical, so ordering agrees); the median is the DECLARED
+    // lower median via row_number selection (slope, then day pair).
+    // OLS slope from the same cells (q147's cleared-denominator form)
+    // rides along for the robust-vs-LS contrast.
+    "q292_theil_sen" -> { (s, dir) =>
+      def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+      def pin(df: DataFrame) = org.apache.spark.sql.graft.InternalPin.pin(df)
+      val (cells, h) = pin(Tables(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")),
+                          lit("1995-01-01").cast("date")).cast("long")
+                   .as("d"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y")))
+      h.count(); graft.PinScope.retain(h)
+      val a = cells.select(col("d").as("di"), col("y").as("yi"))
+      val b = cells.select(col("d").as("dj"), col("y").as("yj"))
+      val slopes = a.join(b, col("di") < col("dj"))
+        .select(col("di"), col("dj"),
+                (dd(col("yj") - col("yi")) / dd(col("dj") - col("di")))
+                  .as("sl"))
+      val W = org.apache.spark.sql.expressions.Window
+      val wOrd = W.orderBy("sl", "di", "dj")
+      val wAll = W.partitionBy(lit(1))
+      val med = slopes
+        .withColumn("rn", row_number().over(wOrd).cast("long"))
+        .withColumn("m", count(lit(1)).over(wAll))
+        .where(col("rn") === expr("(m + 1) div 2"))
+        .select(col("m").as("n_pairs"),
+                round(col("sl") / 100.0, 6).as("ts_slope"))
+      val ols = cells.agg(
+          count(lit(1)).as("n"),
+          sum(col("d").cast("decimal(38,0)")).as("sx"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum(col("d").cast("decimal(38,0)") * col("d")).as("sxx"),
+          sum(col("d").cast("decimal(38,0)") * col("y")).as("sxy"))
+        .select(col("n").as("n_days"),
+          round(dd(col("n").cast("decimal(38,0)") * col("sxy") -
+                   col("sx") * col("sy")) /
+                dd(col("n").cast("decimal(38,0)") * col("sxx") -
+                   col("sx") * col("sx")) / 100.0, 6).as("ols_slope"))
+      med.crossJoin(broadcast(ols))
+        .select(col("n_days"), col("n_pairs"), col("ts_slope"),
+                col("ols_slope"))
+    },
+
     // Level-1 sequential-pattern support (added r12) — the SUBSEQUENCE
     // semantics the adjacency pair (q130 transitions, q191 trigrams)
     // cannot express: "a then b" counts a user if ANY a-occurrence
@@ -1460,6 +1561,74 @@ object TimeWindowOps extends OpModule {
         |                      AS DECIMAL(28,6))) AS DOUBLE) /
         |        CAST(count(*) AS DOUBLE), 6) AS smape
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same cleared-denominator integer estimator, HUGEINT folds
+    "q291_acf" -> {
+      val leads = (1 to 7).map(k =>
+        s"CAST(lead(y, $k) OVER (ORDER BY day) AS HUGEINT) AS l$k")
+        .mkString(",\n        |    ")
+      val aggs = (1 to 7).map(k =>
+        s"""sum(y * l$k) AS p$k,
+           |    sum(CASE WHEN l$k IS NOT NULL THEN y END) AS a$k,
+           |    sum(l$k) AS b$k""".stripMargin).mkString(",\n    ")
+      val branches = (1 to 7).map(k =>
+        s"SELECT $k AS lag, CAST(n - $k AS BIGINT) AS n_pairs, " +
+        s"p$k AS p, a$k AS a, b$k AS b, n, s, q FROM ag")
+        .mkString("\n  UNION ALL ")
+      s"""WITH cells AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+         |  FROM orders GROUP BY 1),
+         |led AS (
+         |  SELECT CAST(y AS HUGEINT) AS y,
+         |    $leads
+         |  FROM cells),
+         |ag AS (
+         |  SELECT count(*) AS n, sum(y) AS s, sum(y * y) AS q,
+         |    $aggs
+         |  FROM led),
+         |u AS (
+         |  $branches)
+         |SELECT lag, n_pairs,
+         |  round(CAST(CAST(n AS HUGEINT) * n * p -
+         |             CAST(n AS HUGEINT) * s * (a + b) +
+         |             (n - lag) * s * s AS DOUBLE) /
+         |        CAST(CAST(n AS HUGEINT) *
+         |             (CAST(n AS HUGEINT) * q - s * s) AS DOUBLE), 6)
+         |    AS acf
+         |FROM u ORDER BY lag""".stripMargin
+    },
+
+    "q292_theil_sen" ->
+      """WITH cells AS (
+        |  SELECT CAST(datediff('day', DATE '1995-01-01',
+        |                       CAST(o_orderdate AS DATE)) AS BIGINT)
+        |    AS d,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+        |  FROM orders GROUP BY 1),
+        |sl AS (
+        |  SELECT a.d AS di, b.d AS dj,
+        |    CAST(b.y - a.y AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS sl
+        |  FROM cells a JOIN cells b ON a.d < b.d),
+        |r AS (
+        |  SELECT *, row_number() OVER (ORDER BY sl, di, dj) AS rn,
+        |    count(*) OVER () AS m
+        |  FROM sl),
+        |med AS (
+        |  SELECT CAST(m AS BIGINT) AS n_pairs,
+        |    round(sl / 100.0, 6) AS ts_slope
+        |  FROM r WHERE rn = (m + 1) // 2),
+        |ols AS (
+        |  SELECT count(*) AS n, sum(CAST(d AS HUGEINT)) AS sx,
+        |    sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(d AS HUGEINT) * d) AS sxx,
+        |    sum(CAST(d AS HUGEINT) * y) AS sxy
+        |  FROM cells)
+        |SELECT CAST(n AS BIGINT) AS n_days, n_pairs, ts_slope,
+        |  round(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) /
+        |        CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) /
+        |        100.0, 6) AS ols_slope
+        |FROM med, ols""".stripMargin,
 
     // plain two-table formulation: per-user per-type envelopes, pair
     // supported iff min(a) < max(b); denominator = distinct users

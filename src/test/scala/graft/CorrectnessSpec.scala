@@ -3346,4 +3346,58 @@ class CorrectnessSpec extends SparkSpecBase {
       .as[(Long, Long, Double, Double)].collect().head
     assert(got == want)
   }
+
+  test("q291 ACF matches a brute-force series walk") {
+    val cells = Tables(spark, sf, "orders")
+      .select(to_date(col("o_orderdate")).cast("string"),
+              round(col("o_totalprice") * 100).cast("long"))
+      .as[(String, Long)].collect().toSeq
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, g) => BigInt(g.map(_._2).sum) }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val n = BigInt(cells.size)
+    val sS = cells.sum
+    val qS = cells.map(y => y * y).sum
+    val want = (1 to 7).map { k =>
+      val pairs = cells.dropRight(k).zip(cells.drop(k))
+      val p = pairs.map { case (a, b) => a * b }.sum
+      val aS = pairs.map(_._1).sum
+      val bS = pairs.map(_._2).sum
+      (k, (n - k).toLong,
+       r6((n * n * p - n * sS * (aS + bS) + (n - k) * sS * sS).toDouble /
+          (n * (n * qS - sS * sS)).toDouble))
+    }
+    val got = q("q291_acf").as[(Int, Long, Double)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("q292 Theil-Sen matches a brute-force pairwise-slope walk") {
+    val cells = Tables(spark, sf, "orders")
+      .select(datediff(to_date(col("o_orderdate")),
+                       lit("1995-01-01").cast("date")).cast("long"),
+              round(col("o_totalprice") * 100).cast("long"))
+      .as[(Long, Long)].collect().toSeq
+      .groupBy(_._1).toSeq.map { case (d, g) => (d, g.map(_._2).sum) }
+      .sortBy(_._1)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val slopes = (for (a <- cells; b <- cells if a._1 < b._1)
+      yield (a._1, b._1,
+             (b._2 - a._2).toDouble / (b._1 - a._1).toDouble))
+      .sortBy(p => (p._3, p._1, p._2))
+    val m = slopes.size
+    val med = slopes((m + 1) / 2 - 1)._3
+    val n = BigInt(cells.size)
+    val sx = cells.map(c => BigInt(c._1)).sum
+    val sy = cells.map(c => BigInt(c._2)).sum
+    val sxx = cells.map(c => BigInt(c._1) * c._1).sum
+    val sxy = cells.map(c => BigInt(c._1) * c._2).sum
+    val ols = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    val want = (cells.size.toLong, m.toLong, r6(med / 100.0),
+                r6(ols / 100.0))
+    val got = q("q292_theil_sen")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(got == want)
+  }
 }
