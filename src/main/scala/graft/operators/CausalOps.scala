@@ -449,6 +449,40 @@ object CausalOps extends OpModule {
             round(d(sum(col("wr"))) / d(sum(col("wt"))), 6).as("snips"))
     },
 
+    // k-anonymity / l-diversity audit (added r12) — the GOVERNANCE
+    // gate a dataset passes before an export or a training run: under
+    // the quasi-identifier set (nation, $100 balance band), how close
+    // is each customer to unique? Report the equivalence-class-size
+    // histogram (size-1 classes = directly re-identifiable rows; the
+    // k in "k-anonymous" is the smallest size present) and, per size,
+    // the worst-case l-diversity of the sensitive attribute (market
+    // segment) — a class can be large yet leak the sensitive value if
+    // all members share it (l=1, the homogeneity attack). ONE scan
+    // folds rows to QI classes (exact counts + exact distinct), a
+    // second cell-bound agg folds classes to the ≤|sizes| histogram;
+    // shares divide exact counts once, 6 dp.
+    "q293_k_anonymity" -> { (s, dir) =>
+      val classes = Tables(s, dir, "customer")
+        .select(col("c_nationkey").as("nat"),
+                expr("(cast(round(c_acctbal * 100) as bigint) + 100000)" +
+                     " div 10000").as("band"),
+                col("c_mktsegment").as("sens"))
+        .groupBy("nat", "band")
+        .agg(count(lit(1)).as("sz"),
+             countDistinct(col("sens")).as("l"))
+      val wAll = Window.partitionBy(lit(1))
+      classes.groupBy("sz")
+        .agg(count(lit(1)).as("n_classes"),
+             sum(col("sz")).cast("long").as("n_rows"),
+             min(col("l")).as("l_min"))
+        .withColumn("row_share",
+          round(d(col("n_rows")) /
+                d(sum(col("n_rows")).over(wAll)), 6))
+        .select(col("sz").as("class_size"), col("n_classes"),
+                col("n_rows"), col("l_min"), col("row_share"))
+        .orderBy("class_size")
+    },
+
     // Exact stratified train/test split (added r12) — the experiment-
     // prep step between q226's leakage-safe GROUP split and q240's
     // class-balance report: per stratum (market segment), EXACTLY
@@ -820,6 +854,24 @@ object CausalOps extends OpModule {
         |  round(CAST(sum(wr) AS DOUBLE) / CAST(sum(wt) AS DOUBLE), 6)
         |    AS snips
         |FROM y""".stripMargin,
+
+    "q293_k_anonymity" ->
+      """WITH classes AS (
+        |  SELECT c_nationkey AS nat,
+        |    (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 10000
+        |      AS band,
+        |    count(*) AS sz,
+        |    count(DISTINCT c_mktsegment) AS l
+        |  FROM customer GROUP BY 1, 2),
+        |h AS (
+        |  SELECT sz, count(*) AS n_classes,
+        |    CAST(sum(sz) AS BIGINT) AS n_rows,
+        |    CAST(min(l) AS BIGINT) AS l_min
+        |  FROM classes GROUP BY 1)
+        |SELECT sz AS class_size, n_classes, n_rows, l_min,
+        |  round(CAST(n_rows AS DOUBLE) /
+        |        CAST(sum(n_rows) OVER () AS DOUBLE), 6) AS row_share
+        |FROM h ORDER BY class_size""".stripMargin,
 
     "q281_stratified_split" ->
       """WITH c AS (

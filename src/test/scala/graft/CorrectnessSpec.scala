@@ -3400,4 +3400,27 @@ class CorrectnessSpec extends SparkSpecBase {
       .as[(Long, Long, Double, Double)].collect().head
     assert(got == want)
   }
+
+  test("q293 k-anonymity matches a brute-force class walk") {
+    val c = Tables(spark, sf, "customer")
+      .select(col("c_nationkey").cast("long"),
+              round(col("c_acctbal") * 100).cast("long"),
+              col("c_mktsegment"))
+      .as[(Long, Long, String)].collect().toSeq
+      .map { case (nat, cents, seg) =>
+        ((nat, (cents + 100000L) / 10000L), seg) }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val classes = c.groupBy(_._1).values
+      .map(g => (g.size.toLong, g.map(_._2).distinct.size.toLong)).toSeq
+    val total = classes.map(_._1).sum.toDouble
+    val want = classes.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (sz, g) =>
+        (sz, g.size.toLong, sz * g.size, g.map(_._2).min,
+         r6(sz * g.size / total))
+    }
+    val got = q("q293_k_anonymity")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == want)
+  }
 }
