@@ -483,6 +483,59 @@ object CausalOps extends OpModule {
         .orderBy("class_size")
     },
 
+    // Decision-stump split search (added r12) — the primitive inside
+    // every tree learner, as a first-class operator: for each feature
+    // (discount cents, quantity), the threshold minimizing the
+    // weighted Gini impurity of the return-flag label, with the
+    // impurity gain over the unsplit parent. The search runs entirely
+    // on VALUE-GROUP tables (q247's discipline): one unpivoted scan
+    // folds both features' (feature, value) label counts, cumulative
+    // windows turn each candidate threshold into exact (n_left,
+    // pos_left) integers, and the weighted Gini is a fixed-order
+    // double formula over those exact counts (bit-identical in both
+    // engines ⇒ the argmin agrees; ties take the smaller threshold,
+    // declared). Candidates are domain-bound (|values| per feature) at
+    // any corpus size; the argmin is one row_number per feature.
+    "q294_best_split" -> { (s, dir) =>
+      val rows = Tables(s, dir, "lineitem")
+        .select(when(col("l_returnflag") === "R", 1L).otherwise(0L)
+                  .as("y"),
+                round(col("l_discount") * 100).cast("long").as("disc"),
+                col("l_quantity").cast("long").as("qty"))
+        .select(expr("stack(2, 'discount_cents', disc, 'quantity', qty)" +
+                     " AS (feature, v)"), col("y"))
+      val vg = rows.groupBy("feature", "v")
+        .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+      val wOrd = Window.partitionBy("feature").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy("feature")
+      val cand = vg
+        .withColumn("cn", sum("n").over(wOrd))
+        .withColumn("cp", sum("pos").over(wOrd))
+        .withColumn("nn", sum("n").over(wAll))
+        .withColumn("pp", sum("pos").over(wAll))
+        .where(col("cn") < col("nn")) // last boundary splits nothing
+      def gini(n: Column, p: Column) =
+        lit(1.0) - (d(p) / d(n)) * (d(p) / d(n)) -
+          (d(n - p) / d(n)) * (d(n - p) / d(n))
+      val scored = cand
+        .withColumn("g_parent", gini(col("nn"), col("pp")))
+        .withColumn("g_split",
+          d(col("cn")) / d(col("nn")) * gini(col("cn"), col("cp")) +
+          d(col("nn") - col("cn")) / d(col("nn")) *
+            gini(col("nn") - col("cn"), col("pp") - col("cp")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("feature")
+            .orderBy(col("g_split").asc, col("v").asc)))
+      scored.where(col("rn") === 1)
+        .select(col("feature"), col("v").as("threshold"),
+                col("cn").as("n_left"),
+                round(col("g_parent"), 6).as("parent_gini"),
+                round(col("g_split"), 6).as("split_gini"),
+                round(col("g_parent") - col("g_split"), 6).as("gain"))
+        .orderBy("feature")
+    },
+
     // Exact stratified train/test split (added r12) — the experiment-
     // prep step between q226's leakage-safe GROUP split and q240's
     // class-balance report: per stratum (market segment), EXACTLY
@@ -854,6 +907,60 @@ object CausalOps extends OpModule {
         |  round(CAST(sum(wr) AS DOUBLE) / CAST(sum(wt) AS DOUBLE), 6)
         |    AS snips
         |FROM y""".stripMargin,
+
+    "q294_best_split" ->
+      """WITH rows_ AS (
+        |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS disc,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem),
+        |u AS (
+        |  SELECT 'discount_cents' AS feature, disc AS v, y FROM rows_
+        |  UNION ALL SELECT 'quantity', qty, y FROM rows_),
+        |vg AS (
+        |  SELECT feature, v, count(*) AS n, sum(y) AS pos
+        |  FROM u GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT *,
+        |    sum(n) OVER (PARTITION BY feature ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+        |    sum(pos) OVER (PARTITION BY feature ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+        |    sum(n) OVER (PARTITION BY feature) AS nn,
+        |    sum(pos) OVER (PARTITION BY feature) AS pp
+        |  FROM vg),
+        |scored AS (
+        |  SELECT *,
+        |    1.0 - (CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE)) *
+        |          (CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE)) -
+        |          (CAST(nn - pp AS DOUBLE) / CAST(nn AS DOUBLE)) *
+        |          (CAST(nn - pp AS DOUBLE) / CAST(nn AS DOUBLE))
+        |      AS g_parent,
+        |    CAST(cn AS DOUBLE) / CAST(nn AS DOUBLE) *
+        |      (1.0 - (CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE)) *
+        |             (CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE)) -
+        |             (CAST(cn - cp AS DOUBLE) / CAST(cn AS DOUBLE)) *
+        |             (CAST(cn - cp AS DOUBLE) / CAST(cn AS DOUBLE))) +
+        |    CAST(nn - cn AS DOUBLE) / CAST(nn AS DOUBLE) *
+        |      (1.0 - (CAST(pp - cp AS DOUBLE) /
+        |              CAST(nn - cn AS DOUBLE)) *
+        |             (CAST(pp - cp AS DOUBLE) /
+        |              CAST(nn - cn AS DOUBLE)) -
+        |             (CAST((nn - cn) - (pp - cp) AS DOUBLE) /
+        |              CAST(nn - cn AS DOUBLE)) *
+        |             (CAST((nn - cn) - (pp - cp) AS DOUBLE) /
+        |              CAST(nn - cn AS DOUBLE)))
+        |      AS g_split
+        |  FROM cand WHERE cn < nn),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY feature
+        |    ORDER BY g_split ASC, v ASC) AS rn
+        |  FROM scored)
+        |SELECT feature, v AS threshold, CAST(cn AS BIGINT) AS n_left,
+        |  round(g_parent, 6) AS parent_gini,
+        |  round(g_split, 6) AS split_gini,
+        |  round(g_parent - g_split, 6) AS gain
+        |FROM r WHERE rn = 1 ORDER BY feature""".stripMargin,
 
     "q293_k_anonymity" ->
       """WITH classes AS (

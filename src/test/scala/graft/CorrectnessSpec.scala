@@ -3423,4 +3423,40 @@ class CorrectnessSpec extends SparkSpecBase {
       .as[(Long, Long, Long, Long, Double)].collect().toSeq
     assert(got == want)
   }
+
+  test("q294 best split matches a brute-force threshold walk") {
+    val rows = Tables(spark, sf, "lineitem")
+      .select(col("l_returnflag") === "R",
+              round(col("l_discount") * 100).cast("long"),
+              col("l_quantity").cast("long"))
+      .as[(Boolean, Long, Long)].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def gini(n: Long, p: Long): Double = {
+      val pd = p.toDouble / n; val qd = (n - p).toDouble / n
+      1.0 - pd * pd - qd * qd
+    }
+    def best(f: String, vals: Seq[(Long, Boolean)]) = {
+      val nn = vals.size.toLong
+      val pp = vals.count(_._2).toLong
+      val gParent = gini(nn, pp)
+      val cand = vals.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (v, g) => (v, g.size.toLong, g.count(_._2).toLong) }
+        .scanLeft((0L, 0L, 0L)) { case ((_, cn, cp), (v, n, p)) =>
+          (v, cn + n, cp + p) }.drop(1)
+        .filter(_._2 < nn)
+        .map { case (v, cn, cp) =>
+          val g = cn.toDouble / nn * gini(cn, cp) +
+            (nn - cn).toDouble / nn * gini(nn - cn, pp - cp)
+          (v, cn, g) }
+      val (v, cn, g) = cand.minBy(c => (c._3, c._1))
+      (f, v, cn, r6(gParent), r6(g), r6(gParent - g))
+    }
+    val want = Seq(
+      best("discount_cents", rows.map(r => (r._2, r._1))),
+      best("quantity", rows.map(r => (r._3, r._1))))
+    val got = q("q294_best_split")
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == want)
+  }
 }
