@@ -952,6 +952,84 @@ object SimilarityExtOps extends OpModule {
         .orderBy("id_a", "id_b")
     },
 
+    // PCA top component via fixed-point power iteration (added r12) —
+    // the dimensionality-reduction member the embedding family lacked:
+    // the corpus's principal direction and its explained-variance
+    // share, the first diagnostic before choosing an index/codebook
+    // dimensionality (q73/q107) and the axis q283's drift projects
+    // onto. The DISTRIBUTED work is the covariance fold: quantized
+    // vectors (1e-6 BIGINT µ-units) expand to (i, j, q_i·q_j) products
+    // — exactly the O(n·d²) FLOPs the covariance needs — map-side
+    // combined into d² decimal cells plus a d-row mean vector (two
+    // column-pruned scans). The 64×64 matrix is an aggregate smaller
+    // than the output, so the eigensolve runs driver-side in BigInt
+    // (q279's contract): C = n·S2 − S1S1ᵀ, pre-scaled by
+    // max(1, max|C| div 1e9) (truncating division, matching DuckDB's
+    // // exactly — keeps later products in 64-bit range at ANY corpus
+    // size), then 120 power
+    // steps w = C·v with integer max-normalization v = w·1e6 div
+    // max|w| (120 steps: convergence goes as (λ2/λ1)^k and this
+    // corpus's spectrum is flat — measured cos-to-eigenvector 0.79 at
+    // 20 steps, 0.9999998 at 120). All arithmetic integer ⇒ the oracle's generated
+    // 20-step CTE chain reproduces it bit-for-bit. Sign declared:
+    // the largest-|loading| dimension (tie: lowest index) loads
+    // positive. Output: per-dim unit-L2 loadings + the Rayleigh
+    // explained-variance share (computed over the scaled matrix,
+    // declared).
+    "q295_pca_power" -> { (s, dir) =>
+      import s.implicits._
+      val Steps = 120
+      val qCol = expr("transform(embedding, x -> " +
+        "cast(round(cast(x as double) * 1000000) as bigint))")
+      def lvl1 = Tables(s, dir, "embeddings").select(qCol.as("q"))
+        .select(posexplode(col("q")).as(Seq("i", "a")), col("q"))
+      val s2 = lvl1
+        .select(col("i"), col("a"),
+                posexplode(col("q")).as(Seq("j", "b")))
+        .groupBy("i", "j")
+        .agg(sum(col("a").cast("decimal(38,0)") * col("b")).as("s2"))
+        .collect().map(r => ((r.getInt(0), r.getInt(1)),
+                             BigInt(r.getDecimal(2).toBigInteger)))
+        .toMap
+      val s1rows = lvl1.groupBy("i")
+        .agg(sum(col("a").cast("decimal(38,0)")).as("s1"),
+             count(lit(1)).as("n"))
+        .collect().map(r => (r.getInt(0),
+          BigInt(r.getDecimal(1).toBigInteger), r.getLong(2)))
+      val dims = s1rows.length
+      val n = BigInt(s1rows.head._3)
+      val s1 = s1rows.map(r => r._1 -> r._2).toMap
+      val c0 = Array.tabulate(dims, dims)((i, j) =>
+        n * s2((i, j)) - s1(i) * s1(j))
+      val maxAbs = c0.flatten.map(_.abs).max
+      val scl = (maxAbs / BigInt(1000000000L)).max(BigInt(1))
+      val c = c0.map(_.map(_ / scl)) // BigInt / truncates like DuckDB //
+      var v = Array.fill(dims)(BigInt(1000000L))
+      for (_ <- 1 to Steps) {
+        val w = Array.tabulate(dims)(i =>
+          (0 until dims).map(j => c(i)(j) * v(j)).sum)
+        val m = w.map(_.abs).max
+        v = w.map(x => (x * 1000000L) / m)
+      }
+      val dmax = (0 until dims)
+        .maxBy(i => (v(i).abs, BigInt(-i)))
+      if (v(dmax).signum < 0) v = v.map(-_)
+      val norm = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      val vtv = v.map(x => x * x).sum
+      val ray = (for (i <- 0 until dims; j <- 0 until dims)
+        yield c(i)(j) * v(i) * v(j)).sum
+      val trace = (0 until dims).map(i => c(i)(i)).sum
+      val varExp = (ray.toDouble / vtv.toDouble) / trace.toDouble
+      val varExpR = BigDecimal(varExp)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (0 until dims).map(i => (i,
+          BigDecimal(v(i).toDouble / norm)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          varExpR))
+        .toDF("dim", "loading", "var_explained")
+        .orderBy("dim")
+    },
+
     // Embedding-space source drift (added r12) — the SEMANTIC tier of
     // the per-source DQ family: q211 measures each ingest source's
     // duplicate rate and q262 its lexical mirroring; this measures
@@ -1593,6 +1671,76 @@ object SimilarityExtOps extends OpModule {
         |  FROM cells WHERE n < 3)
         |SELECT * FROM cl UNION ALL SELECT * FROM noise
         |ORDER BY n_points DESC, cluster_id""".stripMargin,
+
+    // the same integer pipeline re-derived: covariance from zipped
+    // unnests, 120 power steps as generated MATERIALIZED CTEs (plain
+    // CTE inlining re-evaluates the chain exponentially), truncating
+    // division (//) matching BigInt / throughout
+    "q295_pca_power" -> {
+      val steps = (1 to 120).map { k =>
+        s"""w$k AS MATERIALIZED (
+           |  SELECT c.i, sum(c.cv * v.val) AS w
+           |  FROM cs c JOIN v${k - 1} v ON c.j = v.i GROUP BY 1),
+           |m$k AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w$k),
+           |v$k AS MATERIALIZED (
+           |  SELECT i, (w * 1000000) // (SELECT m FROM m$k)
+           |    AS val FROM w$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+         |    AS q
+         |  FROM embeddings),
+         |l1 AS MATERIALIZED (
+         |  SELECT q, unnest(q) AS a,
+         |    unnest(range(0, len(q))) AS i
+         |  FROM e),
+         |cells AS MATERIALIZED (
+         |  SELECT i, j, sum(CAST(a AS HUGEINT) * b) AS s2
+         |  FROM (SELECT i, a, unnest(q) AS b,
+         |          unnest(range(0, len(q))) AS j
+         |        FROM l1)
+         |  GROUP BY 1, 2),
+         |s1 AS MATERIALIZED (
+         |  SELECT i, sum(CAST(a AS HUGEINT)) AS s1, count(*) AS n
+         |  FROM l1 GROUP BY 1),
+         |cmat AS MATERIALIZED (
+         |  SELECT c.i, c.j,
+         |    (SELECT max(n) FROM s1) * c.s2 - x.s1 * y.s1 AS cv
+         |  FROM cells c JOIN s1 x ON c.i = x.i JOIN s1 y ON c.j = y.i),
+         |scl AS (
+         |  SELECT greatest(CAST(1 AS HUGEINT),
+         |                  max(abs(cv)) // 1000000000) AS s
+         |  FROM cmat),
+         |cs AS MATERIALIZED (
+         |  SELECT i, j, cv // (SELECT s FROM scl) AS cv FROM cmat),
+         |v0 AS MATERIALIZED (
+         |  SELECT i, CAST(1000000 AS HUGEINT) AS val FROM s1),
+         |$steps,
+         |pick AS (
+         |  SELECT i, val FROM v120
+         |  ORDER BY abs(val) DESC, i ASC LIMIT 1),
+         |sgn AS (
+         |  SELECT CASE WHEN (SELECT val FROM pick) < 0 THEN -1
+         |              ELSE 1 END AS g),
+         |fin AS MATERIALIZED (
+         |  SELECT i, val * (SELECT g FROM sgn) AS val FROM v120),
+         |nrm AS (
+         |  SELECT sqrt(sum(CAST(val AS DOUBLE) * CAST(val AS DOUBLE)))
+         |    AS nr,
+         |    sum(val * val) AS vtv
+         |  FROM fin),
+         |ray AS (
+         |  SELECT sum(c.cv * a.val * b.val) AS r
+         |  FROM cs c JOIN fin a ON c.i = a.i JOIN fin b ON c.j = b.i),
+         |tr AS (SELECT sum(cv) AS t FROM cs WHERE i = j)
+         |SELECT f.i AS dim,
+         |  round(CAST(f.val AS DOUBLE) / n.nr, 6) AS loading,
+         |  round(CAST(r.r AS DOUBLE) / CAST(n.vtv AS DOUBLE) /
+         |        CAST(t.t AS DOUBLE), 6) AS var_explained
+         |FROM fin f, nrm n, ray r, tr t
+         |ORDER BY dim""".stripMargin
+    },
 
     // the INDEPENDENT quadratic self-join — the grid must be invisible
     "q289_spatial_join" ->

@@ -3459,4 +3459,40 @@ class CorrectnessSpec extends SparkSpecBase {
       .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
     assert(got == want)
   }
+
+  test("q295 PCA direction agrees with an independent double-precision " +
+       "eigensolve") {
+    val vecs = Tables(spark, sf, "embeddings")
+      .select(expr("transform(embedding, x -> cast(x as double))"))
+      .as[Array[Double]].collect()
+    val dims = vecs.head.length
+    val n = vecs.length.toDouble
+    val mean = Array.tabulate(dims)(d0 => vecs.map(_(d0)).sum / n)
+    val cov = Array.tabulate(dims, dims)((i, j) =>
+      vecs.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / n)
+    var w = Array.fill(dims)(1.0)
+    for (_ <- 1 to 300) {
+      val nw = Array.tabulate(dims)(i =>
+        (0 until dims).map(j => cov(i)(j) * w(j)).sum)
+      val nn = math.sqrt(nw.map(x => x * x).sum)
+      w = nw.map(_ / nn)
+    }
+    val got = q("q295_pca_power")
+      .as[(Int, Double, Double)].collect().sortBy(_._1)
+    val loadings = got.map(_._2)
+    // unit norm
+    assert(math.abs(loadings.map(x => x * x).sum - 1.0) < 1e-4)
+    // direction agreement with the independent solve (sign-free)
+    val cos = math.abs(loadings.zip(w).map { case (a, b) => a * b }.sum)
+    assert(cos > 0.999, s"cosine to reference eigenvector: $cos")
+    // explained variance is a sane share and matches the reference
+    // Rayleigh quotient loosely (quantization + truncated iteration)
+    val ve = got.head._3
+    val lam = (0 until dims).map(i => (0 until dims)
+      .map(j => cov(i)(j) * w(j)).sum * w(i)).sum
+    val trace = (0 until dims).map(i => cov(i)(i)).sum
+    assert(ve > 0.0 && ve <= 1.0)
+    assert(math.abs(ve - lam / trace) < 0.01,
+           s"var_explained $ve vs reference ${lam / trace}")
+  }
 }
