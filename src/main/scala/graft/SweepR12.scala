@@ -59,7 +59,8 @@ object SweepR12 {
       "q284_assortativity", "q285_stream_cdc_apply", "q286_mcnemar",
       "q287_cohens_kappa", "q288_ece", "q289_spatial_join",
       "q290_ips_offline_eval", "q291_acf", "q292_theil_sen",
-      "q293_k_anonymity", "q294_best_split", "q295_pca_power")
+      "q293_k_anonymity", "q294_best_split", "q295_pca_power",
+      "q296_pc1_source_drift")
     // mode "x100": sweep against the 100x volume build at /tmp/sf100x
     // (tools/make100x.py defaults) instead of the 10x point — the r11
     // protocol asked at two orders. Remaining args subset the list.

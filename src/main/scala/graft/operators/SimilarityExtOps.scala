@@ -43,6 +43,53 @@ object SimilarityExtOps extends OpModule {
   private def pin(df: DataFrame) =
     org.apache.spark.sql.graft.InternalPin.pin(df)
 
+
+  /** Shared q295/q296 eigensolve: quantized covariance fold (the only
+    * distributed term) + the declared 120-step integer power iteration
+    * on the collected 64x64 aggregate. Returns (v fixed-point top
+    * component with declared sign, its L2 norm as double, the scaled
+    * integer covariance matrix). */
+  private def pcaTopComponent(s: SparkSession, dir: String)
+      : (Array[BigInt], Double, Array[Array[BigInt]]) = {
+    val Steps = 120
+    val qCol = expr("transform(embedding, x -> " +
+      "cast(round(cast(x as double) * 1000000) as bigint))")
+    def lvl1 = Tables(s, dir, "embeddings").select(qCol.as("q"))
+      .select(posexplode(col("q")).as(Seq("i", "a")), col("q"))
+    val s2 = lvl1
+      .select(col("i"), col("a"),
+              posexplode(col("q")).as(Seq("j", "b")))
+      .groupBy("i", "j")
+      .agg(sum(col("a").cast("decimal(38,0)") * col("b")).as("s2"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+                           BigInt(r.getDecimal(2).toBigInteger)))
+      .toMap
+    val s1rows = lvl1.groupBy("i")
+      .agg(sum(col("a").cast("decimal(38,0)")).as("s1"),
+           count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0),
+        BigInt(r.getDecimal(1).toBigInteger), r.getLong(2)))
+    val dims = s1rows.length
+    val n = BigInt(s1rows.head._3)
+    val s1 = s1rows.map(r => r._1 -> r._2).toMap
+    val c0 = Array.tabulate(dims, dims)((i, j) =>
+      n * s2((i, j)) - s1(i) * s1(j))
+    val maxAbs = c0.flatten.map(_.abs).max
+    val scl = (maxAbs / BigInt(1000000000L)).max(BigInt(1))
+    val c = c0.map(_.map(_ / scl)) // BigInt / truncates like DuckDB //
+    var v = Array.fill(dims)(BigInt(1000000L))
+    for (_ <- 1 to Steps) {
+      val w = Array.tabulate(dims)(i =>
+        (0 until dims).map(j => c(i)(j) * v(j)).sum)
+      val m = w.map(_.abs).max
+      v = w.map(x => (x * 1000000L) / m)
+    }
+    val dmax = (0 until dims).maxBy(i => (v(i).abs, BigInt(-i)))
+    if (v(dmax).signum < 0) v = v.map(-_)
+    val norm = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+    (v, norm, c)
+  }
+
   private val Planes = 16
   private val Bands = 2
   private val BandBits = Planes / Bands
@@ -978,43 +1025,8 @@ object SimilarityExtOps extends OpModule {
     // declared).
     "q295_pca_power" -> { (s, dir) =>
       import s.implicits._
-      val Steps = 120
-      val qCol = expr("transform(embedding, x -> " +
-        "cast(round(cast(x as double) * 1000000) as bigint))")
-      def lvl1 = Tables(s, dir, "embeddings").select(qCol.as("q"))
-        .select(posexplode(col("q")).as(Seq("i", "a")), col("q"))
-      val s2 = lvl1
-        .select(col("i"), col("a"),
-                posexplode(col("q")).as(Seq("j", "b")))
-        .groupBy("i", "j")
-        .agg(sum(col("a").cast("decimal(38,0)") * col("b")).as("s2"))
-        .collect().map(r => ((r.getInt(0), r.getInt(1)),
-                             BigInt(r.getDecimal(2).toBigInteger)))
-        .toMap
-      val s1rows = lvl1.groupBy("i")
-        .agg(sum(col("a").cast("decimal(38,0)")).as("s1"),
-             count(lit(1)).as("n"))
-        .collect().map(r => (r.getInt(0),
-          BigInt(r.getDecimal(1).toBigInteger), r.getLong(2)))
-      val dims = s1rows.length
-      val n = BigInt(s1rows.head._3)
-      val s1 = s1rows.map(r => r._1 -> r._2).toMap
-      val c0 = Array.tabulate(dims, dims)((i, j) =>
-        n * s2((i, j)) - s1(i) * s1(j))
-      val maxAbs = c0.flatten.map(_.abs).max
-      val scl = (maxAbs / BigInt(1000000000L)).max(BigInt(1))
-      val c = c0.map(_.map(_ / scl)) // BigInt / truncates like DuckDB //
-      var v = Array.fill(dims)(BigInt(1000000L))
-      for (_ <- 1 to Steps) {
-        val w = Array.tabulate(dims)(i =>
-          (0 until dims).map(j => c(i)(j) * v(j)).sum)
-        val m = w.map(_.abs).max
-        v = w.map(x => (x * 1000000L) / m)
-      }
-      val dmax = (0 until dims)
-        .maxBy(i => (v(i).abs, BigInt(-i)))
-      if (v(dmax).signum < 0) v = v.map(-_)
-      val norm = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      val (v, norm, c) = pcaTopComponent(s, dir)
+      val dims = v.length
       val vtv = v.map(x => x * x).sum
       val ray = (for (i <- 0 until dims; j <- 0 until dims)
         yield c(i)(j) * v(i) * v(j)).sum
@@ -1028,6 +1040,39 @@ object SimilarityExtOps extends OpModule {
           varExpR))
         .toDF("dim", "loading", "var_explained")
         .orderBy("dim")
+    },
+
+    // Per-source drift along the principal axis (added r12) — the
+    // COMPOSITION of q295's direction with q283's per-source question:
+    // project every embedding onto PC1 (one zip_with/aggregate
+    // map-side pass — exact BIGINT dot products against the 64
+    // integer loadings broadcast as literals) and report each ingest
+    // source's mean projection in embedding units. Sources whose text
+    // drifts along the corpus's dominant axis separate HERE first —
+    // the 1-D summary a monitoring dashboard trends per crawl. The
+    // eigensolve is shared with q295 (one declared algorithm, two
+    // consumers); the projection divides exact decimal sums once,
+    // 6 dp.
+    "q296_pc1_source_drift" -> { (s, dir) =>
+      val (v, norm, _) = pcaTopComponent(s, dir)
+      val vlit = array(v.map(x => lit(x.toLong)): _*)
+      val qCol = expr("transform(embedding, x -> " +
+        "cast(round(cast(x as double) * 1000000) as bigint))")
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), qCol.as("q"))
+        .withColumn("p", aggregate(
+          zip_with(col("q"), vlit, (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+        .join(docs, col("vec_id") === col("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+             sum(col("p").cast("decimal(38,0)")).as("sp"))
+        .select(col("source"), col("n"),
+          round(col("sp").cast("double") / col("n").cast("double") /
+                (lit(1000000.0) * lit(norm)), 6).as("mean_proj"))
+        .orderBy("source")
     },
 
     // Embedding-space source drift (added r12) — the SEMANTIC tier of
@@ -1187,6 +1232,67 @@ object SimilarityExtOps extends OpModule {
        |        SELECT *, row_number() OVER (PARTITION BY vec_id
        |                                     ORDER BY dist, cid) AS rn
        |        FROM d) WHERE rn = 1)""".stripMargin
+
+
+  /** Shared q295/q296 oracle prefix: quantized covariance, scaled
+    * integer matrix, and the 120 generated MATERIALIZED power-iteration
+    * CTEs (plain CTE inlining re-evaluates the chain exponentially),
+    * ending at `fin` (signed component) and `nrm` (its norm). */
+  private def pcaOracleCte: String = {
+    val steps = (1 to 120).map { k =>
+      s"""w$k AS MATERIALIZED (
+         |  SELECT c.i, sum(c.cv * v.val) AS w
+         |  FROM cs c JOIN v${k - 1} v ON c.j = v.i GROUP BY 1),
+         |m$k AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w$k),
+         |v$k AS MATERIALIZED (
+         |  SELECT i, (w * 1000000) // (SELECT m FROM m$k)
+         |    AS val FROM w$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+       |    AS q
+       |  FROM embeddings),
+       |l1 AS MATERIALIZED (
+       |  SELECT q, unnest(q) AS a,
+       |    unnest(range(0, len(q))) AS i
+       |  FROM e),
+       |cells AS MATERIALIZED (
+       |  SELECT i, j, sum(CAST(a AS HUGEINT) * b) AS s2
+       |  FROM (SELECT i, a, unnest(q) AS b,
+       |          unnest(range(0, len(q))) AS j
+       |        FROM l1)
+       |  GROUP BY 1, 2),
+       |s1 AS MATERIALIZED (
+       |  SELECT i, sum(CAST(a AS HUGEINT)) AS s1, count(*) AS n
+       |  FROM l1 GROUP BY 1),
+       |cmat AS MATERIALIZED (
+       |  SELECT c.i, c.j,
+       |    (SELECT max(n) FROM s1) * c.s2 - x.s1 * y.s1 AS cv
+       |  FROM cells c JOIN s1 x ON c.i = x.i JOIN s1 y ON c.j = y.i),
+       |scl AS (
+       |  SELECT greatest(CAST(1 AS HUGEINT),
+       |                  max(abs(cv)) // 1000000000) AS s
+       |  FROM cmat),
+       |cs AS MATERIALIZED (
+       |  SELECT i, j, cv // (SELECT s FROM scl) AS cv FROM cmat),
+       |v0 AS MATERIALIZED (
+       |  SELECT i, CAST(1000000 AS HUGEINT) AS val FROM s1),
+       |$steps,
+       |pick AS (
+       |  SELECT i, val FROM v120
+       |  ORDER BY abs(val) DESC, i ASC LIMIT 1),
+       |sgn AS (
+       |  SELECT CASE WHEN (SELECT val FROM pick) < 0 THEN -1
+       |              ELSE 1 END AS g),
+       |fin AS MATERIALIZED (
+       |  SELECT i, val * (SELECT g FROM sgn) AS val FROM v120),
+       |nrm AS (
+       |  SELECT sqrt(sum(CAST(val AS DOUBLE) * CAST(val AS DOUBLE)))
+       |    AS nr,
+       |    sum(val * val) AS vtv
+       |  FROM fin)""".stripMargin
+  }
 
   def oracles: Map[String, String] = {
     val sigSql = (0 until Planes).map { p =>
@@ -1676,60 +1782,8 @@ object SimilarityExtOps extends OpModule {
     // unnests, 120 power steps as generated MATERIALIZED CTEs (plain
     // CTE inlining re-evaluates the chain exponentially), truncating
     // division (//) matching BigInt / throughout
-    "q295_pca_power" -> {
-      val steps = (1 to 120).map { k =>
-        s"""w$k AS MATERIALIZED (
-           |  SELECT c.i, sum(c.cv * v.val) AS w
-           |  FROM cs c JOIN v${k - 1} v ON c.j = v.i GROUP BY 1),
-           |m$k AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w$k),
-           |v$k AS MATERIALIZED (
-           |  SELECT i, (w * 1000000) // (SELECT m FROM m$k)
-           |    AS val FROM w$k)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS (
-         |  SELECT list_transform(embedding,
-         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
-         |    AS q
-         |  FROM embeddings),
-         |l1 AS MATERIALIZED (
-         |  SELECT q, unnest(q) AS a,
-         |    unnest(range(0, len(q))) AS i
-         |  FROM e),
-         |cells AS MATERIALIZED (
-         |  SELECT i, j, sum(CAST(a AS HUGEINT) * b) AS s2
-         |  FROM (SELECT i, a, unnest(q) AS b,
-         |          unnest(range(0, len(q))) AS j
-         |        FROM l1)
-         |  GROUP BY 1, 2),
-         |s1 AS MATERIALIZED (
-         |  SELECT i, sum(CAST(a AS HUGEINT)) AS s1, count(*) AS n
-         |  FROM l1 GROUP BY 1),
-         |cmat AS MATERIALIZED (
-         |  SELECT c.i, c.j,
-         |    (SELECT max(n) FROM s1) * c.s2 - x.s1 * y.s1 AS cv
-         |  FROM cells c JOIN s1 x ON c.i = x.i JOIN s1 y ON c.j = y.i),
-         |scl AS (
-         |  SELECT greatest(CAST(1 AS HUGEINT),
-         |                  max(abs(cv)) // 1000000000) AS s
-         |  FROM cmat),
-         |cs AS MATERIALIZED (
-         |  SELECT i, j, cv // (SELECT s FROM scl) AS cv FROM cmat),
-         |v0 AS MATERIALIZED (
-         |  SELECT i, CAST(1000000 AS HUGEINT) AS val FROM s1),
-         |$steps,
-         |pick AS (
-         |  SELECT i, val FROM v120
-         |  ORDER BY abs(val) DESC, i ASC LIMIT 1),
-         |sgn AS (
-         |  SELECT CASE WHEN (SELECT val FROM pick) < 0 THEN -1
-         |              ELSE 1 END AS g),
-         |fin AS MATERIALIZED (
-         |  SELECT i, val * (SELECT g FROM sgn) AS val FROM v120),
-         |nrm AS (
-         |  SELECT sqrt(sum(CAST(val AS DOUBLE) * CAST(val AS DOUBLE)))
-         |    AS nr,
-         |    sum(val * val) AS vtv
-         |  FROM fin),
+    "q295_pca_power" ->
+      s"""$pcaOracleCte,
          |ray AS (
          |  SELECT sum(c.cv * a.val * b.val) AS r
          |  FROM cs c JOIN fin a ON c.i = a.i JOIN fin b ON c.j = b.i),
@@ -1739,8 +1793,27 @@ object SimilarityExtOps extends OpModule {
          |  round(CAST(r.r AS DOUBLE) / CAST(n.vtv AS DOUBLE) /
          |        CAST(t.t AS DOUBLE), 6) AS var_explained
          |FROM fin f, nrm n, ray r, tr t
-         |ORDER BY dim""".stripMargin
-    },
+         |ORDER BY dim""".stripMargin,
+
+    // the projection rides the same shared chain; per-row dot products
+    // against fin, per-source decimal sums, one division
+    "q296_pc1_source_drift" ->
+      s"""$pcaOracleCte,
+         |rws AS (
+         |  SELECT vec_id, unnest(q) AS qv,
+         |    unnest(range(0, len(q))) AS k
+         |  FROM e),
+         |pr AS (
+         |  SELECT r.vec_id, sum(r.qv * f.val) AS p
+         |  FROM rws r JOIN fin f ON r.k = f.i GROUP BY 1),
+         |j AS (
+         |  SELECT d.source, p FROM pr
+         |  JOIN documents d ON pr.vec_id = d.doc_id)
+         |SELECT source, count(*) AS n,
+         |  round(CAST(sum(CAST(p AS HUGEINT)) AS DOUBLE) /
+         |        CAST(count(*) AS DOUBLE) /
+         |        (1000000.0 * (SELECT nr FROM nrm)), 6) AS mean_proj
+         |FROM j GROUP BY 1 ORDER BY source""".stripMargin,
 
     // the INDEPENDENT quadratic self-join — the grid must be invisible
     "q289_spatial_join" ->

@@ -3495,4 +3495,44 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(math.abs(ve - lam / trace) < 0.01,
            s"var_explained $ve vs reference ${lam / trace}")
   }
+
+  test("q296 source projections agree with an independent eigensolve") {
+    val src = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"))
+      .as[(Long, String)].collect().toMap
+    val vecs = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"),
+              expr("transform(embedding, x -> cast(x as double))"))
+      .as[(Long, Array[Double])].collect()
+      .filter(v => src.contains(v._1))
+    val dims = vecs.head._2.length
+    val n = vecs.length.toDouble
+    val mean = Array.tabulate(dims)(d0 => vecs.map(_._2(d0)).sum / n)
+    val cov = Array.tabulate(dims, dims)((i, j) =>
+      vecs.map(v => (v._2(i) - mean(i)) * (v._2(j) - mean(j))).sum / n)
+    var w = Array.fill(dims)(1.0)
+    for (_ <- 1 to 300) {
+      val nw = Array.tabulate(dims)(i =>
+        (0 until dims).map(j => cov(i)(j) * w(j)).sum)
+      val nn = math.sqrt(nw.map(x => x * x).sum)
+      w = nw.map(_ / nn)
+    }
+    // align the reference's sign with the declared convention (via the
+    // q295 output, already independently verified)
+    val loadings = q("q295_pca_power")
+      .as[(Int, Double, Double)].collect().sortBy(_._1).map(_._2)
+    if (loadings.zip(w).map { case (a, b) => a * b }.sum < 0)
+      w = w.map(-_)
+    val want = vecs.groupBy(v => src(v._1)).toSeq.sortBy(_._1)
+      .map { case (s0, g) =>
+        (s0, g.size.toLong,
+         g.map(v => v._2.zip(w).map { case (a, b) => a * b }.sum)
+           .sum / g.size) }
+    val got = q("q296_pc1_source_drift")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got.map(x => (x._1, x._2)) == want.map(x => (x._1, x._2)))
+    got.zip(want).foreach { case ((s0, _, mp), (_, _, ref)) =>
+      assert(math.abs(mp - ref) < 1e-3,
+             s"$s0: mean_proj $mp vs reference $ref") }
+  }
 }
