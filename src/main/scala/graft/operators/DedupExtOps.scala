@@ -305,20 +305,21 @@ object DedupExtOps extends OpModule {
     // pair aggregate is candidate-bounded — never corpus-quadratic.
     "q227_minimizer_pairs" -> { (s, d) =>
       val k = 8; val win = 5
-      val wd = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id")
-      val wm = wd.orderBy("p0").rowsBetween(0, win - 1)
+      // the per-doc windowed min is a PURE MAP (r13): a higher-order-
+      // function chain over the doc's own gram array replaces the r12
+      // posexplode + two doc-keyed window passes — the gram stream
+      // never shuffles at all before the minimizer-keyed join. Same
+      // declared selection: min of each COMPLETE win-gram window,
+      // distinct per doc (docs with < win grams emit nothing).
       val mz = Tables(s, d, "documents")
-        .where(size(split(col("text"), " ")) >= k)
         .select(col("doc_id"), split(col("text"), " ").as("t"))
-        .select(col("doc_id"), posexplode(expr(
+        .where(size(col("t")) >= k + win - 1)
+        .select(col("doc_id"), expr(
           s"transform(sequence(1, size(t) - ${k - 1}), " +
-            s"i -> md5(concat_ws(' ', slice(t, i, $k))))"))
-          .as(Seq("p0", "h")))
-        .withColumn("ng", count(lit(1)).over(wd))
-        .withColumn("m", min("h").over(wm))
-        .where(col("p0") + 1 <= col("ng") - (win - 1))
-        .select(col("doc_id"), col("m")).distinct()
+            s"i -> md5(concat_ws(' ', slice(t, i, $k))))").as("hs"))
+        .select(col("doc_id"), explode(expr(
+          s"array_distinct(transform(sequence(1, size(hs) - ${win - 1})," +
+            s" j -> array_min(slice(hs, j, $win))))")).as("m"))
       val capped = mz
         .withColumn("bn", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy("m")))

@@ -44,6 +44,41 @@ object SimilarityExtOps extends OpModule {
     org.apache.spark.sql.graft.InternalPin.pin(df)
 
 
+  /** Hard bound on the embedding dimensionality the PCA family's
+    * driver-side d² collect accepts (r12 verdict #4): the covariance
+    * aggregate is d² decimal cells collected to the driver — 4096
+    * cells at the corpus's 64 dims, ~262k (&lt;10 MB) at the bound.
+    * Past ~512 dims the right tool is a distributed block
+    * eigensolver, not a bigger collect — this check fails FAST with a
+    * named limit instead of letting the collect degrade silently. */
+  private[graft] val MaxPcaDims = 512
+
+  private[graft] def requirePcaDims(dims: Int): Unit =
+    require(dims <= MaxPcaDims,
+      s"PCA covariance collect supports at most $MaxPcaDims dims, got " +
+        s"$dims — past this, use a distributed block eigensolver " +
+        "instead of the driver-side d^2 aggregate")
+
+  /** The declared 120-step fixed-point power iteration on a scaled
+    * integer covariance matrix: w = C·v, v = w·1e6 div max|w| (BigInt
+    * / truncates like DuckDB //), sign fixed so the largest-|loading|
+    * dim (tie: lowest index) loads positive. Returns (v, L2 norm). */
+  private def powerIterate(c: Array[Array[BigInt]], steps: Int = 120)
+      : (Array[BigInt], Double) = {
+    val Steps = steps
+    val dims = c.length
+    var v = Array.fill(dims)(BigInt(1000000L))
+    for (_ <- 1 to Steps) {
+      val w = Array.tabulate(dims)(i =>
+        (0 until dims).map(j => c(i)(j) * v(j)).sum)
+      val m = w.map(_.abs).max
+      v = w.map(x => (x * 1000000L) / m)
+    }
+    val dmax = (0 until dims).maxBy(i => (v(i).abs, BigInt(-i)))
+    if (v(dmax).signum < 0) v = v.map(-_)
+    (v, math.sqrt(v.map(x => x.toDouble * x.toDouble).sum))
+  }
+
   /** Shared q295/q296 eigensolve: quantized covariance fold (the only
     * distributed term) + the declared 120-step integer power iteration
     * on the collected 64x64 aggregate. Returns (v fixed-point top
@@ -51,7 +86,6 @@ object SimilarityExtOps extends OpModule {
     * integer covariance matrix). */
   private def pcaTopComponent(s: SparkSession, dir: String)
       : (Array[BigInt], Double, Array[Array[BigInt]]) = {
-    val Steps = 120
     val qCol = expr("transform(embedding, x -> " +
       "cast(round(cast(x as double) * 1000000) as bigint))")
     def lvl1 = Tables(s, dir, "embeddings").select(qCol.as("q"))
@@ -70,6 +104,7 @@ object SimilarityExtOps extends OpModule {
       .collect().map(r => (r.getInt(0),
         BigInt(r.getDecimal(1).toBigInteger), r.getLong(2)))
     val dims = s1rows.length
+    requirePcaDims(dims)
     val n = BigInt(s1rows.head._3)
     val s1 = s1rows.map(r => r._1 -> r._2).toMap
     val c0 = Array.tabulate(dims, dims)((i, j) =>
@@ -77,17 +112,52 @@ object SimilarityExtOps extends OpModule {
     val maxAbs = c0.flatten.map(_.abs).max
     val scl = (maxAbs / BigInt(1000000000L)).max(BigInt(1))
     val c = c0.map(_.map(_ / scl)) // BigInt / truncates like DuckDB //
-    var v = Array.fill(dims)(BigInt(1000000L))
-    for (_ <- 1 to Steps) {
-      val w = Array.tabulate(dims)(i =>
-        (0 until dims).map(j => c(i)(j) * v(j)).sum)
-      val m = w.map(_.abs).max
-      v = w.map(x => (x * 1000000L) / m)
-    }
-    val dmax = (0 until dims).maxBy(i => (v(i).abs, BigInt(-i)))
-    if (v(dmax).signum < 0) v = v.map(-_)
-    val norm = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+    val (v, norm) = powerIterate(c)
     (v, norm, c)
+  }
+
+  /** q297: top-k principal components by integer Hotelling deflation.
+    * After each 120-step solve, C ← (C − (ray·v_i·v_j) div vtv²)
+    * re-scaled by max(1, max|·| div 1e9) — the SAME truncating-
+    * integer discipline as the first scale, so entry magnitudes (and
+    * thus every 128-bit product in the next power chain) stay bounded
+    * at ANY spectrum, and the oracle's generated CTE chain reproduces
+    * every component bit-for-bit. Deflated components drift from true
+    * eigenvectors only by the declared truncation — a fixed-point
+    * algorithm, not an approximation of one. Returns per component
+    * (v, norm, ray over the matrix it solved, vtv, cumulative rescale
+    * product vs the first-scale matrix) plus trace of the
+    * first-scale matrix. */
+  private def pcaDeflatedComponents(s: SparkSession, dir: String, k: Int)
+      : (Seq[(Array[BigInt], Double, BigInt, BigInt, BigInt)], BigInt) = {
+    val (v1, n1, c1) = pcaTopComponent(s, dir)
+    val dims = v1.length
+    val trace = (0 until dims).map(i => c1(i)(i)).sum
+    def rayOf(c: Array[Array[BigInt]], v: Array[BigInt]): BigInt =
+      (for (i <- 0 until dims; j <- 0 until dims)
+        yield c(i)(j) * v(i) * v(j)).sum
+    def vtvOf(v: Array[BigInt]): BigInt = v.map(x => x * x).sum
+    val comps = scala.collection.mutable.ArrayBuffer(
+      (v1, n1, rayOf(c1, v1), vtvOf(v1), BigInt(1)))
+    var c = c1
+    for (_ <- 2 to k) {
+      val (pv, _, pray, pvtv, pscl) = comps.last
+      val den = pvtv * pvtv
+      val raw = Array.tabulate(dims, dims)((i, j) =>
+        c(i)(j) - (pray * pv(i) * pv(j)) / den)
+      val mx = raw.flatten.map(_.abs).max
+      val s2 = (mx / BigInt(1000000000L)).max(BigInt(1))
+      c = raw.map(_.map(_ / s2))
+      // Deflated solves run the DECLARED 60 steps (not 120): DuckDB's
+      // binder caps transitive CTE nesting at 1000 expressions, and
+      // the oracle's three chained solves at 120 steps each sit at
+      // ~1100 — 120 + 60 + 60 lands at ~740 with the same
+      // bit-for-bit replay property (a declared fixed-point count,
+      // not a convergence target; component 1 keeps q295's 120).
+      val (v, nrm) = powerIterate(c, 60)
+      comps += ((v, nrm, rayOf(c, v), vtvOf(v), pscl * s2))
+    }
+    (comps.toSeq, trace)
   }
 
   private val Planes = 16
@@ -1042,6 +1112,39 @@ object SimilarityExtOps extends OpModule {
         .orderBy("dim")
     },
 
+    // Top-3 principal components via integer deflation (added r13 —
+    // the r12 verdict's #4): one component rarely summarizes an
+    // embedding space (this corpus's spectrum is flat — q295 measures
+    // PC1 explaining only a sliver), so the dimensionality-choice
+    // question needs the SPECTRUM'S HEAD, not its top. Hotelling
+    // deflation in the same fixed-point discipline as q295 (120-step
+    // first solve = q295 verbatim; deflated solves declare 60 steps —
+    // see pcaDeflatedComponents for the oracle depth rationale): after
+    // each solve, subtract the component's Rayleigh outer product
+    // (ray·v_i·v_j div vtv²) and re-scale by max(1, max|·| div 1e9) —
+    // every operation truncating-integer, so the generated-CTE oracle
+    // replays all three solves bit-for-bit. Distributed cost is
+    // UNCHANGED from q295 (one covariance fold; deflation is d²
+    // driver arithmetic on the collected aggregate — q279's
+    // driver-solve contract); var_explained re-scales each ray back
+    // to the first-scale matrix before dividing by its trace.
+    // Component 1 equals q295's output by construction.
+    "q297_pca_topk" -> { (s, dir) =>
+      import s.implicits._
+      val (comps, trace) = pcaDeflatedComponents(s, dir, 3)
+      comps.zipWithIndex.flatMap { case ((v, norm, ray, vtv, scl), ci) =>
+        val ve = ray.toDouble * scl.toDouble / vtv.toDouble /
+          trace.toDouble
+        val veR = BigDecimal(ve)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        v.indices.map(i => (ci + 1, i,
+          BigDecimal(v(i).toDouble / norm)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          veR))
+      }.toDF("component", "dim", "loading", "var_explained")
+        .orderBy("component", "dim")
+    },
+
     // Per-source drift along the principal axis (added r12) — the
     // COMPOSITION of q295's direction with q283's per-source question:
     // project every embedding onto PC1 (one zip_with/aggregate
@@ -1293,6 +1396,65 @@ object SimilarityExtOps extends OpModule {
        |    sum(val * val) AS vtv
        |  FROM fin)""".stripMargin
   }
+
+  /** 120 generated MATERIALIZED power-step CTEs over matrix CTE `mat`
+    * with name prefix `tag` (q297's deflated chains; the tag-""
+    * instance is inlined in [[pcaOracleCte]]), ending at v{tag}120. */
+  private def pcaPowerChainSql(tag: String, mat: String,
+                               steps: Int = 120): String =
+    (1 to steps).map { k =>
+      s"""w$tag$k AS MATERIALIZED (
+         |  SELECT c.i, sum(c.cv * v.val) AS w
+         |  FROM $mat c JOIN v$tag${k - 1} v ON c.j = v.i GROUP BY 1),
+         |m$tag$k AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w$tag$k),
+         |v$tag$k AS MATERIALIZED (
+         |  SELECT i, (w * 1000000) // (SELECT m FROM m$tag$k)
+         |    AS val FROM w$tag$k)""".stripMargin
+    }.mkString(",\n")
+
+  /** One deflation round for the q297 oracle: subtract the previous
+    * component's Rayleigh outer product off `prevMat` (truncating //),
+    * re-scale by max(1, max|·| // 1e9), then run a fresh 120-step
+    * chain — sign fix, fin/nrm/ray mirrors of the shared prefix, all
+    * suffixed with `tag`. */
+  private def pcaDeflateSql(tag: String, prevMat: String,
+                            prevFin: String, prevNrm: String,
+                            prevRay: String): String =
+    s"""csraw$tag AS MATERIALIZED (
+       |  SELECT c.i, c.j, c.cv -
+       |    (((SELECT r FROM $prevRay) * a.val * b.val) //
+       |     ((SELECT vtv FROM $prevNrm) * (SELECT vtv FROM $prevNrm)))
+       |    AS cv
+       |  FROM $prevMat c JOIN $prevFin a ON c.i = a.i
+       |                  JOIN $prevFin b ON c.j = b.i),
+       |scl$tag AS (
+       |  SELECT greatest(CAST(1 AS HUGEINT),
+       |                  max(abs(cv)) // 1000000000) AS s
+       |  FROM csraw$tag),
+       |cs$tag AS MATERIALIZED (
+       |  SELECT i, j, cv // (SELECT s FROM scl$tag) AS cv
+       |  FROM csraw$tag),
+       |v${tag}0 AS MATERIALIZED (
+       |  SELECT i, CAST(1000000 AS HUGEINT) AS val FROM s1),
+       |${pcaPowerChainSql(tag, s"cs$tag", steps = 60)},
+       |pick$tag AS (
+       |  SELECT i, val FROM v${tag}60
+       |  ORDER BY abs(val) DESC, i ASC LIMIT 1),
+       |sgn$tag AS (
+       |  SELECT CASE WHEN (SELECT val FROM pick$tag) < 0 THEN -1
+       |              ELSE 1 END AS g),
+       |fin$tag AS MATERIALIZED (
+       |  SELECT i, val * (SELECT g FROM sgn$tag) AS val
+       |  FROM v${tag}60),
+       |nrm$tag AS (
+       |  SELECT sqrt(sum(CAST(val AS DOUBLE) * CAST(val AS DOUBLE)))
+       |    AS nr,
+       |    sum(val * val) AS vtv
+       |  FROM fin$tag),
+       |ray$tag AS (
+       |  SELECT sum(c.cv * a.val * b.val) AS r
+       |  FROM cs$tag c JOIN fin$tag a ON c.i = a.i
+       |                JOIN fin$tag b ON c.j = b.i)""".stripMargin
 
   def oracles: Map[String, String] = {
     val sigSql = (0 until Planes).map { p =>
@@ -1794,6 +1956,45 @@ object SimilarityExtOps extends OpModule {
          |        CAST(t.t AS DOUBLE), 6) AS var_explained
          |FROM fin f, nrm n, ray r, tr t
          |ORDER BY dim""".stripMargin,
+
+    // three generated 120-step chains: the shared prefix solves
+    // component 1, each pcaDeflateSql round replays the integer
+    // Rayleigh-outer-product subtraction + rescale + fresh chain;
+    // var_explained multiplies each ray back to the first-scale
+    // matrix (HUGEINT scale product cast to DOUBLE — the identical
+    // operand chain the Spark driver computes in BigInt)
+    "q297_pca_topk" ->
+      s"""$pcaOracleCte,
+         |tr AS (SELECT sum(cv) AS t FROM cs WHERE i = j),
+         |rayA AS (
+         |  SELECT sum(c.cv * a.val * b.val) AS r
+         |  FROM cs c JOIN fin a ON c.i = a.i JOIN fin b ON c.j = b.i),
+         |${pcaDeflateSql("d2_", "cs", "fin", "nrm", "rayA")},
+         |${pcaDeflateSql("d3_", "csd2_", "find2_", "nrmd2_", "rayd2_")}
+         |SELECT 1 AS component, f.i AS dim,
+         |  round(CAST(f.val AS DOUBLE) / n.nr, 6) AS loading,
+         |  round(CAST(r.r AS DOUBLE) * CAST(1 AS DOUBLE) /
+         |        CAST(n.vtv AS DOUBLE) / CAST(t.t AS DOUBLE), 6)
+         |    AS var_explained
+         |FROM fin f, nrm n, rayA r, tr t
+         |UNION ALL
+         |SELECT 2 AS component, f.i AS dim,
+         |  round(CAST(f.val AS DOUBLE) / n.nr, 6) AS loading,
+         |  round(CAST(r.r AS DOUBLE) *
+         |        CAST((SELECT s FROM scld2_) AS DOUBLE) /
+         |        CAST(n.vtv AS DOUBLE) / CAST(t.t AS DOUBLE), 6)
+         |    AS var_explained
+         |FROM find2_ f, nrmd2_ n, rayd2_ r, tr t
+         |UNION ALL
+         |SELECT 3 AS component, f.i AS dim,
+         |  round(CAST(f.val AS DOUBLE) / n.nr, 6) AS loading,
+         |  round(CAST(r.r AS DOUBLE) *
+         |        CAST((SELECT s FROM scld2_) * (SELECT s FROM scld3_)
+         |             AS DOUBLE) /
+         |        CAST(n.vtv AS DOUBLE) / CAST(t.t AS DOUBLE), 6)
+         |    AS var_explained
+         |FROM find3_ f, nrmd3_ n, rayd3_ r, tr t
+         |ORDER BY component, dim""".stripMargin,
 
     // the projection rides the same shared chain; per-row dot products
     // against fin, per-source decimal sums, one division

@@ -3441,13 +3441,17 @@ object StatsModelOps extends OpModule {
         |base AS (SELECT count(*) AS users, sum(conv) AS convs FROM pu),
         |dd AS (SELECT count(DISTINCT CAST(ts AS DATE)) AS n_days
         |       FROM events),
-        |grid AS (SELECT unnest([0.01, 0.02, 0.05, 0.10]) AS mde),
+        |grid AS (SELECT unnest(CAST([0.01, 0.02, 0.05, 0.10]
+        |                            AS DOUBLE[])) AS mde),
         |f AS (SELECT mde,
         |    round(CAST(convs AS DOUBLE) / CAST(users AS DOUBLE), 6)
         |      AS p0, users, n_days
         |  FROM grid, base, dd),
         |f2 AS (SELECT mde, p0, p0 + mde AS p1,
-        |    CAST(ceil((1.959964 + 0.841621) * (1.959964 + 0.841621) *
+        |    CAST(ceil((CAST(1.959964 AS DOUBLE) +
+        |               CAST(0.841621 AS DOUBLE)) *
+        |              (CAST(1.959964 AS DOUBLE) +
+        |               CAST(0.841621 AS DOUBLE)) *
         |              (p0 * (1.0 - p0) + (p0 + mde) *
         |               (1.0 - (p0 + mde))) / (mde * mde)) AS BIGINT)
         |      AS n_per_arm,

@@ -324,21 +324,32 @@ object TextExtOps extends OpModule {
                          n = 3, minShared = 3, outCol = "shared_shingles")
     },
 
-    // Exact-substring decontamination tier (added r7) — the second pass
-    // a production contamination scan runs next to q87's shingle tier:
-    // q87's df ≤ 10 cap MISSES a contaminated pair whose every shared
-    // 3-shingle is boilerplate-frequent (df > 10 drops the evidence).
-    // This tier hashes LONG verbatim token runs (8 here — the corpus
-    // runs 10-100 tokens/doc; production uses ~50-gram windows over
-    // web-scale docs): a single shared verbatim run IS the signal
-    // (minShared = 1), and long runs are specific enough that the df
-    // cap prunes only true boilerplate (license headers, templates)
-    // while bounding every posting list exactly as in q87. Same
-    // inverted-index shape and cost: two corpus scans, two same-key
-    // shuffles, one tiny pair shuffle — never a corpus×corpus join.
+    // Exact-substring decontamination tier (added r7; WINNOWED r13) —
+    // the second pass a production contamination scan runs next to
+    // q87's shingle tier: q87's df ≤ 10 cap MISSES a contaminated pair
+    // whose every shared 3-shingle is boilerplate-frequent (df > 10
+    // drops the evidence). This tier matches LONG verbatim token runs
+    // (8 here — the corpus runs 10-100 tokens/doc; production uses
+    // ~50-gram windows over web-scale docs): one shared run IS the
+    // signal (minShared = 1). Since r13 the tier ships MINIMIZER
+    // grams, not every gram position ([[minimizerHashes]], w = 5):
+    // the r12 100× sweep showed every-position 8-gram volume growing
+    // ∝ corpus × window positions (the suite's one 61× line), and the
+    // winnowing guarantee keeps the signal — any pair sharing a
+    // verbatim span of ≥ 12 tokens shares a minimizer BY CONSTRUCTION
+    // (deterministic recall for exactly the long runs this tier
+    // exists to catch; an 8-11-token overlap is caught iff its gram
+    // wins a window on both sides). Declared semantics: pairs sharing
+    // ≥ 1 df-capped minimizer — the oracle implements the identical
+    // selection. Same inverted-index shape as q87, but the gram-keyed
+    // shuffle now carries ~2/(w+1) of the positions and the emission
+    // is a PURE MAP (no doc-keyed shuffle).
     "q96_decontaminate_exact" -> { (s, d) =>
-      contaminationPairs(Tables(s, d, "documents"),
-                         n = 8, minShared = 1, outCol = "shared_grams")
+      contaminationPairsFrom(
+        minimizerHashes(Tables(s, d, "documents")
+            .select(col("doc_id"), trainSplit.as("split"), col("text")),
+          n = 8, w = 5, carry = Seq("split")),
+        minShared = 1, outCol = "shared_grams")
     },
 
     // Incremental decontamination (added r8) — the form a pipeline
@@ -361,18 +372,22 @@ object TextExtOps extends OpModule {
                         outCol = "shared_shingles")
     },
 
-    // Incremental EXACT-SUBSTRING decontamination (added r9) — q96's
-    // 8-gram verbatim tier gets the same per-release persisted-index
-    // form q99 gave q87's shingle tier (the r8 verdict's item #3):
-    // the train side's df-capped 8-gram posting lists persist as an
-    // m-bucketed index built once, and each eval release probes it
-    // with zero train rescan (same SelectedBucketsCount plan
-    // assertion). One shared verbatim run is the signal (minShared =
-    // 1), exactly q96's semantics; the production two-tier scan now
-    // runs BOTH tiers incrementally against two persisted indexes.
+    // Incremental EXACT-SUBSTRING decontamination (added r9; WINNOWED
+    // r13) — q96's verbatim tier gets the same per-release
+    // persisted-index form q99 gave q87's shingle tier (the r8
+    // verdict's item #3): the train side's df-capped MINIMIZER
+    // posting lists ([[minimizerHashes]] — q96's winnowed emission,
+    // identical scheme on both sides so the ≥ 12-token span guarantee
+    // holds across the index boundary) persist as an m-bucketed index
+    // built once, and each eval release probes it with zero train
+    // rescan (same SelectedBucketsCount plan assertion). One shared
+    // minimizer is the signal (minShared = 1), exactly q96's declared
+    // semantics; the index is ~2/(w+1) the size of the r9 every-
+    // position form — the winnowing saving compounds here because the
+    // index is PERSISTED.
     "q103_decontaminate_exact_incr" -> { (s, d) =>
-      incrContamination(s, d, "gramidx8", n = 8, minShared = 1,
-                        outCol = "shared_grams")
+      incrContaminationMin(s, d, "minidx8", n = 8, w = 5, minShared = 1,
+                           outCol = "shared_grams")
     },
 
     // BPE token accounting (added r9 — the r7/r8 verdicts' "training
@@ -1049,6 +1064,38 @@ object TextExtOps extends OpModule {
               .ngrams(split(col("text"), " "), n).as("g"))
     .select(col("doc_id"), md5(col("g")).as("m"))
 
+  /** (doc_id, minimizer md5) rows — the WINNOWED gram projection the
+    * exact-substring tier ships at scale (r12 verdict #2). A gram hash
+    * is kept only when it is the minimum of some `w` consecutive gram
+    * window (Roberts et al. 2004 winnowing; the minimap2 minimizer
+    * scheme q227 already uses for pair candidates), so two documents
+    * sharing a verbatim span of ≥ n+w−1 tokens share a minimizer BY
+    * CONSTRUCTION, while the emitted stream carries ~2/(w+1) of the
+    * gram positions — gram volume stops growing ∝ corpus × window
+    * positions. Docs with fewer than w grams keep their single
+    * global-min gram, so every ≥ n-token doc stays in the tier
+    * (q227's candidate generator instead declares complete-windows-
+    * only and drops them). The selection is a PURE MAP — the windowed
+    * min runs as a higher-order-function chain over the doc's own
+    * gram array, no doc-keyed shuffle, no posexplode; the per-row
+    * array is O(doc tokens), the same order as the text itself.
+    * `carry` columns (e.g. the train/eval split bit) ride through. */
+  private[operators] def minimizerHashes(df: DataFrame, n: Int, w: Int,
+                                         carry: Seq[String] = Nil)
+      : DataFrame = {
+    val cs = carry.map(col)
+    df.select((col("doc_id") +: cs) :+ split(col("text"), " ").as("t"): _*)
+      .where(size(col("t")) >= n)
+      .select((col("doc_id") +: cs) :+ expr(
+        s"transform(sequence(1, size(t) - ${n - 1}), " +
+          s"i -> md5(concat_ws(' ', slice(t, i, $n))))").as("hs"): _*)
+      .select((col("doc_id") +: cs) :+ explode(expr(
+        s"""array_distinct(CASE WHEN size(hs) >= $w
+           |  THEN transform(sequence(1, size(hs) - ${w - 1}),
+           |                 j -> array_min(slice(hs, j, $w)))
+           |  ELSE array(array_min(hs)) END)""".stripMargin)).as("m"): _*)
+  }
+
   /** The persisted train-side contamination index (q99/q103/q104): the
     * train split's df-capped n-gram posting lists as an m-bucketed
     * table, built once per (tmpdir, corpus). The df cap is computed
@@ -1087,6 +1134,41 @@ object TextExtOps extends OpModule {
       .orderBy("eval_id", "train_id")
   }
 
+  /** [[gramIndexTable]]'s winnowed sibling (q103): the train side's
+    * df-capped MINIMIZER posting lists as an m-bucketed persisted
+    * index — same TRAIN-SIDE df cap, same ≤ 10 posting-list bound,
+    * ~2/(w+1) the index size of the every-position form. */
+  private[operators] def minimizerIndexTable(s: SparkSession, d: String,
+                                             name: String, n: Int,
+                                             w: Int): String =
+    graft.BucketedCache.ensure(s, d, name, "m STRING, train_id BIGINT",
+                               "m", 8)(
+      minimizerHashes(Tables(s, d, "documents")
+                        .where(trainSplit === "train"), n, w)
+        .groupBy("m").agg(collect_set(col("doc_id")).as("ids"))
+        .where(size(col("ids")) <= 10)
+        .select(col("m"), explode(col("ids")).as("train_id")))
+
+  /** [[incrContamination]] over the minimizer index: the eval batch
+    * emits the SAME winnowed selection the index was built with, so
+    * the ≥ n+w−1-token span guarantee holds across the index
+    * boundary. Probe cost is O(batch minimizers), never O(corpus). */
+  private def incrContaminationMin(s: SparkSession, d: String,
+                                   idxName: String, n: Int, w: Int,
+                                   minShared: Int,
+                                   outCol: String): DataFrame = {
+    val idxT = minimizerIndexTable(s, d, idxName, n, w)
+    val evalBatch = minimizerHashes(
+      Tables(s, d, "documents")
+        .where(trainSplit === "eval" && col("doc_id") % 2 === 1), n, w)
+      .withColumnRenamed("doc_id", "eval_id").distinct()
+    evalBatch.join(s.table(idxT).hint("merge"), Seq("m"))
+      .groupBy("eval_id", "train_id")
+      .agg(count(lit(1)).as(outCol))
+      .where(col(outCol) >= minShared)
+      .orderBy("eval_id", "train_id")
+  }
+
   /** The shared inverted-index contamination scan behind q87 (3-token
     * shingles, ≥ 3 shared) and q96 (8-token verbatim grams, ≥ 1
     * shared): (eval doc, train doc) pairs sharing `minShared` DISTINCT
@@ -1100,12 +1182,19 @@ object TextExtOps extends OpModule {
     * grams), then the ≤ 25 exploded pairs per gram counted per
     * (eval, train). Never a corpus×corpus join. */
   private def contaminationPairs(docs: DataFrame, n: Int, minShared: Int,
-                                 outCol: String): DataFrame = {
-    val sh = docs
+                                 outCol: String): DataFrame =
+    contaminationPairsFrom(docs
       .select(col("doc_id"), trainSplit.as("split"),
               org.apache.spark.sql.graft.GraftFunctions
                 .ngrams(split(col("text"), " "), n).as("g"))
-      .select(col("doc_id"), col("split"), md5(col("g")).as("m"))
+      .select(col("doc_id"), col("split"), md5(col("g")).as("m")),
+      minShared, outCol)
+
+  /** The pair machinery of [[contaminationPairs]] over an already-
+    * emitted (doc_id, split, m) gram stream — q96 feeds it the
+    * winnowed [[minimizerHashes]] stream instead of every position. */
+  private def contaminationPairsFrom(sh: DataFrame, minShared: Int,
+                                     outCol: String): DataFrame = {
     val rare = sh.groupBy("m")
       .agg(countDistinct(col("doc_id")).as("df"))
       .where(col("df") <= 10).select("m")
@@ -1404,16 +1493,26 @@ object TextExtOps extends OpModule {
            |GROUP BY eval_id, train_id HAVING count(*) >= 3
            |ORDER BY eval_id, train_id""".stripMargin,
 
-      // q99's incremental shape at gram length 8 and threshold 1 —
-      // train-side df cap (the ahead-of-time index semantic), eval
-      // side restricted to the probed batch (odd doc_ids)
+      // q99's incremental shape over q96's WINNOWED gram stream (r13)
+      // — train-side df cap on MINIMIZER posting lists (the
+      // ahead-of-time index semantic), eval side restricted to the
+      // probed batch (odd doc_ids), identical minimizer selection on
+      // both sides of the index boundary
       "q103_decontaminate_exact_incr" ->
-        s"""WITH sh AS (
-           |  SELECT DISTINCT doc_id, $trainSplitSql AS split,
-           |    md5(unnest(list_transform(range(1, len(t) - 6),
-           |        i -> array_to_string(t[i:i+7], ' ')))) AS m
+        s"""WITH g0 AS (
+           |  SELECT doc_id, $trainSplitSql AS split,
+           |    list_transform(range(1, len(t) - 6),
+           |        i -> md5(array_to_string(t[i:i+7], ' '))) AS hs
            |  FROM (SELECT doc_id, string_split(text, ' ') AS t
-           |        FROM documents)),
+           |        FROM documents)
+           |  WHERE len(t) >= 8),
+           |sh AS (
+           |  SELECT DISTINCT doc_id, split,
+           |    unnest(CASE WHEN len(hs) >= 5
+           |      THEN list_transform(range(1, len(hs) - 3),
+           |                          j -> list_min(hs[j:j+4]))
+           |      ELSE [list_min(hs)] END) AS m
+           |  FROM g0),
            |tr AS (SELECT doc_id, m FROM sh WHERE split = 'train'),
            |rare AS (SELECT m FROM tr GROUP BY m
            |         HAVING count(DISTINCT doc_id) <= 10),
@@ -1523,16 +1622,28 @@ object TextExtOps extends OpModule {
            |  AND $mixtureKeepSql
            |GROUP BY split, source ORDER BY split, source""".stripMargin,
 
-      // q87's shape at gram length 8 (t[i:i+7] is DuckDB's inclusive
-      // 8-element slice) and threshold 1 — one shared verbatim run is
-      // the exact-substring signal
+      // q87's shape over the WINNOWED 8-gram stream (r13): hs is the
+      // per-doc gram-hash list (t[i:i+7] is DuckDB's inclusive
+      // 8-element slice), a minimizer is the min of each 5-gram
+      // window (hs[j:j+4] inclusive = 5 elements), short docs (< 5
+      // grams) keep their global min — the identical selection the
+      // Spark side's minimizerHashes makes, gram strings and md5s
+      // byte-equal in both engines
       "q96_decontaminate_exact" ->
-        s"""WITH sh AS (
-           |  SELECT DISTINCT doc_id, $trainSplitSql AS split,
-           |    md5(unnest(list_transform(range(1, len(t) - 6),
-           |        i -> array_to_string(t[i:i+7], ' ')))) AS m
+        s"""WITH g0 AS (
+           |  SELECT doc_id, $trainSplitSql AS split,
+           |    list_transform(range(1, len(t) - 6),
+           |        i -> md5(array_to_string(t[i:i+7], ' '))) AS hs
            |  FROM (SELECT doc_id, string_split(text, ' ') AS t
-           |        FROM documents)),
+           |        FROM documents)
+           |  WHERE len(t) >= 8),
+           |sh AS (
+           |  SELECT DISTINCT doc_id, split,
+           |    unnest(CASE WHEN len(hs) >= 5
+           |      THEN list_transform(range(1, len(hs) - 3),
+           |                          j -> list_min(hs[j:j+4]))
+           |      ELSE [list_min(hs)] END) AS m
+           |  FROM g0),
            |rare AS (SELECT m FROM sh GROUP BY m
            |         HAVING count(DISTINCT doc_id) <= 10),
            |p AS (SELECT sh.* FROM sh JOIN rare USING (m))

@@ -24,36 +24,64 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamOps extends OpModule {
 
-  /** Stages the sfDir's events table into a per-sfDir directory (the
-    * file stream source wants a directory). Handles BOTH physical
-    * layouts a parquet table ships in: a single `events.parquet` file
-    * (driver testdata) and an `events.parquet/` DIRECTORY of part
-    * files (anything Spark itself wrote, e.g. the 10×/100× sweep
-    * builds — r12: the old single-file assumption staged an EMPTY
-    * directory there and the stream silently read zero rows). Stable
-    * path: repeated runs reuse it; per-file scratch + atomic rename
-    * plus only counting fully-renamed parts means a concurrent second
-    * JVM either wins each rename or observes the winner's complete
-    * file, and scratch copies are cleaned up on every path. */
-  private def stagedEventsDir(d: String): String = {
-    val dir = java.nio.file.Paths.get(
-      s"${sys.props("java.io.tmpdir")}/graft_stream_" +
-        d.replaceAll("[^a-zA-Z0-9]", "_"))
-    java.nio.file.Files.createDirectories(dir)
-    val src = java.nio.file.Paths.get(s"$d/events.parquet")
+  /** Lists the parquet parts of a source table (single `t.parquet`
+    * FILE — driver testdata — or a `t.parquet/` DIRECTORY of part
+    * files, the shape anything Spark wrote has; the r9/r12 sweeps both
+    * caught a file-only assumption staging an EMPTY dir) together with
+    * a short fingerprint of the source's physical layout (sorted part
+    * names + sizes + mtimes). */
+  private def partsAndFingerprint(src: java.nio.file.Path,
+                                  defaultName: String)
+      : (Seq[(java.nio.file.Path, String)], String) = {
     val parts: Seq[(java.nio.file.Path, String)] =
       if (java.nio.file.Files.isDirectory(src)) {
-        val s = java.nio.file.Files.list(src)
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala.toSeq
+        import scala.jdk.CollectionConverters._
+        // Files.list holds a directory handle until closed — materialize
+        // the part list inside Using so repeated staging can't leak fds
+        scala.util.Using.resource(java.nio.file.Files.list(src)) { st =>
+          st.iterator.asScala
             .filter(_.getFileName.toString.endsWith(".parquet"))
-            .sortBy(_.getFileName.toString)
-            .map(p => (p, p.getFileName.toString))
-        } finally s.close()
-      } else Seq((src, "events.parquet"))
-    for ((part, name) <- parts) {
-      val target = dir.resolve(name)
+            .map(p => p -> p.getFileName.toString).toSeq
+            .sortBy(_._2)
+        }
+      } else Seq(src -> defaultName)
+    val sig = parts.map { case (p, n) =>
+      s"$n:${java.nio.file.Files.size(p)}:" +
+        java.nio.file.Files.getLastModifiedTime(p).toMillis
+    }.mkString("|")
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    (parts, fp)
+  }
+
+  /** Stages a source table into a tmp directory for the file stream
+    * source (which wants a directory), one staged copy per
+    * `copies(partName)` entry.
+    *
+    * The staging dir name is keyed by the SOURCE LAYOUT FINGERPRINT
+    * (r12 ADVICE): if the table at `d` is rebuilt — single file
+    * re-materialized as a part directory, testdata regenerated in
+    * place, parts added — the fingerprint changes and a FRESH dir is
+    * staged from scratch, instead of the old stable-path scheme
+    * silently serving stale parts alongside new ones (doubling rows).
+    * Stale fingerprint dirs linger in tmp; that is the price of never
+    * deleting files a concurrent reader may hold open.
+    *
+    * Within a dir: per-file scratch + atomic rename means a concurrent
+    * second JVM either wins each rename or observes the winner's
+    * complete file; scratch copies (dot-prefixed, so the file source
+    * ignores them) are cleaned up on every path. */
+  private def stageParts(prefix: String, d: String, table: String)
+                        (copies: String => Seq[String]): String = {
+    val src = java.nio.file.Paths.get(s"$d/$table.parquet")
+    val (parts, fp) = partsAndFingerprint(src, s"$table.parquet")
+    val dir = java.nio.file.Paths.get(
+      s"${sys.props("java.io.tmpdir")}/${prefix}_" +
+        d.replaceAll("[^a-zA-Z0-9]", "_") + s"_$fp")
+    java.nio.file.Files.createDirectories(dir)
+    for ((part, name) <- parts; copy <- copies(name)) {
+      val target = dir.resolve(copy)
       if (!java.nio.file.Files.exists(target)) {
         val scratch =
           java.nio.file.Files.createTempFile(dir, ".staging", ".tmp")
@@ -72,91 +100,159 @@ object StreamOps extends OpModule {
     dir.toString
   }
 
+  /** Stages the sfDir's events table for the file stream source —
+    * layout-fingerprinted staging via [[stageParts]]. */
+  private def stagedEventsDir(d: String): String =
+    stageParts("graft_stream", d, "events")(n => Seq(n))
+
   /** Stages TWO copies of the events file into a per-sfDir directory —
     * a simulated at-least-once upstream (every event delivered twice)
-    * for the q89 exactly-once dedup demo. Same write-once discipline as
-    * [[stagedEventsDir]]. */
-  private[graft] def stagedDupEventsDir(d: String): String = {
-    val dir = java.nio.file.Paths.get(
-      s"${sys.props("java.io.tmpdir")}/graft_stream_dup_" +
-        d.replaceAll("[^a-zA-Z0-9]", "_"))
-    java.nio.file.Files.createDirectories(dir)
-    val src = java.nio.file.Paths.get(s"$d/events.parquet")
-    val parts: Seq[(java.nio.file.Path, String)] =
-      if (java.nio.file.Files.isDirectory(src)) {
-        import scala.jdk.CollectionConverters._
-        scala.util.Using.resource(java.nio.file.Files.list(src)) { st =>
-          st.iterator.asScala
-            .filter(p => p.getFileName.toString.endsWith(".parquet"))
-            .map(p => p -> p.getFileName.toString).toSeq
-        }
-      } else Seq(src -> "events.parquet")
-    // single-file sources keep the historical staged names so a dir
-    // staged by an older build is recognized as complete, not doubled
-    for ((part, name) <- parts;
-         copy <- if (name == "events.parquet")
-                   Seq("events_a.parquet", "events_b.parquet")
-                 else Seq(s"a_$name", s"b_$name")) {
-      val target = dir.resolve(copy)
-      if (!java.nio.file.Files.exists(target)) {
-        val scratch = java.nio.file.Files.createTempFile(dir, ".staging", ".tmp")
-        try {
-          java.nio.file.Files.copy(part, scratch,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          try java.nio.file.Files.move(scratch, target,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          catch {
-            case _: java.nio.file.FileSystemException
-              if java.nio.file.Files.exists(target) => // lost the race
-          }
-        } finally java.nio.file.Files.deleteIfExists(scratch)
-      }
+    * for the q89 exactly-once dedup demo. Same fingerprint + write-once
+    * discipline as [[stagedEventsDir]]. */
+  private[graft] def stagedDupEventsDir(d: String): String =
+    stageParts("graft_stream_dup", d, "events") { name =>
+      if (name == "events.parquet")
+        Seq("events_a.parquet", "events_b.parquet")
+      else Seq(s"a_$name", s"b_$name")
     }
-    dir.toString
+
+  /** Stages the sfDir's documents table for the q109 document stream —
+    * same fingerprint + write-once discipline as [[stagedEventsDir]]. */
+  private def stagedDocsDir(d: String): String =
+    stageParts("graft_stream_docs", d, "documents")(n => Seq(n))
+
+  /** The q285/q298 CDC image stream: synthesized upsert/delete ops
+    * folded into last-writer-wins per-key state; each batch emits the
+    * key's CURRENT image stamped with its monotone op count. LWW is by
+    * EVENT TIME (ts, event_id), not arrival order — an op older than
+    * the stored image counts but never overwrites, so late/replayed
+    * CDC records stay harmless. */
+  private def cdcImages(iso: SparkSession, d: String): DataFrame = {
+    import iso.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    eventStream(iso, d)
+      .select(col("user_id"), col("event_id"),
+              unix_micros(col("ts")).as("tus"),
+              when(col("event_type") === "error", "D")
+                .otherwise("U").as("op"),
+              round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, Long, String, Long)],
+         state: GroupState[(Long, Long, String, Long, Long)]) =>
+          // state = (lastTus, lastEid, lastOp, value, nOps)
+          var st = state.getOption.getOrElse((Long.MinValue,
+            Long.MinValue, "", 0L, 0L))
+          for (e <- it.toSeq.sortBy(e => (e._3, e._2))) {
+            val newer = e._3 > st._1 ||
+              (e._3 == st._1 && e._2 > st._2)
+            st = if (newer) (e._3, e._2, e._4, e._5, st._5 + 1)
+                 else (st._1, st._2, st._3, st._4, st._5 + 1)
+          }
+          state.update(st)
+          Iterator((uid, st._3, st._4, st._5))
+      }
+      .toDF("user_id", "op", "cents", "n_ops")
   }
 
-  /** Stages the sfDir's documents table into a per-sfDir directory for
-    * the q109 document stream — same write-once discipline as
-    * [[stagedEventsDir]]. The source may be a single parquet FILE (the
-    * driver testdata shape) or a DIRECTORY of part files (the shape
-    * any real multi-file table has — caught by the r9 10× sweep, where
-    * a file-only copy staged an empty dir and the stream read 0 rows);
-    * each part is staged under its own name with the atomic-rename
-    * race discipline per file. */
-  private def stagedDocsDir(d: String): String = {
-    val dir = java.nio.file.Paths.get(
-      s"${sys.props("java.io.tmpdir")}/graft_stream_docs_" +
-        d.replaceAll("[^a-zA-Z0-9]", "_"))
-    java.nio.file.Files.createDirectories(dir)
-    val src = java.nio.file.Paths.get(s"$d/documents.parquet")
-    val parts: Seq[(java.nio.file.Path, String)] =
-      if (java.nio.file.Files.isDirectory(src)) {
-        import scala.jdk.CollectionConverters._
-        // Files.list holds a directory handle until closed — materialize
-        // the part list inside Using so repeated staging can't leak fds
-        scala.util.Using.resource(java.nio.file.Files.list(src)) { st =>
-          st.iterator.asScala
-            .filter(p => p.getFileName.toString.endsWith(".parquet"))
-            .map(p => p -> p.getFileName.toString).toSeq
-        }
-      } else Seq(src -> "documents.parquet")
-    for ((part, name) <- parts) {
-      val target = dir.resolve(name)
-      if (!java.nio.file.Files.exists(target)) {
-        val scratch = java.nio.file.Files.createTempFile(dir, ".staging", ".tmp")
-        try {
-          java.nio.file.Files.copy(part, scratch,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          try java.nio.file.Files.move(scratch, target,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          catch {
-            case _: java.nio.file.FileSystemException
-              if java.nio.file.Files.exists(target) => // lost the race
-          }
-        } finally java.nio.file.Files.deleteIfExists(scratch)
-      }
+  /** Number of hash buckets the q298 snapshot table is laid out in —
+    * the unit of rewrite: a micro-batch rewrites ONLY the buckets
+    * holding changed keys and the new manifest re-references the
+    * untouched buckets' files (manifests sharing files is exactly the
+    * q167 property that makes vacuum union kept manifests). */
+  private val CdcSnapBuckets = 8
+
+  /** Applies one CDC micro-batch to the snapshot-log table at `root`
+    * as version `batchId + 1` (q298, the r12 verdict's #7 — streaming
+    * upserts committing through the SAME scratch+rename manifest
+    * protocol as q167's batch maintenance):
+    *
+    *  - IDEMPOTENT by version: a replayed batch (restart from
+    *    checkpoint, double-fire) finds `v` committed and returns —
+    *    the q164 batchId rename-commit discipline at manifest level;
+    *  - the batch's images partition into [[CdcSnapBuckets]] key
+    *    buckets; only CHANGED buckets rewrite (prior bucket file
+    *    anti-joined on the batch's keys + the batch's live images),
+    *    unchanged buckets' files carry over by reference;
+    *  - files-then-manifest: a crash between addFiles and
+    *    commitVersion leaves orphans for vacuum, never a torn
+    *    snapshot; the replay overwrites them with identical bytes.
+    *
+    * At 100 TB buckets become table partitions, the per-bucket merge
+    * one dynamic-partition-overwrite job, and the manifest the
+    * transaction log — per-trigger cost is O(changed partitions),
+    * never a table rewrite. */
+  private[graft] def applyCdcBatch(s: SparkSession,
+                                   root: java.nio.file.Path,
+                                   batchId: Long, upd: DataFrame): Unit = {
+    val SnapshotLog = graft.sources.PartitionedOps.SnapshotLog
+    val v = batchId.toInt + 1
+    if (SnapshotLog.versions(root).contains(v)) {
+      // replayed batch (restart from checkpoint / double-fire): the
+      // version is already committed, but the batch must STILL be
+      // consumed in full — Spark 4's state-store commit validation
+      // requires foreachBatch to process every stateful partition,
+      // and a bare early return reads as a swallowed error
+      upd.write.format("noop").mode("overwrite").save()
+      return
     }
-    dir.toString
+    require(SnapshotLog.latest(root) == v - 1,
+      s"CDC snapshot log at ${SnapshotLog.latest(root)} cannot accept v$v")
+    // persist: the changed-bucket probe and each bucket merge re-read
+    // the batch; without the pin every action would re-run the
+    // stateful operator upstream
+    val img = upd.withColumn("bkt",
+      pmod(col("user_id"), lit(CdcSnapBuckets)).cast("int")).persist()
+    try {
+      val changed = img.select("bkt").distinct()
+        .collect().map(_.getInt(0)).toSet
+      val prevFiles: Seq[String] =
+        if (v == 1) Seq.empty else SnapshotLog.files(root, v - 1)
+      def bucketOf(name: String) = name.drop(1).takeWhile(_ != '-').toInt
+      val keep = prevFiles.filterNot(f => changed.contains(bucketOf(f)))
+      val added = changed.toSeq.sorted.flatMap { b =>
+        val prior = prevFiles.filter(f => bucketOf(f) == b)
+        val cur =
+          if (prior.isEmpty) {
+            import s.implicits._
+            Seq.empty[(Long, Long, Long)].toDF("user_id", "cents", "n_ops")
+          } else s.read.parquet(prior.map(root.resolve(_).toString): _*)
+        val bu = img.where(col("bkt") === b)
+        val merged = cur
+          .join(bu.select("user_id"), Seq("user_id"), "left_anti")
+          .unionByName(bu.where(col("op") === "U")
+            .select("user_id", "cents", "n_ops"))
+        SnapshotLog.addFiles(s, root, s"b$b-v$v", merged.coalesce(1))
+      }
+      SnapshotLog.commitVersion(root, v, keep ++ added)
+    } finally img.unpersist()
+  }
+
+  /** Builds (or reuses) the q298 CDC snapshot-log table for `d`'s
+    * event stream: drains [[cdcImages]] through a foreachBatch
+    * [[applyCdcBatch]] committer. The root rides the staged dir's
+    * layout fingerprint, and per-batch commits are version-idempotent,
+    * so re-drains (fresh checkpoints included) against an
+    * already-built log are no-ops. */
+  private[graft] def cdcSnapshotRoot(s: SparkSession, d: String)
+      : java.nio.file.Path = {
+    val root = java.nio.file.Paths.get(stagedEventsDir(d) + "_cdcsnap")
+    java.nio.file.Files.createDirectories(root)
+    val iso = s.newSession()
+    iso.conf.set("spark.sql.shuffle.partitions", "8")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdcsnap_ck")
+    val query = cdcImages(iso, d).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        applyCdcBatch(b.sparkSession, root, id, b)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    root
   }
 
   /** File-source event stream with µs event time (ns parquet → µs). */
@@ -477,10 +573,16 @@ object StreamOps extends OpModule {
     // sketch-build scan with O(batch) incremental work — the artifact
     // is always current, and a restart resumes from committed offsets.
     "q164_stream_sketch_union" -> { (s, d) =>
-      val root = java.nio.file.Paths.get(
-        s"${sys.props("java.io.tmpdir")}/graft_stream_sketch_" +
-          d.replaceAll("[^a-zA-Z0-9]", "_"))
-      maintainSketchArtifact(s, stagedEventsDir(d), root)
+      // the artifact root rides the staged dir's LAYOUT FINGERPRINT
+      // (r13, with the stageParts refactor): the checkpoint's offset
+      // log hard-references source file paths, so a rebuilt source
+      // (new fingerprint → new staged path) must get a FRESH
+      // artifact+checkpoint rather than a resume against paths that
+      // no longer exist; an unchanged source keeps its stable root
+      // and resumes from committed offsets as before
+      val staged = stagedEventsDir(d)
+      val root = java.nio.file.Paths.get(staged + "_sketch")
+      maintainSketchArtifact(s, staged, root)
       s.read.parquet(root.resolve("art").toString)
         .groupBy("event_type")
         .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
@@ -552,42 +654,37 @@ object StreamOps extends OpModule {
     // Oracle = the batch reduction: per key the latest op wins, DELETE
     // keys absent.
     "q285_stream_cdc_apply" -> { (s, d) =>
-      val sunk = runToMemory(s, iso => {
-        import iso.implicits._
-        import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-        eventStream(iso, d)
-          .select(col("user_id"), col("event_id"),
-                  unix_micros(col("ts")).as("tus"),
-                  when(col("event_type") === "error", "D")
-                    .otherwise("U").as("op"),
-                  round(col("value") * 100).cast("long").as("cents"))
-          .as[(Long, Long, Long, String, Long)]
-          .groupByKey(_._1)
-          .flatMapGroupsWithState(
-            OutputMode.Update, GroupStateTimeout.NoTimeout) {
-            (uid: Long, it: Iterator[(Long, Long, Long, String, Long)],
-             state: GroupState[(Long, Long, String, Long, Long)]) =>
-              // state = (lastTus, lastEid, lastOp, value, nOps).
-              // LWW is by EVENT TIME (ts, event_id), not arrival order:
-              // an op older than the stored image counts but never
-              // overwrites — late/replayed CDC records stay harmless
-              var st = state.getOption.getOrElse((Long.MinValue,
-                Long.MinValue, "", 0L, 0L))
-              for (e <- it.toSeq.sortBy(e => (e._3, e._2))) {
-                val newer = e._3 > st._1 ||
-                  (e._3 == st._1 && e._2 > st._2)
-                st = if (newer) (e._3, e._2, e._4, e._5, st._5 + 1)
-                     else (st._1, st._2, st._3, st._4, st._5 + 1)
-              }
-              state.update(st)
-              Iterator((uid, st._3, st._4, st._5))
-          }
-          .toDF("user_id", "op", "cents", "n_ops")
-      }, "graft_stream_cdc", "update")
+      val sunk = runToMemory(s, iso => cdcImages(iso, d),
+                             "graft_stream_cdc", "update")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy(col("n_ops").desc)
       sunk.withColumn("rn", row_number().over(w))
         .where(col("rn") === 1 && col("op") === "U")
+        .select(col("user_id"),
+                round(col("cents").cast("double") / 100.0, 6)
+                  .as("last_value"),
+                col("n_ops"))
+        .orderBy("user_id")
+    },
+
+    // Streaming CDC → snapshot-log commits (added r13 — the r12
+    // verdict's #7, closing the last streaming↔lakehouse gap): the
+    // SAME LWW image stream q285 reduces in memory here COMMITS each
+    // micro-batch as a versioned manifest through q167's
+    // scratch+rename SnapshotLog — upserts/deletes land as bucket
+    // rewrites, unchanged buckets carry over BY REFERENCE in the new
+    // manifest, versions are batchId-idempotent (a replayed batch
+    // re-adds identical bytes and skips the commit — the q164
+    // discipline at manifest level), and every intermediate version
+    // stays time-travel-readable until vacuum. The declared query
+    // reads the LATEST snapshot, which must equal q285's batch
+    // reduction under ANY batch split — shared oracle; the
+    // kill/restart + time-travel + double-fire contracts live in
+    // StreamingSpec.
+    "q298_stream_cdc_snapshot" -> { (s, d) =>
+      val SnapshotLog = graft.sources.PartitionedOps.SnapshotLog
+      val root = cdcSnapshotRoot(s, d)
+      SnapshotLog.read(s, root, SnapshotLog.latest(root))
         .select(col("user_id"),
                 round(col("cents").cast("double") / 100.0, 6)
                   .as("last_value"),
@@ -625,10 +722,23 @@ object StreamOps extends OpModule {
           }
           .toDF("user_id", "hour_idx", "episode_idx")
       }, "graft_stream_alert", "append")
+        // episode_idx is re-ranked HERE, over the sink, not taken from
+        // the state-insertion order: the in-flight seen.size index is
+        // correct only while the file source drains parts in global
+        // event-time order (single AvailableNow batch). If parts drain
+        // across micro-batches out of ts order, a user's EARLIER hour
+        // can arrive in a LATER batch and invert the in-flight indices
+        // (r12 ADVICE). The alerted-hour SET is arrival-order-invariant
+        // (set membership), so ranking it by hour at read time restores
+        // the declared semantics under any drain schedule — the same
+        // batch-reduction move q285 makes with its argmax over n_ops.
         .select(col("user_id"),
                 timestamp_micros(col("hour_idx") * 3600000000L)
                   .as("alert_hour"),
-                col("episode_idx"))
+                row_number().over(
+                  org.apache.spark.sql.expressions.Window
+                    .partitionBy("user_id").orderBy("hour_idx"))
+                  .as("episode_idx"))
         .orderBy("user_id", "alert_hour")
     }
   )
@@ -694,6 +804,24 @@ object StreamOps extends OpModule {
     // the batch reduction of last-writer-wins CDC: latest op per key
     // wins, DELETE keys absent from the final table
     "q285_stream_cdc_apply" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_ops
+        |  FROM c)
+        |SELECT user_id,
+        |  round(CAST(cents AS DOUBLE) / 100.0, 6) AS last_value,
+        |  n_ops
+        |FROM r WHERE rn = 1 AND op = 'U' ORDER BY user_id""".stripMargin,
+
+    // the latest snapshot IS q285's final table — same batch reduction
+    "q298_stream_cdc_snapshot" ->
       """WITH c AS (
         |  SELECT user_id, ts, event_id,
         |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,

@@ -924,21 +924,30 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(recall >= 0.5, s"IVF-PQ nprobe=4 m=8 recall $recall vs exact top-10")
   }
 
-  test("q96 exact-substring decontamination matches an in-memory replay") {
+  /** The winnowed minimizer selection q96/q103 declare (r13), replayed
+    * sequentially: per-doc 8-gram hash list, min of each complete
+    * 5-gram window, global min for docs with < 5 grams. */
+  private def replayMinimizers(t: String): Set[String] = {
+    // split(" ", -1): Spark SQL split keeps trailing empty tokens (§7.4)
+    val hs = t.split(" ", -1).sliding(8).filter(_.length == 8)
+      .map(w => md5hex(w.mkString(" "))).toVector
+    if (hs.isEmpty) Set.empty[String]
+    else if (hs.length >= 5) hs.sliding(5).map(_.min).toSet
+    else Set(hs.min)
+  }
+
+  test("q96 winnowed exact-substring decontamination matches an in-memory replay") {
     val docs = Tables(spark, sf, "documents").select("doc_id", "text")
       .as[(Long, String)].collect()
-    val grams = docs.map { case (id, t) =>
-      // split(" ", -1): Spark SQL split keeps trailing empty tokens (§7.4)
-      val g = t.split(" ", -1).sliding(8).filter(_.length == 8)
-        .map(w => md5hex(w.mkString(" "))).toSet
-      (id, md5hex(id.toString).head <= 'b', g)
+    val mins = docs.map { case (id, t) =>
+      (id, md5hex(id.toString).head <= 'b', replayMinimizers(t))
     }
-    val rare = grams.flatMap(_._3).groupBy(identity)
-      .map { case (m, _) => m -> grams.count(_._3.contains(m)) }
+    val rare = mins.flatMap(_._3).groupBy(identity)
+      .map { case (m, _) => m -> mins.count(_._3.contains(m)) }
       .filter(_._2 <= 10).keySet
     val expected = (for {
-      (eid, eTrain, eg) <- grams if !eTrain
-      (tid, tTrain, tg) <- grams if tTrain
+      (eid, eTrain, eg) <- mins if !eTrain
+      (tid, tTrain, tg) <- mins if tTrain
       shared = (eg intersect tg).count(rare.contains)
       if shared >= 1
     } yield (eid, tid, shared.toLong)).sortBy(p => (p._1, p._2)).toSeq
@@ -946,6 +955,46 @@ class CorrectnessSpec extends SparkSpecBase {
       .as[(Long, Long, Long)].collect().toSeq
     assert(got == expected)
     assert(got.nonEmpty, "exact tier found no pairs at test SF")
+  }
+
+  test("q96 winnowing guarantee: a shared ≥12-token span always shares a minimizer") {
+    // the deterministic-recall property the tier's declared semantics
+    // rest on: k=8, w=5 ⇒ any verbatim span of ≥ k+w−1 = 12 tokens
+    // contains a complete minimizer window, and both docs pick the
+    // same minimum in it — checked over 200 constructed pairs with
+    // the shared span embedded at varying offsets in random context
+    val rnd = new scala.util.Random(42)
+    def toks(n: Int) = Vector.fill(n)("t" + rnd.nextInt(5000))
+    for (trial <- 1 to 200) {
+      val span = toks(12 + rnd.nextInt(6))
+      val a = (toks(rnd.nextInt(20)) ++ span ++ toks(rnd.nextInt(20)))
+        .mkString(" ")
+      val b = (toks(rnd.nextInt(20)) ++ span ++ toks(rnd.nextInt(20)))
+        .mkString(" ")
+      assert(replayMinimizers(a).intersect(replayMinimizers(b)).nonEmpty,
+             s"trial $trial: shared ${span.length}-token span missed")
+    }
+  }
+
+  test("PCA dims bound fails fast with the named limit") {
+    // the r12 verdict's #4: the d² driver collect must refuse, with a
+    // named limit, rather than degrade into a silent giant collect
+    val e = intercept[IllegalArgumentException] {
+      operators.SimilarityExtOps.requirePcaDims(513)
+    }
+    assert(e.getMessage.contains("at most 512 dims"),
+           s"bound message changed: ${e.getMessage}")
+    operators.SimilarityExtOps.requirePcaDims(512) // boundary accepted
+  }
+
+  test("q297 component 1 equals q295's output") {
+    // deflation must be a pure extension: the first solve is the SAME
+    // declared algorithm, so component 1's rows are q295's verbatim
+    val c1 = q("q297_pca_topk").where(col("component") === 1)
+      .select("dim", "loading", "var_explained")
+      .as[(Int, Double, Double)].collect().toSeq
+    val p = q("q295_pca_power").as[(Int, Double, Double)].collect().toSeq
+    assert(c1 == p, "q297 component 1 diverges from q295")
   }
 
   test("q119 re-diff self-check: applied snapshot diffs to all-unchanged") {

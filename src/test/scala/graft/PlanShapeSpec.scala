@@ -437,10 +437,12 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("SelectedBucketsCount"), p)
   }
 
-  test("q103: persisted 8-gram index probes without shuffling the index side") {
-    // the exact-substring tier under the same batch-vs-index discipline
+  test("q103: persisted minimizer index probes without shuffling the index side") {
+    // the exact-substring tier under the same batch-vs-index
+    // discipline — r13: the persisted index holds WINNOWED minimizer
+    // posting lists (graft_minidx8), not every gram position
     val p = assertIndexSideUnshuffled("q103_decontaminate_exact_incr",
-                                      "graft_gramidx8")
+                                      "graft_minidx8")
     assert(p.contains("SelectedBucketsCount"), p)
   }
 
@@ -1405,9 +1407,11 @@ class PlanShapeSpec extends SparkSpecBase {
              "q279 replans the fact scan instead of reading the pin")
       assert(!p279.contains("SortMergeJoin"), p279)
     } finally PinScope.drain()
-    // q280: both layouts' group labels come from two row_number windows
-    // in ONE pass — two window sorts, and only the min/max range agg
-    // reads the table a second time (column-pruned)
+    // q280 (reshaped r13): the two layouts are INDEPENDENT branches —
+    // one column-pruned scan + one bucketed row_number window each
+    // (the layout bounds collect once at build and ride as literals;
+    // the bucket-offset tables ride the pinned cell pass), and the
+    // branches meet only at the ≤N/512-row group tables
     val p280 = SparkEntry.queries("q280_zorder_skipping")(spark, sf)
       .queryExecution.executedPlan.toString
     assert("FileScan|Scan parquet".r.findAllIn(p280).size == 2, p280)

@@ -570,4 +570,79 @@ class StreamingSpec extends SparkSpecBase {
       assert(table() == Set((2L, 900L, 2L)), table())
     } finally q.stop()
   }
+
+  test("q298 shape: CDC snapshot commits survive kill/restart, time travel, double-fire") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val SnapshotLog = sources.PartitionedOps.SnapshotLog
+    val dir = Files.createTempDirectory("graft_cdcsnap_src")
+    val root = Files.createTempDirectory("graft_cdcsnap_tbl")
+    val ckpt = Files.createTempDirectory("graft_cdcsnap_ck")
+    def stream = {
+      val schema = spark.read.parquet(dir.toString).schema
+      spark.readStream.schema(schema).parquet(dir.toString)
+        .as[(Long, Long, Long, String, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(
+          OutputMode.Update, GroupStateTimeout.NoTimeout) {
+          (uid: Long, it: Iterator[(Long, Long, Long, String, Long)],
+           state: GroupState[(Long, Long, String, Long, Long)]) =>
+            var st = state.getOption.getOrElse((Long.MinValue,
+              Long.MinValue, "", 0L, 0L))
+            for (e <- it.toSeq.sortBy(e => (e._3, e._2))) {
+              val newer = e._3 > st._1 ||
+                (e._3 == st._1 && e._2 > st._2)
+              st = if (newer) (e._3, e._2, e._4, e._5, st._5 + 1)
+                   else (st._1, st._2, st._3, st._4, st._5 + 1)
+            }
+            state.update(st)
+            Iterator((uid, st._3, st._4, st._5))
+        }.toDF("user_id", "op", "cents", "n_ops")
+    }
+    // each run() is one PROCESS LIFETIME: start from the shared
+    // checkpoint, drain, stop — the stop IS the kill, the next run()
+    // the restart
+    def run(): Unit = {
+      val q = stream.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          streaming.StreamOps.applyCdcBatch(b.sparkSession, root, id, b)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def tbl(v: Int) = SnapshotLog.read(spark, root, v)
+      .select("user_id", "cents", "n_ops")
+      .as[(Long, Long, Long)].collect().toSet
+    // batch 1: users 1 and 2 upsert → v1
+    Seq((1L, 10L, 100L, "U", 500L), (2L, 12L, 150L, "U", 900L))
+      .toDF("user_id", "event_id", "tus", "op", "cents")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    run()
+    assert(SnapshotLog.latest(root) == 1, "batch 1 did not commit v1")
+    assert(tbl(1) == Set((1L, 500L, 1L), (2L, 900L, 1L)), tbl(1))
+    // KILL happened (query stopped); batch 2 lands, RESTART drains it:
+    // user 1 deleted, user 3 inserted → v2
+    Seq((1L, 13L, 300L, "D", 0L), (3L, 14L, 120L, "U", 111L))
+      .toDF("user_id", "event_id", "tus", "op", "cents")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    run()
+    assert(SnapshotLog.latest(root) == 2, "restart did not commit v2")
+    assert(tbl(2) == Set((2L, 900L, 1L), (3L, 111L, 1L)), tbl(2))
+    // TIME TRAVEL: v1 still reads the pre-delete state after v2
+    assert(tbl(1) == Set((1L, 500L, 1L), (2L, 900L, 1L)),
+           "v1 no longer time-travel-readable")
+    // v2 must SHARE v1's file for user 2's untouched bucket
+    val shared = SnapshotLog.files(root, 1).toSet
+      .intersect(SnapshotLog.files(root, 2).toSet)
+    assert(shared.nonEmpty, "v2 re-referenced none of v1's files")
+    // DOUBLE-FIRE batch 0 with DIFFERENT content: the committed
+    // version must win (file list unchanged, no new version)
+    val before = SnapshotLog.files(root, 1)
+    streaming.StreamOps.applyCdcBatch(spark, root, 0L,
+      Seq((9L, "U", 999L, 1L)).toDF("user_id", "op", "cents", "n_ops"))
+    assert(SnapshotLog.latest(root) == 2 &&
+             SnapshotLog.files(root, 1) == before,
+           "a double-fired batch replaced v1")
+  }
 }
