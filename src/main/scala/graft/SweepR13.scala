@@ -27,7 +27,8 @@ object SweepR13 {
     val qs = Seq("q13_join_asof", "q223_asof_exec",
       "q96_decontaminate_exact", "q103_decontaminate_exact_incr",
       "q227_minimizer_pairs", "q280_zorder_skipping", "q292_theil_sen",
-      "q297_pca_topk", "q298_stream_cdc_snapshot")
+      "q297_pca_topk", "q298_stream_cdc_snapshot", "q299_bpe_train",
+      "q300_simhash_hamming", "q301_ppl_filter")
     val x100 = args.headOption.contains("x100")
     val rest = if (x100) args.tail else args
     val sel = if (rest.isEmpty) qs else qs.filter(rest.contains)

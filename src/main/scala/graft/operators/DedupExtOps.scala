@@ -16,6 +16,45 @@ import scala.language.existentials // the (DataFrame, RDD[_]) pin-handle pairs
   * min() over hex strings is a valid uniform min-hash because the hex
   * encoding preserves byte order.
   */
+/** q300: per-document 64-bit SimHash ±1 vote fold as a typed
+  * `Aggregator` — buffer = 64 vote counters, input = the token md5's
+  * first 16 hex chars, output = the '0'/'1' fingerprint string. Vote
+  * sums are trivially mergeable (they add), so partials combine
+  * map-side like any sum — the q88 constant-memory mold at 64
+  * longs/group, replacing 64 separate per-bit aggregate EXPRESSIONS
+  * (each its own buffer slot + per-row expression eval) with one
+  * tight JVM loop per token. Bit p reads hex char p/4+1's value's
+  * (p%4)-th bit — the identical integers the oracle derives with
+  * strpos/substr arithmetic. */
+object SimHashVotesAgg extends org.apache.spark.sql.expressions
+    .Aggregator[String, Array[Long], String] {
+  def zero: Array[Long] = new Array[Long](64)
+  def reduce(b: Array[Long], h: String): Array[Long] = {
+    var j = 0
+    while (j < 16) {
+      val v = Character.digit(h.charAt(j), 16)
+      val base = j * 4
+      var k = 0
+      while (k < 4) { b(base + k) += ((v >> k) & 1) * 2 - 1; k += 1 }
+      j += 1
+    }
+    b
+  }
+  def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0; while (i < 64) { a(i) += b(i); i += 1 }; a
+  }
+  def finish(b: Array[Long]): String = {
+    val sb = new java.lang.StringBuilder(64)
+    var p = 0
+    while (p < 64) { sb.append(if (b(p) > 0) '1' else '0'); p += 1 }
+    sb.toString
+  }
+  def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  def outputEncoder: org.apache.spark.sql.Encoder[String] =
+    org.apache.spark.sql.Encoders.STRING
+}
+
 object DedupExtOps extends OpModule {
 
   private val NumHashes = 8
@@ -130,6 +169,65 @@ object DedupExtOps extends OpModule {
           count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
         .select("doc_id", "fp", "bucket_size")
         .orderBy("doc_id")
+    },
+
+    // 64-bit SimHash Hamming-distance join (added r13) — the dedup
+    // axis q47 OPENS but does not finish: q47 buckets exact-equal
+    // 16-bit fingerprints, which misses the near-duplicate whose
+    // fingerprint differs by a couple of bits — precisely the pairs
+    // SimHash exists to find. This is the Manku et al. 2007 (WWW,
+    // the Google crawl-dedup paper) production design: 64-bit
+    // fingerprint (per-token md5 nibbles 1-16 as ±1 bit votes),
+    // Hamming radius k = 3, and the PIGEONHOLE multi-index — split
+    // the fingerprint into k+1 = 4 bands of 16 bits; two fingerprints
+    // within Hamming 3 agree EXACTLY on at least one band (3 flipped
+    // bits cannot touch all 4 bands), so equal-band buckets are a
+    // complete candidate set and the exact 64-position Hamming count
+    // verifies each candidate. Scale shape: fingerprints are ONE
+    // token-scan aggregate (64 map-side-combined sign sums, pinned);
+    // banding is 4 narrow projections of the pinned table; band
+    // buckets carry ~corpus/2^16 docs each and the q46 hot-bucket cap
+    // bounds template-mass buckets; the verify join touches only
+    // candidates — never corpus². All-integer ⇒ hash-exact oracle.
+    "q300_simhash_hamming" -> { (s, d) =>
+      def pin(df: DataFrame) = org.apache.spark.sql.graft.InternalPin.pin(df)
+      // the fingerprint fold is this query's volume term: the 64 ±1
+      // vote sums run as ONE typed Aggregator ([[SimHashVotesAgg]] —
+      // a long[64] buffer updated in a tight loop per token, partials
+      // merging map-side) instead of 64 separate aggregate
+      // expressions; same integers, same fingerprint string
+      val votes = udaf(SimHashVotesAgg)
+      val (fp, h) = pin(Tables(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), substring(md5(col("tok")), 1, 16).as("h16"))
+        .groupBy("doc_id").agg(votes(col("h16")).as("fp")))
+      h.count(); graft.PinScope.retain(h)
+      val bands = (0 until 4).map(b =>
+          fp.select(col("doc_id"), lit(b).as("band"),
+                    substring(col("fp"), b * 16 + 1, 16).as("bk")))
+        .reduce(_ unionAll _)
+      val capped = bands
+        .withColumn("bn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("band", "bk")))
+        .where(col("bn") <= HotBucketCap).drop("bn")
+      val cand = capped
+        .select(col("band"), col("bk"), col("doc_id").as("id_a"))
+        .join(capped.select(col("band"), col("bk"),
+                            col("doc_id").as("id_b")), Seq("band", "bk"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val hamExpr = (1 to 64).map(i =>
+        s"CASE WHEN substr(fpa, $i, 1) <> substr(fpb, $i, 1) " +
+          "THEN 1 ELSE 0 END").mkString(" + ")
+      cand
+        .join(fp.select(col("doc_id").as("id_a"), col("fp").as("fpa")),
+              Seq("id_a"))
+        .join(fp.select(col("doc_id").as("id_b"), col("fp").as("fpb")),
+              Seq("id_b"))
+        .withColumn("hamming", expr(hamExpr).cast("long"))
+        .where(col("hamming") <= 3)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy("id_a", "id_b")
     },
 
     // Incremental dedup — the operation a training-data pipeline runs
@@ -1254,6 +1352,14 @@ object DedupExtOps extends OpModule {
       s"sum(((strpos('0123456789abcdef', substr(h, $j, 1)) - 1) // $pw) % 2 * 2 - 1) AS s$p"
     }.mkString(", ")
 
+  /** q300's 64-bit extension of [[simhashBits]] (nibbles 1-16). */
+  private def simhashBits64: String =
+    (0 until 64).map { p =>
+      val j = p / 4 + 1
+      val pw = 1 << (p % 4)
+      s"sum(((strpos('0123456789abcdef', substr(h, $j, 1)) - 1) // $pw) % 2 * 2 - 1) AS s$p"
+    }.mkString(", ")
+
   def oracles: Map[String, String] = Map(
     // same prefix blocking + hot-block cap, same rounded-Jaccard
     // mutual-argmax with (jac desc, partner asc) tie order
@@ -1583,6 +1689,42 @@ object DedupExtOps extends OpModule {
          |buckets AS (SELECT fp, count(*) AS bucket_size FROM fps GROUP BY fp)
          |SELECT doc_id, fps.fp, bucket_size FROM fps JOIN buckets ON fps.fp = buckets.fp
          |ORDER BY doc_id""".stripMargin,
+
+    // same 64-bit fingerprint, same 4×16 pigeonhole bands + cap, same
+    // exact 64-position Hamming verify and k = 3 radius
+    "q300_simhash_hamming" -> {
+      val fpConcat = (0 until 64)
+        .map(p => s"CASE WHEN s$p > 0 THEN '1' ELSE '0' END")
+        .mkString(" || ")
+      val hamSql = (1 to 64).map(i =>
+        s"CASE WHEN substr(a.fp, $i, 1) <> substr(b.fp, $i, 1) " +
+          "THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+         |  FROM documents),
+         |fps AS MATERIALIZED (
+         |  SELECT doc_id, $fpConcat AS fp
+         |  FROM (SELECT doc_id, $simhashBits64 FROM t GROUP BY doc_id)),
+         |bands AS (
+         |  SELECT doc_id, band, substr(fp, band * 16 + 1, 16) AS bk
+         |  FROM fps, (SELECT unnest([0, 1, 2, 3]) AS band) u),
+         |capped AS (
+         |  SELECT * FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY band, bk) AS bn
+         |    FROM bands)
+         |  WHERE bn <= $HotBucketCap),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM capped x JOIN capped y
+         |    ON x.band = y.band AND x.bk = y.bk
+         |   AND x.doc_id < y.doc_id),
+         |v AS (
+         |  SELECT id_a, id_b, CAST($hamSql AS BIGINT) AS hamming
+         |  FROM cand JOIN fps a ON cand.id_a = a.doc_id
+         |            JOIN fps b ON cand.id_b = b.doc_id)
+         |SELECT id_a, id_b, hamming FROM v
+         |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+    },
 
     "q262_source_mirror" ->
       """WITH g AS (

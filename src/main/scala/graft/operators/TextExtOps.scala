@@ -50,6 +50,12 @@ object TextExtOps extends OpModule {
       |      CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) /
       |        len(text) * 0.3, 6)""".stripMargin
 
+  /** q299's vocab cap: BPE merges are learned from the top-N words by
+    * (freq desc, word) — the deterministic dict bound every production
+    * BPE trainer applies, and what keeps training vocab-bound at any
+    * corpus size. */
+  private val BpeTrainVocabCap = 4096
+
   /** The stable hash train/eval split rule shared by q67, q81 and —
     * through doc_id ≡ vec_id (q45) — q120's semantic sweep: membership
     * depends only on the key (~75/25 via first md5 nibble). */
@@ -412,6 +418,147 @@ object TextExtOps extends OpModule {
     // |langs×sources|-key agg; both denominators are windows over the
     // AGGREGATE (cells, not docs). Shares divide exact BIGINTs once,
     // round 6.
+    // Perplexity-based quality filter (added r13) — the quality axis
+    // q49's surface heuristics (length/punct/stopword ratios) cannot
+    // see: score every eval document under a LANGUAGE MODEL trained on
+    // the train split and flag the high-perplexity tail — the CCNet /
+    // Wikipedia-LM filtering step every production corpus runs between
+    // dedup and mixing. Model: add-1-smoothed bigram LM (declared —
+    // the classic n-gram form; a neural scorer would slot into the
+    // same pipeline shape as an opaque score column). Per eval doc
+    // with ≥ 2 tokens: avg negative log-prob per adjacent token pair,
+    // each term ln((cb+1)/(cu+V)) rounded ONCE at 6 dp then summed as
+    // exact decimals (q220's round-log-once discipline ⇒ the
+    // order-free sum is engine-identical); per source: docs, mean
+    // avg-NLL, and the share above the declared 8.0 flag line. Scale
+    // shape: ONE train scan folds the bigram/unigram count tables
+    // (vocab-bound, ≪ corpus — production persists them as an
+    // artifact like q99's index); scoring is one eval-pair explode +
+    // two count-table joins + a per-doc agg — never corpus×corpus,
+    // and the LM tables are the only shuffled state.
+    "q301_ppl_filter" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), trainSplit.as("split"), col("source"),
+                split(col("text"), " ").as("t"))
+      val pairsOf = expr(
+        "transform(sequence(1, size(t) - 1), i -> " +
+          "struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")
+      val cb = docs.where(col("split") === "train" && size(col("t")) >= 2)
+        .select(explode(pairsOf).as("pr"))
+        .groupBy(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+        .agg(count(lit(1)).as("cb"))
+      val cu = docs.where(col("split") === "train")
+        .select(explode(col("t")).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("cu"))
+      val vv = cu.agg(count(lit(1)).as("v"))
+      val scored = docs
+        .where(col("split") === "eval" && size(col("t")) >= 2)
+        .select(col("doc_id"), col("source"), explode(pairsOf).as("pr"))
+        .select(col("doc_id"), col("source"),
+                col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+        .join(cb, Seq("w1", "w2"), "left")
+        .join(cu, Seq("w1"), "left")
+        .crossJoin(broadcast(vv))
+        .withColumn("lp", round(log(
+            (coalesce(col("cb"), lit(0L)).cast("double") + lit(1.0)) /
+            (coalesce(col("cu"), lit(0L)).cast("double") +
+             col("v").cast("double"))), 6).cast("decimal(28,6)"))
+      val perDoc = scored.groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n"), sum("lp").as("slp"))
+        .withColumn("avg_nll",
+          round(-col("slp").cast("double") / col("n").cast("double"), 6)
+            .cast("decimal(28,6)"))
+      perDoc.groupBy("source")
+        .agg(count(lit(1)).as("docs"),
+             round(sum(col("avg_nll")).cast("double") /
+                   count(lit(1)).cast("double"), 6).as("mean_nll"),
+             sum(when(col("avg_nll").cast("double") > 8.0, 1L)
+                   .otherwise(0L)).as("flagged"))
+        .withColumn("flagged_share",
+          round(col("flagged").cast("double") / col("docs").cast("double"),
+                6))
+        .orderBy("source")
+    },
+
+    // BPE merge INDUCTION (added r13) — the missing counterpart to
+    // q101/q106, which APPLY a frozen merge table: this LEARNS one
+    // from the corpus (Sennrich et al. 2016, the tokenizer-training
+    // step every LLM data pipeline runs before anything tokenizes).
+    // Declared algorithm, identical in both engines:
+    //  - ONE corpus scan folds to a word-frequency table, capped at
+    //    the top [[BpeTrainVocabCap]] words by (freq desc, word) —
+    //    exactly how production BPE trainers bound their dict, and
+    //    what makes training VOCAB-bound (Heaps' law), not
+    //    corpus-bound: at 100 TB the scan is the only volume term;
+    //  - words symbolize to one row per character; 8 rounds each
+    //    (a) count adjacent symbol pairs weighted by word freq,
+    //    (b) pick argmax (count desc, pair asc) — a 1-row collect,
+    //    the q279 driver-solve contract, and (c) merge every GREEDY
+    //    LEFTMOST occurrence via the gaps-and-islands parity
+    //    formulation (consecutive matched positions form runs; odd
+    //    ranks within a run merge, each consuming its successor) —
+    //    three window passes over the symbol table, NO per-row
+    //    sequential fold, so the same relational spec runs in DuckDB
+    //    verbatim as generated CTEs;
+    //  - output = the learned merge table (round, lft, rgt,
+    //    pair_count) — the artifact q101's applier would ship with.
+    // The greedy-parity window formulation is certified against a
+    // sequential textbook fold in CorrectnessSpec. All counts exact
+    // integers; the symbol table re-pins per round (vocab-bound).
+    "q299_bpe_train" -> { (s, d) =>
+      import s.implicits._
+      val W = org.apache.spark.sql.expressions.Window
+      def pin(df: DataFrame) = org.apache.spark.sql.graft.InternalPin.pin(df)
+      val vocab = Tables(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .withColumn("rk",
+          row_number().over(W.orderBy(col("freq").desc, col("w"))))
+        .where(col("rk") <= BpeTrainVocabCap).drop("rk")
+      var (syms, h0) = pin(vocab
+        .select(col("w"), col("freq"), posexplode(expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+          .as(Seq("p0", "s")))
+        .select(col("w"), col("freq"), (col("p0") + 1).as("i"), col("s")))
+      h0.count(); graft.PinScope.retain(h0)
+      val wOrd = W.partitionBy("w").orderBy("i")
+      val merges =
+        scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+      for (round <- 1 to 8) {
+        val paired = syms
+          .withColumn("nx", lead("s", 1).over(wOrd))
+        val best = paired.where(col("nx").isNotNull)
+          .groupBy(col("s").as("a"), col("nx").as("b"))
+          .agg(sum("freq").as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+          .collect()(0)
+        val (a, b) = (best.getString(0), best.getString(1))
+        merges += ((round, a, b, best.getLong(2)))
+        val (next, h) = pin(paired
+          .withColumn("mat", coalesce(
+            col("s") === lit(a) && col("nx") === lit(b), lit(false)))
+          .withColumn("mrank",
+            sum(when(col("mat"), 1L).otherwise(0L)).over(wOrd))
+          .withColumn("grp", col("i") - col("mrank"))
+          .withColumn("prank",
+            sum(when(col("mat"), 1L).otherwise(0L))
+              .over(W.partitionBy("w", "grp").orderBy("i")))
+          .withColumn("kept", col("mat") && col("prank") % 2 === 1)
+          .withColumn("consumed",
+            coalesce(lag("kept", 1).over(wOrd), lit(false)))
+          .where(!col("consumed"))
+          .select(col("w"), col("freq"),
+                  row_number().over(wOrd).as("i"),
+                  when(col("kept"), concat(col("s"), col("nx")))
+                    .otherwise(col("s")).as("s")))
+        h.count(); graft.PinScope.retain(h)
+        syms = next
+      }
+      merges.toSeq.toDF("round", "lft", "rgt", "pair_count")
+        .orderBy("round")
+    },
+
     "q212_token_budget" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val wAll = Window.partitionBy(lit(0))
@@ -1212,6 +1359,70 @@ object TextExtOps extends OpModule {
       .orderBy("eval_id", "train_id")
   }
 
+  /** q299's oracle: the identical 8-round induction as generated CTEs
+    * — per round one argmax-pair CTE (p\$k) and one greedy-parity
+    * merge CTE (s\$k), the SAME window algebra the Spark side runs
+    * (cumulative matched-count → run id → within-run parity → lag
+    * consume), so the learned merge table matches exactly. */
+  private def bpeTrainOracle: String = {
+    val rounds = (1 to 8).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT s AS a, nx AS b, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT s, freq,
+         |          lead(s) OVER (PARTITION BY w ORDER BY i) AS nx
+         |        FROM s${k - 1})
+         |  WHERE nx IS NOT NULL GROUP BY 1, 2
+         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |s$k AS MATERIALIZED (
+         |  SELECT w, freq,
+         |    row_number() OVER (PARTITION BY w ORDER BY i) AS i,
+         |    CASE WHEN kept THEN s || nx ELSE s END AS s
+         |  FROM (
+         |    SELECT *, coalesce(lag(kept)
+         |        OVER (PARTITION BY w ORDER BY i), false) AS consumed
+         |    FROM (
+         |      SELECT *, mat AND prank % 2 = 1 AS kept
+         |      FROM (
+         |        SELECT *, sum(CASE WHEN mat THEN 1 ELSE 0 END)
+         |            OVER (PARTITION BY w, grp ORDER BY i) AS prank
+         |        FROM (
+         |          SELECT *, i - mrank AS grp
+         |          FROM (
+         |            SELECT *, sum(CASE WHEN mat THEN 1 ELSE 0 END)
+         |                OVER (PARTITION BY w ORDER BY i) AS mrank
+         |            FROM (
+         |              SELECT w, freq, i, s, nx,
+         |                coalesce(s = (SELECT a FROM p$k) AND
+         |                         nx = (SELECT b FROM p$k), false) AS mat
+         |              FROM (SELECT w, freq, i, s,
+         |                      lead(s) OVER (PARTITION BY w ORDER BY i)
+         |                        AS nx
+         |                    FROM s${k - 1})))))))
+         |  WHERE NOT consumed)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 8).map(k =>
+      s"SELECT $k AS round, a AS lft, b AS rgt, cnt AS pair_count FROM p$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH words AS (
+       |  SELECT w, count(*) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+       |        FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |vocab AS (
+       |  SELECT w, freq FROM (
+       |    SELECT w, freq,
+       |      row_number() OVER (ORDER BY freq DESC, w) AS rk
+       |    FROM words)
+       |  WHERE rk <= $BpeTrainVocabCap),
+       |s0 AS MATERIALIZED (
+       |  SELECT w, freq, i, w[CAST(i AS INT)] AS s
+       |  FROM (SELECT w, freq, unnest(range(1, len(w) + 1)) AS i
+       |        FROM vocab)),
+       |$rounds
+       |$out
+       |ORDER BY round""".stripMargin
+  }
+
   def oracles: Map[String, String] = {
     val occSql = (tg: String) => s"(len(text) - len(replace(text, '$tg', ''))) / 3"
     val scores = langTrigrams.map { case (lg, tgs) =>
@@ -1524,6 +1735,56 @@ object TextExtOps extends OpModule {
            |FROM ev JOIN idx ON ev.m = idx.m
            |GROUP BY eval_id, train_id
            |ORDER BY eval_id, train_id""".stripMargin,
+
+      "q299_bpe_train" -> bpeTrainOracle,
+
+      // same train-split count tables, same add-1 chain with the
+      // round-log-once 6 dp term, same 8.0 flag line
+      "q301_ppl_filter" ->
+        s"""WITH dd AS (
+           |  SELECT doc_id, $trainSplitSql AS split, source,
+           |    string_split(text, ' ') AS t
+           |  FROM documents),
+           |tp AS (
+           |  SELECT t[CAST(i AS INT)] AS w1,
+           |         t[CAST(i + 1 AS INT)] AS w2
+           |  FROM (SELECT t, unnest(range(1, len(t))) AS i
+           |        FROM dd WHERE split = 'train' AND len(t) >= 2)),
+           |cb AS (SELECT w1, w2, count(*) AS cb FROM tp GROUP BY 1, 2),
+           |cu AS (SELECT w1, count(*) AS cu
+           |       FROM (SELECT unnest(t) AS w1 FROM dd
+           |             WHERE split = 'train')
+           |       GROUP BY 1),
+           |vv AS (SELECT count(*) AS v FROM cu),
+           |ep AS (
+           |  SELECT doc_id, source, t[CAST(i AS INT)] AS w1,
+           |         t[CAST(i + 1 AS INT)] AS w2
+           |  FROM (SELECT doc_id, source, t,
+           |          unnest(range(1, len(t))) AS i
+           |        FROM dd WHERE split = 'eval' AND len(t) >= 2)),
+           |sc AS (
+           |  SELECT ep.doc_id, ep.source,
+           |    CAST(round(ln((CAST(coalesce(cb.cb, 0) AS DOUBLE) + 1.0) /
+           |                  (CAST(coalesce(cu.cu, 0) AS DOUBLE) +
+           |                   CAST((SELECT v FROM vv) AS DOUBLE))), 6)
+           |         AS DECIMAL(28,6)) AS lp
+           |  FROM ep LEFT JOIN cb ON ep.w1 = cb.w1 AND ep.w2 = cb.w2
+           |          LEFT JOIN cu ON ep.w1 = cu.w1),
+           |pd AS (
+           |  SELECT doc_id, source, count(*) AS n,
+           |    CAST(round(-CAST(sum(lp) AS DOUBLE) /
+           |               CAST(count(*) AS DOUBLE), 6)
+           |         AS DECIMAL(28,6)) AS avg_nll
+           |  FROM sc GROUP BY 1, 2)
+           |SELECT source, count(*) AS docs,
+           |  round(CAST(sum(avg_nll) AS DOUBLE) /
+           |        CAST(count(*) AS DOUBLE), 6) AS mean_nll,
+           |  CAST(sum(CASE WHEN CAST(avg_nll AS DOUBLE) > 8.0
+           |                THEN 1 ELSE 0 END) AS BIGINT) AS flagged,
+           |  round(CAST(sum(CASE WHEN CAST(avg_nll AS DOUBLE) > 8.0
+           |                      THEN 1 ELSE 0 END) AS DOUBLE) /
+           |        CAST(count(*) AS DOUBLE), 6) AS flagged_share
+           |FROM pd GROUP BY source ORDER BY source""".stripMargin,
 
       "q212_token_budget" ->
         s"""WITH a AS (

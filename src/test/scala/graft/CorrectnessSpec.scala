@@ -976,6 +976,43 @@ class CorrectnessSpec extends SparkSpecBase {
     }
   }
 
+  test("q299 BPE induction matches a sequential textbook trainer") {
+    // the gaps-and-islands parity formulation (three window passes,
+    // engine-replayable) must equal the straightforward sequential
+    // greedy-leftmost trainer on the same capped word-frequency dict
+    val words = Tables(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)].collect().toSeq
+      .sortBy { case (w, f) => (-f, w) }.take(4096)
+    var vocab = words.map { case (w, f) =>
+      (w.map(_.toString).toVector, f) }
+    val expected = (1 to 8).map { round =>
+      val counts =
+        scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      val ((a, b), cnt) = counts.toSeq
+        .minBy { case ((x, y), c) => (-c, x, y) }
+      vocab = vocab.map { case (syms, f) =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (out.toVector, f)
+      }
+      (round, a, b, cnt)
+    }
+    val got = q("q299_bpe_train")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == expected, s"merge tables diverge:\n$got\nvs\n$expected")
+  }
+
   test("PCA dims bound fails fast with the named limit") {
     // the r12 verdict's #4: the d² driver collect must refuse, with a
     // named limit, rather than degrade into a silent giant collect
