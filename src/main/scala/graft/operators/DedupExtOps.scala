@@ -16,45 +16,6 @@ import scala.language.existentials // the (DataFrame, RDD[_]) pin-handle pairs
   * min() over hex strings is a valid uniform min-hash because the hex
   * encoding preserves byte order.
   */
-/** q300: per-document 64-bit SimHash ±1 vote fold as a typed
-  * `Aggregator` — buffer = 64 vote counters, input = the token md5's
-  * first 16 hex chars, output = the '0'/'1' fingerprint string. Vote
-  * sums are trivially mergeable (they add), so partials combine
-  * map-side like any sum — the q88 constant-memory mold at 64
-  * longs/group, replacing 64 separate per-bit aggregate EXPRESSIONS
-  * (each its own buffer slot + per-row expression eval) with one
-  * tight JVM loop per token. Bit p reads hex char p/4+1's value's
-  * (p%4)-th bit — the identical integers the oracle derives with
-  * strpos/substr arithmetic. */
-object SimHashVotesAgg extends org.apache.spark.sql.expressions
-    .Aggregator[String, Array[Long], String] {
-  def zero: Array[Long] = new Array[Long](64)
-  def reduce(b: Array[Long], h: String): Array[Long] = {
-    var j = 0
-    while (j < 16) {
-      val v = Character.digit(h.charAt(j), 16)
-      val base = j * 4
-      var k = 0
-      while (k < 4) { b(base + k) += ((v >> k) & 1) * 2 - 1; k += 1 }
-      j += 1
-    }
-    b
-  }
-  def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-    var i = 0; while (i < 64) { a(i) += b(i); i += 1 }; a
-  }
-  def finish(b: Array[Long]): String = {
-    val sb = new java.lang.StringBuilder(64)
-    var p = 0
-    while (p < 64) { sb.append(if (b(p) > 0) '1' else '0'); p += 1 }
-    sb.toString
-  }
-  def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
-  def outputEncoder: org.apache.spark.sql.Encoder[String] =
-    org.apache.spark.sql.Encoders.STRING
-}
-
 object DedupExtOps extends OpModule {
 
   private val NumHashes = 8
@@ -190,17 +151,47 @@ object DedupExtOps extends OpModule {
     // bounds template-mass buckets; the verify join touches only
     // candidates — never corpus². All-integer ⇒ hash-exact oracle.
     "q300_simhash_hamming" -> { (s, d) =>
+      import s.implicits._
       def pin(df: DataFrame) = org.apache.spark.sql.graft.InternalPin.pin(df)
-      // the fingerprint fold is this query's volume term: the 64 ±1
-      // vote sums run as ONE typed Aggregator ([[SimHashVotesAgg]] —
-      // a long[64] buffer updated in a tight loop per token, partials
-      // merging map-side) instead of 64 separate aggregate
-      // expressions; same integers, same fingerprint string
-      val votes = udaf(SimHashVotesAgg)
+      // the fingerprint fold is a PURE MAP: each doc's 64 ±1 vote
+      // sums fold in one tight mapPartitions loop over its own tokens
+      // (the q151 BpeDict typed-codec discipline) — no token explode,
+      // no aggregation, no shuffle; a 5M-doc corpus fingerprints as a
+      // map stage. Measured r13 against two aggregate formulations
+      // (64 per-bit expressions; a long[64] typed Aggregator): the
+      // per-doc loop wins because the alternatives push the token
+      // stream through group-by machinery that this fold never
+      // needed. Byte-level nibbles = md5 hex chars (high nibble
+      // first), the identical integers the oracle derives with
+      // strpos/substr arithmetic.
       val (fp, h) = pin(Tables(s, d, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .select(col("doc_id"), substring(md5(col("tok")), 1, 16).as("h16"))
-        .groupBy("doc_id").agg(votes(col("h16")).as("fp")))
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map { case (id, text) =>
+            val b = new Array[Long](64)
+            for (tok <- text.split(" ", -1)) {
+              val dig = md.digest(tok.getBytes("UTF-8"))
+              var j = 0
+              while (j < 16) {
+                val v = if (j % 2 == 0) (dig(j / 2) >> 4) & 15
+                        else dig(j / 2) & 15
+                val base = j * 4
+                var k = 0
+                while (k < 4) {
+                  b(base + k) += ((v >> k) & 1) * 2 - 1; k += 1
+                }
+                j += 1
+              }
+            }
+            val sb = new java.lang.StringBuilder(64)
+            var p = 0
+            while (p < 64) {
+              sb.append(if (b(p) > 0) '1' else '0'); p += 1
+            }
+            (id, sb.toString)
+          }
+        }.toDF("doc_id", "fp"))
       h.count(); graft.PinScope.retain(h)
       val bands = (0 until 4).map(b =>
           fp.select(col("doc_id"), lit(b).as("band"),

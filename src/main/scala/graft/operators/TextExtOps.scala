@@ -418,14 +418,20 @@ object TextExtOps extends OpModule {
     // |langs×sources|-key agg; both denominators are windows over the
     // AGGREGATE (cells, not docs). Shares divide exact BIGINTs once,
     // round 6.
-    // Perplexity-based quality filter (added r13) — the quality axis
-    // q49's surface heuristics (length/punct/stopword ratios) cannot
-    // see: score every eval document under a LANGUAGE MODEL trained on
-    // the train split and flag the high-perplexity tail — the CCNet /
-    // Wikipedia-LM filtering step every production corpus runs between
-    // dedup and mixing. Model: add-1-smoothed bigram LM (declared —
-    // the classic n-gram form; a neural scorer would slot into the
-    // same pipeline shape as an opaque score column). Per eval doc
+    // Perplexity-based quality filter (added r13) — the HELD-OUT
+    // counterpart of q149's in-corpus screen, and the form a pipeline
+    // actually deploys: q149 trains on the full corpus and scores the
+    // SAME documents (a drift/gibberish screen — self-scoring flatters
+    // in-distribution text by construction), while this trains the LM
+    // on the TRAIN split only and scores the EVAL split — the
+    // CCNet / Wikipedia-LM filtering semantics, where incoming data is
+    // judged by a FIXED reference model it never influenced (the
+    // q220→q266 out-of-fold move applied to the LM family). Model:
+    // add-1-smoothed bigram LM (declared — the classic n-gram form; a
+    // neural scorer would slot into the same pipeline shape as an
+    // opaque score column); report is per SOURCE with a declared flag
+    // line, the acquisition-feedback axis q149's per-language screen
+    // does not give. Per eval doc
     // with ≥ 2 tokens: avg negative log-prob per adjacent token pair,
     // each term ln((cb+1)/(cu+V)) rounded ONCE at 6 dp then summed as
     // exact decimals (q220's round-log-once discipline ⇒ the

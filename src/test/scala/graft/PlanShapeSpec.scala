@@ -119,6 +119,42 @@ class PlanShapeSpec extends SparkSpecBase {
       .isAssignableFrom(classOf[org.apache.spark.sql.graft.MinHashBandKeys]))
   }
 
+  test("q96/q227: winnowed minimizer emission is a pure map — no pre-shuffle window") {
+    // the r13 reshape: the per-doc windowed-min selection runs as a
+    // higher-order-function chain over each doc's own gram array, so
+    // the r12 posexplode + doc-keyed Window passes (each an extra
+    // full-gram-stream exchange) must be gone. q96's plan has no
+    // window at all; q227 keeps exactly ONE — the hot-bucket cap over
+    // the already-winnowed minimizer stream, not the gram tier.
+    val p96 = plan("q96_decontaminate_exact")
+    assert(!p96.contains("Window [") && !p96.contains("PosExplode"),
+           s"q96: a window/posexplode pass crept back:\n$p96")
+    val p227 = plan("q227_minimizer_pairs")
+    assert(!p227.contains("PosExplode"),
+           s"q227: the posexplode emission came back:\n$p227")
+    // the self-join duplicates the capped subtree, so the cap window
+    // appears once per side — both partition on the minimizer key m,
+    // never on doc_id (the r12 gram-tier shape)
+    val wins = "Window \\[[^\\n]*".r.findAllIn(p227).toSeq
+    assert(wins.size == 2 &&
+             wins.forall(_.contains("windowspecdefinition(m#")),
+           s"q227: unexpected window set ${wins.mkString("; ")}:\n$p227")
+  }
+
+  test("q300: fingerprint fold is a map stage — no exchange before the pin") {
+    // the four-formulation measurement (BASELINE r13 wave 3) shipped
+    // the mapPartitions fold precisely for this property: a corpus
+    // fingerprints with zero exchange; only the band/candidate
+    // machinery shuffles
+    val df = SparkEntry.queries("q300_simhash_hamming")(spark, sf)
+    try {
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("Scan ExistingRDD") || p.contains("ExistingRDD"),
+             s"q300 does not read the pinned fingerprint table:\n$p")
+    } finally PinScope.drain()
+  }
+
   test("q52: LSH signature expression runs inside whole-stage codegen") {
     val df = SparkEntry.queries("q52_lsh_buckets")(spark, sf)
     df.collect()
