@@ -443,38 +443,7 @@ object TextExtOps extends OpModule {
     // two count-table joins + a per-doc agg — never corpus×corpus,
     // and the LM tables are the only shuffled state.
     "q301_ppl_filter" -> { (s, d) =>
-      val docs = Tables(s, d, "documents")
-        .select(col("doc_id"), trainSplit.as("split"), col("source"),
-                split(col("text"), " ").as("t"))
-      val pairsOf = expr(
-        "transform(sequence(1, size(t) - 1), i -> " +
-          "struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")
-      val cb = docs.where(col("split") === "train" && size(col("t")) >= 2)
-        .select(explode(pairsOf).as("pr"))
-        .groupBy(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
-        .agg(count(lit(1)).as("cb"))
-      val cu = docs.where(col("split") === "train")
-        .select(explode(col("t")).as("w1"))
-        .groupBy("w1").agg(count(lit(1)).as("cu"))
-      val vv = cu.agg(count(lit(1)).as("v"))
-      val scored = docs
-        .where(col("split") === "eval" && size(col("t")) >= 2)
-        .select(col("doc_id"), col("source"), explode(pairsOf).as("pr"))
-        .select(col("doc_id"), col("source"),
-                col("pr.w1").as("w1"), col("pr.w2").as("w2"))
-        .join(cb, Seq("w1", "w2"), "left")
-        .join(cu, Seq("w1"), "left")
-        .crossJoin(broadcast(vv))
-        .withColumn("lp", round(log(
-            (coalesce(col("cb"), lit(0L)).cast("double") + lit(1.0)) /
-            (coalesce(col("cu"), lit(0L)).cast("double") +
-             col("v").cast("double"))), 6).cast("decimal(28,6)"))
-      val perDoc = scored.groupBy("doc_id", "source")
-        .agg(count(lit(1)).as("n"), sum("lp").as("slp"))
-        .withColumn("avg_nll",
-          round(-col("slp").cast("double") / col("n").cast("double"), 6)
-            .cast("decimal(28,6)"))
-      perDoc.groupBy("source")
+      pplPerDoc(s, d).groupBy("source")
         .agg(count(lit(1)).as("docs"),
              round(sum(col("avg_nll")).cast("double") /
                    count(lit(1)).cast("double"), 6).as("mean_nll"),
@@ -677,6 +646,58 @@ object TextExtOps extends OpModule {
       // stages 4-5: drop contaminated, apply the mixture rule, roll up
       docs.join(kept, Seq("doc_id"))
         .join(contaminated, Seq("doc_id"), "left_anti")
+        .where(mixtureKeep)
+        .groupBy(trainSplit.as("split"), col("source"))
+        .agg(count(lit(1)).as("docs"),
+             sum(size(split(col("text"), " ")).cast("long")).as("ws_tokens"),
+             sum(bpeTokenCount).as("bpe_tokens"),
+             round(sum(col("score").cast("decimal(18,6)")).cast("double") /
+                   count(lit(1)), 6).as("avg_score"))
+        .orderBy("split", "source")
+    },
+
+    // Composed corpus-prep pipeline v3 (added r13) — q104's chain
+    // extended with BOTH r13 artifacts, proving the new pieces
+    // compose in one session exactly like the old ones: quality +
+    // keep-best over the persisted cluster table, BOTH contamination
+    // tiers via their persisted indexes (q99's 3-shingle graft_gramidx
+    // at ≥ 3 shared AND q103's winnowed graft_minidx8 at ≥ 1 shared —
+    // the two-tier scan a production release actually runs; both
+    // probes are index-side-unshuffled merge joins), the r13 held-out
+    // perplexity filter (flagged eval docs drop — incoming data judged
+    // by the fixed train-split LM), the q85 mixture rule, and the same
+    // per-(split, source) ws+BPE token-budget rollup. Every stage
+    // keeps its standalone operator's cost; the only corpus-wide
+    // shuffles are keep-best's window on the clustered sliver, the
+    // eval-side gram/minimizer/pair emissions, and the final rollup.
+    "q302_pipeline_prep_v3" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val kept = DedupExtOps.keepBest(s, d)
+        .where(col("keep") === 1 && col("score") >= 0.5)
+        .select("doc_id", "score")
+      val idxT = gramIndexTable(s, d, "gramidx", 3)
+      val evalGrams = gramHashes(docs.where(trainSplit === "eval"), 3)
+        .withColumnRenamed("doc_id", "eval_id").distinct()
+      val contam3 = evalGrams
+        .join(s.table(idxT).hint("merge"), Seq("m"))
+        .groupBy("eval_id", "train_id")
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") >= 3)
+        .select(col("train_id").as("doc_id"))
+      val idx8 = minimizerIndexTable(s, d, "minidx8", 8, 5)
+      val evalMin = minimizerHashes(docs.where(trainSplit === "eval"),
+                                    8, 5)
+        .withColumnRenamed("doc_id", "eval_id").distinct()
+      val contam8 = evalMin
+        .join(s.table(idx8).hint("merge"), Seq("m"))
+        .select(col("train_id").as("doc_id"))
+      val flagged = pplPerDoc(s, d)
+        .where(col("avg_nll").cast("double") > 8.0)
+        .select("doc_id")
+      docs.join(kept, Seq("doc_id"))
+        .join(contam3.unionAll(contam8).distinct(),
+              Seq("doc_id"), "left_anti")
+        .join(flagged, Seq("doc_id"), "left_anti")
         .where(mixtureKeep)
         .groupBy(trainSplit.as("split"), col("source"))
         .agg(count(lit(1)).as("docs"),
@@ -1208,6 +1229,45 @@ object TextExtOps extends OpModule {
         .orderBy("stage")
     }
   )
+
+  /** q301/q302's held-out scoring core: per eval doc (≥ 2 tokens),
+    * the add-1-smoothed bigram avg negative log-prob under the
+    * TRAIN-split LM — (doc_id, source, avg_nll DECIMAL(28,6)). Count
+    * tables are vocab-bound; every log term rounds once at 6 dp then
+    * sums as exact decimals (order-free, engine-identical). */
+  private def pplPerDoc(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d, "documents")
+      .select(col("doc_id"), trainSplit.as("split"), col("source"),
+              split(col("text"), " ").as("t"))
+    val pairsOf = expr(
+      "transform(sequence(1, size(t) - 1), i -> " +
+        "struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")
+    val cb = docs.where(col("split") === "train" && size(col("t")) >= 2)
+      .select(explode(pairsOf).as("pr"))
+      .groupBy(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+      .agg(count(lit(1)).as("cb"))
+    val cu = docs.where(col("split") === "train")
+      .select(explode(col("t")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cu"))
+    val vv = cu.agg(count(lit(1)).as("v"))
+    val scored = docs
+      .where(col("split") === "eval" && size(col("t")) >= 2)
+      .select(col("doc_id"), col("source"), explode(pairsOf).as("pr"))
+      .select(col("doc_id"), col("source"),
+              col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+      .join(cb, Seq("w1", "w2"), "left")
+      .join(cu, Seq("w1"), "left")
+      .crossJoin(broadcast(vv))
+      .withColumn("lp", round(log(
+          (coalesce(col("cb"), lit(0L)).cast("double") + lit(1.0)) /
+          (coalesce(col("cu"), lit(0L)).cast("double") +
+           col("v").cast("double"))), 6).cast("decimal(28,6)"))
+    scored.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n"), sum("lp").as("slp"))
+      .withColumn("avg_nll",
+        round(-col("slp").cast("double") / col("n").cast("double"), 6)
+          .cast("decimal(28,6)"))
+  }
 
   /** (doc_id, md5(n-token gram)) rows — the gram-hash projection every
     * contamination tier starts from. */
@@ -1886,6 +1946,110 @@ object TextExtOps extends OpModule {
            |        count(*), 6) AS avg_score
            |FROM kept
            |WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+           |  AND $mixtureKeepSql
+           |GROUP BY split, source ORDER BY split, source""".stripMargin,
+
+      // q104's skeleton + the winnowed minimizer tier + the held-out
+      // ppl flag — every fragment identical to its standalone oracle
+      "q302_pipeline_prep_v3" ->
+        s"""${DedupExtOps.clustersCte},
+           |scored AS (
+           |  SELECT doc_id, source, text, $qualityScoreSql AS score
+           |  FROM documents),
+           |jn AS (
+           |  SELECT s.*, coalesce(c.cluster_id, s.doc_id) AS cluster_id
+           |  FROM scored s LEFT JOIN clusters c USING (doc_id)),
+           |kept AS (
+           |  SELECT * FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY cluster_id
+           |             ORDER BY score DESC, doc_id) AS rn
+           |    FROM jn)
+           |  WHERE rn = 1 AND score >= 0.5),
+           |sh AS (
+           |  SELECT DISTINCT doc_id, $trainSplitSql AS split,
+           |    md5(unnest(list_transform(range(1, len(t) - 1),
+           |        i -> array_to_string(t[i:i+2], ' ')))) AS m
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+           |        FROM documents)),
+           |tr AS (SELECT doc_id, m FROM sh WHERE split = 'train'),
+           |rare AS (SELECT m FROM tr GROUP BY m
+           |         HAVING count(DISTINCT doc_id) <= 10),
+           |idx AS (SELECT tr.* FROM tr JOIN rare USING (m)),
+           |ev AS (SELECT doc_id, m FROM sh WHERE split = 'eval'),
+           |contam3 AS (
+           |  SELECT DISTINCT train_id AS doc_id FROM (
+           |    SELECT ev.doc_id AS eval_id, idx.doc_id AS train_id,
+           |           count(*) AS n
+           |    FROM ev JOIN idx ON ev.m = idx.m
+           |    GROUP BY 1, 2)
+           |  WHERE n >= 3),
+           |g08 AS (
+           |  SELECT doc_id, $trainSplitSql AS split,
+           |    list_transform(range(1, len(t) - 6),
+           |        i -> md5(array_to_string(t[i:i+7], ' '))) AS hs
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+           |        FROM documents)
+           |  WHERE len(t) >= 8),
+           |sh8 AS (
+           |  SELECT DISTINCT doc_id, split,
+           |    unnest(CASE WHEN len(hs) >= 5
+           |      THEN list_transform(range(1, len(hs) - 3),
+           |                          j -> list_min(hs[j:j+4]))
+           |      ELSE [list_min(hs)] END) AS m
+           |  FROM g08),
+           |tr8 AS (SELECT doc_id, m FROM sh8 WHERE split = 'train'),
+           |rare8 AS (SELECT m FROM tr8 GROUP BY m
+           |          HAVING count(DISTINCT doc_id) <= 10),
+           |idx8 AS (SELECT tr8.* FROM tr8 JOIN rare8 USING (m)),
+           |ev8 AS (SELECT doc_id, m FROM sh8 WHERE split = 'eval'),
+           |contam8 AS (
+           |  SELECT DISTINCT idx8.doc_id FROM ev8
+           |  JOIN idx8 ON ev8.m = idx8.m),
+           |pdd AS (
+           |  SELECT doc_id, $trainSplitSql AS split, source,
+           |    string_split(text, ' ') AS t
+           |  FROM documents),
+           |ptp AS (
+           |  SELECT t[CAST(i AS INT)] AS w1,
+           |         t[CAST(i + 1 AS INT)] AS w2
+           |  FROM (SELECT t, unnest(range(1, len(t))) AS i
+           |        FROM pdd WHERE split = 'train' AND len(t) >= 2)),
+           |pcb AS (SELECT w1, w2, count(*) AS cb FROM ptp GROUP BY 1, 2),
+           |pcu AS (SELECT w1, count(*) AS cu
+           |        FROM (SELECT unnest(t) AS w1 FROM pdd
+           |              WHERE split = 'train')
+           |        GROUP BY 1),
+           |pvv AS (SELECT count(*) AS v FROM pcu),
+           |pep AS (
+           |  SELECT doc_id, t[CAST(i AS INT)] AS w1,
+           |         t[CAST(i + 1 AS INT)] AS w2
+           |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+           |        FROM pdd WHERE split = 'eval' AND len(t) >= 2)),
+           |psc AS (
+           |  SELECT pep.doc_id,
+           |    CAST(round(ln((CAST(coalesce(pcb.cb, 0) AS DOUBLE) + 1.0) /
+           |                  (CAST(coalesce(pcu.cu, 0) AS DOUBLE) +
+           |                   CAST((SELECT v FROM pvv) AS DOUBLE))), 6)
+           |         AS DECIMAL(28,6)) AS lp
+           |  FROM pep LEFT JOIN pcb ON pep.w1 = pcb.w1 AND pep.w2 = pcb.w2
+           |           LEFT JOIN pcu ON pep.w1 = pcu.w1),
+           |flg AS (
+           |  SELECT doc_id FROM (
+           |    SELECT doc_id,
+           |      CAST(round(-CAST(sum(lp) AS DOUBLE) /
+           |                 CAST(count(*) AS DOUBLE), 6)
+           |           AS DECIMAL(28,6)) AS avg_nll
+           |    FROM psc GROUP BY doc_id)
+           |  WHERE CAST(avg_nll AS DOUBLE) > 8.0)
+           |SELECT $trainSplitSql AS split, source, count(*) AS docs,
+           |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           |  CAST(sum($bpeTokenCountSql) AS BIGINT) AS bpe_tokens,
+           |  round(CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) /
+           |        count(*), 6) AS avg_score
+           |FROM kept
+           |WHERE doc_id NOT IN (SELECT doc_id FROM contam3)
+           |  AND doc_id NOT IN (SELECT doc_id FROM contam8)
+           |  AND doc_id NOT IN (SELECT doc_id FROM flg)
            |  AND $mixtureKeepSql
            |GROUP BY split, source ORDER BY split, source""".stripMargin,
 

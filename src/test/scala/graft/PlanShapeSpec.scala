@@ -498,6 +498,20 @@ class PlanShapeSpec extends SparkSpecBase {
            s"pipeline re-embeds the fixpoint's pinned RDD:\n$p")
   }
 
+  test("q302: pipeline v3 probes all three persisted artifacts, recomputes none") {
+    // q104's contract extended: clusters + 3-shingle index + the r13
+    // winnowed minimizer index are all session artifacts — the plan
+    // must scan all three bucketed tables and re-run neither the
+    // fixpoint nor either index build
+    val df = SparkEntry.queries("q302_pipeline_prep_v3")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    for (t <- Seq("graft_clusters", "graft_gramidx", "graft_minidx8"))
+      assert(p.contains(t), s"pipeline v3 does not scan $t:\n$p")
+    assert(!p.contains("ExistingRDD"),
+           s"pipeline v3 re-embeds the fixpoint's pinned RDD:\n$p")
+  }
+
   test("per-key top-k family gets map-side WindowGroupLimit pruning from Catalyst") {
     // the brief's extension ladder, applied honestly: prefer the
     // optimizer's own operator over a custom one. Spark 3.5+
