@@ -374,6 +374,65 @@ object TimeWindowOps extends OpModule {
         .orderBy("prev", "next")
     },
 
+    // MATCH_RECOGNIZE row-pattern matching (added r13) — SQL:2016's
+    // regex-over-rows operator (Oracle/Flink/Snowflake ship it; Spark
+    // has no native form): PARTITION BY user ORDER BY (ts, event_id),
+    // PATTERN (V+ C+ P) with V=view / C=click / P=purchase, AFTER
+    // MATCH SKIP PAST LAST ROW. Because every pattern variable is a
+    // plus-quantified single class in fixed order, greedy matching
+    // reduces EXACTLY to run-length encoding: a match is a maximal
+    // view-run, the immediately following maximal click-run, and the
+    // FIRST row of an immediately following purchase-run (greedy V+/C+
+    // consume their whole runs; if the row after the click-run is not
+    // a purchase, no suffix of the run can match either, so RLE loses
+    // nothing — the reduction is semantics-preserving, not heuristic).
+    // MEASURES per match: first/last ts, per-variable row counts, and
+    // the matched rows' value total (integer cents, one rounded
+    // division at the end). Scale shape: ONE user_id shuffle; the
+    // row-level windows and the run-level lead()s all partition by
+    // user (never global), and the runs table the pattern logic walks
+    // is |runs| ≪ |events|. At 100 TB this beats an NFA UDF exactly
+    // the way the q113 funnel does: the matcher is window algebra the
+    // optimizer can see, not opaque per-row state.
+    "q303_match_recognize" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val wRow = W.partitionBy("user_id").orderBy("ts", "event_id")
+      val rows = Tables(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+                col("event_type"),
+                expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(wRow) === col("event_type"),
+               0L).otherwise(1L))
+        .withColumn("run_id", sum("chg").over(wRow))
+        .withColumn("rn_run", row_number().over(
+          W.partitionBy("user_id", "run_id").orderBy("ts", "event_id")))
+      val runs = rows.groupBy("user_id", "run_id")
+        .agg(max(col("event_type")).as("typ"),
+             count(lit(1)).as("n"),
+             min(col("ts")).as("t0"),
+             sum(col("c")).as("csum"),
+             max(when(col("rn_run") === 1, col("c"))).as("c_first"))
+      val wRun = W.partitionBy("user_id").orderBy("run_id")
+      runs
+        .withColumn("t1", lead(col("typ"), 1).over(wRun))
+        .withColumn("t2", lead(col("typ"), 2).over(wRun))
+        .withColumn("n_click", lead(col("n"), 1).over(wRun))
+        .withColumn("click_csum", lead(col("csum"), 1).over(wRun))
+        .withColumn("p_ts", lead(col("t0"), 2).over(wRun))
+        .withColumn("p_c", lead(col("c_first"), 2).over(wRun))
+        .where(col("typ") === "view" && col("t1") === "click" &&
+               col("t2") === "purchase")
+        .withColumn("match_no",
+          row_number().over(wRun).cast("long"))
+        .select(col("user_id"), col("match_no"),
+                col("t0").as("start_ts"), col("p_ts").as("purchase_ts"),
+                col("n").as("n_view"), col("n_click"),
+                round((col("csum") + col("click_csum") + col("p_c"))
+                        .cast("double") / 100.0, 2).as("amount"))
+        .orderBy("user_id", "match_no")
+    },
+
     // Frequent event TRIGRAMS (added r12) — q130's transition matrix
     // is the order-1 Markov view; the order-2 extension is sequence
     // mining's workhorse: the most common 3-step behavioral paths
@@ -1445,6 +1504,48 @@ object TimeWindowOps extends OpModule {
         |SELECT dau.d AS day, dau, wau,
         |  round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
         |FROM dau JOIN wau ON dau.d = wau.d ORDER BY day""".stripMargin,
+
+    // identical RLE reduction: runs via the same chg/run_id windows,
+    // the same run-level leads, row_number after the pattern filter
+    "q303_match_recognize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS c,
+        |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+        |                                    ORDER BY ts, event_id)
+        |              = event_type
+        |         THEN 0 ELSE 1 END AS chg
+        |  FROM events),
+        |r0 AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS run_id
+        |  FROM e),
+        |r1 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, run_id
+        |                               ORDER BY ts, event_id) AS rn_run
+        |  FROM r0),
+        |runs AS (
+        |  SELECT user_id, run_id, max(event_type) AS typ, count(*) AS n,
+        |    min(ts) AS t0, sum(c) AS csum,
+        |    max(CASE WHEN rn_run = 1 THEN c END) AS c_first
+        |  FROM r1 GROUP BY 1, 2),
+        |m AS (
+        |  SELECT user_id, run_id, typ, n, t0, csum,
+        |    lead(typ, 1) OVER w AS t1, lead(typ, 2) OVER w AS t2,
+        |    lead(n, 1) OVER w AS n_click,
+        |    lead(csum, 1) OVER w AS click_csum,
+        |    lead(t0, 2) OVER w AS p_ts,
+        |    lead(c_first, 2) OVER w AS p_c
+        |  FROM runs WINDOW w AS (PARTITION BY user_id ORDER BY run_id))
+        |SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY run_id)
+        |    AS match_no,
+        |  t0 AS start_ts, p_ts AS purchase_ts, n AS n_view, n_click,
+        |  round(CAST(csum + click_csum + p_c AS DOUBLE) / 100.0, 2)
+        |    AS amount
+        |FROM m
+        |WHERE typ = 'view' AND t1 = 'click' AND t2 = 'purchase'
+        |ORDER BY user_id, match_no""".stripMargin,
 
     "q191_path_trigrams" ->
       """WITH g AS (

@@ -512,6 +512,27 @@ class PlanShapeSpec extends SparkSpecBase {
            s"pipeline v3 re-embeds the fixpoint's pinned RDD:\n$p")
   }
 
+  test("q303: MATCH_RECOGNIZE reduction is one scan and one user_id shuffle") {
+    // the RLE matcher's whole scale claim: every window (row-level
+    // chg/run_id/rn_run AND the run-level leads/match_no) partitions
+    // by user and shares ONE Exchange; the only other exchange is the
+    // output sort's range partitioning
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q303_match_recognize")(spark, sf)
+      val plan = df.queryExecution.executedPlan
+      val scans = plan.collectWithSubqueries { case s: FileSourceScanExec => s }
+      assert(scans.length == 1,
+             s"matcher must read events once, saw ${scans.length} scans")
+      val p = plan.toString
+      assert("""Exchange hashpartitioning\(user_id""".r.findAllIn(p).size == 1,
+             s"expected exactly one user_id exchange:\n$p")
+      assert(!p.contains("Exchange SinglePartition"),
+             s"matcher grew a global window:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("per-key top-k family gets map-side WindowGroupLimit pruning from Catalyst") {
     // the brief's extension ladder, applied honestly: prefer the
     // optimizer's own operator over a custom one. Spark 3.5+
