@@ -85,7 +85,91 @@ object StatsModelOps extends OpModule {
       (min(when(col("cum") >= expr("(n + 1) div 2"), col("v"))) +
        min(when(col("cum") >= expr("n div 2 + 1"), col("v")))).as("m2"))
 
+  /** q304's closed-form 3×3 normal-equations solve. The SAME strings
+    * are selectExpr'd on the Spark side and interpolated into the
+    * DuckDB oracle, so both engines execute the identical fixed-order
+    * IEEE chain over identical exact-integer-cast operands — the q294
+    * argmin discipline applied to a linear solve. λ penalizes the two
+    * feature diagonal entries (a22/a33), never the intercept (a11). */
+  private object RidgeSolve {
+    val lambda = 10000
+    val castExprs: Seq[String] = Seq(
+      "CAST(n AS DOUBLE) AS a11", "CAST(sx1 AS DOUBLE) AS a12",
+      "CAST(sx2 AS DOUBLE) AS a13", "CAST(sx1 AS DOUBLE) AS a21",
+      s"CAST(sx11 + $lambda AS DOUBLE) AS a22",
+      "CAST(sx12 AS DOUBLE) AS a23", "CAST(sx2 AS DOUBLE) AS a31",
+      "CAST(sx12 AS DOUBLE) AS a32",
+      s"CAST(sx22 + $lambda AS DOUBLE) AS a33",
+      "CAST(sy AS DOUBLE) AS b1", "CAST(sx1y AS DOUBLE) AS b2",
+      "CAST(sx2y AS DOUBLE) AS b3",
+      "CAST(sx11 AS DOUBLE) AS sx11d", "CAST(sx12 AS DOUBLE) AS sx12d",
+      "CAST(sx22 AS DOUBLE) AS sx22d", "CAST(syy AS DOUBLE) AS syyd")
+    // Cramer: det of A, then A with column i replaced by b (cofactor
+    // expansion along the first row, fixed order)
+    val detExprs: Seq[String] = Seq(
+      "a11*(a22*a33 - a23*a32) - a12*(a21*a33 - a23*a31) + " +
+        "a13*(a21*a32 - a22*a31) AS det",
+      "b1*(a22*a33 - a23*a32) - a12*(b2*a33 - a23*b3) + " +
+        "a13*(b2*a32 - a22*b3) AS det1",
+      "a11*(b2*a33 - a23*b3) - b1*(a21*a33 - a23*a31) + " +
+        "a13*(a21*b3 - b2*a31) AS det2",
+      "a11*(a22*b3 - b2*a32) - a12*(a21*b3 - b2*a31) + " +
+        "b1*(a21*a32 - a22*a31) AS det3")
+    val wExprs: Seq[String] = Seq(
+      "round(det1 / det, 6) AS w0", "round(det2 / det, 6) AS w1",
+      "round(det3 / det, 6) AS w2")
+    // R² from the same sufficient statistics (ŷ'ŷ and y'ŷ expand in
+    // the UNPENALIZED Gram entries), using the already-rounded w's
+    val r2Expr: String =
+      "round(1.0 - (syyd - 2.0*(w0*b1 + w1*b2 + w2*b3) + " +
+        "(w0*w0*a11 + w1*w1*sx11d + w2*w2*sx22d + 2.0*w0*w1*a12 + " +
+        "2.0*w0*w2*a13 + 2.0*w1*w2*sx12d)) / (syyd - b1*b1/a11), 6) " +
+        "AS r2"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Grouped multi-feature RIDGE regression (added r13) — q147 fits
+    // one slope; this is the d>1 model every feature pipeline actually
+    // needs: per return flag, price_dollars ~ w0 + w1·qty +
+    // w2·disc_cents with ridge λ=10000 on the feature block, by the
+    // normal-equations SUFFICIENT-STATISTICS fold: the 3×3 Gram
+    // matrix, X'y and y'y are ten exact decimal(38,0) sums —
+    // commutative, map-side-combinable, ONE scan to ≤|flags| rows —
+    // and the solve is closed-form Cramer in fixed-order doubles over
+    // those exact sums ([[RidgeSolve]]: the same strings run in both
+    // engines). R² expands in the same statistics — no second pass.
+    // y is integer DOLLARS so every sum (y'y included) stays under
+    // 2⁶³ at 1000× sf0.1 — both engines' wide-int→double casts are
+    // then exact single conversions, not 128-bit double-roundings.
+    // At 100 TB this is the canonical learn-on-cluster/solve-closed-
+    // form shape: O(n·d²) map work, d²-bounded state, no driver
+    // collect, no iteration; the d where a closed form stops fitting
+    // one row hands over to q295's eigensolve boundary.
+    "q304_ridge_regression" -> { (s, dir) =>
+      val st = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+                col("l_quantity").cast("long").as("x1"),
+                expr("CAST(round(l_discount * 100) AS BIGINT)").as("x2"),
+                expr("CAST(round(l_extendedprice) AS BIGINT)").as("y"))
+        .groupBy("flag").agg(
+          count(lit(1)).as("n"),
+          sum(col("x1").cast("decimal(38,0)")).as("sx1"),
+          sum(col("x2").cast("decimal(38,0)")).as("sx2"),
+          sum(col("x1").cast("decimal(38,0)") * col("x1")).as("sx11"),
+          sum(col("x1").cast("decimal(38,0)") * col("x2")).as("sx12"),
+          sum(col("x2").cast("decimal(38,0)") * col("x2")).as("sx22"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum(col("x1").cast("decimal(38,0)") * col("y")).as("sx1y"),
+          sum(col("x2").cast("decimal(38,0)") * col("y")).as("sx2y"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+      st.selectExpr("flag" +: "n" +: RidgeSolve.castExprs: _*)
+        .selectExpr("*" +: RidgeSolve.detExprs: _*)
+        .selectExpr("*" +: RidgeSolve.wExprs: _*)
+        .selectExpr("flag", "n", "w0 AS intercept", "w1 AS w_qty",
+                    "w2 AS w_disc_cents", RidgeSolve.r2Expr)
+        .orderBy("flag")
+    },
 
     // Per-group OLS trend regression (added r10) — the monitoring
     // companion to q140's correlation matrix: per event_type, regress
@@ -2253,6 +2337,35 @@ object StatsModelOps extends OpModule {
   )
 
   def oracles: Map[String, String] = Map(
+
+    // identical sufficient statistics (DuckDB's BIGINT sums widen to
+    // HUGEINT; every value stays under 2⁶³ so the double casts are
+    // exact), then the SAME RidgeSolve strings verbatim
+    "q304_ridge_regression" ->
+      s"""WITH li AS (
+         |  SELECT l_returnflag AS flag,
+         |    CAST(l_quantity AS BIGINT) AS x1,
+         |    CAST(round(l_discount * 100) AS BIGINT) AS x2,
+         |    CAST(round(l_extendedprice) AS BIGINT) AS y
+         |  FROM lineitem),
+         |st AS (
+         |  SELECT flag, count(*) AS n,
+         |    sum(x1) AS sx1, sum(x2) AS sx2,
+         |    sum(x1 * x1) AS sx11, sum(x1 * x2) AS sx12,
+         |    sum(x2 * x2) AS sx22,
+         |    sum(y) AS sy, sum(x1 * y) AS sx1y, sum(x2 * y) AS sx2y,
+         |    sum(y * y) AS syy
+         |  FROM li GROUP BY 1),
+         |cs AS (SELECT flag, n,
+         |    ${RidgeSolve.castExprs.mkString(",\n    ")}
+         |  FROM st),
+         |dt AS (SELECT *,
+         |    ${RidgeSolve.detExprs.mkString(",\n    ")}
+         |  FROM cs),
+         |wv AS (SELECT *, ${RidgeSolve.wExprs.mkString(", ")} FROM dt)
+         |SELECT flag, n, w0 AS intercept, w1 AS w_qty,
+         |  w2 AS w_disc_cents, ${RidgeSolve.r2Expr}
+         |FROM wv ORDER BY flag""".stripMargin,
 
     "q147_trend_regression" ->
       """WITH v AS (
