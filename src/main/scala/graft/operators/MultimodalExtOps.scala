@@ -188,6 +188,44 @@ object MultimodalExtOps extends OpModule {
       encodeWav(out)
     }
 
+    /** q305's 64-bit difference hash (dHash) of a 24 bpp BMP
+      * CONTAINER: parse the real header, sample a 8×9 grayscale grid
+      * by nearest-neighbor over STORED rows (the downsampleBmp
+      * precedent — bottom-up phase is a constant, so stored-row order
+      * is the declared grid), gray = B+G+R byte sum (÷3 dropped — a
+      * monotone map never flips the < below), bit(r,c) = gray(r,c) <
+      * gray(r,c+1), r-major. Nearest-neighbor (not area-average)
+      * keeps every sampled intensity an exact integer the oracle can
+      * restate from the payload bytes. */
+    def dHash(file: Array[Byte]): String = {
+      val offset = le32(file, 10)
+      val width = le32(file, 18)
+      val height = le32(file, 22)
+      require(le16(file, 28) == 24, "expected 24 bpp")
+      val rowBytes = width * 3
+      val imageSize = le32(file, 34)
+      def gray(r: Int, c: Int): Int = {
+        val bi = (r * height / 8) * rowBytes + (c * width / 9) * 3
+        var g = 0; var b = 0
+        while (b < 3) {
+          if (bi + b < imageSize) g += file(offset + bi + b) & 0xff
+          b += 1
+        }
+        g
+      }
+      val sb = new java.lang.StringBuilder(64)
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          sb.append(if (gray(r, c) < gray(r, c + 1)) '1' else '0')
+          c += 1
+        }
+        r += 1
+      }
+      sb.toString
+    }
+
     /** Real container parse: dispatch on magic, read the header fields,
       * checksum the payload the header points at. Zero-padding added by
       * encode is checksum-neutral by construction. */
@@ -246,6 +284,65 @@ object MultimodalExtOps extends OpModule {
         }
       }.toDF("doc_id", "kind", "file_bytes", "units", "checksum")
         .orderBy("doc_id")
+    },
+
+    // Perceptual-hash image dedup (added r13) — the MULTIMODAL twin
+    // of q300's text SimHash join, and the operator an image-corpus
+    // pipeline actually runs (pHash/dHash dedup of crawled images):
+    // per image doc (even ids — the corpus's BMP carriers), a 64-bit
+    // DIFFERENCE HASH computed from the DECODED container (real
+    // header parse → 8×9 nearest-neighbor grayscale grid over stored
+    // rows → 64 horizontal-gradient sign bits, [[MediaCodec.dHash]]),
+    // then Manku's pigeonhole multi-index verbatim from q300: 4×16-bit
+    // bands (Hamming ≤ 3 ⇒ one band equal, exactly), hot-bucket cap,
+    // exact 64-position verify on candidates only. The decode+hash is
+    // ONE typed mapPartitions pass — payload bytes never shuffle, only
+    // 64-char fingerprints move; with a real JPEG decoder the shape
+    // (and the oracle-free parts of the cost model) are identical.
+    // The container is a deterministic function of the payload, so
+    // the oracle restates the sampled grid closed-form from the text
+    // bytes — the whole decode→hash→band→verify chain is hash-exact.
+    "q305_phash_dedup" -> { (s, d) =>
+      import s.implicits._
+      val pinned = org.apache.spark.sql.graft.InternalPin.pin(
+        Tables(s, d, "documents")
+          .where(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            it.map { case (id, payload) =>
+              (id, MediaCodec.dHash(MediaCodec.encodeBmp(payload)))
+            }
+          }.toDF("doc_id", "fp"))
+      val (fp, h) = pinned
+      h.count(); graft.PinScope.retain(h)
+      val bands = (0 until 4).map(b =>
+          fp.select(col("doc_id"), lit(b).as("band"),
+                    substring(col("fp"), b * 16 + 1, 16).as("bk")))
+        .reduce(_ unionAll _)
+      val capped = bands
+        .withColumn("bn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("band", "bk")))
+        .where(col("bn") <= DedupExtOps.HotBucketCap).drop("bn")
+      val cand = capped
+        .select(col("band"), col("bk"), col("doc_id").as("id_a"))
+        .join(capped.select(col("band"), col("bk"),
+                            col("doc_id").as("id_b")), Seq("band", "bk"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val hamExpr = (1 to 64).map(i =>
+        s"CASE WHEN substr(fpa, $i, 1) <> substr(fpb, $i, 1) " +
+          "THEN 1 ELSE 0 END").mkString(" + ")
+      cand
+        .join(fp.select(col("doc_id").as("id_a"), col("fp").as("fpa")),
+              Seq("id_a"))
+        .join(fp.select(col("doc_id").as("id_b"), col("fp").as("fpb")),
+              Seq("id_b"))
+        .withColumn("hamming", expr(hamExpr).cast("long"))
+        .where(col("hamming") <= 3)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy("id_a", "id_b")
     },
 
     // Media SHARD PACKING (added r12) — the step between q111's
@@ -324,6 +421,66 @@ object MultimodalExtOps extends OpModule {
   // (verified at all SFs), so file size / units / byte-sum checksum
   // have closed forms over strlen(text) and code-point sums.
   def oracles: Map[String, String] = Map(
+    // the encode∘decode∘sample chain is closed-form in the payload:
+    // stored row r of the 32-px BMP = payload bytes [r·96, r·96+96),
+    // zero-padded past len(text); the sampled grid, gradient-sign
+    // bits, pigeonhole bands, cap and 64-position verify restate the
+    // Spark chain exactly (q300's band/verify SQL verbatim)
+    "q305_phash_dedup" -> {
+      val hamSql = (1 to 64).map(i =>
+        s"CASE WHEN substr(a.fp, $i, 1) <> substr(b.fp, $i, 1) " +
+          "THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH im AS (
+         |  SELECT doc_id, text, strlen(text) AS L,
+         |    CAST(ceil(strlen(text) / 96.0) AS BIGINT) AS h
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |px AS (
+         |  SELECT doc_id, r, c,
+         |    ((r * h) // 8) * 96 + ((c * 32) // 9) * 3 AS bi, L, text
+         |  FROM im, range(0, 8) t1(r), range(0, 9) t2(c)),
+         |g AS (
+         |  SELECT doc_id, r, c,
+         |    (CASE WHEN bi < L
+         |          THEN unicode(substr(text, CAST(bi + 1 AS INT), 1))
+         |          ELSE 0 END +
+         |     CASE WHEN bi + 1 < L
+         |          THEN unicode(substr(text, CAST(bi + 2 AS INT), 1))
+         |          ELSE 0 END +
+         |     CASE WHEN bi + 2 < L
+         |          THEN unicode(substr(text, CAST(bi + 3 AS INT), 1))
+         |          ELSE 0 END) AS gray
+         |  FROM px),
+         |bits AS (
+         |  SELECT doc_id, r, c, gray,
+         |    lead(gray) OVER (PARTITION BY doc_id, r ORDER BY c)
+         |      AS gnext
+         |  FROM g),
+         |fps AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    string_agg(CASE WHEN gray < gnext THEN '1' ELSE '0' END,
+         |               '' ORDER BY r, c) AS fp
+         |  FROM bits WHERE c < 8 GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, band, substr(fp, band * 16 + 1, 16) AS bk
+         |  FROM fps, (SELECT unnest([0, 1, 2, 3]) AS band) u),
+         |capped AS (
+         |  SELECT * FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY band, bk) AS bn
+         |    FROM bands)
+         |  WHERE bn <= ${DedupExtOps.HotBucketCap}),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM capped x JOIN capped y
+         |    ON x.band = y.band AND x.bk = y.bk
+         |   AND x.doc_id < y.doc_id),
+         |v AS (
+         |  SELECT id_a, id_b, CAST($hamSql AS BIGINT) AS hamming
+         |  FROM cand JOIN fps a ON cand.id_a = a.doc_id
+         |            JOIN fps b ON cand.id_b = b.doc_id)
+         |SELECT id_a, id_b, hamming FROM v
+         |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+    },
+
     "q54_multimodal_decode" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS kind,

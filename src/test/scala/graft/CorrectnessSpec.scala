@@ -212,6 +212,27 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(m.checksum == data.map(_ & 0xff).map(_.toLong).sum)
   }
 
+  test("MediaCodec dHash: gradient signs, invariances, and sensitivity") {
+    import operators.MultimodalExtOps.MediaCodec
+    // strictly increasing bytes -> every horizontal gradient positive
+    // -> all 64 bits set (image taller than the 8-row grid, so every
+    // sampled row is distinct)
+    val inc = Array.tabulate(8 * 96)(i => (i % 96).toByte)
+    val fpInc = MediaCodec.dHash(MediaCodec.encodeBmp(inc))
+    assert(fpInc == "1" * 64)
+    // constant bytes -> no gradient anywhere -> all bits clear
+    val flat = Array.fill(8 * 96)(7.toByte)
+    assert(MediaCodec.dHash(MediaCodec.encodeBmp(flat)) == "0" * 64)
+    // identical payloads -> identical hashes; a localized byte edit
+    // flips few bits (the perceptual property the Hamming join uses)
+    val copy = inc.clone()
+    copy(9) = 120.toByte // pixel column 3 = sampled grid column c=1
+    val fpCopy = MediaCodec.dHash(MediaCodec.encodeBmp(copy))
+    val ham = fpInc.zip(fpCopy).count { case (a, b) => a != b }
+    assert(ham >= 1 && ham <= 4, s"local edit flipped $ham bits")
+    assert(MediaCodec.dHash(MediaCodec.encodeBmp(inc)) == fpInc)
+  }
+
   test("MediaCodec rejects unknown container magic") {
     import operators.MultimodalExtOps.MediaCodec
     intercept[IllegalArgumentException] {
