@@ -455,6 +455,70 @@ object TextExtOps extends OpModule {
         .orderBy("source")
     },
 
+    // DSIR importance weighting (added r13) — Data Selection via
+    // Importance Resampling (Xie et al. 2023), the pretraining
+    // data-selection operator between q49's heuristic quality score
+    // and q301's LM perplexity filter: estimate target (the curated
+    // tier, q85's sources 0-4) and raw (the rest) distributions over
+    // B=4096 HASHED BIGRAM buckets, then score every doc by its total
+    // importance log-weight Σ_grams ln(p̂_target(b)/p̂_raw(b)) with
+    // add-1 smoothing — docs whose n-gram profile looks more like the
+    // curated tier than the crawl get w > 0 and are selected. Scale
+    // shape: ONE gram emission (the q133 Generator, pinned), both
+    // count tables are ≤B rows (broadcast — the scoring join never
+    // shuffles the gram stream), totals are a 1-row broadcast; the
+    // only gram-volume shuffle is the per-doc weight agg. Each log
+    // term is ln of ONE exact-integer ratio rounded at 6 dp, summed
+    // as exact decimals (order-free, engine-identical — the q301
+    // discipline). Report: per source, docs scored / selected / mean
+    // weight (curated sources scoring top is the sanity readout).
+    "q306_dsir_weights" -> { (s, d) =>
+      val B = 4096
+      val curated = expr("CAST(substring(source, 4) AS INT) < 5")
+      val docs = Tables(s, d, "documents")
+      val (bg, bh) = org.apache.spark.sql.graft.InternalPin.pin(
+        docs.select(col("doc_id"), col("source"),
+            org.apache.spark.sql.graft.GraftFunctions
+              .ngrams(split(col("text"), " "), 2).as("g"))
+          .select(col("doc_id"), col("source"),
+                  conv(substring(md5(col("g")), 1, 3), 16, 10)
+                    .cast("long").as("b")))
+      bh.count(); graft.PinScope.retain(bh)
+      val ct = bg.where(curated).groupBy("b")
+        .agg(count(lit(1)).as("ct"))
+      val cr = bg.where(!curated).groupBy("b")
+        .agg(count(lit(1)).as("cr"))
+      val tot = bg.agg(
+        sum(when(curated, 1L).otherwise(0L)).as("tt"),
+        sum(when(!curated, 1L).otherwise(0L)).as("rr"))
+      val scored = bg
+        .join(broadcast(ct), Seq("b"), "left")
+        .join(broadcast(cr), Seq("b"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("lp", round(log(
+            ((coalesce(col("ct"), lit(0L)) + 1L) * (col("rr") + B))
+              .cast("double") /
+            ((coalesce(col("cr"), lit(0L)) + 1L) * (col("tt") + B))
+              .cast("double")), 6).cast("decimal(28,6)"))
+      val perDoc = scored.groupBy("doc_id", "source")
+        .agg(sum("lp").as("w"))
+      // selection line = the GLOBAL mean weight (w > 0 would demand
+      // the doc literally out-scores the raw pool — right for a real
+      // curated/crawl split, vacuous on a corpus whose sources share
+      // one word distribution); docs above the line are the resample
+      val gm = perDoc.agg(
+        round(sum(col("w")).cast("double") / count(lit(1)), 6)
+          .as("gmean"))
+      perDoc.crossJoin(broadcast(gm))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("w").cast("double") > col("gmean"), 1L)
+                .otherwise(0L)).as("n_selected"),
+          round(sum(col("w")).cast("double") / count(lit(1)), 6)
+            .as("mean_w"))
+        .orderBy("source")
+    },
+
     // BPE merge INDUCTION (added r13) — the missing counterpart to
     // q101/q106, which APPLY a frozen merge table: this LEARNS one
     // from the corpus (Sennrich et al. 2016, the tokenizer-training
@@ -1806,6 +1870,52 @@ object TextExtOps extends OpModule {
 
       // same train-split count tables, same add-1 chain with the
       // round-log-once 6 dp term, same 8.0 flag line
+      // identical hashed-bigram buckets (md5 first 3 hex chars =
+      // 0..4095), identical add-1 smoothed integer ratio inside ONE
+      // ln per term, rounded 6 dp and summed as exact decimals
+      "q306_dsir_weights" ->
+        """WITH t0 AS (
+          |  SELECT doc_id, source, string_split(text, ' ') AS t
+          |  FROM documents),
+          |bg0 AS (
+          |  SELECT doc_id, source,
+          |    unnest(list_transform(range(1, len(t)),
+          |        i -> array_to_string(t[i:i+1], ' '))) AS g
+          |  FROM t0),
+          |bg AS (
+          |  SELECT doc_id, source,
+          |    CAST(('0x' || substr(md5(g), 1, 3)) AS BIGINT) AS b
+          |  FROM bg0),
+          |ct AS (SELECT b, count(*) AS ct FROM bg
+          |       WHERE CAST(substr(source, 4) AS INT) < 5 GROUP BY 1),
+          |cr AS (SELECT b, count(*) AS cr FROM bg
+          |       WHERE CAST(substr(source, 4) AS INT) >= 5 GROUP BY 1),
+          |tot AS (
+          |  SELECT
+          |    sum(CASE WHEN CAST(substr(source, 4) AS INT) < 5
+          |             THEN 1 ELSE 0 END) AS tt,
+          |    sum(CASE WHEN CAST(substr(source, 4) AS INT) >= 5
+          |             THEN 1 ELSE 0 END) AS rr
+          |  FROM bg),
+          |sc AS (
+          |  SELECT doc_id, source,
+          |    CAST(round(ln(
+          |        CAST((coalesce(ct.ct, 0) + 1) * (tot.rr + 4096)
+          |             AS DOUBLE) /
+          |        CAST((coalesce(cr.cr, 0) + 1) * (tot.tt + 4096)
+          |             AS DOUBLE)), 6) AS DECIMAL(28,6)) AS lp
+          |  FROM bg LEFT JOIN ct USING (b) LEFT JOIN cr USING (b)
+          |       CROSS JOIN tot),
+          |pd AS (SELECT doc_id, source, sum(lp) AS w
+          |       FROM sc GROUP BY 1, 2),
+          |gm AS (SELECT round(CAST(sum(w) AS DOUBLE) / count(*), 6)
+          |         AS gmean FROM pd)
+          |SELECT source, count(*) AS n_docs,
+          |  CAST(sum(CASE WHEN CAST(w AS DOUBLE) > gm.gmean
+          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+          |  round(CAST(sum(w) AS DOUBLE) / count(*), 6) AS mean_w
+          |FROM pd CROSS JOIN gm GROUP BY source ORDER BY source""".stripMargin,
+
       "q301_ppl_filter" ->
         s"""WITH dd AS (
            |  SELECT doc_id, $trainSplitSql AS split, source,
