@@ -821,6 +821,34 @@ object TimeWindowOps extends OpModule {
     // decimal sum; weekday = days-since-Monday-epoch % 7 (the q144
     // portable calendar). ONE fact scan collapses to ~|days| cells;
     // the MA window and the 7-row rollup ride that tiny table.
+    // Holt linear-trend smoothing (added r13) — the exponential-
+    // smoothing forecaster between q161's seasonal-naive screen and a
+    // real model: per event_type's daily value series, the classic
+    // two-state recursion l_t = α·y_t + (1−α)(l+b), b_t = β(l_t−l) +
+    // (1−β)b (α=0.3, β=0.1, init l₁=y₁, b₁=y₂−y₁), with a one-step-
+    // ahead backtest (forecast f_t = l+b before seeing y_t) and a
+    // 7-day-ahead projection. The smoothing is inherently sequential,
+    // so it runs EXACTLY like q237's KM product: ONE fact scan folds
+    // the pinned ≤|days|×|types| daily step table, and the recursion
+    // is a Spark 4 native recursive CTE over that bounded table —
+    // per-series state advances by a (series, k+1) join, |days| steps
+    // total, never touching fact rows again. [[holtBody]] is ONE
+    // string both engines execute, so every step's double chain is
+    // operand-identical; the MAE rounds each |error| once at 4 dp and
+    // sums exact decimals (order-free).
+    "q307_holt_forecast" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val (steps, sh) = org.apache.spark.sql.graft.InternalPin.pin(
+        Tables(s, d, "events")
+          .groupBy(col("event_type").as("et"), to_date(col("ts")).as("day"))
+          .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("yc"))
+          .withColumn("k", row_number()
+            .over(W.partitionBy("et").orderBy("day")).cast("long")))
+      sh.count(); graft.PinScope.retain(sh)
+      steps.createOrReplaceTempView("graft_holt_steps")
+      s.sql("WITH RECURSIVE " + holtBody("graft_holt_steps"))
+    },
+
     "q256_seasonal_index" -> { (s, d) =>
       def dd(c: org.apache.spark.sql.Column) = c.cast("double")
       val W = org.apache.spark.sql.expressions.Window
@@ -1074,6 +1102,44 @@ object TimeWindowOps extends OpModule {
     * ONE pinned fact scan; the corpus-edge cutoff is a 1-row broadcast.
     * One definition of the lifetimes is what makes the curve and the
     * test consistent by construction. */
+  /** q307's shared recursion body: everything after `WITH RECURSIVE`,
+    * parameterized only by the daily step table's name, so Spark and
+    * DuckDB execute ONE string — every smoothing step's double chain
+    * is operand-identical by construction. The step table contract:
+    * (et, k row-number within series ordered by day, yc integer
+    * cents). Note e at k=2 is 0 by the b₁=y₂−y₁ init (declared). */
+  private def holtBody(steps: String): String =
+    s"""h(et, k, l, b) AS (
+       |  SELECT s1.et, CAST(1 AS BIGINT) AS k, CAST(s1.yc AS DOUBLE) AS l,
+       |         CAST(s2.yc - s1.yc AS DOUBLE) AS b
+       |  FROM $steps s1 JOIN $steps s2
+       |    ON s1.et = s2.et AND s1.k = 1 AND s2.k = 2
+       |  UNION ALL
+       |  SELECT st.et, st.k,
+       |         0.3 * CAST(st.yc AS DOUBLE) + 0.7 * (p.l + p.b),
+       |         0.1 * ((0.3 * CAST(st.yc AS DOUBLE) + 0.7 * (p.l + p.b))
+       |                - p.l) + 0.9 * p.b
+       |  FROM h p JOIN $steps st ON st.et = p.et AND st.k = p.k + 1),
+       |err AS (
+       |  SELECT p.et,
+       |    CAST(round(abs(CAST(st.yc AS DOUBLE) - (p.l + p.b)), 4)
+       |         AS DECIMAL(28,4)) AS e
+       |  FROM h p JOIN $steps st ON st.et = p.et AND st.k = p.k + 1),
+       |mae AS (
+       |  SELECT et, round(CAST(sum(e) AS DOUBLE) / count(*) / 100.0, 6)
+       |    AS mae_1step
+       |  FROM err GROUP BY et),
+       |lastk AS (SELECT et, max(k) AS kk FROM h GROUP BY et),
+       |fin AS (SELECT h.et, h.k, h.l, h.b FROM h
+       |        JOIN lastk ON h.et = lastk.et AND h.k = lastk.kk)
+       |SELECT f.et AS event_type, f.k AS n_days,
+       |  round(f.l / 100.0, 6) AS level_end,
+       |  round(f.b / 100.0, 6) AS trend_end,
+       |  round((f.l + 7.0 * f.b) / 100.0, 6) AS forecast_7d,
+       |  m.mae_1step
+       |FROM fin f JOIN mae m ON f.et = m.et
+       |ORDER BY event_type""".stripMargin
+
   private def kmLife(s: SparkSession, d: String): DataFrame = {
     val (u, h) = org.apache.spark.sql.graft.InternalPin.pin(
       Tables(s, d, "events")
@@ -1504,6 +1570,20 @@ object TimeWindowOps extends OpModule {
         |SELECT dau.d AS day, dau, wau,
         |  round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
         |FROM dau JOIN wau ON dau.d = wau.d ORDER BY day""".stripMargin,
+
+    // the identical daily step table built in SQL, then holtBody
+    // verbatim — the whole smoothing recursion is one shared string
+    "q307_holt_forecast" ->
+      s"""WITH RECURSIVE d0 AS (
+         |  SELECT event_type AS et, CAST(ts AS DATE) AS day,
+         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         |      AS yc
+         |  FROM events GROUP BY 1, 2),
+         |steps AS (
+         |  SELECT et, day, yc,
+         |    row_number() OVER (PARTITION BY et ORDER BY day) AS k
+         |  FROM d0),
+         |${holtBody("steps")}""".stripMargin,
 
     // identical RLE reduction: runs via the same chg/run_id windows,
     // the same run-level leads, row_number after the pattern filter
