@@ -28,7 +28,11 @@ object SweepR13 {
       "q96_decontaminate_exact", "q103_decontaminate_exact_incr",
       "q227_minimizer_pairs", "q280_zorder_skipping", "q292_theil_sen",
       "q297_pca_topk", "q298_stream_cdc_snapshot", "q299_bpe_train",
-      "q300_simhash_hamming", "q301_ppl_filter")
+      "q300_simhash_hamming", "q301_ppl_filter",
+      // second r13 wave
+      "q302_pipeline_prep_v3", "q303_match_recognize",
+      "q304_ridge_regression", "q305_phash_dedup", "q306_dsir_weights",
+      "q307_holt_forecast")
     val x100 = args.headOption.contains("x100")
     val rest = if (x100) args.tail else args
     val sel = if (rest.isEmpty) qs else qs.filter(rest.contains)
