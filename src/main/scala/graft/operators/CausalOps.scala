@@ -568,7 +568,139 @@ object CausalOps extends OpModule {
                .otherwise(lit(0).cast("decimal(38,0)"))).cast("double")
                .as("train_key_sum"))
         .orderBy("seg")
+    },
+
+    // Gradient-boosted stumps (added r13) — q294 searches ONE best
+    // split; this TRAINS the additive model that search primitive
+    // exists for: 3 rounds of depth-1 gradient boosting on squared
+    // loss (learning rate 0.5) predicting price from (qty, disc).
+    // The scale insight: with depth-1 trees on two integer features,
+    // every row's prediction is a function of its (qty, disc) CELL —
+    // so ONE fact scan folds the corpus to the ≤|qty|×|disc| cell
+    // table (n, Σy, Σy² exact decimals; ~550 cells here) and ALL
+    // boosting rounds run as window algebra on that broadcast-sized
+    // table: residual sums per cell, cumulative split scans per
+    // feature, argmax, leaf means, prediction update — zero further
+    // fact contact, no per-round rescans, no driver loop over data.
+    // [[gbtBody]] is ONE statically-unrolled SQL string both engines
+    // execute (the q307 discipline). Residual cell-sums grow with the
+    // corpus, so NO fixed-dp `round()` of a double is cross-engine
+    // safe here (sf0.001 found raw=91646.36499999999 identical in
+    // both engines, with Spark's BigDecimal-HALF_UP round giving .36
+    // and DuckDB's multiply-then-nearbyint giving .37) — instead
+    // every quantization is the pure-IEEE chain
+    // `floor(x * 1eK + 5e-1)` (declared half-toward-+inf), which is
+    // bit-identical on any engine because it is nothing but IEEE
+    // multiply/add/floor on identical operands. Residuals quantize to
+    // exact CENTS decimals whose cum-sums are order-free; every split
+    // score/leaf/update is a fixed-order double chain on identical
+    // operands, argmax ties declared (feature name, then value). The
+    // cell table is PINNED — the unrolled CTE chain re-references it,
+    // and each inlined copy must rescan 550 cached rows, not re-run
+    // the fact aggregation. Output: per round, the chosen split, leaf
+    // steps, and train RMSE after the update (monotone decreasing —
+    // the trainer certification).
+    "q308_gbt_stumps" -> { (s, dir) =>
+      val (cells, ch) = pin(Tables(s, dir, "lineitem")
+        .select(col("l_quantity").cast("long").as("qty"),
+                expr("CAST(round(l_discount * 100) AS BIGINT)").as("disc"),
+                expr("CAST(round(l_extendedprice) AS BIGINT)").as("y"))
+        .groupBy("qty", "disc")
+        .agg(count(lit(1)).as("n"),
+             sum(col("y").cast("decimal(38,0)")).as("sy"),
+             sum(col("y").cast("decimal(38,0)") * col("y")).as("syy")))
+      ch.count(); graft.PinScope.retain(ch)
+      cells.createOrReplaceTempView("graft_gbt_cells")
+      s.sql("WITH " + gbtBody("graft_gbt_cells"))
     })
+
+  /** q308's shared boosting body: everything after `WITH`,
+    * parameterized only by the cell table's name — three statically-
+    * unrolled rounds, each a block of CTEs (residual fold → per-
+    * feature cumulative split scan → argmax → prediction update →
+    * RMSE). Contract of `cells`: (qty, disc, n BIGINT, sy, syy exact
+    * wide ints). One string, both engines. */
+  private def gbtBody(cells: String): String = {
+    def roundBlock(m: Int, prev: String): String =
+      s"""sr$m AS (
+         |  SELECT qty, disc, n, sy, syy, p,
+         |    CAST(floor((CAST(sy AS DOUBLE) - CAST(n AS DOUBLE) * p)
+         |               * 1e2 + 5e-1) AS DECIMAL(28,0)) AS sr
+         |  FROM $prev),
+         |tot$m AS (
+         |  SELECT CAST(sum(sr) AS DOUBLE) AS st,
+         |         CAST(sum(n) AS DOUBLE) AS nt, sum(n) AS ntl
+         |  FROM sr$m),
+         |fq$m AS (SELECT qty AS v, sum(n) AS fn, sum(sr) AS fs
+         |         FROM sr$m GROUP BY qty),
+         |cq$m AS (
+         |  SELECT v, sum(fn) OVER w AS nl, sum(fs) OVER w AS sl
+         |  FROM fq$m
+         |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+         |               AND CURRENT ROW)),
+         |fd$m AS (SELECT disc AS v, sum(n) AS fn, sum(sr) AS fs
+         |         FROM sr$m GROUP BY disc),
+         |cd$m AS (
+         |  SELECT v, sum(fn) OVER w AS nl, sum(fs) OVER w AS sl
+         |  FROM fd$m
+         |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+         |               AND CURRENT ROW)),
+         |sc$m AS (
+         |  SELECT feature, v, CAST(nl AS DOUBLE) AS nld,
+         |         CAST(sl AS DOUBLE) AS sld, st, nt
+         |  FROM (SELECT 'qty' AS feature, v, nl, sl FROM cq$m
+         |        UNION ALL
+         |        SELECT 'disc' AS feature, v, nl, sl FROM cd$m)
+         |  CROSS JOIN tot$m WHERE nl < ntl),
+         |bs$m AS (
+         |  SELECT feature, v, sld / nld AS gl,
+         |         (st - sld) / (nt - nld) AS gr,
+         |         CAST(floor((sld * sld / nld +
+         |                     (st - sld) * (st - sld) / (nt - nld) -
+         |                     st * st / nt) / nt / 1e4 * 1e6 + 5e-1)
+         |              AS DOUBLE) / 1e6 AS gain
+         |  FROM sc$m
+         |  ORDER BY sld * sld / nld +
+         |           (st - sld) * (st - sld) / (nt - nld) DESC,
+         |           feature, v
+         |  LIMIT 1),
+         |up$m AS (
+         |  SELECT c.qty, c.disc, c.n, c.sy, c.syy,
+         |    c.p + 5e-1 * (CASE WHEN (b.feature = 'qty' AND c.qty <= b.v)
+         |                        OR (b.feature = 'disc' AND c.disc <= b.v)
+         |                  THEN b.gl ELSE b.gr END) / 1e2 AS p
+         |  FROM sr$m c CROSS JOIN bs$m b),
+         |mt$m AS (
+         |  SELECT CAST(floor(sqrt(CAST(sum(CAST(floor(
+         |      (CAST(syy AS DOUBLE) - 2e0 * p * CAST(sy AS DOUBLE) +
+         |       CAST(n AS DOUBLE) * p * p) / t.nt * 1e4 + 5e-1)
+         |      AS DECIMAL(28,0))) AS DOUBLE) / 1e4) * 1e6 + 5e-1)
+         |      AS DOUBLE) / 1e6 AS rmse
+         |  FROM up$m CROSS JOIN tot$m t),
+         |out$m AS (
+         |  SELECT $m AS boost_round, b.feature,
+         |    CAST(b.v AS BIGINT) AS threshold,
+         |    b.gain,
+         |    CAST(floor(5e-1 * b.gl / 1e2 * 1e6 + 5e-1) AS DOUBLE) / 1e6
+         |      AS step_left,
+         |    CAST(floor(5e-1 * b.gr / 1e2 * 1e6 + 5e-1) AS DOUBLE) / 1e6
+         |      AS step_right, m.rmse
+         |  FROM bs$m b CROSS JOIN mt$m m)""".stripMargin
+    s"""base AS (SELECT qty, disc, n, sy, syy FROM $cells),
+       |g0 AS (SELECT CAST(sum(sy) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+       |         AS p0 FROM base),
+       |pr0 AS (SELECT b.qty, b.disc, b.n, b.sy, b.syy, g0.p0 AS p
+       |        FROM base b CROSS JOIN g0),
+       |${roundBlock(1, "pr0")},
+       |${roundBlock(2, "up1")},
+       |${roundBlock(3, "up2")}
+       |SELECT CAST(boost_round AS BIGINT) AS boost_round, feature,
+       |  threshold, gain, step_left, step_right, rmse
+       |FROM (SELECT * FROM out1 UNION ALL
+       |      SELECT * FROM out2 UNION ALL
+       |      SELECT * FROM out3)
+       |ORDER BY boost_round""".stripMargin
+  }
 
   def oracles: Map[String, String] = Map(
 
@@ -907,6 +1039,20 @@ object CausalOps extends OpModule {
         |  round(CAST(sum(wr) AS DOUBLE) / CAST(sum(wt) AS DOUBLE), 6)
         |    AS snips
         |FROM y""".stripMargin,
+
+    // identical cell fold in SQL, then gbtBody verbatim — the entire
+    // 3-round trainer is one shared string
+    "q308_gbt_stumps" ->
+      s"""WITH li AS (
+         |  SELECT CAST(l_quantity AS BIGINT) AS qty,
+         |    CAST(round(l_discount * 100) AS BIGINT) AS disc,
+         |    CAST(round(l_extendedprice) AS BIGINT) AS y
+         |  FROM lineitem),
+         |cells AS (
+         |  SELECT qty, disc, count(*) AS n, sum(y) AS sy,
+         |    sum(y * y) AS syy
+         |  FROM li GROUP BY 1, 2),
+         |${gbtBody("cells")}""".stripMargin,
 
     "q294_best_split" ->
       """WITH rows_ AS (

@@ -1514,4 +1514,24 @@ class PlanShapeSpec extends SparkSpecBase {
       assert(p283.contains("BroadcastHashJoin"), p283)
     } finally PinScope.drain()
   }
+
+  test("q308: boosting algebra rides the pinned cell table; train RMSE is monotone") {
+    // the trainer's whole scale story: ONE fact scan folds to the
+    // ≤|qty|×|disc| cell table at pin time, and the 3-round unrolled
+    // CTE chain (which re-references the cells once per round) must
+    // read the CACHE — zero FileScan in the boosting plan — while the
+    // squared-loss RMSE strictly decreases each round (the gradient
+    // step certification)
+    try {
+      val df = SparkEntry.queries("q308_gbt_stumps")(spark, sf)
+      val rows = df.collect()
+      assert(rows.length == 3, s"expected 3 boosting rounds, got ${rows.length}")
+      val rmse = rows.sortBy(_.getLong(0)).map(_.getDouble(6))
+      assert(rmse.zip(rmse.tail).forall { case (a, b) => b < a },
+             s"train RMSE not strictly decreasing: ${rmse.mkString(", ")}")
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("FileScan") && !p.contains("ParquetScan"),
+             "q308 replans the fact scan instead of reading the pinned cells")
+    } finally PinScope.drain()
+  }
 }
