@@ -32,7 +32,7 @@ object SweepR13 {
       // second r13 wave
       "q302_pipeline_prep_v3", "q303_match_recognize",
       "q304_ridge_regression", "q305_phash_dedup", "q306_dsir_weights",
-      "q307_holt_forecast")
+      "q307_holt_forecast", "q308_gbt_stumps")
     val x100 = args.headOption.contains("x100")
     val rest = if (x100) args.tail else args
     val sel = if (rest.isEmpty) qs else qs.filter(rest.contains)

@@ -594,12 +594,18 @@ object CausalOps extends OpModule {
     // multiply/add/floor on identical operands. Residuals quantize to
     // exact CENTS decimals whose cum-sums are order-free; every split
     // score/leaf/update is a fixed-order double chain on identical
-    // operands, argmax ties declared (feature name, then value). The
-    // cell table is PINNED — the unrolled CTE chain re-references it,
-    // and each inlined copy must rescan 550 cached rows, not re-run
-    // the fact aggregation. Output: per round, the chosen split, leaf
-    // steps, and train RMSE after the update (monotone decreasing —
-    // the trainer certification).
+    // operands, argmax ties declared (feature name, then value).
+    // Execution is STAGED per round on the Spark side: Catalyst
+    // inlines (never materializes) CTE references, so the one
+    // unrolled string re-expands each round's block into every
+    // consumer and by round 3 the tiny-table window algebra replays
+    // ~27× — measured 10.7 s of pure stage overhead at sf0.1. Instead
+    // each round's updated cell table pins (550 rows) and the next
+    // round's block — the IDENTICAL SQL text the oracle runs, via
+    // [[gbtRound]] — reads the pin, so the operand chains stay
+    // bit-identical while the plan stays linear. Output: per round,
+    // the chosen split, leaf steps, and train RMSE after the update
+    // (monotone decreasing — the trainer certification).
     "q308_gbt_stumps" -> { (s, dir) =>
       val (cells, ch) = pin(Tables(s, dir, "lineitem")
         .select(col("l_quantity").cast("long").as("qty"),
@@ -611,17 +617,38 @@ object CausalOps extends OpModule {
              sum(col("y").cast("decimal(38,0)") * col("y")).as("syy")))
       ch.count(); graft.PinScope.retain(ch)
       cells.createOrReplaceTempView("graft_gbt_cells")
-      s.sql("WITH " + gbtBody("graft_gbt_cells"))
+      val (pr0, ch0) = pin(s.sql(
+        """SELECT b.qty, b.disc, b.n, b.sy, b.syy, g0.p0 AS p
+          |FROM graft_gbt_cells b CROSS JOIN
+          |  (SELECT CAST(sum(sy) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+          |   AS p0 FROM graft_gbt_cells) g0""".stripMargin))
+      ch0.count(); graft.PinScope.retain(ch0)
+      pr0.createOrReplaceTempView("graft_gbt_up0")
+      val outs = (1 to 3).map { m =>
+        val block = gbtRound(m, s"graft_gbt_up${m - 1}")
+        if (m < 3) {
+          val (up, chU) = pin(s.sql(
+            s"WITH $block SELECT qty, disc, n, sy, syy, p FROM up$m"))
+          chU.count(); graft.PinScope.retain(chU)
+          up.createOrReplaceTempView(s"graft_gbt_up$m")
+        }
+        s.sql(s"WITH $block SELECT * FROM out$m")
+      }
+      outs.reduce(_ unionAll _)
+        .selectExpr("CAST(boost_round AS BIGINT) AS boost_round",
+                    "feature", "threshold", "gain", "step_left",
+                    "step_right", "rmse")
+        .orderBy("boost_round")
     })
 
-  /** q308's shared boosting body: everything after `WITH`,
-    * parameterized only by the cell table's name — three statically-
-    * unrolled rounds, each a block of CTEs (residual fold → per-
-    * feature cumulative split scan → argmax → prediction update →
-    * RMSE). Contract of `cells`: (qty, disc, n BIGINT, sy, syy exact
-    * wide ints). One string, both engines. */
-  private def gbtBody(cells: String): String = {
-    def roundBlock(m: Int, prev: String): String =
+  /** One boosting round's CTE block (residual fold → per-feature
+    * cumulative split scan → argmax → prediction update → RMSE),
+    * reading the previous round's cell table `prev` (qty, disc, n,
+    * sy, syy, p). The SAME text serves the oracle's unrolled chain
+    * (prev = the prior round's CTE) and Spark's staged execution
+    * (prev = the prior round's pinned view) — one string, identical
+    * operand chains, two materialization strategies. */
+  private def gbtRound(m: Int, prev: String): String =
       s"""sr$m AS (
          |  SELECT qty, disc, n, sy, syy, p,
          |    CAST(floor((CAST(sy AS DOUBLE) - CAST(n AS DOUBLE) * p)
@@ -686,21 +713,26 @@ object CausalOps extends OpModule {
          |    CAST(floor(5e-1 * b.gr / 1e2 * 1e6 + 5e-1) AS DOUBLE) / 1e6
          |      AS step_right, m.rmse
          |  FROM bs$m b CROSS JOIN mt$m m)""".stripMargin
+
+  /** q308's full boosting body for the ORACLE: everything after
+    * `WITH`, parameterized only by the cell table's name — three
+    * statically-unrolled [[gbtRound]] blocks. Contract of `cells`:
+    * (qty, disc, n BIGINT, sy, syy exact wide ints). */
+  private def gbtBody(cells: String): String =
     s"""base AS (SELECT qty, disc, n, sy, syy FROM $cells),
        |g0 AS (SELECT CAST(sum(sy) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
        |         AS p0 FROM base),
        |pr0 AS (SELECT b.qty, b.disc, b.n, b.sy, b.syy, g0.p0 AS p
        |        FROM base b CROSS JOIN g0),
-       |${roundBlock(1, "pr0")},
-       |${roundBlock(2, "up1")},
-       |${roundBlock(3, "up2")}
+       |${gbtRound(1, "pr0")},
+       |${gbtRound(2, "up1")},
+       |${gbtRound(3, "up2")}
        |SELECT CAST(boost_round AS BIGINT) AS boost_round, feature,
        |  threshold, gain, step_left, step_right, rmse
        |FROM (SELECT * FROM out1 UNION ALL
        |      SELECT * FROM out2 UNION ALL
        |      SELECT * FROM out3)
        |ORDER BY boost_round""".stripMargin
-  }
 
   def oracles: Map[String, String] = Map(
 
