@@ -127,7 +127,122 @@ object StatsModelOps extends OpModule {
         "AS r2"
   }
 
+  /** One gradient-descent round of q310's logistic trainer (σ fold →
+    * exact-integer gradient → weight update → post-update log-loss),
+    * reading the cell table `cells` (x1, x2, n, sy exact ints) and the
+    * previous round's 1-row weight table `prev` (w0, w1, w2 doubles).
+    * The SAME text serves the oracle's unrolled chain and Spark's
+    * staged execution (prev = the prior round's pinned view) — the
+    * q308 one-string/two-materializations discipline. Features enter
+    * every chain normalized by /1.5e1 (so ‖x‖² ≤ 3 and the descent
+    * lemma guarantees monotone loss at lr 0.5); σ quantizes through
+    * the pure-IEEE `floor(x·1e8 + 5e-1)` chain into an exact integer,
+    * so gradient sums are order-free decimals; weight updates and the
+    * loss are fixed-order double chains floor-quantized at 1e-8/1e-6;
+    * per-cell ln terms floor-quantize at 1e-6 before the exact
+    * weighted sum (σ clamped to [1e-8, 1−1e-8] so ln never sees 0). */
+  private def lrRound(m: Int, cells: String, prev: String): String =
+    s"""sg$m AS (
+       |  SELECT c.x1, c.x2, c.n, c.sy,
+       |    CAST(c.sy AS DECIMAL(28,0)) * 100000000 -
+       |      CAST(c.n AS DECIMAL(28,0)) *
+       |      CAST(floor(1e8 / (1e0 + exp(0e0 - (w.w0 +
+       |             w.w1 * (CAST(c.x1 AS DOUBLE) / 1.5e1) +
+       |             w.w2 * (CAST(c.x2 AS DOUBLE) / 1.5e1)))) + 5e-1)
+       |           AS DECIMAL(28,0)) AS sd
+       |  FROM $cells c CROSS JOIN $prev w),
+       |gr$m AS (
+       |  SELECT CAST(sum(sd) AS DOUBLE) AS g0,
+       |         CAST(sum(sd * x1) AS DOUBLE) AS g1,
+       |         CAST(sum(sd * x2) AS DOUBLE) AS g2,
+       |         CAST(sum(n) AS DOUBLE) AS nn
+       |  FROM sg$m),
+       |wu$m AS (
+       |  SELECT
+       |    CAST(floor((w.w0 + 5e-1 * g.g0 / 1e8 / g.nn) * 1e8 + 5e-1)
+       |         AS DOUBLE) / 1e8 AS w0,
+       |    CAST(floor((w.w1 + 5e-1 * g.g1 / 1.5e1 / 1e8 / g.nn) * 1e8
+       |               + 5e-1) AS DOUBLE) / 1e8 AS w1,
+       |    CAST(floor((w.w2 + 5e-1 * g.g2 / 1.5e1 / 1e8 / g.nn) * 1e8
+       |               + 5e-1) AS DOUBLE) / 1e8 AS w2
+       |  FROM $prev w CROSS JOIN gr$m g),
+       |ls$m AS (
+       |  SELECT c.n, c.sy,
+       |    least(greatest(CAST(floor(1e8 / (1e0 + exp(0e0 - (w.w0 +
+       |            w.w1 * (CAST(c.x1 AS DOUBLE) / 1.5e1) +
+       |            w.w2 * (CAST(c.x2 AS DOUBLE) / 1.5e1)))) + 5e-1)
+       |          AS DECIMAL(28,0)), CAST(1 AS DECIMAL(28,0))),
+       |          CAST(99999999 AS DECIMAL(28,0))) AS sq
+       |  FROM $cells c CROSS JOIN wu$m w),
+       |ll$m AS (
+       |  SELECT CAST(floor((0e0 - CAST(sum(
+       |      CAST(sy AS DECIMAL(28,0)) *
+       |        CAST(floor(ln(CAST(sq AS DOUBLE) / 1e8) * 1e6 + 5e-1)
+       |             AS DECIMAL(28,0)) +
+       |      (CAST(n AS DECIMAL(28,0)) - sy) *
+       |        CAST(floor(ln(1e0 - CAST(sq AS DOUBLE) / 1e8) * 1e6
+       |                   + 5e-1) AS DECIMAL(28,0))) AS DOUBLE)
+       |      / 1e6 / g.nn) * 1e6 + 5e-1) AS DOUBLE) / 1e6 AS logloss
+       |  FROM ls$m CROSS JOIN gr$m g
+       |  GROUP BY g.nn),
+       |out$m AS (
+       |  SELECT $m AS gd_round, w.w0, w.w1, w.w2, l.logloss
+       |  FROM wu$m w CROSS JOIN ll$m l)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Logistic-regression quality classifier (added r13) — the
+    // fastText-style LINEAR CLASSIFIER every production data pipeline
+    // trains to score documents (the CCNet/LLaMA "looks like the
+    // curated tier" filter; q266's naive Bayes is the generative
+    // cousin, this is the discriminative one trained by actual
+    // optimization): 6 rounds of batch gradient descent on logistic
+    // loss, label = curated source (idx < 5), features = length
+    // buckets (n_chars/100, tokens/10, both capped at 15 and
+    // normalized by /15 so ‖x‖² ≤ 3 — the descent lemma then
+    // GUARANTEES monotone train loss at lr 0.5, which the spec
+    // certifies). The q308 scale insight applies verbatim: with
+    // integer-bucketed features every doc's score is a function of
+    // its (x1, x2) CELL, so ONE corpus scan folds to the ≤16×16 cell
+    // table (n, Σy exact) and ALL rounds run as 1-row×cells algebra —
+    // zero further corpus contact, no per-round rescans, no driver
+    // loop. [[lrRound]] is ONE SQL string both engines execute;
+    // σ/weights/loss quantize through pure-IEEE floor-chains
+    // (exp/ln evaluated once per cell per round — ~256 calls — then
+    // immediately quantized; gradient and loss sums are exact
+    // order-free decimals). Spark stages each round through a pinned
+    // 1-row weight view (Catalyst would otherwise re-inline the
+    // whole prefix per round — the q308 lesson); the oracle unrolls
+    // the identical text. Output per round: weights + monotone
+    // -decreasing train log-loss (the trainer certification).
+    "q310_logreg_quality" -> { (s, dir) =>
+      val (cells, ch) = pin(Tables(s, dir, "documents")
+        .selectExpr("least(n_chars div 100, 15) AS x1",
+                    "least(size(split(text, ' ')) div 10, 15) AS x2",
+                    "CASE WHEN CAST(substring(source, 4) AS INT) < 5 " +
+                      "THEN 1 ELSE 0 END AS y")
+        .groupBy("x1", "x2")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy")))
+      ch.count(); graft.PinScope.retain(ch)
+      cells.createOrReplaceTempView("graft_lr_cells")
+      s.sql("SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1, " +
+            "CAST(0 AS DOUBLE) AS w2")
+        .createOrReplaceTempView("graft_lr_w0")
+      val outs = (1 to 6).map { m =>
+        val block = lrRound(m, "graft_lr_cells", s"graft_lr_w${m - 1}")
+        if (m < 6) {
+          val (wt, chW) = pin(s.sql(
+            s"WITH $block SELECT w0, w1, w2 FROM wu$m"))
+          chW.count(); graft.PinScope.retain(chW)
+          wt.createOrReplaceTempView(s"graft_lr_w$m")
+        }
+        s.sql(s"WITH $block SELECT * FROM out$m")
+      }
+      outs.reduce(_ unionAll _)
+        .selectExpr("CAST(gd_round AS BIGINT) AS gd_round", "w0", "w1",
+                    "w2", "logloss")
+        .orderBy("gd_round")
+    },
 
     // Grouped multi-feature RIDGE regression (added r13) — q147 fits
     // one slope; this is the d>1 model every feature pipeline actually
@@ -2341,6 +2456,31 @@ object StatsModelOps extends OpModule {
     // identical sufficient statistics (DuckDB's BIGINT sums widen to
     // HUGEINT; every value stays under 2⁶³ so the double casts are
     // exact), then the SAME RidgeSolve strings verbatim
+    // identical cell fold, then six statically-unrolled [[lrRound]]
+    // blocks — the entire trainer is the shared string; MATERIALIZED
+    // pins the cell fold the way Spark's InternalPin does
+    "q310_logreg_quality" ->
+      s"""WITH cells AS MATERIALIZED (
+         |  SELECT least(n_chars // 100, 15) AS x1,
+         |    least(len(string_split(text, ' ')) // 10, 15) AS x2,
+         |    count(*) AS n,
+         |    sum(CASE WHEN CAST(substr(source, 4) AS INT) < 5
+         |        THEN 1 ELSE 0 END) AS sy
+         |  FROM documents GROUP BY 1, 2),
+         |wz AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
+         |       CAST(0 AS DOUBLE) AS w2),
+         |${lrRound(1, "cells", "wz")},
+         |${lrRound(2, "cells", "wu1")},
+         |${lrRound(3, "cells", "wu2")},
+         |${lrRound(4, "cells", "wu3")},
+         |${lrRound(5, "cells", "wu4")},
+         |${lrRound(6, "cells", "wu5")}
+         |SELECT CAST(gd_round AS BIGINT) AS gd_round, w0, w1, w2, logloss
+         |FROM (SELECT * FROM out1 UNION ALL SELECT * FROM out2
+         |      UNION ALL SELECT * FROM out3 UNION ALL SELECT * FROM out4
+         |      UNION ALL SELECT * FROM out5 UNION ALL SELECT * FROM out6)
+         |ORDER BY gd_round""".stripMargin,
+
     "q304_ridge_regression" ->
       s"""WITH li AS (
          |  SELECT l_returnflag AS flag,

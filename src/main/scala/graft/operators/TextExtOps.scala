@@ -455,6 +455,37 @@ object TextExtOps extends OpModule {
         .orderBy("source")
     },
 
+    // Kneser–Ney LM quality filter (added r13) — the SMOOTHING UPGRADE
+    // of q301's add-1 bigram: interpolated Kneser–Ney (Kneser & Ney
+    // 1995; Chen & Goodman 1998 — the smoothing KenLM ships and the
+    // CCNet filtering stack actually runs). Add-1 drowns the signal on
+    // any realistic vocab (every unseen pair pays ln(V)); KN discounts
+    // each seen bigram by D=0.75 and redistributes the held-out mass
+    // over the CONTINUATION distribution — "how many distinct contexts
+    // precede w2" — the estimator that made n-gram LMs competitive.
+    // Model = 4 vocab-bound tables folded from ONE train-split scan
+    // (bigram counts + two marginals + 1-row globals); scoring =
+    // q301's exact pipeline shape (eval-pair explode, count-table
+    // joins, per-doc agg — the gram stream never joins corpus×corpus).
+    // Per seen context the smoothed-continuation variant sums to
+    // EXACTLY 1 over the train vocab (spec-certified); unseen contexts
+    // back off to the continuation distribution (declared). Report:
+    // per source docs, mean avg-NLL, share above the declared 3.5 flag
+    // line (KN NLLs sit below q301's add-1 scores because seen mass is
+    // no longer taxed by V).
+    "q309_kneser_ney" -> { (s, d) =>
+      knPerDoc(s, d).groupBy("source")
+        .agg(count(lit(1)).as("docs"),
+             round(sum(col("avg_nll")).cast("double") /
+                   count(lit(1)).cast("double"), 6).as("mean_nll"),
+             sum(when(col("avg_nll").cast("double") > 3.5, 1L)
+                   .otherwise(0L)).as("flagged"))
+        .withColumn("flagged_share",
+          round(col("flagged").cast("double") / col("docs").cast("double"),
+                6))
+        .orderBy("source")
+    },
+
     // DSIR importance weighting (added r13) — Data Selection via
     // Importance Resampling (Xie et al. 2023), the pretraining
     // data-selection operator between q49's heuristic quality score
@@ -1333,6 +1364,62 @@ object TextExtOps extends OpModule {
           .cast("decimal(28,6)"))
   }
 
+  /** Per-eval-doc avg NLL under an interpolated Kneser–Ney bigram LM
+    * trained on the train split (q309). Model tables (all vocab-bound,
+    * broadcast): bigram counts cb; per-context totals cw and distinct-
+    * successor counts n1f; per-word distinct-predecessor counts n1b;
+    * the global distinct-bigram count nbb and vocab size v. The
+    * continuation distribution is add-1 smoothed over the train vocab
+    * — Pcont(w2) = (N1+(·w2)+1)/(N1+(··)+V) — which keeps every score
+    * finite on OOV eval words AND makes each seen context a proper
+    * distribution: Σ_vocab P_KN(w2|w1) = (cw−D·n1f)/cw + (D·n1f/cw)·1
+    * = 1 exactly (spec-certified). Unseen contexts (cw NULL) back off
+    * to Pcont alone — the standard backoff floor, declared. Every P is
+    * one fixed-order double chain; ln rounds ONCE at 6 dp into an
+    * order-free decimal sum (the q301 discipline). */
+  private def knPerDoc(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d, "documents")
+      .select(col("doc_id"), trainSplit.as("split"), col("source"),
+              split(col("text"), " ").as("t"))
+    val pairsOf = expr(
+      "transform(sequence(1, size(t) - 1), i -> " +
+        "struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")
+    val cb = docs.where(col("split") === "train" && size(col("t")) >= 2)
+      .select(explode(pairsOf).as("pr"))
+      .groupBy(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+      .agg(count(lit(1)).as("cb"))
+    val ctx = cb.groupBy("w1")
+      .agg(sum("cb").as("cw"), count(lit(1)).as("n1f"))
+    val cont = cb.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val gq = cb.agg(count(lit(1)).as("nbb"))
+    val vv = docs.where(col("split") === "train")
+      .select(explode(col("t")).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    val pcont = (coalesce(col("n1b"), lit(0L)).cast("double") + lit(1.0)) /
+      (col("nbb").cast("double") + col("v").cast("double"))
+    val p = when(col("cw").isNull, pcont)
+      .otherwise(
+        greatest(coalesce(col("cb"), lit(0L)).cast("double") - lit(0.75),
+                 lit(0.0)) / col("cw").cast("double") +
+          lit(0.75) * col("n1f").cast("double") / col("cw").cast("double") *
+            pcont)
+    docs.where(col("split") === "eval" && size(col("t")) >= 2)
+      .select(col("doc_id"), col("source"), explode(pairsOf).as("pr"))
+      .select(col("doc_id"), col("source"),
+              col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+      .join(cb, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(gq))
+      .crossJoin(broadcast(vv))
+      .withColumn("lp", round(log(p), 6).cast("decimal(28,6)"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n"), sum("lp").as("slp"))
+      .withColumn("avg_nll",
+        round(-col("slp").cast("double") / col("n").cast("double"), 6)
+          .cast("decimal(28,6)"))
+  }
+
   /** (doc_id, md5(n-token gram)) rows — the gram-hash projection every
     * contamination tier starts from. */
   private def gramHashes(df: DataFrame, n: Int): DataFrame = df
@@ -1958,6 +2045,73 @@ object TextExtOps extends OpModule {
            |  CAST(sum(CASE WHEN CAST(avg_nll AS DOUBLE) > 8.0
            |                THEN 1 ELSE 0 END) AS BIGINT) AS flagged,
            |  round(CAST(sum(CASE WHEN CAST(avg_nll AS DOUBLE) > 8.0
+           |                      THEN 1 ELSE 0 END) AS DOUBLE) /
+           |        CAST(count(*) AS DOUBLE), 6) AS flagged_share
+           |FROM pd GROUP BY source ORDER BY source""".stripMargin,
+
+      // identical train-split model tables (bigram counts, context
+      // totals/distinct-successor marginal, continuation marginal,
+      // distinct-bigram + vocab globals) and the identical fixed-order
+      // double chain per pair — every literal cast to DOUBLE so DuckDB
+      // does not route the arithmetic through exact DECIMALs (the q264
+      // lesson); ln rounded once at 6 dp into an order-free decimal sum
+      "q309_kneser_ney" ->
+        s"""WITH dd AS (
+           |  SELECT doc_id, $trainSplitSql AS split, source,
+           |    string_split(text, ' ') AS t
+           |  FROM documents),
+           |tp AS (
+           |  SELECT t[CAST(i AS INT)] AS w1,
+           |         t[CAST(i + 1 AS INT)] AS w2
+           |  FROM (SELECT t, unnest(range(1, len(t))) AS i
+           |        FROM dd WHERE split = 'train' AND len(t) >= 2)),
+           |cb AS (SELECT w1, w2, count(*) AS cb FROM tp GROUP BY 1, 2),
+           |ctx AS (SELECT w1, sum(cb) AS cw, count(*) AS n1f
+           |        FROM cb GROUP BY 1),
+           |cont AS (SELECT w2, count(*) AS n1b FROM cb GROUP BY 1),
+           |gq AS (SELECT count(*) AS nbb FROM cb),
+           |vv AS (SELECT count(DISTINCT w1) AS v
+           |       FROM (SELECT unnest(t) AS w1 FROM dd
+           |             WHERE split = 'train')),
+           |ep AS (
+           |  SELECT doc_id, source, t[CAST(i AS INT)] AS w1,
+           |         t[CAST(i + 1 AS INT)] AS w2
+           |  FROM (SELECT doc_id, source, t,
+           |          unnest(range(1, len(t))) AS i
+           |        FROM dd WHERE split = 'eval' AND len(t) >= 2)),
+           |sc AS (
+           |  SELECT ep.doc_id, ep.source,
+           |    CAST(round(ln(CASE WHEN ctx.cw IS NULL
+           |      THEN (CAST(coalesce(cont.n1b, 0) AS DOUBLE) +
+           |            CAST(1.0 AS DOUBLE)) /
+           |           (CAST(gq.nbb AS DOUBLE) + CAST(vv.v AS DOUBLE))
+           |      ELSE greatest(CAST(coalesce(cb.cb, 0) AS DOUBLE) -
+           |                    CAST(0.75 AS DOUBLE),
+           |                    CAST(0.0 AS DOUBLE)) /
+           |             CAST(ctx.cw AS DOUBLE) +
+           |           CAST(0.75 AS DOUBLE) * CAST(ctx.n1f AS DOUBLE) /
+           |             CAST(ctx.cw AS DOUBLE) *
+           |             ((CAST(coalesce(cont.n1b, 0) AS DOUBLE) +
+           |               CAST(1.0 AS DOUBLE)) /
+           |              (CAST(gq.nbb AS DOUBLE) +
+           |               CAST(vv.v AS DOUBLE)))
+           |      END), 6) AS DECIMAL(28,6)) AS lp
+           |  FROM ep LEFT JOIN cb ON ep.w1 = cb.w1 AND ep.w2 = cb.w2
+           |          LEFT JOIN ctx ON ep.w1 = ctx.w1
+           |          LEFT JOIN cont ON ep.w2 = cont.w2
+           |          CROSS JOIN gq CROSS JOIN vv),
+           |pd AS (
+           |  SELECT doc_id, source, count(*) AS n,
+           |    CAST(round(-CAST(sum(lp) AS DOUBLE) /
+           |               CAST(count(*) AS DOUBLE), 6)
+           |         AS DECIMAL(28,6)) AS avg_nll
+           |  FROM sc GROUP BY 1, 2)
+           |SELECT source, count(*) AS docs,
+           |  round(CAST(sum(avg_nll) AS DOUBLE) /
+           |        CAST(count(*) AS DOUBLE), 6) AS mean_nll,
+           |  CAST(sum(CASE WHEN CAST(avg_nll AS DOUBLE) > 3.5
+           |                THEN 1 ELSE 0 END) AS BIGINT) AS flagged,
+           |  round(CAST(sum(CASE WHEN CAST(avg_nll AS DOUBLE) > 3.5
            |                      THEN 1 ELSE 0 END) AS DOUBLE) /
            |        CAST(count(*) AS DOUBLE), 6) AS flagged_share
            |FROM pd GROUP BY source ORDER BY source""".stripMargin,

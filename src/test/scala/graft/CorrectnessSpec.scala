@@ -3642,4 +3642,69 @@ class CorrectnessSpec extends SparkSpecBase {
       assert(math.abs(mp - ref) < 1e-3,
              s"$s0: mean_proj $mp vs reference $ref") }
   }
+
+  test("q309 Kneser–Ney: every seen context sums to 1 over the train vocab") {
+    // the property that makes KN-with-smoothed-continuation a proper
+    // LM: Σ_vocab P(w2|w1) = (cw − D·n1f)/cw + (D·n1f/cw)·Σ Pcont = 1
+    // exactly, because Σ_vocab (n1b+1)/(nbb+V) = (nbb+V)/(nbb+V).
+    // Recomputed here from raw text with the identical split rule.
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    def isTrain(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      "%x".format((md(0) >> 4) & 0xf).head <= 'b'
+    }
+    val train = docs.filter(d => isTrain(d._1)).map(_._2.split(" ", -1).toSeq)
+    val cb = train.filter(_.length >= 2)
+      .flatMap(t => t.sliding(2).map(a => (a(0), a(1))))
+      .groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+    val ctx = cb.groupBy(_._1._1)
+      .map { case (w1, m) => (w1, (m.values.sum, m.size)) }
+    val n1b = cb.groupBy(_._1._2).map { case (w2, m) => (w2, m.size) }
+    val nbb = cb.size
+    val vocab = train.flatten.distinct
+    val v = vocab.size
+    assert(nbb > 100 && v > 20, s"corpus too small to certify: $nbb/$v")
+    for (w1 <- ctx.keys.toSeq.sorted.take(12)) {
+      val (c, f) = ctx(w1)
+      val s0 = vocab.map { w2 =>
+        math.max(cb.getOrElse((w1, w2), 0L) - 0.75, 0.0) / c +
+          0.75 * f / c * ((n1b.getOrElse(w2, 0) + 1.0) / (nbb + v.toDouble))
+      }.sum
+      assert(math.abs(s0 - 1.0) < 1e-9, s"context '$w1' sums to $s0")
+    }
+  }
+
+  test("q310 round-1 weights match an in-memory gradient; loss is monotone") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("n_chars"), col("text"), col("source"))
+      .as[(Long, String, String)].collect()
+    val cells = docs
+      .map { case (nc, t, src0) =>
+        ((math.min(nc / 100, 15L),
+          math.min(t.split(" ", -1).length / 10L, 15L)),
+         if (src0.drop(3).toInt < 5) 1L else 0L) }
+      .groupBy(_._1)
+      .map { case (k, g) => (k, (g.size.toLong, g.map(_._2).sum)) }
+    // round 1 from w = 0: σ = 0.5 exactly, so sd = sy·1e8 − n·5e7
+    val sd = cells.map { case ((x1, x2), (n, sy)) =>
+      (x1, x2, sy * 100000000L - n * 50000000L, n) }
+    val nn = sd.map(_._4).sum.toDouble
+    val g0 = sd.map(_._3).sum.toDouble
+    val g1 = sd.map(t => t._3 * t._1).sum.toDouble
+    val g2 = sd.map(t => t._3 * t._2).sum.toDouble
+    def qz(x: Double): Double = math.floor(x * 1e8 + 5e-1) / 1e8
+    val w0 = qz(0.0 + 5e-1 * g0 / 1e8 / nn)
+    val w1 = qz(0.0 + 5e-1 * g1 / 1.5e1 / 1e8 / nn)
+    val w2 = qz(0.0 + 5e-1 * g2 / 1.5e1 / 1e8 / nn)
+    val rows = q("q310_logreg_quality")
+      .as[(Long, Double, Double, Double, Double)].collect().sortBy(_._1)
+    assert(rows.length == 6)
+    assert(rows(0)._2 == w0 && rows(0)._3 == w1 && rows(0)._4 == w2,
+           s"round-1 weights ${rows(0)} vs reference ($w0, $w1, $w2)")
+    // lr 0.5 < 1/L for ‖x‖² ≤ 3 ⇒ the descent lemma guarantees this
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._5 < a._5, s"log-loss not decreasing: $a -> $b") }
+  }
 }
