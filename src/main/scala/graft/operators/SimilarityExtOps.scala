@@ -186,9 +186,100 @@ object SimilarityExtOps extends OpModule {
 
   private def vec: Column = col("embedding").cast("array<double>")
 
+  /** q222/q311's shared Lloyd oracle text: lattice quantization, the
+    * sampled initial centroids, and three assign(+two update) rounds —
+    * the SQL twin of [[lloydAssignments]], ending at a3. */
+  private def lloydDStep(i: Int): String =
+    s"""d$i AS (SELECT e.vec_id, c.cid,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      j -> (e.xi[j] - c.ci[j]) * (e.xi[j] - c.ci[j])))
+       |      AS BIGINT) AS dist
+       |  FROM e CROSS JOIN c$i c),
+       |a$i AS (SELECT vec_id, cid, dist FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY dist, cid) AS rn
+       |    FROM d$i) WHERE rn = 1)""".stripMargin
+
+  private def lloydUStep(i: Int): String =
+    s"""u$i AS (SELECT cid, u.i - 1 AS dim, sum(e.xi[u.i]) AS sx,
+       |      count(*) AS n
+       |    FROM a$i JOIN e USING (vec_id),
+       |         (SELECT unnest(range(1, 65)) AS i) u
+       |    GROUP BY 1, 2),
+       |c${i + 1} AS (SELECT cid,
+       |      list(CAST(CASE WHEN sx >= 0
+       |             THEN (2 * sx + n) // (2 * n)
+       |             ELSE -((2 * -sx + n) // (2 * n)) END AS BIGINT)
+       |           ORDER BY dim) AS ci
+       |    FROM u$i GROUP BY cid)""".stripMargin
+
+  private def lloydCte: String =
+    s"""e AS (SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+       |      AS xi
+       |  FROM embeddings),
+       |c1 AS (SELECT vec_id AS cid, xi AS ci FROM e
+       |       WHERE vec_id < $Cents),
+       |${lloydDStep(1)},
+       |${lloydUStep(1)},
+       |${lloydDStep(2)},
+       |${lloydUStep(2)},
+       |${lloydDStep(3)}""".stripMargin
+
   /** The embeddings table as (vec_id, v: array<double>). */
   private def embBase(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "embeddings").select(col("vec_id"), vec.as("v"))
+
+  /** The 3-round integer-lattice Lloyd loop shared by q222 (training-
+    * curve report) and q311 (final assignment feeding SemDeDup):
+    * vectors quantize once to the 1e6 lattice, assignment is a
+    * zero-shuffle codegen'd argmin over ONE broadcast centroid row,
+    * centroid update is the nearest-lattice integer mean — see q222's
+    * docstring for the full determinism contract. Returns the pinned
+    * per-iteration assignments (vec_id, xi, cid, dist). */
+  private def lloydAssignments(s: SparkSession, d: String): Seq[DataFrame] = {
+    val (em, h) = pin(embBase(s, d).select(col("vec_id"),
+      expr("transform(v, x -> CAST(round(x * 1000000) AS BIGINT))")
+        .as("xi")))
+    h.count(); graft.PinScope.retain(h)
+    def assign(cent: DataFrame): DataFrame = {
+      val packed = cent
+        .agg(collect_list(struct(col("cid"), col("ci"))).as("cents"))
+      em.crossJoin(broadcast(packed))
+        .withColumn("m", expr(
+          """array_min(transform(cents, c -> named_struct(
+            |  'dist', aggregate(zip_with(xi, c.ci,
+            |            (x, y) -> (x - y) * (x - y)),
+            |          CAST(0 AS BIGINT), (a, e) -> a + e),
+            |  'cid', c.cid)))""".stripMargin))
+        .select(col("vec_id"), col("xi"),
+                col("m.cid").as("cid"), col("m.dist").as("dist"))
+    }
+    var cent = em.where(col("vec_id") < Cents)
+      .select(col("vec_id").as("cid"), col("xi").as("ci"))
+    val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (t <- 1 to 3) {
+      val (a, ah) = pin(assign(cent)); ah.count(); graft.PinScope.retain(ah)
+      out += a
+      if (t < 3)
+        cent = a
+          .select(col("cid"), posexplode(col("xi")).as(Seq("dim", "x")))
+          .groupBy("cid", "dim")
+          .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+          // nearest-lattice mean, half away from zero — PURE integer
+          // arithmetic ((2|sx|+n) DIV 2n, re-signed), because the
+          // double round(sx/n/1e6, 6) path diverged between engines
+          // in the 3rd iteration's last bit (caught by the oracle)
+          .withColumn("cl", expr(
+            "CASE WHEN sx >= 0 THEN (2 * sx + n) DIV (2 * n) " +
+            "ELSE -((2 * -sx + n) DIV (2 * n)) END"))
+          .groupBy("cid")
+          .agg(expr("transform(array_sort(collect_list(" +
+                    "struct(dim, cl))), s -> s.cl)").as("ci"))
+    }
+    out.toSeq
+  }
 
   /** Deterministic sampled IVF centroids (cid, cv). `n` defaults to the
     * frozen [[Cents]] every declared query uses (oracle determinism);
@@ -674,33 +765,14 @@ object SimilarityExtOps extends OpModule {
     // exact lattice units (BIGINT; at web scale the sum widens to
     // DECIMAL the q142 way).
     "q222_kmeans_loop" -> { (s, d) =>
-      val (em, h) = pin(embBase(s, d).select(col("vec_id"),
-        expr("transform(v, x -> CAST(round(x * 1000000) AS BIGINT))")
-          .as("xi")))
-      h.count(); graft.PinScope.retain(h)
-      def assign(cent: DataFrame): DataFrame = {
-        val packed = cent
-          .agg(collect_list(struct(col("cid"), col("ci"))).as("cents"))
-        em.crossJoin(broadcast(packed))
-          .withColumn("m", expr(
-            """array_min(transform(cents, c -> named_struct(
-              |  'dist', aggregate(zip_with(xi, c.ci,
-              |            (x, y) -> (x - y) * (x - y)),
-              |          CAST(0 AS BIGINT), (a, e) -> a + e),
-              |  'cid', c.cid)))""".stripMargin))
-          .select(col("vec_id"), col("xi"),
-                  col("m.cid").as("cid"), col("m.dist").as("dist"))
-      }
-      var cent = em.where(col("vec_id") < Cents)
-        .select(col("vec_id").as("cid"), col("xi").as("ci"))
-      var prev: DataFrame = null
+      val as0 = lloydAssignments(s, d)
       var report: DataFrame = null
       for (t <- 1 to 3) {
-        val (a, ah) = pin(assign(cent)); ah.count(); graft.PinScope.retain(ah)
+        val a = as0(t - 1)
         val moved =
-          if (prev == null) a.agg(count(lit(1)).as("moved"))
+          if (t == 1) a.agg(count(lit(1)).as("moved"))
           else a.select(col("vec_id"), col("cid"))
-            .join(prev.select(col("vec_id"), col("cid").as("pc")),
+            .join(as0(t - 2).select(col("vec_id"), col("cid").as("pc")),
                   Seq("vec_id"))
             .agg(sum(when(col("cid") =!= col("pc"), 1L).otherwise(0L))
                    .as("moved"))
@@ -710,24 +782,61 @@ object SimilarityExtOps extends OpModule {
           .select(lit(t.toLong).as("iter"), col("inertia"),
                   col("moved"), col("n_clusters"))
         report = if (report == null) row else report.unionAll(row)
-        prev = a
-        if (t < 3)
-          cent = a
-            .select(col("cid"), posexplode(col("xi")).as(Seq("dim", "x")))
-            .groupBy("cid", "dim")
-            .agg(sum("x").as("sx"), count(lit(1)).as("n"))
-            // nearest-lattice mean, half away from zero — PURE integer
-            // arithmetic ((2|sx|+n) DIV 2n, re-signed), because the
-            // double round(sx/n/1e6, 6) path diverged between engines
-            // in the 3rd iteration's last bit (caught by the oracle)
-            .withColumn("cl", expr(
-              "CASE WHEN sx >= 0 THEN (2 * sx + n) DIV (2 * n) " +
-              "ELSE -((2 * -sx + n) DIV (2 * n)) END"))
-            .groupBy("cid")
-            .agg(expr("transform(array_sort(collect_list(" +
-                      "struct(dim, cl))), s -> s.cl)").as("ci"))
       }
       report.orderBy("iter")
+    },
+
+    // SemDeDup (added r13) — semantic deduplication by
+    // cluster-then-prune (Abbas et al. 2023, the embedding-space
+    // dedup the LAION/web-scale pipelines run where MinHash can't
+    // see paraphrase): k-means cluster the embeddings, then compare
+    // pairs ONLY within a cluster and drop all but one member of
+    // each near-dup neighborhood. Composes the suite's two halves
+    // structurally: the clustering IS [[lloydAssignments]] (q222's
+    // integer-lattice Lloyd, third-round assignment — identical
+    // text in the oracle), and the near-dup line IS q56's declared
+    // 0.4 cosine, restated EXACTLY on the lattice: dup iff dot > 0
+    // and 10⁴·dot² ≥ 1600·‖a‖²·‖b‖² (all exact decimals — no float
+    // round anywhere, so the predicate is hash-stable; the spec
+    // bridges it to float cosine within 5e-4). Keep rule: the
+    // MIN-id member of each pairwise neighborhood survives (the
+    // paper keeps one per ε-neighborhood; min-id is the declared
+    // deterministic choice, q83's keep-best discipline). Scale: the
+    // within-cluster self-join is the paper's own cost model —
+    // production runs k ∝ N so cluster sizes stay O(1) and pair
+    // volume stays O(N); here k is the frozen Cents=16 at test SF.
+    // Payload arrays join by cid only; per-vec norms fold once in
+    // the base pass. Report: per cluster, members / dup pairs /
+    // removed / keep ratio.
+    "q311_semdedup" -> { (s, d) =>
+      val dotF = (x: String, y: String) =>
+        s"aggregate(zip_with($x, $y, (x, y) -> x * y), " +
+          "CAST(0 AS BIGINT), (a, e) -> a + e)"
+      val base = lloydAssignments(s, d).last
+        .select(col("vec_id"), col("cid"), col("xi"),
+                expr(dotF("xi", "xi")).as("nv"))
+      val l = base.select(col("cid"), col("vec_id").as("a"),
+                          col("xi").as("xa"), col("nv").as("na"))
+      val r = base.select(col("cid"), col("vec_id").as("b"),
+                          col("xi").as("xb"), col("nv").as("nb"))
+      val pairs = l.join(r, Seq("cid")).where(col("a") < col("b"))
+        .withColumn("dot", expr(dotF("xa", "xb")))
+        .where(col("dot") > 0 &&
+               col("dot").cast("decimal(38,0)") * col("dot") * 10000 >=
+                 col("na").cast("decimal(38,0)") * col("nb") * 1600)
+        .select(col("cid"), col("a"), col("b"))
+      val (dp, dh) = pin(pairs); dh.count(); graft.PinScope.retain(dh)
+      val removed = dp.select(col("cid"), col("b")).distinct()
+      base.groupBy("cid").agg(count(lit(1)).as("n_vecs"))
+        .join(dp.groupBy("cid").agg(count(lit(1)).as("n_dup_pairs")),
+              Seq("cid"), "left")
+        .join(removed.groupBy("cid").agg(count(lit(1)).as("n_removed")),
+              Seq("cid"), "left")
+        .na.fill(0L, Seq("n_dup_pairs", "n_removed"))
+        .withColumn("keep_ratio",
+          round((col("n_vecs") - col("n_removed")).cast("double") /
+                col("n_vecs").cast("double"), 6))
+        .orderBy("cid")
     },
 
     // Reciprocal-rank fusion (added r10) — the retrieval ENSEMBLE a
@@ -1743,40 +1852,7 @@ object SimilarityExtOps extends OpModule {
       // the 3 Lloyd rounds unrolled as CTEs — all assignment math on
       // the same integer lattice, so the iterative result hash-matches
       "q222_kmeans_loop" -> {
-        def dstep(i: Int) =
-          s"""d$i AS (SELECT e.vec_id, c.cid,
-             |    CAST(list_sum(list_transform(range(1, 65),
-             |      j -> (e.xi[j] - c.ci[j]) * (e.xi[j] - c.ci[j])))
-             |      AS BIGINT) AS dist
-             |  FROM e CROSS JOIN c$i c),
-             |a$i AS (SELECT vec_id, cid, dist FROM (
-             |    SELECT *, row_number() OVER (PARTITION BY vec_id
-             |                                 ORDER BY dist, cid) AS rn
-             |    FROM d$i) WHERE rn = 1)""".stripMargin
-        def ustep(i: Int) =
-          s"""u$i AS (SELECT cid, u.i - 1 AS dim, sum(e.xi[u.i]) AS sx,
-             |      count(*) AS n
-             |    FROM a$i JOIN e USING (vec_id),
-             |         (SELECT unnest(range(1, 65)) AS i) u
-             |    GROUP BY 1, 2),
-             |c${i + 1} AS (SELECT cid,
-             |      list(CAST(CASE WHEN sx >= 0
-             |             THEN (2 * sx + n) // (2 * n)
-             |             ELSE -((2 * -sx + n) // (2 * n)) END AS BIGINT)
-             |           ORDER BY dim) AS ci
-             |    FROM u$i GROUP BY cid)""".stripMargin
-        s"""WITH e AS (SELECT vec_id,
-           |    list_transform(embedding,
-           |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
-           |      AS xi
-           |  FROM embeddings),
-           |c1 AS (SELECT vec_id AS cid, xi AS ci FROM e
-           |       WHERE vec_id < $Cents),
-           |${dstep(1)},
-           |${ustep(1)},
-           |${dstep(2)},
-           |${ustep(2)},
-           |${dstep(3)}
+        s"""WITH $lloydCte
            |SELECT * FROM (
            |  SELECT CAST(1 AS BIGINT) AS iter,
            |    (SELECT CAST(sum(dist) AS BIGINT) FROM a1) AS inertia,
@@ -1794,6 +1870,38 @@ object SimilarityExtOps extends OpModule {
            |    (SELECT count(DISTINCT cid) FROM a3))
            |ORDER BY iter""".stripMargin
       },
+
+      // the identical Lloyd text to a3, then the exact-lattice dup
+      // predicate (10⁴·dot² ≥ 1600·na·nb in DECIMAL — q56's 0.4 line
+      // with zero float arithmetic) and the min-id keep rule
+      "q311_semdedup" ->
+        s"""WITH $lloydCte,
+           |bs AS (SELECT a3.vec_id, a3.cid, e.xi,
+           |    CAST(list_sum(list_transform(range(1, 65),
+           |      j -> e.xi[j] * e.xi[j])) AS BIGINT) AS nv
+           |  FROM a3 JOIN e USING (vec_id)),
+           |pr AS (
+           |  SELECT l.cid, l.vec_id AS a, r.vec_id AS b,
+           |    CAST(list_sum(list_transform(range(1, 65),
+           |      j -> l.xi[j] * r.xi[j])) AS BIGINT) AS dot,
+           |    l.nv AS na, r.nv AS nb
+           |  FROM bs l JOIN bs r
+           |    ON l.cid = r.cid AND l.vec_id < r.vec_id),
+           |dp AS (SELECT cid, a, b FROM pr
+           |       WHERE dot > 0 AND
+           |         CAST(dot AS DECIMAL(38,0)) * dot * 10000 >=
+           |           CAST(na AS DECIMAL(38,0)) * nb * 1600),
+           |cl AS (SELECT cid, count(*) AS n_vecs FROM bs GROUP BY 1),
+           |dc AS (SELECT cid, count(*) AS n_dup_pairs FROM dp GROUP BY 1),
+           |rc AS (SELECT cid, count(*) AS n_removed
+           |       FROM (SELECT DISTINCT cid, b FROM dp) GROUP BY 1)
+           |SELECT cl.cid, cl.n_vecs,
+           |  coalesce(dc.n_dup_pairs, 0) AS n_dup_pairs,
+           |  coalesce(rc.n_removed, 0) AS n_removed,
+           |  round(CAST(cl.n_vecs - coalesce(rc.n_removed, 0) AS DOUBLE) /
+           |        CAST(cl.n_vecs AS DOUBLE), 6) AS keep_ratio
+           |FROM cl LEFT JOIN dc USING (cid) LEFT JOIN rc USING (cid)
+           |ORDER BY cid""".stripMargin,
 
       "q73_ann_ivf" ->
         s"""WITH $ivfCte,

@@ -17,6 +17,32 @@ import org.apache.spark.sql.functions._
   */
 object StatsExtOps extends OpModule {
 
+  /** q312's shared final chains over the 1-row stat table
+    * (k, n, s = Σ⌊R_i²/n_i·1e6⌉, tt = Σ(t³−t)): identical text
+    * selectExpr'd in Spark and interpolated into the oracle. */
+  private object KwSolve {
+    // per-group term R_i²/n_i = (2R_i)²/(4n_i), floor-quantized at
+    // 1e-6 so the k-row sum is an order-free exact decimal
+    val termExpr: String =
+      "CAST(floor(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) / 4e0 / " +
+        "CAST(ni AS DOUBLE) * 1e6 + 5e-1) AS DECIMAL(38,0))"
+    private val hRaw: String =
+      "12e0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1e0)) * " +
+        "(CAST(s AS DOUBLE) / 1e6) - 3e0 * (CAST(n AS DOUBLE) + 1e0)"
+    private val tieCorr: String =
+      "1e0 - CAST(tt AS DOUBLE) / (CAST(n AS DOUBLE) * " +
+        "CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))"
+    val hExprs: Seq[String] = Seq(
+      "CAST(k AS BIGINT) AS k_groups",
+      "CAST(n AS BIGINT) AS n_total",
+      s"round($hRaw, 6) AS h",
+      s"round(($hRaw) / ($tieCorr), 6) AS h_corrected")
+    val epsExpr: String =
+      "round((h_corrected - CAST(k_groups AS DOUBLE) + 1e0) / " +
+        "(CAST(n_total AS DOUBLE) - CAST(k_groups AS DOUBLE)), 6) " +
+        "AS epsilon_sq"
+  }
+
   /** Pearson r from exact moment sums, computed in double with a fixed
     * operand order (the oracle spells the identical order): given exact
     * inputs, each IEEE op is deterministic, so both engines produce the
@@ -697,6 +723,50 @@ object StatsExtOps extends OpModule {
     // normal approximation z (the standard report at these n) is ONE
     // fixed-order double formula rounded 6 dp; the rank-biserial
     // effect size 2U/(na·nb)−1 likewise.
+    // Kruskal–Wallis H (added r13) — the k-SAMPLE extension of q247's
+    // two-sample Mann–Whitney (the rank-based one-way ANOVA q251
+    // reaches for when normality fails): does event value differ in
+    // distribution across ALL event types at once? Exactly q247's
+    // value-group discipline generalized: ONE fact scan folds the
+    // (type, cents, count) table; the global value-group cumulative
+    // gives every tied cent its doubled average rank 2·cum + t + 1
+    // (integer — the window runs over the DOMAIN-bound distinct-cents
+    // table, never the corpus); per-type doubled rank sums are exact
+    // decimals. H = [12/(N(N+1))·Σ R_i²/n_i − 3(N+1)] with the
+    // standard tie correction 1 − Σ(t³−t)/(N³−N); each group's
+    // R_i²/n_i term floor-quantizes at 1e-6 into an order-free
+    // decimal sum (k-row table — the sum must not depend on group
+    // order), the final chains are [[KwSolve]] strings both engines
+    // run verbatim, ε² = (H_c − k + 1)/(N − k) reported from the
+    // ROUNDED H_c (the RidgeSolve discipline). In-memory certified
+    // against a textbook average-rank recomputation.
+    "q312_kruskal_wallis" -> { (s, d) =>
+      val vg = Tables(s, d, "events")
+        .select(col("event_type").as("g"),
+                round(col("value") * 100).cast("long").as("v"))
+        .groupBy("g", "v").agg(count(lit(1)).as("c"))
+      val (pv, h) = org.apache.spark.sql.graft.InternalPin.pin(vg)
+      h.count(); graft.PinScope.retain(h)
+      val tv = pv.groupBy("v").agg(sum("c").as("t"))
+      val wPrev = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = tv
+        .withColumn("cum", coalesce(sum("t").over(wPrev), lit(0L)))
+      val grp = pv.join(cum, Seq("v"))
+        .groupBy("g")
+        .agg(sum("c").as("ni"),
+             sum((col("c") * (lit(2L) * col("cum") + col("t") + 1L))
+                   .cast("decimal(38,0)")).as("r2"))
+      val ties = tv.agg(sum(col("t").cast("decimal(38,0)") * col("t") *
+                              col("t") - col("t")).as("tt"))
+      val st = grp
+        .select(col("ni"), expr(KwSolve.termExpr).as("term"))
+        .agg(count(lit(1)).as("k"), sum("ni").as("n"), sum("term").as("s"))
+      st.crossJoin(broadcast(ties))
+        .selectExpr(KwSolve.hExprs: _*)
+        .selectExpr("*", KwSolve.epsExpr)
+    },
+
     "q247_mann_whitney" -> { (s, d) =>
       def dd(c: Column) = c.cast("double")
       val vg = Tables(s, d, "events")
@@ -846,6 +916,29 @@ object StatsExtOps extends OpModule {
 
     // same value-group rank algebra: doubled average ranks keep ties
     // exact in integers; one fixed-order double formula for z
+    // identical value-group rank fold and the identical KwSolve chains
+    "q312_kruskal_wallis" ->
+      s"""WITH vg AS (
+         |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT)
+         |    AS v, count(*) AS c
+         |  FROM events GROUP BY 1, 2),
+         |tv AS (SELECT v, sum(c) AS t FROM vg GROUP BY 1),
+         |cu AS (SELECT v, t,
+         |    coalesce(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM tv),
+         |gr AS (SELECT g, sum(c) AS ni,
+         |    sum(CAST(c * (2 * cum + t + 1) AS DECIMAL(38,0))) AS r2
+         |  FROM vg JOIN cu USING (v) GROUP BY 1),
+         |tx AS (SELECT sum(CAST(t AS DECIMAL(38,0)) * t * t - t) AS tt
+         |       FROM tv),
+         |tm AS (SELECT ni, ${KwSolve.termExpr} AS term FROM gr),
+         |st AS (SELECT count(*) AS k, sum(ni) AS n, sum(term) AS s
+         |       FROM tm),
+         |hx AS (SELECT ${KwSolve.hExprs.mkString(",\n    ")}
+         |       FROM st CROSS JOIN tx)
+         |SELECT *, ${KwSolve.epsExpr} FROM hx""".stripMargin,
+
     "q247_mann_whitney" ->
       """WITH vg AS (
         |  SELECT CAST(round(value * 100) AS BIGINT) AS v,

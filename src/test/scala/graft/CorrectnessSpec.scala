@@ -3676,6 +3676,80 @@ class CorrectnessSpec extends SparkSpecBase {
     }
   }
 
+  test("q311 SemDeDup matches an in-memory Lloyd + lattice-dup recomputation") {
+    val vecs = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) =>
+        (id, v.map(x => math.round(x * 1000000.0)).toArray) }
+      .sortBy(_._1)
+    // 3-round integer-lattice Lloyd, exactly lloydAssignments' contract
+    val byId = vecs.toMap
+    var cents: Seq[(Long, Array[Long])] =
+      vecs.filter(_._1 < 16).map { case (id, x) => (id, x) }.toSeq
+    var assign: Map[Long, Long] = Map.empty
+    for (t <- 1 to 3) {
+      assign = vecs.map { case (id, x) =>
+        val best = cents.map { case (cid, c) =>
+          (x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+        }.min
+        (id, best._2)
+      }.toMap
+      if (t < 3)
+        cents = assign.groupBy(_._2).toSeq.sortBy(_._1).map { case (cid, m) =>
+          val members = m.keys.toSeq.map(id => byId(id))
+          val cl = Array.tabulate(64) { d0 =>
+            val sx = members.map(_(d0)).sum
+            val n = members.size
+            if (sx >= 0) (2 * sx + n) / (2 * n)
+            else -((2 * -sx + n) / (2 * n))
+          }
+          (cid, cl)
+        }
+    }
+    def nrm(x: Array[Long]) = x.map(v => BigInt(v) * BigInt(v)).sum
+    val dups = for {
+      (a, ca) <- assign.toSeq; (b, cb) <- assign.toSeq
+      if a < b && ca == cb
+      dot = byId(a).zip(byId(b)).map { case (p, q0) => BigInt(p) * q0 }.sum
+      if dot > 0 && dot * dot * 10000 >= nrm(byId(a)) * nrm(byId(b)) * 1600
+    } yield (ca, a, b)
+    val want = assign.groupBy(_._2).toSeq.sortBy(_._1).map { case (cid, m) =>
+      val np = dups.count(_._1 == cid)
+      val nr = dups.filter(_._1 == cid).map(_._3).distinct.size
+      (cid, m.size.toLong, np.toLong, nr.toLong,
+       math.round((m.size - nr).toDouble / m.size * 1e6) / 1e6)
+    }
+    val got = q("q311_semdedup")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got == want)
+  }
+
+  test("q312 Kruskal–Wallis H matches a textbook average-rank recomputation") {
+    val rows = Tables(spark, sf, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long"))
+      .as[(String, Long)].collect()
+    val sorted = rows.map(_._2).sorted
+    // average rank per value (ties share the mean of their positions)
+    val avgRank = sorted.zipWithIndex.groupBy(_._1).map { case (v, g) =>
+      (v, g.map(_._2 + 1).sum.toDouble / g.length) }
+    val n = rows.length.toDouble
+    val byG = rows.groupBy(_._1)
+    val s0 = byG.values.map { g =>
+      val r = g.map(x => avgRank(x._2)).sum
+      r * r / g.length
+    }.sum
+    val tt = sorted.groupBy(identity).values
+      .map(g => math.pow(g.length.toDouble, 3) - g.length).sum
+    val hRef = (12.0 / (n * (n + 1.0)) * s0 - 3.0 * (n + 1.0)) /
+      (1.0 - tt / (n * n * n - n))
+    val got = q("q312_kruskal_wallis")
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(got._1 == byG.size && got._2 == rows.length)
+    assert(math.abs(got._4 - hRef) < 1e-3,
+           s"h_corrected ${got._4} vs textbook $hRef")
+  }
+
   test("q310 round-1 weights match an in-memory gradient; loss is monotone") {
     val docs = Tables(spark, sf, "documents")
       .select(col("n_chars"), col("text"), col("source"))
