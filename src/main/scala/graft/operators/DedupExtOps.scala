@@ -32,6 +32,12 @@ object DedupExtOps extends OpModule {
     * regime itself is exercised on a constructed hot-bucket corpus. */
   private[graft] val HotBucketCap = 64
 
+  /** q313's wedge-center degree cap: a hub neighbor contributes the
+    * SMALLEST Adamic–Adar evidence (1/ln deg → 0) while costing deg²
+    * wedge rows, so capping centers bounds the wedge join at cap² per
+    * node with no material score loss — the standard AA pruning. */
+  private[graft] val WedgeHubCap = 64
+
   /** One row per (doc, band) with a single composite band key
     * `bk = "<band>:<sig>"` — MinHash-LSH banding flattened to the
     * one-column form a persisted signature index buckets on. Docs
@@ -982,6 +988,48 @@ object DedupExtOps extends OpModule {
                         col("sy") * col("sy"))), 6).as("assortativity"))
     },
 
+    // Adamic–Adar link prediction (added r13) — the graph-family
+    // PREDICTIVE primitive next to q284's descriptive summary: which
+    // NON-adjacent doc pairs share many RARE neighbors in the LSH
+    // candidate graph? AA(u,v) = Σ_{z ∈ N(u)∩N(v)} 1/ln(deg z)
+    // (Adamic & Adar 2003) — the standard link-prediction score, and
+    // in a dedup pipeline the "cluster repair" probe: a high-AA
+    // non-edge is a near-dup pair the banding missed (two docs
+    // colliding with the same rare third doc but never with each
+    // other). Shape: symmetric edges → degree table → wedge join
+    // THROUGH the capped center table ([[WedgeHubCap]] — hubs cost
+    // deg² wedges and contribute 1/ln(deg) ≈ 0, so pruning them is
+    // the standard AA move; cap a no-op at test SF like q46's) →
+    // per-pair count + decimal sum of once-rounded 1/ln(deg) terms
+    // (order-free — q220's round-log-once rule) → anti-join drops
+    // already-adjacent pairs → deterministic top-50 by (score desc,
+    // ids), a bounded TakeOrdered, never a global sort.
+    "q313_adamic_adar" -> { (s, d) =>
+      val (cp, h) = org.apache.spark.sql.graft.InternalPin.pin(
+        candidatePairs(Tables(s, d, "documents"),
+                       maxBucket = HotBucketCap))
+      h.count(); graft.PinScope.retain(h)
+      val edges = cp.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionAll(cp.select(col("id_b").as("u"), col("id_a").as("v")))
+      val cent = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+        .where(col("deg") <= WedgeHubCap && col("deg") >= 2)
+        .select(col("u").as("z"),
+                round(lit(1.0) / log(col("deg").cast("double")), 6)
+                  .cast("decimal(28,6)").as("aa"))
+      val n1 = edges.select(col("u"), col("v").as("z")).join(cent, Seq("z"))
+      val wed = n1
+        .join(edges.select(col("u").as("w"), col("v").as("z")), Seq("z"))
+        .where(col("u") < col("w"))
+      val sc = wed.groupBy("u", "w")
+        .agg(count(lit(1)).as("n_common"), sum("aa").as("aa_dec"))
+      sc.join(cp.select(col("id_a").as("u"), col("id_b").as("w")),
+              Seq("u", "w"), "left_anti")
+        .select(col("u").as("id_a"), col("w").as("id_b"), col("n_common"),
+                col("aa_dec").cast("double").as("aa_score"))
+        .orderBy(col("aa_score").desc, col("id_a"), col("id_b"))
+        .limit(50)
+    },
+
     "q275_fellegi_sunter" -> { (s, d) =>
       val W = org.apache.spark.sql.expressions.Window
       val w = W.orderBy("bal", "k")
@@ -1787,6 +1835,36 @@ object DedupExtOps extends OpModule {
          |             CAST(n_edges * syy - sy * sy AS DOUBLE)), 6)
          |    AS assortativity
          |FROM m""".stripMargin,
+
+    // same candidate edges, same capped centers, same once-rounded
+    // 1/ln(deg) decimal terms and non-edge anti-join
+    "q313_adamic_adar" ->
+      s"""$minhashCte,
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.sig = y.sig
+         |          AND x.doc_id < y.doc_id),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM cand
+         |          UNION ALL SELECT id_b, id_a FROM cand),
+         |cent AS (
+         |  SELECT u AS z,
+         |    CAST(round(CAST(1.0 AS DOUBLE) / ln(CAST(deg AS DOUBLE)), 6)
+         |         AS DECIMAL(28,6)) AS aa
+         |  FROM (SELECT u, count(*) AS deg FROM edges GROUP BY u)
+         |  WHERE deg <= $WedgeHubCap AND deg >= 2),
+         |wed AS (
+         |  SELECT a.u AS u, b.u AS w, c.aa
+         |  FROM edges a JOIN cent c ON a.v = c.z
+         |       JOIN edges b ON b.v = a.v
+         |  WHERE a.u < b.u),
+         |sc AS (SELECT u, w, count(*) AS n_common, sum(aa) AS aa_dec
+         |       FROM wed GROUP BY 1, 2),
+         |nn AS (SELECT sc.* FROM sc
+         |       LEFT JOIN cand ON sc.u = cand.id_a AND sc.w = cand.id_b
+         |       WHERE cand.id_a IS NULL)
+         |SELECT u AS id_a, w AS id_b, n_common,
+         |  CAST(aa_dec AS DOUBLE) AS aa_score
+         |FROM nn ORDER BY aa_score DESC, id_a, id_b LIMIT 50""".stripMargin,
 
     "q275_fellegi_sunter" ->
       """WITH c AS (

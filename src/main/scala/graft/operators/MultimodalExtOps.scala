@@ -226,6 +226,43 @@ object MultimodalExtOps extends OpModule {
       sb.toString
     }
 
+    /** q314's per-frame peak positions from a PCM16 WAV CONTAINER:
+      * walk the RIFF chunks to the data section (the decode() parser's
+      * walk — no fixed-layout assumption), frame the int16-LE samples
+      * into COMPLETE 32-sample frames, and emit each frame's argmax
+      * sample position (first index attaining the max — the declared
+      * tie rule). The time-domain stand-in for a spectral peak picker:
+      * with an FFT in the container the shape (map-side decode →
+      * small integer features, payload never shuffles) is identical.
+      * Samples here come from ASCII payload bytes so every value is
+      * non-negative and the oracle restates the argmax closed-form
+      * from the text bytes. */
+    def audioPeaks(file: Array[Byte]): Array[Int] = {
+      var off = 12
+      var doff = -1
+      var size = 0
+      while (doff < 0 && off + 8 <= file.length) {
+        val id = new String(file.slice(off, off + 4), "US-ASCII")
+        val sz = le32(file, off + 4)
+        if (id == "data") { doff = off + 8; size = sz }
+        else off += 8 + sz + (sz & 1)
+      }
+      require(doff >= 0, "no RIFF data chunk")
+      val frames = (size / 2) / 32
+      Array.tabulate(frames) { f =>
+        var best = Int.MinValue
+        var bi = 0
+        var j = 0
+        while (j < 32) {
+          val idx = doff + 2 * (f * 32 + j)
+          val s0 = (file(idx) & 0xff) | (file(idx + 1) << 8)
+          if (s0 > best) { best = s0; bi = j }
+          j += 1
+        }
+        bi
+      }
+    }
+
     /** Real container parse: dispatch on magic, read the header fields,
       * checksum the payload the header points at. Zero-padding added by
       * encode is checksum-neutral by construction. */
@@ -345,6 +382,60 @@ object MultimodalExtOps extends OpModule {
         .orderBy("id_a", "id_b")
     },
 
+    // Audio landmark fingerprinting (added r13) — the AUDIO twin of
+    // q305's image dHash, and the constellation-match shape
+    // (Wang 2003, the Shazam landmark scheme) a media pipeline runs
+    // to find duplicate audio: per WAV-carrying doc (odd ids), decode
+    // the REAL RIFF container ([[MediaCodec.audioPeaks]] — chunk walk,
+    // int16-LE samples, 32-sample frames, per-frame argmax position),
+    // hash each 3 consecutive peak positions into a 15-bit landmark
+    // key (32³ combinations), then match docs by landmark votes AT A
+    // COHERENT TIME OFFSET — pairs counted per (id_a, id_b, Δframe),
+    // ≥ 2 aligned landmarks = a match (the time-coherence vote is
+    // what separates real duplicates from chance key collisions).
+    // Decode+peaks is ONE typed mapPartitions pass — payloads never
+    // shuffle, only (doc, frame, peak) ints; the landmark join is
+    // keyed by the 15-bit hash under a declared ≤64 hot-key cap
+    // (q305's discipline). Container is deterministic in the payload,
+    // so the whole decode→frame→argmax→landmark→vote chain restates
+    // closed-form over the text bytes — hash-exact oracle.
+    "q314_audio_fingerprint" -> { (s, d) =>
+      import s.implicits._
+      val (pk, h) = org.apache.spark.sql.graft.InternalPin.pin(
+        Tables(s, d, "documents")
+          .where(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            it.flatMap { case (id, payload) =>
+              MediaCodec.audioPeaks(MediaCodec.encodeWav(payload))
+                .iterator.zipWithIndex
+                .map { case (p, f) => (id, f.toLong, p.toLong) }
+            }
+          }.toDF("doc_id", "f", "p"))
+      h.count(); graft.PinScope.retain(h)
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("f")
+      val g = pk
+        .withColumn("p1", lead("p", 1).over(W))
+        .withColumn("p2", lead("p", 2).over(W))
+        .where(col("p2").isNotNull)
+        .select(col("doc_id"), col("f"),
+                (col("p") * 1024 + col("p1") * 32 + col("p2")).as("k"))
+      val hot = g.groupBy("k").agg(count(lit(1)).as("ck"))
+        .where(col("ck") <= lit(64)).select("k")
+      val gc = g.join(broadcast(hot), Seq("k"))
+      gc.select(col("k"), col("doc_id").as("id_a"), col("f").as("fa"))
+        .join(gc.select(col("k"), col("doc_id").as("id_b"),
+                        col("f").as("fb")), Seq("k"))
+        .where(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"),
+                 (col("fa") - col("fb")).as("delta"))
+        .agg(count(lit(1)).as("n_matched"))
+        .where(col("n_matched") >= 2)
+        .orderBy("id_a", "id_b", "delta")
+    },
+
     // Media SHARD PACKING (added r12) — the step between q111's
     // transform and training: group media files into ~64 KB shards
     // (the webdataset/tar-shard layout every multimodal loader
@@ -421,6 +512,48 @@ object MultimodalExtOps extends OpModule {
   // (verified at all SFs), so file size / units / byte-sum checksum
   // have closed forms over strlen(text) and code-point sums.
   def oracles: Map[String, String] = Map(
+    // samples are int16-LE from the ASCII payload (low byte + 256·high
+    // byte, zero-padded past strlen), frames = complete 32-sample
+    // blocks, per-frame argmax restated via list_position(list_max) —
+    // first index attaining the max, the declared tie rule — then the
+    // identical landmark/lead/hot-cap/offset-vote chain
+    "q314_audio_fingerprint" ->
+      """WITH au AS (
+        |  SELECT doc_id, text, strlen(text) AS L,
+        |    ((strlen(text) + 1) // 2) // 32 AS nf
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |sm AS (
+        |  SELECT doc_id, nf, list_transform(range(0, nf * 32), i ->
+        |    CASE WHEN 2 * i + 1 <= L
+        |         THEN unicode(substr(text, CAST(2 * i + 1 AS INT), 1))
+        |         ELSE 0 END +
+        |    256 * CASE WHEN 2 * i + 2 <= L
+        |         THEN unicode(substr(text, CAST(2 * i + 2 AS INT), 1))
+        |         ELSE 0 END) AS s
+        |  FROM au WHERE nf >= 1),
+        |fr AS (SELECT doc_id, unnest(range(0, nf)) AS f, s FROM sm),
+        |p2 AS (
+        |  SELECT doc_id, f,
+        |    list_position(s[CAST(f * 32 + 1 AS INT):
+        |                    CAST(f * 32 + 32 AS INT)],
+        |      list_max(s[CAST(f * 32 + 1 AS INT):
+        |                 CAST(f * 32 + 32 AS INT)])) - 1 AS p
+        |  FROM fr),
+        |g0 AS (
+        |  SELECT doc_id, f, p,
+        |    lead(p, 1) OVER (PARTITION BY doc_id ORDER BY f) AS p1,
+        |    lead(p, 2) OVER (PARTITION BY doc_id ORDER BY f) AS p2x
+        |  FROM p2),
+        |g AS (SELECT doc_id, f, p * 1024 + p1 * 32 + p2x AS k
+        |      FROM g0 WHERE p2x IS NOT NULL),
+        |hot AS (SELECT k FROM g GROUP BY k HAVING count(*) <= 64),
+        |gc AS (SELECT g.* FROM g JOIN hot USING (k))
+        |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |  x.f - y.f AS delta, count(*) AS n_matched
+        |FROM gc x JOIN gc y ON x.k = y.k AND x.doc_id < y.doc_id
+        |GROUP BY 1, 2, 3 HAVING count(*) >= 2
+        |ORDER BY id_a, id_b, delta""".stripMargin,
+
     // the encode∘decode∘sample chain is closed-form in the payload:
     // stored row r of the 32-px BMP = payload bytes [r·96, r·96+96),
     // zero-padded past len(text); the sampled grid, gradient-sign

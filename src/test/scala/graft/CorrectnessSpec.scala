@@ -3725,6 +3725,57 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("q314 audioPeaks: real RIFF walk, frame argmax, first-index tie rule") {
+    import operators.MultimodalExtOps.MediaCodec
+    // 128 payload bytes → 64 samples → 2 complete frames; sample 7 of
+    // frame 0 spikes (low byte 100), frame 1 is all-zero so the tie
+    // rule must pick position 0
+    val payload = new Array[Byte](128)
+    payload(2 * 7) = 100
+    assert(MediaCodec.audioPeaks(MediaCodec.encodeWav(payload)).toSeq ==
+           Seq(7, 0))
+    // a container with an extra odd-sized chunk BEFORE data: the chunk
+    // walk must skip it (incl. the pad byte), not assume a 44-byte
+    // layout
+    val std = MediaCodec.encodeWav(payload)
+    val extra = Array[Byte]('j', 'u', 'n', 'k', 3, 0, 0, 0, 1, 2, 3, 0)
+    val custom = std.slice(0, 12) ++ extra ++ std.slice(12, std.length)
+    // fix the RIFF size field (bytes 4-7, little-endian)
+    val sz = custom.length - 8
+    for (i <- 0 until 4) custom(4 + i) = ((sz >> (8 * i)) & 0xff).toByte
+    assert(MediaCodec.audioPeaks(custom).toSeq == Seq(7, 0))
+    // high byte dominates: sample 3 = 0x0100 beats sample 7 = 0x0064
+    val p2 = payload.clone()
+    p2(2 * 3 + 1) = 1
+    assert(MediaCodec.audioPeaks(MediaCodec.encodeWav(p2)).toSeq ==
+           Seq(3, 0))
+  }
+
+  test("q313 Adamic–Adar matches an in-memory wedge recomputation") {
+    val pairs = operators.DedupExtOps
+      .candidatePairs(Tables(spark, sf, "documents"))
+      .as[(Long, Long)].collect().toSet
+    val adj = pairs.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (u, es) => (u, es.map(_._2).toSet) }
+    val aaOf = adj.collect {
+      case (z, ns) if ns.size >= 2 && ns.size <= 64 =>
+        (z, math.round(1.0 / math.log(ns.size.toDouble) * 1e6) / 1e6)
+    }
+    val scores = scala.collection.mutable.Map
+      .empty[(Long, Long), (Long, BigDecimal)]
+    for ((z, aa) <- aaOf; u <- adj(z); w <- adj(z) if u < w
+         if !pairs.contains((u, w))) {
+      val (c, s0) = scores.getOrElse((u, w), (0L, BigDecimal(0)))
+      scores((u, w)) = (c + 1, s0 + BigDecimal(aa))
+    }
+    val want = scores.toSeq
+      .map { case ((u, w), (c, s0)) => (u, w, c, s0.toDouble) }
+      .sortBy { case (u, w, _, s0) => (-s0, u, w) }.take(50)
+    val got = q("q313_adamic_adar")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == want)
+  }
+
   test("q312 Kruskal–Wallis H matches a textbook average-rank recomputation") {
     val rows = Tables(spark, sf, "events")
       .select(col("event_type"), round(col("value") * 100).cast("long"))
