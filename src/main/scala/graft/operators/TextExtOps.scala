@@ -486,6 +486,45 @@ object TextExtOps extends OpModule {
         .orderBy("source")
     },
 
+    // DoReMi-style domain reweighting (added r13) — the OPTIMIZED
+    // mixture between q85's declared ratios and q306's per-doc DSIR
+    // selection: Domain Reweighting with Minimax Optimization (Xie et
+    // al. 2023) upweights domains where the proxy model's EXCESS loss
+    // over a reference is largest (Group-DRO's multiplicative-weights
+    // update; with a FIXED loss gap the R-round update telescopes to
+    // one softmax, so the declared operator is the honest closed form:
+    // α = 0.8·softmax(excess) + 0.2·uniform, η = 1, the paper's
+    // uniform-smoothing shape). Losses: per-domain mean avg-NLL under
+    // q301's held-out bigram LM ([[pplPerDoc]] — structurally the same
+    // scorer); reference = the corpus-wide mean (declared: a uniform
+    // reference model — a trained reference slots into the same gap).
+    // Scale: everything after the q301 scoring pipeline is ≤|sources|
+    // rows; exp quantizes through the pure-IEEE floor-chain at 1e-8 so
+    // the softmax denominator is an exact order-free decimal sum.
+    // Output: per source, docs / mean NLL / excess / α (Σα = 1 and
+    // argmax-excess = argmax-α, spec-certified).
+    "q315_doremi_mixture" -> { (s, d) =>
+      val bySrc = pplPerDoc(s, d).groupBy("source")
+        .agg(count(lit(1)).as("docs"), sum(col("avg_nll")).as("snll"))
+      val glob = bySrc.agg(sum("docs").as("nd"), sum("snll").as("gs"))
+      val ex = bySrc.crossJoin(broadcast(glob))
+        .withColumn("mean_nll",
+          round(col("snll").cast("double") / col("docs").cast("double"), 6))
+        .withColumn("excess",
+          round(col("mean_nll") -
+                round(col("gs").cast("double") / col("nd").cast("double"),
+                      6), 6))
+        .withColumn("wq",
+          expr("CAST(floor(exp(excess) * 1e8 + 5e-1) AS DECIMAL(28,0))"))
+      val tot = ex.agg(sum("wq").as("tw"), count(lit(1)).as("k"))
+      ex.crossJoin(broadcast(tot))
+        .select(col("source"), col("docs"), col("mean_nll"), col("excess"),
+                round(expr("8e-1 * (CAST(wq AS DOUBLE) / " +
+                           "CAST(tw AS DOUBLE)) + 2e-1 / CAST(k AS DOUBLE)"),
+                      6).as("alpha"))
+        .orderBy("source")
+    },
+
     // DSIR importance weighting (added r13) — Data Selection via
     // Importance Resampling (Xie et al. 2023), the pretraining
     // data-selection operator between q49's heuristic quality score
@@ -1640,6 +1679,46 @@ object TextExtOps extends OpModule {
        |ORDER BY round""".stripMargin
   }
 
+  /** The q301 held-out bigram-LM scoring chain (train-split
+    * model tables -> eval pair scoring -> per-doc avg NLL `pd`),
+    * shared verbatim by the q301 and q315 oracles. */
+  private val pplPdCte: String =
+    s"""dd AS (
+       |  SELECT doc_id, $trainSplitSql AS split, source,
+       |    string_split(text, ' ') AS t
+       |  FROM documents),
+       |tp AS (
+       |  SELECT t[CAST(i AS INT)] AS w1,
+       |         t[CAST(i + 1 AS INT)] AS w2
+       |  FROM (SELECT t, unnest(range(1, len(t))) AS i
+       |        FROM dd WHERE split = 'train' AND len(t) >= 2)),
+       |cb AS (SELECT w1, w2, count(*) AS cb FROM tp GROUP BY 1, 2),
+       |cu AS (SELECT w1, count(*) AS cu
+       |       FROM (SELECT unnest(t) AS w1 FROM dd
+       |             WHERE split = 'train')
+       |       GROUP BY 1),
+       |vv AS (SELECT count(*) AS v FROM cu),
+       |ep AS (
+       |  SELECT doc_id, source, t[CAST(i AS INT)] AS w1,
+       |         t[CAST(i + 1 AS INT)] AS w2
+       |  FROM (SELECT doc_id, source, t,
+       |          unnest(range(1, len(t))) AS i
+       |        FROM dd WHERE split = 'eval' AND len(t) >= 2)),
+       |sc AS (
+       |  SELECT ep.doc_id, ep.source,
+       |    CAST(round(ln((CAST(coalesce(cb.cb, 0) AS DOUBLE) + 1.0) /
+       |                  (CAST(coalesce(cu.cu, 0) AS DOUBLE) +
+       |                   CAST((SELECT v FROM vv) AS DOUBLE))), 6)
+       |         AS DECIMAL(28,6)) AS lp
+       |  FROM ep LEFT JOIN cb ON ep.w1 = cb.w1 AND ep.w2 = cb.w2
+       |          LEFT JOIN cu ON ep.w1 = cu.w1),
+       |pd AS (
+       |  SELECT doc_id, source, count(*) AS n,
+       |    CAST(round(-CAST(sum(lp) AS DOUBLE) /
+       |               CAST(count(*) AS DOUBLE), 6)
+       |         AS DECIMAL(28,6)) AS avg_nll
+       |  FROM sc GROUP BY 1, 2)""".stripMargin
+
   def oracles: Map[String, String] = {
     val occSql = (tg: String) => s"(len(text) - len(replace(text, '$tg', ''))) / 3"
     val scores = langTrigrams.map { case (lg, tgs) =>
@@ -2004,41 +2083,7 @@ object TextExtOps extends OpModule {
           |FROM pd CROSS JOIN gm GROUP BY source ORDER BY source""".stripMargin,
 
       "q301_ppl_filter" ->
-        s"""WITH dd AS (
-           |  SELECT doc_id, $trainSplitSql AS split, source,
-           |    string_split(text, ' ') AS t
-           |  FROM documents),
-           |tp AS (
-           |  SELECT t[CAST(i AS INT)] AS w1,
-           |         t[CAST(i + 1 AS INT)] AS w2
-           |  FROM (SELECT t, unnest(range(1, len(t))) AS i
-           |        FROM dd WHERE split = 'train' AND len(t) >= 2)),
-           |cb AS (SELECT w1, w2, count(*) AS cb FROM tp GROUP BY 1, 2),
-           |cu AS (SELECT w1, count(*) AS cu
-           |       FROM (SELECT unnest(t) AS w1 FROM dd
-           |             WHERE split = 'train')
-           |       GROUP BY 1),
-           |vv AS (SELECT count(*) AS v FROM cu),
-           |ep AS (
-           |  SELECT doc_id, source, t[CAST(i AS INT)] AS w1,
-           |         t[CAST(i + 1 AS INT)] AS w2
-           |  FROM (SELECT doc_id, source, t,
-           |          unnest(range(1, len(t))) AS i
-           |        FROM dd WHERE split = 'eval' AND len(t) >= 2)),
-           |sc AS (
-           |  SELECT ep.doc_id, ep.source,
-           |    CAST(round(ln((CAST(coalesce(cb.cb, 0) AS DOUBLE) + 1.0) /
-           |                  (CAST(coalesce(cu.cu, 0) AS DOUBLE) +
-           |                   CAST((SELECT v FROM vv) AS DOUBLE))), 6)
-           |         AS DECIMAL(28,6)) AS lp
-           |  FROM ep LEFT JOIN cb ON ep.w1 = cb.w1 AND ep.w2 = cb.w2
-           |          LEFT JOIN cu ON ep.w1 = cu.w1),
-           |pd AS (
-           |  SELECT doc_id, source, count(*) AS n,
-           |    CAST(round(-CAST(sum(lp) AS DOUBLE) /
-           |               CAST(count(*) AS DOUBLE), 6)
-           |         AS DECIMAL(28,6)) AS avg_nll
-           |  FROM sc GROUP BY 1, 2)
+        s"""WITH $pplPdCte
            |SELECT source, count(*) AS docs,
            |  round(CAST(sum(avg_nll) AS DOUBLE) /
            |        CAST(count(*) AS DOUBLE), 6) AS mean_nll,
@@ -2048,6 +2093,30 @@ object TextExtOps extends OpModule {
            |                      THEN 1 ELSE 0 END) AS DOUBLE) /
            |        CAST(count(*) AS DOUBLE), 6) AS flagged_share
            |FROM pd GROUP BY source ORDER BY source""".stripMargin,
+
+      // the identical q301 scoring chain (shared pplPdCte text), then
+      // the closed-form smoothed softmax over ≤|sources| rows — exp
+      // floor-quantized at 1e-8 into an exact decimal denominator
+      "q315_doremi_mixture" ->
+        s"""WITH $pplPdCte,
+           |bs AS (SELECT source, count(*) AS docs, sum(avg_nll) AS snll
+           |       FROM pd GROUP BY 1),
+           |gl AS (SELECT sum(docs) AS nd, sum(snll) AS gs FROM bs),
+           |ex AS (
+           |  SELECT source, docs,
+           |    round(CAST(snll AS DOUBLE) / CAST(docs AS DOUBLE), 6)
+           |      AS mean_nll,
+           |    round(round(CAST(snll AS DOUBLE) / CAST(docs AS DOUBLE), 6)
+           |          - round(CAST(gl.gs AS DOUBLE) /
+           |                  CAST(gl.nd AS DOUBLE), 6), 6) AS excess
+           |  FROM bs CROSS JOIN gl),
+           |wq AS (SELECT *, CAST(floor(exp(excess) * 1e8 + 5e-1)
+           |                      AS DECIMAL(28,0)) AS wq FROM ex),
+           |tt AS (SELECT sum(wq) AS tw, count(*) AS k FROM wq)
+           |SELECT source, docs, mean_nll, excess,
+           |  round(8e-1 * (CAST(wq AS DOUBLE) / CAST(tw AS DOUBLE)) +
+           |        2e-1 / CAST(k AS DOUBLE), 6) AS alpha
+           |FROM wq CROSS JOIN tt ORDER BY source""".stripMargin,
 
       // identical train-split model tables (bigram counts, context
       // totals/distinct-successor marginal, continuation marginal,

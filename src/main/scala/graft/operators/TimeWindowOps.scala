@@ -837,16 +837,34 @@ object TimeWindowOps extends OpModule {
     // operand-identical; the MAE rounds each |error| once at 4 dp and
     // sums exact decimals (order-free).
     "q307_holt_forecast" -> { (s, d) =>
-      val W = org.apache.spark.sql.expressions.Window
-      val (steps, sh) = org.apache.spark.sql.graft.InternalPin.pin(
-        Tables(s, d, "events")
-          .groupBy(col("event_type").as("et"), to_date(col("ts")).as("day"))
-          .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("yc"))
-          .withColumn("k", row_number()
-            .over(W.partitionBy("et").orderBy("day")).cast("long")))
-      sh.count(); graft.PinScope.retain(sh)
-      steps.createOrReplaceTempView("graft_holt_steps")
+      holtStepsView(s, d, "graft_holt_steps")
       s.sql("WITH RECURSIVE " + holtBody("graft_holt_steps"))
+    },
+
+    // Holt-WINTERS additive seasonal smoothing (added r13) — q307's
+    // two-state recursion grown to the full triple (level, trend,
+    // weekly seasonal buffer): l_t = α(y_t − s_{t−7}) + (1−α)(l+b),
+    // b_t = β(l_t−l) + (1−β)b, s_t = γ(y_t−l_t) + (1−γ)s_{t−7}
+    // (α=0.2, β=0.1, γ=0.05), classical init from the first two
+    // weeks (l = week-1 mean, b = (week-2 mean − week-1 mean)/7,
+    // s_i = y_i − week-1 mean — exact-integer week sums, ONE
+    // conversion to double each, so the init is partition-order-free
+    // where a double conditional sum would not be). The 7-slot
+    // seasonal buffer rides the recursion as columns s1..s7 shifting
+    // left each step — exactly how a bounded seasonal state
+    // distributes: the recursive CTE advances per-series state by a
+    // (series, k+1) join over the pinned ≤|days|×|types| step table
+    // ([[holtStepsView]], shared with q307), zero fact contact after
+    // the one fold. [[hwBody]] is ONE string both engines run; the
+    // one-step backtest (f = l + b + s_oldest) rounds each |error|
+    // once at 4 dp into an order-free decimal MAE sum. Output per
+    // series adds the seasonal amplitude and the 7-day-ahead
+    // forecast l + 7b + s_now beside q307's columns — the comparison
+    // a forecasting team reads to decide whether weekly seasonality
+    // earns its 7 extra state slots.
+    "q316_holt_winters" -> { (s, d) =>
+      holtStepsView(s, d, "graft_hw_steps")
+      s.sql("WITH RECURSIVE " + hwBody("graft_hw_steps"))
     },
 
     "q256_seasonal_index" -> { (s, d) =>
@@ -1108,6 +1126,79 @@ object TimeWindowOps extends OpModule {
     * is operand-identical by construction. The step table contract:
     * (et, k row-number within series ordered by day, yc integer
     * cents). Note e at k=2 is 0 by the b₁=y₂−y₁ init (declared). */
+  /** The pinned (et, day, yc, k) daily step table q307 and q316 both
+    * recurse over: ONE fact scan, cents-exact daily sums, per-series
+    * day index. */
+  private def holtStepsView(s: SparkSession, d: String,
+                            view: String): Unit = {
+    val W = org.apache.spark.sql.expressions.Window
+    val (steps, sh) = org.apache.spark.sql.graft.InternalPin.pin(
+      Tables(s, d, "events")
+        .groupBy(col("event_type").as("et"), to_date(col("ts")).as("day"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("yc"))
+        .withColumn("k", row_number()
+          .over(W.partitionBy("et").orderBy("day")).cast("long")))
+    sh.count(); graft.PinScope.retain(sh)
+    steps.createOrReplaceTempView(view)
+  }
+
+  /** q316's Holt-Winters recursion body (everything after `WITH
+    * RECURSIVE`), parameterized by the step table's name — the SAME
+    * text runs in Spark and DuckDB, so every smoothing step's double
+    * chain is operand-identical. State row: (et, k, l, b, s1..s7)
+    * with s1 the OLDEST seasonal slot (the one day k+1 consumes). */
+  private def hwBody(steps: String): String = {
+    val ys = (1 to 7)
+      .map(i => s"max(CASE WHEN k = $i THEN yc END) AS y$i")
+      .mkString(",\n       |    ")
+    val ss = (1 to 7)
+      .map(i => s"CAST(y$i AS DOUBLE) - CAST(w1 AS DOUBLE) / 7e0 AS s$i")
+      .mkString(",\n       |  ")
+    val sAll = (1 to 7).map(i => s"f.s$i").mkString(", ")
+    s"""hw(et, k, l, b, s1, s2, s3, s4, s5, s6, s7) AS (
+       |  SELECT et, CAST(7 AS BIGINT) AS k,
+       |  CAST(w1 AS DOUBLE) / 7e0 AS l,
+       |  (CAST(w2 AS DOUBLE) / 7e0 - CAST(w1 AS DOUBLE) / 7e0) / 7e0 AS b,
+       |  $ss
+       |  FROM (SELECT et,
+       |    sum(CASE WHEN k <= 7 THEN yc ELSE 0 END) AS w1,
+       |    sum(CASE WHEN k BETWEEN 8 AND 14 THEN yc ELSE 0 END) AS w2,
+       |    $ys
+       |    FROM $steps WHERE k <= 14
+       |    GROUP BY et HAVING count(*) = 14)
+       |  UNION ALL
+       |  SELECT st.et, st.k,
+       |    2e-1 * (CAST(st.yc AS DOUBLE) - p.s1) + 8e-1 * (p.l + p.b),
+       |    1e-1 * ((2e-1 * (CAST(st.yc AS DOUBLE) - p.s1) +
+       |             8e-1 * (p.l + p.b)) - p.l) + 9e-1 * p.b,
+       |    p.s2, p.s3, p.s4, p.s5, p.s6, p.s7,
+       |    5e-2 * (CAST(st.yc AS DOUBLE) -
+       |            (2e-1 * (CAST(st.yc AS DOUBLE) - p.s1) +
+       |             8e-1 * (p.l + p.b))) + 95e-2 * p.s1
+       |  FROM hw p JOIN $steps st ON st.et = p.et AND st.k = p.k + 1),
+       |err AS (
+       |  SELECT p.et,
+       |    CAST(round(abs(CAST(st.yc AS DOUBLE) - (p.l + p.b + p.s1)), 4)
+       |         AS DECIMAL(28,4)) AS e
+       |  FROM hw p JOIN $steps st ON st.et = p.et AND st.k = p.k + 1),
+       |mae AS (
+       |  SELECT et, round(CAST(sum(e) AS DOUBLE) / count(*) / 100.0, 6)
+       |    AS mae_1step
+       |  FROM err GROUP BY et),
+       |lastk AS (SELECT et, max(k) AS kk FROM hw GROUP BY et),
+       |fin AS (SELECT hw.* FROM hw
+       |        JOIN lastk ON hw.et = lastk.et AND hw.k = lastk.kk)
+       |SELECT f.et AS event_type, f.k AS n_days,
+       |  round(f.l / 100.0, 6) AS level_end,
+       |  round(f.b / 100.0, 6) AS trend_end,
+       |  round((f.l + 7e0 * f.b + f.s7) / 100.0, 6) AS forecast_7d,
+       |  round((greatest($sAll) - least($sAll)) / 100.0, 6)
+       |    AS seasonal_amp,
+       |  m.mae_1step
+       |FROM fin f JOIN mae m ON f.et = m.et
+       |ORDER BY event_type""".stripMargin
+  }
+
   private def holtBody(steps: String): String =
     s"""h(et, k, l, b) AS (
        |  SELECT s1.et, CAST(1 AS BIGINT) AS k, CAST(s1.yc AS DOUBLE) AS l,
@@ -1584,6 +1675,20 @@ object TimeWindowOps extends OpModule {
          |    row_number() OVER (PARTITION BY et ORDER BY day) AS k
          |  FROM d0),
          |${holtBody("steps")}""".stripMargin,
+
+    // the identical daily step table, then hwBody verbatim — the
+    // whole triple-smoothing recursion is the shared string
+    "q316_holt_winters" ->
+      s"""WITH RECURSIVE d0 AS (
+         |  SELECT event_type AS et, CAST(ts AS DATE) AS day,
+         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         |      AS yc
+         |  FROM events GROUP BY 1, 2),
+         |steps AS (
+         |  SELECT et, day, yc,
+         |    row_number() OVER (PARTITION BY et ORDER BY day) AS k
+         |  FROM d0),
+         |${hwBody("steps")}""".stripMargin,
 
     // identical RLE reduction: runs via the same chg/run_id windows,
     // the same run-level leads, row_number after the pattern filter

@@ -3725,6 +3725,65 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("q316 Holt-Winters matches an in-memory triple-smoothing recursion") {
+    val byEt = Tables(spark, sf, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("yc"))
+      .as[(String, java.sql.Date, Long)].collect()
+      .groupBy(_._1).map { case (et, rows) =>
+        (et, rows.sortBy(_._2.toString).map(_._3)) }
+    val want = byEt.filter(_._2.length >= 14).toSeq.sortBy(_._1)
+      .map { case (et, y) =>
+        val w1 = y.take(7).sum
+        val w2 = y.slice(7, 14).sum
+        var l = w1.toDouble / 7.0
+        var b = (w2.toDouble / 7.0 - w1.toDouble / 7.0) / 7.0
+        var s0 = y.take(7).map(_.toDouble - w1.toDouble / 7.0).toVector
+        var errs = BigDecimal(0)
+        var nerr = 0
+        for (k <- 8 to y.length) {
+          val yk = y(k - 1).toDouble
+          errs += BigDecimal(math.abs(yk - (l + b + s0.head)))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          nerr += 1
+          val nl = 0.2 * (yk - s0.head) + 0.8 * (l + b)
+          val nb = 0.1 * (nl - l) + 0.9 * b
+          val ns = 0.05 * (yk - nl) + 0.95 * s0.head
+          s0 = s0.tail :+ ns
+          l = nl; b = nb
+        }
+        (et, y.length.toLong, l / 100.0, b / 100.0,
+         (l + 7.0 * b + s0.last) / 100.0, (s0.max - s0.min) / 100.0,
+         errs.toDouble / nerr / 100.0)
+      }
+    val got = q("q316_holt_winters")
+      .as[(String, Long, Double, Double, Double, Double, Double)]
+      .collect().toSeq.sortBy(_._1)
+    assert(got.map(r => (r._1, r._2)) == want.map(r => (r._1, r._2)))
+    got.zip(want).foreach { case (g, w) =>
+      Seq(g._3 -> w._3, g._4 -> w._4, g._5 -> w._5, g._6 -> w._6,
+          g._7 -> w._7).foreach { case (a, e) =>
+        assert(math.abs(a - e) < 1e-5, s"${g._1}: $g vs $w") } }
+  }
+
+  test("q315 DoReMi mixture: α is a smoothed softmax over the excess losses") {
+    val rows = q("q315_doremi_mixture")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    val sumA = rows.map(_._5).sum
+    assert(math.abs(sumA - 1.0) < 1e-4, s"Σα = $sumA")
+    // α floors at the 0.2-uniform smoothing share and is monotone in
+    // excess: the max-excess domain gets the max α
+    val k = rows.length
+    assert(rows.forall(_._5 >= 0.2 / k - 1e-6))
+    assert(rows.maxBy(_._4)._1 == rows.maxBy(_._5)._1)
+    // independent recomputation of the softmax tail from the excesses
+    val wq = rows.map(r => math.floor(math.exp(r._4) * 1e8 + 0.5))
+    val tw = wq.sum
+    rows.zip(wq).foreach { case (r, w) =>
+      val ref = math.round((0.8 * (w / tw) + 0.2 / k) * 1e6) / 1e6
+      assert(math.abs(r._5 - ref) < 1e-9, s"${r._1}: ${r._5} vs $ref") }
+  }
+
   test("q314 audioPeaks: real RIFF walk, frame argmax, first-index tie rule") {
     import operators.MultimodalExtOps.MediaCodec
     // 128 payload bytes → 64 samples → 2 complete frames; sample 7 of
