@@ -692,6 +692,65 @@ object StreamOps extends OpModule {
         .orderBy("user_id")
     },
 
+    // Streaming top-k heavy hitters (added r13) — q88's SpaceSaving
+    // sketch moved INTO the state store: the "what are the hottest
+    // keys right now" monitor every event pipeline runs. Distributed
+    // the way a real streaming top-k must be: the stream shards into
+    // 8 LANES (pmod of event_id) and each lane maintains its OWN
+    // capacity-128 SpaceSaving sketch in flatMapGroupsWithState —
+    // lane-parallel state, no single-reducer funnel — and the read
+    // side merges lane sketches by summing counts. Capacity ≥ the
+    // 100-value props.k vocab makes every lane sketch provably exact
+    // (q88's declared discipline — sub-capacity error bounds are
+    // property-tested on SpaceSavingAgg), so the merged top-10 is
+    // exactly the batch answer and the query stays oracled. Each
+    // batch emits the lane's full sketch stamped with an update
+    // sequence; the read keeps each lane's LAST emission (the q267
+    // drain-order-invariance lesson) before merging. At production
+    // scale the lane count is the state-parallelism knob and capacity
+    // bounds state bytes per lane — constant-memory monitoring at any
+    // stream rate.
+    "q317_stream_topk" -> { (s, d) =>
+      runToMemory(s, iso => {
+        import iso.implicits._
+        import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+        eventStream(iso, d)
+          .select(pmod(col("event_id"), lit(8)).cast("int").as("lane"),
+                  get_json_object(col("props"), "$.k").as("tok"))
+          .as[(Int, String)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            (lane: Int, it: Iterator[(Int, String)],
+             state: GroupState[(Int, Map[String, Long])]) =>
+              var (upd, m) =
+                state.getOption.getOrElse((0, Map.empty[String, Long]))
+              for ((_, tok) <- it) {
+                if (m.contains(tok) || m.size < 128)
+                  m = m.updated(tok, m.getOrElse(tok, 0L) + 1L)
+                else {
+                  // SpaceSaving eviction: the min-count entry (key
+                  // tie-break) hands its count+1 to the newcomer —
+                  // the classic overestimate bound; never reached
+                  // here (capacity ≥ vocab), declared for the shape
+                  val (mk, mv) = m.minBy { case (k0, v) => (v, k0) }
+                  m = (m - mk).updated(tok, mv + 1L)
+                }
+              }
+              upd += 1
+              state.update((upd, m))
+              m.iterator.map { case (t, c) => (lane, upd, t, c) }
+          }
+          .toDF("lane", "upd", "token", "cnt")
+      }, "graft_stream_topk", "append")
+        .withColumn("mx", max("upd").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("lane")))
+        .where(col("upd") === col("mx"))
+        .groupBy("token").agg(sum("cnt").as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(10)
+    },
+
     "q267_stream_alert" -> { (s, d) =>
       runToMemory(s, iso => {
         import iso.implicits._
@@ -837,6 +896,15 @@ object StreamOps extends OpModule {
         |  round(CAST(cents AS DOUBLE) / 100.0, 6) AS last_value,
         |  n_ops
         |FROM r WHERE rn = 1 AND op = 'U' ORDER BY user_id""".stripMargin,
+
+    // exact because every lane sketch's capacity exceeds the vocab —
+    // the merged counts are the true counts, so the stream must
+    // reproduce the plain batch top-10 (ties broken by token)
+    "q317_stream_topk" ->
+      """SELECT json_extract_string(props, '$.k') AS token,
+        |  count(*) AS cnt
+        |FROM events GROUP BY 1
+        |ORDER BY cnt DESC, token LIMIT 10""".stripMargin,
 
     "q267_stream_alert" ->
       """WITH s AS (

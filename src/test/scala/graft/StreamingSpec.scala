@@ -645,4 +645,17 @@ class StreamingSpec extends SparkSpecBase {
              SnapshotLog.files(root, 1) == before,
            "a double-fired batch replaced v1")
   }
+
+  test("q317 streaming top-k equals the batch top-10 (exact lane merge)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val want = Tables(spark, sf, "events")
+      .groupBy(get_json_object(col("props"), "$.k").as("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(10)
+      .as[(String, Long)].collect().toSeq
+    val got = SparkEntry.queries("q317_stream_topk")(spark, sf)
+      .as[(String, Long)].collect().toSeq
+    assert(got == want)
+  }
 }
