@@ -32,7 +32,11 @@ object SweepR13 {
       // second r13 wave
       "q302_pipeline_prep_v3", "q303_match_recognize",
       "q304_ridge_regression", "q305_phash_dedup", "q306_dsir_weights",
-      "q307_holt_forecast", "q308_gbt_stumps")
+      "q307_holt_forecast", "q308_gbt_stumps",
+      // third r13 wave
+      "q309_kneser_ney", "q310_logreg_quality", "q311_semdedup",
+      "q312_kruskal_wallis", "q313_adamic_adar", "q314_audio_fingerprint",
+      "q315_doremi_mixture", "q316_holt_winters", "q317_stream_topk")
     val x100 = args.headOption.contains("x100")
     val rest = if (x100) args.tail else args
     val sel = if (rest.isEmpty) qs else qs.filter(rest.contains)

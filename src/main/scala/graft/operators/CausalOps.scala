@@ -44,6 +44,84 @@ object CausalOps extends OpModule {
     // corpus; q140's widening rule); the four cell means, SE, and t
     // each divide once in double and round 6 dp. 100 TB: the only
     // volume term is the orders groupBy(custkey) shuffle.
+    // Uplift stump (added r13) — the HETEROGENEITY probe between
+    // q159's single average effect and a full uplift model (Radcliffe
+    // & Surry's uplift-tree split criterion at depth 1): for each
+    // candidate split of a user covariate, which threshold maximizes
+    // the DIFFERENCE in treatment effect between its two sides? The
+    // question an experimentation team asks right after a significant
+    // A/B: "for WHOM does it work?". Universe = q159's declared
+    // experiment verbatim (md5-nibble arms, >150-cent high-value
+    // conversion); covariates = user activity (events/10, capped 20)
+    // and breadth (distinct event types). The q294/q308 cell
+    // discipline: ONE user fold, covariates bucket to a ≤2-feature
+    // cell table with per-cell (n, conversions)×(arm) exact counts,
+    // candidate splits are cumulative windows per feature (complete
+    // two-sided splits only — any empty arm×side cell drops the
+    // candidate, declared), uplifts round 6 BEFORE the gain =
+    // (uL − uR)² ranking (computed from the ROUNDED uplifts — the
+    // RidgeSolve discipline; ties (feature, v)). Output: each
+    // feature's best split with both sides' uplift — the top row of
+    // the uplift tree a bandit/targeting policy would grow.
+    "q318_uplift_stump" -> { (s, dir) =>
+      val d = (c: Column) => c.cast("double")
+      val pu = Tables(s, dir, "events")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("nev"),
+             count_distinct(col("event_type")).as("ntypes"),
+             max(when(col("event_type") === "purchase" &&
+                        col("value") > 150, 1L).otherwise(0L)).as("y"))
+        .withColumn("t",
+          when(substring(md5(col("user_id").cast("string")), 1, 1) <= "7",
+               0L).otherwise(1L))
+        .withColumn("x1", least(expr("nev div 10"), lit(20L)))
+        .withColumn("x2", col("ntypes"))
+      val cells = pu.select(explode(array(
+          struct(lit("activity").as("f"), col("x1").as("v")),
+          struct(lit("breadth").as("f"), col("x2").as("v")))).as("fv"),
+          col("t"), col("y"))
+        .select(col("fv.f").as("f"), col("fv.v").as("v"),
+                col("t"), col("y"))
+        .groupBy("f", "v")
+        .agg(sum(when(col("t") === 0L, 1L).otherwise(0L)).as("nc"),
+             sum(when(col("t") === 0L, col("y")).otherwise(0L)).as("xc"),
+             sum(when(col("t") === 1L, 1L).otherwise(0L)).as("nt"),
+             sum(when(col("t") === 1L, col("y")).otherwise(0L)).as("xt"))
+      val wCum = Window.partitionBy("f").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = cells.groupBy("f")
+        .agg(sum("nc").as("tnc"), sum("xc").as("txc"),
+             sum("nt").as("tnt"), sum("xt").as("txt"))
+      val scored = cells
+        .withColumn("cnc", sum("nc").over(wCum))
+        .withColumn("cxc", sum("xc").over(wCum))
+        .withColumn("cnt", sum("nt").over(wCum))
+        .withColumn("cxt", sum("xt").over(wCum))
+        .join(broadcast(tot), Seq("f"))
+        .where(col("cnc") > 0 && col("cnt") > 0 &&
+               col("tnc") - col("cnc") > 0 && col("tnt") - col("cnt") > 0)
+        .withColumn("ul",
+          round(d(col("cxt")) / d(col("cnt")) -
+                d(col("cxc")) / d(col("cnc")), 6))
+        .withColumn("ur",
+          round(d(col("txt") - col("cxt")) / d(col("tnt") - col("cnt")) -
+                d(col("txc") - col("cxc")) / d(col("tnc") - col("cnc")),
+                6))
+        .withColumn("gain",
+          round((col("ul") - col("ur")) * (col("ul") - col("ur")), 6))
+      val wBest = Window.partitionBy("f")
+        .orderBy(col("gain").desc, col("v"))
+      scored.withColumn("rn", row_number().over(wBest))
+        .where(col("rn") === 1)
+        .select(col("f").as("feature"), col("v").as("threshold"),
+                (col("cnc") + col("cnt")).as("n_left"),
+                (col("tnc") - col("cnc") + col("tnt") - col("cnt"))
+                  .as("n_right"),
+                col("ul").as("uplift_left"), col("ur").as("uplift_right"),
+                col("gain"))
+        .orderBy("feature")
+    },
+
     "q271_diff_in_diff" -> { (s, dir) =>
       val b = lit("1998-01-01")
       val spend = Tables(s, dir, "orders")
@@ -735,6 +813,59 @@ object CausalOps extends OpModule {
        |ORDER BY boost_round""".stripMargin
 
   def oracles: Map[String, String] = Map(
+
+    // identical user fold, cell table, cumulative split windows and
+    // rounded-before-ranking uplift chain
+    "q318_uplift_stump" ->
+      """WITH pu AS (
+        |  SELECT user_id, count(*) AS nev,
+        |    count(DISTINCT event_type) AS ntypes,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 150
+        |        THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY 1),
+        |pt AS (
+        |  SELECT least(nev // 10, 20) AS x1, ntypes AS x2, y,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+        |         THEN 0 ELSE 1 END AS t
+        |  FROM pu),
+        |fv AS (SELECT 'activity' AS f, x1 AS v, t, y FROM pt
+        |       UNION ALL SELECT 'breadth', x2, t, y FROM pt),
+        |cells AS (
+        |  SELECT f, v,
+        |    sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS nc,
+        |    sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS xc,
+        |    sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS nt,
+        |    sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS xt
+        |  FROM fv GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT *, sum(nc) OVER w AS cnc, sum(xc) OVER w AS cxc,
+        |    sum(nt) OVER w AS cnt, sum(xt) OVER w AS cxt
+        |  FROM cells WINDOW w AS (PARTITION BY f ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT f, sum(nc) AS tnc, sum(xc) AS txc,
+        |        sum(nt) AS tnt, sum(xt) AS txt FROM cells GROUP BY 1),
+        |sc AS (
+        |  SELECT c.f, c.v, c.cnc, c.cnt, t.tnc, t.tnt,
+        |    round(CAST(c.cxt AS DOUBLE) / CAST(c.cnt AS DOUBLE) -
+        |          CAST(c.cxc AS DOUBLE) / CAST(c.cnc AS DOUBLE), 6)
+        |      AS ul,
+        |    round(CAST(t.txt - c.cxt AS DOUBLE) /
+        |          CAST(t.tnt - c.cnt AS DOUBLE) -
+        |          CAST(t.txc - c.cxc AS DOUBLE) /
+        |          CAST(t.tnc - c.cnc AS DOUBLE), 6) AS ur
+        |  FROM cum c JOIN tot t USING (f)
+        |  WHERE c.cnc > 0 AND c.cnt > 0 AND t.tnc - c.cnc > 0
+        |    AND t.tnt - c.cnt > 0),
+        |g AS (
+        |  SELECT *, round((ul - ur) * (ul - ur), 6) AS gain,
+        |    row_number() OVER (PARTITION BY f
+        |      ORDER BY round((ul - ur) * (ul - ur), 6) DESC, v) AS rn
+        |  FROM sc)
+        |SELECT f AS feature, v AS threshold,
+        |  CAST(cnc + cnt AS BIGINT) AS n_left,
+        |  CAST(tnc - cnc + tnt - cnt AS BIGINT) AS n_right,
+        |  ul AS uplift_left, ur AS uplift_right, gain
+        |FROM g WHERE rn = 1 ORDER BY feature""".stripMargin,
 
     "q271_diff_in_diff" ->
       """WITH spend AS (

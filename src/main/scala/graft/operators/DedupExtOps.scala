@@ -1030,6 +1030,56 @@ object DedupExtOps extends OpModule {
         .limit(50)
     },
 
+    // Fellegi–Sunter EM (added r13) — q275 DECLARES its match
+    // probabilities (m = 0.9/0.85/0.8, "the part a pipeline tunes
+    // from labeled pairs"); this LEARNS them with no labels at all:
+    // Winkler's EM over the agreement-pattern histogram (Winkler
+    // 1988, the estimator every production record-linkage stack
+    // ships), treating match/non-match as the latent class. 3 rounds
+    // over the ≤2³-row pattern table (composed from q275's declared
+    // output — the candidate generation and agreement bits are ONE
+    // definition): E-step w_g = P(match|γ_g) under the current
+    // (p, m, u); M-step re-estimates all seven parameters from the
+    // w-weighted pattern counts. Everything is 8-row×1-row algebra:
+    // [[fsRound]] is ONE SQL string both engines run (the q310
+    // staging discipline — Spark pins each round's 1-row parameter
+    // view, the oracle unrolls the identical text); w and the
+    // parameters floor-quantize at 1e-8 so every M-step sum is an
+    // exact order-free decimal; per-pattern ln(P(γ)) quantizes at
+    // 1e-6 into the avg log-likelihood, whose round-over-round
+    // monotone ascent is EM's own guarantee (spec-certified). Output
+    // per round: p, m's, u's, avg log-lik.
+    "q319_fs_em" -> { (s, d) =>
+      val pat = queries("q275_fellegi_sunter")(s, d)
+        .select(expr("CAST(substring(pattern, 1, 1) AS INT)").as("a1"),
+                expr("CAST(substring(pattern, 2, 1) AS INT)").as("a2"),
+                expr("CAST(substring(pattern, 3, 1) AS INT)").as("a3"),
+                col("n_pairs").as("ng"))
+      val (pp, h) = org.apache.spark.sql.graft.InternalPin.pin(pat)
+      h.count(); graft.PinScope.retain(h)
+      pp.createOrReplaceTempView("graft_fs_pat")
+      s.sql("SELECT 1e-1 AS p, 9e-1 AS m1, 85e-2 AS m2, 8e-1 AS m3, " +
+            "3e-1 AS u1, 2e-1 AS u2, 1e-1 AS u3")
+        .createOrReplaceTempView("graft_fs_w0")
+      val outs = (1 to 3).map { m =>
+        val block = fsRound(m, "graft_fs_pat", s"graft_fs_w${m - 1}")
+        if (m < 3) {
+          val (wt, chW) = org.apache.spark.sql.graft.InternalPin.pin(
+            s.sql(s"WITH $block SELECT p, m1, m2, m3, u1, u2, u3 " +
+                  s"FROM wu$m"))
+          chW.count(); graft.PinScope.retain(chW)
+          wt.createOrReplaceTempView(s"graft_fs_w$m")
+        }
+        s.sql(s"WITH $block SELECT * FROM out$m")
+      }
+      outs.reduce(_ unionAll _)
+        .selectExpr("CAST(em_round AS BIGINT) AS em_round", "p",
+                    "m1 AS m_nat", "m2 AS m_seg", "m3 AS m_band",
+                    "u1 AS u_nat", "u2 AS u_seg", "u3 AS u_band",
+                    "avg_loglik")
+        .orderBy("em_round")
+    },
+
     "q275_fellegi_sunter" -> { (s, d) =>
       val W = org.apache.spark.sql.expressions.Window
       val w = W.orderBy("bal", "k")
@@ -1140,6 +1190,74 @@ object DedupExtOps extends OpModule {
         "bk STRING, doc_id BIGINT", "bk", 8)(
       bandKeys(Tables(s, d, "documents").where(col("doc_id") % 2 === 0))
         .select("bk", "doc_id"))
+
+  /** One EM round of q319's Fellegi–Sunter estimator (E-step posterior
+    * fold → exact-decimal M-step sums → parameter update → avg
+    * log-likelihood at the INCOMING parameters), reading the pattern
+    * table `pat` (a1, a2, a3, ng) and the previous round's 1-row
+    * parameter table `prev` (p, m1..m3, u1..u3 doubles). The SAME text
+    * serves Spark's staged execution and the oracle's unrolled chain
+    * (the q310 discipline). The posterior and each updated parameter
+    * floor-quantize through the pure-IEEE `floor(x·1e8 + 5e-1)` chain;
+    * per-pattern ln P(γ) quantizes at 1e-6; all cross-pattern sums are
+    * exact decimals (order-free). out$m pairs the UPDATED parameters
+    * with the likelihood of the parameters that produced them, so the
+    * avg_loglik column ascends monotonically across rounds — EM's own
+    * guarantee, spec-certified. */
+  private def fsRound(m: Int, pat: String, prev: String): String =
+    s"""e$m AS (
+       |  SELECT g.a1, g.a2, g.a3, g.ng,
+       |    w.p *
+       |      (CASE WHEN g.a1 = 1 THEN w.m1 ELSE 1e0 - w.m1 END) *
+       |      (CASE WHEN g.a2 = 1 THEN w.m2 ELSE 1e0 - w.m2 END) *
+       |      (CASE WHEN g.a3 = 1 THEN w.m3 ELSE 1e0 - w.m3 END) AS pm,
+       |    (1e0 - w.p) *
+       |      (CASE WHEN g.a1 = 1 THEN w.u1 ELSE 1e0 - w.u1 END) *
+       |      (CASE WHEN g.a2 = 1 THEN w.u2 ELSE 1e0 - w.u2 END) *
+       |      (CASE WHEN g.a3 = 1 THEN w.u3 ELSE 1e0 - w.u3 END) AS pu
+       |  FROM $pat g CROSS JOIN $prev w),
+       |wq$m AS (
+       |  SELECT a1, a2, a3, ng,
+       |    CAST(floor(pm / (pm + pu) * 1e8 + 5e-1) AS DECIMAL(28,0))
+       |      AS wq,
+       |    CAST(floor(ln(pm + pu) * 1e6 + 5e-1) AS DECIMAL(28,0)) AS llq
+       |  FROM e$m),
+       |ag$m AS (
+       |  SELECT
+       |    CAST(sum(CAST(ng AS DECIMAL(38,0)) * wq) AS DOUBLE) AS swn,
+       |    CAST(sum(CAST(ng AS DECIMAL(38,0)) * (100000000 - wq))
+       |         AS DOUBLE) AS sun,
+       |    CAST(sum(CAST(ng AS DECIMAL(38,0))) AS DOUBLE) AS nn,
+       |    CAST(sum(CAST(ng AS DECIMAL(38,0)) * wq * a1) AS DOUBLE)
+       |      AS sw1,
+       |    CAST(sum(CAST(ng AS DECIMAL(38,0)) * wq * a2) AS DOUBLE)
+       |      AS sw2,
+       |    CAST(sum(CAST(ng AS DECIMAL(38,0)) * wq * a3) AS DOUBLE)
+       |      AS sw3,
+       |    CAST(sum(CAST(ng AS DECIMAL(38,0)) * (100000000 - wq) * a1)
+       |         AS DOUBLE) AS su1,
+       |    CAST(sum(CAST(ng AS DECIMAL(38,0)) * (100000000 - wq) * a2)
+       |         AS DOUBLE) AS su2,
+       |    CAST(sum(CAST(ng AS DECIMAL(38,0)) * (100000000 - wq) * a3)
+       |         AS DOUBLE) AS su3,
+       |    CAST(sum(CAST(ng AS DECIMAL(38,0)) * llq) AS DOUBLE) AS sll
+       |  FROM wq$m),
+       |wu$m AS (
+       |  SELECT
+       |    CAST(floor(swn / 1e8 / nn * 1e8 + 5e-1) AS DOUBLE) / 1e8 AS p,
+       |    CAST(floor(sw1 / swn * 1e8 + 5e-1) AS DOUBLE) / 1e8 AS m1,
+       |    CAST(floor(sw2 / swn * 1e8 + 5e-1) AS DOUBLE) / 1e8 AS m2,
+       |    CAST(floor(sw3 / swn * 1e8 + 5e-1) AS DOUBLE) / 1e8 AS m3,
+       |    CAST(floor(su1 / sun * 1e8 + 5e-1) AS DOUBLE) / 1e8 AS u1,
+       |    CAST(floor(su2 / sun * 1e8 + 5e-1) AS DOUBLE) / 1e8 AS u2,
+       |    CAST(floor(su3 / sun * 1e8 + 5e-1) AS DOUBLE) / 1e8 AS u3
+       |  FROM ag$m),
+       |out$m AS (
+       |  SELECT $m AS em_round, w.p, w.m1, w.m2, w.m3, w.u1, w.u2,
+       |    w.u3,
+       |    CAST(floor(g.sll / 1e6 / g.nn * 1e6 + 5e-1) AS DOUBLE) / 1e6
+       |      AS avg_loglik
+       |  FROM wu$m w CROSS JOIN ag$m g)""".stripMargin
 
   /** Distinct near-dup candidate pairs `(id_a < id_b)` from MinHash-LSH
     * band collisions — the edge set q82 clusters and q83 prunes.
@@ -1865,6 +1983,51 @@ object DedupExtOps extends OpModule {
          |SELECT u AS id_a, w AS id_b, n_common,
          |  CAST(aa_dec AS DOUBLE) AS aa_score
          |FROM nn ORDER BY aa_score DESC, id_a, id_b LIMIT 50""".stripMargin,
+
+    // q275's candidate + agreement-bit chain verbatim down to the
+    // pattern histogram, then three statically-unrolled [[fsRound]]
+    // blocks — the whole estimator is the shared string
+    "q319_fs_em" ->
+      s"""WITH c AS (
+         |  SELECT c_custkey AS k,
+         |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+         |    CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+         |    (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 1000
+         |      AS band
+         |  FROM customer),
+         |led AS (
+         |  SELECT k, nat, seg, band,
+         |    lead(k, 1) OVER w AS k1, lead(nat, 1) OVER w AS nat1,
+         |    lead(seg, 1) OVER w AS seg1, lead(band, 1) OVER w AS band1,
+         |    lead(k, 2) OVER w AS k2, lead(nat, 2) OVER w AS nat2,
+         |    lead(seg, 2) OVER w AS seg2, lead(band, 2) OVER w AS band2,
+         |    lead(k, 3) OVER w AS k3, lead(nat, 3) OVER w AS nat3,
+         |    lead(seg, 3) OVER w AS seg3, lead(band, 3) OVER w AS band3
+         |  FROM c WINDOW w AS (ORDER BY bal, k)),
+         |pr AS (
+         |  SELECT k1 AS kk, nat1 AS nat2_, seg1 AS seg2_,
+         |         band1 AS band2_, nat, seg, band FROM led
+         |  UNION ALL SELECT k2, nat2, seg2, band2, nat, seg, band
+         |  FROM led
+         |  UNION ALL SELECT k3, nat3, seg3, band3, nat, seg, band
+         |  FROM led),
+         |pat AS MATERIALIZED (
+         |  SELECT CASE WHEN nat = nat2_ THEN 1 ELSE 0 END AS a1,
+         |         CASE WHEN seg = seg2_ THEN 1 ELSE 0 END AS a2,
+         |         CASE WHEN band = band2_ THEN 1 ELSE 0 END AS a3,
+         |         count(*) AS ng
+         |  FROM pr WHERE kk IS NOT NULL GROUP BY 1, 2, 3),
+         |wz AS (SELECT 1e-1 AS p, 9e-1 AS m1, 85e-2 AS m2, 8e-1 AS m3,
+         |       3e-1 AS u1, 2e-1 AS u2, 1e-1 AS u3),
+         |${fsRound(1, "pat", "wz")},
+         |${fsRound(2, "pat", "wu1")},
+         |${fsRound(3, "pat", "wu2")}
+         |SELECT CAST(em_round AS BIGINT) AS em_round, p,
+         |  m1 AS m_nat, m2 AS m_seg, m3 AS m_band,
+         |  u1 AS u_nat, u2 AS u_seg, u3 AS u_band, avg_loglik
+         |FROM (SELECT * FROM out1 UNION ALL SELECT * FROM out2
+         |      UNION ALL SELECT * FROM out3)
+         |ORDER BY em_round""".stripMargin,
 
     "q275_fellegi_sunter" ->
       """WITH c AS (

@@ -3725,6 +3725,95 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("q318 uplift stump matches an in-memory split search") {
+    val pu = Tables(spark, sf, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("nev"),
+           countDistinct(col("event_type")).as("ntypes"),
+           max(when(col("event_type") === "purchase" && col("value") > 150,
+                    1L).otherwise(0L)).as("y"))
+      .as[(Long, Long, Long, Long)].collect()
+    def arm(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      if ("%x".format((md(0) >> 4) & 0xf).head <= '7') 0 else 1
+    }
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    val rows = pu.map { case (id, nev, nt, y) =>
+      (math.min(nev / 10, 20L), nt, arm(id), y) }
+    val want = Seq("activity" -> rows.map(r => (r._1, r._3, r._4)),
+                   "breadth" -> rows.map(r => (r._2, r._3, r._4)))
+      .flatMap { case (f, data) =>
+        val vs = data.map(_._1).distinct.sorted
+        val cand = vs.flatMap { v =>
+          val (l, r) = data.partition(_._1 <= v)
+          val Seq(lc, lt) = Seq(0, 1).map(a => l.filter(_._2 == a))
+          val Seq(rc, rt) = Seq(0, 1).map(a => r.filter(_._2 == a))
+          if (lc.isEmpty || lt.isEmpty || rc.isEmpty || rt.isEmpty) None
+          else {
+            val ul = r6(lt.map(_._3).sum.toDouble / lt.size -
+                        lc.map(_._3).sum.toDouble / lc.size)
+            val ur = r6(rt.map(_._3).sum.toDouble / rt.size -
+                        rc.map(_._3).sum.toDouble / rc.size)
+            Some((v, l.size.toLong, r.size.toLong, ul, ur,
+                  r6((ul - ur) * (ul - ur))))
+          }
+        }
+        if (cand.isEmpty) None
+        else {
+          val b = cand.sortBy(c => (-c._6, c._1)).head
+          Some((f, b._1, b._2, b._3, b._4, b._5, b._6))
+        }
+      }.sortBy(_._1)
+    val got = q("q318_uplift_stump")
+      .as[(String, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq.sortBy(_._1)
+    assert(got == want)
+  }
+
+  test("q319 FS-EM: monotone likelihood ascent; round 1 matches in-memory EM") {
+    val pat = q("q275_fellegi_sunter")
+      .select(col("pattern"), col("n_pairs")).as[(String, Long)].collect()
+    val p0 = 0.1
+    val m0 = Array(0.9, 0.85, 0.8)
+    val u0 = Array(0.3, 0.2, 0.1)
+    // E-step at the init parameters, replicating fsRound's exact
+    // operand order (p * c1 * c2 * c3 left-assoc) and quantization
+    val rows = pat.map { case (g, ng) =>
+      val a = g.map(_ - '0').toArray
+      var pm = p0
+      var pu = 1.0 - p0
+      for (f <- 0 to 2) {
+        pm = pm * (if (a(f) == 1) m0(f) else 1.0 - m0(f))
+        pu = pu * (if (a(f) == 1) u0(f) else 1.0 - u0(f))
+      }
+      (a, ng, math.floor(pm / (pm + pu) * 1e8 + 0.5))
+    }
+    def bd(x: Double) = BigDecimal(x)
+    val swn = rows.map(r => bd(r._2) * bd(r._3)).sum.toDouble
+    val sun = rows.map(r => bd(r._2) * bd(1e8 - r._3)).sum.toDouble
+    val nn = rows.map(_._2).sum.toDouble
+    def qz(x: Double) = math.floor(x * 1e8 + 0.5) / 1e8
+    val pRef = qz(swn / 1e8 / nn)
+    val mRef = (0 to 2).map(f =>
+      qz(rows.map(r => bd(r._2) * bd(r._3) * r._1(f)).sum.toDouble / swn))
+    val uRef = (0 to 2).map(f =>
+      qz(rows.map(r => bd(r._2) * bd(1e8 - r._3) * r._1(f)).sum.toDouble /
+         sun))
+    val got = q("q319_fs_em")
+      .as[(Long, Double, Double, Double, Double, Double, Double, Double,
+           Double)].collect().sortBy(_._1)
+    assert(got.length == 3)
+    assert(math.abs(got(0)._2 - pRef) < 1e-9, s"p ${got(0)._2} vs $pRef")
+    assert(Seq(got(0)._3, got(0)._4, got(0)._5)
+             .zip(mRef).forall { case (a, e) => math.abs(a - e) < 1e-9 })
+    assert(Seq(got(0)._6, got(0)._7, got(0)._8)
+             .zip(uRef).forall { case (a, e) => math.abs(a - e) < 1e-9 })
+    // EM's ascent guarantee on the avg log-likelihood column
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._9 >= a._9 - 1e-9, s"loglik fell: $a -> $b") }
+  }
+
   test("q316 Holt-Winters matches an in-memory triple-smoothing recursion") {
     val byEt = Tables(spark, sf, "events")
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
