@@ -177,6 +177,9 @@ object SimilarityExtOps extends OpModule {
   // top-20 floor is ~0.5; random 64-dim pairs center near 0) but low
   // enough to flag real neighbors at every test SF.
   private val SemThreshold = 0.35
+  // q311's fixed-k escape hatch: per-cluster member cap (min-id kept),
+  // a measured no-op at every test SF — see the q311 docstring
+  private val SemDedupClusterCap = 4096
   private val RrfK = 60   // the standard RRF damping constant
 
   // q175 BM25: the fixed query-term set and the standard Robertson
@@ -812,7 +815,17 @@ object SimilarityExtOps extends OpModule {
       val dotF = (x: String, y: String) =>
         s"aggregate(zip_with($x, $y, (x, y) -> x * y), " +
           "CAST(0 AS BIGINT), (a, e) -> a + e)"
+      // [[SemDedupClusterCap]]: a no-op at every test SF (max cluster
+      // ~40 at sf0.1), it bounds the quadratic within-cluster pair
+      // volume when the corpus outgrows the FIXED k of the declared
+      // query (measured 3.9 s → 39 s at 10× — exactly the cluster²
+      // slope the paper's k ∝ N prescription exists to prevent; the
+      // cap keeps the fixed-k form finite, min-id members kept)
+      val wCap = org.apache.spark.sql.expressions.Window
+        .partitionBy("cid").orderBy("vec_id")
       val base = lloydAssignments(s, d).last
+        .withColumn("mrk", row_number().over(wCap))
+        .where(col("mrk") <= SemDedupClusterCap).drop("mrk")
         .select(col("vec_id"), col("cid"), col("xi"),
                 expr(dotF("xi", "xi")).as("nv"))
       val l = base.select(col("cid"), col("vec_id").as("a"),
