@@ -286,6 +286,74 @@ object StatsModelOps extends OpModule {
         .orderBy("flag")
     },
 
+    // Split-conformal prediction intervals (added r13) — the
+    // UNCERTAINTY layer q147's point forecasts lack, by the only
+    // method with a distribution-free finite-sample guarantee (Vovk;
+    // Lei et al. 2018): fit on a train split, take the
+    // ⌈0.9(n+1)⌉-th smallest absolute residual on a DISJOINT
+    // calibration split as the interval half-width, and the marginal
+    // coverage of ŷ ± q̂ on fresh data is ≥ 90% by exchangeability —
+    // no normality, no variance model. Per event_type: q147's exact-
+    // moment OLS chain on the train split (coefficients rounded 6
+    // BEFORE any residual — deterministic model handoff), calibration
+    // residuals quantize through the floor-chain to exact
+    // hundredth-cent integers, and the conformal quantile is an EXACT
+    // order statistic over the (type, residual)-value-group table via
+    // [[cumCounts]] — domain-bound, never a per-type sort. The eval
+    // split then reports honest empirical coverage (the ≥ 0.9
+    // guarantee, spec-asserted with finite-sample slack). Splits =
+    // md5 nibble of event_id: 0-9 train (~62%), a-c calibration,
+    // d-f eval — key-only, engine-portable. ONE pinned fact scan
+    // feeds all three splits.
+    "q320_conformal" -> { (s, dir) =>
+      val (ev, h) = pin(Tables(s, dir, "events")
+        .select(col("event_type").as("et"),
+                datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+                  .cast("long").as("x"),
+                round(col("value") * 100).cast("long").as("y"),
+                substring(md5(col("event_id").cast("string")), 1, 1)
+                  .as("nib")))
+      h.count(); graft.PinScope.retain(h)
+      val m = ev.where(col("nib") <= "9").groupBy("et").agg(
+        count(lit(1)).as("n_train"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
+      val det = d(col("n_train")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+      val model = m.select(col("et"), col("n_train"),
+        round((d(col("n_train")) * d(col("sxy")) -
+               d(col("sx")) * d(col("sy"))) / det, 6).as("b"),
+        round((d(col("sy")) * d(col("sxx")) -
+               d(col("sx")) * d(col("sxy"))) / det, 6).as("a"))
+      val rq = expr("CAST(floor(abs(CAST(y AS DOUBLE) - " +
+        "(a + b * CAST(x AS DOUBLE))) * 1e2 + 5e-1) AS BIGINT)")
+      val (pv, ph) = pin(ev.where(col("nib") >= "a" && col("nib") <= "c")
+        .join(broadcast(model), Seq("et"))
+        .select(col("et"), rq.as("v"))
+        .groupBy("et", "v").agg(count(lit(1)).as("c")))
+      ph.count(); graft.PinScope.retain(ph)
+      val qhat = cumCounts(pv, "et")
+        .withColumn("k", expr("(9 * (n + 1) + 9) div 10"))
+        .groupBy("et")
+        .agg(max("n").as("n_cal"),
+             min(when(col("cum") >= col("k"), col("v"))).as("qh"))
+      val cov = ev.where(col("nib") >= "d")
+        .join(broadcast(model), Seq("et"))
+        .join(broadcast(qhat), Seq("et"))
+        .groupBy("et")
+        .agg(count(lit(1)).as("n_eval"),
+             sum(when(rq <= col("qh"), 1L).otherwise(0L)).as("nin"))
+      model.join(qhat, Seq("et")).join(cov, Seq("et"))
+        .select(col("et").as("event_type"), col("n_train"), col("n_cal"),
+                col("n_eval"),
+                round(col("qh").cast("double") / 1e4, 6)
+                  .as("half_width_dollars"),
+                round(col("nin").cast("double") /
+                      col("n_eval").cast("double"), 6).as("coverage"))
+        .orderBy("event_type")
+    },
+
     // Per-group OLS trend regression (added r10) — the monitoring
     // companion to q140's correlation matrix: per event_type, regress
     // value (cents) on calendar day (epoch days) and report slope,
@@ -2506,6 +2574,60 @@ object StatsModelOps extends OpModule {
          |SELECT flag, n, w0 AS intercept, w1 AS w_qty,
          |  w2 AS w_disc_cents, ${RidgeSolve.r2Expr}
          |FROM wv ORDER BY flag""".stripMargin,
+
+    // identical split rule, q147 moment chain (coefficients rounded 6
+    // before any residual), floor-chain residual quantization, exact
+    // value-group order statistic and coverage count
+    "q320_conformal" ->
+      """WITH ev AS (
+        |  SELECT event_type AS et,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+        |    CAST(round(value * 100) AS BIGINT) AS y,
+        |    substr(md5(CAST(event_id AS VARCHAR)), 1, 1) AS nib
+        |  FROM events),
+        |m AS (SELECT et, count(*) AS n_train, sum(x) AS sx, sum(y) AS sy,
+        |       sum(x * x) AS sxx, sum(x * y) AS sxy
+        |      FROM ev WHERE nib <= '9' GROUP BY 1),
+        |md AS (SELECT et, n_train,
+        |    round((CAST(n_train AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |           CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |          (CAST(n_train AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |           CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS b,
+        |    round((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |           CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE)) /
+        |          (CAST(n_train AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |           CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS a
+        |  FROM m),
+        |cal AS (
+        |  SELECT ev.et,
+        |    CAST(floor(abs(CAST(y AS DOUBLE) -
+        |      (a + b * CAST(x AS DOUBLE))) * 1e2 + 5e-1) AS BIGINT) AS v
+        |  FROM ev JOIN md ON ev.et = md.et
+        |  WHERE nib >= 'a' AND nib <= 'c'),
+        |vg AS (SELECT et, v, count(*) AS c FROM cal GROUP BY 1, 2),
+        |cu AS (SELECT et, v,
+        |    sum(c) OVER (PARTITION BY et ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY et) AS n
+        |  FROM vg),
+        |qh AS (SELECT et, max(n) AS n_cal,
+        |    min(CASE WHEN cum >= (9 * (n + 1) + 9) // 10 THEN v END)
+        |      AS qh
+        |  FROM cu GROUP BY et),
+        |cov AS (
+        |  SELECT ev.et, count(*) AS n_eval,
+        |    sum(CASE WHEN CAST(floor(abs(CAST(y AS DOUBLE) -
+        |      (a + b * CAST(x AS DOUBLE))) * 1e2 + 5e-1) AS BIGINT)
+        |      <= qh.qh THEN 1 ELSE 0 END) AS nin
+        |  FROM ev JOIN md ON ev.et = md.et JOIN qh ON ev.et = qh.et
+        |  WHERE nib >= 'd' GROUP BY 1)
+        |SELECT md.et AS event_type, md.n_train,
+        |  CAST(qh.n_cal AS BIGINT) AS n_cal, cov.n_eval,
+        |  round(CAST(qh.qh AS DOUBLE) / 1e4, 6) AS half_width_dollars,
+        |  round(CAST(cov.nin AS DOUBLE) / CAST(cov.n_eval AS DOUBLE), 6)
+        |    AS coverage
+        |FROM md JOIN qh ON md.et = qh.et JOIN cov ON md.et = cov.et
+        |ORDER BY event_type""".stripMargin,
 
     "q147_trend_regression" ->
       """WITH v AS (

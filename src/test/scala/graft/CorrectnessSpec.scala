@@ -3725,6 +3725,55 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("q320 conformal: q̂ is the exact order statistic; coverage near 0.9") {
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("event_type"),
+              datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+                .cast("long"),
+              round(col("value") * 100).cast("long"))
+      .as[(Long, String, Long, Long)].collect()
+    def nib(id: Long): Char = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      "%x".format((md(0) >> 4) & 0xf).head
+    }
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    val want = ev.groupBy(_._2).toSeq.sortBy(_._1).map { case (et, rows) =>
+      val tr = rows.filter(r => nib(r._1) <= '9')
+      val n = tr.length.toDouble
+      val (sx, sy) = (tr.map(_._3).sum.toDouble, tr.map(_._4).sum.toDouble)
+      val sxx = tr.map(r => r._3.toDouble * r._3).sum
+      val sxy = tr.map(r => r._3.toDouble * r._4).sum
+      val b = r6((n * sxy - sx * sy) / (n * sxx - sx * sx))
+      val a = r6((sy * sxx - sx * sxy) / (n * sxx - sx * sx))
+      def rq(r: (Long, String, Long, Long)): Long =
+        math.floor(math.abs(r._4.toDouble - (a + b * r._3.toDouble)) *
+                   1e2 + 0.5).toLong
+      val cal = rows.filter(r => nib(r._1) >= 'a' && nib(r._1) <= 'c')
+        .map(rq).sorted
+      val k = (9 * (cal.length + 1) + 9) / 10
+      val qh = cal(math.min(k, cal.length) - 1)
+      val ev2 = rows.filter(r => nib(r._1) >= 'd')
+      val covered = ev2.count(r => rq(r) <= qh)
+      (et, qh, r6(covered.toDouble / ev2.length))
+    }
+    val got = q("q320_conformal")
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .sortBy(_._1)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1)
+      assert(math.abs(g._5 - w._2 / 1e4) < 1e-9,
+             s"${g._1}: q̂ ${g._5} vs ${w._2 / 1e4}")
+      assert(math.abs(g._6 - w._3) < 1e-9)
+      // the ≥0.9 guarantee is marginal (in expectation over the
+      // calibration draw); at sf0.001's ~40-point calibration sets a
+      // single type can dip well below it (purchase hits 0.74 here),
+      // so this is a sanity band only — at sf0.01 the verify gate
+      // observes 0.88–0.93 across all five types
+      assert(g._6 > 0.6 && g._6 <= 1.0, s"${g._1}: coverage ${g._6}")
+    }
+  }
+
   test("q318 uplift stump matches an in-memory split search") {
     val pu = Tables(spark, sf, "events")
       .groupBy("user_id")
