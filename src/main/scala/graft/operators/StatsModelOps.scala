@@ -1422,6 +1422,83 @@ object StatsModelOps extends OpModule {
         .orderBy("o_orderpriority", "p_label")
     },
 
+    // Sequential A/B monitor (added r13) — the DAILY-PEEKING
+    // companion to q159's fixed-horizon readout: recompute the pooled
+    // two-proportion z after every day and compare against a
+    // Haybittle–Peto group-sequential boundary (|z| > 3.0 at every
+    // interim look, 1.96 at the final look — the closed-form boundary
+    // clinical trials and experimentation platforms use precisely
+    // because it needs no K-dependent constant table), flagging the
+    // first crossing. This is the operator that answers "could we
+    // have stopped early?" without the peeking bias a naive daily
+    // 1.96 test incurs. Shape: ONE fact scan folds per-user (arm,
+    // first-seen day, first-conversion day) — q159's arms and
+    // >150-cent conversion verbatim — then daily cumulative counts
+    // per arm ride a ≤|days| window table and each day's z is q159's
+    // exact chain over the cumulative integers. Undefined-z days
+    // (either arm still empty or pooled rate 0/1) report NULL and
+    // never cross, declared. Output per day: cumulative n/x per arm,
+    // z, boundary, crossed, plus the running first-crossing day.
+    "q321_sequential_ab" -> { (s, dir) =>
+      val pu = Tables(s, dir, "events")
+        .groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("d0"),
+             min(when(col("event_type") === "purchase" &&
+                        col("value") > 150, to_date(col("ts"))))
+               .as("dc"))
+        .withColumn("arm",
+          when(substring(md5(col("user_id").cast("string")), 1, 1) <= "7",
+               "c").otherwise("t"))
+      val (pp, h) = pin(pu); h.count(); graft.PinScope.retain(h)
+      // per-day INCREMENTS then window cums over the ≤|days| table —
+      // never a days×users range join (the fact side folds once)
+      val inc = pp.groupBy(col("d0").as("day")).agg(
+        sum(when(col("arm") === "c", 1L).otherwise(0L)).as("an_c"),
+        sum(when(col("arm") === "t", 1L).otherwise(0L)).as("an_t"))
+      val incx = pp.where(col("dc").isNotNull)
+        .groupBy(col("dc").as("day")).agg(
+          sum(when(col("arm") === "c", 1L).otherwise(0L)).as("ax_c"),
+          sum(when(col("arm") === "t", 1L).otherwise(0L)).as("ax_t"))
+      val W = Window.orderBy("day")
+      val wc = W.rowsBetween(Window.unboundedPreceding, 0)
+      val byDay = inc.join(incx, Seq("day"), "full_outer")
+        .select(col("day"),
+                coalesce(col("an_c"), lit(0L)).as("an_c"),
+                coalesce(col("an_t"), lit(0L)).as("an_t"),
+                coalesce(col("ax_c"), lit(0L)).as("ax_c"),
+                coalesce(col("ax_t"), lit(0L)).as("ax_t"))
+        .select(col("day"),
+                sum("an_c").over(wc).as("n_c"),
+                sum("an_t").over(wc).as("n_t"),
+                sum("ax_c").over(wc).as("x_c"),
+                sum("ax_t").over(wc).as("x_t"))
+      val lastDay = byDay.agg(max("day").as("mxd"))
+      val zExpr = expr(
+        "CASE WHEN n_c > 0 AND n_t > 0 AND x_c + x_t > 0 " +
+          "AND x_c + x_t < n_c + n_t THEN " +
+          "round((CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE) - " +
+          "CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE)) / " +
+          "sqrt(CAST(x_c + x_t AS DOUBLE) / CAST(n_c + n_t AS DOUBLE) * " +
+          "(1e0 - CAST(x_c + x_t AS DOUBLE) / CAST(n_c + n_t AS DOUBLE)) * " +
+          "(1e0 / CAST(n_c AS DOUBLE) + 1e0 / CAST(n_t AS DOUBLE))), 6) " +
+          "ELSE NULL END")
+      byDay.crossJoin(broadcast(lastDay))
+        .withColumn("day_idx",
+          row_number().over(W).cast("long"))
+        .withColumn("z", zExpr)
+        .withColumn("boundary",
+          when(col("day") === col("mxd"), 1.96).otherwise(3.0))
+        .withColumn("crossed",
+          col("z").isNotNull && abs(col("z")) > col("boundary"))
+        .withColumn("first_crossing",
+          min(when(col("crossed"), col("day_idx"))).over(
+            W.rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("day_idx"), col("n_c"), col("n_t"), col("x_c"),
+                col("x_t"), col("z"), col("boundary"), col("crossed"),
+                col("first_crossing"))
+        .orderBy("day_idx")
+    },
+
     // A/B experiment readout (added r10) — the statistical-inference
     // operator an experimentation platform runs nightly: users hash-
     // split 50/50 into arms by the q67 md5-nibble discipline (first
@@ -2574,6 +2651,60 @@ object StatsModelOps extends OpModule {
          |SELECT flag, n, w0 AS intercept, w1 AS w_qty,
          |  w2 AS w_disc_cents, ${RidgeSolve.r2Expr}
          |FROM wv ORDER BY flag""".stripMargin,
+
+    // identical user fold (q159's arms/conversion), per-day increment
+    // tables, ≤|days| window cums and the identical z chain; the
+    // Haybittle–Peto boundary picks 1.96 only on the final day
+    "q321_sequential_ab" ->
+      """WITH pu AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS d0,
+        |    min(CASE WHEN event_type = 'purchase' AND value > 150
+        |        THEN CAST(ts AS DATE) END) AS dc
+        |  FROM events GROUP BY 1),
+        |pa AS (SELECT *, CASE WHEN substr(md5(CAST(user_id AS VARCHAR)),
+        |         1, 1) <= '7' THEN 'c' ELSE 't' END AS arm FROM pu),
+        |inc AS (SELECT d0 AS day,
+        |    sum(CASE WHEN arm = 'c' THEN 1 ELSE 0 END) AS an_c,
+        |    sum(CASE WHEN arm = 't' THEN 1 ELSE 0 END) AS an_t
+        |  FROM pa GROUP BY 1),
+        |incx AS (SELECT dc AS day,
+        |    sum(CASE WHEN arm = 'c' THEN 1 ELSE 0 END) AS ax_c,
+        |    sum(CASE WHEN arm = 't' THEN 1 ELSE 0 END) AS ax_t
+        |  FROM pa WHERE dc IS NOT NULL GROUP BY 1),
+        |bd AS (SELECT coalesce(inc.day, incx.day) AS day,
+        |    coalesce(an_c, 0) AS an_c, coalesce(an_t, 0) AS an_t,
+        |    coalesce(ax_c, 0) AS ax_c, coalesce(ax_t, 0) AS ax_t
+        |  FROM inc FULL OUTER JOIN incx ON inc.day = incx.day),
+        |cm AS (SELECT day,
+        |    sum(an_c) OVER w AS n_c, sum(an_t) OVER w AS n_t,
+        |    sum(ax_c) OVER w AS x_c, sum(ax_t) OVER w AS x_t
+        |  FROM bd WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW)),
+        |mx AS (SELECT max(day) AS mxd FROM cm),
+        |zz AS (SELECT day, n_c, n_t, x_c, x_t,
+        |    CASE WHEN n_c > 0 AND n_t > 0 AND x_c + x_t > 0
+        |      AND x_c + x_t < n_c + n_t THEN
+        |      round((CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE) -
+        |      CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE)) /
+        |      sqrt(CAST(x_c + x_t AS DOUBLE) / CAST(n_c + n_t AS DOUBLE) *
+        |      (1e0 - CAST(x_c + x_t AS DOUBLE) /
+        |       CAST(n_c + n_t AS DOUBLE)) *
+        |      (1e0 / CAST(n_c AS DOUBLE) + 1e0 / CAST(n_t AS DOUBLE))), 6)
+        |      ELSE NULL END AS z,
+        |    CASE WHEN day = mx.mxd THEN CAST(1.96 AS DOUBLE)
+        |         ELSE CAST(3.0 AS DOUBLE) END AS boundary,
+        |    row_number() OVER (ORDER BY day) AS day_idx
+        |  FROM cm CROSS JOIN mx),
+        |cr AS (SELECT *,
+        |    (z IS NOT NULL AND abs(z) > boundary) AS crossed FROM zz)
+        |SELECT CAST(day_idx AS BIGINT) AS day_idx,
+        |  CAST(n_c AS BIGINT) AS n_c, CAST(n_t AS BIGINT) AS n_t,
+        |  CAST(x_c AS BIGINT) AS x_c, CAST(x_t AS BIGINT) AS x_t,
+        |  z, boundary, crossed,
+        |  CAST(min(CASE WHEN crossed THEN day_idx END)
+        |       OVER (ORDER BY day_idx ROWS BETWEEN UNBOUNDED PRECEDING
+        |             AND CURRENT ROW) AS BIGINT) AS first_crossing
+        |FROM cr ORDER BY day_idx""".stripMargin,
 
     // identical split rule, q147 moment chain (coefficients rounded 6
     // before any residual), floor-chain residual quantization, exact

@@ -3725,6 +3725,28 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("q321 final look reproduces q159's fixed-horizon readout") {
+    val rows = q("q321_sequential_ab").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+                 r.getDouble(6), r.getBoolean(7)))
+      .sortBy(_._1)
+    // boundary schedule: 3.0 on every interim look, 1.96 only at the end
+    assert(rows.init.forall(_._7 == 3.0) && rows.last._7 == 1.96)
+    // cumulative counts are monotone and x ≤ n per arm
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2 && b._3 >= a._3 && b._4 >= a._4 && b._5 >= a._5) }
+    assert(rows.forall(r => r._4 <= r._2 && r._5 <= r._3))
+    // the last look IS q159's fixed-horizon test: same universe, same
+    // z chain — counts and z must agree exactly
+    val ab = q("q159_ab_test").collect().head
+    val last = rows.last
+    assert((last._2, last._3, last._4, last._5) ==
+           (ab.getLong(0), ab.getLong(1), ab.getLong(2), ab.getLong(3)))
+    assert(last._6.contains(ab.getDouble(6)),
+           s"z ${last._6} vs q159 z_conv ${ab.getDouble(6)}")
+  }
+
   test("q320 conformal: q̂ is the exact order statistic; coverage near 0.9") {
     val ev = Tables(spark, sf, "events")
       .select(col("event_id"), col("event_type"),
