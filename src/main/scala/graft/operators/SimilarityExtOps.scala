@@ -216,6 +216,48 @@ object SimilarityExtOps extends OpModule {
        |           ORDER BY dim) AS ci
        |    FROM u$i GROUP BY cid)""".stripMargin
 
+  /** ONE greedy MMR step — the max-sim-to-picked fold, the scored
+    * remainder, and the (score desc, id)-tie argmax — parameterized by
+    * the candidate table (id, v, rel), the symmetric pairwise-sim
+    * table (a, b, sim), and the picked-set table. The SAME text runs
+    * in Spark (per-step, over pinned picked-set views — the q308
+    * CTE-inlining lesson: a self-referencing pk chain inlined by
+    * Catalyst grows the plan ~3^k) and in DuckDB (statically unrolled
+    * by [[mmrBody]], where multi-referenced CTEs materialize). Step
+    * 1's empty picked-set max coalesces to 0 (pure relevance, the
+    * declared MMR base case). */
+  private def mmrStep(k: Int, cand: String, pw: String,
+                      pk: String): String =
+    s"""mx$k AS (SELECT p.a AS id, max(p.sim) AS ms
+       |  FROM $pw p JOIN $pk s ON p.b = s.id GROUP BY p.a),
+       |sc$k AS (SELECT c.id,
+       |    round(5e-1 * CAST(c.rel AS DOUBLE) -
+       |          5e-1 * CAST(coalesce(m.ms, CAST(0 AS DOUBLE))
+       |                      AS DOUBLE), 6) AS score,
+       |    c.rel
+       |  FROM $cand c LEFT JOIN mx$k m ON c.id = m.id
+       |  WHERE c.id NOT IN (SELECT id FROM $pk)),
+       |sel$k AS (SELECT $k AS step, id, score, rel FROM sc$k
+       |          ORDER BY score DESC, id LIMIT 1)""".stripMargin
+
+  /** q322's oracle-side unrolled greedy chain (everything after
+    * `WITH`): ten [[mmrStep]]s chained through pk0..pk10 CTEs. */
+  private def mmrBody(cand: String, pw: String): String = {
+    val steps = (1 to 10).map { k =>
+      mmrStep(k, cand, pw, s"pk${k - 1}") +
+      s""",
+         |pk$k AS MATERIALIZED (SELECT id FROM pk${k - 1}
+         |         UNION ALL SELECT id FROM sel$k)""".stripMargin
+    }.mkString(",\n")
+    val un = (1 to 10).map(k => s"SELECT * FROM sel$k")
+      .mkString(" UNION ALL ")
+    s"""pk0 AS (SELECT CAST(NULL AS BIGINT) AS id WHERE 1 = 0),
+       |$steps
+       |SELECT CAST(step AS BIGINT) AS step, id AS vec_id, score,
+       |  CAST(rel AS DOUBLE) AS relevance
+       |FROM ($un) ORDER BY step""".stripMargin
+  }
+
   private def lloydCte: String =
     s"""e AS (SELECT vec_id,
        |    list_transform(embedding,
@@ -850,6 +892,65 @@ object SimilarityExtOps extends OpModule {
           round((col("n_vecs") - col("n_removed")).cast("double") /
                 col("n_vecs").cast("double"), 6))
         .orderBy("cid")
+    },
+
+    // MMR diversified re-ranking (added r13) — the DIVERSITY stage of
+    // the retrieval stack (Carbonell & Goldstein 1998), between the
+    // raw top-k (q53) and fusion (q127): greedily pick the item
+    // maximizing λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s), λ=0.5 —
+    // the re-rank every RAG/search pipeline runs so the context
+    // window isn't ten copies of the same document. Shape: exact
+    // top-20 relevance candidates (q53's chain, 4 dp-rounded before
+    // ranking) and their 20×20 pairwise sims PIN as bounded tables;
+    // the greedy selection is [[mmrBody]] — TEN statically-unrolled
+    // SQL steps (each: max-sim-to-picked fold → scored remainder →
+    // argmax with (score desc, id) ties → picked-set union) that BOTH
+    // engines run verbatim (the q308 discipline; no driver loop, no
+    // recursion — the chain is k-bounded). Scores round 6 before
+    // every argmax. At scale only the candidate retrieval touches the
+    // corpus; the re-rank is k²-bounded by construction.
+    "q322_mmr_rerank" -> { (s, d) =>
+      val em = embBase(s, d)
+      val q0 = em.where(col("vec_id") === 0).select(col("v").as("qv"))
+      val cand = em.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q0))
+        .select(col("vec_id").as("id"), col("v"),
+                round(org.apache.spark.sql.graft.GraftFunctions
+                  .cosineSimilarity(col("v"), col("qv")), 4).as("rel"))
+        .orderBy(col("rel").desc, col("id")).limit(20)
+      val (cp, ch) = pin(cand); ch.count(); graft.PinScope.retain(ch)
+      cp.createOrReplaceTempView("graft_mmr_cand")
+      val pw = cp.select(col("id").as("a"), col("v").as("va"))
+        .join(cp.select(col("id").as("b"), col("v").as("vb")),
+              col("a") =!= col("b"))
+        .select(col("a"), col("b"),
+                round(org.apache.spark.sql.graft.GraftFunctions
+                  .cosineSimilarity(col("va"), col("vb")), 4).as("sim"))
+      val (pp2, ph) = pin(pw); ph.count(); graft.PinScope.retain(ph)
+      pp2.createOrReplaceTempView("graft_mmr_pw")
+      // the greedy chain STAGES: each step's argmax runs [[mmrStep]]
+      // verbatim over the PINNED picked-set view of the prior step
+      // (k pins of ≤k rows — never a Catalyst-inlined pk chain)
+      s.sql("SELECT CAST(NULL AS BIGINT) AS id WHERE 1 = 0")
+        .createOrReplaceTempView("graft_mmr_pk0")
+      var pkDf = s.table("graft_mmr_pk0")
+      val sels = (1 to 10).map { k =>
+        val sel = s.sql(
+          "WITH " + mmrStep(k, "graft_mmr_cand", "graft_mmr_pw",
+                            s"graft_mmr_pk${k - 1}") +
+          s" SELECT * FROM sel$k")
+        val (sp, sh) = pin(sel); sh.count(); graft.PinScope.retain(sh)
+        pkDf = pkDf.union(sp.select(col("id")))
+        val (pp3, kh) = pin(pkDf); kh.count(); graft.PinScope.retain(kh)
+        pkDf = pp3
+        pp3.createOrReplaceTempView(s"graft_mmr_pk$k")
+        sp
+      }
+      sels.reduce(_.union(_))
+        .select(col("step").cast("long").as("step"),
+                col("id").as("vec_id"), col("score"),
+                col("rel").cast("double").as("relevance"))
+        .orderBy("step")
     },
 
     // Reciprocal-rank fusion (added r10) — the retrieval ENSEMBLE a
@@ -1630,6 +1731,24 @@ object SimilarityExtOps extends OpModule {
         s"""SELECT sig, count(*) AS cnt, min(vec_id) AS min_vec
            |FROM (SELECT vec_id, $sigSql AS sig FROM embeddings)
            |GROUP BY sig ORDER BY sig""".stripMargin,
+
+      // identical candidate retrieval (4 dp before ranking), identical
+      // pairwise table, then mmrBody verbatim — the greedy chain is
+      // the shared string
+      "q322_mmr_rerank" ->
+        s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+           |           FROM embeddings WHERE vec_id = 0),
+           |cand AS MATERIALIZED (
+           |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+           |    round(list_cosine_similarity(
+           |      CAST(embedding AS DOUBLE[]), q.qv), 4) AS rel
+           |  FROM embeddings, q WHERE vec_id <> 0
+           |  ORDER BY rel DESC, id LIMIT 20),
+           |pw AS MATERIALIZED (
+           |  SELECT x.id AS a, y.id AS b,
+           |    round(list_cosine_similarity(x.v, y.v), 4) AS sim
+           |  FROM cand x JOIN cand y ON x.id <> y.id),
+           |${mmrBody("cand", "pw")}""".stripMargin,
 
       "q53_ann_query" ->
         """SELECT b.vec_id AS vec_id,

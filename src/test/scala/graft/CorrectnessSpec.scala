@@ -3725,6 +3725,45 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("q322 MMR greedy chain matches in-memory recomputation") {
+    def r(d: Double, s: Int): Double =
+      java.math.BigDecimal.valueOf(d)
+        .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+    def cos(x: Seq[Double], y: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < x.length) {
+        dot += x(i) * y(i); na += x(i) * x(i); nb += y(i) * y(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val em = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val qv = em(0L)
+    val cand = em.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, r(cos(v, qv), 4)) }
+      .sortBy { case (id, rel) => (-rel, id) }.take(20)
+    val sim = (for { (a, _) <- cand; (b, _) <- cand if a != b }
+      yield ((a, b), r(cos(em(a), em(b)), 4))).toMap
+    var picked = Vector.empty[Long]
+    val exp = (1 to 10).map { k =>
+      val scored = cand.filterNot(c => picked.contains(c._1))
+        .map { case (id, rel) =>
+          val ms = if (picked.isEmpty) 0.0
+                   else picked.map(p => sim((id, p))).max
+          (id, r(0.5 * rel - 0.5 * ms, 6), rel)
+        }
+      val (id, sc, rel) = scored.sortBy(x => (-x._2, x._1)).head
+      picked :+= id
+      (k.toLong, id, sc, rel)
+    }
+    val got = q("q322_mmr_rerank")
+      .as[(Long, Long, Double, Double)].collect().toSeq.sortBy(_._1)
+    assert(got == exp)
+    // step 1 is the pure-relevance argmax (MMR's declared base case)
+    assert(got.head._2 == cand.head._1)
+  }
+
   test("q321 final look reproduces q159's fixed-horizon readout") {
     val rows = q("q321_sequential_ab").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
