@@ -382,6 +382,58 @@ object AggregateOps extends OpModule {
         .orderBy("type_a", "type_b")
     },
 
+    // Count-min frequency-sketch artifact (added r13) — the THIRD
+    // mergeable-summary tier next to q110 (cardinality / HLL) and
+    // q128 (quantiles / KLL), covering the remaining summary a
+    // pipeline persists: point FREQUENCY estimates (Cormode &
+    // Muthukrishnan 2005). Unlike those two it is fully ● — a CMS is
+    // DETERMINISTIC given its hash family (md5-derived row hashes,
+    // spelled identically in both engines), so DuckDB replays every
+    // cell and every estimate to the bit. Shape: depth 4 × width 64;
+    // the per-day artifact rows (day, dd, j, cnt) persist bucketed
+    // (BucketedCache, the daily-job contract) and MERGE BY ADDITION
+    // across any day range — the CMS merge law, same associativity
+    // that makes q131's rollup incremental; a point query reads
+    // |depth| cells and takes the min, never the facts. Report: the
+    // 10 hottest users' exact counts vs merged-sketch estimates —
+    // est ≥ exact ALWAYS (one-sided error; spec-asserted corpus-wide),
+    // the overcount column showing the collision error a 64-wide
+    // sketch absorbs at this key density. At 100 TB the artifact is
+    // |days|×256 rows regardless of event volume; the exact side of
+    // the report is the attestation (a q214-style recall check), not
+    // the serving path.
+    "q323_cms_artifact" -> { (s, d) =>
+      def cell(dd: org.apache.spark.sql.Column,
+               key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        (conv(substring(md5(concat(dd.cast("string"), lit(":"),
+                                   key.cast("string"))), 1, 8),
+              16, 10).cast("long") % 64).as("j")
+      val idxT = graft.BucketedCache.ensure(s, d, "cmsidx",
+          "day DATE, dd INT, j BIGINT, cnt BIGINT", "dd", 4)(
+        Tables(s, d, "events")
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+          .select(col("day"), explode(sequence(lit(0), lit(3))).as("dd"),
+                  col("user_id"))
+          .select(col("day"), col("dd"), cell(col("dd"), col("user_id")))
+          .groupBy("day", "dd", "j").agg(count(lit(1)).as("cnt")))
+      val merged = s.table(idxT).groupBy("dd", "j")
+        .agg(sum(col("cnt")).as("cnt"))
+      val hot = Tables(s, d, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("user_id")).limit(10)
+      hot
+        .select(col("user_id"), col("exact_cnt"),
+                explode(sequence(lit(0), lit(3))).as("dd"))
+        .select(col("user_id"), col("exact_cnt"), col("dd"),
+                cell(col("dd"), col("user_id")))
+        .join(broadcast(merged), Seq("dd", "j"))
+        .groupBy("user_id", "exact_cnt")
+        .agg(min(col("cnt")).as("cms_est"))
+        .select(col("user_id"), col("exact_cnt"), col("cms_est"),
+                (col("cms_est") - col("exact_cnt")).as("overcount"))
+        .orderBy(col("exact_cnt").desc, col("user_id"))
+    },
+
     // Incremental materialized-view maintenance (added r10) — the
     // EXACT-aggregate sibling of the q110/q128 sketch artifacts and
     // the q76/q99 batch-vs-index discipline applied to ROLLUPS: a
@@ -599,6 +651,30 @@ object AggregateOps extends OpModule {
         |  p.users_a - coalesce(b.users_both, 0) AS users_a_only
         |FROM p LEFT JOIN b ON p.type_a = b.type_a AND p.type_b = b.type_b
         |ORDER BY 1, 2""".stripMargin,
+
+    // the artifact must be invisible: identical md5 hash family, full
+    // cell recompute from the facts, same min-over-depth estimates
+    "q323_cms_artifact" ->
+      """WITH dep AS (SELECT unnest([0, 1, 2, 3]) AS dd),
+        |cells AS (
+        |  SELECT CAST(ts AS DATE) AS day, dd,
+        |    CAST(('0x' || substr(md5(CAST(dd AS VARCHAR) || ':' ||
+        |      CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS j,
+        |    count(*) AS cnt
+        |  FROM events, dep GROUP BY 1, 2, 3),
+        |merged AS (SELECT dd, j, CAST(sum(cnt) AS BIGINT) AS cnt
+        |  FROM cells GROUP BY 1, 2),
+        |hot AS (SELECT user_id, count(*) AS exact_cnt FROM events
+        |  GROUP BY 1 ORDER BY exact_cnt DESC, user_id LIMIT 10),
+        |probe AS (SELECT h.user_id, h.exact_cnt, dep.dd,
+        |    CAST(('0x' || substr(md5(CAST(dep.dd AS VARCHAR) || ':' ||
+        |      CAST(h.user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS j
+        |  FROM hot h, dep)
+        |SELECT p.user_id, p.exact_cnt, min(m.cnt) AS cms_est,
+        |  min(m.cnt) - p.exact_cnt AS overcount
+        |FROM probe p JOIN merged m ON p.dd = m.dd AND p.j = m.j
+        |GROUP BY 1, 2
+        |ORDER BY exact_cnt DESC, user_id""".stripMargin,
 
     // the artifact must be invisible: full recompute from the facts,
     // same per-day exact decimal sums merged to per-type totals

@@ -3725,6 +3725,30 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("q323 CMS one-sided error holds corpus-wide; report matches in-memory sketch") {
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id")).as[Long].collect()
+    def h(dd: Int, u: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dd:$u".getBytes("UTF-8"))
+      val hex = md.take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 64).toInt
+    }
+    val cells = Array.fill(4, 64)(0L)
+    ev.foreach(u => (0 to 3).foreach(dd => cells(dd)(h(dd, u)) += 1))
+    val exact = ev.groupBy(identity)
+      .map { case (u, a) => (u, a.length.toLong) }
+    def est(u: Long): Long = (0 to 3).map(dd => cells(dd)(h(dd, u))).min
+    // the CMS guarantee: estimate ≥ exact for EVERY key, not just the
+    // reported hot set
+    exact.foreach { case (u, c) => assert(est(u) >= c, s"user $u") }
+    val want = exact.toSeq.sortBy { case (u, c) => (-c, u) }.take(10)
+      .map { case (u, c) => (u, c, est(u), est(u) - c) }
+    val got = q("q323_cms_artifact")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+  }
+
   test("q322 MMR greedy chain matches in-memory recomputation") {
     def r(d: Double, s: Int): Double =
       java.math.BigDecimal.valueOf(d)
