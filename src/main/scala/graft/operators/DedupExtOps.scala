@@ -114,6 +114,70 @@ object DedupExtOps extends OpModule {
         .orderBy("id_a", "id_b")
     },
 
+    // EXACT set-similarity join via prefix filtering (added r13) —
+    // AllPairs (Bayardo, Ma & Srikant, WWW 2007), the algorithm that
+    // closes the gap q46 leaves open: MinHash-LSH is probabilistic
+    // (recall < 1 by design), while the prefix filter finds EVERY pair
+    // with Jaccard ≥ t over the exact shingle sets and still never
+    // goes corpus-quadratic. The theorem: order every doc's shingles
+    // by one GLOBAL total order (df asc, shingle — rarest first) and
+    // keep only the first |T| − ceil(t·|T|) + 1 as its PREFIX; two
+    // docs with Jaccard ≥ t MUST share a prefix shingle (if all
+    // prefix elements differ, the overlap is bounded below t). So
+    // candidates = join on prefix shingles only — and those postings
+    // are the RAREST tokens' postings, the filter's own bound. Plus
+    // the length filter (10·min(n) ≥ 6·max(n): Jaccard ≤ min/max) and
+    // the q46 HotBucketCap on prefix postings (boilerplate guard;
+    // max posting at every test SF is 3 — a semantic no-op, so the
+    // full-join oracle stays exact: TWO algorithms, ONE pair set,
+    // the q289 discipline). Verification joins candidates back to the
+    // full shingle sets for exact intersection counts; jac_ppm is the
+    // q129 integer fixed-point. Shuffles: shingle stream keyed twice
+    // (df-by-shingle, rank-by-doc), candidate join on prefix shingle,
+    // verify join on doc keys — all narrow, none corpus-quadratic.
+    "q324_setsim_prefix" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      def pin(df: DataFrame) = org.apache.spark.sql.graft.InternalPin.pin(df)
+      val (sh, shh) = pin(Tables(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .where(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          """array_distinct(transform(sequence(0, size(ws) - 3),
+            |  i -> concat_ws(' ', element_at(ws, i + 1),
+            |    element_at(ws, i + 2), element_at(ws, i + 3))))"""
+            .stripMargin)).as("t")))
+      shh.count(); graft.PinScope.retain(shh)
+      val pref = sh
+        .withColumn("df", count(lit(1)).over(W.partitionBy("t")))
+        .withColumn("n", count(lit(1)).over(W.partitionBy("doc_id")))
+        .withColumn("r", row_number().over(
+          W.partitionBy("doc_id").orderBy(col("df"), col("t"))))
+        .where(col("r") <= col("n") - expr("(6 * n + 9) DIV 10") + 1)
+        .withColumn("pn", count(lit(1)).over(W.partitionBy("t")))
+        .where(col("pn") <= HotBucketCap)
+        .select(col("doc_id"), col("t"), col("n"))
+      val cand = pref.select(col("t"), col("doc_id").as("id_a"),
+                             col("n").as("na"))
+        .join(pref.select(col("t"), col("doc_id").as("id_b"),
+                          col("n").as("nb")), Seq("t"))
+        .where(col("id_a") < col("id_b") &&
+               lit(10) * least(col("na"), col("nb")) >=
+                 lit(6) * greatest(col("na"), col("nb")))
+        .select("id_a", "id_b", "na", "nb").distinct()
+      cand
+        .join(sh.select(col("doc_id").as("id_a"), col("t")), Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("t")),
+              Seq("id_b", "t"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(count(lit(1)).as("inter_sh"))
+        .withColumn("union_sh", col("na") + col("nb") - col("inter_sh"))
+        .where(lit(10) * col("inter_sh") >= lit(6) * col("union_sh"))
+        .select(col("id_a"), col("id_b"), col("inter_sh"),
+                col("union_sh"),
+                expr("(1000000 * inter_sh) DIV union_sh").as("jac_ppm"))
+        .orderBy("id_a", "id_b")
+    },
+
     // 16-bit SimHash from the first 4 md5 nibbles of each token; output
     // one row per doc with its fingerprint and fingerprint-bucket size.
     "q47_dedup_simhash" -> { (s, d) =>
@@ -1577,6 +1641,31 @@ object DedupExtOps extends OpModule {
         |    AS jaccard
         |FROM dir WHERE inter * 10 >= nsmall * 9
         |ORDER BY id_small, id_big""".stripMargin,
+
+    // the INDEPENDENT algorithm: full all-token intersection join with
+    // no prefix filter, no length filter, no cap — two algorithms,
+    // one pair set (the q289 discipline)
+    "q324_setsim_prefix" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+        |        FROM w WHERE len(ws) >= 3),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS t
+        |       FROM idx),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    count(*) AS inter_sh
+        |  FROM sh a JOIN sh b ON a.t = b.t AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (SELECT id_a, id_b, inter_sh,
+        |    za.n + zb.n - inter_sh AS union_sh, za.n AS na, zb.n AS nb
+        |  FROM inter JOIN sz za ON id_a = za.doc_id
+        |             JOIN sz zb ON id_b = zb.doc_id)
+        |SELECT id_a, id_b, inter_sh, union_sh,
+        |  (1000000 * inter_sh) // union_sh AS jac_ppm
+        |FROM j WHERE 10 * inter_sh >= 6 * union_sh
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q46_dedup_minhash" ->
       s"""$minhashCte

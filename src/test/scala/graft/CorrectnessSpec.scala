@@ -3725,6 +3725,37 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("q324 prefix filter finds every Jaccard>=0.6 pair; posting cap is a no-op") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val sets = docs.map { case (id, tx) =>
+      val ws = tx.split(" ")
+      (id, ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet)
+    }.filter(_._2.nonEmpty)
+    // brute-force exact all-pairs (the algorithm-independent truth)
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size.toLong
+      uni = sa.size + sb.size - inter
+      if 10 * inter >= 6 * uni
+    } yield (a, b, inter, uni, 1000000L * inter / uni))
+      .sortBy(p => (p._1, p._2)).toSeq
+    val got = q("q324_setsim_prefix")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // the q46 cap discipline: assert (not just measure) that the
+    // hot-posting cap cannot fire at this SF — prefix postings stay
+    // far under HotBucketCap, so the declared query IS the exact join
+    val df = sets.flatMap(_._2).groupBy(identity)
+      .map { case (t, a) => (t, a.length) }
+    val maxPosting = sets.flatMap { case (id, ts) =>
+      val n = ts.size
+      val p = n - ((6 * n + 9) / 10) + 1
+      ts.toSeq.sortBy(t => (df(t), t)).take(p)
+    }.groupBy(identity).values.map(_.length).max
+    assert(maxPosting <= 64, s"prefix posting $maxPosting exceeds cap")
+  }
+
   test("q323 CMS one-sided error holds corpus-wide; report matches in-memory sketch") {
     val ev = Tables(spark, sf, "events")
       .select(col("user_id")).as[Long].collect()
