@@ -127,6 +127,34 @@ object StatsModelOps extends OpModule {
         "AS r2"
   }
 
+  /** q325's closed-form 2×2 per-user ALS solve (ridge normal
+    * equations over the fixed item-factor matrix). Same shared-string
+    * discipline as [[RidgeSolve]]: the strings are selectExpr'd in
+    * Spark and interpolated into the DuckDB oracle, so both engines
+    * run the identical fixed-order IEEE chain over identical
+    * exact-integer-cast operands. λ rides the two diagonal entries. */
+  private object AlsSolve {
+    val lambda = 10000
+    val castExprs: Seq[String] = Seq(
+      s"CAST(s11 + $lambda AS DOUBLE) AS a11",
+      "CAST(s12 AS DOUBLE) AS a12",
+      s"CAST(s22 + $lambda AS DOUBLE) AS a22",
+      "CAST(sr1 AS DOUBLE) AS b1", "CAST(sr2 AS DOUBLE) AS b2",
+      "CAST(s11 AS DOUBLE) AS s11d", "CAST(s12 AS DOUBLE) AS s12d",
+      "CAST(s22 AS DOUBLE) AS s22d", "CAST(srr AS DOUBLE) AS srrd",
+      "CAST(n_items AS DOUBLE) AS nd")
+    val solveExprs: Seq[String] = Seq(
+      "a11*a22 - a12*a12 AS det",
+      "round((b1*a22 - a12*b2) / (a11*a22 - a12*a12), 6) AS p1",
+      "round((a11*b2 - b1*a12) / (a11*a22 - a12*a12), 6) AS p2")
+    // train RMSE from the same sufficient statistics (residual sum
+    // expands in the UNPENALIZED Gram entries), using the rounded p's
+    val rmseExpr: String =
+      "round(sqrt(greatest((srrd - 2.0*(p1*b1 + p2*b2) + " +
+        "(p1*p1*s11d + 2.0*p1*p2*s12d + p2*p2*s22d)) / nd, 0.0)), 6) " +
+        "AS train_rmse"
+  }
+
   /** One gradient-descent round of q310's logistic trainer (σ fold →
     * exact-integer gradient → weight update → post-update log-loss),
     * reading the cell table `cells` (x1, x2, n, sy exact ints) and the
@@ -284,6 +312,50 @@ object StatsModelOps extends OpModule {
         .selectExpr("flag", "n", "w0 AS intercept", "w1 AS w_qty",
                     "w2 AS w_disc_cents", RidgeSolve.r2Expr)
         .orderBy("flag")
+    },
+
+    // One ALS half-step (added r13) — the collaborative-filtering
+    // trainer kernel (Hu, Koren & Volinsky 2008; Zhou et al. 2008):
+    // with item factors held fixed, every user's factor vector is an
+    // INDEPENDENT 2×2 ridge solve — p_u = (Σ q_i q_iᵀ + λI)⁻¹ Σ r q_i
+    // over that user's ratings — which is why ALS is THE factor model
+    // that scales: at 100 TB the "training step" is millions of
+    // per-key closed-form solves behind ONE user-keyed aggregation
+    // (the q304 cell-collapse discipline fanned out per key; the
+    // alternating half-step is this exact shape keyed by item).
+    // Ratings = orders⋈lineitem (o_custkey, l_partkey, quantity) on
+    // the un-hinted q210 fact-join discipline; item factors are the
+    // deterministic integer-arithmetic matrix ((p·37)%97, (p·61+13)%89
+    // — the q178 trained-model stand-in, engine-identical), so Gram/
+    // rhs stats fold as EXACT decimals and [[AlsSolve]]'s shared
+    // strings run the identical IEEE solve in both engines; train
+    // RMSE expands in the same sufficient statistics with the ROUNDED
+    // p's (the RidgeSolve r² discipline). Report: the 20 heaviest
+    // users' factors + fit.
+    "q325_als_user_step" -> { (s, dir) =>
+      val f = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables(s, dir, "lineitem")
+                .select(col("l_orderkey"), col("l_partkey"),
+                        col("l_quantity").cast("long").as("r")),
+              col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("custkey"),
+                expr("(CAST(l_partkey AS BIGINT) * 37) % 97").as("q1"),
+                expr("(CAST(l_partkey AS BIGINT) * 61 + 13) % 89")
+                  .as("q2"),
+                col("r"))
+      val st = f.groupBy("custkey").agg(
+        count(lit(1)).as("n_items"),
+        sum(col("q1").cast("decimal(38,0)") * col("q1")).as("s11"),
+        sum(col("q1").cast("decimal(38,0)") * col("q2")).as("s12"),
+        sum(col("q2").cast("decimal(38,0)") * col("q2")).as("s22"),
+        sum(col("r").cast("decimal(38,0)") * col("q1")).as("sr1"),
+        sum(col("r").cast("decimal(38,0)") * col("q2")).as("sr2"),
+        sum(col("r").cast("decimal(38,0)") * col("r")).as("srr"))
+      st.selectExpr("custkey" +: "n_items" +: AlsSolve.castExprs: _*)
+        .selectExpr("*" +: AlsSolve.solveExprs: _*)
+        .selectExpr("custkey", "n_items", "p1", "p2", AlsSolve.rmseExpr)
+        .orderBy(col("n_items").desc, col("custkey")).limit(20)
     },
 
     // Split-conformal prediction intervals (added r13) — the
@@ -2625,6 +2697,29 @@ object StatsModelOps extends OpModule {
          |      UNION ALL SELECT * FROM out3 UNION ALL SELECT * FROM out4
          |      UNION ALL SELECT * FROM out5 UNION ALL SELECT * FROM out6)
          |ORDER BY gd_round""".stripMargin,
+
+    // identical item-factor arithmetic, identical decimal folds, then
+    // AlsSolve's shared strings verbatim
+    "q325_als_user_step" ->
+      s"""WITH f AS (SELECT o_custkey AS custkey,
+         |    (CAST(l_partkey AS BIGINT) * 37) % 97 AS q1,
+         |    (CAST(l_partkey AS BIGINT) * 61 + 13) % 89 AS q2,
+         |    CAST(l_quantity AS BIGINT) AS r
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |st AS (SELECT custkey, count(*) AS n_items,
+         |    sum(CAST(q1 AS DECIMAL(38,0)) * q1) AS s11,
+         |    sum(CAST(q1 AS DECIMAL(38,0)) * q2) AS s12,
+         |    sum(CAST(q2 AS DECIMAL(38,0)) * q2) AS s22,
+         |    sum(CAST(r AS DECIMAL(38,0)) * q1) AS sr1,
+         |    sum(CAST(r AS DECIMAL(38,0)) * q2) AS sr2,
+         |    sum(CAST(r AS DECIMAL(38,0)) * r) AS srr
+         |  FROM f GROUP BY custkey),
+         |c AS (SELECT custkey, n_items,
+         |    ${AlsSolve.castExprs.mkString(",\n    ")} FROM st),
+         |sol AS (SELECT *,
+         |    ${AlsSolve.solveExprs.mkString(",\n    ")} FROM c)
+         |SELECT custkey, n_items, p1, p2, ${AlsSolve.rmseExpr}
+         |FROM sol ORDER BY n_items DESC, custkey LIMIT 20""".stripMargin,
 
     "q304_ridge_regression" ->
       s"""WITH li AS (

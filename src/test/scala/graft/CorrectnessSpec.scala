@@ -3725,6 +3725,58 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("q325 ALS solve matches in-memory normal equations and is the ridge argmin") {
+    def r6(d: Double): Double = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val rows = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables(spark, sf, "lineitem")
+              .select(col("l_orderkey"), col("l_partkey"),
+                      col("l_quantity").cast("long")),
+            col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").cast("long"), col("l_partkey").cast("long"),
+              col("l_quantity").cast("long"))
+      .as[(Long, Long, Long)].collect()
+    case class St(var n: Long = 0, var s11: Long = 0, var s12: Long = 0,
+                  var s22: Long = 0, var sr1: Long = 0, var sr2: Long = 0,
+                  var srr: Long = 0)
+    val m = scala.collection.mutable.HashMap.empty[Long, St]
+    rows.foreach { case (u, p, r) =>
+      val q1 = (p * 37) % 97; val q2 = (p * 61 + 13) % 89
+      val st = m.getOrElseUpdate(u, St())
+      st.n += 1; st.s11 += q1 * q1; st.s12 += q1 * q2; st.s22 += q2 * q2
+      st.sr1 += r * q1; st.sr2 += r * q2; st.srr += r * r
+    }
+    def solve(st: St): (Double, Double, Double) = {
+      val a11 = (st.s11 + 10000).toDouble; val a12 = st.s12.toDouble
+      val a22 = (st.s22 + 10000).toDouble
+      val b1 = st.sr1.toDouble; val b2 = st.sr2.toDouble
+      val det = a11 * a22 - a12 * a12
+      val p1 = r6((b1 * a22 - a12 * b2) / det)
+      val p2 = r6((a11 * b2 - b1 * a12) / det)
+      val res = st.srr.toDouble - 2.0 * (p1 * b1 + p2 * b2) +
+        (p1 * p1 * st.s11.toDouble + 2.0 * p1 * p2 * st.s12.toDouble +
+         p2 * p2 * st.s22.toDouble)
+      (p1, p2, r6(math.sqrt(math.max(res / st.n.toDouble, 0.0))))
+    }
+    val want = m.toSeq.sortBy { case (u, st) => (-st.n, u) }.take(20)
+      .map { case (u, st) =>
+        val (p1, p2, rm) = solve(st); (u, st.n, p1, p2, rm) }
+    val got = q("q325_als_user_step")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == want)
+    // the solution minimizes the PENALIZED objective: any ±1e-3
+    // perturbation of the top user's factors scores no better
+    val st0 = m(want.head._1)
+    def j(p1: Double, p2: Double): Double =
+      st0.srr - 2.0 * (p1 * st0.sr1 + p2 * st0.sr2) +
+        p1 * p1 * st0.s11 + 2.0 * p1 * p2 * st0.s12 + p2 * p2 * st0.s22 +
+        10000.0 * (p1 * p1 + p2 * p2)
+    val (bp1, bp2) = (want.head._3, want.head._4)
+    for (d1 <- Seq(-1e-3, 0.0, 1e-3); d2 <- Seq(-1e-3, 0.0, 1e-3))
+      assert(j(bp1, bp2) <= j(bp1 + d1, bp2 + d2) + 1e-9)
+  }
+
   test("q324 prefix filter finds every Jaccard>=0.6 pair; posting cap is a no-op") {
     val docs = Tables(spark, sf, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)].collect()
