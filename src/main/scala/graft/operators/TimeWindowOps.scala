@@ -808,6 +808,69 @@ object TimeWindowOps extends OpModule {
                       6).as("chi2"))
     },
 
+    // Cox proportional-hazards fit (added r13) — the survival
+    // family's MODEL tier: q237 draws the curve, q248 tests the arms,
+    // this ESTIMATES the effect size — the log hazard ratio β of the
+    // q248 arm split, by Newton–Raphson on the Breslow partial
+    // likelihood ℓ(β) = Σ_t [d1·β − d·ln(n0 + e^β·n1)] (Cox 1972;
+    // Breslow ties). For ONE binary covariate every Newton quantity
+    // is a fold over the SAME ≤|event-days| step table q248 builds
+    // (per step: deaths d, arm-1 deaths d1, at-risk n0/n1) — the
+    // 100 TB cost is the one kmLife fact scan; three staged rounds of
+    // [[coxRound]]'s shared text (score U = Σ[d1 − d·p], information
+    // I = Σ d·p(1−p) with p = e^β n1/(n0+e^β n1), update β += U/I,
+    // per-term round 6 into order-free decimal sums — the q248
+    // discipline; β rounds 6 between rounds, the q310 staging). The
+    // score at β=0 is ALGEBRAICALLY the log-rank O−E (the score-test
+    // identity — this fit and q248 are the same statistic to first
+    // order), and the partial likelihood is concave in β, so the
+    // round-over-round ascent (to within the |steps|·1e-6 per-term
+    // rounding budget) + dead-score convergence the spec asserts are
+    // the estimator's own guarantees. Output: per round, β, the
+    // hazard ratio e^β, and ℓ(β).
+    "q326_cox_hazard" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val life = kmLife(s, d)
+        .withColumn("a1",
+          when(substring(md5(col("user_id").cast("string")), 1, 1) <= "7",
+               0L).otherwise(1L))
+      val wLess = W.orderBy("dur")
+        .rowsBetween(W.unboundedPreceding, -1)
+      val wAll = W.partitionBy(lit(1))
+      val (steps, sh) = org.apache.spark.sql.graft.InternalPin.pin(
+        life.groupBy("dur")
+          .agg(count(lit(1)).as("ct"), sum("death").as("dth"),
+               sum("a1").as("ct1"),
+               sum(col("death") * col("a1")).as("dth1"))
+          .withColumn("total", sum("ct").over(wAll))
+          .withColumn("total1", sum("ct1").over(wAll))
+          .withColumn("cless", coalesce(sum("ct").over(wLess), lit(0L)))
+          .withColumn("cless1", coalesce(sum("ct1").over(wLess), lit(0L)))
+          .where(col("dth") > 0)
+          .select(col("dth"), col("dth1"),
+                  (col("total") - col("cless") -
+                   (col("total1") - col("cless1"))).as("n0"),
+                  (col("total1") - col("cless1")).as("n1")))
+      sh.count(); graft.PinScope.retain(sh)
+      steps.createOrReplaceTempView("graft_cox_steps")
+      s.sql("SELECT CAST(0.0 AS DOUBLE) AS b")
+        .createOrReplaceTempView("graft_cox_b0")
+      val outs = (1 to 3).map { k =>
+        val out = s.sql(
+          "WITH " + coxRound(k, "graft_cox_steps", s"graft_cox_b${k - 1}") +
+          s" SELECT * FROM out$k")
+        val (op, oh) = org.apache.spark.sql.graft.InternalPin.pin(out)
+        oh.count(); graft.PinScope.retain(oh)
+        op.select(col("beta").as("b"))
+          .createOrReplaceTempView(s"graft_cox_b$k")
+        op
+      }
+      outs.reduce(_.union(_))
+        .select(col("cox_round").cast("long").as("cox_round"),
+                col("beta"), col("hazard_ratio"), col("loglik"))
+        .orderBy("cox_round")
+    },
+
     // Weekday seasonal index (added r12) — the decomposition step
     // between q161's "is there weekly structure?" screen and any
     // deseasonalized model: per weekday, the ratio of daily revenue to
@@ -1251,6 +1314,49 @@ object TimeWindowOps extends OpModule {
           .otherwise(expr("(cut_us - first_us) div 86400000000")))
   }
 
+  /** ONE Newton round of q326's Cox partial-likelihood fit, reading
+    * the step table `steps` (dth, dth1, n0, n1 — exact integers) and
+    * the previous round's 1-row β table `prev` (column b, rounded 6).
+    * The SAME text serves the oracle's unrolled chain and Spark's
+    * staged execution (prev = the prior round's pinned view — the
+    * q310 discipline). Per-step score/information/log-likelihood
+    * terms round 6 dp into order-free decimal sums (the q248
+    * discipline, which also absorbs any last-ulp exp/ln divergence
+    * between engines); p and 1−p are written as explicit fixed-order
+    * quotients so both engines run the identical IEEE chain. */
+  private def coxRound(k: Int, steps: String, prev: String): String =
+    s"""tm$k AS (SELECT
+       |    round(CAST(dth1 AS DOUBLE) -
+       |          CAST(dth AS DOUBLE) * (exp(p.b) * CAST(n1 AS DOUBLE)) /
+       |          (CAST(n0 AS DOUBLE) + exp(p.b) * CAST(n1 AS DOUBLE)),
+       |          6) AS u_t,
+       |    round(CAST(dth AS DOUBLE) *
+       |          ((exp(p.b) * CAST(n1 AS DOUBLE)) /
+       |           (CAST(n0 AS DOUBLE) + exp(p.b) * CAST(n1 AS DOUBLE))) *
+       |          (CAST(n0 AS DOUBLE) /
+       |           (CAST(n0 AS DOUBLE) + exp(p.b) * CAST(n1 AS DOUBLE))),
+       |          6) AS i_t
+       |  FROM $steps, $prev p),
+       |ag$k AS (SELECT
+       |    CAST(sum(CAST(u_t AS DECIMAL(28,6))) AS DOUBLE) AS u,
+       |    CAST(sum(CAST(i_t AS DECIMAL(28,6))) AS DOUBLE) AS i
+       |  FROM tm$k),
+       |bu$k AS (SELECT round(p.b + a.u / a.i, 6) AS b
+       |  FROM $prev p, ag$k a),
+       |lt$k AS (SELECT
+       |    round(CAST(dth1 AS DOUBLE) * nb.b -
+       |          CAST(dth AS DOUBLE) *
+       |          ln(CAST(n0 AS DOUBLE) + exp(nb.b) * CAST(n1 AS DOUBLE)),
+       |          6) AS l_t
+       |  FROM $steps, bu$k nb),
+       |sl$k AS (SELECT
+       |    CAST(sum(CAST(l_t AS DECIMAL(28,6))) AS DOUBLE) AS sll
+       |  FROM lt$k),
+       |out$k AS (SELECT $k AS cox_round, nb.b AS beta,
+       |    round(exp(nb.b), 6) AS hazard_ratio,
+       |    round(s.sll, 6) AS loglik
+       |  FROM bu$k nb, sl$k s)""".stripMargin
+
   /** Gap-based sessionization shared by q38 (batch, 30-min default) and
     * q80_stream_sessionize (streaming): ONE definition is what makes
     * their bit-parity structural rather than copy-discipline. Works on
@@ -1349,6 +1455,53 @@ object TimeWindowOps extends OpModule {
         |  CAST(st.deaths AS BIGINT) AS deaths, round(s.sv, 6) AS surv
         |FROM surv s JOIN steps st ON st.k = s.k
         |ORDER BY st.t_day""".stripMargin,
+
+    // identical lifetimes + arm split + step table, then coxRound's
+    // shared text unrolled through the bu0..bu3 chain
+    "q326_cox_hazard" ->
+      s"""WITH u AS (
+         |  SELECT user_id, min(epoch_us(ts)) AS first_us,
+         |    min(CASE WHEN event_type = 'purchase'
+         |              AND CAST(json_extract_string(props, '$$.k')
+         |                       AS BIGINT) < 5
+         |             THEN epoch_us(ts) END) AS p_us,
+         |    max(epoch_us(ts)) AS last_us
+         |  FROM events GROUP BY user_id),
+         |cut AS (SELECT max(last_us) AS cut_us FROM u),
+         |life AS (
+         |  SELECT CASE WHEN p_us IS NOT NULL THEN 1 ELSE 0 END AS death,
+         |    CASE WHEN p_us IS NOT NULL
+         |         THEN (p_us - first_us) // 86400000000
+         |         ELSE (cut_us - first_us) // 86400000000 END AS dur,
+         |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+         |         THEN 0 ELSE 1 END AS a1
+         |  FROM u CROSS JOIN cut),
+         |vg AS (SELECT dur, count(*) AS ct, sum(death) AS dth,
+         |         sum(a1) AS ct1, sum(death * a1) AS dth1
+         |       FROM life GROUP BY dur),
+         |st AS (SELECT dth, dth1,
+         |    sum(ct) OVER () AS total,
+         |    sum(ct1) OVER () AS total1,
+         |    coalesce(sum(ct) OVER (ORDER BY dur
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cless,
+         |    coalesce(sum(ct1) OVER (ORDER BY dur
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cless1
+         |  FROM vg),
+         |sp AS MATERIALIZED (SELECT dth, dth1,
+         |    (total - cless) - (total1 - cless1) AS n0,
+         |    total1 - cless1 AS n1
+         |  FROM st WHERE dth > 0),
+         |b0 AS (SELECT CAST(0.0 AS DOUBLE) AS b),
+         |${coxRound(1, "sp", "b0")},
+         |${coxRound(2, "sp", "bu1")},
+         |${coxRound(3, "sp", "bu2")}
+         |SELECT CAST(cox_round AS BIGINT) AS cox_round, beta,
+         |  hazard_ratio, loglik
+         |FROM (SELECT * FROM out1 UNION ALL SELECT * FROM out2
+         |      UNION ALL SELECT * FROM out3)
+         |ORDER BY cox_round""".stripMargin,
 
     // identical lifetimes + arm split; per-step hypergeometric e/v
     // terms rounded 6 dp into order-free decimal sums, same operand

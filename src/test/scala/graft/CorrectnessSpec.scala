@@ -3725,6 +3725,72 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("q326 Cox fit matches in-memory Newton; loglik ascends; score converges") {
+    def r6(d: Double): Double = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def nib(id: Long): Char = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      "%x".format((md(0) >> 4) & 0xf).head
+    }
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")),
+              col("event_type"),
+              get_json_object(col("props"), "$.k").cast("long"))
+      .as[(Long, Long, String, Option[Long])].collect()
+    val cut = ev.map(_._2).max
+    val lives = ev.groupBy(_._1).toSeq.map { case (u, rows) =>
+      val first = rows.map(_._2).min
+      val p = rows.filter(r => r._3 == "purchase" && r._4.exists(_ < 5))
+        .map(_._2).minOption
+      val death = if (p.isDefined) 1L else 0L
+      val dur = (p.getOrElse(cut) - first) / 86400000000L
+      val a1 = if (nib(u) <= '7') 0L else 1L
+      (death, dur, a1)
+    }
+    // step table: per distinct event day, deaths and per-arm at-risk
+    val steps = lives.groupBy(_._2).toSeq
+      .map { case (dur, g) =>
+        val dth = g.map(_._1).sum
+        val dth1 = g.filter(_._3 == 1L).map(_._1).sum
+        val n = lives.count(_._2 >= dur).toLong
+        val n1 = lives.count(l => l._2 >= dur && l._3 == 1L).toLong
+        (dur, dth, dth1, n - n1, n1)
+      }.filter(_._2 > 0).sortBy(_._1)
+    def decSum(xs: Seq[Double]): Double =
+      xs.map(x => java.math.BigDecimal.valueOf(x).setScale(6))
+        .foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue()
+    var b = 0.0
+    val want = (1 to 3).map { k =>
+      val eb = math.exp(b)
+      val u = decSum(steps.map { case (_, dth, dth1, n0, n1) =>
+        r6(dth1 - dth * (eb * n1) / (n0 + eb * n1)) })
+      val i = decSum(steps.map { case (_, dth, _, n0, n1) =>
+        r6(dth * ((eb * n1) / (n0 + eb * n1)) *
+           (n0 / (n0 + eb * n1))) })
+      b = r6(b + u / i)
+      val nb = math.exp(b)
+      val ll = r6(decSum(steps.map { case (_, dth, dth1, n0, n1) =>
+        r6(dth1 * b - dth * math.log(n0 + nb * n1)) }))
+      (k.toLong, b, r6(nb), ll)
+    }
+    val got = q("q326_cox_hazard")
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    assert(got == want)
+    // the partial likelihood is concave — Newton from 0 must ascend
+    // up to the declared rounding budget: each reported ℓ is a sum of
+    // |steps| per-term 6-dp roundings, so converged rounds may jitter
+    // by ~steps·1e-6 (observed: −318.042000 → −318.042002 at sf0.01)
+    val budget = steps.size * 1e-6
+    assert(got.map(_._4).sliding(2).forall(p => p(1) >= p(0) - budget),
+           s"loglik not ascending beyond rounding budget: ${got.map(_._4)}")
+    // converged: the score at the final beta is numerically dead
+    val ebF = math.exp(got.last._2)
+    val uF = decSum(steps.map { case (_, dth, dth1, n0, n1) =>
+      r6(dth1 - dth * (ebF * n1) / (n0 + ebF * n1)) })
+    assert(math.abs(uF) < 1e-2, s"score $uF at final beta")
+  }
+
   test("q325 ALS solve matches in-memory normal equations and is the ridge argmin") {
     def r6(d: Double): Double = java.math.BigDecimal.valueOf(d)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
