@@ -582,6 +582,52 @@ object DedupExtOps extends OpModule {
     // (edges⋈ranks) + one sum-agg — the q82 fixpoint's primitives
     // with a fixed round count, so no pinning is needed and the plan
     // stays a 5-deep join tree.
+    // k-core peel (added r13) — the graph family's DENSITY filter
+    // next to q115's centrality and q182's communities: the 2-core of
+    // the LSH candidate graph (iteratively remove nodes with fewer
+    // than 2 surviving neighbors) separates docs embedded in DENSE
+    // near-dup structure from pendant one-edge coincidences — in a
+    // dedup pipeline the core is where cluster review effort goes
+    // (Seidman 1983; Batagelj–Zaveršnik peel). Declared semantics: a
+    // FOUR-round synchronous peel attestation (q182's fixed-round
+    // discipline) reporting per round how many nodes fell and how
+    // many remain; at every test SF round 4 removes nothing, i.e. the
+    // fixpoint IS reached and the output is the true 2-core
+    // (spec-asserted, plus the core property that every survivor
+    // keeps ≥2 surviving neighbors). Each round = one semi-join of
+    // the pinned edge list against the pinned survivor set + a degree
+    // agg — shuffle-per-round on the edge key, the standard
+    // distributed peel; survivor sets only shrink.
+    "q328_kcore" -> { (s, d) =>
+      def pin(df: DataFrame) = org.apache.spark.sql.graft.InternalPin.pin(df)
+      val pairs = candidatePairs(Tables(s, d, "documents"),
+                                 maxBucket = HotBucketCap)
+      val (edges, eh) = pin(
+        pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+          .unionAll(pairs.select(col("id_b").as("u"),
+                                 col("id_a").as("v"))))
+      eh.count(); graft.PinScope.retain(eh)
+      var alive = edges.select(col("u").as("id")).distinct()
+      val (a0, ah) = pin(alive); ah.count(); graft.PinScope.retain(ah)
+      alive = a0
+      val stats = (1 to 4).map { r =>
+        val deg = edges
+          .join(alive.select(col("id").as("u")), Seq("u"))
+          .join(alive.select(col("id").as("v")), Seq("v"))
+          .groupBy("u").agg(count(lit(1)).as("deg"))
+        val keep = deg.where(col("deg") >= 2).select(col("u").as("id"))
+        val (kp, kh) = pin(keep); kh.count(); graft.PinScope.retain(kh)
+        val stat = alive.agg(count(lit(1)).as("before"))
+          .crossJoin(kp.agg(count(lit(1)).as("after")))
+          .select(lit(r).cast("long").as("peel_round"),
+                  (col("before") - col("after")).as("removed"),
+                  col("after").as("remaining"))
+        alive = kp
+        stat
+      }
+      stats.reduce(_.union(_)).orderBy("peel_round")
+    },
+
     "q115_pagerank" -> { (s, d) =>
       val pairs = candidatePairs(Tables(s, d, "documents"),
                                  maxBucket = HotBucketCap)
@@ -1886,6 +1932,37 @@ object DedupExtOps extends OpModule {
 
     // the 5 fixed-point power-iteration rounds unrolled as CTEs —
     // integer arithmetic only, so the iterative result hash-matches
+    // same LSH candidate graph; synchronous peel unrolled with
+    // MATERIALIZED survivor sets (each is referenced three times)
+    "q328_kcore" -> {
+      val rounds = (1 to 4).map { r =>
+        s"""d$r AS (SELECT e.u, count(*) AS deg
+           |  FROM edges e JOIN a${r - 1} x ON e.u = x.id
+           |               JOIN a${r - 1} y ON e.v = y.id
+           |  GROUP BY e.u),
+           |a$r AS MATERIALIZED (SELECT u AS id FROM d$r WHERE deg >= 2),
+           |s$r AS (SELECT $r AS peel_round,
+           |  (SELECT count(*) FROM a${r - 1}) -
+           |  (SELECT count(*) FROM a$r) AS removed,
+           |  (SELECT count(*) FROM a$r) AS remaining)""".stripMargin
+      }.mkString(",\n")
+      s"""$minhashCte,
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.sig = y.sig
+         |          AND x.doc_id < y.doc_id),
+         |edges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM cand
+         |          UNION ALL SELECT id_b, id_a FROM cand),
+         |a0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM edges),
+         |$rounds
+         |SELECT CAST(peel_round AS BIGINT) AS peel_round,
+         |  CAST(removed AS BIGINT) AS removed,
+         |  CAST(remaining AS BIGINT) AS remaining
+         |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+         |      UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
+         |ORDER BY peel_round""".stripMargin
+    },
+
     "q115_pagerank" -> {
       val rounds = (0 until 5).map { i =>
         s"""c$i AS (SELECT e.v AS id, sum(r$i.r // d.deg) AS sc

@@ -3725,6 +3725,32 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("q328 peel matches in-memory; fixpoint (the true 2-core) reached by round 4") {
+    val edges = operators.DedupExtOps
+      .candidatePairs(Tables(spark, sf, "documents"), 64)
+      .as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    var alive = edges.map(_._1).toSet
+    val series = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    for (r <- 1 to 4) {
+      val deg = edges.filter(e => alive(e._1) && alive(e._2))
+        .groupBy(_._1).map { case (u, es) => (u, es.length) }
+      val keep = alive.filter(u => deg.getOrElse(u, 0) >= 2)
+      series += ((r.toLong, (alive.size - keep.size).toLong,
+                  keep.size.toLong))
+      alive = keep
+    }
+    val got = q("q328_kcore").as[(Long, Long, Long)].collect().toSeq
+    assert(got == series.toSeq)
+    // the declared attestation: round 4 removes nothing, so the peel
+    // has CONVERGED and `remaining` is the true 2-core size
+    assert(got.last._2 == 0L, s"peel not converged by round 4: $got")
+    // core property: every survivor keeps >= 2 surviving neighbors
+    val deg = edges.filter(e => alive(e._1) && alive(e._2))
+      .groupBy(_._1).map { case (u, es) => (u, es.length) }
+    assert(alive.forall(u => deg.getOrElse(u, 0) >= 2))
+  }
+
   test("q326 Cox fit matches in-memory Newton; loglik ascends; score converges") {
     def r6(d: Double): Double = java.math.BigDecimal.valueOf(d)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
