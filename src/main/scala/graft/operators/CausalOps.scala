@@ -561,6 +561,47 @@ object CausalOps extends OpModule {
         .orderBy("class_size")
     },
 
+    // ε-differentially-private count release (added r13) — the
+    // RELEASE step after q293's k-anonymity audit: the histogram a
+    // pipeline may actually publish. Per (market segment, nation)
+    // cell, the customer count plus Laplace(1/ε) noise, ε = 1 —
+    // count queries have sensitivity 1, so this is the textbook
+    // Laplace mechanism (Dwork et al. 2006), and the integer rounding
+    // + clamp-at-zero are post-processing (DP is closed under it).
+    // Noise draws are md5-derived inverse-CDF samples keyed by the
+    // CELL (the q67 no-RNG discipline: production seals a seed, the
+    // hash stands in — reproducible release, engine-identical):
+    // u = (h48 + 0.5)/2^48 ∈ (0,1), lap = −sign(u−½)·ln(1−2|u−½|)
+    // rounded 6 BEFORE the add (the round-ln-once discipline), then
+    // the floor(x+0.5) integer chain (q308: engine round() on doubles
+    // diverges). ONE dim scan + broadcast nation join → ≤5×25 cells;
+    // at any corpus the released table is domain-bound. The noisy
+    // count is the ONLY count released; true counts never leave the
+    // query (the spec recomputes them independently to certify noise
+    // calibration).
+    "q327_dp_release" -> { (s, dir) =>
+      val cells = Tables(s, dir, "customer")
+        .join(broadcast(Tables(s, dir, "nation")
+                          .select(col("n_nationkey"), col("n_name"))),
+              col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_mktsegment").as("segment"),
+                 col("n_name").as("nation"))
+        .agg(count(lit(1)).as("cnt"))
+      cells
+        .withColumn("u",
+          (conv(substring(md5(concat(col("segment"), lit(":"),
+                                     col("nation"))), 1, 12),
+                16, 10).cast("double") + lit(0.5)) /
+            lit(281474976710656.0))
+        .withColumn("lap6", expr(
+          "round(-sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6)"))
+        .select(col("segment"), col("nation"),
+                greatest(expr(
+                  "CAST(floor(CAST(cnt AS DOUBLE) + lap6 + 0.5) AS BIGINT)"),
+                  lit(0L)).as("noisy_cnt"))
+        .orderBy("segment", "nation")
+    },
+
     // Decision-stump split search (added r12) — the primitive inside
     // every tree learner, as a first-class operator: for each feature
     // (discount cents, quantity), the threshold minimizing the
@@ -1270,6 +1311,28 @@ object CausalOps extends OpModule {
         |  round(g_split, 6) AS split_gini,
         |  round(g_parent - g_split, 6) AS gain
         |FROM r WHERE rn = 1 ORDER BY feature""".stripMargin,
+
+    // identical cell fold, identical hash→uniform→Laplace chain
+    // (DuckDB's hex cast replaces Spark's conv), identical floor-chain
+    "q327_dp_release" ->
+      """WITH cells AS (
+        |  SELECT c_mktsegment AS segment, n_name AS nation,
+        |    count(*) AS cnt
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |nz AS (SELECT segment, nation, cnt,
+        |    (CAST(CAST(('0x' || substr(md5(segment || ':' || nation),
+        |       1, 12)) AS BIGINT) AS DOUBLE) + 0.5) / 281474976710656.0
+        |      AS u
+        |  FROM cells),
+        |lp AS (SELECT segment, nation, cnt,
+        |    round(-sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6)
+        |      AS lap6
+        |  FROM nz)
+        |SELECT segment, nation,
+        |  greatest(CAST(floor(CAST(cnt AS DOUBLE) + lap6 + 0.5)
+        |           AS BIGINT), 0) AS noisy_cnt
+        |FROM lp ORDER BY segment, nation""".stripMargin,
 
     "q293_k_anonymity" ->
       """WITH classes AS (

@@ -3725,6 +3725,38 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("q327 DP release matches in-memory Laplace chain; noise is calibrated") {
+    def r6(d: Double): Double = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val cells = Tables(spark, sf, "customer")
+      .join(Tables(spark, sf, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_mktsegment"), col("n_name"))
+      .agg(count(lit(1)))
+      .as[(String, String, Long)].collect()
+    def lap(seg: String, nat: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seg:$nat".getBytes("UTF-8"))
+      val hex = md.take(6).map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) /
+        281474976710656.0
+      r6(-math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5)))
+    }
+    val want = cells.map { case (seg, nat, cnt) =>
+      val noisy = math.max(math.floor(cnt.toDouble + lap(seg, nat) + 0.5)
+                             .toLong, 0L)
+      (seg, nat, noisy)
+    }.sortBy(c => (c._1, c._2)).toSeq
+    val got = q("q327_dp_release")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == want)
+    // calibration: Laplace(1) has E|noise| = 1; over the released
+    // cells the empirical mean must sit near it (σ/√n ≈ 0.09 here)
+    val meanAbs = cells.map { case (s0, n0, _) =>
+      math.abs(lap(s0, n0)) }.sum / cells.length
+    assert(meanAbs > 0.5 && meanAbs < 1.5, s"mean |noise| $meanAbs")
+  }
+
   test("q328 peel matches in-memory; fixpoint (the true 2-core) reached by round 4") {
     val edges = operators.DedupExtOps
       .candidatePairs(Tables(spark, sf, "documents"), 64)
