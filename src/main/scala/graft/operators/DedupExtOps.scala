@@ -127,27 +127,36 @@ object DedupExtOps extends OpModule {
     // candidates = join on prefix shingles only — and those postings
     // are the RAREST tokens' postings, the filter's own bound. Plus
     // the length filter (10·min(n) ≥ 6·max(n): Jaccard ≤ min/max) and
-    // the q46 HotBucketCap on prefix postings (boilerplate guard;
-    // max posting at every test SF is 3 — a semantic no-op, so the
-    // full-join oracle stays exact: TWO algorithms, ONE pair set,
-    // the q289 discipline). Verification joins candidates back to the
-    // full shingle sets for exact intersection counts; jac_ppm is the
-    // q129 integer fixed-point. Shuffles: shingle stream keyed twice
-    // (df-by-shingle, rank-by-doc), candidate join on prefix shingle,
-    // verify join on doc keys — all narrow, none corpus-quadratic.
+    // the q46 HotBucketCap on prefix postings (boilerplate guard —
+    // a semantic no-op at every test SF, so the full-join oracle
+    // stays exact: TWO algorithms, ONE pair set, the q289
+    // discipline). Shingles are FIVE-token (the q46 discriminative-
+    // shingle lesson, one width further): on this small-vocabulary
+    // corpus 3-token prefix postings pack to Σpn² ≈ 46M candidate
+    // rows at 10× volume (225 s measured) while 5-token postings top
+    // out at 4 (Σpn² 1.3M, 35× less) — and the qualifying pair sets
+    // are IDENTICAL at every measured scale (near-dups share long
+    // spans; width buys discrimination, not recall, here).
+    // Verification joins candidates back to the full shingle sets for
+    // exact intersection counts; jac_ppm is the q129 integer
+    // fixed-point. Shuffles: shingle stream keyed twice (df-by-
+    // shingle, rank-by-doc) with the prefix PINNED (three consumers),
+    // candidate join on prefix shingle, verify join on doc keys —
+    // all narrow, none corpus-quadratic.
     "q324_setsim_prefix" -> { (s, d) =>
       val W = org.apache.spark.sql.expressions.Window
       def pin(df: DataFrame) = org.apache.spark.sql.graft.InternalPin.pin(df)
       val (sh, shh) = pin(Tables(s, d, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .where(size(col("ws")) >= 3)
+        .where(size(col("ws")) >= 5)
         .select(col("doc_id"), explode(expr(
-          """array_distinct(transform(sequence(0, size(ws) - 3),
+          """array_distinct(transform(sequence(0, size(ws) - 5),
             |  i -> concat_ws(' ', element_at(ws, i + 1),
-            |    element_at(ws, i + 2), element_at(ws, i + 3))))"""
+            |    element_at(ws, i + 2), element_at(ws, i + 3),
+            |    element_at(ws, i + 4), element_at(ws, i + 5))))"""
             .stripMargin)).as("t")))
       shh.count(); graft.PinScope.retain(shh)
-      val pref = sh
+      val (pref, ph) = pin(sh
         .withColumn("df", count(lit(1)).over(W.partitionBy("t")))
         .withColumn("n", count(lit(1)).over(W.partitionBy("doc_id")))
         .withColumn("r", row_number().over(
@@ -155,7 +164,8 @@ object DedupExtOps extends OpModule {
         .where(col("r") <= col("n") - expr("(6 * n + 9) DIV 10") + 1)
         .withColumn("pn", count(lit(1)).over(W.partitionBy("t")))
         .where(col("pn") <= HotBucketCap)
-        .select(col("doc_id"), col("t"), col("n"))
+        .select(col("doc_id"), col("t"), col("n")))
+      ph.count(); graft.PinScope.retain(ph)
       val cand = pref.select(col("t"), col("doc_id").as("id_a"),
                              col("n").as("na"))
         .join(pref.select(col("t"), col("doc_id").as("id_b"),
@@ -1694,10 +1704,11 @@ object DedupExtOps extends OpModule {
     "q324_setsim_prefix" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
         |           FROM documents),
-        |idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
-        |        FROM w WHERE len(ws) >= 3),
+        |idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS i
+        |        FROM w WHERE len(ws) >= 5),
         |sh AS (SELECT DISTINCT doc_id,
-        |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS t
+        |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+        |         ws[i+3] || ' ' || ws[i+4] AS t
         |       FROM idx),
         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -3906,7 +3906,7 @@ class CorrectnessSpec extends SparkSpecBase {
       .select(col("doc_id"), col("text")).as[(Long, String)].collect()
     val sets = docs.map { case (id, tx) =>
       val ws = tx.split(" ")
-      (id, ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet)
+      (id, ws.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet)
     }.filter(_._2.nonEmpty)
     // brute-force exact all-pairs (the algorithm-independent truth)
     val want = (for {
