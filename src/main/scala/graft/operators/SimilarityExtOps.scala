@@ -240,6 +240,20 @@ object SimilarityExtOps extends OpModule {
        |sel$k AS (SELECT $k AS step, id, score, rel FROM sc$k
        |          ORDER BY score DESC, id LIMIT 1)""".stripMargin
 
+  /** ONE beam-search hop of q329's graph ANN — expand the current
+    * beam through the k-NN graph, union the beam itself (so the beam
+    * never regresses), score against the precomputed query sims, keep
+    * the top-4 by (sim desc, id). The SAME text runs per-hop in Spark
+    * (over pinned beam views) and statically unrolled in DuckDB. */
+  private def annHop(k: Int, graph: String, beam: String,
+                     sims: String): String =
+    s"""cd$k AS (SELECT g.dst AS id FROM $graph g
+       |         JOIN $beam b ON g.src = b.id
+       |         UNION SELECT id FROM $beam),
+       |bm$k AS (SELECT c.id, e.sim FROM cd$k c
+       |         JOIN $sims e ON c.id = e.id
+       |         ORDER BY e.sim DESC, c.id LIMIT 4)""".stripMargin
+
   /** q322's oracle-side unrolled greedy chain (everything after
     * `WITH`): ten [[mmrStep]]s chained through pk0..pk10 CTEs. */
   private def mmrBody(cand: String, pw: String): String = {
@@ -892,6 +906,64 @@ object SimilarityExtOps extends OpModule {
           round((col("n_vecs") - col("n_removed")).cast("double") /
                 col("n_vecs").cast("double"), 6))
         .orderBy("cid")
+    },
+
+    // Graph-based ANN beam search (added r13) — the SEARCH pattern of
+    // the modern ANN defaults (HNSW/NSG/Vamana: Malkov & Yashunin
+    // 2018): instead of probing buckets (q73's IVF) the query WALKS a
+    // precomputed k-NN graph — start at an entry point, repeatedly
+    // expand the beam through neighbors, keep the best-scoring beam.
+    // Here: exact 8-NN graph over the corpus (at 100 TB the graph is
+    // the persisted offline artifact the bucketed pipelines build —
+    // q79's index discipline; the exact build stands in at test SF,
+    // and the SEARCH is the operator under test), entry = vec_id 1,
+    // beam width 4, three hops of [[annHop]]'s shared text (per-node
+    // query sims precomputed ONCE, rounded 4, pinned — each hop is a
+    // graph join + top-4, never a corpus scan; beam ∪ neighbors keeps
+    // the walk monotone). Report: the final beam ranked, flagged
+    // against the exact top-4 (the recall attestation, q214's
+    // pattern). Both engines run the identical chain — fully oracled.
+    "q329_ann_beam" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val em = embBase(s, d)
+      val q0 = em.where(col("vec_id") === 0).select(col("v").as("qv"))
+      val (sims, simh) = pin(em.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q0))
+        .select(col("vec_id").as("id"),
+                round(org.apache.spark.sql.graft.GraftFunctions
+                  .cosineSimilarity(col("v"), col("qv")), 4).as("sim")))
+      simh.count(); graft.PinScope.retain(simh)
+      sims.createOrReplaceTempView("graft_beam_sims")
+      val a = em.where(col("vec_id") =!= 0)
+        .select(col("vec_id").as("src"), col("v").as("va"))
+      val b2 = em.where(col("vec_id") =!= 0)
+        .select(col("vec_id").as("dst"), col("v").as("vb"))
+      val (graph, gh) = pin(a.join(b2, col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+                round(org.apache.spark.sql.graft.GraftFunctions
+                  .cosineSimilarity(col("va"), col("vb")), 4).as("es"))
+        .withColumn("rk", row_number().over(
+          W.partitionBy("src").orderBy(col("es").desc, col("dst"))))
+        .where(col("rk") <= 8).select("src", "dst"))
+      gh.count(); graft.PinScope.retain(gh)
+      graph.createOrReplaceTempView("graft_beam_graph")
+      s.sql("SELECT id, sim FROM graft_beam_sims WHERE id = 1")
+        .createOrReplaceTempView("graft_beam_b0")
+      (1 to 3).foreach { k =>
+        val hop = s.sql(
+          "WITH " + annHop(k, "graft_beam_graph", s"graft_beam_b${k - 1}",
+                           "graft_beam_sims") + s" SELECT * FROM bm$k")
+        val (hp, hh) = pin(hop); hh.count(); graft.PinScope.retain(hh)
+        hp.createOrReplaceTempView(s"graft_beam_b$k")
+      }
+      s.sql("""
+        WITH ex AS (SELECT id FROM graft_beam_sims
+                    ORDER BY sim DESC, id LIMIT 4)
+        SELECT CAST(row_number() OVER (ORDER BY b.sim DESC, b.id)
+                    AS BIGINT) AS rank,
+          b.id AS vec_id, b.sim,
+          CAST(b.id IN (SELECT id FROM ex) AS INT) AS in_exact_top4
+        FROM graft_beam_b3 b ORDER BY rank""")
     },
 
     // MMR diversified re-ranking (added r13) — the DIVERSITY stage of
@@ -1731,6 +1803,37 @@ object SimilarityExtOps extends OpModule {
         s"""SELECT sig, count(*) AS cnt, min(vec_id) AS min_vec
            |FROM (SELECT vec_id, $sigSql AS sig FROM embeddings)
            |GROUP BY sig ORDER BY sig""".stripMargin,
+
+      // identical sims, identical 8-NN graph, then annHop's shared
+      // text unrolled through MATERIALIZED beam CTEs
+      "q329_ann_beam" ->
+        s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+           |           FROM embeddings WHERE vec_id = 0),
+           |sims AS MATERIALIZED (
+           |  SELECT vec_id AS id,
+           |    round(list_cosine_similarity(
+           |      CAST(embedding AS DOUBLE[]), q.qv), 4) AS sim
+           |  FROM embeddings, q WHERE vec_id <> 0),
+           |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |      FROM embeddings WHERE vec_id <> 0),
+           |g0 AS (SELECT x.vec_id AS src, y.vec_id AS dst,
+           |    round(list_cosine_similarity(x.v, y.v), 4) AS es
+           |  FROM e x JOIN e y ON x.vec_id <> y.vec_id),
+           |graph AS MATERIALIZED (SELECT src, dst FROM (
+           |  SELECT src, dst,
+           |    row_number() OVER (PARTITION BY src
+           |                       ORDER BY es DESC, dst) AS rk
+           |  FROM g0) WHERE rk <= 8),
+           |bm0 AS (SELECT id, sim FROM sims WHERE id = 1),
+           |${annHop(1, "graph", "bm0", "sims")},
+           |${annHop(2, "graph", "bm1", "sims")},
+           |${annHop(3, "graph", "bm2", "sims")},
+           |ex AS (SELECT id FROM sims ORDER BY sim DESC, id LIMIT 4)
+           |SELECT CAST(row_number() OVER (ORDER BY b.sim DESC, b.id)
+           |            AS BIGINT) AS rank,
+           |  b.id AS vec_id, b.sim,
+           |  CAST(b.id IN (SELECT id FROM ex) AS INT) AS in_exact_top4
+           |FROM bm3 b ORDER BY rank""".stripMargin,
 
       // identical candidate retrieval (4 dp before ranking), identical
       // pairwise table, then mmrBody verbatim — the greedy chain is

@@ -3725,6 +3725,47 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("q329 beam walk matches in-memory graph search; beam never regresses") {
+    def r4(d: Double): Double = java.math.BigDecimal.valueOf(d)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    def cos(x: Seq[Double], y: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < x.length) {
+        dot += x(i) * y(i); na += x(i) * x(i); nb += y(i) * y(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val em = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val qv = em(0L)
+    val nodes = em.keys.filter(_ != 0L).toSeq
+    val sims = nodes.map(i => (i, r4(cos(em(i), qv)))).toMap
+    val graph = nodes.map { src =>
+      (src, nodes.filter(_ != src)
+        .map(dst => (dst, r4(cos(em(src), em(dst)))))
+        .sortBy { case (dst, es) => (-es, dst) }.take(8).map(_._1))
+    }.toMap
+    var beam = Seq(1L)
+    val beams = (1 to 3).map { _ =>
+      val cands = (beam.flatMap(graph) ++ beam).distinct
+      beam = cands.sortBy(i => (-sims(i), i)).take(4)
+      beam
+    }
+    val exact = nodes.sortBy(i => (-sims(i), i)).take(4).toSet
+    val want = beam.sortBy(i => (-sims(i), i)).zipWithIndex.map {
+      case (id, ix) =>
+        (ix + 1L, id, sims(id), if (exact(id)) 1 else 0)
+    }
+    val got = q("q329_ann_beam")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(got == want)
+    // the beam ∪ neighbors union keeps the walk monotone: the best
+    // sim in each successive beam never drops
+    val bests = beams.map(b => b.map(sims).max)
+    assert(bests.sliding(2).forall(p => p(1) >= p(0)))
+  }
+
   test("q327 DP release matches in-memory Laplace chain; noise is calibrated") {
     def r6(d: Double): Double = java.math.BigDecimal.valueOf(d)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
