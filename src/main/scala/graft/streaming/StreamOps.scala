@@ -121,6 +121,11 @@ object StreamOps extends OpModule {
   private def stagedDocsDir(d: String): String =
     stageParts("graft_stream_docs", d, "documents")(n => Seq(n))
 
+  /** Stages the sfDir's orders table for the q330 enrichment stream —
+    * same fingerprint + write-once discipline as [[stagedEventsDir]]. */
+  private def stagedOrdersDir(d: String): String =
+    stageParts("graft_stream_orders", d, "orders")(n => Seq(n))
+
   /** The q285/q298 CDC image stream: synthesized upsert/delete ops
     * folded into last-writer-wins per-key state; each batch emits the
     * key's CURRENT image stamped with its monotone op count. LWW is by
@@ -488,6 +493,41 @@ object StreamOps extends OpModule {
         .orderBy("event_type")
     },
 
+    // Streaming point-in-time dimension enrichment (added r13) — THE
+    // most common production streaming job, closing the streaming ↔
+    // SCD2 gap: an order stream enriched against the VERSIONED
+    // customer-segment dimension (q174's SCD2 intervals, one shared
+    // [[graft.operators.AdvancedOps.segmentDim]] definition) by
+    // event-time validity — each order picks the dimension version
+    // that was current AT ORDER TIME, not today's (today's-segment
+    // enrichment silently rewrites history, the classic SCD mistake).
+    // Shape: a STREAM-STATIC inner join, which Spark runs STATELESS
+    // (no watermark, no state store — the dimension is the state,
+    // q109's index discipline): per micro-batch cost is batch ×
+    // matched dim rows; the non-equi validity predicate rides the
+    // custkey equi-join. Declared result = per-(segment, version)
+    // order counts over the sink — provably q174's batch rollup
+    // (shared dim text in the oracle) under ANY micro-batch split,
+    // because enrichment is row-local.
+    "q330_stream_pit_enrich" -> { (s, d) =>
+      runToMemory(s, iso => {
+        val rawSchema = iso.read.parquet(s"$d/orders.parquet").schema
+        val dim = graft.operators.AdvancedOps.segmentDim(iso, d)
+        val o = iso.readStream.schema(rawSchema)
+          .parquet(stagedOrdersDir(d))
+        o.join(dim, o("o_custkey") === dim("sk") &&
+            (dim("valid_from").isNull ||
+             dim("valid_from") <= o("o_orderdate")) &&
+            (dim("valid_to").isNull ||
+             o("o_orderdate") < dim("valid_to")))
+          .select(o("o_orderkey"), dim("segment").as("seg_at_order"),
+                  dim("version").as("dim_version"))
+      }, "graft_stream_pit", "append")
+        .groupBy("seg_at_order", "dim_version")
+        .agg(count(lit(1)).as("orders"))
+        .orderBy("seg_at_order", "dim_version")
+    },
+
     // Streaming dedup against the PERSISTED band index (added r9) —
     // the online form of q76, i.e. the dedup SERVICE a pipeline runs
     // as new documents arrive: each micro-batch of new docs (odd
@@ -831,6 +871,35 @@ object StreamOps extends OpModule {
     // exactly what a new-doc (odd) stream probing the even-corpus index
     // can produce; the persisted index and the stream machinery must
     // both be invisible to semantics
+    // q174's dim text verbatim, rolled up — the stream must be
+    // invisible: enrichment is row-local, so any micro-batch split
+    // yields the batch answer
+    "q330_stream_pit_enrich" ->
+      """WITH dim AS (
+        |  SELECT c_custkey AS sk, c_mktsegment AS segment,
+        |    CAST(NULL AS TIMESTAMP) AS valid_from,
+        |    TIMESTAMP '1995-06-01' + (c_custkey % 700) * INTERVAL 1 DAY
+        |      AS valid_to,
+        |    0 AS version
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey,
+        |    CASE c_mktsegment
+        |      WHEN 'AUTOMOBILE' THEN 'BUILDING'
+        |      WHEN 'BUILDING'   THEN 'FURNITURE'
+        |      WHEN 'FURNITURE'  THEN 'HOUSEHOLD'
+        |      WHEN 'HOUSEHOLD'  THEN 'MACHINERY'
+        |      ELSE 'AUTOMOBILE' END,
+        |    TIMESTAMP '1995-06-01' + (c_custkey % 700) * INTERVAL 1 DAY,
+        |    CAST(NULL AS TIMESTAMP), 1
+        |  FROM customer)
+        |SELECT d.segment AS seg_at_order, d.version AS dim_version,
+        |  count(*) AS orders
+        |FROM orders o JOIN dim d ON o.o_custkey = d.sk
+        |  AND (d.valid_from IS NULL OR d.valid_from <= o.o_orderdate)
+        |  AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q109_stream_dedup_index" ->
       s"""${graft.operators.DedupExtOps.minhashCte}
          |SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_bands

@@ -646,6 +646,40 @@ class StreamingSpec extends SparkSpecBase {
            "a double-fired batch replaced v1")
   }
 
+  test("q330 shape: PIT enrichment is batch-equal under multi-batch drains") {
+    // the declared q330 drains its staged dir in one AvailableNow
+    // batch at test SF; the row-local claim ("any micro-batch split
+    // yields the batch answer") is exercised HERE: 3 part files
+    // drained one per trigger through the same stream-static join
+    val dir = Files.createTempDirectory("graft_q330_split").toString
+    Tables(spark, sf, "orders").repartition(3)
+      .write.mode("overwrite").parquet(dir)
+    val dim = operators.AdvancedOps.segmentDim(spark, sf)
+    val schema = spark.read.parquet(dir).schema
+    val o = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val enriched = o.join(dim, o("o_custkey") === dim("sk") &&
+        (dim("valid_from").isNull ||
+         dim("valid_from") <= o("o_orderdate")) &&
+        (dim("valid_to").isNull || o("o_orderdate") < dim("valid_to")))
+      .select(o("o_orderkey"), dim("segment").as("seg_at_order"),
+              dim("version").as("dim_version"))
+    val q0 = enriched.writeStream.format("memory")
+      .queryName("graft_q330_split").outputMode("append").start()
+    try {
+      q0.processAllAvailable()
+      assert(q0.recentProgress.count(_.numInputRows > 0) >= 2,
+             "split drain must span multiple micro-batches")
+      val got = spark.table("graft_q330_split")
+        .groupBy("seg_at_order", "dim_version")
+        .agg(count(lit(1)).as("orders"))
+        .orderBy("seg_at_order", "dim_version").collect().toSeq
+      val want = SparkEntry.queries("q330_stream_pit_enrich")(spark, sf)
+        .collect().toSeq
+      assert(got == want)
+    } finally q0.stop()
+  }
+
   test("q317 streaming top-k equals the batch top-10 (exact lane merge)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
