@@ -36,7 +36,13 @@ object SweepR13 {
       // third r13 wave
       "q309_kneser_ney", "q310_logreg_quality", "q311_semdedup",
       "q312_kruskal_wallis", "q313_adamic_adar", "q314_audio_fingerprint",
-      "q315_doremi_mixture", "q316_holt_winters", "q317_stream_topk")
+      "q315_doremi_mixture", "q316_holt_winters", "q317_stream_topk",
+      // fourth r13 wave
+      "q318_uplift_stump", "q319_fs_em", "q320_conformal",
+      "q321_sequential_ab", "q322_mmr_rerank", "q323_cms_artifact",
+      "q324_setsim_prefix", "q325_als_user_step", "q326_cox_hazard",
+      "q327_dp_release", "q328_kcore", "q329_ann_beam",
+      "q330_stream_pit_enrich")
     val x100 = args.headOption.contains("x100")
     val rest = if (x100) args.tail else args
     val sel = if (rest.isEmpty) qs else qs.filter(rest.contains)

@@ -913,31 +913,40 @@ object SimilarityExtOps extends OpModule {
     // 2018): instead of probing buckets (q73's IVF) the query WALKS a
     // precomputed k-NN graph — start at an entry point, repeatedly
     // expand the beam through neighbors, keep the best-scoring beam.
-    // Here: exact 8-NN graph over the corpus (at 100 TB the graph is
-    // the persisted offline artifact the bucketed pipelines build —
-    // q79's index discipline; the exact build stands in at test SF,
-    // and the SEARCH is the operator under test), entry = vec_id 1,
-    // beam width 4, three hops of [[annHop]]'s shared text (per-node
+    // Here: exact 8-NN graph over a 4096-node md5-ranked BACKBONE
+    // (at 100 TB the graph is the persisted offline artifact an
+    // NN-descent/IVF job builds — q79's index discipline; the exact
+    // n² build stands in ONLY under a declared volume cap, because
+    // measured uncapped it costs 109 s at 10× volume and the build is
+    // scaffolding, not the operator under test — the SEARCH is),
+    // entry = vec_id 1, beam width 4, three hops of [[annHop]]'s
+    // shared text (per-node
     // query sims precomputed ONCE, rounded 4, pinned — each hop is a
     // graph join + top-4, never a corpus scan; beam ∪ neighbors keeps
-    // the walk monotone). Report: the final beam ranked, flagged
-    // against the exact top-4 (the recall attestation, q214's
-    // pattern). Both engines run the identical chain — fully oracled.
+    // the walk monotone). Entry = the backbone's md5-first node (rank
+    // 1 — always present at any corpus, unlike a fixed id). Report:
+    // the final beam ranked, flagged against the exact top-4 WITHIN
+    // the indexed set (the recall attestation, q214's pattern — you
+    // can only retrieve what's indexed). Both engines run the
+    // identical chain — fully oracled.
     "q329_ann_beam" -> { (s, d) =>
       val W = org.apache.spark.sql.expressions.Window
       val em = embBase(s, d)
       val q0 = em.where(col("vec_id") === 0).select(col("v").as("qv"))
-      val (sims, simh) = pin(em.where(col("vec_id") =!= 0)
+      val (bb, bbh) = pin(em.where(col("vec_id") =!= 0)
+        .withColumn("mr", row_number().over(
+          W.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
+        .where(col("mr") <= 4096))
+      bbh.count(); graft.PinScope.retain(bbh)
+      val (sims, simh) = pin(bb
         .crossJoin(broadcast(q0))
-        .select(col("vec_id").as("id"),
+        .select(col("vec_id").as("id"), col("mr"),
                 round(org.apache.spark.sql.graft.GraftFunctions
                   .cosineSimilarity(col("v"), col("qv")), 4).as("sim")))
       simh.count(); graft.PinScope.retain(simh)
       sims.createOrReplaceTempView("graft_beam_sims")
-      val a = em.where(col("vec_id") =!= 0)
-        .select(col("vec_id").as("src"), col("v").as("va"))
-      val b2 = em.where(col("vec_id") =!= 0)
-        .select(col("vec_id").as("dst"), col("v").as("vb"))
+      val a = bb.select(col("vec_id").as("src"), col("v").as("va"))
+      val b2 = bb.select(col("vec_id").as("dst"), col("v").as("vb"))
       val (graph, gh) = pin(a.join(b2, col("src") =!= col("dst"))
         .select(col("src"), col("dst"),
                 round(org.apache.spark.sql.graft.GraftFunctions
@@ -947,7 +956,7 @@ object SimilarityExtOps extends OpModule {
         .where(col("rk") <= 8).select("src", "dst"))
       gh.count(); graft.PinScope.retain(gh)
       graph.createOrReplaceTempView("graft_beam_graph")
-      s.sql("SELECT id, sim FROM graft_beam_sims WHERE id = 1")
+      s.sql("SELECT id, sim FROM graft_beam_sims WHERE mr = 1")
         .createOrReplaceTempView("graft_beam_b0")
       (1 to 3).foreach { k =>
         val hop = s.sql(
@@ -1809,13 +1818,15 @@ object SimilarityExtOps extends OpModule {
       "q329_ann_beam" ->
         s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
            |           FROM embeddings WHERE vec_id = 0),
+           |e AS MATERIALIZED (SELECT vec_id, v, mr FROM (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+           |                       vec_id) AS mr
+           |  FROM embeddings WHERE vec_id <> 0) WHERE mr <= 4096),
            |sims AS MATERIALIZED (
-           |  SELECT vec_id AS id,
-           |    round(list_cosine_similarity(
-           |      CAST(embedding AS DOUBLE[]), q.qv), 4) AS sim
-           |  FROM embeddings, q WHERE vec_id <> 0),
-           |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-           |      FROM embeddings WHERE vec_id <> 0),
+           |  SELECT vec_id AS id, mr,
+           |    round(list_cosine_similarity(v, q.qv), 4) AS sim
+           |  FROM e, q),
            |g0 AS (SELECT x.vec_id AS src, y.vec_id AS dst,
            |    round(list_cosine_similarity(x.v, y.v), 4) AS es
            |  FROM e x JOIN e y ON x.vec_id <> y.vec_id),
@@ -1824,7 +1835,7 @@ object SimilarityExtOps extends OpModule {
            |    row_number() OVER (PARTITION BY src
            |                       ORDER BY es DESC, dst) AS rk
            |  FROM g0) WHERE rk <= 8),
-           |bm0 AS (SELECT id, sim FROM sims WHERE id = 1),
+           |bm0 AS (SELECT id, sim FROM sims WHERE mr = 1),
            |${annHop(1, "graph", "bm0", "sims")},
            |${annHop(2, "graph", "bm1", "sims")},
            |${annHop(3, "graph", "bm2", "sims")},

@@ -505,10 +505,15 @@ object StreamOps extends OpModule {
     // (no watermark, no state store — the dimension is the state,
     // q109's index discipline): per micro-batch cost is batch ×
     // matched dim rows; the non-equi validity predicate rides the
-    // custkey equi-join. Declared result = per-(segment, version)
-    // order counts over the sink — provably q174's batch rollup
-    // (shared dim text in the oracle) under ANY micro-batch split,
-    // because enrichment is row-local.
+    // custkey equi-join. The rollup runs INSIDE the stream (complete-
+    // mode aggregation — the sink holds the ≤|segments|×2-row rollup,
+    // never per-order rows: the first cut sank enriched ROWS to the
+    // memory sink and OOM'd the driver at 100× volume, 15M orders of
+    // driver heap — the sink must scale with the ANSWER, not the
+    // stream). Declared result ≡ q174's batch rollup (shared dim text
+    // in the oracle) under ANY micro-batch split, because enrichment
+    // is row-local and counts are additive; StreamingSpec proves the
+    // split claim on a 3-file one-per-trigger drain.
     "q330_stream_pit_enrich" -> { (s, d) =>
       runToMemory(s, iso => {
         val rawSchema = iso.read.parquet(s"$d/orders.parquet").schema
@@ -520,11 +525,11 @@ object StreamOps extends OpModule {
              dim("valid_from") <= o("o_orderdate")) &&
             (dim("valid_to").isNull ||
              o("o_orderdate") < dim("valid_to")))
-          .select(o("o_orderkey"), dim("segment").as("seg_at_order"),
+          .select(dim("segment").as("seg_at_order"),
                   dim("version").as("dim_version"))
-      }, "graft_stream_pit", "append")
-        .groupBy("seg_at_order", "dim_version")
-        .agg(count(lit(1)).as("orders"))
+          .groupBy("seg_at_order", "dim_version")
+          .agg(count(lit(1)).as("orders"))
+      }, "graft_stream_pit", "complete")
         .orderBy("seg_at_order", "dim_version")
     },
 

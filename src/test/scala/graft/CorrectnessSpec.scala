@@ -3739,14 +3739,19 @@ class CorrectnessSpec extends SparkSpecBase {
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Long, Seq[Double])].collect().toMap
     val qv = em(0L)
+    def hex(id: Long): String = java.security.MessageDigest
+      .getInstance("MD5").digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // the md5-ranked 4096-node backbone (all nodes at this SF)
     val nodes = em.keys.filter(_ != 0L).toSeq
+      .sortBy(i => (hex(i), i)).take(4096)
     val sims = nodes.map(i => (i, r4(cos(em(i), qv)))).toMap
     val graph = nodes.map { src =>
       (src, nodes.filter(_ != src)
         .map(dst => (dst, r4(cos(em(src), em(dst)))))
         .sortBy { case (dst, es) => (-es, dst) }.take(8).map(_._1))
     }.toMap
-    var beam = Seq(1L)
+    var beam = Seq(nodes.head)
     val beams = (1 to 3).map { _ =>
       val cands = (beam.flatMap(graph) ++ beam).distinct
       beam = cands.sortBy(i => (-sims(i), i)).take(4)
