@@ -378,6 +378,56 @@ class PlanShapeSpec extends SparkSpecBase {
            s"rollup rescans the fact table:\n$p")
   }
 
+  test("q323: the CMS merge+probe reads the persisted artifact, broadcast-joined") {
+    // the mergeable-artifact contract (q110's discipline): the merge
+    // reads graft_cmsidx; the 256-row merged sketch reaches the probe
+    // through a broadcast, never a shuffle of the probe side
+    val df = SparkEntry.queries("q323_cms_artifact")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_cmsidx"), s"probe does not scan the artifact:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"merged cells not broadcast:\n$p")
+  }
+
+  test("q324: prefix-filter join is equi-keyed end to end — no cartesian anywhere") {
+    // AllPairs' whole point: candidates come from an equi-join on the
+    // prefix shingle and verification from equi-joins on doc keys —
+    // a cartesian or broadcast-nested-loop anywhere means the filter
+    // degenerated to all-pairs
+    try {
+      val df = SparkEntry.queries("q324_setsim_prefix")(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"cartesian in the pair join:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in the pair join:\n$p")
+    } finally PinScope.drain()
+  }
+
+  test("q325: the ALS step is one user-keyed two-phase aggregation") {
+    // the trainer's scale claim: millions of independent solves behind
+    // ONE keyed aggregation — partial/final HashAggregate over the
+    // fact join, the solve itself pure projection work
+    val df = SparkEntry.queries("q325_als_user_step")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q329: beam hops read pinned views, never replan the corpus") {
+    // the staged-walk contract: the declared result joins the pinned
+    // final beam against the pinned sims — no parquet rescan of the
+    // embeddings in the outer query
+    try {
+      val df = SparkEntry.queries("q329_ann_beam")(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("FileScan") && !p.contains("ParquetScan"),
+             s"outer beam query replans the corpus scan:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    } finally PinScope.drain()
+  }
+
   test("q223: as-of joins through AsOfJoinExec — two key exchanges, no window buffer") {
     // the custom operator's contract: EnsureRequirements plans exactly
     // the two key-hash exchanges an equi-join would pay, the merge
