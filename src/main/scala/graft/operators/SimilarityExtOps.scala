@@ -1373,6 +1373,56 @@ object SimilarityExtOps extends OpModule {
         .orderBy("id_a", "id_b")
     },
 
+    // Radius-bounded k-NN JOIN (added r13) — the DIRECTIONAL member
+    // next to q289's symmetric radius join: for EVERY point, its k=5
+    // nearest neighbors within R (rank-ordered), the per-row retrieval
+    // primitive behind k-NN graph construction (q329's artifact at
+    // scale), local-density estimation, and spatial recommendation.
+    // Same exactness theorem as q289: any ≤R neighbor shares or
+    // borders the probe's R-sized grid cell, so candidates = the
+    // 9-cell neighborhood and the top-5 among them by the EXACT
+    // integer metric (dist² asc, id tie-break) is the true in-radius
+    // k-NN — no recall loss, no distinct needed (each candidate pair
+    // matches through exactly one probe cell, and k-NN is directional
+    // so no both-sides dedup arises). Cost O(points × 9-cell
+    // occupancy) + a per-point bounded window, never points²; points
+    // with no in-radius neighbor drop (declared). Oracle: the
+    // INDEPENDENT quadratic join + window — two algorithms, one list.
+    "q331_knn_join" -> { (s, dir) =>
+      val R = 20000L
+      val W = org.apache.spark.sql.expressions.Window
+      val pts = Tables(s, dir, "embeddings")
+        .select(col("vec_id").as("id"),
+          expr("cast(round(cast(element_at(embedding, 1) as double) * 1000000) as bigint)").as("x"),
+          expr("cast(round(cast(element_at(embedding, 2) as double) * 1000000) as bigint)").as("y"))
+        .withColumn("cx", expr(s"(x + 2000000) div $R"))
+        .withColumn("cy", expr(s"(y + 2000000) div $R"))
+      val offs = for (dx <- -1 to 1; dy <- -1 to 1)
+        yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
+      val probes = pts.select(col("id").as("id_a"), col("x").as("xa"),
+          col("y").as("ya"), col("cx"), col("cy"),
+          explode(array(offs: _*)).as("o"))
+        .select(col("id_a"), col("xa"), col("ya"),
+                (col("cx") + col("o.dx")).as("ncx"),
+                (col("cy") + col("o.dy")).as("ncy"))
+      val right = pts.select(col("id").as("id_b"), col("x").as("xb"),
+                             col("y").as("yb"),
+                             col("cx").as("ncx"), col("cy").as("ncy"))
+      probes.join(right, Seq("ncx", "ncy"))
+        .where(col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b"),
+                ((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+                 (col("ya") - col("yb")) * (col("ya") - col("yb")))
+                  .as("dist2"))
+        .where(col("dist2") <= R * R)
+        .withColumn("nn_rank", row_number().over(
+          W.partitionBy("id_a").orderBy(col("dist2"), col("id_b"))))
+        .where(col("nn_rank") <= 5)
+        .select(col("id_a"), col("nn_rank").cast("long").as("nn_rank"),
+                col("id_b"), col("dist2"))
+        .orderBy("id_a", "nn_rank")
+    },
+
     // PCA top component via fixed-point power iteration (added r12) —
     // the dimensionality-reduction member the embedding family lacked:
     // the corpus's principal direction and its explained-variance
@@ -2371,6 +2421,29 @@ object SimilarityExtOps extends OpModule {
          |FROM j GROUP BY 1 ORDER BY source""".stripMargin,
 
     // the INDEPENDENT quadratic self-join — the grid must be invisible
+    // the independent quadratic algorithm: full self-join + window,
+    // no grid — two algorithms, one ranked list
+    "q331_knn_join" ->
+      """WITH pts AS (
+        |  SELECT vec_id AS id,
+        |    CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000)
+        |         AS BIGINT) AS x,
+        |    CAST(round(CAST(embedding[2] AS DOUBLE) * 1000000)
+        |         AS BIGINT) AS y
+        |  FROM embeddings),
+        |cand AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |      AS dist2
+        |  FROM pts a JOIN pts b ON a.id <> b.id),
+        |rk AS (
+        |  SELECT id_a, id_b, dist2,
+        |    row_number() OVER (PARTITION BY id_a
+        |                       ORDER BY dist2, id_b) AS nn_rank
+        |  FROM cand WHERE dist2 <= 400000000)
+        |SELECT id_a, nn_rank, id_b, dist2 FROM rk
+        |WHERE nn_rank <= 5 ORDER BY id_a, nn_rank""".stripMargin,
+
     "q289_spatial_join" ->
       """WITH pts AS (
         |  SELECT vec_id AS id,

@@ -3725,6 +3725,25 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("q331 grid k-NN join equals brute-force in-radius k-NN") {
+    val pts = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"),
+              expr("cast(round(cast(element_at(embedding, 1) as double) * 1000000) as bigint)"),
+              expr("cast(round(cast(element_at(embedding, 2) as double) * 1000000) as bigint)"))
+      .as[(Long, Long, Long)].collect()
+    val want = pts.flatMap { case (a, xa, ya) =>
+      pts.filter(_._1 != a)
+        .map { case (b, xb, yb) =>
+          (b, (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)) }
+        .filter(_._2 <= 400000000L)
+        .sortBy { case (b, d2) => (d2, b) }.take(5).zipWithIndex
+        .map { case ((b, d2), ix) => (a, ix + 1L, b, d2) }
+    }.sortBy(r => (r._1, r._2)).toSeq
+    val got = q("q331_knn_join")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+  }
+
   test("q329 beam walk matches in-memory graph search; beam never regresses") {
     def r4(d: Double): Double = java.math.BigDecimal.valueOf(d)
       .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
