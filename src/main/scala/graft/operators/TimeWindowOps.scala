@@ -808,6 +808,74 @@ object TimeWindowOps extends OpModule {
                       6).as("chi2"))
     },
 
+    // Matrix-profile motif + discord (added r13) — the time-series
+    // MINING primitive next to q291's ACF and q177's CUSUM (Yeh et
+    // al. 2016, the matrix-profile family): per event type's daily
+    // revenue series, the MOTIF (the closest pair of non-overlapping
+    // 7-day windows — recurring structure) and the DISCORD (the
+    // window whose nearest non-overlapping neighbor is farthest — the
+    // strongest anomaly, the definition that catches what pointwise
+    // z-scores miss). Exactness discipline: windows are 7 CONSECUTIVE
+    // calendar days (6 leads + the d6 = day+6 span check — any gap
+    // drops the window), distances are exact integer Σ(Δcents)² in
+    // DECIMAL (a daily diff can reach ~2e9 cents at volume; 7 squared
+    // terms overflow BIGINT, so the fold is decimal/HUGEINT with ONE
+    // final cast to double for output), argmins fully tie-broken.
+    // Scale: the profile lives on the (type, day) CELL table — days²
+    // pairs per type is CALENDAR-bounded (q292's league), flat at any
+    // corpus volume; the fact scan is the only volume term.
+    "q332_matrix_profile" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val cells = Tables(s, d, "events")
+        .groupBy(col("event_type").as("et"),
+                 datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+                   .cast("long").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("c0"))
+      val wOrd = W.partitionBy("et").orderBy("day")
+      val leads = (1 to 6).flatMap(i => Seq(
+        lead(col("c0"), i).over(wOrd).as(s"c$i"),
+        lead(col("day"), i).over(wOrd).as(s"d$i")))
+      val (win, wh) = org.apache.spark.sql.graft.InternalPin.pin(
+        cells.select(col("et") +: col("day") +: col("c0") +: leads: _*)
+          .where(col("d6") === col("day") + lit(6))
+          .select(Seq(col("et"), col("day")) ++
+                  (0 to 6).map(i => col(s"c$i")): _*))
+      wh.count(); graft.PinScope.retain(wh)
+      val a = win.select(col("et") +: col("day").as("sa") +:
+        (0 to 6).map(i => col(s"c$i").as(s"a$i")): _*)
+      val b = win.select(col("et") +: col("day").as("sb") +:
+        (0 to 6).map(i => col(s"c$i").as(s"b$i")): _*)
+      val d2 = (0 to 6).map(i =>
+        s"CAST(a$i - b$i AS DECIMAL(38,0)) * (a$i - b$i)")
+        .mkString(" + ")
+      val (pr, ph) = org.apache.spark.sql.graft.InternalPin.pin(
+        a.join(b, Seq("et"))
+          .where(col("sa") < col("sb") && col("sb") - col("sa") >= 7)
+          .select(col("et"), col("sa"), col("sb"), expr(d2).as("dist2")))
+      ph.count(); graft.PinScope.retain(ph)
+      val motif = pr
+        .withColumn("rk", row_number().over(W.partitionBy("et")
+          .orderBy(col("dist2"), col("sa"), col("sb"))))
+        .where(col("rk") === 1)
+        .select(col("et"), col("sa").as("motif_s"),
+                col("sb").as("motif_t"),
+                col("dist2").cast("double").as("motif_dist2"))
+      val sym = pr.select(col("et"), col("sa").as("w"), col("dist2"))
+        .unionAll(pr.select(col("et"), col("sb").as("w"), col("dist2")))
+      val discord = sym.groupBy("et", "w")
+        .agg(min(col("dist2")).as("nnd"))
+        .withColumn("rk", row_number().over(W.partitionBy("et")
+          .orderBy(col("nnd").desc, col("w"))))
+        .where(col("rk") === 1)
+        .select(col("et"), col("w").as("discord_s"),
+                col("nnd").cast("double").as("discord_nnd"))
+      motif.join(discord, Seq("et"))
+        .select(col("et").as("event_type"), col("motif_s"),
+                col("motif_t"), col("motif_dist2"),
+                col("discord_s"), col("discord_nnd"))
+        .orderBy("event_type")
+    },
+
     // Cox proportional-hazards fit (added r13) — the survival
     // family's MODEL tier: q237 draws the curve, q248 tests the arms,
     // this ESTIMATES the effect size — the log hazard ratio β of the
@@ -1455,6 +1523,52 @@ object TimeWindowOps extends OpModule {
         |  CAST(st.deaths AS BIGINT) AS deaths, round(s.sv, 6) AS surv
         |FROM surv s JOIN steps st ON st.k = s.k
         |ORDER BY st.t_day""".stripMargin,
+
+    // identical cells, leads, HUGEINT distance fold, and tie-broken
+    // argmins; one final cast to double on each reported distance
+    "q332_matrix_profile" -> {
+      val leadSql = (1 to 6).map(i =>
+        s"lead(c0, $i) OVER w AS c$i, lead(day, $i) OVER w AS d$i")
+        .mkString(",\n    ")
+      val d2 = (0 to 6).map(i =>
+        s"CAST(a.c$i - b.c$i AS HUGEINT) * (a.c$i - b.c$i)")
+        .mkString(" + ")
+      s"""WITH cells AS (
+         |  SELECT event_type AS et,
+         |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+         |         AS BIGINT) AS day,
+         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         |      AS c0
+         |  FROM events GROUP BY 1, 2),
+         |led AS (
+         |  SELECT et, day, c0,
+         |    $leadSql
+         |  FROM cells
+         |  WINDOW w AS (PARTITION BY et ORDER BY day)),
+         |win AS (SELECT * FROM led WHERE d6 = day + 6),
+         |pr AS MATERIALIZED (
+         |  SELECT a.et, a.day AS sa, b.day AS sb, $d2 AS dist2
+         |  FROM win a JOIN win b ON a.et = b.et
+         |  WHERE a.day < b.day AND b.day - a.day >= 7),
+         |motif AS (
+         |  SELECT et, sa AS motif_s, sb AS motif_t,
+         |    CAST(dist2 AS DOUBLE) AS motif_dist2
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY et
+         |          ORDER BY dist2, sa, sb) AS rk FROM pr)
+         |  WHERE rk = 1),
+         |sym AS (SELECT et, sa AS w, dist2 FROM pr
+         |        UNION ALL SELECT et, sb, dist2 FROM pr),
+         |nn AS (SELECT et, w, min(dist2) AS nnd FROM sym GROUP BY 1, 2),
+         |disc AS (
+         |  SELECT et, w AS discord_s, CAST(nnd AS DOUBLE) AS discord_nnd
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY et
+         |          ORDER BY nnd DESC, w) AS rk FROM nn)
+         |  WHERE rk = 1)
+         |SELECT m.et AS event_type, m.motif_s, m.motif_t, m.motif_dist2,
+         |  d.discord_s, d.discord_nnd
+         |FROM motif m JOIN disc d ON m.et = d.et
+         |ORDER BY event_type""".stripMargin
+    },
 
     // identical lifetimes + arm split + step table, then coxRound's
     // shared text unrolled through the bu0..bu3 chain

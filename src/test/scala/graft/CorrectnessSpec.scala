@@ -3725,6 +3725,40 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("q332 motif/discord match brute-force over the daily-cell series") {
+    val cells = Tables(spark, sf, "events")
+      .groupBy(col("event_type"),
+               datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+                 .cast("long"))
+      .agg(sum(round(col("value") * 100).cast("long")))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).map { case (et, rs) =>
+        (et, rs.map(r => (r._2, r._3)).sortBy(_._1)) }
+    val want = cells.toSeq.sortBy(_._1).flatMap { case (et, series) =>
+      val byDay = series.toMap
+      val wins = series.map(_._1).filter { s0 =>
+        (0 to 6).forall(i => byDay.contains(s0 + i)) }
+        .map(s0 => (s0, (0 to 6).map(i => byDay(s0 + i))))
+      val pairs = for {
+        (sa, va) <- wins; (sb, vb) <- wins
+        if sa < sb && sb - sa >= 7
+      } yield (sa, sb, va.zip(vb)
+        .map { case (x, y) => BigInt(x - y) * BigInt(x - y) }.sum)
+      if (pairs.isEmpty) Seq.empty
+      else {
+        val m = pairs.minBy { case (sa, sb, d2) => (d2, sa, sb) }
+        val nnd = pairs.flatMap { case (sa, sb, d2) =>
+          Seq((sa, d2), (sb, d2)) }
+          .groupBy(_._1).map { case (w, ds) => (w, ds.map(_._2).min) }
+        val disc = nnd.toSeq.minBy { case (w, d2) => (-d2, w) }
+        Seq((et, m._1, m._2, m._3.toDouble, disc._1, disc._2.toDouble))
+      }
+    }
+    val got = q("q332_matrix_profile")
+      .as[(String, Long, Long, Double, Long, Double)].collect().toSeq
+    assert(got == want)
+  }
+
   test("q331 grid k-NN join equals brute-force in-radius k-NN") {
     val pts = Tables(spark, sf, "embeddings")
       .select(col("vec_id"),
