@@ -501,6 +501,47 @@ object SimilarityExtOps extends OpModule {
         .orderBy("a", "b")
     },
 
+    // Hard-negative mining (added r13) — the CONTRASTIVE-TRAINING
+    // data op between q56's near-dup removal and q53's retrieval: for
+    // each anchor, the most-similar candidates that are NOT
+    // near-duplicates (cosine in [0.25, 0.4) — the upper cutoff IS
+    // q56's declared dup threshold, so the mining band and the dedup
+    // band partition the candidate space) — exactly the negatives
+    // an embedding model trains against (in-batch/BM25 negatives are
+    // too easy; near-dups are false negatives that poison the loss —
+    // the standard dense-retrieval mining recipe, e.g. ANCE). Shape:
+    // q56's banded LSH candidates VERBATIM (shared bandedPairs +
+    // EmbBucketCap — one candidate definition across the dedup and
+    // mining tiers, the q82/q108 discipline), stored-norm cosine,
+    // the declared sim band, then a per-anchor top-3 window over the
+    // symmetrized pairs (mining is directional). Candidate cost is
+    // the banding's O(Σ bucket²) under the cap, never corpus²; the
+    // per-anchor window is bounded by candidate fan-in.
+    "q333_hard_negatives" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val base = Tables(s, d, "embeddings")
+        .select(col("vec_id"), vec.as("v"), sigColumn.as("sig"),
+                GraftFunctions.vectorNorm(vec).as("nv"))
+      val prs = bandedPairs(base, maxBucket = EmbBucketCap)
+        .join(base.select(col("vec_id").as("a"), col("v").as("va"),
+                          col("nv").as("na")), Seq("a"))
+        .join(base.select(col("vec_id").as("b"), col("v").as("vb"),
+                          col("nv").as("nb")), Seq("b"))
+        .select(col("a"), col("b"),
+                round(GraftFunctions.dotProduct(col("va"), col("vb")) /
+                      (col("na") * col("nb")), 4).as("sim"))
+        .where(col("sim") >= 0.25 && col("sim") < 0.4)
+      prs.select(col("a").as("anchor"), col("b").as("neg"), col("sim"))
+        .unionAll(prs.select(col("b").as("anchor"), col("a").as("neg"),
+                             col("sim")))
+        .withColumn("rk", row_number().over(W.partitionBy("anchor")
+          .orderBy(col("sim").desc, col("neg"))))
+        .where(col("rk") <= 3)
+        .select(col("anchor"), col("rk").cast("long").as("neg_rank"),
+                col("neg"), col("sim"))
+        .orderBy("anchor", "neg_rank")
+    },
+
     // IVF-flat ANN (the other classic ANN scale path next to LSH):
     // coarse-quantize every vector to its nearest of C sampled
     // centroids (deterministic: vec_id < C — no trained state, so the
@@ -1934,6 +1975,27 @@ object SimilarityExtOps extends OpModule {
            |  FROM c JOIN embeddings ea ON ea.vec_id = c.a
            |         JOIN embeddings eb ON eb.vec_id = c.b)
            |WHERE sim >= 0.4 ORDER BY a, b""".stripMargin,
+
+      // q56's candidate text verbatim, the declared sim band, then the
+      // symmetrized per-anchor top-3 window
+      "q333_hard_negatives" ->
+        s"""WITH s AS (SELECT vec_id, embedding, $sigSql AS sig FROM embeddings),
+           |c AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+           |      FROM s x JOIN s y
+           |        ON x.vec_id < y.vec_id AND ${bandEq("x.sig", "y.sig")}),
+           |pr AS (SELECT * FROM (
+           |  SELECT c.a, c.b,
+           |    round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+           |                                 CAST(eb.embedding AS DOUBLE[])), 4) AS sim
+           |  FROM c JOIN embeddings ea ON ea.vec_id = c.a
+           |         JOIN embeddings eb ON eb.vec_id = c.b)
+           |  WHERE sim >= 0.25 AND sim < 0.4),
+           |sym AS (SELECT a AS anchor, b AS neg, sim FROM pr
+           |        UNION ALL SELECT b, a, sim FROM pr)
+           |SELECT anchor, CAST(rk AS BIGINT) AS neg_rank, neg, sim
+           |FROM (SELECT *, row_number() OVER (PARTITION BY anchor
+           |        ORDER BY sim DESC, neg) AS rk FROM sym)
+           |WHERE rk <= 3 ORDER BY anchor, neg_rank""".stripMargin,
 
       // the PQ pipeline inlined: per-(vector, subspace, codeword)
       // distances → per-subspace argmin codes → the query's codeword

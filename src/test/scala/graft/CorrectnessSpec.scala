@@ -3725,6 +3725,27 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("q333 mined negatives sit strictly below q56's dup band; ranks well-formed") {
+    val rows = q("q333_hard_negatives")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2) == (1L to sorted.length.toLong),
+             s"ranks not consecutive: $sorted")
+      assert(sorted.map(_._4).sliding(2)
+               .forall(p => p.length < 2 || p(0) >= p(1)),
+             s"sims not descending within anchor: $sorted")
+    }
+    assert(rows.forall(r => r._4 >= 0.25 && r._4 < 0.4))
+    // the mining band and the dedup band PARTITION the shared banded
+    // candidate space: no mined pair is a q56 near-dup
+    val dups = q("q56_dedup_embedding").select(col("a"), col("b"))
+      .as[(Long, Long)].collect().toSet
+    assert(rows.forall(r => !dups(
+      (math.min(r._1, r._3), math.max(r._1, r._3)))))
+  }
+
   test("q332 motif/discord match brute-force over the daily-cell series") {
     val cells = Tables(spark, sf, "events")
       .groupBy(col("event_type"),
