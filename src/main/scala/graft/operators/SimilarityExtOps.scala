@@ -1464,6 +1464,57 @@ object SimilarityExtOps extends OpModule {
         .orderBy("id_a", "nn_rank")
     },
 
+    // Incremental k-NN join — batch vs PERSISTED grid index (added
+    // r13): the q76/q79/q99 batch-vs-index discipline applied to the
+    // spatial family. The standing corpus (even vec_ids, the house
+    // convention) persists ONCE as a grid-cell-bucketed artifact
+    // (BucketedCache; at 100 TB the cell id is the layout's partition
+    // key); the day's new points (odd ids) probe their 9-cell
+    // neighborhoods against it — the index is never rebuilt and the
+    // even corpus never rescanned (plan-asserted: the only parquet
+    // scan is the odd batch). Same exactness theorem and metric as
+    // q331; k=5 nearest EVEN neighbors within R per new point.
+    // Oracle: the independent quadratic odd×even join — the artifact
+    // must be semantically invisible.
+    "q334_knn_index" -> { (s, dir) =>
+      val R = 20000L
+      val W = org.apache.spark.sql.expressions.Window
+      def gridded(df: DataFrame) = df
+        .select(col("vec_id").as("id"),
+          expr("cast(round(cast(element_at(embedding, 1) as double) * 1000000) as bigint)").as("x"),
+          expr("cast(round(cast(element_at(embedding, 2) as double) * 1000000) as bigint)").as("y"))
+        .withColumn("cx", expr(s"(x + 2000000) div $R"))
+        .withColumn("cy", expr(s"(y + 2000000) div $R"))
+        .withColumn("cell", col("cx") * 1000 + col("cy"))
+      val idxT = graft.BucketedCache.ensure(s, dir, "knnidx",
+          "id BIGINT, x BIGINT, y BIGINT, cell BIGINT", "cell", 8)(
+        gridded(Tables(s, dir, "embeddings")
+                  .where(col("vec_id") % 2 === 0))
+          .select("id", "x", "y", "cell"))
+      val offs = for (dx <- -1 to 1; dy <- -1 to 1)
+        yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
+      val probes = gridded(Tables(s, dir, "embeddings")
+                             .where(col("vec_id") % 2 === 1))
+        .select(col("id").as("id_a"), col("x").as("xa"),
+                col("y").as("ya"), col("cx"), col("cy"),
+                explode(array(offs: _*)).as("o"))
+        .select(col("id_a"), col("xa"), col("ya"),
+                ((col("cx") + col("o.dx")) * 1000 +
+                 (col("cy") + col("o.dy"))).as("cell"))
+      probes.join(s.table(idxT), Seq("cell"))
+        .select(col("id_a"), col("id").as("id_b"),
+                ((col("xa") - col("x")) * (col("xa") - col("x")) +
+                 (col("ya") - col("y")) * (col("ya") - col("y")))
+                  .as("dist2"))
+        .where(col("dist2") <= R * R)
+        .withColumn("nn_rank", row_number().over(
+          W.partitionBy("id_a").orderBy(col("dist2"), col("id_b"))))
+        .where(col("nn_rank") <= 5)
+        .select(col("id_a"), col("nn_rank").cast("long").as("nn_rank"),
+                col("id_b"), col("dist2"))
+        .orderBy("id_a", "nn_rank")
+    },
+
     // PCA top component via fixed-point power iteration (added r12) —
     // the dimensionality-reduction member the embedding family lacked:
     // the corpus's principal direction and its explained-variance
@@ -2483,6 +2534,28 @@ object SimilarityExtOps extends OpModule {
          |FROM j GROUP BY 1 ORDER BY source""".stripMargin,
 
     // the INDEPENDENT quadratic self-join — the grid must be invisible
+    // the independent quadratic odd×even join — no grid, no artifact
+    "q334_knn_index" ->
+      """WITH pts AS (
+        |  SELECT vec_id AS id,
+        |    CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000)
+        |         AS BIGINT) AS x,
+        |    CAST(round(CAST(embedding[2] AS DOUBLE) * 1000000)
+        |         AS BIGINT) AS y
+        |  FROM embeddings),
+        |cand AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |      AS dist2
+        |  FROM pts a JOIN pts b ON a.id % 2 = 1 AND b.id % 2 = 0),
+        |rk AS (
+        |  SELECT id_a, id_b, dist2,
+        |    row_number() OVER (PARTITION BY id_a
+        |                       ORDER BY dist2, id_b) AS nn_rank
+        |  FROM cand WHERE dist2 <= 400000000)
+        |SELECT id_a, nn_rank, id_b, dist2 FROM rk
+        |WHERE nn_rank <= 5 ORDER BY id_a, nn_rank""".stripMargin,
+
     // the independent quadratic algorithm: full self-join + window,
     // no grid — two algorithms, one ranked list
     "q331_knn_join" ->

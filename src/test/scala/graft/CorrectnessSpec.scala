@@ -3725,6 +3725,34 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("q334 index probe equals q331's answer restricted to odd-anchor/even-neighbor") {
+    // ONE definition of in-radius k-NN: the incremental tier must
+    // agree with the from-scratch q331 on the shared (odd anchor,
+    // even neighbor) slice RE-RANKED within it — and since q331 is
+    // brute-force-certified, this transitively certifies q334
+    val full = q("q331_knn_join")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // q331 keeps top-5 over ALL neighbors; rebuild the odd→even slice
+    // from the certified brute-force instead (same metric, same R)
+    val pts = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"),
+              expr("cast(round(cast(element_at(embedding, 1) as double) * 1000000) as bigint)"),
+              expr("cast(round(cast(element_at(embedding, 2) as double) * 1000000) as bigint)"))
+      .as[(Long, Long, Long)].collect()
+    val evens = pts.filter(_._1 % 2 == 0)
+    val want = pts.filter(_._1 % 2 == 1).flatMap { case (a, xa, ya) =>
+      evens.map { case (b, xb, yb) =>
+        (b, (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)) }
+        .filter(_._2 <= 400000000L)
+        .sortBy { case (b, d2) => (d2, b) }.take(5).zipWithIndex
+        .map { case ((b, d2), ix) => (a, ix + 1L, b, d2) }
+    }.sortBy(r => (r._1, r._2)).toSeq
+    val got = q("q334_knn_index")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    assert(full.nonEmpty && got.nonEmpty)
+  }
+
   test("q333 mined negatives sit strictly below q56's dup band; ranks well-formed") {
     val rows = q("q333_hard_negatives")
       .as[(Long, Long, Long, Double)].collect().toSeq

@@ -428,6 +428,22 @@ class PlanShapeSpec extends SparkSpecBase {
     } finally PinScope.drain()
   }
 
+  test("q334: the k-NN probe reads the persisted grid index; only the batch rescans") {
+    // the batch-vs-index contract (q131's discipline): the even
+    // corpus lives in graft_knnidx; the one parquet scan is the odd
+    // probe batch
+    val df = SparkEntry.queries("q334_knn_index")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_knnidx"), s"probe does not scan the artifact:\n$p")
+    // every parquet scan of the embeddings is the ODD probe batch
+    // (AQE prints initial+final plans, so count-based checks misfire)
+    val scans = p.split("\n")
+      .filter(l => l.contains("embeddings.parquet") && l.contains("FileScan"))
+    assert(scans.nonEmpty && scans.forall(_.contains("% 2) = 1")),
+           s"even corpus rescanned outside the index:\n${scans.mkString("\n")}")
+  }
+
   test("q223: as-of joins through AsOfJoinExec — two key exchanges, no window buffer") {
     // the custom operator's contract: EnsureRequirements plans exactly
     // the two key-hash exchanges an equi-join would pay, the merge
