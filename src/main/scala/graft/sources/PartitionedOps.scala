@@ -319,8 +319,45 @@ object PartitionedOps extends OpModule {
     def versions(root: Path): Seq[Int] =
       if (!Files.exists(mdir(root))) Seq.empty
       else Files.list(mdir(root)).iterator.asScala
-        .map(_.getFileName.toString).filter(_.endsWith(".manifest"))
+        .map(_.getFileName.toString)
+        .filter(_.matches("v\\d+\\.manifest")) // branch manifests excluded
         .map(_.stripPrefix("v").stripSuffix(".manifest").toInt).toSeq.sorted
+
+    // ---- branches (added r13, q335): a branch is its own manifest
+    // chain (`<name>-vNNNNN.manifest`) over the SAME data-file
+    // directory — the Iceberg/Nessie model: creating a branch copies a
+    // main version's FILE LIST (zero data movement), branch commits
+    // add manifests main never reads, and main's history is untouched
+    // (versions() above excludes branch manifests by pattern).
+    private def bfile(root: Path, br: String, v: Int) =
+      mdir(root).resolve(f"$br-v$v%05d.manifest")
+
+    def branchVersions(root: Path, br: String): Seq[Int] =
+      if (!Files.exists(mdir(root))) Seq.empty
+      else Files.list(mdir(root)).iterator.asScala
+        .map(_.getFileName.toString)
+        .filter(_.matches(java.util.regex.Pattern.quote(br) +
+                          "-v\\d+\\.manifest"))
+        .map(_.stripPrefix(s"$br-v").stripSuffix(".manifest").toInt)
+        .toSeq.sorted
+
+    def branchCommit(root: Path, br: String, names: Seq[String]): Int = {
+      Files.createDirectories(mdir(root))
+      val v = branchVersions(root, br).lastOption.getOrElse(0) + 1
+      val tmp = Files.createTempFile(mdir(root), ".commit", ".tmp")
+      Files.write(tmp, names.sorted.mkString("\n").getBytes("UTF-8"))
+      Files.move(tmp, bfile(root, br, v), StandardCopyOption.ATOMIC_MOVE)
+      v
+    }
+
+    def branchFiles(root: Path, br: String, v: Int): Seq[String] =
+      new String(Files.readAllBytes(bfile(root, br, v)), "UTF-8")
+        .split("\n").filter(_.nonEmpty).toSeq
+
+    def branchRead(s: SparkSession, root: Path, br: String,
+                   v: Int): DataFrame =
+      s.read.parquet(
+        branchFiles(root, br, v).map(root.resolve(_).toString): _*)
 
     def latest(root: Path): Int = versions(root).lastOption.getOrElse(0)
 
@@ -338,7 +375,17 @@ object PartitionedOps extends OpModule {
     def vacuum(root: Path, keep: Int): (Seq[String], Seq[Int]) = {
       val vs = versions(root)
       val (drop, kept) = vs.splitAt(math.max(0, vs.size - keep))
-      val live = kept.flatMap(files(root, _)).toSet
+      // every BRANCH manifest pins its files too (r13): a retention
+      // vacuum of main must never collect a file a live branch reads
+      val branchLive: Set[String] =
+        if (!Files.exists(mdir(root))) Set.empty
+        else Files.list(mdir(root)).iterator.asScala
+          .map(_.getFileName.toString)
+          .filter(_.matches(".+-v\\d+\\.manifest"))
+          .flatMap(n => new String(
+            Files.readAllBytes(mdir(root).resolve(n)), "UTF-8")
+            .split("\n").filter(_.nonEmpty)).toSet
+      val live = kept.flatMap(files(root, _)).toSet ++ branchLive
       val dead = Files.list(root).iterator.asScala
         .filter(Files.isRegularFile(_)).map(_.getFileName.toString)
         .filter(n => n.endsWith(".parquet") && !live.contains(n))
@@ -421,6 +468,33 @@ object PartitionedOps extends OpModule {
         "a kept snapshot lost rows after vacuum")
     }
 
+  /** The q335 fixture: a BRANCHED snapshot table (orders key/price
+    * projection). main v1 = keys ≡0 (mod 4); main v2 = +≡1; branch
+    * `dev` created AT v2 (its v1 manifest is a copy of main v2's file
+    * list — zero data movement); dev v2 = +≡2 (a branch-only ingest
+    * main never sees); main v3 = +≡3 (main moves on independently).
+    * The divergence is by construction: main∖dev = slice 3,
+    * dev∖main = slice 2, base = slices 0+1. */
+  def branchedOrdersDir(s: SparkSession, d: String): String =
+    cachedLayout("snap_branch", d) { scratch =>
+      val root = java.nio.file.Paths.get(scratch)
+      java.nio.file.Files.createDirectories(root)
+      val o = Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      def slice(k: Int) =
+        o.where(pmod(col("o_orderkey"), lit(4)) === k).coalesce(1)
+      val a = SnapshotLog.addFiles(s, root, "a", slice(0))
+      SnapshotLog.commit(root, a)
+      val b = SnapshotLog.addFiles(s, root, "b", slice(1))
+      SnapshotLog.commit(root, a ++ b)
+      SnapshotLog.branchCommit(root, "dev", SnapshotLog.files(root, 2))
+      val c = SnapshotLog.addFiles(s, root, "c", slice(2))
+      SnapshotLog.branchCommit(root, "dev",
+        SnapshotLog.branchFiles(root, "dev", 1) ++ c)
+      val dd = SnapshotLog.addFiles(s, root, "d", slice(3))
+      SnapshotLog.commit(root, SnapshotLog.files(root, 2) ++ dd)
+    }
+
   /** The q168 fixture: SCHEMA EVOLUTION across ingest batches — the
     * other lifecycle fact of a 100 TB table besides fragmentation: the
     * producer ADDS a column mid-stream and history is never rewritten.
@@ -478,6 +552,39 @@ object PartitionedOps extends OpModule {
     // and aggregates the full table; the oracle runs on the ORIGINAL
     // events, because three commits and a vacuum must stay a pure
     // re-organization. SnapshotVacuumSpec drives the contracts.
+    // Snapshot-table BRANCHES (added r13) — the Iceberg/Nessie model
+    // on q167's SnapshotLog, the last lakehouse lifecycle gap: a
+    // branch is its own manifest chain over the SAME data files
+    // (creation copies a version's FILE LIST — zero data movement),
+    // branch commits are invisible to main, main moves on
+    // independently, and vacuum pins every branch's files. The
+    // declared query is the divergence report every dev/prod-isolation
+    // workflow needs: per ref (base = the branch point, dev@latest,
+    // main@latest), row count + the q244 order-free key checksum —
+    // read ENTIRELY through the log ([[branchedOrdersDir]] builds
+    // main v1→v2 →branch dev→ dev-only ingest / main-only ingest).
+    // The oracle derives the same three row sets straight from orders
+    // (the log must be invisible); SnapshotVacuumSpec drives branch
+    // isolation + vacuum pinning on its own dir.
+    "q335_snapshot_branch" -> { (s, d) =>
+      val root = java.nio.file.Paths.get(branchedOrdersDir(s, d))
+      def ck(ref: String, version: Int, df: DataFrame) = df
+        .select(conv(substring(md5(col("o_orderkey").cast("string")),
+                               1, 8), 16, 10).cast("long").as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+             sum(col("h").cast("decimal(38,0)")).cast("long")
+               .as("key_checksum"))
+        .select(lit(ref).as("ref"), lit(version.toLong).as("version"),
+                col("n_rows"), col("key_checksum"))
+      val mv = SnapshotLog.latest(root)
+      val bv = SnapshotLog.branchVersions(root, "dev").last
+      ck("base", 2, SnapshotLog.read(s, root, 2))
+        .unionAll(ck("dev", bv,
+                     SnapshotLog.branchRead(s, root, "dev", bv)))
+        .unionAll(ck("main", mv, SnapshotLog.read(s, root, mv)))
+        .orderBy("ref")
+    },
+
     "q167_snapshot_vacuum" -> { (s, d) =>
       val root = java.nio.file.Paths.get(snapshotEventsDir(s, d))
       SnapshotLog.read(s, root, SnapshotLog.latest(root))
@@ -755,6 +862,27 @@ object PartitionedOps extends OpModule {
 
     // three snapshot commits and a retention vacuum must stay a pure
     // re-organization of the original events
+    // the log must be invisible: the three refs derive straight from
+    // the orders slices (base = mod-4 keys 0+1; dev adds 2; main adds 3)
+    "q335_snapshot_branch" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+        |         AS BIGINT) AS h,
+        |    o_orderkey % 4 AS m
+        |  FROM orders),
+        |r AS (
+        |  SELECT 'base' AS ref, 2 AS version, m IN (0, 1) AS keep, h
+        |    FROM o
+        |  UNION ALL
+        |  SELECT 'dev', 2, m IN (0, 1, 2), h FROM o
+        |  UNION ALL
+        |  SELECT 'main', 3, m IN (0, 1, 3), h FROM o)
+        |SELECT ref, CAST(version AS BIGINT) AS version,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(h AS DECIMAL(38,0))) AS BIGINT) AS key_checksum
+        |FROM r WHERE keep GROUP BY ref, version
+        |ORDER BY ref""".stripMargin,
+
     "q167_snapshot_vacuum" ->
       """SELECT event_type, count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

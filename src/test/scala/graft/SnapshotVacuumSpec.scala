@@ -73,4 +73,41 @@ class SnapshotVacuumSpec extends SparkSpecBase {
     val (d2, v2drop) = SnapshotLog.vacuum(root, keep = 2)
     assert(d2.isEmpty && v2drop.isEmpty)
   }
+
+  test("branches: isolation from main, zero-copy creation, vacuum pins branch files") {
+    val root = Files.createTempDirectory("graft_snapbr").resolve("tbl")
+    Files.createDirectories(root)
+    val o = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    def slice(k: Int) =
+      o.where(pmod(col("o_orderkey"), lit(3)) === k).coalesce(1)
+    val a = SnapshotLog.addFiles(spark, root, "a", slice(0))
+    assert(SnapshotLog.commit(root, a) == 1)
+    // branch at v1: the manifest is a FILE-LIST copy — zero new data
+    assert(SnapshotLog.branchCommit(root, "dev",
+             SnapshotLog.files(root, 1)) == 1)
+    assert(SnapshotLog.branchFiles(root, "dev", 1) == a.sorted)
+    // a branch-only commit: main's chain must not see it
+    val c = SnapshotLog.addFiles(spark, root, "c", slice(1))
+    SnapshotLog.branchCommit(root, "dev",
+      SnapshotLog.branchFiles(root, "dev", 1) ++ c)
+    assert(SnapshotLog.versions(root) == Seq(1),
+           "branch commit leaked into main's version chain")
+    // main moves on independently; the branch must not see main's add
+    val dd = SnapshotLog.addFiles(spark, root, "d", slice(2))
+    SnapshotLog.commit(root, SnapshotLog.files(root, 1) ++ dd)
+    val nBase = slice(0).count(); val nC = slice(1).count()
+    val nD = slice(2).count()
+    assert(SnapshotLog.branchRead(spark, root, "dev", 2).count() ==
+             nBase + nC)
+    assert(SnapshotLog.read(spark, root, 2).count() == nBase + nD)
+    // vacuum(keep = 1) drops main v1 but must NOT collect the
+    // branch-only file c — branches pin their files
+    val (deleted, dropped) = SnapshotLog.vacuum(root, keep = 1)
+    assert(dropped == Seq(1))
+    assert(deleted.isEmpty,
+           s"vacuum collected branch-pinned or shared files: $deleted")
+    assert(SnapshotLog.branchRead(spark, root, "dev", 2).count() ==
+             nBase + nC, "branch unreadable after main vacuum")
+  }
 }
