@@ -495,6 +495,41 @@ object PartitionedOps extends OpModule {
       SnapshotLog.commit(root, SnapshotLog.files(root, 2) ++ dd)
     }
 
+  /** The q336 fixture: q335's branched lifecycle PLUS the merge —
+    * main absorbs dev's delta (dev@latest ∖ the branch-point file
+    * list) as main v4. File-level three-way merge: both sides only
+    * ADDED files, so the merged manifest is main∪delta — union
+    * semantics with zero data movement (the conflict-free case; a
+    * same-file rewrite on both sides would need content-level
+    * resolution, out of declared scope). */
+  def mergedOrdersDir(s: SparkSession, d: String): String =
+    cachedLayout("snap_merge", d) { scratch =>
+      val root = java.nio.file.Paths.get(scratch)
+      java.nio.file.Files.createDirectories(root)
+      val o = Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      def slice(k: Int) =
+        o.where(pmod(col("o_orderkey"), lit(4)) === k).coalesce(1)
+      val a = SnapshotLog.addFiles(s, root, "a", slice(0))
+      SnapshotLog.commit(root, a)
+      val b = SnapshotLog.addFiles(s, root, "b", slice(1))
+      SnapshotLog.commit(root, a ++ b)
+      val base = SnapshotLog.files(root, 2)
+      SnapshotLog.branchCommit(root, "dev", base)
+      val c = SnapshotLog.addFiles(s, root, "c", slice(2))
+      SnapshotLog.branchCommit(root, "dev",
+        SnapshotLog.branchFiles(root, "dev", 1) ++ c)
+      val dd = SnapshotLog.addFiles(s, root, "d", slice(3))
+      SnapshotLog.commit(root, base ++ dd)
+      // the merge: dev's delta vs the branch point lands on main
+      val delta = SnapshotLog
+        .branchFiles(root, "dev",
+                     SnapshotLog.branchVersions(root, "dev").last)
+        .filterNot(base.toSet)
+      SnapshotLog.commit(root,
+        SnapshotLog.files(root, SnapshotLog.latest(root)) ++ delta)
+    }
+
   /** The q168 fixture: SCHEMA EVOLUTION across ingest batches — the
     * other lifecycle fact of a 100 TB table besides fragmentation: the
     * producer ADDS a column mid-stream and history is never rewritten.
@@ -583,6 +618,32 @@ object PartitionedOps extends OpModule {
                      SnapshotLog.branchRead(s, root, "dev", bv)))
         .unionAll(ck("main", mv, SnapshotLog.read(s, root, mv)))
         .orderBy("ref")
+    },
+
+    // Branch MERGE (added r13) — q335's lifecycle completed: dev's
+    // delta (dev@latest ∖ the branch-point file list) lands on main as
+    // a new version — a file-level three-way merge, zero data movement
+    // in the conflict-free adds-only case (the common one; same-file
+    // rewrites on both sides need content resolution, declared out of
+    // scope). The declared query is the MAIN AUDIT TRAIL across all
+    // four versions (ingest → ingest → divergent ingest → merge): per
+    // version, row count + q244 key checksum, read through the log.
+    // The oracle derives each version's row set straight from orders —
+    // every version, including the merged one, must be exactly its
+    // slices. Time travel across the merge comes free (v3 still reads
+    // the pre-merge table).
+    "q336_branch_merge" -> { (s, d) =>
+      val root = java.nio.file.Paths.get(mergedOrdersDir(s, d))
+      def ck(version: Int) = SnapshotLog.read(s, root, version)
+        .select(conv(substring(md5(col("o_orderkey").cast("string")),
+                               1, 8), 16, 10).cast("long").as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+             sum(col("h").cast("decimal(38,0)")).cast("long")
+               .as("key_checksum"))
+        .select(lit(version.toLong).as("version"), col("n_rows"),
+                col("key_checksum"))
+      (1 to SnapshotLog.latest(root)).map(ck).reduce(_.unionAll(_))
+        .orderBy("version")
     },
 
     "q167_snapshot_vacuum" -> { (s, d) =>
@@ -862,6 +923,23 @@ object PartitionedOps extends OpModule {
 
     // three snapshot commits and a retention vacuum must stay a pure
     // re-organization of the original events
+    // every main version derives straight from the orders slices:
+    // v1 = mod-4 key 0; v2 = +1; v3 = +3; v4 (the merge) = all
+    "q336_branch_merge" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+        |         AS BIGINT) AS h,
+        |    o_orderkey % 4 AS m
+        |  FROM orders),
+        |r AS (
+        |  SELECT 1 AS version, m IN (0) AS keep, h FROM o
+        |  UNION ALL SELECT 2, m IN (0, 1), h FROM o
+        |  UNION ALL SELECT 3, m IN (0, 1, 3), h FROM o
+        |  UNION ALL SELECT 4, TRUE, h FROM o)
+        |SELECT CAST(version AS BIGINT) AS version, count(*) AS n_rows,
+        |  CAST(sum(CAST(h AS DECIMAL(38,0))) AS BIGINT) AS key_checksum
+        |FROM r WHERE keep GROUP BY version ORDER BY version""".stripMargin,
+
     // the log must be invisible: the three refs derive straight from
     // the orders slices (base = mod-4 keys 0+1; dev adds 2; main adds 3)
     "q335_snapshot_branch" ->
