@@ -1025,6 +1025,64 @@ object TimeWindowOps extends OpModule {
         .orderBy("dow")
     },
 
+    // Additive STL-lite decomposition (added r13) — the step AFTER
+    // q256's "how strong is each weekday?": split the daily revenue
+    // series into trend + seasonal + residual and report, per weekday,
+    // the ADDITIVE seasonal component in cents and the residual scale
+    // — the decomposition a forecasting team reads before choosing a
+    // model family (big |seasonal| ⇒ q161/q258's weekly models; big
+    // residual ⇒ nothing calendar-shaped is left to model). Exactness:
+    // the centered 7-day MA trend would be fractional, so everything
+    // detrends at ×7 SCALE — det7 = 7c − s7 is a pure INTEGER on
+    // q256's gap-free windows; per-weekday means are one exact decimal
+    // sum + one division rounded 6 (grand centering likewise, so the
+    // reported components sum to ~0 by construction, spec-asserted);
+    // residual scale = mean |det7 − s7avg_w| / 7, the only double
+    // chain, fixed-order. Same |days|-bounded cell table as q256 —
+    // FLAT at any corpus volume.
+    "q337_stl_lite" -> { (s, d) =>
+      def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+      val W = org.apache.spark.sql.expressions.Window
+      val cells = Tables(s, d, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+      val w7 = W.orderBy("day").rowsBetween(-3, 3)
+      val det = cells
+        .withColumn("k", count(lit(1)).over(w7))
+        .withColumn("span", datediff(max("day").over(w7),
+                                     min("day").over(w7)))
+        .withColumn("s7", sum("c").over(w7))
+        .where(col("k") === 7 && col("span") === 6)
+        .withColumn("det7", lit(7) * col("c") - col("s7"))
+        .withColumn("dow",
+          (datediff(col("day"), to_date(lit("1970-01-05"))) % 7)
+            .cast("long"))
+      val (dp, dh) = org.apache.spark.sql.graft.InternalPin.pin(det)
+      dh.count(); graft.PinScope.retain(dh)
+      val grand = dp.agg(
+        (dd(sum(col("det7").cast("decimal(38,0)"))) /
+         dd(count(lit(1)))).as("g7"))
+      dp.groupBy("dow")
+        .agg(count(lit(1)).as("n_days"),
+             sum(col("det7").cast("decimal(38,0)")).as("sd7"),
+             sum(col("det7").cast("decimal(38,0)") * col("det7"))
+               .as("sdd7"))
+        .crossJoin(broadcast(grand))
+        .select(col("dow"), col("n_days"),
+          // centered additive seasonal component, back at cent scale
+          round((dd(col("sd7")) / dd(col("n_days")) - col("g7")) /
+                  lit(7.0), 6).as("seasonal_cents"),
+          // within-weekday residual scale (rms of det7 around its
+          // weekday mean, back at cent scale) — fixed-order chain
+          round(sqrt(greatest(
+                  dd(col("sdd7")) / dd(col("n_days")) -
+                    (dd(col("sd7")) / dd(col("n_days"))) *
+                    (dd(col("sd7")) / dd(col("n_days"))),
+                  lit(0.0))) / lit(7.0), 6).as("resid_rms_cents"))
+        .orderBy("dow")
+    },
+
     // Rolling-origin forecast backtest (added r12) — q161 asks whether
     // weekly structure EXISTS; this prices how well the seasonal-naive
     // forecaster (tomorrow = same weekday last week) would actually
@@ -2098,6 +2156,40 @@ object TimeWindowOps extends OpModule {
         |  epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
         |FROM se GROUP BY user_id, sid
         |ORDER BY user_id, sess_start""".stripMargin,
+
+    // identical gap-free windows and ×7-scale integer detrending;
+    // per-weekday and grand means as exact sums + one rounded division
+    "q337_stl_lite" ->
+      """WITH cells AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS c
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |w AS (SELECT day, c,
+        |    count(*) OVER w7 AS k,
+        |    max(day) OVER w7 - min(day) OVER w7 AS span,
+        |    sum(c) OVER w7 AS s7
+        |  FROM cells
+        |  WINDOW w7 AS (ORDER BY day
+        |                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |det AS (SELECT
+        |    CAST((day - DATE '1970-01-05') % 7 AS BIGINT) AS dow,
+        |    7 * c - s7 AS det7
+        |  FROM w WHERE k = 7 AND span = 6),
+        |g AS (SELECT CAST(sum(CAST(det7 AS DECIMAL(38,0))) AS DOUBLE) /
+        |        CAST(count(*) AS DOUBLE) AS g7 FROM det)
+        |SELECT dow, count(*) AS n_days,
+        |  round((CAST(sum(CAST(det7 AS DECIMAL(38,0))) AS DOUBLE) /
+        |           CAST(count(*) AS DOUBLE) - g.g7) / 7.0, 6)
+        |    AS seasonal_cents,
+        |  round(sqrt(greatest(
+        |      CAST(sum(CAST(det7 AS DECIMAL(38,0)) * det7) AS DOUBLE) /
+        |        CAST(count(*) AS DOUBLE) -
+        |      (CAST(sum(CAST(det7 AS DECIMAL(38,0))) AS DOUBLE) /
+        |         CAST(count(*) AS DOUBLE)) *
+        |      (CAST(sum(CAST(det7 AS DECIMAL(38,0))) AS DOUBLE) /
+        |         CAST(count(*) AS DOUBLE)),
+        |      0.0)) / 7.0, 6) AS resid_rms_cents
+        |FROM det, g GROUP BY dow, g.g7 ORDER BY dow""".stripMargin,
 
     "q256_seasonal_index" ->
       """WITH cells AS (

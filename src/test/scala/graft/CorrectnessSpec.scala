@@ -3725,6 +3725,43 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("q337 decomposition matches in-memory; seasonal components center to zero") {
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val cells = Tables(spark, sf, "events")
+      .where(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).cast("string"))
+      .agg(sum(round(col("value") * 100).cast("long")))
+      .as[(String, Long)].collect()
+      .map { case (d0, c) => (java.time.LocalDate.parse(d0).toEpochDay, c) }
+      .sortBy(_._1)
+    val byDay = cells.toMap
+    val det = cells.flatMap { case (day, c) =>
+      val wnd = (-3 to 3).map(i => byDay.get(day + i))
+      if (wnd.forall(_.isDefined))
+        Some((((day - 4) % 7 + 7) % 7, 7L * c - wnd.flatten.sum))
+      else None
+    } // 1970-01-05 is epoch day 4
+    val g7 = det.map(_._2.toDouble).sum / det.length // exact: longs sum in Double? use BigInt
+    val g7e = det.map(d => BigInt(d._2)).sum.toDouble / det.length
+    val want = det.groupBy(_._1).toSeq.sortBy(_._1).map { case (dow, g) =>
+      val n = g.length
+      val sd = g.map(d => BigInt(d._2)).sum
+      val sdd = g.map(d => BigInt(d._2) * BigInt(d._2)).sum
+      val mean = sd.toDouble / n
+      val rms = math.sqrt(math.max(
+        sdd.toDouble / n - mean * mean, 0.0)) / 7.0
+      (dow, n.toLong, r6((mean - g7e) / 7.0), r6(rms))
+    }
+    val got = q("q337_stl_lite")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got == want, s"g7=$g7 g7e=$g7e")
+    // grand centering: the day-weighted seasonal components cancel
+    val wsum = got.map(r => r._2 * r._3).sum
+    assert(math.abs(wsum) <= det.length * 1e-6,
+           s"seasonal components not centered: $wsum")
+  }
+
   test("q334 index probe equals q331's answer restricted to odd-anchor/even-neighbor") {
     // ONE definition of in-radius k-NN: the incremental tier must
     // agree with the from-scratch q331 on the shared (odd anchor,
