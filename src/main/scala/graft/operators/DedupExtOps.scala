@@ -90,6 +90,55 @@ object DedupExtOps extends OpModule {
       .drop("bucket_n")
   }
 
+  /** q324's exact AllPairs prefix-filter join (see its registry entry
+    * for the full theorem/discipline docstring) — factored out so the
+    * q338 recall attestation consumes the IDENTICAL certified pair
+    * set (one truth definition across tiers, the q82/q108 rule). */
+  private def setsimPairs(s: SparkSession, d: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    def pin(df: DataFrame) = org.apache.spark.sql.graft.InternalPin.pin(df)
+    val (sh, shh) = pin(Tables(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(0, size(ws) - 5),
+          |  i -> concat_ws(' ', element_at(ws, i + 1),
+          |    element_at(ws, i + 2), element_at(ws, i + 3),
+          |    element_at(ws, i + 4), element_at(ws, i + 5))))"""
+          .stripMargin)).as("t")))
+    shh.count(); graft.PinScope.retain(shh)
+    val (pref, ph) = pin(sh
+      .withColumn("df", count(lit(1)).over(W.partitionBy("t")))
+      .withColumn("n", count(lit(1)).over(W.partitionBy("doc_id")))
+      .withColumn("r", row_number().over(
+        W.partitionBy("doc_id").orderBy(col("df"), col("t"))))
+      .where(col("r") <= col("n") - expr("(6 * n + 9) DIV 10") + 1)
+      .withColumn("pn", count(lit(1)).over(W.partitionBy("t")))
+      .where(col("pn") <= HotBucketCap)
+      .select(col("doc_id"), col("t"), col("n")))
+    ph.count(); graft.PinScope.retain(ph)
+    val cand = pref.select(col("t"), col("doc_id").as("id_a"),
+                           col("n").as("na"))
+      .join(pref.select(col("t"), col("doc_id").as("id_b"),
+                        col("n").as("nb")), Seq("t"))
+      .where(col("id_a") < col("id_b") &&
+             lit(10) * least(col("na"), col("nb")) >=
+               lit(6) * greatest(col("na"), col("nb")))
+      .select("id_a", "id_b", "na", "nb").distinct()
+    cand
+      .join(sh.select(col("doc_id").as("id_a"), col("t")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("t")),
+            Seq("id_b", "t"))
+      .groupBy("id_a", "id_b", "na", "nb")
+      .agg(count(lit(1)).as("inter_sh"))
+      .withColumn("union_sh", col("na") + col("nb") - col("inter_sh"))
+      .where(lit(10) * col("inter_sh") >= lit(6) * col("union_sh"))
+      .select(col("id_a"), col("id_b"), col("inter_sh"),
+              col("union_sh"),
+              expr("(1000000 * inter_sh) DIV union_sh").as("jac_ppm"))
+      .orderBy("id_a", "id_b")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MinHash-LSH candidate pairs through [[bandKeys]] — shingle
     // (3-token), not unigram: the corpus vocabulary is small, so
@@ -143,49 +192,35 @@ object DedupExtOps extends OpModule {
     // shingle, rank-by-doc) with the prefix PINNED (three consumers),
     // candidate join on prefix shingle, verify join on doc keys —
     // all narrow, none corpus-quadratic.
-    "q324_setsim_prefix" -> { (s, d) =>
-      val W = org.apache.spark.sql.expressions.Window
+    "q324_setsim_prefix" -> { (s, d) => setsimPairs(s, d) },
+
+    // Cross-tier recall attestation (added r13) — the q214 pattern
+    // applied to DEDUP: does the production MinHash-LSH tier (q46's
+    // banding, the probabilistic scale path) actually CATCH the pairs
+    // the exact tier certifies (q324's 5-gram Jaccard ≥ 0.6 join)?
+    // One row: certified-true pair count, LSH candidate volume, hits,
+    // misses, recall in ppm (integer fixed point, zero-truth guarded).
+    // Both inputs are themselves fully-oracled operators — ONE truth,
+    // TWO tiers, and the attestation is the number a pipeline owner
+    // watches when tuning bands vs cost. Cost = the two constituent
+    // pipelines + a semi-join on pair keys.
+    "q338_lsh_recall" -> { (s, d) =>
       def pin(df: DataFrame) = org.apache.spark.sql.graft.InternalPin.pin(df)
-      val (sh, shh) = pin(Tables(s, d, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .where(size(col("ws")) >= 5)
-        .select(col("doc_id"), explode(expr(
-          """array_distinct(transform(sequence(0, size(ws) - 5),
-            |  i -> concat_ws(' ', element_at(ws, i + 1),
-            |    element_at(ws, i + 2), element_at(ws, i + 3),
-            |    element_at(ws, i + 4), element_at(ws, i + 5))))"""
-            .stripMargin)).as("t")))
-      shh.count(); graft.PinScope.retain(shh)
-      val (pref, ph) = pin(sh
-        .withColumn("df", count(lit(1)).over(W.partitionBy("t")))
-        .withColumn("n", count(lit(1)).over(W.partitionBy("doc_id")))
-        .withColumn("r", row_number().over(
-          W.partitionBy("doc_id").orderBy(col("df"), col("t"))))
-        .where(col("r") <= col("n") - expr("(6 * n + 9) DIV 10") + 1)
-        .withColumn("pn", count(lit(1)).over(W.partitionBy("t")))
-        .where(col("pn") <= HotBucketCap)
-        .select(col("doc_id"), col("t"), col("n")))
-      ph.count(); graft.PinScope.retain(ph)
-      val cand = pref.select(col("t"), col("doc_id").as("id_a"),
-                             col("n").as("na"))
-        .join(pref.select(col("t"), col("doc_id").as("id_b"),
-                          col("n").as("nb")), Seq("t"))
-        .where(col("id_a") < col("id_b") &&
-               lit(10) * least(col("na"), col("nb")) >=
-                 lit(6) * greatest(col("na"), col("nb")))
-        .select("id_a", "id_b", "na", "nb").distinct()
-      cand
-        .join(sh.select(col("doc_id").as("id_a"), col("t")), Seq("id_a"))
-        .join(sh.select(col("doc_id").as("id_b"), col("t")),
-              Seq("id_b", "t"))
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(count(lit(1)).as("inter_sh"))
-        .withColumn("union_sh", col("na") + col("nb") - col("inter_sh"))
-        .where(lit(10) * col("inter_sh") >= lit(6) * col("union_sh"))
-        .select(col("id_a"), col("id_b"), col("inter_sh"),
-                col("union_sh"),
-                expr("(1000000 * inter_sh) DIV union_sh").as("jac_ppm"))
-        .orderBy("id_a", "id_b")
+      val (truth, th) = pin(setsimPairs(s, d).select("id_a", "id_b"))
+      th.count(); graft.PinScope.retain(th)
+      val (cand, ch) = pin(candidatePairs(Tables(s, d, "documents"),
+                                          maxBucket = HotBucketCap))
+      ch.count(); graft.PinScope.retain(ch)
+      val hits = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+      truth.agg(count(lit(1)).as("true_pairs"))
+        .crossJoin(hits.agg(count(lit(1)).as("caught")))
+        .crossJoin(cand.agg(count(lit(1)).as("lsh_candidates")))
+        .select(col("true_pairs"), col("caught"),
+                (col("true_pairs") - col("caught")).as("missed"),
+                expr("CASE WHEN true_pairs = 0 THEN 0 " +
+                     "ELSE (1000000 * caught) DIV true_pairs END")
+                  .as("recall_ppm"),
+                col("lsh_candidates"))
     },
 
     // 16-bit SimHash from the first 4 md5 nibbles of each token; output
@@ -1697,6 +1732,43 @@ object DedupExtOps extends OpModule {
         |    AS jaccard
         |FROM dir WHERE inter * 10 >= nsmall * 9
         |ORDER BY id_small, id_big""".stripMargin,
+
+    // truth = q324's independent full-join text; candidates = q46's
+    // minhash banding text; the attestation is count arithmetic
+    "q338_lsh_recall" ->
+      s"""$minhashCte,
+         |w AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |      FROM documents),
+         |idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS i
+         |        FROM w WHERE len(ws) >= 5),
+         |sh5 AS (SELECT DISTINCT doc_id,
+         |          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+         |          ws[i+3] || ' ' || ws[i+4] AS t
+         |        FROM idx),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh5 GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    count(*) AS inter_sh
+         |  FROM sh5 a JOIN sh5 b ON a.t = b.t AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (SELECT id_a, id_b FROM inter
+         |  JOIN sz za ON id_a = za.doc_id JOIN sz zb ON id_b = zb.doc_id
+         |  WHERE 10 * inter_sh >= 6 * (za.n + zb.n - inter_sh)),
+         |lsh AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |        FROM bands x JOIN bands y
+         |          ON x.band = y.band AND x.sig = y.sig
+         |         AND x.doc_id < y.doc_id),
+         |h AS (SELECT count(*) AS caught FROM truth t
+         |      WHERE EXISTS (SELECT 1 FROM lsh l
+         |                    WHERE l.id_a = t.id_a AND l.id_b = t.id_b)),
+         |tp AS (SELECT count(*) AS true_pairs FROM truth),
+         |lc AS (SELECT count(*) AS lsh_candidates FROM lsh)
+         |SELECT tp.true_pairs, h.caught,
+         |  tp.true_pairs - h.caught AS missed,
+         |  CASE WHEN tp.true_pairs = 0 THEN 0
+         |       ELSE (1000000 * h.caught) // tp.true_pairs END
+         |    AS recall_ppm,
+         |  lc.lsh_candidates
+         |FROM tp, h, lc""".stripMargin,
 
     // the INDEPENDENT algorithm: full all-token intersection join with
     // no prefix filter, no length filter, no cap — two algorithms,
