@@ -42,7 +42,7 @@ object SweepR13 {
       "q321_sequential_ab", "q322_mmr_rerank", "q323_cms_artifact",
       "q324_setsim_prefix", "q325_als_user_step", "q326_cox_hazard",
       "q327_dp_release", "q328_kcore", "q329_ann_beam",
-      "q330_stream_pit_enrich", "q331_knn_join", "q332_matrix_profile", "q333_hard_negatives", "q334_knn_index", "q335_snapshot_branch", "q336_branch_merge")
+      "q330_stream_pit_enrich", "q331_knn_join", "q332_matrix_profile", "q333_hard_negatives", "q334_knn_index", "q335_snapshot_branch", "q336_branch_merge", "q337_stl_lite", "q338_lsh_recall")
     val x100 = args.headOption.contains("x100")
     val rest = if (x100) args.tail else args
     val sel = if (rest.isEmpty) qs else qs.filter(rest.contains)
