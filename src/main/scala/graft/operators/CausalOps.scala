@@ -261,16 +261,40 @@ object CausalOps extends OpModule {
                 round(col("c_acctbal") * 100).cast("long").as("score"),
                 (col("c_mktsegment") === "BUILDING").as("tr"),
                 coalesce(col("sp"), lit(0L)).as("out"))
-      val wPrev = Window.orderBy("score", "key")
+      // r14: the four running nearest-control fills are BUCKET-
+      // PARTITIONED ($100-resolution score buckets), with the seams
+      // stitched through a |buckets|-row census (per bucket: its LAST
+      // and FIRST control as struct max/min) — a row with no in-bucket
+      // preceding/following control coalesces to the carry from the
+      // nearest non-empty neighbor bucket. Bit-identical to the r12
+      // unpartitioned running windows (which single-partition-sorted
+      // the whole table — the q329 defect class, now guarded by
+      // WindowBoundednessSpec); the only global windows left run over
+      // the census aggregate. The "next control" fill stays a running
+      // last() over the REVERSED sort: Spark executes an UNBOUNDED
+      // FOLLOWING frame by rescanning the tail per row (O(n²): a flat
+      // ~10 s at every SF in the r12 sweep).
+      val b = u.withColumn("bk", expr("(score + 100000) DIV 10000"))
+      val wPrev = Window.partitionBy("bk").orderBy("score", "key")
         .rowsBetween(Window.unboundedPreceding, -1)
-      // the "next control" fill is the same running last() over the
-      // REVERSED sort — Spark executes an UNBOUNDED FOLLOWING frame by
-      // rescanning the tail per row (O(n²): a flat ~10 s at every SF in
-      // the r12 sweep), while the running frame is one O(n) pass
-      val wNextRev = Window.orderBy(col("score").desc, col("key").desc)
+      val wNextRev = Window.partitionBy("bk")
+        .orderBy(col("score").desc, col("key").desc)
         .rowsBetween(Window.unboundedPreceding, -1)
       def ctl(c: String) = when(!col("tr"), col(c))
-      val filled = u
+      val census = b.groupBy("bk").agg(
+        max(when(!col("tr"), struct(col("score"), col("key"),
+                                    col("out")))).as("lc"),
+        min(when(!col("tr"), struct(col("score"), col("key"),
+                                    col("out")))).as("fc"))
+      val carry = census
+        .withColumn("pc", last("lc", ignoreNulls = true).over(
+          Window.orderBy("bk")
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("nc", last("fc", ignoreNulls = true).over(
+          Window.orderBy(col("bk").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        .select(col("bk"), col("pc"), col("nc"))
+      val filled = b
         .withColumn("ps", last(ctl("score"), ignoreNulls = true)
           .over(wPrev))
         .withColumn("po", last(ctl("out"), ignoreNulls = true)
@@ -279,6 +303,11 @@ object CausalOps extends OpModule {
           .over(wNextRev))
         .withColumn("no", last(ctl("out"), ignoreNulls = true)
           .over(wNextRev))
+        .join(broadcast(carry), Seq("bk"))
+        .withColumn("ps", coalesce(col("ps"), col("pc.score")))
+        .withColumn("po", coalesce(col("po"), col("pc.out")))
+        .withColumn("ns", coalesce(col("ns"), col("nc.score")))
+        .withColumn("no", coalesce(col("no"), col("nc.out")))
         .where(col("tr"))
       val cal = lit(1000L)
       val matched = filled

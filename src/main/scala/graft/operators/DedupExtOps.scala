@@ -93,8 +93,21 @@ object DedupExtOps extends OpModule {
   /** q324's exact AllPairs prefix-filter join (see its registry entry
     * for the full theorem/discipline docstring) — factored out so the
     * q338 recall attestation consumes the IDENTICAL certified pair
-    * set (one truth definition across tiers, the q82/q108 rule). */
-  private def setsimPairs(s: SparkSession, d: String): DataFrame = {
+    * set (one truth definition across tiers, the q82/q108 rule).
+    *
+    * `assertCapNoop` (r13 ADVICE): the q46 HotBucketCap on prefix
+    * postings is a declared boilerplate guard for the PRODUCTION tier
+    * (q324) — but when this join serves as the CERTIFIED TRUTH of the
+    * q338 recall attestation, a silently biting cap would drop true
+    * pairs and inflate the reported recall, the exact metric the
+    * attestation exists to report. With the flag set, any posting
+    * past the cap raises instead of filtering (a codegen'd
+    * raise_error guard on the already-computed posting count — zero
+    * extra shuffle), so an over-cap corpus ABORTS the attestation
+    * rather than attesting a lie. A no-op at every test SF (max
+    * prefix posting 4 at sf0.1, spec-asserted by q324's cap test). */
+  private def setsimPairs(s: SparkSession, d: String,
+                          assertCapNoop: Boolean = false): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     def pin(df: DataFrame) = org.apache.spark.sql.graft.InternalPin.pin(df)
     val (sh, shh) = pin(Tables(s, d, "documents")
@@ -114,7 +127,15 @@ object DedupExtOps extends OpModule {
         W.partitionBy("doc_id").orderBy(col("df"), col("t"))))
       .where(col("r") <= col("n") - expr("(6 * n + 9) DIV 10") + 1)
       .withColumn("pn", count(lit(1)).over(W.partitionBy("t")))
-      .where(col("pn") <= HotBucketCap)
+      .where(if (assertCapNoop)
+               when(col("pn") > HotBucketCap, expr(
+                 s"""raise_error(concat('setsim truth tier: prefix posting for shingle "',
+                    |  t, '" exceeds HotBucketCap=$HotBucketCap (', pn,
+                    |  ' docs) - the certified pair set would be silently
+                    | truncated; re-run with a wider cap or an exact
+                    | uncapped pass'))""".stripMargin.replace("\n", "")))
+                 .otherwise(lit(true))
+             else col("pn") <= HotBucketCap)
       .select(col("doc_id"), col("t"), col("n")))
     ph.count(); graft.PinScope.retain(ph)
     val cand = pref.select(col("t"), col("doc_id").as("id_a"),
@@ -206,7 +227,10 @@ object DedupExtOps extends OpModule {
     // pipelines + a semi-join on pair keys.
     "q338_lsh_recall" -> { (s, d) =>
       def pin(df: DataFrame) = org.apache.spark.sql.graft.InternalPin.pin(df)
-      val (truth, th) = pin(setsimPairs(s, d).select("id_a", "id_b"))
+      // truth tier runs with assertCapNoop: an over-cap corpus aborts
+      // the attestation instead of silently inflating recall_ppm
+      val (truth, th) = pin(setsimPairs(s, d, assertCapNoop = true)
+                              .select("id_a", "id_b"))
       th.count(); graft.PinScope.retain(th)
       val (cand, ch) = pin(candidatePairs(Tables(s, d, "documents"),
                                           maxBucket = HotBucketCap))
@@ -1061,31 +1085,25 @@ object DedupExtOps extends OpModule {
     // classical sliding-window ER compromise). Here: customers sorted
     // by (balance cents, key), window w = 3 via stacked lead()s, match
     // = balance within 10 cents — the near-duplicate-account screen.
-    // The sort runs on the customer DIMENSION (declared contract, like
-    // q260's vocab sort; at fact scale the window partitions by a
-    // coarse range bucket and overlaps w rows at boundaries —
-    // documented). Declared total order on the match list.
+    // Since r14 the neighborhood is computed DISTRIBUTED (the r12 form
+    // stacked lead()s over one unpartitioned window — a single-
+    // partition sort of the whole table, the q329 defect class): the
+    // global rank runs as [[GlobalOrder]]'s two-level bucket rank
+    // ($100-resolution balance buckets, within-bucket sorts parallel)
+    // and each row equi-joins to its next 1..3 successors on the rank
+    // key — bit-identical to the lead form (tail rows simply have
+    // fewer successors), same oracle, no fact-scaled global window
+    // (WindowBoundednessSpec-guarded). Declared total order on the
+    // match list.
     "q270_sorted_neighborhood" -> { (s, d) =>
-      val W = org.apache.spark.sql.expressions.Window
-      val w = W.orderBy("bal", "k")
       val c = Tables(s, d, "customer")
         .select(col("c_custkey").as("k"),
                 round(col("c_acctbal") * 100).cast("long").as("bal"))
-      val led = c
-        .withColumn("n1", struct(lead("k", 1).over(w).as("k2"),
-                                 lead("bal", 1).over(w).as("bal2")))
-        .withColumn("n2", struct(lead("k", 2).over(w).as("k2"),
-                                 lead("bal", 2).over(w).as("bal2")))
-        .withColumn("n3", struct(lead("k", 3).over(w).as("k2"),
-                                 lead("bal", 3).over(w).as("bal2")))
-        .select(col("k"), col("bal"),
-                explode(array(col("n1"), col("n2"), col("n3"))).as("nb"))
-        .select(col("k"), col("bal"), col("nb.k2").as("k2"),
-                col("nb.bal2").as("bal2"))
-        .where(col("k2").isNotNull &&
-               col("bal2") - col("bal") <= 10)
-      led.select(col("k").as("cust_a"), col("k2").as("cust_b"),
-                 (col("bal2") - col("bal")).as("diff_cents"))
+      GlobalOrder.neighbors(c, expr("(bal + 100000) DIV 10000"),
+                            Seq(col("bal"), col("k")), 3, Seq("k", "bal"))
+        .where(col("bal2") - col("bal") <= 10)
+        .select(col("k").as("cust_a"), col("k2").as("cust_b"),
+                (col("bal2") - col("bal")).as("diff_cents"))
         .orderBy(col("diff_cents"), col("cust_a"), col("cust_b"))
         .limit(30)
     },
@@ -1236,8 +1254,6 @@ object DedupExtOps extends OpModule {
     },
 
     "q275_fellegi_sunter" -> { (s, d) =>
-      val W = org.apache.spark.sql.expressions.Window
-      val w = W.orderBy("bal", "k")
       val c = Tables(s, d, "customer")
         .select(col("c_custkey").as("k"),
                 round(col("c_acctbal") * 100).cast("long").as("bal"),
@@ -1269,25 +1285,18 @@ object DedupExtOps extends OpModule {
       val weights = uTab.agg(wOf("nat", "wa"), wOf("nat", "wd"),
                              wOf("seg", "wa"), wOf("seg", "wd"),
                              wOf("band", "wa"), wOf("band", "wd"))
-      val led = c
-        .withColumn("n1", struct(lead("k", 1).over(w).as("k2"),
-          lead("nat", 1).over(w).as("nat2"),
-          lead("seg", 1).over(w).as("seg2"),
-          lead("band", 1).over(w).as("band2")))
-        .withColumn("n2", struct(lead("k", 2).over(w).as("k2"),
-          lead("nat", 2).over(w).as("nat2"),
-          lead("seg", 2).over(w).as("seg2"),
-          lead("band", 2).over(w).as("band2")))
-        .withColumn("n3", struct(lead("k", 3).over(w).as("k2"),
-          lead("nat", 3).over(w).as("nat2"),
-          lead("seg", 3).over(w).as("seg2"),
-          lead("band", 3).over(w).as("band2")))
-        .withColumn("nb",
-          explode(array(col("n1"), col("n2"), col("n3"))))
-        .where(col("nb.k2").isNotNull)
-        .select((col("nat") === col("nb.nat2")).cast("int").as("a_nat"),
-                (col("seg") === col("nb.seg2")).cast("int").as("a_seg"),
-                (col("band") === col("nb.band2")).cast("int").as("a_band"))
+      // candidates = q270's w=3 sorted neighborhood, computed since
+      // r14 through [[GlobalOrder.neighbors]] (bucket-distributed rank
+      // + successor equi-join) instead of stacked lead()s over an
+      // unpartitioned window — bit-identical pairs, no fact-scaled
+      // single-partition sort (WindowBoundednessSpec-guarded)
+      val led = GlobalOrder.neighbors(c,
+          expr("(bal + 100000) DIV 10000"),
+          Seq(col("bal"), col("k")), 3,
+          Seq("k", "bal", "nat", "seg", "band"))
+        .select((col("nat") === col("nat2")).cast("int").as("a_nat"),
+                (col("seg") === col("seg2")).cast("int").as("a_seg"),
+                (col("band") === col("band2")).cast("int").as("a_band"))
       led.crossJoin(broadcast(weights))
         .withColumn("score",
           (when(col("a_nat") === 1, col("wa_nat"))

@@ -762,6 +762,12 @@ object StreamOps extends OpModule {
         eventStream(iso, d)
           .select(pmod(col("event_id"), lit(8)).cast("int").as("lane"),
                   get_json_object(col("props"), "$.k").as("tok"))
+          // r13 ADVICE: an event without props.k would form a NULL
+          // token group, and Spark's NULLS-FIRST ascending tie order
+          // diverges from DuckDB's NULLS-LAST at the top-10 boundary
+          // — tokenless events are out of the monitor's scope by
+          // declared semantics, filtered identically in both engines
+          .where(col("tok").isNotNull)
           .as[(Int, String)]
           .groupByKey(_._1)
           .flatMapGroupsWithState(
@@ -977,7 +983,9 @@ object StreamOps extends OpModule {
     "q317_stream_topk" ->
       """SELECT json_extract_string(props, '$.k') AS token,
         |  count(*) AS cnt
-        |FROM events GROUP BY 1
+        |FROM events
+        |WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |GROUP BY 1
         |ORDER BY cnt DESC, token LIMIT 10""".stripMargin,
 
     "q267_stream_alert" ->

@@ -414,6 +414,54 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q339: the batch probe reads the persisted SemDeDup model, never re-fits") {
+    // the q334/q131 discipline on the embedding-cluster tier: the
+    // declared plan scans the cid-bucketed graft_semidx artifact; any
+    // parquet scan of the embeddings is the ODD batch (the even
+    // corpus is never rescanned, the 3-round Lloyd never re-runs)
+    try {
+      val df = SparkEntry.queries("q339_semdedup_incremental")(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("graft_semidx"),
+             s"probe does not scan the artifact:\n$p")
+      val scans = p.split("\n")
+        .filter(l => l.contains("embeddings.parquet") && l.contains("FileScan"))
+      assert(scans.forall(_.contains("% 2) = 1")),
+             s"even corpus rescanned outside the artifact:\n${scans.mkString("\n")}")
+    } finally PinScope.drain()
+  }
+
+  test("q329: backbone rank sorts only live census buckets, never the corpus") {
+    // the r13 verdict's one `weak`: the backbone used to rank
+    // row_number() OVER (ORDER BY md5(vec_id)) with no partitioning —
+    // a single-partition sort of the whole corpus. The r14 shape
+    // censuses 256 md5-prefix buckets first (map-side-combined
+    // counts), keeps only buckets whose cumulative offset intersects
+    // the 4096 cut, and ranks ONLY those buckets' rows — the rank
+    // window must sit ABOVE the broadcast live-bucket prefilter, and
+    // must partition on the prefix
+    import org.apache.spark.sql.functions._
+    val em = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val df = operators.SimilarityExtOps.beamBackbone(em)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the corpus rank window partitions on the md5 prefix
+    val rankWin = "Window \\[row_number\\(\\)[^\\n]*".r.findFirstIn(p)
+    assert(rankWin.exists(_.contains("pfx#")),
+           s"corpus rank window not partitioned by prefix:\n$p")
+    // and its input is the live-bucket broadcast join, not a raw scan:
+    // in the tree print the Window line precedes its children, so the
+    // join and the corpus scan both appear after it
+    val wIdx = p.indexOf(rankWin.get)
+    val jIdx = p.indexOf("BroadcastHashJoin", wIdx)
+    val sIdx = p.indexOf("embeddings.parquet", wIdx)
+    assert(jIdx > wIdx && sIdx > jIdx,
+           s"rank window input is not live-bucket prefiltered:\n$p")
+  }
+
   test("q329: beam hops read pinned views, never replan the corpus") {
     // the staged-walk contract: the declared result joins the pinned
     // final beam against the pinned sims — no parquet rescan of the
@@ -1450,12 +1498,19 @@ class PlanShapeSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert("BroadcastHashJoin".r.findAllIn(p269).size >= 2, p269)
     assert(p269.contains("WindowGroupLimit"), p269)
-    // q270: one customer scan; the lead window is the only shuffle-
-    // order structure, no join anywhere
-    val p270 = SparkEntry.queries("q270_sorted_neighborhood")(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert("FileScan|Scan parquet".r.findAllIn(p270).size == 1, p270)
-    assert(!p270.contains("Join"), p270)
+    // q270 (reshaped r14): the neighborhood rides GlobalOrder's
+    // bucket-distributed rank — the declared plan reads the pinned
+    // ranked table (no fact rescan), the census offsets arrive
+    // broadcast, and the successor lookup is a rank-key equi join
+    // (never a cartesian)
+    try {
+      val p270 = SparkEntry.queries("q270_sorted_neighborhood")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p270.contains("FileScan") && !p270.contains("ParquetScan"),
+             "q270 replans the fact scan instead of reading the pin")
+      assert(p270.contains("ExistingRDD"), p270)
+      assert(!p270.contains("CartesianProduct"), p270)
+    } finally PinScope.drain()
   }
 
   test("q271-q274: causal family plan shapes") {
@@ -1474,15 +1529,19 @@ class PlanShapeSpec extends SparkSpecBase {
              "q272 replans the fact scan instead of reading the pin")
       assert(p272.contains("BroadcastHashJoin"), p272)
     } finally PinScope.drain()
-    // q273: ONE customer scan + the broadcast spend agg; the sorted-
-    // merge nearest-neighbor fill is windows over one global sort —
-    // no treated×control join ever appears
-    val p273 = SparkEntry.queries("q273_propensity_match")(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert("BroadcastHashJoin".r.findAllIn(p273).size == 1, p273)
+    // q273 (reshaped r14): the four nearest-control fills are BUCKET-
+    // partitioned windows, the census carry arrives broadcast — still
+    // no treated×control join, and every per-row window is
+    // partitioned (the unpartitioned ones ride the ~110-row census)
+    val df273 = SparkEntry.queries("q273_propensity_match")(spark, sf)
+    df273.collect()
+    val p273 = df273.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("BroadcastHashJoin".r.findAllIn(p273).size >= 2, p273)
     assert(!p273.contains("SortMergeJoin") &&
            !p273.contains("CartesianProduct"), p273)
-    assert("Window".r.findAllIn(p273).size >= 4, p273)
+    // the running fills partition on the bucket key bk
+    assert("windowspecdefinition\\(bk#".r.findAllIn(p273).size >= 2, p273)
     // q274: one (user, day) fold into the pinned cell table; the
     // lattice and both v-lookups ride it via broadcasts — no fact
     // rescans, no shuffle joins
@@ -1497,14 +1556,21 @@ class PlanShapeSpec extends SparkSpecBase {
   }
 
   test("q275-q278: linkage / ESD / sequence / density plan shapes") {
-    // q275: two dim scans (u-estimation stack + the blocking sort),
-    // the 1-row weight table crosses in via broadcast; nothing shuffles
-    // on pair volume
-    val p275 = SparkEntry.queries("q275_fellegi_sunter")(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert("FileScan|Scan parquet".r.findAllIn(p275).size == 2, p275)
-    assert(p275.contains("BroadcastNestedLoopJoin") &&
-           !p275.contains("SortMergeJoin"), p275)
+    // q275 (candidates reshaped r14): one dim scan (the u-estimation
+    // stack) — the blocking neighborhood reads GlobalOrder's pinned
+    // ranked table; the 1-row weight table crosses in via broadcast;
+    // nothing shuffles on pair volume
+    try {
+      val p275 = SparkEntry.queries("q275_fellegi_sunter")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert("FileScan|Scan parquet".r.findAllIn(p275).size == 1, p275)
+      assert(p275.contains("ExistingRDD"), p275)
+      // the 1-row weight table crosses in via broadcast; the only
+      // merge join allowed is the successor lookup's rank-key equi
+      // join (3n rows, linear — never pair-quadratic, never cartesian)
+      assert(p275.contains("BroadcastNestedLoopJoin") &&
+             !p275.contains("CartesianProduct"), p275)
+    } finally PinScope.drain()
     // q276: the three unrolled rounds ride the pinned daily cells —
     // no fact rescan; removals are broadcast anti-joins
     try {
