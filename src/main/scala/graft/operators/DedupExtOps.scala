@@ -160,6 +160,72 @@ object DedupExtOps extends OpModule {
       .orderBy("id_a", "id_b")
   }
 
+  /** q300/q340's 64-bit SimHash fingerprint fold — a PURE MAP: each
+    * doc's 64 ±1 vote sums fold in one tight mapPartitions loop over
+    * its own tokens (the q151 BpeDict typed-codec discipline) — no
+    * token explode, no aggregation, no shuffle; a 5M-doc corpus
+    * fingerprints as a map stage. Measured r13 against two aggregate
+    * formulations (64 per-bit expressions; a long[64] typed
+    * Aggregator): the per-doc loop wins because the alternatives push
+    * the token stream through group-by machinery this fold never
+    * needed. Byte-level nibbles = md5 hex chars (high nibble first),
+    * the identical integers the oracle derives with strpos/substr
+    * arithmetic. Returns (doc_id, fp: 64-char '0'/'1' string). */
+  private def simhash64Fps(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val b = new Array[Long](64)
+          for (tok <- text.split(" ", -1)) {
+            val dig = md.digest(tok.getBytes("UTF-8"))
+            var j = 0
+            while (j < 16) {
+              val v = if (j % 2 == 0) (dig(j / 2) >> 4) & 15
+                      else dig(j / 2) & 15
+              val base = j * 4
+              var k = 0
+              while (k < 4) {
+                b(base + k) += ((v >> k) & 1) * 2 - 1; k += 1
+              }
+              j += 1
+            }
+          }
+          val sb = new java.lang.StringBuilder(64)
+          var p = 0
+          while (p < 64) {
+            sb.append(if (b(p) > 0) '1' else '0'); p += 1
+          }
+          (id, sb.toString)
+        }
+      }.toDF("doc_id", "fp")
+  }
+
+  /** q340's persisted Hamming-band index: the EVEN corpus's 4×16-bit
+    * pigeonhole band keys (composite `bk = "<band>:<bits>"`, q76's
+    * one-column form) with the doc's full 64-bit fingerprint carried
+    * on every row (so the probe verifies without a second lookup),
+    * bucketed on bk. Postings past [[HotBucketCap]] drop WHOLESALE at
+    * build (q300's boilerplate discipline, applied index-side where
+    * an ahead-of-time index must apply it). Built once per (session,
+    * corpus); the fingerprint fold runs only here. */
+  private def hamIndexTable(s: SparkSession, d: String): String =
+    graft.BucketedCache.ensure(s, d, "hamidx",
+      "bk STRING, doc_id BIGINT, fp STRING", "bk", 8) {
+      val fps = simhash64Fps(s, Tables(s, d, "documents")
+                               .where(col("doc_id") % 2 === 0))
+      val bands = (0 until 4).map(b =>
+          fps.select(concat(lit(s"$b:"),
+                            substring(col("fp"), b * 16 + 1, 16)).as("bk"),
+                     col("doc_id"), col("fp")))
+        .reduce(_ unionAll _)
+      bands
+        .withColumn("bn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("bk")))
+        .where(col("bn") <= HotBucketCap).drop("bn")
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MinHash-LSH candidate pairs through [[bandKeys]] — shingle
     // (3-token), not unigram: the corpus vocabulary is small, so
@@ -290,47 +356,8 @@ object DedupExtOps extends OpModule {
     // bounds template-mass buckets; the verify join touches only
     // candidates — never corpus². All-integer ⇒ hash-exact oracle.
     "q300_simhash_hamming" -> { (s, d) =>
-      import s.implicits._
       def pin(df: DataFrame) = org.apache.spark.sql.graft.InternalPin.pin(df)
-      // the fingerprint fold is a PURE MAP: each doc's 64 ±1 vote
-      // sums fold in one tight mapPartitions loop over its own tokens
-      // (the q151 BpeDict typed-codec discipline) — no token explode,
-      // no aggregation, no shuffle; a 5M-doc corpus fingerprints as a
-      // map stage. Measured r13 against two aggregate formulations
-      // (64 per-bit expressions; a long[64] typed Aggregator): the
-      // per-doc loop wins because the alternatives push the token
-      // stream through group-by machinery that this fold never
-      // needed. Byte-level nibbles = md5 hex chars (high nibble
-      // first), the identical integers the oracle derives with
-      // strpos/substr arithmetic.
-      val (fp, h) = pin(Tables(s, d, "documents")
-        .select(col("doc_id"), col("text")).as[(Long, String)]
-        .mapPartitions { it =>
-          val md = java.security.MessageDigest.getInstance("MD5")
-          it.map { case (id, text) =>
-            val b = new Array[Long](64)
-            for (tok <- text.split(" ", -1)) {
-              val dig = md.digest(tok.getBytes("UTF-8"))
-              var j = 0
-              while (j < 16) {
-                val v = if (j % 2 == 0) (dig(j / 2) >> 4) & 15
-                        else dig(j / 2) & 15
-                val base = j * 4
-                var k = 0
-                while (k < 4) {
-                  b(base + k) += ((v >> k) & 1) * 2 - 1; k += 1
-                }
-                j += 1
-              }
-            }
-            val sb = new java.lang.StringBuilder(64)
-            var p = 0
-            while (p < 64) {
-              sb.append(if (b(p) > 0) '1' else '0'); p += 1
-            }
-            (id, sb.toString)
-          }
-        }.toDF("doc_id", "fp"))
+      val (fp, h) = pin(simhash64Fps(s, Tables(s, d, "documents")))
       h.count(); graft.PinScope.retain(h)
       val bands = (0 until 4).map(b =>
           fp.select(col("doc_id"), lit(b).as("band"),
@@ -355,6 +382,67 @@ object DedupExtOps extends OpModule {
         .join(fp.select(col("doc_id").as("id_b"), col("fp").as("fpb")),
               Seq("id_b"))
         .withColumn("hamming", expr(hamExpr).cast("long"))
+        .where(col("hamming") <= 3)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // Incremental Hamming dedup — batch vs PERSISTED band index (added
+    // r14, the r13 verdict's #3: q300 is the honest full-rescan
+    // attestation tier — 52.8 s at 100× because every invocation
+    // re-fingerprints and re-bands the whole corpus). The q76/q103
+    // batch-vs-index discipline applied to the SimHash family: the
+    // even corpus fingerprints and bands ONCE into [[hamIndexTable]]
+    // (composite band keys, fp carried on the row, postings
+    // HotBucketCap'd at build); the day's batch (odd ids)
+    // fingerprints in one map pass, bands, caps its own buckets, and
+    // probes the index with a merge join that never re-shuffles the
+    // index side (plan-asserted) — plus the batch×batch self-join.
+    // Exact 64-position Hamming ≤ 3 verifies candidates from the
+    // carried fingerprints, no second lookup. Per-release cost is
+    // O(batch) fingerprinting + posting-bounded joins; the corpus is
+    // fingerprinted exactly once per corpus, not once per release.
+    // Oracle: the full both-sides computation restated inline — the
+    // artifact must be semantically invisible.
+    "q340_hamming_incremental" -> { (s, d) =>
+      def pin(df: DataFrame) = org.apache.spark.sql.graft.InternalPin.pin(df)
+      val idxT = hamIndexTable(s, d)
+      val (fps, h) = pin(simhash64Fps(s, Tables(s, d, "documents")
+                                        .where(col("doc_id") % 2 === 1)))
+      h.count(); graft.PinScope.retain(h)
+      val bands = (0 until 4).map(b =>
+          fps.select(concat(lit(s"$b:"),
+                            substring(col("fp"), b * 16 + 1, 16)).as("bk"),
+                     col("doc_id"), col("fp")))
+        .reduce(_ unionAll _)
+      val capped = bands
+        .withColumn("bn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("bk")))
+        .where(col("bn") <= HotBucketCap).drop("bn")
+      val newOld = capped
+        .select(col("bk"), col("doc_id").as("id_b"), col("fp").as("fpb"))
+        .join(s.table(idxT).hint("merge")
+                .select(col("bk"), col("doc_id").as("id_a"),
+                        col("fp").as("fpa")), Seq("bk"))
+      val newNew = capped
+        .select(col("bk"), col("doc_id").as("id_a"), col("fp").as("fpa"))
+        .join(capped.select(col("bk"), col("doc_id").as("id_b"),
+                            col("fp").as("fpb")), Seq("bk"))
+        .where(col("id_a") < col("id_b"))
+      val cand = newOld
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+                greatest(col("id_a"), col("id_b")).as("id_b"),
+                when(col("id_a") < col("id_b"), col("fpa"))
+                  .otherwise(col("fpb")).as("fpa"),
+                when(col("id_a") < col("id_b"), col("fpb"))
+                  .otherwise(col("fpa")).as("fpb"))
+        .unionAll(newNew.select(col("id_a"), col("id_b"),
+                                col("fpa"), col("fpb")))
+        .distinct()
+      val hamExpr = (1 to 64).map(i =>
+        s"CASE WHEN substr(fpa, $i, 1) <> substr(fpb, $i, 1) " +
+          "THEN 1 ELSE 0 END").mkString(" + ")
+      cand.withColumn("hamming", expr(hamExpr).cast("long"))
         .where(col("hamming") <= 3)
         .select(col("id_a"), col("id_b"), col("hamming"))
         .orderBy("id_a", "id_b")
@@ -2131,6 +2219,53 @@ object DedupExtOps extends OpModule {
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
          |  FROM capped x JOIN capped y
+         |    ON x.band = y.band AND x.bk = y.bk
+         |   AND x.doc_id < y.doc_id),
+         |v AS (
+         |  SELECT id_a, id_b, CAST($hamSql AS BIGINT) AS hamming
+         |  FROM cand JOIN fps a ON cand.id_a = a.doc_id
+         |            JOIN fps b ON cand.id_b = b.doc_id)
+         |SELECT id_a, id_b, hamming FROM v
+         |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // the full both-sides computation inlined: identical fingerprints,
+    // per-side capped band buckets (index cap restated as the even
+    // side's posting filter), new-vs-old + new-vs-new candidates, the
+    // same exact 64-position verify
+    "q340_hamming_incremental" -> {
+      val fpConcat = (0 until 64)
+        .map(p => s"CASE WHEN s$p > 0 THEN '1' ELSE '0' END")
+        .mkString(" || ")
+      val hamSql = (1 to 64).map(i =>
+        s"CASE WHEN substr(a.fp, $i, 1) <> substr(b.fp, $i, 1) " +
+          "THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+         |  FROM documents),
+         |fps AS MATERIALIZED (
+         |  SELECT doc_id, $fpConcat AS fp
+         |  FROM (SELECT doc_id, $simhashBits64 FROM t GROUP BY doc_id)),
+         |bands AS (
+         |  SELECT doc_id, band, substr(fp, band * 16 + 1, 16) AS bk
+         |  FROM fps, (SELECT unnest([0, 1, 2, 3]) AS band) u),
+         |oc AS (
+         |  SELECT * FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY band, bk) AS bn
+         |    FROM bands WHERE doc_id % 2 = 0)
+         |  WHERE bn <= $HotBucketCap),
+         |nc AS (
+         |  SELECT * FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY band, bk) AS bn
+         |    FROM bands WHERE doc_id % 2 = 1)
+         |  WHERE bn <= $HotBucketCap),
+         |cand AS (
+         |  SELECT DISTINCT least(n.doc_id, o.doc_id) AS id_a,
+         |    greatest(n.doc_id, o.doc_id) AS id_b
+         |  FROM nc n JOIN oc o ON n.band = o.band AND n.bk = o.bk
+         |  UNION
+         |  SELECT DISTINCT x.doc_id, y.doc_id
+         |  FROM nc x JOIN nc y
          |    ON x.band = y.band AND x.bk = y.bk
          |   AND x.doc_id < y.doc_id),
          |v AS (

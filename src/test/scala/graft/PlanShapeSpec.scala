@@ -580,6 +580,17 @@ class PlanShapeSpec extends SparkSpecBase {
            s"probe plan re-codes vectors instead of reading stored codes:\n$p")
   }
 
+  test("q340: persisted Hamming-band index probes without shuffling the index side") {
+    // the q76 invariant on the SimHash family: the batch bands shuffle
+    // onto the index's bk bucketing; the even corpus's fingerprinted
+    // postings are never rescanned or re-shuffled
+    try {
+      val p = assertIndexSideUnshuffled("q340_hamming_incremental",
+                                        "graft_hamidx")
+      assert(p.contains("SelectedBucketsCount"), p)
+    } finally PinScope.drain()
+  }
+
   test("q99: persisted gram index probes without shuffling the index side") {
     // the eval batch shuffles onto the index's bucketed m-partitioning;
     // the train-side posting lists are never rescanned or re-shuffled
