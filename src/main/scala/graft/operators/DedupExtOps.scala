@@ -202,6 +202,37 @@ object DedupExtOps extends OpModule {
       }.toDF("doc_id", "fp")
   }
 
+  /** q227/q341's winnowed minimizer stream — the PURE-MAP emission
+    * (r13's reshape): a higher-order-function chain over each doc's
+    * own gram array (8-token grams, w=5 complete windows, distinct
+    * per doc; docs with < w grams emit nothing) — the gram stream
+    * never shuffles before the minimizer-keyed join. */
+  private def minimizerStream(docs: DataFrame, k: Int = 8,
+                              win: Int = 5): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= k + win - 1)
+      .select(col("doc_id"), expr(
+        s"transform(sequence(1, size(t) - ${k - 1}), " +
+          s"i -> md5(concat_ws(' ', slice(t, i, $k))))").as("hs"))
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(1, size(hs) - ${win - 1})," +
+          s" j -> array_min(slice(hs, j, $win))))")).as("m"))
+
+  /** q227/q341's persisted corpus signature index: the WHOLE corpus's
+    * winnowed minimizers as an m-bucketed table (q82's clusterTable
+    * discipline — derive the expensive stream once per (session,
+    * corpus), probe it many times). Distinct from q103's
+    * `graft_minidx8` (train-split only, df ≤ 10-capped postings — a
+    * decontamination semantic); this index is the uncapped full
+    * stream, with the HotBucketCap applied by its CONSUMERS (a
+    * posting-count window that rides the m bucketing, zero extra
+    * exchange). */
+  private def minPairIndexTable(s: SparkSession, d: String): String =
+    graft.BucketedCache.ensure(s, d, "minpairidx",
+      "m STRING, doc_id BIGINT", "m", 8) {
+      minimizerStream(Tables(s, d, "documents")).select("m", "doc_id")
+    }
+
   /** q340's persisted Hamming-band index: the EVEN corpus's 4×16-bit
     * pigeonhole band keys (composite `bk = "<band>:<bits>"`, q76's
     * one-column form) with the doc's full 64-bit fingerprint carried
@@ -619,30 +650,56 @@ object DedupExtOps extends OpModule {
     // emit B² pairs; past the cap it is template noise, and long-span
     // evidence survives through the pair's OTHER minimizers), and the
     // pair aggregate is candidate-bounded — never corpus-quadratic.
+    // Since r14 the signature stream is a PERSISTED artifact
+    // ([[minPairIndexTable]], the q82 clusterTable discipline): the
+    // corpus's winnowed minimizers derive ONCE (the same pure-map HOF
+    // emission, now at build time) into an m-bucketed table; the
+    // declared query caps postings with a window that RIDES the m
+    // bucketing (zero extra exchange) and self-joins bucket-locally.
+    // The r13 verdict's #4: re-deriving the gram stream per
+    // invocation cost 38.8 s at 100× when the q103-style persisted
+    // index was already the family's discipline. Identical pair
+    // output, oracle unchanged.
     "q227_minimizer_pairs" -> { (s, d) =>
-      val k = 8; val win = 5
-      // the per-doc windowed min is a PURE MAP (r13): a higher-order-
-      // function chain over the doc's own gram array replaces the r12
-      // posexplode + two doc-keyed window passes — the gram stream
-      // never shuffles at all before the minimizer-keyed join. Same
-      // declared selection: min of each COMPLETE win-gram window,
-      // distinct per doc (docs with < win grams emit nothing).
-      val mz = Tables(s, d, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-        .where(size(col("t")) >= k + win - 1)
-        .select(col("doc_id"), expr(
-          s"transform(sequence(1, size(t) - ${k - 1}), " +
-            s"i -> md5(concat_ws(' ', slice(t, i, $k))))").as("hs"))
-        .select(col("doc_id"), explode(expr(
-          s"array_distinct(transform(sequence(1, size(hs) - ${win - 1})," +
-            s" j -> array_min(slice(hs, j, $win))))")).as("m"))
-      val capped = mz
+      val capped = s.table(minPairIndexTable(s, d))
         .withColumn("bn", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy("m")))
         .where(col("bn") <= HotBucketCap).drop("bn")
       capped.select(col("m"), col("doc_id").as("id_a"))
         .join(capped.select(col("m"), col("doc_id").as("id_b")), Seq("m"))
         .where(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 2)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Incremental minimizer pairs — batch vs the PERSISTED corpus
+    // signature index (added r14): the per-release form of q227. The
+    // day's batch (odd doc_ids) derives its winnowed minimizers in
+    // one map pass and probes the m-bucketed index; because the
+    // HotBucketCap drops an over-cap minimizer's postings WHOLESALE,
+    // probing the capped index equals capping both sides — so the
+    // output is EXACTLY q227's pair set restricted to pairs touching
+    // the batch (the oracle states it that way). Odd-odd pairs count
+    // once via the larger-id side's probe (old < new guard); odd-even
+    // pairs once via the odd side (the index holds both halves — one
+    // artifact serves the full-corpus and the incremental tiers).
+    // Per-release cost: O(batch grams) emission + posting-bounded
+    // probe, never a corpus re-derivation.
+    "q341_minimizer_incremental" -> { (s, d) =>
+      val batch = minimizerStream(
+        Tables(s, d, "documents").where(col("doc_id") % 2 === 1))
+      val capped = s.table(minPairIndexTable(s, d))
+        .withColumn("bn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("m")))
+        .where(col("bn") <= HotBucketCap).drop("bn")
+      batch.select(col("m"), col("doc_id").as("new_id"))
+        .join(capped.hint("merge")
+                .select(col("m"), col("doc_id").as("old_id")), Seq("m"))
+        .where(col("old_id") =!= col("new_id") &&
+               (col("old_id") % 2 === 0 || col("old_id") < col("new_id")))
+        .select(least(col("new_id"), col("old_id")).as("id_a"),
+                greatest(col("new_id"), col("old_id")).as("id_b"))
         .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
         .where(col("n_shared") >= 2)
         .orderBy("id_a", "id_b")
@@ -1996,6 +2053,31 @@ object DedupExtOps extends OpModule {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  count(*) AS n_shared
         |FROM mzc a JOIN mzc b ON a.m = b.m AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q227's full pair set restricted to pairs touching the odd batch
+    // — the wholesale per-m cap makes probing the capped index equal
+    // to capping both sides, so the restriction IS the semantics
+    "q341_minimizer_incremental" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+        |            FROM documents
+        |            WHERE len(string_split(text, ' ')) >= 8),
+        |idx AS (SELECT doc_id, t, len(t) - 7 AS ng,
+        |          unnest(generate_series(1, len(t) - 7)) AS i FROM tk),
+        |g AS (SELECT doc_id, ng, i,
+        |        md5(array_to_string(t[i:i+7], ' ')) AS h FROM idx),
+        |wm AS (SELECT doc_id, i, ng,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                 ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS m
+        |  FROM g),
+        |mz AS (SELECT DISTINCT doc_id, m FROM wm WHERE i <= ng - 4),
+        |cap AS (SELECT m FROM mz GROUP BY m HAVING count(*) <= 64),
+        |mzc AS (SELECT mz.doc_id, mz.m FROM mz JOIN cap USING (m))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  count(*) AS n_shared
+        |FROM mzc a JOIN mzc b ON a.m = b.m AND a.doc_id < b.doc_id
+        |WHERE a.doc_id % 2 = 1 OR b.doc_id % 2 = 1
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY 1, 2""".stripMargin,
 

@@ -580,6 +580,22 @@ class PlanShapeSpec extends SparkSpecBase {
            s"probe plan re-codes vectors instead of reading stored codes:\n$p")
   }
 
+  test("q227/q341: minimizer queries ride the persisted signature index") {
+    // r14: the corpus's winnowed minimizer stream is a persisted
+    // m-bucketed artifact — q227 must read it (never re-derive the
+    // gram stream: no documents scan in its plan) and q341's batch
+    // probe must not re-shuffle the index side
+    val p227 = SparkEntry.queries("q227_minimizer_pairs")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p227.contains("graft_minpairidx"),
+           s"q227 does not scan the signature artifact:\n$p227")
+    assert(!p227.contains("documents.parquet"),
+           s"q227 re-derives the gram stream:\n$p227")
+    val p341 = assertIndexSideUnshuffled("q341_minimizer_incremental",
+                                         "graft_minpairidx")
+    assert(p341.contains("SelectedBucketsCount"), p341)
+  }
+
   test("q340: persisted Hamming-band index probes without shuffling the index side") {
     // the q76 invariant on the SimHash family: the batch bands shuffle
     // onto the index's bk bucketing; the even corpus's fingerprinted
