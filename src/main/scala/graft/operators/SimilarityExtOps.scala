@@ -403,6 +403,62 @@ object SimilarityExtOps extends OpModule {
   private def lloydAssignments(s: SparkSession, d: String): Seq[DataFrame] =
     lloydRounds(s, embBase(s, d), col("vec_id") < Cents)._1
 
+  /** q342's per-cell HUB cap: the IVF-bucketed k-NN graph build joins
+    * every cell membership against the cell's hub set, so hub count
+    * bounds candidate volume at 2·|nodes|·cap cosines (the member→hub
+    * direction; reversed edges reuse the same scored rows). Hubs =
+    * the cap lowest vec_ids per cell — a declared deterministic
+    * choice the oracle restates; the symmetric member↔hub edges keep
+    * every node reachable (members route through hubs, the HNSW
+    * upper-layer pattern). */
+  private[graft] val BeamHubCap = 64
+
+  /** q342's persisted k-NN GRAPH artifact over the full corpus — the
+    * offline graph-build job q329's capped n² scaffold stood in for
+    * (the r13 verdict's #2): IVF-bucketed candidates instead of
+    * all-pairs. Each node registers in its 2 nearest of the frozen
+    * [[Cents]] sampled cells (multi-probe membership keeps the graph
+    * connected across cell borders), candidates = memberships ×
+    * [[BeamHubCap]] hubs per cell, edges are the symmetric member↔hub
+    * pairs scored once (cosine, 4 dp), and each src keeps its top-8
+    * by (cos desc, dst). Build cost O(n · 2 · cap) cosines — linear
+    * in the corpus, never n². Persisted src-bucketed; built once per
+    * (session, corpus). */
+  private def beamGraphTable(s: SparkSession, d: String): String =
+    graft.BucketedCache.ensure(s, d, "beamgraph",
+      "src BIGINT, dst BIGINT", "src", 8) {
+      val em = embBase(s, d).where(col("vec_id") =!= 0)
+      val packed = em.where(col("vec_id") < Cents)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+        .agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+      val mem = em.crossJoin(broadcast(packed))
+        .select(col("vec_id"), col("v"), explode(col("cents")).as("c"))
+        .select(col("vec_id"), col("v"), col("c.cid").as("cid"),
+                sqL2("v", "c.cv").as("dist"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))))
+        .where(col("rn") <= 2)
+        .select(col("vec_id"), col("v"), col("cid"))
+      val hubs = mem
+        .withColumn("hr", row_number().over(
+          Window.partitionBy("cid").orderBy("vec_id")))
+        .where(col("hr") <= BeamHubCap)
+        .select(col("cid"), col("vec_id").as("hid"), col("v").as("hv"))
+      val scored = mem.join(hubs, Seq("cid"))
+        .where(col("vec_id") =!= col("hid"))
+        .select(col("vec_id").as("a"), col("hid").as("b"),
+                round(GraftFunctions.cosineSimilarity(col("v"), col("hv")),
+                      4).as("es"))
+      scored
+        .unionAll(scored.select(col("b").as("a"), col("a").as("b"),
+                                col("es")))
+        .distinct()
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("a").orderBy(col("es").desc, col("b"))))
+        .where(col("rk") <= 8)
+        .select(col("a").as("src"), col("b").as("dst"))
+    }
+
   /** q339's persisted SemDeDup MODEL — one cid-bucketed table holding
     * both halves of the fitted even-corpus model: member rows (kind
     * 'm': final Lloyd assignment with the quantized lattice vector and
@@ -1193,6 +1249,57 @@ object SimilarityExtOps extends OpModule {
           b.id AS vec_id, b.sim,
           CAST(b.id IN (SELECT id FROM ex) AS INT) AS in_exact_top4
         FROM graft_beam_b3 b ORDER BY rank""")
+    },
+
+    // Beam search over the PERSISTED IVF-built k-NN graph (added r14,
+    // the r13 verdict's #2 second half): q329 walks a capped
+    // 4096-node scaffold whose exact n² build is declared
+    // scaffolding; this is the production pair — the graph is the
+    // offline artifact [[beamGraphTable]] (full corpus, IVF-bucketed
+    // linear build, symmetric member↔hub edges), and the SEARCH is
+    // the identical [[annHop]] staged walk: entry = the graph's
+    // md5-first node (a bounded TakeOrdered, never a rank window),
+    // beam 4, three hops, final beam ranked and flagged against the
+    // exact top-4 within the graph's node set (q214's recall
+    // attestation — the flag is WHY the per-query sims table spans
+    // the node set; a production search that skips the attestation
+    // computes sims per hop via index lookups instead). Fully
+    // oracled: both engines restate the build and run the identical
+    // hop text.
+    "q342_ann_graph_beam" -> { (s, d) =>
+      val graph = s.table(beamGraphTable(s, d))
+      val em = embBase(s, d)
+      val q0 = em.where(col("vec_id") === 0).select(col("v").as("qv"))
+      val ns = graph.select(col("src").as("id"))
+        .unionAll(graph.select(col("dst").as("id"))).distinct()
+      val (sims, sh) = pin(ns
+        .join(em, col("id") === col("vec_id"))
+        .crossJoin(broadcast(q0))
+        .select(col("id"),
+                round(GraftFunctions.cosineSimilarity(col("v"), col("qv")),
+                      4).as("sim")))
+      sh.count(); graft.PinScope.retain(sh)
+      sims.createOrReplaceTempView("graft_bg_sims")
+      graph.createOrReplaceTempView("graft_bg_graph")
+      val (b0, bh) = pin(sims
+        .orderBy(md5(col("id").cast("string")), col("id")).limit(1))
+      bh.count(); graft.PinScope.retain(bh)
+      b0.createOrReplaceTempView("graft_bg_b0")
+      (1 to 3).foreach { k =>
+        val hop = s.sql(
+          "WITH " + annHop(k, "graft_bg_graph", s"graft_bg_b${k - 1}",
+                           "graft_bg_sims") + s" SELECT * FROM bm$k")
+        val (hp, hh) = pin(hop); hh.count(); graft.PinScope.retain(hh)
+        hp.createOrReplaceTempView(s"graft_bg_b$k")
+      }
+      s.sql("""
+        WITH ex AS (SELECT id FROM graft_bg_sims
+                    ORDER BY sim DESC, id LIMIT 4)
+        SELECT CAST(row_number() OVER (ORDER BY b.sim DESC, b.id)
+                    AS BIGINT) AS rank,
+          b.id AS vec_id, b.sim,
+          CAST(b.id IN (SELECT id FROM ex) AS INT) AS in_exact_top4
+        FROM graft_bg_b3 b ORDER BY rank""")
     },
 
     // MMR diversified re-ranking (added r13) — the DIVERSITY stage of
@@ -2158,6 +2265,60 @@ object SimilarityExtOps extends OpModule {
            |  FROM g0) WHERE rk <= 8),
            |bm0 AS (SELECT id, sim FROM sims WHERE mr = 1),
            |${annHop(1, "graph", "bm0", "sims")},
+           |${annHop(2, "graph", "bm1", "sims")},
+           |${annHop(3, "graph", "bm2", "sims")},
+           |ex AS (SELECT id FROM sims ORDER BY sim DESC, id LIMIT 4)
+           |SELECT CAST(row_number() OVER (ORDER BY b.sim DESC, b.id)
+           |            AS BIGINT) AS rank,
+           |  b.id AS vec_id, b.sim,
+           |  CAST(b.id IN (SELECT id FROM ex) AS INT) AS in_exact_top4
+           |FROM bm3 b ORDER BY rank""".stripMargin,
+
+      // the IVF graph build restated (2-cell memberships, lowest-id
+      // hubs, symmetric scored edges, per-src top-8), then annHop's
+      // shared text unrolled — the artifact must be invisible
+      "q342_ann_graph_beam" ->
+        s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+           |           FROM embeddings WHERE vec_id = 0),
+           |e AS MATERIALIZED (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings WHERE vec_id <> 0),
+           |c AS (SELECT vec_id AS cid, v AS cv FROM e
+           |      WHERE vec_id < $Cents),
+           |mem AS MATERIALIZED (SELECT vec_id, cid FROM (
+           |    SELECT e.vec_id, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        list_sum(list_transform(range(1, 65),
+           |          i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))),
+           |        c.cid) AS rn
+           |    FROM e, c) WHERE rn <= 2),
+           |hub AS MATERIALIZED (SELECT vec_id, cid FROM (
+           |    SELECT vec_id, cid,
+           |      row_number() OVER (PARTITION BY cid
+           |                         ORDER BY vec_id) AS hr
+           |    FROM mem) WHERE hr <= $BeamHubCap),
+           |sc AS (SELECT DISTINCT m.vec_id AS a, h.vec_id AS b,
+           |    round(list_cosine_similarity(x.v, y.v), 4) AS es
+           |  FROM mem m JOIN hub h
+           |    ON m.cid = h.cid AND m.vec_id <> h.vec_id
+           |  JOIN e x ON m.vec_id = x.vec_id
+           |  JOIN e y ON h.vec_id = y.vec_id),
+           |ed AS (SELECT a, b, es FROM sc
+           |       UNION SELECT b, a, es FROM sc),
+           |graph AS MATERIALIZED (SELECT a AS src, b AS dst FROM (
+           |    SELECT a, b,
+           |      row_number() OVER (PARTITION BY a
+           |                         ORDER BY es DESC, b) AS rk
+           |    FROM ed) WHERE rk <= 8),
+           |ns AS (SELECT src AS id FROM graph
+           |       UNION SELECT dst FROM graph),
+           |sims AS MATERIALIZED (
+           |  SELECT ns.id,
+           |    round(list_cosine_similarity(e.v, q.qv), 4) AS sim
+           |  FROM ns JOIN e ON ns.id = e.vec_id, q),
+           |b0 AS (SELECT id, sim FROM sims
+           |       ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 1),
+           |${annHop(1, "graph", "b0", "sims")},
            |${annHop(2, "graph", "bm1", "sims")},
            |${annHop(3, "graph", "bm2", "sims")},
            |ex AS (SELECT id FROM sims ORDER BY sim DESC, id LIMIT 4)

@@ -476,6 +476,26 @@ class PlanShapeSpec extends SparkSpecBase {
     } finally PinScope.drain()
   }
 
+  test("q342: the walk reads the persisted graph artifact; the outer query never rescans the corpus") {
+    // the production pair of q329: the k-NN graph is the offline
+    // graft_beamgraph artifact (built once, IVF-bucketed); the
+    // declared result joins pinned beams against pinned sims — no
+    // parquet scan and no cartesian in the outer plan
+    try {
+      val df = SparkEntry.queries("q342_ann_graph_beam")(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("FileScan") && !p.contains("ParquetScan"),
+             s"outer walk replans a scan:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+      // and the hop inputs really come from the artifact: the session
+      // must have registered the bucketed graph table
+      assert(spark.catalog.tableExists(
+               "graft_beamgraph_" + sf.replaceAll("[^a-zA-Z0-9]", "_")),
+             "graph artifact not registered")
+    } finally PinScope.drain()
+  }
+
   test("q334: the k-NN probe reads the persisted grid index; only the batch rescans") {
     // the batch-vs-index contract (q131's discipline): the even
     // corpus lives in graft_knnidx; the one parquet scan is the odd
