@@ -4506,4 +4506,74 @@ class CorrectnessSpec extends SparkSpecBase {
     rows.sliding(2).foreach { case Array(a, b) =>
       assert(b._5 < a._5, s"log-loss not decreasing: $a -> $b") }
   }
+
+  test("q340 incremental Hamming equals q300 restricted to batch-touching pairs") {
+    // at sf0.001 every band bucket is under the cap on BOTH the
+    // global (q300) and per-side (q340) definitions, so the index
+    // tier must reproduce the full-rescan attestation tier exactly on
+    // pairs touching the odd batch — one truth, two tiers (q338's
+    // rule applied to the Hamming family)
+    try {
+      val full = q("q300_simhash_hamming")
+        .as[(Long, Long, Long)].collect().toSeq
+      val want = full.filter(p => p._1 % 2 == 1 || p._2 % 2 == 1)
+      val got = q("q340_hamming_incremental")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(got == want)
+      assert(got.nonEmpty, "restriction is vacuous at this SF")
+    } finally PinScope.drain()
+  }
+
+  test("q341 incremental minimizer pairs equal q227 restricted to batch-touching") {
+    // both tiers read the SAME persisted signature index with the
+    // same wholesale per-minimizer cap, so the per-release probe must
+    // be exactly the full join's batch-touching slice
+    val full = q("q227_minimizer_pairs")
+      .as[(Long, Long, Long)].collect().toSeq
+    val want = full.filter(p => p._1 % 2 == 1 || p._2 % 2 == 1)
+    val got = q("q341_minimizer_incremental")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty, "restriction is vacuous at this SF")
+  }
+
+  test("q339 census is exact: arrivals = odd count, removals bounded by pairs") {
+    try {
+      val rows = q("q339_semdedup_incremental")
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+      val nOdd = Tables(spark, sf, "embeddings")
+        .where(col("vec_id") % 2 === 1).count()
+      val nEven = Tables(spark, sf, "embeddings")
+        .where(col("vec_id") % 2 === 0).count()
+      // every batch vector assigns to exactly one cluster
+      assert(rows.map(_._3).sum == nOdd)
+      // standing members of receiving clusters never exceed the corpus
+      assert(rows.map(_._2).sum <= nEven)
+      for (r <- rows) {
+        assert(r._5 <= r._3, s"removals exceed arrivals: $r")
+        assert(r._5 <= r._4, s"removals exceed dup pairs: $r")
+        assert(r._6 >= 0.0 && r._6 <= 1.0, s"keep ratio out of range: $r")
+      }
+    } finally PinScope.drain()
+  }
+
+  test("q342 graph artifact degree-bounded; beam ranked and inside the node set") {
+    try {
+      val rows = q("q342_ann_graph_beam")
+        .as[(Long, Long, Double, Int)].collect().toSeq
+      assert(rows.map(_._1) == (1L to rows.length.toLong))
+      rows.sliding(2).foreach {
+        case Seq(a, b) => assert(a._3 >= b._3, s"beam unsorted: $a -> $b")
+        case _ =>
+      }
+      val g = spark.table(
+          "graft_beamgraph_" + sf.replaceAll("[^a-zA-Z0-9]", "_"))
+        .as[(Long, Long)].collect().toSeq
+      assert(g.groupBy(_._1).values.map(_.size).max <= 8,
+             "out-degree exceeds the declared top-8")
+      val ns = (g.map(_._1) ++ g.map(_._2)).toSet
+      assert(rows.forall(r => ns.contains(r._2)),
+             "beam escaped the graph's node set")
+    } finally PinScope.drain()
+  }
 }
