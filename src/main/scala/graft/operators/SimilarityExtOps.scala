@@ -459,6 +459,76 @@ object SimilarityExtOps extends OpModule {
         .select(col("a").as("src"), col("b").as("dst"))
     }
 
+  /** The q342 graph build as oracle CTE text (ends at `graph(src,
+    * dst)`; expects an `e(vec_id, v)` node CTE to be OUT of scope —
+    * it defines its own) — shared by the q342/q343/q344 oracles so
+    * the three tiers certify against ONE build definition. */
+  private def beamGraphCte: String =
+    s"""e AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id <> 0),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e
+       |      WHERE vec_id < $Cents),
+       |mem AS MATERIALIZED (SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, 65),
+       |          i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))),
+       |        c.cid) AS rn
+       |    FROM e, c) WHERE rn <= 2),
+       |hub AS MATERIALIZED (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY cid
+       |                         ORDER BY vec_id) AS hr
+       |    FROM mem) WHERE hr <= $BeamHubCap),
+       |sc AS (SELECT DISTINCT m.vec_id AS a, h.vec_id AS b,
+       |    round(list_cosine_similarity(x.v, y.v), 4) AS es
+       |  FROM mem m JOIN hub h
+       |    ON m.cid = h.cid AND m.vec_id <> h.vec_id
+       |  JOIN e x ON m.vec_id = x.vec_id
+       |  JOIN e y ON h.vec_id = y.vec_id),
+       |ed AS (SELECT a, b, es FROM sc
+       |       UNION SELECT b, a, es FROM sc),
+       |graph AS MATERIALIZED (SELECT a AS src, b AS dst FROM (
+       |    SELECT a, b,
+       |      row_number() OVER (PARTITION BY a
+       |                         ORDER BY es DESC, b) AS rk
+       |    FROM ed) WHERE rk <= 8)""".stripMargin
+
+  /** One NN-descent refinement round over the persisted q342 graph
+    * (q343/q344's shared body): candidates = each node's current
+    * neighbors ∪ its neighbors' neighbors (Dong et al. 2011's core
+    * observation — a neighbor of a neighbor is likely a neighbor),
+    * rescored exactly and cut back to the per-src top-8. The top-8
+    * over a SUPERSET of the current edges can only improve per-edge
+    * similarity — spec-asserted. Cost: |E|·8 = 64·n candidate
+    * rescores — linear, the round's whole point vs an n² rebuild.
+    * Returns (src, nn_rank, dst, es). */
+  private def nnDescentEdges(s: SparkSession, d: String): DataFrame = {
+    val graph = s.table(beamGraphTable(s, d))
+    val em = embBase(s, d)
+    val cand = graph
+      .join(graph.select(col("src").as("mid"), col("dst").as("dst2")),
+            col("dst") === col("mid"))
+      .where(col("src") =!= col("dst2"))
+      .select(col("src"), col("dst2").as("cnd"))
+      .unionAll(graph.select(col("src"), col("dst").as("cnd")))
+      .distinct()
+    cand
+      .join(em.select(col("vec_id").as("src"), col("v").as("va")),
+            Seq("src"))
+      .join(em.select(col("vec_id").as("cnd"), col("v").as("vb")),
+            Seq("cnd"))
+      .select(col("src"), col("cnd").as("dst"),
+              round(GraftFunctions.cosineSimilarity(col("va"), col("vb")),
+                    4).as("es"))
+      .withColumn("nn_rank", row_number().over(
+        Window.partitionBy("src").orderBy(col("es").desc, col("dst")))
+        .cast("long"))
+      .where(col("nn_rank") <= 8)
+      .select(col("src"), col("nn_rank"), col("dst"), col("es"))
+  }
+
   /** q339's persisted SemDeDup MODEL — one cid-bucketed table holding
     * both halves of the fitted even-corpus model: member rows (kind
     * 'm': final Lloyd assignment with the quantized lattice vector and
@@ -1300,6 +1370,65 @@ object SimilarityExtOps extends OpModule {
           b.id AS vec_id, b.sim,
           CAST(b.id IN (SELECT id FROM ex) AS INT) AS in_exact_top4
         FROM graft_bg_b3 b ORDER BY rank""")
+    },
+
+    // NN-descent refinement round (added r14) — the graph-IMPROVEMENT
+    // step between q342's IVF build and a production-quality ANN
+    // graph (Dong, Moses & Li 2011, the NN-descent everyone's offline
+    // graph builds run): a neighbor of a neighbor is likely a
+    // neighbor, so one round rescores each node's 2-hop candidate set
+    // (current edges ∪ neighbors-of-neighbors, ≤ 8+64 per node) and
+    // keeps the best 8 — per-edge similarity can only improve (top-8
+    // over a superset; spec-asserted), and the round costs 64·n exact
+    // cosines, linear, vs the n² rebuild it replaces. Emits the
+    // refined edge list; q344 attests how much the round actually
+    // bought. Fully oracled against the build + refinement restated.
+    "q343_nn_descent" -> { (s, d) =>
+      nnDescentEdges(s, d).orderBy("src", "nn_rank")
+    },
+
+    // Graph-quality recall attestation (added r14) — q214/q338's
+    // knob-tuning discipline applied to the GRAPH artifact: for 64
+    // deterministic anchor nodes (the lowest vec_ids), how many of
+    // each tier's out-edges land in the anchor's EXACT top-8 (one
+    // 64·n exact pass — the attestation's own price, linear)? Two
+    // rows — the IVF build (q342's artifact) and the NN-descent
+    // round (q343) — with integer fixed-point recall; the measured
+    // table that justifies (or caps) further descent rounds. Both
+    // tiers and the truth share one node set and one exact pass.
+    "q344_graph_recall" -> { (s, d) =>
+      val graph = s.table(beamGraphTable(s, d))
+      val em = embBase(s, d).where(col("vec_id") =!= 0)
+      val refined = nnDescentEdges(s, d).select("src", "dst")
+      val (anchors, ah) = pin(em.orderBy("vec_id").limit(64)
+        .select(col("vec_id").as("qid"), col("v").as("qv")))
+      ah.count(); graft.PinScope.retain(ah)
+      val (exact, eh) = pin(em.crossJoin(broadcast(anchors))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("dst"),
+                round(GraftFunctions.cosineSimilarity(col("v"), col("qv")),
+                      4).as("sim"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("sim").desc, col("dst"))))
+        .where(col("rk") <= 8)
+        .select(col("qid").as("src"), col("dst")))
+      eh.count(); graft.PinScope.retain(eh)
+      def tier(name: String, g: DataFrame): DataFrame = {
+        val ae = g.join(broadcast(anchors.select(col("qid").as("src"))),
+                        Seq("src"))
+        val hits = ae.join(exact, Seq("src", "dst"), "left_semi")
+        ae.agg(count(lit(1)).as("anchor_edges"))
+          .crossJoin(exact.agg(count(lit(1)).as("exact_pairs")))
+          .crossJoin(hits.agg(count(lit(1)).as("hits")))
+          .select(lit(name).as("tier"), col("anchor_edges"),
+                  col("exact_pairs"), col("hits"),
+                  expr("CASE WHEN exact_pairs = 0 THEN 0 ELSE " +
+                       "(1000000 * hits) DIV exact_pairs END")
+                    .as("recall_ppm"))
+      }
+      tier("ivf_build", graph)
+        .unionAll(tier("nn_descent_1", refined))
+        .orderBy("tier")
     },
 
     // MMR diversified re-ranking (added r13) — the DIVERSITY stage of
@@ -2280,36 +2409,7 @@ object SimilarityExtOps extends OpModule {
       "q342_ann_graph_beam" ->
         s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
            |           FROM embeddings WHERE vec_id = 0),
-           |e AS MATERIALIZED (
-           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-           |  FROM embeddings WHERE vec_id <> 0),
-           |c AS (SELECT vec_id AS cid, v AS cv FROM e
-           |      WHERE vec_id < $Cents),
-           |mem AS MATERIALIZED (SELECT vec_id, cid FROM (
-           |    SELECT e.vec_id, c.cid,
-           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |        list_sum(list_transform(range(1, 65),
-           |          i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))),
-           |        c.cid) AS rn
-           |    FROM e, c) WHERE rn <= 2),
-           |hub AS MATERIALIZED (SELECT vec_id, cid FROM (
-           |    SELECT vec_id, cid,
-           |      row_number() OVER (PARTITION BY cid
-           |                         ORDER BY vec_id) AS hr
-           |    FROM mem) WHERE hr <= $BeamHubCap),
-           |sc AS (SELECT DISTINCT m.vec_id AS a, h.vec_id AS b,
-           |    round(list_cosine_similarity(x.v, y.v), 4) AS es
-           |  FROM mem m JOIN hub h
-           |    ON m.cid = h.cid AND m.vec_id <> h.vec_id
-           |  JOIN e x ON m.vec_id = x.vec_id
-           |  JOIN e y ON h.vec_id = y.vec_id),
-           |ed AS (SELECT a, b, es FROM sc
-           |       UNION SELECT b, a, es FROM sc),
-           |graph AS MATERIALIZED (SELECT a AS src, b AS dst FROM (
-           |    SELECT a, b,
-           |      row_number() OVER (PARTITION BY a
-           |                         ORDER BY es DESC, b) AS rk
-           |    FROM ed) WHERE rk <= 8),
+           |$beamGraphCte,
            |ns AS (SELECT src AS id FROM graph
            |       UNION SELECT dst FROM graph),
            |sims AS MATERIALIZED (
@@ -2327,6 +2427,70 @@ object SimilarityExtOps extends OpModule {
            |  b.id AS vec_id, b.sim,
            |  CAST(b.id IN (SELECT id FROM ex) AS INT) AS in_exact_top4
            |FROM bm3 b ORDER BY rank""".stripMargin,
+
+      // the shared build CTE, then the 2-hop candidate union and the
+      // per-src top-8 rescore restated
+      "q343_nn_descent" ->
+        s"""WITH $beamGraphCte,
+           |cd AS (SELECT g1.src, g2.dst AS cnd
+           |       FROM graph g1 JOIN graph g2 ON g1.dst = g2.src
+           |       WHERE g1.src <> g2.dst
+           |       UNION SELECT src, dst FROM graph),
+           |sc2 AS (SELECT cd.src, cd.cnd AS dst,
+           |    round(list_cosine_similarity(x.v, y.v), 4) AS es
+           |  FROM cd JOIN e x ON cd.src = x.vec_id
+           |          JOIN e y ON cd.cnd = y.vec_id)
+           |SELECT src, CAST(rk AS BIGINT) AS nn_rank, dst, es FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY src
+           |                               ORDER BY es DESC, dst) AS rk
+           |  FROM sc2)
+           |WHERE rk <= 8 ORDER BY src, nn_rank""".stripMargin,
+
+      // one build, one refinement, one exact pass — both tiers attest
+      // against the identical anchor top-8
+      "q344_graph_recall" ->
+        s"""WITH $beamGraphCte,
+           |cd AS (SELECT g1.src, g2.dst AS cnd
+           |       FROM graph g1 JOIN graph g2 ON g1.dst = g2.src
+           |       WHERE g1.src <> g2.dst
+           |       UNION SELECT src, dst FROM graph),
+           |rg AS (SELECT src, dst FROM (
+           |    SELECT cd.src, cd.cnd AS dst,
+           |      row_number() OVER (PARTITION BY cd.src ORDER BY
+           |        round(list_cosine_similarity(x.v, y.v), 4) DESC,
+           |        cd.cnd) AS rk
+           |    FROM cd JOIN e x ON cd.src = x.vec_id
+           |            JOIN e y ON cd.cnd = y.vec_id)
+           |  WHERE rk <= 8),
+           |anch AS (SELECT vec_id AS qid, v AS qv FROM e
+           |         ORDER BY vec_id LIMIT 64),
+           |ex AS (SELECT qid, dst FROM (
+           |    SELECT a.qid, e.vec_id AS dst,
+           |      row_number() OVER (PARTITION BY a.qid ORDER BY
+           |        round(list_cosine_similarity(e.v, a.qv), 4) DESC,
+           |        e.vec_id) AS rk
+           |    FROM e, anch a WHERE e.vec_id <> a.qid)
+           |  WHERE rk <= 8),
+           |t1 AS (SELECT g.src, g.dst FROM graph g
+           |       JOIN anch a ON g.src = a.qid),
+           |t2 AS (SELECT g.src, g.dst FROM rg g
+           |       JOIN anch a ON g.src = a.qid)
+           |SELECT tier, anchor_edges, exact_pairs, hits,
+           |  CASE WHEN exact_pairs = 0 THEN 0
+           |       ELSE (1000000 * hits) // exact_pairs END AS recall_ppm
+           |FROM (
+           |  SELECT 'ivf_build' AS tier,
+           |    (SELECT count(*) FROM t1) AS anchor_edges,
+           |    (SELECT count(*) FROM ex) AS exact_pairs,
+           |    (SELECT count(*) FROM t1 JOIN ex
+           |       ON t1.src = ex.qid AND t1.dst = ex.dst) AS hits
+           |  UNION ALL
+           |  SELECT 'nn_descent_1',
+           |    (SELECT count(*) FROM t2),
+           |    (SELECT count(*) FROM ex),
+           |    (SELECT count(*) FROM t2 JOIN ex
+           |       ON t2.src = ex.qid AND t2.dst = ex.dst))
+           |ORDER BY tier""".stripMargin,
 
       // identical candidate retrieval (4 dp before ranking), identical
       // pairwise table, then mmrBody verbatim — the greedy chain is

@@ -4557,6 +4557,41 @@ class CorrectnessSpec extends SparkSpecBase {
     } finally PinScope.drain()
   }
 
+  test("q343 NN-descent round never worsens an edge; q344 attests both tiers") {
+    // the refinement keeps the top-8 of a SUPERSET of the current
+    // edges, so per-src the k-th best similarity is non-decreasing —
+    // compare each src's WORST kept edge across tiers
+    try {
+      val em = Tables(spark, sf, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .as[(Long, Array[Double])].collect().toMap
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        val na = math.sqrt(a.map(x => x * x).sum)
+        val nb = math.sqrt(b.map(x => x * x).sum)
+        BigDecimal(dot / (na * nb))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      // run the query first: it ensures + registers the graph artifact
+      val refined = q("q343_nn_descent")
+        .as[(Long, Long, Long, Double)].collect().toSeq
+        .groupBy(_._1).map { case (s0, es) => s0 -> es.map(_._4).min }
+      val base = spark.table(
+          "graft_beamgraph_" + sf.replaceAll("[^a-zA-Z0-9]", "_"))
+        .as[(Long, Long)].collect().toSeq
+        .groupBy(_._1).map { case (s0, es) =>
+          s0 -> es.map(e => cos(em(s0), em(e._2))).min }
+      for ((s0, worst) <- base)
+        assert(refined(s0) >= worst - 1e-9,
+               s"src $s0 worsened: $worst -> ${refined(s0)}")
+      val rec = q("q344_graph_recall")
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+        .sortBy(_._1)
+      assert(rec.map(_._1) == Seq("ivf_build", "nn_descent_1"))
+      for (r <- rec) assert(r._4 <= r._3 && r._5 >= 0 && r._5 <= 1000000)
+    } finally PinScope.drain()
+  }
+
   test("q342 graph artifact degree-bounded; beam ranked and inside the node set") {
     try {
       val rows = q("q342_ann_graph_beam")
