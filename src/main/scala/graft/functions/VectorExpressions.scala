@@ -114,6 +114,77 @@ object VectorKernels {
     bestCid
   }
 
+  /** Exact integer dot product over two `array<bigint>` lattice
+    * vectors — the q311/q339 SemDeDup family's hot fold. Same
+    * sequential Σ x_i·y_i the SQL HOF
+    * (`aggregate(zip_with(x, y, (x,y) -> x*y), 0, +)`) computes; for
+    * the engine's 64-dim 1e6-lattice contract the accumulator stays
+    * far inside Long range (|x_i| ≤ 2e6 ⇒ Σ ≤ 64·4e12 ≈ 2.6e14). The
+    * r14 measurement that motivated it: the interpreted HOF form made
+    * a 25M-pair stage run at ~0.4M dots/s — the pair join's whole
+    * wall-clock. */
+  def dotLong(x: ArrayData, y: ArrayData): Long = {
+    val n = math.min(x.numElements(), y.numElements())
+    var d = 0L; var i = 0
+    while (i < n) { d += x.getLong(i) * y.getLong(i); i += 1 }
+    d
+  }
+
+  /** [[argminCentroid]] on the INTEGER lattice (`v`: array<bigint>,
+    * `cents`: array<struct<cid: long, ci: array<bigint>>>) — the
+    * Lloyd assignment's argmin (q222/q311/q339) as one codegen'd
+    * fold: exact integer Σ (v_i − c_i)² per centroid, min dist with
+    * ties to the smaller cid — identical to the SQL
+    * `array_min(transform(cents, …struct(dist, cid)))` pick and the
+    * oracle's `row_number() OVER (ORDER BY dist, cid)`. */
+  def argminCentroidLong(v: ArrayData, cents: ArrayData): Long = {
+    val c = cents.numElements()
+    var best = Long.MaxValue
+    var bestCid = Long.MaxValue
+    var k = 0
+    while (k < c) {
+      val st = cents.getStruct(k, 2)
+      val cid = st.getLong(0)
+      val cv = st.getArray(1)
+      val n = math.min(v.numElements(), cv.numElements())
+      var dist = 0L; var i = 0
+      while (i < n) {
+        val d = v.getLong(i) - cv.getLong(i); dist += d * d; i += 1
+      }
+      if (dist < best || (dist == best && cid < bestCid)) {
+        best = dist; bestCid = cid
+      }
+      k += 1
+    }
+    bestCid
+  }
+
+  /** The min DISTANCE of [[argminCentroidLong]]'s pick — same loop,
+    * other output half (q222's inertia column). Two codegen'd folds
+    * per row beat one interpreted HOF by orders of magnitude, and a
+    * struct-returning expression buys nothing here. */
+  def minCentroidDistLong(v: ArrayData, cents: ArrayData): Long = {
+    val c = cents.numElements()
+    var best = Long.MaxValue
+    var bestCid = Long.MaxValue
+    var k = 0
+    while (k < c) {
+      val st = cents.getStruct(k, 2)
+      val cid = st.getLong(0)
+      val cv = st.getArray(1)
+      val n = math.min(v.numElements(), cv.numElements())
+      var dist = 0L; var i = 0
+      while (i < n) {
+        val d = v.getLong(i) - cv.getLong(i); dist += d * d; i += 1
+      }
+      if (dist < best || (dist == best && cid < bestCid)) {
+        best = dist; bestCid = cid
+      }
+      k += 1
+    }
+    best
+  }
+
   /** Random-hyperplane LSH sign signature: one '0'/'1' byte per plane.
     * Plane p's components come from an integer LCG —
     * `((i + p·64)·2654435761 mod 1000)/1000 − 0.5` for element i — so any
@@ -224,6 +295,85 @@ case class SquaredL2(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = org.apache.spark.sql.graft.VectorKernels.sqL2($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd exact integer dot product over two `array<bigint>`
+  * columns — the SemDeDup family's lattice fold (see
+  * [[VectorKernels.dotLong]]); replaces the interpreted
+  * `aggregate(zip_with(...))` HOF in the pair-join hot path. */
+case class DotProductLong(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_product_long"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dotLong(a.asInstanceOf[ArrayData],
+                          b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = org.apache.spark.sql.graft.VectorKernels.dotLong($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd nearest-centroid assignment on the INTEGER lattice (see
+  * [[VectorKernels.argminCentroidLong]]) — the Lloyd assignment's
+  * argmin as one map-pass expression. */
+case class ArgminCentroidLong(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType),
+        ArrayType(StructType(Seq(StructField("cid", LongType),
+                                 StructField("ci", ArrayType(LongType))))))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "argmin_centroid_long"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.argminCentroidLong(a.asInstanceOf[ArrayData],
+                                     b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = org.apache.spark.sql.graft.VectorKernels" +
+        s".argminCentroidLong($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd min centroid DISTANCE on the integer lattice — the other
+  * output half of [[ArgminCentroidLong]] (see
+  * [[VectorKernels.minCentroidDistLong]]). */
+case class MinCentroidDistLong(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType),
+        ArrayType(StructType(Seq(StructField("cid", LongType),
+                                 StructField("ci", ArrayType(LongType))))))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "min_centroid_dist_long"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.minCentroidDistLong(a.asInstanceOf[ArrayData],
+                                      b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = org.apache.spark.sql.graft.VectorKernels" +
+        s".minCentroidDistLong($a, $b);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -461,6 +611,19 @@ object GraftFunctions {
   def dotProduct(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def dotProductLong(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProductLong(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** `vec`: array<bigint>; `cents`: array<struct<cid: long, ci: array<bigint>>>. */
+  def argminCentroidLong(vec: Column, cents: Column): Column =
+    ExpressionUtils.column(ArgminCentroidLong(
+      ExpressionUtils.expression(vec), ExpressionUtils.expression(cents)))
+
+  def minCentroidDistLong(vec: Column, cents: Column): Column =
+    ExpressionUtils.column(MinCentroidDistLong(
+      ExpressionUtils.expression(vec), ExpressionUtils.expression(cents)))
 
   def vectorNorm(vec: Column): Column =
     ExpressionUtils.column(VectorNorm(ExpressionUtils.expression(vec)))

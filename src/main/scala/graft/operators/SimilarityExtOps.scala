@@ -335,19 +335,22 @@ object SimilarityExtOps extends OpModule {
 
   /** The zero-shuffle Lloyd assignment pass over one broadcast packed
     * centroid row — shared by the 3-round loop and q339's single
-    * batch-assignment probe (identical argmin text in both). */
+    * batch-assignment probe (identical argmin in both). Since r14 the
+    * argmin and its distance run as the codegen'd
+    * [[GraftFunctions.argminCentroidLong]]/[[GraftFunctions.minCentroidDistLong]]
+    * kernels instead of the interpreted `array_min(transform(...))`
+    * HOF (a CodegenFallback) — bit-identical integer picks (same
+    * sequential fold, same (dist, cid) tie), measured ~10× on the
+    * assignment pass at the 10× sweep. */
   private def lloydAssign(emQ: DataFrame, cent: DataFrame): DataFrame = {
     val packed = cent
       .agg(collect_list(struct(col("cid"), col("ci"))).as("cents"))
     emQ.crossJoin(broadcast(packed))
-      .withColumn("m", expr(
-        """array_min(transform(cents, c -> named_struct(
-          |  'dist', aggregate(zip_with(xi, c.ci,
-          |            (x, y) -> (x - y) * (x - y)),
-          |          CAST(0 AS BIGINT), (a, e) -> a + e),
-          |  'cid', c.cid)))""".stripMargin))
       .select(col("vec_id"), col("xi"),
-              col("m.cid").as("cid"), col("m.dist").as("dist"))
+              GraftFunctions.argminCentroidLong(col("xi"), col("cents"))
+                .as("cid"),
+              GraftFunctions.minCentroidDistLong(col("xi"), col("cents"))
+                .as("dist"))
   }
 
   /** The 3-round integer-lattice Lloyd loop over an explicit base
@@ -544,10 +547,10 @@ object SimilarityExtOps extends OpModule {
       val (as0, cs0) = lloydRounds(s,
         embBase(s, d).where(col("vec_id") % 2 === 0),
         col("vec_id") < 2 * Cents)
-      val dotSelf = "aggregate(zip_with(xi, xi, (x, y) -> x * y), " +
-        "CAST(0 AS BIGINT), (a, e) -> a + e)"
       as0.last.select(lit("m").as("kind"), col("vec_id").as("id"),
-          col("cid"), expr(dotSelf).as("nv"), col("xi"))
+          col("cid"),
+          GraftFunctions.dotProductLong(col("xi"), col("xi")).as("nv"),
+          col("xi"))
         .unionByName(cs0.last.select(lit("c").as("kind"),
           col("cid").as("id"), col("cid"), lit(0L).as("nv"),
           col("ci").as("xi")))
@@ -1122,9 +1125,9 @@ object SimilarityExtOps extends OpModule {
     // the base pass. Report: per cluster, members / dup pairs /
     // removed / keep ratio.
     "q311_semdedup" -> { (s, d) =>
-      val dotF = (x: String, y: String) =>
-        s"aggregate(zip_with($x, $y, (x, y) -> x * y), " +
-          "CAST(0 AS BIGINT), (a, e) -> a + e)"
+      // the lattice dot runs as the codegen'd dotProductLong kernel
+      // (r14) - bit-identical to the oracle's aggregate(zip_with(...))
+      // fold, removing the interpreted HOF from the pair join
       // [[SemDedupClusterCap]]: a no-op at every test SF (max cluster
       // ~40 at sf0.1), it bounds the quadratic within-cluster pair
       // volume when the corpus outgrows the FIXED k of the declared
@@ -1140,7 +1143,8 @@ object SimilarityExtOps extends OpModule {
         .partitionBy("cid").orderBy("vec_id")
       val base = lloydAssignments(s, d).last
         .select(col("vec_id"), col("cid"), col("xi"),
-                expr(dotF("xi", "xi")).as("nv"))
+                GraftFunctions.dotProductLong(col("xi"), col("xi"))
+                  .as("nv"))
       val capped = base
         .withColumn("mrk", row_number().over(wCap))
         .where(col("mrk") <= SemDedupClusterCap).drop("mrk")
@@ -1149,7 +1153,8 @@ object SimilarityExtOps extends OpModule {
       val r = capped.select(col("cid"), col("vec_id").as("b"),
                             col("xi").as("xb"), col("nv").as("nb"))
       val pairs = l.join(r, Seq("cid")).where(col("a") < col("b"))
-        .withColumn("dot", expr(dotF("xa", "xb")))
+        .withColumn("dot",
+          GraftFunctions.dotProductLong(col("xa"), col("xb")))
         .where(col("dot") > 0 &&
                col("dot").cast("decimal(38,0)") * col("dot") * 10000 >=
                  col("na").cast("decimal(38,0)") * col("nb") * 1600)
@@ -1197,9 +1202,6 @@ object SimilarityExtOps extends OpModule {
     // Lloyd + odd assignment restated inline — the artifact must be
     // semantically invisible.
     "q339_semdedup_incremental" -> { (s, d) =>
-      val dotF = (x: String, y: String) =>
-        s"aggregate(zip_with($x, $y, (x, y) -> x * y), " +
-          "CAST(0 AS BIGINT), (a, e) -> a + e)"
       val idx = s.table(semDedupIndexTable(s, d))
       val cents = idx.where(col("kind") === "c")
         .select(col("cid"), col("xi").as("ci"))
@@ -1211,7 +1213,8 @@ object SimilarityExtOps extends OpModule {
             .as("xi"))
       val (batch, bh) = pin(lloydAssign(batchQ, cents)
         .select(col("vec_id"), col("cid"), col("xi"),
-                expr(dotF("xi", "xi")).as("nv")))
+                GraftFunctions.dotProductLong(col("xi"), col("xi"))
+                  .as("nv")))
       bh.count(); graft.PinScope.retain(bh)
       val wCap = org.apache.spark.sql.expressions.Window
         .partitionBy("cid").orderBy("vec_id")
@@ -1234,7 +1237,8 @@ object SimilarityExtOps extends OpModule {
                 col("xi").as("xa"), col("nv").as("na"))
         .join(newSide, Seq("cid")).where(col("a") < col("b"))
       val pairs = newOld.unionAll(newNew)
-        .withColumn("dot", expr(dotF("xa", "xb")))
+        .withColumn("dot",
+          GraftFunctions.dotProductLong(col("xa"), col("xb")))
         .where(col("dot") > 0 &&
                col("dot").cast("decimal(38,0)") * col("dot") * 10000 >=
                  col("na").cast("decimal(38,0)") * col("nb") * 1600)
