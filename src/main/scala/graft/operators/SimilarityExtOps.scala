@@ -585,10 +585,13 @@ object SimilarityExtOps extends OpModule {
 
   /** Squared L2 between two array columns — the same sequential fold
     * the oracle's `list_sum(list_transform(...))` performs, so probe
-    * selection is bit-identical to the assignment kernel's metric. */
+    * selection is bit-identical to the assignment kernel's metric.
+    * Since r14 this routes through the codegen'd [[GraftFunctions
+    * .squaredL2]] kernel (same fold, no interpreted HOF): most call
+    * sites are ≤16-centroid probe selections where it hardly matters,
+    * but q342's graph build runs it n×16 times. */
   private def sqL2(a: String, b: String): Column =
-    aggregate(zip_with(col(a), col(b), (x, y) => (x - y) * (x - y)),
-              lit(0.0), _ + _)
+    GraftFunctions.squaredL2(col(a), col(b))
 
   /** One packed PQ codebook row (q100/q105): per subspace, the
     * PqCents codewords pre-sliced to that subspace's dims
