@@ -79,6 +79,48 @@ object MinHashKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Winnowed minimizer hashes — see [[MinimizerHashes]]. Same grams
+    * (`md5(concat_ws(' ', slice(t, i, n)))` identity), same w-window
+    * minima, distinct survivors in first-occurrence order. */
+  def minimizers(toks: ArrayData, n: Int, w: Int,
+                 shortMin: Boolean): ArrayData = {
+    val nt = toks.numElements()
+    if (nt < n) return new GenericArrayData(Array.empty[Any])
+    val g = nt - n + 1
+    if (!shortMin && g < w) return new GenericArrayData(Array.empty[Any])
+    val hex = new Array[String](g)
+    var i = 0
+    while (i < g) {
+      val parts = new Array[UTF8String](n)
+      var k = 0
+      while (k < n) { parts(k) = toks.getUTF8String(i + k); k += 1 }
+      val gram = UTF8String.concatWs(Space, parts: _*)
+      hex(i) =
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(gram.getBytes)
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[String]()
+    if (g < w) {
+      // short doc: the single global-min gram survives
+      var m = hex(0); var t = 1
+      while (t < g) { if (hex(t) < m) m = hex(t); t += 1 }
+      seen.add(m)
+    } else {
+      var j = 0
+      while (j + w <= g) {
+        var m = hex(j); var t = j + 1
+        while (t < j + w) { if (hex(t) < m) m = hex(t); t += 1 }
+        seen.add(m)
+        j += 1
+      }
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** Codegen'd per-document MinHash band keys over an `array<string>`
@@ -105,6 +147,41 @@ case class MinHashBandKeys(child: Expression, nHashes: Int, bands: Int)
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = org.apache.spark.sql.graft.MinHashKernels" +
         s".bandKeys($a, $nHashes, $bands);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd winnowed minimizer emission over an `array<string>` token
+  * column (Roberts et al. 2004; the q96/q103/q227/q341 selection) —
+  * md5 each n-token gram, keep a hash only when it is the minimum of
+  * some w-gram window, return the DISTINCT survivors in first-
+  * occurrence order (the `array_distinct` convention; consumers treat
+  * the result as a set). `shortDocGlobalMin` selects the two declared
+  * short-doc semantics: q96's tier keeps a single global-min gram for
+  * docs with fewer than w grams (every ≥ n-token doc stays in the
+  * tier); q227's candidate generator emits nothing (complete windows
+  * only). Replaces the interpreted transform/array_min HOF chain —
+  * the same class of CodegenFallback the r14 lattice kernels removed,
+  * and the hot half of q96's 100× line. Bit-identical selection: same
+  * grams, same md5 identity, same window minima. */
+case class MinimizerHashes(child: Expression, n: Int, w: Int,
+                           shortDocGlobalMin: Boolean)
+  extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1 && w >= 1, s"need n, w >= 1, got ($n, $w)")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minimizer_hashes"
+
+  override protected def nullSafeEval(a: Any): Any =
+    MinHashKernels.minimizers(a.asInstanceOf[ArrayData], n, w,
+                              shortDocGlobalMin)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.MinHashKernels" +
+        s".minimizers($a, $n, $w, $shortDocGlobalMin);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

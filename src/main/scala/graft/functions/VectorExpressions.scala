@@ -608,6 +608,13 @@ object GraftFunctions {
     ExpressionUtils.column(
       MinHashBandKeys(ExpressionUtils.expression(tokens), nHashes, bands))
 
+  /** `tokens`: array<string> → distinct winnowed minimizer md5 hashes
+    * (see [[MinimizerHashes]]). */
+  def minimizerHashes(tokens: Column, n: Int, w: Int,
+                      shortDocGlobalMin: Boolean): Column =
+    ExpressionUtils.column(MinimizerHashes(
+      ExpressionUtils.expression(tokens), n, w, shortDocGlobalMin))
+
   def dotProduct(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))

@@ -203,20 +203,18 @@ object DedupExtOps extends OpModule {
   }
 
   /** q227/q341's winnowed minimizer stream — the PURE-MAP emission
-    * (r13's reshape): a higher-order-function chain over each doc's
-    * own gram array (8-token grams, w=5 complete windows, distinct
-    * per doc; docs with < w grams emit nothing) — the gram stream
-    * never shuffles before the minimizer-keyed join. */
+    * (r13's reshape; r14: the codegen'd MinimizerHashes kernel
+    * replaces the interpreted HOF chain — same 8-token grams, same
+    * w=5 complete-window minima, distinct per doc; docs with < w
+    * grams emit nothing). The gram stream never shuffles before the
+    * minimizer-keyed join. */
   private def minimizerStream(docs: DataFrame, k: Int = 8,
                               win: Int = 5): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("t"))
       .where(size(col("t")) >= k + win - 1)
-      .select(col("doc_id"), expr(
-        s"transform(sequence(1, size(t) - ${k - 1}), " +
-          s"i -> md5(concat_ws(' ', slice(t, i, $k))))").as("hs"))
-      .select(col("doc_id"), explode(expr(
-        s"array_distinct(transform(sequence(1, size(hs) - ${win - 1})," +
-          s" j -> array_min(slice(hs, j, $win))))")).as("m"))
+      .select(col("doc_id"), explode(
+        org.apache.spark.sql.graft.GraftFunctions.minimizerHashes(
+          col("t"), k, win, shortDocGlobalMin = false)).as("m"))
 
   /** q227/q341's persisted corpus signature index: the WHOLE corpus's
     * winnowed minimizers as an m-bucketed table (q82's clusterTable

@@ -1478,10 +1478,13 @@ object TextExtOps extends OpModule {
     * positions. Docs with fewer than w grams keep their single
     * global-min gram, so every ≥ n-token doc stays in the tier
     * (q227's candidate generator instead declares complete-windows-
-    * only and drops them). The selection is a PURE MAP — the windowed
-    * min runs as a higher-order-function chain over the doc's own
-    * gram array, no doc-keyed shuffle, no posexplode; the per-row
-    * array is O(doc tokens), the same order as the text itself.
+    * only and drops them). The selection is a PURE MAP — since r14 it
+    * runs as the codegen'd [[org.apache.spark.sql.graft
+    * .MinimizerHashes]] kernel (the r12–r13 form was an interpreted
+    * transform/array_min HOF chain — a CodegenFallback, the hot half
+    * of q96's 100× line); same grams, same md5 identity, same window
+    * minima, bit-identical survivor set. No doc-keyed shuffle, no
+    * posexplode; the per-row work is O(doc tokens).
     * `carry` columns (e.g. the train/eval split bit) ride through. */
   private[operators] def minimizerHashes(df: DataFrame, n: Int, w: Int,
                                          carry: Seq[String] = Nil)
@@ -1489,14 +1492,9 @@ object TextExtOps extends OpModule {
     val cs = carry.map(col)
     df.select((col("doc_id") +: cs) :+ split(col("text"), " ").as("t"): _*)
       .where(size(col("t")) >= n)
-      .select((col("doc_id") +: cs) :+ expr(
-        s"transform(sequence(1, size(t) - ${n - 1}), " +
-          s"i -> md5(concat_ws(' ', slice(t, i, $n))))").as("hs"): _*)
-      .select((col("doc_id") +: cs) :+ explode(expr(
-        s"""array_distinct(CASE WHEN size(hs) >= $w
-           |  THEN transform(sequence(1, size(hs) - ${w - 1}),
-           |                 j -> array_min(slice(hs, j, $w)))
-           |  ELSE array(array_min(hs)) END)""".stripMargin)).as("m"): _*)
+      .select((col("doc_id") +: cs) :+ explode(
+        org.apache.spark.sql.graft.GraftFunctions.minimizerHashes(
+          col("t"), n, w, shortDocGlobalMin = true)).as("m"): _*)
   }
 
   /** The persisted train-side contamination index (q99/q103/q104): the
