@@ -165,7 +165,7 @@ object SimilarityExtOps extends OpModule {
   private val BandBits = Planes / Bands
   private val BatchQueries = 8
   private val BatchK = 5
-  private val Cents = 16  // IVF coarse centroids (sampled: vec_id < Cents)
+  private[graft] val Cents = 16  // IVF coarse centroids (sampled: vec_id < Cents)
   private val NProbe = 4  // IVF cells probed per query
   private val PqSub = 8     // PQ subspaces (64-dim vectors → 8 dims each)
   private val PqDim = 8     // dims per subspace
@@ -276,7 +276,7 @@ object SimilarityExtOps extends OpModule {
     * initial-centroid predicate — the q339 incremental tier fits the
     * SAME 3-round text on the even half with the 16 lowest EVEN ids
     * as seeds. */
-  private def lloydCteOn(srcWhere: String, centPred: String): String =
+  private[graft] def lloydCteOn(srcWhere: String, centPred: String): String =
     s"""e AS (SELECT vec_id,
        |    list_transform(embedding,
        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
@@ -540,7 +540,7 @@ object SimilarityExtOps extends OpModule {
     * argmin against to extend the assignment). Fit once per (session,
     * corpus), probed per batch; the cid bucketing is the co-cluster
     * pair join's layout key. */
-  private def semDedupIndexTable(s: SparkSession, d: String): String =
+  private[graft] def semDedupIndexTable(s: SparkSession, d: String): String =
     graft.BucketedCache.ensure(s, d, "semidx",
       "kind STRING, id BIGINT, cid BIGINT, nv BIGINT, xi ARRAY<BIGINT>",
       "cid", 8) {

@@ -616,56 +616,58 @@ object TextExtOps extends OpModule {
     // integers; the symbol table re-pins per round (vocab-bound).
     "q299_bpe_train" -> { (s, d) =>
       import s.implicits._
-      val W = org.apache.spark.sql.expressions.Window
+      bpeTrainMerges(s, d).toDF("round", "lft", "rgt", "pair_count")
+        .orderBy("round")
+    },
+
+    // BPE APPLY (added r14) — the missing middle of the tokenizer
+    // family: q299 TRAINS the merge table, q101/q121/q212 ACCOUNT
+    // with heuristics; this ENCODES the corpus with the learned
+    // merges and reports what the tokenizer actually buys. The apply
+    // runs on the DISTINCT-WORD table (vocabulary-bounded — encoding
+    // is a pure function of the word, the whole reason word-level BPE
+    // application scales: a 10¹²-token corpus has a 10⁷-word
+    // vocabulary), replaying the 8 learned merges with the SAME
+    // greedy left-to-right parity algebra the trainer used
+    // ([[bpeMergePass]] — one shared definition, so train and apply
+    // can never disagree on merge semantics), then one w-keyed join
+    // puts per-word encoded lengths back on the token stream and two
+    // grouped folds produce the per-(lang, source) data card: docs,
+    // base symbols (chars), encoded BPE tokens, compression ratio.
+    // Out-of-vocab-cap words still encode (merges apply wherever
+    // their pair occurs — the standard BPE property). Oracle: the
+    // train chain + a parallel full-vocab apply chain, all
+    // MATERIALIZED CTEs.
+    "q346_bpe_apply" -> { (s, d) =>
       def pin(df: DataFrame) = org.apache.spark.sql.graft.InternalPin.pin(df)
-      val vocab = Tables(s, d, "documents")
+      val merges = bpeTrainMerges(s, d)
+      val words = Tables(s, d, "documents")
         .select(explode(split(col("text"), " ")).as("w"))
         .where(length(col("w")) > 0)
         .groupBy("w").agg(count(lit(1)).as("freq"))
-        .withColumn("rk",
-          row_number().over(W.orderBy(col("freq").desc, col("w"))))
-        .where(col("rk") <= BpeTrainVocabCap).drop("rk")
-      var (syms, h0) = pin(vocab
-        .select(col("w"), col("freq"), posexplode(expr(
-          "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
-          .as(Seq("p0", "s")))
-        .select(col("w"), col("freq"), (col("p0") + 1).as("i"), col("s")))
+      var (syms, h0) = pin(bpeSymbols(words))
       h0.count(); graft.PinScope.retain(h0)
-      val wOrd = W.partitionBy("w").orderBy("i")
-      val merges =
-        scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
-      for (round <- 1 to 8) {
-        val paired = syms
-          .withColumn("nx", lead("s", 1).over(wOrd))
-        val best = paired.where(col("nx").isNotNull)
-          .groupBy(col("s").as("a"), col("nx").as("b"))
-          .agg(sum("freq").as("cnt"))
-          .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
-          .collect()(0)
-        val (a, b) = (best.getString(0), best.getString(1))
-        merges += ((round, a, b, best.getLong(2)))
-        val (next, h) = pin(paired
-          .withColumn("mat", coalesce(
-            col("s") === lit(a) && col("nx") === lit(b), lit(false)))
-          .withColumn("mrank",
-            sum(when(col("mat"), 1L).otherwise(0L)).over(wOrd))
-          .withColumn("grp", col("i") - col("mrank"))
-          .withColumn("prank",
-            sum(when(col("mat"), 1L).otherwise(0L))
-              .over(W.partitionBy("w", "grp").orderBy("i")))
-          .withColumn("kept", col("mat") && col("prank") % 2 === 1)
-          .withColumn("consumed",
-            coalesce(lag("kept", 1).over(wOrd), lit(false)))
-          .where(!col("consumed"))
-          .select(col("w"), col("freq"),
-                  row_number().over(wOrd).as("i"),
-                  when(col("kept"), concat(col("s"), col("nx")))
-                    .otherwise(col("s")).as("s")))
+      for ((_, a, b, _) <- merges) {
+        val (next, h) = pin(bpeMergePass(syms, a, b))
         h.count(); graft.PinScope.retain(h)
         syms = next
       }
-      merges.toSeq.toDF("round", "lft", "rgt", "pair_count")
-        .orderBy("round")
+      val enc = syms.groupBy("w").agg(count(lit(1)).as("enc"))
+      Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+                explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) > 0)
+        .join(enc, Seq("w"))
+        .groupBy("doc_id", "lang", "source")
+        .agg(sum("enc").as("enc"),
+             sum(length(col("w")).cast("long")).as("base"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("docs"),
+             sum("base").as("base_symbols"),
+             sum("enc").as("bpe_tokens"),
+             round(sum("enc").cast("double") /
+                   sum("base").cast("double"), 6).as("compression"))
+        .orderBy("lang", "source")
     },
 
     "q212_token_budget" -> { (s, d) =>
@@ -1618,7 +1620,119 @@ object TextExtOps extends OpModule {
     * merge CTE (s\$k), the SAME window algebra the Spark side runs
     * (cumulative matched-count → run id → within-run parity → lag
     * consume), so the learned merge table matches exactly. */
-  private def bpeTrainOracle: String = {
+  /** Per-word symbol rows (w, freq, i, s) — character-exploded, the
+    * state both the trainer (q299) and the encoder (q346) fold merges
+    * over. */
+  private def bpeSymbols(words: DataFrame): DataFrame =
+    words.select(col("w"), col("freq"), posexplode(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+        .as(Seq("p0", "s")))
+      .select(col("w"), col("freq"), (col("p0") + 1).as("i"), col("s"))
+
+  /** ONE greedy left-to-right merge application of the pair (a, b) —
+    * the parity algebra q299's docstring derives (cumulative matched
+    * count → run id → within-run parity → lag consume), shared
+    * verbatim by the trainer's rounds and q346's full-vocab encode so
+    * the two can never disagree on merge semantics. Returns the next
+    * (w, freq, i, s) symbol table, UNPINNED. */
+  private def bpeMergePass(syms: DataFrame, a: String,
+                           b: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wOrd = W.partitionBy("w").orderBy("i")
+    syms.withColumn("nx", lead("s", 1).over(wOrd))
+      .withColumn("mat", coalesce(
+        col("s") === lit(a) && col("nx") === lit(b), lit(false)))
+      .withColumn("mrank",
+        sum(when(col("mat"), 1L).otherwise(0L)).over(wOrd))
+      .withColumn("grp", col("i") - col("mrank"))
+      .withColumn("prank",
+        sum(when(col("mat"), 1L).otherwise(0L))
+          .over(W.partitionBy("w", "grp").orderBy("i")))
+      .withColumn("kept", col("mat") && col("prank") % 2 === 1)
+      .withColumn("consumed",
+        coalesce(lag("kept", 1).over(wOrd), lit(false)))
+      .where(!col("consumed"))
+      .select(col("w"), col("freq"),
+              row_number().over(wOrd).as("i"),
+              when(col("kept"), concat(col("s"), col("nx")))
+                .otherwise(col("s")).as("s"))
+  }
+
+  /** q299's 8-round training loop over the [[BpeTrainVocabCap]]-capped
+    * vocabulary — returns the learned merge table (round, lft, rgt,
+    * pair_count); each round's argmax is a 1-row driver collect (the
+    * declared bounded fold) and each pass pins. Shared by q299 (which
+    * presents the table) and q346 (which applies it). */
+  private def bpeTrainMerges(s: SparkSession, d: String)
+      : Seq[(Int, String, String, Long)] = {
+    val W = org.apache.spark.sql.expressions.Window
+    def pin(df: DataFrame) = org.apache.spark.sql.graft.InternalPin.pin(df)
+    val vocab = Tables(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("rk",
+        row_number().over(W.orderBy(col("freq").desc, col("w"))))
+      .where(col("rk") <= BpeTrainVocabCap).drop("rk")
+    var (syms, h0) = pin(bpeSymbols(vocab))
+    h0.count(); graft.PinScope.retain(h0)
+    val wOrd = W.partitionBy("w").orderBy("i")
+    val merges =
+      scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (round <- 1 to 8) {
+      val best = syms.withColumn("nx", lead("s", 1).over(wOrd))
+        .where(col("nx").isNotNull)
+        .groupBy(col("s").as("a"), col("nx").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        .collect()(0)
+      val (a, b) = (best.getString(0), best.getString(1))
+      merges += ((round, a, b, best.getLong(2)))
+      val (next, h) = pin(bpeMergePass(syms, a, b))
+      h.count(); graft.PinScope.retain(h)
+      syms = next
+    }
+    merges.toSeq
+  }
+
+  /** One greedy merge-application round as oracle CTE text — the SQL
+    * twin of [[bpeMergePass]], parameterized by output/source symbol
+    * tables and the 1-row learned-pair CTE, so the trainer's rounds
+    * (q299) and the full-vocab encode chain (q346) share ONE merge
+    * semantics in both engines. */
+  private def bpeApplyRoundCte(out: String, src: String,
+                               pair: String): String =
+    s"""$out AS MATERIALIZED (
+       |  SELECT w, freq,
+       |    row_number() OVER (PARTITION BY w ORDER BY i) AS i,
+       |    CASE WHEN kept THEN s || nx ELSE s END AS s
+       |  FROM (
+       |    SELECT *, coalesce(lag(kept)
+       |        OVER (PARTITION BY w ORDER BY i), false) AS consumed
+       |    FROM (
+       |      SELECT *, mat AND prank % 2 = 1 AS kept
+       |      FROM (
+       |        SELECT *, sum(CASE WHEN mat THEN 1 ELSE 0 END)
+       |            OVER (PARTITION BY w, grp ORDER BY i) AS prank
+       |        FROM (
+       |          SELECT *, i - mrank AS grp
+       |          FROM (
+       |            SELECT *, sum(CASE WHEN mat THEN 1 ELSE 0 END)
+       |                OVER (PARTITION BY w ORDER BY i) AS mrank
+       |            FROM (
+       |              SELECT w, freq, i, s, nx,
+       |                coalesce(s = (SELECT a FROM $pair) AND
+       |                         nx = (SELECT b FROM $pair), false) AS mat
+       |              FROM (SELECT w, freq, i, s,
+       |                      lead(s) OVER (PARTITION BY w ORDER BY i)
+       |                        AS nx
+       |                    FROM $src)))))))
+       |  WHERE NOT consumed)""".stripMargin
+
+  /** The shared q299/q346 training chain: corpus word counts, the
+    * capped vocab, the char-exploded s0, and the 8 argmax+apply
+    * rounds (p1..p8, s1..s8) — everything after `WITH `. */
+  private def bpeTrainChainCte: String = {
     val rounds = (1 to 8).map { k =>
       s"""p$k AS MATERIALIZED (
          |  SELECT s AS a, nx AS b, CAST(sum(freq) AS BIGINT) AS cnt
@@ -1627,37 +1741,9 @@ object TextExtOps extends OpModule {
          |        FROM s${k - 1})
          |  WHERE nx IS NOT NULL GROUP BY 1, 2
          |  ORDER BY cnt DESC, a, b LIMIT 1),
-         |s$k AS MATERIALIZED (
-         |  SELECT w, freq,
-         |    row_number() OVER (PARTITION BY w ORDER BY i) AS i,
-         |    CASE WHEN kept THEN s || nx ELSE s END AS s
-         |  FROM (
-         |    SELECT *, coalesce(lag(kept)
-         |        OVER (PARTITION BY w ORDER BY i), false) AS consumed
-         |    FROM (
-         |      SELECT *, mat AND prank % 2 = 1 AS kept
-         |      FROM (
-         |        SELECT *, sum(CASE WHEN mat THEN 1 ELSE 0 END)
-         |            OVER (PARTITION BY w, grp ORDER BY i) AS prank
-         |        FROM (
-         |          SELECT *, i - mrank AS grp
-         |          FROM (
-         |            SELECT *, sum(CASE WHEN mat THEN 1 ELSE 0 END)
-         |                OVER (PARTITION BY w ORDER BY i) AS mrank
-         |            FROM (
-         |              SELECT w, freq, i, s, nx,
-         |                coalesce(s = (SELECT a FROM p$k) AND
-         |                         nx = (SELECT b FROM p$k), false) AS mat
-         |              FROM (SELECT w, freq, i, s,
-         |                      lead(s) OVER (PARTITION BY w ORDER BY i)
-         |                        AS nx
-         |                    FROM s${k - 1})))))))
-         |  WHERE NOT consumed)""".stripMargin
+         |${bpeApplyRoundCte(s"s$k", s"s${k - 1}", s"p$k")}""".stripMargin
     }.mkString(",\n")
-    val out = (1 to 8).map(k =>
-      s"SELECT $k AS round, a AS lft, b AS rgt, cnt AS pair_count FROM p$k")
-      .mkString("\nUNION ALL\n")
-    s"""WITH words AS (
+    s"""words AS (
        |  SELECT w, count(*) AS freq
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w
        |        FROM documents)
@@ -1672,9 +1758,49 @@ object TextExtOps extends OpModule {
        |  SELECT w, freq, i, w[CAST(i AS INT)] AS s
        |  FROM (SELECT w, freq, unnest(range(1, len(w) + 1)) AS i
        |        FROM vocab)),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def bpeTrainOracle: String = {
+    val out = (1 to 8).map(k =>
+      s"SELECT $k AS round, a AS lft, b AS rgt, cnt AS pair_count FROM p$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $bpeTrainChainCte
        |$out
        |ORDER BY round""".stripMargin
+  }
+
+  /** q346's oracle: the train chain plus a parallel encode chain over
+    * the FULL vocabulary (t0..t8, each round consuming the trained
+    * p$k pair), then per-word encoded lengths joined back to the
+    * token stream and rolled up per (lang, source). */
+  private def bpeApplyOracle: String = {
+    val applyRounds = (1 to 8)
+      .map(k => bpeApplyRoundCte(s"t$k", s"t${k - 1}", s"p$k"))
+      .mkString(",\n")
+    s"""WITH $bpeTrainChainCte,
+       |t0 AS MATERIALIZED (
+       |  SELECT w, freq, i, w[CAST(i AS INT)] AS s
+       |  FROM (SELECT w, freq, unnest(range(1, len(w) + 1)) AS i
+       |        FROM words)),
+       |$applyRounds,
+       |enc AS (SELECT w, count(*) AS enc FROM t8 GROUP BY w),
+       |dt AS (
+       |  SELECT lang, source, doc_id,
+       |    unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |per AS (
+       |  SELECT lang, source, doc_id,
+       |    sum(e.enc) AS enc, sum(len(dt.w)) AS base
+       |  FROM dt JOIN enc e USING (w)
+       |  WHERE len(dt.w) > 0
+       |  GROUP BY 1, 2, 3)
+       |SELECT lang, source, count(*) AS docs,
+       |  CAST(sum(base) AS BIGINT) AS base_symbols,
+       |  CAST(sum(enc) AS BIGINT) AS bpe_tokens,
+       |  round(CAST(sum(enc) AS DOUBLE) / CAST(sum(base) AS DOUBLE), 6)
+       |    AS compression
+       |FROM per GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
   }
 
   /** The q301 held-out bigram-LM scoring chain (train-split
@@ -2031,6 +2157,7 @@ object TextExtOps extends OpModule {
            |ORDER BY eval_id, train_id""".stripMargin,
 
       "q299_bpe_train" -> bpeTrainOracle,
+      "q346_bpe_apply" -> bpeApplyOracle,
 
       // same train-split count tables, same add-1 chain with the
       // round-log-once 6 dp term, same 8.0 flag line

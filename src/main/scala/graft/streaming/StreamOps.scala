@@ -121,6 +121,11 @@ object StreamOps extends OpModule {
   private def stagedDocsDir(d: String): String =
     stageParts("graft_stream_docs", d, "documents")(n => Seq(n))
 
+  /** Stages the sfDir's embeddings table for the q345 semantic-dup
+    * gate stream — same write-once discipline as [[stagedDocsDir]]. */
+  private def stagedEmbsDir(d: String): String =
+    stageParts("graft_stream_embs", d, "embeddings")(n => Seq(n))
+
   /** Stages the sfDir's orders table for the q330 enrichment stream —
     * same fingerprint + write-once discipline as [[stagedEventsDir]]. */
   private def stagedOrdersDir(d: String): String =
@@ -514,6 +519,59 @@ object StreamOps extends OpModule {
     // in the oracle) under ANY micro-batch split, because enrichment
     // is row-local and counts are additive; StreamingSpec proves the
     // split claim on a 3-file one-per-trigger drain.
+    // Streaming SemDeDup gate (added r14) — the q339 incremental tier
+    // moved to the STREAM: new embeddings arrive as files, assign
+    // against the persisted model, and every arrival that is a
+    // semantic duplicate of a standing (even-corpus) member emits a
+    // (vec_id, cid) hit row — the online dedup gate a training-data
+    // intake runs in front of the corpus. Deployment shape: the 16
+    // fitted centroids COLLECT ONCE (driver-bounded — the centroid
+    // table IS the model) and freeze into the streaming plan as
+    // literals, so the per-row assignment is the same codegen'd
+    // argminCentroidLong kernel with zero per-batch joins; the member
+    // probe is a stream-static equi join on cid against the
+    // cid-bucketed artifact; the dup line is q311/q339's exact-lattice
+    // cosine verbatim. Stateless ⇒ append mode, trivially exactly-once
+    // under replay (hit rows are a function of the row itself). Read
+    // side folds hits per arrival. Oracle: the even fit + odd assign +
+    // member-pair predicate restated — identical to q339's machinery,
+    // grouped per batch vector.
+    "q345_stream_semdedup" -> { (s, d) =>
+      val idxT =
+        graft.operators.SimilarityExtOps.semDedupIndexTable(s, d)
+      val centRows = s.table(idxT).where(col("kind") === "c")
+        .select(col("cid"), col("xi")).collect()
+      val centsLit = array(centRows.map { r =>
+        struct(lit(r.getLong(0)).as("cid"),
+               array(r.getSeq[Long](1).map(lit(_)): _*).as("ci"))
+      }: _*)
+      runToMemory(s, iso => {
+        val rawSchema = iso.read.parquet(s"$d/embeddings.parquet").schema
+        val members = iso.table(idxT).where(col("kind") === "m")
+          .select(col("cid"), col("nv").as("na"), col("xi").as("xa"))
+        iso.readStream.schema(rawSchema).parquet(stagedEmbsDir(d))
+          .where(col("vec_id") % 2 === 1)
+          .select(col("vec_id"), expr(
+            "transform(cast(embedding as array<double>), " +
+              "x -> CAST(round(x * 1000000) AS BIGINT))").as("xi"))
+          .select(col("vec_id"), col("xi"),
+            org.apache.spark.sql.graft.GraftFunctions
+              .argminCentroidLong(col("xi"), centsLit).as("cid"),
+            org.apache.spark.sql.graft.GraftFunctions
+              .dotProductLong(col("xi"), col("xi")).as("nb"))
+          .join(members, Seq("cid"))
+          .withColumn("dot", org.apache.spark.sql.graft.GraftFunctions
+            .dotProductLong(col("xa"), col("xi")))
+          .where(col("dot") > 0 &&
+                 col("dot").cast("decimal(38,0)") * col("dot") * 10000 >=
+                   col("na").cast("decimal(38,0)") * col("nb") * 1600)
+          .select(col("vec_id"), col("cid"))
+      }, "graft_stream_semdedup", "append")
+        .groupBy("vec_id", "cid")
+        .agg(count(lit(1)).as("n_dup_old"))
+        .orderBy("vec_id")
+    },
+
     "q330_stream_pit_enrich" -> { (s, d) =>
       runToMemory(s, iso => {
         val rawSchema = iso.read.parquet(s"$d/orders.parquet").schema
@@ -980,6 +1038,47 @@ object StreamOps extends OpModule {
     // exact because every lane sketch's capacity exceeds the vocab —
     // the merged counts are the true counts, so the stream must
     // reproduce the plain batch top-10 (ties broken by token)
+    // q339's oracle machinery grouped per batch vector: even-half fit,
+    // odd assignment against c3, exact-lattice dup line vs members
+    "q345_stream_semdedup" -> {
+      val simx = graft.operators.SimilarityExtOps
+      s"""WITH ${simx.lloydCteOn("WHERE vec_id % 2 = 0",
+                                 s"vec_id < ${2 * simx.Cents}")},
+         |onb AS (SELECT a3.vec_id, a3.cid, e.xi,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      j -> e.xi[j] * e.xi[j])) AS BIGINT) AS nv
+         |  FROM a3 JOIN e USING (vec_id)),
+         |ob AS (SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+         |      AS xi
+         |  FROM embeddings WHERE vec_id % 2 = 1),
+         |od AS (SELECT ob.vec_id, c.cid,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      j -> (ob.xi[j] - c.ci[j]) * (ob.xi[j] - c.ci[j])))
+         |      AS BIGINT) AS dist
+         |  FROM ob CROSS JOIN c3 c),
+         |bn AS (SELECT oa.vec_id, oa.cid, ob.xi,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      j -> ob.xi[j] * ob.xi[j])) AS BIGINT) AS nv
+         |  FROM (SELECT vec_id, cid FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                       ORDER BY dist, cid) AS rn
+         |          FROM od) WHERE rn = 1) oa
+         |       JOIN ob USING (vec_id)),
+         |pr AS (SELECT n.vec_id, n.cid,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      j -> o.xi[j] * n.xi[j])) AS BIGINT) AS dot,
+         |    o.nv AS na, n.nv AS nb
+         |  FROM onb o JOIN bn n ON o.cid = n.cid),
+         |dp AS (SELECT vec_id, cid FROM pr
+         |       WHERE dot > 0 AND
+         |         CAST(dot AS DECIMAL(38,0)) * dot * 10000 >=
+         |           CAST(na AS DECIMAL(38,0)) * nb * 1600)
+         |SELECT vec_id, cid, count(*) AS n_dup_old
+         |FROM dp GROUP BY 1, 2 ORDER BY vec_id""".stripMargin
+    },
+
     "q317_stream_topk" ->
       """SELECT json_extract_string(props, '$.k') AS token,
         |  count(*) AS cnt

@@ -4507,6 +4507,89 @@ class CorrectnessSpec extends SparkSpecBase {
       assert(b._5 < a._5, s"log-loss not decreasing: $a -> $b") }
   }
 
+  test("q346 BPE encode matches an in-memory leftmost-non-overlapping merge replay") {
+    // ONE merge semantics: the parity window algebra must equal the
+    // textbook greedy scan (merge at the leftmost unconsumed (a,b),
+    // skip both, continue) — replay it per distinct word and rebuild
+    // the (lang, source) card
+    try {
+      val merges = q("q299_bpe_train")
+        .as[(Int, String, String, Long)].collect().sortBy(_._1)
+        .map(m => (m._2, m._3))
+      def encode(w: String): Int = {
+        var syms = w.map(_.toString).toVector
+        for ((a, b) <- merges) {
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.result()
+        }
+        syms.length
+      }
+      val docs = Tables(spark, sf, "documents")
+        .select(col("lang"), col("source"), col("text"))
+        .as[(String, String, String)].collect()
+      val want = docs
+        .map { case (l, src, t) =>
+          val ws = t.split(" ").filter(_.nonEmpty)
+          (l, src, ws.map(encode).map(_.toLong).sum,
+           ws.map(_.length.toLong).sum, ws.nonEmpty)
+        }
+        .filter(_._5)
+        .groupBy(r => (r._1, r._2))
+        .map { case ((l, src), rs) =>
+          val enc = rs.map(_._3).sum; val base = rs.map(_._4).sum
+          (l, src, rs.length.toLong, base, enc,
+           BigDecimal(enc.toDouble / base.toDouble)
+             .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }.toSeq.sortBy(r => (r._1, r._2))
+      val got = q("q346_bpe_apply")
+        .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+      assert(got == want)
+    } finally PinScope.drain()
+  }
+
+  test("q345 streaming SemDeDup gate matches an in-memory model replay") {
+    try {
+      // run the stream first — it builds + registers the model artifact
+      val got = q("q345_stream_semdedup")
+        .as[(Long, Long, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
+      val idx = spark.table(
+        "graft_semidx_" + sf.replaceAll("[^a-zA-Z0-9]", "_"))
+      val cents = idx.where(col("kind") === "c")
+        .select(col("cid"), col("xi"))
+        .as[(Long, Array[Long])].collect().sortBy(_._1)
+      val members = idx.where(col("kind") === "m")
+        .select(col("cid"), col("nv"), col("xi"))
+        .as[(Long, Long, Array[Long])].collect()
+      val odds = Tables(spark, sf, "embeddings")
+        .where(col("vec_id") % 2 === 1)
+        .select(col("vec_id"), expr(
+          "transform(cast(embedding as array<double>), " +
+            "x -> CAST(round(x * 1000000) AS BIGINT))"))
+        .as[(Long, Array[Long])].collect()
+      def dot(a: Array[Long], b: Array[Long]): Long =
+        a.zip(b).map { case (x, y) => x * y }.sum
+      val want = odds.flatMap { case (vid, xi) =>
+        val cid = cents.map { case (c, ci) =>
+          (xi.zip(ci).map { case (x, y) => (x - y) * (x - y) }.sum, c)
+        }.min._2
+        val nb = BigInt(dot(xi, xi))
+        val hits = members.filter(_._1 == cid).count { case (_, na, xa) =>
+          val d = BigInt(dot(xa, xi))
+          d > 0 && d * d * 10000 >= BigInt(na) * nb * 1600
+        }
+        if (hits > 0) Some((vid, cid, hits.toLong)) else None
+      }.toSeq.sortBy(r => (r._1, r._2))
+      assert(got == want)
+      assert(got.nonEmpty, "gate is vacuous at this SF")
+    } finally PinScope.drain()
+  }
+
   test("q340 incremental Hamming equals q300 restricted to batch-touching pairs") {
     // at sf0.001 every band bucket is under the cap on BOTH the
     // global (q300) and per-side (q340) definitions, so the index
