@@ -36,7 +36,9 @@ object SweepR14 {
       "q227_minimizer_pairs", "q341_minimizer_incremental",
       "q329_ann_beam", "q342_ann_graph_beam",
       "q270_sorted_neighborhood", "q273_propensity_match",
-      "q275_fellegi_sunter", "q280_zorder_skipping")
+      "q275_fellegi_sunter", "q280_zorder_skipping",
+      "q343_nn_descent", "q344_graph_recall",
+      "q345_stream_semdedup", "q346_bpe_apply")
     val x100 = args.headOption.contains("x100")
     val rest = if (x100) args.tail else args
     val sel = if (rest.isEmpty) qs else qs.filter(rest.contains)

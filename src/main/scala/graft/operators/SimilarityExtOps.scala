@@ -179,7 +179,7 @@ object SimilarityExtOps extends OpModule {
   private val SemThreshold = 0.35
   // q311's fixed-k escape hatch: per-cluster member cap (min-id kept),
   // a measured no-op at every test SF — see the q311 docstring
-  private val SemDedupClusterCap = 4096
+  private[graft] val SemDedupClusterCap = 4096
   private val RrfK = 60   // the standard RRF damping constant
 
   // q175 BM25: the fixed query-term set and the standard Robertson

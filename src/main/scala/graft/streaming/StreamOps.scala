@@ -288,11 +288,18 @@ object StreamOps extends OpModule {
     * sizes this to keys/executors once — it cannot change across
     * restarts.) */
   private def runToMemory(s: SparkSession, build: SparkSession => DataFrame,
-                          qname: String, mode: String): DataFrame = {
+                          qname: String, mode: String,
+                          fullParallelism: Boolean = false): DataFrame = {
     val iso = s.newSession()
     val prev = scala.util.Try(
       s.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(32)
-    iso.conf.set("spark.sql.shuffle.partitions", math.min(8, prev).toString)
+    // STATELESS streams (q345's gate) keep the caller's parallelism:
+    // the 8-partition override exists to bound per-batch state-store
+    // checkpoint cost, and a stateless query has no state store — the
+    // r14 100× sweep measured the gate 4× slower under the reduced
+    // setting (8 vs 32 join partitions), for zero state benefit.
+    iso.conf.set("spark.sql.shuffle.partitions",
+                 (if (fullParallelism) prev else math.min(8, prev)).toString)
     val query = build(iso).writeStream
       .format("memory").queryName(qname)
       .outputMode(mode).trigger(Trigger.AvailableNow())
@@ -547,7 +554,18 @@ object StreamOps extends OpModule {
       }: _*)
       runToMemory(s, iso => {
         val rawSchema = iso.read.parquet(s"$d/embeddings.parquet").schema
+        // member side capped per cluster (q339's pair-side cap, the
+        // min-id members kept — a no-op at every test SF, the Σ
+        // cluster-occupancy guard at volume: the r14 100× sweep
+        // measured the uncapped probe at 95 s, dominated by one hot
+        // cluster's odd×even rectangle); the window rides the
+        // artifact's cid bucketing
         val members = iso.table(idxT).where(col("kind") === "m")
+          .withColumn("mrk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("cid").orderBy("id")))
+          .where(col("mrk") <=
+                 graft.operators.SimilarityExtOps.SemDedupClusterCap)
           .select(col("cid"), col("nv").as("na"), col("xi").as("xa"))
         iso.readStream.schema(rawSchema).parquet(stagedEmbsDir(d))
           .where(col("vec_id") % 2 === 1)
@@ -566,7 +584,7 @@ object StreamOps extends OpModule {
                  col("dot").cast("decimal(38,0)") * col("dot") * 10000 >=
                    col("na").cast("decimal(38,0)") * col("nb") * 1600)
           .select(col("vec_id"), col("cid"))
-      }, "graft_stream_semdedup", "append")
+      }, "graft_stream_semdedup", "append", fullParallelism = true)
         .groupBy("vec_id", "cid")
         .agg(count(lit(1)).as("n_dup_old"))
         .orderBy("vec_id")
