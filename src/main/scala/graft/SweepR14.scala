@@ -38,7 +38,8 @@ object SweepR14 {
       "q270_sorted_neighborhood", "q273_propensity_match",
       "q275_fellegi_sunter", "q280_zorder_skipping",
       "q343_nn_descent", "q344_graph_recall",
-      "q345_stream_semdedup", "q346_bpe_apply")
+      "q345_stream_semdedup", "q346_bpe_apply",
+      "q347_pipeline_prep_v4")
     val x100 = args.headOption.contains("x100")
     val rest = if (x100) args.tail else args
     val sel = if (rest.isEmpty) qs else qs.filter(rest.contains)

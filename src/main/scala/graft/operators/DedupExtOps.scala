@@ -255,6 +255,76 @@ object DedupExtOps extends OpModule {
         .where(col("bn") <= HotBucketCap).drop("bn")
     }
 
+  /** q341's batch-vs-index minimizer pair probe (id_a, id_b,
+    * n_shared) — factored so the q347 intake funnel consumes the
+    * IDENTICAL pair set (one truth per tier, the q82/q108 rule). */
+  private[graft] def minimizerIncPairs(s: SparkSession,
+                                       d: String): DataFrame = {
+    val batch = minimizerStream(
+      Tables(s, d, "documents").where(col("doc_id") % 2 === 1))
+    val capped = s.table(minPairIndexTable(s, d))
+      .withColumn("bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("m")))
+      .where(col("bn") <= HotBucketCap).drop("bn")
+    batch.select(col("m"), col("doc_id").as("new_id"))
+      .join(capped.hint("merge")
+              .select(col("m"), col("doc_id").as("old_id")), Seq("m"))
+      .where(col("old_id") =!= col("new_id") &&
+             (col("old_id") % 2 === 0 || col("old_id") < col("new_id")))
+      .select(least(col("new_id"), col("old_id")).as("id_a"),
+              greatest(col("new_id"), col("old_id")).as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 2)
+  }
+
+  /** q340's batch-vs-index Hamming pair probe (id_a, id_b, hamming)
+    * — factored for the q347 intake funnel (one truth per tier). */
+  private[graft] def hammingIncPairs(s: SparkSession,
+                                     d: String): DataFrame = {
+    def pin(df: DataFrame) = org.apache.spark.sql.graft.InternalPin.pin(df)
+    locally {
+      val idxT = hamIndexTable(s, d)
+      val (fps, h) = pin(simhash64Fps(s, Tables(s, d, "documents")
+                                        .where(col("doc_id") % 2 === 1)))
+      h.count(); graft.PinScope.retain(h)
+      val bands = (0 until 4).map(b =>
+          fps.select(concat(lit(s"$b:"),
+                            substring(col("fp"), b * 16 + 1, 16)).as("bk"),
+                     col("doc_id"), col("fp")))
+        .reduce(_ unionAll _)
+      val capped = bands
+        .withColumn("bn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("bk")))
+        .where(col("bn") <= HotBucketCap).drop("bn")
+      val newOld = capped
+        .select(col("bk"), col("doc_id").as("id_b"), col("fp").as("fpb"))
+        .join(s.table(idxT).hint("merge")
+                .select(col("bk"), col("doc_id").as("id_a"),
+                        col("fp").as("fpa")), Seq("bk"))
+      val newNew = capped
+        .select(col("bk"), col("doc_id").as("id_a"), col("fp").as("fpa"))
+        .join(capped.select(col("bk"), col("doc_id").as("id_b"),
+                            col("fp").as("fpb")), Seq("bk"))
+        .where(col("id_a") < col("id_b"))
+      val cand = newOld
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+                greatest(col("id_a"), col("id_b")).as("id_b"),
+                when(col("id_a") < col("id_b"), col("fpa"))
+                  .otherwise(col("fpb")).as("fpa"),
+                when(col("id_a") < col("id_b"), col("fpb"))
+                  .otherwise(col("fpa")).as("fpb"))
+        .unionAll(newNew.select(col("id_a"), col("id_b"),
+                                col("fpa"), col("fpb")))
+        .distinct()
+      val hamExpr = (1 to 64).map(i =>
+        s"CASE WHEN substr(fpa, $i, 1) <> substr(fpb, $i, 1) " +
+          "THEN 1 ELSE 0 END").mkString(" + ")
+      cand.withColumn("hamming", expr(hamExpr).cast("long"))
+        .where(col("hamming") <= 3)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MinHash-LSH candidate pairs through [[bandKeys]] — shingle
     // (3-token), not unigram: the corpus vocabulary is small, so
@@ -434,48 +504,9 @@ object DedupExtOps extends OpModule {
     // Oracle: the full both-sides computation restated inline — the
     // artifact must be semantically invisible.
     "q340_hamming_incremental" -> { (s, d) =>
-      def pin(df: DataFrame) = org.apache.spark.sql.graft.InternalPin.pin(df)
-      val idxT = hamIndexTable(s, d)
-      val (fps, h) = pin(simhash64Fps(s, Tables(s, d, "documents")
-                                        .where(col("doc_id") % 2 === 1)))
-      h.count(); graft.PinScope.retain(h)
-      val bands = (0 until 4).map(b =>
-          fps.select(concat(lit(s"$b:"),
-                            substring(col("fp"), b * 16 + 1, 16)).as("bk"),
-                     col("doc_id"), col("fp")))
-        .reduce(_ unionAll _)
-      val capped = bands
-        .withColumn("bn", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("bk")))
-        .where(col("bn") <= HotBucketCap).drop("bn")
-      val newOld = capped
-        .select(col("bk"), col("doc_id").as("id_b"), col("fp").as("fpb"))
-        .join(s.table(idxT).hint("merge")
-                .select(col("bk"), col("doc_id").as("id_a"),
-                        col("fp").as("fpa")), Seq("bk"))
-      val newNew = capped
-        .select(col("bk"), col("doc_id").as("id_a"), col("fp").as("fpa"))
-        .join(capped.select(col("bk"), col("doc_id").as("id_b"),
-                            col("fp").as("fpb")), Seq("bk"))
-        .where(col("id_a") < col("id_b"))
-      val cand = newOld
-        .select(least(col("id_a"), col("id_b")).as("id_a"),
-                greatest(col("id_a"), col("id_b")).as("id_b"),
-                when(col("id_a") < col("id_b"), col("fpa"))
-                  .otherwise(col("fpb")).as("fpa"),
-                when(col("id_a") < col("id_b"), col("fpb"))
-                  .otherwise(col("fpa")).as("fpb"))
-        .unionAll(newNew.select(col("id_a"), col("id_b"),
-                                col("fpa"), col("fpb")))
-        .distinct()
-      val hamExpr = (1 to 64).map(i =>
-        s"CASE WHEN substr(fpa, $i, 1) <> substr(fpb, $i, 1) " +
-          "THEN 1 ELSE 0 END").mkString(" + ")
-      cand.withColumn("hamming", expr(hamExpr).cast("long"))
-        .where(col("hamming") <= 3)
-        .select(col("id_a"), col("id_b"), col("hamming"))
-        .orderBy("id_a", "id_b")
+      hammingIncPairs(s, d).orderBy("id_a", "id_b")
     },
+
 
     // Incremental dedup — the operation a training-data pipeline runs
     // daily: a NEW batch of documents (odd doc_ids here) is deduped
@@ -685,22 +716,7 @@ object DedupExtOps extends OpModule {
     // Per-release cost: O(batch grams) emission + posting-bounded
     // probe, never a corpus re-derivation.
     "q341_minimizer_incremental" -> { (s, d) =>
-      val batch = minimizerStream(
-        Tables(s, d, "documents").where(col("doc_id") % 2 === 1))
-      val capped = s.table(minPairIndexTable(s, d))
-        .withColumn("bn", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("m")))
-        .where(col("bn") <= HotBucketCap).drop("bn")
-      batch.select(col("m"), col("doc_id").as("new_id"))
-        .join(capped.hint("merge")
-                .select(col("m"), col("doc_id").as("old_id")), Seq("m"))
-        .where(col("old_id") =!= col("new_id") &&
-               (col("old_id") % 2 === 0 || col("old_id") < col("new_id")))
-        .select(least(col("new_id"), col("old_id")).as("id_a"),
-                greatest(col("new_id"), col("old_id")).as("id_b"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
-        .where(col("n_shared") >= 2)
-        .orderBy("id_a", "id_b")
+      minimizerIncPairs(s, d).orderBy("id_a", "id_b")
     },
 
     "q219_substring_dup" -> { (s, d) =>
@@ -1817,7 +1833,7 @@ object DedupExtOps extends OpModule {
     }.mkString(", ")
 
   /** q300's 64-bit extension of [[simhashBits]] (nibbles 1-16). */
-  private def simhashBits64: String =
+  private[graft] def simhashBits64: String =
     (0 until 64).map { p =>
       val j = p / 4 + 1
       val pw = 1 << (p % 4)

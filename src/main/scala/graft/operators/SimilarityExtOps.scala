@@ -670,6 +670,58 @@ object SimilarityExtOps extends OpModule {
       x.join(y, Seq("bk")).where(col("a") < col("b")).select("a", "b")
     }.reduce(_.unionAll(_)).distinct()
 
+  /** q339's incremental SemDeDup building blocks — (pinned assigned
+    * batch, standing members, pinned dup pairs (cid, a, b)) — factored
+    * so the q347 intake funnel consumes the IDENTICAL dup set (one
+    * truth per tier). See q339's registry docstring for the full
+    * semantics. */
+  private[graft] def semDedupIncParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val idx = s.table(semDedupIndexTable(s, d))
+    val cents = idx.where(col("kind") === "c")
+      .select(col("cid"), col("xi").as("ci"))
+    val old = idx.where(col("kind") === "m")
+      .select(col("cid"), col("id"), col("nv"), col("xi"))
+    val batchQ = embBase(s, d).where(col("vec_id") % 2 === 1)
+      .select(col("vec_id"),
+        expr("transform(v, x -> CAST(round(x * 1000000) AS BIGINT))")
+          .as("xi"))
+    val (batch, bh) = pin(lloydAssign(batchQ, cents)
+      .select(col("vec_id"), col("cid"), col("xi"),
+              GraftFunctions.dotProductLong(col("xi"), col("xi"))
+                .as("nv")))
+    bh.count(); graft.PinScope.retain(bh)
+    val wCap = org.apache.spark.sql.expressions.Window
+      .partitionBy("cid").orderBy("vec_id")
+    val batchCap = batch
+      .withColumn("mrk", row_number().over(wCap))
+      .where(col("mrk") <= SemDedupClusterCap).drop("mrk")
+    val oldCap = old
+      .withColumn("mrk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("cid").orderBy("id")))
+      .where(col("mrk") <= SemDedupClusterCap).drop("mrk")
+    val newSide = batchCap.select(col("cid"), col("vec_id").as("b"),
+                                  col("xi").as("xb"), col("nv").as("nb"))
+    val newOld = oldCap
+      .select(col("cid"), col("id").as("a"),
+              col("xi").as("xa"), col("nv").as("na"))
+      .join(newSide, Seq("cid"))
+    val newNew = batchCap
+      .select(col("cid"), col("vec_id").as("a"),
+              col("xi").as("xa"), col("nv").as("na"))
+      .join(newSide, Seq("cid")).where(col("a") < col("b"))
+    val pairs = newOld.unionAll(newNew)
+      .withColumn("dot",
+        GraftFunctions.dotProductLong(col("xa"), col("xb")))
+      .where(col("dot") > 0 &&
+             col("dot").cast("decimal(38,0)") * col("dot") * 10000 >=
+               col("na").cast("decimal(38,0)") * col("nb") * 1600)
+      .select(col("cid"), col("a"), col("b"))
+    val (dp, dh) = pin(pairs); dh.count(); graft.PinScope.retain(dh)
+    (batch, old, dp)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_lsh_buckets" -> { (s, d) =>
       Tables(s, d, "embeddings")
@@ -1205,48 +1257,7 @@ object SimilarityExtOps extends OpModule {
     // Lloyd + odd assignment restated inline — the artifact must be
     // semantically invisible.
     "q339_semdedup_incremental" -> { (s, d) =>
-      val idx = s.table(semDedupIndexTable(s, d))
-      val cents = idx.where(col("kind") === "c")
-        .select(col("cid"), col("xi").as("ci"))
-      val old = idx.where(col("kind") === "m")
-        .select(col("cid"), col("id"), col("nv"), col("xi"))
-      val batchQ = embBase(s, d).where(col("vec_id") % 2 === 1)
-        .select(col("vec_id"),
-          expr("transform(v, x -> CAST(round(x * 1000000) AS BIGINT))")
-            .as("xi"))
-      val (batch, bh) = pin(lloydAssign(batchQ, cents)
-        .select(col("vec_id"), col("cid"), col("xi"),
-                GraftFunctions.dotProductLong(col("xi"), col("xi"))
-                  .as("nv")))
-      bh.count(); graft.PinScope.retain(bh)
-      val wCap = org.apache.spark.sql.expressions.Window
-        .partitionBy("cid").orderBy("vec_id")
-      val batchCap = batch
-        .withColumn("mrk", row_number().over(wCap))
-        .where(col("mrk") <= SemDedupClusterCap).drop("mrk")
-      val oldCap = old
-        .withColumn("mrk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("cid").orderBy("id")))
-        .where(col("mrk") <= SemDedupClusterCap).drop("mrk")
-      val newSide = batchCap.select(col("cid"), col("vec_id").as("b"),
-                                    col("xi").as("xb"), col("nv").as("nb"))
-      val newOld = oldCap
-        .select(col("cid"), col("id").as("a"),
-                col("xi").as("xa"), col("nv").as("na"))
-        .join(newSide, Seq("cid"))
-      val newNew = batchCap
-        .select(col("cid"), col("vec_id").as("a"),
-                col("xi").as("xa"), col("nv").as("na"))
-        .join(newSide, Seq("cid")).where(col("a") < col("b"))
-      val pairs = newOld.unionAll(newNew)
-        .withColumn("dot",
-          GraftFunctions.dotProductLong(col("xa"), col("xb")))
-        .where(col("dot") > 0 &&
-               col("dot").cast("decimal(38,0)") * col("dot") * 10000 >=
-                 col("na").cast("decimal(38,0)") * col("nb") * 1600)
-        .select(col("cid"), col("a"), col("b"))
-      val (dp, dh) = pin(pairs); dh.count(); graft.PinScope.retain(dh)
+      val (batch, old, dp) = semDedupIncParts(s, d)
       val removed = dp.select(col("cid"), col("b")).distinct()
       batch.groupBy("cid").agg(count(lit(1)).as("n_new"))
         .join(old.groupBy("cid").agg(count(lit(1)).as("n_old")),

@@ -806,6 +806,57 @@ object TextExtOps extends OpModule {
     // keeps its standalone operator's cost; the only corpus-wide
     // shuffles are keep-best's window on the clustered sliver, the
     // eval-side gram/minimizer/pair emissions, and the final rollup.
+    // Composed intake pipeline v4 (added r14) — the per-release
+    // CLEANING FUNNEL over the round's three persisted dedup
+    // artifacts, the composition a daily corpus intake actually runs:
+    // the new batch (odd ids) flows through three gates IN ORDER —
+    // (1) verbatim-span near-dup (q341's minimizer pairs against
+    // graft_minpairidx), (2) SimHash Hamming near-dup (q340's pairs
+    // against graft_hamidx), (3) semantic dup (q339's exact-lattice
+    // pairs against graft_semidx; doc_id = vec_id, q45's declared
+    // alignment) — and a doc drops at the FIRST gate that links it to
+    // a smaller id (the q83/q339 keep-min rule; staged counts are the
+    // q282 funnel discipline, so each stage's drop column reports its
+    // MARGINAL yield). Every gate consumes the IDENTICAL factored
+    // pair set its own declared query certifies (one truth per tier)
+    // and probes its artifact without rebuilding anything. Per-source
+    // report: batch docs, per-stage drops, kept, keep ratio — the
+    // data card that says what each dedup tier actually buys on this
+    // corpus.
+    "q347_pipeline_prep_v4" -> { (s, d) =>
+      def pin(df: DataFrame) = org.apache.spark.sql.graft.InternalPin.pin(df)
+      val (dm, mh) = pin(DedupExtOps.minimizerIncPairs(s, d)
+        .where(col("id_b") % 2 === 1)
+        .select(col("id_b").as("doc_id")).distinct())
+      mh.count(); graft.PinScope.retain(mh)
+      val (dh, hh) = pin(DedupExtOps.hammingIncPairs(s, d)
+        .where(col("id_b") % 2 === 1)
+        .select(col("id_b").as("doc_id")).distinct())
+      hh.count(); graft.PinScope.retain(hh)
+      val (_, _, sdp) = SimilarityExtOps.semDedupIncParts(s, d)
+      val ds = sdp.select(col("b").as("doc_id")).distinct()
+      Tables(s, d, "documents").where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("source"))
+        .join(broadcast(dm.withColumn("m1", lit(1))), Seq("doc_id"), "left")
+        .join(broadcast(dh.withColumn("h1", lit(1))), Seq("doc_id"), "left")
+        .join(broadcast(ds.withColumn("s1", lit(1))), Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("batch_docs"),
+             sum(when(col("m1") === 1, 1L).otherwise(0L))
+               .as("dropped_minimizer"),
+             sum(when(col("m1").isNull && col("h1") === 1, 1L)
+                   .otherwise(0L)).as("dropped_hamming"),
+             sum(when(col("m1").isNull && col("h1").isNull &&
+                      col("s1") === 1, 1L).otherwise(0L))
+               .as("dropped_semantic"),
+             sum(when(col("m1").isNull && col("h1").isNull &&
+                      col("s1").isNull, 1L).otherwise(0L)).as("kept"))
+        .withColumn("keep_ratio",
+          round(col("kept").cast("double") /
+                col("batch_docs").cast("double"), 6))
+        .orderBy("source")
+    },
+
     "q302_pipeline_prep_v3" -> { (s, d) =>
       val docs = Tables(s, d, "documents")
       val kept = DedupExtOps.keepBest(s, d)
@@ -1761,6 +1812,133 @@ object TextExtOps extends OpModule {
        |$rounds""".stripMargin
   }
 
+  /** q347's oracle: the three tiers' certified pair sets restated
+    * inline (q341's minimizer pairs, q340's Hamming pairs, q339's
+    * exact-lattice semantic pairs — the identical texts their own
+    * oracles run), then the staged keep-min funnel per source. */
+  private def pipelineV4Oracle: String = {
+    val fpConcat = (0 until 64)
+      .map(p => s"CASE WHEN s$p > 0 THEN '1' ELSE '0' END")
+      .mkString(" || ")
+    val hamSql = (1 to 64).map(i =>
+      s"CASE WHEN substr(a.fp, $i, 1) <> substr(b.fp, $i, 1) " +
+        "THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH ${SimilarityExtOps.lloydCteOn("WHERE vec_id % 2 = 0",
+                s"vec_id < ${2 * SimilarityExtOps.Cents}")},
+       |onb AS (SELECT a3.vec_id, a3.cid, e.xi,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      j -> e.xi[j] * e.xi[j])) AS BIGINT) AS nv
+       |  FROM a3 JOIN e USING (vec_id)),
+       |ob AS (SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+       |      AS xi
+       |  FROM embeddings WHERE vec_id % 2 = 1),
+       |od AS (SELECT ob.vec_id, c.cid,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      j -> (ob.xi[j] - c.ci[j]) * (ob.xi[j] - c.ci[j])))
+       |      AS BIGINT) AS dist
+       |  FROM ob CROSS JOIN c3 c),
+       |bn AS (SELECT oa.vec_id, oa.cid, ob.xi,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      j -> ob.xi[j] * ob.xi[j])) AS BIGINT) AS nv
+       |  FROM (SELECT vec_id, cid FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                       ORDER BY dist, cid) AS rn
+       |          FROM od) WHERE rn = 1) oa
+       |       JOIN ob USING (vec_id)),
+       |pr AS (
+       |  SELECT o.vec_id AS a, n.vec_id AS b,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      j -> o.xi[j] * n.xi[j])) AS BIGINT) AS dot,
+       |    o.nv AS na, n.nv AS nb
+       |  FROM onb o JOIN bn n ON o.cid = n.cid
+       |  UNION ALL
+       |  SELECT l.vec_id, r.vec_id,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      j -> l.xi[j] * r.xi[j])) AS BIGINT),
+       |    l.nv, r.nv
+       |  FROM bn l JOIN bn r
+       |    ON l.cid = r.cid AND l.vec_id < r.vec_id),
+       |ds AS (SELECT DISTINCT b AS doc_id FROM pr
+       |       WHERE dot > 0 AND
+       |         CAST(dot AS DECIMAL(38,0)) * dot * 10000 >=
+       |           CAST(na AS DECIMAL(38,0)) * nb * 1600),
+       |tk AS (SELECT doc_id, string_split(text, ' ') AS t
+       |       FROM documents
+       |       WHERE len(string_split(text, ' ')) >= 8),
+       |idx AS (SELECT doc_id, t, len(t) - 7 AS ng,
+       |          unnest(generate_series(1, len(t) - 7)) AS i FROM tk),
+       |g AS (SELECT doc_id, ng, i,
+       |        md5(array_to_string(t[i:i+7], ' ')) AS h FROM idx),
+       |wm AS (SELECT doc_id, i, ng,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |                 ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS m
+       |  FROM g),
+       |mz AS (SELECT DISTINCT doc_id, m FROM wm WHERE i <= ng - 4),
+       |cap AS (SELECT m FROM mz GROUP BY m HAVING count(*) <= 64),
+       |mzc AS (SELECT mz.doc_id, mz.m FROM mz JOIN cap USING (m)),
+       |dm AS (SELECT DISTINCT doc_id FROM (
+       |    SELECT b.doc_id
+       |    FROM mzc a JOIN mzc b
+       |      ON a.m = b.m AND a.doc_id < b.doc_id
+       |    WHERE b.doc_id % 2 = 1
+       |    GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2)),
+       |t2 AS (
+       |  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+       |  FROM documents),
+       |fps AS MATERIALIZED (
+       |  SELECT doc_id, $fpConcat AS fp
+       |  FROM (SELECT doc_id, ${DedupExtOps.simhashBits64}
+       |        FROM t2 GROUP BY doc_id)),
+       |bands AS (
+       |  SELECT doc_id, band, substr(fp, band * 16 + 1, 16) AS bk
+       |  FROM fps, (SELECT unnest([0, 1, 2, 3]) AS band) u),
+       |oc AS (
+       |  SELECT * FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band, bk) AS bcn
+       |    FROM bands WHERE doc_id % 2 = 0)
+       |  WHERE bcn <= 64),
+       |nc AS (
+       |  SELECT * FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band, bk) AS bcn
+       |    FROM bands WHERE doc_id % 2 = 1)
+       |  WHERE bcn <= 64),
+       |cand AS (
+       |  SELECT DISTINCT least(n.doc_id, o.doc_id) AS id_a,
+       |    greatest(n.doc_id, o.doc_id) AS id_b
+       |  FROM nc n JOIN oc o ON n.band = o.band AND n.bk = o.bk
+       |  UNION
+       |  SELECT DISTINCT x.doc_id, y.doc_id
+       |  FROM nc x JOIN nc y
+       |    ON x.band = y.band AND x.bk = y.bk
+       |   AND x.doc_id < y.doc_id),
+       |dhh AS (SELECT DISTINCT id_b AS doc_id FROM (
+       |    SELECT id_a, id_b, CAST($hamSql AS BIGINT) AS hamming
+       |    FROM cand JOIN fps a ON cand.id_a = a.doc_id
+       |              JOIN fps b ON cand.id_b = b.doc_id)
+       |  WHERE hamming <= 3 AND id_b % 2 = 1),
+       |fl AS (
+       |  SELECT source,
+       |    doc_id IN (SELECT doc_id FROM dm) AS m1,
+       |    doc_id IN (SELECT doc_id FROM dhh) AS h1,
+       |    doc_id IN (SELECT doc_id FROM ds) AS s1
+       |  FROM documents WHERE doc_id % 2 = 1)
+       |SELECT source, count(*) AS batch_docs,
+       |  CAST(sum(CASE WHEN m1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS dropped_minimizer,
+       |  CAST(sum(CASE WHEN NOT m1 AND h1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS dropped_hamming,
+       |  CAST(sum(CASE WHEN NOT m1 AND NOT h1 AND s1 THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS dropped_semantic,
+       |  CAST(sum(CASE WHEN NOT m1 AND NOT h1 AND NOT s1 THEN 1 ELSE 0
+       |           END) AS BIGINT) AS kept,
+       |  round(CAST(sum(CASE WHEN NOT m1 AND NOT h1 AND NOT s1 THEN 1
+       |                      ELSE 0 END) AS DOUBLE) /
+       |        CAST(count(*) AS DOUBLE), 6) AS keep_ratio
+       |FROM fl GROUP BY source ORDER BY source""".stripMargin
+  }
+
   private def bpeTrainOracle: String = {
     val out = (1 to 8).map(k =>
       s"SELECT $k AS round, a AS lft, b AS rgt, cnt AS pair_count FROM p$k")
@@ -2158,6 +2336,7 @@ object TextExtOps extends OpModule {
 
       "q299_bpe_train" -> bpeTrainOracle,
       "q346_bpe_apply" -> bpeApplyOracle,
+      "q347_pipeline_prep_v4" -> pipelineV4Oracle,
 
       // same train-split count tables, same add-1 chain with the
       // round-log-once 6 dp term, same 8.0 flag line

@@ -673,6 +673,28 @@ class PlanShapeSpec extends SparkSpecBase {
            s"pipeline v3 re-embeds the fixpoint's pinned RDD:\n$p")
   }
 
+  test("q347: pipeline v4 probes all three r14 artifacts, recomputes none") {
+    // q302's contract on the new tier set: the funnel's plan must scan
+    // the minimizer signature index, the Hamming band index and the
+    // SemDeDup model — and re-run none of their builds (the only
+    // corpus work is the batch-side emissions and probes)
+    try {
+      val df = SparkEntry.queries("q347_pipeline_prep_v4")(spark, sf)
+      df.collect()
+      for (t <- Seq("graft_minpairidx", "graft_hamidx", "graft_semidx"))
+        assert(spark.catalog.tableExists(
+                 t + "_" + sf.replaceAll("[^a-zA-Z0-9]", "_")),
+               s"pipeline v4 did not register $t")
+      val p = df.queryExecution.executedPlan.toString
+      // the declared rollup reads the pinned drop sets + the batch
+      // docs scan; any documents scan in it is the odd batch
+      val scans = p.split("\n")
+        .filter(l => l.contains("documents.parquet") && l.contains("FileScan"))
+      assert(scans.forall(_.contains("% 2) = 1")),
+             s"even corpus rescanned in the funnel:\n${scans.mkString("\n")}")
+    } finally PinScope.drain()
+  }
+
   test("q303: MATCH_RECOGNIZE reduction is one scan and one user_id shuffle") {
     // the RLE matcher's whole scale claim: every window (row-level
     // chg/run_id/rn_run AND the run-level leads/match_no) partitions
