@@ -2838,13 +2838,21 @@ object SimilarityExtOps extends OpModule {
       // artifact must be invisible), the odd batch's single argmin
       // assignment against c3, then q311's exact-lattice dup line on
       // the two pair tiers and the per-cluster batch census
+      // both pair sides restate [[SemDedupClusterCap]] (min-id rows
+      // kept per cluster, exactly semDedupIncParts' windows — r15
+      // ADVICE symmetry with q345's oracle; a no-op at every
+      // oracle-checked SF, max cluster ≪ cap)
       "q339_semdedup_incremental" ->
         s"""WITH ${lloydCteOn("WHERE vec_id % 2 = 0",
                               s"vec_id < ${2 * Cents}")},
-           |onb AS (SELECT a3.vec_id, a3.cid, e.xi,
+           |onb AS (SELECT vec_id, cid, xi, nv FROM (
+           |  SELECT a3.vec_id, a3.cid, e.xi,
            |    CAST(list_sum(list_transform(range(1, 65),
-           |      j -> e.xi[j] * e.xi[j])) AS BIGINT) AS nv
-           |  FROM a3 JOIN e USING (vec_id)),
+           |      j -> e.xi[j] * e.xi[j])) AS BIGINT) AS nv,
+           |    row_number() OVER (PARTITION BY a3.cid
+           |                       ORDER BY a3.vec_id) AS mrk
+           |  FROM a3 JOIN e USING (vec_id))
+           |  WHERE mrk <= $SemDedupClusterCap),
            |ob AS (SELECT vec_id,
            |    list_transform(embedding,
            |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
@@ -2855,14 +2863,18 @@ object SimilarityExtOps extends OpModule {
            |      j -> (ob.xi[j] - c.ci[j]) * (ob.xi[j] - c.ci[j])))
            |      AS BIGINT) AS dist
            |  FROM ob CROSS JOIN c3 c),
-           |bn AS (SELECT oa.vec_id, oa.cid, ob.xi,
+           |bn AS (SELECT vec_id, cid, xi, nv FROM (
+           |  SELECT oa.vec_id, oa.cid, ob.xi,
            |    CAST(list_sum(list_transform(range(1, 65),
-           |      j -> ob.xi[j] * ob.xi[j])) AS BIGINT) AS nv
+           |      j -> ob.xi[j] * ob.xi[j])) AS BIGINT) AS nv,
+           |    row_number() OVER (PARTITION BY oa.cid
+           |                       ORDER BY oa.vec_id) AS mrk
            |  FROM (SELECT vec_id, cid FROM (
            |          SELECT *, row_number() OVER (PARTITION BY vec_id
            |                                       ORDER BY dist, cid) AS rn
            |          FROM od) WHERE rn = 1) oa
-           |       JOIN ob USING (vec_id)),
+           |       JOIN ob USING (vec_id))
+           |  WHERE mrk <= $SemDedupClusterCap),
            |pr AS (
            |  SELECT o.cid, o.vec_id AS a, n.vec_id AS b,
            |    CAST(list_sum(list_transform(range(1, 65),

@@ -814,10 +814,16 @@ object TextExtOps extends OpModule {
     // graft_minpairidx), (2) SimHash Hamming near-dup (q340's pairs
     // against graft_hamidx), (3) semantic dup (q339's exact-lattice
     // pairs against graft_semidx; doc_id = vec_id, q45's declared
-    // alignment) — and a doc drops at the FIRST gate that links it to
-    // a smaller id (the q83/q339 keep-min rule; staged counts are the
-    // q282 funnel discipline, so each stage's drop column reports its
-    // MARGINAL yield). Every gate consumes the IDENTICAL factored
+    // alignment) — and a doc drops at the FIRST gate that flags it,
+    // where each gate applies its OWN tier's declared drop rule: the
+    // minimizer and Hamming gates drop a batch doc linked to a
+    // smaller id (id_b = greatest — the q83 keep-min rule), while the
+    // semantic gate drops a batch doc that duplicates ANY standing
+    // member, larger ids included (q339's declared semantics: the
+    // standing corpus is already deduped, so every member outranks an
+    // arrival; r15 ADVICE wording fix). Staged counts are the q282
+    // funnel discipline, so each stage's drop column reports its
+    // MARGINAL yield. Every gate consumes the IDENTICAL factored
     // pair set its own declared query certifies (one truth per tier)
     // and probes its artifact without rebuilding anything. Per-source
     // report: batch docs, per-stage drops, kept, keep ratio — the
@@ -1825,10 +1831,14 @@ object TextExtOps extends OpModule {
         "THEN 1 ELSE 0 END").mkString(" + ")
     s"""WITH ${SimilarityExtOps.lloydCteOn("WHERE vec_id % 2 = 0",
                 s"vec_id < ${2 * SimilarityExtOps.Cents}")},
-       |onb AS (SELECT a3.vec_id, a3.cid, e.xi,
+       |onb AS (SELECT vec_id, cid, xi, nv FROM (
+       |  SELECT a3.vec_id, a3.cid, e.xi,
        |    CAST(list_sum(list_transform(range(1, 65),
-       |      j -> e.xi[j] * e.xi[j])) AS BIGINT) AS nv
-       |  FROM a3 JOIN e USING (vec_id)),
+       |      j -> e.xi[j] * e.xi[j])) AS BIGINT) AS nv,
+       |    row_number() OVER (PARTITION BY a3.cid
+       |                       ORDER BY a3.vec_id) AS mrk
+       |  FROM a3 JOIN e USING (vec_id))
+       |  WHERE mrk <= ${SimilarityExtOps.SemDedupClusterCap}),
        |ob AS (SELECT vec_id,
        |    list_transform(embedding,
        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
@@ -1839,14 +1849,18 @@ object TextExtOps extends OpModule {
        |      j -> (ob.xi[j] - c.ci[j]) * (ob.xi[j] - c.ci[j])))
        |      AS BIGINT) AS dist
        |  FROM ob CROSS JOIN c3 c),
-       |bn AS (SELECT oa.vec_id, oa.cid, ob.xi,
+       |bn AS (SELECT vec_id, cid, xi, nv FROM (
+       |  SELECT oa.vec_id, oa.cid, ob.xi,
        |    CAST(list_sum(list_transform(range(1, 65),
-       |      j -> ob.xi[j] * ob.xi[j])) AS BIGINT) AS nv
+       |      j -> ob.xi[j] * ob.xi[j])) AS BIGINT) AS nv,
+       |    row_number() OVER (PARTITION BY oa.cid
+       |                       ORDER BY oa.vec_id) AS mrk
        |  FROM (SELECT vec_id, cid FROM (
        |          SELECT *, row_number() OVER (PARTITION BY vec_id
        |                                       ORDER BY dist, cid) AS rn
        |          FROM od) WHERE rn = 1) oa
-       |       JOIN ob USING (vec_id)),
+       |       JOIN ob USING (vec_id))
+       |  WHERE mrk <= ${SimilarityExtOps.SemDedupClusterCap}),
        |pr AS (
        |  SELECT o.vec_id AS a, n.vec_id AS b,
        |    CAST(list_sum(list_transform(range(1, 65),

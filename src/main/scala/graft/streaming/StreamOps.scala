@@ -1057,15 +1057,23 @@ object StreamOps extends OpModule {
     // the merged counts are the true counts, so the stream must
     // reproduce the plain batch top-10 (ties broken by token)
     // q339's oracle machinery grouped per batch vector: even-half fit,
-    // odd assignment against c3, exact-lattice dup line vs members
+    // odd assignment against c3, exact-lattice dup line vs members.
+    // The member side restates the stream's SemDedupClusterCap
+    // (min-id members kept per cluster — r15 ADVICE: the declared
+    // query and its oracle now agree even in the capped regime; a
+    // no-op at every oracle-checked SF, max cluster ≪ cap)
     "q345_stream_semdedup" -> {
       val simx = graft.operators.SimilarityExtOps
       s"""WITH ${simx.lloydCteOn("WHERE vec_id % 2 = 0",
                                  s"vec_id < ${2 * simx.Cents}")},
-         |onb AS (SELECT a3.vec_id, a3.cid, e.xi,
+         |onb AS (SELECT vec_id, cid, xi, nv FROM (
+         |  SELECT a3.vec_id, a3.cid, e.xi,
          |    CAST(list_sum(list_transform(range(1, 65),
-         |      j -> e.xi[j] * e.xi[j])) AS BIGINT) AS nv
-         |  FROM a3 JOIN e USING (vec_id)),
+         |      j -> e.xi[j] * e.xi[j])) AS BIGINT) AS nv,
+         |    row_number() OVER (PARTITION BY a3.cid
+         |                       ORDER BY a3.vec_id) AS mrk
+         |  FROM a3 JOIN e USING (vec_id))
+         |  WHERE mrk <= ${simx.SemDedupClusterCap}),
          |ob AS (SELECT vec_id,
          |    list_transform(embedding,
          |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
