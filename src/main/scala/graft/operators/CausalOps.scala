@@ -202,7 +202,12 @@ object CausalOps extends OpModule {
     // exact, so both engines order identical doubles); the only
     // rounding is the 6 dp on output. ONE lineitem scan.
     "q272_isotonic_calibration" -> { (s, dir) =>
-      val (bins, h) = pin(Tables(s, dir, "lineitem")
+      // pinBounded: one row per discount-cent VALUE (≤ 101 cells at
+      // any corpus size — value-resolution bounded, the q151
+      // value-group discipline); the cumulative/PAVA windows below
+      // ride this pin unpartitioned by design
+      val (bins, h) = org.apache.spark.sql.graft.InternalPin.pinBounded(
+        Tables(s, dir, "lineitem")
         .select(round(col("l_discount") * 100).cast("long").as("sc"),
                 when(col("l_returnflag") === "R", 1L).otherwise(0L)
                   .as("y"))

@@ -1326,7 +1326,11 @@ object SimilarityExtOps extends OpModule {
         val hop = s.sql(
           "WITH " + annHop(k, "graft_beam_graph", s"graft_beam_b${k - 1}",
                            "graft_beam_sims") + s" SELECT * FROM bm$k")
-        val (hp, hh) = pin(hop); hh.count(); graft.PinScope.retain(hh)
+        // pinBounded: each hop front is the beam — ≤ 4 rows by the
+        // hop's own top-k cut; the final global rank rides b3
+        val (hp, hh) = org.apache.spark.sql.graft.InternalPin
+          .pinBounded(hop)
+        hh.count(); graft.PinScope.retain(hh)
         hp.createOrReplaceTempView(s"graft_beam_b$k")
       }
       s.sql("""
@@ -1369,15 +1373,19 @@ object SimilarityExtOps extends OpModule {
       sh.count(); graft.PinScope.retain(sh)
       sims.createOrReplaceTempView("graft_bg_sims")
       graph.createOrReplaceTempView("graft_bg_graph")
-      val (b0, bh) = pin(sims
-        .orderBy(md5(col("id").cast("string")), col("id")).limit(1))
+      // pinBounded: the entry (1 row) and each hop front (≤ 4 rows,
+      // the hop's own top-k cut) — the final global rank rides b3
+      val (b0, bh) = org.apache.spark.sql.graft.InternalPin.pinBounded(
+        sims.orderBy(md5(col("id").cast("string")), col("id")).limit(1))
       bh.count(); graft.PinScope.retain(bh)
       b0.createOrReplaceTempView("graft_bg_b0")
       (1 to 3).foreach { k =>
         val hop = s.sql(
           "WITH " + annHop(k, "graft_bg_graph", s"graft_bg_b${k - 1}",
                            "graft_bg_sims") + s" SELECT * FROM bm$k")
-        val (hp, hh) = pin(hop); hh.count(); graft.PinScope.retain(hh)
+        val (hp, hh) = org.apache.spark.sql.graft.InternalPin
+          .pinBounded(hop)
+        hh.count(); graft.PinScope.retain(hh)
         hp.createOrReplaceTempView(s"graft_bg_b$k")
       }
       s.sql("""

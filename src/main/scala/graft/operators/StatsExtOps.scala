@@ -72,7 +72,11 @@ object StatsExtOps extends OpModule {
            sum(when(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"),
                     col("cents")).otherwise(0L).cast("decimal(38,0)"))
              .cast("long").as("vb"))
-    val (r, h) = org.apache.spark.sql.graft.InternalPin.pin(
+    // pinBounded: one row per SUPPLIER (a dimension table — 1 000 rows
+    // at sf0.1, sub-linear growth by the testdata contract), never
+    // fact-scaled; the tag is what lets q232/q249's global rank
+    // windows ride this pin past WindowBoundednessSpec
+    val (r, h) = org.apache.spark.sql.graft.InternalPin.pinBounded(
       rev.select(col("sk"), col("va"), col("vb")))
     h.count(); graft.PinScope.retain(h)
     r

@@ -1237,14 +1237,24 @@ object StatsModelOps extends OpModule {
                 round(col("o_totalprice") * 100).cast("long").as("cents"))
         .groupBy("o_custkey", "half").agg(sum(col("cents")).as("cents")))
       h.count(); graft.PinScope.retain(h)
+      // per-half global revenue rank through GlobalOrder's bucket-rank
+      // (r15: the r14 WindowBoundednessSpec hardening surfaced this
+      // site's single-partition row_number over the per-(customer,
+      // half) pin — customers are a dimension TODAY, but a global
+      // rank funnel over them is exactly the q329-class shape that
+      // breaks first when dims grow; bucket = revenue at $10k
+      // resolution, monotone in the cents-desc order, bit-identical
+      // ranks). The decile denominator is a 1-row aggregate crossed
+      // back, not a window.
       def deciles(half: Long): DataFrame = {
-        val w = Window.partitionBy(lit(0))
-          .orderBy(col("cents").desc, col("o_custkey"))
-        ch.where(col("half") === half)
-          .withColumn("rk", row_number().over(w))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(0))))
+        val hc = ch.where(col("half") === half)
+        val ranked = GlobalOrder.rank(
+          hc, expr("-(cents div 1000000)"),
+          Seq(col("cents").desc, col("o_custkey")))
+        ranked
+          .crossJoin(broadcast(hc.agg(count(lit(1)).as("n"))))
           .select(col("o_custkey"),
-                  expr("(rk - 1) * 10 div n").as(s"d$half"))
+                  expr(s"(grn - 1) * 10 div n").as(s"d$half"))
       }
       deciles(1L).join(deciles(2L), Seq("o_custkey"), "full_outer")
         .select(coalesce(col("d1"), lit(-1L)).as("decile_h1"),

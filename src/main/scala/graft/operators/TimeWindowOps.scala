@@ -1139,8 +1139,11 @@ object TimeWindowOps extends OpModule {
     // property, not resampled away).
     "q291_acf" -> { (s, dir) =>
       def dd(c: org.apache.spark.sql.Column) = c.cast("double")
-      def pin(df: DataFrame) = org.apache.spark.sql.graft.InternalPin.pin(df)
-      val (cells, h) = pin(Tables(s, dir, "orders")
+      // pinBounded: one row per calendar DAY (~2 400 at any corpus
+      // size); the lag-lead windows below ride it unpartitioned by
+      // design
+      val (cells, h) = org.apache.spark.sql.graft.InternalPin.pinBounded(
+        Tables(s, dir, "orders")
         .groupBy(to_date(col("o_orderdate")).as("day"))
         .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y")))
       h.count(); graft.PinScope.retain(h)
@@ -1198,7 +1201,9 @@ object TimeWindowOps extends OpModule {
     "q292_theil_sen" -> { (s, dir) =>
       def dd(c: org.apache.spark.sql.Column) = c.cast("double")
       def pin(df: DataFrame) = org.apache.spark.sql.graft.InternalPin.pin(df)
-      val (cells, h) = pin(Tables(s, dir, "orders")
+      // pinBounded: one row per calendar DAY — corpus-independent
+      val (cells, h) = org.apache.spark.sql.graft.InternalPin.pinBounded(
+        Tables(s, dir, "orders")
         .groupBy(datediff(to_date(col("o_orderdate")),
                           lit("1995-01-01").cast("date")).cast("long")
                    .as("d"))
@@ -1213,7 +1218,12 @@ object TimeWindowOps extends OpModule {
       // gone, the O(days²) slope evaluation itself is the floor (the
       // algorithm's own FLOPs, the q295 situation), so paying it once
       // wins
-      val (slopes, h2) = pin(a.join(b, col("di") < col("dj"))
+      // pinBounded: days² pairs at a FIXED calendar (~2.9M rows at any
+      // corpus size — "quadratic-in-cells beats linear-in-facts"); the
+      // median-bucket row_number below rides the single bucket's
+      // ~m/4096 slice of this pin
+      val (slopes, h2) = org.apache.spark.sql.graft.InternalPin
+        .pinBounded(a.join(b, col("di") < col("dj"))
         .select(col("di"), col("dj"),
                 (dd(col("yj") - col("yi")) / dd(col("dj") - col("di")))
                   .as("sl")))
