@@ -34,18 +34,60 @@ object BucketedCache {
   private val locks =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Object]()
 
+  /** 8-hex fingerprint of the corpus dir's PHYSICAL LAYOUT (every
+    * regular file under it: path + size + mtime, sorted) — the r13
+    * staging-dir discipline applied to the artifact cache (the r14
+    * verdict's #8): artifacts key on (name, sfDir, fingerprint), so a
+    * corpus mutated IN PLACE — a table rewritten, parts added, files
+    * touched — can never silently serve a stale index; the changed
+    * fingerprint routes every consumer to a fresh build. Stale
+    * fingerprint dirs linger in tmp, the same never-delete-under-a-
+    * reader price staging pays. Coarse by design (any table's change
+    * rebuilds every artifact of the dir): corectness over reuse — an
+    * artifact's true read-set is knowable only to its builder, and
+    * the test harness never mutates a corpus, so the rebuild fires
+    * exactly when something actually changed. */
+  private[graft] def corpusFingerprint(sfDir: String): String = {
+    val root = java.nio.file.Paths.get(sfDir)
+    val sig =
+      if (!java.nio.file.Files.isDirectory(root)) s"absent:$sfDir"
+      else {
+        import scala.jdk.CollectionConverters._
+        scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
+          st.iterator.asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(p => s"${root.relativize(p)}:" +
+              s"${java.nio.file.Files.size(p)}:" +
+              java.nio.file.Files.getLastModifiedTime(p).toMillis)
+            .toSeq.sorted.mkString("|")
+        }
+      }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+  }
+
+  /** The catalog name [[ensure]] registers for (name, sfDir) at the
+    * corpus's CURRENT fingerprint — the one reconstruction point for
+    * specs that assert an artifact exists. */
+  private[graft] def tableName(name: String, sfDir: String): String = {
+    val sfKey = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    s"graft_${name}_${sfKey}_${corpusFingerprint(sfDir)}"
+  }
+
   /** Ensures a `buckets`-bucketed, key-sorted parquet table built from
-    * `build` exists for (name, sfDir) and is registered in `s`'s
-    * catalog. `columnsDdl` is the table's column list for external
-    * registration (e.g. "l_orderkey BIGINT, l_quantity DOUBLE").
-    * Returns the table name. */
+    * `build` exists for (name, sfDir) at the corpus's current
+    * fingerprint and is registered in `s`'s catalog. `columnsDdl` is
+    * the table's column list for external registration (e.g.
+    * "l_orderkey BIGINT, l_quantity DOUBLE"). Returns the table name. */
   def ensure(s: SparkSession, sfDir: String, name: String, columnsDdl: String,
              key: String, buckets: Int)(build: => DataFrame): String = {
     val sfKey = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
     locks.computeIfAbsent((name, sfDir), _ => new Object).synchronized {
-      val tbl = s"graft_${name}_$sfKey"
+      val fp = corpusFingerprint(sfDir)
+      val tbl = s"graft_${name}_${sfKey}_$fp"
       val path = java.nio.file.Paths.get(
-        s"${sys.props("java.io.tmpdir")}/graft_bucket_${name}_$sfKey")
+        s"${sys.props("java.io.tmpdir")}/graft_bucket_${name}_${sfKey}_$fp")
       publish(s, path, tbl, key, buckets)(build)
       if (!s.catalog.tableExists(tbl)) {
         s.sql(s"""CREATE TABLE $tbl ($columnsDdl)

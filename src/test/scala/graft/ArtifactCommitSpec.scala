@@ -69,4 +69,31 @@ class ArtifactCommitSpec extends SparkSpecBase {
     assert(read(target).where(col("writer") === 9).count() ==
              Tables(spark, sf, "orders").count())
   }
+
+  test("an in-place corpus rewrite re-keys and rebuilds the artifact (no stale reuse)") {
+    // the r14 verdict's #8: BucketedCache used to key artifacts on
+    // (name, sfDir) only, so a corpus mutated IN PLACE would silently
+    // serve every stale index. Artifacts now carry the corpus's
+    // layout fingerprint in their key — this spec mutates a scratch
+    // corpus between two ensure() calls and asserts the second call
+    // builds FRESH content under a FRESH key, while the first commit
+    // stays readable (never deleted under a possible reader).
+    val corpus = Files.createTempDirectory("graft_fp_corpus").toString
+    def writeCorpus(n: Int): Unit =
+      spark.range(n).select(col("id").as("k"))
+        .write.mode("overwrite").parquet(s"$corpus/t.parquet")
+    def build = spark.read.parquet(s"$corpus/t.parquet")
+    writeCorpus(100)
+    val t1 = BucketedCache.ensure(spark, corpus, "fpstale",
+      "k BIGINT", "k", 2)(build)
+    assert(spark.table(t1).count() == 100)
+    writeCorpus(37) // the in-place mutation a stable key would miss
+    val t2 = BucketedCache.ensure(spark, corpus, "fpstale",
+      "k BIGINT", "k", 2)(build)
+    assert(t2 != t1, "mutated corpus reused the stale artifact key")
+    assert(spark.table(t2).count() == 37,
+           "artifact served stale content after the corpus mutation")
+    assert(spark.table(t1).count() == 100,
+           "the superseded commit was deleted out from under readers")
+  }
 }

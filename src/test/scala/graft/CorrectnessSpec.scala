@@ -4558,8 +4558,7 @@ class CorrectnessSpec extends SparkSpecBase {
       // run the stream first — it builds + registers the model artifact
       val got = q("q345_stream_semdedup")
         .as[(Long, Long, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
-      val idx = spark.table(
-        "graft_semidx_" + sf.replaceAll("[^a-zA-Z0-9]", "_"))
+      val idx = spark.table(BucketedCache.tableName("semidx", sf))
       val cents = idx.where(col("kind") === "c")
         .select(col("cid"), col("xi"))
         .as[(Long, Array[Long])].collect().sortBy(_._1)
@@ -4679,8 +4678,7 @@ class CorrectnessSpec extends SparkSpecBase {
       val refined = q("q343_nn_descent")
         .as[(Long, Long, Long, Double)].collect().toSeq
         .groupBy(_._1).map { case (s0, es) => s0 -> es.map(_._4).min }
-      val base = spark.table(
-          "graft_beamgraph_" + sf.replaceAll("[^a-zA-Z0-9]", "_"))
+      val base = spark.table(BucketedCache.tableName("beamgraph", sf))
         .as[(Long, Long)].collect().toSeq
         .groupBy(_._1).map { case (s0, es) =>
           s0 -> es.map(e => cos(em(s0), em(e._2))).min }
@@ -4704,8 +4702,7 @@ class CorrectnessSpec extends SparkSpecBase {
         case Seq(a, b) => assert(a._3 >= b._3, s"beam unsorted: $a -> $b")
         case _ =>
       }
-      val g = spark.table(
-          "graft_beamgraph_" + sf.replaceAll("[^a-zA-Z0-9]", "_"))
+      val g = spark.table(BucketedCache.tableName("beamgraph", sf))
         .as[(Long, Long)].collect().toSeq
       assert(g.groupBy(_._1).values.map(_.size).max <= 8,
              "out-degree exceeds the declared top-8")

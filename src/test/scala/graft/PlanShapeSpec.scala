@@ -491,7 +491,7 @@ class PlanShapeSpec extends SparkSpecBase {
       // and the hop inputs really come from the artifact: the session
       // must have registered the bucketed graph table
       assert(spark.catalog.tableExists(
-               "graft_beamgraph_" + sf.replaceAll("[^a-zA-Z0-9]", "_")),
+               BucketedCache.tableName("beamgraph", sf)),
              "graph artifact not registered")
     } finally PinScope.drain()
   }
@@ -681,10 +681,9 @@ class PlanShapeSpec extends SparkSpecBase {
     try {
       val df = SparkEntry.queries("q347_pipeline_prep_v4")(spark, sf)
       df.collect()
-      for (t <- Seq("graft_minpairidx", "graft_hamidx", "graft_semidx"))
-        assert(spark.catalog.tableExists(
-                 t + "_" + sf.replaceAll("[^a-zA-Z0-9]", "_")),
-               s"pipeline v4 did not register $t")
+      for (t <- Seq("minpairidx", "hamidx", "semidx"))
+        assert(spark.catalog.tableExists(BucketedCache.tableName(t, sf)),
+               s"pipeline v4 did not register graft_$t")
       val p = df.queryExecution.executedPlan.toString
       // the declared rollup reads the pinned drop sets + the batch
       // docs scan; any documents scan in it is the odd batch
