@@ -189,6 +189,76 @@ object TextExtOps extends OpModule {
         .orderBy("lang", "pred")
     },
 
+    // TRAINED language ID (added r15 — the r14 verdict's #5): q48
+    // votes with a hand-fixed trigram table; every real intake
+    // pipeline instead TRAINS the detector and computes `lang` for
+    // unlabeled arrivals — here the Cavnar–Trenkle 1994 rank-profile
+    // classifier, the classic n-gram method production langid tools
+    // descend from. Train: per-language profiles = the top-64
+    // character trigrams of the EVEN docs by (count desc, gram) with
+    // their ranks. Classify: each ODD doc builds its own top-64
+    // profile and scores every language by out-of-place distance —
+    // Σ over the doc's profile grams of |doc rank − profile rank|,
+    // with a miss costing the max displacement 64 (computed as
+    // 64·|doc grams| − Σ matched (64 − |Δrank|), so only the MATCHED
+    // join rows are ever touched); argmin wins, ties to the smaller
+    // language code. Report: the confusion matrix against the labeled
+    // `lang` column with per-true-language shares — the held-out
+    // accuracy card a pipeline reviews before trusting the detector.
+    // (On THIS synthetic corpus all languages draw from one token
+    // vocabulary, so the matrix honestly reports near-chance
+    // separation — the operator's mechanics, not the corpus's
+    // signal, are what the oracle certifies.) Scale shape: the gram
+    // emission is a pure per-row map (no doc-keyed shuffle before the
+    // per-doc count); the language profiles live on a (lang, gram)
+    // cell table bounded by the trigram space and broadcast to the
+    // classify side; per-doc ranks/argmin ride doc_id-partitioned
+    // windows. One corpus scan per side, everything else is bounded.
+    "q348_langid_train" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val P = 64
+      val docs = Tables(s, d, "documents")
+        .where(length(col("text")) >= 3)
+      def grams(df: DataFrame, carry: Seq[String]): DataFrame =
+        df.select(carry.map(col) :+ explode(expr(
+          "transform(sequence(1, length(text) - 2), " +
+            "i -> substring(text, i, 3))")).as("g"): _*)
+      val prof = grams(docs.where(col("doc_id") % 2 === 0),
+                       Seq("lang"))
+        .groupBy("lang", "g").agg(count(lit(1)).as("c"))
+        .withColumn("lr", row_number().over(
+          W.partitionBy("lang").orderBy(col("c").desc, col("g"))))
+        .where(col("lr") <= P)
+        .select(col("lang").as("plang"), col("g"), col("lr"))
+      val dp = grams(docs.where(col("doc_id") % 2 === 1),
+                     Seq("doc_id", "lang"))
+        .groupBy("doc_id", "lang", "g").agg(count(lit(1)).as("c"))
+        .withColumn("dr", row_number().over(
+          W.partitionBy("doc_id").orderBy(col("c").desc, col("g"))))
+        .where(col("dr") <= P)
+      val nd = dp.groupBy("doc_id", "lang")
+        .agg(count(lit(1)).cast("long").as("ng"))
+      val gain = dp.join(broadcast(prof), Seq("g"))
+        .groupBy("doc_id", "plang")
+        .agg(sum(lit(P.toLong) - abs(col("dr") - col("lr")).cast("long"))
+               .as("gain"))
+      val pred = nd
+        .crossJoin(broadcast(prof.select("plang").distinct()))
+        .join(gain, Seq("doc_id", "plang"), "left")
+        .select(col("doc_id"), col("lang"), col("plang"),
+                (lit(P.toLong) * col("ng") -
+                 coalesce(col("gain"), lit(0L))).as("dist"))
+        .withColumn("rn", row_number().over(
+          W.partitionBy("doc_id").orderBy(col("dist"), col("plang"))))
+        .where(col("rn") === 1)
+      pred
+        .groupBy(col("lang").as("lang_true"), col("plang").as("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("share", round(col("n_docs").cast("double") /
+          sum(col("n_docs")).over(W.partitionBy("lang_true")), 6))
+        .orderBy("lang_true", "lang_pred")
+    },
+
     // Composite quality score (see qualityScore above).
     "q49_quality_score" -> { (s, d) =>
       Tables(s, d, "documents")
@@ -356,6 +426,84 @@ object TextExtOps extends OpModule {
             .select(col("doc_id"), trainSplit.as("split"), col("text")),
           n = 8, w = 5, carry = Seq("split")),
         minShared = 1, outCol = "shared_grams")
+    },
+
+    // SPAN-LEVEL exact-substring removal (added r15 — the r14
+    // verdict's #6): every dedup tier above DROPS whole documents;
+    // production exact-substring dedup (Lee et al. 2022's ExactSubstr)
+    // instead EXCISES the repeated span and keeps the document. Rule:
+    // an 8-token gram occurring in ≥ 2 DISTINCT docs is
+    // over-represented; every token covered by any over-represented
+    // gram occurrence is excised, the survivors re-join on single
+    // spaces. Span-exactness by construction: a verbatim cross-doc
+    // run of L ≥ 8 tokens has all L−7 of its 8-windows over-
+    // represented, and their union covers the run EXACTLY — no
+    // boundary slop on either side (Lee et al. find the same runs via
+    // suffix arrays; the k-gram-df form is the shuffle-native
+    // equivalent, catching every cross-doc repeat ≥ k tokens).
+    // Within-doc repeats deliberately don't count (df is per-doc) —
+    // cross-document over-representation is the dedup signal.
+    // Report per source: docs, docs touched, tokens/bytes removed,
+    // and an md5 fold over every doc's REWRITTEN text (doc-id-ordered)
+    // so the oracle certifies the actual rewritten strings, not just
+    // the counts. Scale shape: the gram stream is a pure map keyed by
+    // md5(gram) for the df count and the anchor join (two gram-keyed
+    // shuffles, linear); coverage and rebuild ride doc_id-partitioned
+    // ops. The 100-TB path prefilters with the persisted q227
+    // minimizer index — full gram emission only for docs sharing a
+    // minimizer, shifting recall to q96's declared ≥ 12-token window
+    // guarantee; this declared tier is the exact full-scan truth
+    // (q300's full-rescan role, applied to spans). The df ≥ 2
+    // threshold is the test-corpus knob; production raises it to the
+    // memorization bar (Lee et al. use 50-token spans at higher df).
+    "q349_span_excise" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("text"),
+                split(col("text"), " ").as("t"))
+      val grams = docs.where(size(col("t")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(t) - 7), " +
+            "i -> struct(i, md5(array_join(slice(t, i, 8), ' ')) AS gm))"))
+          .as("x"))
+        .select(col("doc_id"), col("x.i").as("i"), col("x.gm").as("gm"))
+      val hot = grams.groupBy("gm")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .where(col("df") >= 2).select("gm")
+      val covered = grams.join(hot, Seq("gm"))
+        .select(col("doc_id"),
+                explode(expr("sequence(i, i + 7)")).as("j"))
+        .distinct()
+      val toks = docs.select(col("doc_id"),
+        posexplode(col("t")).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("j"),
+                col("tok"))
+      val kept = toks.join(covered, Seq("doc_id", "j"), "left_anti")
+        .groupBy("doc_id")
+        .agg(expr("array_join(transform(array_sort(" +
+               "collect_list(struct(j, tok))), x -> x.tok), ' ')")
+               .as("new_text"))
+      val removed = covered.groupBy("doc_id")
+        .agg(count(lit(1)).as("tr"))
+      docs
+        .join(kept, Seq("doc_id"), "left")
+        .join(removed, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+                coalesce(col("new_text"), lit("")).as("new_text"),
+                coalesce(col("tr"), lit(0L)).as("tokens_removed"),
+                (length(col("text")) -
+                 length(coalesce(col("new_text"), lit(""))))
+                  .cast("long").as("bytes_removed"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"),
+             sum(when(col("tokens_removed") > 0, 1L).otherwise(0L))
+               .as("docs_excised"),
+             sum(col("tokens_removed")).as("tokens_removed"),
+             sum(col("bytes_removed")).as("bytes_removed"),
+             md5(expr("array_join(transform(array_sort(collect_list(" +
+               "struct(doc_id, concat(cast(doc_id as string), ':', " +
+               "md5(new_text)) AS dh))), x -> x.dh), ';')"))
+               .as("rewrite_md5"))
+        .orderBy("source")
     },
 
     // Incremental decontamination (added r8) — the form a pipeline
@@ -2209,6 +2357,99 @@ object TextExtOps extends OpModule {
         s"""SELECT lang, $predSql AS pred, count(*) AS cnt
            |FROM (SELECT lang, $scores FROM documents)
            |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin,
+
+      // the same k=8 / df>=2 anchor rule, coverage union, and
+      // doc-ordered rewrite fold, token positions 1-based on both
+      // engines; anti-join spelled as a NULL-rejecting left join
+      "q349_span_excise" ->
+        """WITH d AS (SELECT doc_id, source, text,
+          |    string_split(text, ' ') AS t FROM documents),
+          |g AS (SELECT doc_id, i,
+          |    md5(array_to_string(t[i:i+7], ' ')) AS gm
+          |  FROM (SELECT doc_id, t,
+          |          unnest(range(1, len(t) - 6)) AS i
+          |        FROM d WHERE len(t) >= 8)),
+          |hot AS (SELECT gm FROM (
+          |    SELECT gm, count(DISTINCT doc_id) AS df
+          |    FROM g GROUP BY 1) WHERE df >= 2),
+          |cov AS (SELECT DISTINCT doc_id, i + o AS j
+          |  FROM (SELECT g.doc_id, g.i FROM g JOIN hot USING (gm)),
+          |       (SELECT unnest(range(0, 8)) AS o)),
+          |tok AS (SELECT doc_id, j, t[CAST(j AS INT)] AS tok
+          |  FROM (SELECT doc_id, t,
+          |          unnest(range(1, len(t) + 1)) AS j FROM d)),
+          |kept AS (SELECT tok.doc_id,
+          |    string_agg(tok.tok, ' ' ORDER BY tok.j) AS new_text
+          |  FROM tok LEFT JOIN cov
+          |    ON tok.doc_id = cov.doc_id AND tok.j = cov.j
+          |  WHERE cov.doc_id IS NULL GROUP BY tok.doc_id),
+          |rem AS (SELECT doc_id, count(*) AS tr FROM cov GROUP BY 1),
+          |pd AS (SELECT d.doc_id, d.source,
+          |    coalesce(k.new_text, '') AS new_text,
+          |    coalesce(r.tr, 0) AS tokens_removed,
+          |    length(d.text) - length(coalesce(k.new_text, ''))
+          |      AS bytes_removed
+          |  FROM d LEFT JOIN kept k ON d.doc_id = k.doc_id
+          |         LEFT JOIN rem r ON d.doc_id = r.doc_id)
+          |SELECT source, count(*) AS docs,
+          |  CAST(sum(CASE WHEN tokens_removed > 0 THEN 1 ELSE 0 END)
+          |       AS BIGINT) AS docs_excised,
+          |  CAST(sum(tokens_removed) AS BIGINT) AS tokens_removed,
+          |  CAST(sum(bytes_removed) AS BIGINT) AS bytes_removed,
+          |  md5(string_agg(CAST(doc_id AS VARCHAR) || ':' ||
+          |                 md5(new_text), ';' ORDER BY doc_id))
+          |    AS rewrite_md5
+          |FROM pd GROUP BY source ORDER BY source""".stripMargin,
+
+      // Cavnar–Trenkle rank profiles restated: even-doc top-64
+      // trigram profiles per language, odd-doc top-64 profiles,
+      // out-of-place distance via 64·|grams| − Σ matched (64−|Δ|)
+      "q348_langid_train" ->
+        """WITH tg AS (
+          |  SELECT lang, substr(text, CAST(i AS INT), 3) AS g
+          |  FROM (SELECT lang, text,
+          |          unnest(range(1, length(text) - 1)) AS i
+          |        FROM documents
+          |        WHERE doc_id % 2 = 0 AND length(text) >= 3)),
+          |pc AS (SELECT lang, g, count(*) AS c FROM tg GROUP BY 1, 2),
+          |pf AS (SELECT lang AS plang, g, lr FROM (
+          |    SELECT lang, g, row_number() OVER (
+          |        PARTITION BY lang ORDER BY c DESC, g) AS lr
+          |    FROM pc) WHERE lr <= 64),
+          |dg AS (
+          |  SELECT doc_id, lang, substr(text, CAST(i AS INT), 3) AS g
+          |  FROM (SELECT doc_id, lang, text,
+          |          unnest(range(1, length(text) - 1)) AS i
+          |        FROM documents
+          |        WHERE doc_id % 2 = 1 AND length(text) >= 3)),
+          |dc AS (SELECT doc_id, lang, g, count(*) AS c
+          |       FROM dg GROUP BY 1, 2, 3),
+          |dp AS (SELECT doc_id, lang, g, dr FROM (
+          |    SELECT doc_id, lang, g, row_number() OVER (
+          |        PARTITION BY doc_id ORDER BY c DESC, g) AS dr
+          |    FROM dc) WHERE dr <= 64),
+          |nd AS (SELECT doc_id, lang, count(*) AS ng
+          |       FROM dp GROUP BY 1, 2),
+          |mt AS (SELECT dp.doc_id, pf.plang,
+          |    sum(64 - abs(dp.dr - pf.lr)) AS gain
+          |  FROM dp JOIN pf USING (g) GROUP BY 1, 2),
+          |ls AS (SELECT DISTINCT plang FROM pf),
+          |ds AS (SELECT nd.doc_id, nd.lang, ls.plang,
+          |    64 * nd.ng - coalesce(mt.gain, 0) AS dist
+          |  FROM nd CROSS JOIN ls
+          |  LEFT JOIN mt ON mt.doc_id = nd.doc_id
+          |             AND mt.plang = ls.plang),
+          |pr AS (SELECT doc_id, lang, plang FROM (
+          |    SELECT doc_id, lang, plang, row_number() OVER (
+          |        PARTITION BY doc_id ORDER BY dist, plang) AS rn
+          |    FROM ds) WHERE rn = 1),
+          |cm AS (SELECT lang AS lang_true, plang AS lang_pred,
+          |         count(*) AS n_docs
+          |       FROM pr GROUP BY 1, 2)
+          |SELECT lang_true, lang_pred, n_docs,
+          |  round(CAST(n_docs AS DOUBLE) /
+          |        sum(n_docs) OVER (PARTITION BY lang_true), 6) AS share
+          |FROM cm ORDER BY lang_true, lang_pred""".stripMargin,
 
       "q49_quality_score" ->
         s"""SELECT doc_id, $qualityScoreSql AS score

@@ -4711,4 +4711,85 @@ class CorrectnessSpec extends SparkSpecBase {
              "beam escaped the graph's node set")
     } finally PinScope.drain()
   }
+
+  test("q348 language-ID matches an in-memory Cavnar-Trenkle replay") {
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect().toSeq
+      .filter(_._3.length >= 3)
+    def grams(t: String): Seq[String] =
+      (0 to t.length - 3).map(i => t.substring(i, i + 3))
+    def top64(cnt: Map[String, Int]): Map[String, Int] =
+      cnt.toSeq.sortBy { case (g2, c) => (-c, g2) }.take(64)
+        .zipWithIndex.map { case ((g2, _), r) => g2 -> (r + 1) }.toMap
+    val prof = docs.filter(_._1 % 2 == 0).groupBy(_._2).map {
+      case (lg, ds) =>
+        lg -> top64(ds.flatMap(d => grams(d._3))
+          .groupBy(identity).map { case (g2, a) => (g2, a.length) })
+    }
+    val langs = prof.keys.toSeq.sorted
+    val want = docs.filter(_._1 % 2 == 1).map { case (_, lt, t) =>
+      val dp = top64(grams(t).groupBy(identity)
+        .map { case (g2, a) => (g2, a.length) })
+      val pred = langs.map { lg =>
+        val p = prof(lg)
+        val dist = dp.map { case (g2, dr) =>
+          p.get(g2).map(lr => math.abs(dr - lr)).getOrElse(64)
+        }.sum
+        (dist, lg)
+      }.min._2
+      (lt, pred)
+    }.groupBy(identity).map { case ((lt, lp), a) =>
+      (lt, lp, a.length.toLong)
+    }.toSeq.sortBy(r => (r._1, r._2))
+    val got = q("q348_langid_train")
+      .select("lang_true", "lang_pred", "n_docs")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == want)
+    assert(got.map(_._3).sum == docs.count(_._1 % 2 == 1))
+  }
+
+  test("q349 span excision matches an in-memory replay; near-dup pair fully excised") {
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect().toSeq
+    val toks = docs.map { case (id, src, t) =>
+      (id, src, t, t.split(" ", -1).toSeq)
+    }
+    // over-represented 8-gram keys (>= 2 distinct docs)
+    val hot = toks.flatMap { case (id, _, _, t) =>
+      (0 to t.length - 8).map(i => (t.slice(i, i + 8).mkString(" "), id))
+    }.distinct.groupBy(_._1).filter(_._2.size >= 2).keySet
+    val perDoc = toks.map { case (id, src, text, t) =>
+      val cov = (0 to t.length - 8)
+        .filter(i => hot(t.slice(i, i + 8).mkString(" ")))
+        .flatMap(i => i until i + 8).toSet
+      val kept = t.zipWithIndex.collect {
+        case (tok, j) if !cov(j) => tok
+      }.mkString(" ")
+      (id, src, cov.size.toLong, (text.length - kept.length).toLong)
+    }
+    val want = perDoc.groupBy(_._2).map { case (src, ds) =>
+      (src, ds.size.toLong, ds.count(_._3 > 0).toLong,
+       ds.map(_._3).sum, ds.map(_._4).sum)
+    }.toSeq.sortBy(_._1)
+    val got = q("q349_span_excise")
+      .select("source", "docs", "docs_excised", "tokens_removed",
+              "bytes_removed")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    assert(got.map(_._3).sum > 0, "excision is vacuous at this SF")
+    // span-exactness on the corpus's known verbatim near-dups: any doc
+    // whose FULL text occurs verbatim in another doc must be excised
+    // completely (every 8-window of it is over-represented)
+    val byText = docs.groupBy(_._3).filter(_._2.size >= 2)
+    if (byText.nonEmpty) {
+      val fully = byText.values.flatten.map(_._1).toSet
+      val covById = perDoc.map(r => r._1 -> r._3).toMap
+      val lenById = toks.map(r => r._1 -> r._4.length.toLong).toMap
+      for (id <- fully if lenById(id) >= 8)
+        assert(covById(id) == lenById(id),
+               s"doc $id duplicated verbatim but not fully excised")
+    }
+  }
 }
