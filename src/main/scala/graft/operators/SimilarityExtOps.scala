@@ -416,87 +416,266 @@ object SimilarityExtOps extends OpModule {
     * upper-layer pattern). */
   private[graft] val BeamHubCap = 64
 
+  /** q351's convergence knobs: NN-descent rounds run until a round's
+    * edge-turnover falls below [[DescentStopPpm]] (10% — Dong, Moses &
+    * Li 2011 stop on a sampled update rate; here the turnover is exact
+    * because each round's edge set is materialized anyway), capped at
+    * [[DescentRoundsCap]] rounds — the declared bound that keeps the
+    * curve's cost linear in the corpus regardless of convergence. */
+  private[graft] val DescentRoundsCap = 3
+  private[graft] val DescentStopPpm = 100000L
+
+  /** The IVF-bucketed k-NN graph BUILD shared by q342's full-corpus
+    * artifact and q350's even-half standing artifact: each node
+    * registers in its 2 nearest cells of `centSel`'s sampled
+    * centroids (multi-probe membership keeps the graph connected
+    * across cell borders), candidates = memberships × [[BeamHubCap]]
+    * hubs per cell (hubs = the cap lowest vec_ids — a declared
+    * deterministic choice the oracles restate), edges are the
+    * symmetric member↔hub pairs scored once (cosine, 4 dp), and each
+    * src keeps its top-8 by (cos desc, dst). Cost O(n · 2 · cap)
+    * cosines — linear in the corpus, never n². Returns (edges (src,
+    * dst, es), hubs (cid, hid)). */
+  private def graphBuild(em: DataFrame, centSel: Column)
+      : (DataFrame, DataFrame) = {
+    val packed = em.where(centSel)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+      .agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+    val mem = em.crossJoin(broadcast(packed))
+      .select(col("vec_id"), col("v"), explode(col("cents")).as("c"))
+      .select(col("vec_id"), col("v"), col("c.cid").as("cid"),
+              sqL2("v", "c.cv").as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))))
+      .where(col("rn") <= 2)
+      .select(col("vec_id"), col("v"), col("cid"))
+    val hubs = mem
+      .withColumn("hr", row_number().over(
+        Window.partitionBy("cid").orderBy("vec_id")))
+      .where(col("hr") <= BeamHubCap)
+      .select(col("cid"), col("vec_id").as("hid"), col("v").as("hv"))
+    val scored = mem.join(hubs, Seq("cid"))
+      .where(col("vec_id") =!= col("hid"))
+      .select(col("vec_id").as("a"), col("hid").as("b"),
+              round(GraftFunctions.cosineSimilarity(col("v"), col("hv")),
+                    4).as("es"))
+    val edges = scored
+      .unionAll(scored.select(col("b").as("a"), col("a").as("b"),
+                              col("es")))
+      .distinct()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("a").orderBy(col("es").desc, col("b"))))
+      .where(col("rk") <= 8)
+      .select(col("a").as("src"), col("b").as("dst"), col("es"))
+    (edges, hubs.select(col("cid"), col("hid")))
+  }
+
   /** q342's persisted k-NN GRAPH artifact over the full corpus — the
     * offline graph-build job q329's capped n² scaffold stood in for
-    * (the r13 verdict's #2): IVF-bucketed candidates instead of
-    * all-pairs. Each node registers in its 2 nearest of the frozen
-    * [[Cents]] sampled cells (multi-probe membership keeps the graph
-    * connected across cell borders), candidates = memberships ×
-    * [[BeamHubCap]] hubs per cell, edges are the symmetric member↔hub
-    * pairs scored once (cosine, 4 dp), and each src keeps its top-8
-    * by (cos desc, dst). Build cost O(n · 2 · cap) cosines — linear
-    * in the corpus, never n². Persisted src-bucketed; built once per
-    * (session, corpus). */
+    * (the r13 verdict's #2): [[graphBuild]] over every vector with
+    * the frozen [[Cents]] sampled cells. Persisted src-bucketed;
+    * built once per (session, corpus fingerprint). */
   private def beamGraphTable(s: SparkSession, d: String): String =
     graft.BucketedCache.ensure(s, d, "beamgraph",
       "src BIGINT, dst BIGINT", "src", 8) {
-      val em = embBase(s, d).where(col("vec_id") =!= 0)
-      val packed = em.where(col("vec_id") < Cents)
-        .select(col("vec_id").as("cid"), col("v").as("cv"))
-        .agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
-      val mem = em.crossJoin(broadcast(packed))
-        .select(col("vec_id"), col("v"), explode(col("cents")).as("c"))
-        .select(col("vec_id"), col("v"), col("c.cid").as("cid"),
-                sqL2("v", "c.cv").as("dist"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))))
-        .where(col("rn") <= 2)
-        .select(col("vec_id"), col("v"), col("cid"))
-      val hubs = mem
-        .withColumn("hr", row_number().over(
-          Window.partitionBy("cid").orderBy("vec_id")))
-        .where(col("hr") <= BeamHubCap)
-        .select(col("cid"), col("vec_id").as("hid"), col("v").as("hv"))
-      val scored = mem.join(hubs, Seq("cid"))
-        .where(col("vec_id") =!= col("hid"))
-        .select(col("vec_id").as("a"), col("hid").as("b"),
-                round(GraftFunctions.cosineSimilarity(col("v"), col("hv")),
-                      4).as("es"))
-      scored
-        .unionAll(scored.select(col("b").as("a"), col("a").as("b"),
-                                col("es")))
-        .distinct()
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("a").orderBy(col("es").desc, col("b"))))
-        .where(col("rk") <= 8)
-        .select(col("a").as("src"), col("b").as("dst"))
+      graphBuild(embBase(s, d).where(col("vec_id") =!= 0),
+                 col("vec_id") < Cents)._1.select("src", "dst")
     }
 
-  /** The q342 graph build as oracle CTE text (ends at `graph(src,
-    * dst)`; expects an `e(vec_id, v)` node CTE to be OUT of scope —
-    * it defines its own) — shared by the q342/q343/q344 oracles so
-    * the three tiers certify against ONE build definition. */
-  private def beamGraphCte: String =
-    s"""e AS MATERIALIZED (
+  /** q350's persisted STANDING graph artifact — the per-release
+    * discipline (q339/q340/q341) applied to the graph tier: the even
+    * half is the standing corpus, built once by [[graphBuild]] with
+    * the 2·[[Cents]] lowest even ids as frozen cells (q339's even-seed
+    * rule), and the artifact persists everything a batch insert needs
+    * to probe WITHOUT a rebuild or an even-corpus rescan — edge rows
+    * (kind 'e': src, dst, es — the score is stored so reversed batch
+    * edges merge into standing top-8s without rescoring standing
+    * pairs), hub rows (kind 'h': cid, hid — the entry points a new
+    * node links through), and node-vector rows (kind 'v': id, v —
+    * exactly what a production vector index stores; the batch scores
+    * candidates against these, so the only embeddings scan in the
+    * probe plan is the odd batch itself, plan-asserted). */
+  private[graft] def beamGraphIncTable(s: SparkSession, d: String): String =
+    graft.BucketedCache.ensure(s, d, "beamgraphinc",
+      "kind STRING, a BIGINT, b BIGINT, es DOUBLE, v ARRAY<DOUBLE>",
+      "a", 8) {
+      val em = embBase(s, d)
+        .where(col("vec_id") =!= 0 && col("vec_id") % 2 === 0)
+      val (edges, hubs) = graphBuild(em, col("vec_id") < 2 * Cents)
+      edges.select(lit("e").as("kind"), col("src").as("a"),
+                   col("dst").as("b"), col("es"),
+                   lit(null).cast("array<double>").as("v"))
+        .unionByName(hubs.select(lit("h").as("kind"), col("cid").as("a"),
+                     col("hid").as("b"), lit(0.0).as("es"),
+                     lit(null).cast("array<double>").as("v")))
+        .unionByName(em.select(lit("v").as("kind"),
+                     col("vec_id").as("a"), lit(0L).as("b"),
+                     lit(0.0).as("es"), col("v")))
+    }
+
+  /** q350's batch INSERT against [[beamGraphIncTable]] (also q344's
+    * third recall tier): the odd batch assigns to its 2 nearest
+    * frozen cells (centroid vectors read from the artifact's 'v'
+    * rows — never the even parquet), candidates = the cells' hubs ∪
+    * the hubs' standing out-neighbors (the one LOCALIZED descent
+    * round — a new node reaches 2-hop candidates through its entry
+    * hubs, Dong et al.'s observation applied at insert time, ≤
+    * 2·cap·9 rescores per node), new out-edges = the batch node's
+    * top-8, and each touched standing node merges the REVERSED batch
+    * edges into its stored top-8 by the persisted scores — no
+    * standing pair is ever rescored. Returns the merged edge list
+    * (src, nn_rank, dst, es) over both halves. */
+  private[graft] def graphInsertEdges(s: SparkSession, d: String)
+      : DataFrame = {
+    val idx = s.table(beamGraphIncTable(s, d))
+    val standing = idx.where(col("kind") === "e")
+      .select(col("a").as("src"), col("b").as("dst"), col("es"))
+    val hubs = idx.where(col("kind") === "h")
+      .select(col("a").as("cid"), col("b").as("hid"))
+    val nodes = idx.where(col("kind") === "v")
+      .select(col("a").as("nid"), col("v").as("nv"))
+    val batch = embBase(s, d).where(col("vec_id") % 2 === 1)
+    val packed = nodes.where(col("nid") < 2 * Cents)
+      .select(col("nid").as("cid"), col("nv").as("cv"))
+      .agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+    val bmem = batch.crossJoin(broadcast(packed))
+      .select(col("vec_id"), explode(col("cents")).as("c"),
+              col("v"))
+      .select(col("vec_id"), col("c.cid").as("cid"),
+              sqL2("v", "c.cv").as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))))
+      .where(col("rn") <= 2)
+      .select(col("vec_id"), col("cid"))
+    val cd0 = bmem.join(hubs, Seq("cid"))
+      .select(col("vec_id"), col("hid").as("cnd"))
+    val cd1 = cd0.join(standing.select(col("src").as("cnd"),
+                                       col("dst")), Seq("cnd"))
+      .select(col("vec_id"), col("dst").as("cnd"))
+    val cand = cd0.unionAll(cd1).distinct()
+    val bsc = cand
+      .join(batch.select(col("vec_id"), col("v").as("bv")),
+            Seq("vec_id"))
+      .join(nodes.select(col("nid").as("cnd"), col("nv")), Seq("cnd"))
+      .select(col("vec_id").as("src"), col("cnd").as("dst"),
+              round(GraftFunctions.cosineSimilarity(col("bv"), col("nv")),
+                    4).as("es"))
+    val bnew = bsc.withColumn("rk", row_number().over(
+        Window.partitionBy("src").orderBy(col("es").desc, col("dst"))))
+      .where(col("rk") <= 8).select("src", "dst", "es")
+    val smerge = standing
+      .unionAll(bnew.select(col("dst").as("src"), col("src").as("dst"),
+                            col("es")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("src").orderBy(col("es").desc, col("dst"))))
+      .where(col("rk") <= 8).select("src", "dst", "es")
+    smerge.unionAll(bnew)
+      .select(col("src"),
+              row_number().over(Window.partitionBy("src")
+                  .orderBy(col("es").desc, col("dst")))
+                .cast("long").as("nn_rank"),
+              col("dst"), col("es"))
+  }
+
+  /** The [[graphBuild]] text as oracle CTEs (ends at `${p}graph(src,
+    * dst, es)`), parameterized by a CTE-name prefix `p` (so q344's
+    * oracle can hold the full-corpus build AND the even standing
+    * build side by side), a node-predicate suffix, and the centroid
+    * cut — shared by the q342/q343/q344/q350/q351 oracles so every
+    * tier certifies against ONE build definition. */
+  private def beamGraphCteOn(p: String, where: String,
+                             centPred: String): String =
+    s"""${p}e AS MATERIALIZED (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-       |  FROM embeddings WHERE vec_id <> 0),
-       |c AS (SELECT vec_id AS cid, v AS cv FROM e
-       |      WHERE vec_id < $Cents),
-       |mem AS MATERIALIZED (SELECT vec_id, cid FROM (
+       |  FROM embeddings WHERE vec_id <> 0$where),
+       |${p}c AS (SELECT vec_id AS cid, v AS cv FROM ${p}e
+       |      WHERE $centPred),
+       |${p}mem AS MATERIALIZED (SELECT vec_id, cid FROM (
        |    SELECT e.vec_id, c.cid,
        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |        list_sum(list_transform(range(1, 65),
        |          i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))),
        |        c.cid) AS rn
-       |    FROM e, c) WHERE rn <= 2),
-       |hub AS MATERIALIZED (SELECT vec_id, cid FROM (
+       |    FROM ${p}e e, ${p}c c) WHERE rn <= 2),
+       |${p}hub AS MATERIALIZED (SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid,
        |      row_number() OVER (PARTITION BY cid
        |                         ORDER BY vec_id) AS hr
-       |    FROM mem) WHERE hr <= $BeamHubCap),
-       |sc AS (SELECT DISTINCT m.vec_id AS a, h.vec_id AS b,
+       |    FROM ${p}mem) WHERE hr <= $BeamHubCap),
+       |${p}sc AS (SELECT DISTINCT m.vec_id AS a, h.vec_id AS b,
        |    round(list_cosine_similarity(x.v, y.v), 4) AS es
-       |  FROM mem m JOIN hub h
+       |  FROM ${p}mem m JOIN ${p}hub h
        |    ON m.cid = h.cid AND m.vec_id <> h.vec_id
-       |  JOIN e x ON m.vec_id = x.vec_id
-       |  JOIN e y ON h.vec_id = y.vec_id),
-       |ed AS (SELECT a, b, es FROM sc
-       |       UNION SELECT b, a, es FROM sc),
-       |graph AS MATERIALIZED (SELECT a AS src, b AS dst FROM (
-       |    SELECT a, b,
+       |  JOIN ${p}e x ON m.vec_id = x.vec_id
+       |  JOIN ${p}e y ON h.vec_id = y.vec_id),
+       |${p}ed AS (SELECT a, b, es FROM ${p}sc
+       |       UNION SELECT b, a, es FROM ${p}sc),
+       |${p}graph AS MATERIALIZED (SELECT a AS src, b AS dst, es FROM (
+       |    SELECT a, b, es,
        |      row_number() OVER (PARTITION BY a
        |                         ORDER BY es DESC, b) AS rk
-       |    FROM ed) WHERE rk <= 8)""".stripMargin
+       |    FROM ${p}ed) WHERE rk <= 8)""".stripMargin
+
+  private def beamGraphCte: String =
+    beamGraphCteOn("", "", s"vec_id < $Cents")
+
+  /** The [[graphInsertEdges]] text as oracle CTEs: expects the
+    * `$p`-prefixed even standing build ([[beamGraphCteOn]]) in scope
+    * and ends at `${p}mrg(src, dst, es)` — the merged post-insert
+    * edge set. */
+  private def graphInsertCte(p: String): String =
+    s"""${p}bq AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id % 2 = 1),
+       |${p}bmem AS (SELECT vec_id, cid FROM (
+       |    SELECT b.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, 65),
+       |          i -> (b.v[i] - c.cv[i]) * (b.v[i] - c.cv[i]))),
+       |        c.cid) AS rn
+       |    FROM ${p}bq b, ${p}c c) WHERE rn <= 2),
+       |${p}cd AS (SELECT DISTINCT vec_id, cnd FROM (
+       |    SELECT m.vec_id, h.vec_id AS cnd
+       |    FROM ${p}bmem m JOIN ${p}hub h ON m.cid = h.cid
+       |    UNION ALL
+       |    SELECT m.vec_id, g.dst AS cnd
+       |    FROM ${p}bmem m JOIN ${p}hub h ON m.cid = h.cid
+       |         JOIN ${p}graph g ON g.src = h.vec_id)),
+       |${p}bsc AS (SELECT cd.vec_id AS src, cd.cnd AS dst,
+       |    round(list_cosine_similarity(b.v, e.v), 4) AS es
+       |  FROM ${p}cd cd JOIN ${p}bq b ON cd.vec_id = b.vec_id
+       |       JOIN ${p}e e ON cd.cnd = e.vec_id),
+       |${p}bnew AS MATERIALIZED (SELECT src, dst, es FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY src
+       |                                 ORDER BY es DESC, dst) AS rk
+       |    FROM ${p}bsc) WHERE rk <= 8),
+       |${p}smerge AS (SELECT src, dst, es FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY src
+       |                                 ORDER BY es DESC, dst) AS rk
+       |    FROM (SELECT src, dst, es FROM ${p}graph
+       |          UNION ALL
+       |          SELECT dst AS src, src AS dst, es FROM ${p}bnew))
+       |  WHERE rk <= 8),
+       |${p}mrg AS (SELECT src, dst, es FROM ${p}smerge
+       |        UNION ALL SELECT src, dst, es FROM ${p}bnew)""".stripMargin
+
+  /** One NN-descent round as oracle CTEs: candidates from graph CTE
+    * `$g` (2-hop union), exact rescore against the full-corpus `e`
+    * nodes, per-src top-8 — ends at `g$k(src, dst)`. The SQL twin of
+    * [[descentRound]], unrolled per round by the q351 oracle. */
+  private def descentCte(k: Int, g: String): String =
+    s"""cd$k AS (SELECT g1.src, g2.dst AS cnd
+       |         FROM $g g1 JOIN $g g2 ON g1.dst = g2.src
+       |         WHERE g1.src <> g2.dst
+       |         UNION SELECT src, dst FROM $g),
+       |g$k AS MATERIALIZED (SELECT src, dst FROM (
+       |    SELECT cd.src, cd.cnd AS dst,
+       |      row_number() OVER (PARTITION BY cd.src ORDER BY
+       |        round(list_cosine_similarity(x.v, y.v), 4) DESC,
+       |        cd.cnd) AS rk
+       |    FROM cd$k cd JOIN e x ON cd.src = x.vec_id
+       |            JOIN e y ON cd.cnd = y.vec_id)
+       |  WHERE rk <= 8)""".stripMargin
 
   /** One NN-descent refinement round over the persisted q342 graph
     * (q343/q344's shared body): candidates = each node's current
@@ -507,9 +686,13 @@ object SimilarityExtOps extends OpModule {
     * similarity — spec-asserted. Cost: |E|·8 = 64·n candidate
     * rescores — linear, the round's whole point vs an n² rebuild.
     * Returns (src, nn_rank, dst, es). */
-  private def nnDescentEdges(s: SparkSession, d: String): DataFrame = {
-    val graph = s.table(beamGraphTable(s, d))
-    val em = embBase(s, d)
+  private def nnDescentEdges(s: SparkSession, d: String): DataFrame =
+    descentRound(s.table(beamGraphTable(s, d))
+                   .select("src", "dst"), embBase(s, d))
+
+  /** [[nnDescentEdges]] generalized over the input graph — q351's
+    * convergence loop feeds each round's output back in. */
+  private def descentRound(graph: DataFrame, em: DataFrame): DataFrame = {
     val cand = graph
       .join(graph.select(col("src").as("mid"), col("dst").as("dst2")),
             col("dst") === col("mid"))
@@ -1452,9 +1635,89 @@ object SimilarityExtOps extends OpModule {
                        "(1000000 * hits) DIV exact_pairs END")
                     .as("recall_ppm"))
       }
-      tier("ivf_build", graph)
+      tier("ivf_build", graph.select("src", "dst"))
         .unionAll(tier("nn_descent_1", refined))
+        .unionAll(tier("graph_insert",
+                       graphInsertEdges(s, d).select("src", "dst")))
         .orderBy("tier")
+    },
+
+    // ANN graph batch-insert maintenance (added r15, the r14
+    // verdict's #7) — completes the per-release artifact discipline
+    // (q339 SemDeDup / q340 Hamming / q341 minimizer) at the GRAPH
+    // tier: the even half is the standing corpus whose k-NN graph,
+    // hubs, and node vectors persist once ([[beamGraphIncTable]]);
+    // the odd batch INSERTS — assigns to its 2 nearest frozen cells,
+    // links through the cells' hubs, and runs one LOCALIZED descent
+    // round (hub out-neighbors as 2-hop candidates) — while touched
+    // standing nodes merge the reversed batch edges into their STORED
+    // top-8 by the persisted scores, so no standing pair is ever
+    // rescored and the even corpus is never rescanned (plan-asserted:
+    // the only embeddings FileScan is the odd batch). Cost O(batch ·
+    // 2 · cap · 9) cosines — proportional to the batch, not the
+    // corpus. Emits the merged edge list; q344's third recall row
+    // attests what insert-time linking costs vs the full rebuild.
+    "q350_graph_insert" -> { (s, d) =>
+      graphInsertEdges(s, d).orderBy("src", "nn_rank")
+    },
+
+    // NN-descent convergence loop (added r15, the r14 verdict's #9) —
+    // q343 runs exactly ONE refinement round and r14's "one round is
+    // enough" was an assumption; this runs Dong, Moses & Li 2011's
+    // iterate-until-quiet loop: each round rescores every node's
+    // 2-hop candidate set and keeps the top-8, the loop stops when
+    // edge turnover falls below [[DescentStopPpm]] (10%) or at
+    // [[DescentRoundsCap]] rounds — the declared bound that keeps the
+    // curve linear regardless of convergence. Per executed round the
+    // report row carries the exact turnover (changed/total edges, ppm)
+    // and the q344-style anchor recall (64 lowest ids vs their exact
+    // top-8, one shared exact pass) — the MEASURED curve that
+    // justifies (or refutes) stopping after one round. Driver loop is
+    // over ROUNDS (≤ 3 scalar reads per round); every per-round edge
+    // set is a pinned distributed table. Fully oracled: DuckDB unrolls
+    // the same three rounds and applies the same stop rule.
+    "q351_descent_converge" -> { (s, d) =>
+      val em = embBase(s, d)
+      val (anchors, ah) = pin(em.where(col("vec_id") =!= 0)
+        .orderBy("vec_id").limit(64)
+        .select(col("vec_id").as("qid"), col("v").as("qv")))
+      ah.count(); graft.PinScope.retain(ah)
+      val (exact, eh) = pin(em.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(anchors))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("dst"),
+                round(GraftFunctions.cosineSimilarity(col("v"), col("qv")),
+                      4).as("sim"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("sim").desc, col("dst"))))
+        .where(col("rk") <= 8)
+        .select(col("qid").as("src"), col("dst")))
+      eh.count(); graft.PinScope.retain(eh)
+      val exactPairs = exact.count()
+      var g = s.table(beamGraphTable(s, d)).select("src", "dst")
+      val rows = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long, Long)]
+      var stop = false
+      for (r <- 1 to DescentRoundsCap if !stop) {
+        val (nxt, nh) = pin(descentRound(g, em).select("src", "dst"))
+        nh.count(); graft.PinScope.retain(nh)
+        val edges = nxt.count()
+        val changed = nxt.join(g, Seq("src", "dst"), "left_anti").count()
+        val ppm = if (edges == 0) 0L else 1000000L * changed / edges
+        val hits = nxt
+          .join(broadcast(anchors.select(col("qid").as("src"))),
+                Seq("src"))
+          .join(exact, Seq("src", "dst"), "left_semi").count()
+        val recall =
+          if (exactPairs == 0) 0L else 1000000L * hits / exactPairs
+        rows += ((r.toLong, edges, changed, ppm, recall))
+        stop = ppm < DescentStopPpm
+        g = nxt
+      }
+      import s.implicits._
+      rows.toSeq
+        .toDF("round", "edges", "changed", "update_ppm", "recall_ppm")
+        .orderBy("round")
     },
 
     // MMR diversified re-ranking (added r13) — the DIVERSITY stage of
@@ -2472,8 +2735,9 @@ object SimilarityExtOps extends OpModule {
            |  FROM sc2)
            |WHERE rk <= 8 ORDER BY src, nn_rank""".stripMargin,
 
-      // one build, one refinement, one exact pass — both tiers attest
-      // against the identical anchor top-8
+      // one full build, one refinement, one even build + insert, one
+      // exact pass — all three tiers attest against the identical
+      // anchor top-8
       "q344_graph_recall" ->
         s"""WITH $beamGraphCte,
            |cd AS (SELECT g1.src, g2.dst AS cnd
@@ -2488,6 +2752,9 @@ object SimilarityExtOps extends OpModule {
            |    FROM cd JOIN e x ON cd.src = x.vec_id
            |            JOIN e y ON cd.cnd = y.vec_id)
            |  WHERE rk <= 8),
+           |${beamGraphCteOn("i", " AND vec_id % 2 = 0",
+                             s"vec_id < ${2 * Cents}")},
+           |${graphInsertCte("i")},
            |anch AS (SELECT vec_id AS qid, v AS qv FROM e
            |         ORDER BY vec_id LIMIT 64),
            |ex AS (SELECT qid, dst FROM (
@@ -2500,6 +2767,8 @@ object SimilarityExtOps extends OpModule {
            |t1 AS (SELECT g.src, g.dst FROM graph g
            |       JOIN anch a ON g.src = a.qid),
            |t2 AS (SELECT g.src, g.dst FROM rg g
+           |       JOIN anch a ON g.src = a.qid),
+           |t3 AS (SELECT g.src, g.dst FROM imrg g
            |       JOIN anch a ON g.src = a.qid)
            |SELECT tier, anchor_edges, exact_pairs, hits,
            |  CASE WHEN exact_pairs = 0 THEN 0
@@ -2515,8 +2784,87 @@ object SimilarityExtOps extends OpModule {
            |    (SELECT count(*) FROM t2),
            |    (SELECT count(*) FROM ex),
            |    (SELECT count(*) FROM t2 JOIN ex
-           |       ON t2.src = ex.qid AND t2.dst = ex.dst))
+           |       ON t2.src = ex.qid AND t2.dst = ex.dst)
+           |  UNION ALL
+           |  SELECT 'graph_insert',
+           |    (SELECT count(*) FROM t3),
+           |    (SELECT count(*) FROM ex),
+           |    (SELECT count(*) FROM t3 JOIN ex
+           |       ON t3.src = ex.qid AND t3.dst = ex.dst))
            |ORDER BY tier""".stripMargin,
+
+      // the even standing build restated, then the insert: batch cell
+      // assignment, hub + hub-neighbor candidates, per-src top-8, and
+      // the stored-score standing merge — the artifact must be
+      // invisible
+      "q350_graph_insert" ->
+        s"""WITH ${beamGraphCteOn("", " AND vec_id % 2 = 0",
+                                  s"vec_id < ${2 * Cents}")},
+           |${graphInsertCte("")}
+           |SELECT src,
+           |  CAST(row_number() OVER (PARTITION BY src
+           |                          ORDER BY es DESC, dst)
+           |       AS BIGINT) AS nn_rank,
+           |  dst, es
+           |FROM mrg ORDER BY src, nn_rank""".stripMargin,
+
+      // three unrolled descent rounds over the shared build, exact
+      // per-round turnover + anchor recall, and the same stop rule:
+      // a round's row survives only if every EARLIER round's turnover
+      // was at or above the threshold
+      "q351_descent_converge" ->
+        s"""WITH $beamGraphCte,
+           |${descentCte(1, "graph")},
+           |${descentCte(2, "g1")},
+           |${descentCte(3, "g2")},
+           |anch AS (SELECT vec_id AS qid, v AS qv FROM e
+           |         ORDER BY vec_id LIMIT 64),
+           |ex AS MATERIALIZED (SELECT qid, dst FROM (
+           |    SELECT a.qid, e.vec_id AS dst,
+           |      row_number() OVER (PARTITION BY a.qid ORDER BY
+           |        round(list_cosine_similarity(e.v, a.qv), 4) DESC,
+           |        e.vec_id) AS rk
+           |    FROM e, anch a WHERE e.vec_id <> a.qid)
+           |  WHERE rk <= 8),
+           |st AS (
+           |  SELECT 1 AS round,
+           |    (SELECT count(*) FROM g1) AS edges,
+           |    (SELECT count(*) FROM g1 a WHERE NOT EXISTS (
+           |       SELECT 1 FROM graph b
+           |       WHERE b.src = a.src AND b.dst = a.dst)) AS changed,
+           |    (SELECT count(*) FROM g1 a JOIN ex
+           |       ON a.src = ex.qid AND a.dst = ex.dst) AS hits
+           |  UNION ALL
+           |  SELECT 2, (SELECT count(*) FROM g2),
+           |    (SELECT count(*) FROM g2 a WHERE NOT EXISTS (
+           |       SELECT 1 FROM g1 b
+           |       WHERE b.src = a.src AND b.dst = a.dst)),
+           |    (SELECT count(*) FROM g2 a JOIN ex
+           |       ON a.src = ex.qid AND a.dst = ex.dst)
+           |  UNION ALL
+           |  SELECT 3, (SELECT count(*) FROM g3),
+           |    (SELECT count(*) FROM g3 a WHERE NOT EXISTS (
+           |       SELECT 1 FROM g2 b
+           |       WHERE b.src = a.src AND b.dst = a.dst)),
+           |    (SELECT count(*) FROM g3 a JOIN ex
+           |       ON a.src = ex.qid AND a.dst = ex.dst)),
+           |fin AS (SELECT round, edges, changed,
+           |    CASE WHEN edges = 0 THEN 0
+           |         ELSE (1000000 * changed) // edges END AS update_ppm,
+           |    CASE WHEN (SELECT count(*) FROM ex) = 0 THEN 0
+           |         ELSE (1000000 * hits) // (SELECT count(*) FROM ex)
+           |         END AS recall_ppm
+           |  FROM st)
+           |SELECT CAST(round AS BIGINT) AS round,
+           |  CAST(edges AS BIGINT) AS edges,
+           |  CAST(changed AS BIGINT) AS changed,
+           |  CAST(update_ppm AS BIGINT) AS update_ppm,
+           |  CAST(recall_ppm AS BIGINT) AS recall_ppm
+           |FROM fin f
+           |WHERE NOT EXISTS (SELECT 1 FROM fin f2
+           |  WHERE f2.round < f.round
+           |    AND f2.update_ppm < $DescentStopPpm)
+           |ORDER BY round""".stripMargin,
 
       // identical candidate retrieval (4 dp before ranking), identical
       // pairwise table, then mmrBody verbatim — the greedy chain is

@@ -4688,8 +4688,64 @@ class CorrectnessSpec extends SparkSpecBase {
       val rec = q("q344_graph_recall")
         .as[(String, Long, Long, Long, Long)].collect().toSeq
         .sortBy(_._1)
-      assert(rec.map(_._1) == Seq("ivf_build", "nn_descent_1"))
+      assert(rec.map(_._1) ==
+        Seq("graph_insert", "ivf_build", "nn_descent_1"))
       for (r <- rec) assert(r._4 <= r._3 && r._5 >= 0 && r._5 <= 1000000)
+    } finally PinScope.drain()
+  }
+
+  test("q350 insert covers every batch node; standing top-8s never worsen") {
+    try {
+      val merged = q("q350_graph_insert")
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      // per-src degree bounded by the declared top-8, ranks contiguous
+      for ((s0, es) <- merged.groupBy(_._1)) {
+        assert(es.size <= 8, s"src $s0 degree ${es.size}")
+        assert(es.map(_._2).sorted == (1L to es.size.toLong),
+               s"src $s0 ranks not contiguous")
+      }
+      // every odd batch vector got linked in
+      val odd = Tables(spark, sf, "embeddings")
+        .where(col("vec_id") % 2 === 1).select("vec_id")
+        .as[Long].collect().toSet
+      val srcs = merged.map(_._1).toSet
+      assert(odd.subsetOf(srcs), s"unlinked batch nodes: ${odd -- srcs}")
+      // the standing merge keeps the top-8 of a SUPERSET of the stored
+      // standing edges, so each standing src's WORST kept score is
+      // non-decreasing vs the artifact
+      val stored = spark
+        .table(BucketedCache.tableName("beamgraphinc", sf))
+        .where(col("kind") === "e")
+        .select(col("a"), col("es")).as[(Long, Double)].collect().toSeq
+        .groupBy(_._1).map { case (s0, es) => s0 -> es.map(_._2).min }
+      val after = merged.groupBy(_._1)
+        .map { case (s0, es) => s0 -> es.map(_._4).min }
+      for ((s0, worst) <- stored)
+        assert(after(s0) >= worst - 1e-9,
+               s"standing src $s0 worsened: $worst -> ${after(s0)}")
+    } finally PinScope.drain()
+  }
+
+  test("q351 stop rule: every non-final row is at/above the turnover threshold") {
+    try {
+      val rows = q("q351_descent_converge")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      assert(rows.nonEmpty &&
+             rows.size <= operators.SimilarityExtOps.DescentRoundsCap)
+      assert(rows.map(_._1) == (1L to rows.size.toLong))
+      for (r <- rows) {
+        assert(r._3 <= r._2, s"changed exceeds edges: $r")
+        assert(r._5 >= 0 && r._5 <= 1000000, s"recall out of range: $r")
+      }
+      // rounds run exactly until the first sub-threshold turnover:
+      // all but the last row are >= the threshold, and a final row
+      // still >= threshold means the cap (not convergence) stopped it
+      for (r <- rows.init)
+        assert(r._4 >= operators.SimilarityExtOps.DescentStopPpm,
+               s"loop continued past a converged round: $r")
+      if (rows.last._4 >= operators.SimilarityExtOps.DescentStopPpm)
+        assert(rows.size == operators.SimilarityExtOps.DescentRoundsCap,
+               "loop stopped early without converging")
     } finally PinScope.drain()
   }
 

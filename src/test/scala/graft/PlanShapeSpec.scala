@@ -496,6 +496,22 @@ class PlanShapeSpec extends SparkSpecBase {
     } finally PinScope.drain()
   }
 
+  test("q350: the insert probes the persisted graph artifact; only the batch rescans") {
+    // the graph tier's batch-vs-index contract: standing edges, hubs,
+    // AND node vectors all come from graft_beamgraphinc — the even
+    // corpus is never rescanned and the standing graph never rebuilt;
+    // the one parquet scan is the odd insert batch
+    val df = SparkEntry.queries("q350_graph_insert")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_beamgraphinc"),
+           s"insert does not probe the artifact:\n$p")
+    val scans = p.split("\n")
+      .filter(l => l.contains("embeddings.parquet") && l.contains("FileScan"))
+    assert(scans.nonEmpty && scans.forall(_.contains("% 2) = 1")),
+           s"even corpus rescanned outside the artifact:\n${scans.mkString("\n")}")
+  }
+
   test("q334: the k-NN probe reads the persisted grid index; only the batch rescans") {
     // the batch-vs-index contract (q131's discipline): the even
     // corpus lives in graft_knnidx; the one parquet scan is the odd
