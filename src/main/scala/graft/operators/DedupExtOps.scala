@@ -272,10 +272,16 @@ object DedupExtOps extends OpModule {
     * once onto the index's m bucketing; the test geometry's "odd half
     * already indexed" just lets the declared query skip a re-derive
     * that changes no output bit. */
-  private[graft] def minimizerIncPairs(s: SparkSession,
-                                       d: String): DataFrame = {
+  private[graft] def minimizerIncPairs(s: SparkSession, d: String,
+                                       batchMod: Int = 2): DataFrame = {
+    // batchMod parameterizes the BATCH FRACTION for the r15 scale
+    // sweep (the r14 verdict's #1: the O(batch) claim was only ever
+    // measured at the declared half-corpus geometry): batch = ids ≡ 1
+    // (mod batchMod) — 1/batchMod of the corpus, always a subset of
+    // the odd half, so the even standing index stays authoritative.
+    // The declared query's mod 2 is the identity case.
     val idx = s.table(minPairIndexTable(s, d))
-    val batch = idx.where(col("doc_id") % 2 === 1)
+    val batch = idx.where(col("doc_id") % batchMod === 1)
     val capped = idx
       .withColumn("bn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("m")))
@@ -284,7 +290,8 @@ object DedupExtOps extends OpModule {
       .join(capped.hint("merge")
               .select(col("m"), col("doc_id").as("old_id")), Seq("m"))
       .where(col("old_id") =!= col("new_id") &&
-             (col("old_id") % 2 === 0 || col("old_id") < col("new_id")))
+             (col("old_id") % batchMod =!= 1 ||
+              col("old_id") < col("new_id")))
       .select(least(col("new_id"), col("old_id")).as("id_a"),
               greatest(col("new_id"), col("old_id")).as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
@@ -293,13 +300,15 @@ object DedupExtOps extends OpModule {
 
   /** q340's batch-vs-index Hamming pair probe (id_a, id_b, hamming)
     * — factored for the q347 intake funnel (one truth per tier). */
-  private[graft] def hammingIncPairs(s: SparkSession,
-                                     d: String): DataFrame = {
+  private[graft] def hammingIncPairs(s: SparkSession, d: String,
+                                     batchMod: Int = 2): DataFrame = {
+    // batchMod: see [[minimizerIncPairs]] — the r15 batch-fraction
+    // sweep knob; mod 2 (the default) is the declared query.
     def pin(df: DataFrame) = org.apache.spark.sql.graft.InternalPin.pin(df)
     locally {
       val idxT = hamIndexTable(s, d)
       val (fps, h) = pin(simhash64Fps(s, Tables(s, d, "documents")
-                                        .where(col("doc_id") % 2 === 1)))
+                                        .where(col("doc_id") % batchMod === 1)))
       h.count(); graft.PinScope.retain(h)
       val bands = (0 until 4).map(b =>
           fps.select(concat(lit(s"$b:"),

@@ -513,19 +513,30 @@ object SimilarityExtOps extends OpModule {
                      lit(0.0).as("es"), col("v")))
     }
 
+  /** q350's link budget — the HNSW efConstruction discipline: only
+    * the batch node's [[GraphInsertEf]] BEST-scoring hubs expand to
+    * their standing neighbors. The first cut expanded every hub of
+    * both cells (2·cap·9 ≈ 1152 rescores per insert — 9× the build's
+    * per-node cost, measured 177 s at the 100× ½-batch geometry,
+    * MORE than a full rebuild); search-then-link caps the expansion
+    * at 2·cap + ef·8 ≈ 256 and the measured line drops ~4×. */
+  private[graft] val GraphInsertEf = 16
+
   /** q350's batch INSERT against [[beamGraphIncTable]] (also q344's
-    * third recall tier): the odd batch assigns to its 2 nearest
-    * frozen cells (centroid vectors read from the artifact's 'v'
-    * rows — never the even parquet), candidates = the cells' hubs ∪
-    * the hubs' standing out-neighbors (the one LOCALIZED descent
-    * round — a new node reaches 2-hop candidates through its entry
-    * hubs, Dong et al.'s observation applied at insert time, ≤
-    * 2·cap·9 rescores per node), new out-edges = the batch node's
-    * top-8, and each touched standing node merges the REVERSED batch
-    * edges into its stored top-8 by the persisted scores — no
+    * third recall tier), the HNSW search-then-link shape: the odd
+    * batch assigns to its 2 nearest frozen cells (centroid vectors
+    * read from the artifact's 'v' rows — never the even parquet),
+    * SEARCH scores the cells' hubs and keeps the [[GraphInsertEf]]
+    * best per node, LINK expands only those hubs' standing
+    * out-neighbors (the localized descent step, scored once — hub
+    * scores are never recomputed), new out-edges = the node's top-8
+    * over hubs ∪ expanded neighbors (≤ 2·cap + ef·8 rescores per
+    * insert), and each touched standing node merges the REVERSED
+    * batch edges into its stored top-8 by the persisted scores — no
     * standing pair is ever rescored. Returns the merged edge list
     * (src, nn_rank, dst, es) over both halves. */
-  private[graft] def graphInsertEdges(s: SparkSession, d: String)
+  private[graft] def graphInsertEdges(s: SparkSession, d: String,
+                                      batchMod: Int = 2)
       : DataFrame = {
     val idx = s.table(beamGraphIncTable(s, d))
     val standing = idx.where(col("kind") === "e")
@@ -534,7 +545,7 @@ object SimilarityExtOps extends OpModule {
       .select(col("a").as("cid"), col("b").as("hid"))
     val nodes = idx.where(col("kind") === "v")
       .select(col("a").as("nid"), col("v").as("nv"))
-    val batch = embBase(s, d).where(col("vec_id") % 2 === 1)
+    val batch = embBase(s, d).where(col("vec_id") % batchMod === 1)
     val packed = nodes.where(col("nid") < 2 * Cents)
       .select(col("nid").as("cid"), col("nv").as("cv"))
       .agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
@@ -547,20 +558,35 @@ object SimilarityExtOps extends OpModule {
         Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))))
       .where(col("rn") <= 2)
       .select(col("vec_id"), col("cid"))
-    val cd0 = bmem.join(hubs, Seq("cid"))
-      .select(col("vec_id"), col("hid").as("cnd"))
-    val cd1 = cd0.join(standing.select(col("src").as("cnd"),
-                                       col("dst")), Seq("cnd"))
-      .select(col("vec_id"), col("dst").as("cnd"))
-    val cand = cd0.unionAll(cd1).distinct()
-    val bsc = cand
-      .join(batch.select(col("vec_id"), col("v").as("bv")),
-            Seq("vec_id"))
+    val bv = batch.select(col("vec_id"), col("v").as("bv"))
+    // SEARCH: score every hub of the node's 2 cells, once
+    val hcd = bmem.join(hubs, Seq("cid"))
+      .select(col("vec_id"), col("hid").as("cnd")).distinct()
+    val hsc = hcd
+      .join(bv, Seq("vec_id"))
       .join(nodes.select(col("nid").as("cnd"), col("nv")), Seq("cnd"))
-      .select(col("vec_id").as("src"), col("cnd").as("dst"),
+      .select(col("vec_id"), col("cnd"),
               round(GraftFunctions.cosineSimilarity(col("bv"), col("nv")),
                     4).as("es"))
-    val bnew = bsc.withColumn("rk", row_number().over(
+    // LINK: expand only the ef best hubs' standing neighbors, and
+    // score only candidates the hub pass has not already scored
+    val hk = hsc.withColumn("hr", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("es").desc, col("cnd"))))
+      .where(col("hr") <= GraphInsertEf)
+      .select(col("vec_id"), col("cnd"))
+    val ncd = hk.join(standing.select(col("src").as("cnd"), col("dst")),
+                      Seq("cnd"))
+      .select(col("vec_id"), col("dst").as("cnd")).distinct()
+      .join(hcd, Seq("vec_id", "cnd"), "left_anti")
+    val nsc = ncd
+      .join(bv, Seq("vec_id"))
+      .join(nodes.select(col("nid").as("cnd"), col("nv")), Seq("cnd"))
+      .select(col("vec_id"), col("cnd"),
+              round(GraftFunctions.cosineSimilarity(col("bv"), col("nv")),
+                    4).as("es"))
+    val bnew = hsc.unionAll(nsc)
+      .select(col("vec_id").as("src"), col("cnd").as("dst"), col("es"))
+      .withColumn("rk", row_number().over(
         Window.partitionBy("src").orderBy(col("es").desc, col("dst"))))
       .where(col("rk") <= 8).select("src", "dst", "es")
     val smerge = standing
@@ -634,21 +660,30 @@ object SimilarityExtOps extends OpModule {
        |          i -> (b.v[i] - c.cv[i]) * (b.v[i] - c.cv[i]))),
        |        c.cid) AS rn
        |    FROM ${p}bq b, ${p}c c) WHERE rn <= 2),
-       |${p}cd AS (SELECT DISTINCT vec_id, cnd FROM (
-       |    SELECT m.vec_id, h.vec_id AS cnd
-       |    FROM ${p}bmem m JOIN ${p}hub h ON m.cid = h.cid
-       |    UNION ALL
-       |    SELECT m.vec_id, g.dst AS cnd
-       |    FROM ${p}bmem m JOIN ${p}hub h ON m.cid = h.cid
-       |         JOIN ${p}graph g ON g.src = h.vec_id)),
-       |${p}bsc AS (SELECT cd.vec_id AS src, cd.cnd AS dst,
+       |${p}hcd AS (SELECT DISTINCT m.vec_id, h.vec_id AS cnd
+       |    FROM ${p}bmem m JOIN ${p}hub h ON m.cid = h.cid),
+       |${p}hsc AS MATERIALIZED (SELECT cd.vec_id, cd.cnd,
        |    round(list_cosine_similarity(b.v, e.v), 4) AS es
-       |  FROM ${p}cd cd JOIN ${p}bq b ON cd.vec_id = b.vec_id
+       |  FROM ${p}hcd cd JOIN ${p}bq b ON cd.vec_id = b.vec_id
+       |       JOIN ${p}e e ON cd.cnd = e.vec_id),
+       |${p}hk AS (SELECT vec_id, cnd FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY es DESC, cnd) AS hr
+       |    FROM ${p}hsc) WHERE hr <= $GraphInsertEf),
+       |${p}ncd AS (SELECT DISTINCT k.vec_id, g.dst AS cnd
+       |    FROM ${p}hk k JOIN ${p}graph g ON g.src = k.cnd
+       |    WHERE NOT EXISTS (SELECT 1 FROM ${p}hcd h
+       |      WHERE h.vec_id = k.vec_id AND h.cnd = g.dst)),
+       |${p}nsc AS (SELECT cd.vec_id, cd.cnd,
+       |    round(list_cosine_similarity(b.v, e.v), 4) AS es
+       |  FROM ${p}ncd cd JOIN ${p}bq b ON cd.vec_id = b.vec_id
        |       JOIN ${p}e e ON cd.cnd = e.vec_id),
        |${p}bnew AS MATERIALIZED (SELECT src, dst, es FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY src
-       |                                 ORDER BY es DESC, dst) AS rk
-       |    FROM ${p}bsc) WHERE rk <= 8),
+       |    SELECT vec_id AS src, cnd AS dst, es,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY es DESC, cnd) AS rk
+       |    FROM (SELECT * FROM ${p}hsc
+       |          UNION ALL SELECT * FROM ${p}nsc)) WHERE rk <= 8),
        |${p}smerge AS (SELECT src, dst, es FROM (
        |    SELECT *, row_number() OVER (PARTITION BY src
        |                                 ORDER BY es DESC, dst) AS rk
@@ -858,14 +893,18 @@ object SimilarityExtOps extends OpModule {
     * so the q347 intake funnel consumes the IDENTICAL dup set (one
     * truth per tier). See q339's registry docstring for the full
     * semantics. */
-  private[graft] def semDedupIncParts(s: SparkSession, d: String)
+  private[graft] def semDedupIncParts(s: SparkSession, d: String,
+                                      batchMod: Int = 2)
       : (DataFrame, DataFrame, DataFrame) = {
+    // batchMod: the r15 batch-fraction sweep knob (see DedupExtOps
+    // .minimizerIncPairs) — batch = vec_id ≡ 1 (mod batchMod), a
+    // subset of the odd half; mod 2 is the declared query.
     val idx = s.table(semDedupIndexTable(s, d))
     val cents = idx.where(col("kind") === "c")
       .select(col("cid"), col("xi").as("ci"))
     val old = idx.where(col("kind") === "m")
       .select(col("cid"), col("id"), col("nv"), col("xi"))
-    val batchQ = embBase(s, d).where(col("vec_id") % 2 === 1)
+    val batchQ = embBase(s, d).where(col("vec_id") % batchMod === 1)
       .select(col("vec_id"),
         expr("transform(v, x -> CAST(round(x * 1000000) AS BIGINT))")
           .as("xi"))
@@ -1647,16 +1686,18 @@ object SimilarityExtOps extends OpModule {
     // (q339 SemDeDup / q340 Hamming / q341 minimizer) at the GRAPH
     // tier: the even half is the standing corpus whose k-NN graph,
     // hubs, and node vectors persist once ([[beamGraphIncTable]]);
-    // the odd batch INSERTS — assigns to its 2 nearest frozen cells,
-    // links through the cells' hubs, and runs one LOCALIZED descent
-    // round (hub out-neighbors as 2-hop candidates) — while touched
-    // standing nodes merge the reversed batch edges into their STORED
-    // top-8 by the persisted scores, so no standing pair is ever
-    // rescored and the even corpus is never rescanned (plan-asserted:
-    // the only embeddings FileScan is the odd batch). Cost O(batch ·
-    // 2 · cap · 9) cosines — proportional to the batch, not the
-    // corpus. Emits the merged edge list; q344's third recall row
-    // attests what insert-time linking costs vs the full rebuild.
+    // the odd batch INSERTS in the HNSW search-then-link shape —
+    // assigns to its 2 nearest frozen cells, SEARCHES the cells'
+    // hubs (scored once), LINKS through only the GraphInsertEf best
+    // hubs' standing out-neighbors (the localized descent step) —
+    // while touched standing nodes merge the reversed batch edges
+    // into their STORED top-8 by the persisted scores, so no
+    // standing pair is ever rescored and the even corpus is never
+    // rescanned (plan-asserted: the only embeddings FileScan is the
+    // odd batch). Cost O(batch · (2·cap + ef·8)) cosines —
+    // proportional to the batch, not the corpus. Emits the merged
+    // edge list; q344's third recall row attests what insert-time
+    // linking costs vs the full rebuild.
     "q350_graph_insert" -> { (s, d) =>
       graphInsertEdges(s, d).orderBy("src", "nn_rank")
     },
@@ -1718,6 +1759,120 @@ object SimilarityExtOps extends OpModule {
       rows.toSeq
         .toDF("round", "edges", "changed", "update_ppm", "recall_ppm")
         .orderBy("round")
+    },
+
+    // Matryoshka dimension-truncation recall (added r15; Kusupati et
+    // al. 2022's MRL evaluation as an ATTESTATION over this corpus) —
+    // the production knob every embedding index weighs: a prefix-
+    // truncated index costs k/64 of the storage and compute, and this
+    // measures what each prefix actually buys HERE instead of
+    // assuming the paper's curve transfers. For q344's 64 anchor
+    // nodes, exact top-8 by full 64-dim cosine is the truth; tiers
+    // re-rank by cosine over the first 8/16/32 dims (truncated
+    // SLICES on both sides — MRL's prefix metric, norms over the
+    // slice) plus the dims=64 self-check row that must read exactly
+    // 10⁶. One 4·64·n linear pass, never n². Same integer
+    // fixed-point recall_ppm as q344 — the two tables read together:
+    // graph recall tells you the INDEX's loss, this one the
+    // REPRESENTATION's.
+    "q352_mrl_recall" -> { (s, d) =>
+      val em = embBase(s, d).where(col("vec_id") =!= 0)
+      val (anchors, ah) = pin(em.orderBy("vec_id").limit(64)
+        .select(col("vec_id").as("qid"), col("v").as("qv")))
+      ah.count(); graft.PinScope.retain(ah)
+      def topk(dims: Int): DataFrame = {
+        val (va, vq) =
+          if (dims == 64) (col("v"), col("qv"))
+          else (slice(col("v"), 1, dims), slice(col("qv"), 1, dims))
+        em.crossJoin(broadcast(anchors))
+          .where(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("dst"),
+                  round(GraftFunctions.cosineSimilarity(va, vq), 4)
+                    .as("sim"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("qid")
+              .orderBy(col("sim").desc, col("dst"))))
+          .where(col("rk") <= 8)
+          .select(col("qid"), col("dst"))
+      }
+      val (exact, eh) = pin(topk(64))
+      eh.count(); graft.PinScope.retain(eh)
+      Seq(8, 16, 32, 64).map { k =>
+        val hits = topk(k).join(exact, Seq("qid", "dst"), "left_semi")
+        exact.agg(count(lit(1)).as("exact_pairs"))
+          .crossJoin(hits.agg(count(lit(1)).as("hits")))
+          .select(lit(k.toLong).as("dims"), col("exact_pairs"),
+                  col("hits"),
+                  expr("CASE WHEN exact_pairs = 0 THEN 0 ELSE " +
+                       "(1000000 * hits) DIV exact_pairs END")
+                    .as("recall_ppm"))
+      }.reduce(_ unionAll _).orderBy("dims")
+    },
+
+    // Scalar-quantization (symmetric int8) recall (added r15) — the
+    // OTHER standard index-compression knob next to q100's product
+    // quantization: one global scale S = max |component| over the
+    // corpus (a broadcast 1-row aggregate — the quantizer's entire
+    // model), every vector quantizes to q_i = round(x_i · 127 / S) ∈
+    // [−127, 127] (8 bits/dim, a 8× storage cut vs float64), and the
+    // tier re-ranks q344's 64 anchors by QUANTIZED cosine — integer
+    // dot and integer norms via the codegen'd dotProductLong kernel,
+    // so both engines rank identical integers and the only float op
+    // is the final round(dot/√(na·nb), 4). Truth = exact full-
+    // precision top-8 (same pass as q352's dims=64 row). Report: the
+    // sq8 recall row plus the exact self-check row — the measured
+    // basis for "int8 is free on this corpus" (or not).
+    "q353_sq8_recall" -> { (s, d) =>
+      val em = embBase(s, d).where(col("vec_id") =!= 0)
+      val scaleDf = em.agg(
+        max(expr("aggregate(transform(v, x -> abs(x)), " +
+                 "CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, x))"))
+          .as("sc"))
+      val eq = em.crossJoin(broadcast(scaleDf))
+        .select(col("vec_id"), col("v"),
+                expr("transform(v, x -> CAST(round(x * 127 / sc) " +
+                     "AS BIGINT))").as("q"))
+        .select(col("vec_id"), col("v"), col("q"),
+                GraftFunctions.dotProductLong(col("q"), col("q"))
+                  .as("nq"))
+      val (anchors, ah) = pin(eq.orderBy("vec_id").limit(64)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+                col("q").as("qq"), col("nq").as("nqa")))
+      ah.count(); graft.PinScope.retain(ah)
+      def tier(name: String, ranked: DataFrame,
+               exact: DataFrame): DataFrame = {
+        val hits = ranked.join(exact, Seq("qid", "dst"), "left_semi")
+        exact.agg(count(lit(1)).as("exact_pairs"))
+          .crossJoin(hits.agg(count(lit(1)).as("hits")))
+          .select(lit(name).as("tier"), col("exact_pairs"), col("hits"),
+                  expr("CASE WHEN exact_pairs = 0 THEN 0 ELSE " +
+                       "(1000000 * hits) DIV exact_pairs END")
+                    .as("recall_ppm"))
+      }
+      val (exact, eh) = pin(eq.crossJoin(broadcast(anchors))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("dst"),
+                round(GraftFunctions.cosineSimilarity(col("v"), col("qv")),
+                      4).as("sim"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("sim").desc, col("dst"))))
+        .where(col("rk") <= 8)
+        .select(col("qid"), col("dst")))
+      eh.count(); graft.PinScope.retain(eh)
+      val sq8 = eq.crossJoin(broadcast(anchors))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("dst"),
+                round(GraftFunctions.dotProductLong(col("q"), col("qq"))
+                        .cast("double") /
+                      sqrt(col("nq").cast("double") *
+                           col("nqa").cast("double")), 4).as("sim"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("sim").desc, col("dst"))))
+        .where(col("rk") <= 8)
+        .select(col("qid"), col("dst"))
+      tier("exact", exact, exact)
+        .unionAll(tier("sq8", sq8, exact))
+        .orderBy("tier")
     },
 
     // MMR diversified re-ranking (added r13) — the DIVERSITY stage of
@@ -2865,6 +3020,108 @@ object SimilarityExtOps extends OpModule {
            |  WHERE f2.round < f.round
            |    AND f2.update_ppm < $DescentStopPpm)
            |ORDER BY round""".stripMargin,
+
+      // truncated-prefix tiers restated with list slices; the dims=64
+      // row is definitionally the truth joined to itself
+      "q352_mrl_recall" -> {
+        def tk(k: Int): String =
+          s"""tk$k AS (SELECT qid, dst FROM (
+             |    SELECT a.qid, e.vec_id AS dst,
+             |      row_number() OVER (PARTITION BY a.qid ORDER BY
+             |        round(list_cosine_similarity(e.v[1:$k],
+             |                                     a.qv[1:$k]), 4) DESC,
+             |        e.vec_id) AS rk
+             |    FROM e, anch a WHERE e.vec_id <> a.qid)
+             |  WHERE rk <= 8)""".stripMargin
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings WHERE vec_id <> 0),
+           |anch AS (SELECT vec_id AS qid, v AS qv FROM e
+           |         ORDER BY vec_id LIMIT 64),
+           |ex AS MATERIALIZED (SELECT qid, dst FROM (
+           |    SELECT a.qid, e.vec_id AS dst,
+           |      row_number() OVER (PARTITION BY a.qid ORDER BY
+           |        round(list_cosine_similarity(e.v, a.qv), 4) DESC,
+           |        e.vec_id) AS rk
+           |    FROM e, anch a WHERE e.vec_id <> a.qid)
+           |  WHERE rk <= 8),
+           |${tk(8)},
+           |${tk(16)},
+           |${tk(32)}
+           |SELECT CAST(dims AS BIGINT) AS dims,
+           |  CAST(exact_pairs AS BIGINT) AS exact_pairs,
+           |  CAST(hits AS BIGINT) AS hits,
+           |  CAST(CASE WHEN exact_pairs = 0 THEN 0
+           |       ELSE (1000000 * hits) // exact_pairs END AS BIGINT)
+           |    AS recall_ppm
+           |FROM (
+           |  SELECT 8 AS dims,
+           |    (SELECT count(*) FROM ex) AS exact_pairs,
+           |    (SELECT count(*) FROM tk8 t JOIN ex
+           |       ON t.qid = ex.qid AND t.dst = ex.dst) AS hits
+           |  UNION ALL
+           |  SELECT 16, (SELECT count(*) FROM ex),
+           |    (SELECT count(*) FROM tk16 t JOIN ex
+           |       ON t.qid = ex.qid AND t.dst = ex.dst)
+           |  UNION ALL
+           |  SELECT 32, (SELECT count(*) FROM ex),
+           |    (SELECT count(*) FROM tk32 t JOIN ex
+           |       ON t.qid = ex.qid AND t.dst = ex.dst)
+           |  UNION ALL
+           |  SELECT 64, (SELECT count(*) FROM ex),
+           |    (SELECT count(*) FROM ex))
+           |ORDER BY dims""".stripMargin
+      },
+
+      // the one-scalar quantizer, integer q-vectors and norms, and
+      // the quantized re-rank restated; the only float op is the
+      // final round(dot/sqrt, 4), same as the declared plan
+      "q353_sq8_recall" ->
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings WHERE vec_id <> 0),
+           |scl AS (SELECT max(list_max(list_transform(v,
+           |          x -> abs(x)))) AS sc FROM e),
+           |qn AS MATERIALIZED (SELECT vec_id, v, q,
+           |    CAST(list_sum(list_transform(range(1, 65),
+           |      i -> q[i] * q[i])) AS BIGINT) AS nq
+           |  FROM (SELECT vec_id, v,
+           |      list_transform(v, x -> CAST(round(x * 127 / s.sc)
+           |        AS BIGINT)) AS q
+           |    FROM e, scl s)),
+           |anch AS (SELECT vec_id AS qid, v AS qv, q AS qq,
+           |         nq AS nqa FROM qn ORDER BY vec_id LIMIT 64),
+           |ex AS MATERIALIZED (SELECT qid, dst FROM (
+           |    SELECT a.qid, x.vec_id AS dst,
+           |      row_number() OVER (PARTITION BY a.qid ORDER BY
+           |        round(list_cosine_similarity(x.v, a.qv), 4) DESC,
+           |        x.vec_id) AS rk
+           |    FROM qn x, anch a WHERE x.vec_id <> a.qid)
+           |  WHERE rk <= 8),
+           |s8 AS (SELECT qid, dst FROM (
+           |    SELECT a.qid, x.vec_id AS dst,
+           |      row_number() OVER (PARTITION BY a.qid ORDER BY
+           |        round(CAST(list_sum(list_transform(range(1, 65),
+           |                i -> x.q[i] * a.qq[i])) AS DOUBLE) /
+           |              sqrt(CAST(x.nq AS DOUBLE) *
+           |                   CAST(a.nqa AS DOUBLE)), 4) DESC,
+           |        x.vec_id) AS rk
+           |    FROM qn x, anch a WHERE x.vec_id <> a.qid)
+           |  WHERE rk <= 8)
+           |SELECT tier, exact_pairs, hits,
+           |  CAST(CASE WHEN exact_pairs = 0 THEN 0
+           |       ELSE (1000000 * hits) // exact_pairs END AS BIGINT)
+           |    AS recall_ppm
+           |FROM (
+           |  SELECT 'exact' AS tier,
+           |    CAST((SELECT count(*) FROM ex) AS BIGINT) AS exact_pairs,
+           |    CAST((SELECT count(*) FROM ex) AS BIGINT) AS hits
+           |  UNION ALL
+           |  SELECT 'sq8',
+           |    CAST((SELECT count(*) FROM ex) AS BIGINT),
+           |    CAST((SELECT count(*) FROM s8 t JOIN ex
+           |       ON t.qid = ex.qid AND t.dst = ex.dst) AS BIGINT))
+           |ORDER BY tier""".stripMargin,
 
       // identical candidate retrieval (4 dp before ranking), identical
       // pairwise table, then mmrBody verbatim — the greedy chain is

@@ -977,39 +977,7 @@ object TextExtOps extends OpModule {
     // report: batch docs, per-stage drops, kept, keep ratio — the
     // data card that says what each dedup tier actually buys on this
     // corpus.
-    "q347_pipeline_prep_v4" -> { (s, d) =>
-      def pin(df: DataFrame) = org.apache.spark.sql.graft.InternalPin.pin(df)
-      val (dm, mh) = pin(DedupExtOps.minimizerIncPairs(s, d)
-        .where(col("id_b") % 2 === 1)
-        .select(col("id_b").as("doc_id")).distinct())
-      mh.count(); graft.PinScope.retain(mh)
-      val (dh, hh) = pin(DedupExtOps.hammingIncPairs(s, d)
-        .where(col("id_b") % 2 === 1)
-        .select(col("id_b").as("doc_id")).distinct())
-      hh.count(); graft.PinScope.retain(hh)
-      val (_, _, sdp) = SimilarityExtOps.semDedupIncParts(s, d)
-      val ds = sdp.select(col("b").as("doc_id")).distinct()
-      Tables(s, d, "documents").where(col("doc_id") % 2 === 1)
-        .select(col("doc_id"), col("source"))
-        .join(broadcast(dm.withColumn("m1", lit(1))), Seq("doc_id"), "left")
-        .join(broadcast(dh.withColumn("h1", lit(1))), Seq("doc_id"), "left")
-        .join(broadcast(ds.withColumn("s1", lit(1))), Seq("doc_id"), "left")
-        .groupBy("source")
-        .agg(count(lit(1)).as("batch_docs"),
-             sum(when(col("m1") === 1, 1L).otherwise(0L))
-               .as("dropped_minimizer"),
-             sum(when(col("m1").isNull && col("h1") === 1, 1L)
-                   .otherwise(0L)).as("dropped_hamming"),
-             sum(when(col("m1").isNull && col("h1").isNull &&
-                      col("s1") === 1, 1L).otherwise(0L))
-               .as("dropped_semantic"),
-             sum(when(col("m1").isNull && col("h1").isNull &&
-                      col("s1").isNull, 1L).otherwise(0L)).as("kept"))
-        .withColumn("keep_ratio",
-          round(col("kept").cast("double") /
-                col("batch_docs").cast("double"), 6))
-        .orderBy("source")
-    },
+    "q347_pipeline_prep_v4" -> { (s, d) => pipelineV4Report(s, d) },
 
     "q302_pipeline_prep_v3" -> { (s, d) =>
       val docs = Tables(s, d, "documents")
@@ -1576,6 +1544,45 @@ object TextExtOps extends OpModule {
     * TRAIN-split LM — (doc_id, source, avg_nll DECIMAL(28,6)). Count
     * tables are vocab-bound; every log term rounds once at 6 dp then
     * sums as exact decimals (order-free, engine-identical). */
+  /** q347's body, parameterized by the batch modulus (batch = ids ≡ 1
+    * mod batchMod — the r15 batch-fraction sweep knob threaded through
+    * all three artifact-probe tiers; mod 2 is the declared query).
+    * See the q347 registry docstring for the gate semantics. */
+  private[graft] def pipelineV4Report(s: SparkSession, d: String,
+                                      batchMod: Int = 2): DataFrame = {
+    def pin(df: DataFrame) = org.apache.spark.sql.graft.InternalPin.pin(df)
+    val (dm, mh) = pin(DedupExtOps.minimizerIncPairs(s, d, batchMod)
+      .where(col("id_b") % batchMod === 1)
+      .select(col("id_b").as("doc_id")).distinct())
+    mh.count(); graft.PinScope.retain(mh)
+    val (dh, hh) = pin(DedupExtOps.hammingIncPairs(s, d, batchMod)
+      .where(col("id_b") % batchMod === 1)
+      .select(col("id_b").as("doc_id")).distinct())
+    hh.count(); graft.PinScope.retain(hh)
+    val (_, _, sdp) = SimilarityExtOps.semDedupIncParts(s, d, batchMod)
+    val ds = sdp.select(col("b").as("doc_id")).distinct()
+    Tables(s, d, "documents").where(col("doc_id") % batchMod === 1)
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(dm.withColumn("m1", lit(1))), Seq("doc_id"), "left")
+      .join(broadcast(dh.withColumn("h1", lit(1))), Seq("doc_id"), "left")
+      .join(broadcast(ds.withColumn("s1", lit(1))), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("batch_docs"),
+           sum(when(col("m1") === 1, 1L).otherwise(0L))
+             .as("dropped_minimizer"),
+           sum(when(col("m1").isNull && col("h1") === 1, 1L)
+                 .otherwise(0L)).as("dropped_hamming"),
+           sum(when(col("m1").isNull && col("h1").isNull &&
+                    col("s1") === 1, 1L).otherwise(0L))
+             .as("dropped_semantic"),
+           sum(when(col("m1").isNull && col("h1").isNull &&
+                    col("s1").isNull, 1L).otherwise(0L)).as("kept"))
+      .withColumn("keep_ratio",
+        round(col("kept").cast("double") /
+              col("batch_docs").cast("double"), 6))
+      .orderBy("source")
+  }
+
   private def pplPerDoc(s: SparkSession, d: String): DataFrame = {
     val docs = Tables(s, d, "documents")
       .select(col("doc_id"), trainSplit.as("split"), col("source"),

@@ -4726,6 +4726,26 @@ class CorrectnessSpec extends SparkSpecBase {
     } finally PinScope.drain()
   }
 
+  test("q352/q353: truncation and quantization recall tiers bracket correctly") {
+    try {
+      val mrl = q("q352_mrl_recall")
+        .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      assert(mrl.map(_._1) == Seq(8L, 16L, 32L, 64L))
+      for (r <- mrl) {
+        assert(r._3 <= r._2, s"hits exceed truth: $r")
+        assert(r._4 >= 0 && r._4 <= 1000000, s"recall out of range: $r")
+      }
+      // the full-dimension row is the truth joined to itself
+      assert(mrl.last._4 == 1000000L, s"dims=64 self-check: ${mrl.last}")
+      val sq = q("q353_sq8_recall")
+        .as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      assert(sq.map(_._1) == Seq("exact", "sq8"))
+      assert(sq.head._4 == 1000000L, s"exact self-check: ${sq.head}")
+      assert(sq.last._3 <= sq.last._2 &&
+             sq.last._4 >= 0 && sq.last._4 <= 1000000, s"sq8: ${sq.last}")
+    } finally PinScope.drain()
+  }
+
   test("q351 stop rule: every non-final row is at/above the turnover threshold") {
     try {
       val rows = q("q351_descent_converge")
