@@ -320,11 +320,16 @@ object StreamOps extends OpModule {
     * child-session discipline as runToMemory. */
   private def runToParquet(s: SparkSession,
                            build: SparkSession => DataFrame,
-                           sinkName: String): DataFrame = {
+                           sinkName: String,
+                           fullParallelism: Boolean = false): DataFrame = {
     val iso = s.newSession()
     val prev = scala.util.Try(
       s.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(32)
-    iso.conf.set("spark.sql.shuffle.partitions", math.min(8, prev).toString)
+    // same rule as runToMemory: the 8-partition override bounds
+    // per-batch STATE-STORE checkpoint cost, so stateless streams
+    // (q345's gate) keep the caller's parallelism instead
+    iso.conf.set("spark.sql.shuffle.partitions",
+                 (if (fullParallelism) prev else math.min(8, prev)).toString)
     val root = java.nio.file.Files.createTempDirectory(s"graft_fsink_$sinkName")
     // per-invocation dirs keep each run's sink independent (the bench
     // must time a full drain, not a no-op checkpoint resume), but they
@@ -552,7 +557,7 @@ object StreamOps extends OpModule {
         struct(lit(r.getLong(0)).as("cid"),
                array(r.getSeq[Long](1).map(lit(_)): _*).as("ci"))
       }: _*)
-      runToMemory(s, iso => {
+      runToParquet(s, iso => {
         val rawSchema = iso.read.parquet(s"$d/embeddings.parquet").schema
         // member side capped per cluster (q339's pair-side cap, the
         // min-id members kept — a no-op at every test SF, the Σ
@@ -584,7 +589,15 @@ object StreamOps extends OpModule {
                  col("dot").cast("decimal(38,0)") * col("dot") * 10000 >=
                    col("na").cast("decimal(38,0)") * col("nb") * 1600)
           .select(col("vec_id"), col("cid"))
-      }, "graft_stream_semdedup", "append", fullParallelism = true)
+      // r15 (the r14 verdict's #4): the gate drains through the
+      // CHECKPOINTED PARQUET sink, not the memory sink — the hit
+      // stream is fact-scaled (2.4M rows at the 100× sweep) and the
+      // memory sink serializes every row onto the driver, which WAS
+      // the measured 59.5-vs-25.6 s gap against the q339 batch twin;
+      // the file sink writes executor-parallel (and is the
+      // production exactly-once path anyway). Read side folds hits
+      // per arrival as before.
+      }, "graft_stream_semdedup", fullParallelism = true)
         .groupBy("vec_id", "cid")
         .agg(count(lit(1)).as("n_dup_old"))
         .orderBy("vec_id")
