@@ -19,8 +19,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * sweeps q351's convergence loop and q350's declared insert (the
   * round's new graph tiers) at the default fraction.
   *
-  * Mode "x100" sweeps /tmp/sf100x; default sweeps sf0.1 only.
-  * Remaining args subset the probe list. */
+  * Mode "x100" sweeps /tmp/sf100x; mode "ops" sweeps the round's six
+  * new declared operators (q348–q353) over sf0.1 + /tmp/sf10x13 +
+  * /tmp/sf100x (SweepR14's protocol); default sweeps sf0.1 only.
+  * Remaining args subset the probe/query list. */
 object SweepR15 {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -28,6 +30,7 @@ object SweepR15 {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.headOption.contains("ops")) { opsSweep(spark, args.tail); return }
     val probes: Seq[(String, (SparkSession, String, Int) => DataFrame)] =
       Seq(
         "semdedup_probe" -> ((s, d, m) =>
@@ -70,6 +73,38 @@ object SweepR15 {
       }
       // the round's new declared graph tiers at their declared geometry
       for (q <- Seq("q350_graph_insert", "q351_descent_converge")) {
+        def consume(): Unit =
+          SparkEntry.queries(q)(spark, d).write.format("noop")
+            .mode("overwrite").save()
+        try {
+          val c0 = System.nanoTime()
+          consume(); PinScope.drain()
+          val cold = (System.nanoTime() - c0) / 1e9
+          val t0 = System.nanoTime()
+          consume()
+          val dt = (System.nanoTime() - t0) / 1e9
+          val n = SparkEntry.queries(q)(spark, d).count()
+          println(f"SWEEP $d $q $dt%.2f s (cold $cold%.2f s, $n rows)")
+        } catch {
+          case e: Throwable =>
+            println(s"SWEEP $d $q FAILED: ${e.getMessage}")
+        } finally PinScope.drain()
+      }
+    }
+    spark.stop()
+  }
+
+  /** The round's new declared operators over the three volumes. */
+  private def opsSweep(spark: SparkSession, rest: Array[String]): Unit = {
+    val qs = Seq(
+      "q348_langid_train", "q349_span_excise", "q350_graph_insert",
+      "q351_descent_converge", "q352_mrl_recall", "q353_sq8_recall",
+      "q354_phrase_search",
+      "q344_graph_recall", "q345_stream_semdedup")
+    val sel = if (rest.isEmpty) qs else qs.filter(rest.contains)
+    for (d <- Seq("/root/testdata/sf0.1", "/tmp/sf10x13", "/tmp/sf100x")) {
+      spark.read.parquet(s"$d/nation.parquet").count()
+      for (q <- sel) {
         def consume(): Unit =
           SparkEntry.queries(q)(spark, d).write.format("noop")
             .mode("overwrite").save()

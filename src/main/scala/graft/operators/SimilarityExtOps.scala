@@ -187,6 +187,11 @@ object SimilarityExtOps extends OpModule {
   private val Bm25Terms = Seq("hash", "join", "vector")
   private val Bm25K = 20
 
+  // q354's fixed phrase workload (each a 2-token exact phrase over
+  // the corpus vocabulary — present at every test SF)
+  private val PhraseQueries =
+    Seq(("table", "scan"), ("window", "join"), ("hash", "scan"))
+
   private def vec: Column = col("embedding").cast("array<double>")
 
   /** q222/q311's shared Lloyd oracle text: lattice quantization, the
@@ -1875,6 +1880,43 @@ object SimilarityExtOps extends OpModule {
         .orderBy("tier")
     },
 
+    // Positional phrase search (added r15) — the EXACT-PHRASE tier of
+    // the retrieval stack next to q175's bag-of-words BM25: real
+    // search systems answer quoted queries from POSITIONAL postings
+    // (term, doc, position), matching consecutive occurrences with a
+    // per-document position equi-join — never a substring rescan of
+    // the corpus. Shape: one linear token scan emits (doc, pos, term)
+    // restricted to the query phrases' component terms (the probe
+    // touches only the query terms' postings, exactly what a
+    // persisted positional index serves — q187's postings artifact
+    // gains a pos column at scale), each 2-token phrase is a
+    // (doc_id, pos+1) self-equi-join of its two terms' postings, and
+    // the report is each phrase's top-5 documents by occurrence count
+    // (rank ≤ 5 gets Catalyst's WindowGroupLimit map-side heap, the
+    // q195 mechanism, so the per-phrase funnel never carries more
+    // than 5 rows per input partition). Fully oracled: DuckDB
+    // restates the postings and the adjacency join verbatim.
+    "q354_phrase_search" -> { (s, d) =>
+      val terms = PhraseQueries.flatMap(p => Seq(p._1, p._2)).distinct
+      val pos = Tables(s, d, "documents")
+        .select(col("doc_id"),
+                posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+        .where(col("t").isin(terms: _*))
+      val ph = PhraseQueries.map { case (w1, w2) =>
+        val a = pos.where(col("t") === w1).select(col("doc_id"), col("pos"))
+        val b = pos.where(col("t") === w2)
+          .select(col("doc_id"), (col("pos") - 1).as("pos"))
+        a.join(b, Seq("doc_id", "pos"))
+          .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+          .select(lit(s"$w1 $w2").as("phrase"), col("doc_id"), col("hits"))
+      }.reduce(_ unionAll _)
+      ph.withColumn("rnk", row_number().over(
+          Window.partitionBy("phrase")
+            .orderBy(col("hits").desc, col("doc_id"))).cast("long"))
+        .where(col("rnk") <= 5)
+        .orderBy("phrase", "rnk")
+    },
+
     // MMR diversified re-ranking (added r13) — the DIVERSITY stage of
     // the retrieval stack (Carbonell & Goldstein 1998), between the
     // raw top-k (q53) and fusion (q127): greedily pick the item
@@ -2806,6 +2848,32 @@ object SimilarityExtOps extends OpModule {
     }
     val base = Map(
       "q175_bm25" -> bm25Sql,
+
+      // positional postings restated; adjacency = pos+1 equi-join
+      "q354_phrase_search" -> {
+        val terms = PhraseQueries.flatMap(p => Seq(p._1, p._2))
+          .distinct.map(t => s"'$t'").mkString(", ")
+        val ph = PhraseQueries.map { case (w1, w2) =>
+          s"""SELECT '$w1 $w2' AS phrase, a.doc_id,
+             |    count(*) AS hits
+             |  FROM pos a JOIN pos b
+             |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             |  WHERE a.t = '$w1' AND b.t = '$w2'
+             |  GROUP BY a.doc_id""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+           |           FROM documents),
+           |pos AS MATERIALIZED (
+           |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos, toks[u.i] AS t
+           |  FROM tk, unnest(range(1, len(toks) + 1)) u(i)
+           |  WHERE toks[u.i] IN ($terms)),
+           |ph AS (
+           |$ph)
+           |SELECT phrase, doc_id, hits, CAST(rk AS BIGINT) AS rnk
+           |FROM (SELECT *, row_number() OVER (PARTITION BY phrase
+           |        ORDER BY hits DESC, doc_id) AS rk FROM ph)
+           |WHERE rk <= 5 ORDER BY phrase, rnk""".stripMargin
+      },
       "q187_bm25_index" -> bm25Sql,
       "q188_bm25_incremental" -> bm25Sql,
 
