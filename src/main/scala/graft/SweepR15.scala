@@ -31,6 +31,7 @@ object SweepR15 {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if (args.headOption.contains("ops")) { opsSweep(spark, args.tail); return }
+    if (args.headOption.contains("cells")) { cellsSweep(spark); return }
     val probes: Seq[(String, (SparkSession, String, Int) => DataFrame)] =
       Seq(
         "semdedup_probe" -> ((s, d, m) =>
@@ -90,6 +91,34 @@ object SweepR15 {
             println(s"SWEEP $d $q FAILED: ${e.getMessage}")
         } finally PinScope.drain()
       }
+    }
+    spark.stop()
+  }
+
+  /** The q345-floor LEVER measured (BASELINE's "cells ∝ √n shrinks
+    * every gate rectangle"): the semantic gate's arrival×member pair
+    * pass at 16 cells (the declared model) vs √n cells, at 100×
+    * volume (200k vectors → √n ≈ 448). Warm (cold) + the rectangle
+    * census each probe returns. */
+  private def cellsSweep(spark: SparkSession): Unit = {
+    val d = "/tmp/sf100x"
+    spark.read.parquet(s"$d/nation.parquet").count()
+    for (k <- Seq(16, 448)) {
+      def probe() = operators.SimilarityExtOps.gateRectangleProbe(spark, d, k)
+      try {
+        val c0 = System.nanoTime()
+        probe().write.format("noop").mode("overwrite").save()
+        val cold = (System.nanoTime() - c0) / 1e9
+        val t0 = System.nanoTime()
+        probe().write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val r = probe().collect()(0)
+        println(f"SWEEP $d gate_rectangles@k=$k $dt%.2f s (cold $cold%.2f s, " +
+                s"pair_rows=${r.getLong(1)} dups=${r.getLong(2)})")
+      } catch {
+        case e: Throwable =>
+          println(s"SWEEP $d gate_rectangles@k=$k FAILED: ${e.getMessage}")
+      } finally PinScope.drain()
     }
     spark.stop()
   }

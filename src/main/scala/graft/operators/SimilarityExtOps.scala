@@ -949,6 +949,53 @@ object SimilarityExtOps extends OpModule {
     (batch, old, dp)
   }
 
+  /** SweepR15's "cells" lever measurement (NOT a declared query): the
+    * q345 floor paragraph records "more/smaller clusters shrink every
+    * gate rectangle" as the production lever — this measures it. The
+    * semantic gate's cost shape at `k` cells: quantize to the 1e6
+    * lattice, assign the even half (capped members) and the odd half
+    * (uncapped arrivals) to the k lowest even-id sampled cells via
+    * the codegen'd integer argmin, score every arrival×member
+    * co-cluster pair with the exact-lattice dup predicate. Returns a
+    * 1-row census (cells, pair_rows, dups) — the sweep times the
+    * pass; pair_rows IS Σ_c odd_c·min(cap, even_c). Sampled cells
+    * (q73's discipline), not the Lloyd fit: the lever under test is
+    * the CELL COUNT's effect on rectangle mass, and sampling keeps
+    * the k=16 baseline and the k=√n variant structurally identical. */
+  private[graft] def gateRectangleProbe(s: SparkSession, d: String,
+                                        k: Int): DataFrame = {
+    val em = embBase(s, d).where(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        expr("transform(v, x -> CAST(round(x * 1000000) AS BIGINT))")
+          .as("xi"))
+    val packed = em
+      .where(col("vec_id") % 2 === 0 && col("vec_id") < 2L * k)
+      .select(col("vec_id").as("cid"), col("xi").as("ci"))
+      .agg(collect_list(struct(col("cid"), col("ci"))).as("cents"))
+    val assigned = em.crossJoin(broadcast(packed))
+      .select(col("vec_id"), col("xi"),
+              GraftFunctions.argminCentroidLong(col("xi"), col("cents"))
+                .as("cid"),
+              GraftFunctions.dotProductLong(col("xi"), col("xi"))
+                .as("nv"))
+    val members = assigned.where(col("vec_id") % 2 === 0)
+      .withColumn("mrk", row_number().over(
+        Window.partitionBy("cid").orderBy("vec_id")))
+      .where(col("mrk") <= SemDedupClusterCap)
+      .select(col("cid"), col("xi").as("xa"), col("nv").as("na"))
+    val arrivals = assigned.where(col("vec_id") % 2 === 1)
+      .select(col("cid"), col("xi").as("xb"), col("nv").as("nb"))
+    arrivals.join(members, Seq("cid"))
+      .withColumn("dot",
+        GraftFunctions.dotProductLong(col("xa"), col("xb")))
+      .agg(count(lit(1)).as("pair_rows"),
+           sum(when(col("dot") > 0 &&
+                    col("dot").cast("decimal(38,0)") * col("dot") * 10000 >=
+                      col("na").cast("decimal(38,0)") * col("nb") * 1600,
+                    1L).otherwise(0L)).as("dups"))
+      .select(lit(k.toLong).as("cells"), col("pair_rows"), col("dups"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_lsh_buckets" -> { (s, d) =>
       Tables(s, d, "embeddings")
