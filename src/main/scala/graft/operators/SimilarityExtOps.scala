@@ -1687,15 +1687,17 @@ object SimilarityExtOps extends OpModule {
       nnDescentEdges(s, d).orderBy("src", "nn_rank")
     },
 
-    // Graph-quality recall attestation (added r14) — q214/q338's
-    // knob-tuning discipline applied to the GRAPH artifact: for 64
-    // deterministic anchor nodes (the lowest vec_ids), how many of
-    // each tier's out-edges land in the anchor's EXACT top-8 (one
-    // 64·n exact pass — the attestation's own price, linear)? Two
-    // rows — the IVF build (q342's artifact) and the NN-descent
-    // round (q343) — with integer fixed-point recall; the measured
-    // table that justifies (or caps) further descent rounds. Both
-    // tiers and the truth share one node set and one exact pass.
+    // Graph-quality recall attestation (added r14; third tier r15) —
+    // q214/q338's knob-tuning discipline applied to the GRAPH
+    // artifact: for 64 deterministic anchor nodes (the lowest
+    // vec_ids), how many of each tier's out-edges land in the
+    // anchor's EXACT top-8 (one 64·n exact pass — the attestation's
+    // own price, linear)? Three rows — the IVF build (q342's
+    // artifact), the NN-descent round (q343), and the batch insert
+    // (q350's merged graph) — with integer fixed-point recall; the
+    // measured table that justifies (or caps) further descent rounds
+    // and prices insert-time linking vs a full rebuild. All tiers
+    // and the truth share one node set and one exact pass.
     "q344_graph_recall" -> { (s, d) =>
       val graph = s.table(beamGraphTable(s, d))
       val em = embBase(s, d).where(col("vec_id") =!= 0)

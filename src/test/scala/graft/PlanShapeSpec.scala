@@ -1242,6 +1242,22 @@ class PlanShapeSpec extends SparkSpecBase {
            s"no map-side WindowGroupLimit below the singleton exchange:\n$p")
   }
 
+  test("q354: per-phrase top-5 prunes map-side; postings are term-filtered at emission") {
+    val df = SparkEntry.queries("q354_phrase_search")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the rank <= 5 filter must plan a partial WindowGroupLimit below
+    // the phrase-keyed exchange (the q195 mechanism): each input
+    // partition ships at most 5 candidate docs per phrase
+    assert(p.contains("WindowGroupLimit"),
+           s"no map-side WindowGroupLimit for the per-phrase top-5:\n$p")
+    // and the postings emission keeps only the query terms — the
+    // adjacency join's inputs carry the IN-list filter, never the
+    // full token stream
+    assert(p.contains("t#") && p.contains(" IN (") || p.contains("INSET"),
+           s"postings not term-filtered at emission:\n$p")
+  }
+
   test("q173: two-phase skyline — grouped local prune, then single-partition frontier") {
     val df = SparkEntry.queries("q173_skyline")(spark, sf)
     df.collect()
