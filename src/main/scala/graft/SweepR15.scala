@@ -128,7 +128,7 @@ object SweepR15 {
     val qs = Seq(
       "q348_langid_train", "q349_span_excise", "q350_graph_insert",
       "q351_descent_converge", "q352_mrl_recall", "q353_sq8_recall",
-      "q354_phrase_search",
+      "q354_phrase_search", "q355_semdedup_cells",
       "q344_graph_recall", "q345_stream_semdedup")
     val sel = if (rest.isEmpty) qs else qs.filter(rest.contains)
     for (d <- Seq("/root/testdata/sf0.1", "/tmp/sf10x13", "/tmp/sf100x")) {

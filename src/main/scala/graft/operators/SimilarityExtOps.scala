@@ -1815,6 +1815,79 @@ object SimilarityExtOps extends OpModule {
         .orderBy("round")
     },
 
+    // √n-cell SemDeDup gate geometry (added r15, §11.1 candidate #1
+    // promoted the same round its lever was measured) — the declared
+    // 16-cell model is the oracle-deterministic TEST geometry; the
+    // production rule is cells ∝ √corpus (q120's note), and SweepR15
+    // measured it at 100×: 17.5× less rectangle mass, 12.6× less
+    // wall-clock, and 2.7× MORE dups found (at 16 cells every
+    // ~6.2k-member cluster is truncated by the 4096-member cap —
+    // dropped members are invisible to the gate; at √n cells no
+    // cluster hits it). This query is that geometry CERTIFIED: k =
+    // ⌈√|even|⌉ computed in-frame (a broadcast 1-row scalar, no
+    // collect), cells = the 2k lowest even ids (dense-id sampling,
+    // q73's discipline — both engines restate the cut), both halves
+    // assign via the codegen'd integer-lattice argmin, members cap
+    // at SemDedupClusterCap per cell (a no-op at this k, which is
+    // the point), and the per-cell census reports standing/arrivals/
+    // dup pairs/dropped arrivals — q339's report at the production
+    // cell count. Output is k ≈ √n rows.
+    "q355_semdedup_cells" -> { (s, d) =>
+      val em = embBase(s, d).where(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          expr("transform(v, x -> CAST(round(x * 1000000) AS BIGINT))")
+            .as("xi"))
+      val kDf = em.where(col("vec_id") % 2 === 0)
+        .agg(ceil(sqrt(count(lit(1)))).cast("long").as("k"))
+      val cents = em.where(col("vec_id") % 2 === 0)
+        .crossJoin(broadcast(kDf))
+        .where(col("vec_id") <= lit(2) * col("k"))
+        .select(col("vec_id").as("cid"), col("xi").as("ci"))
+      val packed = cents
+        .agg(collect_list(struct(col("cid"), col("ci"))).as("cents"))
+      val assigned = em.crossJoin(broadcast(packed))
+        .select(col("vec_id"), col("xi"),
+                GraftFunctions.argminCentroidLong(col("xi"), col("cents"))
+                  .as("cid"),
+                GraftFunctions.dotProductLong(col("xi"), col("xi"))
+                  .as("nv"))
+      val members = assigned.where(col("vec_id") % 2 === 0)
+        .withColumn("mrk", row_number().over(
+          Window.partitionBy("cid").orderBy("vec_id")))
+        .where(col("mrk") <= SemDedupClusterCap)
+        .select(col("cid"), col("vec_id"), col("xi").as("xa"),
+                col("nv").as("na"))
+      val arrivals = assigned.where(col("vec_id") % 2 === 1)
+        .select(col("cid"), col("vec_id").as("b"), col("xi").as("xb"),
+                col("nv").as("nb"))
+      val dups = arrivals
+        .join(members.select(col("cid"), col("xa"), col("na")),
+              Seq("cid"))
+        .withColumn("dot",
+          GraftFunctions.dotProductLong(col("xa"), col("xb")))
+        .where(col("dot") > 0 &&
+               col("dot").cast("decimal(38,0)") * col("dot") * 10000 >=
+                 col("na").cast("decimal(38,0)") * col("nb") * 1600)
+        .groupBy("cid")
+        .agg(count(lit(1)).as("dup_pairs"),
+             countDistinct(col("b")).as("dropped"))
+      cents.select(col("cid"))
+        .join(members.groupBy("cid")
+                .agg(count(lit(1)).as("standing")), Seq("cid"), "left")
+        .join(arrivals.groupBy("cid")
+                .agg(count(lit(1)).as("arrivals")), Seq("cid"), "left")
+        .join(dups, Seq("cid"), "left")
+        .select(col("cid"),
+                coalesce(col("standing"), lit(0L)).as("standing"),
+                coalesce(col("arrivals"), lit(0L)).as("arrivals"),
+                coalesce(col("dup_pairs"), lit(0L)).as("dup_pairs"),
+                coalesce(col("dropped"), lit(0L)).as("dropped"))
+        .withColumn("keep_ppm", expr(
+          "CASE WHEN arrivals = 0 THEN 1000000 ELSE " +
+          "(1000000 * (arrivals - dropped)) DIV arrivals END"))
+        .orderBy("cid")
+    },
+
     // Matryoshka dimension-truncation recall (added r15; Kusupati et
     // al. 2022's MRL evaluation as an ATTESTATION over this corpus) —
     // the production knob every embedding index weighs: a prefix-
@@ -3137,6 +3210,71 @@ object SimilarityExtOps extends OpModule {
            |  WHERE f2.round < f.round
            |    AND f2.update_ppm < $DescentStopPpm)
            |ORDER BY round""".stripMargin,
+
+      // the in-frame k, the 2k-lowest-even-id cell cut, the lattice
+      // argmin assignment, the member cap, and the exact dup
+      // predicate restated per cell
+      "q355_semdedup_cells" ->
+        s"""WITH e AS MATERIALIZED (SELECT vec_id,
+           |    list_transform(embedding,
+           |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+           |      AS xi
+           |  FROM embeddings WHERE vec_id <> 0),
+           |kv AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k
+           |       FROM e WHERE vec_id % 2 = 0),
+           |c AS (SELECT vec_id AS cid, xi AS ci FROM e, kv
+           |      WHERE vec_id % 2 = 0 AND vec_id <= 2 * k),
+           |d0 AS (SELECT e.vec_id, c.cid,
+           |    CAST(list_sum(list_transform(range(1, 65),
+           |      j -> (e.xi[j] - c.ci[j]) * (e.xi[j] - c.ci[j])))
+           |      AS BIGINT) AS dist
+           |  FROM e, c),
+           |asg AS MATERIALIZED (SELECT vec_id, cid FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |                                 ORDER BY dist, cid) AS rn
+           |    FROM d0) WHERE rn = 1),
+           |nv AS (SELECT vec_id,
+           |    CAST(list_sum(list_transform(range(1, 65),
+           |      j -> xi[j] * xi[j])) AS BIGINT) AS nv
+           |  FROM e),
+           |mem AS MATERIALIZED (SELECT cid, vec_id, xi, nv FROM (
+           |    SELECT a.cid, a.vec_id, e.xi, n.nv,
+           |      row_number() OVER (PARTITION BY a.cid
+           |                         ORDER BY a.vec_id) AS mrk
+           |    FROM asg a JOIN e ON a.vec_id = e.vec_id
+           |         JOIN nv n ON a.vec_id = n.vec_id
+           |    WHERE a.vec_id % 2 = 0)
+           |  WHERE mrk <= $SemDedupClusterCap),
+           |arr AS (SELECT a.cid, a.vec_id AS b, e.xi AS xb, n.nv AS nb
+           |  FROM asg a JOIN e ON a.vec_id = e.vec_id
+           |       JOIN nv n ON a.vec_id = n.vec_id
+           |  WHERE a.vec_id % 2 = 1),
+           |dp AS (SELECT cid, count(*) AS dup_pairs,
+           |    count(DISTINCT b) AS dropped
+           |  FROM (SELECT m.cid, r.b,
+           |      CAST(list_sum(list_transform(range(1, 65),
+           |        j -> m.xi[j] * r.xb[j])) AS BIGINT) AS dot,
+           |      m.nv AS na, r.nb
+           |    FROM arr r JOIN mem m ON r.cid = m.cid)
+           |  WHERE dot > 0 AND
+           |    CAST(dot AS HUGEINT) * dot * 10000 >=
+           |      CAST(na AS HUGEINT) * nb * 1600
+           |  GROUP BY cid)
+           |SELECT c.cid,
+           |  CAST(coalesce(ms.standing, 0) AS BIGINT) AS standing,
+           |  CAST(coalesce(ar.arrivals, 0) AS BIGINT) AS arrivals,
+           |  CAST(coalesce(dp.dup_pairs, 0) AS BIGINT) AS dup_pairs,
+           |  CAST(coalesce(dp.dropped, 0) AS BIGINT) AS dropped,
+           |  CAST(CASE WHEN coalesce(ar.arrivals, 0) = 0 THEN 1000000
+           |       ELSE (1000000 * (ar.arrivals - coalesce(dp.dropped, 0)))
+           |            // ar.arrivals END AS BIGINT) AS keep_ppm
+           |FROM c
+           |LEFT JOIN (SELECT cid, count(*) AS standing FROM mem
+           |           GROUP BY cid) ms ON c.cid = ms.cid
+           |LEFT JOIN (SELECT cid, count(*) AS arrivals FROM arr
+           |           GROUP BY cid) ar ON c.cid = ar.cid
+           |LEFT JOIN dp ON c.cid = dp.cid
+           |ORDER BY c.cid""".stripMargin,
 
       // truncated-prefix tiers restated with list slices; the dims=64
       // row is definitionally the truth joined to itself
