@@ -632,6 +632,25 @@ object GraftFunctions {
     ExpressionUtils.column(MinCentroidDistLong(
       ExpressionUtils.expression(vec), ExpressionUtils.expression(cents)))
 
+  /** A driver-collected centroid pack frozen as ONE `Literal` node of
+    * type `array<struct<cid: bigint, ci: array<bigint>>>` — the shape
+    * [[argminCentroidLong]] consumes. The 16-cell gate freezes its
+    * model via a `array(struct(lit…))` tree (fine at 16×64 leaves),
+    * but a √n-cell model would put k·d literal leaves into a STREAMING
+    * plan that is re-analyzed every micro-batch; a single Literal is
+    * O(1) tree size at any k, and codegen references it as one object
+    * instead of materializing thousands of constants per method. */
+  def centroidLitLong(cents: Seq[(Long, Seq[Long])]): Column = {
+    import org.apache.spark.sql.types._
+    val dt = ArrayType(StructType(Seq(
+      StructField("cid", LongType, nullable = false),
+      StructField("ci", ArrayType(LongType, containsNull = false),
+                  nullable = false))), containsNull = false)
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        cents.map { case (c, v) => org.apache.spark.sql.Row(c, v) }, dt))
+  }
+
   def vectorNorm(vec: Column): Column =
     ExpressionUtils.column(VectorNorm(ExpressionUtils.expression(vec)))
 

@@ -192,6 +192,41 @@ object SimilarityExtOps extends OpModule {
   private val PhraseQueries =
     Seq(("table", "scan"), ("window", "join"), ("hash", "scan"))
 
+  /** The POSITIONAL postings rows (t, doc_id, pos) of `docs` — one row
+    * per token occurrence, positions preserved from the raw token
+    * array (empties dropped AFTER posexplode so surviving positions
+    * stay exact). The per-occurrence inverted index a search system
+    * stores next to q187's (t, doc, tf) rows; shared by q358's full
+    * artifact and q359's standing even-half artifact. */
+  private def posPostings(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+    .where(length(col("t")) > 0)
+    .select(col("t"), col("doc_id"), col("pos").cast("long").as("pos"))
+
+  /** The phrase-match body shared VERBATIM by q354 (inline scan),
+    * q358 (persisted positional index probe) and q359 (standing index
+    * + arriving batch) — the q175/q187/q188 one-oracle-three-paths
+    * discipline: each 2-token phrase is a (doc_id, pos+1) self-equi-
+    * join of its terms' postings, report = per-phrase top-5 docs by
+    * occurrence count (rank ≤ 5 rides Catalyst's WindowGroupLimit
+    * map-side heap, the q195 mechanism). */
+  private def phraseHits(pos: DataFrame): DataFrame = {
+    val ph = PhraseQueries.map { case (w1, w2) =>
+      val a = pos.where(col("t") === w1).select(col("doc_id"), col("pos"))
+      val b = pos.where(col("t") === w2)
+        .select(col("doc_id"), (col("pos") - 1).as("pos"))
+      a.join(b, Seq("doc_id", "pos"))
+        .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+        .select(lit(s"$w1 $w2").as("phrase"), col("doc_id"), col("hits"))
+    }.reduce(_ unionAll _)
+    ph.withColumn("rnk", row_number().over(
+        Window.partitionBy("phrase")
+          .orderBy(col("hits").desc, col("doc_id"))).cast("long"))
+      .where(col("rnk") <= 5)
+      .orderBy("phrase", "rnk")
+  }
+
   private def vec: Column = col("embedding").cast("array<double>")
 
   /** q222/q311's shared Lloyd oracle text: lattice quantization, the
@@ -518,6 +553,78 @@ object SimilarityExtOps extends OpModule {
                      lit(0.0).as("es"), col("v")))
     }
 
+  /** In-JVM monitors for [[graphVersionRoot]] — per (sfDir,
+    * fingerprint), BucketedCache's rule: independent corpora build
+    * concurrently, two builders of the same log serialize. */
+  private val graphLogLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** The PROMOTED GRAPH VERSION LOG (added r16, the r15 verdict's #2)
+    * — q350 merged edge lists but never COMMITTED them; this is the
+    * commit: each graph tier lands as a SnapshotLog VERSION (the
+    * q167/q298 manifest discipline — files first, one atomic manifest
+    * rename second, so a reader can never observe a half-promoted
+    * graph and a crash between data write and manifest leaves the old
+    * version serving; ArtifactCommitSpec drives that case), keyed on
+    * the corpus fingerprint (BucketedCache's r15 rule — an in-place
+    * corpus rewrite routes consumers to a fresh log, never a stale
+    * graph). Versions: v1 = the IVF build (q342's artifact), v2 = one
+    * NN-descent round over v1 (q343), v3 = the batch-insert merge
+    * (q350). The expensive machinery — descent rescoring, the HNSW
+    * search-then-link — runs ONCE per (corpus, fingerprint) inside
+    * the build; every consumer (q344's recall attestation, a serving
+    * layer) READS a committed version: at 100 TB the promotion job is
+    * the nightly writer and queries only ever pay a parquet scan.
+    * The whole log builds in a scratch dir and atomic-renames into
+    * place (cachedLayout's discipline), so the log itself is also
+    * all-or-nothing. */
+  private[graft] def graphVersionRoot(s: SparkSession,
+                                      d: String): java.nio.file.Path = {
+    val SnapshotLog = graft.sources.PartitionedOps.SnapshotLog
+    val key = d.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
+      graft.BucketedCache.corpusFingerprint(d)
+    val dir = java.nio.file.Paths.get(
+      s"${sys.props("java.io.tmpdir")}/graft_graphlog_$key")
+    val lock = graphLogLocks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      if (!java.nio.file.Files.exists(dir)) {
+        val scratchRoot =
+          java.nio.file.Files.createTempDirectory("graft_graphlog_scratch")
+        val scratch = scratchRoot.resolve("log")
+        try {
+          java.nio.file.Files.createDirectories(scratch)
+          val v1 = SnapshotLog.addFiles(s, scratch, "g1",
+            s.table(beamGraphTable(s, d)).select("src", "dst"))
+          SnapshotLog.commitVersion(scratch, 1, v1)
+          val v2 = SnapshotLog.addFiles(s, scratch, "g2",
+            nnDescentEdges(s, d).select("src", "dst"))
+          SnapshotLog.commitVersion(scratch, 2, v2)
+          val v3 = SnapshotLog.addFiles(s, scratch, "g3",
+            graphInsertEdges(s, d).select("src", "dst"))
+          SnapshotLog.commitVersion(scratch, 3, v3)
+          try java.nio.file.Files.move(scratch, dir,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.FileSystemException
+              if java.nio.file.Files.exists(dir) => // lost the race
+          }
+        } finally {
+          import scala.jdk.CollectionConverters._
+          if (java.nio.file.Files.exists(scratchRoot))
+            java.nio.file.Files.walk(scratchRoot).iterator.asScala.toSeq
+              .sortBy(-_.getNameCount)
+              .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      }
+    }
+    dir
+  }
+
+  /** The tier name each promoted graph version carries — the log's
+    * lineage contract, shared by q357's report and q344's reader. */
+  private[graft] val GraphVersionTiers =
+    Map(1 -> "ivf_build", 2 -> "nn_descent_1", 3 -> "graph_insert")
+
   /** q350's link budget — the HNSW efConstruction discipline: only
     * the batch node's [[GraphInsertEf]] BEST-scoring hubs expand to
     * their standing neighbors. The first cut expanded every hub of
@@ -779,6 +886,50 @@ object SimilarityExtOps extends OpModule {
           col("ci").as("xi")))
     }
 
+  /** q356's persisted √n-cell SemDeDup MODEL (added r16; the r15
+    * verdict's #1 promoted the MEASURED lever — 12.6× less gate
+    * wall-clock AND 2.7× more duplicates found at 100× than the
+    * 16-cell model, BASELINE's SweepR15 cells table — into the
+    * production-facing online gate's artifact). Same two-kind layout
+    * as [[semDedupIndexTable]] but at q355's geometry: k = ⌈√|even|⌉
+    * computed in-frame, cells = the 2k lowest even ids (sampled,
+    * q73's discipline — NOT a Lloyd fit: at cells ∝ √n a Lloyd round
+    * costs k·n distance evaluations ∝ n^1.5, while sampled cells keep
+    * the build one linear assignment pass; q355 certified the
+    * sampled-cell census against DuckDB so the oracle text is shared),
+    * members = the even half argmin-assigned once. 32 cid buckets
+    * (vs semidx's 8): the cell count scales with the corpus, so the
+    * probe join's layout key needs more parallel grain. */
+  private[graft] def semDedupSqrtIndexTable(s: SparkSession,
+                                            d: String): String =
+    graft.BucketedCache.ensure(s, d, "semsqidx",
+      "kind STRING, id BIGINT, cid BIGINT, nv BIGINT, xi ARRAY<BIGINT>",
+      "cid", 32) {
+      val em = embBase(s, d).where(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          expr("transform(v, x -> CAST(round(x * 1000000) AS BIGINT))")
+            .as("xi"))
+      val kDf = em.where(col("vec_id") % 2 === 0)
+        .agg(ceil(sqrt(count(lit(1)))).cast("long").as("k"))
+      val cents = em.where(col("vec_id") % 2 === 0)
+        .crossJoin(broadcast(kDf))
+        .where(col("vec_id") <= lit(2) * col("k"))
+        .select(col("vec_id").as("cid"), col("xi").as("ci"))
+      val packed = cents
+        .agg(collect_list(struct(col("cid"), col("ci"))).as("cents"))
+      em.where(col("vec_id") % 2 === 0)
+        .crossJoin(broadcast(packed))
+        .select(lit("m").as("kind"), col("vec_id").as("id"),
+                GraftFunctions.argminCentroidLong(col("xi"), col("cents"))
+                  .as("cid"),
+                GraftFunctions.dotProductLong(col("xi"), col("xi"))
+                  .as("nv"),
+                col("xi"))
+        .unionByName(cents.select(lit("c").as("kind"),
+          col("cid").as("id"), col("cid"), lit(0L).as("nv"),
+          col("ci").as("xi")))
+    }
+
   /** Deterministic sampled IVF centroids (cid, cv). `n` defaults to the
     * frozen [[Cents]] every declared query uses (oracle determinism);
     * the q120 production variant passes cells ∝ √corpus. */
@@ -969,7 +1120,7 @@ object SimilarityExtOps extends OpModule {
         expr("transform(v, x -> CAST(round(x * 1000000) AS BIGINT))")
           .as("xi"))
     val packed = em
-      .where(col("vec_id") % 2 === 0 && col("vec_id") < 2L * k)
+      .where(col("vec_id") % 2 === 0 && col("vec_id") <= 2L * k)
       .select(col("vec_id").as("cid"), col("xi").as("ci"))
       .agg(collect_list(struct(col("cid"), col("ci"))).as("cents"))
     val assigned = em.crossJoin(broadcast(packed))
@@ -1687,21 +1838,26 @@ object SimilarityExtOps extends OpModule {
       nnDescentEdges(s, d).orderBy("src", "nn_rank")
     },
 
-    // Graph-quality recall attestation (added r14; third tier r15) —
-    // q214/q338's knob-tuning discipline applied to the GRAPH
-    // artifact: for 64 deterministic anchor nodes (the lowest
-    // vec_ids), how many of each tier's out-edges land in the
-    // anchor's EXACT top-8 (one 64·n exact pass — the attestation's
-    // own price, linear)? Three rows — the IVF build (q342's
-    // artifact), the NN-descent round (q343), and the batch insert
-    // (q350's merged graph) — with integer fixed-point recall; the
-    // measured table that justifies (or caps) further descent rounds
-    // and prices insert-time linking vs a full rebuild. All tiers
+    // Graph-quality recall attestation (added r14; third tier r15;
+    // r16 reads PROMOTED VERSIONS) — q214/q338's knob-tuning
+    // discipline applied to the GRAPH artifact: for 64 deterministic
+    // anchor nodes (the lowest vec_ids), how many of each tier's
+    // out-edges land in the anchor's EXACT top-8 (one 64·n exact pass
+    // — the attestation's own price, linear)? Three rows — the IVF
+    // build, the NN-descent round, and the batch insert — with
+    // integer fixed-point recall; the measured table that justifies
+    // (or caps) further descent rounds and prices insert-time linking
+    // vs a full rebuild. Since r16 (the r15 verdict's #2) the tiers
+    // are READ from [[graphVersionRoot]]'s committed versions instead
+    // of re-running descent + insert inline — the machinery runs once
+    // in the promotion job and this attestation pays only its own
+    // exact pass plus three parquet scans (the r15 49.8 s @100× line
+    // was the inline insert re-run, not the attestation). All tiers
     // and the truth share one node set and one exact pass.
     "q344_graph_recall" -> { (s, d) =>
-      val graph = s.table(beamGraphTable(s, d))
+      val SnapshotLog = graft.sources.PartitionedOps.SnapshotLog
+      val root = graphVersionRoot(s, d)
       val em = embBase(s, d).where(col("vec_id") =!= 0)
-      val refined = nnDescentEdges(s, d).select("src", "dst")
       val (anchors, ah) = pin(em.orderBy("vec_id").limit(64)
         .select(col("vec_id").as("qid"), col("v").as("qv")))
       ah.count(); graft.PinScope.retain(ah)
@@ -1728,11 +1884,40 @@ object SimilarityExtOps extends OpModule {
                        "(1000000 * hits) DIV exact_pairs END")
                     .as("recall_ppm"))
       }
-      tier("ivf_build", graph.select("src", "dst"))
-        .unionAll(tier("nn_descent_1", refined))
-        .unionAll(tier("graph_insert",
-                       graphInsertEdges(s, d).select("src", "dst")))
+      GraphVersionTiers.toSeq.sortBy(_._1)
+        .map { case (v, name) =>
+          tier(name, SnapshotLog.read(s, root, v)) }
+        .reduce(_ unionAll _)
         .orderBy("tier")
+    },
+
+    // Graph artifact PROMOTION report (added r16, the r15 verdict's
+    // #2) — the query a serving team runs after the nightly graph
+    // job: which graph versions are COMMITTED, and what does each
+    // hold? Running it ensures the promotion itself: v1 = the IVF
+    // build, v2 = the NN-descent round, v3 = the batch-insert merge,
+    // each committed under SnapshotLog's files-then-manifest protocol
+    // (a crash between data write and manifest serves the old
+    // version — ArtifactCommitSpec) into a corpus-fingerprint-keyed
+    // log (a mutated corpus can never serve a stale graph). The
+    // build is write-once per (corpus, fingerprint); re-running the
+    // query reads the committed manifests. Report: per version its
+    // tier name, edge count, and distinct source nodes — all
+    // deterministic, so the oracle restates the three edge sets from
+    // the shared build/descent/insert CTE text and must see the
+    // promotion as invisible. Version numbers are data: a consumer
+    // pins `version = 3` the way q136 pins a time-travel snapshot.
+    "q357_graph_promote" -> { (s, d) =>
+      val SnapshotLog = graft.sources.PartitionedOps.SnapshotLog
+      val root = graphVersionRoot(s, d)
+      SnapshotLog.versions(root).map { v =>
+        SnapshotLog.read(s, root, v)
+          .agg(count(lit(1)).as("edges"),
+               countDistinct(col("src")).as("srcs"))
+          .select(lit(v.toLong).as("version"),
+                  lit(GraphVersionTiers(v)).as("tier"),
+                  col("edges"), col("srcs"))
+      }.reduce(_ unionAll _).orderBy("version")
     },
 
     // ANN graph batch-insert maintenance (added r15, the r14
@@ -1898,7 +2083,8 @@ object SimilarityExtOps extends OpModule {
     // re-rank by cosine over the first 8/16/32 dims (truncated
     // SLICES on both sides — MRL's prefix metric, norms over the
     // slice) plus the dims=64 self-check row that must read exactly
-    // 10⁶. One 4·64·n linear pass, never n². Same integer
+    // 10⁶ (emitted from the pinned exact frame itself, no re-rank
+    // pass). One exact + three truncated 64·n passes, never n². Same integer
     // fixed-point recall_ppm as q344 — the two tables read together:
     // graph recall tells you the INDEX's loss, this one the
     // REPRESENTATION's.
@@ -1924,7 +2110,12 @@ object SimilarityExtOps extends OpModule {
       }
       val (exact, eh) = pin(topk(64))
       eh.count(); graft.PinScope.retain(eh)
-      Seq(8, 16, 32, 64).map { k =>
+      // The dims=64 self-check row reads hits = exact_pairs straight
+      // off the pinned exact frame (it IS the truth set — re-ranking
+      // it against itself is a wasted 64·n pass; the oracle hardcodes
+      // this row the same way), so the query runs THREE truncated
+      // 64·n anchor passes plus the one exact pass, not five.
+      Seq(8, 16, 32).map { k =>
         val hits = topk(k).join(exact, Seq("qid", "dst"), "left_semi")
         exact.agg(count(lit(1)).as("exact_pairs"))
           .crossJoin(hits.agg(count(lit(1)).as("hits")))
@@ -1933,7 +2124,13 @@ object SimilarityExtOps extends OpModule {
                   expr("CASE WHEN exact_pairs = 0 THEN 0 ELSE " +
                        "(1000000 * hits) DIV exact_pairs END")
                     .as("recall_ppm"))
-      }.reduce(_ unionAll _).orderBy("dims")
+      }.reduce(_ unionAll _)
+        .unionAll(
+          exact.agg(count(lit(1)).as("exact_pairs"))
+            .select(lit(64L).as("dims"), col("exact_pairs"),
+                    col("exact_pairs").as("hits"),
+                    lit(1000000L).as("recall_ppm")))
+        .orderBy("dims")
     },
 
     // Scalar-quantization (symmetric int8) recall (added r15) — the
@@ -2020,23 +2217,56 @@ object SimilarityExtOps extends OpModule {
     // restates the postings and the adjacency join verbatim.
     "q354_phrase_search" -> { (s, d) =>
       val terms = PhraseQueries.flatMap(p => Seq(p._1, p._2)).distinct
-      val pos = Tables(s, d, "documents")
+      phraseHits(Tables(s, d, "documents")
         .select(col("doc_id"),
                 posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+        .where(col("t").isin(terms: _*)))
+    },
+
+    // Phrase search through the PERSISTED POSITIONAL INDEX (added
+    // r16, the r15 verdict's #3) — makes q354's "a persisted
+    // positional index serves the probe" note real, the way q187
+    // made q175's postings note real: the artifact is the per-
+    // occurrence inverted index (t, doc_id, pos) BUCKETED BY TERM
+    // (q187's pospostings sibling with the pos column), built once
+    // per corpus; the probe filters on the phrase terms, and because
+    // `t` is the bucket key Spark prunes to the terms' buckets at
+    // PLANNING time (SelectedBucketsCount, plan-asserted) and never
+    // touches the documents parquet — a quoted query against a
+    // web-scale index reads its terms' postings lists, never the
+    // corpus. Adjacency join + top-5 are [[phraseHits]] verbatim, so
+    // the result is byte-identical to q354 (one oracle, two paths).
+    "q358_phrase_index" -> { (s, d) =>
+      val posT = graft.BucketedCache.ensure(s, d, "pospost",
+          "t STRING, doc_id BIGINT, pos BIGINT", "t", 8)(
+        posPostings(Tables(s, d, "documents")))
+      val terms = PhraseQueries.flatMap(p => Seq(p._1, p._2)).distinct
+      phraseHits(s.table(posT).where(col("t").isin(terms: _*)))
+    },
+
+    // INCREMENTAL phrase search — standing index + arriving batch
+    // (added r16, the r15 verdict's #3) — the q340/q341/q188
+    // per-release discipline at the positional tier: when the day's
+    // crawl lands, the search system does NOT rebuild the positional
+    // index — the standing even-half artifact is probed bucket-pruned
+    // (its postings were written before the batch existed), the odd
+    // batch tokenizes INLINE filtered to the query terms before the
+    // union (the only documents scan in the plan is the `% 2 = 1`
+    // batch, q350's rule), and the adjacency join runs over the
+    // union. Positions are per-document, so a batch doc's phrase
+    // hits never interact with standing docs' postings — the union
+    // is exact, and the result is provably the full-corpus q354
+    // (one oracle, THREE computation paths: scan, index, merged).
+    "q359_phrase_incremental" -> { (s, d) =>
+      val all = Tables(s, d, "documents")
+      val baseT = graft.BucketedCache.ensure(s, d, "pospostbase",
+          "t STRING, doc_id BIGINT, pos BIGINT", "t", 8)(
+        posPostings(all.where(col("doc_id") % 2 === 0)))
+      val terms = PhraseQueries.flatMap(p => Seq(p._1, p._2)).distinct
+      val batch = posPostings(all.where(col("doc_id") % 2 === 1))
         .where(col("t").isin(terms: _*))
-      val ph = PhraseQueries.map { case (w1, w2) =>
-        val a = pos.where(col("t") === w1).select(col("doc_id"), col("pos"))
-        val b = pos.where(col("t") === w2)
-          .select(col("doc_id"), (col("pos") - 1).as("pos"))
-        a.join(b, Seq("doc_id", "pos"))
-          .groupBy("doc_id").agg(count(lit(1)).as("hits"))
-          .select(lit(s"$w1 $w2").as("phrase"), col("doc_id"), col("hits"))
-      }.reduce(_ unionAll _)
-      ph.withColumn("rnk", row_number().over(
-          Window.partitionBy("phrase")
-            .orderBy(col("hits").desc, col("doc_id"))).cast("long"))
-        .where(col("rnk") <= 5)
-        .orderBy("phrase", "rnk")
+      phraseHits(s.table(baseT).where(col("t").isin(terms: _*))
+        .unionByName(batch))
     },
 
     // MMR diversified re-ranking (added r13) — the DIVERSITY stage of
@@ -2968,11 +3198,10 @@ object SimilarityExtOps extends OpModule {
            |FROM scd GROUP BY doc_id
            |ORDER BY score DESC, doc_id LIMIT $Bm25K""".stripMargin
     }
-    val base = Map(
-      "q175_bm25" -> bm25Sql,
-
-      // positional postings restated; adjacency = pos+1 equi-join
-      "q354_phrase_search" -> {
+    // ONE phrase oracle, THREE computation paths (inline-scan q354,
+    // index-probe q358, standing-index+batch q359) — bm25Sql's rule
+    // at the positional tier
+    val phraseSql = {
         val terms = PhraseQueries.flatMap(p => Seq(p._1, p._2))
           .distinct.map(t => s"'$t'").mkString(", ")
         val ph = PhraseQueries.map { case (w1, w2) =>
@@ -2995,7 +3224,14 @@ object SimilarityExtOps extends OpModule {
            |FROM (SELECT *, row_number() OVER (PARTITION BY phrase
            |        ORDER BY hits DESC, doc_id) AS rk FROM ph)
            |WHERE rk <= 5 ORDER BY phrase, rnk""".stripMargin
-      },
+    }
+    val base = Map(
+      "q175_bm25" -> bm25Sql,
+
+      // positional postings restated; adjacency = pos+1 equi-join
+      "q354_phrase_search" -> phraseSql,
+      "q358_phrase_index" -> phraseSql,
+      "q359_phrase_incremental" -> phraseSql,
       "q187_bm25_index" -> bm25Sql,
       "q188_bm25_incremental" -> bm25Sql,
 
@@ -3137,6 +3373,40 @@ object SimilarityExtOps extends OpModule {
            |    (SELECT count(*) FROM t3 JOIN ex
            |       ON t3.src = ex.qid AND t3.dst = ex.dst))
            |ORDER BY tier""".stripMargin,
+
+      // the three promoted versions' edge sets restated from the
+      // shared build/descent/insert text — the manifest log must be
+      // invisible: a committed version IS its tier's edge list
+      "q357_graph_promote" ->
+        s"""WITH $beamGraphCte,
+           |cd AS (SELECT g1.src, g2.dst AS cnd
+           |       FROM graph g1 JOIN graph g2 ON g1.dst = g2.src
+           |       WHERE g1.src <> g2.dst
+           |       UNION SELECT src, dst FROM graph),
+           |rg AS (SELECT src, dst FROM (
+           |    SELECT cd.src, cd.cnd AS dst,
+           |      row_number() OVER (PARTITION BY cd.src ORDER BY
+           |        round(list_cosine_similarity(x.v, y.v), 4) DESC,
+           |        cd.cnd) AS rk
+           |    FROM cd JOIN e x ON cd.src = x.vec_id
+           |            JOIN e y ON cd.cnd = y.vec_id)
+           |  WHERE rk <= 8),
+           |${beamGraphCteOn("i", " AND vec_id % 2 = 0",
+                             s"vec_id < ${2 * Cents}")},
+           |${graphInsertCte("i")}
+           |SELECT * FROM (
+           |  SELECT CAST(1 AS BIGINT) AS version, 'ivf_build' AS tier,
+           |    (SELECT count(*) FROM graph) AS edges,
+           |    (SELECT count(DISTINCT src) FROM graph) AS srcs
+           |  UNION ALL
+           |  SELECT CAST(2 AS BIGINT), 'nn_descent_1',
+           |    (SELECT count(*) FROM rg),
+           |    (SELECT count(DISTINCT src) FROM rg)
+           |  UNION ALL
+           |  SELECT CAST(3 AS BIGINT), 'graph_insert',
+           |    (SELECT count(*) FROM imrg),
+           |    (SELECT count(DISTINCT src) FROM imrg))
+           |ORDER BY version""".stripMargin,
 
       // the even standing build restated, then the insert: batch cell
       // assignment, hub + hub-neighbor candidates, per-src top-8, and

@@ -603,6 +603,70 @@ object StreamOps extends OpModule {
         .orderBy("vec_id")
     },
 
+    // Streaming SemDeDup gate at the √n-cell PRODUCTION geometry
+    // (added r16; the r15 verdict's #1) — q345's online gate with the
+    // model re-keyed to cells = ⌈√|even|⌉ (q355's certified census
+    // geometry: sampled even-id cells, single argmin assignment).
+    // This is the geometry the MEASUREMENTS picked: at 100× the
+    // 16-cell gate floors at 0.56 ms/arrival with every ~6.2k-member
+    // cluster truncated by the 4096 cap (dropped members invisible to
+    // the gate), while √n cells cut the arrival×member rectangle 17.5×
+    // AND find 2.7× more duplicates because no cell hits the cap
+    // (BASELINE's SweepR15 cells table; the r16 sweep re-measures the
+    // END-TO-END stream at both geometries). Deployment shape is
+    // q345's verbatim — centroids COLLECT ONCE and freeze into the
+    // streaming plan, the member probe is a stream-static equi join on
+    // cid against the 32-bucket artifact, stateless ⇒ append-mode
+    // exactly-once — with one scale fix: k ≈ √n centroids freeze as a
+    // SINGLE Literal node (GraftFunctions.centroidLitLong), not a k·d-
+    // leaf array(struct(lit…)) tree, because a streaming plan is
+    // re-analyzed every micro-batch and at 10⁹ vectors the tree form
+    // is ~2M expression nodes per batch. The member-side cap stays as
+    // the volume guard but is a measured NO-OP at this geometry at
+    // every oracle-checked SF (spec-asserted: max cell occupancy ≪
+    // cap) — which is the point of √n cells: the cap never truncates,
+    // so the gate's recall is the model's, not the guard's. Oracle:
+    // q355's shared text shape, folded per (arrival, cid).
+    "q356_stream_semdedup_sqrt" -> { (s, d) =>
+      val idxT =
+        graft.operators.SimilarityExtOps.semDedupSqrtIndexTable(s, d)
+      val centRows = s.table(idxT).where(col("kind") === "c")
+        .select(col("cid"), col("xi")).collect()
+      val centsLit = org.apache.spark.sql.graft.GraftFunctions
+        .centroidLitLong(centRows.map(r =>
+          (r.getLong(0), r.getSeq[Long](1))).toSeq.sortBy(_._1))
+      runToParquet(s, iso => {
+        val rawSchema = iso.read.parquet(s"$d/embeddings.parquet").schema
+        val members = iso.table(idxT).where(col("kind") === "m")
+          .withColumn("mrk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("cid").orderBy("id")))
+          .where(col("mrk") <=
+                 graft.operators.SimilarityExtOps.SemDedupClusterCap)
+          .select(col("cid"), col("nv").as("na"), col("xi").as("xa"))
+        iso.readStream.schema(rawSchema).parquet(stagedEmbsDir(d))
+          .where(col("vec_id") % 2 === 1)
+          .select(col("vec_id"), expr(
+            "transform(cast(embedding as array<double>), " +
+              "x -> CAST(round(x * 1000000) AS BIGINT))").as("xi"))
+          .select(col("vec_id"), col("xi"),
+            org.apache.spark.sql.graft.GraftFunctions
+              .argminCentroidLong(col("xi"), centsLit).as("cid"),
+            org.apache.spark.sql.graft.GraftFunctions
+              .dotProductLong(col("xi"), col("xi")).as("nb"))
+          .join(members, Seq("cid"))
+          .withColumn("dot", org.apache.spark.sql.graft.GraftFunctions
+            .dotProductLong(col("xa"), col("xi")))
+          .where(col("dot") > 0 &&
+                 col("dot").cast("decimal(38,0)") * col("dot") * 10000 >=
+                   col("na").cast("decimal(38,0)") * col("nb") * 1600)
+          .select(col("vec_id"), col("cid"))
+      }, "graft_stream_semdedup_sqrt", fullParallelism = true)
+        .groupBy("vec_id", "cid")
+        .agg(count(lit(1)).as("n_dup_old"))
+        .orderBy("vec_id", "cid")
+    },
+
     "q330_stream_pit_enrich" -> { (s, d) =>
       runToMemory(s, iso => {
         val rawSchema = iso.read.parquet(s"$d/orders.parquet").schema
@@ -1116,6 +1180,60 @@ object StreamOps extends OpModule {
          |           CAST(na AS DECIMAL(38,0)) * nb * 1600)
          |SELECT vec_id, cid, count(*) AS n_dup_old
          |FROM dp GROUP BY 1, 2 ORDER BY vec_id""".stripMargin
+    },
+
+    // q355's certified √n-cell census text, folded per (arrival, cid)
+    // — sampled even-id cells (vec_id <= 2k, k = ceil(sqrt(|even|))),
+    // single argmin assignment for both halves, member side capped at
+    // the stream's SemDedupClusterCap (a measured no-op at this
+    // geometry — the spec asserts it), exact-lattice dup line.
+    "q356_stream_semdedup_sqrt" -> {
+      val simx = graft.operators.SimilarityExtOps
+      s"""WITH e AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+         |      AS xi
+         |  FROM embeddings WHERE vec_id <> 0),
+         |kv AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k
+         |       FROM e WHERE vec_id % 2 = 0),
+         |c AS (SELECT vec_id AS cid, xi AS ci FROM e, kv
+         |      WHERE vec_id % 2 = 0 AND vec_id <= 2 * k),
+         |d0 AS (SELECT e.vec_id, c.cid,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      j -> (e.xi[j] - c.ci[j]) * (e.xi[j] - c.ci[j])))
+         |      AS BIGINT) AS dist
+         |  FROM e, c),
+         |asg AS MATERIALIZED (SELECT vec_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY dist, cid) AS rn
+         |    FROM d0) WHERE rn = 1),
+         |nv AS (SELECT vec_id,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      j -> xi[j] * xi[j])) AS BIGINT) AS nv
+         |  FROM e),
+         |mem AS MATERIALIZED (SELECT cid, vec_id, xi, nv FROM (
+         |    SELECT a.cid, a.vec_id, e.xi, n.nv,
+         |      row_number() OVER (PARTITION BY a.cid
+         |                         ORDER BY a.vec_id) AS mrk
+         |    FROM asg a JOIN e ON a.vec_id = e.vec_id
+         |         JOIN nv n ON a.vec_id = n.vec_id
+         |    WHERE a.vec_id % 2 = 0)
+         |  WHERE mrk <= ${simx.SemDedupClusterCap}),
+         |arr AS (SELECT a.cid, a.vec_id AS b, e.xi AS xb, n.nv AS nb
+         |  FROM asg a JOIN e ON a.vec_id = e.vec_id
+         |       JOIN nv n ON a.vec_id = n.vec_id
+         |  WHERE a.vec_id % 2 = 1),
+         |pr AS (SELECT r.b, m.cid,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      j -> m.xi[j] * r.xb[j])) AS BIGINT) AS dot,
+         |    m.nv AS na, r.nb
+         |  FROM arr r JOIN mem m ON r.cid = m.cid)
+         |SELECT b AS vec_id, cid, count(*) AS n_dup_old
+         |FROM pr
+         |WHERE dot > 0 AND
+         |  CAST(dot AS HUGEINT) * dot * 10000 >=
+         |    CAST(na AS HUGEINT) * nb * 1600
+         |GROUP BY 1, 2 ORDER BY vec_id, cid""".stripMargin
     },
 
     "q317_stream_topk" ->

@@ -4589,6 +4589,53 @@ class CorrectnessSpec extends SparkSpecBase {
     } finally PinScope.drain()
   }
 
+  test("q356 sqrt-cell streaming gate matches replay; no cell hits the cap") {
+    try {
+      // run the stream first — it builds + registers the √n model
+      val got = q("q356_stream_semdedup_sqrt")
+        .as[(Long, Long, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
+      val idx = spark.table(BucketedCache.tableName("semsqidx", sf))
+      // the r15 verdict's #6 (cap honesty at volume): under the √n
+      // geometry NO cell may hit SemDedupClusterCap at oracle-checked
+      // SFs — the whole point of cells ∝ √n is that the volume guard
+      // never truncates, so gate recall is the model's, not the
+      // guard's (at 16 cells the 100× sweep measured every ~6.2k-
+      // member cluster truncated and 2.7× of the dups invisible)
+      val maxCell = idx.where(col("kind") === "m")
+        .groupBy("cid").count().agg(max("count")).as[Long].head()
+      assert(maxCell < graft.operators.SimilarityExtOps.SemDedupClusterCap,
+             s"a √n cell holds $maxCell members — the cap truncates and " +
+               "the geometry's no-truncation recall claim is void here")
+      val cents = idx.where(col("kind") === "c")
+        .select(col("cid"), col("xi"))
+        .as[(Long, Array[Long])].collect().sortBy(_._1)
+      val members = idx.where(col("kind") === "m")
+        .select(col("cid"), col("nv"), col("xi"))
+        .as[(Long, Long, Array[Long])].collect()
+      val odds = Tables(spark, sf, "embeddings")
+        .where(col("vec_id") % 2 === 1)
+        .select(col("vec_id"), expr(
+          "transform(cast(embedding as array<double>), " +
+            "x -> CAST(round(x * 1000000) AS BIGINT))"))
+        .as[(Long, Array[Long])].collect()
+      def dot(a: Array[Long], b: Array[Long]): Long =
+        a.zip(b).map { case (x, y) => x * y }.sum
+      val want = odds.flatMap { case (vid, xi) =>
+        val cid = cents.map { case (c, ci) =>
+          (xi.zip(ci).map { case (x, y) => (x - y) * (x - y) }.sum, c)
+        }.min._2
+        val nb = BigInt(dot(xi, xi))
+        val hits = members.filter(_._1 == cid).count { case (_, na, xa) =>
+          val d = BigInt(dot(xa, xi))
+          d > 0 && d * d * 10000 >= BigInt(na) * nb * 1600
+        }
+        if (hits > 0) Some((vid, cid, hits.toLong)) else None
+      }.toSeq.sortBy(r => (r._1, r._2))
+      assert(got == want)
+      assert(got.nonEmpty, "gate is vacuous at this SF")
+    } finally PinScope.drain()
+  }
+
   test("q340 incremental Hamming equals q300 restricted to batch-touching pairs") {
     // at sf0.001 every band bucket is under the cap on BOTH the
     // global (q300) and per-side (q340) definitions, so the index

@@ -1229,6 +1229,35 @@ class PlanShapeSpec extends SparkSpecBase {
            s"q187 rescanned the corpus instead of probing the index:\n$p")
   }
 
+  test("q358: phrase probe prunes to the terms' buckets, never rescans the corpus") {
+    val df = SparkEntry.queries("q358_phrase_index")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the 5 distinct phrase terms filter on the bucket key, so the
+    // positional-index scan prunes at planning time (q187's rule)
+    assert("""SelectedBucketsCount: [1-5] out of 8""".r
+             .findFirstIn(p).isDefined,
+           s"bucket pruning did not fire on the positional index:\n$p")
+    assert(!p.contains("documents.parquet"),
+           s"q358 rescanned the corpus instead of probing the index:\n$p")
+  }
+
+  test("q359: only the batch scans documents; the standing index is bucket-pruned") {
+    val df = SparkEntry.queries("q359_phrase_incremental")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("""SelectedBucketsCount: [1-5] out of 8""".r
+             .findFirstIn(p).isDefined,
+           s"bucket pruning did not fire on the standing index:\n$p")
+    // every documents FileScan must carry the odd-batch predicate —
+    // the standing half is served by the artifact, never re-tokenized
+    val scans = p.split("\n").filter(l =>
+      l.contains("FileScan") && l.contains("documents.parquet"))
+    assert(scans.nonEmpty, s"no batch scan found:\n$p")
+    assert(scans.forall(_.contains("% 2) = 1")),
+           s"a documents scan is not batch-restricted:\n$p")
+  }
+
   test("q195: rank-limit pushdown prunes map-side below the singleton window") {
     val df = SparkEntry.queries("q195_topk_ties")(spark, sf)
     df.collect()
@@ -1254,7 +1283,7 @@ class PlanShapeSpec extends SparkSpecBase {
     // and the postings emission keeps only the query terms — the
     // adjacency join's inputs carry the IN-list filter, never the
     // full token stream
-    assert(p.contains("t#") && p.contains(" IN (") || p.contains("INSET"),
+    assert(p.contains("t#") && (p.contains(" IN (") || p.contains("INSET")),
            s"postings not term-filtered at emission:\n$p")
   }
 
