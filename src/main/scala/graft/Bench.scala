@@ -66,7 +66,23 @@ object Bench {
     // failure — a flaky query must read as broken, not fast).
     val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
       .flatMap(p => scala.util.Try(p.toInt).toOption).getOrElse(2).max(1)
-    val allPasses = (1 to passes).map(_ => onePass())
+    // 1-minute load average read at each pass boundary (r15 verdict
+    // #8: the r15 closing trio's pass 3 ran 387 s vs 346/355 under
+    // ambient load and the reconciliation was prose — recording the
+    // machine load per pass lets a future regression screen separate
+    // code from contention mechanically). Best-effort: absent
+    // /proc/loadavg (non-Linux) records -1.
+    def loadavg(): Double =
+      try new String(Files.readAllBytes(Paths.get("/proc/loadavg")))
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val passLoads = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    val allPasses = (1 to passes).map { _ =>
+      val l0 = loadavg()
+      val r = onePass()
+      passLoads += ((l0, loadavg()))
+      r
+    }
     val results = allPasses.transpose.map { timings =>
       val name = timings.head._1
       val ts = timings.map(_._2)
@@ -81,8 +97,10 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val failures = results.map(_._2).count(_ < 0)
     val value = if (failures > 0) "null" else total.toString
+    val loads = passLoads
+      .map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$value,"unit":"sec","failures":$failures,"passes":$passes,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$value,"unit":"sec","failures":$failures,"passes":$passes,"loadavg":$loads,"queries":$qs,"sf":"$sfDir"}"""
     // The driver's tail capture is 2000 chars (BENCH_r09-r11 all came
     // back parsed:null — the full per-query map outgrew the buffer at
     // ~160 queries and the judge had to reconcile via the file copy).
@@ -102,7 +120,7 @@ object Bench {
         "\"" + k + "\":" + (if (v < 0) "-1" else f"$v%.3f")))
       .mkString("{", ",", "}")
     val shortJson =
-      s"""{"metric":"total","value":$value,"unit":"sec","failures":$failures,"passes":$passes,"nq":${results.size},"queries":$shortQs,"full":"bench_result.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$value,"unit":"sec","failures":$failures,"passes":$passes,"loadavg":$loads,"nq":${results.size},"queries":$shortQs,"full":"bench_result.json","sf":"$sfDir"}"""
     println(shortJson)
     val outPath = args.headOption
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))

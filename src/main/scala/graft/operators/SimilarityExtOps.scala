@@ -625,6 +625,124 @@ object SimilarityExtOps extends OpModule {
   private[graft] val GraphVersionTiers =
     Map(1 -> "ivf_build", 2 -> "nn_descent_1", 3 -> "graph_insert")
 
+  /** q362's recall floor: the cheapest encoding whose MEASURED recall
+    * clears this ppm is the recommended serving config. */
+  private[graft] val RecallFloorPpm = 950000L
+
+  /** q352's Matryoshka attestation PERSISTED (r16, the r15 verdict's
+    * #7): the four (dims, exact_pairs, hits, recall_ppm) measurement
+    * rows land once per (corpus, fingerprint) as a bucketed artifact —
+    * the attestation is a MEASUREMENT, so it is write-once data, not a
+    * query to re-run; q352 reads it back and q362 consumes it as the
+    * serving-config input. Body is the r15 measurement verbatim: exact
+    * top-8 by full 64-dim cosine as truth, tiers re-rank by prefix-
+    * sliced cosine (8/16/32 dims), the dims=64 self-check row emitted
+    * from the pinned exact frame. */
+  private[graft] def mrlAttestationTable(s: SparkSession,
+                                         d: String): String =
+    graft.BucketedCache.ensure(s, d, "mrlatt",
+      "dims BIGINT, exact_pairs BIGINT, hits BIGINT, recall_ppm BIGINT",
+      "dims", 1) {
+      val em = embBase(s, d).where(col("vec_id") =!= 0)
+      val (anchors, ah) = pin(em.orderBy("vec_id").limit(64)
+        .select(col("vec_id").as("qid"), col("v").as("qv")))
+      ah.count(); graft.PinScope.retain(ah)
+      def topk(dims: Int): DataFrame = {
+        val (va, vq) =
+          if (dims == 64) (col("v"), col("qv"))
+          else (slice(col("v"), 1, dims), slice(col("qv"), 1, dims))
+        em.crossJoin(broadcast(anchors))
+          .where(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("dst"),
+                  round(GraftFunctions.cosineSimilarity(va, vq), 4)
+                    .as("sim"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("qid")
+              .orderBy(col("sim").desc, col("dst"))))
+          .where(col("rk") <= 8)
+          .select(col("qid"), col("dst"))
+      }
+      val (exact, eh) = pin(topk(64))
+      eh.count(); graft.PinScope.retain(eh)
+      // the dims=64 self-check row reads hits = exact_pairs straight
+      // off the pinned exact frame (re-ranking the truth against
+      // itself is a wasted 64·n pass; the oracle hardcodes the row
+      // the same way): three truncated passes plus one exact pass
+      Seq(8, 16, 32).map { k =>
+        val hits = topk(k).join(exact, Seq("qid", "dst"), "left_semi")
+        exact.agg(count(lit(1)).as("exact_pairs"))
+          .crossJoin(hits.agg(count(lit(1)).as("hits")))
+          .select(lit(k.toLong).as("dims"), col("exact_pairs"),
+                  col("hits"),
+                  expr("CASE WHEN exact_pairs = 0 THEN 0 ELSE " +
+                       "(1000000 * hits) DIV exact_pairs END")
+                    .as("recall_ppm"))
+      }.reduce(_ unionAll _)
+        .unionAll(
+          exact.agg(count(lit(1)).as("exact_pairs"))
+            .select(lit(64L).as("dims"), col("exact_pairs"),
+                    col("exact_pairs").as("hits"),
+                    lit(1000000L).as("recall_ppm")))
+    }
+
+  /** q353's int8 attestation PERSISTED — same write-once measurement
+    * discipline as [[mrlAttestationTable]]; q362 reads the 'sq8' row
+    * as the int8 candidate's measured recall. */
+  private[graft] def sq8AttestationTable(s: SparkSession,
+                                         d: String): String =
+    graft.BucketedCache.ensure(s, d, "sq8att",
+      "tier STRING, exact_pairs BIGINT, hits BIGINT, recall_ppm BIGINT",
+      "tier", 1) {
+      val em = embBase(s, d).where(col("vec_id") =!= 0)
+      val scaleDf = em.agg(
+        max(expr("aggregate(transform(v, x -> abs(x)), " +
+                 "CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, x))"))
+          .as("sc"))
+      val eq = em.crossJoin(broadcast(scaleDf))
+        .select(col("vec_id"), col("v"),
+                expr("transform(v, x -> CAST(round(x * 127 / sc) " +
+                     "AS BIGINT))").as("q"))
+        .select(col("vec_id"), col("v"), col("q"),
+                GraftFunctions.dotProductLong(col("q"), col("q"))
+                  .as("nq"))
+      val (anchors, ah) = pin(eq.orderBy("vec_id").limit(64)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+                col("q").as("qq"), col("nq").as("nqa")))
+      ah.count(); graft.PinScope.retain(ah)
+      def tier(name: String, ranked: DataFrame,
+               exact: DataFrame): DataFrame = {
+        val hits = ranked.join(exact, Seq("qid", "dst"), "left_semi")
+        exact.agg(count(lit(1)).as("exact_pairs"))
+          .crossJoin(hits.agg(count(lit(1)).as("hits")))
+          .select(lit(name).as("tier"), col("exact_pairs"), col("hits"),
+                  expr("CASE WHEN exact_pairs = 0 THEN 0 ELSE " +
+                       "(1000000 * hits) DIV exact_pairs END")
+                    .as("recall_ppm"))
+      }
+      val (exact, eh) = pin(eq.crossJoin(broadcast(anchors))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("dst"),
+                round(GraftFunctions.cosineSimilarity(col("v"), col("qv")),
+                      4).as("sim"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("sim").desc, col("dst"))))
+        .where(col("rk") <= 8)
+        .select(col("qid"), col("dst")))
+      eh.count(); graft.PinScope.retain(eh)
+      val sq8 = eq.crossJoin(broadcast(anchors))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("dst"),
+                round(GraftFunctions.dotProductLong(col("q"), col("qq"))
+                        .cast("double") /
+                      sqrt(col("nq").cast("double") *
+                           col("nqa").cast("double")), 4).as("sim"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("sim").desc, col("dst"))))
+        .where(col("rk") <= 8)
+        .select(col("qid"), col("dst"))
+      tier("exact", exact, exact).unionAll(tier("sq8", sq8, exact))
+    }
+
   /** q350's link budget — the HNSW efConstruction discipline: only
     * the batch node's [[GraphInsertEf]] BEST-scoring hubs expand to
     * their standing neighbors. The first cut expanded every hub of
@@ -2087,50 +2205,12 @@ object SimilarityExtOps extends OpModule {
     // pass). One exact + three truncated 64·n passes, never n². Same integer
     // fixed-point recall_ppm as q344 — the two tables read together:
     // graph recall tells you the INDEX's loss, this one the
-    // REPRESENTATION's.
+    // REPRESENTATION's. Since r16 the measurement PERSISTS
+    // ([[mrlAttestationTable]], once per corpus fingerprint) and the
+    // query reads the artifact — q362 consumes the same rows as the
+    // serving-config input.
     "q352_mrl_recall" -> { (s, d) =>
-      val em = embBase(s, d).where(col("vec_id") =!= 0)
-      val (anchors, ah) = pin(em.orderBy("vec_id").limit(64)
-        .select(col("vec_id").as("qid"), col("v").as("qv")))
-      ah.count(); graft.PinScope.retain(ah)
-      def topk(dims: Int): DataFrame = {
-        val (va, vq) =
-          if (dims == 64) (col("v"), col("qv"))
-          else (slice(col("v"), 1, dims), slice(col("qv"), 1, dims))
-        em.crossJoin(broadcast(anchors))
-          .where(col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id").as("dst"),
-                  round(GraftFunctions.cosineSimilarity(va, vq), 4)
-                    .as("sim"))
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("qid")
-              .orderBy(col("sim").desc, col("dst"))))
-          .where(col("rk") <= 8)
-          .select(col("qid"), col("dst"))
-      }
-      val (exact, eh) = pin(topk(64))
-      eh.count(); graft.PinScope.retain(eh)
-      // The dims=64 self-check row reads hits = exact_pairs straight
-      // off the pinned exact frame (it IS the truth set — re-ranking
-      // it against itself is a wasted 64·n pass; the oracle hardcodes
-      // this row the same way), so the query runs THREE truncated
-      // 64·n anchor passes plus the one exact pass, not five.
-      Seq(8, 16, 32).map { k =>
-        val hits = topk(k).join(exact, Seq("qid", "dst"), "left_semi")
-        exact.agg(count(lit(1)).as("exact_pairs"))
-          .crossJoin(hits.agg(count(lit(1)).as("hits")))
-          .select(lit(k.toLong).as("dims"), col("exact_pairs"),
-                  col("hits"),
-                  expr("CASE WHEN exact_pairs = 0 THEN 0 ELSE " +
-                       "(1000000 * hits) DIV exact_pairs END")
-                    .as("recall_ppm"))
-      }.reduce(_ unionAll _)
-        .unionAll(
-          exact.agg(count(lit(1)).as("exact_pairs"))
-            .select(lit(64L).as("dims"), col("exact_pairs"),
-                    col("exact_pairs").as("hits"),
-                    lit(1000000L).as("recall_ppm")))
-        .orderBy("dims")
+      s.table(mrlAttestationTable(s, d)).orderBy("dims")
     },
 
     // Scalar-quantization (symmetric int8) recall (added r15) — the
@@ -2145,58 +2225,49 @@ object SimilarityExtOps extends OpModule {
     // is the final round(dot/√(na·nb), 4). Truth = exact full-
     // precision top-8 (same pass as q352's dims=64 row). Report: the
     // sq8 recall row plus the exact self-check row — the measured
-    // basis for "int8 is free on this corpus" (or not).
+    // basis for "int8 is free on this corpus" (or not). Since r16 the
+    // measurement PERSISTS ([[sq8AttestationTable]]) and the query
+    // reads the artifact; q362 consumes the 'sq8' row.
     "q353_sq8_recall" -> { (s, d) =>
-      val em = embBase(s, d).where(col("vec_id") =!= 0)
-      val scaleDf = em.agg(
-        max(expr("aggregate(transform(v, x -> abs(x)), " +
-                 "CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, x))"))
-          .as("sc"))
-      val eq = em.crossJoin(broadcast(scaleDf))
-        .select(col("vec_id"), col("v"),
-                expr("transform(v, x -> CAST(round(x * 127 / sc) " +
-                     "AS BIGINT))").as("q"))
-        .select(col("vec_id"), col("v"), col("q"),
-                GraftFunctions.dotProductLong(col("q"), col("q"))
-                  .as("nq"))
-      val (anchors, ah) = pin(eq.orderBy("vec_id").limit(64)
-        .select(col("vec_id").as("qid"), col("v").as("qv"),
-                col("q").as("qq"), col("nq").as("nqa")))
-      ah.count(); graft.PinScope.retain(ah)
-      def tier(name: String, ranked: DataFrame,
-               exact: DataFrame): DataFrame = {
-        val hits = ranked.join(exact, Seq("qid", "dst"), "left_semi")
-        exact.agg(count(lit(1)).as("exact_pairs"))
-          .crossJoin(hits.agg(count(lit(1)).as("hits")))
-          .select(lit(name).as("tier"), col("exact_pairs"), col("hits"),
-                  expr("CASE WHEN exact_pairs = 0 THEN 0 ELSE " +
-                       "(1000000 * hits) DIV exact_pairs END")
-                    .as("recall_ppm"))
-      }
-      val (exact, eh) = pin(eq.crossJoin(broadcast(anchors))
-        .where(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("dst"),
-                round(GraftFunctions.cosineSimilarity(col("v"), col("qv")),
-                      4).as("sim"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("qid").orderBy(col("sim").desc, col("dst"))))
-        .where(col("rk") <= 8)
-        .select(col("qid"), col("dst")))
-      eh.count(); graft.PinScope.retain(eh)
-      val sq8 = eq.crossJoin(broadcast(anchors))
-        .where(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("dst"),
-                round(GraftFunctions.dotProductLong(col("q"), col("qq"))
-                        .cast("double") /
-                      sqrt(col("nq").cast("double") *
-                           col("nqa").cast("double")), 4).as("sim"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("qid").orderBy(col("sim").desc, col("dst"))))
-        .where(col("rk") <= 8)
-        .select(col("qid"), col("dst"))
-      tier("exact", exact, exact)
-        .unionAll(tier("sq8", sq8, exact))
-        .orderBy("tier")
+      s.table(sq8AttestationTable(s, d)).orderBy("tier")
+    },
+
+    // Serving-index CONFIGURATION table (added r16, the r15 verdict's
+    // #7) — turns the q352/q353 attestations into the artifact a
+    // serving team actually consumes: per candidate encoding the
+    // measured (recall_ppm, bytes/vector) price, plus the RECOMMENDED
+    // row — the cheapest config whose measured recall clears the
+    // [[RecallFloorPpm]] floor (ties by encoding name). This query
+    // reads ONLY the two persisted attestation artifacts (mrlatt +
+    // sq8att — the measurements run once per corpus fingerprint
+    // inside their builds); the pick itself is a 1-row orderBy-limit
+    // over ≤ 5 rows, never a rescan. On this corpus the table says
+    // what the r15 measurements said: truncation is near-worthless
+    // (float64@8dims = int8's 64 bytes at 2.3% vs 97.5% recall) and
+    // int8 is nearly free — so int8@64 is the recommended row, now
+    // machine-readable instead of prose.
+    "q362_index_config" -> { (s, d) =>
+      val mrl = s.table(mrlAttestationTable(s, d))
+        .select(lit("float64").as("encoding"), col("dims"),
+                (col("dims") * 8L).as("bytes_per_vec"),
+                col("recall_ppm"))
+      val sq8 = s.table(sq8AttestationTable(s, d))
+        .where(col("tier") === "sq8")
+        .select(lit("int8").as("encoding"), lit(64L).as("dims"),
+                lit(64L).as("bytes_per_vec"), col("recall_ppm"))
+      val cfg = mrl.unionByName(sq8)
+      val best = cfg.where(col("recall_ppm") >= RecallFloorPpm)
+        .orderBy(col("bytes_per_vec"), col("encoding"))
+        .limit(1)
+        .select(col("encoding").as("enc_b"), col("dims").as("dims_b"))
+      cfg.join(broadcast(best),
+               col("encoding") === col("enc_b") &&
+                 col("dims") === col("dims_b"), "left")
+        .select(col("encoding"), col("dims"), col("bytes_per_vec"),
+                col("recall_ppm"),
+                when(col("enc_b").isNotNull, 1L).otherwise(0L)
+                  .as("recommended"))
+        .orderBy("bytes_per_vec", "encoding")
     },
 
     // Positional phrase search (added r15) — the EXACT-PHRASE tier of
@@ -3647,6 +3718,98 @@ object SimilarityExtOps extends OpModule {
            |    CAST((SELECT count(*) FROM s8 t JOIN ex
            |       ON t.qid = ex.qid AND t.dst = ex.dst) AS BIGINT))
            |ORDER BY tier""".stripMargin,
+
+      // both attestations restated (q352's truncated tiers + q353's
+      // quantized re-rank), then the config construction: bytes =
+      // dims·8 for float64 prefixes, 64 for int8; recommended = the
+      // cheapest row clearing the 950000 ppm floor (encoding ties by
+      // name) — the artifacts must be invisible
+      "q362_index_config" -> {
+        def tk(k: Int): String =
+          s"""tk$k AS (SELECT qid, dst FROM (
+             |    SELECT a.qid, e.vec_id AS dst,
+             |      row_number() OVER (PARTITION BY a.qid ORDER BY
+             |        round(list_cosine_similarity(e.v[1:$k],
+             |                                     a.qv[1:$k]), 4) DESC,
+             |        e.vec_id) AS rk
+             |    FROM e, anch a WHERE e.vec_id <> a.qid)
+             |  WHERE rk <= 8)""".stripMargin
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings WHERE vec_id <> 0),
+           |anch AS (SELECT vec_id AS qid, v AS qv FROM e
+           |         ORDER BY vec_id LIMIT 64),
+           |ex AS MATERIALIZED (SELECT qid, dst FROM (
+           |    SELECT a.qid, e.vec_id AS dst,
+           |      row_number() OVER (PARTITION BY a.qid ORDER BY
+           |        round(list_cosine_similarity(e.v, a.qv), 4) DESC,
+           |        e.vec_id) AS rk
+           |    FROM e, anch a WHERE e.vec_id <> a.qid)
+           |  WHERE rk <= 8),
+           |${tk(8)},
+           |${tk(16)},
+           |${tk(32)},
+           |scl AS (SELECT max(list_max(list_transform(v,
+           |          x -> abs(x)))) AS sc FROM e),
+           |qn AS MATERIALIZED (SELECT vec_id, q,
+           |    CAST(list_sum(list_transform(range(1, 65),
+           |      i -> q[i] * q[i])) AS BIGINT) AS nq
+           |  FROM (SELECT vec_id,
+           |      list_transform(v, x -> CAST(round(x * 127 / s.sc)
+           |        AS BIGINT)) AS q
+           |    FROM e, scl s)),
+           |anq AS (SELECT vec_id AS qid, q AS qq, nq AS nqa FROM qn
+           |        ORDER BY vec_id LIMIT 64),
+           |s8 AS (SELECT qid, dst FROM (
+           |    SELECT a.qid, x.vec_id AS dst,
+           |      row_number() OVER (PARTITION BY a.qid ORDER BY
+           |        round(CAST(list_sum(list_transform(range(1, 65),
+           |                i -> x.q[i] * a.qq[i])) AS DOUBLE) /
+           |              sqrt(CAST(x.nq AS DOUBLE) *
+           |                   CAST(a.nqa AS DOUBLE)), 4) DESC,
+           |        x.vec_id) AS rk
+           |    FROM qn x, anq a WHERE x.vec_id <> a.qid)
+           |  WHERE rk <= 8),
+           |cfg AS (
+           |  SELECT encoding, CAST(dims AS BIGINT) AS dims,
+           |    CAST(bytes_per_vec AS BIGINT) AS bytes_per_vec,
+           |    CAST(CASE WHEN exact_pairs = 0 THEN 0
+           |         ELSE (1000000 * hits) // exact_pairs END AS BIGINT)
+           |      AS recall_ppm
+           |  FROM (
+           |    SELECT 'float64' AS encoding, 8 AS dims,
+           |      64 AS bytes_per_vec,
+           |      (SELECT count(*) FROM ex) AS exact_pairs,
+           |      (SELECT count(*) FROM tk8 t JOIN ex
+           |         ON t.qid = ex.qid AND t.dst = ex.dst) AS hits
+           |    UNION ALL
+           |    SELECT 'float64', 16, 128,
+           |      (SELECT count(*) FROM ex),
+           |      (SELECT count(*) FROM tk16 t JOIN ex
+           |         ON t.qid = ex.qid AND t.dst = ex.dst)
+           |    UNION ALL
+           |    SELECT 'float64', 32, 256,
+           |      (SELECT count(*) FROM ex),
+           |      (SELECT count(*) FROM tk32 t JOIN ex
+           |         ON t.qid = ex.qid AND t.dst = ex.dst)
+           |    UNION ALL
+           |    SELECT 'float64', 64, 512,
+           |      (SELECT count(*) FROM ex), (SELECT count(*) FROM ex)
+           |    UNION ALL
+           |    SELECT 'int8', 64, 64,
+           |      (SELECT count(*) FROM ex),
+           |      (SELECT count(*) FROM s8 t JOIN ex
+           |         ON t.qid = ex.qid AND t.dst = ex.dst))),
+           |best AS (SELECT encoding, dims FROM cfg
+           |         WHERE recall_ppm >= $RecallFloorPpm
+           |         ORDER BY bytes_per_vec, encoding LIMIT 1)
+           |SELECT c.encoding, c.dims, c.bytes_per_vec, c.recall_ppm,
+           |  CAST(CASE WHEN b.encoding IS NOT NULL THEN 1 ELSE 0 END
+           |       AS BIGINT) AS recommended
+           |FROM cfg c LEFT JOIN best b
+           |  ON c.encoding = b.encoding AND c.dims = b.dims
+           |ORDER BY c.bytes_per_vec, c.encoding""".stripMargin
+      },
 
       // identical candidate retrieval (4 dp before ranking), identical
       // pairwise table, then mmrBody verbatim — the greedy chain is

@@ -353,6 +353,38 @@ object TextExtOps extends OpModule {
         .orderBy("doc_id")
     },
 
+    // Gopher-rule quality battery (added r16, the r15 verdict's #4;
+    // Rae et al. 2022's Appendix-A quality filters as ONE per-doc
+    // report) — the full rule battery a pretraining intake runs where
+    // q49 (composite score) and q84 (repetition ratio) are single
+    // fragments: per document, SEVEN pass/fail gates — word-count
+    // bounds (50..100k), mean-word-length bounds (3..10 chars),
+    // symbol-to-word ratio ('#'/'...' ≤ 0.1·words), alphabetic-word
+    // share (≥ 80% of words contain [a-z]), stop-word floor (≥ 2
+    // distinct of Gopher's 8-word list), top-2-gram character mass
+    // (≤ 0.20 of chars), and duplicated-5-gram character mass
+    // (≤ 0.15 of chars) — reported as pass/fail doc counts per rule
+    // per source (the table a curation team reads to pick thresholds).
+    // Every gate is an INTEGER cross-multiplied comparison (3n ≤ Σlen,
+    // 10·sym ≤ n, 5·cnt·len(g) ≤ chars, 20·mass ≤ 3·chars …) — zero
+    // float thresholds, hash-stable across engines. Cost: one corpus
+    // scan for the six scalar gates plus two token-linear (doc, gram)
+    // aggregations for the n-gram gates (q84's narrow-shuffle shape,
+    // map-side combined); the report shuffle is |sources|×7 rows at
+    // any volume.
+    "q360_gopher_rules" -> { (s, d) =>
+      val rules = Seq("r1_word_count", "r2_mean_word_len",
+        "r3_symbol_ratio", "r4_alpha_words", "r5_stopwords",
+        "r6_top2gram_mass", "r7_dup5gram_mass")
+      gopherPerDoc(s, d).select(col("source"), expr(
+          "stack(7, " + rules.map(r => s"'$r', $r").mkString(", ") +
+            ") AS (rule, pass)"))
+        .groupBy("source", "rule")
+        .agg(sum(when(col("pass"), 1L).otherwise(0L)).as("pass_docs"),
+             sum(when(col("pass"), 0L).otherwise(1L)).as("fail_docs"))
+        .orderBy("source", "rule")
+    },
+
     // Deterministic weighted corpus mixture (added r6) — training-data
     // mixing: each source tier keeps a different fraction of its docs,
     // membership decided by a stable key hash (same discipline as q67's
@@ -373,6 +405,111 @@ object TextExtOps extends OpModule {
              sum(keep.cast("long")).as("kept_docs"),
              sum(when(keep, size(split(col("text"), " ")).cast("long"))
                .otherwise(0L)).as("kept_tokens"))
+        .orderBy("source")
+    },
+
+    // Temperature-weighted source mixture (added r16, the r15
+    // verdict's #5; the p_i ∝ n_i^α sampling rule of Raffel et al.
+    // 2020 / Conneau et al. 2020 at α = 0.5) — q85 mixes by FIXED
+    // per-tier ratios; production multilingual/multi-source mixes
+    // compute the ratio FROM the data: a source's share of the token
+    // budget ∝ √(its token count), which upweights small sources
+    // without letting any source dominate. α = 0.5 because sqrt is
+    // the one power both engines round identically; the weight is
+    // then FIXED-POINT (w = round(√tokens · 1000) as BIGINT) so the
+    // weight sum and every budget split are pure integer arithmetic —
+    // a float Σw would depend on summation order. Budget B = ⌊Σtok/4⌋
+    // (sample a quarter of the corpus), budget_i = (B·w_i) DIV Σw.
+    // Selection = the q67 no-RNG draw (order by (md5(doc_id),
+    // doc_id)); a doc is kept while its source's EXCLUSIVE prefix
+    // token count is under budget — and that cumsum rides the
+    // GlobalOrder bucket discipline, NOT a per-source running window
+    // (a fact-scaled source would funnel through one partition —
+    // the q270 defect class): within-bucket cumsums run partitioned
+    // by (source, md5-prefix bucket), seams stitch through the
+    // |sources|·256-row census table, bit-identical to the global
+    // per-source cumsum because the bucket key is a prefix of the
+    // order. Report: per source (docs, tokens, w, budget, kept docs,
+    // kept tokens) — all BIGINT, hash-stable.
+    "q361_temperature_mixture" -> { (s, d) =>
+      val (bud, kept0) = budgetCut(Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+                size(split(col("text"), " ")).cast("long").as("tok")))
+      val kept = kept0.groupBy("source")
+        .agg(count(lit(1)).as("kept_docs"),
+             sum("tok").as("kept_tokens"))
+      bud.join(kept, Seq("source"), "left")
+        .select(col("source"), col("docs"), col("tokens"), col("w"),
+                col("budget"),
+                coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+                coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+        .orderBy("source")
+    },
+
+    // Composed QUALITY-intake pipeline v5 (added r16) — where v4
+    // (q347) is the round's DEDUP funnel over the persisted artifacts,
+    // v5 is the QUALITY funnel over the round's new gates, the other
+    // half a production intake runs: the held-out quarter (q67's eval
+    // split — the "incoming data judged by a fixed reference model"
+    // population q301 established) flows through three gates IN
+    // ORDER — (1) the Gopher rule battery (q360's per-doc booleans,
+    // pass ≥ 6 of 7: the stop-word rule fails this synthetic
+    // vocabulary wholesale, and a battery whose one dead rule vetoes
+    // the corpus is a miscalibrated battery — the ≥6 floor is the
+    // declared calibration, carried honestly from q360's card), (2)
+    // the reference-LM perplexity gate — q301's per-doc avg NLL under
+    // the TRAIN-split bigram LM, cut AT THE EVAL-SPLIT MEAN (CCNet's
+    // head/tail split is perplexity-relative, and q301's absolute 8.0
+    // flag line is VACUOUS on this synthetic corpus — measured max
+    // 3.55 at sf0.01 — so an 8.0 gate would make the funnel's middle
+    // stage a no-op; the mean is decimal-exact: 6-dp NLLs sum as
+    // DECIMAL, one double divide, round 6). Docs too short to score
+    // (under 2 tokens) drop, declared. And
+    // (3) the temperature token budget (q361's machinery verbatim
+    // over the survivors: √-weighted per-source budgets on ⌊Σtok/4⌋,
+    // md5-order take-until-budget). Per-source report with the q282
+    // funnel discipline: eval docs, per-gate survivors, budget, kept
+    // docs + tokens. Every gate consumes the IDENTICAL factored body
+    // its own declared query certifies (gopherPerDoc / pplPerDoc /
+    // budgetCut — one truth per gate), so the funnel's claims are
+    // exactly its parts'.
+    "q364_pipeline_prep_v5" -> { (s, d) =>
+      val rules = Seq("r1_word_count", "r2_mean_word_len",
+        "r3_symbol_ratio", "r4_alpha_words", "r5_stopwords",
+        "r6_top2gram_mass", "r7_dup5gram_mass")
+      val gp = gopherPerDoc(s, d)
+        .where(splitOf(col("doc_id")) === "eval")
+      val s1 = gp.withColumn("n_pass",
+          rules.map(r => when(col(r), 1).otherwise(0)).reduce(_ + _))
+        .where(col("n_pass") >= 6)
+        .select("doc_id", "source", "n_words")
+      val ppl = pplPerDoc(s, d)
+      val thr = ppl.agg(round(
+        sum(col("avg_nll")).cast("double") / count(lit(1)), 6).as("thr"))
+      val s2 = s1.join(
+        ppl.crossJoin(broadcast(thr))
+          .where(col("avg_nll").cast("double") <= col("thr"))
+          .select("doc_id"),
+        Seq("doc_id"))
+      val (bud, kept0) = budgetCut(
+        s2.select(col("doc_id"), col("source"),
+                  col("n_words").as("tok")))
+      val kept = kept0.groupBy("source")
+        .agg(count(lit(1)).as("kept_docs"),
+             sum("tok").as("kept_tokens"))
+      gp.groupBy("source").agg(count(lit(1)).as("eval_docs"))
+        .join(s1.groupBy("source").agg(count(lit(1)).as("pass_gopher")),
+              Seq("source"), "left")
+        .join(s2.groupBy("source").agg(count(lit(1)).as("pass_ppl")),
+              Seq("source"), "left")
+        .join(bud.select("source", "budget"), Seq("source"), "left")
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("eval_docs"),
+                coalesce(col("pass_gopher"), lit(0L)).as("pass_gopher"),
+                coalesce(col("pass_ppl"), lit(0L)).as("pass_ppl"),
+                coalesce(col("budget"), lit(0L)).as("budget"),
+                coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+                coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
         .orderBy("source")
     },
 
@@ -1544,6 +1681,107 @@ object TextExtOps extends OpModule {
     * TRAIN-split LM — (doc_id, source, avg_nll DECIMAL(28,6)). Count
     * tables are vocab-bound; every log term rounds once at 6 dp then
     * sums as exact decimals (order-free, engine-identical). */
+  /** q360's Gopher battery as a PER-DOC frame — (doc_id, source,
+    * n_words, r1..r7 booleans) — the shared body q360 reports and
+    * q364's funnel gates on (one definition per rule). Cost: one
+    * corpus scan for the scalar gates + two token-linear (doc, gram)
+    * aggregations (q84's narrow-shuffle shape). */
+  private[operators] def gopherPerDoc(s: SparkSession,
+                                      d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val stopList = Seq("the", "be", "to", "of", "and",
+                       "that", "have", "with")
+    def occCnt(lit0: String): Column =
+      (length(col("text")) -
+       length(expr(s"replace(text, '$lit0', '')"))) / lit(lit0.length)
+    val g2 = Tables(s, d, "documents")
+      .select(col("doc_id"),
+              org.apache.spark.sql.graft.GraftFunctions
+                .ngrams(toks, 2).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("cnt").desc, col("g"))))
+      .where(col("rn") === 1)
+      .select(col("doc_id"),
+              (col("cnt") * length(col("g")).cast("long"))
+                .as("top2_mass"))
+    val g5 = Tables(s, d, "documents")
+      .select(col("doc_id"),
+              org.apache.spark.sql.graft.GraftFunctions
+                .ngrams(toks, 5).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2)
+      .groupBy("doc_id")
+      .agg(sum(col("cnt") * length(col("g")).cast("long"))
+             .as("dup5_mass"))
+    Tables(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+              length(col("text")).cast("long").as("chars"),
+              size(toks).cast("long").as("n_words"),
+              expr("aggregate(transform(split(text, ' '), " +
+                   "w -> CAST(length(w) AS BIGINT)), 0L, " +
+                   "(a, x) -> a + x)").as("word_chars"),
+              size(filter(toks, w => w.rlike("[a-z]")))
+                .cast("long").as("alpha_words"),
+              size(array_distinct(filter(toks,
+                w => w.isin(stopList: _*)))).cast("long").as("stops"),
+              (occCnt("#") + occCnt("...")).cast("long").as("syms"))
+      .join(g2, Seq("doc_id"), "left")
+      .join(g5, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_words"),
+        (col("n_words") >= 50 && col("n_words") <= 100000)
+          .as("r1_word_count"),
+        (lit(3) * col("n_words") <= col("word_chars") &&
+         col("word_chars") <= lit(10) * col("n_words"))
+          .as("r2_mean_word_len"),
+        (lit(10) * col("syms") <= col("n_words"))
+          .as("r3_symbol_ratio"),
+        (lit(5) * col("alpha_words") >= lit(4) * col("n_words"))
+          .as("r4_alpha_words"),
+        (col("stops") >= 2).as("r5_stopwords"),
+        (lit(5) * coalesce(col("top2_mass"), lit(0L)) <= col("chars"))
+          .as("r6_top2gram_mass"),
+        (lit(20) * coalesce(col("dup5_mass"), lit(0L)) <=
+         lit(3) * col("chars")).as("r7_dup5gram_mass"))
+  }
+
+  /** q361's temperature-budget machinery over an arbitrary (doc_id,
+    * source, tok) frame — returns (per-source budget table (source,
+    * docs, tokens, w, budget), kept rows (doc_id, source, tok)). The
+    * fixed-point √ weights, integer budget split, md5-order draw and
+    * the GlobalOrder-bucketed exclusive token cumsum are one
+    * definition for q361 (whole corpus) and q364 (funnel survivors).
+    */
+  private[operators] def budgetCut(t0: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val W = org.apache.spark.sql.expressions.Window
+    val t = t0.withColumn("h", md5(col("doc_id").cast("string")))
+    val perSrc = t.groupBy("source")
+      .agg(count(lit(1)).as("docs"), sum("tok").as("tokens"))
+      .withColumn("w",
+        round(sqrt(col("tokens").cast("double")) * 1000).cast("long"))
+    val tot = perSrc.agg(sum("tokens").as("tt"), sum("w").as("sw"))
+    val bud = perSrc.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("((tt DIV 4) * w) DIV sw"))
+      .select("source", "docs", "tokens", "w", "budget")
+    val ranked = t.withColumn("bkt", substring(col("h"), 1, 2))
+      .withColumn("wpre", coalesce(sum("tok").over(
+        W.partitionBy("source", "bkt").orderBy("h", "doc_id")
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+    val census = ranked.groupBy("source", "bkt")
+      .agg(sum("tok").as("bn"))
+      .withColumn("off", coalesce(sum("bn").over(
+        W.partitionBy("source").orderBy("bkt")
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select("source", "bkt", "off")
+    val kept = ranked.join(broadcast(census), Seq("source", "bkt"))
+      .join(broadcast(bud.select("source", "budget")), Seq("source"))
+      .where(col("off") + col("wpre") < col("budget"))
+      .select("doc_id", "source", "tok")
+    (bud, kept)
+  }
+
   /** q347's body, parameterized by the batch modulus (batch = ids ≡ 1
     * mod batchMod — the r15 batch-fraction sweep knob threaded through
     * all three artifact-probe tiers; mod 2 is the declared query).
@@ -2153,6 +2391,58 @@ object TextExtOps extends OpModule {
   /** The q301 held-out bigram-LM scoring chain (train-split
     * model tables -> eval pair scoring -> per-doc avg NLL `pd`),
     * shared verbatim by the q301 and q315 oracles. */
+  /** q360's per-doc Gopher battery as oracle CTEs, ending at
+    * `gp(doc_id, source, n_words, r1..r7)` — the SQL twin of
+    * [[gopherPerDoc]], shared by the q360 report and the q364
+    * funnel's first gate. */
+  private val gopherPdCte: String =
+    """gd0 AS (
+      |  SELECT doc_id, source, text, string_split(text, ' ') AS t,
+      |    CAST(len(text) AS BIGINT) AS chars
+      |  FROM documents),
+      |gbase AS (
+      |  SELECT doc_id, source, chars,
+      |    CAST(len(t) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(t, w -> len(w)))
+      |         AS BIGINT) AS word_chars,
+      |    CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+      |         AS BIGINT) AS alpha_words,
+      |    CAST(len(list_distinct(list_filter(t, w -> w IN
+      |      ('the','be','to','of','and','that','have','with'))))
+      |         AS BIGINT) AS stops,
+      |    CAST((len(text) - len(replace(text, '#', ''))) +
+      |         (len(text) - len(replace(text, '...', ''))) // 3
+      |         AS BIGINT) AS syms
+      |  FROM gd0),
+      |gg2 AS (
+      |  SELECT doc_id, cnt * len(g) AS top2_mass FROM (
+      |    SELECT doc_id, g, count(*) AS cnt,
+      |      row_number() OVER (PARTITION BY doc_id
+      |                         ORDER BY count(*) DESC, g) AS rn
+      |    FROM (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+      |            i -> array_to_string(t[i:i+1], ' '))) AS g FROM gd0)
+      |    GROUP BY doc_id, g) WHERE rn = 1),
+      |gg5 AS (
+      |  SELECT doc_id, sum(cnt * len(g)) AS dup5_mass FROM (
+      |    SELECT doc_id, g, count(*) AS cnt
+      |    FROM (SELECT doc_id,
+      |            unnest(list_transform(range(1, len(t) - 3),
+      |              i -> array_to_string(t[i:i+4], ' '))) AS g
+      |          FROM gd0)
+      |    GROUP BY doc_id, g) WHERE cnt >= 2 GROUP BY doc_id),
+      |gp AS (
+      |  SELECT b.doc_id, b.source, b.n_words,
+      |    b.n_words >= 50 AND b.n_words <= 100000 AS r1,
+      |    3 * b.n_words <= b.word_chars AND
+      |      b.word_chars <= 10 * b.n_words AS r2,
+      |    10 * b.syms <= b.n_words AS r3,
+      |    5 * b.alpha_words >= 4 * b.n_words AS r4,
+      |    b.stops >= 2 AS r5,
+      |    5 * coalesce(gg2.top2_mass, 0) <= b.chars AS r6,
+      |    20 * coalesce(gg5.dup5_mass, 0) <= 3 * b.chars AS r7
+      |  FROM gbase b LEFT JOIN gg2 USING (doc_id)
+      |       LEFT JOIN gg5 USING (doc_id))""".stripMargin
+
   private val pplPdCte: String =
     s"""dd AS (
        |  SELECT doc_id, $trainSplitSql AS split, source,
@@ -2504,6 +2794,81 @@ object TextExtOps extends OpModule {
           |    AS dup_ratio
           |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+      // every rule restated as the same integer cross-multiplied
+      // comparison (the shared gopherPdCte text); gram text = q84's
+      // array_to_string slices
+      "q360_gopher_rules" ->
+        s"""WITH $gopherPdCte,
+           |u AS (
+           |  SELECT source, 'r1_word_count' AS rule, r1 AS pass FROM gp
+           |  UNION ALL SELECT source, 'r2_mean_word_len', r2 FROM gp
+           |  UNION ALL SELECT source, 'r3_symbol_ratio', r3 FROM gp
+           |  UNION ALL SELECT source, 'r4_alpha_words', r4 FROM gp
+           |  UNION ALL SELECT source, 'r5_stopwords', r5 FROM gp
+           |  UNION ALL SELECT source, 'r6_top2gram_mass', r6 FROM gp
+           |  UNION ALL SELECT source, 'r7_dup5gram_mass', r7 FROM gp)
+           |SELECT source, rule,
+           |  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS pass_docs,
+           |  CAST(sum(CASE WHEN pass THEN 0 ELSE 1 END) AS BIGINT)
+           |    AS fail_docs
+           |FROM u GROUP BY 1, 2 ORDER BY source, rule""".stripMargin,
+
+      // the three gates restated from their own shared texts
+      // (gopherPdCte / pplPdCte / q361's budget arithmetic) over the
+      // eval split, then the funnel rollup
+      "q364_pipeline_prep_v5" ->
+        s"""WITH $gopherPdCte,
+           |$pplPdCte,
+           |ge AS (SELECT gp.* FROM gp
+           |       WHERE ${trainSplitSql.replace("doc_id", "gp.doc_id")}
+           |             = 'eval'),
+           |s1 AS (SELECT doc_id, source, n_words FROM ge
+           |       WHERE CAST(r1 AS INT) + CAST(r2 AS INT) +
+           |             CAST(r3 AS INT) + CAST(r4 AS INT) +
+           |             CAST(r5 AS INT) + CAST(r6 AS INT) +
+           |             CAST(r7 AS INT) >= 6),
+           |thr AS (SELECT round(CAST(sum(avg_nll) AS DOUBLE) /
+           |                     CAST(count(*) AS DOUBLE), 6) AS thr
+           |        FROM pd),
+           |s2 AS (SELECT s1.* FROM s1 JOIN pd USING (doc_id), thr
+           |       WHERE CAST(pd.avg_nll AS DOUBLE) <= thr.thr),
+           |sb AS (SELECT source, count(*) AS docs,
+           |         CAST(sum(n_words) AS BIGINT) AS tokens,
+           |         CAST(round(sqrt(CAST(sum(n_words) AS DOUBLE)) * 1000)
+           |              AS BIGINT) AS w
+           |       FROM s2 GROUP BY source),
+           |st AS (SELECT CAST(sum(tokens) AS BIGINT) AS tt,
+           |              CAST(sum(w) AS BIGINT) AS sw FROM sb),
+           |bb AS (SELECT sb.source,
+           |         CAST(((tt // 4) * w) // sw AS BIGINT) AS budget
+           |       FROM sb, st),
+           |oo AS (SELECT source, n_words AS tok,
+           |         coalesce(sum(n_words) OVER (PARTITION BY source
+           |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |           0) AS pre
+           |       FROM s2),
+           |kk AS (SELECT oo.source, count(*) AS kept_docs,
+           |         CAST(sum(tok) AS BIGINT) AS kept_tokens
+           |       FROM oo JOIN bb USING (source)
+           |       WHERE oo.pre < bb.budget GROUP BY 1)
+           |SELECT ev.source, ev.eval_docs,
+           |  CAST(coalesce(c1.n, 0) AS BIGINT) AS pass_gopher,
+           |  CAST(coalesce(c2.n, 0) AS BIGINT) AS pass_ppl,
+           |  CAST(coalesce(bb.budget, 0) AS BIGINT) AS budget,
+           |  CAST(coalesce(kk.kept_docs, 0) AS BIGINT) AS kept_docs,
+           |  CAST(coalesce(kk.kept_tokens, 0) AS BIGINT) AS kept_tokens
+           |FROM (SELECT source, count(*) AS eval_docs FROM ge
+           |      GROUP BY source) ev
+           |LEFT JOIN (SELECT source, count(*) AS n FROM s1
+           |           GROUP BY source) c1 ON ev.source = c1.source
+           |LEFT JOIN (SELECT source, count(*) AS n FROM s2
+           |           GROUP BY source) c2 ON ev.source = c2.source
+           |LEFT JOIN bb ON ev.source = bb.source
+           |LEFT JOIN kk ON ev.source = kk.source
+           |ORDER BY ev.source""".stripMargin,
+
       "q85_mixture_sample" ->
         """WITH t AS (
           |  SELECT source, text,
@@ -2523,6 +2888,44 @@ object TextExtOps extends OpModule {
           |  CAST(sum(CASE WHEN keep THEN len(string_split(text, ' '))
           |                ELSE 0 END) AS BIGINT) AS kept_tokens
           |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+      // sqrt weight fixed-pointed to milli-units; budgets and the
+      // take-until-budget cut are pure integer arithmetic; the oracle
+      // runs the plain per-source running window the bucket machinery
+      // reproduces bit-identically
+      "q361_temperature_mixture" ->
+        """WITH t AS (
+          |  SELECT doc_id, source,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+          |    md5(CAST(doc_id AS VARCHAR)) AS h
+          |  FROM documents),
+          |s AS (
+          |  SELECT source, count(*) AS docs,
+          |    CAST(sum(tok) AS BIGINT) AS tokens,
+          |    CAST(round(sqrt(CAST(sum(tok) AS DOUBLE)) * 1000)
+          |         AS BIGINT) AS w
+          |  FROM t GROUP BY source),
+          |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS tt,
+          |               CAST(sum(w) AS BIGINT) AS sw FROM s),
+          |b AS (SELECT s.source, s.docs, s.tokens, s.w,
+          |        CAST(((tt // 4) * w) // sw AS BIGINT) AS budget
+          |      FROM s, tot),
+          |o AS (
+          |  SELECT source, tok,
+          |    coalesce(sum(tok) OVER (PARTITION BY source
+          |      ORDER BY h, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS pre
+          |  FROM t),
+          |k AS (
+          |  SELECT o.source, count(*) AS kept_docs,
+          |    sum(o.tok) AS kept_tokens
+          |  FROM o JOIN b USING (source)
+          |  WHERE o.pre < b.budget GROUP BY o.source)
+          |SELECT b.source, b.docs, b.tokens, b.w, b.budget,
+          |  CAST(coalesce(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+          |  CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+          |FROM b LEFT JOIN k USING (source) ORDER BY source""".stripMargin,
 
       "q87_decontaminate" ->
         s"""WITH sh AS (
