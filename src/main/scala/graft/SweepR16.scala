@@ -33,12 +33,15 @@ object SweepR16 {
       for (d <- Seq("/root/testdata/sf0.1", "/tmp/sf10x13", "/tmp/sf100x")) {
         val t = operators.SimilarityExtOps.semDedupSqrtIndexTable(spark, d)
         import org.apache.spark.sql.functions._
+        // cells counts the MODEL's 'c' rows (a centroid that wins no
+        // assignment must still count toward k, or the census would
+        // under-report the declared cell count)
         val r = spark.table(t).where(col("kind") === "m")
           .groupBy("cid").count()
-          .agg(max("count").as("mx"), count(lit(1)).as("cells"))
-          .collect()(0)
+          .agg(max("count").as("mx")).collect()(0)
+        val k = spark.table(t).where(col("kind") === "c").count()
         println(s"SWEEP $d sqrt_gate_cap max_cell=${r.getLong(0)} " +
-                s"cells=${r.getLong(1)} cap=" +
+                s"cells=$k cap=" +
                 s"${operators.SimilarityExtOps.SemDedupClusterCap}")
       }
       spark.stop(); return
@@ -54,6 +57,10 @@ object SweepR16 {
     val dirs = if (args.exists(_.startsWith("/"))) args.filter(_.startsWith("/")).toSeq else dirs0
     val rest = args.filterNot(_.startsWith("/"))
     val sel = if (rest.isEmpty) qs else qs.filter(rest.contains)
+    val unknown = rest.filterNot(qs.contains)
+    require(unknown.isEmpty && (rest.isEmpty || sel.nonEmpty),
+      s"unknown query name(s): ${unknown.mkString(", ")} — a mistyped " +
+        "arg must fail loudly, not run an empty sweep")
     for (d <- dirs) {
       spark.read.parquet(s"$d/nation.parquet").count()
       for (q <- sel) {

@@ -629,6 +629,15 @@ object SimilarityExtOps extends OpModule {
     * clears this ppm is the recommended serving config. */
   private[graft] val RecallFloorPpm = 950000L
 
+  /** THE recall formula — integer ppm with the zero-pair guard — as
+    * one shared expression (q344's tiers, both persisted attestations
+    * and every future recall row must stay in sync on rounding and
+    * the guard; r16 review: it had drifted into four inline copies).
+    * Input columns: `exact_pairs`, `hits`. */
+  private def recallPpm: Column =
+    expr("CASE WHEN exact_pairs = 0 THEN 0 ELSE " +
+         "(1000000 * hits) DIV exact_pairs END")
+
   /** q352's Matryoshka attestation PERSISTED (r16, the r15 verdict's
     * #7): the four (dims, exact_pairs, hits, recall_ppm) measurement
     * rows land once per (corpus, fingerprint) as a bucketed artifact —
@@ -674,9 +683,7 @@ object SimilarityExtOps extends OpModule {
           .crossJoin(hits.agg(count(lit(1)).as("hits")))
           .select(lit(k.toLong).as("dims"), col("exact_pairs"),
                   col("hits"),
-                  expr("CASE WHEN exact_pairs = 0 THEN 0 ELSE " +
-                       "(1000000 * hits) DIV exact_pairs END")
-                    .as("recall_ppm"))
+                  recallPpm.as("recall_ppm"))
       }.reduce(_ unionAll _)
         .unionAll(
           exact.agg(count(lit(1)).as("exact_pairs"))
@@ -715,9 +722,7 @@ object SimilarityExtOps extends OpModule {
         exact.agg(count(lit(1)).as("exact_pairs"))
           .crossJoin(hits.agg(count(lit(1)).as("hits")))
           .select(lit(name).as("tier"), col("exact_pairs"), col("hits"),
-                  expr("CASE WHEN exact_pairs = 0 THEN 0 ELSE " +
-                       "(1000000 * hits) DIV exact_pairs END")
-                    .as("recall_ppm"))
+                  recallPpm.as("recall_ppm"))
       }
       val (exact, eh) = pin(eq.crossJoin(broadcast(anchors))
         .where(col("vec_id") =!= col("qid"))
@@ -1998,9 +2003,7 @@ object SimilarityExtOps extends OpModule {
           .crossJoin(hits.agg(count(lit(1)).as("hits")))
           .select(lit(name).as("tier"), col("anchor_edges"),
                   col("exact_pairs"), col("hits"),
-                  expr("CASE WHEN exact_pairs = 0 THEN 0 ELSE " +
-                       "(1000000 * hits) DIV exact_pairs END")
-                    .as("recall_ppm"))
+                  recallPpm.as("recall_ppm"))
       }
       GraphVersionTiers.toSeq.sortBy(_._1)
         .map { case (v, name) =>

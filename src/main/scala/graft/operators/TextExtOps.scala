@@ -376,7 +376,8 @@ object TextExtOps extends OpModule {
       val rules = Seq("r1_word_count", "r2_mean_word_len",
         "r3_symbol_ratio", "r4_alpha_words", "r5_stopwords",
         "r6_top2gram_mass", "r7_dup5gram_mass")
-      gopherPerDoc(s, d).select(col("source"), expr(
+      gopherPerDoc(Tables(s, d, "documents"))
+        .select(col("source"), expr(
           "stack(7, " + rules.map(r => s"'$r', $r").mkString(", ") +
             ") AS (rule, pass)"))
         .groupBy("source", "rule")
@@ -477,10 +478,16 @@ object TextExtOps extends OpModule {
       val rules = Seq("r1_word_count", "r2_mean_word_len",
         "r3_symbol_ratio", "r4_alpha_words", "r5_stopwords",
         "r6_top2gram_mass", "r7_dup5gram_mass")
-      val gp = gopherPerDoc(s, d)
-        .where(splitOf(col("doc_id")) === "eval")
+      // the eval filter applies BEFORE the battery: the gram
+      // aggregations (the funnel's dominant cost term) run over the
+      // quarter they score, not the corpus
+      val gp = gopherPerDoc(Tables(s, d, "documents")
+        .where(splitOf(col("doc_id")) === "eval"))
+      // boolean->int cast propagates NULL exactly like the oracle's
+      // CAST(rN AS INT) sum, so an unevaluable rule FAILS the doc in
+      // both engines rather than counting as 0 only here
       val s1 = gp.withColumn("n_pass",
-          rules.map(r => when(col(r), 1).otherwise(0)).reduce(_ + _))
+          rules.map(r => col(r).cast("int")).reduce(_ + _))
         .where(col("n_pass") >= 6)
         .select("doc_id", "source", "n_words")
       val ppl = pplPerDoc(s, d)
@@ -1686,15 +1693,14 @@ object TextExtOps extends OpModule {
     * q364's funnel gates on (one definition per rule). Cost: one
     * corpus scan for the scalar gates + two token-linear (doc, gram)
     * aggregations (q84's narrow-shuffle shape). */
-  private[operators] def gopherPerDoc(s: SparkSession,
-                                      d: String): DataFrame = {
+  private[operators] def gopherPerDoc(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     val stopList = Seq("the", "be", "to", "of", "and",
                        "that", "have", "with")
     def occCnt(lit0: String): Column =
       (length(col("text")) -
        length(expr(s"replace(text, '$lit0', '')"))) / lit(lit0.length)
-    val g2 = Tables(s, d, "documents")
+    val g2 = docs
       .select(col("doc_id"),
               org.apache.spark.sql.graft.GraftFunctions
                 .ngrams(toks, 2).as("g"))
@@ -1706,7 +1712,7 @@ object TextExtOps extends OpModule {
       .select(col("doc_id"),
               (col("cnt") * length(col("g")).cast("long"))
                 .as("top2_mass"))
-    val g5 = Tables(s, d, "documents")
+    val g5 = docs
       .select(col("doc_id"),
               org.apache.spark.sql.graft.GraftFunctions
                 .ngrams(toks, 5).as("g"))
@@ -1715,7 +1721,7 @@ object TextExtOps extends OpModule {
       .groupBy("doc_id")
       .agg(sum(col("cnt") * length(col("g")).cast("long"))
              .as("dup5_mass"))
-    Tables(s, d, "documents")
+    docs
       .select(col("doc_id"), col("source"),
               length(col("text")).cast("long").as("chars"),
               size(toks).cast("long").as("n_words"),
@@ -1821,6 +1827,39 @@ object TextExtOps extends OpModule {
       .orderBy("source")
   }
 
+  /** The TRAIN-split bigram LM PERSISTED (r16) — q301's "production
+    * persists them as an artifact like q99's index" note made real:
+    * the bigram counts, unigram counts and the vocab-size scalar land
+    * once per (corpus, fingerprint) as one kind-tagged, w1-bucketed
+    * table ('b': (w1, w2) → c; 'u': w1 → c; 'v': c = |vocab|). Every
+    * scorer (q301, q315's DoReMi weights, q364's funnel gate) PROBES
+    * the artifact instead of re-aggregating the 75% train split —
+    * which the r16 q364 re-measurement showed was that funnel's
+    * dominant volume term. */
+  private def lmModelTable(s: SparkSession, d: String): String =
+    graft.BucketedCache.ensure(s, d, "lmbigram",
+      "kind STRING, w1 STRING, w2 STRING, c BIGINT", "w1", 8) {
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), trainSplit.as("split"),
+                split(col("text"), " ").as("t"))
+      val pairsOf = expr(
+        "transform(sequence(1, size(t) - 1), i -> " +
+          "struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")
+      val cb = docs.where(col("split") === "train" && size(col("t")) >= 2)
+        .select(explode(pairsOf).as("pr"))
+        .groupBy(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+        .agg(count(lit(1)).as("c"))
+      val cu = docs.where(col("split") === "train")
+        .select(explode(col("t")).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("c"))
+      cb.select(lit("b").as("kind"), col("w1"), col("w2"), col("c"))
+        .unionByName(cu.select(lit("u").as("kind"), col("w1"),
+                     lit("").as("w2"), col("c")))
+        .unionByName(cu.agg(count(lit(1)).as("c"))
+          .select(lit("v").as("kind"), lit("").as("w1"),
+                  lit("").as("w2"), col("c")))
+    }
+
   private def pplPerDoc(s: SparkSession, d: String): DataFrame = {
     val docs = Tables(s, d, "documents")
       .select(col("doc_id"), trainSplit.as("split"), col("source"),
@@ -1828,14 +1867,12 @@ object TextExtOps extends OpModule {
     val pairsOf = expr(
       "transform(sequence(1, size(t) - 1), i -> " +
         "struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")
-    val cb = docs.where(col("split") === "train" && size(col("t")) >= 2)
-      .select(explode(pairsOf).as("pr"))
-      .groupBy(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
-      .agg(count(lit(1)).as("cb"))
-    val cu = docs.where(col("split") === "train")
-      .select(explode(col("t")).as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("cu"))
-    val vv = cu.agg(count(lit(1)).as("v"))
+    val m = s.table(lmModelTable(s, d))
+    val cb = m.where(col("kind") === "b")
+      .select(col("w1"), col("w2"), col("c").as("cb"))
+    val cu = m.where(col("kind") === "u")
+      .select(col("w1"), col("c").as("cu"))
+    val vv = m.where(col("kind") === "v").select(col("c").as("v"))
     val scored = docs
       .where(col("split") === "eval" && size(col("t")) >= 2)
       .select(col("doc_id"), col("source"), explode(pairsOf).as("pr"))
