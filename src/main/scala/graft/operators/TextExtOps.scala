@@ -447,6 +447,56 @@ object TextExtOps extends OpModule {
         .orderBy("source")
     },
 
+    // Sequence packing census (added r16; the concat-and-chunk
+    // training-batch prep every LLM pipeline runs between the corpus
+    // and the dataloader — Brown et al. 2020's "documents are
+    // concatenated and chunked to the context length" step, the one
+    // stage of the intake this engine's card did not yet cover):
+    // documents concatenate in a DETERMINISTIC order (the q67 no-RNG
+    // draw: (md5(doc_id), doc_id) — reshuffle/re-run stable, no
+    // curriculum leak from ingest order) and the stream chunks into
+    // fixed 2048-token sequences; a doc whose span crosses a chunk
+    // boundary is SPLIT across sequences (concat packing has zero
+    // padding; the cost it pays instead is fragmentation — split docs
+    // lose attention contiguity), so the census a pipeline reads
+    // before picking chunk length is: per source, docs, tokens, docs
+    // split by a boundary, and the worst span (max chunks one doc
+    // touches). Everything derives from each doc's EXCLUSIVE prefix
+    // token count in the global order — first_chunk = pre DIV 2048,
+    // last_chunk = (pre + tok − 1) DIV 2048 — and that GLOBAL cumsum
+    // rides the GlobalOrder bucket discipline (within-bucket running
+    // sums partitioned by the md5's first 2 hex chars, one 256-row
+    // census window — never a single-partition sort of the corpus,
+    // the q270 funnel class). All-integer ⇒ hash-exact.
+    "q365_sequence_packing" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val L = 2048L
+      val t = Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+                size(split(col("text"), " ")).cast("long").as("tok"),
+                md5(col("doc_id").cast("string")).as("h"))
+        .withColumn("bkt", substring(col("h"), 1, 2))
+        .withColumn("wpre", coalesce(sum("tok").over(
+          W.partitionBy("bkt").orderBy("h", "doc_id")
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      val census = t.groupBy("bkt").agg(sum("tok").as("bn"))
+        .withColumn("off", coalesce(sum("bn").over(
+          W.orderBy("bkt")
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+        .select("bkt", "off")
+      t.join(broadcast(census), Seq("bkt"))
+        .withColumn("pre", col("off") + col("wpre"))
+        .withColumn("fc", expr(s"pre DIV $L"))
+        .withColumn("lc", expr(s"(pre + tok - 1) DIV $L"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"),
+             sum("tok").as("tokens"),
+             sum(when(col("lc") > col("fc"), 1L).otherwise(0L))
+               .as("split_docs"),
+             max(col("lc") - col("fc") + 1).as("max_span"))
+        .orderBy("source")
+    },
+
     // Composed QUALITY-intake pipeline v5 (added r16) — where v4
     // (q347) is the round's DEDUP funnel over the persisted artifacts,
     // v5 is the QUALITY funnel over the round's new gates, the other
@@ -2850,6 +2900,29 @@ object TextExtOps extends OpModule {
            |  CAST(sum(CASE WHEN pass THEN 0 ELSE 1 END) AS BIGINT)
            |    AS fail_docs
            |FROM u GROUP BY 1, 2 ORDER BY source, rule""".stripMargin,
+
+      // the md5-ordered global token cumsum as a plain running window
+      // (the bucket machinery must be invisible), then the integer
+      // chunk-boundary algebra per doc
+      "q365_sequence_packing" ->
+        """WITH t AS (
+          |  SELECT doc_id, source,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+          |    md5(CAST(doc_id AS VARCHAR)) AS h
+          |  FROM documents),
+          |o AS (
+          |  SELECT source, tok,
+          |    coalesce(sum(tok) OVER (ORDER BY h, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS pre
+          |  FROM t)
+          |SELECT source, count(*) AS docs,
+          |  CAST(sum(tok) AS BIGINT) AS tokens,
+          |  CAST(sum(CASE WHEN (pre + tok - 1) // 2048 > pre // 2048
+          |                THEN 1 ELSE 0 END) AS BIGINT) AS split_docs,
+          |  CAST(max((pre + tok - 1) // 2048 - pre // 2048 + 1)
+          |       AS BIGINT) AS max_span
+          |FROM o GROUP BY source ORDER BY source""".stripMargin,
 
       // the three gates restated from their own shared texts
       // (gopherPdCte / pplPdCte / q361's budget arithmetic) over the
