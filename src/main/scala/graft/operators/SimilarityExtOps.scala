@@ -2194,6 +2194,53 @@ object SimilarityExtOps extends OpModule {
         .orderBy("cid")
     },
 
+    // Graph version-log RETENTION (added r16, §12.1 candidate #1
+    // promoted the same round it was recorded) — the retire step that
+    // completes the artifact lifecycle q357 opened (build → promote →
+    // serve → RETIRE): a nightly store keeps the last K versions and
+    // collects every data file no kept manifest references (q167's
+    // vacuum, verbatim — the union rule is what lets manifests share
+    // files). Retention runs on a SCRATCH COPY of the promoted log:
+    // a pinned reader of the live log (q344 reads v1!) must never
+    // lose a version under it mid-session — production separates the
+    // retention job from readers by age-based grace, and the copy
+    // models that separation at test scale. Report: per version its
+    // tier, kept/dropped status, and the kept versions' edge counts
+    // re-read COMPLETE from the vacuumed log — the oracle restates
+    // the kept edge sets from the shared build CTEs, so the GC must
+    // be invisible to every surviving version. The spec additionally
+    // asserts the dropped set is exactly {v1} and the LIVE log still
+    // serves all three versions.
+    "q366_graph_vacuum" -> { (s, d) =>
+      val SnapshotLog = graft.sources.PartitionedOps.SnapshotLog
+      val live = graphVersionRoot(s, d)
+      val copy = java.nio.file.Files
+        .createTempDirectory("graft_graphlog_vac")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(live).iterator.asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .foreach { p =>
+          val rel = live.relativize(p)
+          val dst = copy.resolve(rel.toString)
+          java.nio.file.Files.createDirectories(dst.getParent)
+          java.nio.file.Files.copy(p, dst)
+        }
+      val (_, dropped) = SnapshotLog.vacuum(copy, keep = 2)
+      val rows = GraphVersionTiers.toSeq.sortBy(_._1).map {
+        case (v, tier) =>
+          if (dropped.contains(v))
+            s.range(1).select(lit(v.toLong).as("version"),
+              lit(tier).as("tier"), lit("dropped").as("status"),
+              lit(0L).as("edges"))
+          else
+            SnapshotLog.read(s, copy, v)
+              .agg(count(lit(1)).as("edges"))
+              .select(lit(v.toLong).as("version"), lit(tier).as("tier"),
+                      lit("kept").as("status"), col("edges"))
+      }
+      rows.reduce(_ unionAll _).orderBy("version")
+    },
+
     // Matryoshka dimension-truncation recall (added r15; Kusupati et
     // al. 2022's MRL evaluation as an ATTESTATION over this corpus) —
     // the production knob every embedding index weighs: a prefix-
@@ -3721,6 +3768,36 @@ object SimilarityExtOps extends OpModule {
            |    CAST((SELECT count(*) FROM s8 t JOIN ex
            |       ON t.qid = ex.qid AND t.dst = ex.dst) AS BIGINT))
            |ORDER BY tier""".stripMargin,
+
+      // keep-2 retention drops exactly v1; kept versions restate the
+      // descent and insert edge sets — the GC must be invisible
+      "q366_graph_vacuum" ->
+        s"""WITH $beamGraphCte,
+           |cd AS (SELECT g1.src, g2.dst AS cnd
+           |       FROM graph g1 JOIN graph g2 ON g1.dst = g2.src
+           |       WHERE g1.src <> g2.dst
+           |       UNION SELECT src, dst FROM graph),
+           |rg AS (SELECT src, dst FROM (
+           |    SELECT cd.src, cd.cnd AS dst,
+           |      row_number() OVER (PARTITION BY cd.src ORDER BY
+           |        round(list_cosine_similarity(x.v, y.v), 4) DESC,
+           |        cd.cnd) AS rk
+           |    FROM cd JOIN e x ON cd.src = x.vec_id
+           |            JOIN e y ON cd.cnd = y.vec_id)
+           |  WHERE rk <= 8),
+           |${beamGraphCteOn("i", " AND vec_id % 2 = 0",
+                             s"vec_id < ${2 * Cents}")},
+           |${graphInsertCte("i")}
+           |SELECT * FROM (
+           |  SELECT CAST(1 AS BIGINT) AS version, 'ivf_build' AS tier,
+           |    'dropped' AS status, CAST(0 AS BIGINT) AS edges
+           |  UNION ALL
+           |  SELECT CAST(2 AS BIGINT), 'nn_descent_1', 'kept',
+           |    (SELECT count(*) FROM rg)
+           |  UNION ALL
+           |  SELECT CAST(3 AS BIGINT), 'graph_insert', 'kept',
+           |    (SELECT count(*) FROM imrg))
+           |ORDER BY version""".stripMargin,
 
       // both attestations restated (q352's truncated tiers + q353's
       // quantized re-rank), then the config construction: bytes =

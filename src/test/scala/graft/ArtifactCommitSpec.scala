@@ -128,4 +128,25 @@ class ArtifactCommitSpec extends SparkSpecBase {
     assert(SnapshotLog.read(spark, root, 1).count() == 10,
            "promotion rewrote history: v1 must stay readable")
   }
+
+  test("q366: retention drops exactly v1 on the copy; the live log keeps serving all versions") {
+    val SnapshotLog = graft.sources.PartitionedOps.SnapshotLog
+    // run the declared query first — it ensures the live log exists,
+    // copies it, vacuums the COPY and reports the survivors
+    val rows = SparkEntry.queries("q366_graph_vacuum")(spark, sf)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(rows.map(r => (r._1, r._3)) ==
+             Seq((1L, "dropped"), (2L, "kept"), (3L, "kept")),
+           s"retention must drop exactly v1: $rows")
+    // kept edge counts equal the LIVE versions' — the GC was invisible
+    val live = graft.operators.SimilarityExtOps
+      .graphVersionRoot(spark, sf)
+    assert(SnapshotLog.versions(live) == Seq(1, 2, 3),
+           "the retention job touched the LIVE log")
+    for (v <- Seq(2, 3))
+      assert(rows(v - 1)._4 == SnapshotLog.read(spark, live, v).count(),
+             s"kept v$v lost rows under vacuum")
+    assert(SnapshotLog.read(spark, live, 1).count() > 0,
+           "live v1 must keep serving its pinned readers")
+  }
 }
