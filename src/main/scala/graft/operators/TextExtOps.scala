@@ -1955,6 +1955,46 @@ object TextExtOps extends OpModule {
     * to Pcont alone — the standard backoff floor, declared. Every P is
     * one fixed-order double chain; ln rounds ONCE at 6 dp into an
     * order-free decimal sum (the q301 discipline). */
+  /** The TRAIN-split Kneser–Ney model PERSISTED (r16, §12.1 #2 —
+    * [[lmModelTable]]'s discipline for q309's richer marginal set):
+    * bigram counts ('b'), per-context totals + distinct-successor
+    * counts ('x'), distinct-predecessor counts ('c'), and the two
+    * globals ('g' = distinct bigrams, 'v' = vocab) land once per
+    * (corpus, fingerprint) as one kind-tagged, w1-bucketed table;
+    * q309's scoring probes it instead of re-deriving four marginal
+    * tables from the 75% train split every run. */
+  private def knModelTable(s: SparkSession, d: String): String =
+    graft.BucketedCache.ensure(s, d, "lmkn",
+      "kind STRING, w1 STRING, w2 STRING, a BIGINT, b BIGINT", "w1", 8) {
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), trainSplit.as("split"),
+                split(col("text"), " ").as("t"))
+      val pairsOf = expr(
+        "transform(sequence(1, size(t) - 1), i -> " +
+          "struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")
+      val cb = docs.where(col("split") === "train" && size(col("t")) >= 2)
+        .select(explode(pairsOf).as("pr"))
+        .groupBy(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+        .agg(count(lit(1)).as("c"))
+      cb.select(lit("b").as("kind"), col("w1"), col("w2"),
+                col("c").as("a"), lit(0L).as("b"))
+        .unionByName(cb.groupBy("w1")
+          .agg(sum("c").as("a"), count(lit(1)).as("b"))
+          .select(lit("x").as("kind"), col("w1"), lit("").as("w2"),
+                  col("a"), col("b")))
+        .unionByName(cb.groupBy("w2").agg(count(lit(1)).as("a"))
+          .select(lit("c").as("kind"), lit("").as("w1"), col("w2"),
+                  col("a"), lit(0L).as("b")))
+        .unionByName(cb.agg(count(lit(1)).as("a"))
+          .select(lit("g").as("kind"), lit("").as("w1"),
+                  lit("").as("w2"), col("a"), lit(0L).as("b")))
+        .unionByName(docs.where(col("split") === "train")
+          .select(explode(col("t")).as("w"))
+          .agg(count_distinct(col("w")).as("a"))
+          .select(lit("v").as("kind"), lit("").as("w1"),
+                  lit("").as("w2"), col("a"), lit(0L).as("b")))
+    }
+
   private def knPerDoc(s: SparkSession, d: String): DataFrame = {
     val docs = Tables(s, d, "documents")
       .select(col("doc_id"), trainSplit.as("split"), col("source"),
@@ -1962,17 +2002,15 @@ object TextExtOps extends OpModule {
     val pairsOf = expr(
       "transform(sequence(1, size(t) - 1), i -> " +
         "struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")
-    val cb = docs.where(col("split") === "train" && size(col("t")) >= 2)
-      .select(explode(pairsOf).as("pr"))
-      .groupBy(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
-      .agg(count(lit(1)).as("cb"))
-    val ctx = cb.groupBy("w1")
-      .agg(sum("cb").as("cw"), count(lit(1)).as("n1f"))
-    val cont = cb.groupBy("w2").agg(count(lit(1)).as("n1b"))
-    val gq = cb.agg(count(lit(1)).as("nbb"))
-    val vv = docs.where(col("split") === "train")
-      .select(explode(col("t")).as("w"))
-      .agg(count_distinct(col("w")).as("v"))
+    val m = s.table(knModelTable(s, d))
+    val cb = m.where(col("kind") === "b")
+      .select(col("w1"), col("w2"), col("a").as("cb"))
+    val ctx = m.where(col("kind") === "x")
+      .select(col("w1"), col("a").as("cw"), col("b").as("n1f"))
+    val cont = m.where(col("kind") === "c")
+      .select(col("w2"), col("a").as("n1b"))
+    val gq = m.where(col("kind") === "g").select(col("a").as("nbb"))
+    val vv = m.where(col("kind") === "v").select(col("a").as("v"))
     val pcont = (coalesce(col("n1b"), lit(0L)).cast("double") + lit(1.0)) /
       (col("nbb").cast("double") + col("v").cast("double"))
     val p = when(col("cw").isNull, pcont)
