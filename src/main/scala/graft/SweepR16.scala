@@ -52,7 +52,7 @@ object SweepR16 {
       "q360_gopher_rules", "q361_temperature_mixture",
       "q362_index_config", "q364_pipeline_prep_v5",
       "q365_sequence_packing", "q366_graph_vacuum",
-      "q367_semdedup_capaware",
+      "q367_semdedup_capaware", "q368_pack_manifest",
       "q344_graph_recall", "q345_stream_semdedup",
       "q352_mrl_recall", "q354_phrase_search")
     val dirs0 = Seq("/root/testdata/sf0.1", "/tmp/sf10x13", "/tmp/sf100x")

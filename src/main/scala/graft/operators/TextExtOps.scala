@@ -469,25 +469,9 @@ object TextExtOps extends OpModule {
     // census window — never a single-partition sort of the corpus,
     // the q270 funnel class). All-integer ⇒ hash-exact.
     "q365_sequence_packing" -> { (s, d) =>
-      val W = org.apache.spark.sql.expressions.Window
-      val L = 2048L
-      val t = Tables(s, d, "documents")
-        .select(col("doc_id"), col("source"),
-                size(split(col("text"), " ")).cast("long").as("tok"),
-                md5(col("doc_id").cast("string")).as("h"))
-        .withColumn("bkt", substring(col("h"), 1, 2))
-        .withColumn("wpre", coalesce(sum("tok").over(
-          W.partitionBy("bkt").orderBy("h", "doc_id")
-            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
-      val census = t.groupBy("bkt").agg(sum("tok").as("bn"))
-        .withColumn("off", coalesce(sum("bn").over(
-          W.orderBy("bkt")
-            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
-        .select("bkt", "off")
-      t.join(broadcast(census), Seq("bkt"))
-        .withColumn("pre", col("off") + col("wpre"))
-        .withColumn("fc", expr(s"pre DIV $L"))
-        .withColumn("lc", expr(s"(pre + tok - 1) DIV $L"))
+      packedPositions(s, d)
+        .withColumn("fc", expr(s"pre DIV $PackLen"))
+        .withColumn("lc", expr(s"(pre + tok - 1) DIV $PackLen"))
         .groupBy("source")
         .agg(count(lit(1)).as("docs"),
              sum("tok").as("tokens"),
@@ -495,6 +479,41 @@ object TextExtOps extends OpModule {
                .as("split_docs"),
              max(col("lc") - col("fc") + 1).as("max_span"))
         .orderBy("source")
+    },
+
+    // Pack MANIFEST materialization (added r16, §12.1 candidate #4
+    // promoted the same round it was recorded) — q365 is the census;
+    // this is the artifact a dataloader actually consumes: one row
+    // per 2048-token training sequence with its doc occupancy.
+    // Per chunk: docs touching it, tokens filled (always 2048 except
+    // the tail chunk — concat packing's zero-padding property as
+    // DATA), lead_in (1 when the chunk starts mid-document — the
+    // fragmentation the q365 census counts, now locatable), and
+    // starts_doc (the doc covering the chunk's first token — the
+    // deterministic seek key a loader shard uses to open the chunk).
+    // Shape: each doc explodes to its chunk RANGE (sequence(fc, lc) —
+    // Σ span lengths ≈ chunks + docs, linear), per-chunk contribution
+    // is pure interval algebra min(pre+tok, (c+1)L) − max(pre, cL),
+    // and the manifest is ⌈Σtok/2048⌉ rows at any volume — the output
+    // scales with the TRAINING RUN, not the corpus row count.
+    // All-integer ⇒ hash-exact.
+    "q368_pack_manifest" -> { (s, d) =>
+      val L = PackLen
+      val t = packedPositions(s, d)
+        .withColumn("fc", expr(s"pre DIV $L"))
+        .withColumn("lc", expr(s"(pre + tok - 1) DIV $L"))
+      t.select(col("doc_id"), col("tok"), col("pre"),
+               explode(expr("sequence(fc, lc)")).as("chunk_id"))
+        .groupBy("chunk_id")
+        .agg(count(lit(1)).as("docs"),
+             sum(least(col("pre") + col("tok"),
+                       (col("chunk_id") + 1) * L) -
+                 greatest(col("pre"), col("chunk_id") * L)).as("tokens"),
+             max(when(col("pre") < col("chunk_id") * L, 1L)
+                   .otherwise(0L)).as("lead_in"),
+             min(when(col("pre") <= col("chunk_id") * L, col("doc_id")))
+               .as("starts_doc"))
+        .orderBy("chunk_id")
     },
 
     // Composed QUALITY-intake pipeline v5 (added r16) — where v4
@@ -1738,6 +1757,38 @@ object TextExtOps extends OpModule {
     * TRAIN-split LM — (doc_id, source, avg_nll DECIMAL(28,6)). Count
     * tables are vocab-bound; every log term rounds once at 6 dp then
     * sums as exact decimals (order-free, engine-identical). */
+  /** The packing context length shared by q365's census and q368's
+    * manifest. */
+  private[operators] val PackLen = 2048L
+
+  /** q365/q368's shared packing frame: every doc's EXCLUSIVE prefix
+    * token count `pre` in the deterministic concat order ((md5(id),
+    * id) — the q67 no-RNG draw), computed by the GlobalOrder bucket
+    * discipline (within-(md5-prefix-bucket) running sums + one
+    * 256-row census window) — bit-identical to the global running
+    * window, never a single-partition corpus sort. Returns (doc_id,
+    * source, tok, pre). */
+  private[operators] def packedPositions(s: SparkSession,
+                                         d: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val t = Tables(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+              size(split(col("text"), " ")).cast("long").as("tok"),
+              md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("bkt", substring(col("h"), 1, 2))
+      .withColumn("wpre", coalesce(sum("tok").over(
+        W.partitionBy("bkt").orderBy("h", "doc_id")
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+    val census = t.groupBy("bkt").agg(sum("tok").as("bn"))
+      .withColumn("off", coalesce(sum("bn").over(
+        W.orderBy("bkt")
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select("bkt", "off")
+    t.join(broadcast(census), Seq("bkt"))
+      .withColumn("pre", col("off") + col("wpre"))
+      .select("doc_id", "source", "tok", "pre")
+  }
+
   /** q360's Gopher battery as a PER-DOC frame — (doc_id, source,
     * n_words, r1..r7 booleans) — the shared body q360 reports and
     * q364's funnel gates on (one definition per rule). Cost: one
@@ -2938,6 +2989,35 @@ object TextExtOps extends OpModule {
            |  CAST(sum(CASE WHEN pass THEN 0 ELSE 1 END) AS BIGINT)
            |    AS fail_docs
            |FROM u GROUP BY 1, 2 ORDER BY source, rule""".stripMargin,
+
+      // the same cumsum, each doc unnested to its chunk range, then
+      // the per-chunk interval algebra
+      "q368_pack_manifest" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+          |    md5(CAST(doc_id AS VARCHAR)) AS h
+          |  FROM documents),
+          |o AS (
+          |  SELECT doc_id, tok,
+          |    CAST(coalesce(sum(tok) OVER (ORDER BY h, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS BIGINT) AS pre
+          |  FROM t),
+          |x AS (
+          |  SELECT doc_id, tok, pre,
+          |    unnest(range(pre // 2048, (pre + tok - 1) // 2048 + 1))
+          |      AS chunk_id
+          |  FROM o)
+          |SELECT chunk_id, count(*) AS docs,
+          |  CAST(sum(least(pre + tok, (chunk_id + 1) * 2048) -
+          |           greatest(pre, chunk_id * 2048)) AS BIGINT)
+          |    AS tokens,
+          |  CAST(max(CASE WHEN pre < chunk_id * 2048 THEN 1 ELSE 0 END)
+          |       AS BIGINT) AS lead_in,
+          |  CAST(min(CASE WHEN pre <= chunk_id * 2048 THEN doc_id END)
+          |       AS BIGINT) AS starts_doc
+          |FROM x GROUP BY chunk_id ORDER BY chunk_id""".stripMargin,
 
       // the md5-ordered global token cumsum as a plain running window
       // (the bucket machinery must be invisible), then the integer
