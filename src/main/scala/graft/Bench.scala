@@ -90,6 +90,22 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // warm-sensitivity census (r16, SURVEY §12.1 #5): queries whose
+    // FIRST pass reads ≥ 2×+0.5 s over their steady-state — exactly
+    // the set that false-flags a single-pass regression screen (the
+    // r16 trio flagged q165/q259 for ~1.4 s of JIT warm-up each).
+    // Recording [first, best] per offender lets a future screen
+    // subtract warm-up mechanically instead of re-running the 2-pass
+    // protocol to clear flags. Empty when passes == 1 (no steady
+    // state to compare against).
+    val warmSensitive =
+      if (passes < 2) Seq.empty
+      else allPasses.head.zip(results).collect {
+        case ((n1, first), (n2, best))
+          if n1 == n2 && best >= 0 && first > 2 * best + 0.5 =>
+          s"\"$n1\":[$first,$best]"
+      }
+    val warm = warmSensitive.mkString("{", ",", "}")
     // any failure invalidates the headline: emit value null so a crash
     // can never read as a speedup (a partial sum looks like a better
     // total than a clean round); per-query -1s and `failures` tell the
@@ -100,7 +116,7 @@ object Bench {
     val loads = passLoads
       .map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$value,"unit":"sec","failures":$failures,"passes":$passes,"loadavg":$loads,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$value,"unit":"sec","failures":$failures,"passes":$passes,"loadavg":$loads,"warm_sensitive":$warm,"queries":$qs,"sf":"$sfDir"}"""
     // The driver's tail capture is 2000 chars (BENCH_r09-r11 all came
     // back parsed:null — the full per-query map outgrew the buffer at
     // ~160 queries and the judge had to reconcile via the file copy).
