@@ -75,7 +75,9 @@ object Bench {
     def loadavg(): Double =
       try new String(Files.readAllBytes(Paths.get("/proc/loadavg")))
         .split(" ")(0).toDouble
-      catch { case _: Throwable => -1.0 }
+      // NonFatal only (r16 ADVICE): a Throwable catch would swallow a
+      // fatal JVM error (OOM) mid-read and misreport it as load -1
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
     val passLoads = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     val allPasses = (1 to passes).map { _ =>
       val l0 = loadavg()

@@ -559,6 +559,42 @@ object SimilarityExtOps extends OpModule {
   private val graphLogLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Recursive delete of `root` at JVM exit — scratch COPIES a query
+    * hands to a lazily-evaluated DataFrame (q366's vacuum copy), which
+    * eager deletion would pull out from under the reader. */
+  private def deleteRecursivelyAtExit(root: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator.asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }))
+
+  /** Bumped on ANY change to the promoted-log build logic (the tier
+    * queries it commits, the manifest layout): the tag folds into
+    * [[graphVersionRoot]]'s tmpdir key, so a code change can never
+    * silently serve a stale committed graph built by an older layout
+    * across JVM runs (r16 ADVICE — the cache key was (dir,
+    * fingerprint) only). */
+  private val GraphLogBuilderVersion = 2
+
+  /** Two-level assigner replication factor (q369/q370): every fine
+    * cell lands in its [[TwoLevelRep]] nearest coarse buckets at
+    * BUILD time, so a vector's single coarse probe still sees the
+    * fine cells whose true region borders its coarse cell — the
+    * spill-tree/redundant-routing remedy for quantizer boundary loss,
+    * chosen over vector-side multiprobe because it keeps the serving
+    * path one equi-join (the online gate's shape). Measured on the
+    * r17 grid at sf0.1 (k = 125, kc = 12): R = 9 reads 90.5 %
+    * assignment agreement and 91.7 % gate recall vs the flat truth;
+    * per-vector cost stays kc + R·k/kc ≈ (1+R)·√k — 11× under flat
+    * at the 100× sweep volume, ~49× at the 10⁹-vector census point.
+    * R ≥ kc degrades to the flat assigner (every bucket holds every
+    * cell), which is why the small-SF certification slice reads
+    * agreement 10⁶ ppm below k ≈ 81. */
+  private[graft] val TwoLevelRep = 9
+
   /** The PROMOTED GRAPH VERSION LOG (added r16, the r15 verdict's #2)
     * — q350 merged edge lists but never COMMITTED them; this is the
     * commit: each graph tier lands as a SnapshotLog VERSION (the
@@ -582,7 +618,8 @@ object SimilarityExtOps extends OpModule {
                                       d: String): java.nio.file.Path = {
     val SnapshotLog = graft.sources.PartitionedOps.SnapshotLog
     val key = d.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
-      graft.BucketedCache.corpusFingerprint(d)
+      graft.BucketedCache.corpusFingerprint(d) +
+      s"_b$GraphLogBuilderVersion"
     val dir = java.nio.file.Paths.get(
       s"${sys.props("java.io.tmpdir")}/graft_graphlog_$key")
     val lock = graphLogLocks.computeIfAbsent(key, _ => new Object)
@@ -686,10 +723,15 @@ object SimilarityExtOps extends OpModule {
                   recallPpm.as("recall_ppm"))
       }.reduce(_ unionAll _)
         .unionAll(
+          // the self-check row flows through the SHARED formula with
+          // hits = exact_pairs (r16 ADVICE): on a degenerate corpus
+          // (< 2 vectors ⇒ exact_pairs = 0) the zero-pair guard yields
+          // 0 here exactly as it would for any other tier, instead of
+          // a hardcoded perfect-recall literal
           exact.agg(count(lit(1)).as("exact_pairs"))
             .select(lit(64L).as("dims"), col("exact_pairs"),
                     col("exact_pairs").as("hits"),
-                    lit(1000000L).as("recall_ppm")))
+                    recallPpm.as("recall_ppm")))
     }
 
   /** q353's int8 attestation PERSISTED — same write-once measurement
@@ -1053,6 +1095,42 @@ object SimilarityExtOps extends OpModule {
           col("ci").as("xi")))
     }
 
+  /** The q345 TWO-LEVEL online-gate MODEL (r17; the r16 verdict's #3
+    * — "no shipped query carries the known-truncating 16-cell
+    * model"): the √n/hybrid fine-cell geometry of [[
+    * semDedupSqrtIndexTable]] — k = max(⌈√|even|⌉, ⌈|even|/cap⌉), the
+    * production cap-aware rule, which reads ⌈√|even|⌉ at every test
+    * SF — PLUS the [[twoLevelRouter]] build: coarse cells ('o' rows)
+    * and the replicated fine→coarse routing table ('f' rows, id =
+    * fine cid / cid = ccid / xi = fine centroid), and members ('m')
+    * assigned through the SAME two-level path the gate runs — the
+    * index is self-consistent: an arrival and a member at the same
+    * point route to the same cell by construction. 32 cid buckets
+    * (the member-probe join's layout key, q356's grain). */
+  private[graft] def semDedupTwoIndexTable(s: SparkSession,
+                                           d: String): String =
+    graft.BucketedCache.ensure(s, d, "semtwoidx",
+      "kind STRING, id BIGINT, cid BIGINT, nv BIGINT, xi ARRAY<BIGINT>",
+      "cid", 32) {
+      val em = latticeFrame(s, d, Long.MaxValue)
+        .where(col("vec_id") % 2 === 0)
+      val kAgg = greatest(ceil(sqrt(count(lit(1)))).cast("long"),
+        expr(s"(count(1) + ${SemDedupClusterCap - 1}) DIV " +
+             s"$SemDedupClusterCap").cast("long"))
+      val (cents, assigned) = hybridCellAssign(em, kAgg, twoLevel = true)
+      val (coarse, fa) = twoLevelRouter(cents)
+      assigned.select(lit("m").as("kind"), col("vec_id").as("id"),
+          col("cid"), col("nv"), col("xi"))
+        .unionByName(cents.select(lit("c").as("kind"),
+          col("cid").as("id"), col("cid"), lit(0L).as("nv"),
+          col("ci").as("xi")))
+        .unionByName(coarse.select(lit("o").as("kind"),
+          col("ccid").as("id"), col("ccid").as("cid"), lit(0L).as("nv"),
+          col("cci").as("xi")))
+        .unionByName(fa.select(lit("f").as("kind"), col("cid").as("id"),
+          col("ccid").as("cid"), lit(0L).as("nv"), col("ci").as("xi")))
+    }
+
   /** Deterministic sampled IVF centroids (cid, cv). `n` defaults to the
     * frozen [[Cents]] every declared query uses (oracle determinism);
     * the q120 production variant passes cells ∝ √corpus. */
@@ -1279,28 +1357,142 @@ object SimilarityExtOps extends OpModule {
     * hits visible). One definition so the √n census (q355) and the
     * cap-aware hybrid census (q367) differ ONLY in their declared k
     * and cap. */
-  private def semDedupCellCensus(s: SparkSession, d: String,
-                                 kAgg: Column, cap: Long,
-                                 capFlag: Boolean,
-                                 idCap: Long = Long.MaxValue): DataFrame = {
-    val em = embBase(s, d)
-      .where(col("vec_id") =!= 0 && col("vec_id") < idCap)
-      .select(col("vec_id"),
-        expr("transform(v, x -> CAST(round(x * 1000000) AS BIGINT))")
-          .as("xi"))
+  /** The (fine cells, assignment) pair every cell-census/certification
+    * query starts from: quantize `em` rows to the 1e6 lattice is the
+    * CALLER's job — this takes the lattice frame, computes k = `kAgg`
+    * over the even half in-frame, cuts cells = the 2k lowest even ids
+    * (q73's dense-id sampling), and assigns EVERY vector a cell id.
+    *
+    * `twoLevel = false` is the flat assigner: all k cells pack into one
+    * broadcast row and each vector pays a k-way codegen'd integer
+    * argmin — exact, but at the cap-aware hybrid k (= n/cap once the
+    * cap binds) the linear cell scan IS the cost (measured 49.6 s of
+    * pure assignment @100×, the r16 q367 note).
+    *
+    * `twoLevel = true` is the PRODUCTION assigner at that k (the r16
+    * verdict's #1): a two-level coarse quantizer — the IVF coarse/fine
+    * discipline (Jégou et al. 2011's inverted-file coarse quantizer
+    * applied to cell assignment). Coarse cells = the ⌈√k⌉ lowest-cid
+    * fine cells (the same dense-id cut one level up, so both engines
+    * restate it as `cid <= 2·kc`); each FINE cell assigns once to its
+    * nearest coarse cell (k·√k integer distances, build-side); each
+    * VECTOR argmins over the √k coarse cells, then over only the fine
+    * cells OF its coarse cell — ≈ 2√k distances per vector instead of
+    * k. Both argmin passes are the same codegen'd kernel over
+    * broadcast-packed centroid rows (the per-coarse fine lists ride a
+    * broadcast equi-join on ccid — ~k struct entries total, never a
+    * shuffle of the corpus). The price is approximation: a vector
+    * whose true nearest fine cell lives under a DIFFERENT coarse cell
+    * mis-assigns — q370 measures exactly that against the flat truth
+    * (assignment agreement + gate recall) on the declared slice. */
+  private[graft] def hybridCellAssign(em: DataFrame, kAgg: Column,
+                               twoLevel: Boolean)
+      : (DataFrame, DataFrame) = {
     val kDf = em.where(col("vec_id") % 2 === 0).agg(kAgg.as("k"))
     val cents = em.where(col("vec_id") % 2 === 0)
       .crossJoin(broadcast(kDf))
       .where(col("vec_id") <= lit(2) * col("k"))
       .select(col("vec_id").as("cid"), col("xi").as("ci"))
-    val packed = cents
-      .agg(collect_list(struct(col("cid"), col("ci"))).as("cents"))
-    val assigned = em.crossJoin(broadcast(packed))
-      .select(col("vec_id"), col("xi"),
-              GraftFunctions.argminCentroidLong(col("xi"), col("cents"))
-                .as("cid"),
-              GraftFunctions.dotProductLong(col("xi"), col("xi"))
-                .as("nv"))
+    val assigned =
+      if (!twoLevel) {
+        val packed = cents
+          .agg(collect_list(struct(col("cid"), col("ci"))).as("cents"))
+        em.crossJoin(broadcast(packed))
+          .select(col("vec_id"), col("xi"),
+                  GraftFunctions.argminCentroidLong(col("xi"), col("cents"))
+                    .as("cid"),
+                  GraftFunctions.dotProductLong(col("xi"), col("xi"))
+                    .as("nv"))
+      } else {
+        val (coarse, fa) = twoLevelRouter(cents)
+        // the kernel's input type names its struct fields (cid, ci)
+        val packedCoarse = coarse
+          .agg(collect_list(struct(col("ccid").as("cid"),
+                                   col("cci").as("ci"))).as("cc"))
+        val packedFine = fa
+          .groupBy("ccid")
+          .agg(collect_list(struct(col("cid"), col("ci"))).as("fc"))
+        em.crossJoin(broadcast(packedCoarse))
+          .select(col("vec_id"), col("xi"),
+                  GraftFunctions.argminCentroidLong(col("xi"), col("cc"))
+                    .as("ccid"))
+          .join(broadcast(packedFine), Seq("ccid"))
+          .select(col("vec_id"), col("xi"),
+                  GraftFunctions.argminCentroidLong(col("xi"), col("fc"))
+                    .as("cid"),
+                  GraftFunctions.dotProductLong(col("xi"), col("xi"))
+                    .as("nv"))
+      }
+    (cents, assigned)
+  }
+
+  /** The two-level router's BUILD side, shared by [[hybridCellAssign]]
+    * and the q345 online-gate artifact: kc = ⌈√k⌉ coarse cells (the
+    * 2kc lowest fine cids — computed from the CELL count, not the
+    * corpus count: the two differ when id gaps shrink the cut), and
+    * the fine→coarse routing table in which every fine cell
+    * REPLICATES into its [[TwoLevelRep]] nearest coarse buckets
+    * (k·kc integer distances + one cid-partitioned top-R window —
+    * nightly-build cost, never per-vector). The distance rides the
+    * codegen'd dot kernel as ‖a‖² + ‖b‖² − 2·a·b — exact integer
+    * identity with Σ(aᵢ−bᵢ)², replacing the interpreted zip_with HOF
+    * that was the measured hot half of the 100× build (k·kc = 1.4M
+    * 64-element lambda chains). Replication is the spill-tree remedy
+    * for boundary loss AT THE BUILD, which keeps the per-vector path
+    * a single coarse probe — the streaming-friendly shape. A coarse
+    * bucket always holds at least its own fine form (dist-0
+    * self-route survives any top-R cut), so consumers' ccid
+    * equi-joins are inner. Returns (coarse (ccid, cci),
+    * fa (cid, ci, ccid)). */
+  private[graft] def twoLevelRouter(cents: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val kcDf = cents.agg(ceil(sqrt(count(lit(1)))).cast("long")
+      .as("kc"))
+    val coarse = cents.crossJoin(broadcast(kcDf))
+      .where(col("cid") <= lit(2) * col("kc"))
+      .select(col("cid").as("ccid"), col("ci").as("cci"))
+    val fa = cents
+      .select(col("cid"), col("ci"),
+              GraftFunctions.dotProductLong(col("ci"), col("ci"))
+                .as("nf"))
+      .crossJoin(broadcast(coarse.select(col("ccid"), col("cci"),
+        GraftFunctions.dotProductLong(col("cci"), col("cci"))
+          .as("nc"))))
+      .select(col("cid"), col("ci"), col("ccid"),
+        (col("nf") + col("nc") -
+         lit(2L) * GraftFunctions.dotProductLong(col("ci"),
+                                                 col("cci")))
+          .as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cid").orderBy("dist", "ccid")))
+      .where(col("rn") <= TwoLevelRep)
+      .select(col("cid"), col("ci"), col("ccid"))
+    (coarse, fa)
+  }
+
+  /** The 1e6-lattice projection of the corpus minus the query vector,
+    * bounded to `idCap` — the shared head of every cell census. */
+  private[graft] def latticeFrame(s: SparkSession, d: String,
+                           idCap: Long): DataFrame =
+    embBase(s, d)
+      .where(col("vec_id") =!= 0 && col("vec_id") < idCap)
+      .select(col("vec_id"),
+        expr("transform(v, x -> CAST(round(x * 1000000) AS BIGINT))")
+          .as("xi"))
+
+  private def semDedupCellCensus(s: SparkSession, d: String,
+                                 kAgg: Column, cap: Long,
+                                 capFlag: Boolean,
+                                 idCap: Long = Long.MaxValue,
+                                 twoLevel: Boolean = false): DataFrame = {
+    val em = latticeFrame(s, d, idCap)
+    val (cents, assigned0) = hybridCellAssign(em, kAgg, twoLevel)
+    // the census tail reads the assignment FOUR times (members and
+    // arrivals each feed both the dup join and their own census agg);
+    // unpinned, the r17 probe measured the two-level 100× line as 4×
+    // the single assignment pass — pin once, pay once
+    val (assigned, ah) = pin(assigned0)
+    ah.count(); graft.PinScope.retain(ah)
     val members = assigned.where(col("vec_id") % 2 === 0)
       .withColumn("mrk", row_number().over(
         Window.partitionBy("cid").orderBy("vec_id")))
@@ -2108,7 +2300,11 @@ object SimilarityExtOps extends OpModule {
           .agg(count(lit(1)).as("edges"),
                countDistinct(col("src")).as("srcs"))
           .select(lit(v.toLong).as("version"),
-                  lit(GraphVersionTiers(v)).as("tier"),
+                  // tolerant lookup (r16 ADVICE): a log holding a
+                  // version this builder doesn't know names it
+                  // explicitly instead of crashing the report
+                  lit(GraphVersionTiers.getOrElse(v, s"unknown_v$v"))
+                    .as("tier"),
                   col("edges"), col("srcs"))
       }.reduce(_ unionAll _).orderBy("version")
     },
@@ -2244,6 +2440,100 @@ object SimilarityExtOps extends OpModule {
         8L, capFlag = true, idCap = 4096L)
     },
 
+    // TWO-LEVEL coarse-quantizer assignment at the hybrid geometry
+    // (added r17, the r16 verdict's #1 — the one measured scale cliff
+    // left open): q367 certified the cap-aware cell RULE (cells =
+    // max(⌈√n⌉, ⌈n/cap⌉)) but had to certify it on a declared 4096-id
+    // slice because the flat assigner at that k is linear in the cell
+    // count — its full-corpus first cut MEASURED 49.6 s @100× of pure
+    // argmin at 12,500 cells, and at 10⁹ vectors (where the census
+    // says the 4096 cap BINDS, k = n/cap ≈ 244k cells) the flat scan
+    // is simply not runnable. This query IS the runnable path: the
+    // same census, FULL corpus (no slice), synthetic cap 8 (the q367
+    // declaration — no test SF reaches the real cap² ≈ 16.7M), with
+    // assignment running coarse-then-fine ([[hybridCellAssign]]
+    // twoLevel): ⌈√k⌉ coarse cells, each fine cell replicated into
+    // its [[TwoLevelRep]] nearest coarse buckets at build time, and
+    // every vector paying one √k-way coarse argmin plus one argmin
+    // over its bucket's ~R·k/kc fine cells — ≈ (1+R)·√k integer
+    // distances instead of k (distance-count model: ~1,120 vs 12,500
+    // per vector at the 100× sweep volume, ratio ~49× at the
+    // 10⁹-vector census point where the cap binds). MEASURED @100×
+    // (SweepR17, same box): the full-corpus census line 49.6 s →
+    // 7.66 s (the pin below contributes too — the unpinned census
+    // re-ran its assignment 4×); the assignment pass alone 9.1 s
+    // flat vs 3.4 s two-level with today's kernels. The census body,
+    // member cap, dup predicate and `capped` visibility are q367's
+    // verbatim; only the assigner differs, and q370 attests what the
+    // approximation costs against the flat truth.
+    "q369_twolevel_assign" -> { (s, d) =>
+      semDedupCellCensus(s, d,
+        greatest(ceil(sqrt(count(lit(1)))).cast("long"),
+                 expr("(count(1) + 7) DIV 8").cast("long")),
+        8L, capFlag = true, twoLevel = true)
+    },
+
+    // Two-level vs flat assigner CERTIFICATION (added r17, with q369)
+    // — the attestation that makes q369's approximation a measured
+    // trade, not a hope: on q367's declared 4096-id certification
+    // slice (the one place the flat assigner stays affordable at ANY
+    // corpus volume), run BOTH assigners at the identical hybrid
+    // geometry and synthetic cap 8, and report ONE row: vectors
+    // assigned, how many land in the same cell (agree_ppm — the
+    // direct quantizer-fidelity number), each assigner's flagged
+    // arrival count through the identical gate, their overlap, and
+    // recall_ppm = flagged-by-both / flagged-by-flat (the number that
+    // says what fraction of the exact gate's catches the production
+    // assigner keeps — the q344/q352 recall discipline applied to the
+    // assigner). Integer ppm, zero-denominator guard, hash-exact.
+    "q370_twolevel_recall" -> { (s, d) =>
+      val em = latticeFrame(s, d, idCap = 4096L)
+      val kAgg = greatest(ceil(sqrt(count(lit(1)))).cast("long"),
+                          expr("(count(1) + 7) DIV 8").cast("long"))
+      def flagged(asg: DataFrame): DataFrame = {
+        val mem = asg.where(col("vec_id") % 2 === 0)
+          .withColumn("mrk", row_number().over(
+            Window.partitionBy("cid").orderBy("vec_id")))
+          .where(col("mrk") <= 8)
+          .select(col("cid"), col("xi").as("xa"), col("nv").as("na"))
+        asg.where(col("vec_id") % 2 === 1)
+          .select(col("cid"), col("vec_id").as("b"), col("xi").as("xb"),
+                  col("nv").as("nb"))
+          .join(mem, Seq("cid"))
+          .withColumn("dot",
+            GraftFunctions.dotProductLong(col("xa"), col("xb")))
+          .where(col("dot") > 0 &&
+                 col("dot").cast("decimal(38,0)") * col("dot") * 10000 >=
+                   col("na").cast("decimal(38,0)") * col("nb") * 1600)
+          .select(col("b")).distinct()
+      }
+      val (_, asgFlat) = hybridCellAssign(em, kAgg, twoLevel = false)
+      val (_, asgTwo) = hybridCellAssign(em, kAgg, twoLevel = true)
+      val (ff, fh) = pin(flagged(asgFlat)); fh.count()
+      graft.PinScope.retain(fh)
+      val (tf, th) = pin(flagged(asgTwo)); th.count()
+      graft.PinScope.retain(th)
+      val agree = asgFlat.select(col("vec_id"), col("cid").as("fcid"))
+        .join(asgTwo.select(col("vec_id"), col("cid").as("tcid")),
+              Seq("vec_id"))
+        .agg(count(lit(1)).as("vectors"),
+             sum(when(col("fcid") === col("tcid"), 1L).otherwise(0L))
+               .as("agree"))
+      agree
+        .crossJoin(ff.agg(count(lit(1)).as("flat_flagged")))
+        .crossJoin(tf.agg(count(lit(1)).as("two_flagged")))
+        .crossJoin(tf.join(ff, Seq("b"), "left_semi")
+          .agg(count(lit(1)).as("both_flagged")))
+        .select(col("vectors"), col("agree"),
+                expr("CASE WHEN vectors = 0 THEN 0 ELSE " +
+                     "(1000000 * agree) DIV vectors END").as("agree_ppm"),
+                col("flat_flagged"), col("two_flagged"),
+                col("both_flagged"),
+                expr("CASE WHEN flat_flagged = 0 THEN 0 ELSE " +
+                     "(1000000 * both_flagged) DIV flat_flagged END")
+                  .as("recall_ppm"))
+    },
+
     // Graph version-log RETENTION (added r16, §12.1 candidate #1
     // promoted the same round it was recorded) — the retire step that
     // completes the artifact lifecycle q357 opened (build → promote →
@@ -2264,8 +2554,13 @@ object SimilarityExtOps extends OpModule {
     "q366_graph_vacuum" -> { (s, d) =>
       val SnapshotLog = graft.sources.PartitionedOps.SnapshotLog
       val live = graphVersionRoot(s, d)
+      // the returned DataFrame reads the copy LAZILY, so eager deletion
+      // is unsafe; a JVM-exit sweep bounds the leak per process instead
+      // (r16 ADVICE — bench passes invoke this repeatedly and each
+      // invocation staged a full log copy into tmpdir forever)
       val copy = java.nio.file.Files
         .createTempDirectory("graft_graphlog_vac")
+      deleteRecursivelyAtExit(copy)
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(live).iterator.asScala
         .filter(java.nio.file.Files.isRegularFile(_))
@@ -2275,18 +2570,23 @@ object SimilarityExtOps extends OpModule {
           java.nio.file.Files.createDirectories(dst.getParent)
           java.nio.file.Files.copy(p, dst)
         }
+      // enumerate the versions the log ACTUALLY holds (captured before
+      // the vacuum drops manifests): a log written by a different
+      // builder layout must surface as an explicit unknown-tier row,
+      // never a Map lookup crash (r16 ADVICE)
+      val allVs = SnapshotLog.versions(copy)
       val (_, dropped) = SnapshotLog.vacuum(copy, keep = 2)
-      val rows = GraphVersionTiers.toSeq.sortBy(_._1).map {
-        case (v, tier) =>
-          if (dropped.contains(v))
-            s.range(1).select(lit(v.toLong).as("version"),
-              lit(tier).as("tier"), lit("dropped").as("status"),
-              lit(0L).as("edges"))
-          else
-            SnapshotLog.read(s, copy, v)
-              .agg(count(lit(1)).as("edges"))
-              .select(lit(v.toLong).as("version"), lit(tier).as("tier"),
-                      lit("kept").as("status"), col("edges"))
+      val rows = allVs.map { v =>
+        val tier = GraphVersionTiers.getOrElse(v, s"unknown_v$v")
+        if (dropped.contains(v))
+          s.range(1).select(lit(v.toLong).as("version"),
+            lit(tier).as("tier"), lit("dropped").as("status"),
+            lit(0L).as("edges"))
+        else
+          SnapshotLog.read(s, copy, v)
+            .agg(count(lit(1)).as("edges"))
+            .select(lit(v.toLong).as("version"), lit(tier).as("tier"),
+                    lit("kept").as("status"), col("edges"))
       }
       rows.reduce(_ unionAll _).orderBy("version")
     },
@@ -3722,6 +4022,210 @@ object SimilarityExtOps extends OpModule {
            |           GROUP BY cid) ar ON c.cid = ar.cid
            |LEFT JOIN dp ON c.cid = dp.cid
            |ORDER BY c.cid""".stripMargin,
+
+      // q367's census text on the FULL corpus with the assignment
+      // restated coarse-then-fine: kc = ⌈√k⌉ coarse cells (the 2kc
+      // lowest fine cids), fine cells route to their nearest coarse
+      // cell once (fa), every vector picks a coarse cell (ac) then
+      // argmins over only that coarse cell's fine cells — ties to the
+      // lower id at both levels, the kernel's rule
+      "q369_twolevel_assign" ->
+        s"""WITH e AS MATERIALIZED (SELECT vec_id,
+           |    list_transform(embedding,
+           |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+           |      AS xi
+           |  FROM embeddings WHERE vec_id <> 0),
+           |kv AS (SELECT greatest(
+           |         CAST(ceil(sqrt(count(*))) AS BIGINT),
+           |         CAST((count(*) + 7) // 8 AS BIGINT)) AS k
+           |       FROM e WHERE vec_id % 2 = 0),
+           |c AS MATERIALIZED (SELECT vec_id AS cid, xi AS ci FROM e, kv
+           |      WHERE vec_id % 2 = 0 AND vec_id <= 2 * k),
+           |kcv AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS kc
+           |        FROM c),
+           |cc AS MATERIALIZED (SELECT cid AS ccid, ci AS cci
+           |      FROM c, kcv WHERE cid <= 2 * kc),
+           |fa AS MATERIALIZED (SELECT cid, ccid FROM (
+           |    SELECT c.cid, cc.ccid,
+           |      row_number() OVER (PARTITION BY c.cid ORDER BY
+           |        CAST(list_sum(list_transform(range(1, 65),
+           |          j -> (c.ci[j] - cc.cci[j]) * (c.ci[j] - cc.cci[j])))
+           |          AS BIGINT), cc.ccid) AS rn
+           |    FROM c, cc) WHERE rn <= $TwoLevelRep),
+           |ac AS MATERIALIZED (SELECT vec_id, ccid FROM (
+           |    SELECT e.vec_id, cc.ccid,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        CAST(list_sum(list_transform(range(1, 65),
+           |          j -> (e.xi[j] - cc.cci[j]) * (e.xi[j] - cc.cci[j])))
+           |          AS BIGINT), cc.ccid) AS rn
+           |    FROM e, cc) WHERE rn = 1),
+           |asg AS MATERIALIZED (SELECT vec_id, cid FROM (
+           |    SELECT a.vec_id, c.cid,
+           |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+           |        CAST(list_sum(list_transform(range(1, 65),
+           |          j -> (e.xi[j] - c.ci[j]) * (e.xi[j] - c.ci[j])))
+           |          AS BIGINT), c.cid) AS rn
+           |    FROM ac a JOIN e ON a.vec_id = e.vec_id
+           |         JOIN fa ON fa.ccid = a.ccid
+           |         JOIN c ON c.cid = fa.cid) WHERE rn = 1),
+           |nv AS (SELECT vec_id,
+           |    CAST(list_sum(list_transform(range(1, 65),
+           |      j -> xi[j] * xi[j])) AS BIGINT) AS nv
+           |  FROM e),
+           |mem AS MATERIALIZED (SELECT cid, vec_id, xi, nv FROM (
+           |    SELECT a.cid, a.vec_id, e.xi, n.nv,
+           |      row_number() OVER (PARTITION BY a.cid
+           |                         ORDER BY a.vec_id) AS mrk
+           |    FROM asg a JOIN e ON a.vec_id = e.vec_id
+           |         JOIN nv n ON a.vec_id = n.vec_id
+           |    WHERE a.vec_id % 2 = 0)
+           |  WHERE mrk <= 8),
+           |arr AS (SELECT a.cid, a.vec_id AS b, e.xi AS xb, n.nv AS nb
+           |  FROM asg a JOIN e ON a.vec_id = e.vec_id
+           |       JOIN nv n ON a.vec_id = n.vec_id
+           |  WHERE a.vec_id % 2 = 1),
+           |dp AS (SELECT cid, count(*) AS dup_pairs,
+           |    count(DISTINCT b) AS dropped
+           |  FROM (SELECT m.cid, r.b,
+           |      CAST(list_sum(list_transform(range(1, 65),
+           |        j -> m.xi[j] * r.xb[j])) AS BIGINT) AS dot,
+           |      m.nv AS na, r.nb
+           |    FROM arr r JOIN mem m ON r.cid = m.cid)
+           |  WHERE dot > 0 AND
+           |    CAST(dot AS HUGEINT) * dot * 10000 >=
+           |      CAST(na AS HUGEINT) * nb * 1600
+           |  GROUP BY cid)
+           |SELECT c.cid,
+           |  CAST(coalesce(ms.standing, 0) AS BIGINT) AS standing,
+           |  CAST(coalesce(ar.arrivals, 0) AS BIGINT) AS arrivals,
+           |  CAST(coalesce(dp.dup_pairs, 0) AS BIGINT) AS dup_pairs,
+           |  CAST(coalesce(dp.dropped, 0) AS BIGINT) AS dropped,
+           |  CAST(CASE WHEN coalesce(ar.arrivals, 0) = 0 THEN 1000000
+           |       ELSE (1000000 * (ar.arrivals - coalesce(dp.dropped, 0)))
+           |            // ar.arrivals END AS BIGINT) AS keep_ppm,
+           |  CAST(CASE WHEN coalesce(ms.standing, 0) = 8 THEN 1 ELSE 0
+           |       END AS BIGINT) AS capped
+           |FROM c
+           |LEFT JOIN (SELECT cid, count(*) AS standing FROM mem
+           |           GROUP BY cid) ms ON c.cid = ms.cid
+           |LEFT JOIN (SELECT cid, count(*) AS arrivals FROM arr
+           |           GROUP BY cid) ar ON c.cid = ar.cid
+           |LEFT JOIN dp ON c.cid = dp.cid
+           |ORDER BY c.cid""".stripMargin,
+
+      // both assigners restated over the declared slice; the flagged
+      // sets and the assignment-agreement summary fold into one row
+      "q370_twolevel_recall" ->
+        s"""WITH e AS MATERIALIZED (SELECT vec_id,
+           |    list_transform(embedding,
+           |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+           |      AS xi
+           |  FROM embeddings WHERE vec_id <> 0 AND vec_id < 4096),
+           |kv AS (SELECT greatest(
+           |         CAST(ceil(sqrt(count(*))) AS BIGINT),
+           |         CAST((count(*) + 7) // 8 AS BIGINT)) AS k
+           |       FROM e WHERE vec_id % 2 = 0),
+           |c AS MATERIALIZED (SELECT vec_id AS cid, xi AS ci FROM e, kv
+           |      WHERE vec_id % 2 = 0 AND vec_id <= 2 * k),
+           |asgf AS MATERIALIZED (SELECT vec_id, cid FROM (
+           |    SELECT e.vec_id, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        CAST(list_sum(list_transform(range(1, 65),
+           |          j -> (e.xi[j] - c.ci[j]) * (e.xi[j] - c.ci[j])))
+           |          AS BIGINT), c.cid) AS rn
+           |    FROM e, c) WHERE rn = 1),
+           |kcv AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS kc
+           |        FROM c),
+           |cc AS MATERIALIZED (SELECT cid AS ccid, ci AS cci
+           |      FROM c, kcv WHERE cid <= 2 * kc),
+           |fa AS MATERIALIZED (SELECT cid, ccid FROM (
+           |    SELECT c.cid, cc.ccid,
+           |      row_number() OVER (PARTITION BY c.cid ORDER BY
+           |        CAST(list_sum(list_transform(range(1, 65),
+           |          j -> (c.ci[j] - cc.cci[j]) * (c.ci[j] - cc.cci[j])))
+           |          AS BIGINT), cc.ccid) AS rn
+           |    FROM c, cc) WHERE rn <= $TwoLevelRep),
+           |ac AS MATERIALIZED (SELECT vec_id, ccid FROM (
+           |    SELECT e.vec_id, cc.ccid,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        CAST(list_sum(list_transform(range(1, 65),
+           |          j -> (e.xi[j] - cc.cci[j]) * (e.xi[j] - cc.cci[j])))
+           |          AS BIGINT), cc.ccid) AS rn
+           |    FROM e, cc) WHERE rn = 1),
+           |asgt AS MATERIALIZED (SELECT vec_id, cid FROM (
+           |    SELECT a.vec_id, c.cid,
+           |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+           |        CAST(list_sum(list_transform(range(1, 65),
+           |          j -> (e.xi[j] - c.ci[j]) * (e.xi[j] - c.ci[j])))
+           |          AS BIGINT), c.cid) AS rn
+           |    FROM ac a JOIN e ON a.vec_id = e.vec_id
+           |         JOIN fa ON fa.ccid = a.ccid
+           |         JOIN c ON c.cid = fa.cid) WHERE rn = 1),
+           |nv AS (SELECT vec_id,
+           |    CAST(list_sum(list_transform(range(1, 65),
+           |      j -> xi[j] * xi[j])) AS BIGINT) AS nv
+           |  FROM e),
+           |memf AS MATERIALIZED (SELECT cid, xi, nv FROM (
+           |    SELECT a.cid, e.xi, n.nv,
+           |      row_number() OVER (PARTITION BY a.cid
+           |                         ORDER BY a.vec_id) AS mrk
+           |    FROM asgf a JOIN e ON a.vec_id = e.vec_id
+           |         JOIN nv n ON a.vec_id = n.vec_id
+           |    WHERE a.vec_id % 2 = 0)
+           |  WHERE mrk <= 8),
+           |arrf AS (SELECT a.cid, a.vec_id AS b, e.xi AS xb, n.nv AS nb
+           |  FROM asgf a JOIN e ON a.vec_id = e.vec_id
+           |       JOIN nv n ON a.vec_id = n.vec_id
+           |  WHERE a.vec_id % 2 = 1),
+           |flf AS MATERIALIZED (SELECT DISTINCT b FROM (
+           |    SELECT r.b,
+           |      CAST(list_sum(list_transform(range(1, 65),
+           |        j -> m.xi[j] * r.xb[j])) AS BIGINT) AS dot,
+           |      m.nv AS na, r.nb
+           |    FROM arrf r JOIN memf m ON r.cid = m.cid)
+           |  WHERE dot > 0 AND
+           |    CAST(dot AS HUGEINT) * dot * 10000 >=
+           |      CAST(na AS HUGEINT) * nb * 1600),
+           |memt AS MATERIALIZED (SELECT cid, xi, nv FROM (
+           |    SELECT a.cid, e.xi, n.nv,
+           |      row_number() OVER (PARTITION BY a.cid
+           |                         ORDER BY a.vec_id) AS mrk
+           |    FROM asgt a JOIN e ON a.vec_id = e.vec_id
+           |         JOIN nv n ON a.vec_id = n.vec_id
+           |    WHERE a.vec_id % 2 = 0)
+           |  WHERE mrk <= 8),
+           |arrt AS (SELECT a.cid, a.vec_id AS b, e.xi AS xb, n.nv AS nb
+           |  FROM asgt a JOIN e ON a.vec_id = e.vec_id
+           |       JOIN nv n ON a.vec_id = n.vec_id
+           |  WHERE a.vec_id % 2 = 1),
+           |flt AS MATERIALIZED (SELECT DISTINCT b FROM (
+           |    SELECT r.b,
+           |      CAST(list_sum(list_transform(range(1, 65),
+           |        j -> m.xi[j] * r.xb[j])) AS BIGINT) AS dot,
+           |      m.nv AS na, r.nb
+           |    FROM arrt r JOIN memt m ON r.cid = m.cid)
+           |  WHERE dot > 0 AND
+           |    CAST(dot AS HUGEINT) * dot * 10000 >=
+           |      CAST(na AS HUGEINT) * nb * 1600),
+           |ag AS (SELECT count(*) AS vectors,
+           |    sum(CASE WHEN f.cid = t.cid THEN 1 ELSE 0 END) AS agree
+           |  FROM asgf f JOIN asgt t ON f.vec_id = t.vec_id)
+           |SELECT CAST(vectors AS BIGINT) AS vectors,
+           |  CAST(agree AS BIGINT) AS agree,
+           |  CAST(CASE WHEN vectors = 0 THEN 0
+           |       ELSE (1000000 * agree) // vectors END AS BIGINT)
+           |    AS agree_ppm,
+           |  CAST((SELECT count(*) FROM flf) AS BIGINT) AS flat_flagged,
+           |  CAST((SELECT count(*) FROM flt) AS BIGINT) AS two_flagged,
+           |  CAST((SELECT count(*) FROM flt
+           |        WHERE b IN (SELECT b FROM flf)) AS BIGINT)
+           |    AS both_flagged,
+           |  CAST(CASE WHEN (SELECT count(*) FROM flf) = 0 THEN 0
+           |       ELSE (1000000 * (SELECT count(*) FROM flt
+           |                        WHERE b IN (SELECT b FROM flf)))
+           |            // (SELECT count(*) FROM flf) END AS BIGINT)
+           |    AS recall_ppm
+           |FROM ag""".stripMargin,
 
       "q355_semdedup_cells" ->
         s"""WITH e AS MATERIALIZED (SELECT vec_id,
