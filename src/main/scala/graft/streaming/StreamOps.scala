@@ -265,6 +265,154 @@ object StreamOps extends OpModule {
     root
   }
 
+  /** Number of cid hash buckets the q371 admitted log is laid out in —
+    * the unit of per-trigger rewrite, q298's discipline: a micro-batch
+    * rewrites only the buckets holding newly-admitted cells and the
+    * new manifest re-references the untouched buckets' files. */
+  private val GateAdmBuckets = 8
+
+  /** One monitor per admitted-log root (q371): a second in-JVM caller
+    * must not race the drain against the same log. */
+  private val gateAdmitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Applies one online-gate micro-batch to the admitted log at `root`
+    * as version `batchId + 1` (q371 — the r16 verdict's #2, closing
+    * the loop q356 left open: accepted arrivals JOIN the member index
+    * per trigger instead of the gate probing a frozen artifact until
+    * the next nightly rebuild):
+    *
+    *  - the batch's arrivals (already assigned: vec_id, xi, cid, nv)
+    *    probe the STANDING corpus members (the semsqidx artifact,
+    *    capped — the same stream-static probe q356 runs); an arrival
+    *    with NO standing match is ADMITTED. Admission is decided
+    *    against the corpus snapshot ONLY — the declared one-level
+    *    rule that keeps the admitted set independent of the batch
+    *    split (an admit-vs-admit dependence would make acceptance
+    *    recursive and split-sensitive; catching dups AMONG recent
+    *    admits is the report's n_dup_recent column and the nightly
+    *    batch pass's job);
+    *  - admitted rows land cid-bucketed: only CHANGED buckets rewrite
+    *    (prior bucket files anti-joined on vec_id + the batch's
+    *    admits), unchanged buckets carry over by reference —
+    *    [[applyCdcBatch]]'s idempotent bucket-merge verbatim;
+    *  - IDEMPOTENT by version: a replayed batch (restart from
+    *    checkpoint, double-fire) finds `v` committed, consumes, and
+    *    returns; files-then-manifest means a crash between addFiles
+    *    and commitVersion leaves orphans, never a torn log.
+    *
+    * At 100 TB the admitted log is the gate's hot member partition
+    * set; per-trigger cost is O(batch × matched buckets + changed
+    * buckets), never a corpus rescan, and the nightly rebuild folds
+    * the log back into the standing artifact (q357's promote cycle). */
+  private[graft] def applyGateBatch(s: SparkSession,
+                                    idxTable: String,
+                                    root: java.nio.file.Path,
+                                    batchId: Long, batch: DataFrame): Unit = {
+    val SnapshotLog = graft.sources.PartitionedOps.SnapshotLog
+    val v = batchId.toInt + 1
+    if (SnapshotLog.versions(root).contains(v)) {
+      batch.write.format("noop").mode("overwrite").save()
+      return
+    }
+    require(SnapshotLog.latest(root) == v - 1,
+      s"admitted log at ${SnapshotLog.latest(root)} cannot accept v$v")
+    val members = s.table(idxTable).where(col("kind") === "m")
+      .withColumn("mrk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("cid").orderBy("id")))
+      .where(col("mrk") <=
+             graft.operators.SimilarityExtOps.SemDedupClusterCap)
+      .select(col("cid"), col("nv").as("na"), col("xi").as("xa"))
+    val matched = batch.join(members, Seq("cid"))
+      .withColumn("dot", org.apache.spark.sql.graft.GraftFunctions
+        .dotProductLong(col("xa"), col("xi")))
+      .where(col("dot") > 0 &&
+             col("dot").cast("decimal(38,0)") * col("dot") * 10000 >=
+               col("na").cast("decimal(38,0)") * col("nv") * 1600)
+      .select("vec_id").distinct()
+    val adm = batch.join(matched, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cid"), col("nv"), col("xi"))
+      .withColumn("bkt",
+        pmod(col("cid"), lit(GateAdmBuckets)).cast("int")).persist()
+    try {
+      val changed = adm.select("bkt").distinct()
+        .collect().map(_.getInt(0)).toSet
+      val prevFiles: Seq[String] =
+        if (v == 1) Seq.empty else SnapshotLog.files(root, v - 1)
+      def bucketOf(name: String) = name.drop(1).takeWhile(_ != '-').toInt
+      val keep = prevFiles.filterNot(f => changed.contains(bucketOf(f)))
+      val added = changed.toSeq.sorted.flatMap { b =>
+        val prior = prevFiles.filter(f => bucketOf(f) == b)
+        val cur =
+          if (prior.isEmpty)
+            s.createDataFrame(
+              s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType.fromDDL(
+                "vec_id BIGINT, cid BIGINT, nv BIGINT, xi ARRAY<BIGINT>"))
+          else s.read.parquet(prior.map(root.resolve(_).toString): _*)
+        val bu = adm.where(col("bkt") === b)
+          .select("vec_id", "cid", "nv", "xi")
+        // anti-join on vec_id: an at-least-once upstream re-delivering
+        // an already-admitted arrival in a LATER batch must not
+        // double-insert it
+        val merged = cur
+          .join(bu.select("vec_id"), Seq("vec_id"), "left_anti")
+          .unionByName(bu)
+        SnapshotLog.addFiles(s, root, s"b$b-v$v", merged.coalesce(1))
+      }
+      SnapshotLog.commitVersion(root, v, keep ++ added)
+    } finally adm.unpersist()
+  }
+
+  /** Builds (or reuses) the q371 admitted log for `d`'s embedding
+    * stream: odd arrivals assign against the FROZEN √n-cell model
+    * (q356's centroid Literal) in the streaming plan, then drain
+    * through a foreachBatch [[applyGateBatch]] committer. The root
+    * rides the staged dir's layout fingerprint and per-batch commits
+    * are version-idempotent, so re-drains against an already-built
+    * log are no-ops. */
+  private[graft] def gateAdmitRoot(s: SparkSession, d: String)
+      : java.nio.file.Path = {
+    val idxT = graft.operators.SimilarityExtOps.semDedupSqrtIndexTable(s, d)
+    val root = java.nio.file.Paths.get(stagedEmbsDir(d) + "_gateadm")
+    gateAdmitLocks.computeIfAbsent(root.toString, _ => new Object)
+      .synchronized {
+        java.nio.file.Files.createDirectories(root)
+        val centRows = s.table(idxT).where(col("kind") === "c")
+          .select(col("cid"), col("xi")).collect()
+        val centsLit = org.apache.spark.sql.graft.GraftFunctions
+          .centroidLitLong(centRows.map(r =>
+            (r.getLong(0), r.getSeq[Long](1))).toSeq.sortBy(_._1))
+        val iso = s.newSession()
+        iso.conf.set("spark.sql.shuffle.partitions", "8")
+        val rawSchema = iso.read.parquet(s"$d/embeddings.parquet").schema
+        val ckpt =
+          java.nio.file.Files.createTempDirectory("graft_gateadm_ck")
+        val query = iso.readStream.schema(rawSchema)
+          .parquet(stagedEmbsDir(d))
+          .where(col("vec_id") % 2 === 1)
+          .select(col("vec_id"), expr(
+            "transform(cast(embedding as array<double>), " +
+              "x -> CAST(round(x * 1000000) AS BIGINT))").as("xi"))
+          .select(col("vec_id"), col("xi"),
+            org.apache.spark.sql.graft.GraftFunctions
+              .argminCentroidLong(col("xi"), centsLit).as("cid"),
+            org.apache.spark.sql.graft.GraftFunctions
+              .dotProductLong(col("xi"), col("xi")).as("nv"))
+          .writeStream
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            applyGateBatch(b.sparkSession, idxT, root, id, b)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try query.awaitTermination()
+        finally if (query.isActive) query.stop()
+      }
+    root
+  }
+
   /** File-source event stream with µs event time (ns parquet → µs). */
   private def eventStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -682,6 +830,79 @@ object StreamOps extends OpModule {
         .groupBy("vec_id", "cid")
         .agg(count(lit(1)).as("n_dup_old"))
         .orderBy("vec_id", "cid")
+    },
+
+    // STREAM-MAINTAINED member index for the online gate (added r17,
+    // the r16 verdict's #2 — q356 probes a FROZEN member artifact, so
+    // accepted arrivals were invisible to the gate until the next
+    // nightly rebuild; this closes the loop): arrivals drain through
+    // a foreachBatch committer ([[applyGateBatch]]) that ADMITS every
+    // arrival with no standing-corpus match and appends it to a
+    // cid-bucketed SnapshotLog per trigger — q298's idempotent
+    // bucket-merge commits applied to the gate's member index (only
+    // changed cid buckets rewrite; a replayed batch finds its version
+    // committed; files-then-manifest means a crash can never tear the
+    // log). Admission is decided against the CORPUS SNAPSHOT only —
+    // the declared one-level rule that keeps the admitted set
+    // identical under ANY batch split (admit-vs-admit acceptance
+    // would be recursive and split-sensitive; dups AMONG recent
+    // admits surface in n_dup_recent and belong to the nightly batch
+    // pass). The declared result is the gate's intake report read
+    // BACK THROUGH THE LOG: per arrival its cell, standing-corpus dup
+    // count, dup count against EARLIER-ID admitted arrivals (the
+    // probe a frozen-index gate cannot run), and the admitted flag —
+    // taken from the committed log itself, not recomputed, so a
+    // missed or doubled commit breaks the oracle. StreamingSpec
+    // drives the split/replay/double-fire claims on the committer
+    // directly.
+    "q371_stream_gate_admit" -> { (s, d) =>
+      val simx = graft.operators.SimilarityExtOps
+      val gf = org.apache.spark.sql.graft.GraftFunctions
+      val idxT = simx.semDedupSqrtIndexTable(s, d)
+      val root = gateAdmitRoot(s, d)
+      val SnapshotLog = graft.sources.PartitionedOps.SnapshotLog
+      val admLog = SnapshotLog.read(s, root, SnapshotLog.latest(root))
+      val packed = s.table(idxT).where(col("kind") === "c")
+        .select(col("cid"), col("xi").as("ci"))
+        .agg(collect_list(struct(col("cid"), col("ci"))).as("cents"))
+      val (arr, ah) = org.apache.spark.sql.graft.InternalPin.pin(
+        simx.latticeFrame(s, d, Long.MaxValue)
+          .where(col("vec_id") % 2 === 1)
+          .crossJoin(broadcast(packed))
+          .select(col("vec_id").as("b"),
+            gf.argminCentroidLong(col("xi"), col("cents")).as("cid"),
+            col("xi").as("xb"),
+            gf.dotProductLong(col("xi"), col("xi")).as("nb")))
+      ah.count(); graft.PinScope.retain(ah)
+      val members = s.table(idxT).where(col("kind") === "m")
+        .withColumn("mrk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("cid").orderBy("id")))
+        .where(col("mrk") <= simx.SemDedupClusterCap)
+        .select(col("cid"), col("nv").as("na"), col("xi").as("xa"))
+      def dupLine(df: DataFrame): DataFrame = df
+        .withColumn("dot", gf.dotProductLong(col("xa"), col("xb")))
+        .where(col("dot") > 0 &&
+               col("dot").cast("decimal(38,0)") * col("dot") * 10000 >=
+                 col("na").cast("decimal(38,0)") * col("nb") * 1600)
+      val corp = dupLine(arr.join(members, Seq("cid")))
+        .groupBy("b").agg(count(lit(1)).as("n_dup_corpus"))
+      val rec = dupLine(arr.join(
+          admLog.select(col("cid"), col("vec_id").as("a"),
+                        col("nv").as("na"), col("xi").as("xa")),
+          Seq("cid"))
+          .where(col("a") < col("b")))
+        .groupBy("b").agg(count(lit(1)).as("n_dup_recent"))
+      arr.select(col("b"), col("cid"))
+        .join(corp, Seq("b"), "left")
+        .join(rec, Seq("b"), "left")
+        .join(admLog.select(col("vec_id").as("b"), lit(1L).as("adm")),
+              Seq("b"), "left")
+        .select(col("b").as("vec_id"), col("cid"),
+                coalesce(col("n_dup_corpus"), lit(0L)).as("n_dup_corpus"),
+                coalesce(col("n_dup_recent"), lit(0L)).as("n_dup_recent"),
+                coalesce(col("adm"), lit(0L)).as("admitted"))
+        .orderBy("vec_id")
     },
 
     "q330_stream_pit_enrich" -> { (s, d) =>
@@ -1279,6 +1500,82 @@ object StreamOps extends OpModule {
          |  CAST(dot AS HUGEINT) * dot * 10000 >=
          |    CAST(na AS HUGEINT) * nb * 1600
          |GROUP BY 1, 2 ORDER BY vec_id, cid""".stripMargin
+    },
+
+    // q356's √n assignment text + the one-level admit rule restated:
+    // admitted = odd arrivals with no standing-corpus dup; the recent
+    // probe pairs each arrival with EARLIER-ID admitted arrivals of
+    // its cell through the identical dup line — the committed log
+    // must reproduce exactly this set or the admitted column and
+    // n_dup_recent diverge
+    "q371_stream_gate_admit" -> {
+      val simx = graft.operators.SimilarityExtOps
+      s"""WITH e AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+         |      AS xi
+         |  FROM embeddings WHERE vec_id <> 0),
+         |kv AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k
+         |       FROM e WHERE vec_id % 2 = 0),
+         |c AS (SELECT vec_id AS cid, xi AS ci FROM e, kv
+         |      WHERE vec_id % 2 = 0 AND vec_id <= 2 * k),
+         |d0 AS (SELECT e.vec_id, c.cid,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      j -> (e.xi[j] - c.ci[j]) * (e.xi[j] - c.ci[j])))
+         |      AS BIGINT) AS dist
+         |  FROM e, c),
+         |asg AS MATERIALIZED (SELECT vec_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY dist, cid) AS rn
+         |    FROM d0) WHERE rn = 1),
+         |nv AS (SELECT vec_id,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      j -> xi[j] * xi[j])) AS BIGINT) AS nv
+         |  FROM e),
+         |mem AS MATERIALIZED (SELECT cid, vec_id, xi, nv FROM (
+         |    SELECT a.cid, a.vec_id, e.xi, n.nv,
+         |      row_number() OVER (PARTITION BY a.cid
+         |                         ORDER BY a.vec_id) AS mrk
+         |    FROM asg a JOIN e ON a.vec_id = e.vec_id
+         |         JOIN nv n ON a.vec_id = n.vec_id
+         |    WHERE a.vec_id % 2 = 0)
+         |  WHERE mrk <= ${simx.SemDedupClusterCap}),
+         |arr AS MATERIALIZED (SELECT a.cid, a.vec_id AS b, e.xi AS xb,
+         |    n.nv AS nb
+         |  FROM asg a JOIN e ON a.vec_id = e.vec_id
+         |       JOIN nv n ON a.vec_id = n.vec_id
+         |  WHERE a.vec_id % 2 = 1),
+         |corp AS MATERIALIZED (SELECT b, count(*) AS n FROM (
+         |    SELECT r.b,
+         |      CAST(list_sum(list_transform(range(1, 65),
+         |        j -> m.xi[j] * r.xb[j])) AS BIGINT) AS dot,
+         |      m.nv AS na, r.nb
+         |    FROM arr r JOIN mem m ON r.cid = m.cid)
+         |  WHERE dot > 0 AND
+         |    CAST(dot AS HUGEINT) * dot * 10000 >=
+         |      CAST(na AS HUGEINT) * nb * 1600
+         |  GROUP BY b),
+         |adm AS MATERIALIZED (SELECT a.cid, a.b, a.xb, a.nb
+         |  FROM arr a LEFT JOIN corp ON a.b = corp.b
+         |  WHERE corp.b IS NULL),
+         |rec AS (SELECT b, count(*) AS n FROM (
+         |    SELECT r.b,
+         |      CAST(list_sum(list_transform(range(1, 65),
+         |        j -> a.xb[j] * r.xb[j])) AS BIGINT) AS dot,
+         |      a.nb AS na, r.nb
+         |    FROM arr r JOIN adm a ON a.cid = r.cid AND a.b < r.b)
+         |  WHERE dot > 0 AND
+         |    CAST(dot AS HUGEINT) * dot * 10000 >=
+         |      CAST(na AS HUGEINT) * nb * 1600
+         |  GROUP BY b)
+         |SELECT r.b AS vec_id, r.cid,
+         |  CAST(coalesce(corp.n, 0) AS BIGINT) AS n_dup_corpus,
+         |  CAST(coalesce(rec.n, 0) AS BIGINT) AS n_dup_recent,
+         |  CAST(CASE WHEN corp.b IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         |    AS admitted
+         |FROM arr r LEFT JOIN corp ON r.b = corp.b
+         |LEFT JOIN rec ON r.b = rec.b
+         |ORDER BY vec_id""".stripMargin
     },
 
     "q317_stream_topk" ->

@@ -646,6 +646,66 @@ class StreamingSpec extends SparkSpecBase {
            "a double-fired batch replaced v1")
   }
 
+  test("q371 shape: admitted log is split-invariant, idempotent, and crash-tolerant") {
+    import org.apache.spark.sql.graft.GraftFunctions
+    val SnapshotLog = sources.PartitionedOps.SnapshotLog
+    val simx = operators.SimilarityExtOps
+    val idxT = simx.semDedupSqrtIndexTable(spark, sf)
+    // the committer's input shape: assigned odd arrivals
+    val packed = spark.table(idxT).where(col("kind") === "c")
+      .select(col("cid"), col("xi").as("ci"))
+      .agg(collect_list(struct(col("cid"), col("ci"))).as("cents"))
+    val arr = simx.latticeFrame(spark, sf, Long.MaxValue)
+      .where(col("vec_id") % 2 === 1)
+      .crossJoin(broadcast(packed))
+      .select(col("vec_id"), col("xi"),
+        GraftFunctions.argminCentroidLong(col("xi"), col("cents"))
+          .as("cid"),
+        GraftFunctions.dotProductLong(col("xi"), col("xi")).as("nv"))
+      .persist()
+    try {
+      val mid = 250L
+      def logSet(root: java.nio.file.Path) =
+        SnapshotLog.read(spark, root, SnapshotLog.latest(root))
+          .select("vec_id", "cid").as[(Long, Long)].collect().toSet
+      // one-batch drain vs a two-batch drain at an arbitrary id split:
+      // the one-level admit rule (admission judged against the corpus
+      // snapshot only) makes the final log split-INVARIANT
+      val r1 = Files.createTempDirectory("graft_gateadm_one")
+      streaming.StreamOps.applyGateBatch(spark, idxT, r1, 0L, arr)
+      val r2 = Files.createTempDirectory("graft_gateadm_two")
+      streaming.StreamOps.applyGateBatch(spark, idxT, r2, 0L,
+        arr.where(col("vec_id") < mid))
+      streaming.StreamOps.applyGateBatch(spark, idxT, r2, 1L,
+        arr.where(col("vec_id") >= mid))
+      assert(SnapshotLog.latest(r1) == 1 && SnapshotLog.latest(r2) == 2)
+      assert(logSet(r1) == logSet(r2),
+             "admitted set depends on the batch split")
+      assert(logSet(r1).nonEmpty, "gate admitted nothing — vacuous test")
+      // double-fire batch 1 with DIFFERENT content: the committed
+      // version wins (file list unchanged, no new version)
+      val before = SnapshotLog.files(r2, 2)
+      streaming.StreamOps.applyGateBatch(spark, idxT, r2, 1L, arr.limit(3))
+      assert(SnapshotLog.latest(r2) == 2 &&
+               SnapshotLog.files(r2, 2) == before,
+             "a double-fired batch replaced v2")
+      // crash window: files added WITHOUT a manifest are invisible
+      // (latest stays put) and the replayed commit lands the same
+      // content — files-then-manifest, q298's discipline
+      val r3 = Files.createTempDirectory("graft_gateadm_crash")
+      streaming.StreamOps.applyGateBatch(spark, idxT, r3, 0L,
+        arr.where(col("vec_id") < mid))
+      SnapshotLog.addFiles(spark, r3, "b0-v2",
+        arr.where(col("vec_id") >= mid).limit(1)
+          .select("vec_id", "cid", "nv", "xi"))
+      assert(SnapshotLog.latest(r3) == 1,
+             "orphan files must not advance the log")
+      streaming.StreamOps.applyGateBatch(spark, idxT, r3, 1L,
+        arr.where(col("vec_id") >= mid))
+      assert(logSet(r3) == logSet(r1), "crash+replay lost or doubled admits")
+    } finally arr.unpersist()
+  }
+
   test("q330 shape: PIT enrichment is batch-equal under multi-batch drains") {
     // the declared q330 drains its staged dir in one AvailableNow
     // batch at test SF; the row-local claim ("any micro-batch split
