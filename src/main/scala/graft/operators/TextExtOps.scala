@@ -447,6 +447,68 @@ object TextExtOps extends OpModule {
         .orderBy("source")
     },
 
+    // EPOCH-CAPPED (repetition-aware) mixture (added r17, the r16
+    // verdict's #5; the data-constrained recipe of Muennighoff et al.
+    // 2023 — when the training budget EXCEEDS the corpus, sources
+    // repeat, and repeats are only near-free up to a few epochs):
+    // q361 temperature-samples a single pass (budget < corpus); here
+    // the declared budget is B = 2·Σtok — a training run twice the
+    // corpus — split by the same fixed-point √-weights, and every
+    // source's grant is CAPPED at MixtureMaxEpochs (2) passes over
+    // its own tokens. The surplus a capped source cannot absorb
+    // redistributes ONCE to the sources still under cap,
+    // ∝ their weights (one declared redistribution round — the full
+    // waterfilling iterates to a fixpoint; a second round's residue
+    // at this geometry is the leftover the report makes visible as
+    // granted < desired on re-capped sources). All integer. Per
+    // source: docs, tokens, w, desired, granted, capped flag,
+    // full_epochs = granted DIV tokens, and the PARTIAL pass —
+    // the md5-order take-until-budget draw (q361's prefixCut,
+    // verbatim machinery) over the remainder granted MOD tokens —
+    // as tail_docs/tail_tokens, plus eff_epochs_ppm = the realized
+    // epochs in integer ppm. At sf0.01 ten of twenty sources cap
+    // (the √-upweighting pushes every small source past 2 epochs)
+    // and their surplus visibly lands on the uncapped ten.
+    "q373_epoch_mixture" -> { (s, d) =>
+      val t0 = Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+                size(split(col("text"), " ")).cast("long").as("tok"))
+      val perSrc = t0.groupBy("source")
+        .agg(count(lit(1)).as("docs"), sum("tok").as("tokens"))
+        .withColumn("w",
+          round(sqrt(col("tokens").cast("double")) * 1000).cast("long"))
+      val tot = perSrc.agg(sum("tokens").as("tt"), sum("w").as("sw"))
+      val d1 = perSrc.crossJoin(broadcast(tot))
+        .withColumn("desired", expr("((2 * tt) * w) DIV sw"))
+        .withColumn("cap", col("tokens") * lit(MixtureMaxEpochs))
+        .withColumn("g1", least(col("desired"), col("cap")))
+      val redis = d1.agg(
+        sum(col("desired") - col("g1")).as("surplus"),
+        sum(when(col("g1") < col("cap"), col("w")).otherwise(lit(0L)))
+          .as("swu"))
+      val d2 = d1.crossJoin(broadcast(redis))
+        .withColumn("extra",
+          when(col("g1") < col("cap") && col("swu") > 0,
+               expr("(surplus * w) DIV swu")).otherwise(lit(0L)))
+        .withColumn("granted", least(col("g1") + col("extra"),
+                                     col("cap")))
+      val tail = prefixCut(t0,
+          d2.select(col("source"), expr("granted % tokens").as("budget")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("tail_docs"), sum("tok").as("tail_tokens"))
+      d2.join(tail, Seq("source"), "left")
+        .select(col("source"), col("docs"), col("tokens"), col("w"),
+                col("desired"), col("granted"),
+                when(col("granted") === col("cap"), 1L).otherwise(0L)
+                  .as("capped"),
+                expr("granted DIV tokens").as("full_epochs"),
+                coalesce(col("tail_docs"), lit(0L)).as("tail_docs"),
+                coalesce(col("tail_tokens"), lit(0L)).as("tail_tokens"))
+        .withColumn("eff_epochs_ppm", expr(
+          "((full_epochs * tokens + tail_tokens) * 1000000) DIV tokens"))
+        .orderBy("source")
+    },
+
     // Sequence packing census (added r16; the concat-and-chunk
     // training-batch prep every LLM pipeline runs between the corpus
     // and the dataloader — Brown et al. 2020's "documents are
@@ -498,21 +560,33 @@ object TextExtOps extends OpModule {
     // scales with the TRAINING RUN, not the corpus row count.
     // All-integer ⇒ hash-exact.
     "q368_pack_manifest" -> { (s, d) =>
-      val L = PackLen
-      val t = packedPositions(s, d)
-        .withColumn("fc", expr(s"pre DIV $L"))
-        .withColumn("lc", expr(s"(pre + tok - 1) DIV $L"))
-      t.select(col("doc_id"), col("tok"), col("pre"),
-               explode(expr("sequence(fc, lc)")).as("chunk_id"))
-        .groupBy("chunk_id")
-        .agg(count(lit(1)).as("docs"),
-             sum(least(col("pre") + col("tok"),
-                       (col("chunk_id") + 1) * L) -
-                 greatest(col("pre"), col("chunk_id") * L)).as("tokens"),
-             max(when(col("pre") < col("chunk_id") * L, 1L)
-                   .otherwise(0L)).as("lead_in"),
-             min(when(col("pre") <= col("chunk_id") * L, col("doc_id")))
-               .as("starts_doc"))
+      packManifest(s, d, PackLen).orderBy("chunk_id")
+    },
+
+    // VERSIONED pack manifest (added r17, the r16 verdict's #4 —
+    // "a training run PINS its data order and can time-travel it"):
+    // q368 computes the dataloader manifest per run; here each pack
+    // parameterization COMMITS as a SnapshotLog VERSION in a
+    // corpus-fingerprint-keyed log (q357's promote discipline —
+    // files first, one atomic manifest rename second, built in a
+    // scratch dir and atomic-renamed into place; a mutated corpus
+    // routes consumers to a fresh log): v1 = the 2048-token manifest
+    // (q368's declared params), v2 = a 1024-token RE-PACK (the
+    // shorter-context training run that supersedes it). The declared
+    // query is the PINNED reader: it time-travel-reads v1 while the
+    // log's latest is v2 — exactly what a training run does to
+    // reproduce its data order after a re-pack has landed — and
+    // stamps each row with (version, pack_len) so the lineage is
+    // data. Oracle = q368's manifest text + the two pinned literals;
+    // ArtifactCommitSpec drives the crash-between-files-and-manifest
+    // window and the version-content contract.
+    "q372_pack_manifest_log" -> { (s, d) =>
+      val SnapshotLog = graft.sources.PartitionedOps.SnapshotLog
+      val root = packLogRoot(s, d)
+      SnapshotLog.read(s, root, 1)
+        .select(lit(1L).as("version"), lit(PackLen).as("pack_len"),
+                col("chunk_id"), col("docs"), col("tokens"),
+                col("lead_in"), col("starts_doc"))
         .orderBy("chunk_id")
     },
 
@@ -840,6 +914,38 @@ object TextExtOps extends OpModule {
              round(sum(col("avg_nll")).cast("double") /
                    count(lit(1)).cast("double"), 6).as("mean_nll"),
              sum(when(col("avg_nll").cast("double") > 3.5, 1L)
+                   .otherwise(0L)).as("flagged"))
+        .withColumn("flagged_share",
+          round(col("flagged").cast("double") / col("docs").cast("double"),
+                6))
+        .orderBy("source")
+    },
+
+    // TRIGRAM Kneser–Ney quality gate (added r17, the r16 verdict's
+    // #6 — "production CCNet-style gates use 5-gram KenLM-class
+    // models"; this closes the realism gap one order up with zero new
+    // machinery): per-eval-doc avg NLL under an interpolated TRIGRAM
+    // KN LM ([[kn3PerDoc]]) whose trigram marginals persist as the
+    // `lmkn3` artifact and whose BACK-OFF level probes the existing
+    // `lmkn` bigram artifact — one truth per marginal order, the way
+    // a production n-gram stack shares its lower orders. The gate
+    // line is RELATIVE (q364's discipline, not q309's absolute 3.5 —
+    // measured vacuous on this synthetic corpus): flagged = docs
+    // whose NLL exceeds the eval-split mean. Report per source: docs
+    // scored (≥ 3 tokens — the population a trigram event exists
+    // for), mean NLL, flagged count + share. Re-pointing q364's
+    // funnel at this gate is one factored-body swap (pplPerDoc →
+    // kn3PerDoc) behind this query's certification.
+    "q374_kn3_gate" -> { (s, d) =>
+      val pd = kn3PerDoc(s, d)
+      val thr = pd.agg(round(
+        sum(col("avg_nll")).cast("double") / count(lit(1)), 6).as("thr"))
+      pd.crossJoin(broadcast(thr))
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"),
+             round(sum(col("avg_nll")).cast("double") /
+                   count(lit(1)).cast("double"), 6).as("mean_nll"),
+             sum(when(col("avg_nll").cast("double") > col("thr"), 1L)
                    .otherwise(0L)).as("flagged"))
         .withColumn("flagged_share",
           round(col("flagged").cast("double") / col("docs").cast("double"),
@@ -1789,6 +1895,106 @@ object TextExtOps extends OpModule {
       .select("doc_id", "source", "tok", "pre")
   }
 
+  /** q368's manifest body at an arbitrary chunk length `L` — one row
+    * per L-token training sequence with its doc occupancy (docs,
+    * tokens filled, lead_in, starts_doc); see the q368 registry
+    * docstring for the interval algebra. Factored so the versioned
+    * log (q372) can commit RE-PACKS at other context lengths through
+    * the identical definition. */
+  private[graft] def packManifest(s: SparkSession, d: String,
+                                      L: Long): DataFrame = {
+    val t = packedPositions(s, d)
+      .withColumn("fc", expr(s"pre DIV $L"))
+      .withColumn("lc", expr(s"(pre + tok - 1) DIV $L"))
+    t.select(col("doc_id"), col("tok"), col("pre"),
+             explode(expr("sequence(fc, lc)")).as("chunk_id"))
+      .groupBy("chunk_id")
+      .agg(count(lit(1)).as("docs"),
+           sum(least(col("pre") + col("tok"),
+                     (col("chunk_id") + 1) * L) -
+               greatest(col("pre"), col("chunk_id") * L)).as("tokens"),
+           max(when(col("pre") < col("chunk_id") * L, 1L)
+                 .otherwise(0L)).as("lead_in"),
+           min(when(col("pre") <= col("chunk_id") * L, col("doc_id")))
+             .as("starts_doc"))
+  }
+
+  /** q373's per-source repetition ceiling: a source's grant never
+    * exceeds this many passes over its own tokens (the data-
+    * constrained max-epochs knob; 2 here so the sf0.01 corpus shows
+    * BOTH regimes — ten sources cap, ten absorb the surplus). */
+  private[operators] val MixtureMaxEpochs = 2L
+
+  /** Bumped on ANY change to the pack-log build (the committed
+    * lengths, the manifest body): folds into [[packLogRoot]]'s tmpdir
+    * key so a code change never serves a stale committed log across
+    * JVM runs (the graphVersionRoot discipline). */
+  private val PackLogBuilderVersion = 1
+
+  /** The chunk lengths the pack log commits, in version order:
+    * v1 = [[PackLen]] (q368's declared run), v2 = 1024 (the
+    * shorter-context re-pack). */
+  private[graft] val PackLogLens = Seq(PackLen, 1024L)
+
+  /** In-JVM monitors for [[packLogRoot]] — per (sfDir, fingerprint):
+    * independent corpora build concurrently, two builders of the same
+    * log serialize. */
+  private val packLogLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Commits each [[PackLogLens]] manifest as a SnapshotLog version
+    * into `root` — files-then-manifest per version, so a crash
+    * between addFiles and commitVersion leaves the previous version
+    * serving (ArtifactCommitSpec drives that window). Package-visible
+    * so the spec can build into a scratch root directly. */
+  private[graft] def buildPackLog(s: SparkSession, d: String,
+                                  root: java.nio.file.Path): Unit = {
+    val SnapshotLog = graft.sources.PartitionedOps.SnapshotLog
+    PackLogLens.zipWithIndex.foreach { case (len, i) =>
+      val files = SnapshotLog.addFiles(s, root, s"pack$len",
+        packManifest(s, d, len))
+      SnapshotLog.commitVersion(root, i + 1, files)
+    }
+  }
+
+  /** The PACK-MANIFEST VERSION LOG (q372): write-once per (corpus
+    * fingerprint, builder version), built in a scratch dir and
+    * atomic-renamed into place — a reader can never observe a
+    * half-built log, and a mutated corpus routes to a fresh one. */
+  private[graft] def packLogRoot(s: SparkSession,
+                                 d: String): java.nio.file.Path = {
+    val key = d.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
+      graft.BucketedCache.corpusFingerprint(d) +
+      s"_b$PackLogBuilderVersion"
+    val dir = java.nio.file.Paths.get(
+      s"${sys.props("java.io.tmpdir")}/graft_packlog_$key")
+    val lock = packLogLocks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      if (!java.nio.file.Files.exists(dir)) {
+        val scratchRoot =
+          java.nio.file.Files.createTempDirectory("graft_packlog_scratch")
+        val scratch = scratchRoot.resolve("log")
+        try {
+          java.nio.file.Files.createDirectories(scratch)
+          buildPackLog(s, d, scratch)
+          try java.nio.file.Files.move(scratch, dir,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.FileSystemException
+              if java.nio.file.Files.exists(dir) => // lost the race
+          }
+        } finally {
+          import scala.jdk.CollectionConverters._
+          if (java.nio.file.Files.exists(scratchRoot))
+            java.nio.file.Files.walk(scratchRoot).iterator.asScala.toSeq
+              .sortBy(-_.getNameCount)
+              .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      }
+    }
+    dir
+  }
+
   /** q360's Gopher battery as a PER-DOC frame — (doc_id, source,
     * n_words, r1..r7 booleans) — the shared body q360 reports and
     * q364's funnel gates on (one definition per rule). Cost: one
@@ -1862,9 +2068,7 @@ object TextExtOps extends OpModule {
     */
   private[operators] def budgetCut(t0: DataFrame)
       : (DataFrame, DataFrame) = {
-    val W = org.apache.spark.sql.expressions.Window
-    val t = t0.withColumn("h", md5(col("doc_id").cast("string")))
-    val perSrc = t.groupBy("source")
+    val perSrc = t0.groupBy("source")
       .agg(count(lit(1)).as("docs"), sum("tok").as("tokens"))
       .withColumn("w",
         round(sqrt(col("tokens").cast("double")) * 1000).cast("long"))
@@ -1872,6 +2076,21 @@ object TextExtOps extends OpModule {
     val bud = perSrc.crossJoin(broadcast(tot))
       .withColumn("budget", expr("((tt DIV 4) * w) DIV sw"))
       .select("source", "docs", "tokens", "w", "budget")
+    (bud, prefixCut(t0, bud.select("source", "budget")))
+  }
+
+  /** The md5-order take-until-budget draw factored out of
+    * [[budgetCut]] (r17, for q373's epoch tail): keeps each source's
+    * docs while the EXCLUSIVE prefix token count is under that
+    * source's `budget` column — the per-source cumsum rides the
+    * GlobalOrder bucket discipline (within-(source, md5-prefix)
+    * running sums + one |sources|·256-row census window, bit-equal to
+    * the global per-source cumsum — never a per-source single
+    * partition). Returns kept (doc_id, source, tok). */
+  private[operators] def prefixCut(t0: DataFrame,
+                                   bud: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val t = t0.withColumn("h", md5(col("doc_id").cast("string")))
     val ranked = t.withColumn("bkt", substring(col("h"), 1, 2))
       .withColumn("wpre", coalesce(sum("tok").over(
         W.partitionBy("source", "bkt").orderBy("h", "doc_id")
@@ -1882,11 +2101,10 @@ object TextExtOps extends OpModule {
         W.partitionBy("source").orderBy("bkt")
           .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
       .select("source", "bkt", "off")
-    val kept = ranked.join(broadcast(census), Seq("source", "bkt"))
-      .join(broadcast(bud.select("source", "budget")), Seq("source"))
+    ranked.join(broadcast(census), Seq("source", "bkt"))
+      .join(broadcast(bud), Seq("source"))
       .where(col("off") + col("wpre") < col("budget"))
       .select("doc_id", "source", "tok")
-    (bud, kept)
   }
 
   /** q347's body, parameterized by the batch modulus (batch = ids ≡ 1
@@ -2080,6 +2298,104 @@ object TextExtOps extends OpModule {
       .crossJoin(broadcast(gq))
       .crossJoin(broadcast(vv))
       .withColumn("lp", round(log(p), 6).cast("decimal(28,6)"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n"), sum("lp").as("slp"))
+      .withColumn("avg_nll",
+        round(-col("slp").cast("double") / col("n").cast("double"), 6)
+          .cast("decimal(28,6)"))
+  }
+
+  /** The TRAIN-split TRIGRAM Kneser–Ney marginals PERSISTED (r17, the
+    * r16 verdict's #6 — [[knModelTable]]'s discipline one order up):
+    * trigram counts ('t': w1 = the two-word context "w1 w2", w2 = the
+    * successor, a = c123) and per-context totals + distinct-successor
+    * counts ('y': a = c12·, b = N1+(w1w2·)), kind-tagged and
+    * w1-bucketed like every LM artifact. The BIGRAM back-off level is
+    * NOT duplicated here — q374's scorer probes the existing `lmkn`
+    * artifact for it (one truth per marginal set; the two artifacts
+    * version independently the way a production 5-gram stack shares
+    * its lower orders). */
+  private def kn3ModelTable(s: SparkSession, d: String): String =
+    graft.BucketedCache.ensure(s, d, "lmkn3",
+      "kind STRING, w1 STRING, w2 STRING, a BIGINT, b BIGINT", "w1", 8) {
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), trainSplit.as("split"),
+                split(col("text"), " ").as("t"))
+      val triplesOf = expr(
+        "transform(sequence(1, size(t) - 2), i -> " +
+          "struct(concat_ws(' ', element_at(t, i), element_at(t, i + 1)) " +
+          "AS w1, element_at(t, i + 2) AS w2))")
+      val ct = docs.where(col("split") === "train" && size(col("t")) >= 3)
+        .select(explode(triplesOf).as("tr"))
+        .groupBy(col("tr.w1").as("w1"), col("tr.w2").as("w2"))
+        .agg(count(lit(1)).as("c"))
+      ct.select(lit("t").as("kind"), col("w1"), col("w2"),
+                col("c").as("a"), lit(0L).as("b"))
+        .unionByName(ct.groupBy("w1")
+          .agg(sum("c").as("a"), count(lit(1)).as("b"))
+          .select(lit("y").as("kind"), col("w1"), lit("").as("w2"),
+                  col("a"), col("b")))
+    }
+
+  /** Per-eval-doc avg NLL under the interpolated TRIGRAM Kneser–Ney
+    * LM (q374): P₃(w3|w1w2) = max(c123−D,0)/c12· + D·N1+(w1w2·)/c12·
+    * · P₂(w3|w2), backing off to q309's bigram KN (probed from the
+    * `lmkn` artifact — its own continuation floor handles OOV) when
+    * the two-word context is unseen. D = 0.75 at both orders. Every P
+    * is one fixed-order double chain; ln rounds ONCE at 6 dp into an
+    * order-free decimal sum (the q301/q309 discipline). Docs need
+    * ≥ 3 tokens to score — declared, the population a trigram event
+    * exists for. */
+  private def kn3PerDoc(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d, "documents")
+      .select(col("doc_id"), trainSplit.as("split"), col("source"),
+              split(col("text"), " ").as("t"))
+    val eventsOf = expr(
+      "transform(sequence(1, size(t) - 2), i -> struct(" +
+        "concat_ws(' ', element_at(t, i), element_at(t, i + 1)) AS ctx, " +
+        "element_at(t, i + 1) AS wp, element_at(t, i + 2) AS w3))")
+    val m3 = s.table(kn3ModelTable(s, d))
+    val t3 = m3.where(col("kind") === "t")
+      .select(col("w1").as("ctx"), col("w2").as("w3"),
+              col("a").as("c123"))
+    val y3 = m3.where(col("kind") === "y")
+      .select(col("w1").as("ctx"), col("a").as("c12"),
+              col("b").as("n1f3"))
+    val m2 = s.table(knModelTable(s, d))
+    val cb = m2.where(col("kind") === "b")
+      .select(col("w1").as("wp"), col("w2").as("w3"), col("a").as("cb"))
+    val ctx2 = m2.where(col("kind") === "x")
+      .select(col("w1").as("wp"), col("a").as("cw"), col("b").as("n1f"))
+    val cont = m2.where(col("kind") === "c")
+      .select(col("w2").as("w3"), col("a").as("n1b"))
+    val gq = m2.where(col("kind") === "g").select(col("a").as("nbb"))
+    val vv = m2.where(col("kind") === "v").select(col("a").as("v"))
+    val pcont = (coalesce(col("n1b"), lit(0L)).cast("double") + lit(1.0)) /
+      (col("nbb").cast("double") + col("v").cast("double"))
+    val p2 = when(col("cw").isNull, pcont)
+      .otherwise(
+        greatest(coalesce(col("cb"), lit(0L)).cast("double") - lit(0.75),
+                 lit(0.0)) / col("cw").cast("double") +
+          lit(0.75) * col("n1f").cast("double") / col("cw").cast("double") *
+            pcont)
+    val p3 = when(col("c12").isNull, p2)
+      .otherwise(
+        greatest(coalesce(col("c123"), lit(0L)).cast("double") - lit(0.75),
+                 lit(0.0)) / col("c12").cast("double") +
+          lit(0.75) * col("n1f3").cast("double") / col("c12").cast("double") *
+            p2)
+    docs.where(col("split") === "eval" && size(col("t")) >= 3)
+      .select(col("doc_id"), col("source"), explode(eventsOf).as("ev"))
+      .select(col("doc_id"), col("source"), col("ev.ctx").as("ctx"),
+              col("ev.wp").as("wp"), col("ev.w3").as("w3"))
+      .join(t3, Seq("ctx", "w3"), "left")
+      .join(y3, Seq("ctx"), "left")
+      .join(cb, Seq("wp", "w3"), "left")
+      .join(ctx2, Seq("wp"), "left")
+      .join(cont, Seq("w3"), "left")
+      .crossJoin(broadcast(gq))
+      .crossJoin(broadcast(vv))
+      .withColumn("lp", round(log(p3), 6).cast("decimal(28,6)"))
       .groupBy("doc_id", "source")
       .agg(count(lit(1)).as("n"), sum("lp").as("slp"))
       .withColumn("avg_nll",
@@ -3019,6 +3335,39 @@ object TextExtOps extends OpModule {
           |       AS BIGINT) AS starts_doc
           |FROM x GROUP BY chunk_id ORDER BY chunk_id""".stripMargin,
 
+      // q368's manifest text + the pinned (version, pack_len)
+      // literals — the committed v1 must be indistinguishable from
+      // recomputing the 2048-token manifest, even though the log's
+      // latest version is the 1024 re-pack
+      "q372_pack_manifest_log" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+          |    md5(CAST(doc_id AS VARCHAR)) AS h
+          |  FROM documents),
+          |o AS (
+          |  SELECT doc_id, tok,
+          |    CAST(coalesce(sum(tok) OVER (ORDER BY h, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS BIGINT) AS pre
+          |  FROM t),
+          |x AS (
+          |  SELECT doc_id, tok, pre,
+          |    unnest(range(pre // 2048, (pre + tok - 1) // 2048 + 1))
+          |      AS chunk_id
+          |  FROM o)
+          |SELECT CAST(1 AS BIGINT) AS version,
+          |  CAST(2048 AS BIGINT) AS pack_len,
+          |  chunk_id, count(*) AS docs,
+          |  CAST(sum(least(pre + tok, (chunk_id + 1) * 2048) -
+          |           greatest(pre, chunk_id * 2048)) AS BIGINT)
+          |    AS tokens,
+          |  CAST(max(CASE WHEN pre < chunk_id * 2048 THEN 1 ELSE 0 END)
+          |       AS BIGINT) AS lead_in,
+          |  CAST(min(CASE WHEN pre <= chunk_id * 2048 THEN doc_id END)
+          |       AS BIGINT) AS starts_doc
+          |FROM x GROUP BY chunk_id ORDER BY chunk_id""".stripMargin,
+
       // the md5-ordered global token cumsum as a plain running window
       // (the bucket machinery must be invisible), then the integer
       // chunk-boundary algebra per doc
@@ -3154,6 +3503,66 @@ object TextExtOps extends OpModule {
           |  CAST(coalesce(k.kept_docs, 0) AS BIGINT) AS kept_docs,
           |  CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
           |FROM b LEFT JOIN k USING (source) ORDER BY source""".stripMargin,
+
+      // q361's weight/cumsum text + the two declared passes: grant
+      // capped at 2 epochs, surplus redistributed once ∝ w among the
+      // still-uncapped sources, tail = the md5-order prefix cut on
+      // granted MOD tokens
+      "q373_epoch_mixture" ->
+        """WITH t AS (
+          |  SELECT doc_id, source,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+          |    md5(CAST(doc_id AS VARCHAR)) AS h
+          |  FROM documents),
+          |s AS (
+          |  SELECT source, count(*) AS docs,
+          |    CAST(sum(tok) AS BIGINT) AS tokens,
+          |    CAST(round(sqrt(CAST(sum(tok) AS DOUBLE)) * 1000)
+          |         AS BIGINT) AS w
+          |  FROM t GROUP BY source),
+          |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS tt,
+          |               CAST(sum(w) AS BIGINT) AS sw FROM s),
+          |d1 AS (
+          |  SELECT s.source, s.docs, s.tokens, s.w,
+          |    CAST(((2 * tt) * w) // sw AS BIGINT) AS desired,
+          |    CAST(2 * tokens AS BIGINT) AS cap,
+          |    CAST(least(((2 * tt) * w) // sw, 2 * tokens) AS BIGINT)
+          |      AS g1
+          |  FROM s, tot),
+          |redis AS (
+          |  SELECT CAST(sum(desired - g1) AS BIGINT) AS surplus,
+          |    CAST(sum(CASE WHEN g1 < cap THEN w ELSE 0 END) AS BIGINT)
+          |      AS swu
+          |  FROM d1),
+          |d2 AS (
+          |  SELECT d1.*,
+          |    CAST(least(g1 + CASE WHEN g1 < cap AND swu > 0
+          |                   THEN (surplus * w) // swu ELSE 0 END,
+          |               cap) AS BIGINT) AS granted
+          |  FROM d1, redis),
+          |o AS (
+          |  SELECT source, tok,
+          |    coalesce(sum(tok) OVER (PARTITION BY source
+          |      ORDER BY h, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS pre
+          |  FROM t),
+          |tl AS (
+          |  SELECT o.source, count(*) AS tail_docs,
+          |    CAST(sum(o.tok) AS BIGINT) AS tail_tokens
+          |  FROM o JOIN d2 USING (source)
+          |  WHERE o.pre < (d2.granted % d2.tokens) GROUP BY o.source)
+          |SELECT d2.source, d2.docs, d2.tokens, d2.w, d2.desired,
+          |  d2.granted,
+          |  CAST(CASE WHEN d2.granted = d2.cap THEN 1 ELSE 0 END
+          |       AS BIGINT) AS capped,
+          |  CAST(d2.granted // d2.tokens AS BIGINT) AS full_epochs,
+          |  CAST(coalesce(tl.tail_docs, 0) AS BIGINT) AS tail_docs,
+          |  CAST(coalesce(tl.tail_tokens, 0) AS BIGINT) AS tail_tokens,
+          |  CAST(((d2.granted // d2.tokens) * d2.tokens +
+          |        coalesce(tl.tail_tokens, 0)) * 1000000 // d2.tokens
+          |       AS BIGINT) AS eff_epochs_ppm
+          |FROM d2 LEFT JOIN tl USING (source) ORDER BY source""".stripMargin,
 
       "q87_decontaminate" ->
         s"""WITH sh AS (
@@ -3381,6 +3790,100 @@ object TextExtOps extends OpModule {
            |                      THEN 1 ELSE 0 END) AS DOUBLE) /
            |        CAST(count(*) AS DOUBLE), 6) AS flagged_share
            |FROM pd GROUP BY source ORDER BY source""".stripMargin,
+
+      // q309's bigram-KN text as the back-off level, one trigram
+      // layer on top (context = the two-word string, D = 0.75 at
+      // both orders), the relative eval-mean gate line
+      "q374_kn3_gate" -> {
+        val p2Sql =
+          """CASE WHEN ctx.cw IS NULL
+            |      THEN (CAST(coalesce(cont.n1b, 0) AS DOUBLE) +
+            |            CAST(1.0 AS DOUBLE)) /
+            |           (CAST(gq.nbb AS DOUBLE) + CAST(vv.v AS DOUBLE))
+            |      ELSE greatest(CAST(coalesce(cb.cb, 0) AS DOUBLE) -
+            |                    CAST(0.75 AS DOUBLE),
+            |                    CAST(0.0 AS DOUBLE)) /
+            |             CAST(ctx.cw AS DOUBLE) +
+            |           CAST(0.75 AS DOUBLE) * CAST(ctx.n1f AS DOUBLE) /
+            |             CAST(ctx.cw AS DOUBLE) *
+            |             ((CAST(coalesce(cont.n1b, 0) AS DOUBLE) +
+            |               CAST(1.0 AS DOUBLE)) /
+            |              (CAST(gq.nbb AS DOUBLE) +
+            |               CAST(vv.v AS DOUBLE)))
+            |      END""".stripMargin
+        s"""WITH dd AS (
+           |  SELECT doc_id, $trainSplitSql AS split, source,
+           |    string_split(text, ' ') AS t
+           |  FROM documents),
+           |tp AS (
+           |  SELECT t[CAST(i AS INT)] AS w1,
+           |         t[CAST(i + 1 AS INT)] AS w2
+           |  FROM (SELECT t, unnest(range(1, len(t))) AS i
+           |        FROM dd WHERE split = 'train' AND len(t) >= 2)),
+           |cb AS (SELECT w1, w2, count(*) AS cb FROM tp GROUP BY 1, 2),
+           |ctx AS (SELECT w1, sum(cb) AS cw, count(*) AS n1f
+           |        FROM cb GROUP BY 1),
+           |cont AS (SELECT w2, count(*) AS n1b FROM cb GROUP BY 1),
+           |gq AS (SELECT count(*) AS nbb FROM cb),
+           |vv AS (SELECT count(DISTINCT w1) AS v
+           |       FROM (SELECT unnest(t) AS w1 FROM dd
+           |             WHERE split = 'train')),
+           |t3p AS (
+           |  SELECT t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)]
+           |           AS ctx3,
+           |         t[CAST(i + 2 AS INT)] AS w3
+           |  FROM (SELECT t, unnest(range(1, len(t) - 1)) AS i
+           |        FROM dd WHERE split = 'train' AND len(t) >= 3)),
+           |ct3 AS (SELECT ctx3, w3, count(*) AS c123
+           |        FROM t3p GROUP BY 1, 2),
+           |y3 AS (SELECT ctx3, sum(c123) AS c12, count(*) AS n1f3
+           |       FROM ct3 GROUP BY 1),
+           |ep AS (
+           |  SELECT doc_id, source,
+           |    t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)]
+           |      AS ctx3,
+           |    t[CAST(i + 1 AS INT)] AS w1,
+           |    t[CAST(i + 2 AS INT)] AS w2
+           |  FROM (SELECT doc_id, source, t,
+           |          unnest(range(1, len(t) - 1)) AS i
+           |        FROM dd WHERE split = 'eval' AND len(t) >= 3)),
+           |sc AS (
+           |  SELECT ep.doc_id, ep.source,
+           |    CAST(round(ln(CASE WHEN y3.c12 IS NULL
+           |      THEN ($p2Sql)
+           |      ELSE greatest(CAST(coalesce(ct3.c123, 0) AS DOUBLE) -
+           |                    CAST(0.75 AS DOUBLE),
+           |                    CAST(0.0 AS DOUBLE)) /
+           |             CAST(y3.c12 AS DOUBLE) +
+           |           CAST(0.75 AS DOUBLE) * CAST(y3.n1f3 AS DOUBLE) /
+           |             CAST(y3.c12 AS DOUBLE) *
+           |             ($p2Sql)
+           |      END), 6) AS DECIMAL(28,6)) AS lp
+           |  FROM ep LEFT JOIN ct3 ON ep.ctx3 = ct3.ctx3
+           |                        AND ep.w2 = ct3.w3
+           |          LEFT JOIN y3 ON ep.ctx3 = y3.ctx3
+           |          LEFT JOIN cb ON ep.w1 = cb.w1 AND ep.w2 = cb.w2
+           |          LEFT JOIN ctx ON ep.w1 = ctx.w1
+           |          LEFT JOIN cont ON ep.w2 = cont.w2
+           |          CROSS JOIN gq CROSS JOIN vv),
+           |pd AS (
+           |  SELECT doc_id, source, count(*) AS n,
+           |    CAST(round(-CAST(sum(lp) AS DOUBLE) /
+           |               CAST(count(*) AS DOUBLE), 6)
+           |         AS DECIMAL(28,6)) AS avg_nll
+           |  FROM sc GROUP BY 1, 2),
+           |thr AS (SELECT round(CAST(sum(avg_nll) AS DOUBLE) /
+           |                     count(*), 6) AS thr FROM pd)
+           |SELECT source, count(*) AS docs,
+           |  round(CAST(sum(avg_nll) AS DOUBLE) /
+           |        CAST(count(*) AS DOUBLE), 6) AS mean_nll,
+           |  CAST(sum(CASE WHEN CAST(avg_nll AS DOUBLE) > thr
+           |                THEN 1 ELSE 0 END) AS BIGINT) AS flagged,
+           |  round(CAST(sum(CASE WHEN CAST(avg_nll AS DOUBLE) > thr
+           |                      THEN 1 ELSE 0 END) AS DOUBLE) /
+           |        CAST(count(*) AS DOUBLE), 6) AS flagged_share
+           |FROM pd, thr GROUP BY source, thr ORDER BY source""".stripMargin
+      },
 
       "q212_token_budget" ->
         s"""WITH a AS (

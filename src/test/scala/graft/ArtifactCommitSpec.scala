@@ -149,4 +149,47 @@ class ArtifactCommitSpec extends SparkSpecBase {
     assert(SnapshotLog.read(spark, live, 1).count() > 0,
            "live v1 must keep serving its pinned readers")
   }
+
+  test("q372: pack-log versions pin their manifests; crash window serves the old version") {
+    val SnapshotLog = graft.sources.PartitionedOps.SnapshotLog
+    val tx = graft.operators.TextExtOps
+    // a fresh scratch root built through the same builder the query
+    // uses: v1 = 2048-token manifest, v2 = 1024 re-pack
+    val root = Files.createTempDirectory("graft_packlog_spec")
+    tx.buildPackLog(spark, sf, root)
+    assert(SnapshotLog.versions(root) == Seq(1, 2))
+    val v1 = SnapshotLog.read(spark, root, 1)
+    val v2 = SnapshotLog.read(spark, root, 2)
+    val (n1, n2) = (v1.count(), v2.count())
+    // the re-pack halves the context, so its manifest carries ~2× the
+    // chunks — the versions are genuinely different data orders
+    assert(n2 > n1, s"1024-token re-pack must hold more chunks ($n1 vs $n2)")
+    // v1 stays byte-equal to recomputing the 2048 manifest — the
+    // TIME-TRAVEL contract the declared query (and its oracle) pins
+    val fresh = tx.packManifest(spark, sf, 2048L)
+    assert(v1.exceptAll(fresh).count() == 0 &&
+             fresh.exceptAll(v1).count() == 0,
+           "pinned v1 diverged from the recomputed 2048 manifest")
+    // both versions' token totals equal the corpus token count — a
+    // re-pack reorders chunk boundaries, never token mass
+    val tot = Tables(spark, sf, "documents")
+      .select(size(split(col("text"), " ")).cast("long").as("t"))
+      .agg(sum("t")).as[Long].head()
+    for ((v, n) <- Seq((v1, n1), (v2, n2)))
+      assert(v.agg(sum("tokens")).as[Long].head() == tot,
+             s"a version lost token mass (chunks $n)")
+    // crash window: a v3 whose files land but whose manifest never
+    // commits leaves v2 serving; the replayed commit lands once
+    val orphans = SnapshotLog.addFiles(spark, root, "pack512",
+      tx.packManifest(spark, sf, 512L))
+    assert(orphans.nonEmpty && SnapshotLog.latest(root) == 2,
+           "uncommitted pack files changed the served version")
+    val v3Files = SnapshotLog.addFiles(spark, root, "pack512",
+      tx.packManifest(spark, sf, 512L))
+    assert(SnapshotLog.commitVersion(root, 3, v3Files))
+    assert(!SnapshotLog.commitVersion(root, 3, v3Files),
+           "a double-fired version commit must be a no-op")
+    assert(SnapshotLog.read(spark, root, 1).count() == n1,
+           "committing v3 rewrote v1's pinned history")
+  }
 }
