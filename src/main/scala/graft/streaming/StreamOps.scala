@@ -905,6 +905,57 @@ object StreamOps extends OpModule {
         .orderBy("vec_id")
     },
 
+    // NIGHTLY REBUILD folding the admitted log back into the standing
+    // model (added r17 — the step that completes q371's intake
+    // lifecycle: gate → admitted log → REBUILD → next standing
+    // model): the rebuilt population P = the standing even corpus ∪
+    // the gate's committed admits, re-celled at the √|P| geometry —
+    // k' = ⌈√|P|⌉ computed in-frame, cells = the ids ≤ 2k' PRESENT in
+    // P (the dense-id sampling cut generalized to a mixed-parity
+    // population; admitted odds can now BE cells — yesterday's
+    // arrivals are tomorrow's model), every member of P assigned by
+    // the codegen'd argmin over the packed broadcast cells. The
+    // census reports each cell's member count split by PROVENANCE
+    // (standing evens vs admitted odds) — the number a serving team
+    // reads before promoting: how much of the new model is yesterday's
+    // intake. In production this result lands as the next semsqidx
+    // VERSION through q357's SnapshotLog promote; the census is the
+    // certification that gates that commit. Oracle restates the admit
+    // rule (q371's text) + the union re-cell + the mixed-parity cut.
+    "q375_gate_rebuild" -> { (s, d) =>
+      val simx = graft.operators.SimilarityExtOps
+      val gf = org.apache.spark.sql.graft.GraftFunctions
+      val root = gateAdmitRoot(s, d)
+      val SnapshotLog = graft.sources.PartitionedOps.SnapshotLog
+      val admLog = SnapshotLog.read(s, root, SnapshotLog.latest(root))
+      val pp = simx.latticeFrame(s, d, Long.MaxValue)
+        .where(col("vec_id") % 2 === 0)
+        .select(col("vec_id"), col("xi"))
+        .unionByName(admLog.select(col("vec_id"), col("xi")))
+      val kDf = pp.agg(ceil(sqrt(count(lit(1)))).cast("long").as("k"))
+      val cents = pp.crossJoin(broadcast(kDf))
+        .where(col("vec_id") <= lit(2) * col("k"))
+        .select(col("vec_id").as("cid"), col("xi").as("ci"))
+      val packed = cents
+        .agg(collect_list(struct(col("cid"), col("ci"))).as("cents"))
+      val asg = pp.crossJoin(broadcast(packed))
+        .select(col("vec_id"),
+                gf.argminCentroidLong(col("xi"), col("cents")).as("cid"))
+      val g = asg.groupBy("cid")
+        .agg(count(lit(1)).as("members"),
+             sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L))
+               .as("standing"),
+             sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L))
+               .as("admitted"))
+      cents.select(col("cid"))
+        .join(g, Seq("cid"), "left")
+        .select(col("cid"),
+                coalesce(col("members"), lit(0L)).as("members"),
+                coalesce(col("standing"), lit(0L)).as("standing"),
+                coalesce(col("admitted"), lit(0L)).as("admitted"))
+        .orderBy("cid")
+    },
+
     "q330_stream_pit_enrich" -> { (s, d) =>
       runToMemory(s, iso => {
         val rawSchema = iso.read.parquet(s"$d/orders.parquet").schema
@@ -1576,6 +1627,82 @@ object StreamOps extends OpModule {
          |FROM arr r LEFT JOIN corp ON r.b = corp.b
          |LEFT JOIN rec ON r.b = rec.b
          |ORDER BY vec_id""".stripMargin
+    },
+
+    // q371's admit rule restated, then the union population re-cells
+    // at ⌈√|P|⌉ with the mixed-parity id cut and one flat argmin —
+    // the census the nightly promote gates on
+    "q375_gate_rebuild" -> {
+      val simx = graft.operators.SimilarityExtOps
+      s"""WITH e AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+         |      AS xi
+         |  FROM embeddings WHERE vec_id <> 0),
+         |kv AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k
+         |       FROM e WHERE vec_id % 2 = 0),
+         |c AS (SELECT vec_id AS cid, xi AS ci FROM e, kv
+         |      WHERE vec_id % 2 = 0 AND vec_id <= 2 * k),
+         |d0 AS (SELECT e.vec_id, c.cid,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      j -> (e.xi[j] - c.ci[j]) * (e.xi[j] - c.ci[j])))
+         |      AS BIGINT) AS dist
+         |  FROM e, c),
+         |asg AS MATERIALIZED (SELECT vec_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY dist, cid) AS rn
+         |    FROM d0) WHERE rn = 1),
+         |nv AS (SELECT vec_id,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      j -> xi[j] * xi[j])) AS BIGINT) AS nv
+         |  FROM e),
+         |mem AS MATERIALIZED (SELECT cid, vec_id, xi, nv FROM (
+         |    SELECT a.cid, a.vec_id, e.xi, n.nv,
+         |      row_number() OVER (PARTITION BY a.cid
+         |                         ORDER BY a.vec_id) AS mrk
+         |    FROM asg a JOIN e ON a.vec_id = e.vec_id
+         |         JOIN nv n ON a.vec_id = n.vec_id
+         |    WHERE a.vec_id % 2 = 0)
+         |  WHERE mrk <= ${simx.SemDedupClusterCap}),
+         |arr AS (SELECT a.cid, a.vec_id AS b, e.xi AS xb, n.nv AS nb
+         |  FROM asg a JOIN e ON a.vec_id = e.vec_id
+         |       JOIN nv n ON a.vec_id = n.vec_id
+         |  WHERE a.vec_id % 2 = 1),
+         |corp AS (SELECT DISTINCT b FROM (
+         |    SELECT r.b,
+         |      CAST(list_sum(list_transform(range(1, 65),
+         |        j -> m.xi[j] * r.xb[j])) AS BIGINT) AS dot,
+         |      m.nv AS na, r.nb
+         |    FROM arr r JOIN mem m ON r.cid = m.cid)
+         |  WHERE dot > 0 AND
+         |    CAST(dot AS HUGEINT) * dot * 10000 >=
+         |      CAST(na AS HUGEINT) * nb * 1600),
+         |pp AS MATERIALIZED (
+         |  SELECT vec_id, xi FROM e WHERE vec_id % 2 = 0
+         |  UNION ALL
+         |  SELECT a.b AS vec_id, a.xb AS xi FROM arr a
+         |  WHERE a.b NOT IN (SELECT b FROM corp)),
+         |k2 AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k2
+         |       FROM pp),
+         |c2 AS (SELECT vec_id AS cid, xi AS ci FROM pp, k2
+         |       WHERE vec_id <= 2 * k2),
+         |asg2 AS (SELECT vec_id, cid FROM (
+         |    SELECT pp.vec_id, c2.cid,
+         |      row_number() OVER (PARTITION BY pp.vec_id ORDER BY
+         |        CAST(list_sum(list_transform(range(1, 65),
+         |          j -> (pp.xi[j] - c2.ci[j]) * (pp.xi[j] - c2.ci[j])))
+         |          AS BIGINT), c2.cid) AS rn
+         |    FROM pp, c2) WHERE rn = 1)
+         |SELECT c2.cid,
+         |  CAST(coalesce(g.members, 0) AS BIGINT) AS members,
+         |  CAST(coalesce(g.standing, 0) AS BIGINT) AS standing,
+         |  CAST(coalesce(g.admitted, 0) AS BIGINT) AS admitted
+         |FROM c2 LEFT JOIN (
+         |  SELECT cid, count(*) AS members,
+         |    sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS standing,
+         |    sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS admitted
+         |  FROM asg2 GROUP BY cid) g ON c2.cid = g.cid
+         |ORDER BY c2.cid""".stripMargin
     },
 
     "q317_stream_topk" ->

@@ -1776,6 +1776,27 @@ class PlanShapeSpec extends SparkSpecBase {
     } finally PinScope.drain()
   }
 
+  test("q369: two-level assignment is broadcast-only — the corpus never shuffle-joins") {
+    // the production assigner's scale claim: both argmin levels ride
+    // BROADCAST sides (the packed coarse row, the per-coarse fine
+    // groups) — the corpus is never the build side of a shuffle join
+    // for its own assignment. The only exchanges in the plan belong
+    // to the BUILD side (the k·kc routing window), which is
+    // cell-count-, not corpus-, scaled.
+    import org.apache.spark.sql.functions._
+    val em = operators.SimilarityExtOps.latticeFrame(spark, sf, Long.MaxValue)
+    val kAgg = greatest(ceil(sqrt(count(lit(1)))).cast("long"),
+                        expr("(count(1) + 7) DIV 8").cast("long"))
+    val (_, asg) = operators.SimilarityExtOps
+      .hybridCellAssign(em, kAgg, twoLevel = true)
+    asg.collect() // finalize the AQE plan
+    val p = asg.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+           s"fine-group probe is not a broadcast equi-join: $p")
+    assert(!p.contains("SortMergeJoin"),
+           "the corpus shuffle-joined for its own assignment")
+  }
+
   test("q308: boosting algebra rides the pinned cell table; train RMSE is monotone") {
     // the trainer's whole scale story: ONE fact scan folds to the
     // ≤|qty|×|disc| cell table at pin time, and the 3-round unrolled
