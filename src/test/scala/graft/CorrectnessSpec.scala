@@ -4553,15 +4553,21 @@ class CorrectnessSpec extends SparkSpecBase {
     } finally PinScope.drain()
   }
 
-  test("q345 streaming SemDeDup gate matches an in-memory model replay") {
+  test("q345 streaming SemDeDup gate matches an in-memory TWO-LEVEL replay") {
     try {
-      // run the stream first — it builds + registers the model artifact
+      // run the stream first — it builds + registers the two-level
+      // model artifact (r17 re-key: coarse cells 'o', replicated
+      // fine→coarse routing 'f', two-level-assigned members 'm')
       val got = q("q345_stream_semdedup")
         .as[(Long, Long, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
-      val idx = spark.table(BucketedCache.tableName("semidx", sf))
-      val cents = idx.where(col("kind") === "c")
-        .select(col("cid"), col("xi"))
+      val idx = spark.table(BucketedCache.tableName("semtwoidx", sf))
+      val coarse = idx.where(col("kind") === "o")
+        .select(col("id"), col("xi"))
         .as[(Long, Array[Long])].collect().sortBy(_._1)
+      // 'f' rows: id = fine cid, cid = its coarse bucket, xi = fine ci
+      val fa = idx.where(col("kind") === "f")
+        .select(col("cid"), col("id"), col("xi"))
+        .as[(Long, Long, Array[Long])].collect()
       val members = idx.where(col("kind") === "m")
         .select(col("cid"), col("nv"), col("xi"))
         .as[(Long, Long, Array[Long])].collect()
@@ -4573,10 +4579,15 @@ class CorrectnessSpec extends SparkSpecBase {
         .as[(Long, Array[Long])].collect()
       def dot(a: Array[Long], b: Array[Long]): Long =
         a.zip(b).map { case (x, y) => x * y }.sum
-      val want = odds.flatMap { case (vid, xi) =>
-        val cid = cents.map { case (c, ci) =>
+      def argmin(xi: Array[Long],
+                 cs: Seq[(Long, Array[Long])]): Long =
+        cs.map { case (c, ci) =>
           (xi.zip(ci).map { case (x, y) => (x - y) * (x - y) }.sum, c)
         }.min._2
+      val want = odds.flatMap { case (vid, xi) =>
+        val ccid = argmin(xi, coarse.toSeq)
+        val cid = argmin(xi,
+          fa.filter(_._1 == ccid).map(f => (f._2, f._3)).toSeq)
         val nb = BigInt(dot(xi, xi))
         val hits = members.filter(_._1 == cid).count { case (_, na, xa) =>
           val d = BigInt(dot(xa, xi))
