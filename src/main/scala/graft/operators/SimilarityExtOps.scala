@@ -2534,6 +2534,64 @@ object SimilarityExtOps extends OpModule {
                   .as("recall_ppm"))
     },
 
+    // Recall-by-STRENGTH attestation for the two-level router (added
+    // r17, §13.1 candidate #4 promoted the same round it was
+    // recorded) — q370 reports ONE recall number; this stratifies it
+    // by duplicate strength, turning the docstring's geometry
+    // argument ("near-identical pairs route identically; losses
+    // concentrate in the borderline band") into DATA. Per arrival
+    // flagged by the FLAT gate, its strength = the strongest
+    // qualifying pair's cos² band — measured by integer
+    // CROSS-MULTIPLICATION against the band lines (dot²·10⁴ ≥
+    // na·nb·{1600, 2500, 4900, 8100} ⇔ cos² ≥ {0.16, 0.25, 0.49,
+    // 0.81}), never a division — and the row reports how many of
+    // that band's flat catches the two-level gate KEEPS. On this
+    // uniform-random corpus every flagged arrival sits in bands 1–2
+    // (cos 0.4–0.7; no near-identical pairs exist at any test SF) —
+    // visible here as the only populated rows, which is exactly the
+    // honesty the attestation exists for.
+    "q376_twolevel_bands" -> { (s, d) =>
+      val em = latticeFrame(s, d, idCap = 4096L)
+      val kAgg = greatest(ceil(sqrt(count(lit(1)))).cast("long"),
+                          expr("(count(1) + 7) DIV 8").cast("long"))
+      def pairs(asg: DataFrame): DataFrame = {
+        val mem = asg.where(col("vec_id") % 2 === 0)
+          .withColumn("mrk", row_number().over(
+            Window.partitionBy("cid").orderBy("vec_id")))
+          .where(col("mrk") <= 8)
+          .select(col("cid"), col("xi").as("xa"), col("nv").as("na"))
+        asg.where(col("vec_id") % 2 === 1)
+          .select(col("cid"), col("vec_id").as("b"), col("xi").as("xb"),
+                  col("nv").as("nb"))
+          .join(mem, Seq("cid"))
+          .withColumn("dot",
+            GraftFunctions.dotProductLong(col("xa"), col("xb")))
+          .where(col("dot") > 0 &&
+                 col("dot").cast("decimal(38,0)") * col("dot") * 10000 >=
+                   col("na").cast("decimal(38,0)") * col("nb") * 1600)
+      }
+      def bandOf = {
+        val d2 = col("dot").cast("decimal(38,0)") * col("dot") * 10000
+        val nn = col("na").cast("decimal(38,0)") * col("nb")
+        when(d2 >= nn * 8100, 4L).when(d2 >= nn * 4900, 3L)
+          .when(d2 >= nn * 2500, 2L).otherwise(1L)
+      }
+      val (_, asgFlat) = hybridCellAssign(em, kAgg, twoLevel = false)
+      val (_, asgTwo) = hybridCellAssign(em, kAgg, twoLevel = true)
+      val (fb, fh) = pin(pairs(asgFlat)
+        .groupBy("b").agg(max(bandOf).as("band")))
+      fh.count(); graft.PinScope.retain(fh)
+      val (tf, th) = pin(pairs(asgTwo).select("b").distinct())
+      th.count(); graft.PinScope.retain(th)
+      fb.join(tf.withColumn("kept1", lit(1L)), Seq("b"), "left")
+        .groupBy("band")
+        .agg(count(lit(1)).as("flat_flagged"),
+             sum(coalesce(col("kept1"), lit(0L))).as("kept"))
+        .withColumn("recall_ppm",
+          expr("(1000000 * kept) DIV flat_flagged"))
+        .orderBy("band")
+    },
+
     // Graph version-log RETENTION (added r16, §12.1 candidate #1
     // promoted the same round it was recorded) — the retire step that
     // completes the artifact lifecycle q357 opened (build → promote →
@@ -4226,6 +4284,121 @@ object SimilarityExtOps extends OpModule {
            |            // (SELECT count(*) FROM flf) END AS BIGINT)
            |    AS recall_ppm
            |FROM ag""".stripMargin,
+
+      // q370's two-assigner text; the flat side keeps per-pair
+      // strength and folds to a per-arrival max band by the same
+      // cross-multiplied lines, then recall per band vs the
+      // two-level flagged set
+      "q376_twolevel_bands" ->
+        s"""WITH e AS MATERIALIZED (SELECT vec_id,
+           |    list_transform(embedding,
+           |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+           |      AS xi
+           |  FROM embeddings WHERE vec_id <> 0 AND vec_id < 4096),
+           |kv AS (SELECT greatest(
+           |         CAST(ceil(sqrt(count(*))) AS BIGINT),
+           |         CAST((count(*) + 7) // 8 AS BIGINT)) AS k
+           |       FROM e WHERE vec_id % 2 = 0),
+           |c AS MATERIALIZED (SELECT vec_id AS cid, xi AS ci FROM e, kv
+           |      WHERE vec_id % 2 = 0 AND vec_id <= 2 * k),
+           |asgf AS MATERIALIZED (SELECT vec_id, cid FROM (
+           |    SELECT e.vec_id, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        CAST(list_sum(list_transform(range(1, 65),
+           |          j -> (e.xi[j] - c.ci[j]) * (e.xi[j] - c.ci[j])))
+           |          AS BIGINT), c.cid) AS rn
+           |    FROM e, c) WHERE rn = 1),
+           |kcv AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS kc
+           |        FROM c),
+           |cc AS MATERIALIZED (SELECT cid AS ccid, ci AS cci
+           |      FROM c, kcv WHERE cid <= 2 * kc),
+           |fa AS MATERIALIZED (SELECT cid, ccid FROM (
+           |    SELECT c.cid, cc.ccid,
+           |      row_number() OVER (PARTITION BY c.cid ORDER BY
+           |        CAST(list_sum(list_transform(range(1, 65),
+           |          j -> (c.ci[j] - cc.cci[j]) * (c.ci[j] - cc.cci[j])))
+           |          AS BIGINT), cc.ccid) AS rn
+           |    FROM c, cc) WHERE rn <= $TwoLevelRep),
+           |ac AS MATERIALIZED (SELECT vec_id, ccid FROM (
+           |    SELECT e.vec_id, cc.ccid,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        CAST(list_sum(list_transform(range(1, 65),
+           |          j -> (e.xi[j] - cc.cci[j]) * (e.xi[j] - cc.cci[j])))
+           |          AS BIGINT), cc.ccid) AS rn
+           |    FROM e, cc) WHERE rn = 1),
+           |asgt AS MATERIALIZED (SELECT vec_id, cid FROM (
+           |    SELECT a.vec_id, c.cid,
+           |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+           |        CAST(list_sum(list_transform(range(1, 65),
+           |          j -> (e.xi[j] - c.ci[j]) * (e.xi[j] - c.ci[j])))
+           |          AS BIGINT), c.cid) AS rn
+           |    FROM ac a JOIN e ON a.vec_id = e.vec_id
+           |         JOIN fa ON fa.ccid = a.ccid
+           |         JOIN c ON c.cid = fa.cid) WHERE rn = 1),
+           |nv AS (SELECT vec_id,
+           |    CAST(list_sum(list_transform(range(1, 65),
+           |      j -> xi[j] * xi[j])) AS BIGINT) AS nv
+           |  FROM e),
+           |memf AS MATERIALIZED (SELECT cid, xi, nv FROM (
+           |    SELECT a.cid, e.xi, n.nv,
+           |      row_number() OVER (PARTITION BY a.cid
+           |                         ORDER BY a.vec_id) AS mrk
+           |    FROM asgf a JOIN e ON a.vec_id = e.vec_id
+           |         JOIN nv n ON a.vec_id = n.vec_id
+           |    WHERE a.vec_id % 2 = 0)
+           |  WHERE mrk <= 8),
+           |arrf AS (SELECT a.cid, a.vec_id AS b, e.xi AS xb, n.nv AS nb
+           |  FROM asgf a JOIN e ON a.vec_id = e.vec_id
+           |       JOIN nv n ON a.vec_id = n.vec_id
+           |  WHERE a.vec_id % 2 = 1),
+           |fp AS (SELECT r.b,
+           |    CAST(list_sum(list_transform(range(1, 65),
+           |      j -> m.xi[j] * r.xb[j])) AS BIGINT) AS dot,
+           |    m.nv AS na, r.nb
+           |  FROM arrf r JOIN memf m ON r.cid = m.cid),
+           |fq AS MATERIALIZED (SELECT b,
+           |    max(CASE
+           |      WHEN CAST(dot AS HUGEINT) * dot * 10000 >=
+           |           CAST(na AS HUGEINT) * nb * 8100 THEN 4
+           |      WHEN CAST(dot AS HUGEINT) * dot * 10000 >=
+           |           CAST(na AS HUGEINT) * nb * 4900 THEN 3
+           |      WHEN CAST(dot AS HUGEINT) * dot * 10000 >=
+           |           CAST(na AS HUGEINT) * nb * 2500 THEN 2
+           |      ELSE 1 END) AS band
+           |  FROM fp
+           |  WHERE dot > 0 AND
+           |    CAST(dot AS HUGEINT) * dot * 10000 >=
+           |      CAST(na AS HUGEINT) * nb * 1600
+           |  GROUP BY b),
+           |memt AS MATERIALIZED (SELECT cid, xi, nv FROM (
+           |    SELECT a.cid, e.xi, n.nv,
+           |      row_number() OVER (PARTITION BY a.cid
+           |                         ORDER BY a.vec_id) AS mrk
+           |    FROM asgt a JOIN e ON a.vec_id = e.vec_id
+           |         JOIN nv n ON a.vec_id = n.vec_id
+           |    WHERE a.vec_id % 2 = 0)
+           |  WHERE mrk <= 8),
+           |arrt AS (SELECT a.cid, a.vec_id AS b, e.xi AS xb, n.nv AS nb
+           |  FROM asgt a JOIN e ON a.vec_id = e.vec_id
+           |       JOIN nv n ON a.vec_id = n.vec_id
+           |  WHERE a.vec_id % 2 = 1),
+           |flt AS MATERIALIZED (SELECT DISTINCT b FROM (
+           |    SELECT r.b,
+           |      CAST(list_sum(list_transform(range(1, 65),
+           |        j -> m.xi[j] * r.xb[j])) AS BIGINT) AS dot,
+           |      m.nv AS na, r.nb
+           |    FROM arrt r JOIN memt m ON r.cid = m.cid)
+           |  WHERE dot > 0 AND
+           |    CAST(dot AS HUGEINT) * dot * 10000 >=
+           |      CAST(na AS HUGEINT) * nb * 1600)
+           |SELECT CAST(band AS BIGINT) AS band,
+           |  count(*) AS flat_flagged,
+           |  CAST(sum(CASE WHEN b IN (SELECT b FROM flt)
+           |                THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+           |  CAST((1000000 * sum(CASE WHEN b IN (SELECT b FROM flt)
+           |                           THEN 1 ELSE 0 END)) // count(*)
+           |       AS BIGINT) AS recall_ppm
+           |FROM fq GROUP BY band ORDER BY band""".stripMargin,
 
       "q355_semdedup_cells" ->
         s"""WITH e AS MATERIALIZED (SELECT vec_id,

@@ -590,6 +590,52 @@ object TextExtOps extends OpModule {
         .orderBy("chunk_id")
     },
 
+    // Pack-log RETENTION with branch-pinned protection (added r17,
+    // §13.1 candidate #6 promoted the same round it was recorded) —
+    // q372's log only ever grows; this is the retire step, q366's
+    // grace-copy discipline with the wrinkle that makes it the PACK
+    // log's: an old training run PINS its manifest as a BRANCH
+    // (`run2048`, committed from v1's file list — zero data movement,
+    // the q335 model), and retention must never collect a pinned
+    // version's files. On a scratch copy of the live log: pin v1 as
+    // the branch, vacuum keep = 1 — v1's MAIN manifest drops (status
+    // `branch_only`) but its data files survive the GC because every
+    // branch manifest pins its files (the SnapshotLog.vacuum union
+    // rule, exercised here on purpose), and the report re-reads v1's
+    // chunks COMPLETE through the branch while v2 serves from the
+    // kept main manifest. The live log is never touched. Oracle:
+    // chunk counts are ⌈Σtok/L⌉ per committed length — the retention
+    // must be invisible to both readers.
+    "q378_packlog_vacuum" -> { (s, d) =>
+      val SnapshotLog = graft.sources.PartitionedOps.SnapshotLog
+      val live = packLogRoot(s, d)
+      val copy = java.nio.file.Files
+        .createTempDirectory("graft_packlog_vac")
+      deleteRecursivelyAtExit(copy)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(live).iterator.asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .foreach { p =>
+          val rel = live.relativize(p)
+          val dst = copy.resolve(rel.toString)
+          java.nio.file.Files.createDirectories(dst.getParent)
+          java.nio.file.Files.copy(p, dst)
+        }
+      SnapshotLog.branchCommit(copy, "run2048",
+        SnapshotLog.files(copy, 1))
+      val (_, dropped) = SnapshotLog.vacuum(copy, keep = 1)
+      val st1 = if (dropped.contains(1)) "branch_only" else "kept"
+      SnapshotLog.branchRead(s, copy, "run2048", 1)
+        .agg(count(lit(1)).as("chunks"))
+        .select(lit(1L).as("version"), lit(PackLen).as("pack_len"),
+                lit(st1).as("status"), col("chunks"))
+        .unionAll(SnapshotLog.read(s, copy, 2)
+          .agg(count(lit(1)).as("chunks"))
+          .select(lit(2L).as("version"), lit(1024L).as("pack_len"),
+                  lit("kept").as("status"), col("chunks")))
+        .orderBy("version")
+    },
+
     // Composed QUALITY-intake pipeline v5 (added r16) — where v4
     // (q347) is the round's DEDUP funnel over the persisted artifacts,
     // v5 is the QUALITY funnel over the round's new gates, the other
@@ -1941,6 +1987,18 @@ object TextExtOps extends OpModule {
     * log serialize. */
   private val packLogLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Recursive delete of `root` at JVM exit — scratch copies a query
+    * hands to a lazily-evaluated DataFrame (q378's vacuum copy), the
+    * q366 leak-bounding discipline. */
+  private def deleteRecursivelyAtExit(root: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator.asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }))
 
   /** Commits each [[PackLogLens]] manifest as a SnapshotLog version
     * into `root` — files-then-manifest per version, so a crash
@@ -3367,6 +3425,22 @@ object TextExtOps extends OpModule {
           |  CAST(min(CASE WHEN pre <= chunk_id * 2048 THEN doc_id END)
           |       AS BIGINT) AS starts_doc
           |FROM x GROUP BY chunk_id ORDER BY chunk_id""".stripMargin,
+
+      // chunk counts are ⌈Σtok/L⌉ per committed pack length — the
+      // vacuum (and the branch pin that survives it) must be
+      // invisible to both readers
+      "q378_packlog_vacuum" ->
+        """WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
+          |    AS tok FROM documents),
+          |s AS (SELECT CAST(sum(tok) AS BIGINT) AS tot FROM t)
+          |SELECT CAST(1 AS BIGINT) AS version,
+          |  CAST(2048 AS BIGINT) AS pack_len,
+          |  'branch_only' AS status,
+          |  CAST((tot + 2047) // 2048 AS BIGINT) AS chunks FROM s
+          |UNION ALL
+          |SELECT CAST(2 AS BIGINT), CAST(1024 AS BIGINT), 'kept',
+          |  CAST((tot + 1023) // 1024 AS BIGINT) FROM s
+          |ORDER BY version""".stripMargin,
 
       // the md5-ordered global token cumsum as a plain running window
       // (the bucket machinery must be invisible), then the integer

@@ -413,6 +413,97 @@ object StreamOps extends OpModule {
     root
   }
 
+  /** The gate-model tier each committed model version carries —
+    * the log's lineage contract (q377), GraphVersionTiers' shape. */
+  private[graft] val GateModelTiers =
+    Map(1 -> "nightly_build", 2 -> "intake_rebuild")
+
+  /** Bumped on ANY change to the gate-model log build: folds into
+    * [[gateModelRoot]]'s tmpdir key (the graphVersionRoot / packLog
+    * discipline — a code change must never serve a stale committed
+    * model across JVM runs). */
+  private val GateModelBuilderVersion = 1
+
+  /** In-JVM monitors for [[gateModelRoot]]. */
+  private val gateModelLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** The GATE-MODEL VERSION LOG (q377 — §13.1 #1 promoted the same
+    * round it was recorded): the gate family's model finally lands
+    * somewhere versioned. v1 = the NIGHTLY BUILD (the standing √n
+    * model's 'c'+'m' rows, re-committed from the semsqidx artifact),
+    * v2 = the INTAKE REBUILD (q375's union re-cell — standing evens ∪
+    * the admitted log's arrivals, re-celled at ⌈√|P|⌉, every member
+    * re-assigned; 'm' row id parity IS the provenance). Committed
+    * under SnapshotLog's files-then-manifest protocol into a
+    * corpus-fingerprint-keyed log built in a scratch dir and
+    * atomic-renamed — so a gate (q356/q371's deployment) can PIN a
+    * model version the way q344 pins a graph version, and retention
+    * (q366's keep-K on a grace copy) ages superseded models out. */
+  private[graft] def gateModelRoot(s: SparkSession, d: String)
+      : java.nio.file.Path = {
+    val SnapshotLog = graft.sources.PartitionedOps.SnapshotLog
+    val simx = graft.operators.SimilarityExtOps
+    val gf = org.apache.spark.sql.graft.GraftFunctions
+    val key = d.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
+      graft.BucketedCache.corpusFingerprint(d) +
+      s"_b$GateModelBuilderVersion"
+    val dir = java.nio.file.Paths.get(
+      s"${sys.props("java.io.tmpdir")}/graft_modellog_$key")
+    val lock = gateModelLocks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      if (!java.nio.file.Files.exists(dir)) {
+        val scratchRoot = java.nio.file.Files
+          .createTempDirectory("graft_modellog_scratch")
+        val scratch = scratchRoot.resolve("log")
+        try {
+          java.nio.file.Files.createDirectories(scratch)
+          val idxT = simx.semDedupSqrtIndexTable(s, d)
+          val v1 = SnapshotLog.addFiles(s, scratch, "m1",
+            s.table(idxT).where(col("kind").isin("c", "m"))
+              .select("kind", "id", "cid", "nv", "xi"))
+          SnapshotLog.commitVersion(scratch, 1, v1)
+          val admRoot = gateAdmitRoot(s, d)
+          val admLog = SnapshotLog.read(s, admRoot,
+            SnapshotLog.latest(admRoot))
+          val pp = simx.latticeFrame(s, d, Long.MaxValue)
+            .where(col("vec_id") % 2 === 0)
+            .select(col("vec_id"), col("xi"))
+            .unionByName(admLog.select(col("vec_id"), col("xi")))
+          val kDf = pp.agg(ceil(sqrt(count(lit(1)))).cast("long").as("k"))
+          val cents = pp.crossJoin(broadcast(kDf))
+            .where(col("vec_id") <= lit(2) * col("k"))
+            .select(col("vec_id").as("cid"), col("xi").as("ci"))
+          val packed = cents
+            .agg(collect_list(struct(col("cid"), col("ci"))).as("cents"))
+          val members = pp.crossJoin(broadcast(packed))
+            .select(lit("m").as("kind"), col("vec_id").as("id"),
+              gf.argminCentroidLong(col("xi"), col("cents")).as("cid"),
+              gf.dotProductLong(col("xi"), col("xi")).as("nv"),
+              col("xi"))
+          val v2 = SnapshotLog.addFiles(s, scratch, "m2",
+            members.unionByName(cents.select(lit("c").as("kind"),
+              col("cid").as("id"), col("cid"), lit(0L).as("nv"),
+              col("ci").as("xi"))))
+          SnapshotLog.commitVersion(scratch, 2, v2)
+          try java.nio.file.Files.move(scratch, dir,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.FileSystemException
+              if java.nio.file.Files.exists(dir) => // lost the race
+          }
+        } finally {
+          import scala.jdk.CollectionConverters._
+          if (java.nio.file.Files.exists(scratchRoot))
+            java.nio.file.Files.walk(scratchRoot).iterator.asScala.toSeq
+              .sortBy(-_.getNameCount)
+              .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      }
+    }
+    dir
+  }
+
   /** File-source event stream with µs event time (ns parquet → µs). */
   private def eventStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -954,6 +1045,38 @@ object StreamOps extends OpModule {
                 coalesce(col("standing"), lit(0L)).as("standing"),
                 coalesce(col("admitted"), lit(0L)).as("admitted"))
         .orderBy("cid")
+    },
+
+    // Gate-model PROMOTION report (added r17, §13.1 #1 promoted the
+    // same round it was recorded — q375 certifies the rebuild census
+    // but the rebuilt model landed nowhere): the query a serving team
+    // runs after the model job — which gate-model versions are
+    // COMMITTED and what does each hold? Running it ensures the
+    // promotion itself: v1 = the nightly build (the standing √n
+    // model re-committed from its artifact), v2 = the intake rebuild
+    // (standing ∪ the admitted log, re-celled at ⌈√|P|⌉), each under
+    // SnapshotLog's files-then-manifest protocol in a corpus-
+    // fingerprint-keyed log ([[gateModelRoot]]). Report per version:
+    // tier, cell count, member count, and how many members are
+    // ADMITTED arrivals (id parity = provenance) — version numbers
+    // are data a gate deployment pins, q357's discipline for models.
+    // Tier lookups tolerate unknown versions (the r16 ADVICE rule).
+    "q377_model_promote" -> { (s, d) =>
+      val SnapshotLog = graft.sources.PartitionedOps.SnapshotLog
+      val root = gateModelRoot(s, d)
+      SnapshotLog.versions(root).map { v =>
+        SnapshotLog.read(s, root, v)
+          .agg(sum(when(col("kind") === "c", 1L).otherwise(0L))
+                 .as("cells"),
+               sum(when(col("kind") === "m", 1L).otherwise(0L))
+                 .as("members"),
+               sum(when(col("kind") === "m" && col("id") % 2 === 1, 1L)
+                     .otherwise(0L)).as("admitted"))
+          .select(lit(v.toLong).as("version"),
+                  lit(GateModelTiers.getOrElse(v, s"unknown_v$v"))
+                    .as("tier"),
+                  col("cells"), col("members"), col("admitted"))
+      }.reduce(_ unionAll _).orderBy("version")
     },
 
     "q330_stream_pit_enrich" -> { (s, d) =>
@@ -1703,6 +1826,76 @@ object StreamOps extends OpModule {
          |    sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS admitted
          |  FROM asg2 GROUP BY cid) g ON c2.cid = g.cid
          |ORDER BY c2.cid""".stripMargin
+    },
+
+    // the two committed models restated: v1 = the √n nightly build
+    // (cells = even ids ≤ 2k, members = the whole even half, zero
+    // admits), v2 = q375's union re-cell (cells/members/odd-members
+    // counted from the same CTE chain) — the promotion must be
+    // invisible against recomputing both models
+    "q377_model_promote" -> {
+      val simx = graft.operators.SimilarityExtOps
+      s"""WITH e AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+         |      AS xi
+         |  FROM embeddings WHERE vec_id <> 0),
+         |kv AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k
+         |       FROM e WHERE vec_id % 2 = 0),
+         |c AS (SELECT vec_id AS cid, xi AS ci FROM e, kv
+         |      WHERE vec_id % 2 = 0 AND vec_id <= 2 * k),
+         |d0 AS (SELECT e.vec_id, c.cid,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      j -> (e.xi[j] - c.ci[j]) * (e.xi[j] - c.ci[j])))
+         |      AS BIGINT) AS dist
+         |  FROM e, c),
+         |asg AS MATERIALIZED (SELECT vec_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY dist, cid) AS rn
+         |    FROM d0) WHERE rn = 1),
+         |nv AS (SELECT vec_id,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      j -> xi[j] * xi[j])) AS BIGINT) AS nv
+         |  FROM e),
+         |mem AS MATERIALIZED (SELECT cid, vec_id, xi, nv FROM (
+         |    SELECT a.cid, a.vec_id, e.xi, n.nv,
+         |      row_number() OVER (PARTITION BY a.cid
+         |                         ORDER BY a.vec_id) AS mrk
+         |    FROM asg a JOIN e ON a.vec_id = e.vec_id
+         |         JOIN nv n ON a.vec_id = n.vec_id
+         |    WHERE a.vec_id % 2 = 0)
+         |  WHERE mrk <= ${simx.SemDedupClusterCap}),
+         |arr AS (SELECT a.cid, a.vec_id AS b, e.xi AS xb, n.nv AS nb
+         |  FROM asg a JOIN e ON a.vec_id = e.vec_id
+         |       JOIN nv n ON a.vec_id = n.vec_id
+         |  WHERE a.vec_id % 2 = 1),
+         |corp AS (SELECT DISTINCT b FROM (
+         |    SELECT r.b,
+         |      CAST(list_sum(list_transform(range(1, 65),
+         |        j -> m.xi[j] * r.xb[j])) AS BIGINT) AS dot,
+         |      m.nv AS na, r.nb
+         |    FROM arr r JOIN mem m ON r.cid = m.cid)
+         |  WHERE dot > 0 AND
+         |    CAST(dot AS HUGEINT) * dot * 10000 >=
+         |      CAST(na AS HUGEINT) * nb * 1600),
+         |pp AS MATERIALIZED (
+         |  SELECT vec_id, xi FROM e WHERE vec_id % 2 = 0
+         |  UNION ALL
+         |  SELECT a.b AS vec_id, a.xb AS xi FROM arr a
+         |  WHERE a.b NOT IN (SELECT b FROM corp)),
+         |k2 AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k2
+         |       FROM pp)
+         |SELECT CAST(1 AS BIGINT) AS version,
+         |  'nightly_build' AS tier,
+         |  (SELECT count(*) FROM c) AS cells,
+         |  (SELECT count(*) FROM e WHERE vec_id % 2 = 0) AS members,
+         |  CAST(0 AS BIGINT) AS admitted
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), 'intake_rebuild',
+         |  (SELECT count(*) FROM pp, k2 WHERE vec_id <= 2 * k2),
+         |  (SELECT count(*) FROM pp),
+         |  (SELECT count(*) FROM pp WHERE vec_id % 2 = 1)
+         |ORDER BY version""".stripMargin
     },
 
     "q317_stream_topk" ->
