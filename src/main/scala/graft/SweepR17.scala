@@ -29,6 +29,7 @@ object SweepR17 {
       "q371_stream_gate_admit", "q372_pack_manifest_log",
       "q373_epoch_mixture", "q374_kn3_gate", "q375_gate_rebuild",
       "q376_twolevel_bands", "q377_model_promote", "q378_packlog_vacuum",
+      "q379_lm_order_census",
       "q367_semdedup_capaware", "q364_pipeline_prep_v5")
     val dirs0 = Seq("/root/testdata/sf0.1", "/tmp/sf10x13", "/tmp/sf100x")
     val dirs = if (args.exists(_.startsWith("/")))

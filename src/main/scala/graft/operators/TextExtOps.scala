@@ -590,6 +590,47 @@ object TextExtOps extends OpModule {
         .orderBy("chunk_id")
     },
 
+    // LM-ORDER saturation census (added r17, §13.1 candidate #5's
+    // MEASUREMENT — before extending the KN stack another order, read
+    // the number that says whether it would help): per n-gram order
+    // 1..4 over the train split, the gram events (Σ max(len−n+1, 0)),
+    // the DISTINCT grams (the rows an order-n KN marginal table would
+    // hold — the artifact's growth curve), the SINGLETONS (grams seen
+    // once — contexts where the KN discount backs the whole
+    // probability off to the lower order), and two integer shares:
+    // saturation_ppm = distinct/events (at 10⁶ every event is unique
+    // and the order memorizes) and singleton_ppm = singletons/
+    // distinct (the discount-mass share). The decision rule this
+    // feeds: an order whose singleton share approaches 10⁶ adds
+    // artifact rows without adding predictive mass — the measured
+    // reason the q374 stack stops where it stops, as data instead of
+    // a docstring claim. One scan per order, gram-keyed map-side
+    // combined aggs; output is 4 rows at any volume.
+    "q379_lm_order_census" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), trainSplit.as("split"),
+                split(col("text"), " ").as("t"))
+        .where(col("split") === "train")
+      (1 to 4).map { n =>
+        val gramsOf = expr(
+          s"transform(sequence(1, size(t) - ${n - 1}), " +
+            s"i -> array_join(slice(t, i, $n), ' '))")
+        docs.where(size(col("t")) >= n)
+          .select(explode(gramsOf).as("g"))
+          .groupBy("g").agg(count(lit(1)).as("c"))
+          .agg(sum("c").as("events"),
+               count(lit(1)).as("distinct_grams"),
+               sum(when(col("c") === 1, 1L).otherwise(0L))
+                 .as("singletons"))
+          .select(lit(n.toLong).as("ord"), col("events"),
+                  col("distinct_grams"), col("singletons"),
+                  expr("(1000000 * distinct_grams) DIV events")
+                    .as("saturation_ppm"),
+                  expr("(1000000 * singletons) DIV distinct_grams")
+                    .as("singleton_ppm"))
+      }.reduce(_ unionAll _).orderBy("ord")
+    },
+
     // Pack-log RETENTION with branch-pinned protection (added r17,
     // §13.1 candidate #6 promoted the same round it was recorded) —
     // q372's log only ever grows; this is the retire step, q366's
@@ -3425,6 +3466,33 @@ object TextExtOps extends OpModule {
           |  CAST(min(CASE WHEN pre <= chunk_id * 2048 THEN doc_id END)
           |       AS BIGINT) AS starts_doc
           |FROM x GROUP BY chunk_id ORDER BY chunk_id""".stripMargin,
+
+      // one grouped count per order, the same slice/join gram text
+      "q379_lm_order_census" -> {
+        def ord(n: Int): String =
+          s"""SELECT $n AS ord, sum(c) AS events,
+             |  count(*) AS distinct_grams,
+             |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS singletons
+             |FROM (SELECT g, count(*) AS c FROM (
+             |    SELECT array_to_string(t[CAST(i AS INT):CAST(i + ${n - 1} AS INT)], ' ') AS g
+             |    FROM (SELECT t, unnest(range(1, len(t) - ${n - 2})) AS i
+             |          FROM dd WHERE len(t) >= $n))
+             |  GROUP BY g)""".stripMargin
+        s"""WITH dd AS (
+           |  SELECT string_split(text, ' ') AS t FROM documents
+           |  WHERE $trainSplitSql = 'train'),
+           |u AS (${ord(1)} UNION ALL ${ord(2)} UNION ALL ${ord(3)}
+           |      UNION ALL ${ord(4)})
+           |SELECT CAST(ord AS BIGINT) AS ord,
+           |  CAST(events AS BIGINT) AS events,
+           |  CAST(distinct_grams AS BIGINT) AS distinct_grams,
+           |  CAST(singletons AS BIGINT) AS singletons,
+           |  CAST((1000000 * distinct_grams) // events AS BIGINT)
+           |    AS saturation_ppm,
+           |  CAST((1000000 * singletons) // distinct_grams AS BIGINT)
+           |    AS singleton_ppm
+           |FROM u ORDER BY ord""".stripMargin
+      },
 
       // chunk counts are ⌈Σtok/L⌉ per committed pack length — the
       // vacuum (and the branch pin that survives it) must be
