@@ -1412,6 +1412,20 @@ object SimilarityExtOps extends OpModule {
         val packedFine = fa
           .groupBy("ccid")
           .agg(collect_list(struct(col("cid"), col("ci"))).as("fc"))
+        // the fine-group side is an EXPLICIT broadcast, and the r17
+        // switch experiment is why (measured, not assumed): packed
+        // fine groups are k·R entries — tiny at test SFs, ~58 MB at
+        // the 100× sweep, 1.18 GB at the 10⁹-vector census point
+        // (ProbeRouterBuild). Dropping the hint to let AQE pick
+        // REGRESSED the 100× lines 25–35% across same-window A/B
+        // pairs (q369 best 6.96 s broadcast vs 9.40 s AQE-shuffled;
+        // q370 4.3 → 6.4 s): AQE's 10 MB default shuffles a side the
+        // broadcast still beats at 6× that size. So the hint stays
+        // while the side is genuinely broadcastable, and the
+        // PRODUCTION shape past the ~100–200 MB ceiling is the
+        // ccid-co-bucketed shuffle join (same plan, hint swapped for
+        // co-bucketing — §13.1 #3's r18 wiring, with the ceiling now
+        // a measured number instead of a guess).
         em.crossJoin(broadcast(packedCoarse))
           .select(col("vec_id"), col("xi"),
                   GraftFunctions.argminCentroidLong(col("xi"), col("cc"))
