@@ -1,0 +1,49 @@
+package graft
+
+/** JVM-exit sweeper for scratch directories that were handed to LAZY
+  * readers (a vacuum query's grace copy, a streaming run's file sink):
+  * eager deletion would pull the files out from under a DataFrame that
+  * has not been consumed yet, so the contract is delete-at-exit — but
+  * with ONE static shutdown hook draining a concurrent queue, not one
+  * hook per invocation (r17 ADVICE: a bench loop re-invoking q366/q378
+  * accumulated O(invocations) hooks and full on-disk log copies for
+  * the process lifetime).
+  *
+  * [[replaceAtExit]] additionally deletes the PREVIOUS root registered
+  * under the same tag as soon as a new one lands: safe exactly when a
+  * re-run supersedes the prior invocation's frame (the Verify/Bench
+  * harness always consumes a query's result before re-invoking it), so
+  * repeated passes hold at most one live copy per query instead of one
+  * per pass. */
+object TempSweep {
+
+  private val roots =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private val tagged =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator.asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
+
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    var r = roots.poll()
+    while (r != null) { deleteRecursively(r); r = roots.poll() }
+    tagged.values.forEach(deleteRecursively(_))
+  }))
+
+  /** Registers `root` for recursive deletion at JVM exit. */
+  def atExit(root: java.nio.file.Path): Unit = roots.add(root)
+
+  /** Registers `root` under `tag` for deletion at JVM exit AND deletes
+    * the previous root registered under the same tag NOW — the
+    * one-live-copy-per-query discipline for harness re-runs. */
+  def replaceAtExit(tag: String, root: java.nio.file.Path): Unit = {
+    val prev = tagged.put(tag, root)
+    if (prev != null && prev != root) deleteRecursively(prev)
+  }
+}

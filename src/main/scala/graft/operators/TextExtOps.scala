@@ -652,7 +652,7 @@ object TextExtOps extends OpModule {
       val live = packLogRoot(s, d)
       val copy = java.nio.file.Files
         .createTempDirectory("graft_packlog_vac")
-      deleteRecursivelyAtExit(copy)
+      graft.TempSweep.replaceAtExit("packlog_vac", copy)
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(live).iterator.asScala
         .filter(java.nio.file.Files.isRegularFile(_))
@@ -2028,18 +2028,6 @@ object TextExtOps extends OpModule {
     * log serialize. */
   private val packLogLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
-  /** Recursive delete of `root` at JVM exit — scratch copies a query
-    * hands to a lazily-evaluated DataFrame (q378's vacuum copy), the
-    * q366 leak-bounding discipline. */
-  private def deleteRecursivelyAtExit(root: java.nio.file.Path): Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(root).iterator.asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Throwable => () }))
 
   /** Commits each [[PackLogLens]] manifest as a SnapshotLog version
     * into `root` — files-then-manifest per version, so a crash

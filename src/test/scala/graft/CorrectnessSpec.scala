@@ -4555,12 +4555,15 @@ class CorrectnessSpec extends SparkSpecBase {
 
   test("q345 streaming SemDeDup gate matches an in-memory TWO-LEVEL replay") {
     try {
-      // run the stream first — it builds + registers the two-level
-      // model artifact (r17 re-key: coarse cells 'o', replicated
-      // fine→coarse routing 'f', two-level-assigned members 'm')
+      // run the stream first — it serves the PINNED v1 of the
+      // gate-model log (r18), whose content is the two-level model
+      // artifact (coarse cells 'o', replicated fine→coarse routing
+      // 'f', two-level-assigned members 'm'); the replay reads the
+      // artifact directly — pin ≡ artifact is GateModelSpec's claim
       val got = q("q345_stream_semdedup")
         .as[(Long, Long, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
-      val idx = spark.table(BucketedCache.tableName("semtwoidx", sf))
+      val idx = spark.table(
+        operators.SimilarityExtOps.semDedupTwoIndexTable(spark, sf))
       val coarse = idx.where(col("kind") === "o")
         .select(col("id"), col("xi"))
         .as[(Long, Array[Long])].collect().sortBy(_._1)

@@ -1797,6 +1797,39 @@ class PlanShapeSpec extends SparkSpecBase {
            "the corpus shuffle-joined for its own assignment")
   }
 
+  test("two-level fine side: broadcast under the declared ceiling, ccid-co-bucketed shuffle past it") {
+    // the r18 wiring of the r17-measured switch: at test geometry the
+    // fine-group side prices far under TwoLevelBroadcastCeilingBytes,
+    // so the default shape is the explicit broadcast; forcing the
+    // ceiling to 0 models the 10⁹-vector census point (side ≈ 1.18 GB,
+    // ProbeRouterBuild) and must flip the SAME plan to the
+    // ccid-co-bucketed SHUFFLED HASH join — both sides hash-partition
+    // on ccid, no sort, no corpus broadcast — with an identical
+    // assignment (the switch changes the plan, never the answer)
+    import org.apache.spark.sql.functions._
+    val simx = operators.SimilarityExtOps
+    val em = simx.latticeFrame(spark, sf, Long.MaxValue)
+    val kAgg = greatest(ceil(sqrt(count(lit(1)))).cast("long"),
+                        expr("(count(1) + 7) DIV 8").cast("long"))
+    val (_, under) = simx.hybridCellAssign(em, kAgg, twoLevel = true)
+    val underRows = under.collect()
+    val up = under.queryExecution.executedPlan.toString
+    assert(up.contains("BroadcastHashJoin") &&
+             !up.contains("ShuffledHashJoin"),
+           s"under-ceiling shape is not the broadcast: $up")
+    val (_, past) = simx.hybridCellAssign(em, kAgg, twoLevel = true,
+      fineBroadcastCeiling = 0L)
+    val pastRows = past.collect()
+    val pp = past.queryExecution.executedPlan.toString
+    assert(pp.contains("ShuffledHashJoin"),
+           s"past-ceiling shape is not the co-bucketed shuffle join: $pp")
+    assert(!pp.contains("SortMergeJoin"),
+           "the corpus sorted for its own assignment")
+    assert(underRows.map(r => (r.getLong(0), r.getLong(2))).toSet ==
+             pastRows.map(r => (r.getLong(0), r.getLong(2))).toSet,
+           "the join shape changed the assignment")
+  }
+
   test("q308: boosting algebra rides the pinned cell table; train RMSE is monotone") {
     // the trainer's whole scale story: ONE fact scan folds to the
     // ≤|qty|×|disc| cell table at pin time, and the 3-round unrolled

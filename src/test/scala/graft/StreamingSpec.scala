@@ -647,21 +647,21 @@ class StreamingSpec extends SparkSpecBase {
   }
 
   test("q371 shape: admitted log is split-invariant, idempotent, and crash-tolerant") {
-    import org.apache.spark.sql.graft.GraftFunctions
     val SnapshotLog = sources.PartitionedOps.SnapshotLog
     val simx = operators.SimilarityExtOps
-    val idxT = simx.semDedupSqrtIndexTable(spark, sf)
-    // the committer's input shape: assigned odd arrivals
-    val packed = spark.table(idxT).where(col("kind") === "c")
-      .select(col("cid"), col("xi").as("ci"))
-      .agg(collect_list(struct(col("cid"), col("ci"))).as("cents"))
-    val arr = simx.latticeFrame(spark, sf, Long.MaxValue)
-      .where(col("vec_id") % 2 === 1)
-      .crossJoin(broadcast(packed))
-      .select(col("vec_id"), col("xi"),
-        GraftFunctions.argminCentroidLong(col("xi"), col("cents"))
-          .as("cid"),
-        GraftFunctions.dotProductLong(col("xi"), col("xi")).as("nv"))
+    // the committer's input shape: odd arrivals assigned through the
+    // PINNED gate model's two-level router (r18 — one assigner for
+    // the whole family; the spec drives the committer against the
+    // same modelRoot the production drain pins)
+    val modelRoot = streaming.StreamOps.gateModelRoot(spark, sf, upTo = 1)
+    val model = SnapshotLog.read(spark, modelRoot,
+      streaming.StreamOps.GateModelPinnedVersion)
+    val cents = model.where(col("kind") === "c")
+      .select(col("id").as("cid"), col("xi").as("ci"))
+    val arr = simx.twoLevelAssign(
+        simx.latticeFrame(spark, sf, Long.MaxValue)
+          .where(col("vec_id") % 2 === 1), cents)
+      .select("vec_id", "xi", "cid", "nv")
       .persist()
     try {
       val mid = 250L
@@ -672,11 +672,11 @@ class StreamingSpec extends SparkSpecBase {
       // the one-level admit rule (admission judged against the corpus
       // snapshot only) makes the final log split-INVARIANT
       val r1 = Files.createTempDirectory("graft_gateadm_one")
-      streaming.StreamOps.applyGateBatch(spark, idxT, r1, 0L, arr)
+      streaming.StreamOps.applyGateBatch(spark, modelRoot, r1, 0L, arr)
       val r2 = Files.createTempDirectory("graft_gateadm_two")
-      streaming.StreamOps.applyGateBatch(spark, idxT, r2, 0L,
+      streaming.StreamOps.applyGateBatch(spark, modelRoot, r2, 0L,
         arr.where(col("vec_id") < mid))
-      streaming.StreamOps.applyGateBatch(spark, idxT, r2, 1L,
+      streaming.StreamOps.applyGateBatch(spark, modelRoot, r2, 1L,
         arr.where(col("vec_id") >= mid))
       assert(SnapshotLog.latest(r1) == 1 && SnapshotLog.latest(r2) == 2)
       assert(logSet(r1) == logSet(r2),
@@ -685,7 +685,8 @@ class StreamingSpec extends SparkSpecBase {
       // double-fire batch 1 with DIFFERENT content: the committed
       // version wins (file list unchanged, no new version)
       val before = SnapshotLog.files(r2, 2)
-      streaming.StreamOps.applyGateBatch(spark, idxT, r2, 1L, arr.limit(3))
+      streaming.StreamOps.applyGateBatch(spark, modelRoot, r2, 1L,
+        arr.limit(3))
       assert(SnapshotLog.latest(r2) == 2 &&
                SnapshotLog.files(r2, 2) == before,
              "a double-fired batch replaced v2")
@@ -693,17 +694,62 @@ class StreamingSpec extends SparkSpecBase {
       // (latest stays put) and the replayed commit lands the same
       // content — files-then-manifest, q298's discipline
       val r3 = Files.createTempDirectory("graft_gateadm_crash")
-      streaming.StreamOps.applyGateBatch(spark, idxT, r3, 0L,
+      streaming.StreamOps.applyGateBatch(spark, modelRoot, r3, 0L,
         arr.where(col("vec_id") < mid))
       SnapshotLog.addFiles(spark, r3, "b0-v2",
         arr.where(col("vec_id") >= mid).limit(1)
           .select("vec_id", "cid", "nv", "xi"))
       assert(SnapshotLog.latest(r3) == 1,
              "orphan files must not advance the log")
-      streaming.StreamOps.applyGateBatch(spark, idxT, r3, 1L,
+      streaming.StreamOps.applyGateBatch(spark, modelRoot, r3, 1L,
         arr.where(col("vec_id") >= mid))
       assert(logSet(r3) == logSet(r1), "crash+replay lost or doubled admits")
     } finally arr.unpersist()
+  }
+
+  test("gate-model log: deployments read the PIN, v2 is invisible, unknown versions tolerated") {
+    val SnapshotLog = sources.PartitionedOps.SnapshotLog
+    val simx = operators.SimilarityExtOps
+    // force the full log (v1 + v2), then verify the pinned read still
+    // serves v1's content — the q345 deployment's claim
+    val root = streaming.StreamOps.gateModelRoot(spark, sf)
+    assert(SnapshotLog.latest(root) >= 2, "rebuild never landed v2")
+    val pinned = SnapshotLog.read(spark, root,
+      streaming.StreamOps.GateModelPinnedVersion)
+    val idxT = simx.semDedupTwoIndexTable(spark, sf)
+    val live = spark.table(idxT)
+      .select("kind", "id", "cid", "nv", "xi")
+    assert(pinned.count() == live.count() &&
+             pinned.except(live).isEmpty && live.except(pinned).isEmpty,
+           "pinned v1 drifted from the nightly two-level model")
+    // v2 differs from v1 (the rebuild admitted something) — the pin
+    // is load-bearing, not vacuous
+    val v2 = SnapshotLog.read(spark, root, 2)
+    assert(v2.where(col("kind") === "m" && col("id") % 2 === 1)
+             .count() > 0, "v2 holds no admitted members — vacuous pin")
+    // unknown-version tolerance: a copy carrying a hand-committed v3
+    // must surface as an explicit unknown-tier row, never a crash
+    val copy = Files.createTempDirectory("graft_modellog_unknown")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(root).iterator.asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .foreach { p =>
+        val rel = root.relativize(p)
+        val dst = copy.resolve(rel.toString)
+        java.nio.file.Files.createDirectories(dst.getParent)
+        java.nio.file.Files.copy(p, dst)
+      }
+    val extra = SnapshotLog.addFiles(spark, copy, "m3",
+      pinned.limit(5))
+    SnapshotLog.commitVersion(copy, 3, extra)
+    val report = streaming.StreamOps.modelLogReport(spark, copy)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(report(3L) == "unknown_v3",
+           s"unknown version not tolerated: $report")
+    // crash window on the MODEL log: orphan files never advance it
+    SnapshotLog.addFiles(spark, copy, "m4", pinned.limit(1))
+    assert(SnapshotLog.latest(copy) == 3,
+           "orphan model files advanced the log")
   }
 
   test("q330 shape: PIT enrichment is batch-equal under multi-batch drains") {
