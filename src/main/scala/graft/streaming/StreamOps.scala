@@ -1260,6 +1260,85 @@ object StreamOps extends OpModule {
         .orderBy("version")
     },
 
+    // RE-PIN decision diff (added r18 — the number a serving team
+    // reads BEFORE re-pinning from v1 to v2, closing the loop the pin
+    // opened: q377 lands versions, q345/q371 pin v1, and THIS is the
+    // promotion gate): the SAME odd arrival stream runs through BOTH
+    // committed model versions — each arrival assigns through THAT
+    // model's two-level router and probes THAT model's capped members
+    // (self-pairs excluded: an admitted arrival is a v2 MEMBER and
+    // must never flag itself) — and the report is one row: arrivals,
+    // dup decisions under each version, the overlap, the flips in
+    // each direction, and decision-agreement ppm. new_dups are
+    // overwhelmingly dups among yesterday's admits (q371's
+    // n_dup_recent made consequential — the reason to re-pin);
+    // lost_dups are borderline pairs whose cells moved under the
+    // re-cell (the price, q376's band story). Both passes are
+    // artifact probes of the committed log + one corpus assignment
+    // each; the fine side rides the declared size switch.
+    "q382_repin_diff" -> { (s, d) =>
+      val simx = graft.operators.SimilarityExtOps
+      val gf = org.apache.spark.sql.graft.GraftFunctions
+      val SnapshotLog = graft.sources.PartitionedOps.SnapshotLog
+      val root = gateModelRoot(s, d)
+      def decisions(v: Int): DataFrame = {
+        val model = SnapshotLog.read(s, root, v)
+        val packedCoarse = model.where(col("kind") === "o")
+          .select(col("id").as("cid"), col("xi").as("ci"))
+          .agg(collect_list(struct(col("cid"), col("ci"))).as("cc"))
+        val fineGroups = model.where(col("kind") === "f")
+          .select(col("cid").as("ccid"), col("id").as("fcid"),
+                  col("xi").as("fci"))
+          .groupBy("ccid")
+          .agg(collect_list(struct(col("fcid").as("cid"),
+                                   col("fci").as("ci"))).as("fc"))
+        val fineSide =
+          if (model.where(col("kind") === "f").count() *
+                simx.TwoLevelFineEntryBytes <=
+                simx.TwoLevelBroadcastCeilingBytes) broadcast(fineGroups)
+          else fineGroups.hint("shuffle_hash")
+        val arr = simx.latticeFrame(s, d, Long.MaxValue)
+          .where(col("vec_id") % 2 === 1)
+          .crossJoin(broadcast(packedCoarse))
+          .select(col("vec_id"), col("xi"),
+            gf.argminCentroidLong(col("xi"), col("cc")).as("ccid"))
+          .join(fineSide, Seq("ccid"))
+          .select(col("vec_id").as("b"),
+            gf.argminCentroidLong(col("xi"), col("fc")).as("cid"),
+            col("xi").as("xb"),
+            gf.dotProductLong(col("xi"), col("xi")).as("nb"))
+        val mem = simx.cappedMemberSide(
+          model.where(col("kind") === "m")
+            .select(col("cid"), col("id").as("vec_id"), col("xi"),
+                    col("nv")),
+          simx.SemDedupClusterCap)
+        simx.gateDupPairs(arr, mem)
+          .where(col("a") =!= col("b"))
+          .select(col("b")).distinct()
+      }
+      val (d1, h1) =
+        org.apache.spark.sql.graft.InternalPin.pin(decisions(1))
+      h1.count(); graft.PinScope.retain(h1)
+      val (d2, h2) =
+        org.apache.spark.sql.graft.InternalPin.pin(decisions(2))
+      h2.count(); graft.PinScope.retain(h2)
+      simx.latticeFrame(s, d, Long.MaxValue)
+        .where(col("vec_id") % 2 === 1)
+        .agg(count(lit(1)).as("arrivals"))
+        .crossJoin(d1.agg(count(lit(1)).as("dup_v1")))
+        .crossJoin(d2.agg(count(lit(1)).as("dup_v2")))
+        .crossJoin(d1.join(d2, Seq("b"), "left_semi")
+          .agg(count(lit(1)).as("both_dup")))
+        .select(col("arrivals"), col("dup_v1"), col("dup_v2"),
+                col("both_dup"),
+                (col("dup_v2") - col("both_dup")).as("new_dups"),
+                (col("dup_v1") - col("both_dup")).as("lost_dups"),
+                expr("CASE WHEN arrivals = 0 THEN 1000000 ELSE " +
+                     "(1000000 * (arrivals - (dup_v1 - both_dup) - " +
+                     "(dup_v2 - both_dup))) DIV arrivals END")
+                  .as("agree_ppm"))
+    },
+
     "q330_stream_pit_enrich" -> { (s, d) =>
       runToMemory(s, iso => {
         val rawSchema = iso.read.parquet(s"$d/orders.parquet").schema
@@ -1696,6 +1775,43 @@ object StreamOps extends OpModule {
        |      WHERE vec_id <= 2 * k2)""".stripMargin
   }
 
+  /** The rebuild's TWO-LEVEL re-assignment CTE tail (q375/q382): kc2
+    * coarse cells over the rebuild's cell table, top-R routing,
+    * coarse-then-fine argmin for every member of P. Appends to
+    * [[gateRebuildCtes]]. */
+  private lazy val gateRebuildAssignCtes: String = {
+    val simx = graft.operators.SimilarityExtOps
+    s"""kc2 AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS kc
+       |        FROM c2),
+       |cc2 AS MATERIALIZED (SELECT cid AS ccid, ci AS cci
+       |      FROM c2, kc2 WHERE cid <= 2 * kc),
+       |fa2 AS MATERIALIZED (SELECT cid, ccid FROM (
+       |    SELECT c2.cid, cc2.ccid,
+       |      row_number() OVER (PARTITION BY c2.cid ORDER BY
+       |        CAST(list_sum(list_transform(range(1, 65),
+       |          j -> (c2.ci[j] - cc2.cci[j]) *
+       |               (c2.ci[j] - cc2.cci[j])))
+       |          AS BIGINT), cc2.ccid) AS rn
+       |    FROM c2, cc2) WHERE rn <= ${simx.TwoLevelRep}),
+       |ac2 AS MATERIALIZED (SELECT vec_id, ccid FROM (
+       |    SELECT pp.vec_id, cc2.ccid,
+       |      row_number() OVER (PARTITION BY pp.vec_id ORDER BY
+       |        CAST(list_sum(list_transform(range(1, 65),
+       |          j -> (pp.xi[j] - cc2.cci[j]) *
+       |               (pp.xi[j] - cc2.cci[j])))
+       |          AS BIGINT), cc2.ccid) AS rn
+       |    FROM pp, cc2) WHERE rn = 1),
+       |asg2 AS (SELECT vec_id, cid FROM (
+       |    SELECT a.vec_id, c2.cid,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        CAST(list_sum(list_transform(range(1, 65),
+       |          j -> (pp.xi[j] - c2.ci[j]) * (pp.xi[j] - c2.ci[j])))
+       |          AS BIGINT), c2.cid) AS rn
+       |    FROM ac2 a JOIN pp ON a.vec_id = pp.vec_id
+       |         JOIN fa2 ON fa2.ccid = a.ccid
+       |         JOIN c2 ON c2.cid = fa2.cid) WHERE rn = 1)""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "stream_demo" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS cnt
@@ -1951,38 +2067,9 @@ object StreamOps extends OpModule {
     // gates on, recomputed from first principles against the
     // committed v2 model the query reads back
     "q375_gate_rebuild" -> {
-      val simx = graft.operators.SimilarityExtOps
       s"""$twoLevelGateCtes,
          |$gateRebuildCtes,
-         |kc2 AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS kc
-         |        FROM c2),
-         |cc2 AS MATERIALIZED (SELECT cid AS ccid, ci AS cci
-         |      FROM c2, kc2 WHERE cid <= 2 * kc),
-         |fa2 AS MATERIALIZED (SELECT cid, ccid FROM (
-         |    SELECT c2.cid, cc2.ccid,
-         |      row_number() OVER (PARTITION BY c2.cid ORDER BY
-         |        CAST(list_sum(list_transform(range(1, 65),
-         |          j -> (c2.ci[j] - cc2.cci[j]) *
-         |               (c2.ci[j] - cc2.cci[j])))
-         |          AS BIGINT), cc2.ccid) AS rn
-         |    FROM c2, cc2) WHERE rn <= ${simx.TwoLevelRep}),
-         |ac2 AS MATERIALIZED (SELECT vec_id, ccid FROM (
-         |    SELECT pp.vec_id, cc2.ccid,
-         |      row_number() OVER (PARTITION BY pp.vec_id ORDER BY
-         |        CAST(list_sum(list_transform(range(1, 65),
-         |          j -> (pp.xi[j] - cc2.cci[j]) *
-         |               (pp.xi[j] - cc2.cci[j])))
-         |          AS BIGINT), cc2.ccid) AS rn
-         |    FROM pp, cc2) WHERE rn = 1),
-         |asg2 AS (SELECT vec_id, cid FROM (
-         |    SELECT a.vec_id, c2.cid,
-         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
-         |        CAST(list_sum(list_transform(range(1, 65),
-         |          j -> (pp.xi[j] - c2.ci[j]) * (pp.xi[j] - c2.ci[j])))
-         |          AS BIGINT), c2.cid) AS rn
-         |    FROM ac2 a JOIN pp ON a.vec_id = pp.vec_id
-         |         JOIN fa2 ON fa2.ccid = a.ccid
-         |         JOIN c2 ON c2.cid = fa2.cid) WHERE rn = 1)
+         |$gateRebuildAssignCtes
          |SELECT c2.cid,
          |  CAST(coalesce(g.members, 0) AS BIGINT) AS members,
          |  CAST(coalesce(g.standing, 0) AS BIGINT) AS standing,
@@ -2015,6 +2102,71 @@ object StreamOps extends OpModule {
          |  (SELECT count(*) FROM pp),
          |  (SELECT count(*) FROM pp WHERE vec_id % 2 = 1)
          |ORDER BY version""".stripMargin
+    },
+
+    // both versions' decision sets restated: v1 decisions ARE the
+    // shared chain's corp set; v2 decisions re-assign every arrival
+    // through the REBUILT router (ac2b/asg2b) and probe the rebuilt
+    // capped members (mem2, self-pairs excluded) — the flips and the
+    // agreement ppm must match the committed models' readback exactly
+    "q382_repin_diff" -> {
+      val simx = graft.operators.SimilarityExtOps
+      s"""$twoLevelGateCtes,
+         |$gateRebuildCtes,
+         |$gateRebuildAssignCtes,
+         |ac2b AS MATERIALIZED (SELECT b, ccid FROM (
+         |    SELECT a.b, cc2.ccid,
+         |      row_number() OVER (PARTITION BY a.b ORDER BY
+         |        CAST(list_sum(list_transform(range(1, 65),
+         |          j -> (a.xb[j] - cc2.cci[j]) *
+         |               (a.xb[j] - cc2.cci[j])))
+         |          AS BIGINT), cc2.ccid) AS rn
+         |    FROM arr a, cc2) WHERE rn = 1),
+         |asg2b AS MATERIALIZED (SELECT b, cid FROM (
+         |    SELECT a.b, c2.cid,
+         |      row_number() OVER (PARTITION BY a.b ORDER BY
+         |        CAST(list_sum(list_transform(range(1, 65),
+         |          j -> (r.xb[j] - c2.ci[j]) * (r.xb[j] - c2.ci[j])))
+         |          AS BIGINT), c2.cid) AS rn
+         |    FROM ac2b a JOIN arr r ON a.b = r.b
+         |         JOIN fa2 ON fa2.ccid = a.ccid
+         |         JOIN c2 ON c2.cid = fa2.cid) WHERE rn = 1),
+         |mem2 AS MATERIALIZED (SELECT cid, vec_id, xi, nv FROM (
+         |    SELECT a.cid, a.vec_id, pp.xi, n.nv,
+         |      row_number() OVER (PARTITION BY a.cid
+         |                         ORDER BY a.vec_id) AS mrk
+         |    FROM asg2 a JOIN pp ON a.vec_id = pp.vec_id
+         |         JOIN nv n ON a.vec_id = n.vec_id)
+         |  WHERE mrk <= ${simx.SemDedupClusterCap}),
+         |d2v AS MATERIALIZED (SELECT DISTINCT b FROM (
+         |    SELECT r.b,
+         |      CAST(list_sum(list_transform(range(1, 65),
+         |        j -> m.xi[j] * r.xb[j])) AS BIGINT) AS dot,
+         |      m.nv AS na, r.nb
+         |    FROM arr r JOIN asg2b g ON r.b = g.b
+         |         JOIN mem2 m ON g.cid = m.cid AND m.vec_id <> r.b)
+         |  WHERE dot > 0 AND
+         |    CAST(dot AS HUGEINT) * dot * 10000 >=
+         |      CAST(na AS HUGEINT) * nb * 1600)
+         |SELECT CAST((SELECT count(*) FROM arr) AS BIGINT) AS arrivals,
+         |  CAST((SELECT count(*) FROM corp) AS BIGINT) AS dup_v1,
+         |  CAST((SELECT count(*) FROM d2v) AS BIGINT) AS dup_v2,
+         |  CAST((SELECT count(*) FROM corp
+         |        WHERE b IN (SELECT b FROM d2v)) AS BIGINT) AS both_dup,
+         |  CAST((SELECT count(*) FROM d2v
+         |        WHERE b NOT IN (SELECT b FROM corp)) AS BIGINT)
+         |    AS new_dups,
+         |  CAST((SELECT count(*) FROM corp
+         |        WHERE b NOT IN (SELECT b FROM d2v)) AS BIGINT)
+         |    AS lost_dups,
+         |  CAST(CASE WHEN (SELECT count(*) FROM arr) = 0 THEN 1000000
+         |       ELSE (1000000 * ((SELECT count(*) FROM arr)
+         |             - (SELECT count(*) FROM d2v
+         |                WHERE b NOT IN (SELECT b FROM corp))
+         |             - (SELECT count(*) FROM corp
+         |                WHERE b NOT IN (SELECT b FROM d2v))))
+         |            // (SELECT count(*) FROM arr) END AS BIGINT)
+         |    AS agree_ppm""".stripMargin
     },
 
     // both models restated once more with the retention statuses the
