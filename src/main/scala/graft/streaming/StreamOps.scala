@@ -126,6 +126,23 @@ object StreamOps extends OpModule {
   private def stagedEmbsDir(d: String): String =
     stageParts("graft_stream_embs", d, "embeddings")(n => Seq(n))
 
+  /** Stages TWO copies of the embeddings table — the q89/q98
+    * at-least-once-upstream pattern applied to the GATE's arrival
+    * stream: every arrival is delivered twice, so the admit drain
+    * (which reads this dir one file per trigger) runs ≥ 2 micro-
+    * batches with batch 2 redelivering batch 1's arrivals — the
+    * production geometry that makes the committer's vec_id anti-join
+    * and the admit log's MULTI-VERSION retention (q383) real instead
+    * of vacuous. The admitted SET is unchanged by construction (the
+    * one-level admit rule is split-invariant and redelivery
+    * anti-joins), so every downstream oracle is untouched. */
+  private[graft] def stagedDupEmbsDir(d: String): String =
+    stageParts("graft_stream_embs_dup", d, "embeddings") { name =>
+      if (name == "embeddings.parquet")
+        Seq("embeddings_a.parquet", "embeddings_b.parquet")
+      else Seq(s"a_$name", s"b_$name")
+    }
+
   /** Stages the sfDir's orders table for the q330 enrichment stream —
     * same fingerprint + write-once discipline as [[stagedEventsDir]]. */
   private def stagedOrdersDir(d: String): String =
@@ -324,6 +341,15 @@ object StreamOps extends OpModule {
     }
     require(SnapshotLog.latest(root) == v - 1,
       s"admitted log at ${SnapshotLog.latest(root)} cannot accept v$v")
+    // at-least-once upstreams redeliver WITHIN a batch too (a trigger
+    // that picks up both staged copies of an arrival): the cross-batch
+    // anti-join below can't see those, so dedupe the batch first —
+    // duplicates are exact copies, so the drop is deterministic. The
+    // r18 three-volume sweep caught the missing dedup as inflated log
+    // rows (164k vs 100k arrivals at 100×) that sf0.01's single-file
+    // staging could never produce — the reason the drain geometry and
+    // the sweep protocol both exist.
+    val batch1 = batch.dropDuplicates("vec_id")
     val simx = graft.operators.SimilarityExtOps
     val members = simx.cappedMemberSide(
         SnapshotLog.read(s, modelRoot, GateModelPinnedVersion)
@@ -333,11 +359,11 @@ object StreamOps extends OpModule {
         simx.SemDedupClusterCap)
       .select(col("cid"), col("xa"), col("na"))
     val matched = simx.gateDupPairs(
-        batch.select(col("cid"), col("vec_id").as("b"),
+        batch1.select(col("cid"), col("vec_id").as("b"),
                      col("xi").as("xb"), col("nv").as("nb")),
         members)
       .select(col("b").as("vec_id")).distinct()
-    val adm = batch.join(matched, Seq("vec_id"), "left_anti")
+    val adm = batch1.join(matched, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cid"), col("nv"), col("xi"))
       .withColumn("bkt",
         pmod(col("cid"), lit(GateAdmBuckets)).cast("int")).persist()
@@ -375,8 +401,14 @@ object StreamOps extends OpModule {
     * folds into [[gateAdmitRoot]]'s root key (r17 ADVICE — the admit
     * log had no builder version, so a rule change across JVM runs
     * could silently serve a log built by the old rule). v2 = the r18
-    * re-key of the admit path to the TWO-LEVEL model. */
-  private val GateAdmitBuilderVersion = 2
+    * re-key of the admit path to the TWO-LEVEL model; v3–v5 = the
+    * multi-batch at-least-once drain geometry (same admitted set,
+    * ≥ 2 log versions; v4 sizes the trigger to ONE DELIVERY PER
+    * BATCH — the first cut triggered per FILE and a 100-part corpus
+    * paid 200 micro-batches ≈ 443 s of per-trigger probe/commit
+    * overhead at 100×, vs ~2× the single-batch cost for two; v5 adds
+    * the intra-batch vec_id dedup the mixed-copy triggers need). */
+  private val GateAdmitBuilderVersion = 5
 
   /** The streaming two-level assignment head shared by q345's gate
     * and [[gateAdmitRoot]]'s committer (the r17 verdict's #2 — ONE
@@ -392,7 +424,10 @@ object StreamOps extends OpModule {
     * already cid-bucketed at rest). Output: (vec_id, xi, cid, nv). */
   private def twoLevelArrivalHead(iso: SparkSession, d: String,
                                   model: DataFrame, coarseLit: Column,
-                                  fineEntries: Long): DataFrame = {
+                                  fineEntries: Long,
+                                  srcDir: Option[String] = None,
+                                  maxFilesPerTrigger: Option[Int] = None)
+      : DataFrame = {
     val simx = graft.operators.SimilarityExtOps
     val gf = org.apache.spark.sql.graft.GraftFunctions
     val rawSchema = iso.read.parquet(s"$d/embeddings.parquet").schema
@@ -406,7 +441,10 @@ object StreamOps extends OpModule {
       if (fineEntries * simx.TwoLevelFineEntryBytes <=
             simx.TwoLevelBroadcastCeilingBytes) broadcast(fineGroups)
       else fineGroups.hint("shuffle_hash")
-    iso.readStream.schema(rawSchema).parquet(stagedEmbsDir(d))
+    val reader0 = iso.readStream.schema(rawSchema)
+    val reader = maxFilesPerTrigger
+      .fold(reader0)(n => reader0.option("maxFilesPerTrigger", n))
+    reader.parquet(srcDir.getOrElse(stagedEmbsDir(d)))
       .where(col("vec_id") % 2 === 1)
       .select(col("vec_id"), expr(
         "transform(cast(embedding as array<double>), " +
@@ -443,7 +481,17 @@ object StreamOps extends OpModule {
     * partial log a later drain with a different batch split treated
     * as committed) — per-batch commits stay version-idempotent inside
     * one drain, and a published root is always a COMPLETE drain. The
-    * single-use streaming checkpoint deletes with the scratch. */
+    * single-use streaming checkpoint deletes with the scratch.
+    *
+    * Since r18 the drain runs the PRODUCTION geometry: the
+    * at-least-once dup-staged source ([[stagedDupEmbsDir]]) one file
+    * per trigger — ≥ 2 micro-batches, batch 2 redelivering batch 1's
+    * arrivals — so the committed log carries ≥ 2 VERSIONS (retention
+    * q383 is non-vacuous) and the committer's vec_id anti-join runs
+    * against real redelivery on every build, not only in the spec.
+    * The admitted SET is identical by construction (split-invariant
+    * admit rule + idempotent redelivery), so downstream oracles are
+    * untouched. */
   private[graft] def gateAdmitRoot(s: SparkSession, d: String)
       : java.nio.file.Path = {
     val SnapshotLog = graft.sources.PartitionedOps.SnapshotLog
@@ -467,8 +515,26 @@ object StreamOps extends OpModule {
             iso.conf.set("spark.sql.shuffle.partitions", "8")
             val isoModel = SnapshotLog.read(iso, modelRoot,
               GateModelPinnedVersion)
+            // one TRIGGER per delivery, not per file: the dup-staged
+            // dir holds 2 copies × P source parts, and the per-batch
+            // cost (member probe + bucket merges + manifest commit)
+            // is paid per trigger — cap files/trigger at P so the
+            // drain is ~2 batches at any layout (measured: per-FILE
+            // triggering cost 443 s at the 100-part 100× corpus)
+            val dupDir = stagedDupEmbsDir(d)
+            val partsPerCopy = {
+              import scala.jdk.CollectionConverters._
+              scala.util.Using.resource(
+                java.nio.file.Files.list(
+                  java.nio.file.Paths.get(dupDir))) { st =>
+                st.iterator.asScala.count(
+                  _.getFileName.toString.endsWith(".parquet"))
+              } / 2
+            }
             val query =
-              twoLevelArrivalHead(iso, d, isoModel, cLit, fineEntries)
+              twoLevelArrivalHead(iso, d, isoModel, cLit, fineEntries,
+                srcDir = Some(dupDir),
+                maxFilesPerTrigger = Some(math.max(1, partsPerCopy)))
                 .writeStream
                 .option("checkpointLocation",
                         scratchRoot.resolve("ck").toString)
@@ -1339,6 +1405,55 @@ object StreamOps extends OpModule {
                   .as("agree_ppm"))
     },
 
+    // ADMIT-LOG retention (added r18 — the fourth and last of the
+    // gate family's logs to gain a retire step, after graph q366,
+    // pack q378 and model q381): the admit drain now runs the
+    // production multi-batch at-least-once geometry (one file per
+    // trigger over the dup-staged source), so the committed log
+    // carries ≥ 2 versions whose bucket files the later batches
+    // SUPERSEDED (batch 2 redelivers batch 1's arrivals; the vec_id
+    // anti-join keeps content identical while rewriting the touched
+    // buckets — new files, shared nothing backwards). Once the
+    // nightly rebuild has folded the admits into model v2, those
+    // superseded manifests are pure history: keep-1 vacuum on a
+    // scratch copy drops them and collects every bucket file only
+    // they referenced, and the LATEST version must read back COMPLETE
+    // — which is exactly what the oracle checks, because the report's
+    // admits/bucket census comes from the post-GC readback and must
+    // equal the recomputed admitted set. The query REQUIRES the
+    // vacuum to be non-vacuous (≥ 1 version dropped, ≥ 1 file
+    // collected) so a regression to a single-batch drain fails loudly
+    // instead of certifying nothing. Live log untouched; copy deletes
+    // through the shared tag-keyed sweeper.
+    "q383_admitlog_vacuum" -> { (s, d) =>
+      val SnapshotLog = graft.sources.PartitionedOps.SnapshotLog
+      val live = gateAdmitRoot(s, d)
+      val copy = java.nio.file.Files
+        .createTempDirectory("graft_admitlog_vac")
+      graft.TempSweep.replaceAtExit("admitlog_vac", copy)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(live).iterator.asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .foreach { p =>
+          val rel = live.relativize(p)
+          val dst = copy.resolve(rel.toString)
+          java.nio.file.Files.createDirectories(dst.getParent)
+          java.nio.file.Files.copy(p, dst)
+        }
+      val vsBefore = SnapshotLog.versions(copy)
+      val (dead, dropped) = SnapshotLog.vacuum(copy, keep = 1)
+      require(dropped.nonEmpty && dead.nonEmpty,
+        s"admit-log vacuum was vacuous (versions $vsBefore, dead " +
+          s"${dead.size}) — the multi-batch dup drain should leave " +
+          "superseded bucket files for retention to collect")
+      SnapshotLog.read(s, copy, SnapshotLog.latest(copy))
+        .agg(count(lit(1)).as("admits"),
+             countDistinct(pmod(col("cid"), lit(GateAdmBuckets.toLong)))
+               .as("admit_buckets"))
+        .select(col("admits"), col("admit_buckets"),
+                lit(1L).as("dropped_any"), lit(1L).as("collected_any"))
+    },
+
     "q330_stream_pit_enrich" -> { (s, d) =>
       runToMemory(s, iso => {
         val rawSchema = iso.read.parquet(s"$d/orders.parquet").schema
@@ -2167,6 +2282,29 @@ object StreamOps extends OpModule {
          |                WHERE b NOT IN (SELECT b FROM d2v))))
          |            // (SELECT count(*) FROM arr) END AS BIGINT)
          |    AS agree_ppm""".stripMargin
+    },
+
+    // the admitted set restated (arrivals with no standing two-level
+    // dup) with its cid-bucket census — the post-GC latest readback
+    // must reproduce it exactly, which is the whole retention claim
+    "q383_admitlog_vacuum" -> {
+      s"""$twoLevelGateCtes,
+         |corp AS MATERIALIZED (SELECT DISTINCT b FROM (
+         |    SELECT r.b,
+         |      CAST(list_sum(list_transform(range(1, 65),
+         |        j -> m.xi[j] * r.xb[j])) AS BIGINT) AS dot,
+         |      m.nv AS na, r.nb
+         |    FROM arr r JOIN mem m ON r.cid = m.cid)
+         |  WHERE dot > 0 AND
+         |    CAST(dot AS HUGEINT) * dot * 10000 >=
+         |      CAST(na AS HUGEINT) * nb * 1600),
+         |adm AS (SELECT a.cid, a.b FROM arr a
+         |  LEFT JOIN corp ON a.b = corp.b WHERE corp.b IS NULL)
+         |SELECT CAST(count(*) AS BIGINT) AS admits,
+         |  CAST(count(DISTINCT cid % 8) AS BIGINT) AS admit_buckets,
+         |  CAST(1 AS BIGINT) AS dropped_any,
+         |  CAST(1 AS BIGINT) AS collected_any
+         |FROM adm""".stripMargin
     },
 
     // both models restated once more with the retention statuses the

@@ -707,6 +707,44 @@ class StreamingSpec extends SparkSpecBase {
     } finally arr.unpersist()
   }
 
+  test("q383 shape: multi-batch admit drain leaves superseded versions; keep-1 GC is invisible to the latest readback") {
+    val SnapshotLog = sources.PartitionedOps.SnapshotLog
+    val live = streaming.StreamOps.gateAdmitRoot(spark, sf)
+    // the r18 drain geometry: dup-staged source, one file per trigger
+    // → at least two committed versions (batch 2 = pure redelivery)
+    val vs = SnapshotLog.versions(live)
+    assert(vs.size >= 2, s"admit drain committed only $vs — the " +
+      "multi-batch at-least-once geometry regressed to a single batch")
+    // redelivery idempotence END TO END: the latest version holds the
+    // same admitted set as v1 (batch 2 re-admitted nothing new)
+    def setOf(root: java.nio.file.Path, v: Int) =
+      SnapshotLog.read(spark, root, v)
+        .select("vec_id", "cid").as[(Long, Long)].collect().toSet
+    assert(setOf(live, vs.head) == setOf(live, vs.last),
+           "redelivered batch changed the admitted set")
+    // keep-1 vacuum on a copy: drops all but the latest, collects the
+    // superseded bucket files, and the latest reads back IDENTICAL
+    val copy = Files.createTempDirectory("graft_admitlog_vac_spec")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(live).iterator.asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .foreach { p =>
+        val rel = live.relativize(p)
+        val dst = copy.resolve(rel.toString)
+        java.nio.file.Files.createDirectories(dst.getParent)
+        java.nio.file.Files.copy(p, dst)
+      }
+    val before = setOf(copy, SnapshotLog.latest(copy))
+    val (dead, dropped) = SnapshotLog.vacuum(copy, keep = 1)
+    assert(dropped == vs.dropRight(1), s"dropped $dropped, expected " +
+      s"all but the latest of $vs")
+    assert(dead.nonEmpty, "no superseded bucket files were collected")
+    assert(setOf(copy, SnapshotLog.latest(copy)) == before,
+           "retention disturbed the latest version's readback")
+    // and the LIVE log is untouched
+    assert(SnapshotLog.versions(live) == vs, "q383 touched the live log")
+  }
+
   test("gate-model log: deployments read the PIN, v2 is invisible, unknown versions tolerated") {
     val SnapshotLog = sources.PartitionedOps.SnapshotLog
     val simx = operators.SimilarityExtOps
