@@ -33,7 +33,7 @@ object SweepR18 {
       "q376_twolevel_bands", "q377_model_promote",
       "q378_packlog_vacuum", "q379_lm_order_census",
       "q380_router_config", "q381_modellog_vacuum", "q382_repin_diff",
-      "q383_admitlog_vacuum")
+      "q383_admitlog_vacuum", "q384_banded_admit")
     val dirs0 = Seq("/root/testdata/sf0.1", "/tmp/sf10x13", "/tmp/sf100x")
     val dirs = if (args.exists(_.startsWith("/")))
                  args.filter(_.startsWith("/")).toSeq

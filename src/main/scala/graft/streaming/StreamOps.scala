@@ -703,6 +703,53 @@ object StreamOps extends OpModule {
     dir
   }
 
+  /** The BATCH restatement of the gate's arrival assignment against a
+    * committed model version (q371's report, q382's diff, q384's
+    * policy gate — one definition): odd arrivals coarse-argmin against
+    * the model's packed 'o' rows, then the fine argmin within the
+    * routed group, the fine side through the family's declared size
+    * switch. Returns (b, cid, xb, nb). */
+  private def modelArrivals(s: SparkSession, d: String,
+                            model: DataFrame): DataFrame = {
+    val simx = graft.operators.SimilarityExtOps
+    val gf = org.apache.spark.sql.graft.GraftFunctions
+    val packedCoarse = model.where(col("kind") === "o")
+      .select(col("id").as("cid"), col("xi").as("ci"))
+      .agg(collect_list(struct(col("cid"), col("ci"))).as("cc"))
+    val fineGroups = model.where(col("kind") === "f")
+      .select(col("cid").as("ccid"), col("id").as("fcid"),
+              col("xi").as("fci"))
+      .groupBy("ccid")
+      .agg(collect_list(struct(col("fcid").as("cid"),
+                               col("fci").as("ci"))).as("fc"))
+    val fineSide =
+      if (model.where(col("kind") === "f").count() *
+            simx.TwoLevelFineEntryBytes <=
+            simx.TwoLevelBroadcastCeilingBytes) broadcast(fineGroups)
+      else fineGroups.hint("shuffle_hash")
+    simx.latticeFrame(s, d, Long.MaxValue)
+      .where(col("vec_id") % 2 === 1)
+      .crossJoin(broadcast(packedCoarse))
+      .select(col("vec_id"), col("xi"),
+        gf.argminCentroidLong(col("xi"), col("cc")).as("ccid"))
+      .join(fineSide, Seq("ccid"))
+      .select(col("vec_id").as("b"),
+        gf.argminCentroidLong(col("xi"), col("fc")).as("cid"),
+        col("xi").as("xb"),
+        gf.dotProductLong(col("xi"), col("xi")).as("nb"))
+  }
+
+  /** A model version's capped member-probe side (cid, xa, na[, a]) —
+    * the same projection every gate consumer runs. */
+  private def modelMembers(model: DataFrame): DataFrame = {
+    val simx = graft.operators.SimilarityExtOps
+    simx.cappedMemberSide(
+      model.where(col("kind") === "m")
+        .select(col("cid"), col("id").as("vec_id"), col("xi"),
+                col("nv")),
+      simx.SemDedupClusterCap)
+  }
+
   /** q377's per-version census over a gate-model log at `root` —
     * factored so GateModelSpec can run the report over a scratch copy
     * carrying a hand-committed unknown version (the tolerance the
@@ -1167,37 +1214,10 @@ object StreamOps extends OpModule {
       val model = SnapshotLog.read(s, modelRoot, GateModelPinnedVersion)
       val root = gateAdmitRoot(s, d)
       val admLog = SnapshotLog.read(s, root, SnapshotLog.latest(root))
-      val packedCoarse = model.where(col("kind") === "o")
-        .select(col("id").as("cid"), col("xi").as("ci"))
-        .agg(collect_list(struct(col("cid"), col("ci"))).as("cc"))
-      val fineGroups = model.where(col("kind") === "f")
-        .select(col("cid").as("ccid"), col("id").as("fcid"),
-                col("xi").as("fci"))
-        .groupBy("ccid")
-        .agg(collect_list(struct(col("fcid").as("cid"),
-                                 col("fci").as("ci"))).as("fc"))
-      val fineSide =
-        if (model.where(col("kind") === "f").count() *
-              simx.TwoLevelFineEntryBytes <=
-              simx.TwoLevelBroadcastCeilingBytes) broadcast(fineGroups)
-        else fineGroups.hint("shuffle_hash")
       val (arr, ah) = org.apache.spark.sql.graft.InternalPin.pin(
-        simx.latticeFrame(s, d, Long.MaxValue)
-          .where(col("vec_id") % 2 === 1)
-          .crossJoin(broadcast(packedCoarse))
-          .select(col("vec_id"), col("xi"),
-            gf.argminCentroidLong(col("xi"), col("cc")).as("ccid"))
-          .join(fineSide, Seq("ccid"))
-          .select(col("vec_id").as("b"),
-            gf.argminCentroidLong(col("xi"), col("fc")).as("cid"),
-            col("xi").as("xb"),
-            gf.dotProductLong(col("xi"), col("xi")).as("nb")))
+        modelArrivals(s, d, model))
       ah.count(); graft.PinScope.retain(ah)
-      val members = simx.cappedMemberSide(
-          model.where(col("kind") === "m")
-            .select(col("cid"), col("id").as("vec_id"), col("xi"),
-                    col("nv")),
-          simx.SemDedupClusterCap)
+      val members = modelMembers(model)
         .select(col("cid"), col("xa"), col("na"))
       val corp = simx.gateDupPairs(arr, members)
         .groupBy("b").agg(count(lit(1)).as("n_dup_corpus"))
@@ -1349,36 +1369,8 @@ object StreamOps extends OpModule {
       val root = gateModelRoot(s, d)
       def decisions(v: Int): DataFrame = {
         val model = SnapshotLog.read(s, root, v)
-        val packedCoarse = model.where(col("kind") === "o")
-          .select(col("id").as("cid"), col("xi").as("ci"))
-          .agg(collect_list(struct(col("cid"), col("ci"))).as("cc"))
-        val fineGroups = model.where(col("kind") === "f")
-          .select(col("cid").as("ccid"), col("id").as("fcid"),
-                  col("xi").as("fci"))
-          .groupBy("ccid")
-          .agg(collect_list(struct(col("fcid").as("cid"),
-                                   col("fci").as("ci"))).as("fc"))
-        val fineSide =
-          if (model.where(col("kind") === "f").count() *
-                simx.TwoLevelFineEntryBytes <=
-                simx.TwoLevelBroadcastCeilingBytes) broadcast(fineGroups)
-          else fineGroups.hint("shuffle_hash")
-        val arr = simx.latticeFrame(s, d, Long.MaxValue)
-          .where(col("vec_id") % 2 === 1)
-          .crossJoin(broadcast(packedCoarse))
-          .select(col("vec_id"), col("xi"),
-            gf.argminCentroidLong(col("xi"), col("cc")).as("ccid"))
-          .join(fineSide, Seq("ccid"))
-          .select(col("vec_id").as("b"),
-            gf.argminCentroidLong(col("xi"), col("fc")).as("cid"),
-            col("xi").as("xb"),
-            gf.dotProductLong(col("xi"), col("xi")).as("nb"))
-        val mem = simx.cappedMemberSide(
-          model.where(col("kind") === "m")
-            .select(col("cid"), col("id").as("vec_id"), col("xi"),
-                    col("nv")),
-          simx.SemDedupClusterCap)
-        simx.gateDupPairs(arr, mem)
+        simx.gateDupPairs(modelArrivals(s, d, model),
+                          modelMembers(model))
           .where(col("a") =!= col("b"))
           .select(col("b")).distinct()
       }
@@ -1403,6 +1395,47 @@ object StreamOps extends OpModule {
                      "(1000000 * (arrivals - (dup_v1 - both_dup) - " +
                      "(dup_v2 - both_dup))) DIV arrivals END")
                   .as("agree_ppm"))
+    },
+
+    // STRENGTH-BANDED admit policy (added r18 — §14.1 #4 promoted the
+    // same session it was recorded: q376/q380 MEASURED that the
+    // two-level router's losses concentrate in the borderline band
+    // (cos 0.4–0.5 reads 914,285 ppm recall at sf0.1 while band ≥ 2
+    // reads 10⁶); this turns that data into POLICY): the gate's
+    // binary admit line splits into three decisions by the strongest
+    // qualifying pair's cross-multiplied strength band —
+    // `reject` at band ≥ 2 (cos² ≥ 0.25: strong dups, where the
+    // router provably loses nothing), `admit_flagged` at band 1
+    // (the borderline band: admitted so the corpus never loses a
+    // possibly-novel document to a weak match, FLAGGED so the nightly
+    // batch pass re-judges it with the flat truth — exactly the
+    // population q382's lost_dups measured), `admit` on no qualifying
+    // pair. Per-arrival report: cell, strongest band (0 = clean),
+    // decision. Same artifact probes + one corpus assignment as the
+    // family; the band lines are q376's integer cross-multiplication
+    // (never a division).
+    "q384_banded_admit" -> { (s, d) =>
+      val simx = graft.operators.SimilarityExtOps
+      val SnapshotLog = graft.sources.PartitionedOps.SnapshotLog
+      val modelRoot = gateModelRoot(s, d, upTo = 1)
+      val model = SnapshotLog.read(s, modelRoot, GateModelPinnedVersion)
+      val (arr, ah) = org.apache.spark.sql.graft.InternalPin.pin(
+        modelArrivals(s, d, model))
+      ah.count(); graft.PinScope.retain(ah)
+      val bands = simx.gateDupPairs(arr,
+          modelMembers(model).select(col("cid"), col("xa"), col("na")))
+        .groupBy("b").agg(max(simx.strengthBand).as("strongest_band"))
+      arr.select(col("b"), col("cid"))
+        .join(bands, Seq("b"), "left")
+        .select(col("b").as("vec_id"), col("cid"),
+                coalesce(col("strongest_band"), lit(0L))
+                  .as("strongest_band"),
+                when(coalesce(col("strongest_band"), lit(0L)) >= 2,
+                     "reject")
+                  .when(coalesce(col("strongest_band"), lit(0L)) === 1,
+                        "admit_flagged")
+                  .otherwise("admit").as("decision"))
+        .orderBy("vec_id")
     },
 
     // ADMIT-LOG retention (added r18 — the fourth and last of the
@@ -2282,6 +2315,39 @@ object StreamOps extends OpModule {
          |                WHERE b NOT IN (SELECT b FROM d2v))))
          |            // (SELECT count(*) FROM arr) END AS BIGINT)
          |    AS agree_ppm""".stripMargin
+    },
+
+    // per arrival, the strongest qualifying pair's cross-multiplied
+    // band (q376's lines) and the three-way policy decision
+    "q384_banded_admit" -> {
+      s"""$twoLevelGateCtes,
+         |bnd AS (SELECT b,
+         |    max(CASE
+         |      WHEN CAST(dot AS HUGEINT) * dot * 10000 >=
+         |           CAST(na AS HUGEINT) * nb * 8100 THEN 4
+         |      WHEN CAST(dot AS HUGEINT) * dot * 10000 >=
+         |           CAST(na AS HUGEINT) * nb * 4900 THEN 3
+         |      WHEN CAST(dot AS HUGEINT) * dot * 10000 >=
+         |           CAST(na AS HUGEINT) * nb * 2500 THEN 2
+         |      ELSE 1 END) AS strongest_band
+         |  FROM (SELECT r.b,
+         |      CAST(list_sum(list_transform(range(1, 65),
+         |        j -> m.xi[j] * r.xb[j])) AS BIGINT) AS dot,
+         |      m.nv AS na, r.nb
+         |    FROM arr r JOIN mem m ON r.cid = m.cid)
+         |  WHERE dot > 0 AND
+         |    CAST(dot AS HUGEINT) * dot * 10000 >=
+         |      CAST(na AS HUGEINT) * nb * 1600
+         |  GROUP BY b)
+         |SELECT r.b AS vec_id, r.cid,
+         |  CAST(coalesce(bnd.strongest_band, 0) AS BIGINT)
+         |    AS strongest_band,
+         |  CASE WHEN coalesce(bnd.strongest_band, 0) >= 2 THEN 'reject'
+         |       WHEN coalesce(bnd.strongest_band, 0) = 1
+         |         THEN 'admit_flagged'
+         |       ELSE 'admit' END AS decision
+         |FROM arr r LEFT JOIN bnd ON r.b = bnd.b
+         |ORDER BY vec_id""".stripMargin
     },
 
     // the admitted set restated (arrivals with no standing two-level
