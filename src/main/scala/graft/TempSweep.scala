@@ -9,17 +9,22 @@ package graft
   * accumulated O(invocations) hooks and full on-disk log copies for
   * the process lifetime).
   *
-  * [[replaceAtExit]] additionally deletes the PREVIOUS root registered
-  * under the same tag as soon as a new one lands: safe exactly when a
-  * re-run supersedes the prior invocation's frame (the Verify/Bench
-  * harness always consumes a query's result before re-invoking it), so
-  * repeated passes hold at most one live copy per query instead of one
-  * per pass. */
+  * [[replaceAtExit]] additionally bounds a tag's live copies to TWO:
+  * when a new root lands, the root from two registrations ago deletes
+  * and the immediately-previous one survives until the NEXT
+  * registration (r18 ADVICE — deleting the previous root eagerly was
+  * safe only under the consume-before-reinvoke contract; one
+  * generation of grace lets a straggler consumer of the PRIOR
+  * invocation's lazy frame finish after a re-invocation, while
+  * repeated bench passes still hold O(1) copies per query instead of
+  * one per pass). */
 object TempSweep {
 
   private val roots =
     new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
   private val tagged =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private val taggedPrev =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
   private def deleteRecursively(root: java.nio.file.Path): Unit =
@@ -34,16 +39,23 @@ object TempSweep {
     var r = roots.poll()
     while (r != null) { deleteRecursively(r); r = roots.poll() }
     tagged.values.forEach(deleteRecursively(_))
+    taggedPrev.values.forEach(deleteRecursively(_))
   }))
 
   /** Registers `root` for recursive deletion at JVM exit. */
   def atExit(root: java.nio.file.Path): Unit = roots.add(root)
 
-  /** Registers `root` under `tag` for deletion at JVM exit AND deletes
-    * the previous root registered under the same tag NOW — the
-    * one-live-copy-per-query discipline for harness re-runs. */
+  /** Registers `root` under `tag` for deletion at JVM exit, demotes
+    * the tag's previous root to grace (it survives until the tag's
+    * NEXT registration), and deletes the root from two registrations
+    * ago NOW — the two-live-copies-per-query bound for harness
+    * re-runs. */
   def replaceAtExit(tag: String, root: java.nio.file.Path): Unit = {
     val prev = tagged.put(tag, root)
-    if (prev != null && prev != root) deleteRecursively(prev)
+    if (prev != null && prev != root) {
+      val grandPrev = taggedPrev.put(tag, prev)
+      if (grandPrev != null && grandPrev != prev && grandPrev != root)
+        deleteRecursively(grandPrev)
+    }
   }
 }

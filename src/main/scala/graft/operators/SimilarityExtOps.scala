@@ -237,6 +237,15 @@ object SimilarityExtOps extends OpModule {
       .when(d2 >= nn * 2500, 2L).otherwise(1L)
   }
 
+  /** Bumped on ANY change to the certification geometry — TwoLevelRep,
+    * the strengthBand lines, the 4096-id cert slice, or the synthetic
+    * cap 8: folds into [[routerCertTable]]'s artifact name (r18 ADVICE
+    * — the cert table keyed only on name+sfDir+fingerprint, so a
+    * geometry change across JVM runs could silently serve a stale cert
+    * to q370/q376/q380; the GateAdmitBuilderVersion discipline applied
+    * to the measurement artifact). */
+  private val RouterCertBuilderVersion = 1
+
   /** The ROUTER CERTIFICATION PERSISTED (r18, the r17 verdict's #4's
     * prerequisite — q362's rule: an attestation is a MEASUREMENT, so
     * it is write-once data, not a query to re-run): both assigners
@@ -249,7 +258,7 @@ object SimilarityExtOps extends OpModule {
     * keeps. q370, q376 and q380 all READ this table — one
     * measurement, three views, sub-second warm. */
   private[graft] def routerCertTable(s: SparkSession, d: String): String =
-    graft.BucketedCache.ensure(s, d, "routercert",
+    graft.BucketedCache.ensure(s, d, s"routercert_b$RouterCertBuilderVersion",
       "band BIGINT, vectors BIGINT, agree BIGINT, flat_flagged BIGINT, " +
         "two_flagged BIGINT, kept BIGINT",
       "band", 1) {
@@ -2705,8 +2714,14 @@ object SimilarityExtOps extends OpModule {
                 lit(TwoLevelBroadcastCeilingBytes)
                   .as("switch_ceiling_bytes"),
                 lit(TwoLevelFineEntryBytes).as("fine_entry_bytes"),
-                lit(graft.streaming.StreamOps.GateModelPinnedVersion
-                      .toLong).as("model_version"),
+                // the served version comes from the prod deployment's
+                // PIN FILE (r19 — the pin is data, gateModelPin), not
+                // a compile-time constant; the oracle restates the
+                // pin's declared initial value, so a config drift
+                // surfaces as a correctness mismatch
+                lit(graft.streaming.StreamOps.gateModelPin(
+                      graft.streaming.StreamOps.gateModelRoot(s, d,
+                        upTo = 1)).toLong).as("model_version"),
                 col("vectors"), col("agree_ppm"), col("recall_ppm"),
                 col("borderline_recall_ppm"))
     },
@@ -4633,7 +4648,7 @@ object SimilarityExtOps extends OpModule {
            |  CAST($TwoLevelBroadcastCeilingBytes AS BIGINT)
            |    AS switch_ceiling_bytes,
            |  CAST($TwoLevelFineEntryBytes AS BIGINT) AS fine_entry_bytes,
-           |  CAST(${graft.streaming.StreamOps.GateModelPinnedVersion}
+           |  CAST(${graft.streaming.StreamOps.GateProdInitialPin}
            |       AS BIGINT) AS model_version,
            |  CAST(vectors AS BIGINT) AS vectors,
            |  CAST(CASE WHEN vectors = 0 THEN 0

@@ -323,14 +323,18 @@ object StreamOps extends OpModule {
     * buckets), never a corpus rescan, and the nightly rebuild folds
     * the log back into the standing artifact (q357's promote cycle).
     *
-    * Since r18 the standing members come from the PINNED
-    * [[GateModelPinnedVersion]] of the gate-model log at `modelRoot`
-    * (the r17 verdict's #2/#3: admission judges against the same
-    * versioned two-level model the gate serves — one artifact, one
-    * maintenance loop, and a rebuild promoting v2 can never shift
-    * admit decisions under a running drain). */
+    * Since r18 the standing members come from the deployment-PINNED
+    * version `pinnedV` of the gate-model log at `modelRoot` (the r17
+    * verdict's #2/#3: admission judges against the same versioned
+    * two-level model the gate serves — one artifact, one maintenance
+    * loop). `pinnedV` is resolved ONCE at drain start from the pin
+    * FILE ([[gateModelPin]]) and passed in, so a re-pin landing
+    * mid-drain can never shift admit decisions under a running
+    * drain — the config read has the same once-per-deployment-start
+    * semantics the version read always had. */
   private[graft] def applyGateBatch(s: SparkSession,
                                     modelRoot: java.nio.file.Path,
+                                    pinnedV: Int,
                                     root: java.nio.file.Path,
                                     batchId: Long, batch: DataFrame): Unit = {
     val SnapshotLog = graft.sources.PartitionedOps.SnapshotLog
@@ -352,7 +356,7 @@ object StreamOps extends OpModule {
     val batch1 = batch.dropDuplicates("vec_id")
     val simx = graft.operators.SimilarityExtOps
     val members = simx.cappedMemberSide(
-        SnapshotLog.read(s, modelRoot, GateModelPinnedVersion)
+        SnapshotLog.read(s, modelRoot, pinnedV)
           .where(col("kind") === "m")
           .select(col("cid"), col("id").as("vec_id"), col("xi"),
                   col("nv")),
@@ -472,11 +476,46 @@ object StreamOps extends OpModule {
   /** Builds (or reuses) the q371 admitted log for `d`'s embedding
     * stream: odd arrivals assign through the PINNED gate model's
     * two-level router ([[twoLevelArrivalHead]] — the r17 verdict's
-    * #2: admit and serve share ONE artifact, the
-    * [[GateModelPinnedVersion]] of [[gateModelRoot]]'s log) and drain
-    * through a foreachBatch [[applyGateBatch]] committer. The log
-    * BUILDS IN A SCRATCH DIR and atomic-renames into its
-    * builder-version-keyed root after the drain completes (r17
+    * #2: admit and serve share ONE artifact, the version
+    * [[GateProdDeployment]]'s pin file holds) and drain through a
+    * foreachBatch [[applyGateBatch]] committer. */
+  private[graft] def gateAdmitRoot(s: SparkSession, d: String)
+      : java.nio.file.Path = {
+    val modelRoot = gateModelRoot(s, d, upTo = 1)
+    val pinned = gateModelPin(modelRoot)
+    val root = java.nio.file.Paths.get(
+      stagedEmbsDir(d) + s"_gateadm_b$GateAdmitBuilderVersion")
+    gateAdmitDrainInto(s, d, modelRoot, pinned, root)
+    root
+  }
+
+  /** The DAY-2 admitted log (q385's cycle 2): the same at-least-once
+    * intake re-delivered on day 2 — a static corpus's steady state is
+    * pure redelivery (ongoing dup submissions), the honest day-2
+    * stream the fixed testdata can stage — drained against the
+    * version the CYCLE deployment's pin file holds, which
+    * [[gateCycleRepin]] has flipped to the intake rebuild: the
+    * re-pin is exercised as DATA and this drain's model read is the
+    * load-bearing consumer of the flip. Day-1 admits are members of
+    * the pinned rebuild now, so their redelivery self-matches in the
+    * member probe and day-2 intake drains toward ZERO on a static
+    * corpus — the fixpoint q385 certifies. Root keyed by the pinned
+    * version it drained against + the family builder version. */
+  private[graft] def gateAdmitDay2Root(s: SparkSession, d: String)
+      : java.nio.file.Path = {
+    val modelRoot = gateCycleRepin(s, d)
+    val pinned = gateModelPin(modelRoot, GateCycleDeployment)
+    val root = java.nio.file.Paths.get(
+      stagedEmbsDir(d) + s"_gateadm_c${pinned}_b$GateAdmitBuilderVersion")
+    gateAdmitDrainInto(s, d, modelRoot, pinned, root)
+    root
+  }
+
+  /** The shared admit-drain body ([[gateAdmitRoot]] day 1 /
+    * [[gateAdmitDay2Root]] day 2 — one drain, the deployments differ
+    * only in which pinned version they judge against and which root
+    * they publish): the log BUILDS IN A SCRATCH DIR and
+    * atomic-renames into `root` after the drain completes (r17
     * ADVICE: an in-place build crashed mid multi-batch drain left a
     * partial log a later drain with a different batch split treated
     * as committed) — per-batch commits stay version-idempotent inside
@@ -484,20 +523,19 @@ object StreamOps extends OpModule {
     * single-use streaming checkpoint deletes with the scratch.
     *
     * Since r18 the drain runs the PRODUCTION geometry: the
-    * at-least-once dup-staged source ([[stagedDupEmbsDir]]) one file
-    * per trigger — ≥ 2 micro-batches, batch 2 redelivering batch 1's
-    * arrivals — so the committed log carries ≥ 2 VERSIONS (retention
-    * q383 is non-vacuous) and the committer's vec_id anti-join runs
-    * against real redelivery on every build, not only in the spec.
-    * The admitted SET is identical by construction (split-invariant
-    * admit rule + idempotent redelivery), so downstream oracles are
-    * untouched. */
-  private[graft] def gateAdmitRoot(s: SparkSession, d: String)
-      : java.nio.file.Path = {
+    * at-least-once dup-staged source ([[stagedDupEmbsDir]]) one
+    * DELIVERY per trigger — ≥ 2 micro-batches, batch 2 redelivering
+    * batch 1's arrivals — so the committed log carries ≥ 2 VERSIONS
+    * (retention q383 is non-vacuous) and the committer's vec_id
+    * anti-join runs against real redelivery on every build, not only
+    * in the spec. The admitted SET is identical by construction
+    * (split-invariant admit rule + idempotent redelivery), so
+    * downstream oracles are untouched. */
+  private def gateAdmitDrainInto(s: SparkSession, d: String,
+                                 modelRoot: java.nio.file.Path,
+                                 pinnedV: Int,
+                                 root: java.nio.file.Path): Unit = {
     val SnapshotLog = graft.sources.PartitionedOps.SnapshotLog
-    val modelRoot = gateModelRoot(s, d, upTo = 1)
-    val root = java.nio.file.Paths.get(
-      stagedEmbsDir(d) + s"_gateadm_b$GateAdmitBuilderVersion")
     gateAdmitLocks.computeIfAbsent(root.toString, _ => new Object)
       .synchronized {
         if (!java.nio.file.Files.exists(root)) {
@@ -506,15 +544,13 @@ object StreamOps extends OpModule {
           val scratch = scratchRoot.resolve("log")
           try {
             java.nio.file.Files.createDirectories(scratch)
-            val model = SnapshotLog.read(s, modelRoot,
-              GateModelPinnedVersion)
+            val model = SnapshotLog.read(s, modelRoot, pinnedV)
             val cLit = coarseLiteral(model)
             val fineEntries =
               model.where(col("kind") === "f").count()
             val iso = s.newSession()
             iso.conf.set("spark.sql.shuffle.partitions", "8")
-            val isoModel = SnapshotLog.read(iso, modelRoot,
-              GateModelPinnedVersion)
+            val isoModel = SnapshotLog.read(iso, modelRoot, pinnedV)
             // one TRIGGER per delivery, not per file: the dup-staged
             // dir holds 2 copies × P source parts, and the per-batch
             // cost (member probe + bucket merges + manifest commit)
@@ -539,8 +575,8 @@ object StreamOps extends OpModule {
                 .option("checkpointLocation",
                         scratchRoot.resolve("ck").toString)
                 .foreachBatch { (b: DataFrame, id: Long) =>
-                  applyGateBatch(b.sparkSession, modelRoot, scratch,
-                                 id, b)
+                  applyGateBatch(b.sparkSession, modelRoot, pinnedV,
+                                 scratch, id, b)
                 }
                 .trigger(Trigger.AvailableNow())
                 .start()
@@ -561,7 +597,6 @@ object StreamOps extends OpModule {
           }
         }
       }
-    root
   }
 
   /** The gate-model tier each committed model version carries —
@@ -569,23 +604,70 @@ object StreamOps extends OpModule {
   private[graft] val GateModelTiers =
     Map(1 -> "nightly_build", 2 -> "intake_rebuild")
 
-  /** The model version gate DEPLOYMENTS pin (the r17 verdict's #3,
-    * q344's graph-version discipline applied to the gate family):
-    * q345's serving gate, [[gateAdmitRoot]]'s admit drain and the
-    * committer's member probe ALL read this version of the gate-model
-    * log — never "whatever the live artifact holds today" — so a
-    * rebuild landing v2 is invisible to a running deployment until it
-    * re-pins. v1 is the nightly two-level build (content ≡ the
-    * semtwoidx artifact, which is how the pinned re-key kept every
-    * oracle green). */
-  private[graft] val GateModelPinnedVersion = 1
+  /** The deployment whose pin every PRODUCTION gate consumer reads —
+    * q345's serving gate, [[gateAdmitRoot]]'s drain, the committer's
+    * member probe, q380's config row, q384's policy. */
+  private[graft] val GateProdDeployment = "gate_prod"
+
+  /** The version the prod deployment's pin file is INITIALIZED to at
+    * model-log publish (the nightly two-level build; content ≡ the
+    * semtwoidx artifact, which is how the r18 pinned re-key kept
+    * every oracle green). Only the publish step and q380's oracle
+    * restate this constant — every consumer reads the pin FILE. */
+  private[graft] val GateProdInitialPin = 1
+
+  /** The deployment the steady-state promote cycle advances (q385):
+    * its pin flips v1 → v2 as DATA, leaving `gate_prod` untouched so
+    * every other declared query keeps serving v1 regardless of
+    * whether the cycle ran first (order-independence). */
+  private[graft] val GateCycleDeployment = "gate_cycle"
+
+  /** Reads the model version `deployment` is pinned to at `root` —
+    * the r18 verdict's #1 for r19: the pin is a one-line CONFIG FILE
+    * committed next to the log's manifests (`_pins/<deployment>`),
+    * not a compile-time constant, so a deployment re-pins with a
+    * one-file write and NO recompilation (q380's router-config
+    * discipline applied to the pin itself). The prod pin is written
+    * at publish time inside the scratch dir, so a published root
+    * always carries it; scratch-copy consumers (q381/q383's grace
+    * copies) inherit the pin because the copy walks every regular
+    * file. A missing pin file is a CONFIG error, never a silent
+    * default — serving an unpinned model is exactly the hazard the
+    * pin exists to prevent. */
+  private[graft] def gateModelPin(root: java.nio.file.Path,
+                                  deployment: String = GateProdDeployment)
+      : Int = {
+    val f = root.resolve("_pins").resolve(deployment)
+    require(java.nio.file.Files.exists(f),
+      s"deployment '$deployment' has no pin at $root — a gate " +
+        "deployment must pin a model version before serving")
+    new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toInt
+  }
+
+  /** Atomically (re-)pins `deployment` to version `v` at `root`: the
+    * RE-PIN step is a tmp-write + ATOMIC_MOVE of a one-line file —
+    * readers observe the old pin or the new pin, never a torn one.
+    * Last-write-wins is correct here: the pin's content is
+    * deterministic per (deployment, promote step). */
+  private[graft] def setGateModelPin(root: java.nio.file.Path,
+                                     deployment: String, v: Int): Unit = {
+    val dir = root.resolve("_pins")
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = java.nio.file.Files.createTempFile(dir, ".pin", ".tmp")
+    java.nio.file.Files.write(tmp, v.toString.getBytes("UTF-8"))
+    // ATOMIC_MOVE alone: POSIX rename replaces an existing target
+    // atomically (the SnapshotLog manifest commit's exact idiom)
+    java.nio.file.Files.move(tmp, dir.resolve(deployment),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
 
   /** Bumped on ANY change to the gate-model log build: folds into
     * [[gateModelRoot]]'s tmpdir key (the graphVersionRoot / packLog
     * discipline — a code change must never serve a stale committed
     * model across JVM runs). v2 = the r18 re-key of BOTH versions to
-    * the two-level model (kinds m/c/o/f). */
-  private val GateModelBuilderVersion = 2
+    * the two-level model (kinds m/c/o/f); v3 = the r19 pin store
+    * (`_pins/` joins the published layout). */
+  private val GateModelBuilderVersion = 3
 
   /** In-JVM monitors for [[gateModelRoot]]. */
   private val gateModelLocks =
@@ -635,7 +717,7 @@ object StreamOps extends OpModule {
     * model — the r17 verdict's #2/#3): v1 = the NIGHTLY BUILD (the
     * standing two-level model's m/c/o/f rows, re-committed from the
     * semtwoidx artifact — the version deployments PIN,
-    * [[GateModelPinnedVersion]]), v2 = the INTAKE REBUILD
+    * the prod pin file holds), v2 = the INTAKE REBUILD
     * ([[gateRebuildModel]] over the admitted log). Committed under
     * SnapshotLog's files-then-manifest protocol into a
     * corpus-fingerprint-keyed, builder-version-tagged log. TWO
@@ -669,6 +751,10 @@ object StreamOps extends OpModule {
           val v1 = SnapshotLog.addFiles(s, scratch, "m1",
             s.table(idxT).select("kind", "id", "cid", "nv", "xi"))
           SnapshotLog.commitVersion(scratch, 1, v1)
+          // the prod deployment's pin is part of the published layout:
+          // a root either doesn't exist or carries a readable pin —
+          // consumers never observe a log without its config
+          setGateModelPin(scratch, GateProdDeployment, GateProdInitialPin)
           try java.nio.file.Files.move(scratch, dir,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           catch {
@@ -697,6 +783,98 @@ object StreamOps extends OpModule {
           val v2 = SnapshotLog.addFiles(s, dir, "m2",
             gateRebuildModel(s, d, admLog))
           SnapshotLog.commitVersion(dir, 2, v2)
+        }
+      }
+    }
+    dir
+  }
+
+  /** The RE-PIN step of the steady-state promote cycle (q385 — the
+    * r18 verdict's #1): advances the [[GateCycleDeployment]]'s pin to
+    * the committed intake rebuild (v2) in the LIVE pin store — a
+    * one-file atomic write, NO recompilation; [[gateAdmitDay2Root]]'s
+    * model read is the load-bearing consumer of the flip. The prod
+    * deployment's pin is untouched, so every other declared query
+    * keeps serving v1 whether or not the cycle ran first
+    * (order-independence — the same reason the cycle's rebuild lands
+    * in its OWN log, [[gateCycleModelRoot]]). Idempotent: the pin's
+    * content is deterministic. Returns the model root. */
+  private[graft] def gateCycleRepin(s: SparkSession, d: String)
+      : java.nio.file.Path = {
+    val root = gateModelRoot(s, d) // v2 must be committed before a pin can take it
+    setGateModelPin(root, GateCycleDeployment, 2)
+    root
+  }
+
+  /** Reads the LATEST version of an admitted log, tolerating an EMPTY
+    * one (a drain whose every arrival was rejected commits manifests
+    * with zero files — the day-2 steady state): zero files would make
+    * a bare parquet read throw, so the empty case returns an empty
+    * frame with the log's declared schema. */
+  private[graft] def admitLogLatest(s: SparkSession,
+                                    root: java.nio.file.Path): DataFrame = {
+    val SnapshotLog = graft.sources.PartitionedOps.SnapshotLog
+    val fs = SnapshotLog.files(root, SnapshotLog.latest(root))
+    if (fs.isEmpty)
+      s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "vec_id BIGINT, cid BIGINT, nv BIGINT, xi ARRAY<BIGINT>"))
+    else SnapshotLog.read(s, root, SnapshotLog.latest(root))
+  }
+
+  /** Bumped on ANY change to the cycle rebuild's rule or layout. */
+  private val GateCycleBuilderVersion = 1
+
+  /** The CYCLE MODEL LOG (q385): v3 = the SECOND intake rebuild —
+    * standing evens ∪ day-1 admits ∪ day-2 admits, re-celled through
+    * the family's ONE assigner ([[gateRebuildModel]], exactly v2's
+    * path) — committed as version 3 under the files-then-manifest
+    * protocol into its own corpus-fingerprint-keyed root. Its OWN
+    * root, not an append to the live log: a declared query must stay
+    * order-independent, and landing v3 in the live log would change
+    * q377's census / q381's retention depending on whether the cycle
+    * ran first. Production lands v3 in the live log as the next
+    * nightly; this log models that landing at test scale (the q381
+    * grace-copy discipline). On a static corpus day-2 admits drain to
+    * zero, so v3's content equals v2's — the fixpoint — but the build
+    * takes no shortcut: the rebuild runs in full from the union
+    * population, and q385's oracle restates it from first
+    * principles. */
+  private[graft] def gateCycleModelRoot(s: SparkSession, d: String)
+      : java.nio.file.Path = {
+    val SnapshotLog = graft.sources.PartitionedOps.SnapshotLog
+    val key = d.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
+      graft.BucketedCache.corpusFingerprint(d) +
+      s"_b$GateModelBuilderVersion-a$GateAdmitBuilderVersion" +
+      s"-c$GateCycleBuilderVersion"
+    val dir = java.nio.file.Paths.get(
+      s"${sys.props("java.io.tmpdir")}/graft_cyclelog_$key")
+    val lock = gateModelLocks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      if (!java.nio.file.Files.exists(dir)) {
+        val adm1 = admitLogLatest(s, gateAdmitRoot(s, d))
+        val adm2 = admitLogLatest(s, gateAdmitDay2Root(s, d))
+        val scratchRoot = java.nio.file.Files
+          .createTempDirectory("graft_cyclelog_scratch")
+        val scratch = scratchRoot.resolve("log")
+        try {
+          java.nio.file.Files.createDirectories(scratch)
+          val v3 = SnapshotLog.addFiles(s, scratch, "m3",
+            gateRebuildModel(s, d, adm1.unionByName(adm2)))
+          SnapshotLog.commitVersion(scratch, 3, v3)
+          try java.nio.file.Files.move(scratch, dir,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.FileSystemException
+              if java.nio.file.Files.exists(dir) => // lost the race
+          }
+        } finally {
+          import scala.jdk.CollectionConverters._
+          if (java.nio.file.Files.exists(scratchRoot))
+            java.nio.file.Files.walk(scratchRoot).iterator.asScala.toSeq
+              .sortBy(-_.getNameCount)
+              .foreach(p => java.nio.file.Files.deleteIfExists(p))
         }
       }
     }
@@ -737,6 +915,51 @@ object StreamOps extends OpModule {
         gf.argminCentroidLong(col("xi"), col("fc")).as("cid"),
         col("xi").as("xb"),
         gf.dotProductLong(col("xi"), col("xi")).as("nb"))
+  }
+
+  /** [[modelArrivals]] through TWO committed model versions in ONE
+    * corpus scan (r18 verdict #4 — q382 paid two full corpus
+    * assignments, decisions(1) + decisions(2), and the sweep priced
+    * the diff at 9.36 s @100×; the arrival lattice is the dominant
+    * input and both coarse Literals are tiny, so one scan computes
+    * both routes): each arrival coarse-argmins against BOTH models'
+    * packed 'o' rows, then each fine argmin rides its own ccid
+    * equi-join — two joins, one scan, each fine side independently
+    * through the family's declared size switch. Returns
+    * (b, xb, nb, cid1, cid2). */
+  private def modelArrivalsBoth(s: SparkSession, d: String,
+                                m1: DataFrame, m2: DataFrame): DataFrame = {
+    val simx = graft.operators.SimilarityExtOps
+    val gf = org.apache.spark.sql.graft.GraftFunctions
+    def packedCoarse(m: DataFrame) = m.where(col("kind") === "o")
+      .select(col("id").as("cid"), col("xi").as("ci"))
+      .agg(collect_list(struct(col("cid"), col("ci"))).as("cc"))
+    def fineSide(m: DataFrame, ccidName: String, cidName: String)
+        : DataFrame = {
+      val fineGroups = m.where(col("kind") === "f")
+        .select(col("cid").as(ccidName), col("id").as("fcid"),
+                col("xi").as("fci"))
+        .groupBy(ccidName)
+        .agg(collect_list(struct(col("fcid").as("cid"),
+                                 col("fci").as("ci"))).as(cidName))
+      if (m.where(col("kind") === "f").count() *
+            simx.TwoLevelFineEntryBytes <=
+            simx.TwoLevelBroadcastCeilingBytes) broadcast(fineGroups)
+      else fineGroups.hint("shuffle_hash")
+    }
+    simx.latticeFrame(s, d, Long.MaxValue)
+      .where(col("vec_id") % 2 === 1)
+      .crossJoin(broadcast(packedCoarse(m1).select(col("cc").as("cc1"))))
+      .crossJoin(broadcast(packedCoarse(m2).select(col("cc").as("cc2"))))
+      .select(col("vec_id"), col("xi"),
+        gf.argminCentroidLong(col("xi"), col("cc1")).as("ccid1"),
+        gf.argminCentroidLong(col("xi"), col("cc2")).as("ccid2"))
+      .join(fineSide(m1, "ccid1", "fc1"), Seq("ccid1"))
+      .join(fineSide(m2, "ccid2", "fc2"), Seq("ccid2"))
+      .select(col("vec_id").as("b"), col("xi").as("xb"),
+        gf.dotProductLong(col("xi"), col("xi")).as("nb"),
+        gf.argminCentroidLong(col("xi"), col("fc1")).as("cid1"),
+        gf.argminCentroidLong(col("xi"), col("fc2")).as("cid2"))
   }
 
   /** A model version's capped member-probe side (cid, xa, na[, a]) —
@@ -1069,19 +1292,19 @@ object StreamOps extends OpModule {
     "q345_stream_semdedup" -> { (s, d) =>
       val SnapshotLog = graft.sources.PartitionedOps.SnapshotLog
       // the gate serves a PINNED model version (r18, the r17
-      // verdict's #3): the two-level model is read from version
-      // GateModelPinnedVersion of the gate-model log — a rebuild
+      // verdict's #3; the pin itself is DATA since r19 — a one-line
+      // file read once at deployment start, gateModelPin): a rebuild
       // landing v2 behind this deployment changes NOTHING it serves
-      // until the deployment re-pins (GateModelSpec drives the
-      // v1-read-under-v2 claim directly)
+      // until the deployment's pin file flips (GateModelSpec drives
+      // the v1-read-under-v2 claim directly)
       val modelRoot = gateModelRoot(s, d, upTo = 1)
-      val model = SnapshotLog.read(s, modelRoot, GateModelPinnedVersion)
+      val pinned = gateModelPin(modelRoot)
+      val model = SnapshotLog.read(s, modelRoot, pinned)
       val coarseLit = coarseLiteral(model)
       val fineEntries = model.where(col("kind") === "f").count()
       runToParquet(s, iso => {
         val simx = graft.operators.SimilarityExtOps
-        val isoModel = SnapshotLog.read(iso, modelRoot,
-          GateModelPinnedVersion)
+        val isoModel = SnapshotLog.read(iso, modelRoot, pinned)
         // member side capped per cluster (the Σ cluster-occupancy
         // guard at volume — a measured no-op at this geometry, like
         // q356); the probe rides the shared gate predicate
@@ -1211,7 +1434,7 @@ object StreamOps extends OpModule {
       // PINNED two-level model — the same versioned artifact the
       // committer judged against and q345 serves from
       val modelRoot = gateModelRoot(s, d, upTo = 1)
-      val model = SnapshotLog.read(s, modelRoot, GateModelPinnedVersion)
+      val model = SnapshotLog.read(s, modelRoot, gateModelPin(modelRoot))
       val root = gateAdmitRoot(s, d)
       val admLog = SnapshotLog.read(s, root, SnapshotLog.latest(root))
       val (arr, ah) = org.apache.spark.sql.graft.InternalPin.pin(
@@ -1290,7 +1513,7 @@ object StreamOps extends OpModule {
     // version: tier, cell count, member count, and how many members
     // are ADMITTED arrivals (id parity = provenance) — version
     // numbers are data a gate deployment pins (q345/q371 pin v1,
-    // GateModelPinnedVersion). Tier lookups tolerate unknown versions
+    // the pin FILE, gateModelPin). Tier lookups tolerate unknown versions
     // (the r16 ADVICE rule; GateModelSpec drives a hand-committed v3
     // through this report).
     "q377_model_promote" -> { (s, d) =>
@@ -1328,8 +1551,11 @@ object StreamOps extends OpModule {
           java.nio.file.Files.createDirectories(dst.getParent)
           java.nio.file.Files.copy(p, dst)
         }
+      // the branch pins whatever version the COPY's own pin file
+      // holds — the grace copy carries its config (walk copies every
+      // regular file, `_pins/gate_prod` included)
       SnapshotLog.branchCommit(copy, "gate_prod",
-        SnapshotLog.files(copy, GateModelPinnedVersion))
+        SnapshotLog.files(copy, gateModelPin(copy)))
       val (_, dropped) = SnapshotLog.vacuum(copy, keep = 1)
       val st1 = if (dropped.contains(1)) "branch_only" else "kept"
       def census(df: DataFrame, v: Int, st: String): DataFrame = df
@@ -1360,17 +1586,26 @@ object StreamOps extends OpModule {
     // n_dup_recent made consequential — the reason to re-pin);
     // lost_dups are borderline pairs whose cells moved under the
     // re-cell (the price, q376's band story). Both passes are
-    // artifact probes of the committed log + one corpus assignment
-    // each; the fine side rides the declared size switch.
+    // artifact probes of the committed log + ONE shared corpus
+    // assignment (r18 verdict #4: the diff's two versions route off
+    // a single arrival scan through [[modelArrivalsBoth]] — both
+    // coarse Literals are tiny, so paying the lattice read twice was
+    // pure waste); each fine side rides the declared size switch.
     "q382_repin_diff" -> { (s, d) =>
       val simx = graft.operators.SimilarityExtOps
-      val gf = org.apache.spark.sql.graft.GraftFunctions
       val SnapshotLog = graft.sources.PartitionedOps.SnapshotLog
       val root = gateModelRoot(s, d)
+      val (m1, m2) = (SnapshotLog.read(s, root, 1),
+                      SnapshotLog.read(s, root, 2))
+      val (arr, ah) = org.apache.spark.sql.graft.InternalPin.pin(
+        modelArrivalsBoth(s, d, m1, m2))
+      ah.count(); graft.PinScope.retain(ah)
       def decisions(v: Int): DataFrame = {
-        val model = SnapshotLog.read(s, root, v)
-        simx.gateDupPairs(modelArrivals(s, d, model),
-                          modelMembers(model))
+        val model = if (v == 1) m1 else m2
+        simx.gateDupPairs(
+            arr.select(col(s"cid$v").as("cid"), col("b"), col("xb"),
+                       col("nb")),
+            modelMembers(model))
           .where(col("a") =!= col("b"))
           .select(col("b")).distinct()
       }
@@ -1418,7 +1653,7 @@ object StreamOps extends OpModule {
       val simx = graft.operators.SimilarityExtOps
       val SnapshotLog = graft.sources.PartitionedOps.SnapshotLog
       val modelRoot = gateModelRoot(s, d, upTo = 1)
-      val model = SnapshotLog.read(s, modelRoot, GateModelPinnedVersion)
+      val model = SnapshotLog.read(s, modelRoot, gateModelPin(modelRoot))
       val (arr, ah) = org.apache.spark.sql.graft.InternalPin.pin(
         modelArrivals(s, d, model))
       ah.count(); graft.PinScope.retain(ah)
@@ -1436,6 +1671,91 @@ object StreamOps extends OpModule {
                         "admit_flagged")
                   .otherwise("admit").as("decision"))
         .orderBy("vec_id")
+    },
+
+    // STEADY-STATE PROMOTE CYCLE (added r19 — the r18 verdict's #1,
+    // §14.1 #2: the gate family's convergence story, run instead of
+    // argued): the operational loop a serving team runs nightly,
+    // declared end-to-end as TWO cycles. Cycle 1 is the r18 story —
+    // day-1 arrivals drain against the prod pin (v1), the intake
+    // rebuild lands v2, and the q382 decision diff is the promotion
+    // evidence. Cycle 2 CLOSES the loop: the cycle deployment RE-PINS
+    // to v2 with a one-file atomic write ([[gateCycleRepin]] — the
+    // pin is DATA since r19; no recompilation, and the day-2 drain's
+    // model read is the flip's load-bearing consumer), day-2 intake
+    // (the same at-least-once stream re-delivered — a static corpus's
+    // steady state) drains against v2, the second rebuild lands v3 in
+    // the cycle log, and the SAME diff runs v2 vs v3. The report is
+    // one row per cycle — pin version, intake volume, admits taken
+    // from the COMMITTED logs (never recomputed, q371's discipline),
+    // and the decision flips — and the query REQUIRES the second
+    // diff's flip count not to exceed the first's: on a static corpus
+    // day-2 admits drain to zero, the rebuild is a FIXED POINT
+    // (deterministic re-cell of an identical population), and the
+    // second diff reads 0/0/10⁶ — the borderline-band floor reached.
+    // Cost: two single-scan diffs ([[modelArrivalsBoth]]) + three
+    // one-time artifacts (day-2 log, cycle log; day-1 family shared).
+    // Driver-side reads are 1-row aggregates and log counts only.
+    "q385_promote_cycle" -> { (s, d) =>
+      val simx = graft.operators.SimilarityExtOps
+      val SnapshotLog = graft.sources.PartitionedOps.SnapshotLog
+      val root = gateModelRoot(s, d)
+      val admits1 = admitLogLatest(s, gateAdmitRoot(s, d)).count()
+      val admits2 = admitLogLatest(s, gateAdmitDay2Root(s, d)).count()
+      val cyc = gateCycleModelRoot(s, d)
+      val pin1 = gateModelPin(root).toLong
+      val pin2 = gateModelPin(root, GateCycleDeployment).toLong
+      val m1 = SnapshotLog.read(s, root, 1)
+      val m2 = SnapshotLog.read(s, root, 2)
+      val m3 = SnapshotLog.read(s, cyc, 3)
+      val arrivals = simx.latticeFrame(s, d, Long.MaxValue)
+        .where(col("vec_id") % 2 === 1).count()
+      // the q382 diff body against an arbitrary (prev, next) pair:
+      // one corpus scan routes through both models, each side probes
+      // its own capped members, self-pairs excluded (an admitted
+      // arrival is a member of BOTH rebuilds)
+      def diffCounts(mPrev: DataFrame, mNext: DataFrame)
+          : (Long, Long, Long) = {
+        val (arr, ah) = org.apache.spark.sql.graft.InternalPin.pin(
+          modelArrivalsBoth(s, d, mPrev, mNext))
+        ah.count(); graft.PinScope.retain(ah)
+        def dec(i: Int, m: DataFrame): DataFrame = simx.gateDupPairs(
+            arr.select(col(s"cid$i").as("cid"), col("b"), col("xb"),
+                       col("nb")),
+            modelMembers(m))
+          .where(col("a") =!= col("b")).select(col("b")).distinct()
+        val (dp, hp) = org.apache.spark.sql.graft.InternalPin.pin(dec(1, mPrev))
+        hp.count(); graft.PinScope.retain(hp)
+        val (dn, hn) = org.apache.spark.sql.graft.InternalPin.pin(dec(2, mNext))
+        hn.count(); graft.PinScope.retain(hn)
+        val r = dp.agg(count(lit(1)).as("p"))
+          .crossJoin(dn.agg(count(lit(1)).as("n")))
+          .crossJoin(dp.join(dn, Seq("b"), "left_semi")
+            .agg(count(lit(1)).as("both")))
+          .collect()(0)
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val (p1, n1, b1) = diffCounts(m1, m2)
+      val (p2, n2, b2) = diffCounts(m2, m3)
+      val flips1 = (n1 - b1) + (p1 - b1)
+      val flips2 = (n2 - b2) + (p2 - b2)
+      require(flips2 <= flips1,
+        s"promote cycle DIVERGED: cycle-2 decision flips $flips2 > " +
+          s"cycle-1's $flips1 — the rebuild is not converging toward " +
+          "the borderline-band floor")
+      def row(cycle: Long, pinV: Long, admitted: Long,
+              p: Long, n: Long, b: Long): DataFrame = {
+        val agree = if (arrivals == 0) 1000000L
+          else (1000000L * (arrivals - (n - b) - (p - b))) / arrivals
+        s.range(1).select(lit(cycle).as("cycle"),
+          lit(pinV).as("pin_version"), lit(arrivals).as("arrivals"),
+          lit(admitted).as("admitted"), lit(p).as("dup_prev"),
+          lit(n).as("dup_next"), lit(n - b).as("new_dups"),
+          lit(p - b).as("lost_dups"), lit(agree).as("agree_ppm"))
+      }
+      row(1L, pin1, admits1, p1, n1, b1)
+        .unionByName(row(2L, pin2, admits2, p2, n2, b2))
+        .orderBy("cycle")
     },
 
     // ADMIT-LOG retention (added r18 — the fourth and last of the
@@ -1960,6 +2280,147 @@ object StreamOps extends OpModule {
        |         JOIN c2 ON c2.cid = fa2.cid) WHERE rn = 1)""".stripMargin
   }
 
+  /** The v2 SERVING-DECISION CTE tail (q382/q385, appends to
+    * [[gateRebuildAssignCtes]]): arrivals routed through the REBUILT
+    * model's two-level router (ac2b/asg2b), v2's capped member side
+    * (mem2), and the self-excluded v2 dup-decision set (d2v) — the
+    * diff's "next model" side, one text for both consumers. */
+  private lazy val gateV2DecisionCtes: String = {
+    val simx = graft.operators.SimilarityExtOps
+    s"""ac2b AS MATERIALIZED (SELECT b, ccid FROM (
+       |    SELECT a.b, cc2.ccid,
+       |      row_number() OVER (PARTITION BY a.b ORDER BY
+       |        CAST(list_sum(list_transform(range(1, 65),
+       |          j -> (a.xb[j] - cc2.cci[j]) *
+       |               (a.xb[j] - cc2.cci[j])))
+       |          AS BIGINT), cc2.ccid) AS rn
+       |    FROM arr a, cc2) WHERE rn = 1),
+       |asg2b AS MATERIALIZED (SELECT b, cid FROM (
+       |    SELECT a.b, c2.cid,
+       |      row_number() OVER (PARTITION BY a.b ORDER BY
+       |        CAST(list_sum(list_transform(range(1, 65),
+       |          j -> (r.xb[j] - c2.ci[j]) * (r.xb[j] - c2.ci[j])))
+       |          AS BIGINT), c2.cid) AS rn
+       |    FROM ac2b a JOIN arr r ON a.b = r.b
+       |         JOIN fa2 ON fa2.ccid = a.ccid
+       |         JOIN c2 ON c2.cid = fa2.cid) WHERE rn = 1),
+       |mem2 AS MATERIALIZED (SELECT cid, vec_id, xi, nv FROM (
+       |    SELECT a.cid, a.vec_id, pp.xi, n.nv,
+       |      row_number() OVER (PARTITION BY a.cid
+       |                         ORDER BY a.vec_id) AS mrk
+       |    FROM asg2 a JOIN pp ON a.vec_id = pp.vec_id
+       |         JOIN nv n ON a.vec_id = n.vec_id)
+       |  WHERE mrk <= ${simx.SemDedupClusterCap}),
+       |d2v AS MATERIALIZED (SELECT DISTINCT b FROM (
+       |    SELECT r.b,
+       |      CAST(list_sum(list_transform(range(1, 65),
+       |        j -> m.xi[j] * r.xb[j])) AS BIGINT) AS dot,
+       |      m.nv AS na, r.nb
+       |    FROM arr r JOIN asg2b g ON r.b = g.b
+       |         JOIN mem2 m ON g.cid = m.cid AND m.vec_id <> r.b)
+       |  WHERE dot > 0 AND
+       |    CAST(dot AS HUGEINT) * dot * 10000 >=
+       |      CAST(na AS HUGEINT) * nb * 1600)""".stripMargin
+  }
+
+  /** The DAY-2 + v3 CTE tail (q385 only, appends to
+    * [[gateV2DecisionCtes]]): the day-2 ADMIT decision (d2full — the
+    * drain's rule, NO self-exclusion: an admitted day-1 arrival is a
+    * v2 member now and its redelivery self-matches), the day-2 admit
+    * set, the union population pp3, the v3 re-cell/route/assign chain
+    * (the rebuild CTEs' text one generation on), v3's capped members,
+    * arrivals routed under v3, and the self-excluded v3 decision set
+    * (d3v) — cycle 2's diff sides. */
+  private lazy val gateCycleCtes: String = {
+    val simx = graft.operators.SimilarityExtOps
+    s"""d2full AS MATERIALIZED (SELECT DISTINCT b FROM (
+       |    SELECT r.b,
+       |      CAST(list_sum(list_transform(range(1, 65),
+       |        j -> m.xi[j] * r.xb[j])) AS BIGINT) AS dot,
+       |      m.nv AS na, r.nb
+       |    FROM arr r JOIN asg2b g ON r.b = g.b
+       |         JOIN mem2 m ON g.cid = m.cid)
+       |  WHERE dot > 0 AND
+       |    CAST(dot AS HUGEINT) * dot * 10000 >=
+       |      CAST(na AS HUGEINT) * nb * 1600),
+       |adm2 AS MATERIALIZED (SELECT a.b AS vec_id, a.xb AS xi
+       |  FROM arr a WHERE a.b NOT IN (SELECT b FROM d2full)),
+       |pp3 AS MATERIALIZED (
+       |  SELECT vec_id, xi FROM pp
+       |  UNION ALL
+       |  SELECT vec_id, xi FROM adm2),
+       |k3 AS (SELECT greatest(
+       |         CAST(ceil(sqrt(count(*))) AS BIGINT),
+       |         CAST((count(*) + ${simx.SemDedupClusterCap - 1}) //
+       |              ${simx.SemDedupClusterCap} AS BIGINT)) AS k3
+       |       FROM pp3),
+       |c3 AS MATERIALIZED (SELECT vec_id AS cid, xi AS ci FROM pp3, k3
+       |      WHERE vec_id <= 2 * k3),
+       |kc3 AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS kc
+       |        FROM c3),
+       |cc3 AS MATERIALIZED (SELECT cid AS ccid, ci AS cci
+       |      FROM c3, kc3 WHERE cid <= 2 * kc),
+       |fa3 AS MATERIALIZED (SELECT cid, ccid FROM (
+       |    SELECT c3.cid, cc3.ccid,
+       |      row_number() OVER (PARTITION BY c3.cid ORDER BY
+       |        CAST(list_sum(list_transform(range(1, 65),
+       |          j -> (c3.ci[j] - cc3.cci[j]) *
+       |               (c3.ci[j] - cc3.cci[j])))
+       |          AS BIGINT), cc3.ccid) AS rn
+       |    FROM c3, cc3) WHERE rn <= ${simx.TwoLevelRep}),
+       |ac3 AS MATERIALIZED (SELECT vec_id, ccid FROM (
+       |    SELECT pp3.vec_id, cc3.ccid,
+       |      row_number() OVER (PARTITION BY pp3.vec_id ORDER BY
+       |        CAST(list_sum(list_transform(range(1, 65),
+       |          j -> (pp3.xi[j] - cc3.cci[j]) *
+       |               (pp3.xi[j] - cc3.cci[j])))
+       |          AS BIGINT), cc3.ccid) AS rn
+       |    FROM pp3, cc3) WHERE rn = 1),
+       |asg3 AS (SELECT vec_id, cid FROM (
+       |    SELECT a.vec_id, c3.cid,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        CAST(list_sum(list_transform(range(1, 65),
+       |          j -> (pp3.xi[j] - c3.ci[j]) * (pp3.xi[j] - c3.ci[j])))
+       |          AS BIGINT), c3.cid) AS rn
+       |    FROM ac3 a JOIN pp3 ON a.vec_id = pp3.vec_id
+       |         JOIN fa3 ON fa3.ccid = a.ccid
+       |         JOIN c3 ON c3.cid = fa3.cid) WHERE rn = 1),
+       |mem3 AS MATERIALIZED (SELECT cid, vec_id, xi, nv FROM (
+       |    SELECT a.cid, a.vec_id, pp3.xi, n.nv,
+       |      row_number() OVER (PARTITION BY a.cid
+       |                         ORDER BY a.vec_id) AS mrk
+       |    FROM asg3 a JOIN pp3 ON a.vec_id = pp3.vec_id
+       |         JOIN nv n ON a.vec_id = n.vec_id)
+       |  WHERE mrk <= ${simx.SemDedupClusterCap}),
+       |ac3b AS MATERIALIZED (SELECT b, ccid FROM (
+       |    SELECT a.b, cc3.ccid,
+       |      row_number() OVER (PARTITION BY a.b ORDER BY
+       |        CAST(list_sum(list_transform(range(1, 65),
+       |          j -> (a.xb[j] - cc3.cci[j]) *
+       |               (a.xb[j] - cc3.cci[j])))
+       |          AS BIGINT), cc3.ccid) AS rn
+       |    FROM arr a, cc3) WHERE rn = 1),
+       |asg3b AS MATERIALIZED (SELECT b, cid FROM (
+       |    SELECT a.b, c3.cid,
+       |      row_number() OVER (PARTITION BY a.b ORDER BY
+       |        CAST(list_sum(list_transform(range(1, 65),
+       |          j -> (r.xb[j] - c3.ci[j]) * (r.xb[j] - c3.ci[j])))
+       |          AS BIGINT), c3.cid) AS rn
+       |    FROM ac3b a JOIN arr r ON a.b = r.b
+       |         JOIN fa3 ON fa3.ccid = a.ccid
+       |         JOIN c3 ON c3.cid = fa3.cid) WHERE rn = 1),
+       |d3v AS MATERIALIZED (SELECT DISTINCT b FROM (
+       |    SELECT r.b,
+       |      CAST(list_sum(list_transform(range(1, 65),
+       |        j -> m.xi[j] * r.xb[j])) AS BIGINT) AS dot,
+       |      m.nv AS na, r.nb
+       |    FROM arr r JOIN asg3b g ON r.b = g.b
+       |         JOIN mem3 m ON g.cid = m.cid AND m.vec_id <> r.b)
+       |  WHERE dot > 0 AND
+       |    CAST(dot AS HUGEINT) * dot * 10000 >=
+       |      CAST(na AS HUGEINT) * nb * 1600)""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "stream_demo" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS cnt
@@ -2258,44 +2719,10 @@ object StreamOps extends OpModule {
     // capped members (mem2, self-pairs excluded) — the flips and the
     // agreement ppm must match the committed models' readback exactly
     "q382_repin_diff" -> {
-      val simx = graft.operators.SimilarityExtOps
       s"""$twoLevelGateCtes,
          |$gateRebuildCtes,
          |$gateRebuildAssignCtes,
-         |ac2b AS MATERIALIZED (SELECT b, ccid FROM (
-         |    SELECT a.b, cc2.ccid,
-         |      row_number() OVER (PARTITION BY a.b ORDER BY
-         |        CAST(list_sum(list_transform(range(1, 65),
-         |          j -> (a.xb[j] - cc2.cci[j]) *
-         |               (a.xb[j] - cc2.cci[j])))
-         |          AS BIGINT), cc2.ccid) AS rn
-         |    FROM arr a, cc2) WHERE rn = 1),
-         |asg2b AS MATERIALIZED (SELECT b, cid FROM (
-         |    SELECT a.b, c2.cid,
-         |      row_number() OVER (PARTITION BY a.b ORDER BY
-         |        CAST(list_sum(list_transform(range(1, 65),
-         |          j -> (r.xb[j] - c2.ci[j]) * (r.xb[j] - c2.ci[j])))
-         |          AS BIGINT), c2.cid) AS rn
-         |    FROM ac2b a JOIN arr r ON a.b = r.b
-         |         JOIN fa2 ON fa2.ccid = a.ccid
-         |         JOIN c2 ON c2.cid = fa2.cid) WHERE rn = 1),
-         |mem2 AS MATERIALIZED (SELECT cid, vec_id, xi, nv FROM (
-         |    SELECT a.cid, a.vec_id, pp.xi, n.nv,
-         |      row_number() OVER (PARTITION BY a.cid
-         |                         ORDER BY a.vec_id) AS mrk
-         |    FROM asg2 a JOIN pp ON a.vec_id = pp.vec_id
-         |         JOIN nv n ON a.vec_id = n.vec_id)
-         |  WHERE mrk <= ${simx.SemDedupClusterCap}),
-         |d2v AS MATERIALIZED (SELECT DISTINCT b FROM (
-         |    SELECT r.b,
-         |      CAST(list_sum(list_transform(range(1, 65),
-         |        j -> m.xi[j] * r.xb[j])) AS BIGINT) AS dot,
-         |      m.nv AS na, r.nb
-         |    FROM arr r JOIN asg2b g ON r.b = g.b
-         |         JOIN mem2 m ON g.cid = m.cid AND m.vec_id <> r.b)
-         |  WHERE dot > 0 AND
-         |    CAST(dot AS HUGEINT) * dot * 10000 >=
-         |      CAST(na AS HUGEINT) * nb * 1600)
+         |$gateV2DecisionCtes
          |SELECT CAST((SELECT count(*) FROM arr) AS BIGINT) AS arrivals,
          |  CAST((SELECT count(*) FROM corp) AS BIGINT) AS dup_v1,
          |  CAST((SELECT count(*) FROM d2v) AS BIGINT) AS dup_v2,
@@ -2315,6 +2742,62 @@ object StreamOps extends OpModule {
          |                WHERE b NOT IN (SELECT b FROM d2v))))
          |            // (SELECT count(*) FROM arr) END AS BIGINT)
          |    AS agree_ppm""".stripMargin
+    },
+
+    // both cycles restated from first principles off the ONE shared
+    // chain: cycle 1 = the q382 diff (corp vs d2v) with day-1 admits
+    // = arrivals minus corpus dups; cycle 2 = the day-2 admit rule
+    // (NO self-exclusion — day-1 admits are v2 members and
+    // self-match), the v3 re-cell over the union population, and the
+    // v2-vs-v3 diff (d2v vs d3v) — the fixpoint emerges from the
+    // recomputation, never from a shortcut
+    "q385_promote_cycle" -> {
+      s"""$twoLevelGateCtes,
+         |$gateRebuildCtes,
+         |$gateRebuildAssignCtes,
+         |$gateV2DecisionCtes,
+         |$gateCycleCtes
+         |SELECT * FROM (
+         |SELECT CAST(1 AS BIGINT) AS cycle,
+         |  CAST(1 AS BIGINT) AS pin_version,
+         |  CAST((SELECT count(*) FROM arr) AS BIGINT) AS arrivals,
+         |  CAST((SELECT count(*) FROM arr) -
+         |       (SELECT count(*) FROM corp) AS BIGINT) AS admitted,
+         |  CAST((SELECT count(*) FROM corp) AS BIGINT) AS dup_prev,
+         |  CAST((SELECT count(*) FROM d2v) AS BIGINT) AS dup_next,
+         |  CAST((SELECT count(*) FROM d2v
+         |        WHERE b NOT IN (SELECT b FROM corp)) AS BIGINT)
+         |    AS new_dups,
+         |  CAST((SELECT count(*) FROM corp
+         |        WHERE b NOT IN (SELECT b FROM d2v)) AS BIGINT)
+         |    AS lost_dups,
+         |  CAST(CASE WHEN (SELECT count(*) FROM arr) = 0 THEN 1000000
+         |       ELSE (1000000 * ((SELECT count(*) FROM arr)
+         |             - (SELECT count(*) FROM d2v
+         |                WHERE b NOT IN (SELECT b FROM corp))
+         |             - (SELECT count(*) FROM corp
+         |                WHERE b NOT IN (SELECT b FROM d2v))))
+         |            // (SELECT count(*) FROM arr) END AS BIGINT)
+         |    AS agree_ppm
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT),
+         |  CAST(2 AS BIGINT),
+         |  CAST((SELECT count(*) FROM arr) AS BIGINT),
+         |  CAST((SELECT count(*) FROM adm2) AS BIGINT),
+         |  CAST((SELECT count(*) FROM d2v) AS BIGINT),
+         |  CAST((SELECT count(*) FROM d3v) AS BIGINT),
+         |  CAST((SELECT count(*) FROM d3v
+         |        WHERE b NOT IN (SELECT b FROM d2v)) AS BIGINT),
+         |  CAST((SELECT count(*) FROM d2v
+         |        WHERE b NOT IN (SELECT b FROM d3v)) AS BIGINT),
+         |  CAST(CASE WHEN (SELECT count(*) FROM arr) = 0 THEN 1000000
+         |       ELSE (1000000 * ((SELECT count(*) FROM arr)
+         |             - (SELECT count(*) FROM d3v
+         |                WHERE b NOT IN (SELECT b FROM d2v))
+         |             - (SELECT count(*) FROM d2v
+         |                WHERE b NOT IN (SELECT b FROM d3v))))
+         |            // (SELECT count(*) FROM arr) END AS BIGINT)
+         |) ORDER BY cycle""".stripMargin
     },
 
     // per arrival, the strongest qualifying pair's cross-multiplied
@@ -2367,7 +2850,8 @@ object StreamOps extends OpModule {
          |adm AS (SELECT a.cid, a.b FROM arr a
          |  LEFT JOIN corp ON a.b = corp.b WHERE corp.b IS NULL)
          |SELECT CAST(count(*) AS BIGINT) AS admits,
-         |  CAST(count(DISTINCT cid % 8) AS BIGINT) AS admit_buckets,
+         |  CAST(count(DISTINCT cid % $GateAdmBuckets) AS BIGINT)
+         |    AS admit_buckets,
          |  CAST(1 AS BIGINT) AS dropped_any,
          |  CAST(1 AS BIGINT) AS collected_any
          |FROM adm""".stripMargin

@@ -654,8 +654,8 @@ class StreamingSpec extends SparkSpecBase {
     // the whole family; the spec drives the committer against the
     // same modelRoot the production drain pins)
     val modelRoot = streaming.StreamOps.gateModelRoot(spark, sf, upTo = 1)
-    val model = SnapshotLog.read(spark, modelRoot,
-      streaming.StreamOps.GateModelPinnedVersion)
+    val pin = streaming.StreamOps.gateModelPin(modelRoot)
+    val model = SnapshotLog.read(spark, modelRoot, pin)
     val cents = model.where(col("kind") === "c")
       .select(col("id").as("cid"), col("xi").as("ci"))
     val arr = simx.twoLevelAssign(
@@ -672,11 +672,11 @@ class StreamingSpec extends SparkSpecBase {
       // the one-level admit rule (admission judged against the corpus
       // snapshot only) makes the final log split-INVARIANT
       val r1 = Files.createTempDirectory("graft_gateadm_one")
-      streaming.StreamOps.applyGateBatch(spark, modelRoot, r1, 0L, arr)
+      streaming.StreamOps.applyGateBatch(spark, modelRoot, pin, r1, 0L, arr)
       val r2 = Files.createTempDirectory("graft_gateadm_two")
-      streaming.StreamOps.applyGateBatch(spark, modelRoot, r2, 0L,
+      streaming.StreamOps.applyGateBatch(spark, modelRoot, pin, r2, 0L,
         arr.where(col("vec_id") < mid))
-      streaming.StreamOps.applyGateBatch(spark, modelRoot, r2, 1L,
+      streaming.StreamOps.applyGateBatch(spark, modelRoot, pin, r2, 1L,
         arr.where(col("vec_id") >= mid))
       assert(SnapshotLog.latest(r1) == 1 && SnapshotLog.latest(r2) == 2)
       assert(logSet(r1) == logSet(r2),
@@ -685,7 +685,7 @@ class StreamingSpec extends SparkSpecBase {
       // double-fire batch 1 with DIFFERENT content: the committed
       // version wins (file list unchanged, no new version)
       val before = SnapshotLog.files(r2, 2)
-      streaming.StreamOps.applyGateBatch(spark, modelRoot, r2, 1L,
+      streaming.StreamOps.applyGateBatch(spark, modelRoot, pin, r2, 1L,
         arr.limit(3))
       assert(SnapshotLog.latest(r2) == 2 &&
                SnapshotLog.files(r2, 2) == before,
@@ -694,14 +694,14 @@ class StreamingSpec extends SparkSpecBase {
       // (latest stays put) and the replayed commit lands the same
       // content — files-then-manifest, q298's discipline
       val r3 = Files.createTempDirectory("graft_gateadm_crash")
-      streaming.StreamOps.applyGateBatch(spark, modelRoot, r3, 0L,
+      streaming.StreamOps.applyGateBatch(spark, modelRoot, pin, r3, 0L,
         arr.where(col("vec_id") < mid))
       SnapshotLog.addFiles(spark, r3, "b0-v2",
         arr.where(col("vec_id") >= mid).limit(1)
           .select("vec_id", "cid", "nv", "xi"))
       assert(SnapshotLog.latest(r3) == 1,
              "orphan files must not advance the log")
-      streaming.StreamOps.applyGateBatch(spark, modelRoot, r3, 1L,
+      streaming.StreamOps.applyGateBatch(spark, modelRoot, pin, r3, 1L,
         arr.where(col("vec_id") >= mid))
       assert(logSet(r3) == logSet(r1), "crash+replay lost or doubled admits")
     } finally arr.unpersist()
@@ -715,13 +715,19 @@ class StreamingSpec extends SparkSpecBase {
     val vs = SnapshotLog.versions(live)
     assert(vs.size >= 2, s"admit drain committed only $vs — the " +
       "multi-batch at-least-once geometry regressed to a single batch")
-    // redelivery idempotence END TO END: the latest version holds the
-    // same admitted set as v1 (batch 2 re-admitted nothing new)
+    // redelivery idempotence END TO END: versions only GROW the
+    // admitted set (an already-admitted arrival redelivered later must
+    // not double-insert or retract). Superset, not equality — with a
+    // multi-part staged layout the first trigger may hold only part of
+    // copy 1's arrivals (stageParts interleaves copies by mtime), so
+    // v1 ⊂ v_last is legitimate geometry; only v_first ⊄ v_last would
+    // be a correctness bug (r18 ADVICE: the first==last assertion was
+    // single-file-geometry-dependent, not a product claim)
     def setOf(root: java.nio.file.Path, v: Int) =
       SnapshotLog.read(spark, root, v)
         .select("vec_id", "cid").as[(Long, Long)].collect().toSet
-    assert(setOf(live, vs.head) == setOf(live, vs.last),
-           "redelivered batch changed the admitted set")
+    assert(setOf(live, vs.head).subsetOf(setOf(live, vs.last)),
+           "a later version lost or rewrote earlier admits")
     // keep-1 vacuum on a copy: drops all but the latest, collects the
     // superseded bucket files, and the latest reads back IDENTICAL
     val copy = Files.createTempDirectory("graft_admitlog_vac_spec")
@@ -753,7 +759,7 @@ class StreamingSpec extends SparkSpecBase {
     val root = streaming.StreamOps.gateModelRoot(spark, sf)
     assert(SnapshotLog.latest(root) >= 2, "rebuild never landed v2")
     val pinned = SnapshotLog.read(spark, root,
-      streaming.StreamOps.GateModelPinnedVersion)
+      streaming.StreamOps.gateModelPin(root))
     val idxT = simx.semDedupTwoIndexTable(spark, sf)
     val live = spark.table(idxT)
       .select("kind", "id", "cid", "nv", "xi")
