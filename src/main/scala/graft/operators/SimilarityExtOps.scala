@@ -1256,6 +1256,40 @@ object SimilarityExtOps extends OpModule {
           col("ccid").as("cid"), lit(0L).as("nv"), col("ci").as("xi")))
     }
 
+  /** Bumped on ANY change to the at-rest fine-group layout or its
+    * packing rule. */
+  private val TwoFineBuilderVersion = 1
+
+  /** The standing model's ROUTING TABLE AT REST (r19, the r18
+    * verdict's #2 / §14.1 #3): the semtwoidx 'f' rows PRE-PACKED to
+    * one (ccid, fc) row per coarse bucket and committed ccid-BUCKETED
+    * — the serving join's model side as a layout, not a per-plan
+    * repack. Past the declared broadcast ceiling (the 10⁹-vector
+    * census point prices the side at 1.18 GB) the shuffled-hash
+    * serving join then reads this table's bucketing straight into its
+    * distribution requirement: ZERO exchange on the static side, only
+    * arrivals move — the claim the family's docstrings made ("at
+    * 100 TB the fine table is written ccid-bucketed") now committed
+    * code. The BUILD itself is exchange-free on the group-by too:
+    * semtwoidx is bucketed by `cid`, and an 'f' row's `cid` column IS
+    * its ccid, so the pack rides the source bucketing. Consumers:
+    * every gate surface serving the NIGHTLY model (v1's content ≡
+    * semtwoidx by construction — gateModelRoot commits v1 from the
+    * table); a mid-cycle rebuild (v2/v3) packs its own fine side per
+    * plan until its nightly landing commits the layout. */
+  private[graft] def semDedupTwoFineTable(s: SparkSession,
+                                          d: String): String =
+    graft.BucketedCache.ensure(s, d, s"semtwofine_b$TwoFineBuilderVersion",
+      "ccid BIGINT, fc ARRAY<STRUCT<cid: BIGINT, ci: ARRAY<BIGINT>>>",
+      "ccid", 32) {
+      val idxT = semDedupTwoIndexTable(s, d)
+      s.table(idxT).where(col("kind") === "f")
+        .select(col("cid").as("ccid"),
+                struct(col("id").as("cid"), col("xi").as("ci")).as("e"))
+        .groupBy("ccid")
+        .agg(collect_list(col("e")).as("fc"))
+    }
+
   /** Deterministic sampled IVF centroids (cid, cv). `n` defaults to the
     * frozen [[Cents]] every declared query uses (oracle determinism);
     * the q120 production variant passes cells ∝ √corpus. */

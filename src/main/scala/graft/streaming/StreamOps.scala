@@ -278,7 +278,19 @@ object StreamOps extends OpModule {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    query.awaitTermination()
+    try query.awaitTermination()
+    finally {
+      // single-use checkpoint: once the AvailableNow drain has
+      // committed the log, nothing resumes from it — delete with the
+      // drain instead of leaking one dir per corpus per JVM (r18
+      // verdict #5's TempSweep adoption sweep: this was the last
+      // unswept one-shot scratch in src/main)
+      if (query.isActive) query.stop()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(ckpt).iterator.asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
     root
   }
 
@@ -430,17 +442,22 @@ object StreamOps extends OpModule {
                                   model: DataFrame, coarseLit: Column,
                                   fineEntries: Long,
                                   srcDir: Option[String] = None,
-                                  maxFilesPerTrigger: Option[Int] = None)
+                                  maxFilesPerTrigger: Option[Int] = None,
+                                  fineAtRest: Option[DataFrame] = None)
       : DataFrame = {
     val simx = graft.operators.SimilarityExtOps
     val gf = org.apache.spark.sql.graft.GraftFunctions
     val rawSchema = iso.read.parquet(s"$d/embeddings.parquet").schema
-    val fineGroups = model.where(col("kind") === "f")
-      .select(col("cid").as("ccid"), col("id").as("fcid"),
-              col("xi").as("fci"))
-      .groupBy("ccid")
-      .agg(collect_list(struct(col("fcid").as("cid"),
-                               col("fci").as("ci"))).as("fc"))
+    // the model side: the ccid-bucketed AT-REST routing table when the
+    // served version is the nightly build (r19 — past the ceiling the
+    // static side then contributes NO exchange), else packed per plan
+    val fineGroups = fineAtRest.getOrElse(
+      model.where(col("kind") === "f")
+        .select(col("cid").as("ccid"), col("id").as("fcid"),
+                col("xi").as("fci"))
+        .groupBy("ccid")
+        .agg(collect_list(struct(col("fcid").as("cid"),
+                                 col("fci").as("ci"))).as("fc")))
     val fineSide =
       if (fineEntries * simx.TwoLevelFineEntryBytes <=
             simx.TwoLevelBroadcastCeilingBytes) broadcast(fineGroups)
@@ -570,7 +587,8 @@ object StreamOps extends OpModule {
             val query =
               twoLevelArrivalHead(iso, d, isoModel, cLit, fineEntries,
                 srcDir = Some(dupDir),
-                maxFilesPerTrigger = Some(math.max(1, partsPerCopy)))
+                maxFilesPerTrigger = Some(math.max(1, partsPerCopy)),
+                fineAtRest = modelFineSide(iso, d, pinnedV))
                 .writeStream
                 .option("checkpointLocation",
                         scratchRoot.resolve("ck").toString)
@@ -881,29 +899,52 @@ object StreamOps extends OpModule {
     dir
   }
 
+  /** The model's packed fine-group serving side: the ccid-bucketed
+    * AT-REST routing table ([[graft.operators.SimilarityExtOps
+    * .semDedupTwoFineTable]]) when the version served is the NIGHTLY
+    * build — pinnedV == [[GateProdInitialPin]], whose content is the
+    * semtwoidx artifact by construction — else packed from the model
+    * frame per plan (a mid-cycle rebuild serves its own packing until
+    * its nightly landing commits the layout). */
+  private def modelFineSide(s: SparkSession, d: String,
+                            pinnedV: Int): Option[DataFrame] =
+    if (pinnedV == GateProdInitialPin)
+      Some(s.table(
+        graft.operators.SimilarityExtOps.semDedupTwoFineTable(s, d)))
+    else None
+
   /** The BATCH restatement of the gate's arrival assignment against a
     * committed model version (q371's report, q382's diff, q384's
     * policy gate — one definition): odd arrivals coarse-argmin against
     * the model's packed 'o' rows, then the fine argmin within the
     * routed group, the fine side through the family's declared size
-    * switch. Returns (b, cid, xb, nb). */
-  private def modelArrivals(s: SparkSession, d: String,
-                            model: DataFrame): DataFrame = {
+    * switch — reading the ccid-bucketed AT-REST table when
+    * `fineAtRest` is given (r19: past the ceiling the model side then
+    * contributes no exchange; PlanShapeSpec asserts it). Returns
+    * (b, cid, xb, nb). */
+  private[graft] def modelArrivals(s: SparkSession, d: String,
+                                   model: DataFrame,
+                                   fineAtRest: Option[DataFrame] = None,
+                                   fineBroadcastCeiling: Long =
+                                     graft.operators.SimilarityExtOps
+                                       .TwoLevelBroadcastCeilingBytes)
+      : DataFrame = {
     val simx = graft.operators.SimilarityExtOps
     val gf = org.apache.spark.sql.graft.GraftFunctions
     val packedCoarse = model.where(col("kind") === "o")
       .select(col("id").as("cid"), col("xi").as("ci"))
       .agg(collect_list(struct(col("cid"), col("ci"))).as("cc"))
-    val fineGroups = model.where(col("kind") === "f")
-      .select(col("cid").as("ccid"), col("id").as("fcid"),
-              col("xi").as("fci"))
-      .groupBy("ccid")
-      .agg(collect_list(struct(col("fcid").as("cid"),
-                               col("fci").as("ci"))).as("fc"))
+    val fineGroups = fineAtRest.getOrElse(
+      model.where(col("kind") === "f")
+        .select(col("cid").as("ccid"), col("id").as("fcid"),
+                col("xi").as("fci"))
+        .groupBy("ccid")
+        .agg(collect_list(struct(col("fcid").as("cid"),
+                                 col("fci").as("ci"))).as("fc")))
     val fineSide =
       if (model.where(col("kind") === "f").count() *
-            simx.TwoLevelFineEntryBytes <=
-            simx.TwoLevelBroadcastCeilingBytes) broadcast(fineGroups)
+            simx.TwoLevelFineEntryBytes <= fineBroadcastCeiling)
+        broadcast(fineGroups)
       else fineGroups.hint("shuffle_hash")
     simx.latticeFrame(s, d, Long.MaxValue)
       .where(col("vec_id") % 2 === 1)
@@ -925,23 +966,28 @@ object StreamOps extends OpModule {
     * both routes): each arrival coarse-argmins against BOTH models'
     * packed 'o' rows, then each fine argmin rides its own ccid
     * equi-join — two joins, one scan, each fine side independently
-    * through the family's declared size switch. Returns
-    * (b, xb, nb, cid1, cid2). */
+    * through the family's declared size switch (and through the
+    * at-rest table via `fineAtRest1` when side 1 serves the nightly
+    * build). Returns (b, xb, nb, cid1, cid2). */
   private def modelArrivalsBoth(s: SparkSession, d: String,
-                                m1: DataFrame, m2: DataFrame): DataFrame = {
+                                m1: DataFrame, m2: DataFrame,
+                                fineAtRest1: Option[DataFrame] = None)
+      : DataFrame = {
     val simx = graft.operators.SimilarityExtOps
     val gf = org.apache.spark.sql.graft.GraftFunctions
     def packedCoarse(m: DataFrame) = m.where(col("kind") === "o")
       .select(col("id").as("cid"), col("xi").as("ci"))
       .agg(collect_list(struct(col("cid"), col("ci"))).as("cc"))
-    def fineSide(m: DataFrame, ccidName: String, cidName: String)
-        : DataFrame = {
-      val fineGroups = m.where(col("kind") === "f")
-        .select(col("cid").as(ccidName), col("id").as("fcid"),
-                col("xi").as("fci"))
-        .groupBy(ccidName)
-        .agg(collect_list(struct(col("fcid").as("cid"),
-                                 col("fci").as("ci"))).as(cidName))
+    def fineSide(m: DataFrame, ccidName: String, cidName: String,
+                 atRest: Option[DataFrame]): DataFrame = {
+      val fineGroups = atRest
+        .map(_.select(col("ccid").as(ccidName), col("fc").as(cidName)))
+        .getOrElse(m.where(col("kind") === "f")
+          .select(col("cid").as(ccidName), col("id").as("fcid"),
+                  col("xi").as("fci"))
+          .groupBy(ccidName)
+          .agg(collect_list(struct(col("fcid").as("cid"),
+                                   col("fci").as("ci"))).as(cidName)))
       if (m.where(col("kind") === "f").count() *
             simx.TwoLevelFineEntryBytes <=
             simx.TwoLevelBroadcastCeilingBytes) broadcast(fineGroups)
@@ -954,8 +1000,8 @@ object StreamOps extends OpModule {
       .select(col("vec_id"), col("xi"),
         gf.argminCentroidLong(col("xi"), col("cc1")).as("ccid1"),
         gf.argminCentroidLong(col("xi"), col("cc2")).as("ccid2"))
-      .join(fineSide(m1, "ccid1", "fc1"), Seq("ccid1"))
-      .join(fineSide(m2, "ccid2", "fc2"), Seq("ccid2"))
+      .join(fineSide(m1, "ccid1", "fc1", fineAtRest1), Seq("ccid1"))
+      .join(fineSide(m2, "ccid2", "fc2", None), Seq("ccid2"))
       .select(col("vec_id").as("b"), col("xi").as("xb"),
         gf.dotProductLong(col("xi"), col("xi")).as("nb"),
         gf.argminCentroidLong(col("xi"), col("fc1")).as("cid1"),
@@ -1315,7 +1361,8 @@ object StreamOps extends OpModule {
             simx.SemDedupClusterCap)
           .select(col("cid"), col("xa"), col("na"))
         val arrivals =
-          twoLevelArrivalHead(iso, d, isoModel, coarseLit, fineEntries)
+          twoLevelArrivalHead(iso, d, isoModel, coarseLit, fineEntries,
+            fineAtRest = modelFineSide(iso, d, pinned))
             .select(col("vec_id").as("b"), col("xi").as("xb"),
                     col("cid"), col("nv").as("nb"))
         simx.gateDupPairs(arrivals, members)
@@ -1434,11 +1481,12 @@ object StreamOps extends OpModule {
       // PINNED two-level model — the same versioned artifact the
       // committer judged against and q345 serves from
       val modelRoot = gateModelRoot(s, d, upTo = 1)
-      val model = SnapshotLog.read(s, modelRoot, gateModelPin(modelRoot))
+      val pin = gateModelPin(modelRoot)
+      val model = SnapshotLog.read(s, modelRoot, pin)
       val root = gateAdmitRoot(s, d)
       val admLog = SnapshotLog.read(s, root, SnapshotLog.latest(root))
       val (arr, ah) = org.apache.spark.sql.graft.InternalPin.pin(
-        modelArrivals(s, d, model))
+        modelArrivals(s, d, model, modelFineSide(s, d, pin)))
       ah.count(); graft.PinScope.retain(ah)
       val members = modelMembers(model)
         .select(col("cid"), col("xa"), col("na"))
@@ -1598,7 +1646,8 @@ object StreamOps extends OpModule {
       val (m1, m2) = (SnapshotLog.read(s, root, 1),
                       SnapshotLog.read(s, root, 2))
       val (arr, ah) = org.apache.spark.sql.graft.InternalPin.pin(
-        modelArrivalsBoth(s, d, m1, m2))
+        modelArrivalsBoth(s, d, m1, m2,
+          fineAtRest1 = modelFineSide(s, d, GateProdInitialPin)))
       ah.count(); graft.PinScope.retain(ah)
       def decisions(v: Int): DataFrame = {
         val model = if (v == 1) m1 else m2
@@ -1653,9 +1702,10 @@ object StreamOps extends OpModule {
       val simx = graft.operators.SimilarityExtOps
       val SnapshotLog = graft.sources.PartitionedOps.SnapshotLog
       val modelRoot = gateModelRoot(s, d, upTo = 1)
-      val model = SnapshotLog.read(s, modelRoot, gateModelPin(modelRoot))
+      val pin = gateModelPin(modelRoot)
+      val model = SnapshotLog.read(s, modelRoot, pin)
       val (arr, ah) = org.apache.spark.sql.graft.InternalPin.pin(
-        modelArrivals(s, d, model))
+        modelArrivals(s, d, model, modelFineSide(s, d, pin)))
       ah.count(); graft.PinScope.retain(ah)
       val bands = simx.gateDupPairs(arr,
           modelMembers(model).select(col("cid"), col("xa"), col("na")))
@@ -1714,10 +1764,11 @@ object StreamOps extends OpModule {
       // one corpus scan routes through both models, each side probes
       // its own capped members, self-pairs excluded (an admitted
       // arrival is a member of BOTH rebuilds)
-      def diffCounts(mPrev: DataFrame, mNext: DataFrame)
+      def diffCounts(mPrev: DataFrame, mNext: DataFrame,
+                     atRestPrev: Option[DataFrame])
           : (Long, Long, Long) = {
         val (arr, ah) = org.apache.spark.sql.graft.InternalPin.pin(
-          modelArrivalsBoth(s, d, mPrev, mNext))
+          modelArrivalsBoth(s, d, mPrev, mNext, fineAtRest1 = atRestPrev))
         ah.count(); graft.PinScope.retain(ah)
         def dec(i: Int, m: DataFrame): DataFrame = simx.gateDupPairs(
             arr.select(col(s"cid$i").as("cid"), col("b"), col("xb"),
@@ -1735,8 +1786,9 @@ object StreamOps extends OpModule {
           .collect()(0)
         (r.getLong(0), r.getLong(1), r.getLong(2))
       }
-      val (p1, n1, b1) = diffCounts(m1, m2)
-      val (p2, n2, b2) = diffCounts(m2, m3)
+      val (p1, n1, b1) = diffCounts(m1, m2,
+        modelFineSide(s, d, GateProdInitialPin))
+      val (p2, n2, b2) = diffCounts(m2, m3, None)
       val flips1 = (n1 - b1) + (p1 - b1)
       val flips2 = (n2 - b2) + (p2 - b2)
       require(flips2 <= flips1,
@@ -1756,6 +1808,110 @@ object StreamOps extends OpModule {
       row(1L, pin1, admits1, p1, n1, b1)
         .unionByName(row(2L, pin2, admits2, p2, n2, b2))
         .orderBy("cycle")
+    },
+
+    // FLAGGED-BAND CONSUMER (added r19 — the r18 verdict's #3: q384's
+    // `admit_flagged` rows routed to "the nightly flat-truth pass" in
+    // prose only; this DECLARES that pass): the borderline band
+    // (band 1 — cos² 0.16–0.25, where q376 measured the router's
+    // losses concentrating) is re-judged by the FLAT gate at the
+    // family's production geometry — the full even corpus
+    // flat-assigned and capped (the nightly truth tier, q300's
+    // full-rescan discipline: the ONE place the k-way linear argmin
+    // is paid, and only nightly), each flagged arrival flat-assigned
+    // against the same cells (a tiny broadcast argmin — the flagged
+    // set is the borderline band, never the corpus) and probed with
+    // the shared dup predicate. Verdicts: a flagged arrival the flat
+    // truth ALSO finds a qualifying pair for is a RETIRED dup; one it
+    // clears is a CONFIRMED admit, FOLDED BACK into the admit log's
+    // next version on a grace copy (order-independence, q383's
+    // discipline) — and the keep-1 vacuum then proves retention
+    // covers the fold-back version: the post-GC latest must read back
+    // the folded set COMPLETE, which is what admits_after reports. At
+    // oracle SFs R ≥ kc makes the router exact (q370's declared
+    // degeneracy), so every band-1 catch re-confirms as a dup —
+    // retired = flagged, confirmed = 0 — while the oracle text
+    // carries the real flat rule for the census-point geometry where
+    // the bands genuinely disagree.
+    "q386_flagged_rejudge" -> { (s, d) =>
+      val simx = graft.operators.SimilarityExtOps
+      val SnapshotLog = graft.sources.PartitionedOps.SnapshotLog
+      val modelRoot = gateModelRoot(s, d, upTo = 1)
+      val pin = gateModelPin(modelRoot)
+      val model = SnapshotLog.read(s, modelRoot, pin)
+      val (arr, ah) = org.apache.spark.sql.graft.InternalPin.pin(
+        modelArrivals(s, d, model, modelFineSide(s, d, pin)))
+      ah.count(); graft.PinScope.retain(ah)
+      // the borderline band under the pinned router — q384's rule
+      val bands = simx.gateDupPairs(arr,
+          modelMembers(model).select(col("cid"), col("xa"), col("na")))
+        .groupBy("b").agg(max(simx.strengthBand).as("sb"))
+      val (flagged, fh) = org.apache.spark.sql.graft.InternalPin.pin(
+        arr.join(bands, Seq("b")).where(col("sb") === 1)
+          .select(col("b"), col("xb"), col("nb"), col("cid")))
+      fh.count(); graft.PinScope.retain(fh)
+      // the FLAT truth: members flat-assigned at the production
+      // geometry (hybrid k, cap 4096), flagged arrivals flat-assigned
+      // against the same cells, shared dup predicate
+      val em = simx.latticeFrame(s, d, Long.MaxValue)
+      val kAgg = greatest(
+        ceil(sqrt(count(lit(1)))).cast("long"),
+        expr(s"(count(1) + ${simx.SemDedupClusterCap - 1}) DIV " +
+             s"${simx.SemDedupClusterCap}").cast("long"))
+      val (cents, asgEven0) = simx.hybridCellAssign(
+        em.where(col("vec_id") % 2 === 0), kAgg, twoLevel = false)
+      val (asgEven, eh) =
+        org.apache.spark.sql.graft.InternalPin.pin(asgEven0)
+      eh.count(); graft.PinScope.retain(eh)
+      val memF = simx.cappedMemberSide(asgEven, simx.SemDedupClusterCap)
+        .select(col("cid"), col("xa"), col("na"))
+      val gf = org.apache.spark.sql.graft.GraftFunctions
+      val packed = cents
+        .agg(collect_list(struct(col("cid"), col("ci"))).as("cents"))
+      val flaggedFlat = flagged.crossJoin(broadcast(packed))
+        .select(gf.argminCentroidLong(col("xb"), col("cents"))
+                  .as("cid"),
+                col("b"), col("xb"), col("nb"))
+      val (retiredDf, rh) = org.apache.spark.sql.graft.InternalPin.pin(
+        simx.gateDupPairs(flaggedFlat, memF).select(col("b")).distinct())
+      rh.count(); graft.PinScope.retain(rh)
+      val cnt = flagged.agg(count(lit(1)).as("flagged"))
+        .crossJoin(retiredDf.agg(count(lit(1)).as("retired")))
+        .collect()(0)
+      val (nFlagged, nRetired) = (cnt.getLong(0), cnt.getLong(1))
+      val nConfirmed = nFlagged - nRetired
+      // FOLD BACK on a grace copy of the admit log: confirmed admits
+      // join the log's next version (same row shape the drain
+      // commits), then keep-1 retention must keep the folded set
+      val live = gateAdmitRoot(s, d)
+      val copy = java.nio.file.Files
+        .createTempDirectory("graft_flagfold")
+      graft.TempSweep.replaceAtExit("flagfold", copy)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(live).iterator.asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .foreach { p =>
+          val rel = live.relativize(p)
+          val dst = copy.resolve(rel.toString)
+          java.nio.file.Files.createDirectories(dst.getParent)
+          java.nio.file.Files.copy(p, dst)
+        }
+      val v = SnapshotLog.latest(copy)
+      val confRows = flagged
+        .join(retiredDf, Seq("b"), "left_anti")
+        .select(col("b").as("vec_id"), col("cid"),
+                col("nb").as("nv"), col("xb").as("xi"))
+      val added = SnapshotLog.addFiles(s, copy, "fold", confRows)
+      SnapshotLog.commitVersion(copy, v + 1,
+        SnapshotLog.files(copy, v) ++ added)
+      val (_, dropped) = SnapshotLog.vacuum(copy, keep = 1)
+      require(dropped.nonEmpty && SnapshotLog.latest(copy) == v + 1,
+        s"fold-back version v${v + 1} did not survive retention " +
+          s"(dropped $dropped)")
+      val admitsAfter = admitLogLatest(s, copy).count()
+      s.range(1).select(lit(nFlagged).as("flagged"),
+        lit(nConfirmed).as("confirmed"), lit(nRetired).as("retired"),
+        lit(admitsAfter).as("admits_after"))
     },
 
     // ADMIT-LOG retention (added r18 — the fourth and last of the
@@ -2798,6 +2954,88 @@ object StreamOps extends OpModule {
          |                WHERE b NOT IN (SELECT b FROM d3v))))
          |            // (SELECT count(*) FROM arr) END AS BIGINT)
          |) ORDER BY cycle""".stripMargin
+    },
+
+    // the borderline band (q384's band-1 rule) re-judged by the FLAT
+    // gate restated in full: members flat-assigned over ALL cells
+    // (asgfl/memfl — the real rule, not the R ≥ kc degeneracy),
+    // flagged arrivals flat-assigned the same way, shared dup line;
+    // retired = flagged the flat truth also catches, confirmed =
+    // flagged it clears, admits_after = the binary drain's admits +
+    // the confirmed fold-back
+    "q386_flagged_rejudge" -> {
+      val simx = graft.operators.SimilarityExtOps
+      s"""$twoLevelGateCtes,
+         |bnd AS (SELECT b,
+         |    max(CASE
+         |      WHEN CAST(dot AS HUGEINT) * dot * 10000 >=
+         |           CAST(na AS HUGEINT) * nb * 8100 THEN 4
+         |      WHEN CAST(dot AS HUGEINT) * dot * 10000 >=
+         |           CAST(na AS HUGEINT) * nb * 4900 THEN 3
+         |      WHEN CAST(dot AS HUGEINT) * dot * 10000 >=
+         |           CAST(na AS HUGEINT) * nb * 2500 THEN 2
+         |      ELSE 1 END) AS sb
+         |  FROM (SELECT r.b,
+         |      CAST(list_sum(list_transform(range(1, 65),
+         |        j -> m.xi[j] * r.xb[j])) AS BIGINT) AS dot,
+         |      m.nv AS na, r.nb
+         |    FROM arr r JOIN mem m ON r.cid = m.cid)
+         |  WHERE dot > 0 AND
+         |    CAST(dot AS HUGEINT) * dot * 10000 >=
+         |      CAST(na AS HUGEINT) * nb * 1600
+         |  GROUP BY b),
+         |flg AS MATERIALIZED (SELECT b FROM bnd WHERE sb = 1),
+         |asgfl AS MATERIALIZED (SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        CAST(list_sum(list_transform(range(1, 65),
+         |          j -> (e.xi[j] - c.ci[j]) * (e.xi[j] - c.ci[j])))
+         |          AS BIGINT), c.cid) AS rn
+         |    FROM e, c WHERE e.vec_id % 2 = 0) WHERE rn = 1),
+         |memfl AS MATERIALIZED (SELECT cid, vec_id, xi, nv FROM (
+         |    SELECT a.cid, a.vec_id, e.xi, n.nv,
+         |      row_number() OVER (PARTITION BY a.cid
+         |                         ORDER BY a.vec_id) AS mrk
+         |    FROM asgfl a JOIN e ON a.vec_id = e.vec_id
+         |         JOIN nv n ON a.vec_id = n.vec_id)
+         |  WHERE mrk <= ${simx.SemDedupClusterCap}),
+         |flgfl AS MATERIALIZED (SELECT f.b, g.cid, r.xb, r.nb FROM (
+         |    SELECT a.b, c.cid,
+         |      row_number() OVER (PARTITION BY a.b ORDER BY
+         |        CAST(list_sum(list_transform(range(1, 65),
+         |          j -> (a.xb[j] - c.ci[j]) * (a.xb[j] - c.ci[j])))
+         |          AS BIGINT), c.cid) AS rn
+         |    FROM arr a, c WHERE a.b IN (SELECT b FROM flg)) g
+         |  JOIN flg f ON g.b = f.b AND g.rn = 1
+         |  JOIN arr r ON f.b = r.b),
+         |ret AS MATERIALIZED (SELECT DISTINCT b FROM (
+         |    SELECT r.b,
+         |      CAST(list_sum(list_transform(range(1, 65),
+         |        j -> m.xi[j] * r.xb[j])) AS BIGINT) AS dot,
+         |      m.nv AS na, r.nb
+         |    FROM flgfl r JOIN memfl m ON r.cid = m.cid)
+         |  WHERE dot > 0 AND
+         |    CAST(dot AS HUGEINT) * dot * 10000 >=
+         |      CAST(na AS HUGEINT) * nb * 1600),
+         |corp AS MATERIALIZED (SELECT DISTINCT b FROM (
+         |    SELECT r.b,
+         |      CAST(list_sum(list_transform(range(1, 65),
+         |        j -> m.xi[j] * r.xb[j])) AS BIGINT) AS dot,
+         |      m.nv AS na, r.nb
+         |    FROM arr r JOIN mem m ON r.cid = m.cid)
+         |  WHERE dot > 0 AND
+         |    CAST(dot AS HUGEINT) * dot * 10000 >=
+         |      CAST(na AS HUGEINT) * nb * 1600)
+         |SELECT CAST((SELECT count(*) FROM flg) AS BIGINT) AS flagged,
+         |  CAST((SELECT count(*) FROM flg
+         |        WHERE b NOT IN (SELECT b FROM ret)) AS BIGINT)
+         |    AS confirmed,
+         |  CAST((SELECT count(*) FROM ret) AS BIGINT) AS retired,
+         |  CAST((SELECT count(*) FROM arr)
+         |       - (SELECT count(*) FROM corp)
+         |       + (SELECT count(*) FROM flg
+         |          WHERE b NOT IN (SELECT b FROM ret)) AS BIGINT)
+         |    AS admits_after""".stripMargin
     },
 
     // per arrival, the strongest qualifying pair's cross-multiplied

@@ -1830,6 +1830,47 @@ class PlanShapeSpec extends SparkSpecBase {
            "the join shape changed the assignment")
   }
 
+  test("fine routing table AT REST: the past-ceiling serving join reads the ccid bucketing — zero exchange on the model side") {
+    // r19 (the r18 verdict's #2): the nightly model's packed fine
+    // groups are COMMITTED ccid-bucketed (semDedupTwoFineTable), so
+    // the past-ceiling shuffled-hash serving join takes its model-side
+    // distribution from the LAYOUT — the only hashpartitioning
+    // exchange left in the plan is the arrival side's. The per-plan
+    // repack baseline at the same forced ceiling carries the extra
+    // model-side exchange (the groupBy pack), and both shapes must
+    // produce the identical assignment.
+    val SnapshotLog = sources.PartitionedOps.SnapshotLog
+    val simx = operators.SimilarityExtOps
+    val root = streaming.StreamOps.gateModelRoot(spark, sf, upTo = 1)
+    val model = SnapshotLog.read(spark, root,
+      streaming.StreamOps.gateModelPin(root))
+    val atRest = spark.table(simx.semDedupTwoFineTable(spark, sf))
+    // AQE's toString prints the Final AND Initial plans — count
+    // exchanges in the FINAL section only
+    def hashEx(p: String) =
+      "Exchange hashpartitioning".r
+        .findAllIn(p.split("== Initial Plan ==")(0)).size
+    val rest = streaming.StreamOps.modelArrivals(spark, sf, model,
+      Some(atRest), fineBroadcastCeiling = 0L)
+    val restRows = rest.collect()
+    val rp = rest.queryExecution.executedPlan.toString
+    assert(rp.contains("ShuffledHashJoin"),
+           s"past-ceiling at-rest shape is not the shuffled hash: $rp")
+    assert(!rp.contains("SortMergeJoin"),
+           "the corpus sorted for its own serving join")
+    assert(hashEx(rp) == 1,
+           s"expected ONLY the arrival-side exchange, got ${hashEx(rp)}: $rp")
+    val repack = streaming.StreamOps.modelArrivals(spark, sf, model,
+      None, fineBroadcastCeiling = 0L)
+    val repackRows = repack.collect()
+    val kp = repack.queryExecution.executedPlan.toString
+    assert(hashEx(kp) > 1,
+           s"repack baseline has no model-side exchange — degenerate: $kp")
+    assert(restRows.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+             repackRows.map(r => (r.getLong(0), r.getLong(1))).toSet,
+           "the at-rest layout changed the assignment")
+  }
+
   test("q308: boosting algebra rides the pinned cell table; train RMSE is monotone") {
     // the trainer's whole scale story: ONE fact scan folds to the
     // ≤|qty|×|disc| cell table at pin time, and the 3-round unrolled
