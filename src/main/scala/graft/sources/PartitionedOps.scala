@@ -368,6 +368,19 @@ object PartitionedOps extends OpModule {
     def read(s: SparkSession, root: Path, v: Int): DataFrame =
       s.read.parquet(files(root, v).map(root.resolve(_).toString): _*)
 
+    /** Every data file referenced by ANY manifest — main or branch —
+      * at `root`: [[vacuum]]'s liveness rule as a readable set, the
+      * orphan test q388's fsck runs (a data file in the dir that no
+      * manifest references is a crashed writer's garbage). */
+    def referencedFiles(root: Path): Set[String] =
+      if (!Files.exists(mdir(root))) Set.empty
+      else Files.list(mdir(root)).iterator.asScala
+        .map(_.getFileName.toString)
+        .filter(_.matches(".*v\\d+\\.manifest"))
+        .flatMap(n => new String(
+          Files.readAllBytes(mdir(root).resolve(n)), "UTF-8")
+          .split("\n").filter(_.nonEmpty)).toSet
+
     /** Deletes manifests older than the last `keep` and every data file
       * referenced by NO kept manifest; returns (deleted data files,
       * dropped versions). Idempotent; never touches a kept manifest's

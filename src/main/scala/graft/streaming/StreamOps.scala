@@ -1041,6 +1041,93 @@ object StreamOps extends OpModule {
     }.reduce(_ unionAll _).orderBy("version")
   }
 
+  /** Per-kind MULTISET delta between two committed model versions —
+    * the PROMOTE-PUSH primitive (added r19): a serving layer holding
+    * `prev` applies (removed, added) instead of reloading the full
+    * next model, so the nightly push ships O(day churn) rows, not
+    * O(model) — at the 10⁹-vector census point (side ≈ 1.18 GB,
+    * ProbeRouterBuild) that is the difference between re-shipping a
+    * gigabyte per promote and shipping the day's admits. Exact
+    * multiset semantics (never a hash fingerprint, the house rule):
+    * both sides fold to per-row counts on the FULL 5-column row —
+    * kind, id, cid, nv, xi — one hash aggregate each and one full
+    * join, so the delta costs two model scans, never a corpus pass.
+    * added = Σ max(next−prev, 0), removed = Σ max(prev−next, 0) per
+    * row; carried = rows_prev − removed (= the multiset
+    * intersection, so rows_next = carried + added holds by
+    * construction — the apply-the-delta identity a push consumer
+    * relies on). */
+  private[graft] def modelChurnByKind(prev: DataFrame,
+                                      next: DataFrame): DataFrame = {
+    val key = Seq("kind", "id", "cid", "nv", "xi")
+    def counted(df: DataFrame, as: String) =
+      df.select(key.map(col): _*).groupBy(key.map(col): _*)
+        .agg(count(lit(1)).as(as))
+    counted(prev, "pc").join(counted(next, "nc"), key, "full")
+      .groupBy("kind")
+      .agg(sum(coalesce(col("pc"), lit(0L))).as("rows_prev"),
+           sum(coalesce(col("nc"), lit(0L))).as("rows_next"),
+           sum(greatest(coalesce(col("nc"), lit(0L)) -
+                        coalesce(col("pc"), lit(0L)), lit(0L)))
+             .as("added"),
+           sum(greatest(coalesce(col("pc"), lit(0L)) -
+                        coalesce(col("nc"), lit(0L)), lit(0L)))
+             .as("removed"))
+      .select(col("kind"), col("rows_prev"), col("rows_next"),
+              (col("rows_prev") - col("removed")).as("carried"),
+              col("added"), col("removed"))
+  }
+
+  /** One committed log's INTEGRITY row (q388's per-log fsck, factored
+    * so GateModelSpec can run it over a deliberately broken scratch
+    * copy): walks the manifest chain and the data dir, never the row
+    * data — cost is O(files), independent of volume.
+    *   - contiguous: the main version chain has no gap (a missing
+    *     manifest between min and max means a reader's time travel
+    *     silently skips a version)
+    *   - manifests_complete: every file every MAIN manifest lists
+    *     exists on disk (a vacuum bug or stray delete = partial read)
+    *   - no_orphans: every data file in the dir is referenced by some
+    *     manifest, main or branch (orphans = a crashed writer's
+    *     garbage, space that retention will never reclaim)
+    *   - pins_total / valid_pins: every pin file DISCOVERED under
+    *     `_pins/` (never a caller-declared list — a stray deployment's
+    *     pin must be audited, not skipped) vs how many of them name a
+    *     COMMITTED version (a pin outside the chain means a
+    *     deployment serving nothing; the healthy invariant is
+    *     pins_total == valid_pins)
+    * Returns (contiguous, manifests_complete, no_orphans, pins_total,
+    * valid_pins). */
+  private[graft] def fsckLogRow(root: java.nio.file.Path)
+      : (Long, Long, Long, Long, Long) = {
+    val SnapshotLog = graft.sources.PartitionedOps.SnapshotLog
+    import scala.jdk.CollectionConverters._
+    val vs = SnapshotLog.versions(root)
+    val contiguous =
+      if (vs.nonEmpty && vs == (vs.head to vs.last)) 1L else 0L
+    val complete = if (vs.forall(v => SnapshotLog.files(root, v)
+          .forall(n => java.nio.file.Files.exists(root.resolve(n)))))
+      1L else 0L
+    val referenced = SnapshotLog.referencedFiles(root)
+    val orphans = java.nio.file.Files.list(root).iterator.asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(_.getFileName.toString)
+      .count(n => n.endsWith(".parquet") && !referenced.contains(n))
+    val pinDir = root.resolve("_pins")
+    val deployments =
+      if (!java.nio.file.Files.exists(pinDir)) Seq.empty[String]
+      else java.nio.file.Files.list(pinDir).iterator.asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(_.getFileName.toString)
+        .filterNot(_.endsWith(".tmp")).toSeq
+    val validPins = deployments.count { dep =>
+      scala.util.Try(gateModelPin(root, dep)).toOption
+        .exists(vs.contains)
+    }
+    (contiguous, complete, if (orphans == 0) 1L else 0L,
+     deployments.size.toLong, validPins.toLong)
+  }
+
   /** File-source event stream with µs event time (ns parquet → µs). */
   private def eventStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -1914,6 +2001,87 @@ object StreamOps extends OpModule {
         lit(admitsAfter).as("admits_after"))
     },
 
+    // PROMOTE-PUSH CHURN (added r19 — the round's own lever, the
+    // number q385's fixpoint story was missing at the STATE level):
+    // the q382/q385 diffs certify DECISION stability across a
+    // promote; this certifies what the promote costs to SHIP. Per
+    // kind and per promote hop, the exact multiset delta between the
+    // committed model versions — v1→v2 (the intake re-cell: the big
+    // hop, members re-assigned, admits join) and v2→v3 (the cycle
+    // log's steady-state hop: at sf0.01 the delta is 5 added / 0
+    // removed rows against a 971-row model — day-2's readmitted
+    // borderline arrivals and NOTHING else, the state-level floor
+    // matching q385's 0-flip decision floor). The operational point:
+    // a serving layer applies (removed, added) instead of reloading —
+    // at the census point the nightly push ships the day's churn, not
+    // a 1.18 GB side. rows_next = carried + added by construction
+    // (the apply identity); both hops read COMMITTED versions only,
+    // never recompute a model ([[modelChurnByKind]], two model scans
+    // per hop, no corpus pass).
+    "q387_model_churn" -> { (s, d) =>
+      val SnapshotLog = graft.sources.PartitionedOps.SnapshotLog
+      val root = gateModelRoot(s, d)
+      val cyc = gateCycleModelRoot(s, d)
+      val cols = Seq("kind", "id", "cid", "nv", "xi")
+      val m1 = SnapshotLog.read(s, root, 1).select(cols.map(col): _*)
+      val m2 = SnapshotLog.read(s, root, 2).select(cols.map(col): _*)
+      val m3 = SnapshotLog.read(s, cyc, 3).select(cols.map(col): _*)
+      def hop(from: Long, to: Long, p: DataFrame, n: DataFrame) =
+        modelChurnByKind(p, n)
+          .select(lit(from).as("from_version"), lit(to).as("to_version"),
+                  col("kind"), col("rows_prev"), col("rows_next"),
+                  col("carried"), col("added"), col("removed"))
+      hop(1L, 2L, m1, m2).unionByName(hop(2L, 3L, m2, m3))
+        .orderBy("from_version", "kind")
+    },
+
+    // GATE-FAMILY FSCK (added r19 — the operational capstone: the
+    // integrity audit an on-call runs over the family's FOUR
+    // committed logs before trusting any of the serving/promote
+    // queries above). Engine side is a real filesystem audit
+    // ([[fsckLogRow]], O(files) — never reads row data): main-chain
+    // contiguity, every manifest-listed file present, zero orphan
+    // data files (main AND branch manifests count as references,
+    // [[graft.sources.PartitionedOps.SnapshotLog.referencedFiles]]),
+    // and every pin DISCOVERED under `_pins/` naming a committed
+    // version (the model log carries the prod and cycle deployments'
+    // pins — the pin is DATA since r19, so a bad pin is a config
+    // corruption this audit must catch, and discovery means a STRAY
+    // deployment's pin is audited too, never skipped because the
+    // caller didn't expect it). Content check: the LATEST version of each
+    // log read back and counted — the oracle restates all four
+    // censuses from first principles off the one shared CTE chain, so
+    // a log serving wrong CONTENT fails here even with perfect
+    // manifests. Version NUMBERS stay out of the report row — the
+    // admit chain's length is staging-geometry-dependent (the r18
+    // ADVICE lesson); the booleans and censuses are not.
+    "q388_gate_fsck" -> { (s, d) =>
+      val SnapshotLog = graft.sources.PartitionedOps.SnapshotLog
+      // force the full family build chain first: the cycle log's
+      // build runs the day-2 drain, which re-pins the cycle
+      // deployment on the model log — the pin q388 then audits
+      val modelRoot = gateModelRoot(s, d)
+      val cycRoot = gateCycleModelRoot(s, d)
+      val logs = Seq(
+        ("admit", gateAdmitRoot(s, d)),
+        ("admit_day2", gateAdmitDay2Root(s, d)),
+        ("cycle_model", cycRoot),
+        ("model", modelRoot))
+      logs.map { case (name, root) =>
+        val (contiguous, complete, noOrphans, pinsTotal, validPins) =
+          fsckLogRow(root)
+        val latestRows =
+          SnapshotLog.read(s, root, SnapshotLog.latest(root)).count()
+        s.range(1).select(lit(name).as("log"),
+          lit(latestRows).as("latest_rows"),
+          lit(contiguous).as("contiguous"),
+          lit(complete).as("manifests_complete"),
+          lit(noOrphans).as("no_orphans"),
+          lit(pinsTotal).as("pins_total"),
+          lit(validPins).as("valid_pins"))
+      }.reduce(_ unionByName _).orderBy("log")
+    },
+
     // ADMIT-LOG retention (added r18 — the fourth and last of the
     // gate family's logs to gain a retire step, after graph q366,
     // pack q378 and model q381): the admit drain now runs the
@@ -2577,6 +2745,50 @@ object StreamOps extends OpModule {
        |      CAST(na AS HUGEINT) * nb * 1600)""".stripMargin
   }
 
+  /** All three committed model versions' FULL 5-column row sets
+    * restated (q387/q388, appends to [[gateCycleCtes]]): mv1 = the
+    * nightly build (even members under asg + the v1 cell/router
+    * rows), mv2 = the intake rebuild (asg2 over pp + the v2 chain),
+    * mv3 = the cycle rebuild (asg3 over pp3 + the v3 chain) — each
+    * exactly the (kind, id, cid, nv, xi) frame the engine commits
+    * ([[gateRebuildModel]]'s shape), so a multiset delta over these
+    * certifies the committed bytes row for row, not a census. */
+  private lazy val gateModelRowsCtes: String =
+    s"""mv1 AS MATERIALIZED (
+       |  SELECT 'm' AS kind, a.vec_id AS id, a.cid, n.nv, e.xi
+       |    FROM asg a JOIN e ON a.vec_id = e.vec_id
+       |         JOIN nv n ON a.vec_id = n.vec_id
+       |    WHERE a.vec_id % 2 = 0
+       |  UNION ALL
+       |  SELECT 'c', cid, cid, CAST(0 AS BIGINT), ci FROM c
+       |  UNION ALL
+       |  SELECT 'o', ccid, ccid, CAST(0 AS BIGINT), cci FROM cc
+       |  UNION ALL
+       |  SELECT 'f', fa.cid, fa.ccid, CAST(0 AS BIGINT), c.ci
+       |    FROM fa JOIN c ON c.cid = fa.cid),
+       |mv2 AS MATERIALIZED (
+       |  SELECT 'm' AS kind, a.vec_id AS id, a.cid, n.nv, pp.xi
+       |    FROM asg2 a JOIN pp ON a.vec_id = pp.vec_id
+       |         JOIN nv n ON a.vec_id = n.vec_id
+       |  UNION ALL
+       |  SELECT 'c', cid, cid, CAST(0 AS BIGINT), ci FROM c2
+       |  UNION ALL
+       |  SELECT 'o', ccid, ccid, CAST(0 AS BIGINT), cci FROM cc2
+       |  UNION ALL
+       |  SELECT 'f', fa2.cid, fa2.ccid, CAST(0 AS BIGINT), c2.ci
+       |    FROM fa2 JOIN c2 ON c2.cid = fa2.cid),
+       |mv3 AS MATERIALIZED (
+       |  SELECT 'm' AS kind, a.vec_id AS id, a.cid, n.nv, pp3.xi
+       |    FROM asg3 a JOIN pp3 ON a.vec_id = pp3.vec_id
+       |         JOIN nv n ON a.vec_id = n.vec_id
+       |  UNION ALL
+       |  SELECT 'c', cid, cid, CAST(0 AS BIGINT), ci FROM c3
+       |  UNION ALL
+       |  SELECT 'o', ccid, ccid, CAST(0 AS BIGINT), cci FROM cc3
+       |  UNION ALL
+       |  SELECT 'f', fa3.cid, fa3.ccid, CAST(0 AS BIGINT), c3.ci
+       |    FROM fa3 JOIN c3 ON c3.cid = fa3.cid)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "stream_demo" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS cnt
@@ -3036,6 +3248,110 @@ object StreamOps extends OpModule {
          |       + (SELECT count(*) FROM flg
          |          WHERE b NOT IN (SELECT b FROM ret)) AS BIGINT)
          |    AS admits_after""".stripMargin
+    },
+
+    // all three committed models restated ROW FOR ROW off the shared
+    // chain, then each promote hop's per-kind multiset delta: per-row
+    // counts on the full 5-column row, full-joined, added/removed as
+    // the positive count differences — the engine's committed bytes
+    // must reproduce the delta exactly, which certifies both the
+    // re-cell hop (v1→v2) and the steady-state floor (v2→v3: day-2's
+    // readmissions and nothing else at the oracle SFs)
+    "q387_model_churn" -> {
+      s"""$twoLevelGateCtes,
+         |$gateRebuildCtes,
+         |$gateRebuildAssignCtes,
+         |$gateV2DecisionCtes,
+         |$gateCycleCtes,
+         |$gateModelRowsCtes,
+         |ch12 AS (
+         |  SELECT coalesce(p.kind, n.kind) AS kind,
+         |    sum(coalesce(p.pc, 0)) AS rows_prev,
+         |    sum(coalesce(n.nc, 0)) AS rows_next,
+         |    sum(greatest(coalesce(n.nc, 0) - coalesce(p.pc, 0), 0))
+         |      AS added,
+         |    sum(greatest(coalesce(p.pc, 0) - coalesce(n.nc, 0), 0))
+         |      AS removed
+         |  FROM (SELECT kind, id, cid, nv, xi, count(*) AS pc
+         |        FROM mv1 GROUP BY 1, 2, 3, 4, 5) p
+         |  FULL JOIN (SELECT kind, id, cid, nv, xi, count(*) AS nc
+         |             FROM mv2 GROUP BY 1, 2, 3, 4, 5) n
+         |    ON p.kind = n.kind AND p.id = n.id AND p.cid = n.cid
+         |       AND p.nv = n.nv AND p.xi = n.xi
+         |  GROUP BY 1),
+         |ch23 AS (
+         |  SELECT coalesce(p.kind, n.kind) AS kind,
+         |    sum(coalesce(p.pc, 0)) AS rows_prev,
+         |    sum(coalesce(n.nc, 0)) AS rows_next,
+         |    sum(greatest(coalesce(n.nc, 0) - coalesce(p.pc, 0), 0))
+         |      AS added,
+         |    sum(greatest(coalesce(p.pc, 0) - coalesce(n.nc, 0), 0))
+         |      AS removed
+         |  FROM (SELECT kind, id, cid, nv, xi, count(*) AS pc
+         |        FROM mv2 GROUP BY 1, 2, 3, 4, 5) p
+         |  FULL JOIN (SELECT kind, id, cid, nv, xi, count(*) AS nc
+         |             FROM mv3 GROUP BY 1, 2, 3, 4, 5) n
+         |    ON p.kind = n.kind AND p.id = n.id AND p.cid = n.cid
+         |       AND p.nv = n.nv AND p.xi = n.xi
+         |  GROUP BY 1)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS from_version,
+         |    CAST(2 AS BIGINT) AS to_version, kind,
+         |    CAST(rows_prev AS BIGINT) AS rows_prev,
+         |    CAST(rows_next AS BIGINT) AS rows_next,
+         |    CAST(rows_prev - removed AS BIGINT) AS carried,
+         |    CAST(added AS BIGINT) AS added,
+         |    CAST(removed AS BIGINT) AS removed
+         |  FROM ch12
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), CAST(3 AS BIGINT), kind,
+         |    CAST(rows_prev AS BIGINT), CAST(rows_next AS BIGINT),
+         |    CAST(rows_prev - removed AS BIGINT),
+         |    CAST(added AS BIGINT), CAST(removed AS BIGINT)
+         |  FROM ch23
+         |) ORDER BY from_version, kind""".stripMargin
+    },
+
+    // the four logs' LATEST content restated from first principles
+    // (admit = the binary-gate admitted set, day-2 = the v2 drain's
+    // readmissions, model = the full v2 row set, cycle = the full v3
+    // row set); the integrity booleans are the audit's contract — a
+    // healthy build reads all-green, and the engine side walks the
+    // real manifests/files/pins to earn them (GateModelSpec breaks a
+    // copy to prove the detectors detect)
+    "q388_gate_fsck" -> {
+      s"""$twoLevelGateCtes,
+         |$gateRebuildCtes,
+         |$gateRebuildAssignCtes,
+         |$gateV2DecisionCtes,
+         |$gateCycleCtes,
+         |$gateModelRowsCtes
+         |SELECT * FROM (
+         |  SELECT 'admit' AS log,
+         |    CAST((SELECT count(*) FROM arr)
+         |         - (SELECT count(*) FROM corp) AS BIGINT)
+         |      AS latest_rows,
+         |    CAST(1 AS BIGINT) AS contiguous,
+         |    CAST(1 AS BIGINT) AS manifests_complete,
+         |    CAST(1 AS BIGINT) AS no_orphans,
+         |    CAST(0 AS BIGINT) AS pins_total,
+         |    CAST(0 AS BIGINT) AS valid_pins
+         |  UNION ALL
+         |  SELECT 'admit_day2',
+         |    CAST((SELECT count(*) FROM adm2) AS BIGINT),
+         |    CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+         |    CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |  UNION ALL
+         |  SELECT 'cycle_model',
+         |    CAST((SELECT count(*) FROM mv3) AS BIGINT),
+         |    CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+         |    CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |  UNION ALL
+         |  SELECT 'model',
+         |    CAST((SELECT count(*) FROM mv2) AS BIGINT),
+         |    CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+         |    CAST(2 AS BIGINT), CAST(2 AS BIGINT)
+         |) ORDER BY log""".stripMargin
     },
 
     // per arrival, the strongest qualifying pair's cross-multiplied

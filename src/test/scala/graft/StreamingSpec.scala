@@ -751,51 +751,6 @@ class StreamingSpec extends SparkSpecBase {
     assert(SnapshotLog.versions(live) == vs, "q383 touched the live log")
   }
 
-  test("gate-model log: deployments read the PIN, v2 is invisible, unknown versions tolerated") {
-    val SnapshotLog = sources.PartitionedOps.SnapshotLog
-    val simx = operators.SimilarityExtOps
-    // force the full log (v1 + v2), then verify the pinned read still
-    // serves v1's content — the q345 deployment's claim
-    val root = streaming.StreamOps.gateModelRoot(spark, sf)
-    assert(SnapshotLog.latest(root) >= 2, "rebuild never landed v2")
-    val pinned = SnapshotLog.read(spark, root,
-      streaming.StreamOps.gateModelPin(root))
-    val idxT = simx.semDedupTwoIndexTable(spark, sf)
-    val live = spark.table(idxT)
-      .select("kind", "id", "cid", "nv", "xi")
-    assert(pinned.count() == live.count() &&
-             pinned.except(live).isEmpty && live.except(pinned).isEmpty,
-           "pinned v1 drifted from the nightly two-level model")
-    // v2 differs from v1 (the rebuild admitted something) — the pin
-    // is load-bearing, not vacuous
-    val v2 = SnapshotLog.read(spark, root, 2)
-    assert(v2.where(col("kind") === "m" && col("id") % 2 === 1)
-             .count() > 0, "v2 holds no admitted members — vacuous pin")
-    // unknown-version tolerance: a copy carrying a hand-committed v3
-    // must surface as an explicit unknown-tier row, never a crash
-    val copy = Files.createTempDirectory("graft_modellog_unknown")
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(root).iterator.asScala
-      .filter(java.nio.file.Files.isRegularFile(_))
-      .foreach { p =>
-        val rel = root.relativize(p)
-        val dst = copy.resolve(rel.toString)
-        java.nio.file.Files.createDirectories(dst.getParent)
-        java.nio.file.Files.copy(p, dst)
-      }
-    val extra = SnapshotLog.addFiles(spark, copy, "m3",
-      pinned.limit(5))
-    SnapshotLog.commitVersion(copy, 3, extra)
-    val report = streaming.StreamOps.modelLogReport(spark, copy)
-      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
-    assert(report(3L) == "unknown_v3",
-           s"unknown version not tolerated: $report")
-    // crash window on the MODEL log: orphan files never advance it
-    SnapshotLog.addFiles(spark, copy, "m4", pinned.limit(1))
-    assert(SnapshotLog.latest(copy) == 3,
-           "orphan model files advanced the log")
-  }
-
   test("q330 shape: PIT enrichment is batch-equal under multi-batch drains") {
     // the declared q330 drains its staged dir in one AvailableNow
     // batch at test SF; the row-local claim ("any micro-batch split
