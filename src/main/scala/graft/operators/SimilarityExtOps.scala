@@ -3852,6 +3852,125 @@ object SimilarityExtOps extends OpModule {
        |  FROM cs$tag c JOIN fin$tag a ON c.i = a.i
        |                JOIN fin$tag b ON c.j = b.i)""".stripMargin
 
+  /** The cert-slice two-assigner chain shared VERBATIM by the three
+    * certification oracles (q370/q376/q380 — one definition, the r18
+    * ADVICE discipline applied to the 3.3 KB the texts repeated): the
+    * declared <4096 slice e, the hybrid k, cells c, the FLAT assigner
+    * asgf, the coarse level (kcv/cc/fa), the routed assigner
+    * ac→asgt, norms nv, and the flat side's capped members memf +
+    * arrival pairs arrf. */
+  private lazy val twoLevelCertSliceCtes: String =
+    s"""e AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+       |      AS xi
+       |  FROM embeddings WHERE vec_id <> 0 AND vec_id < 4096),
+       |kv AS (SELECT greatest(
+       |         CAST(ceil(sqrt(count(*))) AS BIGINT),
+       |         CAST((count(*) + 7) // 8 AS BIGINT)) AS k
+       |       FROM e WHERE vec_id % 2 = 0),
+       |c AS MATERIALIZED (SELECT vec_id AS cid, xi AS ci FROM e, kv
+       |      WHERE vec_id % 2 = 0 AND vec_id <= 2 * k),
+       |asgf AS MATERIALIZED (SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        CAST(list_sum(list_transform(range(1, 65),
+       |          j -> (e.xi[j] - c.ci[j]) * (e.xi[j] - c.ci[j])))
+       |          AS BIGINT), c.cid) AS rn
+       |    FROM e, c) WHERE rn = 1),
+       |kcv AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS kc
+       |        FROM c),
+       |cc AS MATERIALIZED (SELECT cid AS ccid, ci AS cci
+       |      FROM c, kcv WHERE cid <= 2 * kc),
+       |fa AS MATERIALIZED (SELECT cid, ccid FROM (
+       |    SELECT c.cid, cc.ccid,
+       |      row_number() OVER (PARTITION BY c.cid ORDER BY
+       |        CAST(list_sum(list_transform(range(1, 65),
+       |          j -> (c.ci[j] - cc.cci[j]) * (c.ci[j] - cc.cci[j])))
+       |          AS BIGINT), cc.ccid) AS rn
+       |    FROM c, cc) WHERE rn <= $TwoLevelRep),
+       |ac AS MATERIALIZED (SELECT vec_id, ccid FROM (
+       |    SELECT e.vec_id, cc.ccid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        CAST(list_sum(list_transform(range(1, 65),
+       |          j -> (e.xi[j] - cc.cci[j]) * (e.xi[j] - cc.cci[j])))
+       |          AS BIGINT), cc.ccid) AS rn
+       |    FROM e, cc) WHERE rn = 1),
+       |asgt AS MATERIALIZED (SELECT vec_id, cid FROM (
+       |    SELECT a.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        CAST(list_sum(list_transform(range(1, 65),
+       |          j -> (e.xi[j] - c.ci[j]) * (e.xi[j] - c.ci[j])))
+       |          AS BIGINT), c.cid) AS rn
+       |    FROM ac a JOIN e ON a.vec_id = e.vec_id
+       |         JOIN fa ON fa.ccid = a.ccid
+       |         JOIN c ON c.cid = fa.cid) WHERE rn = 1),
+       |nv AS (SELECT vec_id,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      j -> xi[j] * xi[j])) AS BIGINT) AS nv
+       |  FROM e),
+       |memf AS MATERIALIZED (SELECT cid, xi, nv FROM (
+       |    SELECT a.cid, e.xi, n.nv,
+       |      row_number() OVER (PARTITION BY a.cid
+       |                         ORDER BY a.vec_id) AS mrk
+       |    FROM asgf a JOIN e ON a.vec_id = e.vec_id
+       |         JOIN nv n ON a.vec_id = n.vec_id
+       |    WHERE a.vec_id % 2 = 0)
+       |  WHERE mrk <= 8),
+       |arrf AS (SELECT a.cid, a.vec_id AS b, e.xi AS xb, n.nv AS nb
+       |  FROM asgf a JOIN e ON a.vec_id = e.vec_id
+       |       JOIN nv n ON a.vec_id = n.vec_id
+       |  WHERE a.vec_id % 2 = 1)""".stripMargin
+
+  /** q376/q380's shared per-pair strength CTEs over the flat pairs:
+    * fp = dot/norms, fq = per-arrival max cross-multiplied band among
+    * qualifying pairs (q376's band lines). */
+  private lazy val twoLevelCertBandCtes: String =
+    s"""fp AS (SELECT r.b,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      j -> m.xi[j] * r.xb[j])) AS BIGINT) AS dot,
+       |    m.nv AS na, r.nb
+       |  FROM arrf r JOIN memf m ON r.cid = m.cid),
+       |fq AS MATERIALIZED (SELECT b,
+       |    max(CASE
+       |      WHEN CAST(dot AS HUGEINT) * dot * 10000 >=
+       |           CAST(na AS HUGEINT) * nb * 8100 THEN 4
+       |      WHEN CAST(dot AS HUGEINT) * dot * 10000 >=
+       |           CAST(na AS HUGEINT) * nb * 4900 THEN 3
+       |      WHEN CAST(dot AS HUGEINT) * dot * 10000 >=
+       |           CAST(na AS HUGEINT) * nb * 2500 THEN 2
+       |      ELSE 1 END) AS band
+       |  FROM fp
+       |  WHERE dot > 0 AND
+       |    CAST(dot AS HUGEINT) * dot * 10000 >=
+       |      CAST(na AS HUGEINT) * nb * 1600
+       |  GROUP BY b)""".stripMargin
+
+  /** The two-level side's capped members memt / arrival pairs arrt /
+    * flagged set flt — shared verbatim by all three cert oracles. */
+  private lazy val twoLevelCertFlagCtes: String =
+    s"""memt AS MATERIALIZED (SELECT cid, xi, nv FROM (
+       |    SELECT a.cid, e.xi, n.nv,
+       |      row_number() OVER (PARTITION BY a.cid
+       |                         ORDER BY a.vec_id) AS mrk
+       |    FROM asgt a JOIN e ON a.vec_id = e.vec_id
+       |         JOIN nv n ON a.vec_id = n.vec_id
+       |    WHERE a.vec_id % 2 = 0)
+       |  WHERE mrk <= 8),
+       |arrt AS (SELECT a.cid, a.vec_id AS b, e.xi AS xb, n.nv AS nb
+       |  FROM asgt a JOIN e ON a.vec_id = e.vec_id
+       |       JOIN nv n ON a.vec_id = n.vec_id
+       |  WHERE a.vec_id % 2 = 1),
+       |flt AS MATERIALIZED (SELECT DISTINCT b FROM (
+       |    SELECT r.b,
+       |      CAST(list_sum(list_transform(range(1, 65),
+       |        j -> m.xi[j] * r.xb[j])) AS BIGINT) AS dot,
+       |      m.nv AS na, r.nb
+       |    FROM arrt r JOIN memt m ON r.cid = m.cid)
+       |  WHERE dot > 0 AND
+       |    CAST(dot AS HUGEINT) * dot * 10000 >=
+       |      CAST(na AS HUGEINT) * nb * 1600)""".stripMargin
+
   def oracles: Map[String, String] = {
     val sigSql = (0 until Planes).map { p =>
       val dot = s"""list_sum(list_transform(range(1, 65),
@@ -4342,67 +4461,7 @@ object SimilarityExtOps extends OpModule {
       // both assigners restated over the declared slice; the flagged
       // sets and the assignment-agreement summary fold into one row
       "q370_twolevel_recall" ->
-        s"""WITH e AS MATERIALIZED (SELECT vec_id,
-           |    list_transform(embedding,
-           |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
-           |      AS xi
-           |  FROM embeddings WHERE vec_id <> 0 AND vec_id < 4096),
-           |kv AS (SELECT greatest(
-           |         CAST(ceil(sqrt(count(*))) AS BIGINT),
-           |         CAST((count(*) + 7) // 8 AS BIGINT)) AS k
-           |       FROM e WHERE vec_id % 2 = 0),
-           |c AS MATERIALIZED (SELECT vec_id AS cid, xi AS ci FROM e, kv
-           |      WHERE vec_id % 2 = 0 AND vec_id <= 2 * k),
-           |asgf AS MATERIALIZED (SELECT vec_id, cid FROM (
-           |    SELECT e.vec_id, c.cid,
-           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |        CAST(list_sum(list_transform(range(1, 65),
-           |          j -> (e.xi[j] - c.ci[j]) * (e.xi[j] - c.ci[j])))
-           |          AS BIGINT), c.cid) AS rn
-           |    FROM e, c) WHERE rn = 1),
-           |kcv AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS kc
-           |        FROM c),
-           |cc AS MATERIALIZED (SELECT cid AS ccid, ci AS cci
-           |      FROM c, kcv WHERE cid <= 2 * kc),
-           |fa AS MATERIALIZED (SELECT cid, ccid FROM (
-           |    SELECT c.cid, cc.ccid,
-           |      row_number() OVER (PARTITION BY c.cid ORDER BY
-           |        CAST(list_sum(list_transform(range(1, 65),
-           |          j -> (c.ci[j] - cc.cci[j]) * (c.ci[j] - cc.cci[j])))
-           |          AS BIGINT), cc.ccid) AS rn
-           |    FROM c, cc) WHERE rn <= $TwoLevelRep),
-           |ac AS MATERIALIZED (SELECT vec_id, ccid FROM (
-           |    SELECT e.vec_id, cc.ccid,
-           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |        CAST(list_sum(list_transform(range(1, 65),
-           |          j -> (e.xi[j] - cc.cci[j]) * (e.xi[j] - cc.cci[j])))
-           |          AS BIGINT), cc.ccid) AS rn
-           |    FROM e, cc) WHERE rn = 1),
-           |asgt AS MATERIALIZED (SELECT vec_id, cid FROM (
-           |    SELECT a.vec_id, c.cid,
-           |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
-           |        CAST(list_sum(list_transform(range(1, 65),
-           |          j -> (e.xi[j] - c.ci[j]) * (e.xi[j] - c.ci[j])))
-           |          AS BIGINT), c.cid) AS rn
-           |    FROM ac a JOIN e ON a.vec_id = e.vec_id
-           |         JOIN fa ON fa.ccid = a.ccid
-           |         JOIN c ON c.cid = fa.cid) WHERE rn = 1),
-           |nv AS (SELECT vec_id,
-           |    CAST(list_sum(list_transform(range(1, 65),
-           |      j -> xi[j] * xi[j])) AS BIGINT) AS nv
-           |  FROM e),
-           |memf AS MATERIALIZED (SELECT cid, xi, nv FROM (
-           |    SELECT a.cid, e.xi, n.nv,
-           |      row_number() OVER (PARTITION BY a.cid
-           |                         ORDER BY a.vec_id) AS mrk
-           |    FROM asgf a JOIN e ON a.vec_id = e.vec_id
-           |         JOIN nv n ON a.vec_id = n.vec_id
-           |    WHERE a.vec_id % 2 = 0)
-           |  WHERE mrk <= 8),
-           |arrf AS (SELECT a.cid, a.vec_id AS b, e.xi AS xb, n.nv AS nb
-           |  FROM asgf a JOIN e ON a.vec_id = e.vec_id
-           |       JOIN nv n ON a.vec_id = n.vec_id
-           |  WHERE a.vec_id % 2 = 1),
+        s"""WITH $twoLevelCertSliceCtes,
            |flf AS MATERIALIZED (SELECT DISTINCT b FROM (
            |    SELECT r.b,
            |      CAST(list_sum(list_transform(range(1, 65),
@@ -4412,27 +4471,7 @@ object SimilarityExtOps extends OpModule {
            |  WHERE dot > 0 AND
            |    CAST(dot AS HUGEINT) * dot * 10000 >=
            |      CAST(na AS HUGEINT) * nb * 1600),
-           |memt AS MATERIALIZED (SELECT cid, xi, nv FROM (
-           |    SELECT a.cid, e.xi, n.nv,
-           |      row_number() OVER (PARTITION BY a.cid
-           |                         ORDER BY a.vec_id) AS mrk
-           |    FROM asgt a JOIN e ON a.vec_id = e.vec_id
-           |         JOIN nv n ON a.vec_id = n.vec_id
-           |    WHERE a.vec_id % 2 = 0)
-           |  WHERE mrk <= 8),
-           |arrt AS (SELECT a.cid, a.vec_id AS b, e.xi AS xb, n.nv AS nb
-           |  FROM asgt a JOIN e ON a.vec_id = e.vec_id
-           |       JOIN nv n ON a.vec_id = n.vec_id
-           |  WHERE a.vec_id % 2 = 1),
-           |flt AS MATERIALIZED (SELECT DISTINCT b FROM (
-           |    SELECT r.b,
-           |      CAST(list_sum(list_transform(range(1, 65),
-           |        j -> m.xi[j] * r.xb[j])) AS BIGINT) AS dot,
-           |      m.nv AS na, r.nb
-           |    FROM arrt r JOIN memt m ON r.cid = m.cid)
-           |  WHERE dot > 0 AND
-           |    CAST(dot AS HUGEINT) * dot * 10000 >=
-           |      CAST(na AS HUGEINT) * nb * 1600),
+           |$twoLevelCertFlagCtes,
            |ag AS (SELECT count(*) AS vectors,
            |    sum(CASE WHEN f.cid = t.cid THEN 1 ELSE 0 END) AS agree
            |  FROM asgf f JOIN asgt t ON f.vec_id = t.vec_id)
@@ -4458,107 +4497,9 @@ object SimilarityExtOps extends OpModule {
       // cross-multiplied lines, then recall per band vs the
       // two-level flagged set
       "q376_twolevel_bands" ->
-        s"""WITH e AS MATERIALIZED (SELECT vec_id,
-           |    list_transform(embedding,
-           |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
-           |      AS xi
-           |  FROM embeddings WHERE vec_id <> 0 AND vec_id < 4096),
-           |kv AS (SELECT greatest(
-           |         CAST(ceil(sqrt(count(*))) AS BIGINT),
-           |         CAST((count(*) + 7) // 8 AS BIGINT)) AS k
-           |       FROM e WHERE vec_id % 2 = 0),
-           |c AS MATERIALIZED (SELECT vec_id AS cid, xi AS ci FROM e, kv
-           |      WHERE vec_id % 2 = 0 AND vec_id <= 2 * k),
-           |asgf AS MATERIALIZED (SELECT vec_id, cid FROM (
-           |    SELECT e.vec_id, c.cid,
-           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |        CAST(list_sum(list_transform(range(1, 65),
-           |          j -> (e.xi[j] - c.ci[j]) * (e.xi[j] - c.ci[j])))
-           |          AS BIGINT), c.cid) AS rn
-           |    FROM e, c) WHERE rn = 1),
-           |kcv AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS kc
-           |        FROM c),
-           |cc AS MATERIALIZED (SELECT cid AS ccid, ci AS cci
-           |      FROM c, kcv WHERE cid <= 2 * kc),
-           |fa AS MATERIALIZED (SELECT cid, ccid FROM (
-           |    SELECT c.cid, cc.ccid,
-           |      row_number() OVER (PARTITION BY c.cid ORDER BY
-           |        CAST(list_sum(list_transform(range(1, 65),
-           |          j -> (c.ci[j] - cc.cci[j]) * (c.ci[j] - cc.cci[j])))
-           |          AS BIGINT), cc.ccid) AS rn
-           |    FROM c, cc) WHERE rn <= $TwoLevelRep),
-           |ac AS MATERIALIZED (SELECT vec_id, ccid FROM (
-           |    SELECT e.vec_id, cc.ccid,
-           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |        CAST(list_sum(list_transform(range(1, 65),
-           |          j -> (e.xi[j] - cc.cci[j]) * (e.xi[j] - cc.cci[j])))
-           |          AS BIGINT), cc.ccid) AS rn
-           |    FROM e, cc) WHERE rn = 1),
-           |asgt AS MATERIALIZED (SELECT vec_id, cid FROM (
-           |    SELECT a.vec_id, c.cid,
-           |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
-           |        CAST(list_sum(list_transform(range(1, 65),
-           |          j -> (e.xi[j] - c.ci[j]) * (e.xi[j] - c.ci[j])))
-           |          AS BIGINT), c.cid) AS rn
-           |    FROM ac a JOIN e ON a.vec_id = e.vec_id
-           |         JOIN fa ON fa.ccid = a.ccid
-           |         JOIN c ON c.cid = fa.cid) WHERE rn = 1),
-           |nv AS (SELECT vec_id,
-           |    CAST(list_sum(list_transform(range(1, 65),
-           |      j -> xi[j] * xi[j])) AS BIGINT) AS nv
-           |  FROM e),
-           |memf AS MATERIALIZED (SELECT cid, xi, nv FROM (
-           |    SELECT a.cid, e.xi, n.nv,
-           |      row_number() OVER (PARTITION BY a.cid
-           |                         ORDER BY a.vec_id) AS mrk
-           |    FROM asgf a JOIN e ON a.vec_id = e.vec_id
-           |         JOIN nv n ON a.vec_id = n.vec_id
-           |    WHERE a.vec_id % 2 = 0)
-           |  WHERE mrk <= 8),
-           |arrf AS (SELECT a.cid, a.vec_id AS b, e.xi AS xb, n.nv AS nb
-           |  FROM asgf a JOIN e ON a.vec_id = e.vec_id
-           |       JOIN nv n ON a.vec_id = n.vec_id
-           |  WHERE a.vec_id % 2 = 1),
-           |fp AS (SELECT r.b,
-           |    CAST(list_sum(list_transform(range(1, 65),
-           |      j -> m.xi[j] * r.xb[j])) AS BIGINT) AS dot,
-           |    m.nv AS na, r.nb
-           |  FROM arrf r JOIN memf m ON r.cid = m.cid),
-           |fq AS MATERIALIZED (SELECT b,
-           |    max(CASE
-           |      WHEN CAST(dot AS HUGEINT) * dot * 10000 >=
-           |           CAST(na AS HUGEINT) * nb * 8100 THEN 4
-           |      WHEN CAST(dot AS HUGEINT) * dot * 10000 >=
-           |           CAST(na AS HUGEINT) * nb * 4900 THEN 3
-           |      WHEN CAST(dot AS HUGEINT) * dot * 10000 >=
-           |           CAST(na AS HUGEINT) * nb * 2500 THEN 2
-           |      ELSE 1 END) AS band
-           |  FROM fp
-           |  WHERE dot > 0 AND
-           |    CAST(dot AS HUGEINT) * dot * 10000 >=
-           |      CAST(na AS HUGEINT) * nb * 1600
-           |  GROUP BY b),
-           |memt AS MATERIALIZED (SELECT cid, xi, nv FROM (
-           |    SELECT a.cid, e.xi, n.nv,
-           |      row_number() OVER (PARTITION BY a.cid
-           |                         ORDER BY a.vec_id) AS mrk
-           |    FROM asgt a JOIN e ON a.vec_id = e.vec_id
-           |         JOIN nv n ON a.vec_id = n.vec_id
-           |    WHERE a.vec_id % 2 = 0)
-           |  WHERE mrk <= 8),
-           |arrt AS (SELECT a.cid, a.vec_id AS b, e.xi AS xb, n.nv AS nb
-           |  FROM asgt a JOIN e ON a.vec_id = e.vec_id
-           |       JOIN nv n ON a.vec_id = n.vec_id
-           |  WHERE a.vec_id % 2 = 1),
-           |flt AS MATERIALIZED (SELECT DISTINCT b FROM (
-           |    SELECT r.b,
-           |      CAST(list_sum(list_transform(range(1, 65),
-           |        j -> m.xi[j] * r.xb[j])) AS BIGINT) AS dot,
-           |      m.nv AS na, r.nb
-           |    FROM arrt r JOIN memt m ON r.cid = m.cid)
-           |  WHERE dot > 0 AND
-           |    CAST(dot AS HUGEINT) * dot * 10000 >=
-           |      CAST(na AS HUGEINT) * nb * 1600)
+        s"""WITH $twoLevelCertSliceCtes,
+           |$twoLevelCertBandCtes,
+           |$twoLevelCertFlagCtes
            |SELECT CAST(band AS BIGINT) AS band,
            |  count(*) AS flat_flagged,
            |  CAST(sum(CASE WHEN b IN (SELECT b FROM flt)
@@ -4573,107 +4514,9 @@ object SimilarityExtOps extends OpModule {
       // q376's band-1 recall folded into the one config row; an empty
       // band 1 reads vacuously-kept 10⁶ (the declared convention)
       "q380_router_config" ->
-        s"""WITH e AS MATERIALIZED (SELECT vec_id,
-           |    list_transform(embedding,
-           |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
-           |      AS xi
-           |  FROM embeddings WHERE vec_id <> 0 AND vec_id < 4096),
-           |kv AS (SELECT greatest(
-           |         CAST(ceil(sqrt(count(*))) AS BIGINT),
-           |         CAST((count(*) + 7) // 8 AS BIGINT)) AS k
-           |       FROM e WHERE vec_id % 2 = 0),
-           |c AS MATERIALIZED (SELECT vec_id AS cid, xi AS ci FROM e, kv
-           |      WHERE vec_id % 2 = 0 AND vec_id <= 2 * k),
-           |asgf AS MATERIALIZED (SELECT vec_id, cid FROM (
-           |    SELECT e.vec_id, c.cid,
-           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |        CAST(list_sum(list_transform(range(1, 65),
-           |          j -> (e.xi[j] - c.ci[j]) * (e.xi[j] - c.ci[j])))
-           |          AS BIGINT), c.cid) AS rn
-           |    FROM e, c) WHERE rn = 1),
-           |kcv AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS kc
-           |        FROM c),
-           |cc AS MATERIALIZED (SELECT cid AS ccid, ci AS cci
-           |      FROM c, kcv WHERE cid <= 2 * kc),
-           |fa AS MATERIALIZED (SELECT cid, ccid FROM (
-           |    SELECT c.cid, cc.ccid,
-           |      row_number() OVER (PARTITION BY c.cid ORDER BY
-           |        CAST(list_sum(list_transform(range(1, 65),
-           |          j -> (c.ci[j] - cc.cci[j]) * (c.ci[j] - cc.cci[j])))
-           |          AS BIGINT), cc.ccid) AS rn
-           |    FROM c, cc) WHERE rn <= $TwoLevelRep),
-           |ac AS MATERIALIZED (SELECT vec_id, ccid FROM (
-           |    SELECT e.vec_id, cc.ccid,
-           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |        CAST(list_sum(list_transform(range(1, 65),
-           |          j -> (e.xi[j] - cc.cci[j]) * (e.xi[j] - cc.cci[j])))
-           |          AS BIGINT), cc.ccid) AS rn
-           |    FROM e, cc) WHERE rn = 1),
-           |asgt AS MATERIALIZED (SELECT vec_id, cid FROM (
-           |    SELECT a.vec_id, c.cid,
-           |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
-           |        CAST(list_sum(list_transform(range(1, 65),
-           |          j -> (e.xi[j] - c.ci[j]) * (e.xi[j] - c.ci[j])))
-           |          AS BIGINT), c.cid) AS rn
-           |    FROM ac a JOIN e ON a.vec_id = e.vec_id
-           |         JOIN fa ON fa.ccid = a.ccid
-           |         JOIN c ON c.cid = fa.cid) WHERE rn = 1),
-           |nv AS (SELECT vec_id,
-           |    CAST(list_sum(list_transform(range(1, 65),
-           |      j -> xi[j] * xi[j])) AS BIGINT) AS nv
-           |  FROM e),
-           |memf AS MATERIALIZED (SELECT cid, xi, nv FROM (
-           |    SELECT a.cid, e.xi, n.nv,
-           |      row_number() OVER (PARTITION BY a.cid
-           |                         ORDER BY a.vec_id) AS mrk
-           |    FROM asgf a JOIN e ON a.vec_id = e.vec_id
-           |         JOIN nv n ON a.vec_id = n.vec_id
-           |    WHERE a.vec_id % 2 = 0)
-           |  WHERE mrk <= 8),
-           |arrf AS (SELECT a.cid, a.vec_id AS b, e.xi AS xb, n.nv AS nb
-           |  FROM asgf a JOIN e ON a.vec_id = e.vec_id
-           |       JOIN nv n ON a.vec_id = n.vec_id
-           |  WHERE a.vec_id % 2 = 1),
-           |fp AS (SELECT r.b,
-           |    CAST(list_sum(list_transform(range(1, 65),
-           |      j -> m.xi[j] * r.xb[j])) AS BIGINT) AS dot,
-           |    m.nv AS na, r.nb
-           |  FROM arrf r JOIN memf m ON r.cid = m.cid),
-           |fq AS MATERIALIZED (SELECT b,
-           |    max(CASE
-           |      WHEN CAST(dot AS HUGEINT) * dot * 10000 >=
-           |           CAST(na AS HUGEINT) * nb * 8100 THEN 4
-           |      WHEN CAST(dot AS HUGEINT) * dot * 10000 >=
-           |           CAST(na AS HUGEINT) * nb * 4900 THEN 3
-           |      WHEN CAST(dot AS HUGEINT) * dot * 10000 >=
-           |           CAST(na AS HUGEINT) * nb * 2500 THEN 2
-           |      ELSE 1 END) AS band
-           |  FROM fp
-           |  WHERE dot > 0 AND
-           |    CAST(dot AS HUGEINT) * dot * 10000 >=
-           |      CAST(na AS HUGEINT) * nb * 1600
-           |  GROUP BY b),
-           |memt AS MATERIALIZED (SELECT cid, xi, nv FROM (
-           |    SELECT a.cid, e.xi, n.nv,
-           |      row_number() OVER (PARTITION BY a.cid
-           |                         ORDER BY a.vec_id) AS mrk
-           |    FROM asgt a JOIN e ON a.vec_id = e.vec_id
-           |         JOIN nv n ON a.vec_id = n.vec_id
-           |    WHERE a.vec_id % 2 = 0)
-           |  WHERE mrk <= 8),
-           |arrt AS (SELECT a.cid, a.vec_id AS b, e.xi AS xb, n.nv AS nb
-           |  FROM asgt a JOIN e ON a.vec_id = e.vec_id
-           |       JOIN nv n ON a.vec_id = n.vec_id
-           |  WHERE a.vec_id % 2 = 1),
-           |flt AS MATERIALIZED (SELECT DISTINCT b FROM (
-           |    SELECT r.b,
-           |      CAST(list_sum(list_transform(range(1, 65),
-           |        j -> m.xi[j] * r.xb[j])) AS BIGINT) AS dot,
-           |      m.nv AS na, r.nb
-           |    FROM arrt r JOIN memt m ON r.cid = m.cid)
-           |  WHERE dot > 0 AND
-           |    CAST(dot AS HUGEINT) * dot * 10000 >=
-           |      CAST(na AS HUGEINT) * nb * 1600),
+        s"""WITH $twoLevelCertSliceCtes,
+           |$twoLevelCertBandCtes,
+           |$twoLevelCertFlagCtes,
            |ag AS (SELECT count(*) AS vectors,
            |    sum(CASE WHEN f.cid = t.cid THEN 1 ELSE 0 END) AS agree
            |  FROM asgf f JOIN asgt t ON f.vec_id = t.vec_id)
