@@ -1830,6 +1830,25 @@ class PlanShapeSpec extends SparkSpecBase {
            "the join shape changed the assignment")
   }
 
+  test("q387: the promote-push churn reads committed model logs only — never the corpus") {
+    // the query's scale claim made test-enforced: a delta between two
+    // model versions costs two MODEL scans (the committed log files),
+    // not a corpus pass — every file scan in the executed plan must
+    // sit under a committed-log root, none under the testdata corpus
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q387_model_churn")(spark, sf)
+      val scans = df.queryExecution.executedPlan
+        .collectWithSubqueries { case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty, "q387 plan shows no file scans")
+      val corpus = scans.flatMap(_.relation.location.rootPaths)
+        .filter(_.toString.contains("/testdata/"))
+      assert(corpus.isEmpty,
+             s"q387 scanned the corpus instead of the logs: $corpus")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("fine routing table AT REST: the past-ceiling serving join reads the ccid bucketing — zero exchange on the model side") {
     // r19 (the r18 verdict's #2): the nightly model's packed fine
     // groups are COMMITTED ccid-bucketed (semDedupTwoFineTable), so
