@@ -2817,6 +2817,49 @@ object SimilarityExtOps extends OpModule {
       rows.reduce(_ unionAll _).orderBy("version")
     },
 
+    // ENGINE-WIDE LOG FSCK (added r19 — q388's audit widened to the
+    // FIVE committed SnapshotLogs outside the gate family, so every
+    // manifest chain the engine serves from passes the same
+    // integrity battery): the graph-ANN version log (q342/q350/q366),
+    // the pack-manifest log (q372/q378), and the three snapshot-table
+    // fixtures — the post-vacuum events log (q167: versions start at
+    // 2, which contiguity must ACCEPT — a retention-trimmed history
+    // is gapless, not broken), the branched orders log (q335: dev's
+    // branch-only files are referenced by BRANCH manifests, which the
+    // orphan detector must count as live — exactly the vacuum union
+    // rule as an audit), and the merged orders log (q336). Same row
+    // shape and detectors as q388 ([[graft.streaming.StreamOps
+    // .fsckLogRow]]: O(files), never reads row data); none of these
+    // logs carries deployment pins, so pins_total = valid_pins = 0.
+    // The oracle restates each latest census from first principles
+    // (the graph build chain, the token-sum pack arithmetic, the
+    // orders/events slices).
+    "q389_log_fsck" -> { (s, d) =>
+      val P = graft.sources.PartitionedOps
+      val logs = Seq(
+        ("graph", graphVersionRoot(s, d)),
+        ("pack", graft.operators.TextExtOps.packLogRoot(s, d)),
+        ("snap_branch",
+         java.nio.file.Paths.get(P.branchedOrdersDir(s, d))),
+        ("snap_events",
+         java.nio.file.Paths.get(P.snapshotEventsDir(s, d))),
+        ("snap_merge",
+         java.nio.file.Paths.get(P.mergedOrdersDir(s, d))))
+      logs.map { case (name, root) =>
+        val (contiguous, complete, noOrphans, pinsTotal, validPins) =
+          graft.streaming.StreamOps.fsckLogRow(root)
+        val latestRows =
+          P.SnapshotLog.read(s, root, P.SnapshotLog.latest(root)).count()
+        s.range(1).select(lit(name).as("log"),
+          lit(latestRows).as("latest_rows"),
+          lit(contiguous).as("contiguous"),
+          lit(complete).as("manifests_complete"),
+          lit(noOrphans).as("no_orphans"),
+          lit(pinsTotal).as("pins_total"),
+          lit(validPins).as("valid_pins"))
+      }.reduce(_ unionByName _).orderBy("log")
+    },
+
     // Matryoshka dimension-truncation recall (added r15; Kusupati et
     // al. 2022's MRL evaluation as an ATTESTATION over this corpus) —
     // the production knob every embedding index weighs: a prefix-
@@ -4737,6 +4780,52 @@ object SimilarityExtOps extends OpModule {
            |  SELECT CAST(3 AS BIGINT), 'graph_insert', 'kept',
            |    (SELECT count(*) FROM imrg))
            |ORDER BY version""".stripMargin,
+
+      // every latest census from first principles: the graph log's v3
+      // = the post-insert merged edge set (the q366 chain), the pack
+      // log's v2 = the 1024-token chunk count, the snapshot fixtures
+      // = their defining orders/events slices; the integrity booleans
+      // are the audit contract (GateModelSpec proves the detectors on
+      // broken copies; these five logs ship healthy)
+      "q389_log_fsck" ->
+        s"""WITH $beamGraphCte,
+           |${beamGraphCteOn("i", " AND vec_id % 2 = 0",
+                             s"vec_id < ${2 * Cents}")},
+           |${graphInsertCte("i")},
+           |t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
+           |    AS tok FROM documents),
+           |ts AS (SELECT CAST(sum(tok) AS BIGINT) AS tot FROM t)
+           |SELECT * FROM (
+           |  SELECT 'graph' AS log,
+           |    CAST((SELECT count(*) FROM imrg) AS BIGINT)
+           |      AS latest_rows,
+           |    CAST(1 AS BIGINT) AS contiguous,
+           |    CAST(1 AS BIGINT) AS manifests_complete,
+           |    CAST(1 AS BIGINT) AS no_orphans,
+           |    CAST(0 AS BIGINT) AS pins_total,
+           |    CAST(0 AS BIGINT) AS valid_pins
+           |  UNION ALL
+           |  SELECT 'pack',
+           |    CAST((SELECT (tot + 1023) // 1024 FROM ts) AS BIGINT),
+           |    CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+           |    CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+           |  UNION ALL
+           |  SELECT 'snap_branch',
+           |    CAST((SELECT count(*) FROM orders
+           |          WHERE o_orderkey % 4 IN (0, 1, 3)) AS BIGINT),
+           |    CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+           |    CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+           |  UNION ALL
+           |  SELECT 'snap_events',
+           |    CAST((SELECT count(*) FROM events) AS BIGINT),
+           |    CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+           |    CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+           |  UNION ALL
+           |  SELECT 'snap_merge',
+           |    CAST((SELECT count(*) FROM orders) AS BIGINT),
+           |    CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+           |    CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+           |) ORDER BY log""".stripMargin,
 
       // both attestations restated (q352's truncated tiers + q353's
       // quantized re-rank), then the config construction: bytes =
