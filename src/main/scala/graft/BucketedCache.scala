@@ -75,6 +75,50 @@ object BucketedCache {
     s"graft_${name}_${sfKey}_${corpusFingerprint(sfDir)}"
   }
 
+  /** One artifact's COMMIT + LAYOUT audit (q390's per-artifact fsck,
+    * the [[graft.streaming.StreamOps.fsckLogRow]] discipline applied
+    * to the cache: O(files), never reads row data). Walks the
+    * published dir behind catalog table `tbl` (the inverse of
+    * [[tableName]]'s path formula — and since the name EMBEDS the
+    * corpus's current fingerprint, auditing the reconstructed path is
+    * itself the freshness check: a stale build lives under a
+    * different fingerprint and would simply not be here):
+    *   - committed: the `_SUCCESS` commit record exists — absent
+    *     means a torn publish (the rename-commit protocol's one
+    *     invariant; CacheFsckSpec proves the detector on a fake dir)
+    *   - bucketed_ok: every data file carries a Spark bucket-id
+    *     suffix (`_NNNNN.c`) in [0, declaredBuckets) — a file written
+    *     WITHOUT bucketing (a by-hand drop, a non-bucketed rebuild)
+    *     would join reads silently un-co-located, which is exactly
+    *     the regression the bucketed layout exists to prevent
+    * Returns (committed, bucketed_ok). */
+  private[graft] def fsckArtifact(tbl: String, declaredBuckets: Int)
+      : (Long, Long) = {
+    val path = java.nio.file.Paths.get(
+      s"${sys.props("java.io.tmpdir")}/graft_bucket_" +
+        tbl.stripPrefix("graft_"))
+    val committed =
+      if (java.nio.file.Files.exists(path.resolve("_SUCCESS"))) 1L
+      else 0L
+    import scala.jdk.CollectionConverters._
+    val dataFiles =
+      if (!java.nio.file.Files.isDirectory(path)) Seq.empty[String]
+      else scala.util.Using.resource(
+          java.nio.file.Files.list(path)) { st =>
+        st.iterator.asScala
+          .map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).toSeq
+      }
+    val bucketIds = dataFiles.flatMap { n =>
+      "_(\\d{5})\\.c".r.findFirstMatchIn(n).map(_.group(1).toInt)
+    }
+    val bucketedOk =
+      if (dataFiles.nonEmpty && bucketIds.size == dataFiles.size &&
+          bucketIds.forall(b => b >= 0 && b < declaredBuckets)) 1L
+      else 0L
+    (committed, bucketedOk)
+  }
+
   /** Ensures a `buckets`-bucketed, key-sorted parquet table built from
     * `build` exists for (name, sfDir) at the corpus's current
     * fingerprint and is registered in `s`'s catalog. `columnsDdl` is

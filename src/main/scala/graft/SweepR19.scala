@@ -27,7 +27,8 @@ object SweepR19 {
       "q375_gate_rebuild", "q377_model_promote", "q380_router_config",
       "q381_modellog_vacuum", "q382_repin_diff", "q383_admitlog_vacuum",
       "q384_banded_admit", "q385_promote_cycle", "q386_flagged_rejudge",
-      "q387_model_churn", "q388_gate_fsck", "q389_log_fsck")
+      "q387_model_churn", "q388_gate_fsck", "q389_log_fsck",
+      "q390_cache_fsck")
     val dirs0 = Seq("/root/testdata/sf0.1", "/tmp/sf10x13", "/tmp/sf100x")
     val dirs = if (args.exists(_.startsWith("/")))
                  args.filter(_.startsWith("/")).toSeq

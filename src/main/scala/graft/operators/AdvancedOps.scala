@@ -63,7 +63,8 @@ object AdvancedOps extends OpModule {
   /** Ensures the two bucketed tables exist for this (session, sfDir).
     * All the write-once / atomic-rename / external-registration
     * machinery lives in [[graft.BucketedCache]]. */
-  private def bucketedTables(s: SparkSession, d: String): (String, String) = (
+  private[graft] def bucketedTables(s: SparkSession, d: String)
+      : (String, String) = (
     graft.BucketedCache.ensure(s, d, "li_bucketed",
         "l_orderkey BIGINT, l_quantity DOUBLE", "l_orderkey", 8)(
       Tables(s, d, "lineitem").select("l_orderkey", "l_quantity")),

@@ -374,12 +374,14 @@ object PartitionedOps extends OpModule {
       * manifest references is a crashed writer's garbage). */
     def referencedFiles(root: Path): Set[String] =
       if (!Files.exists(mdir(root))) Set.empty
-      else Files.list(mdir(root)).iterator.asScala
-        .map(_.getFileName.toString)
-        .filter(_.matches(".*v\\d+\\.manifest"))
-        .flatMap(n => new String(
-          Files.readAllBytes(mdir(root).resolve(n)), "UTF-8")
-          .split("\n").filter(_.nonEmpty)).toSet
+      else scala.util.Using.resource(Files.list(mdir(root))) { st =>
+        st.iterator.asScala
+          .map(_.getFileName.toString)
+          .filter(_.matches(".*v\\d+\\.manifest"))
+          .flatMap(n => new String(
+            Files.readAllBytes(mdir(root).resolve(n)), "UTF-8")
+            .split("\n").filter(_.nonEmpty)).toSet
+      }
 
     /** Deletes manifests older than the last `keep` and every data file
       * referenced by NO kept manifest; returns (deleted data files,

@@ -1109,17 +1109,23 @@ object StreamOps extends OpModule {
           .forall(n => java.nio.file.Files.exists(root.resolve(n)))))
       1L else 0L
     val referenced = SnapshotLog.referencedFiles(root)
-    val orphans = java.nio.file.Files.list(root).iterator.asScala
-      .filter(java.nio.file.Files.isRegularFile(_))
-      .map(_.getFileName.toString)
-      .count(n => n.endsWith(".parquet") && !referenced.contains(n))
+    val orphans =
+      scala.util.Using.resource(java.nio.file.Files.list(root)) { st =>
+        st.iterator.asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(_.getFileName.toString)
+          .count(n => n.endsWith(".parquet") && !referenced.contains(n))
+      }
     val pinDir = root.resolve("_pins")
     val deployments =
       if (!java.nio.file.Files.exists(pinDir)) Seq.empty[String]
-      else java.nio.file.Files.list(pinDir).iterator.asScala
-        .filter(java.nio.file.Files.isRegularFile(_))
-        .map(_.getFileName.toString)
-        .filterNot(_.endsWith(".tmp")).toSeq
+      else scala.util.Using.resource(
+          java.nio.file.Files.list(pinDir)) { st =>
+        st.iterator.asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(_.getFileName.toString)
+          .filterNot(_.endsWith(".tmp")).toSeq
+      }
     val validPins = deployments.count { dep =>
       scala.util.Try(gateModelPin(root, dep)).toOption
         .exists(vs.contains)
@@ -2080,6 +2086,44 @@ object StreamOps extends OpModule {
           lit(pinsTotal).as("pins_total"),
           lit(validPins).as("valid_pins"))
       }.reduce(_ unionByName _).orderBy("log")
+    },
+
+    // CACHE-ARTIFACT FSCK (added r19 — the audit's third tier, after
+    // q388's gate logs and q389's engine logs: the fingerprint-keyed
+    // BucketedCache artifacts that back serving joins and index
+    // probes). Per artifact: the `_SUCCESS` commit record (a torn
+    // publish = the rename-commit protocol's one observable failure),
+    // every data file carrying a Spark bucket-id suffix inside the
+    // declared bucket count (a file landed WITHOUT bucketing would
+    // silently un-co-locate the joins the layout exists for), and the
+    // row census read back — freshness is carried by CONSTRUCTION:
+    // the table name embeds the corpus fingerprint, so the audited
+    // path IS the current corpus's build ([[graft.BucketedCache
+    // .fsckArtifact]], O(files)). Audited set: the q59 co-located
+    // join pair (8 buckets on the join keys) and the gate family's
+    // two at-rest serving artifacts (32 buckets on cid/ccid — the
+    // serving-join distribution the r19 layout work committed). The
+    // oracle restates all four censuses: lineitem/orders counts and
+    // the two-level model's algebra (members + cells + coarse +
+    // routing rows; fine groups = distinct routed ccids).
+    "q390_cache_fsck" -> { (s, d) =>
+      val simx = graft.operators.SimilarityExtOps
+      val (liT, orT) = graft.operators.AdvancedOps.bucketedTables(s, d)
+      val arts = Seq(
+        ("li_bucketed", liT, 8),
+        ("or_bucketed", orT, 8),
+        ("semtwofine", simx.semDedupTwoFineTable(s, d), 32),
+        ("semtwoidx", simx.semDedupTwoIndexTable(s, d), 32))
+      arts.map { case (name, tbl, buckets) =>
+        val (committed, bucketedOk) =
+          graft.BucketedCache.fsckArtifact(tbl, buckets)
+        val rows = s.table(tbl).count()
+        s.range(1).select(lit(name).as("artifact"),
+          lit(rows).as("n_rows"),
+          lit(committed).as("committed"),
+          lit(bucketedOk).as("bucketed_ok"),
+          lit(buckets.toLong).as("buckets_declared"))
+      }.reduce(_ unionByName _).orderBy("artifact")
     },
 
     // ADMIT-LOG retention (added r18 — the fourth and last of the
@@ -3352,6 +3396,38 @@ object StreamOps extends OpModule {
          |    CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
          |    CAST(2 AS BIGINT), CAST(2 AS BIGINT)
          |) ORDER BY log""".stripMargin
+    },
+
+    // the four artifact censuses from first principles off the shared
+    // gate chain: the co-located join pair = the base tables'
+    // row counts; the at-rest model = members + cells + coarse +
+    // routing rows (mv1's algebra without the rebuild chains); the
+    // fine table = one row per DISTINCT routed coarse bucket
+    "q390_cache_fsck" -> {
+      s"""$twoLevelGateCtes
+         |SELECT * FROM (
+         |  SELECT 'li_bucketed' AS artifact,
+         |    CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+         |      AS n_rows,
+         |    CAST(1 AS BIGINT) AS committed,
+         |    CAST(1 AS BIGINT) AS bucketed_ok,
+         |    CAST(8 AS BIGINT) AS buckets_declared
+         |  UNION ALL
+         |  SELECT 'or_bucketed',
+         |    CAST((SELECT count(*) FROM orders) AS BIGINT),
+         |    CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(8 AS BIGINT)
+         |  UNION ALL
+         |  SELECT 'semtwofine',
+         |    CAST((SELECT count(DISTINCT ccid) FROM fa) AS BIGINT),
+         |    CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(32 AS BIGINT)
+         |  UNION ALL
+         |  SELECT 'semtwoidx',
+         |    CAST((SELECT count(*) FROM asg WHERE vec_id % 2 = 0)
+         |         + (SELECT count(*) FROM c)
+         |         + (SELECT count(*) FROM cc)
+         |         + (SELECT count(*) FROM fa) AS BIGINT),
+         |    CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(32 AS BIGINT)
+         |) ORDER BY artifact""".stripMargin
     },
 
     // per arrival, the strongest qualifying pair's cross-multiplied
