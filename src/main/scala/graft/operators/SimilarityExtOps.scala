@@ -320,6 +320,34 @@ object SimilarityExtOps extends OpModule {
     .where(length(col("t")) > 0)
     .select(col("t"), col("doc_id"), col("pos").cast("long").as("pos"))
 
+  /** q187's persisted BM25 postings artifact — (t, doc_id, tf, dl)
+    * bucketed by term so the probe prunes to its terms' buckets at
+    * planning time. Extracted r19 so q390's cache fsck can audit it
+    * by name. */
+  private[graft] def bm25PostingsTable(s: SparkSession,
+                                       d: String): String =
+    graft.BucketedCache.ensure(s, d, "postings",
+        "t STRING, doc_id BIGINT, tf BIGINT, dl BIGINT", "t", 8) {
+      Tables(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+                size(col("toks")).cast("long").as("dl"))
+        .select(col("doc_id"), col("dl"),
+                explode(col("toks")).as("t"))
+        .where(length(col("t")) > 0)
+        .groupBy("t", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+        .select("t", "doc_id", "tf", "dl")
+    }
+
+  /** q358's persisted positional postings artifact — (t, doc_id, pos)
+    * bucketed by term (same pruning contract as [[bm25PostingsTable]]).
+    * Extracted r19 for q390's audit. */
+  private[graft] def posPostingsTable(s: SparkSession,
+                                      d: String): String =
+    graft.BucketedCache.ensure(s, d, "pospost",
+      "t STRING, doc_id BIGINT, pos BIGINT", "t", 8)(
+      posPostings(Tables(s, d, "documents")))
+
   /** The phrase-match body shared VERBATIM by q354 (inline scan),
     * q358 (persisted positional index probe) and q359 (standing index
     * + arriving batch) — the q175/q187/q188 one-oracle-three-paths
@@ -2977,9 +3005,7 @@ object SimilarityExtOps extends OpModule {
     // corpus. Adjacency join + top-5 are [[phraseHits]] verbatim, so
     // the result is byte-identical to q354 (one oracle, two paths).
     "q358_phrase_index" -> { (s, d) =>
-      val posT = graft.BucketedCache.ensure(s, d, "pospost",
-          "t STRING, doc_id BIGINT, pos BIGINT", "t", 8)(
-        posPostings(Tables(s, d, "documents")))
+      val posT = posPostingsTable(s, d)
       val terms = PhraseQueries.flatMap(p => Seq(p._1, p._2)).distinct
       phraseHits(s.table(posT).where(col("t").isin(terms: _*)))
     },
@@ -3164,18 +3190,7 @@ object SimilarityExtOps extends OpModule {
     // full index. Scoring and output are byte-identical to q175 (one
     // oracle, two computation paths — the q82/q108 discipline).
     "q187_bm25_index" -> { (s, d) =>
-      val postT = graft.BucketedCache.ensure(s, d, "postings",
-          "t STRING, doc_id BIGINT, tf BIGINT, dl BIGINT", "t", 8) {
-        Tables(s, d, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .select(col("doc_id"), col("toks"),
-                  size(col("toks")).cast("long").as("dl"))
-          .select(col("doc_id"), col("dl"),
-                  explode(col("toks")).as("t"))
-          .where(length(col("t")) > 0)
-          .groupBy("t", "doc_id", "dl").agg(count(lit(1)).as("tf"))
-          .select("t", "doc_id", "tf", "dl")
-      }
+      val postT = bm25PostingsTable(s, d)
       val statT = graft.BucketedCache.ensure(s, d, "bmstats",
           "k BIGINT, n_docs BIGINT, tot_len BIGINT", "k", 1) {
         Tables(s, d, "documents")

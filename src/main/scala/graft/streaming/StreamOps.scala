@@ -2100,18 +2100,23 @@ object StreamOps extends OpModule {
     // the table name embeds the corpus fingerprint, so the audited
     // path IS the current corpus's build ([[graft.BucketedCache
     // .fsckArtifact]], O(files)). Audited set: the q59 co-located
-    // join pair (8 buckets on the join keys) and the gate family's
-    // two at-rest serving artifacts (32 buckets on cid/ccid — the
-    // serving-join distribution the r19 layout work committed). The
-    // oracle restates all four censuses: lineitem/orders counts and
-    // the two-level model's algebra (members + cells + coarse +
-    // routing rows; fine groups = distinct routed ccids).
+    // join pair (8 buckets on the join keys), the two search-index
+    // artifacts (BM25 + positional postings, 8 buckets on term — the
+    // planning-time bucket pruning q187/q358 rely on), and the gate
+    // family's two at-rest serving artifacts (32 buckets on cid/ccid
+    // — the serving-join distribution the r19 layout work committed).
+    // The oracle restates all six censuses: base-table counts, the
+    // token-occurrence / distinct-(term,doc) arithmetic over
+    // documents, and the two-level model's algebra (members + cells
+    // + coarse + routing rows; fine groups = distinct routed ccids).
     "q390_cache_fsck" -> { (s, d) =>
       val simx = graft.operators.SimilarityExtOps
       val (liT, orT) = graft.operators.AdvancedOps.bucketedTables(s, d)
       val arts = Seq(
         ("li_bucketed", liT, 8),
         ("or_bucketed", orT, 8),
+        ("pospost", simx.posPostingsTable(s, d), 8),
+        ("postings", simx.bm25PostingsTable(s, d), 8),
         ("semtwofine", simx.semDedupTwoFineTable(s, d), 32),
         ("semtwoidx", simx.semDedupTwoIndexTable(s, d), 32))
       arts.map { case (name, tbl, buckets) =>
@@ -3415,6 +3420,19 @@ object StreamOps extends OpModule {
          |  UNION ALL
          |  SELECT 'or_bucketed',
          |    CAST((SELECT count(*) FROM orders) AS BIGINT),
+         |    CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(8 AS BIGINT)
+         |  UNION ALL
+         |  SELECT 'pospost',
+         |    CAST((SELECT count(*) FROM (
+         |       SELECT doc_id, unnest(string_split(text, ' ')) AS t
+         |       FROM documents) WHERE len(t) > 0) AS BIGINT),
+         |    CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(8 AS BIGINT)
+         |  UNION ALL
+         |  SELECT 'postings',
+         |    CAST((SELECT count(*) FROM (
+         |       SELECT DISTINCT t, doc_id FROM (
+         |         SELECT doc_id, unnest(string_split(text, ' ')) AS t
+         |         FROM documents) WHERE len(t) > 0)) AS BIGINT),
          |    CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(8 AS BIGINT)
          |  UNION ALL
          |  SELECT 'semtwofine',
