@@ -3916,80 +3916,89 @@ object SimilarityExtOps extends OpModule {
     * declared <4096 slice e, the hybrid k, cells c, the FLAT assigner
     * asgf, the coarse level (kcv/cc/fa), the routed assigner
     * ac→asgt, norms nv, and the flat side's capped members memf +
-    * arrival pairs arrf. */
-  private lazy val twoLevelCertSliceCtes: String =
-    s"""e AS MATERIALIZED (SELECT vec_id,
+    * arrival pairs arrf. PREFIX-PARAMETERIZED (r19, the
+    * beamGraphCteOn idiom) so a composing oracle that already uses
+    * these CTE names — q390's gate chain defines e/c/cc/fa too — can
+    * hold a `p`-prefixed copy side by side; internal qualified
+    * references stay short via self-aliases. */
+  private[graft] def certSliceCtes(p: String): String =
+    s"""${p}e AS MATERIALIZED (SELECT vec_id,
        |    list_transform(embedding,
        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
        |      AS xi
        |  FROM embeddings WHERE vec_id <> 0 AND vec_id < 4096),
-       |kv AS (SELECT greatest(
+       |${p}kv AS (SELECT greatest(
        |         CAST(ceil(sqrt(count(*))) AS BIGINT),
        |         CAST((count(*) + 7) // 8 AS BIGINT)) AS k
-       |       FROM e WHERE vec_id % 2 = 0),
-       |c AS MATERIALIZED (SELECT vec_id AS cid, xi AS ci FROM e, kv
+       |       FROM ${p}e WHERE vec_id % 2 = 0),
+       |${p}c AS MATERIALIZED (SELECT vec_id AS cid, xi AS ci
+       |      FROM ${p}e, ${p}kv
        |      WHERE vec_id % 2 = 0 AND vec_id <= 2 * k),
-       |asgf AS MATERIALIZED (SELECT vec_id, cid FROM (
+       |${p}asgf AS MATERIALIZED (SELECT vec_id, cid FROM (
        |    SELECT e.vec_id, c.cid,
        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |        CAST(list_sum(list_transform(range(1, 65),
        |          j -> (e.xi[j] - c.ci[j]) * (e.xi[j] - c.ci[j])))
        |          AS BIGINT), c.cid) AS rn
-       |    FROM e, c) WHERE rn = 1),
-       |kcv AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS kc
-       |        FROM c),
-       |cc AS MATERIALIZED (SELECT cid AS ccid, ci AS cci
-       |      FROM c, kcv WHERE cid <= 2 * kc),
-       |fa AS MATERIALIZED (SELECT cid, ccid FROM (
+       |    FROM ${p}e e, ${p}c c) WHERE rn = 1),
+       |${p}kcv AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS kc
+       |        FROM ${p}c),
+       |${p}cc AS MATERIALIZED (SELECT cid AS ccid, ci AS cci
+       |      FROM ${p}c, ${p}kcv WHERE cid <= 2 * kc),
+       |${p}fa AS MATERIALIZED (SELECT cid, ccid FROM (
        |    SELECT c.cid, cc.ccid,
        |      row_number() OVER (PARTITION BY c.cid ORDER BY
        |        CAST(list_sum(list_transform(range(1, 65),
        |          j -> (c.ci[j] - cc.cci[j]) * (c.ci[j] - cc.cci[j])))
        |          AS BIGINT), cc.ccid) AS rn
-       |    FROM c, cc) WHERE rn <= $TwoLevelRep),
-       |ac AS MATERIALIZED (SELECT vec_id, ccid FROM (
+       |    FROM ${p}c c, ${p}cc cc) WHERE rn <= $TwoLevelRep),
+       |${p}ac AS MATERIALIZED (SELECT vec_id, ccid FROM (
        |    SELECT e.vec_id, cc.ccid,
        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |        CAST(list_sum(list_transform(range(1, 65),
        |          j -> (e.xi[j] - cc.cci[j]) * (e.xi[j] - cc.cci[j])))
        |          AS BIGINT), cc.ccid) AS rn
-       |    FROM e, cc) WHERE rn = 1),
-       |asgt AS MATERIALIZED (SELECT vec_id, cid FROM (
+       |    FROM ${p}e e, ${p}cc cc) WHERE rn = 1),
+       |${p}asgt AS MATERIALIZED (SELECT vec_id, cid FROM (
        |    SELECT a.vec_id, c.cid,
        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
        |        CAST(list_sum(list_transform(range(1, 65),
        |          j -> (e.xi[j] - c.ci[j]) * (e.xi[j] - c.ci[j])))
        |          AS BIGINT), c.cid) AS rn
-       |    FROM ac a JOIN e ON a.vec_id = e.vec_id
-       |         JOIN fa ON fa.ccid = a.ccid
-       |         JOIN c ON c.cid = fa.cid) WHERE rn = 1),
-       |nv AS (SELECT vec_id,
+       |    FROM ${p}ac a JOIN ${p}e e ON a.vec_id = e.vec_id
+       |         JOIN ${p}fa fa ON fa.ccid = a.ccid
+       |         JOIN ${p}c c ON c.cid = fa.cid) WHERE rn = 1),
+       |${p}nv AS (SELECT vec_id,
        |    CAST(list_sum(list_transform(range(1, 65),
        |      j -> xi[j] * xi[j])) AS BIGINT) AS nv
-       |  FROM e),
-       |memf AS MATERIALIZED (SELECT cid, xi, nv FROM (
+       |  FROM ${p}e),
+       |${p}memf AS MATERIALIZED (SELECT cid, xi, nv FROM (
        |    SELECT a.cid, e.xi, n.nv,
        |      row_number() OVER (PARTITION BY a.cid
        |                         ORDER BY a.vec_id) AS mrk
-       |    FROM asgf a JOIN e ON a.vec_id = e.vec_id
-       |         JOIN nv n ON a.vec_id = n.vec_id
+       |    FROM ${p}asgf a JOIN ${p}e e ON a.vec_id = e.vec_id
+       |         JOIN ${p}nv n ON a.vec_id = n.vec_id
        |    WHERE a.vec_id % 2 = 0)
        |  WHERE mrk <= 8),
-       |arrf AS (SELECT a.cid, a.vec_id AS b, e.xi AS xb, n.nv AS nb
-       |  FROM asgf a JOIN e ON a.vec_id = e.vec_id
-       |       JOIN nv n ON a.vec_id = n.vec_id
+       |${p}arrf AS (SELECT a.cid, a.vec_id AS b, e.xi AS xb,
+       |    n.nv AS nb
+       |  FROM ${p}asgf a JOIN ${p}e e ON a.vec_id = e.vec_id
+       |       JOIN ${p}nv n ON a.vec_id = n.vec_id
        |  WHERE a.vec_id % 2 = 1)""".stripMargin
+
+  private lazy val twoLevelCertSliceCtes: String = certSliceCtes("")
 
   /** q376/q380's shared per-pair strength CTEs over the flat pairs:
     * fp = dot/norms, fq = per-arrival max cross-multiplied band among
-    * qualifying pairs (q376's band lines). */
-  private lazy val twoLevelCertBandCtes: String =
-    s"""fp AS (SELECT r.b,
+    * qualifying pairs (q376's band lines). Prefix-parameterized like
+    * [[certSliceCtes]]. */
+  private[graft] def certBandCtes(p: String): String =
+    s"""${p}fp AS (SELECT r.b,
        |    CAST(list_sum(list_transform(range(1, 65),
        |      j -> m.xi[j] * r.xb[j])) AS BIGINT) AS dot,
        |    m.nv AS na, r.nb
-       |  FROM arrf r JOIN memf m ON r.cid = m.cid),
-       |fq AS MATERIALIZED (SELECT b,
+       |  FROM ${p}arrf r JOIN ${p}memf m ON r.cid = m.cid),
+       |${p}fq AS MATERIALIZED (SELECT b,
        |    max(CASE
        |      WHEN CAST(dot AS HUGEINT) * dot * 10000 >=
        |           CAST(na AS HUGEINT) * nb * 8100 THEN 4
@@ -3998,36 +4007,42 @@ object SimilarityExtOps extends OpModule {
        |      WHEN CAST(dot AS HUGEINT) * dot * 10000 >=
        |           CAST(na AS HUGEINT) * nb * 2500 THEN 2
        |      ELSE 1 END) AS band
-       |  FROM fp
+       |  FROM ${p}fp
        |  WHERE dot > 0 AND
        |    CAST(dot AS HUGEINT) * dot * 10000 >=
        |      CAST(na AS HUGEINT) * nb * 1600
        |  GROUP BY b)""".stripMargin
 
+  private lazy val twoLevelCertBandCtes: String = certBandCtes("")
+
   /** The two-level side's capped members memt / arrival pairs arrt /
-    * flagged set flt — shared verbatim by all three cert oracles. */
-  private lazy val twoLevelCertFlagCtes: String =
-    s"""memt AS MATERIALIZED (SELECT cid, xi, nv FROM (
+    * flagged set flt — shared verbatim by all three cert oracles.
+    * Prefix-parameterized like [[certSliceCtes]]. */
+  private def certFlagCtes(p: String): String =
+    s"""${p}memt AS MATERIALIZED (SELECT cid, xi, nv FROM (
        |    SELECT a.cid, e.xi, n.nv,
        |      row_number() OVER (PARTITION BY a.cid
        |                         ORDER BY a.vec_id) AS mrk
-       |    FROM asgt a JOIN e ON a.vec_id = e.vec_id
-       |         JOIN nv n ON a.vec_id = n.vec_id
+       |    FROM ${p}asgt a JOIN ${p}e e ON a.vec_id = e.vec_id
+       |         JOIN ${p}nv n ON a.vec_id = n.vec_id
        |    WHERE a.vec_id % 2 = 0)
        |  WHERE mrk <= 8),
-       |arrt AS (SELECT a.cid, a.vec_id AS b, e.xi AS xb, n.nv AS nb
-       |  FROM asgt a JOIN e ON a.vec_id = e.vec_id
-       |       JOIN nv n ON a.vec_id = n.vec_id
+       |${p}arrt AS (SELECT a.cid, a.vec_id AS b, e.xi AS xb,
+       |    n.nv AS nb
+       |  FROM ${p}asgt a JOIN ${p}e e ON a.vec_id = e.vec_id
+       |       JOIN ${p}nv n ON a.vec_id = n.vec_id
        |  WHERE a.vec_id % 2 = 1),
-       |flt AS MATERIALIZED (SELECT DISTINCT b FROM (
+       |${p}flt AS MATERIALIZED (SELECT DISTINCT b FROM (
        |    SELECT r.b,
        |      CAST(list_sum(list_transform(range(1, 65),
        |        j -> m.xi[j] * r.xb[j])) AS BIGINT) AS dot,
        |      m.nv AS na, r.nb
-       |    FROM arrt r JOIN memt m ON r.cid = m.cid)
+       |    FROM ${p}arrt r JOIN ${p}memt m ON r.cid = m.cid)
        |  WHERE dot > 0 AND
        |    CAST(dot AS HUGEINT) * dot * 10000 >=
        |      CAST(na AS HUGEINT) * nb * 1600)""".stripMargin
+
+  private lazy val twoLevelCertFlagCtes: String = certFlagCtes("")
 
   def oracles: Map[String, String] = {
     val sigSql = (0 until Planes).map { p =>

@@ -2102,13 +2102,18 @@ object StreamOps extends OpModule {
     // .fsckArtifact]], O(files)). Audited set: the q59 co-located
     // join pair (8 buckets on the join keys), the two search-index
     // artifacts (BM25 + positional postings, 8 buckets on term — the
-    // planning-time bucket pruning q187/q358 rely on), and the gate
-    // family's two at-rest serving artifacts (32 buckets on cid/ccid
-    // — the serving-join distribution the r19 layout work committed).
-    // The oracle restates all six censuses: base-table counts, the
+    // planning-time bucket pruning q187/q358 rely on), the persisted
+    // router certification (1 bucket — the write-once measurement
+    // q370/q376/q380 serve from), and the gate family's two at-rest
+    // serving artifacts (32 buckets on cid/ccid — the serving-join
+    // distribution the r19 layout work committed). The oracle
+    // restates all seven censuses: base-table counts, the
     // token-occurrence / distinct-(term,doc) arithmetic over
-    // documents, and the two-level model's algebra (members + cells
-    // + coarse + routing rows; fine groups = distinct routed ccids).
+    // documents, the cert table's 1 + distinct-band algebra (off an
+    // `rc`-prefixed copy of the cert chain — the prefix
+    // parameterization exists for exactly this composition), and the
+    // two-level model's algebra (members + cells + coarse + routing
+    // rows; fine groups = distinct routed ccids).
     "q390_cache_fsck" -> { (s, d) =>
       val simx = graft.operators.SimilarityExtOps
       val (liT, orT) = graft.operators.AdvancedOps.bucketedTables(s, d)
@@ -2117,6 +2122,7 @@ object StreamOps extends OpModule {
         ("or_bucketed", orT, 8),
         ("pospost", simx.posPostingsTable(s, d), 8),
         ("postings", simx.bm25PostingsTable(s, d), 8),
+        ("routercert", simx.routerCertTable(s, d), 1),
         ("semtwofine", simx.semDedupTwoFineTable(s, d), 32),
         ("semtwoidx", simx.semDedupTwoIndexTable(s, d), 32))
       arts.map { case (name, tbl, buckets) =>
@@ -3409,7 +3415,13 @@ object StreamOps extends OpModule {
     // routing rows (mv1's algebra without the rebuild chains); the
     // fine table = one row per DISTINCT routed coarse bucket
     "q390_cache_fsck" -> {
-      s"""$twoLevelGateCtes
+      val simx = graft.operators.SimilarityExtOps
+      // the cert chain re-enters under an `rc` prefix (its CTE names
+      // e/c/cc/fa collide with the gate chain's — the prefix
+      // parameterization exists exactly for this composition)
+      s"""$twoLevelGateCtes,
+         |${simx.certSliceCtes("rc")},
+         |${simx.certBandCtes("rc")}
          |SELECT * FROM (
          |  SELECT 'li_bucketed' AS artifact,
          |    CAST((SELECT count(*) FROM lineitem) AS BIGINT)
@@ -3434,6 +3446,11 @@ object StreamOps extends OpModule {
          |         SELECT doc_id, unnest(string_split(text, ' ')) AS t
          |         FROM documents) WHERE len(t) > 0)) AS BIGINT),
          |    CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(8 AS BIGINT)
+         |  UNION ALL
+         |  SELECT 'routercert',
+         |    CAST(1 + (SELECT count(DISTINCT band) FROM rcfq)
+         |         AS BIGINT),
+         |    CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)
          |  UNION ALL
          |  SELECT 'semtwofine',
          |    CAST((SELECT count(DISTINCT ccid) FROM fa) AS BIGINT),
