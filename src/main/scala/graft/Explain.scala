@@ -22,7 +22,12 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // optional extra args: restrict to these query names (r19: per-change
+    // before/after plan dumps for plans/r19/ without a full sweep)
+    val only = args.drop(2).toSet
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         val txt = df.queryExecution.explainString(ExplainMode.fromString("formatted"))

@@ -90,14 +90,23 @@ object SimilarityExtOps extends OpModule {
       "cast(round(cast(x as double) * 1000000) as bigint))")
     def lvl1 = Tables(s, dir, "embeddings").select(qCol.as("q"))
       .select(posexplode(col("q")).as(Seq("i", "a")), col("q"))
-    val s2 = lvl1
+    // r19 optimization, exact: the Gram fold is symmetric, so only the
+    // upper triangle i ≤ j is aggregated (half the exploded rows) and
+    // mirrored below; the per-ROW product a·b runs in LONG (|a|,|b| ≤
+    // ~4e6 at the ×1e6 quantization of the bounded embedding range, so
+    // the product is ≤ ~1.6e13 at ANY corpus volume — the bound is
+    // per-row, not per-sum) and only the SUM accumulates as
+    // decimal(38,0), same exact integer total in any order.
+    val s2half = lvl1
       .select(col("i"), col("a"),
               posexplode(col("q")).as(Seq("j", "b")))
+      .where(col("j") >= col("i"))
       .groupBy("i", "j")
-      .agg(sum(col("a").cast("decimal(38,0)") * col("b")).as("s2"))
+      .agg(sum((col("a") * col("b")).cast("decimal(38,0)")).as("s2"))
       .collect().map(r => ((r.getInt(0), r.getInt(1)),
                            BigInt(r.getDecimal(2).toBigInteger)))
       .toMap
+    val s2 = s2half ++ s2half.map { case ((i, j), v) => ((j, i), v) }
     val s1rows = lvl1.groupBy("i")
       .agg(sum(col("a").cast("decimal(38,0)")).as("s1"),
            count(lit(1)).as("n"))

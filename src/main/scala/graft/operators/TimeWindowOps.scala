@@ -737,14 +737,33 @@ object TimeWindowOps extends OpModule {
                   col("dth").as("deaths")))
       sh.count(); graft.PinScope.retain(sh)
       steps.createOrReplaceTempView("graft_km_steps")
+      // r19: the KM product folds in ONE task (the oracle keeps the
+      // recursive text; each step is the same two IEEE ops in the
+      // same order — sv·((n−d)/n) with integer subtract-then-cast).
+      // Spark's recursive CTE paid one scheduler round-trip per step;
+      // the fold pays one task over the ≤|distinct days| step table.
+      locally {
+        import s.implicits._
+        s.table("graft_km_steps")
+          .select(col("k").cast("long"), col("n_risk").cast("long"),
+                  col("deaths").cast("long"))
+          .as[(Long, Long, Long)]
+          .groupByKey(_ => 0)
+          .flatMapGroups { (_: Int, it: Iterator[(Long, Long, Long)]) =>
+            val st = it.toArray.sortBy(_._1)
+            val buf = Vector.newBuilder[(Long, Double)]
+            var sv = 1.0
+            buf += ((0L, sv))
+            st.foreach { case (k, n, dd) =>
+              sv = sv * ((n - dd).toDouble / n.toDouble)
+              buf += ((k, sv))
+            }
+            buf.result().iterator
+          }.toDF("k", "sv")
+          .createOrReplaceTempView("graft_km_surv")
+      }
       s.sql("""
-        WITH RECURSIVE surv(k, sv) AS (
-          SELECT 0, CAST(1.0 AS DOUBLE)
-          UNION ALL
-          SELECT st.k,
-                 p.sv * (CAST(st.n_risk - st.deaths AS DOUBLE) /
-                         CAST(st.n_risk AS DOUBLE))
-          FROM surv p JOIN graft_km_steps st ON st.k = p.k + 1)
+        WITH surv AS (SELECT k, sv FROM graft_km_surv)
         SELECT st.t_day, st.n_risk, st.deaths, round(s.sv, 6) AS surv
         FROM surv s JOIN graft_km_steps st ON st.k = s.k
         ORDER BY st.t_day""")
@@ -969,7 +988,11 @@ object TimeWindowOps extends OpModule {
     // sums exact decimals (order-free).
     "q307_holt_forecast" -> { (s, d) =>
       holtStepsView(s, d, "graft_holt_steps")
-      s.sql("WITH RECURSIVE " + holtBody("graft_holt_steps"))
+      // r19: the recursion folds in one task per series
+      // ([[holtStatesView]]); the tail text is the oracle's own
+      holtStatesView(s, "graft_holt_steps", "graft_holt_states")
+      s.sql("WITH h AS (SELECT et, k, l, b FROM graft_holt_states),\n" +
+            holtTail("graft_holt_steps"))
     },
 
     // Holt-WINTERS additive seasonal smoothing (added r13) — q307's
@@ -995,7 +1018,11 @@ object TimeWindowOps extends OpModule {
     // earns its 7 extra state slots.
     "q316_holt_winters" -> { (s, d) =>
       holtStepsView(s, d, "graft_hw_steps")
-      s.sql("WITH RECURSIVE " + hwBody("graft_hw_steps"))
+      // r19: the recursion folds in one task per series
+      // ([[hwStatesView]]); the tail text is the oracle's own
+      hwStatesView(s, "graft_hw_steps", "graft_hw_states")
+      s.sql("WITH hw AS (SELECT et, k, l, b, s1, s2, s3, s4, s5, s6, s7" +
+            " FROM graft_hw_states),\n" + hwTail("graft_hw_steps"))
     },
 
     "q256_seasonal_index" -> { (s, d) =>
@@ -1341,6 +1368,102 @@ object TimeWindowOps extends OpModule {
     steps.createOrReplaceTempView(view)
   }
 
+  /** The [[holtBody]] recursion materialized as a per-series FOLD
+    * (r19 optimization, guide §1.2 "the distributed algorithm"):
+    * Spark 4's recursive CTE executes one job per recursion step —
+    * |days| scheduler round-trips over a ≤|days|×|types| table — so
+    * the state chain is computed instead inside ONE task per series,
+    * with the IDENTICAL IEEE double chain (same literals, same operand
+    * order as the SQL text: l' = 0.3·y + 0.7·(l+b), b' = 0.1·(l'−l) +
+    * 0.9·b, init l=y₁ double, b=(y₂−y₁) integer-subtract-then-cast).
+    * Equality is enforced three ways: the DuckDB oracle still runs the
+    * full recursive [[holtBody]] text, the q307 rows hash-match it,
+    * and the closure is bounded by the step table (state scale, never
+    * corpus scale — the fold input is the same pinned ≤|days|×|types|
+    * table the recursion consumed). */
+  private def holtStatesView(s: SparkSession, steps: String,
+                             out: String): Unit = {
+    import s.implicits._
+    val states = s.table(steps)
+      .select(col("et"), col("k").cast("long"), col("yc").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (et: String, it: Iterator[(String, Long, Long)]) =>
+        val y = it.map(t => (t._2, t._3)).toArray.sortBy(_._1).map(_._2)
+        if (y.length < 2) Iterator.empty
+        else {
+          val buf = Vector.newBuilder[(String, Long, Double, Double)]
+          var l = y(0).toDouble
+          var b = (y(1) - y(0)).toDouble
+          buf += ((et, 1L, l, b))
+          var k = 2
+          while (k <= y.length) {
+            val yk = y(k - 1).toDouble
+            val ln = 0.3 * yk + 0.7 * (l + b)
+            val bn = 0.1 * (ln - l) + 0.9 * b
+            l = ln; b = bn
+            buf += ((et, k.toLong, l, b))
+            k += 1
+          }
+          buf.result().iterator
+        }
+      }.toDF("et", "k", "l", "b")
+    states.createOrReplaceTempView(out)
+  }
+
+  /** [[hwBody]]'s triple-smoothing recursion as the same per-series
+    * fold — see [[holtStatesView]]. Init replicates the SQL exactly:
+    * integer week sums w1/w2 cast once, l = w1/7e0, b = (w2/7e0 −
+    * w1/7e0)/7e0, sᵢ = yᵢ − w1/7e0; series under 14 days drop (the
+    * HAVING count(*) = 14 gate). Step: l' = 0.2(y−s₁) + 0.8(l+b),
+    * b' = 0.1(l'−l) + 0.9b, s' = 0.05(y−l') + 0.95s₁, buffer shifts
+    * left. */
+  private def hwStatesView(s: SparkSession, steps: String,
+                           out: String): Unit = {
+    import s.implicits._
+    val states = s.table(steps)
+      .select(col("et"), col("k").cast("long"), col("yc").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (et: String, it: Iterator[(String, Long, Long)]) =>
+        val y = it.map(t => (t._2, t._3)).toArray.sortBy(_._1).map(_._2)
+        if (y.length < 14) Iterator.empty
+        else {
+          var w1 = 0L; var w2 = 0L
+          var i = 0
+          while (i < 7) { w1 += y(i); i += 1 }
+          while (i < 14) { w2 += y(i); i += 1 }
+          var l = w1.toDouble / 7e0
+          var b = (w2.toDouble / 7e0 - w1.toDouble / 7e0) / 7e0
+          val sbuf = new Array[Double](7)
+          i = 0
+          while (i < 7) { sbuf(i) = y(i).toDouble - w1.toDouble / 7e0; i += 1 }
+          val buf = Vector.newBuilder[
+            (String, Long, Double, Double, Double, Double, Double, Double,
+             Double, Double, Double)]
+          def emit(k: Long): Unit =
+            buf += ((et, k, l, b, sbuf(0), sbuf(1), sbuf(2), sbuf(3),
+                     sbuf(4), sbuf(5), sbuf(6)))
+          emit(7L)
+          var k = 8
+          while (k <= y.length) {
+            val yk = y(k - 1).toDouble
+            val s1 = sbuf(0)
+            val ln = 2e-1 * (yk - s1) + 8e-1 * (l + b)
+            val bn = 1e-1 * (ln - l) + 9e-1 * b
+            val sn = 5e-2 * (yk - ln) + 95e-2 * s1
+            System.arraycopy(sbuf, 1, sbuf, 0, 6)
+            sbuf(6) = sn
+            l = ln; b = bn
+            emit(k.toLong)
+            k += 1
+          }
+          buf.result().iterator
+        }
+      }.toDF("et", "k", "l", "b", "s1", "s2", "s3", "s4", "s5", "s6", "s7")
+    states.createOrReplaceTempView(out)
+  }
+
   /** q316's Holt-Winters recursion body (everything after `WITH
     * RECURSIVE`), parameterized by the step table's name — the SAME
     * text runs in Spark and DuckDB, so every smoothing step's double
@@ -1353,7 +1476,6 @@ object TimeWindowOps extends OpModule {
     val ss = (1 to 7)
       .map(i => s"CAST(y$i AS DOUBLE) - CAST(w1 AS DOUBLE) / 7e0 AS s$i")
       .mkString(",\n       |  ")
-    val sAll = (1 to 7).map(i => s"f.s$i").mkString(", ")
     s"""hw(et, k, l, b, s1, s2, s3, s4, s5, s6, s7) AS (
        |  SELECT et, CAST(7 AS BIGINT) AS k,
        |  CAST(w1 AS DOUBLE) / 7e0 AS l,
@@ -1375,7 +1497,15 @@ object TimeWindowOps extends OpModule {
        |            (2e-1 * (CAST(st.yc AS DOUBLE) - p.s1) +
        |             8e-1 * (p.l + p.b))) + 95e-2 * p.s1
        |  FROM hw p JOIN $steps st ON st.et = p.et AND st.k = p.k + 1),
-       |err AS (
+       |${hwTail(steps)}""".stripMargin
+  }
+
+  /** Everything in [[hwBody]] after the recursive `hw` CTE — split out
+    * (r19 optimization) so Spark can consume the per-series fold of
+    * [[hwStatesView]] through the SAME tail text the oracle runs. */
+  private def hwTail(steps: String): String = {
+    val sAll = (1 to 7).map(i => s"f.s$i").mkString(", ")
+    s"""err AS (
        |  SELECT p.et,
        |    CAST(round(abs(CAST(st.yc AS DOUBLE) - (p.l + p.b + p.s1)), 4)
        |         AS DECIMAL(28,4)) AS e
@@ -1410,7 +1540,14 @@ object TimeWindowOps extends OpModule {
        |         0.1 * ((0.3 * CAST(st.yc AS DOUBLE) + 0.7 * (p.l + p.b))
        |                - p.l) + 0.9 * p.b
        |  FROM h p JOIN $steps st ON st.et = p.et AND st.k = p.k + 1),
-       |err AS (
+       |${holtTail(steps)}""".stripMargin
+
+  /** Everything in [[holtBody]] after the recursive `h` CTE — split
+    * out (r19 optimization) so Spark can consume the per-series fold
+    * of [[holtStatesView]] through the SAME tail text the oracle runs,
+    * while DuckDB keeps the full recursive body. */
+  private def holtTail(steps: String): String =
+    s"""err AS (
        |  SELECT p.et,
        |    CAST(round(abs(CAST(st.yc AS DOUBLE) - (p.l + p.b)), 4)
        |         AS DECIMAL(28,4)) AS e
