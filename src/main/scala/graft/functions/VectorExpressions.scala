@@ -508,7 +508,8 @@ case class NGrams(child: Expression, n: Int)
   * every probe row references the same broadcast row, so the decode
   * happens once per partition, not once per probe.
   */
-case class CosineTopK(vec: Expression, id: Expression, coll: Expression, k: Int)
+case class CosineTopK(vec: Expression, id: Expression, coll: Expression,
+                      k: Int, gtOnly: Boolean = true)
   extends Expression with Generator with CodegenFallback {
   require(k >= 1, s"k must be >= 1, got $k")
 
@@ -569,7 +570,10 @@ case class CosineTopK(vec: Expression, id: Expression, coll: Expression, k: Int)
     val pq = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
     var i = 0
     while (i < ids.length) {
-      if (ids(i) > a) {
+      // gtOnly: unordered-pair consumers (q43) probe the upper triangle;
+      // directional consumers (q329's k-NN graph build, r19) score every
+      // non-self candidate
+      if (if (gtOnly) ids(i) > a else ids(i) != a) {
         val vb = vecs(i)
         // min-length guard for ragged inputs, same as VectorKernels.cosine;
         // rounding delegates to the shared cross-engine contract in Det
@@ -666,6 +670,14 @@ object GraftFunctions {
   def cosineTopK(vec: Column, id: Column, coll: Column, k: Int): Column =
     ExpressionUtils.column(CosineTopK(ExpressionUtils.expression(vec),
       ExpressionUtils.expression(id), ExpressionUtils.expression(coll), k))
+
+  /** [[CosineTopK]] over every non-self candidate (directional k-NN:
+    * each probe keeps its own top-k among id ≠ probe, ranked by
+    * (round-4 cosine desc, id asc) — the q329 graph-build selection). */
+  def cosineTopKAll(vec: Column, id: Column, coll: Column, k: Int): Column =
+    ExpressionUtils.column(CosineTopK(ExpressionUtils.expression(vec),
+      ExpressionUtils.expression(id), ExpressionUtils.expression(coll), k,
+      gtOnly = false))
 
   /** Spark's BloomFilterAggregate/BloomFilterMightContain live in the
     * internal registry (the optimizer's runtime row-level filtering uses

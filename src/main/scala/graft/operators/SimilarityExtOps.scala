@@ -2343,15 +2343,26 @@ object SimilarityExtOps extends OpModule {
                   .cosineSimilarity(col("v"), col("qv")), 4).as("sim")))
       simh.count(); graft.PinScope.retain(simh)
       sims.createOrReplaceTempView("graft_beam_sims")
-      val a = bb.select(col("vec_id").as("src"), col("v").as("va"))
-      val b2 = bb.select(col("vec_id").as("dst"), col("v").as("vb"))
-      val (graph, gh) = pin(a.join(b2, col("src") =!= col("dst"))
-        .select(col("src"), col("dst"),
-                round(org.apache.spark.sql.graft.GraftFunctions
-                  .cosineSimilarity(col("va"), col("vb")), 4).as("es"))
-        .withColumn("rk", row_number().over(
-          W.partitionBy("src").orderBy(col("es").desc, col("dst"))))
-        .where(col("rk") <= 8).select("src", "dst"))
+      // r19: the exact 8-NN build runs through the packed-broadcast
+      // [[CosineTopK]] generator (q43's protocol, directional mode —
+      // every non-self candidate, top-8 by (round-4 cosine desc, dst
+      // asc), the identical selection the rank window made): the
+      // BroadcastNestedLoopJoin materialized a two-vector row per n²
+      // candidate pair and shuffled ~n²/k of them into the rank sort;
+      // the generator block-scans the one broadcast buffer per probe
+      // with a bounded heap and emits only the k kept edges — no pair
+      // materialization, no pair shuffle, same dot/(nₐ·n_b) stored-norm
+      // arithmetic (bit-identical to the fused kernel at equal dims).
+      val packed = bb
+        .agg(collect_list(struct(col("vec_id"), col("v"))).as("coll"))
+      val (graph, gh) = pin(bb
+        .select(col("vec_id").as("src"), col("v").as("vsrc"))
+        .crossJoin(broadcast(packed))
+        .select(col("src"),
+                org.apache.spark.sql.graft.GraftFunctions
+                  .cosineTopKAll(col("vsrc"), col("src"), col("coll"), 8)
+                  .as(Seq("dst", "es")))
+        .select("src", "dst"))
       gh.count(); graft.PinScope.retain(gh)
       graph.createOrReplaceTempView("graft_beam_graph")
       s.sql("SELECT id, sim FROM graft_beam_sims WHERE mr = 1")

@@ -1183,7 +1183,7 @@ object TextExtOps extends OpModule {
     // application scales: a 10¹²-token corpus has a 10⁷-word
     // vocabulary), replaying the 8 learned merges with the SAME
     // greedy left-to-right parity algebra the trainer used
-    // ([[bpeMergePass]] — one shared definition, so train and apply
+    // ([[bpeMergeLocal]] — one shared definition, so train and apply
     // can never disagree on merge semantics), then one w-keyed join
     // puts per-word encoded lengths back on the token stream and two
     // grouped folds produce the per-(lang, source) data card: docs,
@@ -1193,20 +1193,23 @@ object TextExtOps extends OpModule {
     // train chain + a parallel full-vocab apply chain, all
     // MATERIALIZED CTEs.
     "q346_bpe_apply" -> { (s, d) =>
-      def pin(df: DataFrame) = org.apache.spark.sql.graft.InternalPin.pin(df)
+      import s.implicits._
       val merges = bpeTrainMerges(s, d)
       val words = Tables(s, d, "documents")
         .select(explode(split(col("text"), " ")).as("w"))
         .where(length(col("w")) > 0)
         .groupBy("w").agg(count(lit(1)).as("freq"))
-      var (syms, h0) = pin(bpeSymbols(words))
-      h0.count(); graft.PinScope.retain(h0)
-      for ((_, a, b, _) <- merges) {
-        val (next, h) = pin(bpeMergePass(syms, a, b))
-        h.count(); graft.PinScope.retain(h)
-        syms = next
-      }
-      val enc = syms.groupBy("w").agg(count(lit(1)).as("enc"))
+      // r19: the 8 merge passes replay locally per vocabulary word
+      // ([[bpeMergeLocal]] — the same greedy parity semantics the
+      // trainer used), one narrow map instead of 8 pinned
+      // five-window passes over exploded symbol rows.
+      val ms = merges.map { case (_, a, b, _) => (a, b) }.toArray
+      val enc = words.select(col("w")).as[String]
+        .map { w =>
+          var sy = bpeSplitSyms(w)
+          for ((a, b) <- ms) sy = bpeMergeLocal(sy, a, b)
+          (w, sy.length.toLong)
+        }.toDF("w", "enc")
       Tables(s, d, "documents")
         .select(col("doc_id"), col("lang"), col("source"),
                 explode(split(col("text"), " ")).as("w"))
@@ -2652,40 +2655,44 @@ object TextExtOps extends OpModule {
   /** Per-word symbol rows (w, freq, i, s) — character-exploded, the
     * state both the trainer (q299) and the encoder (q346) fold merges
     * over. */
-  private def bpeSymbols(words: DataFrame): DataFrame =
-    words.select(col("w"), col("freq"), posexplode(expr(
-        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
-        .as(Seq("p0", "s")))
-      .select(col("w"), col("freq"), (col("p0") + 1).as("i"), col("s"))
-
-  /** ONE greedy left-to-right merge application of the pair (a, b) —
-    * the parity algebra q299's docstring derives (cumulative matched
-    * count → run id → within-run parity → lag consume), shared
-    * verbatim by the trainer's rounds and q346's full-vocab encode so
-    * the two can never disagree on merge semantics. Returns the next
-    * (w, freq, i, s) symbol table, UNPINNED. */
-  private def bpeMergePass(syms: DataFrame, a: String,
-                           b: String): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
-    val wOrd = W.partitionBy("w").orderBy("i")
-    syms.withColumn("nx", lead("s", 1).over(wOrd))
-      .withColumn("mat", coalesce(
-        col("s") === lit(a) && col("nx") === lit(b), lit(false)))
-      .withColumn("mrank",
-        sum(when(col("mat"), 1L).otherwise(0L)).over(wOrd))
-      .withColumn("grp", col("i") - col("mrank"))
-      .withColumn("prank",
-        sum(when(col("mat"), 1L).otherwise(0L))
-          .over(W.partitionBy("w", "grp").orderBy("i")))
-      .withColumn("kept", col("mat") && col("prank") % 2 === 1)
-      .withColumn("consumed",
-        coalesce(lag("kept", 1).over(wOrd), lit(false)))
-      .where(!col("consumed"))
-      .select(col("w"), col("freq"),
-              row_number().over(wOrd).as("i"),
-              when(col("kept"), concat(col("s"), col("nx")))
-                .otherwise(col("s")).as("s"))
+  /** Code-point-wise symbol split — the local twin of the SQL seed
+    * `transform(sequence(1, length(w)), i -> substring(w, i, 1))`
+    * (both `length`/`substring` count code points, so the split is
+    * identical for any input). */
+  private[graft] def bpeSplitSyms(w: String): Array[String] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      buf += w.substring(i, i + n)
+      i += n
+    }
+    buf.toArray
   }
+
+  /** ONE greedy left-to-right merge application of the pair (a, b)
+    * over a packed symbol array — r19: the windowed
+    * cumulative-parity formulation (lead + matched-count run ids +
+    * within-run parity + lag consume, five window passes per merge
+    * round) is exactly leftmost-non-overlapping greedy pairing, so
+    * it runs as a LOCAL SCAN on the vocabulary-bounded symbol rows:
+    * zero shuffles per round instead of five window passes, shared
+    * verbatim by the trainer's rounds and q346's full-vocab encode
+    * so the two can never disagree on merge semantics. The q299/q346
+    * specs pin it against independent in-memory replays and the
+    * DuckDB oracle still runs the windowed-CTE text. */
+  private[graft] def bpeMergeLocal(syms: Array[String], a: String,
+                                   b: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (syms(i) + syms(i + 1)); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
 
   /** q299's 8-round training loop over the [[BpeTrainVocabCap]]-capped
     * vocabulary — returns the learned merge table (round, lft, rgt,
@@ -2703,29 +2710,38 @@ object TextExtOps extends OpModule {
       .withColumn("rk",
         row_number().over(W.orderBy(col("freq").desc, col("w"))))
       .where(col("rk") <= BpeTrainVocabCap).drop("rk")
-    var (syms, h0) = pin(bpeSymbols(vocab))
+    import s.implicits._
+    // r19: packed per-word symbol arrays — each round is ONE pair-count
+    // aggregate over the pinned capped vocab plus a narrow local merge
+    // ([[bpeMergeLocal]]), replacing the five-window merge pass and its
+    // per-round pin (two extra jobs/round). The argmax tie rule (cnt
+    // desc, a, b) and the greedy merge semantics are unchanged.
+    val (packed, h0) = pin(vocab.select(col("w"), col("freq"))
+      .as[(String, Long)]
+      .map { case (w, f) => (w, f, bpeSplitSyms(w)) }
+      .toDF("w", "freq", "syms"))
     h0.count(); graft.PinScope.retain(h0)
-    val wOrd = W.partitionBy("w").orderBy("i")
     val merges =
       scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var cur = packed.select(col("freq"), col("syms"))
+      .as[(Long, Array[String])]
     for (round <- 1 to 8) {
-      val best = syms.withColumn("nx", lead("s", 1).over(wOrd))
-        .where(col("nx").isNotNull)
-        .groupBy(col("s").as("a"), col("nx").as("b"))
+      val best = cur.flatMap { case (f, sy) =>
+          (0 until sy.length - 1).iterator.map(i => (sy(i), sy(i + 1), f)) }
+        .toDF("a", "b", "freq")
+        .groupBy("a", "b")
         .agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
         .collect()(0)
       val (a, b) = (best.getString(0), best.getString(1))
       merges += ((round, a, b, best.getLong(2)))
-      val (next, h) = pin(bpeMergePass(syms, a, b))
-      h.count(); graft.PinScope.retain(h)
-      syms = next
+      cur = cur.map { case (f, sy) => (f, bpeMergeLocal(sy, a, b)) }
     }
     merges.toSeq
   }
 
   /** One greedy merge-application round as oracle CTE text — the SQL
-    * twin of [[bpeMergePass]], parameterized by output/source symbol
+    * twin of [[bpeMergeLocal]]'s parity algebra, parameterized by output/source symbol
     * tables and the 1-row learned-pair CTE, so the trainer's rounds
     * (q299) and the full-vocab encode chain (q346) share ONE merge
     * semantics in both engines. */
