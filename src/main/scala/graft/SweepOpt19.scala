@@ -47,7 +47,58 @@ object SweepOpt19 {
         .mode("overwrite").save()
       PinScope.drain()
     }
-    for (q <- args if q != "beam") t(q)(consume(q))
+    for (q <- args if q != "beam" && q != "sim") t(q)(consume(q))
+    // stage-level probe of q300's pipeline (arg "sim")
+    if (args.contains("sim")) {
+      val docs = Tables(spark, d, "documents")
+      var fp: org.apache.spark.sql.DataFrame = null
+      t("sim.fps") {
+        val (x, h) = org.apache.spark.sql.graft.InternalPin
+          .pin(operators.DedupExtOps.simhash64Fps(spark, docs))
+        h.count(); PinScope.retain(h); fp = x
+      }
+      var capped: org.apache.spark.sql.DataFrame = null
+      t("sim.bands_cap") {
+        val bands = (0 until 4).map(b =>
+            fp.select(col("doc_id"), lit(b).as("band"),
+                      substring(col("fp"), b * 16 + 1, 16).as("bk")))
+          .reduce(_ unionAll _)
+        val (x, h) = org.apache.spark.sql.graft.InternalPin.pin(bands
+          .withColumn("bn", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("band", "bk")))
+          .where(col("bn") <= 64).drop("bn"))
+        h.count(); PinScope.retain(h); capped = x
+        println(s"  rows(capped bands) = ${x.count()}")
+      }
+      var cand: org.apache.spark.sql.DataFrame = null
+      t("sim.cand") {
+        val (x, h) = org.apache.spark.sql.graft.InternalPin.pin(capped
+          .select(col("band"), col("bk"), col("doc_id").as("id_a"))
+          .join(capped.select(col("band"), col("bk"),
+                              col("doc_id").as("id_b")), Seq("band", "bk"))
+          .where(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct())
+        h.count(); PinScope.retain(h); cand = x
+        println(s"  rows(cand) = ${x.count()}")
+      }
+      t("sim.verify") {
+        val hamExpr = (1 to 64).map(i =>
+          s"CASE WHEN substr(fpa, $i, 1) <> substr(fpb, $i, 1) " +
+            "THEN 1 ELSE 0 END").mkString(" + ")
+        cand
+          .join(fp.select(col("doc_id").as("id_a"), col("fp").as("fpa")),
+                Seq("id_a"))
+          .join(fp.select(col("doc_id").as("id_b"), col("fp").as("fpb")),
+                Seq("id_b"))
+          .withColumn("hamming", expr(hamExpr).cast("long"))
+          .where(col("hamming") <= 3)
+          .select(col("id_a"), col("id_b"), col("hamming"))
+          .orderBy("id_a", "id_b")
+          .write.format("noop").mode("overwrite").save()
+      }
+      t("sim.full") { consume("q300_simhash_hamming") }
+      PinScope.drain()
+    }
     // stage-level probe of q329's pipeline (arg "beam")
     if (args.contains("beam")) {
       val W = org.apache.spark.sql.expressions.Window

@@ -368,15 +368,13 @@ object MultimodalExtOps extends OpModule {
                             col("doc_id").as("id_b")), Seq("band", "bk"))
         .where(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
-      val hamExpr = (1 to 64).map(i =>
-        s"CASE WHEN substr(fpa, $i, 1) <> substr(fpb, $i, 1) " +
-          "THEN 1 ELSE 0 END").mkString(" + ")
       cand
         .join(fp.select(col("doc_id").as("id_a"), col("fp").as("fpa")),
               Seq("id_a"))
         .join(fp.select(col("doc_id").as("id_b"), col("fp").as("fpb")),
               Seq("id_b"))
-        .withColumn("hamming", expr(hamExpr).cast("long"))
+        .withColumn("hamming",
+          DedupExtOps.hamming64(col("fpa"), col("fpb")))
         .where(col("hamming") <= 3)
         .select(col("id_a"), col("id_b"), col("hamming"))
         .orderBy("id_a", "id_b")
