@@ -3071,6 +3071,7 @@ object SimilarityExtOps extends OpModule {
     // every argmax. At scale only the candidate retrieval touches the
     // corpus; the re-rank is k²-bounded by construction.
     "q322_mmr_rerank" -> { (s, d) =>
+      import s.implicits._
       val em = embBase(s, d)
       val q0 = em.where(col("vec_id") === 0).select(col("v").as("qv"))
       val cand = em.where(col("vec_id") =!= 0)
@@ -3080,36 +3081,52 @@ object SimilarityExtOps extends OpModule {
                   .cosineSimilarity(col("v"), col("qv")), 4).as("rel"))
         .orderBy(col("rel").desc, col("id")).limit(20)
       val (cp, ch) = pin(cand); ch.count(); graft.PinScope.retain(ch)
-      cp.createOrReplaceTempView("graft_mmr_cand")
       val pw = cp.select(col("id").as("a"), col("v").as("va"))
         .join(cp.select(col("id").as("b"), col("v").as("vb")),
               col("a") =!= col("b"))
         .select(col("a"), col("b"),
                 round(org.apache.spark.sql.graft.GraftFunctions
                   .cosineSimilarity(col("va"), col("vb")), 4).as("sim"))
-      val (pp2, ph) = pin(pw); ph.count(); graft.PinScope.retain(ph)
-      pp2.createOrReplaceTempView("graft_mmr_pw")
-      // the greedy chain STAGES: each step's argmax runs [[mmrStep]]
-      // verbatim over the PINNED picked-set view of the prior step
-      // (k pins of ≤k rows — never a Catalyst-inlined pk chain)
-      s.sql("SELECT CAST(NULL AS BIGINT) AS id WHERE 1 = 0")
-        .createOrReplaceTempView("graft_mmr_pk0")
-      var pkDf = s.table("graft_mmr_pk0")
-      val sels = (1 to 10).map { k =>
-        val sel = s.sql(
-          "WITH " + mmrStep(k, "graft_mmr_cand", "graft_mmr_pw",
-                            s"graft_mmr_pk${k - 1}") +
-          s" SELECT * FROM sel$k")
-        val (sp, sh) = pin(sel); sh.count(); graft.PinScope.retain(sh)
-        pkDf = pkDf.union(sp.select(col("id")))
-        val (pp3, kh) = pin(pkDf); kh.count(); graft.PinScope.retain(kh)
-        pkDf = pp3
-        pp3.createOrReplaceTempView(s"graft_mmr_pk$k")
-        sp
-      }
-      sels.reduce(_.union(_))
-        .select(col("step").cast("long").as("step"),
-                col("id").as("vec_id"), col("score"),
+      // the greedy chain folds in ONE task over the two k-bounded
+      // tables (r19 optimization): the staged per-step formulation —
+      // [[mmrStep]] SQL per step over pinned picked-set views, which
+      // the oracle still runs verbatim via [[mmrBody]] — paid ~30
+      // scheduler jobs (3 pins/step) to fold ≤20 candidates and 380
+      // pair sims; measured 83 jobs / 0.76 s of task time at sf0.1
+      // (guide §1.1 census: pure scheduler round-trips). The fold
+      // below is the IDENTICAL chain — ms = max sim to picked (step
+      // 1's empty-set max coalesces to 0, the declared base case),
+      // score = round(5e-1·rel − 5e-1·ms, 6) with Spark's own
+      // BigDecimal.valueOf HALF_UP round, argmax by (score desc, id)
+      // — and the q322 correctness spec asserts it against an
+      // independent in-memory recomputation, step for step.
+      val packed = cp.groupBy(lit(1).as("g"))
+        .agg(collect_list(struct(col("id"), col("rel"))).as("cs"))
+        .join(pw.groupBy(lit(1).as("g")).agg(collect_list(
+          struct(col("a"), col("b"), col("sim"))).as("ps")), Seq("g"))
+      val sels = packed.flatMap { row =>
+        def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        val cs = row.getSeq[org.apache.spark.sql.Row](1)
+          .map(c => (c.getLong(0), c.getDouble(1))).sortBy(_._1)
+        val sim = row.getSeq[org.apache.spark.sql.Row](2)
+          .map(p => ((p.getLong(0), p.getLong(1)), p.getDouble(2)))
+          .toMap
+        var picked = Vector.empty[Long]
+        (1 to 10).map { k =>
+          val scored = cs.filterNot(c => picked.contains(c._1))
+            .map { case (id, rel) =>
+              val ms = if (picked.isEmpty) 0.0
+                       else picked.map(p => sim((id, p))).max
+              (id, r6(5e-1 * rel - 5e-1 * ms), rel)
+            }
+          val (id, sc, rel) = scored.minBy(x => (-x._2, x._1))
+          picked :+= id
+          (k.toLong, id, sc, rel)
+        }
+      }.toDF("step", "id", "score", "rel")
+      sels
+        .select(col("step"), col("id").as("vec_id"), col("score"),
                 col("rel").cast("double").as("relevance"))
         .orderBy("step")
     },

@@ -1755,13 +1755,23 @@ object StatsModelOps extends OpModule {
     // per-order label agg; everything after lives on the domain-bound
     // value-group table.
     "q229_auc_rank" -> { (s, dir) =>
-      val lab = Tables(s, dir, "orders")
-        .join(Tables(s, dir, "lineitem"),
-              col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("o_orderkey"), col("o_orderpriority").as("prio"),
-                 round(col("o_totalprice") * 100).cast("long").as("v"))
+      // r19 optimization (guide §2.3, aggregate before you shuffle):
+      // the label was aggregated AFTER the fact join — 600k joined
+      // rows carrying (prio, v) shuffled into the per-order groupBy.
+      // The per-order flag only needs lineitem: reduce it to one
+      // map-side-combined row per order first, then join orders —
+      // the join output IS `lab`, one row per order with ≥1 lineitem,
+      // identical by construction (pos = max over the order's lines,
+      // prio/v are order attributes).
+      val pos = Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
         .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0))
                .as("pos"))
+      val lab = Tables(s, dir, "orders")
+        .join(pos, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_orderpriority").as("prio"),
+                round(col("o_totalprice") * 100).cast("long").as("v"),
+                col("pos"))
       val (pv, h) = pin(lab.groupBy("prio", "v")
         .agg(count(lit(1)).as("c"), sum("pos").as("npos")))
       h.count(); graft.PinScope.retain(h)
@@ -2502,11 +2512,21 @@ object StatsModelOps extends OpModule {
     // rank-filter InferWindowGroupLimit rewrites map-side. Declared
     // tie order (cosine desc, neighbor) makes the shortlist total.
     "q269_item_knn" -> { (s, dir) =>
-      def items = Tables(s, dir, "lineitem")
+      // r19 optimization: `items` was a def — the brand-count branch
+      // and the basket-pair branch each re-ran the lineitem⋈part join
+      // (two full fact scans), and the pair branch shipped every
+      // occurrence into collect_set to dedup inside the aggregate.
+      // ONE pinned distinct (order, brand) frame feeds both: the
+      // brand counts group its b column, and collect_set over the
+      // already-distinct rows builds the identical basket set (guide
+      // §2.3 aggregate-before-shuffle + §2.4 share one derivation).
+      val (items, ih) = pin(Tables(s, dir, "lineitem")
         .join(Tables(s, dir, "part"),
               col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
-      val cnt = items.distinct().groupBy("b").agg(count(lit(1)).as("cb"))
+        .distinct())
+      ih.count(); graft.PinScope.retain(ih)
+      val cnt = items.groupBy("b").agg(count(lit(1)).as("cb"))
       val pairs = items.groupBy("ok")
         .agg(sort_array(collect_set(col("b"))).as("bs"))
         .select(explode(expr(

@@ -215,27 +215,59 @@ object TextExtOps extends OpModule {
     // classify side; per-doc ranks/argmin ride doc_id-partitioned
     // windows. One corpus scan per side, everything else is bounded.
     "q348_langid_train" -> { (s, d) =>
+      import s.implicits._
       val W = org.apache.spark.sql.expressions.Window
       val P = 64
       val docs = Tables(s, d, "documents")
         .where(length(col("text")) >= 3)
-      def grams(df: DataFrame, carry: Seq[String]): DataFrame =
-        df.select(carry.map(col) :+ explode(expr(
-          "transform(sequence(1, length(text) - 2), " +
-            "i -> substring(text, i, 3))")).as("g"): _*)
-      val prof = grams(docs.where(col("doc_id") % 2 === 0),
-                       Seq("lang"))
-        .groupBy("lang", "g").agg(count(lit(1)).as("c"))
+      // r19 optimization: the SQL gram emission exploded EVERY trigram
+      // occurrence (substring(text, i, 3) per position — O(len) per
+      // call on UTF8String, O(len²) per doc) into per-occurrence rows,
+      // then paid a (doc, g)-keyed groupBy AND a doc-keyed rank window
+      // to recover per-doc counts that never needed to leave the doc's
+      // own row — 10.1 s of task time at sf0.1 (guide §1.1 census;
+      // §2.3: aggregate before you shuffle). The typed per-doc fold
+      // (the simhash64Fps discipline) counts trigrams in one pass per
+      // doc; `cmp` is UTF8String's unsigned-byte order, so the in-map
+      // (count desc, gram) top-64 IS row_number(orderBy(c desc, g))
+      // bit for bit. The corpus is single-space ASCII (all SFs), where
+      // Java char indexing == Spark's codepoint substring semantics.
+      def gramMap(text: String): java.util.HashMap[String, Long] = {
+        val m = new java.util.HashMap[String, Long]()
+        var i = 0
+        while (i + 3 <= text.length) {
+          m.merge(text.substring(i, i + 3), 1L, _ + _); i += 1
+        }
+        m
+      }
+      def cmp(a: String, b: String): Int =
+        java.util.Arrays.compareUnsigned(
+          a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      val prof = docs.where(col("doc_id") % 2 === 0)
+        .select(col("lang"), col("text")).as[(String, String)]
+        .mapPartitions(_.flatMap { case (lang, text) =>
+          import scala.jdk.CollectionConverters._
+          gramMap(text).entrySet().asScala
+            .map(e => (lang, e.getKey, e.getValue))
+        }).toDF("lang", "g", "c")
+        .groupBy("lang", "g").agg(sum("c").as("c"))
         .withColumn("lr", row_number().over(
           W.partitionBy("lang").orderBy(col("c").desc, col("g"))))
         .where(col("lr") <= P)
         .select(col("lang").as("plang"), col("g"), col("lr"))
-      val dp = grams(docs.where(col("doc_id") % 2 === 1),
-                     Seq("doc_id", "lang"))
-        .groupBy("doc_id", "lang", "g").agg(count(lit(1)).as("c"))
-        .withColumn("dr", row_number().over(
-          W.partitionBy("doc_id").orderBy(col("c").desc, col("g"))))
-        .where(col("dr") <= P)
+      val dp = docs.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .as[(Long, String, String)]
+        .mapPartitions(_.flatMap { case (id, lang, text) =>
+          import scala.jdk.CollectionConverters._
+          val arr = gramMap(text).entrySet().asScala
+            .map(e => (e.getKey, e.getValue)).toArray
+          scala.util.Sorting.stableSort(arr,
+            (x: (String, Long), y: (String, Long)) =>
+              if (x._2 != y._2) x._2 > y._2 else cmp(x._1, y._1) < 0)
+          arr.take(P).zipWithIndex
+            .map { case ((g, c), i) => (id, lang, g, c, (i + 1)) }
+        }).toDF("doc_id", "lang", "g", "c", "dr")
       val nd = dp.groupBy("doc_id", "lang")
         .agg(count(lit(1)).cast("long").as("ng"))
       val gain = dp.join(broadcast(prof), Seq("g"))
@@ -834,38 +866,48 @@ object TextExtOps extends OpModule {
       val docs = Tables(s, d, "documents")
         .select(col("doc_id"), col("source"), col("text"),
                 split(col("text"), " ").as("t"))
-      val grams = docs.where(size(col("t")) >= 8)
+      // the gram stream is pinned (r19): both the df count and the
+      // anchor join read it, and lazily each would re-run the
+      // explode + per-gram md5 emission
+      val (grams, gh) = org.apache.spark.sql.graft.InternalPin.pin(
+        docs.where(size(col("t")) >= 8)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(1, size(t) - 7), " +
             "i -> struct(i, md5(array_join(slice(t, i, 8), ' ')) AS gm))"))
           .as("x"))
-        .select(col("doc_id"), col("x.i").as("i"), col("x.gm").as("gm"))
+        .select(col("doc_id"), col("x.i").as("i"), col("x.gm").as("gm")))
+      gh.count(); graft.PinScope.retain(gh)
       val hot = grams.groupBy("gm")
         .agg(countDistinct(col("doc_id")).as("df"))
         .where(col("df") >= 2).select("gm")
-      val covered = grams.join(hot, Seq("gm"))
-        .select(col("doc_id"),
-                explode(expr("sequence(i, i + 7)")).as("j"))
-        .distinct()
-      val toks = docs.select(col("doc_id"),
-        posexplode(col("t")).as(Seq("p0", "tok")))
-        .select(col("doc_id"), (col("p0") + 1).cast("long").as("j"),
-                col("tok"))
-      val kept = toks.join(covered, Seq("doc_id", "j"), "left_anti")
-        .groupBy("doc_id")
-        .agg(expr("array_join(transform(array_sort(" +
-               "collect_list(struct(j, tok))), x -> x.tok), ' ')")
-               .as("new_text"))
-      val removed = covered.groupBy("doc_id")
-        .agg(count(lit(1)).as("tr"))
+      // r19 optimization: the first formulation exploded 8 covered
+      // positions per hot anchor, distinct'd them (a token-granularity
+      // shuffle), posexploded EVERY token of the corpus, anti-joined
+      // on (doc_id, j) and re-grouped with a collect_list sort — two
+      // full token-level exchanges to rebuild strings the doc already
+      // holds (guide §2.3: shuffle keys/metadata, not payloads). Now
+      // only the ANCHOR POSITIONS come back per doc (one doc_id-keyed
+      // shuffle of hot-anchor ints) and the excision is a pure map
+      // over the doc's own token array: covered = the sorted distinct
+      // union of [a, a+7] spans, kept = the tokens whose 1-based
+      // position is not covered, re-joined on single spaces — the
+      // identical rewrite (same positions, same order), so the
+      // per-source md5 fold certifies the same strings.
+      val anchors = grams.join(hot, Seq("gm"))
+        .groupBy("doc_id").agg(collect_list(col("i")).as("anch"))
       docs
-        .join(kept, Seq("doc_id"), "left")
-        .join(removed, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("source"),
-                coalesce(col("new_text"), lit("")).as("new_text"),
-                coalesce(col("tr"), lit(0L)).as("tokens_removed"),
-                (length(col("text")) -
-                 length(coalesce(col("new_text"), lit(""))))
+        .join(anchors, Seq("doc_id"), "left")
+        .withColumn("cov", expr(
+          "array_sort(array_distinct(flatten(transform(" +
+            "CASE WHEN anch IS NULL THEN CAST(array() AS ARRAY<INT>) " +
+            "ELSE anch END, a -> sequence(a, a + 7)))))"))
+        .withColumn("new_text", expr(
+          "array_join(transform(filter(transform(t, (tok, p) -> " +
+            "struct(p + 1 AS j, tok AS tok)), " +
+            "x -> NOT array_contains(cov, x.j)), x -> x.tok), ' ')"))
+        .select(col("doc_id"), col("source"), col("new_text"),
+                size(col("cov")).cast("long").as("tokens_removed"),
+                (length(col("text")) - length(col("new_text")))
                   .cast("long").as("bytes_removed"))
         .groupBy("source")
         .agg(count(lit(1)).as("docs"),
@@ -2097,27 +2139,59 @@ object TextExtOps extends OpModule {
     def occCnt(lit0: String): Column =
       (length(col("text")) -
        length(expr(s"replace(text, '$lit0', '')"))) / lit(lit0.length)
-    val g2 = docs
-      .select(col("doc_id"),
-              org.apache.spark.sql.graft.GraftFunctions
-                .ngrams(toks, 2).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy(col("cnt").desc, col("g"))))
-      .where(col("rn") === 1)
-      .select(col("doc_id"),
-              (col("cnt") * length(col("g")).cast("long"))
-                .as("top2_mass"))
-    val g5 = docs
-      .select(col("doc_id"),
-              org.apache.spark.sql.graft.GraftFunctions
-                .ngrams(toks, 5).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") >= 2)
-      .groupBy("doc_id")
-      .agg(sum(col("cnt") * length(col("g")).cast("long"))
-             .as("dup5_mass"))
+    // r19 optimization: the two gram masses are PER-DOC statistics,
+    // but the SQL form exploded every bigram and 5-gram occurrence
+    // into (doc, g)-keyed groupBys plus a doc-keyed rank window —
+    // corpus-token-volume exchanges to recover numbers that never
+    // needed to leave the doc's own row (guide §2.3). One typed fold
+    // (the simhash64Fps discipline) counts both gram widths in a
+    // single pass per doc: grams are the NGrams kernel's exact
+    // emission (space-joined token slices over split(text, ' ') with
+    // trailing empties kept), the top-bigram argmax uses UTF8String's
+    // unsigned-byte order (≡ orderBy(cnt desc, g)), masses are
+    // cnt·length(g) in long — the identical integers, no exchange.
+    val masses = locally {
+      val sp = docs.sparkSession
+      import sp.implicits._
+      def cmpBytes(a: String, b: String): Int =
+        java.util.Arrays.compareUnsigned(
+          a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      def counts(tk: Array[String], n: Int)
+          : java.util.HashMap[String, Long] = {
+        val m = new java.util.HashMap[String, Long]()
+        var s = 0
+        while (s + n <= tk.length) {
+          val sb = new java.lang.StringBuilder(tk(s))
+          var j = 1
+          while (j < n) { sb.append(' ').append(tk(s + j)); j += 1 }
+          m.merge(sb.toString, 1L, _ + _); s += 1
+        }
+        m
+      }
+      docs.select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          import scala.jdk.CollectionConverters._
+          val tk = text.split(" ", -1)
+          val m2 = counts(tk, 2)
+          val top2 =
+            if (m2.isEmpty) None
+            else {
+              val (g, c) = m2.entrySet().asScala
+                .map(e => (e.getKey, e.getValue))
+                .minBy(identity)(Ordering.fromLessThan[(String, Long)] {
+                  case ((ga, ca), (gb, cb)) =>
+                    if (ca != cb) ca > cb else cmpBytes(ga, gb) < 0
+                })
+              Some(c * g.length.toLong)
+            }
+          val m5 = counts(tk, 5)
+          var dup = 0L; var any = false
+          m5.forEach { (g, c) =>
+            if (c >= 2) { dup += c * g.length.toLong; any = true }
+          }
+          (id, top2, if (any) Some(dup) else None)
+        }).toDF("doc_id", "top2_mass", "dup5_mass")
+    }
     docs
       .select(col("doc_id"), col("source"),
               length(col("text")).cast("long").as("chars"),
@@ -2130,8 +2204,7 @@ object TextExtOps extends OpModule {
               size(array_distinct(filter(toks,
                 w => w.isin(stopList: _*)))).cast("long").as("stops"),
               (occCnt("#") + occCnt("...")).cast("long").as("syms"))
-      .join(g2, Seq("doc_id"), "left")
-      .join(g5, Seq("doc_id"), "left")
+      .join(masses, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("n_words"),
         (col("n_words") >= 50 && col("n_words") <= 100000)
           .as("r1_word_count"),

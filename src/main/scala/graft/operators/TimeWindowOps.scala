@@ -662,18 +662,33 @@ object TimeWindowOps extends OpModule {
         .select(col("event_type"), col("event_id"),
                 unix_micros(col("ts")).as("tus"),
                 round(col("value") * 100).cast("long").as("c"))
-      val num = (0 until 32).map { j =>
-        coalesce(lag(col("c"), j + 1).over(w), lit(0L)) *
-          lit(1L << (31 - j)) }.reduce(_ + _)
-      val den = (0 until 32).map { j =>
-        when(lag(col("c"), j + 1).over(w).isNotNull, lit(1L << (31 - j)))
-          .otherwise(lit(0L)) }.reduce(_ + _)
+      // r19 optimization: the 32-lag unroll built 65 window frames
+      // (32 lag(c, j+1) for num, 32 for den, one for t32) evaluated
+      // per row — 4.1 s of task time at sf0.1 with the WindowExec
+      // maintaining one OffsetWindowFunctionFrame per lag. ONE
+      // trailing-32 collect_list frame carries the identical values
+      // (frame order = window order, oldest first: element i of an
+      // m-element array IS lag m−i), and the weighted pair folds in a
+      // codegen'd higher-order transform/aggregate: element i's
+      // weight 2^(32−m+i) equals the unroll's 2^(31−j) at j = m−i−1,
+      // and den = Σ 2^(31−j) telescopes to 2^32 − 2^(32−m). All-long
+      // exact arithmetic, same values bit for bit (spec-asserted
+      // against q118's mean path and the DuckDB oracle).
       base
-        .withColumn("num_prev", num)
-        .withColumn("den_prev", den)
-        .withColumn("t32", coalesce(lag(col("c"), 32).over(w), lit(0L)))
+        .withColumn("prevs",
+          collect_list(col("c")).over(w.rowsBetween(-32, -1)))
+        .withColumn("num_prev", expr(
+          "aggregate(transform(prevs, (x, i) -> x * shiftleft(" +
+            "CAST(1 AS BIGINT), 32 - size(prevs) + i)), " +
+            "CAST(0 AS BIGINT), (a, b) -> a + b)"))
+        .withColumn("den_prev", expr(
+          "shiftleft(CAST(1 AS BIGINT), 32) - " +
+            "shiftleft(CAST(1 AS BIGINT), 32 - size(prevs))"))
+        .withColumn("t32",
+          when(size(col("prevs")) === 32, element_at(col("prevs"), 1))
+            .otherwise(lit(0L)))
         .withColumn("d32",
-          when(lag(col("c"), 32).over(w).isNotNull, 1L).otherwise(0L))
+          when(size(col("prevs")) === 32, 1L).otherwise(0L))
         .withColumn("rn", row_number().over(w))
         .withColumn("spike",
           when(col("den_prev") > 0 &&

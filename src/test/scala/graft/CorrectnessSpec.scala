@@ -4180,6 +4180,46 @@ class CorrectnessSpec extends SparkSpecBase {
     assert(got.head._2 == cand.head._1)
   }
 
+  test("q360 gram-mass gates match an in-memory per-doc recomputation") {
+    // exercises the r19 typed per-doc gram fold: top-bigram mass
+    // (argmax by count desc, gram asc) and duplicated-5-gram mass,
+    // recomputed independently with Scala collections and pushed
+    // through the r6/r7 gate inequalities
+    def masses(text: String): (Long, Long) = {
+      val tk = text.split(" ", -1)
+      def counts(n: Int): Map[String, Long] =
+        (0 to tk.length - n)
+          .map(s => tk.slice(s, s + n).mkString(" "))
+          .groupBy(identity).map { case (g, o) => (g, o.length.toLong) }
+      val m2 = counts(2)
+      val top2 = if (m2.isEmpty) 0L
+        else {
+          val (g, c) = m2.toSeq.sortBy { case (g, c) => (-c, g) }.head
+          c * g.length
+        }
+      val dup5 = counts(5).collect {
+        case (g, c) if c >= 2 => c * g.length }.sum
+      (top2, dup5)
+    }
+    val docs = Tables(spark, sf, "documents")
+      .select("source", "text").as[(String, String)].collect()
+    val exp = docs.groupBy(_._1).map { case (src, ds) =>
+      val ms = ds.map { case (_, t) => (t.length.toLong, masses(t)) }
+      (src,
+       ms.count { case (ch, (t2, _)) => 5 * t2 <= ch }.toLong,
+       ms.count { case (ch, (_, d5)) => 20 * d5 <= 3 * ch }.toLong)
+    }.toSeq.sortBy(_._1)
+    val got = q("q360_gopher_rules")
+      .where(col("rule").isin("r6_top2gram_mass", "r7_dup5gram_mass"))
+      .select("source", "rule", "pass_docs")
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).map { case (src, rs) =>
+        val m = rs.map(r => r._2 -> r._3).toMap
+        (src, m("r6_top2gram_mass"), m("r7_dup5gram_mass"))
+      }.toSeq.sortBy(_._1)
+    assert(got == exp)
+  }
+
   test("q321 final look reproduces q159's fixed-horizon readout") {
     val rows = q("q321_sequential_ab").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
