@@ -2098,13 +2098,18 @@ object StatsModelOps extends OpModule {
     // never the corpus; the only fact term is the one AQE-sized label
     // join q229 already prices.
     "q253_avg_precision" -> { (s, dir) =>
-      val lab = Tables(s, dir, "orders")
-        .join(Tables(s, dir, "lineitem"),
-              col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("o_orderkey"), col("o_orderpriority").as("prio"),
-                 round(col("o_totalprice") * 100).cast("long").as("v"))
+      // r19 optimization: q229's aggregate-before-the-join reshape
+      // (guide §2.3) — the per-order label reduces map-side on
+      // lineitem alone; `lab` is identical by construction.
+      val pos = Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
         .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0))
                .as("pos"))
+      val lab = Tables(s, dir, "orders")
+        .join(pos, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_orderpriority").as("prio"),
+                round(col("o_totalprice") * 100).cast("long").as("v"),
+                col("pos"))
       val pv = lab.groupBy("prio", "v")
         .agg(count(lit(1)).as("c"), sum("pos").as("npos"))
       val w = Window.partitionBy("prio").orderBy(col("v").desc)
