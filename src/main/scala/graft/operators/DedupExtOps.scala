@@ -1711,6 +1711,45 @@ object DedupExtOps extends OpModule {
     df
   }
 
+  /** Connected components of a BOUNDED graph folded in ONE task (r19
+    * optimization, guide §1.2 step 1 / §2.4): for graphs whose node
+    * count is pinned by construction — q278's density grid is ≤
+    * (4/0.05)² = 6400 cells regardless of corpus size — the min-label
+    * fixpoint's per-round scheduler jobs (2 jobs + a labelSum action
+    * per round, ~70 jobs measured at sf0.1) cost more wall-clock than
+    * the entire fold. The edge set funnels into one task and a plain
+    * union-find labels every node with its component MINIMUM: unions
+    * always attach the larger root under the smaller, so each tree's
+    * root is the min member by invariant — the identical (id, lbl)
+    * relation the fixpoint converges to, for any input. Corpus-scale
+    * graphs (q82's LSH components et al.) keep the distributed
+    * variants; this one is only for graphs a DESIGN bound keeps tiny. */
+  private[graft] def connectedComponentsBounded(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+        val ids = parent.keysIterator.toArray
+        ids.iterator.map(id => (id, find(id)))
+      }
+      .toDF("id", "lbl")
+  }
+
   private def connectedComponentsMinLabel(
       pairs: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
     // materialize each round on a persisted internal-row RDD (the

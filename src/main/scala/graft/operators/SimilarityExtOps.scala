@@ -3401,7 +3401,9 @@ object SimilarityExtOps extends OpModule {
           Seq("nx", "ny"))
         .where(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"))
-      val comp = DedupExtOps.connectedComponents(edges) // (id, lbl)
+      // (id, lbl); the grid bound (≤ 6400 cells) is what licenses the
+      // one-task union-find fold — see connectedComponentsBounded
+      val comp = DedupExtOps.connectedComponentsBounded(edges)
       val labeled = core.join(broadcast(comp),
           col("cid") === col("id"), "left")
         .withColumn("cluster_id", coalesce(col("lbl"), col("cid")))

@@ -2775,7 +2775,6 @@ object TextExtOps extends OpModule {
   private def bpeTrainMerges(s: SparkSession, d: String)
       : Seq[(Int, String, String, Long)] = {
     val W = org.apache.spark.sql.expressions.Window
-    def pin(df: DataFrame) = org.apache.spark.sql.graft.InternalPin.pin(df)
     val vocab = Tables(s, d, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .where(length(col("w")) > 0)
@@ -2784,33 +2783,61 @@ object TextExtOps extends OpModule {
         row_number().over(W.orderBy(col("freq").desc, col("w"))))
       .where(col("rk") <= BpeTrainVocabCap).drop("rk")
     import s.implicits._
-    // r19: packed per-word symbol arrays — each round is ONE pair-count
-    // aggregate over the pinned capped vocab plus a narrow local merge
-    // ([[bpeMergeLocal]]), replacing the five-window merge pass and its
-    // per-round pin (two extra jobs/round). The argmax tie rule (cnt
-    // desc, a, b) and the greedy merge semantics are unchanged.
-    val (packed, h0) = pin(vocab.select(col("w"), col("freq"))
-      .as[(String, Long)]
-      .map { case (w, f) => (w, f, bpeSplitSyms(w)) }
-      .toDF("w", "freq", "syms"))
-    h0.count(); graft.PinScope.retain(h0)
-    val merges =
-      scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
-    var cur = packed.select(col("freq"), col("syms"))
-      .as[(Long, Array[String])]
-    for (round <- 1 to 8) {
-      val best = cur.flatMap { case (f, sy) =>
-          (0 until sy.length - 1).iterator.map(i => (sy(i), sy(i + 1), f)) }
-        .toDF("a", "b", "freq")
-        .groupBy("a", "b")
-        .agg(sum("freq").as("cnt"))
-        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
-        .collect()(0)
-      val (a, b) = (best.getString(0), best.getString(1))
-      merges += ((round, a, b, best.getLong(2)))
-      cur = cur.map { case (f, sy) => (f, bpeMergeLocal(sy, a, b)) }
-    }
-    merges.toSeq
+    // r19 (second cut): the ENTIRE 8-round induction folds in ONE task
+    // over the [[BpeTrainVocabCap]]-bounded vocabulary (guide §1.2
+    // step 1 / §2.4 — the first cut's one-aggregate-per-round form
+    // still paid ~3 scheduler jobs per round plus a driver argmax
+    // round-trip, ~24 jobs for ≤4096 words of state). Pair counting,
+    // the argmax and the greedy merge run as a local loop inside the
+    // task; only the 8 learned merges return. The argmax tie rule is
+    // unchanged — (cnt desc, a asc, b asc) under UTF8String's
+    // unsigned-byte string order (`cmp`, the q348 idiom), which is
+    // exactly what `.orderBy(col("cnt").desc, col("a"), col("b"))`
+    // compared — and the merge semantics are [[bpeMergeLocal]]'s, the
+    // same function the per-round form and q346's encoder use, so the
+    // learned table is identical by construction.
+    vocab.select(col("w"), col("freq")).as[(String, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        def cmp(a: String, b: String): Int =
+          java.util.Arrays.compareUnsigned(
+            a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+        val words = it.map { case (w, f) => (f, bpeSplitSyms(w)) }.toArray
+        val merges =
+          scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+        for (round <- 1 to 8) {
+          val cnt = new java.util.HashMap[String, (String, String, Long)]()
+          for ((f, sy) <- words) {
+            var i = 0
+            while (i < sy.length - 1) {
+              val k = sy(i) + " " + sy(i + 1)
+              val prev = cnt.get(k)
+              cnt.put(k, if (prev == null) (sy(i), sy(i + 1), f)
+                         else (prev._1, prev._2, prev._3 + f))
+              i += 1
+            }
+          }
+          var best: (String, String, Long) = null
+          val vs = cnt.values().iterator()
+          while (vs.hasNext) {
+            val v = vs.next()
+            if (best == null || v._3 > best._3 ||
+                (v._3 == best._3 &&
+                 (cmp(v._1, best._1) < 0 ||
+                  (v._1 == best._1 && cmp(v._2, best._2) < 0))))
+              best = v
+          }
+          merges += ((round, best._1, best._2, best._3))
+          var j = 0
+          while (j < words.length) {
+            words(j) = (words(j)._1,
+                        bpeMergeLocal(words(j)._2, best._1, best._2))
+            j += 1
+          }
+        }
+        merges.iterator
+      }
+      .collect().toSeq.sortBy(_._1)
   }
 
   /** One greedy merge-application round as oracle CTE text — the SQL

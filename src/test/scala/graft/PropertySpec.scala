@@ -191,6 +191,30 @@ class PropertySpec extends SparkSpecBase {
     }, n = 5)
   }
 
+  test("connectedComponentsBounded equals the distributed fixpoint's labels (5 Spark cases)") {
+    // the r19 one-task fold (q278's grid-bounded graphs) must produce
+    // the IDENTICAL (id, lbl) relation as the min-label fixpoint on
+    // arbitrary undirected pair sets — the wrapper's own reference
+    // union-find is implemented independently above, so compare against
+    // the fixpoint directly (two algorithms, one relation)
+    val pairGen = Gen.listOfN(25,
+      Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)))
+      .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }
+        .distinct)
+    check(Prop.forAll(pairGen) { pairs =>
+      pairs.isEmpty || {
+        val df = pairs.toDF("id_a", "id_b")
+        val got = operators.DedupExtOps
+          .connectedComponentsBounded(df)
+          .as[(Long, Long)].collect().toMap
+        val expected = operators.DedupExtOps
+          .connectedComponents(df)
+          .as[(Long, Long)].collect().toMap
+        got == expected
+      }
+    }, n = 5)
+  }
+
   test("large-star/small-star components equal union-find on long-path graphs") {
     // the O(log n) variant's weak spot coverage is the fixpoint's
     // strength and vice versa: long CHAINS are where O(diameter)
