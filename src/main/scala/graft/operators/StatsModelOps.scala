@@ -481,31 +481,60 @@ object StatsModelOps extends OpModule {
     // scaling), all fixed-order. Exact at any scale; no sort, no value
     // buffering.
     "q148_mad_outliers" -> { (s, dir) =>
+      import s.implicits._
       val (pv, h) = pin(Tables(s, dir, "events")
         .select(col("event_type").as("flag"),
                 round(col("value") * 100).cast("long").as("v"))
         .groupBy("flag", "v").agg(count(lit(1)).as("c")))
       h.count(); graft.PinScope.retain(h)
-      val med = medianM2(cumCounts(pv, "flag"), "flag")
-      val dv = pv.join(broadcast(med), Seq("flag"))
-        .select(col("flag"), abs(col("v") * 2 - col("m2")).as("v"),
-                col("c"))
-        .groupBy("flag", "v").agg(sum("c").as("c"))
-      val mad = medianM2(cumCounts(dv, "flag"), "flag")
-        .select(col("flag"), col("m2").as("dm2"))
-      val out = pv.join(broadcast(med.select("flag", "m2")), Seq("flag"))
-        .join(broadcast(mad), Seq("flag"))
-        .where(d(abs(col("v") * 2 - col("m2"))) >
-               lit(2.2239) * d(col("dm2")))
-        .groupBy("flag").agg(sum("c").as("n_out"))
-      med.join(broadcast(mad), Seq("flag"))
-        .join(broadcast(out), Seq("flag"), "left")
-        .select(col("flag").as("event_type"), col("n"),
+      // r19 optimization (guide §1.2 step 1): everything past the one
+      // fact scan operates on the DOMAIN-bounded (flag, cents, count)
+      // value-group table, so the median, the deviation groups, the
+      // MAD and the fence count fold in ONE task over the pin instead
+      // of four distributed rereads (two bucketed-prefix-sum median
+      // passes, three broadcasts, ~10 jobs). The integer algebra is
+      // unchanged: m2 = lower+upper middle picks from cumulative
+      // counts (cum ≥ (n+1) div 2 / cum ≥ n div 2 + 1 over v-ascending
+      // groups — exactly medianM2 over cumCounts), deviation groups
+      // are |v·2 − m2| re-aggregated, and the fence compare is the
+      // same fixed-order double `|v·2 − m2| > 2.2239 · dm2`.
+      val stats = pv.select(col("flag"), col("v"), col("c"))
+        .as[(String, Long, Long)]
+        .repartition(1)
+        .mapPartitions { it =>
+          def m2Of(groups: Array[(Long, Long)], tot: Long): Long = {
+            val (k1, k2) = ((tot + 1) / 2, tot / 2 + 1)
+            var (cum, lo, hi) = (0L, 0L, 0L)
+            var (gotLo, gotHi) = (false, false)
+            var i = 0
+            while (i < groups.length && !gotHi) {
+              cum += groups(i)._2
+              if (!gotLo && cum >= k1) { lo = groups(i)._1; gotLo = true }
+              if (!gotHi && cum >= k2) { hi = groups(i)._1; gotHi = true }
+              i += 1
+            }
+            lo + hi
+          }
+          it.toArray.groupBy(_._1).iterator.map { case (flag, rows) =>
+            val vg = rows.map(r => (r._2, r._3)).sortBy(_._1)
+            val n = vg.iterator.map(_._2).sum
+            val med2 = m2Of(vg, n)
+            val dvm = vg.map { case (v, c) => (math.abs(v * 2 - med2), c) }
+              .groupBy(_._1).view.mapValues(_.iterator.map(_._2).sum)
+              .toArray.sortBy(_._1)
+            val dm2 = m2Of(dvm, n)
+            val nOut = vg.iterator.collect { case (v, c)
+              if math.abs(v * 2 - med2).toDouble >
+                 2.2239 * dm2.toDouble => c }.sum
+            (flag, n, med2, dm2, nOut)
+          }
+        }
+        .toDF("event_type", "n", "m2", "dm2", "n_out")
+      stats.select(col("event_type"), col("n"),
           round(d(col("m2")) / lit(200.0), 6).as("median_value"),
           round(d(col("dm2")) / lit(400.0), 6).as("mad_value"),
-          coalesce(col("n_out"), lit(0L)).as("n_outliers"),
-          round(d(coalesce(col("n_out"), lit(0L))) / d(col("n")), 6)
-            .as("outlier_pct"))
+          col("n_out").as("n_outliers"),
+          round(d(col("n_out")) / d(col("n")), 6).as("outlier_pct"))
         .orderBy("event_type")
     },
 

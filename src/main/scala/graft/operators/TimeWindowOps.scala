@@ -1251,48 +1251,49 @@ object TimeWindowOps extends OpModule {
                    .as("d"))
         .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y")))
       h.count(); graft.PinScope.retain(h)
-      val a = cells.select(col("d").as("di"), col("y").as("yi"))
-      val b = cells.select(col("d").as("dj"), col("y").as("yj"))
-      // pairs are pinned: the histogram pass and the median-bucket
-      // pass read the SAME materialized slope set. Measured r13 at
-      // sf0.1: pin + 3 cheap reads = 4.6 s vs re-deriving the
-      // broadcast self-join per pass = 5.4 s — with the global sort
-      // gone, the O(days²) slope evaluation itself is the floor (the
-      // algorithm's own FLOPs, the q295 situation), so paying it once
-      // wins
-      // pinBounded: days² pairs at a FIXED calendar (~2.9M rows at any
-      // corpus size — "quadratic-in-cells beats linear-in-facts"); the
-      // median-bucket row_number below rides the single bucket's
-      // ~m/4096 slice of this pin
-      val (slopes, h2) = org.apache.spark.sql.graft.InternalPin
-        .pinBounded(a.join(b, col("di") < col("dj"))
-        .select(col("di"), col("dj"),
-                (dd(col("yj") - col("yi")) / dd(col("dj") - col("di")))
-                  .as("sl")))
-      h2.count(); graft.PinScope.retain(h2)
-      val rng = slopes.agg(min("sl").as("lo"), max("sl").as("hi"))
-      val bkt = slopes.crossJoin(broadcast(rng))
-        .withColumn("bk",
-          when(col("hi") <= col("lo"), lit(0L))
-            .otherwise(least(lit(4095L),
-              floor((col("sl") - col("lo")) / (col("hi") - col("lo")) *
-                    lit(4096.0)).cast("long"))))
-      val W = org.apache.spark.sql.expressions.Window
-      val hist = bkt.groupBy("bk").agg(count(lit(1)).as("c"))
-      val wOff = W.orderBy("bk")
-        .rowsBetween(W.unboundedPreceding, -1)
-      val target = hist
-        .withColumn("off", coalesce(sum("c").over(wOff), lit(0L)))
-        .withColumn("m", sum("c").over(W.partitionBy(lit(1))))
-        .withColumn("r", expr("(m + 1) div 2"))
-        .where(col("r") > col("off") && col("r") <= col("off") + col("c"))
-        .select(col("bk").as("tbk"), (col("r") - col("off")).as("rin"),
-                col("m"))
-      val med = bkt.join(broadcast(target), col("bk") === col("tbk"))
-        .withColumn("rn",
-          row_number().over(W.orderBy("sl", "di", "dj")).cast("long"))
-        .where(col("rn") === col("rin"))
-        .select(col("m").as("n_pairs"),
+      // r19 optimization (guide §1.2 step 1): the slope set is
+      // CALENDAR-bounded (days² ≈ 2.9M pairs at ANY corpus size — the
+      // docstring's own bound), so the whole median selection folds in
+      // ONE task over the pinned daily cells: the O(days²) slope loop,
+      // one Arrays.sort of the primitive double array, and the
+      // (m+1) div 2 lower-median pick. The previous two-phase
+      // histogram selection was already sort-free but MATERIALIZED the
+      // ~2.9M-row pair table (pin + 3 distributed reads + a window) —
+      // the fold pays the identical FLOPs once, in-registers, and
+      // ships one row back. Equivalence: slopes are the same IEEE
+      // divisions of exact longs (di < dj by the sorted scan, exactly
+      // the join's predicate); the value at global rank (m+1) div 2
+      // under (sl, di, dj) order is the k-th smallest of the slope
+      // MULTISET, which the primitive sort selects bit-identically
+      // (no NaN — denominators are positive; no -0.0 — numerators are
+      // long-casts), so ts_slope is unchanged by construction.
+      import s.implicits._
+      val med = cells.select(col("d"), col("y")).as[(Long, Long)]
+        .repartition(1)
+        .mapPartitions { it =>
+          val arr = it.toArray.sortBy(_._1)
+          val nd = arr.length
+          val m = nd.toLong * (nd - 1) / 2
+          if (m == 0) Iterator.empty
+          else {
+            val slopes = new Array[Double](m.toInt)
+            var idx = 0
+            var i = 0
+            while (i < nd) {
+              var j = i + 1
+              while (j < nd) {
+                slopes(idx) = (arr(j)._2 - arr(i)._2).toDouble /
+                  (arr(j)._1 - arr(i)._1).toDouble
+                idx += 1; j += 1
+              }
+              i += 1
+            }
+            java.util.Arrays.sort(slopes)
+            Iterator((m, slopes(((m + 1) / 2).toInt - 1)))
+          }
+        }
+        .toDF("n_pairs", "sl")
+        .select(col("n_pairs"),
                 round(col("sl") / 100.0, 6).as("ts_slope"))
       val ols = cells.agg(
           count(lit(1)).as("n"),
