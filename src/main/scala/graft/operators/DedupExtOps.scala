@@ -895,9 +895,23 @@ object DedupExtOps extends OpModule {
     "q115_pagerank" -> { (s, d) =>
       val pairs = candidatePairs(Tables(s, d, "documents"),
                                  maxBucket = HotBucketCap)
-      val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-        .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-      val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+      // r19 optimization: pin the symmetrized edge list ONCE (q182's
+      // discipline — guide §2.4): unpinned, all five rounds' lineage
+      // re-derived the MinHash banding per reference (deg + the five
+      // withDeg reads = six banding subtrees in one plan). Each round's
+      // arithmetic is untouched.
+      def pin(df: DataFrame) = org.apache.spark.sql.graft.InternalPin.pin(df)
+      val (edges, eh) =
+        pin(pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+          .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v"))))
+      eh.count(); graft.PinScope.retain(eh)
+      // deg and each round's rank table are pinned too (q182's
+      // per-round discipline): unpinned, round 5's lineage nests all
+      // prior rounds — 44 exchanges of plan for 2 s of task time, the
+      // wall-clock was Catalyst planning, not compute.
+      val (deg, dh) =
+        pin(edges.groupBy("u").agg(count(lit(1)).as("deg")))
+      dh.count(); graft.PinScope.retain(dh)
       val withDeg = edges.join(deg, Seq("u"))
       var r = deg.select(col("u").as("id"), lit(1000000000000L).as("r"))
       for (_ <- 1 to 5) {
@@ -905,11 +919,13 @@ object DedupExtOps extends OpModule {
           .join(r.withColumnRenamed("id", "u"), Seq("u"))
           .select(col("v").as("id"), expr("r DIV deg").as("c"))
           .groupBy("id").agg(sum(col("c")).as("sc"))
-        r = deg.select(col("u").as("id"))
+        val (next, nh) = pin(deg.select(col("u").as("id"))
           .join(contrib, Seq("id"), "left")
           .select(col("id"),
                   (lit(150000000000L) +
-                   expr("(85 * coalesce(sc, 0L)) DIV 100")).as("r"))
+                   expr("(85 * coalesce(sc, 0L)) DIV 100")).as("r")))
+        nh.count(); graft.PinScope.retain(nh)
+        r = next
       }
       r.select(col("id").as("doc_id"), col("r").as("rank_fp"))
         .orderBy("doc_id")

@@ -238,11 +238,11 @@ object StatsModelOps extends OpModule {
     // σ/weights/loss quantize through pure-IEEE floor-chains
     // (exp/ln evaluated once per cell per round — ~256 calls — then
     // immediately quantized; gradient and loss sums are exact
-    // order-free decimals). Spark stages each round through a pinned
-    // 1-row weight view (Catalyst would otherwise re-inline the
-    // whole prefix per round — the q308 lesson); the oracle unrolls
-    // the identical text. Output per round: weights + monotone
-    // -decreasing train log-loss (the trainer certification).
+    // order-free decimals). Spark folds all six rounds in one task
+    // over the pinned cell table (r19 — the identical IEEE chain,
+    // see below); the oracle unrolls the lrRound text. Output per
+    // round: weights + monotone-decreasing train log-loss (the
+    // trainer certification).
     "q310_logreg_quality" -> { (s, dir) =>
       val (cells, ch) = pin(Tables(s, dir, "documents")
         .selectExpr("least(n_chars div 100, 15) AS x1",
@@ -252,23 +252,61 @@ object StatsModelOps extends OpModule {
         .groupBy("x1", "x2")
         .agg(count(lit(1)).as("n"), sum(col("y")).as("sy")))
       ch.count(); graft.PinScope.retain(ch)
-      cells.createOrReplaceTempView("graft_lr_cells")
-      s.sql("SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1, " +
-            "CAST(0 AS DOUBLE) AS w2")
-        .createOrReplaceTempView("graft_lr_w0")
-      val outs = (1 to 6).map { m =>
-        val block = lrRound(m, "graft_lr_cells", s"graft_lr_w${m - 1}")
-        if (m < 6) {
-          val (wt, chW) = pin(s.sql(
-            s"WITH $block SELECT w0, w1, w2 FROM wu$m"))
-          chW.count(); graft.PinScope.retain(chW)
-          wt.createOrReplaceTempView(s"graft_lr_w$m")
+      // r19 optimization (the batch-1 per-series discipline): the six
+      // gradient rounds are 1-row × ≤16×16-cell algebra, yet the
+      // staged form paid a pin + count + view per round (~57 jobs of
+      // scheduler round-trips for ~256 exp/ln calls per round). The
+      // rounds now fold in ONE task over the pinned cell table,
+      // replaying [[lrRound]]'s chain OPERATION FOR OPERATION in the
+      // same IEEE order: σ = floor(1e8/(1+exp(0−z))+0.5) with
+      // z = w0 + w1·(x1/1.5e1) + w2·(x2/1.5e1); sd/gradient/loss sums
+      // exact (BigInt ≡ the decimal(28,0) order-free sums); weight
+      // updates and the loss through the same left-associative
+      // divide-then-floor chains (Math.exp/Math.log are the exact
+      // functions Catalyst codegen calls). The oracle still runs the
+      // unrolled lrRound text, so any drift is caught by the hash.
+      import s.implicits._
+      cells.select(col("x1").cast("long"), col("x2").cast("long"),
+                   col("n").cast("long"), col("sy").cast("long"))
+        .as[(Long, Long, Long, Long)]
+        .repartition(1)
+        .mapPartitions { it =>
+          val cs = it.toArray
+          def sq(a0: Double, a1: Double, a2: Double,
+                 x1: Long, x2: Long): Long =
+            math.floor(1e8 / (1e0 + math.exp(0e0 -
+              (a0 + a1 * (x1.toDouble / 1.5e1) +
+               a2 * (x2.toDouble / 1.5e1)))) + 5e-1).toLong
+          var (w0, w1, w2) = (0e0, 0e0, 0e0)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Double, Double, Double, Double)]
+          for (m <- 1 to 6) {
+            var (g0s, g1s, g2s) = (BigInt(0), BigInt(0), BigInt(0))
+            var nSum = 0L
+            for ((x1, x2, n, sy) <- cs) {
+              val sd = BigInt(sy) * 100000000L - BigInt(n) * sq(w0, w1, w2, x1, x2)
+              g0s += sd; g1s += sd * x1; g2s += sd * x2; nSum += n
+            }
+            val (g0, g1, g2) = (g0s.toDouble, g1s.toDouble, g2s.toDouble)
+            val nn = nSum.toDouble
+            w0 = math.floor((w0 + 5e-1 * g0 / 1e8 / nn) * 1e8 + 5e-1) / 1e8
+            w1 = math.floor((w1 + 5e-1 * g1 / 1.5e1 / 1e8 / nn) * 1e8 + 5e-1) / 1e8
+            w2 = math.floor((w2 + 5e-1 * g2 / 1.5e1 / 1e8 / nn) * 1e8 + 5e-1) / 1e8
+            var ls = BigInt(0)
+            for ((x1, x2, n, sy) <- cs) {
+              val q = math.min(math.max(sq(w0, w1, w2, x1, x2), 1L),
+                               99999999L)
+              val lt1 = math.floor(math.log(q.toDouble / 1e8) * 1e6 + 5e-1).toLong
+              val lt0 = math.floor(math.log(1e0 - q.toDouble / 1e8) * 1e6 + 5e-1).toLong
+              ls += BigInt(sy) * lt1 + BigInt(n - sy) * lt0
+            }
+            val logloss =
+              math.floor((0e0 - ls.toDouble / 1e6 / nn) * 1e6 + 5e-1) / 1e6
+            out += ((m.toLong, w0, w1, w2, logloss))
+          }
+          out.iterator
         }
-        s.sql(s"WITH $block SELECT * FROM out$m")
-      }
-      outs.reduce(_ unionAll _)
-        .selectExpr("CAST(gd_round AS BIGINT) AS gd_round", "w0", "w1",
-                    "w2", "logloss")
+        .toDF("gd_round", "w0", "w1", "w2", "logloss")
         .orderBy("gd_round")
     },
 
