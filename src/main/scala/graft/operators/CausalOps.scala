@@ -748,17 +748,14 @@ object CausalOps extends OpModule {
     // exact CENTS decimals whose cum-sums are order-free; every split
     // score/leaf/update is a fixed-order double chain on identical
     // operands, argmax ties declared (feature name, then value).
-    // Execution is STAGED per round on the Spark side: Catalyst
-    // inlines (never materializes) CTE references, so the one
-    // unrolled string re-expands each round's block into every
-    // consumer and by round 3 the tiny-table window algebra replays
-    // ~27× — measured 10.7 s of pure stage overhead at sf0.1. Instead
-    // each round's updated cell table pins (550 rows) and the next
-    // round's block — the IDENTICAL SQL text the oracle runs, via
-    // [[gbtRound]] — reads the pin, so the operand chains stay
-    // bit-identical while the plan stays linear. Output: per round,
-    // the chosen split, leaf steps, and train RMSE after the update
-    // (monotone decreasing — the trainer certification).
+    // Execution on the Spark side folds all three rounds in ONE task
+    // over the pinned cell table (r19 — the q310 discipline; the
+    // prior staged-per-round form still paid a pin + count + view per
+    // round, 56 jobs for ~550 rows of state), replaying the IDENTICAL
+    // operand chains [[gbtRound]] declares; the oracle runs the
+    // unrolled gbtRound text. Output: per round, the chosen split,
+    // leaf steps, and train RMSE after the update (monotone
+    // decreasing — the trainer certification).
     "q308_gbt_stumps" -> { (s, dir) =>
       val (cells, ch) = pin(Tables(s, dir, "lineitem")
         .select(col("l_quantity").cast("long").as("qty"),
@@ -769,28 +766,98 @@ object CausalOps extends OpModule {
              sum(col("y").cast("decimal(38,0)")).as("sy"),
              sum(col("y").cast("decimal(38,0)") * col("y")).as("syy")))
       ch.count(); graft.PinScope.retain(ch)
-      cells.createOrReplaceTempView("graft_gbt_cells")
-      val (pr0, ch0) = pin(s.sql(
-        """SELECT b.qty, b.disc, b.n, b.sy, b.syy, g0.p0 AS p
-          |FROM graft_gbt_cells b CROSS JOIN
-          |  (SELECT CAST(sum(sy) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
-          |   AS p0 FROM graft_gbt_cells) g0""".stripMargin))
-      ch0.count(); graft.PinScope.retain(ch0)
-      pr0.createOrReplaceTempView("graft_gbt_up0")
-      val outs = (1 to 3).map { m =>
-        val block = gbtRound(m, s"graft_gbt_up${m - 1}")
-        if (m < 3) {
-          val (up, chU) = pin(s.sql(
-            s"WITH $block SELECT qty, disc, n, sy, syy, p FROM up$m"))
-          chU.count(); graft.PinScope.retain(chU)
-          up.createOrReplaceTempView(s"graft_gbt_up$m")
+      // r19 optimization (the q310 fold applied to the boosting loop):
+      // all three rounds are algebra over the ≤|qty|×|disc| cell table
+      // (~550 rows), yet the staged form paid a pin + count + view per
+      // round (56 jobs measured against 3.3 s of task time). The
+      // rounds now fold in ONE task, replaying [[gbtRound]]'s chain
+      // operation for operation in the same IEEE order: residuals
+      // floor-quantize to exact cents (BigInt ≡ the decimal(28,0)
+      // order-free sums), the per-feature cumulative split scans run
+      // over v-ascending groups, the argmax keeps the declared
+      // (score desc, feature, v) tie order, and every split score /
+      // leaf / update / RMSE term is the same left-associative double
+      // chain on identical operands. The oracle still runs the
+      // unrolled gbtRound text, so any drift is caught by the hash.
+      import s.implicits._
+      cells.select(col("qty"), col("disc"), col("n"),
+                   col("sy").cast("decimal(38,0)"),
+                   col("syy").cast("decimal(38,0)"))
+        .as[(Long, Long, Long, java.math.BigDecimal, java.math.BigDecimal)]
+        .repartition(1)
+        .mapPartitions { it =>
+          val cs = it.toArray
+          val nc = cs.length
+          val (qty, disc) = (cs.map(_._1), cs.map(_._2))
+          val n = cs.map(_._3)
+          val syD = cs.map(_._4.doubleValue)
+          val syyD = cs.map(_._5.doubleValue)
+          val nD = n.map(_.toDouble)
+          val syTot = cs.map(c => BigInt(c._4.toBigInteger)).sum
+          val ntl = n.sum
+          val nt = ntl.toDouble
+          val p = Array.fill(nc)(syTot.toDouble / nt)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, String, Long, Double, Double, Double, Double)]
+          for (m <- 1 to 3) {
+            val sr = Array.tabulate(nc)(i =>
+              BigInt(math.floor((syD(i) - nD(i) * p(i)) * 1e2 + 5e-1)
+                .toLong))
+            val st = sr.sum.toDouble
+            // per-feature cumulative split scan: (feature, v, nld, sld)
+            def scan(fv: Int => Long): Seq[(Long, Double, Double)] = {
+              val g = (0 until nc).groupBy(fv)
+                .map { case (v, is) =>
+                  (v, is.map(n(_)).sum, is.map(sr(_)).sum) }
+                .toSeq.sortBy(_._1)
+              var (nl, sl) = (0L, BigInt(0))
+              g.flatMap { case (v, fn, fs) =>
+                nl += fn; sl += fs
+                if (nl < ntl) Seq((v, nl.toDouble, sl.toDouble))
+                else Seq.empty
+              }
+            }
+            val cand =
+              scan(i => disc(i)).map { case (v, nld, sld) =>
+                ("disc", v, nld, sld) } ++
+              scan(i => qty(i)).map { case (v, nld, sld) =>
+                ("qty", v, nld, sld) }
+            var best: (String, Long, Double, Double) = null
+            var bestKey = Double.NegativeInfinity
+            for ((f, v, nld, sld) <- cand) {
+              val key = sld * sld / nld + (st - sld) * (st - sld) / (nt - nld)
+              if (key > bestKey || (key == bestKey &&
+                  (f < best._1 || (f == best._1 && v < best._2)))) {
+                bestKey = key; best = (f, v, nld, sld)
+              }
+            }
+            val (bf, bv, nld, sld) = (best._1, best._2, best._3, best._4)
+            val gl = sld / nld
+            val gr = (st - sld) / (nt - nld)
+            val gain = math.floor((sld * sld / nld +
+              (st - sld) * (st - sld) / (nt - nld) -
+              st * st / nt) / nt / 1e4 * 1e6 + 5e-1) / 1e6
+            var i = 0
+            while (i < nc) {
+              p(i) = p(i) + 5e-1 * (if ((bf == "qty" && qty(i) <= bv) ||
+                                        (bf == "disc" && disc(i) <= bv))
+                                      gl else gr) / 1e2
+              i += 1
+            }
+            val msum = (0 until nc).map(i =>
+              BigInt(math.floor((syyD(i) - 2e0 * p(i) * syD(i) +
+                nD(i) * p(i) * p(i)) / nt * 1e4 + 5e-1).toLong)).sum
+            val rmse = math.floor(
+              math.sqrt(msum.toDouble / 1e4) * 1e6 + 5e-1) / 1e6
+            out += ((m.toLong, bf, bv, gain,
+                     math.floor(5e-1 * gl / 1e2 * 1e6 + 5e-1) / 1e6,
+                     math.floor(5e-1 * gr / 1e2 * 1e6 + 5e-1) / 1e6,
+                     rmse))
+          }
+          out.iterator
         }
-        s.sql(s"WITH $block SELECT * FROM out$m")
-      }
-      outs.reduce(_ unionAll _)
-        .selectExpr("CAST(boost_round AS BIGINT) AS boost_round",
-                    "feature", "threshold", "gain", "step_left",
-                    "step_right", "rmse")
+        .toDF("boost_round", "feature", "threshold", "gain",
+              "step_left", "step_right", "rmse")
         .orderBy("boost_round")
     })
 
