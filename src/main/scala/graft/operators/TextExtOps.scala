@@ -1649,9 +1649,18 @@ object TextExtOps extends OpModule {
         .select(least(col("x"), col("y")).as("a"),
                 greatest(col("x"), col("y")).as("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("w"))
-      val edges = prs.select(col("a").as("u"), col("b").as("v"), col("w"))
-        .unionAll(prs.select(col("b").as("u"), col("a").as("v"), col("w")))
-      val deg = edges.groupBy("u").agg(sum("w").as("ws"))
+      // r19 optimization (q115's lesson): pin the edge list, the
+      // degree table and each round's rank table — unpinned, round 3's
+      // lineage re-derived the token-pair emission per reference and
+      // the wall-clock was Catalyst planning. Arithmetic untouched.
+      def pin(df: DataFrame) = org.apache.spark.sql.graft.InternalPin.pin(df)
+      val (edges, eh) = pin(
+        prs.select(col("a").as("u"), col("b").as("v"), col("w"))
+          .unionAll(prs.select(col("b").as("u"), col("a").as("v"),
+                               col("w"))))
+      eh.count(); graft.PinScope.retain(eh)
+      val (deg, dh) = pin(edges.groupBy("u").agg(sum("w").as("ws")))
+      dh.count(); graft.PinScope.retain(dh)
       val n = deg.agg(count(lit(1)).as("nn"))
       var r = deg.crossJoin(broadcast(n))
         .select(col("u").as("id"),
@@ -1661,12 +1670,15 @@ object TextExtOps extends OpModule {
           .join(r.withColumnRenamed("id", "u"), Seq("u"))
           .groupBy(col("v").as("id"))
           .agg(sum(expr("(r * w) DIV ws")).as("sc"))
-        r = r.select(col("id")).join(contrib, Seq("id"), "left")
+        val (next, nh) = pin(r.select(col("id"))
+          .join(contrib, Seq("id"), "left")
           .crossJoin(broadcast(n))
           .select(col("id"),
                   (expr(s"(15 * ($S DIV nn)) DIV 100") +
                    expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) DIV 100"))
-                    .as("r"))
+                    .as("r")))
+        nh.count(); graft.PinScope.retain(nh)
+        r = next
       }
       r.select(col("id").as("token"), col("r").as("rank"))
         .orderBy(col("rank").desc, col("token")).limit(10)
