@@ -1029,9 +1029,16 @@ object DedupExtOps extends OpModule {
     "q217_bfs_recursive" -> { (s, d) =>
       val pairs = candidatePairs(Tables(s, d, "documents"),
                                  maxBucket = HotBucketCap)
-      pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-        .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-        .createOrReplaceTempView("graft_bfs_edges")
+      // r19: pin the edge table before the view (q138's discipline) —
+      // the recursive CTE's iterations each re-planned the whole
+      // banding+self-join lineage through the lazy view; pinned, the
+      // src ranking and every walk round read in-memory blocks. The
+      // SQL text (what the oracle restates) is unchanged.
+      val (edges, eh) = org.apache.spark.sql.graft.InternalPin.pin(
+        pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+          .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v"))))
+      eh.count(); graft.PinScope.retain(eh)
+      edges.createOrReplaceTempView("graft_bfs_edges")
       s.sql("""
         WITH RECURSIVE
         src AS (SELECT u AS id FROM (
