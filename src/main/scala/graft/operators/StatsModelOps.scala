@@ -597,16 +597,27 @@ object StatsModelOps extends OpModule {
     // perplexity exp(−Σ/n) rounds to 6 dp; the per-lang mean decimal-
     // sums the rounded perplexities (q142's order-safe mean).
     "q149_bigram_lm" -> { (s, dir) =>
-      val tk = Tables(s, dir, "documents")
+      // r19 (guide §2.4): the bigram emission paid a full token-stream
+      // Exchange + sort (posexplode, then lead() over a doc_id window)
+      // just to pair ADJACENT tokens — a per-row fact the doc's own
+      // array already holds. Pair inside the array instead: filter
+      // empties, zip each element with its successor, explode — a pure
+      // codegen map, zero shuffles before the pin. Same multiset by
+      // construction (lead over the original position order pairs
+      // consecutive non-empty tokens; so does the filtered array).
+      val (bg, h) = pin(Tables(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
-                posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
-        .where(length(col("tok")) > 0)
-      val wDoc = Window.partitionBy("doc_id").orderBy("p")
-      val (bg, h) = pin(tk
-        .withColumn("w2", lead("tok", 1).over(wDoc))
-        .where(col("w2").isNotNull)
-        .select(col("doc_id"), col("lang"), col("tok").as("w1"),
-                col("w2")))
+                expr("filter(split(text, ' '), x -> length(x) > 0)")
+                  .as("fa"))
+        .select(col("doc_id"), col("lang"),
+                explode(expr(
+                  """CASE WHEN size(fa) >= 2 THEN
+                    |  transform(sequence(1, size(fa) - 1),
+                    |            i -> struct(fa[i - 1] AS w1,
+                    |                        fa[i] AS w2))
+                    |ELSE array() END""".stripMargin)).as("pr"))
+        .select(col("doc_id"), col("lang"),
+                col("pr.w1").as("w1"), col("pr.w2").as("w2")))
       h.count(); graft.PinScope.retain(h)
       val model = bg.groupBy("lang", "w1", "w2")
         .agg(count(lit(1)).as("c12"))
