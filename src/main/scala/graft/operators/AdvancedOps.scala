@@ -800,22 +800,32 @@ object AdvancedOps extends OpModule {
       .join(sides(todayRows(orders), "h_new", "new_"),
             Seq("key"), "full_outer")
     val changed = col("h_new").isNull || col("h_old") =!= col("h_new")
-    val oldRows = f.where(col("h_old").isNotNull)
+    // r19 (guide §2.4): the old-image and new-image row sets were two
+    // union branches each re-executing the full-outer diff join (no
+    // cross-branch CSE in the physical plan — the join, both scans and
+    // both md5 hashes ran TWICE). One pass now: each joined row emits
+    // its ≤2 history rows through explode over two nullable structs —
+    // same rows, same per-row semantics, the join runs once.
+    val oldRow = when(col("h_old").isNotNull, struct(
+      OrderVals.map(c => col("old_" + c.stripPrefix("o_")).as(c)) :+
+      lit(0).as("valid_from") :+
+      when(changed, lit(1)).otherwise(lit(null).cast("int"))
+        .as("valid_to") :+
+      when(changed, lit(0)).otherwise(lit(1)).as("is_current"): _*))
+    val newRow = when(col("h_old").isNull ||
+                      (col("h_new").isNotNull &&
+                       col("h_old") =!= col("h_new")), struct(
+      OrderVals.map(c => col("new_" + c.stripPrefix("o_")).as(c)) :+
+      lit(1).as("valid_from") :+
+      lit(null).cast("int").as("valid_to") :+
+      lit(1).as("is_current"): _*))
+    f.select(col("key"), explode(array(oldRow, newRow)).as("r"))
+      .where(col("r").isNotNull)
       .select(col("key") +:
-        OrderVals.map(c => col("old_" + c.stripPrefix("o_")).as(c)) :+
-        lit(0).as("valid_from") :+
-        when(changed, lit(1)).otherwise(lit(null).cast("int"))
-          .as("valid_to") :+
-        when(changed, lit(0)).otherwise(lit(1)).as("is_current"): _*)
-    val newRows = f.where(col("h_old").isNull ||
-                          (col("h_new").isNotNull &&
-                           col("h_old") =!= col("h_new")))
-      .select(col("key") +:
-        OrderVals.map(c => col("new_" + c.stripPrefix("o_")).as(c)) :+
-        lit(1).as("valid_from") :+
-        lit(null).cast("int").as("valid_to") :+
-        lit(1).as("is_current"): _*)
-    oldRows.unionByName(newRows)
+        (OrderVals.map(c => col("r." + c).as(c)) :+
+         col("r.valid_from").as("valid_from") :+
+         col("r.valid_to").as("valid_to") :+
+         col("r.is_current").as("is_current")): _*)
   }
 
   /** Tomorrow's snapshot = snapshot MERGE changes (the q119 body,
