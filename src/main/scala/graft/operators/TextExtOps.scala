@@ -1909,12 +1909,18 @@ object TextExtOps extends OpModule {
     // broadcast.
     "q261_template_shingles" -> { (s, d) =>
       def dd(c: Column) = c.cast("double")
-      val g = Tables(s, d, "documents")
+      // r19: the distinct gram-membership stream feeds BOTH the
+      // template threshold and the per-doc share — unpinned, the gram
+      // explode + md5 + distinct shuffle ran twice (q269's unpinned-
+      // base case, guide §2.4). Pinned, the derivation runs once.
+      val (g, gh) = org.apache.spark.sql.graft.InternalPin.pin(
+        Tables(s, d, "documents")
         .select(col("source"), col("doc_id"),
                 org.apache.spark.sql.graft.GraftFunctions
                   .ngrams(split(col("text"), " "), 5).as("gr"))
         .select(col("source"), col("doc_id"), md5(col("gr")).as("m"))
-        .distinct()
+        .distinct())
+      gh.count(); graft.PinScope.retain(gh)
       val nd = Tables(s, d, "documents")
         .groupBy("source").agg(countDistinct("doc_id").as("ndocs"))
       val tpl = g.groupBy("source", "m")
