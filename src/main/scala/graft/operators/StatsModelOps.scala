@@ -1160,20 +1160,37 @@ object StatsModelOps extends OpModule {
     // domain-bounded groups, min(v) over the qualifying suffix. No
     // sort of fact rows, no value buffering.
     "q184_weighted_median" -> { (s, dir) =>
+      import s.implicits._
       val vg = Tables(s, dir, "lineitem")
         .select(col("l_returnflag"),
                 round(col("l_extendedprice") * 100).cast("long").as("v"),
                 round(col("l_quantity") * 100).cast("long").as("wq"))
         .groupBy("l_returnflag", "v").agg(sum(col("wq")).as("wsum"))
-      val wT = Window.partitionBy("l_returnflag")
-      val wC = Window.partitionBy("l_returnflag").orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      vg.withColumn("cum", sum(col("wsum")).over(wC))
-        .withColumn("tot", sum(col("wsum")).over(wT))
-        .where(col("cum") * 2 >= col("tot"))
-        .groupBy("l_returnflag")
-        .agg(min(col("v")).as("wmedian_cents"),
-             min(col("tot")).as("total_weight"))
+      // r19 (q148's fold, guide §1.2 step 1): past the one fact scan
+      // everything rides the DOMAIN-bounded (flag, cents, weight)
+      // value groups, but the two flag-partitioned windows sorted
+      // ~200k groups across only 3 partitions — single-threaded per
+      // flag, two window passes. The fold below walks each flag's
+      // v-ascending groups once in ONE task: the first v whose
+      // 2·cumweight ≥ totalweight IS min(v) over the qualifying
+      // suffix (cum is monotone in v) — the identical integer rule.
+      vg.as[(String, Long, Long)]
+        .repartition(1)
+        .mapPartitions { it =>
+          it.toArray.groupBy(_._1).iterator.map { case (flag, rows) =>
+            val g = rows.map(r => (r._2, r._3)).sortBy(_._1)
+            val tot = g.iterator.map(_._2).sum
+            var (cum, i, med) = (0L, 0, 0L)
+            var found = false
+            while (i < g.length && !found) {
+              cum += g(i)._2
+              if (cum * 2 >= tot) { med = g(i)._1; found = true }
+              i += 1
+            }
+            (flag, med, tot)
+          }
+        }
+        .toDF("l_returnflag", "wmedian_cents", "total_weight")
         .orderBy("l_returnflag")
     },
 
