@@ -757,12 +757,17 @@ object DedupExtOps extends OpModule {
 
     "q219_substring_dup" -> { (s, d) =>
       val k = 8
-      def grams = Tables(s, d, "documents")
+      // r19: `grams` was a def consumed twice (the dup-hash threshold
+      // and the join's probe side) — the gram explode + md5 ran twice
+      // (q261/q262's fix, guide §2.4). Pinned, it runs once.
+      val (grams, gh) = org.apache.spark.sql.graft.InternalPin.pin(
+        Tables(s, d, "documents")
         .where(size(split(col("text"), " ")) >= k)
         .select(col("doc_id"), col("source"),
           org.apache.spark.sql.graft.GraftFunctions
             .ngrams(split(col("text"), " "), k).as("g"))
-        .select(col("doc_id"), col("source"), md5(col("g")).as("h"))
+        .select(col("doc_id"), col("source"), md5(col("g")).as("h")))
+      gh.count(); graft.PinScope.retain(gh)
       val dupH = grams.groupBy("h")
         .agg(countDistinct("doc_id").as("nd"))
         .where(col("nd") >= 2)
@@ -1265,12 +1270,17 @@ object DedupExtOps extends OpModule {
     // reported with a declared total order (the source space is the
     // operator's cardinality, tiny by construction even at 100 TB).
     "q262_source_mirror" -> { (s, d) =>
-      val g = Tables(s, d, "documents")
+      // r19: the distinct (source, gram) set feeds THREE consumers
+      // (sizes + both self-join sides) — unpinned, the gram explode +
+      // md5 + distinct ran three times (q261's fix, guide §2.4).
+      val (g, gh) = org.apache.spark.sql.graft.InternalPin.pin(
+        Tables(s, d, "documents")
         .select(col("source"),
                 org.apache.spark.sql.graft.GraftFunctions
                   .ngrams(split(col("text"), " "), 8).as("gr"))
         .select(col("source"), md5(col("gr")).as("m"))
-        .distinct()
+        .distinct())
+      gh.count(); graft.PinScope.retain(gh)
       val sizes = g.groupBy("source").agg(count(lit(1)).as("sz"))
       val inter = g.as("a")
         .join(g.as("b"),
