@@ -2719,8 +2719,13 @@ object TextExtOps extends OpModule {
   /** The pair machinery of [[contaminationPairs]] over an already-
     * emitted (doc_id, split, m) gram stream — q96 feeds it the
     * winnowed [[minimizerHashes]] stream instead of every position. */
-  private def contaminationPairsFrom(sh: DataFrame, minShared: Int,
+  private def contaminationPairsFrom(sh0: DataFrame, minShared: Int,
                                      outCol: String): DataFrame = {
+    // r19: the gram stream feeds the df cap AND the posting probe —
+    // unpinned, the gram/minimizer emission + md5 ran twice (q261's
+    // fix, guide §2.4). Pinned, it runs once for both q87 and q96.
+    val (sh, shh) = org.apache.spark.sql.graft.InternalPin.pin(sh0)
+    shh.count(); graft.PinScope.retain(shh)
     val rare = sh.groupBy("m")
       .agg(countDistinct(col("doc_id")).as("df"))
       .where(col("df") <= 10).select("m")
