@@ -828,7 +828,12 @@ object PartitionedOps extends OpModule {
         s"((by div ${1L << i}) % 2) * ${1L << (2 * i)}")
         .mkString(" + ")
       val W = org.apache.spark.sql.expressions.Window
-      def base = o
+      // r19: `base` was a def — the cell-count pass and BOTH layout
+      // branches re-ran the scan + the bit-interleave projection
+      // (three derivations). Pinned, the narrow (dd, ck, key, buckets)
+      // frame computes once and every consumer reads blocks
+      // (guide §2.4: share one derivation).
+      val (base, bh) = org.apache.spark.sql.graft.InternalPin.pin(o
         .withColumn("bx",
           expr(s"((dd - $dmin) * 256) div ${dmax - dmin + 1}"))
         .withColumn("by",
@@ -843,7 +848,8 @@ object PartitionedOps extends OpModule {
         // can never straddle a value-range bucket boundary)
         .withColumn("bdd",
           expr(s"((dd - $dmin) * 256) div ${dmax - dmin + 1}"))
-        .withColumn("bz", expr("(z * 256) div 65536"))
+        .withColumn("bz", expr("(z * 256) div 65536")))
+      bh.count(); graft.PinScope.retain(bh)
       // both offset tables come from ONE ≤256²-cell count pass (pinned:
       // each key's marginal rides the tiny cell table, not a fact scan)
       val (cells, h) = org.apache.spark.sql.graft.InternalPin.pin(
