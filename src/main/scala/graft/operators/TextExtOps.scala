@@ -743,8 +743,17 @@ object TextExtOps extends OpModule {
       // the eval filter applies BEFORE the battery: the gram
       // aggregations (the funnel's dominant cost term) run over the
       // quarter they score, not the corpus
-      val gp = gopherPerDoc(Tables(s, d, "documents")
-        .where(splitOf(col("doc_id")) === "eval"))
+      // r19 (guide §2.4): the funnel's five rollup branches re-derived
+      // their shared stages per branch — gp's typed gram fold ran up
+      // to 5×, pplPerDoc's LM scoring 3× (thr + filter + each s2
+      // consumer) and s2's join 3× (budget, kept, pass_ppl). Pin the
+      // three shared frames; each stage now computes once.
+      def qpin(df: DataFrame) = {
+        val (p, ph) = org.apache.spark.sql.graft.InternalPin.pin(df)
+        ph.count(); graft.PinScope.retain(ph); p
+      }
+      val gp = qpin(gopherPerDoc(Tables(s, d, "documents")
+        .where(splitOf(col("doc_id")) === "eval")))
       // boolean->int cast propagates NULL exactly like the oracle's
       // CAST(rN AS INT) sum, so an unevaluable rule FAILS the doc in
       // both engines rather than counting as 0 only here
@@ -752,14 +761,14 @@ object TextExtOps extends OpModule {
           rules.map(r => col(r).cast("int")).reduce(_ + _))
         .where(col("n_pass") >= 6)
         .select("doc_id", "source", "n_words")
-      val ppl = pplPerDoc(s, d)
+      val ppl = qpin(pplPerDoc(s, d))
       val thr = ppl.agg(round(
         sum(col("avg_nll")).cast("double") / count(lit(1)), 6).as("thr"))
-      val s2 = s1.join(
+      val s2 = qpin(s1.join(
         ppl.crossJoin(broadcast(thr))
           .where(col("avg_nll").cast("double") <= col("thr"))
           .select("doc_id"),
-        Seq("doc_id"))
+        Seq("doc_id")))
       val (bud, kept0) = budgetCut(
         s2.select(col("doc_id"), col("source"),
                   col("n_words").as("tok")))
