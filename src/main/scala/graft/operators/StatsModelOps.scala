@@ -2679,31 +2679,53 @@ object StatsModelOps extends OpModule {
         .agg(sum(round(col("o_totalprice") * 100).cast("long"))
                .as("x")))
       h.count(); graft.PinScope.retain(h)
-      def esdRound(remaining: DataFrame, r: Int): (DataFrame, DataFrame) = {
-        val agg = remaining.agg(
-          count(lit(1)).as("n"),
-          sum(col("x").cast("decimal(38,0)")).as("sx"),
-          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
-        val pick = remaining.crossJoin(broadcast(agg))
-          .withColumn("dev", abs(col("x").cast("decimal(38,0)") *
-                                 col("n") - col("sx")))
-          .orderBy(col("dev").desc, col("day").asc)
-          .limit(1)
-          .select(lit(r).as("esd_round"), col("day"), col("x"),
-            round((col("dev").cast("double") / d(col("n"))) /
-                  sqrt(d(col("n") * col("sxx") - col("sx") * col("sx")) /
-                       d(col("n") * (col("n") - 1))), 6).as("r_stat"))
-        val next = remaining.join(broadcast(pick.select(col("day")
-            .as("rm_day"))), col("day") === col("rm_day"), "left_anti")
-        (pick, next)
-      }
-      val (p1, c2) = esdRound(cells, 1)
-      val (p2, c3) = esdRound(c2, 2)
-      val (p3, _) = esdRound(c3, 3)
-      p1.unionAll(p2).unionAll(p3)
-        .select(col("esd_round"), col("day"),
-                round(d(col("x")) / 100.0, 6).as("revenue"),
-                col("r_stat"), (col("r_stat") > 3.0).as("flagged"))
+      // r19 (guide §1.2 step 1 — the q292/q148 fold): the three ESD
+      // rounds ran as staged agg + argmax + anti-join plans whose
+      // union re-derived every earlier round per branch — 84 Exchanges
+      // over a ≤|days| cell table. The fold below replays the chain
+      // operation for operation in ONE task over the pinned cells:
+      // dev = |x·n − sx| exact (BigInt ≡ decimal(38,0)), argmax by
+      // (dev desc, day asc), r_stat's double chain in the identical
+      // cast order (each decimal → double exactly once), round 6 via
+      // BigDecimal HALF_UP = Spark's own round.
+      import s.implicits._
+      cells.select(col("day"), col("x")).as[(java.sql.Date, Long)]
+        .repartition(1)
+        .mapPartitions { it =>
+          def r6(v: Double) = java.math.BigDecimal.valueOf(v)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+          var rem = it.toArray
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Int, java.sql.Date, Double, Double, Boolean)]
+          var r = 1
+          while (r <= 3 && rem.nonEmpty) {
+            val n = rem.length.toLong
+            var sx = BigInt(0); var sxx = BigInt(0)
+            for ((_, x) <- rem) { sx += x; sxx += BigInt(x) * x }
+            var bi = 0
+            var bdev = BigInt(-1)
+            var i = 0
+            while (i < rem.length) {
+              val dev = (BigInt(rem(i)._2) * n - sx).abs
+              if (dev > bdev ||
+                  (dev == bdev &&
+                   rem(i)._1.getTime < rem(bi)._1.getTime)) {
+                bdev = dev; bi = i
+              }
+              i += 1
+            }
+            val (day, x) = rem(bi)
+            val rStat = r6((bdev.toDouble / n.toDouble) /
+              math.sqrt((n * sxx - sx * sx).toDouble /
+                        (n * (n - 1)).toDouble))
+            out += ((r, day, r6(x.toDouble / 100.0), rStat,
+                     rStat > 3.0))
+            rem = rem.patch(bi, Nil, 1)
+            r += 1
+          }
+          out.iterator
+        }
+        .toDF("esd_round", "day", "revenue", "r_stat", "flagged")
         .orderBy("esd_round")
     },
 
